@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (builder mandate: dedup, similarity search, text analysis at 100 TB
+  * scale). Library implementations live in graft.operators; these entries
+  * bind them to the driver corpus with DuckDB oracles.
+  *
+  * Scale notes: everything here is a single groupBy/aggregation pass or a
+  * broadcast join against a constant-size side — no pairwise blowup on the
+  * full corpus (LSH banding keeps candidate generation sub-quadratic).
+  */
+object DataPipelineQueries {
+
+  private val wordsCol = array_remove(split(trim(col("text")), " "), "")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Exact dedup: content-hash groupBy, keep lowest doc_id per group. ──
+    QueryDef.sql(
+      "dedup_exact",
+      """SELECT md5(text) AS content_hash,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(COUNT(*) AS BIGINT) AS group_size
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY content_hash""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("group_size"))
+          .orderBy("content_hash")
+    },
+
+    // ── Token counting (whitespace tokenizer) + char counts. ──
+    QueryDef.sql(
+      "text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_text
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(wordsCol).cast("long").as("n_tokens"),
+            length(col("text")).cast("long").as("n_chars_text"))
+          .orderBy("doc_id")
+    },
+
+    // ── Quality scoring: length stats + stopword ratio. Single-op double
+    //    division (bit-exact across engines), rounded defensively. ──
+    QueryDef.sql(
+      "text_quality",
+      """SELECT doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS mean_token_len,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    len(ws) AS n_tokens,
+        |    list_sum(list_transform(ws, w -> length(w))) AS sum_len,
+        |    len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |  FROM (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+        Tables.documents(s, d)
+          .select(col("doc_id"), wordsCol.as("ws"))
+          .select(
+            col("doc_id"),
+            size(col("ws")).cast("long").as("n_tokens"),
+            aggregate(transform(col("ws"), w => length(w).cast("long")),
+              lit(0L), (acc, v) => acc + v).as("sum_len"),
+            size(filter(col("ws"), w => w.isInCollection(stop))).as("n_stop"))
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            round(col("sum_len").cast("double") / col("n_tokens"), 4).as("mean_token_len"),
+            round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"))
+          .orderBy("doc_id")
+    },
+
+    // ── Language-ID heuristic: function-word marker counting (n-gram
+    //    heuristics degenerate on this synthetic corpus, so the classifier
+    //    is marker-based; the oracle pins the exact same rule). ──
+    QueryDef.sql(
+      "text_langid",
+      """SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN n_en >= 2 THEN 'en' ELSE 'und' END AS predicted_lang
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(trim(text), ' '), w -> w IN ('the','a','of','and'))) AS n_en
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val markers = Seq("the", "a", "of", "and")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang").as("labeled_lang"),
+            size(filter(wordsCol, w => w.isInCollection(markers))).as("n_en"))
+          .select(col("doc_id"), col("labeled_lang"),
+            when(col("n_en") >= 2, "en").otherwise("und").as("predicted_lang"))
+          .orderBy("doc_id")
+    },
+
+    // ── Document fingerprint: hash of the sorted distinct token set
+    //    (bag-normalized content fingerprint for near-dup bucketing). ──
+    QueryDef.sql(
+      "text_fingerprint",
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(list_filter(string_split(trim(text), ' '), w -> w <> ''))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(wordsCol)))).as("fingerprint"))
+          .orderBy("doc_id")
+    },
+
+    // ── Brute-force cosine top-k against a query vector (the ANN
+    //    baseline; LSH-bucketed variant in graft.operators.Similarity).
+    //    Query side is one broadcast row; scan side is one pass. ──
+    QueryDef.sql(
+      "sim_cosine_topk",
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |u AS (SELECT e.vec_id,
+        |        unnest(e.embedding) AS x, unnest(q.qvec) AS y
+        |      FROM embeddings e, q WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY vec_id)
+        |SELECT vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim
+        |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+        def dotOf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, v) => acc + v)
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(dotOf(col("embedding"), col("qvec")) /
+              sqrt(dotOf(col("embedding"), col("embedding")) *
+                dotOf(col("qvec"), col("qvec"))), 4).as("cos_sim"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+          .limit(20)
+    },
+  )
+}

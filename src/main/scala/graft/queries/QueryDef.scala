@@ -1,0 +1,26 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered query: the Spark pipeline plus (optionally) the
+  * equivalent ANSI SQL the driver runs in DuckDB as the correctness oracle.
+  *
+  * Conventions that make the hash-compare robust across engines:
+  *   - double aggregation goes through `decimal(20,4)` (exact in both Spark
+  *     and DuckDB) and is cast back to `double` at the end, so the value is
+  *     bit-identical regardless of summation order;
+  *   - every ORDER BY ends with a unique key so LIMIT is deterministic;
+  *   - aggregate/computed columns are aliased identically on both sides
+  *     (the driver sorts columns by name before hashing).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, Some(oracle))
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None)
+}

@@ -1,0 +1,333 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's read/write operator surface (SURVEY.md §2) re-expressed
+  * over the driver's TPC-H-ish corpus. Each query name carries the §2
+  * operator id it demonstrates; the DuckDB oracle pins semantics.
+  *
+  * Scale notes (100 TB posture):
+  *   - dimension sides of joins are `broadcast()`ed (region/nation/supplier/
+  *     customer-filter are tiny relative to fact tables at any SF);
+  *   - top-k is ORDER BY + LIMIT, which Spark plans as TakeOrderedAndProject
+  *     (per-partition heap + driver merge — no global sort shuffle);
+  *   - aggregations are partial-aggregate friendly (no distinct-heavy
+  *     shapes on the hot path); exact sums use decimal, not double.
+  */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(20, 4))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── A8 full-table scan + F7 newest-first top-k (txn_participation
+    //    DESC-index pattern: ORDER BY round DESC, intra DESC LIMIT n). ──
+    QueryDef.sql(
+      "a8_scan_topk_desc",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+        |FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+          .limit(100)
+    },
+
+    // ── F1 grouped aggregation with exact decimal math (the accounting
+    //    core's per-key reduce; writer.go:163-179). TPC-H Q1 shape. ──
+    QueryDef.sql(
+      "f1_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ── E5 star join, dimensions broadcast (lineitem→supplier→nation→
+    //    region; the txn→block_header enrichment pattern, SURVEY §2.E). ──
+    QueryDef.sql(
+      "e5_star_join_revenue",
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+    },
+
+    // ── E1/D semi-join + keyset pagination: "transactions by address"
+    //    (txn_participation ⋈ txn, idb.go:180-233 + token idb.go:56-100).
+    //    Orders of BUILDING-segment customers, keyset token
+    //    (o_orderdate, o_orderkey) > (1995-06-01, 0), ascending, LIMIT 50. ──
+    QueryDef.sql(
+      "d1_semijoin_keyset_page",
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND (o_orderdate, o_orderkey) > (TIMESTAMP '1995-06-01 00:00:00', 0)
+        |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin) {
+      (s, d) =>
+        val custs = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey"))
+        val tokDate = lit("1995-06-01 00:00:00").cast(TimestampType)
+        Tables.orders(s, d)
+          .join(broadcast(custs), Seq("o_custkey"), "left_semi")
+          .filter(col("o_orderdate") > tokDate ||
+            (col("o_orderdate") === tokDate && col("o_orderkey") > 0))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+          .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+          .limit(50)
+    },
+
+    // ── D point lookup (txid pattern, index schema:33). ──
+    QueryDef.sql(
+      "d2_point_lookup",
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 500") {
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") === 500)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+
+    // ── D time-range filter (AfterTime/BeforeTime → round range via
+    //    block_header.realtime, idb.go:190-192). ──
+    QueryDef.sql(
+      "d3_time_range",
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-02-01 00:00:00'
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 200""".stripMargin) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01 00:00:00").cast(TimestampType) &&
+            col("l_shipdate") < lit("1995-02-01 00:00:00").cast(TimestampType))
+          .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .limit(200)
+    },
+
+    // ── E2 self-join: inner-txn → root-txn conversion (idb.go:137-143;
+    //    extra.root-intra backlink). Non-first lineitems join their order's
+    //    first line ("root"). ──
+    QueryDef.sql(
+      "e2_selfjoin_root",
+      """SELECT i.l_orderkey AS orderkey, i.l_linenumber AS linenumber,
+        |       r.l_quantity AS root_qty, r.l_partkey AS root_partkey
+        |FROM lineitem i
+        |JOIN lineitem r ON i.l_orderkey = r.l_orderkey AND r.l_linenumber = 1
+        |WHERE i.l_linenumber > 1
+        |ORDER BY orderkey, linenumber LIMIT 500""".stripMargin) {
+      (s, d) =>
+        val li = Tables.lineitem(s, d)
+        val inner = li.filter(col("l_linenumber") > 1)
+          .select(col("l_orderkey").as("orderkey"), col("l_linenumber").as("linenumber"))
+        val root = li.filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey").as("orderkey"),
+            col("l_quantity").as("root_qty"), col("l_partkey").as("root_partkey"))
+        inner.join(root, Seq("orderkey"))
+          .orderBy("orderkey", "linenumber")
+          .limit(500)
+    },
+
+    // ── F2 distinct (participation dedup, write_txn_participation.go:53-89). ──
+    QueryDef.sql(
+      "f2_distinct",
+      """SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_custkey", "o_orderstatus")
+          .distinct()
+          .orderBy("o_custkey", "o_orderstatus")
+    },
+
+    // ── F5 max-round / health watermark (cockroach.go:383-393). ──
+    QueryDef.sql(
+      "f5_watermark",
+      """SELECT CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MAX(o_orderdate) AS max_date
+        |FROM orders""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .agg(max("o_orderkey").as("max_key"), count(lit(1)).as("n_rows"),
+            max("o_orderdate").as("max_date"))
+    },
+
+    // ── C1 last-writer-wins keyed state (upsert merge, writer.go:39-114):
+    //    final state per user = latest event by (ts, event_id). ──
+    QueryDef.sql(
+      "c1_upsert_lww",
+      """SELECT user_id, event_type AS last_type, value AS last_value
+        |FROM (SELECT user_id, event_type, value,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value"))
+          .orderBy("user_id")
+    },
+
+    // ── D account + resource expansion: left outer join + per-key counts
+    //    (AccountQueryOptions IncludeAssetHoldings..., idb.go:252-261). ──
+    QueryDef.sql(
+      "d4_account_resources",
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(20,4))), 0) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey", "c_mktsegment")
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            coalesce(sum(dec(col("o_totalprice"))), lit(0).cast(DecimalType(20, 4)))
+              .cast("double").as("total_spend"))
+          .orderBy("c_custkey")
+    },
+
+    // ── F4 count-guard (MaxResources / MaxTransactionsLimit,
+    //    idb.go:174-176, 262-263): flag keys over a resource budget. ──
+    QueryDef.sql(
+      "f4_count_guard",
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |       COUNT(*) > 15 AS over_limit
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) > 12
+        |ORDER BY o_custkey""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 12)
+          .withColumn("over_limit", col("n") > 15)
+          .orderBy("o_custkey")
+    },
+
+    // ── D fuzzy search (AssetsQuery Name/Unit case-insensitive substring,
+    //    idb.go:296-301). ──
+    QueryDef.sql(
+      "d5_fuzzy_search",
+      """SELECT p_partkey, p_name, p_brand
+        |FROM part
+        |WHERE lower(p_name) LIKE '%green%' OR lower(p_brand) LIKE '%#1%'
+        |ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(lower(col("p_name")).contains("green") ||
+            lower(col("p_brand")).contains("#1"))
+          .select("p_partkey", "p_name", "p_brand")
+          .orderBy("p_partkey")
+    },
+
+    // ── G2/G5/G10 scalar-function surface: base64, md5, printable check,
+    //    enum mapping (encoding.go:45-51, 123-162; txn_type_enum.go). ──
+    QueryDef.sql(
+      "g_scalar_functions",
+      """SELECT c_custkey,
+        |  to_base64(encode(c_name)) AS name_b64,
+        |  md5(c_name) AS name_md5,
+        |  length(c_name) AS name_len,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+        |    WHEN 'MACHINERY' THEN 3 WHEN 'HOUSEHOLD' THEN 4 WHEN 'FURNITURE' THEN 5
+        |    ELSE 0 END AS seg_enum
+        |FROM customer ORDER BY c_custkey LIMIT 100""".stripMargin) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(
+            col("c_custkey"),
+            base64(encode(col("c_name"), "UTF-8")).as("name_b64"),
+            md5(col("c_name")).as("name_md5"),
+            length(col("c_name")).as("name_len"),
+            upper(col("c_mktsegment")).as("seg_upper"),
+            when(col("c_mktsegment") === "BUILDING", 1)
+              .when(col("c_mktsegment") === "AUTOMOBILE", 2)
+              .when(col("c_mktsegment") === "MACHINERY", 3)
+              .when(col("c_mktsegment") === "HOUSEHOLD", 4)
+              .when(col("c_mktsegment") === "FURNITURE", 5)
+              .otherwise(0).as("seg_enum"))
+          .orderBy("c_custkey")
+          .limit(100)
+    },
+
+    // ── H1 tumbling-window streaming aggregation shape (batch-equivalent:
+    //    date_trunc bucket; SURVEY §2.H — windowed aggs for the events
+    //    stream). Structured Streaming variant in graft.streaming. ──
+    QueryDef.sql(
+      "h1_tumbling_agg",
+      """SELECT date_trunc('hour', ts) AS bucket, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket, event_type""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+          .orderBy("bucket", "event_type")
+    },
+
+    // ── B4 explode + distinct (participation extraction shape:
+    //    flatMap to (addr, round, intra) then dedup). Words per document. ──
+    QueryDef.sql(
+      "b4_explode_distinct",
+      """SELECT doc_id, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words
+        |FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        |WHERE w <> ''
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("doc_id")
+          .agg(countDistinct("w").as("n_distinct_words"))
+          .orderBy("doc_id")
+    },
+  )
+}

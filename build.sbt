@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Pass forked stdout straight through (no "[info] " log prefix) so the
+// driver can parse Bench's single JSON line from raw stdout.
+run / outputStrategy := Some(StdoutOutput)

@@ -26,12 +26,12 @@ object DataPipelineQueries {
         |  CAST(COUNT(*) AS BIGINT) AS group_size
         |FROM documents
         |GROUP BY md5(text)
-        |ORDER BY content_hash""".stripMargin) {
+        |ORDER BY content_hash NULLS LAST""".stripMargin) {
       (s, d) =>
         Tables.documents(s, d)
           .groupBy(md5(col("text")).as("content_hash"))
           .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("group_size"))
-          .orderBy("content_hash")
+          .orderBy(asc_nulls_last("content_hash"))
     },
 
     // ── Token counting (whitespace tokenizer) + char counts. ──
@@ -56,8 +56,8 @@ object DataPipelineQueries {
       "text_quality",
       """SELECT doc_id,
         |  CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  round(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS mean_token_len,
-        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio
+        |  round(CAST(sum_len AS DOUBLE) / nullif(n_tokens, 0), 4) AS mean_token_len,
+        |  round(CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0), 4) AS stopword_ratio
         |FROM (
         |  SELECT doc_id,
         |    len(ws) AS n_tokens,
@@ -79,8 +79,14 @@ object DataPipelineQueries {
           .select(
             col("doc_id"),
             col("n_tokens"),
-            round(col("sum_len").cast("double") / col("n_tokens"), 4).as("mean_token_len"),
-            round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"))
+            // nullif guard: empty/whitespace-only docs yield NULL (not a
+            // non-ANSI NULL-vs-NaN divergence between Spark and DuckDB).
+            round(col("sum_len").cast("double") /
+              when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")), 4)
+              .as("mean_token_len"),
+            round(col("n_stop").cast("double") /
+              when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")), 4)
+              .as("stopword_ratio"))
           .orderBy("doc_id")
     },
 
@@ -135,7 +141,8 @@ object DataPipelineQueries {
         |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
         |      FROM u GROUP BY vec_id)
         |SELECT vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim
-        |FROM s ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) {
+        |FROM s WHERE na * nb > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) {
       (s, d) =>
         val emb = Tables.embeddings(s, d)
         val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -145,9 +152,14 @@ object DataPipelineQueries {
         emb.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .select(col("vec_id"),
-            round(dotOf(col("embedding"), col("qvec")) /
-              sqrt(dotOf(col("embedding"), col("embedding")) *
-                dotOf(col("qvec"), col("qvec"))), 4).as("cos_sim"))
+            dotOf(col("embedding"), col("qvec")).as("dot"),
+            dotOf(col("embedding"), col("embedding")).as("na"),
+            dotOf(col("qvec"), col("qvec")).as("nb"))
+          // zero-norm guard: NULL (Spark) vs NaN (DuckDB) sort differently;
+          // excluding degenerate vectors keeps both engines in agreement.
+          .filter(col("na") * col("nb") > 0)
+          .select(col("vec_id"),
+            round(col("dot") / sqrt(col("na") * col("nb")), 4).as("cos_sim"))
           .orderBy(desc("cos_sim"), asc("vec_id"))
           .limit(20)
     },

@@ -23,4 +23,14 @@ object QueryDef {
     QueryDef(name, fn, Some(oracle))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Size-gated broadcast: hint only when Catalyst's own size estimate says
+    * the side is small. At bench SF the hint avoids AQE's pay-the-map-stage-
+    * first SMJ→BHJ conversion; at 100 TB the stats exceed the gate and the
+    * plan degrades to a shuffle join instead of OOMing the driver.
+    */
+  def broadcastIfSmall(df: DataFrame, maxBytes: Long = 64L << 20): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
 }

@@ -10,8 +10,10 @@ import org.apache.spark.sql.expressions.Window
   * operator id it demonstrates; the DuckDB oracle pins semantics.
   *
   * Scale notes (100 TB posture):
-  *   - dimension sides of joins are `broadcast()`ed (region/nation/supplier/
-  *     customer-filter are tiny relative to fact tables at any SF);
+  *   - only constant-size dimensions (region: 5 rows, nation: 25 rows) are
+  *     hard-`broadcast()`ed; sides that grow with SF (supplier, filtered
+  *     customer) are left to AQE + autoBroadcastJoinThreshold, so the plan
+  *     degrades to a shuffle join instead of OOMing the driver at 100 TB;
   *   - top-k is ORDER BY + LIMIT, which Spark plans as TakeOrderedAndProject
   *     (per-partition heap + driver merge — no global sort shuffle);
   *   - aggregations are partial-aggregate friendly (no distinct-heavy
@@ -76,7 +78,8 @@ object RelationalQueries {
         |ORDER BY r_name, n_name""".stripMargin) {
       (s, d) =>
         Tables.lineitem(s, d)
-          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(QueryDef.broadcastIfSmall(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
@@ -104,7 +107,7 @@ object RelationalQueries {
           .select(col("c_custkey").as("o_custkey"))
         val tokDate = lit("1995-06-01 00:00:00").cast(TimestampType)
         Tables.orders(s, d)
-          .join(broadcast(custs), Seq("o_custkey"), "left_semi")
+          .join(QueryDef.broadcastIfSmall(custs), Seq("o_custkey"), "left_semi")
           .filter(col("o_orderdate") > tokDate ||
             (col("o_orderdate") === tokDate && col("o_orderkey") > 0))
           .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")

@@ -1,0 +1,144 @@
+package graft.ingest
+
+import graft.codec.BlockCodec
+import graft.model._
+import graft.state.StateMerge
+import graft.transform.{BlockTransforms, DeltaTransforms}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch apply of a micro-batch of blocks (SURVEY.md §3.1's Spark
+  * equivalent): ordering guard against metastate, idempotent append of
+  * txn/participation/header by round partition, six state merges, metastate
+  * bump. Structured Streaming wraps this in foreachBatch
+  * (graft.streaming.StreamIngest); the reference's serializable transaction
+  * + tolerated unique violations (cockroach.go:136-199) become the
+  * round-partition overwrite + single driver-side commit point.
+  *
+  * Input is one JSON document per block (graft.codec.BlockCodec), parsed in
+  * the executors — the recursive inner-txn tree never needs a Spark schema.
+  */
+object BlockIngest {
+
+  /** Strict-ordering guard (cockroach.go:142-146): rounds already accounted
+    * are dropped (idempotent replay); the remainder must start at
+    * `nextRound` and be gap-free. Returns the rounds to apply. */
+  def orderingGuard(rounds: Seq[Long], nextRound: Long): Seq[Long] = {
+    val fresh = rounds.distinct.sorted.filter(_ >= nextRound)
+    if (fresh.isEmpty) return fresh
+    require(fresh.head == nextRound,
+      s"adding block round ${fresh.head} but next round to account is $nextRound")
+    fresh.zipWithIndex.foreach { case (r, i) =>
+      require(r == nextRound + i, s"round gap: expected ${nextRound + i}, got $r")
+    }
+    fresh
+  }
+
+  def applyBlocks(store: TableStore, blocksJson: Dataset[String]): Unit = {
+    val spark = store.spark
+    import spark.implicits._
+
+    val ds = blocksJson.cache()
+    try {
+      val next = store.nextRound
+      val rounds = ds.map(s => BlockCodec.blockFromJson(s).round).collect().toSeq
+      val fresh = orderingGuard(rounds, next)
+      if (fresh.isEmpty) return
+      val lastRound = fresh.last
+
+      val freshDs = ds.filter(s => BlockCodec.blockFromJson(s).round >= next).cache()
+
+      // A3/A4: bulk append paths (COPY FROM → partitioned parquet append).
+      store.appendByRound("txn",
+        conform(freshDs.flatMap(s => BlockTransforms.flattenBlock(BlockCodec.blockFromJson(s))).toDF(), "txn"))
+      store.appendByRound("txn_participation",
+        conform(freshDs.flatMap(s => BlockTransforms.participationRows(BlockCodec.blockFromJson(s))).toDF(), "txn_participation"))
+      store.appendByRound("block_header",
+        conform(freshDs.map(s => BlockTransforms.headerRow(BlockCodec.blockFromJson(s))).toDF(), "block_header"))
+
+      // C1-C7: state merges.
+      mergeSoft(store, "account", Seq("addr"),
+        Seq("microalgos", "rewardsbase", "rewards_total", "account_data"),
+        freshDs.flatMap(s => DeltaTransforms.accountDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
+        ktCol = Some(("ktPresent", "keytype")))
+      mergeSoft(store, "asset", Seq("id"),
+        Seq("creator_addr", "params"),
+        freshDs.flatMap(s => DeltaTransforms.assetDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+      mergeSoft(store, "account_asset", Seq("addr", "assetid"),
+        Seq("amount", "frozen"),
+        freshDs.flatMap(s => DeltaTransforms.accountAssetDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+      mergeSoft(store, "app", Seq("id"),
+        Seq("creator", "params"),
+        freshDs.flatMap(s => DeltaTransforms.appDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+      mergeSoft(store, "account_app", Seq("addr", "app"),
+        Seq("localstate"),
+        freshDs.flatMap(s => DeltaTransforms.accountAppDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+      mergeHard(store, "app_box", Seq("app", "name"), Seq("value"),
+        freshDs.flatMap(s => DeltaTransforms.appBoxDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+
+      // B7 + watermark bump — the single commit point of the micro-batch.
+      val lastBlock = BlockCodec.blockFromJson(
+        freshDs.filter(s => BlockCodec.blockFromJson(s).round == lastRound).head())
+      store.putMetastate(
+        TableStore.MetaSpecialAccounts -> BlockTransforms.specialAccountsJson(lastBlock))
+      store.setNextRound(lastRound + 1)
+    } finally ds.unpersist()
+  }
+
+  /** A2: genesis loader (cockroach.go:213-280) — seed `account` (one row
+    * per allocation, created_at = 0), record network, import state = 0. */
+  def initGenesis(
+      store: TableStore,
+      allocations: Seq[(String, Long, String)], // (addr, microalgos, accountDataJson)
+      network: String): Unit = {
+    val spark = store.spark
+    import spark.implicits._
+    val rows = allocations.map { case (addr, algos, data) =>
+      AccountRow(addr, algos, 0, 0, deleted = false, created_at = 0,
+        closed_at = None, keytype = None, account_data = Some(data))
+    }
+    val accountDf = conform(rows.toDF(), "account").localCheckpoint(true)
+    val touched = (0 until store.nBuckets).toSeq
+    store.writeStateBuckets("account", "addr", accountDf, touched)
+    store.putMetastate(TableStore.MetaNetwork -> network)
+    store.setNextRound(0L)
+  }
+
+  // ── helpers ─────────────────────────────────────────────────────────
+
+  /** Cast to the authoritative table schema (case classes encode e.g.
+    * BigDecimal as Decimal(38,18), the table stores Decimal(20,0)). */
+  private[ingest] def conform(df: DataFrame, table: String): DataFrame = {
+    val schema = TableStore.Schemas(table)
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  private def mergeSoft(
+      store: TableStore, table: String, keys: Seq[String], payload: Seq[String],
+      deltas: DataFrame, ktCol: Option[(String, String)] = None): Unit = {
+    if (deltas.isEmpty) return
+    val touched = deltas
+      .select(pmod(xxhash64(col(keys.head)), lit(store.nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val state = store.readStateBuckets(table, touched)
+    val merged = StateMerge.mergeSoftDelete(state, deltas, keys, payload, ktCol)
+    // Sever lineage before overwriting the partitions we just read.
+    // (Production on a real cluster: transactional table format or
+    // write-to-staging + swap; localCheckpoint is the local-mode analogue.)
+    val pinned = conform(merged, table).localCheckpoint(true)
+    store.writeStateBuckets(table, keys.head, pinned, touched)
+  }
+
+  private def mergeHard(
+      store: TableStore, table: String, keys: Seq[String], payload: Seq[String],
+      deltas: DataFrame): Unit = {
+    if (deltas.isEmpty) return
+    val touched = deltas
+      .select(pmod(xxhash64(col(keys.head)), lit(store.nBuckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val state = store.readStateBuckets(table, touched)
+    val merged = StateMerge.mergeHardDelete(state, deltas, keys, payload)
+    val pinned = conform(merged, table).localCheckpoint(true)
+    store.writeStateBuckets(table, keys.head, pinned, touched)
+  }
+}

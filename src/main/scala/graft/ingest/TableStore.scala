@@ -1,0 +1,200 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Parquet-backed store for the 9 maintained tables + JSON metastate
+  * (SURVEY.md §1.4, §2.A6/A7).
+  *
+  * Layout under `root/`:
+  *   - append tables `txn`, `txn_participation`, `block_header`:
+  *     partitioned by `round`, written with dynamic partition overwrite so
+  *     re-ingesting a round is idempotent (the Spark replacement for the
+  *     reference's tolerated COPY unique-violations, cockroach.go:189-199);
+  *   - state tables `account`, `account_asset`, `asset`, `app`,
+  *     `account_app`, `app_box`: hash-bucketed on the primary key into
+  *     `_bucket=N` partitions, so a merge reads and rewrites only the
+  *     buckets the batch touches — cost tracks batch size, not table size
+  *     (the 100 TB posture; an index-organized row store needs no such
+  *     trick, a file-based column store does);
+  *   - `metastate.json`: the reference's metastate KV table (util.go:75-110)
+  *     as a driver-side JSON file — it is the stream's checkpoint/watermark
+  *     store (keys: state, accounts, network), a point read the executors
+  *     never need.
+  */
+final class TableStore(val spark: SparkSession, val root: String, val nBuckets: Int = 16) {
+  import TableStore._
+
+  spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  private def path(table: String) = s"$root/$table"
+
+  // ── Generic read (empty frame with the right schema if absent) ──────
+
+  def read(table: String): DataFrame = {
+    val dir = Paths.get(path(table))
+    if (Files.exists(dir) && Files.list(dir).iterator().asScala.exists(p =>
+        !p.getFileName.toString.startsWith("_")))
+      spark.read.schema(schemaWithPartitions(table)).parquet(path(table))
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaWithPartitions(table))
+  }
+
+  // NOTE: the bucket partition column is `bkt`, NOT `_bucket` — Spark's
+  // file index treats paths starting with `_`/`.` as hidden and would skip
+  // the partition directories entirely.
+  private def schemaWithPartitions(table: String): StructType = table match {
+    case "txn" | "txn_participation" | "block_header" => Schemas(table)
+    case _ => Schemas(table).add("bkt", IntegerType, nullable = true)
+  }
+
+  /** State table without the internal bucket column. */
+  def readState(table: String): DataFrame = read(table).drop("bkt")
+
+  // ── Append tables ───────────────────────────────────────────────────
+
+  /** Idempotent per-round append: dynamic overwrite of the touched round
+    * partitions only. */
+  def appendByRound(table: String, df: DataFrame): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy("round")
+      .parquet(path(table))
+
+  // ── State tables (bucketed merge target) ────────────────────────────
+
+  def bucketOf(keyCol: String): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast(IntegerType)
+
+  /** Read only the given buckets of a state table (partition-pruned scan). */
+  def readStateBuckets(table: String, buckets: Seq[Int]): DataFrame = {
+    val df = read(table)
+    if (buckets.isEmpty) df.filter(lit(false)).drop("bkt")
+    else df.filter(col("bkt").isin(buckets: _*)).drop("bkt")
+  }
+
+  /** Replace the given buckets with the merged content. Dynamic partition
+    * overwrite cannot clear a bucket whose merge result is empty (a hard
+    * delete emptying a bucket would silently survive), so the touched
+    * bucket directories are removed first, then the merge output is
+    * appended. Callers must have materialized `merged` (localCheckpoint)
+    * before this runs. */
+  def writeStateBuckets(table: String, keyCol: String, merged: DataFrame, touched: Seq[Int]): Unit = {
+    touched.foreach { b =>
+      val dir = Paths.get(s"${path(table)}/bkt=$b")
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    }
+    merged
+      .withColumn("bkt", bucketOf(keyCol))
+      .write
+      .mode("append")
+      .partitionBy("bkt")
+      .parquet(path(table))
+  }
+
+  // ── Metastate (KV) ─────────────────────────────────────────────────
+
+  private def metastatePath = Paths.get(s"$root/metastate.json")
+
+  def metastate: Map[String, String] = {
+    if (!Files.exists(metastatePath)) Map.empty
+    else {
+      import graft.codec.CanonicalJson._
+      parse(Files.readString(metastatePath)).asObj.map { case (k, v) => k -> v.str }.toMap
+    }
+  }
+
+  def putMetastate(kvs: (String, String)*): Unit = {
+    import graft.codec.CanonicalJson._
+    val merged = metastate ++ kvs
+    val json = render(JObj(scala.collection.immutable.TreeMap.from(
+      merged.view.mapValues(JStr(_): JVal))))
+    Files.createDirectories(metastatePath.getParent)
+    val tmp = Paths.get(s"$root/.metastate.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, metastatePath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** NextRoundToAccount (metastate `state` key; types.go:7-9). */
+  def nextRound: Long =
+    metastate.get(MetaNextRound).map(_.toLong).getOrElse(0L)
+
+  def setNextRound(r: Long): Unit = putMetastate(MetaNextRound -> r.toString)
+}
+
+object TableStore {
+  val MetaNextRound = "next_account_round"
+  val MetaSpecialAccounts = "accounts"
+  val MetaNetwork = "network"
+
+  /** Authoritative table schemas (setup_cockroachdb_sql.go:5-133 →
+    * SURVEY.md §1.3 type mapping). */
+  val Schemas: Map[String, StructType] = Map(
+    "block_header" -> StructType(Seq(
+      StructField("realtime", TimestampType),
+      StructField("rewardslevel", LongType, nullable = false),
+      StructField("header", StringType),
+      StructField("round", LongType, nullable = false))),
+    "txn" -> StructType(Seq(
+      StructField("intra", IntegerType, nullable = false),
+      StructField("typeenum", ShortType, nullable = false),
+      StructField("asset", LongType, nullable = false),
+      StructField("txid", StringType, nullable = true), // NULL for inner txns
+      StructField("txn", StringType),
+      StructField("extra", StringType),
+      StructField("round", LongType, nullable = false))),
+    "txn_participation" -> StructType(Seq(
+      StructField("addr", StringType, nullable = false),
+      StructField("intra", IntegerType, nullable = false),
+      StructField("round", LongType, nullable = false))),
+    "account" -> StructType(Seq(
+      StructField("addr", StringType, nullable = false),
+      StructField("microalgos", LongType, nullable = false),
+      StructField("rewardsbase", LongType, nullable = false),
+      StructField("rewards_total", LongType, nullable = false),
+      StructField("deleted", BooleanType, nullable = false),
+      StructField("created_at", LongType, nullable = false),
+      StructField("closed_at", LongType, nullable = true),
+      StructField("keytype", StringType, nullable = true),
+      StructField("account_data", StringType, nullable = true))),
+    "account_asset" -> StructType(Seq(
+      StructField("addr", StringType, nullable = false),
+      StructField("assetid", LongType, nullable = false),
+      StructField("amount", DecimalType(20, 0), nullable = false),
+      StructField("frozen", BooleanType, nullable = false),
+      StructField("deleted", BooleanType, nullable = false),
+      StructField("created_at", LongType, nullable = false),
+      StructField("closed_at", LongType, nullable = true))),
+    "asset" -> StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("creator_addr", StringType, nullable = false),
+      StructField("params", StringType, nullable = true),
+      StructField("deleted", BooleanType, nullable = false),
+      StructField("created_at", LongType, nullable = false),
+      StructField("closed_at", LongType, nullable = true))),
+    "app" -> StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("creator", StringType, nullable = false),
+      StructField("params", StringType, nullable = true),
+      StructField("deleted", BooleanType, nullable = false),
+      StructField("created_at", LongType, nullable = false),
+      StructField("closed_at", LongType, nullable = true))),
+    "account_app" -> StructType(Seq(
+      StructField("addr", StringType, nullable = false),
+      StructField("app", LongType, nullable = false),
+      StructField("localstate", StringType, nullable = true),
+      StructField("deleted", BooleanType, nullable = false),
+      StructField("created_at", LongType, nullable = false),
+      StructField("closed_at", LongType, nullable = true))),
+    "app_box" -> StructType(Seq(
+      StructField("app", LongType, nullable = false),
+      StructField("name", BinaryType, nullable = false),
+      StructField("value", BinaryType, nullable = false))))
+}

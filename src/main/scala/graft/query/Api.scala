@@ -1,0 +1,442 @@
+package graft.query
+
+import graft.codec.Codecs
+import graft.ingest.TableStore
+import graft.queries.QueryDef.broadcastIfSmall
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Read-side query surface (SURVEY.md §2.D): the six parameter objects of
+  * idb.go re-expressed as DataFrame builders over the maintained tables.
+  * Every method returns (DataFrame, asOfRound) — the reference's
+  * `(<-chan Row, uint64)` contract (dummy/dummy.go:57-90): results plus the
+  * round the data reflects, read from metastate BEFORE query execution.
+  *
+  * Plan posture: predicates land on denormalized scalar columns first
+  * (typeenum, asset, round, intra — §4 "filter-choice" rewrite), JSON
+  * extraction only for body predicates; point/range filters on `round`
+  * partition-prune the parquet scan; newest-first pagination is
+  * ORDER BY ... DESC LIMIT n (TakeOrderedAndProject — per-partition heap,
+  * no global sort shuffle).
+  */
+object Api {
+
+  // ── Parameter objects (idb.go:171-410) ─────────────────────────────
+
+  /** AddressRole bitfield (address_role.go:7-15). */
+  object AddressRole {
+    val Sender = 1
+    val Receiver = 2
+    val CloseRemainderTo = 4
+    val AssetSender = 8
+    val AssetReceiver = 16
+    val AssetCloseTo = 32
+    val FreezeAccount = 64
+  }
+
+  final case class TransactionFilter(
+      address: Option[String] = None,
+      addressRole: Int = 0, // 0 = any role
+      minRound: Option[Long] = None,
+      maxRound: Option[Long] = None,
+      round: Option[Long] = None,
+      afterTime: Option[java.sql.Timestamp] = None,
+      beforeTime: Option[java.sql.Timestamp] = None,
+      typeEnum: Option[Int] = None,
+      txid: Option[String] = None,
+      offset: Option[Long] = None,
+      offsetLT: Option[Long] = None,
+      offsetGT: Option[Long] = None,
+      sigType: Option[String] = None,
+      notePrefix: Option[Array[Byte]] = None,
+      algosGT: Option[Long] = None,
+      algosLT: Option[Long] = None,
+      effectiveAmountGT: Option[Long] = None,
+      effectiveAmountLT: Option[Long] = None,
+      rekeyTo: Option[Boolean] = None,
+      assetId: Option[Long] = None,
+      assetAmountGT: Option[BigInt] = None,
+      assetAmountLT: Option[BigInt] = None,
+      applicationId: Option[Long] = None,
+      nextToken: Option[String] = None,
+      limit: Option[Int] = None,
+      ascending: Boolean = false,
+      skipInnerTransactions: Boolean = false)
+
+  final case class AccountQueryOptions(
+      greaterThanAddress: Option[String] = None,
+      equalToAddress: Option[String] = None,
+      equalToAuthAddr: Option[String] = None,
+      algosGreaterThan: Option[Long] = None,
+      algosLessThan: Option[Long] = None,
+      hasAssetId: Option[Long] = None,
+      assetGT: Option[BigInt] = None,
+      assetLT: Option[BigInt] = None,
+      hasAppId: Option[Long] = None,
+      includeAssetHoldings: Boolean = false,
+      includeAssetParams: Boolean = false,
+      includeAppLocalState: Boolean = false,
+      includeAppParams: Boolean = false,
+      maxResources: Option[Int] = None,
+      includeDeleted: Boolean = false,
+      limit: Option[Int] = None)
+
+  final case class AssetsQuery(
+      assetId: Option[Long] = None,
+      assetIdGreaterThan: Option[Long] = None,
+      creator: Option[String] = None,
+      name: Option[String] = None, // case-insensitive substring
+      unit: Option[String] = None,
+      query: Option[String] = None, // name OR unit substring
+      includeDeleted: Boolean = false,
+      limit: Option[Int] = None)
+
+  final case class AssetBalanceQuery(
+      assetId: Option[Long] = None,
+      assetIdGT: Option[Long] = None,
+      amountGT: Option[BigInt] = None,
+      amountLT: Option[BigInt] = None,
+      address: Option[String] = None,
+      prevAddress: Option[String] = None, // keyset paging in addr order
+      includeDeleted: Boolean = false,
+      limit: Option[Int] = None)
+
+  final case class ApplicationQuery(
+      address: Option[String] = None,
+      applicationId: Option[Long] = None,
+      applicationIdGreaterThan: Option[Long] = None,
+      includeDeleted: Boolean = false,
+      limit: Option[Int] = None)
+
+  final case class ApplicationBoxQuery(
+      applicationId: Long,
+      boxName: Option[Array[Byte]] = None,
+      omitValues: Boolean = false,
+      prevFinalBox: Option[Array[Byte]] = None, // keyset paging; ASC only
+      limit: Option[Int] = None)
+
+  final case class MaxAPIResourcesPerAccountError(addr: String, count: Long)
+      extends Exception(s"account $addr has $count resources > max")
+
+  // ── JSON body accessors (txn document paths) ───────────────────────
+
+  private def j(path: String): Column = get_json_object(col("txn"), path)
+
+  // ── Transactions (idb.go:180-233) ──────────────────────────────────
+
+  def transactions(store: TableStore, f: TransactionFilter): (DataFrame, Long) = {
+    val asOf = store.nextRound - 1
+    var txn = store.read("txn")
+
+    // Round bounds first: they partition-prune the scan.
+    f.round.foreach(r => txn = txn.filter(col("round") === r))
+    f.minRound.foreach(r => txn = txn.filter(col("round") >= r))
+    f.maxRound.foreach(r => txn = txn.filter(col("round") <= r))
+
+    // Time bounds resolve to a round range via block_header (idb.go:190-192;
+    // min/max agg subquery instead of a range join — §2.E).
+    if (f.afterTime.isDefined || f.beforeTime.isDefined) {
+      var hdr = store.read("block_header")
+      f.afterTime.foreach(t => hdr = hdr.filter(col("realtime") > t))
+      f.beforeTime.foreach(t => hdr = hdr.filter(col("realtime") < t))
+      val range = hdr.agg(min("round").as("lo"), max("round").as("hi")).head()
+      if (range.isNullAt(0)) txn = txn.filter(lit(false))
+      else txn = txn.filter(col("round").between(range.getLong(0), range.getLong(1)))
+    }
+
+    // Denormalized scalar predicates (the reference's "slightly faster
+    // query" rewrites, idb.go:204).
+    f.typeEnum.foreach(t => txn = txn.filter(col("typeenum") === t))
+    f.txid.foreach(id => txn = txn.filter(col("txid") === id))
+    f.assetId.foreach(a => txn = txn.filter(col("asset") === a))
+    f.applicationId.foreach(a => txn = txn.filter(col("asset") === a && col("typeenum") === 6))
+    f.offset.foreach(o => txn = txn.filter(col("intra") === o))
+    f.offsetLT.foreach(o => txn = txn.filter(col("intra") < o))
+    f.offsetGT.foreach(o => txn = txn.filter(col("intra") > o))
+
+    // JSON body predicates.
+    f.sigType.foreach { st =>
+      txn = txn.filter(j(s"$$.$st").isNotNull)
+    }
+    f.notePrefix.foreach { p =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(p)
+      // note is base64; a byte prefix is a base64 prefix only on 3-byte
+      // boundaries, so compare decoded prefixes.
+      txn = txn.filter(
+        substring(unbase64(j("$.txn.note")), 1, p.length) === lit(p))
+      val _ = b64
+    }
+    f.algosGT.foreach(v => txn = txn.filter(col("typeenum") === 1 && j("$.txn.amt").cast("long") > v))
+    f.algosLT.foreach(v => txn = txn.filter(col("typeenum") === 1 &&
+      coalesce(j("$.txn.amt").cast("long"), lit(0L)) < v))
+    // EffectiveAmount = amt + close amount (extra.aca / dt.ca; idb.go:136).
+    val closeAmt = coalesce(get_json_object(col("txn"), "$.dt.ca").cast("long"), lit(0L))
+    val eff = coalesce(j("$.txn.amt").cast("long"), lit(0L)) + closeAmt
+    f.effectiveAmountGT.foreach(v => txn = txn.filter(col("typeenum") === 1 && eff > v))
+    f.effectiveAmountLT.foreach(v => txn = txn.filter(col("typeenum") === 1 && eff < v))
+    f.rekeyTo.foreach { want =>
+      val has = j("$.txn.rekey").isNotNull
+      txn = txn.filter(if (want) has else !has)
+    }
+    f.assetAmountGT.foreach(v => txn = txn.filter(j("$.txn.aamt").cast("decimal(20,0)") > lit(v.toString).cast("decimal(20,0)")))
+    f.assetAmountLT.foreach(v => txn = txn.filter(j("$.txn.aamt").cast("decimal(20,0)") < lit(v.toString).cast("decimal(20,0)")))
+
+    // Address participation semi-join (§2.E row 1): filter the tiny
+    // per-address slice of txn_participation, broadcast it into the semi
+    // join when small.
+    f.address.foreach { addr =>
+      var part = store.read("txn_participation").filter(col("addr") === addr)
+      f.minRound.foreach(r => part = part.filter(col("round") >= r))
+      f.maxRound.foreach(r => part = part.filter(col("round") <= r))
+      txn = txn.join(broadcastIfSmall(part.select("round", "intra")),
+        Seq("round", "intra"), "left_semi")
+      if (f.addressRole != 0) txn = txn.filter(roleRefinement(addr, f.addressRole))
+    }
+
+    // Keyset pagination (idb.go:56-100): token > (round, intra) ascending,
+    // < descending.
+    f.nextToken.foreach { tok =>
+      val (r, i) = Codecs.pageTokenDecode(tok)
+      txn =
+        if (f.ascending) txn.filter(col("round") > r || (col("round") === r && col("intra") > i))
+        else txn.filter(col("round") < r || (col("round") === r && col("intra") < i))
+    }
+
+    if (f.skipInnerTransactions) txn = txn.filter(col("txid").isNotNull)
+
+    txn =
+      if (f.ascending) txn.orderBy(asc("round"), asc("intra"))
+      else txn.orderBy(desc("round"), desc("intra"))
+    f.limit.foreach(n => txn = txn.limit(n))
+    (txn, asOf)
+  }
+
+  /** AddressRole refinement: which body field carries the address
+    * (idb.go:185-189 + address_role.go). */
+  private def roleRefinement(addr: String, role: Int): Column = {
+    import AddressRole._
+    var c = lit(false)
+    def or(cond: Column): Unit = c = c || cond
+    if ((role & Sender) != 0) or(j("$.txn.snd") === addr)
+    if ((role & Receiver) != 0) or(j("$.txn.rcv") === addr)
+    if ((role & CloseRemainderTo) != 0) or(j("$.txn.close") === addr)
+    if ((role & AssetSender) != 0) or(j("$.txn.asnd") === addr)
+    if ((role & AssetReceiver) != 0) or(j("$.txn.arcv") === addr)
+    if ((role & AssetCloseTo) != 0) or(j("$.txn.aclose") === addr)
+    if ((role & FreezeAccount) != 0) or(j("$.txn.fadd") === addr)
+    c
+  }
+
+  /** Inner-txn → root conversion (idb.go:137-143): replace inner rows with
+    * their root row via the extra.root-intra backlink (self-join on
+    * (round, root-intra); §2.E row 2). */
+  def convertToRoot(store: TableStore, txns: DataFrame): DataFrame = {
+    val roots = store.read("txn").filter(col("txid").isNotNull)
+      .select(col("round"), col("intra"), col("typeenum"), col("asset"),
+        col("txid"), col("txn"), col("extra"))
+    val rootIntra = get_json_object(col("extra"), "$['root-intra']").cast("int")
+    val inner = txns.filter(col("txid").isNull)
+      .select(col("round").as("i_round"), rootIntra.as("i_root_intra"))
+      .distinct()
+    val convertedRoots = roots.join(
+      inner,
+      roots("round") === inner("i_round") && roots("intra") === inner("i_root_intra"),
+      "left_semi")
+    txns.filter(col("txid").isNotNull).unionByName(convertedRoots).distinct()
+  }
+
+  /** Next-page token for the last returned row (idb.go:56-84): descending
+    * uses the root intra of an inner row; ascending additionally skips the
+    * root's whole inner subtree. */
+  def nextToken(round: Long, intra: Long, rootIntra: Option[Long], innerCount: Int, ascending: Boolean): String = {
+    val base = rootIntra.getOrElse(intra)
+    val adjusted = if (ascending) base + innerCount else base
+    Codecs.pageTokenEncode(round, adjusted)
+  }
+
+  // ── Accounts (idb.go:236-269) ──────────────────────────────────────
+
+  def accounts(store: TableStore, q: AccountQueryOptions): (DataFrame, Long) = {
+    val asOf = store.nextRound - 1
+    var acct = store.readState("account")
+    if (!q.includeDeleted) acct = acct.filter(!col("deleted"))
+    q.equalToAddress.foreach(a => acct = acct.filter(col("addr") === a))
+    q.greaterThanAddress.foreach(a => acct = acct.filter(col("addr") > a))
+    q.equalToAuthAddr.foreach(a =>
+      acct = acct.filter(get_json_object(col("account_data"), "$.spend") === a))
+    q.algosGreaterThan.foreach(v => acct = acct.filter(col("microalgos") > v))
+    q.algosLessThan.foreach(v => acct = acct.filter(col("microalgos") < v))
+
+    // HasAssetID/GT/LT: the reference filters client-side in Go
+    // (idb.go:248-251); natively here it's a semi-join on the partial-index
+    // equivalent (NOT deleted pre-filter).
+    q.hasAssetId.foreach { aid =>
+      var holders = store.readState("account_asset")
+        .filter(col("assetid") === aid && !col("deleted"))
+      q.assetGT.foreach(v => holders = holders.filter(col("amount") > lit(v.toString).cast("decimal(20,0)")))
+      q.assetLT.foreach(v => holders = holders.filter(col("amount") < lit(v.toString).cast("decimal(20,0)")))
+      acct = acct.join(broadcastIfSmall(holders.select("addr").distinct()), Seq("addr"), "left_semi")
+    }
+    q.hasAppId.foreach { aid =>
+      val users = store.readState("account_app")
+        .filter(col("app") === aid && !col("deleted")).select("addr").distinct()
+      acct = acct.join(broadcastIfSmall(users), Seq("addr"), "left_semi")
+    }
+
+    acct = acct.orderBy(asc("addr"))
+    q.limit.foreach(n => acct = acct.limit(n))
+
+    // Resource expansion: 4 optional left joins + collect_list per account
+    // (IncludeAssetHoldings/Params/AppLocalState/AppParams; partial-index
+    // semantics = pre-filter NOT deleted unless IncludeDeleted).
+    def expand(src: String, keyOut: String, valueCols: Seq[String], alias: String): Unit = {
+      var res = store.readState(src)
+      if (!q.includeDeleted) res = res.filter(!col("deleted"))
+      val packed = res.groupBy(col(keyOut).as("addr"))
+        .agg(collect_list(struct(valueCols.map(col): _*)).as(alias))
+      acct = acct.join(packed, Seq("addr"), "left_outer")
+    }
+    if (q.includeAssetHoldings) expand("account_asset", "addr", Seq("assetid", "amount", "frozen", "deleted"), "asset_holdings")
+    if (q.includeAppLocalState) expand("account_app", "addr", Seq("app", "localstate", "deleted"), "app_local_states")
+    if (q.includeAssetParams) {
+      var params = store.readState("asset")
+      if (!q.includeDeleted) params = params.filter(!col("deleted"))
+      val packed = params.groupBy(col("creator_addr").as("addr"))
+        .agg(collect_list(struct(col("id"), col("params"), col("deleted"))).as("created_assets"))
+      acct = acct.join(packed, Seq("addr"), "left_outer")
+    }
+    if (q.includeAppParams) {
+      var params = store.readState("app")
+      if (!q.includeDeleted) params = params.filter(!col("deleted"))
+      val packed = params.groupBy(col("creator").as("addr"))
+        .agg(collect_list(struct(col("id"), col("params"), col("deleted"))).as("created_apps"))
+      acct = acct.join(packed, Seq("addr"), "left_outer")
+    }
+
+    // MaxResources guard (idb.go:262-263, 277-286): F4 count-guard.
+    q.maxResources.foreach { maxR =>
+      val aa = store.readState("account_asset").filter(!col("deleted")).groupBy("addr").agg(count(lit(1)).as("n1"))
+      val ap = store.readState("account_app").filter(!col("deleted")).groupBy("addr").agg(count(lit(1)).as("n2"))
+      val counts = aa.join(ap, Seq("addr"), "full_outer")
+        .select(col("addr"),
+          (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_resources"))
+      val over = acct.join(counts, Seq("addr"), "left_outer")
+        .filter(col("n_resources") > maxR)
+        .select("addr", "n_resources")
+        .head(1)
+      over.headOption.foreach(r => throw MaxAPIResourcesPerAccountError(r.getString(0), r.getLong(1)))
+    }
+
+    (acct, asOf)
+  }
+
+  // ── Assets (idb.go:289-307) ────────────────────────────────────────
+
+  def assets(store: TableStore, q: AssetsQuery): (DataFrame, Long) = {
+    val asOf = store.nextRound - 1
+    var df = store.readState("asset")
+    if (!q.includeDeleted) df = df.filter(!col("deleted"))
+    q.assetId.foreach(id => df = df.filter(col("id") === id))
+    q.assetIdGreaterThan.foreach(id => df = df.filter(col("id") > id))
+    q.creator.foreach(c => df = df.filter(col("creator_addr") === c))
+    val nameCol = get_json_object(col("params"), "$.an")
+    val unitCol = get_json_object(col("params"), "$.un")
+    q.name.foreach(n => df = df.filter(lower(nameCol).contains(n.toLowerCase)))
+    q.unit.foreach(u => df = df.filter(lower(unitCol).contains(u.toLowerCase)))
+    q.query.foreach { s =>
+      val needle = s.toLowerCase
+      df = df.filter(lower(nameCol).contains(needle) || lower(unitCol).contains(needle))
+    }
+    df = df.orderBy(asc("id"))
+    q.limit.foreach(n => df = df.limit(n))
+    (df, asOf)
+  }
+
+  // ── Asset balances (idb.go:321-337) ────────────────────────────────
+
+  def assetBalances(store: TableStore, q: AssetBalanceQuery): (DataFrame, Long) = {
+    val asOf = store.nextRound - 1
+    var df = store.readState("account_asset")
+    if (!q.includeDeleted) df = df.filter(!col("deleted"))
+    q.assetId.foreach(id => df = df.filter(col("assetid") === id))
+    q.assetIdGT.foreach(id => df = df.filter(col("assetid") > id))
+    q.address.foreach(a => df = df.filter(col("addr") === a))
+    q.prevAddress.foreach(a => df = df.filter(col("addr") > a))
+    q.amountGT.foreach(v => df = df.filter(col("amount") > lit(v.toString).cast("decimal(20,0)")))
+    q.amountLT.foreach(v => df = df.filter(col("amount") < lit(v.toString).cast("decimal(20,0)")))
+    df = df.orderBy(asc("addr"))
+    q.limit.foreach(n => df = df.limit(n))
+    (df, asOf)
+  }
+
+  // ── Applications / local state (idb.go:358-370) ────────────────────
+
+  def applications(store: TableStore, q: ApplicationQuery): (DataFrame, Long) = {
+    val asOf = store.nextRound - 1
+    var df = store.readState("app")
+    if (!q.includeDeleted) df = df.filter(!col("deleted"))
+    q.applicationId.foreach(id => df = df.filter(col("id") === id))
+    q.applicationIdGreaterThan.foreach(id => df = df.filter(col("id") > id))
+    q.address.foreach(a => df = df.filter(col("creator") === a))
+    df = df.orderBy(asc("id"))
+    q.limit.foreach(n => df = df.limit(n))
+    (df, asOf)
+  }
+
+  def appLocalState(store: TableStore, q: ApplicationQuery): (DataFrame, Long) = {
+    val asOf = store.nextRound - 1
+    var df = store.readState("account_app")
+    if (!q.includeDeleted) df = df.filter(!col("deleted"))
+    q.applicationId.foreach(id => df = df.filter(col("app") === id))
+    q.applicationIdGreaterThan.foreach(id => df = df.filter(col("app") > id))
+    q.address.foreach(a => df = df.filter(col("addr") === a))
+    df = df.orderBy(asc("app"))
+    q.limit.foreach(n => df = df.limit(n))
+    (df, asOf)
+  }
+
+  // ── Boxes (idb.go:373-380): "ORDER BY is hard coded to ASC" ────────
+
+  def applicationBoxes(store: TableStore, q: ApplicationBoxQuery): (DataFrame, Long) = {
+    val asOf = store.nextRound - 1
+    var df = store.readState("app_box").filter(col("app") === q.applicationId)
+    q.boxName.foreach(n => df = df.filter(col("name") === lit(n)))
+    q.prevFinalBox.foreach(p => df = df.filter(col("name") > lit(p)))
+    if (q.omitValues) df = df.select("app", "name")
+    df = df.orderBy(asc("name"))
+    q.limit.foreach(n => df = df.limit(n))
+    (df, asOf)
+  }
+
+  // ── Health / meta / pruning (§2.D tail) ────────────────────────────
+
+  final case class Health(maxRoundAccounted: Option[Long], network: Option[String])
+
+  def health(store: TableStore): Health = {
+    val next = store.nextRound
+    Health(
+      maxRoundAccounted = if (next > 0) Some(next - 1) else None,
+      network = store.metastate.get(TableStore.MetaNetwork))
+  }
+
+  /** DeleteTransactions(keep): prune txn rows older than `keep`, record the
+    * watermark in metastate (dummy.go:107; types.go:33-36). Round
+    * partitioning makes this a partition drop, not a rewrite. */
+  def deleteTransactions(store: TableStore, keep: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(s"${store.root}/txn")
+    if (Files.exists(dir)) {
+      Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("round="))
+        .filter(p => p.getFileName.toString.stripPrefix("round=").toLong < keep)
+        .foreach { p =>
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+        }
+    }
+    store.putMetastate("pruned" ->
+      graft.codec.CanonicalJson.render(graft.codec.CanonicalJson.JObj.of(
+        "OldestRound" -> graft.codec.CanonicalJson.JInt(keep))))
+  }
+}

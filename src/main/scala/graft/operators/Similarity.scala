@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exactness baseline, sign-LSH bucketing
+  * and IVF (inverted-file) probing as the scale paths.
+  *
+  * Scale notes (100 TB): brute force is one scan with a top-k heap
+  * (TakeOrderedAndProject) — correct but O(corpus) per query. Sign-LSH
+  * assigns each vector a small bucket key in the same scan, so near-dup
+  * pair generation shuffles on the bucket key and never crosses buckets.
+  * IVF restricts a query to its nearest centroid's cluster — the classic
+  * recall/cost trade — and the cluster assignment is itself a broadcast
+  * join against a tiny centroid table.
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ via zip_with + aggregate (codegen'd, no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine, NULL on zero norms (portable: DuckDB would yield NaN/Inf and
+    * the two engines would sort the degenerate rows differently). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm2(a) * norm2(b)
+    dot(a, b) / when(d <= 0, lit(null)).otherwise(sqrt(d))
+  }
+
+  /** Brute-force cosine top-k against one query vector (broadcast). */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 query: DataFrame, k: Int): DataFrame =
+    df.crossJoin(broadcast(query.select(col(vecCol).as("_qvec"))))
+      .select(col(idCol), round(cosine(col(vecCol), col("_qvec")), 4).as("cos_sim"))
+      .filter(col("cos_sim").isNotNull)
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+
+  /** Sign-LSH bucket key: the sign bits of the first `p` dimensions as a
+    * '0'/'1' string (a fixed axis-projection hyperplane family —
+    * deterministic, engine-portable, and a real random-hyperplane LSH for
+    * axis-symmetric embedding distributions). */
+  def signBucket(vec: Column, p: Int): Column =
+    concat((0 until p).map(i =>
+      when(element_at(vec, i + 1) >= 0, "1").otherwise("0")): _*)
+
+  /** Near-duplicate pairs: bucket by sign-LSH, pair within bucket, keep
+    * cosine above `minCos`. Returns (id_a, id_b, cos_sim). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   p: Int, minCos: Double): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), p).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 4).as("cos_sim"))
+      .filter(col("cos_sim") > minCos)
+  }
+
+  /** IVF probe: centroid table (tiny, broadcast) → assign every vector to
+    * its nearest centroid by cosine → search only the query's cluster.
+    * Returns the top-k of that cluster. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, centroidIdCol: String,
+              query: DataFrame, k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(centroidIdCol).as("_cid"), col(vecCol).as("_cvec")))
+
+    def assign(frame: DataFrame, id: Column, vec: Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_aid").orderBy(desc("_sim"), asc("_cid"))
+      // rank on the ROUNDED similarity: both engines agree at 4 decimals,
+      // unrounded doubles may differ in the last ulp across engines and
+      // flip an assignment tie
+      frame.crossJoin(cent)
+        .select(id.as("_aid"), vec.as("_avec"), col("_cid"),
+          round(cosine(vec, col("_cvec")), 4).as("_sim"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("_aid"), col("_avec"), col("_cid"))
+    }
+
+    val assigned = assign(df, col(idCol), col(vecCol))
+    val queryCluster = assign(query, lit(-1L), col(vecCol))
+      .select(col("_cid").as("_qcid"), col("_avec").as("_qvec"))
+    assigned
+      .join(broadcast(queryCluster), col("_cid") === col("_qcid"))
+      .select(col("_aid").as(idCol),
+        round(cosine(col("_avec"), col("_qvec")), 4).as("cos_sim"))
+      .filter(col("cos_sim").isNotNull)
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+}

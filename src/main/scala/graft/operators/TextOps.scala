@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders (the training-data-pipeline operator
+  * family): tokenization, shingling, language-ID, quality metrics,
+  * fingerprints. All pure column expressions — codegen-friendly, no UDFs —
+  * and all portable: every construction here has an exact DuckDB
+  * equivalent, which is what the driver's oracle pins.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (empty-token free). */
+  def tokens(text: Column): Column = array_remove(split(trim(text), " "), "")
+
+  /** BPE-ish subword count heuristic: words + punctuation clusters counted
+    * separately (regexp token classes). */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=[\\p{L}\\p{N}])(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}\\s])(?=[\\p{L}\\p{N}])|\\s+"),
+      t => t =!= ""))
+
+  /** Word n-gram shingles, 1-based slice windows. Guarded: fewer than `n`
+    * tokens ⇒ empty array (Spark's `sequence` is inclusive and would count
+    * DOWN for a negative span — a silent corruption, hence the guard). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        j => concat_ws(" ", slice(toks, j, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character k-gram rolling window over the raw text (the substrate for
+    * rolling-hash fingerprints). */
+  def charShingles(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        j => text.substr(j, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Rolling-hash document fingerprint: min md5 over the char k-gram
+    * windows — winnowing's "select the minimum hash" step collapsed to a
+    * single global window (deterministic, order-free, portable). */
+  def rollingFingerprint(text: Column, k: Int): Column =
+    array_min(transform(charShingles(text, k), s => md5(s)))
+
+  /** Marker-based language id (SURVEY-mandated heuristic: n-gram stats
+    * degenerate on synthetic corpora, function-word markers don't). */
+  def langIdEn(toks: Column, markers: Seq[String], minHits: Int): Column =
+    when(size(filter(toks, w => w.isInCollection(markers))) >= minHits, "en")
+      .otherwise("und")
+
+  /** Quality metrics as (n_tokens, mean_token_len, stopword_ratio); zero
+    * tokens ⇒ NULL ratios (ANSI nullif semantics on both engines). */
+  def qualityMetrics(toks: Column, stopwords: Seq[String]): (Column, Column, Column) = {
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, v) => a + v)
+    val nStop = size(filter(toks, w => w.isInCollection(stopwords)))
+    val denom = when(n === 0, lit(null)).otherwise(n)
+    (n,
+      round(sumLen.cast("double") / denom, 4),
+      round(nStop.cast("double") / denom, 4))
+  }
+}

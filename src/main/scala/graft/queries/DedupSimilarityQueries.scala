@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / multimodal operators bound to the driver corpus
+  * with DuckDB oracles (the training-data-pipeline mandate). The library
+  * implementations live in graft.operators; each entry here exercises one
+  * through the correctness gate.
+  *
+  * The oracles replicate the exact same md5-based constructions in DuckDB
+  * SQL (list comprehensions + list_min), so a hash match pins the whole
+  * pipeline — tokenization, shingling, signature, banding, pairing.
+  */
+object DedupSimilarityQueries {
+
+  // Shared DuckDB fragments (kept in one place so every oracle tokenizes
+  // and shingles identically).
+  private val DuckToks =
+    "list_filter(string_split(trim(text), ' '), w -> w <> '')"
+  private def duckShingles(ws: String, n: Int): String =
+    s"CASE WHEN len($ws) >= $n THEN [array_to_string(list_slice($ws, j, j + ${n - 1}), ' ') for j in range(1, len($ws) - ${n - 2})] ELSE CAST([] AS VARCHAR[]) END"
+  private def duckSig(sh: String, k: Int): String =
+    s"[list_min(list_transform($sh, s -> md5(CAST(i AS VARCHAR) || '|' || s))) for i in range(0, $k)]"
+  private def duckJaccard(a: String, b: String): String =
+    s"round(CAST(len(list_intersect($a, $b)) AS DOUBLE) / nullif(len(list_distinct(list_concat($a, $b))), 0), 4)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── MinHash signature + LSH band hashes per document. ──────────────
+    QueryDef.sql(
+      "dedup_minhash_sig",
+      s"""SELECT doc_id,
+         |  array_to_string([md5(array_to_string(list_slice(sig, 2*b+1, 2*b+2), '|')) for b in range(0, 4)], ',') AS bands
+         |FROM (SELECT doc_id, ${duckSig("sh", 8)} AS sig
+         |      FROM (SELECT doc_id, ${duckShingles("ws", 3)} AS sh
+         |            FROM (SELECT doc_id, $DuckToks AS ws FROM documents)))
+         |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val toks = TextOps.tokens(col("text"))
+        val sig = Dedup.minhashSignature(toks, 3, 8)
+        val bands = Dedup.bandHashes(sig, 4, 2)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(size(TextOps.shingles(toks, 3)) > 0, concat_ws(",", bands))
+              .otherwise(lit(null)).as("bands"))
+          .orderBy("doc_id")
+    },
+
+    // ── LSH candidate pairs + exact n-gram Jaccard verification. ───────
+    QueryDef.sql(
+      "dedup_lsh_pairs",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |        CAST(count(*) AS BIGINT) AS n_shared_bands
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared_bands,
+         |  ${duckJaccard("x.shd", "y.shd")} AS jaccard
+         |FROM p JOIN shd x ON x.doc_id = p.doc_a JOIN shd y ON y.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+        Dedup.lshCandidatePairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4)
+          .orderBy("doc_a", "doc_b")
+    },
+
+    // ── 16-bit SimHash fingerprint. ────────────────────────────────────
+    QueryDef.sql(
+      "dedup_simhash", {
+        val sums = (0 until 16).map { bit =>
+          val p = bit / 4 + 1
+          val q = 1 << (bit % 4)
+          s"sum(CASE WHEN w IS NULL THEN 0 ELSE 2 * (((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) // $q) % 2) - 1 END) AS s$bit"
+        }.mkString(",\n    ")
+        val bits = (0 until 16).map(bit =>
+          s"(CASE WHEN s$bit > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+        s"""SELECT doc_id, $bits AS simhash
+           |FROM (
+           |  SELECT doc_id,
+           |    $sums
+           |  FROM (SELECT doc_id, md5(w) AS h, w
+           |        FROM (SELECT doc_id,
+           |                unnest(CASE WHEN len(ws) = 0 THEN [NULL] ELSE ws END) AS w
+           |              FROM (SELECT doc_id, $DuckToks AS ws FROM documents)))
+           |  GROUP BY doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }) {
+      (s, d) =>
+        Dedup.simhash16(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // ── n-gram Jaccard similarity scan vs a query document. ────────────
+    QueryDef.sql(
+      "dedup_jaccard_topk",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |s AS (SELECT doc_id, list_distinct(${duckShingles("ws", 3)}) AS shd FROM t),
+         |q AS (SELECT shd AS qsh FROM s WHERE doc_id = 0)
+         |SELECT s.doc_id, ${duckJaccard("s.shd", "q.qsh")} AS jaccard
+         |FROM s, q WHERE s.doc_id <> 0
+         |ORDER BY jaccard DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val shd = array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
+        val docs = Tables.documents(s, d).select(col("doc_id"), shd.as("shd"))
+        val q = docs.filter(col("doc_id") === 0).select(col("shd").as("qsh"))
+        docs.filter(col("doc_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("doc_id"),
+            round(Dedup.jaccard(col("shd"), col("qsh")), 4).as("jaccard"))
+          .orderBy(desc("jaccard"), asc("doc_id"))
+          .limit(20)
+    },
+
+    // ── Embedding near-dup pairs via sign-LSH buckets. ─────────────────
+    QueryDef.sql(
+      "sim_neardup_pairs", {
+        val bucket = (1 to 6).map(i =>
+          s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.embedding AS ea, c.embedding AS eb
+           |      FROM b a JOIN b c USING (bucket) WHERE a.vec_id < c.vec_id),
+           |u AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM p),
+           |s AS (SELECT id_a, id_b,
+           |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+           |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+           |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+           |      FROM u GROUP BY 1, 2)
+           |SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS cos_sim
+           |FROM s WHERE na * nb > 0 AND round(dot / sqrt(na * nb), 4) > 0.3
+           |ORDER BY id_a, id_b""".stripMargin
+      }) {
+      (s, d) =>
+        Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          p = 6, minCos = 0.3)
+          .orderBy("id_a", "id_b")
+    },
+
+    // ── IVF (inverted-file) ANN probe: centroids 1..8, query vec 0. ────
+    QueryDef.sql(
+      "sim_ivf_topk",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8 OR vec_id = 0),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, round(dot / sqrt(na * nb), 4) AS sim,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |qc AS (SELECT cid FROM asg WHERE vec_id = 0),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cand AS (SELECT a.vec_id FROM asg a, qc WHERE a.cid = qc.cid AND a.vec_id <> 0),
+        |u2 AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(qv.qe) AS y
+        |       FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, qv),
+        |s2 AS (SELECT vec_id,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM u2 GROUP BY 1)
+        |SELECT vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim
+        |FROM s2 WHERE na * nb > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") > 8),
+          "vec_id", "embedding",
+          centroids = emb.filter(col("vec_id").between(1, 8)),
+          centroidIdCol = "vec_id",
+          query = emb.filter(col("vec_id") === 0),
+          k = 10)
+    },
+
+    // ── Multimodal metadata: opaque binary + typed metadata columns. ───
+    QueryDef.sql(
+      "mm_binary_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  lower(substr(hex(encode(text)), 1, 8)) AS format_sig,
+        |  CAST(1 + octet_length(encode(text)) % 30 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val blob = encode(col("text"), "UTF-8")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(blob).cast("long").as("byte_len"),
+            lower(hex(substring(blob, 1, 4))).as("format_sig"),
+            (lit(1) + length(blob) % 30).cast("int").as("n_frames"))
+          .orderBy("doc_id")
+    },
+
+    // ── Multimodal decode + feature pipeline (mapPartitions batch shape;
+    //    stubbed codec — no SQL equivalent, driver records rows>0). ──────
+    QueryDef.rowsOnly("mm_decode_features") {
+      (s, d) =>
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        val meta = Multimodal.decodeMeta(media, "doc_id", "blob")
+        val feats = Multimodal.extractFeatures(media, "doc_id", "blob")
+        meta.join(feats, "media_id").orderBy("media_id")
+    },
+
+    // ── Rolling-hash document fingerprint (char 8-grams). ──────────────
+    QueryDef.sql(
+      "text_rolling_fingerprint",
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 8
+        |    THEN list_min([md5(substr(text, j, 8)) for j in range(1, length(text) - 6)])
+        |    ELSE NULL END AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextOps.rollingFingerprint(col("text"), 8).as("fp"))
+          .orderBy("doc_id")
+    },
+  )
+}

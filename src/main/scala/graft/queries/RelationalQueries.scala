@@ -146,12 +146,19 @@ object RelationalQueries {
     // ── E2 self-join: inner-txn → root-txn conversion (idb.go:137-143;
     //    extra.root-intra backlink). Non-first lineitems join their order's
     //    first line ("root"). ──
+    // NOTE: the corpus has duplicate (orderkey, linenumber) rows and can
+    // have several linenumber=1 rows per order, so the root side is
+    // aggregated to ONE deterministic row per order — ambiguous many-many
+    // joins under a LIMIT are nondeterministic across engines.
     QueryDef.sql(
       "e2_selfjoin_root",
       """SELECT i.l_orderkey AS orderkey, i.l_linenumber AS linenumber,
-        |       r.l_quantity AS root_qty, r.l_partkey AS root_partkey
+        |       r.root_qty, r.root_partkey
         |FROM lineitem i
-        |JOIN lineitem r ON i.l_orderkey = r.l_orderkey AND r.l_linenumber = 1
+        |JOIN (SELECT l_orderkey, min(l_quantity) AS root_qty,
+        |             CAST(min(l_partkey) AS BIGINT) AS root_partkey
+        |      FROM lineitem WHERE l_linenumber = 1 GROUP BY l_orderkey) r
+        |  ON i.l_orderkey = r.l_orderkey
         |WHERE i.l_linenumber > 1
         |ORDER BY orderkey, linenumber LIMIT 500""".stripMargin) {
       (s, d) =>
@@ -159,8 +166,9 @@ object RelationalQueries {
         val inner = li.filter(col("l_linenumber") > 1)
           .select(col("l_orderkey").as("orderkey"), col("l_linenumber").as("linenumber"))
         val root = li.filter(col("l_linenumber") === 1)
-          .select(col("l_orderkey").as("orderkey"),
-            col("l_quantity").as("root_qty"), col("l_partkey").as("root_partkey"))
+          .groupBy(col("l_orderkey").as("orderkey"))
+          .agg(min("l_quantity").as("root_qty"),
+            min("l_partkey").cast("long").as("root_partkey"))
         inner.join(root, Seq("orderkey"))
           .orderBy("orderkey", "linenumber")
           .limit(500)

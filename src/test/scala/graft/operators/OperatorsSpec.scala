@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: windows, guard below n, char shingles") {
+    val df = docs((0L, "a b c d"), (1L, "a b"), (2L, ""))
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(0L) == Seq("a b c", "b c d"))
+    assert(m(1L) == Seq.empty) // guard: no negative-span sequence
+    assert(m(2L) == Seq.empty)
+  }
+
+  test("exact dedup groups identical content") {
+    val out = Dedup.exact(docs((1L, "same"), (2L, "same"), (3L, "other")), "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    assert(out.length == 2)
+    assert(out.head.getAs[Long]("keeper_id") == 1 && out.head.getAs[Long]("group_size") == 2)
+  }
+
+  test("minhash LSH: identical docs collide on every band, disjoint docs on none") {
+    val df = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+      (3L, "completely different words entirely unrelated content here today now"))
+    val pairs = Dedup.lshCandidatePairs(df, "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("doc_a") == 1 && p.getAs[Long]("doc_b") == 2)
+    assert(p.getAs[Long]("n_shared_bands") == 4) // all bands
+    assert(p.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("minhash LSH recalls a near-duplicate (one word changed)") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w30", "changed")
+    val pairs = Dedup.lshCandidatePairs(docs((1L, base), (2L, near)), "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("simhash: near-dup docs are close in hamming, unrelated docs are far") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok40", "x")
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val sh = Dedup.simhash16(docs((1L, base), (2L, near), (3L, far)), "doc_id", "text")
+    val m = sh.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.values.forall(v => v.length == 16 && v.forall(c => c == '0' || c == '1')))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 3)
+  }
+
+  test("jaccard column: exact set semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(df.head().getDouble(0) == 0.5)
+  }
+
+  test("cosine: known values and zero-norm NULL guard") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), "same"),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), "orth"),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 0.0f), "zero"))
+      .toDF("a", "b", "tag")
+      .select(col("tag"), Similarity.cosine(col("a"), col("b")).as("c"))
+    val m = df.collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(m("same").contains(1.0))
+    assert(m("orth").contains(0.0))
+    assert(m("zero").isEmpty)
+  }
+
+  test("brute-force topk and IVF probe agree on an easy cluster layout") {
+    // two well-separated clusters on the first axis
+    val vecs = (1L to 10L).map(i => (i, Seq(1.0f, (i * 0.01).toFloat))) ++
+      (11L to 20L).map(i => (i, Seq(-1.0f, (i * 0.01).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val query = Seq((0L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val centroids = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+
+    val brute = Similarity.cosineTopK(df, "vec_id", "embedding", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", centroids, "vec_id", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute == ivf) // query's cluster contains all true top-5
+    assert(brute.forall(_ <= 10)) // all from the +1 cluster
+  }
+
+  test("sign-LSH near-dup pairs stay within buckets") {
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.9f, 1.1f)), // same bucket "11", similar
+      (3L, Seq(-1.0f, 1.0f))) // bucket "01"
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", p = 2, minCos = 0.9)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1 && pairs.head.getAs[Long]("id_b") == 2)
+  }
+
+  test("multimodal: decode schema, deterministic stub, frame sampling, features") {
+    val media = docs((1L, "hello world"), (2L, "x")).select(
+      col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    val meta = Multimodal.decodeMeta(media, "doc_id", "blob")
+    assert(meta.schema.fieldNames.toSeq ==
+      Seq("media_id", "byte_len", "format_sig", "width", "height", "n_frames"))
+    val m = meta.collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Long]("byte_len") == 11)
+    assert(m(1L).getAs[String]("format_sig") == "68656c6c") // "hell"
+    // deterministic: same input, same metadata across runs
+    val again = Multimodal.decodeMeta(media, "doc_id", "blob").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("width")).toMap
+    assert(again(1L) == m(1L).getAs[Int]("width"))
+
+    val frames = Multimodal.sampleFrames(meta, stride = 3)
+    val fcount = frames.filter(col("media_id") === 1).count()
+    assert(fcount == (m(1L).getAs[Int]("n_frames") + 2) / 3)
+
+    val feats = Multimodal.extractFeatures(media, "doc_id", "blob")
+    val f = feats.filter(col("media_id") === 1).head().getSeq[Double](1)
+    assert(f.length == 8)
+    assert(math.abs(f.sum - 1.0) < 1e-9) // L1-normalized histogram
+  }
+
+  test("rolling fingerprint: deterministic, shift-sensitive, short-text NULL") {
+    val df = docs((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zbcdefghij"), (4L, "short"))
+      .select(col("doc_id"), TextOps.rollingFingerprint(col("text"), 8).as("fp"))
+    val m = df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m(1L) == m(2L) && m(1L).isDefined)
+    assert(m(4L).isEmpty)
+  }
+}

@@ -27,11 +27,35 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
 
   /** k MinHash values over word-`n`-gram shingles: element i is
-    * min over shingles of md5(i ‖ "|" ‖ shingle). */
-  def minhashSignature(toks: Column, n: Int, k: Int): Column =
+    * min over shingles of md5(i ‖ "|" ‖ shingle).
+    *
+    * Expression form (nested higher-order functions). ONLY use this on a
+    * pre-materialized shingle ATTRIBUTE: non-lambda subexpressions inside
+    * an interpreted HOF lambda are re-evaluated per element, so an inlined
+    * shingle pipeline (split → array_remove → slice…) would run k× per
+    * window — measured 80× slower than [[minhashSignatures]] at sf0.1. */
+  def minhashSignature(sh: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(TextOps.shingles(toks, n),
-        s => md5(concat(i.cast("string"), lit("|"), s)))))
+      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
+
+  /** MinHash signatures as a DataFrame: (id, sig array<string>).
+    *
+    * Aggregation form: explode the shingles ONCE per document (the
+    * tokenizer runs once per row, not per window×seed), then k codegen'd
+    * `min(md5(seed ‖ shingle))` aggregates with map-side partials — one
+    * shuffle on the doc id, whole-stage codegen throughout. Documents with
+    * no shingles keep a NULL signature (explode_outer). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("doc"),
+      explode_outer(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
+    val mins = (0 until k).map(i =>
+      min(md5(concat(lit(i.toString), lit("|"), col("s")))).as(s"m$i"))
+    ex.groupBy("doc").agg(mins.head, mins.tail: _*)
+      .select(col("doc"),
+        when(col("m0").isNotNull, array((0 until k).map(i => col(s"m$i")): _*))
+          .otherwise(lit(null)).as("sig"))
+  }
 
   /** LSH band hashes: `bands` bands of `rowsPerBand` signature rows each;
     * band b hashes the concatenation of its rows. Documents sharing ANY
@@ -53,11 +77,16 @@ object Dedup {
       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val withBands = df.select(
-      col(idCol).as("doc"),
-      array_distinct(TextOps.shingles(toks, shingleN)).as("sh"),
-      posexplode(bandHashes(minhashSignature(toks, shingleN, k), bands, k / bands))
-        .as(Seq("band_idx", "band_hash")))
+
+    // Band frame carries ONLY (doc, band_idx, band_hash): the shingle
+    // arrays must NOT ride through the bucket shuffles and the pair join —
+    // measured 30× slower when they do. They are joined back per pair side
+    // at the end (one narrow join each).
+    val withBands = minhashSignatures(df, idCol, textCol, shingleN, k)
+      .filter(col("sig").isNotNull)
+      .select(col("doc"),
+        posexplode(bandHashes(col("sig"), bands, k / bands))
+          .as(Seq("band_idx", "band_hash")))
 
     // Rank within bucket and cap: at most maxBucket members per bucket.
     val w = org.apache.spark.sql.expressions.Window
@@ -67,18 +96,19 @@ object Dedup {
       .filter(col("_rank") <= maxBucket)
       .drop("_rank")
 
-    val a = bucketed.select(col("band_idx"), col("band_hash"),
-      col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val b = bucketed.select(col("band_idx"), col("band_hash"),
-      col("doc").as("doc_b"), col("sh").as("sh_b"))
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared_bands"),
-        first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
+    val pairs = bucketed
+      .join(bucketed.withColumnRenamed("doc", "doc_b"), Seq("band_idx", "band_hash"))
+      .filter(col("doc") < col("doc_b"))
+      .groupBy(col("doc").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
 
-    pairs.select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
-      round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+    val shd = df.select(col(idCol).as("doc"),
+      array_distinct(TextOps.shingles(toks, shingleN)).as("shd"))
+    pairs
+      .join(shd.select(col("doc").as("doc_a"), col("shd").as("sh_a")), Seq("doc_a"))
+      .join(shd.select(col("doc").as("doc_b"), col("shd").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
   }
 
   /** Exact Jaccard of two string sets. */

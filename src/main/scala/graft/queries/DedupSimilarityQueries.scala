@@ -38,12 +38,10 @@ object DedupSimilarityQueries {
          |            FROM (SELECT doc_id, $DuckToks AS ws FROM documents)))
          |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        val toks = TextOps.tokens(col("text"))
-        val sig = Dedup.minhashSignature(toks, 3, 8)
-        val bands = Dedup.bandHashes(sig, 4, 2)
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            when(size(TextOps.shingles(toks, 3)) > 0, concat_ws(",", bands))
+        Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3, 8)
+          .select(col("doc").as("doc_id"),
+            when(col("sig").isNotNull,
+              concat_ws(",", Dedup.bandHashes(col("sig"), 4, 2)))
               .otherwise(lit(null)).as("bands"))
           .orderBy("doc_id")
     },

@@ -410,6 +410,15 @@ object Api {
 
   // ── Health / meta / pruning (§2.D tail) ────────────────────────────
 
+  /** F6: box totals per app (TotalBoxes / TotalBoxBytes recomputation —
+    * writer_test pins these against account_data; here recomputed from the
+    * maintained app_box table). */
+  def boxTotals(store: TableStore): DataFrame =
+    store.readState("app_box")
+      .groupBy("app")
+      .agg(count(lit(1)).as("total_boxes"),
+        sum(length(col("name")) + length(col("value"))).as("total_box_bytes"))
+
   final case class Health(maxRoundAccounted: Option[Long], network: Option[String])
 
   def health(store: TableStore): Health = {

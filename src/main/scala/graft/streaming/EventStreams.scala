@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics operators over an event stream (ts, user_id,
+  * event_type, value) — the §2.H surface the reference does NOT have
+  * (blockchain rounds are never late, so it needs no watermarks) but a
+  * general analytics engine on this substrate does: watermarked tumbling /
+  * sliding windows and custom keyed state via mapGroupsWithState.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregate with a watermark: late events beyond
+    * `lateness` are dropped, window state is reclaimed as the watermark
+    * passes (bounded state at any scale). */
+  def tumblingCounts(events: DataFrame, windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window variant (windowLen every slide). */
+  def slidingCounts(events: DataFrame, windowLen: String, slide: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class UserState(user_id: Long, n_events: Long, last_type: String, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user aggregate
+    * (count, last event type by time, value total) — the
+    * KeyValueGroupedDataset state path for semantics windows can't
+    * express.
+    *
+    * Pass `GroupStateTimeout.ProcessingTimeTimeout` in production so
+    * abandoned keys are reclaimable (the state store is unbounded
+    * otherwise); with it the engine schedules periodic empty batches to
+    * fire timeouts, which keeps `processAllAvailable` from ever settling —
+    * so deterministic harnesses use the NoTimeout default. */
+  def userRunningState(
+      events: Dataset[UserEvent],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserState](timeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(userId, 0L, "", 0.0))
+          val evs = batch.toSeq.sortBy(_.ts.getTime)
+          val next =
+            if (evs.isEmpty) prev
+            else UserState(
+              userId,
+              prev.n_events + evs.length,
+              evs.last.event_type,
+              prev.total_value + evs.map(_.value).sum)
+          state.update(next)
+          if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+            state.setTimeoutDuration("1 hour")
+          next
+      }
+  }
+
+  /** Streaming output mode helper: windowed aggregates with watermark
+    * support Append (emit once finalized) — the mode a downstream
+    * idempotent sink wants. */
+  val FinalizedWindows: OutputMode = OutputMode.Append()
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: Long) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+
+  test("tumbling window with watermark: finalized windows emitted, late rows dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStreams.tumblingCounts(events, "1 minute", "30 seconds")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+
+    val base = 1700000000L
+    mem.addData((ts(base + 10), "click", 1.0), (ts(base + 20), "click", 2.0),
+      (ts(base + 70), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far past the first window, then send a too-late row
+    mem.addData((ts(base + 600), "view", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts(base + 5), "click", 99.0)) // late beyond watermark: dropped
+    q.processAllAvailable()
+    mem.addData((ts(base + 1200), "view", 1.0)) // flush remaining windows
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.sql("SELECT * FROM tumbling").collect()
+      .map(r => (r.getAs[Timestamp]("bucket").toInstant.getEpochSecond,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+    // first window finalized with ONLY the two on-time clicks
+    val first = out.filter(o => o._1 == (base - base % 60) && o._2 == "click")
+    assert(first.length == 1)
+    assert(first.head._3 == 2 && first.head._4 == 3.0)
+  }
+
+  test("mapGroupsWithState: running per-user state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.userRunningState(mem.toDS())
+      .writeStream.format("memory").queryName("userstate")
+      .outputMode(OutputMode.Update()).start()
+
+    mem.addData(
+      EventStreams.UserEvent(1, ts(100), "a", 1.0),
+      EventStreams.UserEvent(1, ts(200), "b", 2.0),
+      EventStreams.UserEvent(2, ts(150), "x", 5.0))
+    q.processAllAvailable()
+    mem.addData(EventStreams.UserEvent(1, ts(300), "c", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.sql("SELECT * FROM userstate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    // last update for user 1 reflects all three events
+    val u1 = rows.filter(_._1 == 1).maxBy(_._2)
+    assert(u1 == ((1L, 3L, "c", 6.0)))
+    val u2 = rows.filter(_._1 == 2).maxBy(_._2)
+    assert(u2 == ((2L, 1L, "x", 5.0)))
+  }
+
+  test("sliding windows overlap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.slidingCounts(
+      mem.toDF().toDF("ts", "event_type", "value"), "2 minutes", "1 minute", "10 seconds")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Append()).start()
+    val base = 1700000000L - 1700000000L % 60
+    mem.addData((ts(base + 30), "click", 1.0))
+    q.processAllAvailable()
+    mem.addData((ts(base + 1000), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val buckets = spark.sql("SELECT bucket FROM sliding WHERE event_type = 'click'")
+      .collect().map(_.getAs[Timestamp](0).toInstant.getEpochSecond).sorted
+    assert(buckets.length == 2) // the event lands in two overlapping windows
+    assert(buckets(1) - buckets(0) == 60)
+  }
+}

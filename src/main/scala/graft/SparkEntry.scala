@@ -14,7 +14,8 @@ object SparkEntry {
   private def all: Seq[QueryDef] =
     RelationalQueries.defs ++
       graft.queries.DataPipelineQueries.defs ++
-      graft.queries.DedupSimilarityQueries.defs
+      graft.queries.DedupSimilarityQueries.defs ++
+      graft.queries.EngineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.codec.{BlockCodec, Codecs}
+import graft.ingest.{BlockIngest, TableStore}
+import graft.model._
+import graft.query.Api
+import org.apache.spark.sql.functions._
+
+/** The engine's own write+read vertical exposed through the driver
+  * surface: builds a deterministic synthetic chain, ingests it through the
+  * full batch path (flatten → append → state merges → metastate), then
+  * answers a read-API query over the maintained tables. rows-only check
+  * (no SQL oracle — the tables are the engine's own), but the BENCH loop
+  * times it, so ingest throughput is measured every round.
+  */
+object EngineQueries {
+
+  private def addr(i: Int): String = Codecs.addressEncode(
+    Array.tabulate(32)(j => ((i * 31 + j * 7) % 251).toByte))
+
+  /** Deterministic chain: `rounds` rounds × `txnsPerRound` pay/axfer txns
+    * with per-round account/asset deltas and one app call with inners. */
+  def syntheticBlocks(rounds: Int, txnsPerRound: Int): Seq[Block] =
+    (0 until rounds).map { r =>
+      val payset = (0 until txnsPerRound).map { i =>
+        val from = addr((r * 13 + i) % 40)
+        val to = addr((r * 13 + i + 1) % 40)
+        if (i % 3 == 2)
+          SignedTxnWithAD(
+            txn = Txn(txType = "axfer", sender = from, assetReceiver = to,
+              xferAsset = 1000 + i % 5, assetAmount = BigInt(i + 1), fee = 1000,
+              firstValid = r + 1, note = s"r$r-i$i".getBytes("UTF-8")),
+            sig = Array.fill(64)(((r + i) % 127).toByte))
+        else
+          SignedTxnWithAD(
+            txn = Txn(txType = "pay", sender = from, receiver = to,
+              amount = BigInt((r + 1) * 100 + i), fee = 1000,
+              firstValid = r + 1, note = s"r$r-i$i".getBytes("UTF-8")),
+            sig = Array.fill(64)(((r + i) % 127).toByte))
+      }.toVector :+ SignedTxnWithAD(
+        txn = Txn(txType = "appl", sender = addr(1), applicationId = 900 + r % 3,
+          accounts = Vector(addr(2)), fee = 1000),
+        sig = Array.fill(64)(7.toByte),
+        applyData = ApplyData(evalDelta = EvalDelta(innerTxns = Vector(
+          SignedTxnWithAD(txn = Txn(txType = "pay", sender = addr(2),
+            receiver = addr(3), amount = BigInt(r + 1)))))))
+
+      val accounts = (0 until math.min(10, txnsPerRound)).map { i =>
+        AccountDelta(addr((r * 13 + i) % 40), microAlgos = 1000000L + r * 1000 + i,
+          rewardsBase = r, rewardedMicroAlgos = i,
+          accountDataJson = s"""{"r":$r}""")
+      }.toVector
+      val assets = (0 until 3).map { i =>
+        AssetResourceRecord(addr = addr(i), aidx = 1000 + i,
+          paramsJson = Some(s"""{"an":"asset$i","un":"A$i"}"""),
+          holding = Some(AssetHolding(BigInt(r * 10 + i + 1), frozen = false)))
+      }.toVector
+      Block(
+        round = r, timestamp = 1700000000L + r * 4, rewardsLevel = r,
+        genesisId = "graft-bench", genesisHash = Codecs.sha512_256("gb".getBytes),
+        feeSink = addr(250 % 40), rewardsPool = addr(251 % 40),
+        txnCounter = 10000 + r.toLong * (txnsPerRound + 2),
+        payset = payset,
+        delta = LedgerDelta(accounts = accounts, assetResources = assets))
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+    // End-to-end: ingest a 12-round chain (~12×22 txn rows incl. inners)
+    // into a fresh store, then run the canonical read query (transactions
+    // by address, newest-first). Exercises A1-A7, B1-B9, C1-C6, D, G.
+    QueryDef.rowsOnly("engine_ingest_e2e") {
+      (s, _) =>
+        val root = java.nio.file.Files.createTempDirectory("graft-engine-q").toString
+        val store = new TableStore(s, root, nBuckets = 8)
+        BlockIngest.initGenesis(store,
+          (0 until 40).map(i => (addr(i), 1000000L, "{}")), network = "graft-bench")
+        import s.implicits._
+        val blocks = syntheticBlocks(rounds = 12, txnsPerRound = 20)
+        BlockIngest.applyBlocks(store, s.createDataset(blocks.map(BlockCodec.blockToJson)))
+        val (txns, _) = Api.transactions(store, Api.TransactionFilter(
+          address = Some(addr(1)), limit = Some(500)))
+        txns.select("round", "intra", "typeenum", "asset", "txid")
+          .orderBy(desc("round"), desc("intra"))
+    },
+  )
+}

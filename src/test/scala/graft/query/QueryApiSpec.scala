@@ -175,6 +175,37 @@ class QueryApiSpec extends SparkSpec {
     assert(!noVals.columns.contains("value"))
   }
 
+  test("body predicates: algosGT/LT, effectiveAmount, sigType, rekeyTo") {
+    // pay rows incl. INNER pays (they are txn rows too): amounts
+    // 100 (r0), 55 + inner 111 + inner 222 (r2), 42 (r3)
+    val (algosGt, _) = Api.transactions(store, Api.TransactionFilter(algosGT = Some(50)))
+    assert(algosGt.collect().map(_.getAs[Long]("round")).sorted.toSeq == Seq(0, 2, 2, 2))
+    val (algosLt, _) = Api.transactions(store, Api.TransactionFilter(algosLT = Some(50)))
+    assert(algosLt.collect().map(_.getAs[Long]("round")).toSeq == Seq(3))
+
+    val (eff, _) = Api.transactions(store, Api.TransactionFilter(effectiveAmountGT = Some(54)))
+    assert(eff.count() == 4) // same rows as algosGT here (no close amounts)
+
+    val (sig, _) = Api.transactions(store, Api.TransactionFilter(sigType = Some("sig")))
+    assert(sig.count() > 0)
+    val (msig, _) = Api.transactions(store, Api.TransactionFilter(sigType = Some("msig")))
+    assert(msig.count() == 0)
+
+    val (rekeyed, _) = Api.transactions(store, Api.TransactionFilter(rekeyTo = Some(true)))
+    assert(rekeyed.count() == 0)
+    val (notRekeyed, _) = Api.transactions(store, Api.TransactionFilter(
+      rekeyTo = Some(false), round = Some(3)))
+    assert(notRekeyed.count() == 1)
+  }
+
+  test("engine_ingest_e2e driver query returns newest-first rows") {
+    val df = graft.queries.EngineQueries.defs.head.fn(spark, "unused")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val rounds = rows.map(_.getAs[Long]("round")).toSeq
+    assert(rounds == rounds.sorted.reverse)
+  }
+
   test("health reports max accounted round and network") {
     val h = Api.health(store)
     assert(h.maxRoundAccounted.contains(3L))

@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object BlockIngest {
 
+  /** Pool for intra-batch write parallelism (9 independent table writes).
+    * Bounded and shared: one pool regardless of how many stores exist. */
+  private lazy val ingestPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(9, r => {
+        val t = new Thread(r, "graft-ingest")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Strict-ordering guard (cockroach.go:142-146): rounds already accounted
     * are dropped (idempotent replay); the remainder must start at
     * `nextRound` and be gap-free. Returns the rounds to apply. */
@@ -48,33 +58,60 @@ object BlockIngest {
 
       val freshDs = ds.filter(s => BlockCodec.blockFromJson(s).round >= next).cache()
 
-      // A3/A4: bulk append paths (COPY FROM → partitioned parquet append).
-      store.appendByRound("txn",
-        conform(freshDs.flatMap(s => BlockTransforms.flattenBlock(BlockCodec.blockFromJson(s))).toDF(), "txn"))
-      store.appendByRound("txn_participation",
-        conform(freshDs.flatMap(s => BlockTransforms.participationRows(BlockCodec.blockFromJson(s))).toDF(), "txn_participation"))
-      store.appendByRound("block_header",
-        conform(freshDs.map(s => BlockTransforms.headerRow(BlockCodec.blockFromJson(s))).toDF(), "block_header"))
+      // The reference runs the txn/participation COPY concurrently with the
+      // state-upsert batch (cockroach.go:167-199). Same here: each append
+      // and each merge targets a distinct table directory, so they are
+      // independent Spark jobs — run them from a thread pool and let the
+      // scheduler interleave stages. The metastate bump below stays the
+      // single serial commit point.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = BlockIngest.ingestPool
 
-      // C1-C7: state merges.
-      mergeSoft(store, "account", Seq("addr"),
-        Seq("microalgos", "rewardsbase", "rewards_total", "account_data"),
-        freshDs.flatMap(s => DeltaTransforms.accountDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
-        ktCol = Some(("ktPresent", "keytype")))
-      mergeSoft(store, "asset", Seq("id"),
-        Seq("creator_addr", "params"),
-        freshDs.flatMap(s => DeltaTransforms.assetDeltaRows(BlockCodec.blockFromJson(s))).toDF())
-      mergeSoft(store, "account_asset", Seq("addr", "assetid"),
-        Seq("amount", "frozen"),
-        freshDs.flatMap(s => DeltaTransforms.accountAssetDeltaRows(BlockCodec.blockFromJson(s))).toDF())
-      mergeSoft(store, "app", Seq("id"),
-        Seq("creator", "params"),
-        freshDs.flatMap(s => DeltaTransforms.appDeltaRows(BlockCodec.blockFromJson(s))).toDF())
-      mergeSoft(store, "account_app", Seq("addr", "app"),
-        Seq("localstate"),
-        freshDs.flatMap(s => DeltaTransforms.accountAppDeltaRows(BlockCodec.blockFromJson(s))).toDF())
-      mergeHard(store, "app_box", Seq("app", "name"), Seq("value"),
-        freshDs.flatMap(s => DeltaTransforms.appBoxDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+      val writes = Seq(
+        Future {
+          store.appendByRound("txn",
+            conform(freshDs.flatMap(s => BlockTransforms.flattenBlock(BlockCodec.blockFromJson(s))).toDF(), "txn"))
+        },
+        Future {
+          store.appendByRound("txn_participation",
+            conform(freshDs.flatMap(s => BlockTransforms.participationRows(BlockCodec.blockFromJson(s))).toDF(), "txn_participation"))
+        },
+        Future {
+          store.appendByRound("block_header",
+            conform(freshDs.map(s => BlockTransforms.headerRow(BlockCodec.blockFromJson(s))).toDF(), "block_header"))
+        },
+        Future {
+          mergeSoft(store, "account", Seq("addr"),
+            Seq("microalgos", "rewardsbase", "rewards_total", "account_data"),
+            freshDs.flatMap(s => DeltaTransforms.accountDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
+            ktCol = Some(("ktPresent", "keytype")))
+        },
+        Future {
+          mergeSoft(store, "asset", Seq("id"),
+            Seq("creator_addr", "params"),
+            freshDs.flatMap(s => DeltaTransforms.assetDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+        },
+        Future {
+          mergeSoft(store, "account_asset", Seq("addr", "assetid"),
+            Seq("amount", "frozen"),
+            freshDs.flatMap(s => DeltaTransforms.accountAssetDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+        },
+        Future {
+          mergeSoft(store, "app", Seq("id"),
+            Seq("creator", "params"),
+            freshDs.flatMap(s => DeltaTransforms.appDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+        },
+        Future {
+          mergeSoft(store, "account_app", Seq("addr", "app"),
+            Seq("localstate"),
+            freshDs.flatMap(s => DeltaTransforms.accountAppDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+        },
+        Future {
+          mergeHard(store, "app_box", Seq("app", "name"), Seq("value"),
+            freshDs.flatMap(s => DeltaTransforms.appBoxDeltaRows(BlockCodec.blockFromJson(s))).toDF())
+        })
+      Await.result(Future.sequence(writes), Duration.Inf)
 
       // B7 + watermark bump — the single commit point of the micro-batch.
       val lastBlock = BlockCodec.blockFromJson(
@@ -84,6 +121,21 @@ object BlockIngest {
       store.setNextRound(lastRound + 1)
     } finally ds.unpersist()
   }
+
+  /** EnsureInitialImport (helpers.go:11-48): first run seeds genesis;
+    * restarts verify the network/genesis guard instead of reseeding; a
+    * different network is a hard error. */
+  def ensureInitialImport(
+      store: TableStore,
+      allocations: Seq[(String, Long, String)],
+      network: String): Unit =
+    store.metastate.get(TableStore.MetaNetwork) match {
+      case None => initGenesis(store, allocations, network)
+      case Some(existing) if existing == network => // already initialized
+      case Some(existing) =>
+        throw new IllegalStateException(
+          s"genesis hash not matching the database: db=$existing, init=$network")
+    }
 
   /** A2: genesis loader (cockroach.go:213-280) — seed `account` (one row
     * per allocation, created_at = 0), record network, import state = 0. */

@@ -108,6 +108,19 @@ class IngestSpec extends SparkSpec {
     intercept[IllegalArgumentException](BlockIngest.orderingGuard(Seq(3, 5), 3))
   }
 
+  test("ensureInitialImport: seed once, skip on same network, reject mismatch") {
+    val store = newStore()
+    BlockIngest.ensureInitialImport(store, Seq((A, 100L, "{}")), "net-1")
+    assert(store.readState("account").count() == 1)
+    // same network: no reseed (state untouched)
+    BlockIngest.ensureInitialImport(store, Seq((A, 100L, "{}"), (B, 5L, "{}")), "net-1")
+    assert(store.readState("account").count() == 1)
+    // different network: the reference's genesis-hash guard
+    val e = intercept[IllegalStateException](
+      BlockIngest.ensureInitialImport(store, Seq((A, 100L, "{}")), "net-2"))
+    assert(e.getMessage.contains("genesis hash not matching"))
+  }
+
   test("partial-batch state: create and delete across separate applies") {
     val store = newStore()
     val b0 = block(0, Vector.empty,

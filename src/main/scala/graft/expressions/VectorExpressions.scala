@@ -1,0 +1,168 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the vector hot path (SURVEY.md §7.3
+  * escalation ladder: built-ins → custom `Expression` with `doGenCode`).
+  *
+  * The composable forms (`zip_with` + `aggregate`) are higher-order
+  * functions: their lambdas are interpreted per element and break
+  * whole-stage codegen — fine at bench scale, the bottleneck at 100 TB
+  * (billions of 64-float rows ⇒ the dot product IS the query). These
+  * expressions generate a tight primitive loop inside the codegen'd stage.
+  *
+  * Semantics match the HOF forms bit-for-bit: sequential left-to-right
+  * accumulation (same double rounding), NULL if either side is NULL, if
+  * the lengths differ, or if any element is NULL (zip_with pads/propagates
+  * the same way).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<float> inputs, got $l and $r")
+    }
+
+  protected def elemAt(a: ArrayData, i: Int): Double = a.getFloat(i).toDouble
+}
+
+/** Σ aᵢ·bᵢ over two float vectors. */
+case class VectorDot(left: Expression, right: Expression) extends VectorBinaryExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += elemAt(a, i) * elemAt(b, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity in ONE array traversal (dot, ‖a‖², ‖b‖² together);
+  * NULL on zero norms — the degenerate-vector guard both engines agree on. */
+case class CosineSim(left: Expression, right: Expression) extends VectorBinaryExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = elemAt(a, i)
+      val y = elemAt(b, i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val d = na * nb
+    if (d <= 0) null else dot / math.sqrt(d)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $x = (double) $a.getFloat($i);
+         |    double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $d = $na * $nb;
+         |    if ($d <= 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / java.lang.Math.sqrt($d); }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** Column-facing constructors (no SQL registration needed — the
+    * expression rides inside the Column). */
+  def vectorDot(a: Column, b: Column): Column =
+    Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** SQL names (`graft_vector_dot`, `graft_cosine_sim`) for spark.sql use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    val registry = spark.sessionState.functionRegistry
+    registry.registerFunction(
+      FunctionIdentifier("graft_vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "graft_vector_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1)))
+    registry.registerFunction(
+      FunctionIdentifier("graft_cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1)))
+  }
+}

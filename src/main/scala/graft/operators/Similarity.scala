@@ -17,18 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢbᵢ via zip_with + aggregate (codegen'd, no UDF). */
+  /** Σ aᵢbᵢ — native codegen'd expression (graft.expressions.VectorDot).
+    * The HOF form ([[dotHof]]) interprets its lambda per element and
+    * breaks whole-stage codegen; identical results, ~order-of-magnitude
+    * slower per row at scale. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.vectorDot(a, b)
+
+  /** Composable higher-order-function form, kept as the reference
+    * implementation the native expression is tested against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine, NULL on zero norms (portable: DuckDB would yield NaN/Inf and
-    * the two engines would sort the degenerate rows differently). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm2(a) * norm2(b)
-    dot(a, b) / when(d <= 0, lit(null)).otherwise(sqrt(d))
+  /** Cosine in one array traversal, NULL on zero norms (portable: DuckDB
+    * would yield NaN/Inf and the engines would sort degenerate rows
+    * differently). Native expression; [[cosineHof]] is the composable
+    * equivalent. */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosineSim(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, a) * dotHof(b, b)
+    dotHof(a, b) / when(d <= 0, lit(null)).otherwise(sqrt(d))
   }
 
   /** Brute-force cosine top-k against one query vector (broadcast). */

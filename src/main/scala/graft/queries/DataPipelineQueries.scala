@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.{Dedup, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -14,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object DataPipelineQueries {
 
-  private val wordsCol = array_remove(split(trim(col("text")), " "), "")
+  private val wordsCol = TextOps.tokens(col("text"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -28,9 +29,7 @@ object DataPipelineQueries {
         |GROUP BY md5(text)
         |ORDER BY content_hash NULLS LAST""".stripMargin) {
       (s, d) =>
-        Tables.documents(s, d)
-          .groupBy(md5(col("text")).as("content_hash"))
-          .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("group_size"))
+        Dedup.exact(Tables.documents(s, d), "doc_id", "text")
           .orderBy(asc_nulls_last("content_hash"))
     },
 
@@ -67,26 +66,14 @@ object DataPipelineQueries {
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+        // nullif-guarded ratios (TextOps.qualityMetrics): empty docs yield
+        // NULL, not a non-ANSI NULL-vs-NaN divergence between engines.
+        val (n, meanLen, stopRatio) = TextOps.qualityMetrics(
+          col("ws"), Seq("the", "a", "of", "and", "to", "in", "is"))
         Tables.documents(s, d)
           .select(col("doc_id"), wordsCol.as("ws"))
-          .select(
-            col("doc_id"),
-            size(col("ws")).cast("long").as("n_tokens"),
-            aggregate(transform(col("ws"), w => length(w).cast("long")),
-              lit(0L), (acc, v) => acc + v).as("sum_len"),
-            size(filter(col("ws"), w => w.isInCollection(stop))).as("n_stop"))
-          .select(
-            col("doc_id"),
-            col("n_tokens"),
-            // nullif guard: empty/whitespace-only docs yield NULL (not a
-            // non-ANSI NULL-vs-NaN divergence between Spark and DuckDB).
-            round(col("sum_len").cast("double") /
-              when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")), 4)
-              .as("mean_token_len"),
-            round(col("n_stop").cast("double") /
-              when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")), 4)
-              .as("stopword_ratio"))
+          .select(col("doc_id"), n.as("n_tokens"),
+            meanLen.as("mean_token_len"), stopRatio.as("stopword_ratio"))
           .orderBy("doc_id")
     },
 
@@ -103,12 +90,11 @@ object DataPipelineQueries {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        val markers = Seq("the", "a", "of", "and")
         Tables.documents(s, d)
-          .select(col("doc_id"), col("lang").as("labeled_lang"),
-            size(filter(wordsCol, w => w.isInCollection(markers))).as("n_en"))
+          .select(col("doc_id"), col("lang").as("labeled_lang"), wordsCol.as("ws"))
           .select(col("doc_id"), col("labeled_lang"),
-            when(col("n_en") >= 2, "en").otherwise("und").as("predicted_lang"))
+            TextOps.langIdEn(col("ws"), Seq("the", "a", "of", "and"), minHits = 2)
+              .as("predicted_lang"))
           .orderBy("doc_id")
     },
 
@@ -144,24 +130,13 @@ object DataPipelineQueries {
         |FROM s WHERE na * nb > 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) {
       (s, d) =>
+        // Similarity.cosineTopK: native codegen'd CosineSim (NULL on zero
+        // norm — the same degenerate-vector guard as the oracle's
+        // na*nb > 0), broadcast query row, TakeOrderedAndProject top-k.
         val emb = Tables.embeddings(s, d)
-        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-        def dotOf(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, v) => acc + v)
-        emb.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(q))
-          .select(col("vec_id"),
-            dotOf(col("embedding"), col("qvec")).as("dot"),
-            dotOf(col("embedding"), col("embedding")).as("na"),
-            dotOf(col("qvec"), col("qvec")).as("nb"))
-          // zero-norm guard: NULL (Spark) vs NaN (DuckDB) sort differently;
-          // excluding degenerate vectors keeps both engines in agreement.
-          .filter(col("na") * col("nb") > 0)
-          .select(col("vec_id"),
-            round(col("dot") / sqrt(col("na") * col("nb")), 4).as("cos_sim"))
-          .orderBy(desc("cos_sim"), asc("vec_id"))
-          .limit(20)
+        Similarity.cosineTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          query = emb.filter(col("vec_id") === 0), k = 20)
     },
   )
 }

@@ -408,6 +408,32 @@ object Api {
     (df, asOf)
   }
 
+  // ── GetBlock (idb.go:171-177): header row + optionally the round's
+  //    transactions, guarded by MaxTransactionsLimit. ──────────────────
+
+  final case class GetBlockOptions(
+      headerOnly: Boolean = false,
+      maxTransactionsLimit: Option[Long] = None)
+
+  final case class MaxTransactionsError(round: Long, count: Long)
+      extends Exception(s"round $round has $count transactions > max")
+
+  final case class BlockResult(header: org.apache.spark.sql.Row, transactions: Option[DataFrame])
+
+  def getBlock(store: TableStore, round: Long, opts: GetBlockOptions = GetBlockOptions()): BlockResult = {
+    val hdr = store.read("block_header").filter(col("round") === round).head(1)
+    require(hdr.nonEmpty, s"block $round not found")
+    if (opts.headerOnly) BlockResult(hdr.head, None)
+    else {
+      val txns = store.read("txn").filter(col("round") === round)
+      opts.maxTransactionsLimit.foreach { max =>
+        val n = txns.count()
+        if (n > max) throw MaxTransactionsError(round, n)
+      }
+      BlockResult(hdr.head, Some(txns.orderBy(asc("intra"))))
+    }
+  }
+
   // ── Health / meta / pruning (§2.D tail) ────────────────────────────
 
   /** F6: box totals per app (TotalBoxes / TotalBoxBytes recomputation —

@@ -206,6 +206,22 @@ class QueryApiSpec extends SparkSpec {
     assert(rounds == rounds.sorted.reverse)
   }
 
+  test("getBlock: header-only, full, and MaxTransactionsLimit guard") {
+    val hdrOnly = Api.getBlock(store, 2, Api.GetBlockOptions(headerOnly = true))
+    assert(hdrOnly.header.getAs[Long]("round") == 2 && hdrOnly.transactions.isEmpty)
+
+    val full = Api.getBlock(store, 2)
+    assert(full.transactions.get.count() == 5)
+    assert(full.transactions.get.collect().map(_.getAs[Int]("intra")).toSeq == Seq(0, 1, 2, 3, 4))
+
+    val ok = Api.getBlock(store, 2, Api.GetBlockOptions(maxTransactionsLimit = Some(10)))
+    assert(ok.transactions.isDefined)
+    intercept[Api.MaxTransactionsError] {
+      Api.getBlock(store, 2, Api.GetBlockOptions(maxTransactionsLimit = Some(3)))
+    }
+    intercept[IllegalArgumentException](Api.getBlock(store, 99))
+  }
+
   test("health reports max accounted round and network") {
     val h = Api.health(store)
     assert(h.maxRoundAccounted.contains(3L))

@@ -34,7 +34,10 @@ object BlockIngest {
     * are dropped (idempotent replay); the remainder must start at
     * `nextRound` and be gap-free. Returns the rounds to apply. */
   def orderingGuard(rounds: Seq[Long], nextRound: Long): Seq[Long] = {
-    val fresh = rounds.distinct.sorted.filter(_ >= nextRound)
+    val relevant = rounds.filter(_ >= nextRound)
+    require(relevant.distinct.length == relevant.length,
+      s"duplicate rounds in batch: ${relevant.diff(relevant.distinct).distinct.sorted.take(5).mkString(",")}")
+    val fresh = relevant.distinct.sorted
     if (fresh.isEmpty) return fresh
     require(fresh.head == nextRound,
       s"adding block round ${fresh.head} but next round to account is $nextRound")

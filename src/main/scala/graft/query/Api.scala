@@ -61,7 +61,11 @@ object Api {
       nextToken: Option[String] = None,
       limit: Option[Int] = None,
       ascending: Boolean = false,
-      skipInnerTransactions: Boolean = false)
+      skipInnerTransactions: Boolean = false,
+      /** Reference default behavior (idb.go:137-143): an inner-txn match is
+        * returned as its ROOT transaction. `false` returns raw inner rows
+        * (SkipInnerTransactionConversion). */
+      convertInnerToRoot: Boolean = false)
 
   final case class AccountQueryOptions(
       greaterThanAddress: Option[String] = None,
@@ -203,6 +207,7 @@ object Api {
     }
 
     if (f.skipInnerTransactions) txn = txn.filter(col("txid").isNotNull)
+    if (f.convertInnerToRoot) txn = convertToRoot(store, txn)
 
     txn =
       if (f.ascending) txn.orderBy(asc("round"), asc("intra"))

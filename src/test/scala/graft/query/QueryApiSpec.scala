@@ -107,6 +107,13 @@ class QueryApiSpec extends SparkSpec {
     val roots = converted.collect()
     assert(roots.length == 1) // all 3 inners share one root
     assert(roots.head.getAs[Int]("intra") == 0 && roots.head.getAs[Long]("round") == 2)
+
+    // filter-level conversion (the reference's default): inner matches for
+    // A collapse into their root row, deduped
+    val (conv, _) = Api.transactions(store, Api.TransactionFilter(
+      address = Some(A), round = Some(2), convertInnerToRoot = true))
+    val keys = conv.collect().map(r => (r.getAs[Long]("round"), r.getAs[Int]("intra"))).toSet
+    assert(keys == Set((2L, 0), (2L, 4))) // appl root + the pay row
   }
 
   test("accounts: filters, authaddr, resource expansion, hasAsset") {

@@ -54,10 +54,17 @@ object BlockIngest {
     val ds = blocksJson.cache()
     try {
       val next = store.nextRound
-      val rounds = ds.map(s => BlockCodec.blockFromJson(s).round).collect().toSeq
-      val fresh = orderingGuard(rounds, next)
+      // One pre-pass job collects everything the driver needs: rounds for
+      // the ordering guard AND the special-accounts doc of the newest block
+      // (avoids a second parse-everything job at the end of the batch).
+      val roundInfo = ds.map { s =>
+        val b = BlockCodec.blockFromJson(s)
+        (b.round, BlockTransforms.specialAccountsJson(b))
+      }.collect().toSeq
+      val fresh = orderingGuard(roundInfo.map(_._1), next)
       if (fresh.isEmpty) return
       val lastRound = fresh.last
+      val specialAccounts = roundInfo.filter(_._1 == lastRound).head._2
 
       val freshDs = ds.filter(s => BlockCodec.blockFromJson(s).round >= next).cache()
 
@@ -117,10 +124,7 @@ object BlockIngest {
       Await.result(Future.sequence(writes), Duration.Inf)
 
       // B7 + watermark bump — the single commit point of the micro-batch.
-      val lastBlock = BlockCodec.blockFromJson(
-        freshDs.filter(s => BlockCodec.blockFromJson(s).round == lastRound).head())
-      store.putMetastate(
-        TableStore.MetaSpecialAccounts -> BlockTransforms.specialAccountsJson(lastBlock))
+      store.putMetastate(TableStore.MetaSpecialAccounts -> specialAccounts)
       store.setNextRound(lastRound + 1)
     } finally ds.unpersist()
   }
@@ -171,10 +175,11 @@ object BlockIngest {
   private def mergeSoft(
       store: TableStore, table: String, keys: Seq[String], payload: Seq[String],
       deltas: DataFrame, ktCol: Option[(String, String)] = None): Unit = {
-    if (deltas.isEmpty) return
+    // one job: the touched-bucket set doubles as the emptiness check
     val touched = deltas
       .select(pmod(xxhash64(col(keys.head)), lit(store.nBuckets)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
     val state = store.readStateBuckets(table, touched)
     val merged = StateMerge.mergeSoftDelete(state, deltas, keys, payload, ktCol)
     // Sever lineage before overwriting the partitions we just read.
@@ -187,10 +192,10 @@ object BlockIngest {
   private def mergeHard(
       store: TableStore, table: String, keys: Seq[String], payload: Seq[String],
       deltas: DataFrame): Unit = {
-    if (deltas.isEmpty) return
     val touched = deltas
       .select(pmod(xxhash64(col(keys.head)), lit(store.nBuckets)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
     val state = store.readStateBuckets(table, touched)
     val merged = StateMerge.mergeHardDelete(state, deltas, keys, payload)
     val pinned = conform(merged, table).localCheckpoint(true)

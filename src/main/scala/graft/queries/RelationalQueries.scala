@@ -273,6 +273,77 @@ object RelationalQueries {
           .orderBy("p_partkey")
     },
 
+    // ── D byte/char-prefix match (NotePrefix pattern, idb.go:205-207:
+    //    prefix predicate on a stored field). ──
+    QueryDef.sql(
+      "d6_prefix_match",
+      """SELECT p_partkey, p_name
+        |FROM part
+        |WHERE starts_with(p_name, 'green')
+        |ORDER BY p_partkey""".stripMargin) {
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_name").startsWith("green"))
+          .select("p_partkey", "p_name")
+          .orderBy("p_partkey")
+    },
+
+    // ── H2 sliding-window aggregation (batch equivalent: each event lands
+    //    in windowLen/slide buckets; streaming variant
+    //    graft.streaming.EventStreams.slidingCounts). 2-min window / 1-min
+    //    slide ⇒ explode over the two covering bucket starts. ──
+    QueryDef.sql(
+      "h2_sliding_agg",
+      """SELECT bucket, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest([date_trunc('minute', ts),
+        |                     date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS bucket,
+        |             event_type
+        |      FROM events)
+        |GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .select(explode(array(
+            date_trunc("minute", col("ts")),
+            date_trunc("minute", col("ts")) - expr("INTERVAL 1 MINUTE"))).as("bucket"),
+            col("event_type"))
+          .groupBy("bucket", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket", "event_type")
+    },
+
+    // ── H3 session windows (gaps-and-islands): per-user sessions split at
+    //    >30-minute silences; Spark's session_window expressed as the
+    //    portable lag + cumulative-sum form so the oracle can pin it. ──
+    QueryDef.sql(
+      "h3_session_agg",
+      """SELECT user_id, session_start, CAST(n_events AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |               THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |    FROM (SELECT user_id, ts, event_id,
+        |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |          FROM events))
+        |  GROUP BY user_id, session_id)
+        |ORDER BY user_id, session_start""".stripMargin) {
+      (s, d) =>
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+          .withColumn("session_id", sum("new_session").over(byUser))
+          .groupBy("user_id", "session_id")
+          .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"))
+          .select("user_id", "session_start", "n_events")
+          .orderBy("user_id", "session_start")
+    },
+
     // ── G2/G5/G10 scalar-function surface: base64, md5, printable check,
     //    enum mapping (encoding.go:45-51, 123-162; txn_type_enum.go). ──
     QueryDef.sql(

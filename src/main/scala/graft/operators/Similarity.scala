@@ -77,15 +77,21 @@ object Similarity {
   }
 
   /** IVF probe: centroid table (tiny, broadcast) → assign every vector to
-    * its nearest centroid by cosine → search only the query's cluster.
-    * Returns the top-k of that cluster. */
+    * its nearest centroid by cosine → search only the query's `probes`
+    * nearest clusters. Returns the top-k of the probed clusters.
+    *
+    * `probes` is the recall/cost dial (the standard IVF trade): 1 probe
+    * scans ~1/nCentroids of the corpus; recall grows with probes and
+    * reaches 1.0 at probes = nCentroids (== brute force). Measured on the
+    * driver corpus in PLANS.md.
+    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, centroidIdCol: String,
-              query: DataFrame, k: Int): DataFrame = {
+              query: DataFrame, k: Int, probes: Int = 1): DataFrame = {
     val cent = broadcast(centroids.select(
       col(centroidIdCol).as("_cid"), col(vecCol).as("_cvec")))
 
-    def assign(frame: DataFrame, id: Column, vec: Column): DataFrame = {
+    def assign(frame: DataFrame, id: Column, vec: Column, nearest: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("_aid").orderBy(desc("_sim"), asc("_cid"))
       // rank on the ROUNDED similarity: both engines agree at 4 decimals,
@@ -95,15 +101,15 @@ object Similarity {
         .select(id.as("_aid"), vec.as("_avec"), col("_cid"),
           round(cosine(vec, col("_cvec")), 4).as("_sim"))
         .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
+        .filter(col("_rn") <= nearest)
         .select(col("_aid"), col("_avec"), col("_cid"))
     }
 
-    val assigned = assign(df, col(idCol), col(vecCol))
-    val queryCluster = assign(query, lit(-1L), col(vecCol))
+    val assigned = assign(df, col(idCol), col(vecCol), nearest = 1)
+    val queryClusters = assign(query, lit(-1L), col(vecCol), nearest = probes)
       .select(col("_cid").as("_qcid"), col("_avec").as("_qvec"))
     assigned
-      .join(broadcast(queryCluster), col("_cid") === col("_qcid"))
+      .join(broadcast(queryClusters), col("_cid") === col("_qcid"))
       .select(col("_aid").as(idCol),
         round(cosine(col("_avec"), col("_qvec")), 4).as("cos_sim"))
       .filter(col("cos_sim").isNotNull)

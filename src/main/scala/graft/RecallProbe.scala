@@ -18,17 +18,20 @@ object RecallProbe {
     val centroids = emb.filter(col("vec_id").between(1, nCentroids))
     val data = emb.filter(col("vec_id") > nCentroids)
     val queries = (50 to 69).map(_.toLong)
-    for (probes <- Seq(1, 2, 4)) {
+    val trained = Similarity.trainCentroids(data, "vec_id", "embedding", nCentroids, iters = 3)
+      .cache()
+    for ((centTable, label) <- Seq((centroids, "fixed"), (trained, "trained"));
+         probes <- Seq(1, 2, 4)) {
       val recalls = queries.map { q =>
         val query = emb.filter(col("vec_id") === q)
         val rest = data.filter(col("vec_id") =!= q)
         val brute = Similarity.cosineTopK(rest, "vec_id", "embedding", query, k)
           .collect().map(_.getLong(0)).toSet
         val ivf = Similarity.ivfTopK(rest, "vec_id", "embedding",
-          centroids, "vec_id", query, k, probes).collect().map(_.getLong(0)).toSet
+          centTable, "vec_id", query, k, probes).collect().map(_.getLong(0)).toSet
         brute.intersect(ivf).size.toDouble / k
       }
-      println(f"IVF recall@$k over ${queries.size} queries, $nCentroids centroids, $probes probe(s): " +
+      println(f"IVF recall@$k, $nCentroids $label centroids, $probes probe(s): " +
         f"mean=${recalls.sum / recalls.size}%.3f min=${recalls.min}%.2f max=${recalls.max}%.2f")
     }
     spark.stop()

@@ -76,6 +76,53 @@ object Similarity {
       .filter(col("cos_sim") > minCos)
   }
 
+  /** Lloyd's k-means over the embedding column, pure DataFrame ops:
+    * seed with `k` deterministic rows, then iterate assign (broadcast
+    * centroid cross-join + argmax cosine) → re-center (positional explode,
+    * per-(cluster, dim) mean, re-assemble). Each iteration is two shuffles
+    * regardless of corpus size; centroids stay driver-side (k × dims
+    * doubles). Returns (centroid_id, vec) for [[ivfTopK]].
+    */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    var centroids: Seq[(Long, Seq[Float])] = df
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toSeq) }.toSeq
+
+    for (_ <- 0 until iters) {
+      val cent = broadcast(centroids.toDF("_cid", "_cvec")
+        .select(col("_cid"), col("_cvec").cast("array<float>").as("_cvec")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_aid").orderBy(desc("_sim"), asc("_cid"))
+      val assigned = df.select(col(idCol).as("_aid"), col(vecCol).as("_avec"))
+        .crossJoin(cent)
+        .select(col("_aid"), col("_avec"), col("_cid"),
+          cosine(col("_avec"), col("_cvec")).as("_sim"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+      // re-center: positional mean per (cluster, dim)
+      val means = assigned
+        .select(col("_cid"), posexplode(col("_avec")).as(Seq("_pos", "_x")))
+        .groupBy("_cid", "_pos")
+        .agg(avg(col("_x")).as("_mean"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq)
+        }
+      // keep a centroid's previous position if its cluster went empty
+      centroids = centroids.map { case (cid, prev) => (cid, means.getOrElse(cid, prev)) }
+    }
+    centroids.toDF(idCol, vecCol)
+      .select(col(idCol), col(vecCol).cast("array<float>").as(vecCol))
+  }
+
   /** IVF probe: centroid table (tiny, broadcast) → assign every vector to
     * its nearest centroid by cosine → search only the query's `probes`
     * nearest clusters. Returns the top-k of the probed clusters.

@@ -94,6 +94,22 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.forall(_ <= 10)) // all from the +1 cluster
   }
 
+  test("trainCentroids separates an easy two-cluster layout; 1-probe IVF = brute force") {
+    val vecs = (1L to 10L).map(i => (i, Seq(1.0f, (i * 0.01).toFloat))) ++
+      (11L to 20L).map(i => (i, Seq(-1.0f, (i * 0.01).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val trained = Similarity.trainCentroids(df, "vec_id", "embedding", k = 2, iters = 3)
+    val cents = trained.collect().map(_.getSeq[Float](1).head)
+    assert(cents.exists(_ > 0.5) && cents.exists(_ < -0.5)) // one per cluster
+
+    val query = Seq((0L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val brute = Similarity.cosineTopK(df, "vec_id", "embedding", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", trained, "vec_id", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == brute)
+  }
+
   test("sign-LSH near-dup pairs stay within buckets") {
     val df = Seq(
       (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.9f, 1.1f)), // same bucket "11", similar

@@ -98,6 +98,17 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
       .parquet(path(table))
   }
 
+  /** Register every maintained table as a temp view (plus the graft UDFs),
+    * so the whole surface is queryable from `spark.sql` — the "point the
+    * indexer API at the same database" usage mode of the reference. */
+  def createViews(prefix: String = ""): Unit = {
+    TableStore.Schemas.keys.foreach { t =>
+      val df = if (t == "txn" || t == "txn_participation" || t == "block_header") read(t) else readState(t)
+      df.createOrReplaceTempView(prefix + t)
+    }
+    graft.functions.GraftFunctions.register(spark)
+  }
+
   // ── Metastate (KV) ─────────────────────────────────────────────────
 
   private def metastatePath = Paths.get(s"$root/metastate.json")

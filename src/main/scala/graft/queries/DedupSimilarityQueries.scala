@@ -208,6 +208,30 @@ object DedupSimilarityQueries {
         meta.join(feats, "media_id").orderBy("media_id")
     },
 
+    // ── Winnowing fingerprint set (char 8-grams, window 4): min-hash per
+    //    sliding position window, deduped — window FRAMES (ROWS BETWEEN)
+    //    on both engines. ──────────────────────────────────────────────
+    QueryDef.sql(
+      "text_winnow_fingerprint",
+      """WITH p AS (SELECT doc_id, text,
+        |             unnest(range(1, greatest(length(text) - 6, 1))) AS i
+        |           FROM documents WHERE length(text) >= 8),
+        |h AS (SELECT doc_id, i, md5(substr(text, i, 8)) AS h,
+        |        length(text) - 7 AS n FROM p),
+        |w AS (SELECT doc_id, i, n,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |      FROM h)
+        |SELECT doc_id, list_sort(list_distinct(list(wmin))) AS fingerprints
+        |FROM w WHERE i - 1 <= greatest(n - 4, 0)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        TextOps.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
+          k = 8, window = 4)
+          .select(col("doc").as("doc_id"), col("fingerprints"))
+          .orderBy("doc_id")
+    },
+
     // ── Rolling-hash document fingerprint (char 8-grams). ──────────────
     QueryDef.sql(
       "text_rolling_fingerprint",

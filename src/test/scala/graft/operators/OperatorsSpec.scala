@@ -145,6 +145,20 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(f.sum - 1.0) < 1e-9) // L1-normalized histogram
   }
 
+  test("winnowing fingerprints: local (shared content ⇒ shared prints), windows complete") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val shifted = "PREFIX " + base // same content, shifted positions
+    val other = "completely unrelated text with different character content entirely here"
+    val df = docs((1L, base), (2L, shifted), (3L, other), (4L, "tiny"))
+    val fp = TextOps.winnowingFingerprints(df, "doc_id", "text", k = 8, window = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    // winnowing selects LOCAL minima: a shifted copy shares most fingerprints
+    val overlap = fp(1L).intersect(fp(2L)).size.toDouble / fp(1L).size
+    assert(overlap > 0.8, s"overlap $overlap")
+    assert(fp(1L).intersect(fp(3L)).isEmpty)
+    assert(!fp.contains(4L)) // shorter than one k-gram: no fingerprints
+  }
+
   test("rolling fingerprint: deterministic, shift-sensitive, short-text NULL") {
     val df = docs((1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "zbcdefghij"), (4L, "short"))
       .select(col("doc_id"), TextOps.rollingFingerprint(col("text"), 8).as("fp"))

@@ -229,6 +229,17 @@ class QueryApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](Api.getBlock(store, 99))
   }
 
+  test("createViews: the maintained tables answer spark.sql with graft UDFs") {
+    store.createViews()
+    val row = spark.sql(
+      """SELECT t.round, t.intra, graft_typeenum_name(CAST(t.typeenum AS INT)) AS tname
+        |FROM txn_participation p
+        |JOIN txn t ON p.round = t.round AND p.intra = t.intra
+        |ORDER BY t.round DESC, t.intra DESC LIMIT 1""".stripMargin).head()
+    assert(row.getAs[Long]("round") == 3 && row.getAs[String]("tname") == "pay")
+    assert(spark.sql("SELECT count(*) FROM account").head().getLong(0) == 3)
+  }
+
   test("health reports max accounted round and network") {
     val h = Api.health(store)
     assert(h.maxRoundAccounted.contains(3L))

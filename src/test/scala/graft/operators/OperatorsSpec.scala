@@ -121,6 +121,29 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("id_a") == 1 && pairs.head.getAs[Long]("id_b") == 2)
   }
 
+  test("salted join and salted agg: identical results to the plain forms on skewed data") {
+    // 90% of rows share one key — the hot-key shape salting exists for
+    val big = ((1 to 900).map(_ => (1L, "hot")) ++ (1 to 100).map(i => (i.toLong % 7 + 2, s"v$i")))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"),
+      (5L, "five"), (6L, "six"), (7L, "seven"), (8L, "eight")).toDF("k", "name")
+
+    val plain = big.join(dim, Seq("k")).groupBy("k", "name").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), factor = 8)
+      .groupBy("k", "name").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == plain)
+
+    val plainAgg = big.groupBy("k").agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("len"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val saltedAgg = Skew.saltedAgg(big, Seq("k"), factor = 8,
+      partial = Seq(count(lit(1)).as("n"), sum(length(col("payload"))).as("len")),
+      combine = Seq(sum("n").as("n"), sum("len").as("len")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(saltedAgg == plainAgg)
+  }
+
   test("multimodal: decode schema, deterministic stub, frame sampling, features") {
     val media = docs((1L, "hello world"), (2L, "x")).select(
       col("doc_id"), encode(col("text"), "UTF-8").as("blob"))

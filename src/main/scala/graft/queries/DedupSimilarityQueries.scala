@@ -222,13 +222,17 @@ object DedupSimilarityQueries {
         |        min(h) OVER (PARTITION BY doc_id ORDER BY i
         |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
         |      FROM h)
-        |SELECT doc_id, list_sort(list_distinct(list(wmin))) AS fingerprints
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(list(wmin))), ',') AS fingerprints
         |FROM w WHERE i - 1 <= greatest(n - 4, 0)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
       (s, d) =>
+        // scalar (comma-joined) output: array-valued result columns risk
+        // stringification mismatches in hash-compare harnesses
         TextOps.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
           k = 8, window = 4)
-          .select(col("doc").as("doc_id"), col("fingerprints"))
+          .select(col("doc").as("doc_id"),
+            concat_ws(",", col("fingerprints")).as("fingerprints"))
           .orderBy("doc_id")
     },
 

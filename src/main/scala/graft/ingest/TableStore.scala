@@ -107,6 +107,7 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
       df.createOrReplaceTempView(prefix + t)
     }
     graft.functions.GraftFunctions.register(spark)
+    graft.expressions.VectorExpressions.register(spark)
   }
 
   // ── Metastate (KV) ─────────────────────────────────────────────────

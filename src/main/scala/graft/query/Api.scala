@@ -244,7 +244,7 @@ object Api {
       .select(col("round").as("i_round"), rootIntra.as("i_root_intra"))
       .distinct()
     val convertedRoots = roots.join(
-      inner,
+      broadcastIfSmall(inner),
       roots("round") === inner("i_round") && roots("intra") === inner("i_root_intra"),
       "left_semi")
     txns.filter(col("txid").isNotNull).unionByName(convertedRoots).distinct()

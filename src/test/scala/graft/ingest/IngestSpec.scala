@@ -134,5 +134,12 @@ class IngestSpec extends SparkSpec {
     assert(r.getAs[Long]("created_at") == 0)
     assert(r.getAs[Long]("closed_at") == 1)
     assert(r.getAs[String]("account_data") == "null")
+
+    // IncludeDeleted toggles tombstone visibility (idb.go:264-266)
+    val (visible, _) = graft.query.Api.accounts(store, graft.query.Api.AccountQueryOptions())
+    assert(visible.count() == 0)
+    val (all2, _) = graft.query.Api.accounts(store,
+      graft.query.Api.AccountQueryOptions(includeDeleted = true))
+    assert(all2.count() == 1)
   }
 }

@@ -102,6 +102,32 @@ class CodecSpec extends AnyFunSuite {
     assert(CanonicalJson.parse(CanonicalJson.render(JInt(max))).bigInt == max)
   }
 
+  test("canonical JSON fuzz: random value trees survive render∘parse∘render") {
+    val r = rnd
+    def randVal(depth: Int): JVal = {
+      val choice = if (depth > 3) r.nextInt(4) else r.nextInt(6)
+      choice match {
+        case 0 => JNull
+        case 1 => JBool(r.nextBoolean())
+        case 2 =>
+          if (r.nextBoolean()) JInt(BigInt(r.nextLong()).abs + (BigInt(1) << 62))
+          else JInt(BigInt(r.nextInt()))
+        case 3 => JStr(r.alphanumeric.take(r.nextInt(12)).mkString +
+          (if (r.nextInt(4) == 0) "\"\\\n\t√" else ""))
+        case 4 => JArr(Vector.fill(r.nextInt(4))(randVal(depth + 1)))
+        case 5 => JObj(scala.collection.immutable.TreeMap(
+          Seq.fill(r.nextInt(4))(r.alphanumeric.take(5).mkString -> randVal(depth + 1)): _*))
+      }
+    }
+    for (_ <- 1 to 300) {
+      val v = randVal(0)
+      val rendered = CanonicalJson.render(v)
+      val reparsed = CanonicalJson.parse(rendered)
+      assert(CanonicalJson.render(reparsed) == rendered)
+      assert(reparsed == v)
+    }
+  }
+
   // ── canonical msgpack (G4 substrate) ───────────────────────────────
 
   test("msgpack is deterministic and sorted") {

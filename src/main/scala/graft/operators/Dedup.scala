@@ -40,22 +40,19 @@ object Dedup {
 
   /** MinHash signatures as a DataFrame: (id, sig array<string>).
     *
-    * Aggregation form: explode the shingles ONCE per document (the
-    * tokenizer runs once per row, not per window×seed), then k codegen'd
-    * `min(md5(seed ‖ shingle))` aggregates with map-side partials — one
-    * shuffle on the doc id, whole-stage codegen throughout. Documents with
-    * no shingles keep a NULL signature (explode_outer). */
+    * Narrow form: the whole signature is ONE codegen'd expression
+    * ([[graft.expressions.MinHashSig]]) evaluated per row — no explode, no
+    * aggregation, no shuffle. The earlier explode+`min(md5…)` aggregation
+    * form forced SortAggregate (string agg buffers aren't
+    * HashAggregate-able), i.e. a full sort of the exploded shingle frame;
+    * per-row evaluation removes that sort AND the exchange entirely.
+    * Documents with no shingles (fewer than `n` tokens, or NULL text) keep
+    * a NULL signature — same contract as before. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int): DataFrame = {
-    val ex = df.select(col(idCol).as("doc"),
-      explode_outer(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("s"))
-    val mins = (0 until k).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("s")))).as(s"m$i"))
-    ex.groupBy("doc").agg(mins.head, mins.tail: _*)
-      .select(col("doc"),
-        when(col("m0").isNotNull, array((0 until k).map(i => col(s"m$i")): _*))
-          .otherwise(lit(null)).as("sig"))
-  }
+                        n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      graft.expressions.MinHashExpressions
+        .minhashSig(TextOps.tokens(col(textCol)), n, k).as("sig"))
 
   /** LSH band hashes: `bands` bands of `rowsPerBand` signature rows each;
     * band b hashes the concatenation of its rows. Documents sharing ANY
@@ -76,12 +73,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-
     // Band frame carries ONLY (doc, band_idx, band_hash): the shingle
     // arrays must NOT ride through the bucket shuffles and the pair join —
     // measured 30× slower when they do. They are joined back per pair side
-    // at the end (one narrow join each).
+    // at the end (one narrow join each; AQE broadcasts the small pair
+    // frame, so the shingle sets never shuffle).
     val withBands = minhashSignatures(df, idCol, textCol, shingleN, k)
       .filter(col("sig").isNotNull)
       .select(col("doc"),
@@ -103,7 +99,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
 
     val shd = df.select(col(idCol).as("doc"),
-      array_distinct(TextOps.shingles(toks, shingleN)).as("shd"))
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
+        .as("shd"))
     pairs
       .join(shd.select(col("doc").as("doc_a"), col("shd").as("sh_a")), Seq("doc_a"))
       .join(shd.select(col("doc").as("doc_b"), col("shd").as("sh_b")), Seq("doc_b"))

@@ -45,28 +45,18 @@ object TextOps {
 
   /** Winnowing fingerprint set (Schleimer et al.): hash the char k-grams,
     * take the min hash of every `window`-sized sliding window of positions,
-    * dedupe — the classic local document fingerprint. DataFrame form
-    * (explode + a ROWS-frame window min) so it is codegen'd and has an
-    * exact SQL equivalent on both engines; returns (id, fingerprints
-    * array<string> sorted). */
+    * dedupe — the classic local document fingerprint. Evaluated per row by
+    * the codegen'd [[graft.expressions.WinnowFingerprint]] (no explode, no
+    * window shuffle/sort — the earlier relational form exploded |text| rows
+    * per document and sorted them twice). Returns (id, fingerprints
+    * array<string> sorted); documents with no k-gram are absent, matching
+    * the relational form where they simply had no rows. */
   def winnowingFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-                            k: Int, window: Int): org.apache.spark.sql.DataFrame = {
-    val hashes = df.select(col(idCol).as("doc"),
-      posexplode(charShingles(col(textCol), k)).as(Seq("pos", "s")))
-      .select(col("doc"), col("pos"), md5(col("s")).as("h"))
-    val frame = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc").orderBy("pos")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, window - 1)
-    hashes
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc")))
-      .withColumn("wmin", min("h").over(frame))
-      // complete windows only (pos ≤ n - window); docs shorter than one
-      // window keep their single global-min fingerprint (pos 0)
-      .filter(col("pos") <= greatest(col("_n") - window, lit(0)))
-      .groupBy("doc")
-      .agg(array_sort(array_distinct(collect_list("wmin"))).as("fingerprints"))
-  }
+                            k: Int, window: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc"),
+      graft.expressions.WinnowExpressions
+        .winnowFingerprint(col(textCol), k, window).as("fingerprints"))
+      .filter(col("fingerprints").isNotNull)
 
   /** Marker-based language id (SURVEY-mandated heuristic: n-gram stats
     * degenerate on synthetic corpora, function-word markers don't). */

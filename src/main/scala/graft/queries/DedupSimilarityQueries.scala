@@ -38,7 +38,7 @@ object DedupSimilarityQueries {
          |            FROM (SELECT doc_id, $DuckToks AS ws FROM documents)))
          |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3, 8)
+        Dedup.minhashSignatures(QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text", 3, 8)
           .select(col("doc").as("doc_id"),
             when(col("sig").isNotNull,
               concat_ws(",", Dedup.bandHashes(col("sig"), 4, 2)))
@@ -65,7 +65,7 @@ object DedupSimilarityQueries {
          |FROM p JOIN shd x ON x.doc_id = p.doc_a JOIN shd y ON y.doc_id = p.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin) {
       (s, d) =>
-        Dedup.lshCandidatePairs(Tables.documents(s, d), "doc_id", "text",
+        Dedup.lshCandidatePairs(QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text",
           shingleN = 3, k = 8, bands = 4)
           .orderBy("doc_a", "doc_b")
     },
@@ -92,7 +92,7 @@ object DedupSimilarityQueries {
            |ORDER BY doc_id""".stripMargin
       }) {
       (s, d) =>
-        Dedup.simhash16(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")
+        Dedup.simhash16(QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text").orderBy("doc_id")
     },
 
     // ── n-gram Jaccard similarity scan vs a query document. ────────────
@@ -106,7 +106,7 @@ object DedupSimilarityQueries {
          |ORDER BY jaccard DESC, doc_id LIMIT 20""".stripMargin) {
       (s, d) =>
         val shd = array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
-        val docs = Tables.documents(s, d).select(col("doc_id"), shd.as("shd"))
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d)).select(col("doc_id"), shd.as("shd"))
         val q = docs.filter(col("doc_id") === 0).select(col("shd").as("qsh"))
         docs.filter(col("doc_id") =!= 0)
           .crossJoin(broadcast(q))
@@ -229,7 +229,7 @@ object DedupSimilarityQueries {
       (s, d) =>
         // scalar (comma-joined) output: array-valued result columns risk
         // stringification mismatches in hash-compare harnesses
-        TextOps.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text",
+        TextOps.winnowingFingerprints(QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text",
           k = 8, window = 4)
           .select(col("doc").as("doc_id"),
             concat_ws(",", col("fingerprints")).as("fingerprints"))

@@ -33,4 +33,16 @@ object QueryDef {
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
       org.apache.spark.sql.functions.broadcast(df)
     else df
+
+  /** Fan a narrow scan out to the full core count before CPU-dense per-row
+    * work (per-gram digests, signature loops). A small single-row-group
+    * parquet file is ONE unsplittable task, so without this the hash mill
+    * runs on one core while 31 idle. Gated on the actual scan partition
+    * count: a production table already arrives in many splits, the gate
+    * doesn't fire, and no corpus-wide shuffle is ever introduced.
+    */
+  def fanOutIfNarrow(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 }

@@ -50,6 +50,13 @@ object BlockIngest {
   def applyBlocks(store: TableStore, blocksJson: Dataset[String]): Unit = {
     val spark = store.spark
     import spark.implicits._
+    val timing = sys.env.contains("GRAFT_INGEST_TIMING")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[ingest-timing] $phase: ${(now - tMark) / 1e9}%.2f s")
+      tMark = now
+    }
 
     val ds = blocksJson.cache()
     try {
@@ -61,6 +68,7 @@ object BlockIngest {
         val b = BlockCodec.blockFromJson(s)
         (b.round, BlockTransforms.specialAccountsJson(b))
       }.collect().toSeq
+      mark("prepass")
       val fresh = orderingGuard(roundInfo.map(_._1), next)
       if (fresh.isEmpty) return
       val lastRound = fresh.last
@@ -78,6 +86,44 @@ object BlockIngest {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = BlockIngest.ingestPool
 
+      // (table, keys, payload, delta builder, keytype col, hard delete?)
+      val mergeDefs: Seq[(String, Seq[String], Seq[String], () => DataFrame,
+          Option[(String, String)], Boolean)] = Seq(
+        ("account", Seq("addr"),
+          Seq("microalgos", "rewardsbase", "rewards_total", "account_data"),
+          () => freshDs.flatMap(s => DeltaTransforms.accountDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
+          Some(("ktPresent", "keytype")), false),
+        ("asset", Seq("id"), Seq("creator_addr", "params"),
+          () => freshDs.flatMap(s => DeltaTransforms.assetDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
+          None, false),
+        ("account_asset", Seq("addr", "assetid"), Seq("amount", "frozen"),
+          () => freshDs.flatMap(s => DeltaTransforms.accountAssetDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
+          None, false),
+        ("app", Seq("id"), Seq("creator", "params"),
+          () => freshDs.flatMap(s => DeltaTransforms.appDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
+          None, false),
+        ("account_app", Seq("addr", "app"), Seq("localstate"),
+          () => freshDs.flatMap(s => DeltaTransforms.accountAppDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
+          None, false),
+        ("app_box", Seq("app", "name"), Seq("value"),
+          () => freshDs.flatMap(s => DeltaTransforms.appBoxDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
+          None, true))
+
+      // ONE job computes every merge's touched-bucket set (previously one
+      // distinct+collect job per table): union the per-table key-hash
+      // projections, tagged by table name. Tables absent from the result
+      // have no deltas this batch and are skipped entirely.
+      val touchedAll: Map[String, Seq[Int]] = mergeDefs
+        .map { case (t, keys, _, mkDeltas, _, _) =>
+          mkDeltas().select(lit(t).as("t"),
+            pmod(xxhash64(col(keys.head)), lit(store.nBuckets)).cast("int").as("b"))
+        }
+        .reduce(_ union _)
+        .distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (t, rows) => t -> rows.map(_.getInt(1)).toSeq }
+      mark("touched-union")
+
       val writes = Seq(
         Future {
           store.appendByRound("txn",
@@ -90,42 +136,19 @@ object BlockIngest {
         Future {
           store.appendByRound("block_header",
             conform(freshDs.map(s => BlockTransforms.headerRow(BlockCodec.blockFromJson(s))).toDF(), "block_header"))
-        },
-        Future {
-          mergeSoft(store, "account", Seq("addr"),
-            Seq("microalgos", "rewardsbase", "rewards_total", "account_data"),
-            freshDs.flatMap(s => DeltaTransforms.accountDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
-            ktCol = Some(("ktPresent", "keytype")))
-        },
-        Future {
-          mergeSoft(store, "asset", Seq("id"),
-            Seq("creator_addr", "params"),
-            freshDs.flatMap(s => DeltaTransforms.assetDeltaRows(BlockCodec.blockFromJson(s))).toDF())
-        },
-        Future {
-          mergeSoft(store, "account_asset", Seq("addr", "assetid"),
-            Seq("amount", "frozen"),
-            freshDs.flatMap(s => DeltaTransforms.accountAssetDeltaRows(BlockCodec.blockFromJson(s))).toDF())
-        },
-        Future {
-          mergeSoft(store, "app", Seq("id"),
-            Seq("creator", "params"),
-            freshDs.flatMap(s => DeltaTransforms.appDeltaRows(BlockCodec.blockFromJson(s))).toDF())
-        },
-        Future {
-          mergeSoft(store, "account_app", Seq("addr", "app"),
-            Seq("localstate"),
-            freshDs.flatMap(s => DeltaTransforms.accountAppDeltaRows(BlockCodec.blockFromJson(s))).toDF())
-        },
-        Future {
-          mergeHard(store, "app_box", Seq("app", "name"), Seq("value"),
-            freshDs.flatMap(s => DeltaTransforms.appBoxDeltaRows(BlockCodec.blockFromJson(s))).toDF())
-        })
+        }) ++ mergeDefs.flatMap { case (t, keys, payload, mkDeltas, ktCol, hard) =>
+          touchedAll.get(t).map(touched => Future {
+            if (hard) mergeHard(store, t, keys, payload, mkDeltas(), touched)
+            else mergeSoft(store, t, keys, payload, mkDeltas(), touched, ktCol)
+          })
+        }
       Await.result(Future.sequence(writes), Duration.Inf)
+      mark("writes")
 
       // B7 + watermark bump — the single commit point of the micro-batch.
       store.putMetastate(TableStore.MetaSpecialAccounts -> specialAccounts)
       store.setNextRound(lastRound + 1)
+      freshDs.unpersist()
     } finally ds.unpersist()
   }
 
@@ -156,7 +179,8 @@ object BlockIngest {
       AccountRow(addr, algos, 0, 0, deleted = false, created_at = 0,
         closed_at = None, keytype = None, account_data = Some(data))
     }
-    val accountDf = conform(rows.toDF(), "account").localCheckpoint(true)
+    // fresh table, nothing read — no lineage hazard, write directly
+    val accountDf = conform(rows.toDF(), "account")
     val touched = (0 until store.nBuckets).toSeq
     store.writeStateBuckets("account", "addr", accountDf, touched)
     store.putMetastate(TableStore.MetaNetwork -> network)
@@ -172,33 +196,25 @@ object BlockIngest {
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
+  // Single Spark job each: read the touched buckets, merge, write to
+  // staging, swap (writeStateBuckets) — the old localCheckpoint
+  // materialization job is gone; staging severs the read-own-write hazard.
   private def mergeSoft(
       store: TableStore, table: String, keys: Seq[String], payload: Seq[String],
-      deltas: DataFrame, ktCol: Option[(String, String)] = None): Unit = {
-    // one job: the touched-bucket set doubles as the emptiness check
-    val touched = deltas
-      .select(pmod(xxhash64(col(keys.head)), lit(store.nBuckets)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+      deltas: DataFrame, touched: Seq[Int],
+      ktCol: Option[(String, String)] = None): Unit = {
     if (touched.isEmpty) return
     val state = store.readStateBuckets(table, touched)
     val merged = StateMerge.mergeSoftDelete(state, deltas, keys, payload, ktCol)
-    // Sever lineage before overwriting the partitions we just read.
-    // (Production on a real cluster: transactional table format or
-    // write-to-staging + swap; localCheckpoint is the local-mode analogue.)
-    val pinned = conform(merged, table).localCheckpoint(true)
-    store.writeStateBuckets(table, keys.head, pinned, touched)
+    store.writeStateBuckets(table, keys.head, conform(merged, table), touched)
   }
 
   private def mergeHard(
       store: TableStore, table: String, keys: Seq[String], payload: Seq[String],
-      deltas: DataFrame): Unit = {
-    val touched = deltas
-      .select(pmod(xxhash64(col(keys.head)), lit(store.nBuckets)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+      deltas: DataFrame, touched: Seq[Int]): Unit = {
     if (touched.isEmpty) return
     val state = store.readStateBuckets(table, touched)
     val merged = StateMerge.mergeHardDelete(state, deltas, keys, payload)
-    val pinned = conform(merged, table).localCheckpoint(true)
-    store.writeStateBuckets(table, keys.head, pinned, touched)
+    store.writeStateBuckets(table, keys.head, conform(merged, table), touched)
   }
 }

@@ -76,26 +76,42 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     else df.filter(col("bkt").isin(buckets: _*)).drop("bkt")
   }
 
-  /** Replace the given buckets with the merged content. Dynamic partition
-    * overwrite cannot clear a bucket whose merge result is empty (a hard
-    * delete emptying a bucket would silently survive), so the touched
-    * bucket directories are removed first, then the merge output is
-    * appended. Callers must have materialized `merged` (localCheckpoint)
-    * before this runs. */
+  /** Replace the given buckets with the merged content: stage-then-swap.
+    *
+    * The merge plan READS the buckets it replaces, so the output is first
+    * written to a staging directory (one Spark job — the old files stay
+    * untouched while the job reads them), then each touched `bkt=N` dir is
+    * swapped in with filesystem renames. This both severs the
+    * read-own-write hazard without a localCheckpoint materialization job
+    * and clears buckets whose merge result is empty (dynamic partition
+    * overwrite could not — an emptied bucket would silently survive).
+    * The `_staging` prefix keeps Spark's file index blind to in-flight
+    * output. Production analogue: a transactional table format's
+    * write-to-staging + metadata swap.
+    */
   def writeStateBuckets(table: String, keyCol: String, merged: DataFrame, touched: Seq[Int]): Unit = {
+    val staging = s"${path(table)}/_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    merged
+      .withColumn("bkt", bucketOf(keyCol))
+      .write
+      .mode("overwrite")
+      .partitionBy("bkt")
+      .parquet(staging)
     touched.foreach { b =>
       val dir = Paths.get(s"${path(table)}/bkt=$b")
       if (Files.exists(dir)) {
         Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(Files.delete)
       }
+      val src = Paths.get(s"$staging/bkt=$b")
+      if (Files.exists(src)) Files.move(src, dir, StandardCopyOption.ATOMIC_MOVE)
     }
-    merged
-      .withColumn("bkt", bucketOf(keyCol))
-      .write
-      .mode("append")
-      .partitionBy("bkt")
-      .parquet(path(table))
+    // remove staging leftovers (_SUCCESS, empty dir)
+    val sdir = Paths.get(staging)
+    if (Files.exists(sdir)) {
+      Files.walk(sdir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
   }
 
   /** Register every maintained table as a temp view (plus the graft UDFs),

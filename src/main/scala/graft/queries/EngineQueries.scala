@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object EngineQueries {
 
-  private def addr(i: Int): String = Codecs.addressEncode(
+  def addr(i: Int): String = Codecs.addressEncode(
     Array.tabulate(32)(j => ((i * 31 + j * 7) % 251).toByte))
 
   /** Deterministic chain: `rounds` rounds × `txnsPerRound` pay/axfer txns

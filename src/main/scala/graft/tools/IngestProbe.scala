@@ -1,0 +1,35 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import graft.ingest._
+import graft.codec.BlockCodec
+import graft.queries.EngineQueries
+object IngestProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup
+    spark.range(10).count()
+    for (i <- 1 to 2) {
+      val root = java.nio.file.Files.createTempDirectory("graft-probe").toString
+      val store = new TableStore(spark, root, nBuckets = 8)
+      var t0 = System.nanoTime()
+      BlockIngest.initGenesis(store,
+        (0 until 40).map(i => (EngineQueries.addr(i), 1000000L, "{}")), network = "graft-bench")
+      println(f"[probe] genesis: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      import spark.implicits._
+      val blocks = EngineQueries.syntheticBlocks(rounds = 12, txnsPerRound = 20)
+      t0 = System.nanoTime()
+      BlockIngest.applyBlocks(store, spark.createDataset(blocks.map(BlockCodec.blockToJson)))
+      println(f"[probe] applyBlocks: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      t0 = System.nanoTime()
+      val (txns, _) = graft.query.Api.transactions(store, graft.query.Api.TransactionFilter(
+        address = Some(EngineQueries.addr(1)), limit = Some(500)))
+      txns.count()
+      println(f"[probe] read query: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

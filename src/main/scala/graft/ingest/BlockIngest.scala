@@ -58,14 +58,23 @@ object BlockIngest {
       tMark = now
     }
 
-    val ds = blocksJson.cache()
+    // Parse each block's JSON exactly ONCE, into deserialized JVM objects
+    // pinned in executor memory (spill-serialized under pressure). Every
+    // downstream job — 3 appends, the touched-bucket union, 6 merges —
+    // flatMaps over these objects instead of re-parsing the JSON, so the
+    // parse cost is paid once per block regardless of how many tables the
+    // batch fans out to. This is the one deliberate RDD in the engine:
+    // Dataset caching would re-deserialize (or re-parse) per use; an RDD
+    // MEMORY(_AND_DISK) cache holds the live objects.
+    val all: org.apache.spark.rdd.RDD[Block] = blocksJson.rdd
+      .map(BlockCodec.blockFromJson)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val next = store.nextRound
-      // One pre-pass job collects everything the driver needs: rounds for
-      // the ordering guard AND the special-accounts doc of the newest block
-      // (avoids a second parse-everything job at the end of the batch).
-      val roundInfo = ds.map { s =>
-        val b = BlockCodec.blockFromJson(s)
+      // One pre-pass job collects everything the driver needs (and
+      // materializes the cache): rounds for the ordering guard AND the
+      // special-accounts doc of the newest block.
+      val roundInfo = all.map { b =>
         (b.round, BlockTransforms.specialAccountsJson(b))
       }.collect().toSeq
       mark("prepass")
@@ -74,7 +83,15 @@ object BlockIngest {
       val lastRound = fresh.last
       val specialAccounts = roundInfo.filter(_._1 == lastRound).head._2
 
-      val freshDs = ds.filter(s => BlockCodec.blockFromJson(s).round >= next).cache()
+      // Narrow re-read of the cache; partition count sized to the batch so
+      // small micro-batches don't schedule defaultParallelism mostly-empty
+      // tasks in every one of the ~10 downstream jobs. Only ever shrinks —
+      // a large backfill batch keeps the source's full parallelism.
+      val k = math.max(1, math.min(fresh.size, all.getNumPartitions))
+      val blocks = all.filter(_.round >= next).coalesce(k)
+      def deltaDf[T <: Product : org.apache.spark.sql.Encoder : scala.reflect.ClassTag](
+          f: Block => Seq[T]): DataFrame =
+        spark.createDataset(blocks.flatMap(f)).toDF()
 
       // The reference runs the txn/participation COPY concurrently with the
       // state-upsert batch (cockroach.go:167-199). Same here: each append
@@ -91,23 +108,18 @@ object BlockIngest {
           Option[(String, String)], Boolean)] = Seq(
         ("account", Seq("addr"),
           Seq("microalgos", "rewardsbase", "rewards_total", "account_data"),
-          () => freshDs.flatMap(s => DeltaTransforms.accountDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
+          () => deltaDf(DeltaTransforms.accountDeltaRows),
           Some(("ktPresent", "keytype")), false),
         ("asset", Seq("id"), Seq("creator_addr", "params"),
-          () => freshDs.flatMap(s => DeltaTransforms.assetDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
-          None, false),
+          () => deltaDf(DeltaTransforms.assetDeltaRows), None, false),
         ("account_asset", Seq("addr", "assetid"), Seq("amount", "frozen"),
-          () => freshDs.flatMap(s => DeltaTransforms.accountAssetDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
-          None, false),
+          () => deltaDf(DeltaTransforms.accountAssetDeltaRows), None, false),
         ("app", Seq("id"), Seq("creator", "params"),
-          () => freshDs.flatMap(s => DeltaTransforms.appDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
-          None, false),
+          () => deltaDf(DeltaTransforms.appDeltaRows), None, false),
         ("account_app", Seq("addr", "app"), Seq("localstate"),
-          () => freshDs.flatMap(s => DeltaTransforms.accountAppDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
-          None, false),
+          () => deltaDf(DeltaTransforms.accountAppDeltaRows), None, false),
         ("app_box", Seq("app", "name"), Seq("value"),
-          () => freshDs.flatMap(s => DeltaTransforms.appBoxDeltaRows(BlockCodec.blockFromJson(s))).toDF(),
-          None, true))
+          () => deltaDf(DeltaTransforms.appBoxDeltaRows), None, true))
 
       // ONE job computes every merge's touched-bucket set (previously one
       // distinct+collect job per table): union the per-table key-hash
@@ -126,16 +138,15 @@ object BlockIngest {
 
       val writes = Seq(
         Future {
-          store.appendByRound("txn",
-            conform(freshDs.flatMap(s => BlockTransforms.flattenBlock(BlockCodec.blockFromJson(s))).toDF(), "txn"))
+          store.appendByRound("txn", conform(deltaDf(BlockTransforms.flattenBlock), "txn"))
         },
         Future {
           store.appendByRound("txn_participation",
-            conform(freshDs.flatMap(s => BlockTransforms.participationRows(BlockCodec.blockFromJson(s))).toDF(), "txn_participation"))
+            conform(deltaDf(BlockTransforms.participationRows), "txn_participation"))
         },
         Future {
           store.appendByRound("block_header",
-            conform(freshDs.map(s => BlockTransforms.headerRow(BlockCodec.blockFromJson(s))).toDF(), "block_header"))
+            conform(deltaDf(b => Seq(BlockTransforms.headerRow(b))), "block_header"))
         }) ++ mergeDefs.flatMap { case (t, keys, payload, mkDeltas, ktCol, hard) =>
           touchedAll.get(t).map(touched => Future {
             if (hard) mergeHard(store, t, keys, payload, mkDeltas(), touched)
@@ -148,8 +159,7 @@ object BlockIngest {
       // B7 + watermark bump — the single commit point of the micro-batch.
       store.putMetastate(TableStore.MetaSpecialAccounts -> specialAccounts)
       store.setNextRound(lastRound + 1)
-      freshDs.unpersist()
-    } finally ds.unpersist()
+    } finally all.unpersist()
   }
 
   /** EnsureInitialImport (helpers.go:11-48): first run seeds genesis;

@@ -16,6 +16,12 @@ object StorePlanProbe {
       spark.createDataset(graft.queries.EngineQueries.syntheticBlocks(6, 5).map(BlockCodec.blockToJson)))
     val (df, _) = Api.transactions(store, Api.TransactionFilter(minRound = Some(4), maxRound = Some(5)))
     df.explain("formatted")
+    // Point lookup: the account scan must carry PartitionFilters on the
+    // single bkt the address hashes to (driver-side bucketOfValue twin).
+    val addr = graft.queries.EngineQueries.addr(1)
+    println(s"--- account point lookup (addr bucket = ${store.bucketOfValue(addr)}) ---")
+    val (acct, _) = Api.accounts(store, Api.AccountQueryOptions(equalToAddress = Some(addr)))
+    acct.explain("formatted")
     spark.stop()
   }
 }

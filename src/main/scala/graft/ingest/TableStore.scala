@@ -76,6 +76,29 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     else df.filter(col("bkt").isin(buckets: _*)).drop("bkt")
   }
 
+  /** Driver-side twin of [[bucketOf]]: the bucket an exact key value lands
+    * in, computed by evaluating the same catalyst XxHash64 over a literal —
+    * bit-identical to the executor-side `xxhash64(col)` by construction
+    * (asserted in BucketPruneSpec). Lets a point lookup read ONE `bkt=N`
+    * partition instead of scanning all of them: at 100 TB / 4096 buckets
+    * the canonical account-by-address query touches 1/4096 of the table. */
+  def bucketOfValue(key: Any): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // Literal types must match the column types xxhash64 sees (LongType
+    // ids, StringType addrs): an Int key would hash on the 4-byte path.
+    val l = key match {
+      case i: Int => Literal(i.toLong)
+      case other => Literal(other)
+    }
+    val h = new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
+  /** Point-lookup read: just the single bucket `key` hashes to. The caller
+    * still applies the exact-key filter; the bucket only bounds the scan. */
+  def readStateKeyed(table: String, key: Any): DataFrame =
+    readStateBuckets(table, Seq(bucketOfValue(key)))
+
   /** Replace the given buckets with the merged content: stage-then-swap.
     *
     * The merge plan READS the buckets it replaces, so the output is first

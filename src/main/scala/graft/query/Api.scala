@@ -126,6 +126,15 @@ object Api {
 
   private def j(path: String): Column = get_json_object(col("txn"), path)
 
+  /** State-table read, bucket-pruned to the key's single `bkt=N` partition
+    * when the query carries an exact key on the table's bucketing column
+    * (the Spark analogue of the reference's primary-key index probe). */
+  private def stateFor(store: TableStore, table: String, key: Option[Any]): DataFrame =
+    key match {
+      case Some(k) => store.readStateKeyed(table, k)
+      case None => store.readState(table)
+    }
+
   // ── Transactions (idb.go:180-233) ──────────────────────────────────
 
   def transactions(store: TableStore, f: TransactionFilter): (DataFrame, Long) = {
@@ -263,7 +272,7 @@ object Api {
 
   def accounts(store: TableStore, q: AccountQueryOptions): (DataFrame, Long) = {
     val asOf = store.nextRound - 1
-    var acct = store.readState("account")
+    var acct = stateFor(store, "account", q.equalToAddress)
     if (!q.includeDeleted) acct = acct.filter(!col("deleted"))
     q.equalToAddress.foreach(a => acct = acct.filter(col("addr") === a))
     q.greaterThanAddress.foreach(a => acct = acct.filter(col("addr") > a))
@@ -339,7 +348,7 @@ object Api {
 
   def assets(store: TableStore, q: AssetsQuery): (DataFrame, Long) = {
     val asOf = store.nextRound - 1
-    var df = store.readState("asset")
+    var df = stateFor(store, "asset", q.assetId)
     if (!q.includeDeleted) df = df.filter(!col("deleted"))
     q.assetId.foreach(id => df = df.filter(col("id") === id))
     q.assetIdGreaterThan.foreach(id => df = df.filter(col("id") > id))
@@ -361,7 +370,7 @@ object Api {
 
   def assetBalances(store: TableStore, q: AssetBalanceQuery): (DataFrame, Long) = {
     val asOf = store.nextRound - 1
-    var df = store.readState("account_asset")
+    var df = stateFor(store, "account_asset", q.address)
     if (!q.includeDeleted) df = df.filter(!col("deleted"))
     q.assetId.foreach(id => df = df.filter(col("assetid") === id))
     q.assetIdGT.foreach(id => df = df.filter(col("assetid") > id))
@@ -378,7 +387,7 @@ object Api {
 
   def applications(store: TableStore, q: ApplicationQuery): (DataFrame, Long) = {
     val asOf = store.nextRound - 1
-    var df = store.readState("app")
+    var df = stateFor(store, "app", q.applicationId)
     if (!q.includeDeleted) df = df.filter(!col("deleted"))
     q.applicationId.foreach(id => df = df.filter(col("id") === id))
     q.applicationIdGreaterThan.foreach(id => df = df.filter(col("id") > id))
@@ -390,7 +399,7 @@ object Api {
 
   def appLocalState(store: TableStore, q: ApplicationQuery): (DataFrame, Long) = {
     val asOf = store.nextRound - 1
-    var df = store.readState("account_app")
+    var df = stateFor(store, "account_app", q.address)
     if (!q.includeDeleted) df = df.filter(!col("deleted"))
     q.applicationId.foreach(id => df = df.filter(col("app") === id))
     q.applicationIdGreaterThan.foreach(id => df = df.filter(col("app") > id))
@@ -404,7 +413,8 @@ object Api {
 
   def applicationBoxes(store: TableStore, q: ApplicationBoxQuery): (DataFrame, Long) = {
     val asOf = store.nextRound - 1
-    var df = store.readState("app_box").filter(col("app") === q.applicationId)
+    var df = store.readStateKeyed("app_box", q.applicationId)
+      .filter(col("app") === q.applicationId)
     q.boxName.foreach(n => df = df.filter(col("name") === lit(n)))
     q.prevFinalBox.foreach(p => df = df.filter(col("name") > lit(p)))
     if (q.omitValues) df = df.select("app", "name")

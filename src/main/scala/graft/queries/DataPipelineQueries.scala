@@ -112,6 +112,48 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Composite cleaning pipeline: language gate → quality gate →
+    //    exact dedup, one declarative plan (the operators compose without
+    //    materialization barriers: Catalyst fuses the gates into the scan
+    //    and only the dedup groupBy shuffles — one exchange total). ──
+    QueryDef.sql(
+      "pipeline_clean_corpus",
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, text, len(ws) AS n_tokens,
+        |    len(list_filter(ws, w -> w IN ('the','a','of','and'))) AS n_en,
+        |    round(CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / nullif(len(ws), 0), 4) AS sr
+        |  FROM toks),
+        |kept AS (
+        |  SELECT doc_id, text, n_tokens FROM feat
+        |  WHERE n_en >= 2 AND n_tokens >= 5 AND sr <= 0.5)
+        |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS group_size,
+        |  CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+        |  md5(text) AS content_hash
+        |FROM kept GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val (n, _, sr) = TextOps.qualityMetrics(col("ws"), stops)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), wordsCol.as("ws"))
+          .select(col("doc_id"), col("text"), n.as("n_tokens"),
+            TextOps.langIdEn(col("ws"), Seq("the", "a", "of", "and"), minHits = 2).as("plang"),
+            sr.as("sr"))
+          .filter(col("plang") === "en" && col("n_tokens") >= 5 && col("sr") <= 0.5)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min("doc_id").cast("long").as("doc_id"),
+            count(lit(1)).cast("long").as("group_size"),
+            min("n_tokens").cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("group_size"), col("n_tokens"), col("content_hash"))
+          .orderBy("doc_id")
+    },
+
     // ── Brute-force cosine top-k against a query vector (the ANN
     //    baseline; LSH-bucketed variant in graft.operators.Similarity).
     //    Query side is one broadcast row; scan side is one pass. ──

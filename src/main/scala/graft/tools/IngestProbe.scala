@@ -30,6 +30,22 @@ object IngestProbe {
       txns.count()
       println(f"[probe] read query: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
+    // Throughput sweep: per-batch fixed cost amortizes with batch size —
+    // blocks/sec is the metric that matters against the reference's
+    // block-at-a-time COPY pipeline.
+    for (rounds <- Seq(12, 60, 300)) {
+      val root = java.nio.file.Files.createTempDirectory("graft-probe-tp").toString
+      val store = new TableStore(spark, root, nBuckets = 8)
+      BlockIngest.initGenesis(store,
+        (0 until 40).map(i => (EngineQueries.addr(i), 1000000L, "{}")), network = "graft-bench")
+      import spark.implicits._
+      val blocks = EngineQueries.syntheticBlocks(rounds = rounds, txnsPerRound = 20)
+      val json = blocks.map(BlockCodec.blockToJson)
+      val t0 = System.nanoTime()
+      BlockIngest.applyBlocks(store, spark.createDataset(json))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] batch rounds=$rounds%4d (${rounds * 22} txn rows): $dt%.2f s = ${rounds / dt}%.1f blocks/s, ${rounds * 22 / dt}%.0f txn/s")
+    }
     spark.stop()
   }
 }

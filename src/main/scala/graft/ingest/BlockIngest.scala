@@ -136,29 +136,38 @@ object BlockIngest {
         .map { case (t, rows) => t -> rows.map(_.getInt(1)).toSeq }
       mark("touched-union")
 
-      val writes = Seq(
+      // Appends STAGE their files (invisible to readers) and report the
+      // file lists; state merges publish via bucket-dir swap as before.
+      val writes: Seq[Future[Option[(String, Seq[String])]]] = Seq(
         Future {
-          store.appendByRound("txn", conform(deltaDf(BlockTransforms.flattenBlock), "txn"))
+          Some("txn" -> store.stageAppend("txn", conform(deltaDf(BlockTransforms.flattenBlock), "txn")))
         },
         Future {
-          store.appendByRound("txn_participation",
-            conform(deltaDf(BlockTransforms.participationRows), "txn_participation"))
+          Some("txn_participation" -> store.stageAppend("txn_participation",
+            conform(deltaDf(BlockTransforms.participationRows), "txn_participation")))
         },
         Future {
-          store.appendByRound("block_header",
-            conform(deltaDf(b => Seq(BlockTransforms.headerRow(b))), "block_header"))
+          Some("block_header" -> store.stageAppend("block_header",
+            conform(deltaDf(b => Seq(BlockTransforms.headerRow(b))), "block_header")))
         }) ++ mergeDefs.flatMap { case (t, keys, payload, mkDeltas, ktCol, hard) =>
           touchedAll.get(t).map(touched => Future {
             if (hard) mergeHard(store, t, keys, payload, mkDeltas(), touched)
             else mergeSoft(store, t, keys, payload, mkDeltas(), touched, ktCol)
+            None
           })
         }
-      Await.result(Future.sequence(writes), Duration.Inf)
+      val staged = Await.result(Future.sequence(writes), Duration.Inf).flatten
       mark("writes")
 
-      // B7 + watermark bump — the single commit point of the micro-batch.
-      store.putMetastate(TableStore.MetaSpecialAccounts -> specialAccounts)
-      store.setNextRound(lastRound + 1)
+      // B7 + watermark bump + append-manifest publication — ONE metastate
+      // write is the single commit point of the micro-batch: a crash
+      // before this line leaves only orphan files readers never resolve.
+      val manifestKvs = staged.map { case (t, files) =>
+        store.manifestKey(t) -> (store.manifest(t) ++ files).mkString("\n")
+      }
+      store.putMetastate(manifestKvs ++ Seq(
+        TableStore.MetaSpecialAccounts -> specialAccounts,
+        TableStore.MetaNextRound -> (lastRound + 1).toString): _*)
     } finally all.unpersist()
   }
 

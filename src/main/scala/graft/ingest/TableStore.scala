@@ -25,7 +25,8 @@ import scala.jdk.CollectionConverters._
   *     store (keys: state, accounts, network), a point read the executors
   *     never need.
   */
-final class TableStore(val spark: SparkSession, val root: String, val nBuckets: Int = 16) {
+final class TableStore(val spark: SparkSession, val root: String, val nBuckets: Int = 16,
+                       val roundsPerPartition: Long = 10000L) {
   import TableStore._
 
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -34,13 +35,15 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
 
   // ── Generic read (empty frame with the right schema if absent) ──────
 
-  def read(table: String): DataFrame = {
-    val dir = Paths.get(path(table))
-    if (Files.exists(dir) && Files.list(dir).iterator().asScala.exists(p =>
-        !p.getFileName.toString.startsWith("_")))
-      spark.read.schema(schemaWithPartitions(table)).parquet(path(table))
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaWithPartitions(table))
+  def read(table: String): DataFrame = table match {
+    case "txn" | "txn_participation" | "block_header" => readManifest(table, manifest(table))
+    case _ =>
+      val dir = Paths.get(path(table))
+      if (Files.exists(dir) && Files.list(dir).iterator().asScala.exists(p =>
+          !p.getFileName.toString.startsWith("_")))
+        spark.read.schema(schemaWithPartitions(table)).parquet(path(table))
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaWithPartitions(table))
   }
 
   // NOTE: the bucket partition column is `bkt`, NOT `_bucket` — Spark's
@@ -54,15 +57,114 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   /** State table without the internal bucket column. */
   def readState(table: String): DataFrame = read(table).drop("bkt")
 
-  // ── Append tables ───────────────────────────────────────────────────
+  // ── Append tables: range dirs + manifest (the 100 TB layout) ────────
+  //
+  // One directory PER ROUND is a non-starter at chain scale (~40M rounds =
+  // 40M directories; file listing alone would dominate every query). The
+  // append tables are instead laid out as `rbkt=N` range partitions
+  // (N = round DIV roundsPerPartition, ~4k dirs for a full chain), `round`
+  // stays a data column (parquet row-group min/max stats still prune
+  // within a file), and the COMMITTED file set is an explicit manifest
+  // carried in metastate:
+  //
+  //   - `stageAppend` writes a batch's files into the range dirs but does
+  //     NOT publish them — it returns the file list;
+  //   - `BlockIngest` folds the lists of all three append tables into the
+  //     SINGLE metastate write that also bumps the watermark, so data,
+  //     manifest, and watermark commit atomically (a crash mid-batch
+  //     leaves orphan files that readers never see and `vacuum` removes);
+  //   - `readRounds` prunes the manifest driver-side by the round range
+  //     before Spark ever lists a file.
+  //
+  // This is a poor-man's transactional table format (Delta/Iceberg-style
+  // manifest-as-log) built on nothing but parquet + one atomic rename.
 
-  /** Idempotent per-round append: dynamic overwrite of the touched round
-    * partitions only. */
-  def appendByRound(table: String, df: DataFrame): Unit =
-    df.write
-      .mode("overwrite")
-      .partitionBy("round")
-      .parquet(path(table))
+  /** Write the batch's rows for an append table into its `rbkt=N` range
+    * dirs WITHOUT publishing them. Returns the relative paths to fold into
+    * the manifest commit. `df` must carry the table's full schema
+    * including `round`. */
+  def stageAppend(table: String, df: DataFrame): Seq[String] = {
+    val staging = s"${path(table)}/_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn("rbkt", (col("round") / lit(roundsPerPartition)).cast("long"))
+      .write.mode("overwrite").partitionBy("rbkt").parquet(staging)
+    val sdir = Paths.get(staging)
+    val moved = Files.walk(sdir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val rel = s"${p.getParent.getFileName}/${p.getFileName}" // rbkt=N/part-…
+        val dest = Paths.get(s"${path(table)}/$rel")
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+        rel
+      }.toList
+    Files.walk(sdir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    moved
+  }
+
+  /** The committed file set of an append table (relative paths). */
+  def manifest(table: String): Seq[String] =
+    metastate.get(manifestKey(table)).map(_.split('\n').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  def manifestKey(table: String): String = s"manifest.$table"
+
+  private def readManifest(table: String, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas(table))
+    else
+      spark.read.schema(Schemas(table)).parquet(files.map(f => s"${path(table)}/$f"): _*)
+
+  /** Range bucket of a file path (`rbkt=N/part-….parquet` → N). */
+  private def rbktOf(rel: String): Long =
+    rel.takeWhile(_ != '/').stripPrefix("rbkt=").toLong
+
+  /** Append-table read pruned to [lo, hi] (inclusive, either side open):
+    * the manifest is filtered driver-side to the range buckets that can
+    * intersect, so Spark never even lists files outside the range. Callers
+    * still apply the exact `round` predicate — parquet row-group stats
+    * prune within the surviving files. */
+  def readRounds(table: String, lo: Option[Long], hi: Option[Long]): DataFrame = {
+    val files = manifest(table).filter { f =>
+      val b = rbktOf(f)
+      val bLo = b * roundsPerPartition
+      val bHi = bLo + roundsPerPartition - 1
+      lo.forall(_ <= bHi) && hi.forall(_ >= bLo)
+    }
+    readManifest(table, files)
+  }
+
+  /** Prune rows with round < keep: whole range buckets below the boundary
+    * drop out of the manifest unread; the boundary bucket's files are
+    * rewritten (read → filter → stage → swap into the manifest). Publishes
+    * the new manifest immediately (maintenance op, not part of a batch). */
+  def pruneRounds(table: String, keep: Long): Unit = {
+    val boundary = keep / roundsPerPartition
+    val (below, above) = manifest(table).partition(f => rbktOf(f) < boundary)
+    val (atBoundary, clear) = above.partition(f => rbktOf(f) == boundary)
+    val rewritten =
+      if (atBoundary.isEmpty) Nil
+      else stageAppend(table, readManifest(table, atBoundary).filter(col("round") >= keep))
+    val _ = below
+    putMetastate(manifestKey(table) -> (clear ++ rewritten).mkString("\n"))
+    vacuum(table)
+  }
+
+  /** Remove data files not in the committed manifest (crash leftovers,
+    * pruned-away files). Safe because readers resolve files through the
+    * manifest, never by listing. */
+  def vacuum(table: String): Unit = {
+    val keep = manifest(table).toSet
+    val dir = Paths.get(path(table))
+    if (!Files.exists(dir)) return
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("rbkt="))
+      .foreach { bdir =>
+        Files.list(bdir).iterator().asScala
+          .filter(p => !keep.contains(s"${bdir.getFileName}/${p.getFileName}"))
+          .toList.foreach(Files.delete)
+        if (!Files.list(bdir).iterator().hasNext) Files.delete(bdir)
+      }
+  }
 
   // ── State tables (bucketed merge target) ────────────────────────────
 

@@ -139,13 +139,13 @@ object Api {
 
   def transactions(store: TableStore, f: TransactionFilter): (DataFrame, Long) = {
     val asOf = store.nextRound - 1
-    var txn = store.read("txn")
 
-    // Round bounds first: they partition-prune the scan.
-    f.round.foreach(r => txn = txn.filter(col("round") === r))
-    f.minRound.foreach(r => txn = txn.filter(col("round") >= r))
-    f.maxRound.foreach(r => txn = txn.filter(col("round") <= r))
-
+    // Resolve ALL round bounds up front so the manifest read is pruned to
+    // the matching range buckets before Spark lists a single file.
+    var lo = f.minRound
+    var hi = f.maxRound
+    f.round.foreach { r => lo = Some(r); hi = Some(r) }
+    var emptyByTime = false
     // Time bounds resolve to a round range via block_header (idb.go:190-192;
     // min/max agg subquery instead of a range join — §2.E).
     if (f.afterTime.isDefined || f.beforeTime.isDefined) {
@@ -153,9 +153,20 @@ object Api {
       f.afterTime.foreach(t => hdr = hdr.filter(col("realtime") > t))
       f.beforeTime.foreach(t => hdr = hdr.filter(col("realtime") < t))
       val range = hdr.agg(min("round").as("lo"), max("round").as("hi")).head()
-      if (range.isNullAt(0)) txn = txn.filter(lit(false))
-      else txn = txn.filter(col("round").between(range.getLong(0), range.getLong(1)))
+      if (range.isNullAt(0)) emptyByTime = true
+      else {
+        lo = Some(lo.fold(range.getLong(0))(math.max(_, range.getLong(0))))
+        hi = Some(hi.fold(range.getLong(1))(math.min(_, range.getLong(1))))
+      }
     }
+
+    var txn = store.readRounds("txn", lo, hi)
+    if (emptyByTime) txn = txn.filter(lit(false))
+    // Exact predicates on top of the pruned scan (row-group stats finish
+    // the job inside surviving files).
+    f.round.foreach(r => txn = txn.filter(col("round") === r))
+    lo.foreach(r => txn = txn.filter(col("round") >= r))
+    hi.foreach(r => txn = txn.filter(col("round") <= r))
 
     // Denormalized scalar predicates (the reference's "slightly faster
     // query" rewrites, idb.go:204).
@@ -198,9 +209,9 @@ object Api {
     // per-address slice of txn_participation, broadcast it into the semi
     // join when small.
     f.address.foreach { addr =>
-      var part = store.read("txn_participation").filter(col("addr") === addr)
-      f.minRound.foreach(r => part = part.filter(col("round") >= r))
-      f.maxRound.foreach(r => part = part.filter(col("round") <= r))
+      var part = store.readRounds("txn_participation", lo, hi).filter(col("addr") === addr)
+      lo.foreach(r => part = part.filter(col("round") >= r))
+      hi.foreach(r => part = part.filter(col("round") <= r))
       txn = txn.join(broadcastIfSmall(part.select("round", "intra")),
         Seq("round", "intra"), "left_semi")
       if (f.addressRole != 0) txn = txn.filter(roleRefinement(addr, f.addressRole))
@@ -216,7 +227,7 @@ object Api {
     }
 
     if (f.skipInnerTransactions) txn = txn.filter(col("txid").isNotNull)
-    if (f.convertInnerToRoot) txn = convertToRoot(store, txn)
+    if (f.convertInnerToRoot) txn = convertToRoot(store, txn, lo, hi)
 
     txn =
       if (f.ascending) txn.orderBy(asc("round"), asc("intra"))
@@ -244,8 +255,11 @@ object Api {
   /** Inner-txn → root conversion (idb.go:137-143): replace inner rows with
     * their root row via the extra.root-intra backlink (self-join on
     * (round, root-intra); §2.E row 2). */
-  def convertToRoot(store: TableStore, txns: DataFrame): DataFrame = {
-    val roots = store.read("txn").filter(col("txid").isNotNull)
+  def convertToRoot(store: TableStore, txns: DataFrame,
+                    lo: Option[Long] = None, hi: Option[Long] = None): DataFrame = {
+    // An inner row's root lives in the SAME round, so the caller's round
+    // bounds prune the root scan too.
+    val roots = store.readRounds("txn", lo, hi).filter(col("txid").isNotNull)
       .select(col("round"), col("intra"), col("typeenum"), col("asset"),
         col("txid"), col("txn"), col("extra"))
     val rootIntra = get_json_object(col("extra"), "$['root-intra']").cast("int")
@@ -436,11 +450,13 @@ object Api {
   final case class BlockResult(header: org.apache.spark.sql.Row, transactions: Option[DataFrame])
 
   def getBlock(store: TableStore, round: Long, opts: GetBlockOptions = GetBlockOptions()): BlockResult = {
-    val hdr = store.read("block_header").filter(col("round") === round).head(1)
+    val hdr = store.readRounds("block_header", Some(round), Some(round))
+      .filter(col("round") === round).head(1)
     require(hdr.nonEmpty, s"block $round not found")
     if (opts.headerOnly) BlockResult(hdr.head, None)
     else {
-      val txns = store.read("txn").filter(col("round") === round)
+      val txns = store.readRounds("txn", Some(round), Some(round))
+        .filter(col("round") === round)
       opts.maxTransactionsLimit.foreach { max =>
         val n = txns.count()
         if (n > max) throw MaxTransactionsError(round, n)
@@ -470,21 +486,11 @@ object Api {
   }
 
   /** DeleteTransactions(keep): prune txn rows older than `keep`, record the
-    * watermark in metastate (dummy.go:107; types.go:33-36). Round
-    * partitioning makes this a partition drop, not a rewrite. */
+    * watermark in metastate (dummy.go:107; types.go:33-36). Range buckets
+    * wholly below `keep` drop out of the manifest unread; only the
+    * boundary bucket is rewritten. */
   def deleteTransactions(store: TableStore, keep: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val dir = Paths.get(s"${store.root}/txn")
-    if (Files.exists(dir)) {
-      Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("round="))
-        .filter(p => p.getFileName.toString.stripPrefix("round=").toLong < keep)
-        .foreach { p =>
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(Files.delete)
-        }
-    }
+    store.pruneRounds("txn", keep)
     store.putMetastate("pruned" ->
       graft.codec.CanonicalJson.render(graft.codec.CanonicalJson.JObj.of(
         "OldestRound" -> graft.codec.CanonicalJson.JInt(keep))))

@@ -1,0 +1,75 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Append tables: range-bucket layout + manifest commit. Readers resolve
+  * files ONLY through the committed manifest — staged-but-uncommitted
+  * files are invisible (crash atomicity), range buckets prune reads, and
+  * pruning rewrites only the boundary bucket. */
+class ManifestSpec extends SparkSpec {
+
+  private def headerDf(rounds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    rounds.map(r => (new java.sql.Timestamp(1700000000000L + r * 1000), r, s"{}", r))
+      .toDF("realtime", "rewardslevel", "header", "round")
+  }
+
+  test("staged files are invisible until the manifest commit; vacuum removes orphans") {
+    val store = new TableStore(spark, tmpDir("graft-man"), nBuckets = 2, roundsPerPartition = 4L)
+    val files = store.stageAppend("block_header", headerDf(Seq(0L, 1L)))
+    assert(files.nonEmpty)
+    assert(store.read("block_header").count() == 0, "uncommitted files must be invisible")
+
+    // commit
+    store.putMetastate(store.manifestKey("block_header") -> files.mkString("\n"))
+    assert(store.read("block_header").count() == 2)
+
+    // a second staged-but-never-committed batch (crash): still invisible,
+    // and vacuum physically removes it without touching committed data
+    val orphans = store.stageAppend("block_header", headerDf(Seq(2L, 3L)))
+    assert(orphans.nonEmpty)
+    assert(store.read("block_header").count() == 2)
+    store.vacuum("block_header")
+    orphans.foreach { f =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${store.root}/block_header/$f")))
+    }
+    assert(store.read("block_header").count() == 2)
+  }
+
+  test("readRounds prunes to intersecting range buckets and matches a full-scan filter") {
+    val store = new TableStore(spark, tmpDir("graft-man-rr"), nBuckets = 2, roundsPerPartition = 4L)
+    val files = store.stageAppend("block_header", headerDf(0L until 12L))
+    store.putMetastate(store.manifestKey("block_header") -> files.mkString("\n"))
+    assert(files.map(_.takeWhile(_ != '/')).distinct.sorted ==
+      Seq("rbkt=0", "rbkt=1", "rbkt=2"), "12 rounds / 4 per bucket = 3 buckets")
+
+    val pruned = store.readRounds("block_header", Some(5L), Some(6L))
+    // bucket 1 ([4,7]) is the only intersecting bucket
+    assert(pruned.inputFiles.forall(_.contains("rbkt=1")))
+    val got = pruned.filter(col("round").between(5, 6))
+      .select("round").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(5L, 6L))
+    // open-ended bounds
+    assert(store.readRounds("block_header", Some(8L), None).inputFiles.forall(_.contains("rbkt=2")))
+    assert(store.readRounds("block_header", None, Some(3L)).inputFiles.forall(_.contains("rbkt=0")))
+    assert(store.readRounds("block_header", None, None).count() == 12)
+  }
+
+  test("pruneRounds drops whole buckets unread and rewrites only the boundary bucket") {
+    val store = new TableStore(spark, tmpDir("graft-man-pr"), nBuckets = 2, roundsPerPartition = 4L)
+    val files = store.stageAppend("block_header", headerDf(0L until 12L))
+    store.putMetastate(store.manifestKey("block_header") -> files.mkString("\n"))
+
+    store.pruneRounds("block_header", keep = 6L)
+    val remaining = store.read("block_header").select("round").collect().map(_.getLong(0)).sorted
+    assert(remaining.toSeq == (6L until 12L).toSeq)
+    // bucket 0 files physically gone (vacuumed), bucket 2 untouched
+    val m = store.manifest("block_header")
+    assert(!m.exists(_.startsWith("rbkt=0/")))
+    assert(m.exists(_.startsWith("rbkt=1/")), "boundary bucket rewritten, not dropped")
+    assert(m.exists(_.startsWith("rbkt=2/")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${store.root}/block_header/rbkt=0")))
+  }
+}

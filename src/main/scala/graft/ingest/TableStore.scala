@@ -11,9 +11,12 @@ import scala.jdk.CollectionConverters._
   *
   * Layout under `root/`:
   *   - append tables `txn`, `txn_participation`, `block_header`:
-  *     partitioned by `round`, written with dynamic partition overwrite so
-  *     re-ingesting a round is idempotent (the Spark replacement for the
-  *     reference's tolerated COPY unique-violations, cockroach.go:189-199);
+  *     `rbkt = round DIV roundsPerPartition` range dirs with `round` as a
+  *     data column, behind a file manifest committed atomically with the
+  *     watermark (see the append-table section below) — the Spark
+  *     replacement for the reference's tolerated COPY unique-violations
+  *     (cockroach.go:189-199): a replayed batch's files simply never make
+  *     it into the manifest;
   *   - state tables `account`, `account_asset`, `asset`, `app`,
   *     `account_app`, `app_box`: hash-bucketed on the primary key into
   *     `_bucket=N` partitions, so a merge reads and rewrites only the

@@ -152,6 +152,26 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     vacuum(table)
   }
 
+  /** Compact an append table's range buckets: every bucket whose committed
+    * file count exceeds `maxFilesPerBucket` is rewritten as one file-set
+    * (read → stage → manifest swap → vacuum). Micro-batch ingest adds one
+    * file-set per batch per bucket, so steady-state streaming needs this
+    * periodically — the manifest makes it a metadata swap, invisible to
+    * concurrent readers resolving the old manifest. Returns the number of
+    * buckets compacted. */
+  def compact(table: String, maxFilesPerBucket: Int = 8): Int = {
+    val byBucket = manifest(table).groupBy(rbktOf)
+    val oversized = byBucket.filter(_._2.size > maxFilesPerBucket)
+    if (oversized.isEmpty) return 0
+    val keepAsIs = byBucket.view.filterKeys(b => !oversized.contains(b)).values.flatten.toSeq
+    val rewritten = stageAppend(table,
+      readManifest(table, oversized.values.flatten.toSeq)
+        .repartition(oversized.size, (col("round") / lit(roundsPerPartition)).cast("long")))
+    putMetastate(manifestKey(table) -> (keepAsIs ++ rewritten).mkString("\n"))
+    vacuum(table)
+    oversized.size
+  }
+
   /** Remove data files not in the committed manifest (crash leftovers,
     * pruned-away files). Safe because readers resolve files through the
     * manifest, never by listing. */

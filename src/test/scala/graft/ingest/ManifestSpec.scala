@@ -57,6 +57,31 @@ class ManifestSpec extends SparkSpec {
     assert(store.readRounds("block_header", None, None).count() == 12)
   }
 
+  test("compact folds oversized buckets into one file-set without changing data") {
+    val store = new TableStore(spark, tmpDir("graft-man-cp"), nBuckets = 2, roundsPerPartition = 4L)
+    // 8 one-round commits -> buckets 0 and 1, four file-sets each
+    (0L until 8L).foreach { r =>
+      val files = store.stageAppend("block_header", headerDf(Seq(r)))
+      store.putMetastate(store.manifestKey("block_header") ->
+        (store.manifest("block_header") ++ files).mkString("\n"))
+    }
+    val before = store.manifest("block_header")
+    assert(before.count(_.startsWith("rbkt=0/")) >= 4)
+
+    val n = store.compact("block_header", maxFilesPerBucket = 2)
+    assert(n == 2, "both buckets exceed the threshold")
+    val after = store.manifest("block_header")
+    assert(after.count(_.startsWith("rbkt=0/")) < before.count(_.startsWith("rbkt=0/")))
+    assert(store.read("block_header").select("round").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 8L).toSeq)
+    // old files physically vacuumed
+    before.foreach { f =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${store.root}/block_header/$f")))
+    }
+    // idempotent: nothing left to compact
+    assert(store.compact("block_header", maxFilesPerBucket = 2) == 0)
+  }
+
   test("pruneRounds drops whole buckets unread and rewrites only the boundary bucket") {
     val store = new TableStore(spark, tmpDir("graft-man-pr"), nBuckets = 2, roundsPerPartition = 4L)
     val files = store.stageAppend("block_header", headerDf(0L until 12L))

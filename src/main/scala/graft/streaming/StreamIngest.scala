@@ -12,10 +12,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     the ordering guard inside applyBlocks enforces round == next and
   *     gap-free batches regardless (cockroach.go:142-146);
   *   - effectively-once: already-accounted rounds replayed after a restart
-  *     are dropped by the guard, and the txn/participation append is an
-  *     idempotent per-round partition overwrite — the Spark analogue of
-  *     "txn tables can only be ahead but not behind" with tolerated unique
-  *     violations (cockroach.go:189-199);
+  *     are dropped by the guard, and append files only become visible via
+  *     the manifest committed with the watermark bump — the Spark analogue
+  *     of "txn tables can only be ahead but not behind" with tolerated
+  *     unique violations (cockroach.go:189-199);
+  *   - steady-state small files: every `compactEvery` batches the append
+  *     manifests are compacted (manifest swap, invisible to readers);
   *   - no watermark: blockchain rounds cannot be late (§2.H); the
   *     watermark IS the metastate next-round counter, bumped as the last
   *     step of each batch (the single commit point);
@@ -31,7 +33,8 @@ object StreamIngest {
       store: TableStore,
       inDir: String,
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 64): StreamingQuery = {
+      maxFilesPerTrigger: Int = 64,
+      compactEvery: Int = 32): StreamingQuery = {
     import spark.implicits._
     spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -39,8 +42,10 @@ object StreamIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], batchId: Long) =>
         BlockIngest.applyBlocks(store, batch)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Seq("txn", "txn_participation", "block_header").foreach(t => store.compact(t))
       }
       .start()
   }
@@ -52,7 +57,8 @@ object StreamIngest {
       store: TableStore,
       inDir: String,
       checkpointDir: String,
-      intervalMs: Long = 1000L): StreamingQuery = {
+      intervalMs: Long = 1000L,
+      compactEvery: Int = 32): StreamingQuery = {
     import spark.implicits._
     spark.readStream
       .option("maxFilesPerTrigger", 64)
@@ -60,8 +66,10 @@ object StreamIngest {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(intervalMs))
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], batchId: Long) =>
         BlockIngest.applyBlocks(store, batch)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Seq("txn", "txn_participation", "block_header").foreach(t => store.compact(t))
       }
       .start()
   }

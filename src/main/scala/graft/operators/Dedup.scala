@@ -84,18 +84,25 @@ object Dedup {
         posexplode(bandHashes(col("sig"), bands, k / bands))
           .as(Seq("band_idx", "band_hash")))
 
-    // Rank within bucket and cap: at most maxBucket members per bucket.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band_idx", "band_hash").orderBy("doc")
-    val bucketed = withBands
-      .withColumn("_rank", row_number().over(w))
-      .filter(col("_rank") <= maxBucket)
-      .drop("_rank")
-
-    val pairs = bucketed
-      .join(bucketed.withColumnRenamed("doc", "doc_b"), Seq("band_idx", "band_hash"))
-      .filter(col("doc") < col("doc_b"))
-      .groupBy(col("doc").as("doc_a"), col("doc_b"))
+    // ONE shuffle does bucket formation AND the cap: collect the bucket's
+    // doc ids (map-side partial aggregation), keep the `maxBucket`
+    // smallest, and emit the i<j combinations from the array in place —
+    // the earlier window-cap + bucket self-join spent a second sort and a
+    // second exchange to produce the same (and each unordered pair twice).
+    // The HOF lambdas only touch the collected `docs` attribute and lambda
+    // variables (the interpreted-HOF re-eval rule), and the combination
+    // count IS the output size, so nothing here is super-linear in the
+    // result.
+    val docs = col("docs")
+    val pairs = withBands
+      .groupBy("band_idx", "band_hash")
+      .agg(slice(sort_array(collect_list(col("doc"))), 1, maxBucket).as("docs"))
+      .filter(size(docs) >= 2)
+      .select(explode(flatten(transform(docs, (x, i) =>
+        transform(slice(docs, i + 2, size(docs)),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
 
     val shd = df.select(col(idCol).as("doc"),

@@ -105,10 +105,20 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
 
-    val shd = df.select(col(idCol).as("doc"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
-        .as("shd"))
-    pairs
+    // Verification shingles are computed ONLY for documents that appear in
+    // a candidate pair (semi-join first, shingle after): at corpus scale
+    // candidates are a small fraction, so the expensive re-shingling scan
+    // shrinks with the dup rate instead of the corpus size. The pair frame
+    // is persisted because it feeds both the candidate filter and the
+    // final join — tiny (it is the operator's output skeleton), but
+    // without it Spark would run the whole signature pipeline twice.
+    val pairsP = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = pairsP.select(explode(array(col("doc_a"), col("doc_b"))).as("doc")).distinct()
+    val shd = df.select(col(idCol).as("doc"), col(textCol))
+      .join(cand, Seq("doc"), "left_semi")
+      .select(col("doc"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("shd"))
+    pairsP
       .join(shd.select(col("doc").as("doc_a"), col("shd").as("sh_a")), Seq("doc_a"))
       .join(shd.select(col("doc").as("doc_b"), col("shd").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),

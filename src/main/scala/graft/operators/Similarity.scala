@@ -153,7 +153,12 @@ object Similarity {
     }
 
     val assigned = assign(df, col(idCol), col(vecCol), nearest = 1)
-    val queryClusters = assign(query, lit(-1L), col(vecCol), nearest = probes)
+    // Partition the query-side ranking by the query's OWN id (not a dummy
+    // constant): a constant partition key degenerates WindowExec to a
+    // single global partition — harmless for one query row, a serial
+    // bottleneck for a query BATCH, and matches the oracle's
+    // PARTITION BY vec_id.
+    val queryClusters = assign(query, col(idCol), col(vecCol), nearest = probes)
       .select(col("_cid").as("_qcid"), col("_avec").as("_qvec"))
     assigned
       .join(broadcast(queryClusters), col("_cid") === col("_qcid"))

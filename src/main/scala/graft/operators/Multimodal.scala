@@ -58,7 +58,8 @@ object Multimodal {
       // decoder/codec context would be created HERE, once per partition
       rows.map { r =>
         val id = r.getLong(idIdx)
-        val blob = r.getAs[Array[Byte]](blobIdx)
+        // NULL blob ≡ empty media (decoders never see a null pointer)
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
         val sig = blob.take(4).map("%02x".format(_)).mkString
         val (w, h, f) = stubDecode(blob)
         Row(id, blob.length.toLong, sig, w, h, f)

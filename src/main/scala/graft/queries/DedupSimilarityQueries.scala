@@ -197,6 +197,36 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── Multimodal decode stage with a REAL oracle: the stub codec is
+    //    deterministic byte arithmetic, so the mapPartitions output is
+    //    pinned bit-for-bit against DuckDB hex arithmetic — the decode
+    //    PLUMBING (schema, per-partition batch shape, null handling) is
+    //    what's under test; a real codec replaces only stubDecode's body. ──
+    QueryDef.sql(
+      "mm_decode_meta",
+      """WITH b AS (SELECT doc_id, encode(coalesce(text, '')) AS blob FROM documents),
+        |h AS (SELECT doc_id, octet_length(blob) AS len, hex(blob) AS hx FROM b),
+        |v AS (SELECT doc_id, len,
+        |        CASE WHEN len > 0 THEN 16*(strpos('0123456789ABCDEF', substr(hx,1,1))-1)
+        |               + (strpos('0123456789ABCDEF', substr(hx,2,1))-1) ELSE 0 END AS b0,
+        |        CASE WHEN len > 1 THEN 16*(strpos('0123456789ABCDEF', substr(hx,3,1))-1)
+        |               + (strpos('0123456789ABCDEF', substr(hx,4,1))-1) ELSE 0 END AS b1,
+        |        lower(substr(hx, 1, 8)) AS format_sig
+        |      FROM h)
+        |SELECT doc_id, CAST(len AS BIGINT) AS byte_len, format_sig,
+        |  CAST(16 + (b0 % 64) * 16 AS INT) AS width,
+        |  CAST(16 + (b1 % 64) * 16 AS INT) AS height,
+        |  CAST(1 + len % 30 AS INT) AS n_frames
+        |FROM v ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("blob"))
+        Multimodal.decodeMeta(media, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("byte_len"), col("format_sig"),
+            col("width"), col("height"), col("n_frames"))
+          .orderBy("doc_id")
+    },
+
     // ── Multimodal decode + feature pipeline (mapPartitions batch shape;
     //    stubbed codec — no SQL equivalent, driver records rows>0). ──────
     QueryDef.rowsOnly("mm_decode_features") {

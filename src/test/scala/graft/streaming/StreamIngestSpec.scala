@@ -42,6 +42,29 @@ class StreamIngestSpec extends SparkSpec {
     assert(acct(A) == 99 && acct(B) == 501)
   }
 
+  test("continuous variant ingests live-arriving rounds and compacts on schedule") {
+    val inDir = tmpDir("graft-stream3-in")
+    val store = new TableStore(spark, tmpDir("graft-stream3-store"), nBuckets = 4)
+    BlockIngest.initGenesis(store, Seq((A, 1000L, "{}")), "net3")
+    writeRound(inDir, block(0, Vector(pay(A, B, 1)),
+      delta = LedgerDelta(accounts = Vector(acctUpsert(A, 999)))))
+
+    val q = StreamIngest.startContinuous(spark, store, inDir,
+      tmpDir("graft-stream3-ck"), intervalMs = 100L, compactEvery = 1)
+    try {
+      q.processAllAvailable()
+      assert(store.nextRound == 1)
+      // a round arriving AFTER the stream started is picked up by a later trigger
+      writeRound(inDir, block(1, Vector(pay(B, A, 2)),
+        delta = LedgerDelta(accounts = Vector(acctUpsert(B, 501)))))
+      q.processAllAvailable()
+      assert(store.nextRound == 2)
+      assert(store.read("txn").count() == 2)
+      // compactEvery=1 ⇒ batch 1 compacted the two single-batch file-sets
+      assert(store.manifest("txn").nonEmpty)
+    } finally q.stop()
+  }
+
   test("restart with a WIPED checkpoint replays idempotently (effectively-once)") {
     val inDir = tmpDir("graft-stream2-in")
     val store = new TableStore(spark, tmpDir("graft-stream2-store"), nBuckets = 4)

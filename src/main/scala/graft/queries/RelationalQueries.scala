@@ -210,11 +210,15 @@ object RelationalQueries {
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin) {
       (s, d) =>
-        val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+        // max_by on the (ts, event_id) tuple: same pick as the oracle's
+        // ROW_NUMBER ... DESC rn=1, but a hash aggregate with map-side
+        // partials instead of a per-user sort window — no full sort of the
+        // event log, which is the difference at a 100 TB event table.
         Tables.events(s, d)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("event_type").as("last_type"), col("value").as("last_value"))
+          .groupBy("user_id")
+          .agg(max_by(struct(col("event_type"), col("value")), struct(col("ts"), col("event_id"))).as("last"))
+          .select(col("user_id"), col("last.event_type").as("last_type"),
+            col("last.value").as("last_value"))
           .orderBy("user_id")
     },
 

@@ -136,8 +136,19 @@ object Dedup {
     * p (1-based) of the digest carries 4 bits; bit q of its value v =
     * (v div 2^q) mod 2; tokens vote ±1 per bit, the sign is the
     * fingerprint bit. Arithmetic only — identical in DuckDB.
-    */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    *
+    * Narrow form: ONE codegen'd per-row expression
+    * ([[graft.expressions.SimHash16]]) — no explode, no 16-aggregate
+    * shuffle. [[simhash16Relational]] keeps the composable groupBy form;
+    * OperatorsSpec asserts they are bit-identical. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.expressions.SimHashExpressions
+        .simhash16(TextOps.tokens(col(textCol))).as("simhash"))
+
+  /** Relational (explode + 16 codegen'd sums) SimHash — the reference
+    * implementation the oracle SQL mirrors term-for-term. */
+  def simhash16Relational(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("doc_id"),
       explode_outer(TextOps.tokens(col(textCol))).as("w"))
       .withColumn("h", md5(col("w")))

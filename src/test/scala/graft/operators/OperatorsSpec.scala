@@ -58,6 +58,17 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(m(1L), m(2L)) <= 3)
   }
 
+  test("simhash expression is bit-identical to the relational form incl. null/empty docs") {
+    val data = docs((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b a b a"), (3L, ""), (4L, null), (5L, "   "), (6L, "Ünïcødé tökens αβγ"))
+    val expr = Dedup.simhash16(data, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rel = Dedup.simhash16Relational(data, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(expr == rel)
+    assert(expr(3L) == "0" * 16 && expr(4L) == "0" * 16)
+  }
+
   test("jaccard column: exact set semantics") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))

@@ -164,5 +164,25 @@ object VectorExpressions {
       FunctionIdentifier("graft_cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1)))
+    // Fingerprint family (SQL: tokens array in, signature out). Literal
+    // int args are required for the MinHash/winnow shape parameters.
+    def intArg(e: Expression): Int =
+      e.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"literal int expected, got $other")
+      }
+    registry.registerFunction(
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), intArg(exprs(1)), intArg(exprs(2))))
+    registry.registerFunction(
+      FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
+      (exprs: Seq[Expression]) => SimHash16(exprs(0)))
+    registry.registerFunction(
+      FunctionIdentifier("graft_winnow_fingerprint"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow_fingerprint"),
+      (exprs: Seq[Expression]) => WinnowFingerprint(exprs(0), intArg(exprs(1)), intArg(exprs(2))))
   }
 }

@@ -53,6 +53,17 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.getDouble(1) == 1.0)
   }
 
+  test("fingerprint family resolves from SQL with literal shape args") {
+    VectorExpressions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_simhash16(array('a','b')) AS sh, " +
+        "size(graft_minhash_sig(array('a','b','c','d'), 2, 4)) AS nsig, " +
+        "graft_winnow_fingerprint('abcdefghij', 4, 3) AS wf").head()
+    assert(row.getString(0).length == 16 && row.getString(0).forall(c => c == '0' || c == '1'))
+    assert(row.getInt(1) == 4)
+    assert(row.getSeq[String](2).nonEmpty)
+  }
+
   test("type check rejects non-float arrays") {
     val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
     val e = intercept[Exception] {

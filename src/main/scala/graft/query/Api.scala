@@ -317,29 +317,29 @@ object Api {
     // Resource expansion: 4 optional left joins + collect_list per account
     // (IncludeAssetHoldings/Params/AppLocalState/AppParams; partial-index
     // semantics = pre-filter NOT deleted unless IncludeDeleted).
+    //
+    // The resource side is semi-joined to the SELECTED accounts before the
+    // groupBy: a page of accounts (the reference caps at `limit`) must not
+    // aggregate the whole holdings table — at 100 TB the expansion cost
+    // tracks the page's resources, not the corpus. The page is tiny, so it
+    // broadcasts; when an exact address is known the resource scan is also
+    // bucket-pruned (same key column for account_asset/account_app).
+    val selected = broadcastIfSmall(acct.select("addr").distinct())
     def expand(src: String, keyOut: String, valueCols: Seq[String], alias: String): Unit = {
-      var res = store.readState(src)
+      var res =
+        if (keyOut == "addr") stateFor(store, src, q.equalToAddress)
+        else store.readState(src)
       if (!q.includeDeleted) res = res.filter(!col("deleted"))
-      val packed = res.groupBy(col(keyOut).as("addr"))
+      val packed = res.withColumnRenamed(keyOut, "addr")
+        .join(selected, Seq("addr"), "left_semi")
+        .groupBy(col("addr"))
         .agg(collect_list(struct(valueCols.map(col): _*)).as(alias))
       acct = acct.join(packed, Seq("addr"), "left_outer")
     }
     if (q.includeAssetHoldings) expand("account_asset", "addr", Seq("assetid", "amount", "frozen", "deleted"), "asset_holdings")
     if (q.includeAppLocalState) expand("account_app", "addr", Seq("app", "localstate", "deleted"), "app_local_states")
-    if (q.includeAssetParams) {
-      var params = store.readState("asset")
-      if (!q.includeDeleted) params = params.filter(!col("deleted"))
-      val packed = params.groupBy(col("creator_addr").as("addr"))
-        .agg(collect_list(struct(col("id"), col("params"), col("deleted"))).as("created_assets"))
-      acct = acct.join(packed, Seq("addr"), "left_outer")
-    }
-    if (q.includeAppParams) {
-      var params = store.readState("app")
-      if (!q.includeDeleted) params = params.filter(!col("deleted"))
-      val packed = params.groupBy(col("creator").as("addr"))
-        .agg(collect_list(struct(col("id"), col("params"), col("deleted"))).as("created_apps"))
-      acct = acct.join(packed, Seq("addr"), "left_outer")
-    }
+    if (q.includeAssetParams) expand("asset", "creator_addr", Seq("id", "params", "deleted"), "created_assets")
+    if (q.includeAppParams) expand("app", "creator", Seq("id", "params", "deleted"), "created_apps")
 
     // MaxResources guard (idb.go:262-263, 277-286): F4 count-guard.
     q.maxResources.foreach { maxR =>

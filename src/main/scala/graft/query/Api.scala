@@ -342,9 +342,13 @@ object Api {
     if (q.includeAppParams) expand("app", "creator", Seq("id", "params", "deleted"), "created_apps")
 
     // MaxResources guard (idb.go:262-263, 277-286): F4 count-guard.
+    // Counts only the page's accounts (semi-join before the groupBy) —
+    // the guard protects the RETURNED accounts, not the whole corpus.
     q.maxResources.foreach { maxR =>
-      val aa = store.readState("account_asset").filter(!col("deleted")).groupBy("addr").agg(count(lit(1)).as("n1"))
-      val ap = store.readState("account_app").filter(!col("deleted")).groupBy("addr").agg(count(lit(1)).as("n2"))
+      val aa = stateFor(store, "account_asset", q.equalToAddress).filter(!col("deleted"))
+        .join(selected, Seq("addr"), "left_semi").groupBy("addr").agg(count(lit(1)).as("n1"))
+      val ap = stateFor(store, "account_app", q.equalToAddress).filter(!col("deleted"))
+        .join(selected, Seq("addr"), "left_semi").groupBy("addr").agg(count(lit(1)).as("n2"))
       val counts = aa.join(ap, Seq("addr"), "full_outer")
         .select(col("addr"),
           (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_resources"))

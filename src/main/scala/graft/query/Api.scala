@@ -144,7 +144,12 @@ object Api {
     // the matching range buckets before Spark lists a single file.
     var lo = f.minRound
     var hi = f.maxRound
-    f.round.foreach { r => lo = Some(r); hi = Some(r) }
+    // Intersect, don't overwrite: Round + contradictory Min/MaxRound must
+    // stay an empty conjunction, exactly as the filters compose.
+    f.round.foreach { r =>
+      lo = Some(lo.fold(r)(math.max(_, r)))
+      hi = Some(hi.fold(r)(math.min(_, r)))
+    }
     var emptyByTime = false
     // Time bounds resolve to a round range via block_header (idb.go:190-192;
     // min/max agg subquery instead of a range join — §2.E).

@@ -95,6 +95,18 @@ class QueryApiSpec extends SparkSpec {
     assert(df.collect().map(_.getAs[Long]("round")).forall(r => r == 1 || r == 2))
   }
 
+  test("round bounds compose conjunctively (contradictions are empty, not widened)") {
+    val (hit, _) = Api.transactions(store, Api.TransactionFilter(
+      round = Some(1), minRound = Some(0), maxRound = Some(3)))
+    assert(hit.collect().map(_.getAs[Long]("round")).forall(_ == 1) && !hit.isEmpty)
+    val (miss, _) = Api.transactions(store, Api.TransactionFilter(
+      round = Some(1), minRound = Some(2)))
+    assert(miss.isEmpty)
+    val (miss2, _) = Api.transactions(store, Api.TransactionFilter(
+      minRound = Some(3), maxRound = Some(1)))
+    assert(miss2.isEmpty)
+  }
+
   test("skipInnerTransactions drops inner rows; convertToRoot maps them back") {
     val (all, _) = Api.transactions(store, Api.TransactionFilter(round = Some(2)))
     assert(all.count() == 5) // appl root + 3 inners + pay

@@ -173,8 +173,11 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   }
 
   /** Remove data files not in the committed manifest (crash leftovers,
-    * pruned-away files). Safe because readers resolve files through the
-    * manifest, never by listing. */
+    * pruned-away files). Readers resolve files through the manifest, never
+    * by listing — so the only hazard is a reader still executing against a
+    * manifest older than current (its files may vanish mid-scan). Run
+    * between batches / in maintenance windows; a production deployment
+    * would add time-based retention (the Delta/Iceberg VACUUM contract). */
   def vacuum(table: String): Unit = {
     val keep = manifest(table).toSet
     val dir = Paths.get(path(table))

@@ -139,6 +139,114 @@ case class CosineSim(left: Expression, right: Expression) extends VectorBinaryEx
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-`n` nearest centroids of a vector, as one per-row expression: the
+  * IVF assignment argmax. The centroid matrix rides into the plan as a
+  * driver-side literal (k × dims floats — tiny; the plan itself broadcasts
+  * it), so cluster assignment is a pure projection: no crossJoin, no
+  * row_number window, no Exchange of the corpus. Returns the centroid ids
+  * ordered by (similarity desc, id asc); ids must be passed sorted
+  * ascending so ties resolve to the smallest id, matching the relational
+  * `row_number() OVER (ORDER BY sim DESC, cid)` form the oracle uses.
+  *
+  * `round4` reproduces Spark's `round(_, 4)` (BigDecimal HALF_UP) before
+  * comparing, because the oracle ranks on the rounded similarity (both
+  * engines agree at 4 decimals; raw doubles can differ in the last ulp
+  * and flip a tie). NULL/length-mismatched/zero-norm vectors score -2.0
+  * (below any cosine) for every centroid, so a degenerate row is still
+  * assigned — to the smallest id — instead of vanishing, same as the
+  * nulls-last window ordering it replaces.
+  */
+case class NearestCentroids(
+    child: Expression,
+    ids: Seq[Long],
+    centroids: Seq[Seq[Float]],
+    n: Int,
+    round4: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(ids.nonEmpty && ids.length == centroids.length, "ids/centroids mismatch")
+  require(ids.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "centroid ids must be strictly ascending")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got $other")
+  }
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val centArr: Array[Array[Float]] = centroids.map(_.toArray).toArray
+
+  private def simOf(a: ArrayData, cent: Array[Float]): Double = {
+    if (a == null || a.numElements() != cent.length) return -2.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < cent.length) {
+      if (a.isNullAt(i)) return -2.0
+      val x = a.getFloat(i).toDouble
+      val y = cent(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = na * nb
+    if (d <= 0) -2.0
+    else {
+      val c = dot / math.sqrt(d)
+      if (round4)
+        java.math.BigDecimal.valueOf(c).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      else c
+    }
+  }
+
+  /** Called from both interpreted eval and the generated code (via a
+    * reference object): k cosines + an O(k·n) selection, all row-local. */
+  def pick(a: ArrayData): ArrayData = {
+    val k = idArr.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) { sims(c) = simOf(a, centArr(c)); c += 1 }
+    val out = new Array[Long](math.min(n, k))
+    val used = new Array[Boolean](k)
+    var o = 0
+    while (o < out.length) {
+      var best = -1
+      var i = 0
+      while (i < k) {
+        // strict > keeps the earliest (= smallest id) on ties
+        if (!used(i) && (best < 0 || sims(i) > sims(best))) best = i
+        i += 1
+      }
+      used(best) = true
+      out(o) = idArr(best)
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    pick(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("nearestCentroids", this, classOf[NearestCentroids].getName)
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  $ref.pick(${childGen.isNull} ? null :
+        |    (org.apache.spark.sql.catalyst.util.ArrayData) ${childGen.value});
+      """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.Bridge
@@ -150,6 +258,12 @@ object VectorExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Ids of the top-`n` centroids nearest to `vec` (sim desc, id asc).
+    * `ids` must be sorted ascending; see [[NearestCentroids]]. */
+  def nearestCentroids(vec: Column, ids: Seq[Long], centroids: Seq[Seq[Float]],
+                       n: Int, round4: Boolean): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(vec), ids, centroids, n, round4))
 
   /** SQL names (`graft_vector_dot`, `graft_cosine_sim`) for spark.sql use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * assigns each vector a small bucket key in the same scan, so near-dup
   * pair generation shuffles on the bucket key and never crosses buckets.
   * IVF restricts a query to its nearest centroid's cluster — the classic
-  * recall/cost trade — and the cluster assignment is itself a broadcast
-  * join against a tiny centroid table.
+  * recall/cost trade — and the cluster assignment is a codegen'd per-row
+  * argmax over the driver-side centroid list (a plan literal): a pure
+  * projection fused into the scan, no shuffle at any corpus size.
   */
 object Similarity {
 
@@ -62,26 +63,75 @@ object Similarity {
       when(element_at(vec, i + 1) >= 0, "1").otherwise("0")): _*)
 
   /** Near-duplicate pairs: bucket by sign-LSH, pair within bucket, keep
-    * cosine above `minCos`. Returns (id_a, id_b, cos_sim). */
+    * cosine above `minCos`. Returns (id_a, id_b, cos_sim).
+    *
+    * Scale shape (same construction as [[Dedup.lshCandidatePairs]]): ONE
+    * shuffle forms the buckets AND applies the cap — collect each bucket's
+    * ids (map-side partials), keep the `maxBucket` smallest, and emit the
+    * i<j combinations from the array in place. A skewed embedding
+    * distribution (all boilerplate vectors in one orthant) can put a large
+    * corpus fraction in one of the 2^p buckets; the cap bounds that
+    * bucket's work at O(maxBucket²) instead of quadratic in the corpus.
+    * The pair skeleton carries ONLY ids — vectors join back per side
+    * afterwards (narrow joins; AQE broadcasts the small pair frame), so
+    * embedding payloads never ride the quadratic path.
+    */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   p: Int, minCos: Double): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), p).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+                   p: Int, minCos: Double, maxBucket: Int = 1000): DataFrame = {
+    val ids = col("ids")
+    val pairs = df
+      .select(col(idCol).as("id"), signBucket(col(vecCol), p).as("bucket"))
+      .groupBy("bucket")
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .filter(size(ids) >= 2)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+    // each vector lives in exactly one bucket, so pairs are already unique
+    val pairsP = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = pairsP.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(cand, Seq("id"), "left_semi")
+    pairsP
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") > minCos)
   }
 
+  /** Nearest-centroid id per row (the IVF assignment argmax) as ONE
+    * codegen'd per-row expression over a driver-side centroid list — no
+    * crossJoin, no row_number window, no Exchange of the corpus
+    * ([[graft.expressions.NearestCentroids]]). `cents` need not be sorted;
+    * ties resolve to the smallest centroid id. */
+  def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Float])],
+                      round4: Boolean): Column = {
+    val sorted = cents.sortBy(_._1)
+    graft.expressions.VectorExpressions
+      .nearestCentroids(vec, sorted.map(_._1), sorted.map(_._2), n = 1, round4 = round4)
+      .getItem(0)
+  }
+
+  /** Ids of the `n` nearest centroids (sim desc, id asc) — the query-side
+    * probe list. */
+  def topCentroids(vec: Column, cents: Seq[(Long, Seq[Float])], n: Int,
+                   round4: Boolean): Column = {
+    val sorted = cents.sortBy(_._1)
+    graft.expressions.VectorExpressions
+      .nearestCentroids(vec, sorted.map(_._1), sorted.map(_._2), n = n, round4 = round4)
+  }
+
   /** Lloyd's k-means over the embedding column, pure DataFrame ops:
-    * seed with `k` deterministic rows, then iterate assign (broadcast
-    * centroid cross-join + argmax cosine) → re-center (positional explode,
-    * per-(cluster, dim) mean, re-assemble). Each iteration is two shuffles
-    * regardless of corpus size; centroids stay driver-side (k × dims
-    * doubles). Returns (centroid_id, vec) for [[ivfTopK]].
+    * seed with `k` deterministic rows, then iterate assign (per-row
+    * codegen'd argmax over the driver-side centroid list — a pure
+    * projection) → re-center (positional explode, per-(cluster, dim) mean,
+    * re-assemble). The re-center groupBy partially aggregates map-side to
+    * k × dims rows per partition, so the only exchange per iteration is
+    * k × dims × partitions rows — independent of corpus size; centroids
+    * stay driver-side (k × dims doubles). Returns (centroid_id, vec) for
+    * [[ivfTopK]].
     */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int = 3): DataFrame = {
@@ -96,16 +146,9 @@ object Similarity {
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1).toSeq) }.toSeq
 
     for (_ <- 0 until iters) {
-      val cent = broadcast(centroids.toDF("_cid", "_cvec")
-        .select(col("_cid"), col("_cvec").cast("array<float>").as("_cvec")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("_aid").orderBy(desc("_sim"), asc("_cid"))
-      val assigned = df.select(col(idCol).as("_aid"), col(vecCol).as("_avec"))
-        .crossJoin(cent)
-        .select(col("_aid"), col("_avec"), col("_cid"),
-          cosine(col("_avec"), col("_cvec")).as("_sim"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
+      val assigned = df.select(
+        nearestCentroid(col(vecCol), centroids, round4 = false).as("_cid"),
+        col(vecCol).as("_avec"))
       // re-center: positional mean per (cluster, dim)
       val means = assigned
         .select(col("_cid"), posexplode(col("_avec")).as(Seq("_pos", "_x")))
@@ -135,31 +178,26 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, centroidIdCol: String,
               query: DataFrame, k: Int, probes: Int = 1): DataFrame = {
-    val cent = broadcast(centroids.select(
-      col(centroidIdCol).as("_cid"), col(vecCol).as("_cvec")))
+    // Centroids are tiny (nlist × dims) — collect driver-side and ship
+    // them inside the assignment expression as a plan literal. Assignment
+    // then compiles into the scan's projection: the corpus is never
+    // crossJoined, windowed, or shuffled to find its nearest centroid.
+    // Ranking uses the ROUNDED similarity: both engines agree at 4
+    // decimals, unrounded doubles may differ in the last ulp across
+    // engines and flip an assignment tie.
+    val cents: Seq[(Long, Seq[Float])] = centroids
+      .select(col(centroidIdCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .toSeq
 
-    def assign(frame: DataFrame, id: Column, vec: Column, nearest: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("_aid").orderBy(desc("_sim"), asc("_cid"))
-      // rank on the ROUNDED similarity: both engines agree at 4 decimals,
-      // unrounded doubles may differ in the last ulp across engines and
-      // flip an assignment tie
-      frame.crossJoin(cent)
-        .select(id.as("_aid"), vec.as("_avec"), col("_cid"),
-          round(cosine(vec, col("_cvec")), 4).as("_sim"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= nearest)
-        .select(col("_aid"), col("_avec"), col("_cid"))
-    }
-
-    val assigned = assign(df, col(idCol), col(vecCol), nearest = 1)
-    // Partition the query-side ranking by the query's OWN id (not a dummy
-    // constant): a constant partition key degenerates WindowExec to a
-    // single global partition — harmless for one query row, a serial
-    // bottleneck for a query BATCH, and matches the oracle's
-    // PARTITION BY vec_id.
-    val queryClusters = assign(query, col(idCol), col(vecCol), nearest = probes)
-      .select(col("_cid").as("_qcid"), col("_avec").as("_qvec"))
+    val assigned = df.select(col(idCol).as("_aid"), col(vecCol).as("_avec"),
+      nearestCentroid(col(vecCol), cents, round4 = true).as("_cid"))
+    // Query side probes its `probes` nearest clusters — same expression
+    // with n = probes, exploded into one row per probed cluster.
+    val queryClusters = query
+      .select(col(vecCol).as("_qvec"),
+        explode(topCentroids(col(vecCol), cents, probes, round4 = true)).as("_qcid"))
     assigned
       .join(broadcast(queryClusters), col("_cid") === col("_qcid"))
       .select(col("_aid").as(idCol),

@@ -126,6 +126,24 @@ object Api {
 
   private def j(path: String): Column = get_json_object(col("txn"), path)
 
+  /** SignatureType classifier as a predicate on the txn JSON body
+    * (sig_type.go:46-63): top-level sig wins, then msig; an lsig CARRYING
+    * a delegation sig/msig classifies as sig/msig — plain `lsig` only when
+    * both nested fields are absent. */
+  private[query] def sigTypeCond(st: String): Column = {
+    val sig = j("$.sig").isNotNull
+    val msig = j("$.msig").isNotNull
+    val lsig = j("$.lsig").isNotNull
+    val lsigSig = j("$.lsig.sig").isNotNull
+    val lsigMsig = j("$.lsig.msig").isNotNull
+    st match {
+      case "sig" => sig || (!msig && lsig && lsigSig)
+      case "msig" => !sig && (msig || (lsig && !lsigSig && lsigMsig))
+      case "lsig" => !sig && !msig && lsig && !lsigSig && !lsigMsig
+      case other => throw new IllegalArgumentException(s"invalid sigtype: $other")
+    }
+  }
+
   /** State-table read, bucket-pruned to the key's single `bkt=N` partition
     * when the query carries an exact key on the table's bucketing column
     * (the Spark analogue of the reference's primary-key index probe). */
@@ -184,16 +202,12 @@ object Api {
     f.offsetGT.foreach(o => txn = txn.filter(col("intra") > o))
 
     // JSON body predicates.
-    f.sigType.foreach { st =>
-      txn = txn.filter(j(s"$$.$st").isNotNull)
-    }
+    f.sigType.foreach(st => txn = txn.filter(sigTypeCond(st)))
     f.notePrefix.foreach { p =>
-      val b64 = java.util.Base64.getEncoder.encodeToString(p)
       // note is base64; a byte prefix is a base64 prefix only on 3-byte
       // boundaries, so compare decoded prefixes.
       txn = txn.filter(
         substring(unbase64(j("$.txn.note")), 1, p.length) === lit(p))
-      val _ = b64
     }
     f.algosGT.foreach(v => txn = txn.filter(col("typeenum") === 1 && j("$.txn.amt").cast("long") > v))
     f.algosLT.foreach(v => txn = txn.filter(col("typeenum") === 1 &&

@@ -72,6 +72,45 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("array<float>"))
   }
 
+  test("NearestCentroids: argmax, tie→smallest id, degenerate rows, top-n order") {
+    val cents = Seq(10L -> Seq(1.0f, 0.0f), 20L -> Seq(0.0f, 1.0f), 30L -> Seq(1.0f, 0.0f))
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 0.1f))), // nearest axis-x; 10 and 30 tie → 10
+      (2L, Some(Seq(0.1f, 1.0f))), // nearest axis-y → 20
+      (3L, Some(Seq(0.0f, 0.0f))), // zero norm: all -2 → smallest id 10
+      (4L, None), // null vec: same degenerate rule
+      (5L, Some(Seq(1.0f)))) // length mismatch: same
+      .toDF("id", "v")
+    val out = df.select(col("id"),
+      Similarity.nearestCentroid(col("v"), cents, round4 = true).as("cid"),
+      Similarity.topCentroids(col("v"), cents, n = 3, round4 = true).as("top"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(out(1L)._1 == 10L && out(2L)._1 == 20L)
+    assert(out(3L)._1 == 10L && out(4L)._1 == 10L && out(5L)._1 == 10L)
+    assert(out(1L)._2 == Seq(10L, 30L, 20L)) // tie 10/30 before orthogonal 20
+    assert(out(3L)._2 == Seq(10L, 20L, 30L)) // all tied at -2 → id order
+  }
+
+  test("NearestCentroids matches the relational crossJoin+window argmax on random data") {
+    val rnd = new scala.util.Random(11)
+    val cents = (0 until 8).map(c => (c.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = (0 until 300).map(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+    val viaExpr = df.select(col("id"),
+      Similarity.nearestCentroid(col("v"), cents, round4 = true).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centDf = cents.toDF("_cid", "_cvec")
+      .select(col("_cid"), col("_cvec").cast("array<float>").as("_cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("_sim"), asc("_cid"))
+    val viaWindow = df.crossJoin(broadcast(centDf))
+      .select(col("id"), col("_cid"),
+        round(Similarity.cosine(col("v"), col("_cvec")), 4).as("_sim"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaWindow)
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // local relations constant-fold to LocalTableScan; use a file-backed
     // frame so a real codegen stage is planned

@@ -132,6 +132,18 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("id_a") == 1 && pairs.head.getAs[Long]("id_b") == 2)
   }
 
+  test("nearDupPairs: maxBucket caps a degenerate one-bucket corpus at O(cap²)") {
+    // 30 near-identical vectors, all in sign-bucket "11": uncapped this is
+    // C(30,2)=435 pairs; cap 5 keeps the 5 smallest ids → C(5,2)=10
+    val df = (1L to 30L).map(i => (i, Seq(1.0f, 1.0f + i * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding",
+      p = 2, minCos = 0.9, maxBucket = 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.size == 10)
+    assert(pairs.flatMap(p => Set(p._1, p._2)) == (1L to 5L).toSet)
+  }
+
   test("salted join and salted agg: identical results to the plain forms on skewed data") {
     // 90% of rows share one key — the hot-key shape salting exists for
     val big = ((1 to 900).map(_ => (1L, "hot")) ++ (1 to 100).map(i => (i.toLong % 7 + 2, s"v$i")))

@@ -210,6 +210,23 @@ class QueryApiSpec extends SparkSpec {
     val (msig, _) = Api.transactions(store, Api.TransactionFilter(sigType = Some("msig")))
     assert(msig.count() == 0)
 
+    // Classifier precedence incl. delegated lsig (sig_type.go:46-63):
+    // lsig carrying a nested sig/msig is sig/msig, NOT lsig.
+    import spark.implicits._
+    val bodies = Seq(
+      ("plain_sig", """{"sig":"s1","txn":{}}"""),
+      ("plain_msig", """{"msig":{"thr":1},"txn":{}}"""),
+      ("plain_lsig", """{"lsig":{"l":"prog"},"txn":{}}"""),
+      ("delegated_sig", """{"lsig":{"l":"prog","sig":"s2"},"txn":{}}"""),
+      ("delegated_msig", """{"lsig":{"l":"prog","msig":{"thr":1}},"txn":{}}"""),
+      ("sig_over_lsig", """{"sig":"s3","lsig":{"l":"prog"},"txn":{}}"""))
+      .toDF("tag", "txn")
+    def tags(st: String) =
+      bodies.filter(Api.sigTypeCond(st)).collect().map(_.getString(0)).toSet
+    assert(tags("sig") == Set("plain_sig", "delegated_sig", "sig_over_lsig"))
+    assert(tags("msig") == Set("plain_msig", "delegated_msig"))
+    assert(tags("lsig") == Set("plain_lsig"))
+
     val (rekeyed, _) = Api.transactions(store, Api.TransactionFilter(rekeyTo = Some(true)))
     assert(rekeyed.count() == 0)
     val (notRekeyed, _) = Api.transactions(store, Api.TransactionFilter(

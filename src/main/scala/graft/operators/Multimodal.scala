@@ -87,7 +87,8 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       // model weights would be loaded HERE, once per partition
       rows.map { r =>
-        val blob = r.getAs[Array[Byte]](blobIdx)
+        // NULL blob ≡ empty media, same contract as decodeMeta
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
         val hist = new Array[Double](dims)
         blob.foreach(b => hist((b & 0xff) % dims) += 1.0)
         val total = math.max(1.0, hist.sum)

@@ -227,15 +227,72 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
-    // ── Multimodal decode + feature pipeline (mapPartitions batch shape;
-    //    stubbed codec — no SQL equivalent, driver records rows>0). ──────
-    QueryDef.rowsOnly("mm_decode_features") {
+    // ── Multimodal decode + feature pipeline (mapPartitions batch shape)
+    //    with a REAL oracle: the stub features are an L1-normalized byte
+    //    histogram, so the query de-normalizes back to integer bucket
+    //    counts (features[i] · max(byte_len,1), exact to ±1 ulp, rounded)
+    //    and DuckDB recomputes the same counts from hex arithmetic.
+    //    Integer counts are engine-portable where 4-decimal rounding of
+    //    the ratios is not (half-up vs banker's tie hazard). ─────────────
+    QueryDef.sql(
+      "mm_decode_features", {
+        val countCols = (0 until 8).map(i =>
+          s"CAST(coalesce(c$i, 0) AS BIGINT) AS c$i").mkString(", ")
+        val sums = (0 until 8).map(i =>
+          s"sum(CASE WHEN bkt = $i THEN 1 ELSE 0 END) AS c$i").mkString(", ")
+        s"""WITH b AS (SELECT doc_id, encode(coalesce(text, '')) AS blob FROM documents),
+           |h AS (SELECT doc_id, octet_length(blob) AS len, hex(blob) AS hx FROM b),
+           |m AS (SELECT doc_id, len, lower(substr(hx, 1, 8)) AS format_sig,
+           |        CASE WHEN len > 0 THEN 16*(strpos('0123456789ABCDEF', substr(hx,1,1))-1)
+           |               + (strpos('0123456789ABCDEF', substr(hx,2,1))-1) ELSE 0 END AS b0,
+           |        CASE WHEN len > 1 THEN 16*(strpos('0123456789ABCDEF', substr(hx,3,1))-1)
+           |               + (strpos('0123456789ABCDEF', substr(hx,4,1))-1) ELSE 0 END AS b1
+           |      FROM h),
+           |u AS (SELECT doc_id, unnest(range(1, len + 1)) AS j, hx FROM h),
+           |k AS (SELECT doc_id,
+           |        (strpos('0123456789ABCDEF', substr(hx, 2*j, 1)) - 1) % 8 AS bkt
+           |      FROM u),
+           |c AS (SELECT doc_id, $sums FROM k GROUP BY doc_id)
+           |SELECT m.doc_id, CAST(len AS BIGINT) AS byte_len, format_sig,
+           |  CAST(16 + (b0 % 64) * 16 AS INT) AS width,
+           |  CAST(16 + (b1 % 64) * 16 AS INT) AS height,
+           |  CAST(1 + len % 30 AS INT) AS n_frames,
+           |  $countCols
+           |FROM m LEFT JOIN c USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }) {
       (s, d) =>
         val media = Tables.documents(s, d)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+          .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("blob"))
         val meta = Multimodal.decodeMeta(media, "doc_id", "blob")
         val feats = Multimodal.extractFeatures(media, "doc_id", "blob")
-        meta.join(feats, "media_id").orderBy("media_id")
+        val total = greatest(col("byte_len"), lit(1L)).cast("double")
+        val counts = (0 until 8).map(i =>
+          round(element_at(col("features"), i + 1) * total).cast("long").as(s"c$i"))
+        meta.join(feats, "media_id")
+          .select(Seq(col("media_id").as("doc_id"), col("byte_len"), col("format_sig"),
+            col("width"), col("height"), col("n_frames")) ++ counts: _*)
+          .orderBy("doc_id")
+    },
+
+    // ── Frame sampling: every stride-th frame index per media row — the
+    //    explode shape of a video pipeline, pinned by a DuckDB range
+    //    oracle (Spark sequence is stop-INCLUSIVE, DuckDB range is
+    //    stop-EXCLUSIVE: sequence(0, n-1, s) ≡ range(0, n, s)). ──────────
+    QueryDef.sql(
+      "mm_frame_sample",
+      """WITH b AS (SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS len FROM documents),
+        |f AS (SELECT doc_id, CAST(1 + len % 30 AS INT) AS n_frames FROM b),
+        |x AS (SELECT doc_id, n_frames, unnest(range(0, n_frames, 3)) AS fi FROM f)
+        |SELECT doc_id, n_frames, CAST(fi AS INT) AS frame_idx
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin) {
+      (s, d) =>
+        val media = Tables.documents(s, d)
+          .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("blob"))
+        val meta = Multimodal.decodeMeta(media, "doc_id", "blob")
+        Multimodal.sampleFrames(meta, stride = 3)
+          .select(col("media_id").as("doc_id"), col("n_frames"), col("frame_idx"))
+          .orderBy("doc_id", "frame_idx")
     },
 
     // ── Winnowing fingerprint set (char 8-grams, window 4): min-hash per

@@ -277,6 +277,79 @@ object RelationalQueries {
           .orderBy("p_partkey")
     },
 
+    // ── D-bal AssetBalanceQuery analogue (idb.go:321-337): uint64 balances
+    //    live in DECIMAL(20,0) — BIGINT overflows above 2^63
+    //    (writer_test.go:838's math.MaxUint64 trap) — with AmountGT/LT
+    //    range predicates near the top of the uint64 range and AddrGT
+    //    keyset paging in addr order. Balances synthesized as
+    //    maxUint64 - custkey so every compared value exceeds int64.
+    //    Output as VARCHAR: exact digits survive both engines' pandas
+    //    bridges, where huge decimals would degrade to float64. ──
+    QueryDef.sql(
+      "d7_balance_uint64_page",
+      """WITH b AS (SELECT c_name AS addr,
+        |             CAST('18446744073709551615' AS DECIMAL(20,0)) - c_custkey AS amount
+        |           FROM customer)
+        |SELECT addr, CAST(amount AS VARCHAR) AS amount
+        |FROM b
+        |WHERE amount > CAST('18446744073709551615' AS DECIMAL(20,0)) - 800
+        |  AND amount < CAST('18446744073709551615' AS DECIMAL(20,0)) - 100
+        |  AND addr > 'Customer#000000150'
+        |ORDER BY addr LIMIT 50""".stripMargin) {
+      (s, d) =>
+        val maxU = lit("18446744073709551615").cast(DecimalType(20, 0))
+        Tables.customer(s, d)
+          .select(col("c_name").as("addr"),
+            (maxU - col("c_custkey").cast(DecimalType(20, 0))).as("amount"))
+          .filter(col("amount") > maxU - lit(800) &&
+            col("amount") < maxU - lit(100) &&
+            col("addr") > "Customer#000000150")
+          .select(col("addr"), col("amount").cast("string").as("amount"))
+          .orderBy("addr")
+          .limit(50)
+    },
+
+    // ── D-app ApplicationQuery analogue (idb.go:358-364): creator filter +
+    //    ApplicationIdGreaterThan keyset, ascending id order, LIMIT —
+    //    the reference's `WHERE index > $n ORDER BY index ASC` page shape. ──
+    QueryDef.sql(
+      "d8_app_id_keyset",
+      """SELECT p_partkey AS app_id, p_brand AS creator, p_type AS params
+        |FROM part
+        |WHERE p_brand = 'Brand#13' AND p_partkey > 300
+        |ORDER BY app_id LIMIT 100""".stripMargin) {
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#13" && col("p_partkey") > 300)
+          .select(col("p_partkey").as("app_id"), col("p_brand").as("creator"),
+            col("p_type").as("params"))
+          .orderBy("app_id")
+          .limit(100)
+    },
+
+    // ── D-box ApplicationBoxQuery analogue (idb.go:373-380): boxes of one
+    //    app, BYTE-keyset `name > $prev` on the binary box name, ASC name
+    //    order, LIMIT — ordering and paging happen on the raw bytes
+    //    (unsigned lexicographic in both engines), hex-projected for the
+    //    compare. ──
+    QueryDef.sql(
+      "d9_box_name_keyset",
+      """SELECT p_partkey, lower(hex(encode(p_name))) AS name_hex,
+        |       p_retailprice AS value
+        |FROM part
+        |WHERE p_brand = 'Brand#11' AND encode(p_name) > encode('m')
+        |ORDER BY name_hex, p_partkey LIMIT 50""".stripMargin) {
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#11" &&
+            encode(col("p_name"), "UTF-8") > encode(lit("m"), "UTF-8"))
+          .select(col("p_partkey"),
+            lower(hex(encode(col("p_name"), "UTF-8"))).as("name_hex"),
+            col("p_retailprice").as("value"))
+          .orderBy("name_hex", "p_partkey")
+          .limit(50)
+    },
+
     // ── D byte/char-prefix match (NotePrefix pattern, idb.go:205-207:
     //    prefix predicate on a stored field). ──
     QueryDef.sql(

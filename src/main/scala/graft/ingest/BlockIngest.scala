@@ -1,6 +1,6 @@
 package graft.ingest
 
-import graft.codec.BlockCodec
+import graft.codec.{BlockCodec, CanonicalJson}
 import graft.model._
 import graft.state.StateMerge
 import graft.transform.{BlockTransforms, DeltaTransforms}
@@ -202,7 +202,12 @@ object BlockIngest {
     val accountDf = conform(rows.toDF(), "account")
     val touched = (0 until store.nBuckets).toSeq
     store.writeStateBuckets("account", "addr", accountDf, touched)
-    store.putMetastate(TableStore.MetaNetwork -> network)
+    // Seed migration state alongside network, as the reference does at
+    // genesis (cockroach.go:226-232): next = MaxInt ⇒ no migration needed.
+    store.putMetastate(
+      TableStore.MetaNetwork -> network,
+      TableStore.MetaMigration -> CanonicalJson.render(
+        CanonicalJson.JObj.of("next" -> CanonicalJson.JInt(Long.MaxValue))))
     store.setNextRound(0L)
   }
 

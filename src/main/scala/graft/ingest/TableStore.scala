@@ -312,6 +312,7 @@ object TableStore {
   val MetaNextRound = "next_account_round"
   val MetaSpecialAccounts = "accounts"
   val MetaNetwork = "network"
+  val MetaMigration = "migration"
 
   /** Authoritative table schemas (setup_cockroachdb_sql.go:5-133 →
     * SURVEY.md §1.3 type mapping). */

@@ -499,13 +499,49 @@ object Api {
       .agg(count(lit(1)).as("total_boxes"),
         sum(length(col("name")) + length(col("value"))).as("total_box_bytes"))
 
-  final case class Health(maxRoundAccounted: Option[Long], network: Option[String])
+  /** Health report with the reference's field shape (idb.go Health struct;
+    * cockroach.go:416-459): `data` carries migration-required /
+    * read-only-mode / migration-status, `round` is the max accounted round
+    * (0 when uninitialized), `isMigrating` mirrors a running migration,
+    * `dbAvailable` is false only while a blocking migration runs. */
+  final case class Health(
+      data: Map[String, String],
+      round: Long,
+      isMigrating: Boolean,
+      dbAvailable: Boolean,
+      error: String,
+      maxRoundAccounted: Option[Long],
+      network: Option[String])
 
-  def health(store: TableStore): Health = {
+  /** Number of schema migrations this engine defines. Parquet tables are
+    * schema-on-read, so none exist yet; genesis seeds the metastate
+    * `migration` key at MaxLong ("nothing pending", cockroach.go:226-232)
+    * and a store whose recorded `next` falls below this count reports
+    * migration-required. */
+  val RequiredMigrations: Long = 0L
+
+  def health(store: TableStore, readOnly: Boolean = false): Health = {
+    val meta = store.metastate
     val next = store.nextRound
+    // Missing key on an initialized store = pre-migration-era data, which
+    // the reference treats as "migrations pending from 0".
+    import graft.codec.CanonicalJson.JValOps
+    val migrationNext: Long = meta.get(TableStore.MetaMigration)
+      .map(js => graft.codec.CanonicalJson.parse(js).asObj("next").long)
+      .getOrElse(0L)
+    val required = migrationNext < RequiredMigrations
+    val data =
+      Map("migration-required" -> required.toString) ++
+        (if (readOnly) Map("read-only-mode" -> "true") else Map.empty) ++
+        (if (required) Map("migration-status" -> "migration required") else Map.empty)
     Health(
+      data = data,
+      round = if (next > 0) next - 1 else 0L,
+      isMigrating = false, // migrations run synchronously before serving
+      dbAvailable = true,
+      error = "",
       maxRoundAccounted = if (next > 0) Some(next - 1) else None,
-      network = store.metastate.get(TableStore.MetaNetwork))
+      network = meta.get(TableStore.MetaNetwork))
   }
 
   /** DeleteTransactions(keep): prune txn rows older than `keep`, record the

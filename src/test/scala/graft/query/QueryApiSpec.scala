@@ -269,10 +269,30 @@ class QueryApiSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM account").head().getLong(0) == 3)
   }
 
-  test("health reports max accounted round and network") {
+  test("health reports the reference shape: round, migration, availability") {
     val h = Api.health(store)
     assert(h.maxRoundAccounted.contains(3L))
+    assert(h.round == 3L)
     assert(h.network.contains("graft-test"))
+    // Genesis seeded migration=MaxLong (cockroach.go:226-232) ⇒ nothing
+    // pending, DB serving.
+    assert(h.data("migration-required") == "false")
+    assert(!h.data.contains("read-only-mode") && !h.data.contains("migration-status"))
+    assert(!h.isMigrating && h.dbAvailable && h.error.isEmpty)
+    assert(store.metastate(TableStore.MetaMigration).contains(Long.MaxValue.toString))
+
+    val ro = Api.health(store, readOnly = true)
+    assert(ro.data("read-only-mode") == "true")
+
+    // A store whose migration watermark predates the defined migrations
+    // reports migration-required (reference: nextMigration < len(migrations)).
+    store.putMetastate(TableStore.MetaMigration -> """{"next":-1}""")
+    try {
+      val stale = Api.health(store)
+      assert(stale.data("migration-required") == "true")
+      assert(stale.data("migration-status") == "migration required")
+    } finally store.putMetastate(TableStore.MetaMigration ->
+      s"""{"next":${Long.MaxValue}}""")
   }
 
   test("deleteTransactions prunes old round partitions and records watermark") {

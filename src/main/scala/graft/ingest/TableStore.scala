@@ -3,8 +3,9 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Parquet-backed store for the 9 maintained tables + JSON metastate
   * (SURVEY.md §1.4, §2.A6/A7).
@@ -36,14 +37,25 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
 
   private def path(table: String) = s"$root/$table"
 
+  /** Children of `dir` with the stream CLOSED on exit (a bare Files.list
+    * leaks a directory fd per call — fatal over a long streaming ingest). */
+  private def listDir(dir: Path): List[Path] =
+    if (!Files.exists(dir)) Nil
+    else Using.resource(Files.list(dir))(_.iterator().asScala.toList)
+
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.exists(dir))
+      Using.resource(Files.walk(dir)) {
+        _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.foreach(Files.delete)
+      }
+
   // ── Generic read (empty frame with the right schema if absent) ──────
 
   def read(table: String): DataFrame = table match {
     case "txn" | "txn_participation" | "block_header" => readManifest(table, manifest(table))
     case _ =>
-      val dir = Paths.get(path(table))
-      if (Files.exists(dir) && Files.list(dir).iterator().asScala.exists(p =>
-          !p.getFileName.toString.startsWith("_")))
+      recoverStateBuckets(table)
+      if (listDir(Paths.get(path(table))).exists(p => !p.getFileName.toString.startsWith("_")))
         spark.read.schema(schemaWithPartitions(table)).parquet(path(table))
       else
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaWithPartitions(table))
@@ -91,17 +103,18 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     df.withColumn("rbkt", (col("round") / lit(roundsPerPartition)).cast("long"))
       .write.mode("overwrite").partitionBy("rbkt").parquet(staging)
     val sdir = Paths.get(staging)
-    val moved = Files.walk(sdir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val rel = s"${p.getParent.getFileName}/${p.getFileName}" // rbkt=N/part-…
-        val dest = Paths.get(s"${path(table)}/$rel")
-        Files.createDirectories(dest.getParent)
-        Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-        rel
-      }.toList
-    Files.walk(sdir).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(Files.delete)
+    val moved = Using.resource(Files.walk(sdir)) {
+      _.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val rel = s"${p.getParent.getFileName}/${p.getFileName}" // rbkt=N/part-…
+          val dest = Paths.get(s"${path(table)}/$rel")
+          Files.createDirectories(dest.getParent)
+          Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+          rel
+        }.toList
+    }
+    deleteRecursively(sdir)
     moved
   }
 
@@ -180,15 +193,13 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     * would add time-based retention (the Delta/Iceberg VACUUM contract). */
   def vacuum(table: String): Unit = {
     val keep = manifest(table).toSet
-    val dir = Paths.get(path(table))
-    if (!Files.exists(dir)) return
-    Files.list(dir).iterator().asScala
+    listDir(Paths.get(path(table)))
       .filter(p => p.getFileName.toString.startsWith("rbkt="))
       .foreach { bdir =>
-        Files.list(bdir).iterator().asScala
+        listDir(bdir)
           .filter(p => !keep.contains(s"${bdir.getFileName}/${p.getFileName}"))
-          .toList.foreach(Files.delete)
-        if (!Files.list(bdir).iterator().hasNext) Files.delete(bdir)
+          .foreach(Files.delete)
+        if (listDir(bdir).isEmpty) Files.delete(bdir)
       }
   }
 
@@ -239,8 +250,20 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     * The `_staging` prefix keeps Spark's file index blind to in-flight
     * output. Production analogue: a transactional table format's
     * write-to-staging + metadata swap.
+    *
+    * The swap is RENAME-FIRST so no crash window loses pre-merge rows:
+    * `bkt=N` → `_old_bkt=N` (atomic), staged dir in (atomic), then delete
+    * `_old_bkt=N`. A crash between the two renames leaves the pre-merge
+    * rows intact under `_old_bkt=N`; [[recoverStateBuckets]] (run on every
+    * state read and before every swap) moves them back. Either recovered
+    * face is safe to replay against: the watermark hasn't advanced, and
+    * the delta merge is idempotent. The old delete-then-move order
+    * destroyed the bucket first — a crash before the move orphaned every
+    * untouched key in it, silently, because replay re-merged against an
+    * empty bucket. `_`-prefixed names stay hidden from Spark's file index.
     */
   def writeStateBuckets(table: String, keyCol: String, merged: DataFrame, touched: Seq[Int]): Unit = {
+    recoverStateBuckets(table, sweepStaging = true)
     val staging = s"${path(table)}/_staging_${java.util.UUID.randomUUID().toString.take(8)}"
     merged
       .withColumn("bkt", bucketOf(keyCol))
@@ -248,22 +271,46 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
       .mode("overwrite")
       .partitionBy("bkt")
       .parquet(staging)
-    touched.foreach { b =>
-      val dir = Paths.get(s"${path(table)}/bkt=$b")
-      if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.delete)
+    swapLock(table).synchronized {
+      touched.foreach { b =>
+        val dir = Paths.get(s"${path(table)}/bkt=$b")
+        val old = Paths.get(s"${path(table)}/_old_bkt=$b")
+        if (Files.exists(dir)) Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+        val src = Paths.get(s"$staging/bkt=$b")
+        if (Files.exists(src)) Files.move(src, dir, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
       }
-      val src = Paths.get(s"$staging/bkt=$b")
-      if (Files.exists(src)) Files.move(src, dir, StandardCopyOption.ATOMIC_MOVE)
     }
     // remove staging leftovers (_SUCCESS, empty dir)
-    val sdir = Paths.get(staging)
-    if (Files.exists(sdir)) {
-      Files.walk(sdir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-    }
+    deleteRecursively(Paths.get(staging))
   }
+
+  /** Heal interrupted bucket swaps: a leftover `_old_bkt=N` whose live
+    * `bkt=N` is missing means the crash hit between the two renames —
+    * restore it; one whose live dir exists means the swap completed —
+    * drop it. Stale `_staging_*` dirs are left alone here — they are
+    * invisible to readers and may belong to an in-flight writer; the next
+    * writeStateBuckets on the table sweeps them. */
+  private[ingest] def recoverStateBuckets(table: String, sweepStaging: Boolean = false): Unit =
+    swapLock(table).synchronized {
+      listDir(Paths.get(path(table))).foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("_old_bkt=")) {
+          val live = Paths.get(s"${path(table)}/${name.stripPrefix("_old_")}")
+          if (Files.exists(live)) deleteRecursively(p)
+          else Files.move(p, live, StandardCopyOption.ATOMIC_MOVE)
+        } else if (sweepStaging && name.startsWith("_staging_")) deleteRecursively(p)
+      }
+    }
+
+  // Swap and recovery serialize per table: without this, a concurrent
+  // reader's heal pass could restore `_old_bkt=N` in the instant between a
+  // writer's two renames and collide with the incoming move. All renames
+  // are driver-side, so a JVM monitor suffices; cross-process crashes are
+  // what the on-disk `_old_bkt` protocol itself covers.
+  private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def swapLock(table: String): Object =
+    swapLocks.computeIfAbsent(table, _ => new Object)
 
   /** Register every maintained table as a temp view (plus the graft UDFs),
     * so the whole surface is queryable from `spark.sql` — the "point the

@@ -97,4 +97,46 @@ class ManifestSpec extends SparkSpec {
     assert(m.exists(_.startsWith("rbkt=2/")))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${store.root}/block_header/rbkt=0")))
   }
+
+  test("interrupted state-bucket swap recovers without losing pre-merge rows") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val store = new TableStore(spark, tmpDir("graft-swap"), nBuckets = 2)
+    def assetDf(ids: Seq[Long]) = ids
+      .map(i => (i, s"addr$i", "{}", false, 0L, Option.empty[Long]))
+      .toDF("id", "creator_addr", "params", "deleted", "created_at", "closed_at")
+      .select(TableStore.Schemas("asset").fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
+    store.writeStateBuckets("asset", "id", assetDf(0L until 10L), Seq(0, 1))
+    assert(store.readState("asset").count() == 10)
+
+    // Simulate a crash between the two renames of a swap: the live bkt dir
+    // was moved aside to _old_bkt=N, the replacement never arrived.
+    val live = listBkts(store).head
+    val old = Paths.get(live.getParent.toString, "_old_" + live.getFileName.toString)
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    assert(store.readState("asset").count() == 10,
+      "recovery on read must restore the interrupted bucket")
+    assert(!Files.exists(old))
+
+    // Completed-swap leftover (crash after the second rename, before the
+    // cleanup delete): live dir present, _old twin still around — recovery
+    // must drop the twin, keeping the new face.
+    val live2 = listBkts(store).head
+    val old2 = Paths.get(live2.getParent.toString, "_old_" + live2.getFileName.toString)
+    // twin with DIFFERENT content so a wrong pick would change the count
+    Files.createDirectories(old2)
+    assert(store.readState("asset").count() == 10)
+    assert(!Files.exists(old2), "completed-swap leftover must be dropped")
+
+    // And the next merge-write over a crash leftover still lands cleanly.
+    store.writeStateBuckets("asset", "id", assetDf(0L until 4L), Seq(0, 1))
+    assert(store.readState("asset").count() == 4)
+  }
+
+  private def listBkts(store: TableStore) = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"${store.root}/asset"))
+    try s.iterator().asScala.toList.filter(_.getFileName.toString.startsWith("bkt="))
+    finally s.close()
+  }
 }

@@ -64,7 +64,10 @@ final case class AppBoxRow(app: Long, name: Array[Byte], value: Array[Byte])
 
 // ── Delta rows (one per state statement the reference would queue;
 //    writer.go:39-114). Delete deltas carry their zeroed/nulled payload so
-//    the merge can treat payload uniformly. ────────────────────────────
+//    the merge can treat payload uniformly. `seq` is the statement's
+//    position within its block (payset/delta order): the reference applies
+//    statements in order, so a same-key same-round tie must resolve to the
+//    LAST statement, not an arbitrary row. ─────────────────────────────
 
 final case class AccountDeltaRow(
     addr: String,
@@ -75,14 +78,16 @@ final case class AccountDeltaRow(
     rewards_total: Long,
     ktPresent: Boolean,
     keytype: Option[String],
-    account_data: Option[String])
+    account_data: Option[String],
+    seq: Int = 0)
 
 final case class AssetDeltaRow(
     id: Long,
     round: Long,
     isDelete: Boolean,
     creator_addr: String,
-    params: Option[String])
+    params: Option[String],
+    seq: Int = 0)
 
 final case class AccountAssetDeltaRow(
     addr: String,
@@ -90,25 +95,29 @@ final case class AccountAssetDeltaRow(
     round: Long,
     isDelete: Boolean,
     amount: java.math.BigDecimal,
-    frozen: Boolean)
+    frozen: Boolean,
+    seq: Int = 0)
 
 final case class AppDeltaRow(
     id: Long,
     round: Long,
     isDelete: Boolean,
     creator: String,
-    params: Option[String])
+    params: Option[String],
+    seq: Int = 0)
 
 final case class AccountAppDeltaRow(
     addr: String,
     app: Long,
     round: Long,
     isDelete: Boolean,
-    localstate: Option[String])
+    localstate: Option[String],
+    seq: Int = 0)
 
 final case class AppBoxDeltaRow(
     app: Long,
     name: Array[Byte],
     round: Long,
     isDelete: Boolean,
-    value: Option[Array[Byte]])
+    value: Option[Array[Byte]],
+    seq: Int = 0)

@@ -35,10 +35,19 @@ object StateMerge {
   /** Reduce a delta frame to one row per key: final payload by round order,
     * plus `_first_round` / `_last_delete_round` lineage aggregates.
     * `ktCol` marks the optional presence-gated column (account.keytype).
+    *
+    * Ordering is (round, seq) desc: `seq` is the statement's position
+    * within its block, so two statements for the same key in one block
+    * resolve to the later one — the order the reference applies them in —
+    * instead of an arbitrary tie pick. Frames without a seq column (ad-hoc
+    * callers) fall back to round-only ordering.
     */
   def reduceDeltas(deltas: DataFrame, keys: Seq[String], ktCol: Option[(String, String)]): DataFrame = {
     val keyCols = keys.map(col)
-    val w = Window.partitionBy(keyCols: _*).orderBy(desc("round"))
+    val ord =
+      if (deltas.columns.contains("seq")) Seq(desc("round"), desc("seq"))
+      else Seq(desc("round"))
+    val w = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
     val lineage = deltas.groupBy(keyCols: _*).agg(
       min("round").as("_first_round"),
       max(when(col("isDelete"), col("round"))).as("_last_delete_round"))

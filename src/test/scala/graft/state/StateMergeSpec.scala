@@ -167,4 +167,28 @@ class StateMergeSpec extends SparkSpec {
     assert(r.getDecimal(1).toBigInteger.toString == "18446744073709551615")
     assert(r.getBoolean(2) && r.getLong(3) == 3)
   }
+
+  // ── same-key same-round statement order (payset order) ─────────────
+
+  test("two statements for one key in one block: the later seq wins, deterministically") {
+    // The reference applies statements in payset order; round alone ties.
+    val first = up(A, 5, 111).copy(seq = 0)
+    val second = up(A, 5, 222).copy(seq = 1)
+    // Both input orders must resolve to the seq=1 payload.
+    assert(mergeAcct(Nil, Seq(first, second))(A).microalgos == 222)
+    assert(mergeAcct(Nil, Seq(second, first))(A).microalgos == 222)
+
+    // Delete-then-recreate within one block: final face is the recreate,
+    // but the delete still stamps closed_at (upserts never clear it).
+    val out = mergeAcct(Nil, Seq(del(A, 5).copy(seq = 0), up(A, 5, 333).copy(seq = 1)))
+    val r = out(A)
+    assert(!r.deleted && r.microalgos == 333)
+    assert(r.created_at == 5 && r.closed_at.contains(5L))
+
+    // And the keytype presence-gate resolves by seq too.
+    val kt = mergeAcct(Nil, Seq(
+      up(A, 5, 1, kt = Some(Some("sig"))).copy(seq = 0),
+      up(A, 5, 2, kt = Some(Some("msig"))).copy(seq = 1)))
+    assert(kt(A).keytype.contains("msig"))
+  }
 }

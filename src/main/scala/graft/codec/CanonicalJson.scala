@@ -138,7 +138,9 @@ object CanonicalJson {
         skipWs(); expect(':')
         m = m.updated(k, parseValue())
         skipWs()
-        if (cur == ',') pos += 1
+        // atEnd here = truncated input; expect() turns it into a
+        // positioned parse error instead of an index-out-of-bounds.
+        if (!atEnd && cur == ',') pos += 1
         else { expect('}'); return JObj(m) }
       }
       JObj(m)
@@ -151,7 +153,7 @@ object CanonicalJson {
       while (true) {
         b += parseValue()
         skipWs()
-        if (cur == ',') pos += 1
+        if (!atEnd && cur == ',') pos += 1
         else { expect(']'); return JArr(b.result()) }
       }
       JArr(b.result())
@@ -160,9 +162,10 @@ object CanonicalJson {
     def parseString(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (cur != '"') {
+      while ({ require(!atEnd, s"unterminated string at $pos"); cur != '"' }) {
         if (cur == '\\') {
           pos += 1
+          require(!atEnd, s"truncated escape at $pos")
           cur match {
             case '"' => sb.append('"'); pos += 1
             case '\\' => sb.append('\\'); pos += 1
@@ -173,6 +176,7 @@ object CanonicalJson {
             case 'r' => sb.append('\r'); pos += 1
             case 't' => sb.append('\t'); pos += 1
             case 'u' =>
+              require(pos + 5 <= s.length, s"truncated \\u escape at $pos")
               val hex = s.substring(pos + 1, pos + 5)
               sb.append(Integer.parseInt(hex, 16).toChar)
               pos += 5

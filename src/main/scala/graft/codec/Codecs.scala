@@ -130,13 +130,38 @@ object Codecs {
   }
 
   // ── PrintableUTF8OrEmpty (encoding.go:123-162): keep a string only if
-  //    every rune is printable UTF-8; otherwise return "". ──────────────
+  //    every rune is printable UTF-8; otherwise return "". "Printable"
+  //    is Go's unicode.IsPrint: categories L/M/N/P/S plus U+0020 — which
+  //    REJECTS format characters (Cf: ZWSP, bidi controls) and the
+  //    non-space separators (Zs beyond space, Zl, Zp) that a plain
+  //    "not a control char" test lets through. ─────────────────────────
+
+  private val PrintableCategories: Set[Int] = Set(
+    Character.UPPERCASE_LETTER, Character.LOWERCASE_LETTER,
+    Character.TITLECASE_LETTER, Character.MODIFIER_LETTER,
+    Character.OTHER_LETTER, // L
+    Character.NON_SPACING_MARK, Character.ENCLOSING_MARK,
+    Character.COMBINING_SPACING_MARK, // M
+    Character.DECIMAL_DIGIT_NUMBER, Character.LETTER_NUMBER,
+    Character.OTHER_NUMBER, // N
+    Character.DASH_PUNCTUATION, Character.START_PUNCTUATION,
+    Character.END_PUNCTUATION, Character.CONNECTOR_PUNCTUATION,
+    Character.OTHER_PUNCTUATION, Character.INITIAL_QUOTE_PUNCTUATION,
+    Character.FINAL_QUOTE_PUNCTUATION, // P
+    Character.MATH_SYMBOL, Character.CURRENCY_SYMBOL,
+    Character.MODIFIER_SYMBOL, Character.OTHER_SYMBOL // S
+  ).map(_.toInt)
 
   def printableUtf8OrEmpty(s: String): String = {
-    val printable = s.forall { c =>
-      !Character.isISOControl(c) && Character.isDefined(c)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      // An unpaired surrogate is not valid UTF-8 → the Go side returns "".
+      if (Character.isSurrogate(s.charAt(i)) && Character.charCount(cp) == 1) return ""
+      if (cp != 0x20 && !PrintableCategories.contains(Character.getType(cp))) return ""
+      i += Character.charCount(cp)
     }
-    if (printable) s else ""
+    s
   }
 
   // ── Type-enum maps (txn_type_enum.go:14-50, sig_type.go:12-41) ──────

@@ -168,6 +168,30 @@ class CodecSpec extends AnyFunSuite {
     assert(Codecs.printableUtf8OrEmpty("uniéode") == "uniéode")
   }
 
+  test("printableUtf8OrEmpty matches Go IsPrint classes, not just not-a-control") {
+    // Format chars (Cf) are NOT printable in Go: ZWSP, bidi override.
+    assert(Codecs.printableUtf8OrEmpty("a\u200Bb") == "")
+    assert(Codecs.printableUtf8OrEmpty("a\u202Eb") == "")
+    // Separators beyond ASCII space (Zl, Zs ideographic space): not printable.
+    assert(Codecs.printableUtf8OrEmpty("a\u2028b") == "")
+    assert(Codecs.printableUtf8OrEmpty("a\u3000b") == "")
+    // ASCII space is the one separator Go accepts.
+    assert(Codecs.printableUtf8OrEmpty("a b") == "a b")
+    // L/M/N/P/S all pass: letters, digits, punctuation, symbols.
+    assert(Codecs.printableUtf8OrEmpty("\u00E9 42 !? $\u20AC \u2211") == "\u00E9 42 !? $\u20AC \u2211")
+    // Astral-plane code points (surrogate pairs) pass; an unpaired
+    // surrogate is invalid UTF-8 and empties out.
+    assert(Codecs.printableUtf8OrEmpty("ok \uD83D\uDE00") == "ok \uD83D\uDE00")
+    assert(Codecs.printableUtf8OrEmpty("bad \uD83D.") == "")
+  }
+
+  test("truncated JSON fails with a positioned parse error, not an index crash") {
+    for (bad <- Seq("{\"a\": 1", "{\"a\": \"un", "[1, 2", "{\"a\": \"x\\", "\"\\u00", "{\"a\"")) {
+      val e = intercept[IllegalArgumentException](CanonicalJson.parse(bad))
+      assert(e.getMessage != null && e.getMessage.nonEmpty, s"input: $bad")
+    }
+  }
+
   // ── block codec round-trip ─────────────────────────────────────────
 
   test("block JSON round-trips the full domain incl. recursive inners") {

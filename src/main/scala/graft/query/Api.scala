@@ -65,7 +65,14 @@ object Api {
       /** Reference default behavior (idb.go:137-143): an inner-txn match is
         * returned as its ROOT transaction. `false` returns raw inner rows
         * (SkipInnerTransactionConversion). */
-      convertInnerToRoot: Boolean = false)
+      convertInnerToRoot: Boolean = false,
+      /** idb.go:181-182: bypass filter normalization so tests can pin that
+        * the rewrite never changes results. Here it disables the up-front
+        * round-bounds resolution (Round ∩ Min/MaxRound ∩ time range) and
+        * the manifest prune it drives: every predicate is applied raw over
+        * a full-manifest read, and time bounds become a header semi-join
+        * instead of a collapsed min/max range. */
+      skipOptimization: Boolean = false)
 
   final case class AccountQueryOptions(
       greaterThanAddress: Option[String] = None,
@@ -160,26 +167,32 @@ object Api {
 
     // Resolve ALL round bounds up front so the manifest read is pruned to
     // the matching range buckets before Spark lists a single file.
-    var lo = f.minRound
-    var hi = f.maxRound
-    // Intersect, don't overwrite: Round + contradictory Min/MaxRound must
-    // stay an empty conjunction, exactly as the filters compose.
-    f.round.foreach { r =>
-      lo = Some(lo.fold(r)(math.max(_, r)))
-      hi = Some(hi.fold(r)(math.min(_, r)))
-    }
+    // SkipOptimization leaves the bounds unresolved: full-manifest read,
+    // raw predicates, time bounds as a header semi-join (the
+    // normalization-equivalence contract of idb.go:181-182).
+    var lo = if (f.skipOptimization) None else f.minRound
+    var hi = if (f.skipOptimization) None else f.maxRound
     var emptyByTime = false
-    // Time bounds resolve to a round range via block_header (idb.go:190-192;
-    // min/max agg subquery instead of a range join — §2.E).
-    if (f.afterTime.isDefined || f.beforeTime.isDefined) {
-      var hdr = store.read("block_header")
-      f.afterTime.foreach(t => hdr = hdr.filter(col("realtime") > t))
-      f.beforeTime.foreach(t => hdr = hdr.filter(col("realtime") < t))
-      val range = hdr.agg(min("round").as("lo"), max("round").as("hi")).head()
-      if (range.isNullAt(0)) emptyByTime = true
-      else {
-        lo = Some(lo.fold(range.getLong(0))(math.max(_, range.getLong(0))))
-        hi = Some(hi.fold(range.getLong(1))(math.min(_, range.getLong(1))))
+    if (!f.skipOptimization) {
+      // Intersect, don't overwrite: Round + contradictory Min/MaxRound must
+      // stay an empty conjunction, exactly as the filters compose.
+      f.round.foreach { r =>
+        lo = Some(lo.fold(r)(math.max(_, r)))
+        hi = Some(hi.fold(r)(math.min(_, r)))
+      }
+      // Time bounds resolve to a round range via block_header
+      // (idb.go:190-192; min/max agg subquery instead of a range join —
+      // §2.E).
+      if (f.afterTime.isDefined || f.beforeTime.isDefined) {
+        var hdr = store.read("block_header")
+        f.afterTime.foreach(t => hdr = hdr.filter(col("realtime") > t))
+        f.beforeTime.foreach(t => hdr = hdr.filter(col("realtime") < t))
+        val range = hdr.agg(min("round").as("lo"), max("round").as("hi")).head()
+        if (range.isNullAt(0)) emptyByTime = true
+        else {
+          lo = Some(lo.fold(range.getLong(0))(math.max(_, range.getLong(0))))
+          hi = Some(hi.fold(range.getLong(1))(math.min(_, range.getLong(1))))
+        }
       }
     }
 
@@ -188,8 +201,20 @@ object Api {
     // Exact predicates on top of the pruned scan (row-group stats finish
     // the job inside surviving files).
     f.round.foreach(r => txn = txn.filter(col("round") === r))
+    // Optimized path: lo/hi carry the resolved intersection (min/max/time).
+    // Skip path: lo/hi are None and the raw bounds apply individually.
     lo.foreach(r => txn = txn.filter(col("round") >= r))
     hi.foreach(r => txn = txn.filter(col("round") <= r))
+    if (f.skipOptimization) {
+      f.minRound.foreach(r => txn = txn.filter(col("round") >= r))
+      f.maxRound.foreach(r => txn = txn.filter(col("round") <= r))
+    }
+    if (f.skipOptimization && (f.afterTime.isDefined || f.beforeTime.isDefined)) {
+      var hdr = store.read("block_header")
+      f.afterTime.foreach(t => hdr = hdr.filter(col("realtime") > t))
+      f.beforeTime.foreach(t => hdr = hdr.filter(col("realtime") < t))
+      txn = txn.join(broadcastIfSmall(hdr.select("round")), Seq("round"), "left_semi")
+    }
 
     // Denormalized scalar predicates (the reference's "slightly faster
     // query" rewrites, idb.go:204).

@@ -269,6 +269,29 @@ class QueryApiSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM account").head().getLong(0) == 3)
   }
 
+  test("skipOptimization: raw-predicate path returns exactly the normalized path's rows") {
+    // idb.go:181-182 — the flag exists so tests can pin that filter
+    // normalization (round-bounds intersection + manifest prune + time
+    // range collapse) never changes results.
+    val filters = Seq(
+      Api.TransactionFilter(minRound = Some(1), maxRound = Some(2)),
+      Api.TransactionFilter(round = Some(2), minRound = Some(1), maxRound = Some(99)),
+      Api.TransactionFilter(round = Some(2), maxRound = Some(1)), // contradictory ⇒ empty
+      Api.TransactionFilter(
+        afterTime = Some(new java.sql.Timestamp(1700000001L * 1000)),
+        beforeTime = Some(new java.sql.Timestamp(1700000011L * 1000))),
+      Api.TransactionFilter(address = Some(A), minRound = Some(1),
+        afterTime = Some(new java.sql.Timestamp(1700000000L * 1000))),
+      Api.TransactionFilter(typeEnum = Some(1), maxRound = Some(3)))
+    for (f <- filters) {
+      def rows(skip: Boolean) =
+        Api.transactions(store, f.copy(skipOptimization = skip))._1
+          .select("round", "intra").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(rows(skip = false) == rows(skip = true), s"filter: $f")
+    }
+  }
+
   test("health reports the reference shape: round, migration, availability") {
     val h = Api.health(store)
     assert(h.maxRoundAccounted.contains(3L))

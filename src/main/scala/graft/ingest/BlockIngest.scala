@@ -165,7 +165,14 @@ object BlockIngest {
       val manifestKvs = staged.map { case (t, files) =>
         store.manifestKey(t) -> (store.manifest(t) ++ files).mkString("\n")
       }
-      store.putMetastate(manifestKvs ++ Seq(
+      // Txid file-pruning index over the batch's staged txn files, folded
+      // into the same commit — the index can never disagree with the
+      // manifest it serves (see TxidBloom).
+      val bloomKvs = staged.collectFirst { case ("txn", files) if files.nonEmpty =>
+        TableStore.TxidBloomKey ->
+          store.renderBloomMap(store.txidBloomRaw ++ store.txidBloomEntriesFor(files))
+      }.toSeq
+      store.putMetastate(manifestKvs ++ bloomKvs ++ Seq(
         TableStore.MetaSpecialAccounts -> specialAccounts,
         TableStore.MetaNextRound -> (lastRound + 1).toString): _*)
     } finally all.unpersist()

@@ -3,6 +3,7 @@ package graft.ingest
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.codec.CanonicalJson
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import scala.util.Using
@@ -134,20 +135,84 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   private def rbktOf(rel: String): Long =
     rel.takeWhile(_ != '/').stripPrefix("rbkt=").toLong
 
-  /** Append-table read pruned to [lo, hi] (inclusive, either side open):
-    * the manifest is filtered driver-side to the range buckets that can
-    * intersect, so Spark never even lists files outside the range. Callers
-    * still apply the exact `round` predicate — parquet row-group stats
-    * prune within the surviving files. */
-  def readRounds(table: String, lo: Option[Long], hi: Option[Long]): DataFrame = {
-    val files = manifest(table).filter { f =>
+  /** Committed files whose range bucket can intersect [lo, hi]. */
+  private def rangeFiles(table: String, lo: Option[Long], hi: Option[Long]): Seq[String] =
+    manifest(table).filter { f =>
       val b = rbktOf(f)
       val bLo = b * roundsPerPartition
       val bHi = bLo + roundsPerPartition - 1
       lo.forall(_ <= bHi) && hi.forall(_ >= bLo)
     }
-    readManifest(table, files)
+
+  /** Append-table read pruned to [lo, hi] (inclusive, either side open):
+    * the manifest is filtered driver-side to the range buckets that can
+    * intersect, so Spark never even lists files outside the range. Callers
+    * still apply the exact `round` predicate — parquet row-group stats
+    * prune within the surviving files. */
+  def readRounds(table: String, lo: Option[Long], hi: Option[Long]): DataFrame =
+    readManifest(table, rangeFiles(table, lo, hi))
+
+  // ── Txid file-pruning index (see TxidBloom) ─────────────────────────
+
+  /** Raw committed bloom map: rel file path → encoded bloom. */
+  def txidBloomRaw: Map[String, String] = {
+    import CanonicalJson.JValOps
+    metastate.get(TableStore.TxidBloomKey)
+      .map(js => CanonicalJson.parse(js).asObj.map { case (k, v) => k -> v.str }.toMap)
+      .getOrElse(Map.empty)
   }
+
+  def renderBloomMap(m: Map[String, String]): String =
+    CanonicalJson.render(CanonicalJson.JObj.of(
+      m.toSeq.map { case (k, v) => k -> (CanonicalJson.JStr(v): CanonicalJson.JVal) }: _*))
+
+  /** One bloom per given `txn` file over its non-null (root) txids — one
+    * small Spark job reading just the batch's files. Files whose rows are
+    * all inner txns (txid null) get an empty bloom: provably
+    * txid-free, always pruned. */
+  def txidBloomEntriesFor(files: Seq[String]): Map[String, String] =
+    if (files.isEmpty) Map.empty
+    else {
+      val built = spark.read.schema(Schemas("txn"))
+        .parquet(files.map(f => s"${path("txn")}/$f"): _*)
+        .select(input_file_name().as("f"), col("txid"))
+        .filter(col("txid").isNotNull)
+        .groupBy("f").agg(collect_list("txid").as("ids"))
+        .collect()
+        .map { r =>
+          val rel = r.getString(0).split('/').takeRight(2).mkString("/")
+          rel -> TxidBloom.build(r.getSeq[String](1)).encode
+        }.toMap
+      val empty = TxidBloom.Bloom(1, new Array[Long](1)).encode
+      files.map(f => f -> built.getOrElse(f, empty)).toMap
+    }
+
+  /** Manifest files that might contain `txid` within the round range:
+    * bloom-negative files are pruned driver-side; files with no bloom
+    * entry (pre-index data) are conservatively kept. */
+  def txidCandidateFiles(txid: String, lo: Option[Long] = None, hi: Option[Long] = None): Seq[String] = {
+    val blooms = txidBloomRaw
+    rangeFiles("txn", lo, hi).filter { f =>
+      blooms.get(f).forall(enc => TxidBloom.decode(enc).mightContain(txid))
+    }
+  }
+
+  /** Point read for a txid lookup: only bloom-candidate files are listed.
+    * Callers still apply the exact `txid = …` predicate (bloom false
+    * positives and row selection). */
+  def readRoundsForTxid(txid: String, lo: Option[Long], hi: Option[Long]): DataFrame =
+    readManifest("txn", txidCandidateFiles(txid, lo, hi))
+
+  /** Post-rewrite index maintenance: drop bloom entries for files that
+    * left the manifest, rebuild entries for rewritten files. */
+  private def bloomMaintenanceKvs(table: String, newManifest: Seq[String],
+      rewritten: Seq[String]): Seq[(String, String)] =
+    if (table != "txn") Nil
+    else {
+      val keep = newManifest.toSet
+      val kept = txidBloomRaw.filter { case (f, _) => keep(f) }
+      Seq(TableStore.TxidBloomKey -> renderBloomMap(kept ++ txidBloomEntriesFor(rewritten)))
+    }
 
   /** Prune rows with round < keep: whole range buckets below the boundary
     * drop out of the manifest unread; the boundary bucket's files are
@@ -161,7 +226,9 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
       if (atBoundary.isEmpty) Nil
       else stageAppend(table, readManifest(table, atBoundary).filter(col("round") >= keep))
     val _ = below
-    putMetastate(manifestKey(table) -> (clear ++ rewritten).mkString("\n"))
+    val newManifest = clear ++ rewritten
+    putMetastate((manifestKey(table) -> newManifest.mkString("\n")) +:
+      bloomMaintenanceKvs(table, newManifest, rewritten): _*)
     vacuum(table)
   }
 
@@ -180,7 +247,9 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     val rewritten = stageAppend(table,
       readManifest(table, oversized.values.flatten.toSeq)
         .repartition(oversized.size, (col("round") / lit(roundsPerPartition)).cast("long")))
-    putMetastate(manifestKey(table) -> (keepAsIs ++ rewritten).mkString("\n"))
+    val newManifest = keepAsIs ++ rewritten
+    putMetastate((manifestKey(table) -> newManifest.mkString("\n")) +:
+      bloomMaintenanceKvs(table, newManifest, rewritten): _*)
     vacuum(table)
     oversized.size
   }
@@ -360,6 +429,7 @@ object TableStore {
   val MetaSpecialAccounts = "accounts"
   val MetaNetwork = "network"
   val MetaMigration = "migration"
+  val TxidBloomKey = "txidbloom.txn"
 
   /** Authoritative table schemas (setup_cockroachdb_sql.go:5-133 →
     * SURVEY.md §1.3 type mapping). */

@@ -196,7 +196,13 @@ object Api {
       }
     }
 
-    var txn = store.readRounds("txn", lo, hi)
+    // A txid point lookup resolves through the bloom index: only files
+    // that might contain the txid are listed (txids are uniformly random,
+    // so round-range pruning alone does nothing for them).
+    var txn = f.txid match {
+      case Some(id) if !f.skipOptimization => store.readRoundsForTxid(id, lo, hi)
+      case _ => store.readRounds("txn", lo, hi)
+    }
     if (emptyByTime) txn = txn.filter(lit(false))
     // Exact predicates on top of the pruned scan (row-group stats finish
     // the job inside surviving files).

@@ -1,0 +1,74 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.codec.BlockCodec
+import graft.model._
+import graft.query.Api
+import org.apache.spark.sql.functions._
+
+/** Txid file-pruning index: per-file blooms committed with the manifest,
+  * consulted by txid point lookups (SURVEY §4 — the reference leans on a
+  * DB index for `WHERE txid = $1`; a file store needs a skipping index
+  * because random txids defeat min/max stats). */
+class TxidIndexSpec extends SparkSpec {
+  import graft.Fixtures._
+
+  test("bloom: membership, encode round-trip, bounded false-positive rate") {
+    val keys = (0 until 1000).map(i => s"TXID$i%046d")
+    val b = TxidBloom.build(keys)
+    assert(keys.forall(b.mightContain), "no false negatives, ever")
+    val decoded = TxidBloom.decode(b.encode)
+    assert(keys.forall(decoded.mightContain))
+    val fp = (0 until 10000).count(i => decoded.mightContain(s"OTHER$i"))
+    assert(fp < 500, s"fpr ${fp / 10000.0} should be ~1%, far under 5%")
+  }
+
+  test("ingest commits a bloom per txn file; txid lookups prune to candidate files") {
+    val store = new TableStore(spark, tmpDir("graft-txidix"), nBuckets = 4)
+    import spark.implicits._
+    BlockIngest.initGenesis(store, Seq((A, 1000000L, "{}")), network = "net")
+    // Three separate batches → at least three committed txn files.
+    for (batch <- 0 until 3) {
+      val blocks = (0 until 2).map { i =>
+        val r = batch * 2 + i
+        block(r.toLong, Vector(pay(A, B, 100 + r), pay(B, A, 7 + r)))
+      }
+      BlockIngest.applyBlocks(store, spark.createDataset(blocks.map(BlockCodec.blockToJson)))
+    }
+    val files = store.manifest("txn")
+    assert(files.size >= 3)
+    val blooms = store.txidBloomRaw
+    assert(files.forall(blooms.contains), "every committed file carries a bloom")
+
+    // Pick a real root txid and its home file: the lookup must keep that
+    // file and (with 1% fpp over 3 tiny files) prune the others.
+    val sample = store.read("txn").filter(col("txid").isNotNull)
+      .select("txid", "round").collect().head
+    val (txid, round) = (sample.getString(0), sample.getLong(1))
+    val cands = store.txidCandidateFiles(txid)
+    assert(cands.nonEmpty && cands.size < files.size,
+      s"expected pruning: ${cands.size} of ${files.size} files")
+
+    // The Api path returns exactly the row, and matches the unoptimized path.
+    def lookup(skip: Boolean) =
+      Api.transactions(store, Api.TransactionFilter(txid = Some(txid), skipOptimization = skip))
+        ._1.select("round", "intra").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(lookup(skip = false) == lookup(skip = true))
+    assert(lookup(skip = false).map(_._1) == Seq(round))
+
+    // A txid that exists nowhere prunes everything (up to bloom fpp —
+    // deterministic here: fixed blooms, fixed probe).
+    assert(store.txidCandidateFiles("NOPE" * 13).isEmpty)
+    assert(Api.transactions(store,
+      Api.TransactionFilter(txid = Some("NOPE" * 13)))._1.count() == 0)
+
+    // Compaction rewrites files and rebuilds their blooms atomically with
+    // the manifest swap: coverage and lookups survive.
+    assert(store.compact("txn", maxFilesPerBucket = 1) >= 1)
+    val filesAfter = store.manifest("txn")
+    val bloomsAfter = store.txidBloomRaw
+    assert(filesAfter.forall(bloomsAfter.contains), "rebuilt blooms cover the new file set")
+    assert(bloomsAfter.keySet.subsetOf(filesAfter.toSet), "stale entries dropped")
+    assert(lookup(skip = false).map(_._1) == Seq(round))
+  }
+}

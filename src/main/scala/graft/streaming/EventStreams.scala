@@ -71,4 +71,19 @@ object EventStreams {
     * support Append (emit once finalized) — the mode a downstream
     * idempotent sink wants. */
   val FinalizedWindows: OutputMode = OutputMode.Append()
+
+  /** Streaming exact dedup with BOUNDED state — the streaming face of
+    * `graft.operators.Dedup.exact` for a continuously-arriving corpus:
+    * rows whose `keys` match an earlier row within the watermark horizon
+    * are dropped, and per-key dedup state older than the horizon is
+    * reclaimed. State is therefore bounded by (arrival rate × lateness),
+    * not corpus size — a plain streaming dropDuplicates would accrete one
+    * state entry per distinct document forever, which is exactly the
+    * state-store OOM at 100 TB/day. Key on a content digest
+    * (xxhash64/md5 of the normalized text), never the raw document. */
+  def dedupWithinWatermark(
+      docs: DataFrame, keys: Seq[String], tsCol: String, lateness: String): DataFrame =
+    docs
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -87,4 +87,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(buckets.length == 2) // the event lands in two overlapping windows
     assert(buckets(1) - buckets(0) == 60)
   }
+
+  test("dedupWithinWatermark: in-horizon duplicates dropped, state reclaimed past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val docs = mem.toDF().toDF("ts", "digest", "body")
+    val q = EventStreams.dedupWithinWatermark(docs, Seq("digest"), "ts", "1 minute")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+
+    val base = 1700000000L
+    mem.addData((ts(base), "d1", "first copy"), (ts(base + 5), "d1", "dup same batch"),
+      (ts(base + 10), "d2", "other doc"))
+    q.processAllAvailable()
+    // cross-batch duplicate inside the horizon: dropped
+    mem.addData((ts(base + 20), "d1", "dup next batch"))
+    q.processAllAvailable()
+    // advance the watermark far past d1's state, then re-send the digest:
+    // state was reclaimed, so it is admitted again (bounded-state contract)
+    mem.addData((ts(base + 600), "d3", "mover"))
+    q.processAllAvailable()
+    mem.addData((ts(base + 610), "d1", "reappears past horizon"))
+    q.processAllAvailable()
+    q.stop()
+
+    val bodies = spark.sql("SELECT body FROM dedup").collect().map(_.getString(0)).toSet
+    assert(bodies.contains("first copy") && bodies.contains("other doc"))
+    assert(!bodies.contains("dup same batch") && !bodies.contains("dup next batch"))
+    assert(bodies.contains("reappears past horizon"),
+      "state for keys older than the watermark must be reclaimed")
+  }
 }

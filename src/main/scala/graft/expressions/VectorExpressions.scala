@@ -247,6 +247,133 @@ case class NearestCentroids(
     copy(child = newChild)
 }
 
+/** Symmetric per-vector int8 quantization: qᵢ = round(127·xᵢ/max|x|),
+  * clamped to [-127,127] — the SQ8 storage/scan format for
+  * billion-vector similarity (4× less IO and cache than float32; the
+  * scale factor cancels inside cosine, so quantized cosine needs no
+  * side-car scale column). A zero/degenerate vector quantizes to all
+  * zeros, which the downstream cosine maps to NULL — same degenerate
+  * guard as the float path. `round(x)` is floor(x+0.5) (Java Math.round)
+  * so an SQL oracle can reproduce the lattice bit-for-bit. */
+case class Int8Quantize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got $other")
+  }
+
+  /** Row-local; called from interpreted eval and generated code alike. */
+  def quantize(a: ArrayData): ArrayData = {
+    if (a == null) return null
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    if (maxAbs > 0) {
+      i = 0
+      while (i < n) {
+        val q = Math.round(127.0 * a.getFloat(i).toDouble / maxAbs)
+        out(i) = math.max(-127L, math.min(127L, q)).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("int8Quantize", this, classOf[Int8Quantize].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = $ref.quantize((org.apache.spark.sql.catalyst.util.ArrayData) $a);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
+/** Cosine over two int8-quantized vectors in one traversal — all sums are
+  * exact (|q| ≤ 127, so dims ≤ ~10⁶ stays inside double's integer range),
+  * making the result bit-reproducible by any engine that agrees on the
+  * quantized lattice. NULL on zero norms, like [[CosineSim]]. */
+case class Int8CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.ByteType, _),
+            ArrayType(org.apache.spark.sql.types.ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<tinyint> inputs, got $l and $r")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getByte(i).toLong
+      val y = b.getByte(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) null
+    else dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $x = (long) $a.getByte($i);
+         |    long $y = (long) $b.getByte($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0L || $nb == 0L) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = (double) $dot / java.lang.Math.sqrt((double) $na * (double) $nb); }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Int8CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graftbridge.Bridge
@@ -258,6 +385,12 @@ object VectorExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+
+  def int8Quantize(a: Column): Column =
+    Bridge.column(Int8Quantize(Bridge.expression(a)))
+
+  def int8CosineSim(a: Column, b: Column): Column =
+    Bridge.column(Int8CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
   /** Ids of the top-`n` centroids nearest to `vec` (sim desc, id asc).
     * `ids` must be sorted ascending; see [[NearestCentroids]]. */
@@ -278,6 +411,14 @@ object VectorExpressions {
       FunctionIdentifier("graft_cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1)))
+    registry.registerFunction(
+      FunctionIdentifier("graft_int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "graft_int8_quantize"),
+      (exprs: Seq[Expression]) => Int8Quantize(exprs(0)))
+    registry.registerFunction(
+      FunctionIdentifier("graft_int8_cosine_sim"),
+      new ExpressionInfo(classOf[Int8CosineSim].getName, "graft_int8_cosine_sim"),
+      (exprs: Seq[Expression]) => Int8CosineSim(exprs(0), exprs(1)))
     // Fingerprint family (SQL: tokens array in, signature out). Literal
     // int args are required for the MinHash/winnow shape parameters.
     def intArg(e: Expression): Int =

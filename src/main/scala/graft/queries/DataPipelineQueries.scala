@@ -180,5 +180,35 @@ object DataPipelineQueries {
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           query = emb.filter(col("vec_id") === 0), k = 20)
     },
+
+    // ── SQ8-quantized cosine top-k: the billion-vector scan format
+    //    (int8 lattice, 4× less IO; per-vector scale cancels in cosine).
+    //    The oracle reproduces the lattice exactly — round(x) is
+    //    floor(x+0.5) on both engines, and every sum over the lattice is
+    //    an exact integer in double, so the hash compare is bit-safe. ──
+    QueryDef.sql(
+      "sim_cosine_topk_int8",
+      """WITH z AS (SELECT vec_id, embedding,
+        |        list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS maxabs
+        |      FROM embeddings),
+        |qz AS (SELECT vec_id,
+        |        CASE WHEN maxabs > 0 THEN
+        |          [GREATEST(-127.0, LEAST(127.0, FLOOR(127.0 * CAST(x AS DOUBLE) / maxabs + 0.5))) for x in embedding]
+        |        ELSE [0.0 * CAST(x AS DOUBLE) for x in embedding] END AS q
+        |      FROM z),
+        |qq AS (SELECT q AS qv FROM qz WHERE vec_id = 0),
+        |u AS (SELECT e.vec_id, unnest(e.q) AS x, unnest(qq.qv) AS y
+        |      FROM qz e, qq WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+        |      FROM u GROUP BY vec_id)
+        |SELECT vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim
+        |FROM s WHERE na > 0 AND nb > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.cosineTopKQuantized(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          query = emb.filter(col("vec_id") === 0), k = 20)
+    },
   )
 }

@@ -123,4 +123,50 @@ class VectorExpressionsSpec extends SparkSpec {
     // WholeStageCodegen stage in the compact plan string
     assert(plan.contains("*(1) Project [cosinesim"))
   }
+
+  test("int8 quantization: lattice values, clamp, scale cancellation, degenerates") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)), // maxabs 1.0 → [64, -127, 32, 0]
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector → all-zero lattice
+      (3L, Seq(2.0f, 2.0f, 2.0f, 2.0f))) // scale cancels: q = [127,127,127,127]
+      .toDF("id", "v")
+    val q = df.select(col("id"), Similarity.quantizeInt8(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    // Math.round = floor(x+0.5): 127*0.5=63.5 → 64; 127*0.25=31.75 → 32
+    assert(q(1L) == Seq[Byte](64, -127, 32, 0))
+    assert(q(2L) == Seq[Byte](0, 0, 0, 0))
+    assert(q(3L) == Seq[Byte](127, 127, 127, 127))
+
+    // Quantized cosine: zero lattice ⇒ NULL (degenerate guard), parallel
+    // lattices ⇒ 1.0 exactly (integer sums).
+    val qq = df.select(col("id"),
+      Similarity.cosineInt8(
+        Similarity.quantizeInt8(col("v")),
+        Similarity.quantizeInt8(typedLit(Seq(1.0f, 1.0f, 1.0f, 1.0f)))).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(qq(2L).isEmpty)
+    assert(qq(3L).contains(1.0))
+  }
+
+  test("int8 cosine tracks exact cosine within the SQ8 error bound on random data") {
+    val df = randomVecs(300, 64)
+    val rows = df.select(
+      Similarity.cosine(col("a"), col("b")).as("exact"),
+      Similarity.cosineInt8(
+        Similarity.quantizeInt8(col("a")), Similarity.quantizeInt8(col("b"))).as("q8"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      val err = math.abs(r.getDouble(0) - r.getDouble(1))
+      // lattice perturbs each coordinate by ≤ 1/254 relative; the cosine
+      // error stays well under 2% on non-adversarial vectors
+      assert(err < 0.02, s"quantized cosine drifted: $err")
+    }
+    // SQL registration
+    graft.expressions.VectorExpressions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_int8_cosine_sim(graft_int8_quantize(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))), " +
+        "graft_int8_quantize(array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))))").head().getDouble(0)
+    assert(math.abs(viaSql - 1.0) < 1e-9)
+  }
 }

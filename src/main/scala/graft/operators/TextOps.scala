@@ -58,6 +58,19 @@ object TextOps {
         .winnowFingerprint(col(textCol), k, window).as("fingerprints"))
       .filter(col("fingerprints").isNotNull)
 
+  /** Duplicate n-gram fraction — the Gopher/C4-style repetition signal
+    * for corpus filtering: (total − distinct)/total over the word
+    * n-grams, NULL when the document has no n-gram. Boilerplate and
+    * degenerate machine text score high; clean prose scores near 0. A
+    * pure per-row column expression (shingle, distinct, ratio all inside
+    * the row) — no shuffle at any corpus size. */
+  def dupNgramFraction(toks: Column, n: Int): Column = {
+    val sh = shingles(toks, n)
+    val total = size(sh)
+    round((total - size(array_distinct(sh))).cast("double") /
+      when(total === 0, lit(null)).otherwise(total), 4)
+  }
+
   /** Marker-based language id (SURVEY-mandated heuristic: n-gram stats
     * degenerate on synthetic corpora, function-word markers don't). */
   def langIdEn(toks: Column, markers: Seq[String], minHits: Int): Column =

@@ -77,6 +77,30 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Repetition signal (Gopher/C4 family): duplicate-bigram fraction
+    //    per document — boilerplate scores high, prose near 0. Pure
+    //    per-row expression: shingle, distinct, ratio inside the row. ──
+    QueryDef.sql(
+      "text_repetition",
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))] AS grams
+        |  FROM (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+        |        FROM documents))
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_grams,
+        |  round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+        |        / nullif(len(grams), 0), 4) AS dup_fraction
+        |FROM g ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), wordsCol.as("ws"))
+          .select(col("doc_id"),
+            size(TextOps.shingles(col("ws"), 2)).cast("long").as("n_grams"),
+            TextOps.dupNgramFraction(col("ws"), 2).as("dup_fraction"))
+          .orderBy("doc_id")
+    },
+
     // ── Language-ID heuristic: function-word marker counting (n-gram
     //    heuristics degenerate on this synthetic corpus, so the classifier
     //    is marker-based; the oracle pins the exact same rule). ──

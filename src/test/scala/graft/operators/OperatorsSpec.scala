@@ -212,4 +212,18 @@ class OperatorsSpec extends SparkSpec {
     assert(m(1L) == m(2L) && m(1L).isDefined)
     assert(m(4L).isEmpty)
   }
+
+  test("duplicate-ngram fraction: prose ~0, boilerplate high, short-doc NULL") {
+    val df = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"), // all 8 bigrams distinct → 0
+      (2L, "buy now buy now buy now buy now"), // 7 bigrams, 2 distinct → 5/7
+      (3L, "word"), // no bigram → NULL
+      (4L, "")) // no tokens → NULL
+      .select(col("doc_id"),
+        TextOps.dupNgramFraction(TextOps.tokens(col("text")), 2).as("f"))
+    val m = df.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m(1L).contains(0.0))
+    assert(m(2L).contains(math.rint(5.0 / 7.0 * 10000) / 10000))
+    assert(m(3L).isEmpty && m(4L).isEmpty)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Sharding, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -75,6 +75,29 @@ object DataPipelineQueries {
           .select(col("doc_id"), n.as("n_tokens"),
             meanLen.as("mean_token_len"), stopRatio.as("stopword_ratio"))
           .orderBy("doc_id")
+    },
+
+    // ── Training-shard assignment: content-keyed md5 sharding (the
+    //    export stage; membership reproducible by any engine — DuckDB
+    //    re-derives the hex value with a digit fold). Balance check via
+    //    per-shard counts. ──
+    QueryDef.sql(
+      "pipeline_shard_assign",
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(text),1,8)[i]) - 1)
+        |                         * power(16, 8 - i) for i in range(1,9) ]) AS BIGINT)
+        |         % 16 AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin) {
+      (s, d) =>
+        Sharding.assign(Tables.documents(s, d), "text", nShards = 16)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("shard")
     },
 
     // ── Repetition signal (Gopher/C4 family): duplicate-bigram fraction

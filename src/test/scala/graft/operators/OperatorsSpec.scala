@@ -213,6 +213,27 @@ class OperatorsSpec extends SparkSpec {
     assert(m(4L).isEmpty)
   }
 
+  test("sharding: deterministic content-keyed assignment; writer lays out shard dirs") {
+    val df = docs((0 until 40).map(i => (i.toLong, s"document body $i")): _*)
+    val a1 = Sharding.assign(df, "text", nShards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    // deterministic: same content → same shard, independent of row order
+    val a2 = Sharding.assign(df.orderBy(desc("doc_id")), "text", nShards = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    assert(a1 == a2)
+    assert(a1.values.forall(s => s >= 0 && s < 8))
+    assert(a1.values.toSet.size > 1, "content spreads across shards")
+
+    val out = tmpDir("graft-shards")
+    Sharding.writeShards(df, out, "text", nShards = 8)
+    val dirs = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(d => a1.values.toSet.contains(d.stripPrefix("shard=").toInt)))
+    // reading back preserves membership
+    val back = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("shard")).toMap
+    assert(back == a1)
+  }
+
   test("duplicate-ngram fraction: prose ~0, boilerplate high, short-doc NULL") {
     val df = docs(
       (1L, "the quick brown fox jumps over the lazy dog"), // all 8 bigrams distinct → 0

@@ -391,6 +391,7 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     }
     graft.functions.GraftFunctions.register(spark)
     graft.expressions.VectorExpressions.register(spark)
+    graft.plans.TxidIndexPruneRule.install(spark, this)
   }
 
   // ── Metastate (KV) ─────────────────────────────────────────────────

@@ -71,4 +71,43 @@ class TxidIndexSpec extends SparkSpec {
     assert(bloomsAfter.keySet.subsetOf(filesAfter.toSet), "stale entries dropped")
     assert(lookup(skip = false).map(_._1) == Seq(round))
   }
+
+  test("SQL surface: the optimizer rule prunes WHERE txid = literal to candidate files") {
+    val store = new TableStore(spark, tmpDir("graft-txidrule"), nBuckets = 4)
+    import spark.implicits._
+    BlockIngest.initGenesis(store, Seq((A, 1000000L, "{}")), network = "net")
+    for (batch <- 0 until 3) {
+      val blocks = (0 until 2).map { i =>
+        val r = batch * 2 + i
+        block(r.toLong, Vector(pay(A, B, 100 + r)))
+      }
+      BlockIngest.applyBlocks(store, spark.createDataset(blocks.map(BlockCodec.blockToJson)))
+    }
+    store.createViews() // registers views AND installs the rule
+
+    val sample = store.read("txn").filter(col("txid").isNotNull)
+      .select("txid", "round").collect().head
+    val (txid, round) = (sample.getString(0), sample.getLong(1))
+
+    val q = spark.sql(s"SELECT round, intra FROM txn WHERE txid = '$txid' AND round >= 0")
+    // correctness: same row the unpruned scan finds
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(round))
+    // the optimized plan's relation lists only bloom-candidate files
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+    assert(scanned.nonEmpty && scanned.min < store.manifest("txn").size,
+      s"expected pruned relation, scanned=$scanned of ${store.manifest("txn").size}")
+
+    // a non-txid query over the same view is untouched
+    val full = spark.sql("SELECT count(*) FROM txn WHERE round >= 0")
+    val fullFiles = full.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+    assert(fullFiles.min == store.manifest("txn").size)
+  }
 }

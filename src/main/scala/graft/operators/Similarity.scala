@@ -200,9 +200,16 @@ object Similarity {
     * reaches 1.0 at probes = nCentroids (== brute force). Measured on the
     * driver corpus in PLANS.md.
     */
+  /** `scoreQuantized` composes the two scale paths the way a production
+    * ANN deployment runs them (IVF-SQ8): float assignment picks the
+    * probed clusters, then within-cluster scoring runs on the int8
+    * lattice — the probed fraction of the corpus is scanned at 4×
+    * less IO. Assignment stays float so cluster membership is identical
+    * in both modes. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, centroidIdCol: String,
-              query: DataFrame, k: Int, probes: Int = 1): DataFrame = {
+              query: DataFrame, k: Int, probes: Int = 1,
+              scoreQuantized: Boolean = false): DataFrame = {
     // Centroids are tiny (nlist × dims) — collect driver-side and ship
     // them inside the assignment expression as a plan literal. Assignment
     // then compiles into the scan's projection: the corpus is never
@@ -216,17 +223,21 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .toSeq
 
-    val assigned = df.select(col(idCol).as("_aid"), col(vecCol).as("_avec"),
+    val corpusVec = if (scoreQuantized) quantizeInt8(col(vecCol)) else col(vecCol)
+    val queryVec = if (scoreQuantized) quantizeInt8(col(vecCol)) else col(vecCol)
+    val assigned = df.select(col(idCol).as("_aid"), corpusVec.as("_avec"),
       nearestCentroid(col(vecCol), cents, round4 = true).as("_cid"))
     // Query side probes its `probes` nearest clusters — same expression
     // with n = probes, exploded into one row per probed cluster.
     val queryClusters = query
-      .select(col(vecCol).as("_qvec"),
+      .select(queryVec.as("_qvec"),
         explode(topCentroids(col(vecCol), cents, probes, round4 = true)).as("_qcid"))
+    val score =
+      if (scoreQuantized) cosineInt8(col("_avec"), col("_qvec"))
+      else cosine(col("_avec"), col("_qvec"))
     assigned
       .join(broadcast(queryClusters), col("_cid") === col("_qcid"))
-      .select(col("_aid").as(idCol),
-        round(cosine(col("_avec"), col("_qvec")), 4).as("cos_sim"))
+      .select(col("_aid").as(idCol), round(score, 4).as("cos_sim"))
       .filter(col("cos_sim").isNotNull)
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)

@@ -179,6 +179,53 @@ object DedupSimilarityQueries {
           k = 10)
     },
 
+    // ── IVF-SQ8: float assignment picks the probed cluster, scoring runs
+    //    on the int8 lattice — the composed production ANN shape (probe
+    //    fraction × 4 less IO). Oracle chains the sim_ivf_topk assignment
+    //    SQL with the sim_cosine_topk_int8 lattice. ──
+    QueryDef.sql(
+      "sim_ivf_topk_int8",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8 OR vec_id = 0),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |qc AS (SELECT cid FROM asg WHERE vec_id = 0),
+        |z AS (SELECT vec_id, embedding,
+        |        list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS maxabs
+        |      FROM embeddings),
+        |qz AS (SELECT vec_id,
+        |        CASE WHEN maxabs > 0 THEN
+        |          [GREATEST(-127.0, LEAST(127.0, FLOOR(127.0 * CAST(x AS DOUBLE) / maxabs + 0.5))) for x in embedding]
+        |        ELSE [0.0 * CAST(x AS DOUBLE) for x in embedding] END AS q
+        |      FROM z),
+        |qv AS (SELECT q AS qe FROM qz WHERE vec_id = 0),
+        |cand AS (SELECT a.vec_id FROM asg a, qc WHERE a.cid = qc.cid AND a.vec_id <> 0),
+        |u2 AS (SELECT e.vec_id, unnest(e.q) AS x, unnest(qv.qe) AS y
+        |       FROM qz e JOIN cand ON cand.vec_id = e.vec_id, qv),
+        |s2 AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+        |       FROM u2 GROUP BY 1)
+        |SELECT vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim
+        |FROM s2 WHERE na > 0 AND nb > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") > 8),
+          "vec_id", "embedding",
+          centroids = emb.filter(col("vec_id").between(1, 8)),
+          centroidIdCol = "vec_id",
+          query = emb.filter(col("vec_id") === 0),
+          k = 10, scoreQuantized = true)
+    },
+
     // ── Multimodal metadata: opaque binary + typed metadata columns. ───
     QueryDef.sql(
       "mm_binary_meta",

@@ -165,13 +165,12 @@ object BlockIngest {
       val manifestKvs = staged.map { case (t, files) =>
         store.manifestKey(t) -> (store.manifest(t) ++ files).mkString("\n")
       }
-      // Txid file-pruning index over the batch's staged txn files, folded
-      // into the same commit — the index can never disagree with the
-      // manifest it serves (see TxidBloom).
-      val bloomKvs = staged.collectFirst { case ("txn", files) if files.nonEmpty =>
-        TableStore.TxidBloomKey ->
-          store.renderBloomMap(store.txidBloomRaw ++ store.txidBloomEntriesFor(files))
-      }.toSeq
+      // Key-bloom file indexes (txn.txid, txn_participation.addr) over the
+      // batch's staged files, folded into the same commit — the index can
+      // never disagree with the manifest it serves (see FileBloom).
+      val bloomKvs = staged.flatMap { case (t, files) =>
+        if (files.isEmpty) Nil else store.bloomCommitKvs(t, files)
+      }
       store.putMetastate(manifestKvs ++ bloomKvs ++ Seq(
         TableStore.MetaSpecialAccounts -> specialAccounts,
         TableStore.MetaNextRound -> (lastRound + 1).toString): _*)

@@ -2,11 +2,13 @@ package graft.ingest
 
 import scala.util.hashing.MurmurHash3
 
-/** Per-file Bloom filter over the `txn` table's root txids — the
-  * file-pruning index for txid point lookups (SURVEY §4: the reference
-  * leans on a database index for `WHERE txid = $1`; a file-based column
-  * store needs its own skipping structure, because txids are uniformly
-  * random and parquet min/max stats prune nothing).
+/** Per-file Bloom filter over a high-cardinality key column — the
+  * file-pruning index for point lookups (SURVEY §4: the reference leans
+  * on database indexes for `WHERE txid = $1` / `WHERE addr = $1`; a
+  * file-based column store needs its own skipping structure, because
+  * random keys defeat parquet min/max stats). Indexed columns per table
+  * are listed in [[TableStore.IndexedColumns]] (txn.txid,
+  * txn_participation.addr).
   *
   * One bloom per committed data file, built from the batch at stage time
   * and committed in the SAME metastate write as the manifest and the
@@ -17,10 +19,10 @@ import scala.util.hashing.MurmurHash3
   * freshly compacted output before its rebuild) are conservatively read.
   *
   * Sizing: bits = n·⌈log2(1/fpp)⌉/ln2 ≈ 9.6 bits/key at the default 1%
-  * fpp, k = 7 probes, double hashing over two murmur3 seeds. A 20k-txn
-  * file costs ~24 KB of index — ~0.1% of the data it covers.
+  * fpp, k = 7 probes, double hashing over two murmur3 seeds. A file of
+  * 20k keys costs ~24 KB of index — ~0.1% of the data it covers.
   */
-object TxidBloom {
+object FileBloom {
 
   final case class Bloom(k: Int, bits: Array[Long]) {
     private def mBits: Long = bits.length.toLong * 64

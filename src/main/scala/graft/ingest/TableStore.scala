@@ -152,12 +152,17 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   def readRounds(table: String, lo: Option[Long], hi: Option[Long]): DataFrame =
     readManifest(table, rangeFiles(table, lo, hi))
 
-  // ── Txid file-pruning index (see TxidBloom) ─────────────────────────
+  // ── Per-file key-bloom index (see FileBloom) ────────────────────────
+  //
+  // One bloom per committed data file per indexed column
+  // (TableStore.IndexedColumns), committed in the same metastate write as
+  // the manifest — point lookups on random keys (txid, addr) list only
+  // bloom-candidate files.
 
-  /** Raw committed bloom map: rel file path → encoded bloom. */
-  def txidBloomRaw: Map[String, String] = {
+  /** Raw committed bloom map for (table, keyCol): rel path → encoded. */
+  def fileBloomRaw(table: String, keyCol: String): Map[String, String] = {
     import CanonicalJson.JValOps
-    metastate.get(TableStore.TxidBloomKey)
+    metastate.get(TableStore.bloomKey(table, keyCol))
       .map(js => CanonicalJson.parse(js).asObj.map { case (k, v) => k -> v.str }.toMap)
       .getOrElse(Map.empty)
   }
@@ -166,52 +171,69 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     CanonicalJson.render(CanonicalJson.JObj.of(
       m.toSeq.map { case (k, v) => k -> (CanonicalJson.JStr(v): CanonicalJson.JVal) }: _*))
 
-  /** One bloom per given `txn` file over its non-null (root) txids — one
-    * small Spark job reading just the batch's files. Files whose rows are
-    * all inner txns (txid null) get an empty bloom: provably
-    * txid-free, always pruned. */
-  def txidBloomEntriesFor(files: Seq[String]): Map[String, String] =
+  /** One bloom per given file over its non-null key values — one small
+    * Spark job reading just those files (key column only). Files with no
+    * non-null key (e.g. all-inner-txn files for txid) get an empty
+    * bloom: provably key-free, always pruned. */
+  def fileBloomEntriesFor(table: String, keyCol: String, files: Seq[String]): Map[String, String] =
     if (files.isEmpty) Map.empty
     else {
-      val built = spark.read.schema(Schemas("txn"))
-        .parquet(files.map(f => s"${path("txn")}/$f"): _*)
-        .select(input_file_name().as("f"), col("txid"))
-        .filter(col("txid").isNotNull)
-        .groupBy("f").agg(collect_list("txid").as("ids"))
+      val built = spark.read.schema(Schemas(table))
+        .parquet(files.map(f => s"${path(table)}/$f"): _*)
+        .select(input_file_name().as("f"), col(keyCol).cast("string").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy("f").agg(collect_list("k").as("ids"))
         .collect()
         .map { r =>
           val rel = r.getString(0).split('/').takeRight(2).mkString("/")
-          rel -> TxidBloom.build(r.getSeq[String](1)).encode
+          rel -> FileBloom.build(r.getSeq[String](1)).encode
         }.toMap
-      val empty = TxidBloom.Bloom(1, new Array[Long](1)).encode
+      val empty = FileBloom.Bloom(1, new Array[Long](1)).encode
       files.map(f => f -> built.getOrElse(f, empty)).toMap
     }
 
-  /** Manifest files that might contain `txid` within the round range:
+  /** The full bloom kvs for a batch's staged files across every indexed
+    * column of `table` (folded into the batch's single commit write). */
+  def bloomCommitKvs(table: String, files: Seq[String]): Seq[(String, String)] =
+    TableStore.IndexedColumns.getOrElse(table, Nil).map { keyCol =>
+      TableStore.bloomKey(table, keyCol) ->
+        renderBloomMap(fileBloomRaw(table, keyCol) ++ fileBloomEntriesFor(table, keyCol, files))
+    }
+
+  /** Manifest files that might contain `key` within the round range:
     * bloom-negative files are pruned driver-side; files with no bloom
     * entry (pre-index data) are conservatively kept. */
-  def txidCandidateFiles(txid: String, lo: Option[Long] = None, hi: Option[Long] = None): Seq[String] = {
-    val blooms = txidBloomRaw
-    rangeFiles("txn", lo, hi).filter { f =>
-      blooms.get(f).forall(enc => TxidBloom.decode(enc).mightContain(txid))
+  def bloomCandidateFiles(table: String, keyCol: String, key: String,
+      lo: Option[Long] = None, hi: Option[Long] = None): Seq[String] = {
+    val blooms = fileBloomRaw(table, keyCol)
+    rangeFiles(table, lo, hi).filter { f =>
+      blooms.get(f).forall(enc => FileBloom.decode(enc).mightContain(key))
     }
   }
 
-  /** Point read for a txid lookup: only bloom-candidate files are listed.
-    * Callers still apply the exact `txid = …` predicate (bloom false
-    * positives and row selection). */
+  /** Point read for a key lookup: only bloom-candidate files are listed.
+    * Callers still apply the exact predicate (bloom false positives and
+    * row selection). */
+  def readRoundsForKey(table: String, keyCol: String, key: String,
+      lo: Option[Long], hi: Option[Long]): DataFrame =
+    readManifest(table, bloomCandidateFiles(table, keyCol, key, lo, hi))
+
+  // txid-specific surface (kept for the optimizer rule and callers)
+  def txidBloomRaw: Map[String, String] = fileBloomRaw("txn", "txid")
+  def txidCandidateFiles(txid: String, lo: Option[Long] = None, hi: Option[Long] = None): Seq[String] =
+    bloomCandidateFiles("txn", "txid", txid, lo, hi)
   def readRoundsForTxid(txid: String, lo: Option[Long], hi: Option[Long]): DataFrame =
-    readManifest("txn", txidCandidateFiles(txid, lo, hi))
+    readRoundsForKey("txn", "txid", txid, lo, hi)
 
   /** Post-rewrite index maintenance: drop bloom entries for files that
     * left the manifest, rebuild entries for rewritten files. */
   private def bloomMaintenanceKvs(table: String, newManifest: Seq[String],
       rewritten: Seq[String]): Seq[(String, String)] =
-    if (table != "txn") Nil
-    else {
+    TableStore.IndexedColumns.getOrElse(table, Nil).map { keyCol =>
       val keep = newManifest.toSet
-      val kept = txidBloomRaw.filter { case (f, _) => keep(f) }
-      Seq(TableStore.TxidBloomKey -> renderBloomMap(kept ++ txidBloomEntriesFor(rewritten)))
+      val kept = fileBloomRaw(table, keyCol).filter { case (f, _) => keep(f) }
+      TableStore.bloomKey(table, keyCol) ->
+        renderBloomMap(kept ++ fileBloomEntriesFor(table, keyCol, rewritten))
     }
 
   /** Prune rows with round < keep: whole range buckets below the boundary
@@ -430,7 +452,14 @@ object TableStore {
   val MetaSpecialAccounts = "accounts"
   val MetaNetwork = "network"
   val MetaMigration = "migration"
-  val TxidBloomKey = "txidbloom.txn"
+
+  /** Append-table columns carrying a per-file bloom index: uniformly
+    * random keys whose point lookups min/max stats cannot prune. */
+  val IndexedColumns: Map[String, Seq[String]] = Map(
+    "txn" -> Seq("txid"),
+    "txn_participation" -> Seq("addr"))
+
+  def bloomKey(table: String, keyCol: String): String = s"bloom.$keyCol.$table"
 
   /** Authoritative table schemas (setup_cockroachdb_sql.go:5-133 →
     * SURVEY.md §1.3 type mapping). */

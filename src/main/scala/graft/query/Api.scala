@@ -259,7 +259,12 @@ object Api {
     // per-address slice of txn_participation, broadcast it into the semi
     // join when small.
     f.address.foreach { addr =>
-      var part = store.readRounds("txn_participation", lo, hi).filter(col("addr") === addr)
+      // Address blooms prune the participation read the way txid blooms
+      // prune txn: only files that might contain this addr are listed.
+      var part = (
+        if (f.skipOptimization) store.readRounds("txn_participation", lo, hi)
+        else store.readRoundsForKey("txn_participation", "addr", addr, lo, hi)
+      ).filter(col("addr") === addr)
       lo.foreach(r => part = part.filter(col("round") >= r))
       hi.foreach(r => part = part.filter(col("round") <= r))
       txn = txn.join(broadcastIfSmall(part.select("round", "intra")),

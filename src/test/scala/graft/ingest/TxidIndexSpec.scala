@@ -15,9 +15,9 @@ class TxidIndexSpec extends SparkSpec {
 
   test("bloom: membership, encode round-trip, bounded false-positive rate") {
     val keys = (0 until 1000).map(i => s"TXID$i%046d")
-    val b = TxidBloom.build(keys)
+    val b = FileBloom.build(keys)
     assert(keys.forall(b.mightContain), "no false negatives, ever")
-    val decoded = TxidBloom.decode(b.encode)
+    val decoded = FileBloom.decode(b.encode)
     assert(keys.forall(decoded.mightContain))
     val fp = (0 until 10000).count(i => decoded.mightContain(s"OTHER$i"))
     assert(fp < 500, s"fpr ${fp / 10000.0} should be ~1%, far under 5%")
@@ -71,6 +71,39 @@ class TxidIndexSpec extends SparkSpec {
     assert(bloomsAfter.keySet.subsetOf(filesAfter.toSet), "stale entries dropped")
     assert(lookup(skip = false).map(_._1) == Seq(round))
   }
+
+  test("addr blooms prune the participation read for transactions-by-address") {
+    val store = new TableStore(spark, tmpDir("graft-addrix"), nBuckets = 4)
+    import spark.implicits._
+    BlockIngest.initGenesis(store, Seq((A, 1000000L, "{}")), network = "net")
+    // Disjoint address pairs per batch so each file holds distinct addrs.
+    for (batch <- 0 until 3) {
+      val (s1, s2) = (addr2(batch * 2), addr2(batch * 2 + 1))
+      val blocks = (0 until 2).map { i =>
+        val r = batch * 2 + i
+        block(r.toLong, Vector(pay(s1, s2, 100 + r)))
+      }
+      BlockIngest.applyBlocks(store, spark.createDataset(blocks.map(BlockCodec.blockToJson)))
+    }
+    val files = store.manifest("txn_participation")
+    assert(files.size >= 3)
+    assert(files.forall(store.fileBloomRaw("txn_participation", "addr").contains))
+
+    // A batch-0-only address prunes to batch 0's participation files.
+    val cands = store.bloomCandidateFiles("txn_participation", "addr", addr2(0))
+    assert(cands.nonEmpty && cands.size < files.size,
+      s"expected pruning: ${cands.size} of ${files.size}")
+    // Api path returns the right rows either way.
+    def byAddr(skip: Boolean) =
+      Api.transactions(store, Api.TransactionFilter(
+        address = Some(addr2(0)), skipOptimization = skip))
+        ._1.select("round").collect().map(_.getLong(0)).sorted.toSeq
+    assert(byAddr(skip = false) == Seq(0L, 1L))
+    assert(byAddr(skip = false) == byAddr(skip = true))
+  }
+
+  private def addr2(i: Int): String =
+    graft.codec.Codecs.addressEncode(Array.tabulate(32)(j => (i * 37 + j).toByte))
 
   test("SQL surface: the optimizer rule prunes WHERE txid = literal to candidate files") {
     val store = new TableStore(spark, tmpDir("graft-txidrule"), nBuckets = 4)

@@ -165,11 +165,12 @@ object BlockIngest {
       val manifestKvs = staged.map { case (t, files) =>
         store.manifestKey(t) -> (store.manifest(t) ++ files).mkString("\n")
       }
-      // Key-bloom file indexes (txn.txid, txn_participation.addr) over the
-      // batch's staged files, folded into the same commit — the index can
-      // never disagree with the manifest it serves (see FileBloom).
+      // Per-file indexes (round min/max stats on every append table;
+      // key blooms on txn.txid and txn_participation.addr) over the
+      // batch's staged files, folded into the same commit — the index
+      // can never disagree with the manifest it serves (see FileBloom).
       val bloomKvs = staged.flatMap { case (t, files) =>
-        if (files.isEmpty) Nil else store.bloomCommitKvs(t, files)
+        store.indexCommitKvs(t, files)
       }
       store.putMetastate(manifestKvs ++ bloomKvs ++ Seq(
         TableStore.MetaSpecialAccounts -> specialAccounts,

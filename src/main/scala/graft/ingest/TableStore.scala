@@ -135,14 +135,34 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   private def rbktOf(rel: String): Long =
     rel.takeWhile(_ != '/').stripPrefix("rbkt=").toLong
 
-  /** Committed files whose range bucket can intersect [lo, hi]. */
-  private def rangeFiles(table: String, lo: Option[Long], hi: Option[Long]): Seq[String] =
+  /** Committed files whose round range can intersect [lo, hi]: first the
+    * range-bucket bound (10k-round granularity), then the per-file
+    * min/max stats (batch granularity — a micro-batch's file covers only
+    * its own rounds, so a point lookup lists one batch's files, not the
+    * whole bucket). Files without stats (pre-index data) pass. */
+  private[ingest] def rangeFiles(table: String, lo: Option[Long], hi: Option[Long]): Seq[String] = {
+    val stats = fileRoundStatsRaw(table)
     manifest(table).filter { f =>
       val b = rbktOf(f)
       val bLo = b * roundsPerPartition
       val bHi = bLo + roundsPerPartition - 1
-      lo.forall(_ <= bHi) && hi.forall(_ >= bLo)
+      lo.forall(_ <= bHi) && hi.forall(_ >= bLo) &&
+        stats.get(f).forall { case (fLo, fHi) =>
+          lo.forall(_ <= fHi) && hi.forall(_ >= fLo)
+        }
     }
+  }
+
+  /** Raw committed per-file round stats: rel path → (min, max). */
+  def fileRoundStatsRaw(table: String): Map[String, (Long, Long)] = {
+    import CanonicalJson.JValOps
+    metastate.get(TableStore.roundStatsKey(table))
+      .map(js => CanonicalJson.parse(js).asObj.map { case (k, v) =>
+        val parts = v.str.split(':')
+        k -> (parts(0).toLong, parts(1).toLong)
+      }.toMap)
+      .getOrElse(Map.empty)
+  }
 
   /** Append-table read pruned to [lo, hi] (inclusive, either side open):
     * the manifest is filtered driver-side to the range buckets that can
@@ -171,34 +191,50 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     CanonicalJson.render(CanonicalJson.JObj.of(
       m.toSeq.map { case (k, v) => k -> (CanonicalJson.JStr(v): CanonicalJson.JVal) }: _*))
 
-  /** One bloom per given file over its non-null key values — one small
-    * Spark job reading just those files (key column only). Files with no
-    * non-null key (e.g. all-inner-txn files for txid) get an empty
-    * bloom: provably key-free, always pruned. */
-  def fileBloomEntriesFor(table: String, keyCol: String, files: Seq[String]): Map[String, String] =
-    if (files.isEmpty) Map.empty
-    else {
-      val built = spark.read.schema(Schemas(table))
-        .parquet(files.map(f => s"${path(table)}/$f"): _*)
-        .select(input_file_name().as("f"), col(keyCol).cast("string").as("k"))
-        .filter(col("k").isNotNull)
-        .groupBy("f").agg(collect_list("k").as("ids"))
-        .collect()
-        .map { r =>
-          val rel = r.getString(0).split('/').takeRight(2).mkString("/")
-          rel -> FileBloom.build(r.getSeq[String](1)).encode
-        }.toMap
-      val empty = FileBloom.Bloom(1, new Array[Long](1)).encode
-      files.map(f => f -> built.getOrElse(f, empty)).toMap
-    }
+  /** Per-file index entries for the given files — round min/max stats
+    * plus one bloom per indexed column, computed in ONE job per table
+    * that reads only `round` and the indexed columns. collect_list skips
+    * nulls, so a file with no non-null key (e.g. all-inner-txn files for
+    * txid) gets an empty bloom: provably key-free, always pruned. */
+  private def buildFileIndex(table: String, files: Seq[String])
+      : (Map[String, String], Map[String, Map[String, String]]) = {
+    if (files.isEmpty) return (Map.empty, Map.empty)
+    val keyCols = TableStore.IndexedColumns.getOrElse(table, Nil)
+    val aggs = Seq(min(col("round")).as("_lo"), max(col("round")).as("_hi")) ++
+      keyCols.map(c => collect_list(col(c).cast("string")).as(s"_k_$c"))
+    val byRel = spark.read.schema(Schemas(table))
+      .parquet(files.map(f => s"${path(table)}/$f"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getString(0).split('/').takeRight(2).mkString("/"), r))
+    val stats = byRel.map { case (rel, r) => rel -> s"${r.getLong(1)}:${r.getLong(2)}" }.toMap
+    val emptyBloom = FileBloom.Bloom(1, new Array[Long](1)).encode
+    val blooms = keyCols.zipWithIndex.map { case (c, i) =>
+      val built = byRel.map { case (rel, r) =>
+        rel -> FileBloom.build(r.getSeq[String](3 + i)).encode
+      }.toMap
+      c -> files.map(f => f -> built.getOrElse(f, emptyBloom)).toMap
+    }.toMap
+    (stats, blooms)
+  }
 
-  /** The full bloom kvs for a batch's staged files across every indexed
-    * column of `table` (folded into the batch's single commit write). */
-  def bloomCommitKvs(table: String, files: Seq[String]): Seq[(String, String)] =
-    TableStore.IndexedColumns.getOrElse(table, Nil).map { keyCol =>
-      TableStore.bloomKey(table, keyCol) ->
-        renderBloomMap(fileBloomRaw(table, keyCol) ++ fileBloomEntriesFor(table, keyCol, files))
-    }
+  private def encodeStats(m: Map[String, (Long, Long)]): Map[String, String] =
+    m.map { case (k, (lo, hi)) => k -> s"$lo:$hi" }
+
+  /** The full index kvs for a batch's staged files (round stats + every
+    * indexed column's blooms), folded into the batch's single commit
+    * write so index and manifest can never disagree. */
+  def indexCommitKvs(table: String, files: Seq[String]): Seq[(String, String)] = {
+    if (files.isEmpty) return Nil
+    val (stats, blooms) = buildFileIndex(table, files)
+    (TableStore.roundStatsKey(table) ->
+      renderBloomMap(encodeStats(fileRoundStatsRaw(table)) ++ stats)) +:
+      blooms.toSeq.map { case (keyCol, entries) =>
+        TableStore.bloomKey(table, keyCol) ->
+          renderBloomMap(fileBloomRaw(table, keyCol) ++ entries)
+      }
+  }
 
   /** Manifest files that might contain `key` within the round range:
     * bloom-negative files are pruned driver-side; files with no bloom
@@ -225,16 +261,20 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   def readRoundsForTxid(txid: String, lo: Option[Long], hi: Option[Long]): DataFrame =
     readRoundsForKey("txn", "txid", txid, lo, hi)
 
-  /** Post-rewrite index maintenance: drop bloom entries for files that
-    * left the manifest, rebuild entries for rewritten files. */
+  /** Post-rewrite index maintenance: drop entries for files that left
+    * the manifest, rebuild entries for rewritten files. */
   private def bloomMaintenanceKvs(table: String, newManifest: Seq[String],
-      rewritten: Seq[String]): Seq[(String, String)] =
-    TableStore.IndexedColumns.getOrElse(table, Nil).map { keyCol =>
-      val keep = newManifest.toSet
-      val kept = fileBloomRaw(table, keyCol).filter { case (f, _) => keep(f) }
-      TableStore.bloomKey(table, keyCol) ->
-        renderBloomMap(kept ++ fileBloomEntriesFor(table, keyCol, rewritten))
-    }
+      rewritten: Seq[String]): Seq[(String, String)] = {
+    val keep = newManifest.toSet
+    val (stats, blooms) = buildFileIndex(table, rewritten)
+    val statsKept = encodeStats(fileRoundStatsRaw(table)).filter { case (f, _) => keep(f) }
+    (TableStore.roundStatsKey(table) -> renderBloomMap(statsKept ++ stats)) +:
+      TableStore.IndexedColumns.getOrElse(table, Nil).map { keyCol =>
+        val kept = fileBloomRaw(table, keyCol).filter { case (f, _) => keep(f) }
+        TableStore.bloomKey(table, keyCol) ->
+          renderBloomMap(kept ++ blooms.getOrElse(keyCol, Map.empty))
+      }
+  }
 
   /** Prune rows with round < keep: whole range buckets below the boundary
     * drop out of the manifest unread; the boundary bucket's files are
@@ -460,6 +500,7 @@ object TableStore {
     "txn_participation" -> Seq("addr"))
 
   def bloomKey(table: String, keyCol: String): String = s"bloom.$keyCol.$table"
+  def roundStatsKey(table: String): String = s"roundstats.$table"
 
   /** Authoritative table schemas (setup_cockroachdb_sql.go:5-133 →
     * SURVEY.md §1.3 type mapping). */

@@ -105,6 +105,34 @@ class TxidIndexSpec extends SparkSpec {
   private def addr2(i: Int): String =
     graft.codec.Codecs.addressEncode(Array.tabulate(32)(j => (i * 37 + j).toByte))
 
+  test("per-file round stats prune within a range bucket to the covering batch") {
+    val store = new TableStore(spark, tmpDir("graft-rstats"), nBuckets = 4)
+    import spark.implicits._
+    BlockIngest.initGenesis(store, Seq((A, 1000000L, "{}")), network = "net")
+    // All rounds land in rbkt=0 (roundsPerPartition default 10000): only
+    // the per-file stats can tell the batches apart.
+    for (batch <- 0 until 3) {
+      val blocks = (0 until 2).map { i =>
+        val r = batch * 2 + i
+        block(r.toLong, Vector(pay(A, B, 100 + r)))
+      }
+      BlockIngest.applyBlocks(store, spark.createDataset(blocks.map(BlockCodec.blockToJson)))
+    }
+    val all = store.manifest("txn")
+    assert(store.fileRoundStatsRaw("txn").keySet == all.toSet, "stats cover every file")
+    // Round 1 lives in batch 0 only.
+    val hit = store.rangeFiles("txn", Some(1L), Some(1L))
+    assert(hit.nonEmpty && hit.size < all.size, s"expected stats pruning: ${hit.size} of ${all.size}")
+    assert(store.readRounds("txn", Some(1L), Some(1L))
+      .filter(col("round") === 1).count() == 1)
+    // Stats survive compaction (rebuilt for the rewritten file set).
+    assert(store.compact("txn", maxFilesPerBucket = 1) >= 1)
+    val after = store.manifest("txn")
+    assert(store.fileRoundStatsRaw("txn").keySet == after.toSet)
+    assert(store.readRounds("txn", Some(1L), Some(1L))
+      .filter(col("round") === 1).count() == 1)
+  }
+
   test("SQL surface: the optimizer rule prunes WHERE txid = literal to candidate files") {
     val store = new TableStore(spark, tmpDir("graft-txidrule"), nBuckets = 4)
     import spark.implicits._

@@ -72,6 +72,26 @@ object EventStreams {
     * idempotent sink wants. */
   val FinalizedWindows: OutputMode = OutputMode.Append()
 
+  /** Watermarked stream-stream interval join — the impressions⋈clicks
+    * shape: match right-stream rows to left-stream rows on `key` when the
+    * right event lands within [left.ts, left.ts + within]. Both sides are
+    * watermarked, and the time-bound condition lets the engine expire
+    * buffered rows once the watermark passes their join window — state is
+    * bounded by (arrival rate × (lateness + within)), the requirement for
+    * an unbounded run. An un-bounded (equi-only) stream-stream join would
+    * buffer both streams forever. Inner join ⇒ results emit as soon as
+    * both sides arrive (Append mode). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      within: String, lateness: String): DataFrame = {
+    val l = left.withWatermark("ts", lateness).alias("l")
+    val r = right.withWatermark("ts", lateness).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col("r.ts") >= col("l.ts") &&
+        col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
+  }
+
   /** Streaming exact dedup with BOUNDED state — the streaming face of
     * `graft.operators.Dedup.exact` for a continuously-arriving corpus:
     * rows whose `keys` match an earlier row within the watermark horizon

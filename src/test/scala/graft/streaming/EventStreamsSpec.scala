@@ -88,6 +88,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(buckets(1) - buckets(0) == 60)
   }
 
+  test("intervalJoin: in-window pairs emit, out-of-window and wrong-key do not") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, String)]
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.intervalJoin(
+      imps.toDF().toDF("ts", "user_id", "imp_id"),
+      clicks.toDF().toDF("ts", "user_id", "click_id"),
+      key = "user_id", within = "30 SECONDS", lateness = "10 seconds")
+      .select(col("imp_id"), col("click_id"))
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode(OutputMode.Append()).start()
+
+    val base = 1700000000L
+    imps.addData((ts(base), 1L, "i1"), (ts(base), 2L, "i2"))
+    clicks.addData(
+      (ts(base + 10), 1L, "c-in"), // within 30s, same user → joins
+      (ts(base + 90), 1L, "c-late"), // past the window → no pair
+      (ts(base + 5), 3L, "c-other")) // no matching impression
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.sql("SELECT imp_id, click_id FROM ivjoin").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("i1", "c-in")))
+  }
+
   test("dedupWithinWatermark: in-horizon duplicates dropped, state reclaimed past it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -261,6 +261,14 @@ case class Int8Quantize(child: Expression)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
 
+  // Always nullable: quantize() maps an array CONTAINING a null element to
+  // null even when the child column itself is non-nullable. This also
+  // keeps nullSafeCodeGen emitting the isNull local the generated body
+  // assigns — with nullable=false it would not be declared and the whole
+  // stage would fail Janino compilation and silently fall back to
+  // interpreted execution.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

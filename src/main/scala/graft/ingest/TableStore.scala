@@ -125,6 +125,12 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
 
   def manifestKey(table: String): String = s"manifest.$table"
 
+  /** Read an explicit (relative-path) file subset of an append table —
+    * the surface index-aware rewrites use to keep a view's snapshot while
+    * shrinking its file list. */
+  def readFiles(table: String, files: Seq[String]): DataFrame =
+    readManifest(table, files)
+
   private def readManifest(table: String, files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas(table))
@@ -178,6 +184,15 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   // (TableStore.IndexedColumns), committed in the same metastate write as
   // the manifest — point lookups on random keys (txid, addr) list only
   // bloom-candidate files.
+  //
+  // Scale boundary, stated honestly: manifest + index live in ONE
+  // driver-side JSON document that every commit re-renders and every
+  // lookup re-parses — O(history) metadata work per operation. That is
+  // the single-file analogue of a transactional format's metadata layer;
+  // at full chain scale the same protocol needs what Delta/Iceberg do:
+  // an append-only metadata LOG with periodic checkpoints and an
+  // in-driver parsed cache, which changes the storage of this index, not
+  // its semantics (the kvs here ARE the checkpoint content).
 
   /** Raw committed bloom map for (table, keyCol): rel path → encoded. */
   def fileBloomRaw(table: String, keyCol: String): Map[String, String] = {
@@ -200,8 +215,11 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
       : (Map[String, String], Map[String, Map[String, String]]) = {
     if (files.isEmpty) return (Map.empty, Map.empty)
     val keyCols = TableStore.IndexedColumns.getOrElse(table, Nil)
+    // collect_SET: dedupes per file executor-side, so the driver receives
+    // distinct keys only and blooms are sized by cardinality, not row
+    // count (a hot addr repeated 100k times costs 10 bits, not 1 Mb).
     val aggs = Seq(min(col("round")).as("_lo"), max(col("round")).as("_hi")) ++
-      keyCols.map(c => collect_list(col(c).cast("string")).as(s"_k_$c"))
+      keyCols.map(c => collect_set(col(c).cast("string")).as(s"_k_$c"))
     val byRel = spark.read.schema(Schemas(table))
       .parquet(files.map(f => s"${path(table)}/$f"): _*)
       .groupBy(input_file_name().as("f"))
@@ -434,14 +452,17 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
       }
     }
 
-  // Swap and recovery serialize per table: without this, a concurrent
-  // reader's heal pass could restore `_old_bkt=N` in the instant between a
-  // writer's two renames and collide with the incoming move. All renames
-  // are driver-side, so a JVM monitor suffices; cross-process crashes are
-  // what the on-disk `_old_bkt` protocol itself covers.
-  private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // Swap and recovery serialize per (root, table): without this, a
+  // concurrent reader's heal pass could restore `_old_bkt=N` in the
+  // instant between a writer's two renames and collide with the incoming
+  // move. The lock map is JVM-GLOBAL (TableStore companion), keyed by
+  // root+table, so two store instances over the same directory — the
+  // "point a query session at the same database" mode — still serialize.
+  // A separate reader PROCESS is outside the monitor by nature; the
+  // single-writer deployment contract covers it, and a crashed writer's
+  // window is healed by the on-disk `_old_bkt` protocol on next open.
   private def swapLock(table: String): Object =
-    swapLocks.computeIfAbsent(table, _ => new Object)
+    TableStore.swapLocks.computeIfAbsent(s"$root/$table", _ => new Object)
 
   /** Register every maintained table as a temp view (plus the graft UDFs),
     * so the whole surface is queryable from `spark.sql` — the "point the
@@ -501,6 +522,8 @@ object TableStore {
 
   def bloomKey(table: String, keyCol: String): String = s"bloom.$keyCol.$table"
   def roundStatsKey(table: String): String = s"roundstats.$table"
+
+  private[ingest] val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Authoritative table schemas (setup_cockroachdb_sql.go:5-133 →
     * SURVEY.md §1.3 type mapping). */

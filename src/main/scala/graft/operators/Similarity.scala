@@ -113,12 +113,15 @@ object Similarity {
         transform(slice(ids, i + 2, size(ids)),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-    // each vector lives in exactly one bucket, so pairs are already unique
-    val pairsP = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = pairsP.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // Each vector lives in exactly one bucket, so pairs are already
+    // unique. NO persist: a DataFrame-level cache is registered in the
+    // session CacheManager and outlives the call (a leak per invocation);
+    // the three references to the pair subtree share one canonicalized
+    // shuffle, which ReusedExchange dedupes within the query instead.
+    val cand = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(cand, Seq("id"), "left_semi")
-    pairsP
+    pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -218,7 +221,10 @@ object Similarity {
     // decimals, unrounded doubles may differ in the last ulp across
     // engines and flip an assignment tie.
     val cents: Seq[(Long, Seq[Float])] = centroids
-      .select(col(centroidIdCol).cast("long"), col(vecCol))
+      // explicit cast: a double-typed centroid table (bare avg() output)
+      // converts cleanly here instead of surfacing later as a
+      // ClassCastException inside the assignment expression on executors
+      .select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .toSeq

@@ -58,18 +58,24 @@ object TextOps {
         .winnowFingerprint(col(textCol), k, window).as("fingerprints"))
       .filter(col("fingerprints").isNotNull)
 
+  /** Duplicate n-gram fraction over an ALREADY-MATERIALIZED shingle
+    * column: (total − distinct)/total, NULL when empty. Take this form in
+    * pipelines — project `shingles(...)` once in a prior select and feed
+    * the attribute here, so the interpreted HOF shingle pipeline runs
+    * once per row (CollapseProject keeps non-cheap aliases referenced
+    * more than once from being inlined twice). */
+  def dupFractionOfShingles(sh: Column): Column =
+    round((size(sh) - size(array_distinct(sh))).cast("double") /
+      when(size(sh) === 0, lit(null)).otherwise(size(sh)), 4)
+
   /** Duplicate n-gram fraction — the Gopher/C4-style repetition signal
-    * for corpus filtering: (total − distinct)/total over the word
-    * n-grams, NULL when the document has no n-gram. Boilerplate and
-    * degenerate machine text score high; clean prose scores near 0. A
-    * pure per-row column expression (shingle, distinct, ratio all inside
-    * the row) — no shuffle at any corpus size. */
-  def dupNgramFraction(toks: Column, n: Int): Column = {
-    val sh = shingles(toks, n)
-    val total = size(sh)
-    round((total - size(array_distinct(sh))).cast("double") /
-      when(total === 0, lit(null)).otherwise(total), 4)
-  }
+    * for corpus filtering: boilerplate and degenerate machine text score
+    * high; clean prose scores near 0. A pure per-row expression — no
+    * shuffle at any corpus size. Convenience form; it embeds the shingle
+    * pipeline TWICE (once per size()), so hot paths should materialize
+    * the shingles and use [[dupFractionOfShingles]]. */
+  def dupNgramFraction(toks: Column, n: Int): Column =
+    dupFractionOfShingles(shingles(toks, n))
 
   /** Marker-based language id (SURVEY-mandated heuristic: n-gram stats
     * degenerate on synthetic corpora, function-word markers don't). */

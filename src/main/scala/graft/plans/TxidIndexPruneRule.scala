@@ -34,10 +34,12 @@ case class TxidIndexPruneRule(store: TableStore) extends Rule[LogicalPlan] {
 
   private val txnDir = s"${store.root}/txn/"
 
-  private def isTxnRelation(rel: HadoopFsRelation): Boolean = {
-    val files = rel.location.inputFiles
-    files.nonEmpty && files.forall(f => stripScheme(f).startsWith(txnDir))
-  }
+  // O(1): relations built by the store list explicit files under one
+  // table dir, so checking the first root path suffices — no per-file
+  // sweep on every Filter node of every query in the session.
+  private def isTxnRelation(rel: HadoopFsRelation): Boolean =
+    rel.location.rootPaths.headOption.exists(p =>
+      stripScheme(p.toString).startsWith(txnDir))
 
   /** The txid literal among the Filter's conjuncts, if one targets the
     * relation's own `txid` column. */
@@ -66,10 +68,16 @@ case class TxidIndexPruneRule(store: TableStore) extends Rule[LogicalPlan] {
         case Some(txid) =>
           val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
           val current = fsRel.location.inputFiles.map(stripScheme).toSet
-          val candidates = store.txidCandidateFiles(txid).map(r => s"$txnDir$r").toSet
-          if (current.subsetOf(candidates)) f // nothing to prune; fixpoint guard
+          // Prune WITHIN the relation's own snapshot: intersect the bloom
+          // candidates with the files the view already reads. Taking the
+          // candidate set outright would silently ADVANCE this one query
+          // to the current manifest — a txid query would see rows a
+          // round-predicate query over the same view does not.
+          val keep = store.txidCandidateFiles(txid)
+            .filter(r => current.contains(s"$txnDir$r"))
+          if (current.subsetOf(keep.map(r => s"$txnDir$r").toSet)) f // nothing to prune
           else {
-            val pruned = store.readRoundsForTxid(txid, None, None).queryExecution.analyzed
+            val pruned = store.readFiles("txn", keep).queryExecution.analyzed
             val aliases = lr.output.zip(pruned.output).map { case (o, n) =>
               Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
             }

@@ -116,11 +116,14 @@ object DataPipelineQueries {
         |        / nullif(len(grams), 0), 4) AS dup_fraction
         |FROM g ORDER BY doc_id""".stripMargin) {
       (s, d) =>
+        // Shingle ONCE into an attribute; the sizes/distinct read the
+        // materialized array (the interpreted HOF pipeline per row would
+        // otherwise run once per reference).
         Tables.documents(s, d)
-          .select(col("doc_id"), wordsCol.as("ws"))
+          .select(col("doc_id"), TextOps.shingles(wordsCol, 2).as("sh"))
           .select(col("doc_id"),
-            size(TextOps.shingles(col("ws"), 2)).cast("long").as("n_grams"),
-            TextOps.dupNgramFraction(col("ws"), 2).as("dup_fraction"))
+            size(col("sh")).cast("long").as("n_grams"),
+            TextOps.dupFractionOfShingles(col("sh")).as("dup_fraction"))
           .orderBy("doc_id")
     },
 

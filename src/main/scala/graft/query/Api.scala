@@ -68,10 +68,11 @@ object Api {
       convertInnerToRoot: Boolean = false,
       /** idb.go:181-182: bypass filter normalization so tests can pin that
         * the rewrite never changes results. Here it disables the up-front
-        * round-bounds resolution (Round ∩ Min/MaxRound ∩ time range) and
-        * the manifest prune it drives: every predicate is applied raw over
-        * a full-manifest read, and time bounds become a header semi-join
-        * instead of a collapsed min/max range. */
+        * round-bounds intersection (Round ∩ Min/MaxRound ∩ time range) and
+        * the manifest/bloom pruning it drives: every predicate is applied
+        * raw over a full-manifest read. (The time→round min/max collapse
+        * itself is the reference's SEMANTICS, not an optimization, and
+        * runs in both modes.) */
       skipOptimization: Boolean = false)
 
   final case class AccountQueryOptions(
@@ -167,12 +168,26 @@ object Api {
 
     // Resolve ALL round bounds up front so the manifest read is pruned to
     // the matching range buckets before Spark lists a single file.
-    // SkipOptimization leaves the bounds unresolved: full-manifest read,
-    // raw predicates, time bounds as a header semi-join (the
-    // normalization-equivalence contract of idb.go:181-182).
+    // Time bounds resolve to a round range via block_header min/max
+    // (idb.go:190-192) — this collapse IS the reference's semantics for
+    // time filters (not an optimization), so it runs in BOTH modes; only
+    // whether the range also prunes the manifest differs below.
+    var timeRange: Option[(Long, Long)] = None
+    var emptyByTime = false
+    if (f.afterTime.isDefined || f.beforeTime.isDefined) {
+      var hdr = store.read("block_header")
+      f.afterTime.foreach(t => hdr = hdr.filter(col("realtime") > t))
+      f.beforeTime.foreach(t => hdr = hdr.filter(col("realtime") < t))
+      val range = hdr.agg(min("round").as("lo"), max("round").as("hi")).head()
+      if (range.isNullAt(0)) emptyByTime = true
+      else timeRange = Some((range.getLong(0), range.getLong(1)))
+    }
+
+    // SkipOptimization (idb.go:181-182) leaves the bounds unresolved:
+    // full-manifest read, no bloom pruning, every predicate applied raw —
+    // result-identical by construction (the equivalence spec pins it).
     var lo = if (f.skipOptimization) None else f.minRound
     var hi = if (f.skipOptimization) None else f.maxRound
-    var emptyByTime = false
     if (!f.skipOptimization) {
       // Intersect, don't overwrite: Round + contradictory Min/MaxRound must
       // stay an empty conjunction, exactly as the filters compose.
@@ -180,19 +195,9 @@ object Api {
         lo = Some(lo.fold(r)(math.max(_, r)))
         hi = Some(hi.fold(r)(math.min(_, r)))
       }
-      // Time bounds resolve to a round range via block_header
-      // (idb.go:190-192; min/max agg subquery instead of a range join —
-      // §2.E).
-      if (f.afterTime.isDefined || f.beforeTime.isDefined) {
-        var hdr = store.read("block_header")
-        f.afterTime.foreach(t => hdr = hdr.filter(col("realtime") > t))
-        f.beforeTime.foreach(t => hdr = hdr.filter(col("realtime") < t))
-        val range = hdr.agg(min("round").as("lo"), max("round").as("hi")).head()
-        if (range.isNullAt(0)) emptyByTime = true
-        else {
-          lo = Some(lo.fold(range.getLong(0))(math.max(_, range.getLong(0))))
-          hi = Some(hi.fold(range.getLong(1))(math.min(_, range.getLong(1))))
-        }
+      timeRange.foreach { case (tLo, tHi) =>
+        lo = Some(lo.fold(tLo)(math.max(_, tLo)))
+        hi = Some(hi.fold(tHi)(math.min(_, tHi)))
       }
     }
 
@@ -214,12 +219,9 @@ object Api {
     if (f.skipOptimization) {
       f.minRound.foreach(r => txn = txn.filter(col("round") >= r))
       f.maxRound.foreach(r => txn = txn.filter(col("round") <= r))
-    }
-    if (f.skipOptimization && (f.afterTime.isDefined || f.beforeTime.isDefined)) {
-      var hdr = store.read("block_header")
-      f.afterTime.foreach(t => hdr = hdr.filter(col("realtime") > t))
-      f.beforeTime.foreach(t => hdr = hdr.filter(col("realtime") < t))
-      txn = txn.join(broadcastIfSmall(hdr.select("round")), Seq("round"), "left_semi")
+      timeRange.foreach { case (tLo, tHi) =>
+        txn = txn.filter(col("round") >= tLo && col("round") <= tHi)
+      }
     }
 
     // Denormalized scalar predicates (the reference's "slightly faster

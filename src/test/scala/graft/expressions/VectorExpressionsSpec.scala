@@ -122,6 +122,14 @@ class VectorExpressionsSpec extends SparkSpec {
     // "*(1) Project [cosinesim(...)]" — the * prefix marks a
     // WholeStageCodegen stage in the compact plan string
     assert(plan.contains("*(1) Project [cosinesim"))
+
+    // The int8 pair stays inside codegen too — including over a
+    // NON-NULLABLE input, where a mis-declared isNull local would fail
+    // Janino compilation and silently fall back to interpreted execution.
+    val q8 = df.select(Similarity.cosineInt8(
+      Similarity.quantizeInt8(col("a")), Similarity.quantizeInt8(col("b"))).as("c"))
+    assert(q8.queryExecution.executedPlan.toString.contains("*(1) Project [int8cosinesim"))
+    q8.collect() // force codegen compilation, not just planning
   }
 
   test("int8 quantization: lattice values, clamp, scale cancellation, degenerates") {

@@ -77,6 +77,43 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Corpus profile: per-language counts + EXACT percentiles of doc
+    //    length (both engines interpolate linearly; round(,4) absorbs the
+    //    last-ulp arithmetic drift). One shuffle, map-side partials. ──
+    QueryDef.sql(
+      "corpus_stats",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
+            round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+          .orderBy("lang")
+    },
+
+    // ── Corpus vocabulary: token frequencies, top-k — the wordcount
+    //    shape (explode → hash agg with map-side partials → top-k heap;
+    //    no global sort). ──
+    QueryDef.sql(
+      "text_vocab_topk",
+      """SELECT w AS token, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS w
+        |      FROM documents)
+        |GROUP BY w ORDER BY freq DESC, token LIMIT 100""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(wordsCol).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), asc("token"))
+          .limit(100)
+    },
+
     // ── Training-shard assignment: content-keyed md5 sharding (the
     //    export stage; membership reproducible by any engine — DuckDB
     //    re-derives the hex value with a digit fold). Balance check via

@@ -69,6 +69,20 @@ object EngineDemo {
     println("accounts:")
     accts.select("addr", "microalgos", "deleted", "created_at").show(20, 16)
 
+    // 5. Txid point lookup through the bloom file index: only candidate
+    //    files are listed (d.i.y. database index for a random key).
+    val someTxid = store.read("txn").filter(org.apache.spark.sql.functions.col("txid").isNotNull)
+      .select("txid").head().getString(0)
+    val candFiles = store.txidCandidateFiles(someTxid)
+    val (byTxid, _) = Api.transactions(store, Api.TransactionFilter(txid = Some(someTxid)))
+    println(s"txid lookup: ${byTxid.count()} row via ${candFiles.size} of " +
+      s"${store.manifest("txn").size} committed files")
+
+    // 6. The same index serves plain SQL over the registered views
+    //    (plans/TxidIndexPruneRule, installed by createViews).
+    store.createViews()
+    spark.sql(s"SELECT round, intra FROM txn WHERE txid = '$someTxid'").show()
+
     println(s"health: ${Api.health(store)}")
     spark.stop()
   }

@@ -208,7 +208,7 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
 
   /** Per-file index entries for the given files — round min/max stats
     * plus one bloom per indexed column, computed in ONE job per table
-    * that reads only `round` and the indexed columns. collect_list skips
+    * that reads only `round` and the indexed columns. collect_set skips
     * nulls, so a file with no non-null key (e.g. all-inner-txn files for
     * txid) gets an empty bloom: provably key-free, always pruned. */
   private def buildFileIndex(table: String, files: Seq[String])
@@ -462,7 +462,9 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   // single-writer deployment contract covers it, and a crashed writer's
   // window is healed by the on-disk `_old_bkt` protocol on next open.
   private def swapLock(table: String): Object =
-    TableStore.swapLocks.computeIfAbsent(s"$root/$table", _ => new Object)
+    // normalized key: "/data/db" and "/data/db/" must map to ONE monitor
+    TableStore.swapLocks.computeIfAbsent(
+      s"${Paths.get(root).toAbsolutePath.normalize}/$table", _ => new Object)
 
   /** Register every maintained table as a temp view (plus the graft UDFs),
     * so the whole surface is queryable from `spark.sql` — the "point the

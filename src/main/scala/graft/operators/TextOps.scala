@@ -72,8 +72,9 @@ object TextOps {
     * for corpus filtering: boilerplate and degenerate machine text score
     * high; clean prose scores near 0. A pure per-row expression — no
     * shuffle at any corpus size. Convenience form; it embeds the shingle
-    * pipeline TWICE (once per size()), so hot paths should materialize
-    * the shingles and use [[dupFractionOfShingles]]. */
+    * pipeline once per reference (4× here: three size() calls plus
+    * array_distinct), so hot paths should materialize the tokens AND the
+    * shingles as attributes and use [[dupFractionOfShingles]]. */
   def dupNgramFraction(toks: Column, n: Int): Column =
     dupFractionOfShingles(shingles(toks, n))
 

@@ -34,12 +34,17 @@ case class TxidIndexPruneRule(store: TableStore) extends Rule[LogicalPlan] {
 
   private val txnDir = s"${store.root}/txn/"
 
-  // O(1): relations built by the store list explicit files under one
-  // table dir, so checking the first root path suffices — no per-file
-  // sweep on every Filter node of every query in the session.
-  private def isTxnRelation(rel: HadoopFsRelation): Boolean =
-    rel.location.rootPaths.headOption.exists(p =>
-      stripScheme(p.toString).startsWith(txnDir))
+  // Root paths are in-memory strings (no listing IO): ALL of them must
+  // sit under the table dir — checking just the head would both miss a
+  // relation rooted at the directory itself and mis-match a mixed-root
+  // relation whose first path happens to be under txn/.
+  private def isTxnRelation(rel: HadoopFsRelation): Boolean = {
+    val roots = rel.location.rootPaths
+    roots.nonEmpty && roots.forall { p =>
+      val s = stripScheme(p.toString)
+      s.startsWith(txnDir) || s == txnDir.stripSuffix("/")
+    }
+  }
 
   /** The txid literal among the Filter's conjuncts, if one targets the
     * relation's own `txid` column. */
@@ -67,15 +72,23 @@ case class TxidIndexPruneRule(store: TableStore) extends Rule[LogicalPlan] {
       txidLiteral(cond, lr) match {
         case Some(txid) =>
           val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
-          val current = fsRel.location.inputFiles.map(stripScheme).toSet
-          // Prune WITHIN the relation's own snapshot: intersect the bloom
-          // candidates with the files the view already reads. Taking the
-          // candidate set outright would silently ADVANCE this one query
-          // to the current manifest — a txid query would see rows a
-          // round-predicate query over the same view does not.
-          val keep = store.txidCandidateFiles(txid)
-            .filter(r => current.contains(s"$txnDir$r"))
-          if (current.subsetOf(keep.map(r => s"$txnDir$r").toSet)) f // nothing to prune
+          // Prune WITHIN the relation's own snapshot: keep the VIEW's
+          // files, dropping only those whose committed bloom rules the
+          // txid out. Never substitute the current manifest's candidate
+          // list — that would silently advance this one query to newer
+          // data (or, after a compaction rewrote the view's files, shrink
+          // a stale view to zero rows). A view file with no bloom entry
+          // (pre-index data, or dropped by index maintenance after the
+          // file left the manifest) is conservatively kept, so a stale
+          // view behaves exactly as it would un-rewritten.
+          val blooms = store.txidBloomRaw
+          val currentRels = fsRel.location.inputFiles
+            .map(f => stripScheme(f).stripPrefix(txnDir)).toSeq
+          val keep = currentRels.filter { r =>
+            blooms.get(r).forall(enc =>
+              graft.ingest.FileBloom.decode(enc).mightContain(txid))
+          }
+          if (keep.size == currentRels.size) f // nothing to prune; fixpoint guard
           else {
             val pruned = store.readFiles("txn", keep).queryExecution.analyzed
             val aliases = lr.output.zip(pruned.output).map { case (o, n) =>

@@ -86,15 +86,18 @@ object DataPipelineQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
         |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+        |FROM documents GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin) {
       (s, d) =>
+        // NULLS LAST pinned on both sides: Spark ASC defaults nulls
+        // FIRST, DuckDB LAST — a NULL lang row would silently flip the
+        // row order between engines.
         Tables.documents(s, d)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum("n_chars").as("total_chars"),
             round(expr("percentile(n_chars, 0.5)"), 4).as("median_chars"),
             round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
-          .orderBy("lang")
+          .orderBy(asc_nulls_last("lang"))
     },
 
     // ── Corpus vocabulary: token frequencies, top-k — the wordcount
@@ -153,11 +156,13 @@ object DataPipelineQueries {
         |        / nullif(len(grams), 0), 4) AS dup_fraction
         |FROM g ORDER BY doc_id""".stripMargin) {
       (s, d) =>
-        // Shingle ONCE into an attribute; the sizes/distinct read the
-        // materialized array (the interpreted HOF pipeline per row would
-        // otherwise run once per reference).
+        // Tokenize into an attribute FIRST (an interpreted HOF lambda
+        // re-evaluates non-lambda subexpressions per element — shingling
+        // over the raw tokenizer expression would re-tokenize per gram),
+        // then shingle ONCE into an attribute the sizes/distinct read.
         Tables.documents(s, d)
-          .select(col("doc_id"), TextOps.shingles(wordsCol, 2).as("sh"))
+          .select(col("doc_id"), wordsCol.as("ws"))
+          .select(col("doc_id"), TextOps.shingles(col("ws"), 2).as("sh"))
           .select(col("doc_id"),
             size(col("sh")).cast("long").as("n_grams"),
             TextOps.dupFractionOfShingles(col("sh")).as("dup_fraction"))

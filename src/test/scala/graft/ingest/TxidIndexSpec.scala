@@ -170,5 +170,21 @@ class TxidIndexSpec extends SparkSpec {
           .location.inputFiles.length
     }
     assert(fullFiles.min == store.manifest("txn").size)
+
+    // STALE VIEW semantics: commit more data AFTER the view was
+    // registered. The rewrite must stay within the view's snapshot —
+    // an old txid still resolves, a post-snapshot txid returns nothing
+    // (exactly what a round-predicate query over the same view sees).
+    val preCount = spark.sql("SELECT count(*) FROM txn").head().getLong(0)
+    BlockIngest.applyBlocks(store, spark.createDataset(Seq(
+      block(6L, Vector(pay(A, B, 999)))).map(BlockCodec.blockToJson)))
+    val newTxid = store.read("txn")
+      .filter(col("round") === 6 && col("txid").isNotNull)
+      .select("txid").head().getString(0)
+    assert(spark.sql(s"SELECT count(*) FROM txn WHERE txid = '$txid'").head().getLong(0) == 1,
+      "pre-snapshot txid still resolves through the stale view")
+    assert(spark.sql(s"SELECT count(*) FROM txn WHERE txid = '$newTxid'").head().getLong(0) == 0,
+      "post-snapshot txid is invisible to the stale view, like any other predicate")
+    assert(spark.sql("SELECT count(*) FROM txn").head().getLong(0) == preCount)
   }
 }

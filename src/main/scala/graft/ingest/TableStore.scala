@@ -516,10 +516,13 @@ object TableStore {
   val MetaNetwork = "network"
   val MetaMigration = "migration"
 
-  /** Append-table columns carrying a per-file bloom index: uniformly
-    * random keys whose point lookups min/max stats cannot prune. */
+  /** Append-table columns carrying a per-file bloom index: keys whose
+    * point lookups parquet min/max stats cannot prune — uniformly random
+    * (txid, addr) or long-tailed (asset: a hot asset passes every bloom
+    * and loses nothing; the long tail of rarely-touched assets prunes to
+    * the few files that mention them). */
   val IndexedColumns: Map[String, Seq[String]] = Map(
-    "txn" -> Seq("txid"),
+    "txn" -> Seq("txid", "asset"),
     "txn_participation" -> Seq("addr"))
 
   def bloomKey(table: String, keyCol: String): String = s"bloom.$keyCol.$table"

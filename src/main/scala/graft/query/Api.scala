@@ -201,11 +201,15 @@ object Api {
       }
     }
 
-    // A txid point lookup resolves through the bloom index: only files
-    // that might contain the txid are listed (txids are uniformly random,
-    // so round-range pruning alone does nothing for them).
-    var txn = f.txid match {
-      case Some(id) if !f.skipOptimization => store.readRoundsForTxid(id, lo, hi)
+    // Point lookups resolve through the bloom file index: only files that
+    // might contain the key are listed (round-range pruning alone does
+    // nothing for a random txid; for assets it is the long tail of
+    // rarely-touched ids that prunes). Keys are indexed as strings — the
+    // lookup stringifies the same way the index build casts.
+    var txn = (f.txid, f.assetId.orElse(f.applicationId)) match {
+      case (Some(id), _) if !f.skipOptimization => store.readRoundsForTxid(id, lo, hi)
+      case (_, Some(a)) if !f.skipOptimization =>
+        store.readRoundsForKey("txn", "asset", a.toString, lo, hi)
       case _ => store.readRounds("txn", lo, hi)
     }
     if (emptyByTime) txn = txn.filter(lit(false))

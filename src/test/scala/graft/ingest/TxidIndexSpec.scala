@@ -105,6 +105,29 @@ class TxidIndexSpec extends SparkSpec {
   private def addr2(i: Int): String =
     graft.codec.Codecs.addressEncode(Array.tabulate(32)(j => (i * 37 + j).toByte))
 
+  test("asset blooms prune txn reads for the long tail of asset ids") {
+    val store = new TableStore(spark, tmpDir("graft-assetix"), nBuckets = 4)
+    import spark.implicits._
+    BlockIngest.initGenesis(store, Seq((A, 1000000L, "{}")), network = "net")
+    // One distinct asset per batch: batch 0 → 1000, 1 → 1001, 2 → 1002.
+    for (batch <- 0 until 3) {
+      val blocks = (0 until 2).map { i =>
+        val r = batch * 2 + i
+        block(r.toLong, Vector(axfer(A, B, asset = 1000L + batch, amt = BigInt(1 + r))))
+      }
+      BlockIngest.applyBlocks(store, spark.createDataset(blocks.map(BlockCodec.blockToJson)))
+    }
+    val files = store.manifest("txn")
+    val cands = store.bloomCandidateFiles("txn", "asset", "1000")
+    assert(cands.nonEmpty && cands.size < files.size,
+      s"expected pruning: ${cands.size} of ${files.size}")
+    def byAsset(skip: Boolean) =
+      Api.transactions(store, Api.TransactionFilter(assetId = Some(1000L), skipOptimization = skip))
+        ._1.select("round").collect().map(_.getLong(0)).sorted.toSeq
+    assert(byAsset(skip = false) == Seq(0L, 1L))
+    assert(byAsset(skip = false) == byAsset(skip = true))
+  }
+
   test("per-file round stats prune within a range bucket to the covering batch") {
     val store = new TableStore(spark, tmpDir("graft-rstats"), nBuckets = 4)
     import spark.implicits._

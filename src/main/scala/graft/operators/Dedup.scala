@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * short key. Candidate generation is LSH-banded — pairs are only formed
   * WITHIN a band bucket (shuffle key = band hash), never across the corpus,
   * keeping the join sub-quadratic. Oversized buckets (degenerate content)
-  * are capped; the cap is logged, not silent.
+  * are capped by a bounded aggregate (O(cap) buffer memory even on a
+  * pathological hot bucket), and the cap is not silent: pass a
+  * `droppedAcc` accumulator to observe how many ids truncation dropped.
   */
 object Dedup {
 
@@ -72,7 +74,8 @@ object Dedup {
   def lshCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     // Band frame carries ONLY (doc, band_idx, band_hash): the shingle
     // arrays must NOT ride through the bucket shuffles and the pair join —
     // measured 30× slower when they do. They are joined back per pair side
@@ -84,11 +87,14 @@ object Dedup {
         posexplode(bandHashes(col("sig"), bands, k / bands))
           .as(Seq("band_idx", "band_hash")))
 
-    // ONE shuffle does bucket formation AND the cap: collect the bucket's
-    // doc ids (map-side partial aggregation), keep the `maxBucket`
-    // smallest, and emit the i<j combinations from the array in place —
+    // ONE shuffle does bucket formation AND the cap: collect each bucket's
+    // `maxBucket` SMALLEST doc ids via the bounded aggregate
+    // ([[graft.expressions.BoundedSortedCollect]] — O(maxBucket) buffer at
+    // every stage, so a degenerate hot bucket costs bounded memory, not
+    // O(bucket)), and emit the i<j combinations from the array in place —
     // the earlier window-cap + bucket self-join spent a second sort and a
     // second exchange to produce the same (and each unordered pair twice).
+    // Truncation is surfaced through `droppedAcc` (ids dropped by the cap).
     // The HOF lambdas only touch the collected `docs` attribute and lambda
     // variables (the interpreted-HOF re-eval rule), and the combination
     // count IS the output size, so nothing here is super-linear in the
@@ -96,7 +102,8 @@ object Dedup {
     val docs = col("docs")
     val pairs = withBands
       .groupBy("band_idx", "band_hash")
-      .agg(slice(sort_array(collect_list(col("doc"))), 1, maxBucket).as("docs"))
+      .agg(graft.expressions.BoundedCollect
+        .boundedSortedCollect(col("doc"), maxBucket, droppedAcc).as("docs"))
       .filter(size(docs) >= 2)
       .select(explode(flatten(transform(docs, (x, i) =>
         transform(slice(docs, i + 2, size(docs)),

@@ -91,23 +91,29 @@ object Similarity {
     * cosine above `minCos`. Returns (id_a, id_b, cos_sim).
     *
     * Scale shape (same construction as [[Dedup.lshCandidatePairs]]): ONE
-    * shuffle forms the buckets AND applies the cap — collect each bucket's
-    * ids (map-side partials), keep the `maxBucket` smallest, and emit the
-    * i<j combinations from the array in place. A skewed embedding
-    * distribution (all boilerplate vectors in one orthant) can put a large
-    * corpus fraction in one of the 2^p buckets; the cap bounds that
-    * bucket's work at O(maxBucket²) instead of quadratic in the corpus.
+    * shuffle forms the buckets AND applies the cap — the bounded aggregate
+    * ([[graft.expressions.BoundedSortedCollect]]) keeps each bucket's
+    * `maxBucket` smallest ids with an O(maxBucket) buffer at every stage,
+    * and the i<j combinations are emitted from the array in place. A
+    * skewed embedding distribution (all boilerplate vectors in one
+    * orthant) can put a large corpus fraction in one of the 2^p buckets;
+    * the cap bounds that bucket's work at O(maxBucket²) — and now also its
+    * memory — instead of quadratic in the corpus. Truncation is surfaced:
+    * pass `droppedAcc` to count ids the cap excluded (pairs involving them
+    * are not emitted).
     * The pair skeleton carries ONLY ids — vectors join back per side
     * afterwards (narrow joins; AQE broadcasts the small pair frame), so
     * embedding payloads never ride the quadratic path.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   p: Int, minCos: Double, maxBucket: Int = 1000): DataFrame = {
+                   p: Int, minCos: Double, maxBucket: Int = 1000,
+                   droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val ids = col("ids")
     val pairs = df
       .select(col(idCol).as("id"), signBucket(col(vecCol), p).as("bucket"))
       .groupBy("bucket")
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .agg(graft.expressions.BoundedCollect
+        .boundedSortedCollect(col("id"), maxBucket, droppedAcc).as("ids"))
       .filter(size(ids) >= 2)
       .select(explode(flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + 2, size(ids)),

@@ -159,22 +159,27 @@ object BlockIngest {
       val staged = Await.result(Future.sequence(writes), Duration.Inf).flatten
       mark("writes")
 
-      // B7 + watermark bump + append-manifest publication — ONE metastate
-      // write is the single commit point of the micro-batch: a crash
+      // B7 + watermark bump + append-manifest publication — ONE metadata
+      // log record is the single commit point of the micro-batch: a crash
       // before this line leaves only orphan files readers never resolve.
-      val manifestKvs = staged.map { case (t, files) =>
-        store.manifestKey(t) -> (store.manifest(t) ++ files).mkString("\n")
+      // The record carries ONLY the batch's delta (append ops for the
+      // staged files' manifest + index lines, set ops for the scalars) —
+      // commit cost is O(batch), flat in chain history (MetaLog).
+      val manifestAppends = staged.collect { case (t, files) if files.nonEmpty =>
+        store.manifestKey(t) -> files.mkString("\n")
       }
       // Per-file indexes (round min/max stats on every append table;
       // key blooms on txn.txid and txn_participation.addr) over the
       // batch's staged files, folded into the same commit — the index
       // can never disagree with the manifest it serves (see FileBloom).
-      val bloomKvs = staged.flatMap { case (t, files) =>
-        store.indexCommitKvs(t, files)
+      val indexAppends = staged.flatMap { case (t, files) =>
+        store.indexAppendKvs(t, files)
       }
-      store.putMetastate(manifestKvs ++ bloomKvs ++ Seq(
-        TableStore.MetaSpecialAccounts -> specialAccounts,
-        TableStore.MetaNextRound -> (lastRound + 1).toString): _*)
+      store.commitMetastate(
+        sets = Seq(
+          TableStore.MetaSpecialAccounts -> specialAccounts,
+          TableStore.MetaNextRound -> (lastRound + 1).toString),
+        appends = manifestAppends ++ indexAppends)
     } finally all.unpersist()
   }
 

@@ -25,13 +25,22 @@ import scala.util.Using
   *     buckets the batch touches — cost tracks batch size, not table size
   *     (the 100 TB posture; an index-organized row store needs no such
   *     trick, a file-based column store does);
-  *   - `metastate.json`: the reference's metastate KV table (util.go:75-110)
-  *     as a driver-side JSON file — it is the stream's checkpoint/watermark
-  *     store (keys: state, accounts, network), a point read the executors
-  *     never need.
+  *   - `_meta/`: the reference's metastate KV table (util.go:75-110) as an
+  *     append-only metadata log with checkpoints ([[MetaLog]]) — the
+  *     stream's checkpoint/watermark store (keys: state, accounts,
+  *     network) plus the manifests and per-file indexes, committed one
+  *     O(batch) record per micro-batch, a point read the executors never
+  *     need.
+  *
+  * `readOnly = true` declares a query-only session over a directory some
+  * other process writes: every mutation path throws, and reads never heal
+  * crash leftovers (`_old_bkt=N` restoration moves directories — a reader
+  * racing a live writer's bucket swap could otherwise collide with its
+  * renames; `_`-prefixed dirs are invisible to Spark's file index anyway,
+  * and the writer heals on its own open/commit path).
   */
 final class TableStore(val spark: SparkSession, val root: String, val nBuckets: Int = 16,
-                       val roundsPerPartition: Long = 10000L) {
+                       val roundsPerPartition: Long = 10000L, val readOnly: Boolean = false) {
   import TableStore._
 
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -55,7 +64,7 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   def read(table: String): DataFrame = table match {
     case "txn" | "txn_participation" | "block_header" => readManifest(table, manifest(table))
     case _ =>
-      recoverStateBuckets(table)
+      if (!readOnly) recoverStateBuckets(table)
       if (listDir(Paths.get(path(table))).exists(p => !p.getFileName.toString.startsWith("_")))
         spark.read.schema(schemaWithPartitions(table)).parquet(path(table))
       else
@@ -100,6 +109,7 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     * the manifest commit. `df` must carry the table's full schema
     * including `round`. */
   def stageAppend(table: String, df: DataFrame): Seq[String] = {
+    requireWritable("stageAppend")
     val staging = s"${path(table)}/_staging_${java.util.UUID.randomUUID().toString.take(8)}"
     df.withColumn("rbkt", (col("round") / lit(roundsPerPartition)).cast("long"))
       .write.mode("overwrite").partitionBy("rbkt").parquet(staging)
@@ -159,15 +169,18 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     }
   }
 
-  /** Raw committed per-file round stats: rel path → (min, max). */
+  /** Raw committed per-file round stats: rel path → (min, max). Cached
+    * per metadata-log version (parsed once per commit, not per query). */
   def fileRoundStatsRaw(table: String): Map[String, (Long, Long)] = {
-    import CanonicalJson.JValOps
-    metastate.get(TableStore.roundStatsKey(table))
-      .map(js => CanonicalJson.parse(js).asObj.map { case (k, v) =>
-        val parts = v.str.split(':')
+    val key = TableStore.roundStatsKey(table)
+    val (version, state) = metaLog.snapshot()
+    parsedCache.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == version) prev
+      else (version, parseIndexLines(state.get(key)).map { case (k, v) =>
+        val parts = v.split(':')
         k -> (parts(0).toLong, parts(1).toLong)
-      }.toMap)
-      .getOrElse(Map.empty)
+      })
+    )._2.asInstanceOf[Map[String, (Long, Long)]]
   }
 
   /** Append-table read pruned to [lo, hi] (inclusive, either side open):
@@ -181,36 +194,57 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   // ── Per-file key-bloom index (see FileBloom) ────────────────────────
   //
   // One bloom per committed data file per indexed column
-  // (TableStore.IndexedColumns), committed in the same metastate write as
+  // (TableStore.IndexedColumns), committed in the same metastate record as
   // the manifest — point lookups on random keys (txid, addr) list only
   // bloom-candidate files.
   //
-  // Scale boundary, stated honestly: manifest + index live in ONE
-  // driver-side JSON document that every commit re-renders and every
-  // lookup re-parses — O(history) metadata work per operation. That is
-  // the single-file analogue of a transactional format's metadata layer;
-  // at full chain scale the same protocol needs what Delta/Iceberg do:
-  // an append-only metadata LOG with periodic checkpoints and an
-  // in-driver parsed cache, which changes the storage of this index, not
-  // its semantics (the kvs here ARE the checkpoint content).
+  // Metadata scale: manifests and index maps are newline-joined
+  // `file TAB value` lines, so a batch's commit APPENDS its own files'
+  // lines to the log ([[MetaLog]] `app` op) — O(batch) per commit, flat
+  // in history; readers materialize from checkpoint + tail once per log
+  // version and hit the in-driver cache after that. Decoded blooms are
+  // cached per log version too (decoding is O(files × bloomSize) —
+  // per-query would dominate a point lookup's driver time).
 
   /** Raw committed bloom map for (table, keyCol): rel path → encoded. */
-  def fileBloomRaw(table: String, keyCol: String): Map[String, String] = {
-    import CanonicalJson.JValOps
-    metastate.get(TableStore.bloomKey(table, keyCol))
-      .map(js => CanonicalJson.parse(js).asObj.map { case (k, v) => k -> v.str }.toMap)
-      .getOrElse(Map.empty)
+  def fileBloomRaw(table: String, keyCol: String): Map[String, String] =
+    parseIndexLines(metastate.get(TableStore.bloomKey(table, keyCol)))
+
+  /** Decoded blooms for (table, keyCol), cached per metadata-log version
+    * — repeated point lookups against an unchanged store decode nothing. */
+  def fileBloomDecoded(table: String, keyCol: String): Map[String, FileBloom.Bloom] = {
+    val key = TableStore.bloomKey(table, keyCol)
+    val (version, state) = metaLog.snapshot()
+    parsedCache.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == version) prev
+      else (version,
+        parseIndexLines(state.get(key)).map { case (f, enc) => f -> FileBloom.decode(enc) })
+    )._2.asInstanceOf[Map[String, FileBloom.Bloom]]
   }
 
-  def renderBloomMap(m: Map[String, String]): String =
-    CanonicalJson.render(CanonicalJson.JObj.of(
-      m.toSeq.map { case (k, v) => k -> (CanonicalJson.JStr(v): CanonicalJson.JVal) }: _*))
+  private def parseIndexLines(s: Option[String]): Map[String, String] =
+    s.map(_.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap).getOrElse(Map.empty)
+
+  def renderIndexLines(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }.mkString("\n")
 
   /** Per-file index entries for the given files — round min/max stats
     * plus one bloom per indexed column, computed in ONE job per table
     * that reads only `round` and the indexed columns. collect_set skips
     * nulls, so a file with no non-null key (e.g. all-inner-txn files for
-    * txid) gets an empty bloom: provably key-free, always pruned. */
+    * txid) gets an empty bloom: provably key-free, always pruned.
+    *
+    * Fail-OPEN on the unexpected: a staged file absent from the
+    * aggregation result gets NO index entry (readers treat index-less
+    * files conservatively, like pre-index data) — never an always-prune
+    * empty bloom, which would silently drop rows if the rel path ever
+    * re-derived differently (URL-encoding, layout change). A derived path
+    * outside the staged set is a hard error for the same reason. The only
+    * legitimate absence is a zero-row file, which Spark's partitioned
+    * writer does not produce. */
   private def buildFileIndex(table: String, files: Seq[String])
       : (Map[String, String], Map[String, Map[String, String]]) = {
     if (files.isEmpty) return (Map.empty, Map.empty)
@@ -226,13 +260,16 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => (r.getString(0).split('/').takeRight(2).mkString("/"), r))
+    val unexpected = byRel.map(_._1).filterNot(files.toSet)
+    require(unexpected.isEmpty,
+      s"file index derived paths outside the staged set for $table: " +
+        s"${unexpected.take(3).mkString(", ")} — rel-path derivation and " +
+        "staging layout disagree; indexing these would mis-key the blooms")
     val stats = byRel.map { case (rel, r) => rel -> s"${r.getLong(1)}:${r.getLong(2)}" }.toMap
-    val emptyBloom = FileBloom.Bloom(1, new Array[Long](1)).encode
     val blooms = keyCols.zipWithIndex.map { case (c, i) =>
-      val built = byRel.map { case (rel, r) =>
+      c -> byRel.map { case (rel, r) =>
         rel -> FileBloom.build(r.getSeq[String](3 + i)).encode
       }.toMap
-      c -> files.map(f => f -> built.getOrElse(f, emptyBloom)).toMap
     }.toMap
     (stats, blooms)
   }
@@ -240,17 +277,16 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   private def encodeStats(m: Map[String, (Long, Long)]): Map[String, String] =
     m.map { case (k, (lo, hi)) => k -> s"$lo:$hi" }
 
-  /** The full index kvs for a batch's staged files (round stats + every
-    * indexed column's blooms), folded into the batch's single commit
-    * write so index and manifest can never disagree. */
-  def indexCommitKvs(table: String, files: Seq[String]): Seq[(String, String)] = {
+  /** APPEND kvs ([[MetaLog]] `app` op) carrying ONLY the batch's staged
+    * files' index lines (round stats + every indexed column's blooms) —
+    * O(batch) commit payload, folded into the batch's single commit
+    * record so index and manifest can never disagree. */
+  def indexAppendKvs(table: String, files: Seq[String]): Seq[(String, String)] = {
     if (files.isEmpty) return Nil
     val (stats, blooms) = buildFileIndex(table, files)
-    (TableStore.roundStatsKey(table) ->
-      renderBloomMap(encodeStats(fileRoundStatsRaw(table)) ++ stats)) +:
+    (TableStore.roundStatsKey(table) -> renderIndexLines(stats)) +:
       blooms.toSeq.map { case (keyCol, entries) =>
-        TableStore.bloomKey(table, keyCol) ->
-          renderBloomMap(fileBloomRaw(table, keyCol) ++ entries)
+        TableStore.bloomKey(table, keyCol) -> renderIndexLines(entries)
       }
   }
 
@@ -259,9 +295,9 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     * entry (pre-index data) are conservatively kept. */
   def bloomCandidateFiles(table: String, keyCol: String, key: String,
       lo: Option[Long] = None, hi: Option[Long] = None): Seq[String] = {
-    val blooms = fileBloomRaw(table, keyCol)
+    val blooms = fileBloomDecoded(table, keyCol)
     rangeFiles(table, lo, hi).filter { f =>
-      blooms.get(f).forall(enc => FileBloom.decode(enc).mightContain(key))
+      blooms.get(f).forall(_.mightContain(key))
     }
   }
 
@@ -280,17 +316,19 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     readRoundsForKey("txn", "txid", txid, lo, hi)
 
   /** Post-rewrite index maintenance: drop entries for files that left
-    * the manifest, rebuild entries for rewritten files. */
+    * the manifest, rebuild entries for rewritten files. These are full
+    * SET kvs — maintenance ops (prune/compact) rewrite whole file sets,
+    * so O(table files) is their inherent cost, unlike per-batch commits. */
   private def bloomMaintenanceKvs(table: String, newManifest: Seq[String],
       rewritten: Seq[String]): Seq[(String, String)] = {
     val keep = newManifest.toSet
     val (stats, blooms) = buildFileIndex(table, rewritten)
     val statsKept = encodeStats(fileRoundStatsRaw(table)).filter { case (f, _) => keep(f) }
-    (TableStore.roundStatsKey(table) -> renderBloomMap(statsKept ++ stats)) +:
+    (TableStore.roundStatsKey(table) -> renderIndexLines(statsKept ++ stats)) +:
       TableStore.IndexedColumns.getOrElse(table, Nil).map { keyCol =>
         val kept = fileBloomRaw(table, keyCol).filter { case (f, _) => keep(f) }
         TableStore.bloomKey(table, keyCol) ->
-          renderBloomMap(kept ++ blooms.getOrElse(keyCol, Map.empty))
+          renderIndexLines(kept ++ blooms.getOrElse(keyCol, Map.empty))
       }
   }
 
@@ -412,6 +450,7 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     * empty bucket. `_`-prefixed names stay hidden from Spark's file index.
     */
   def writeStateBuckets(table: String, keyCol: String, merged: DataFrame, touched: Seq[Int]): Unit = {
+    requireWritable("writeStateBuckets")
     recoverStateBuckets(table, sweepStaging = true)
     val staging = s"${path(table)}/_staging_${java.util.UUID.randomUUID().toString.take(8)}"
     merged
@@ -480,28 +519,42 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   }
 
   // ── Metastate (KV) ─────────────────────────────────────────────────
+  //
+  // Backed by the append-only metadata log ([[MetaLog]]): a commit
+  // appends one O(batch) record; readers materialize checkpoint + tail
+  // once per log version into the in-driver cache. A pre-log
+  // `metastate.json` is honored as the base state (read-only migration).
 
-  private def metastatePath = Paths.get(s"$root/metastate.json")
+  private val metaLog = new MetaLog(root)
 
-  def metastate: Map[String, String] = {
-    if (!Files.exists(metastatePath)) Map.empty
-    else {
-      import graft.codec.CanonicalJson._
-      parse(Files.readString(metastatePath)).asObj.map { case (k, v) => k -> v.str }.toMap
-    }
-  }
+  // version-keyed cache of parsed index structures (decoded blooms,
+  // round stats): re-parsed once per commit, not once per query
+  private val parsedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Any)]()
+
+  def metastate: Map[String, String] = metaLog.state()
+
+  /** Current metadata-log version (advances by 1 per commit) — the cache
+    * key index-aware rules use to avoid re-decoding an unchanged index. */
+  def metaVersion: Long = metaLog.version
 
   def putMetastate(kvs: (String, String)*): Unit = {
-    import graft.codec.CanonicalJson._
-    val merged = metastate ++ kvs
-    val json = render(JObj(scala.collection.immutable.TreeMap.from(
-      merged.view.mapValues(JStr(_): JVal))))
-    Files.createDirectories(metastatePath.getParent)
-    val tmp = Paths.get(s"$root/.metastate.json.tmp")
-    Files.writeString(tmp, json)
-    Files.move(tmp, metastatePath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    requireWritable("putMetastate")
+    metaLog.append(sets = kvs)
   }
+
+  /** One commit record: `sets` replace keys (watermark, accounts…),
+    * `appends` add newline-joined lines (manifests, index entries). The
+    * micro-batch's single atomic commit point. */
+  def commitMetastate(sets: Seq[(String, String)],
+                      appends: Seq[(String, String)]): Unit = {
+    requireWritable("commitMetastate")
+    metaLog.append(sets, appends)
+  }
+
+  private def requireWritable(op: String): Unit =
+    if (readOnly) throw new IllegalStateException(
+      s"$op on a readOnly TableStore ($root) — this session declared itself query-only")
 
   /** NextRoundToAccount (metastate `state` key; types.go:7-9). */
   def nextRound: Long =

@@ -81,20 +81,29 @@ case class TxidIndexPruneRule(store: TableStore) extends Rule[LogicalPlan] {
           // (pre-index data, or dropped by index maintenance after the
           // file left the manifest) is conservatively kept, so a stale
           // view behaves exactly as it would un-rewritten.
-          val blooms = store.txidBloomRaw
+          //
+          // Only schema-pinned (manifest-backed) relations are rewritten:
+          // a direct spark.read.parquet(root + "/txn") discovers `rbkt`
+          // as a partition column, so its output carries an attribute the
+          // replacement relation lacks — a positional zip would silently
+          // drop it and break any parent reference to it.
+          val blooms = store.fileBloomDecoded("txn", "txid")
           val currentRels = fsRel.location.inputFiles
             .map(f => stripScheme(f).stripPrefix(txnDir)).toSeq
           val keep = currentRels.filter { r =>
-            blooms.get(r).forall(enc =>
-              graft.ingest.FileBloom.decode(enc).mightContain(txid))
+            blooms.get(r).forall(_.mightContain(txid))
           }
-          if (keep.size == currentRels.size) f // nothing to prune; fixpoint guard
+          if (fsRel.partitionSchema.nonEmpty || keep.size == currentRels.size) f
           else {
             val pruned = store.readFiles("txn", keep).queryExecution.analyzed
-            val aliases = lr.output.zip(pruned.output).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+            if (pruned.output.size != lr.output.size ||
+                pruned.output.map(_.name) != lr.output.map(_.name)) f
+            else {
+              val aliases = lr.output.zip(pruned.output).map { case (o, n) =>
+                Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+              }
+              Filter(cond, Project(aliases, pruned))
             }
-            Filter(cond, Project(aliases, pruned))
           }
         case None => f
       }

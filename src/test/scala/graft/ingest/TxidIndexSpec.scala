@@ -210,4 +210,30 @@ class TxidIndexSpec extends SparkSpec {
       "post-snapshot txid is invisible to the stale view, like any other predicate")
     assert(spark.sql("SELECT count(*) FROM txn").head().getLong(0) == preCount)
   }
+
+  test("rule bails out for a direct directory read that discovers rbkt") {
+    val store = new TableStore(spark, tmpDir("graft-txidrule-dir"), nBuckets = 4)
+    import spark.implicits._
+    BlockIngest.initGenesis(store, Seq((A, 1000000L, "{}")), network = "net")
+    for (batch <- 0 until 2)
+      BlockIngest.applyBlocks(store, spark.createDataset(Seq(
+        block(batch.toLong, Vector(pay(A, B, 100 + batch)))).map(BlockCodec.blockToJson)))
+    store.createViews() // installs the rule for this root
+
+    // A raw directory read discovers `rbkt` as a partition column — one
+    // MORE output attribute than the store's schema-pinned relation. The
+    // rule must leave it alone: a positional-zip rewrite would silently
+    // drop rbkt and this query would fail at planning.
+    val txid = store.read("txn").filter(col("txid").isNotNull)
+      .select("txid").head().getString(0)
+    val direct = spark.read.parquet(s"${store.root}/txn")
+      .filter(col("txid") === txid).select("round", "rbkt")
+    assert(direct.collect().map(_.getLong(0)).toSeq.nonEmpty)
+    val files = direct.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+    assert(files.min == store.manifest("txn").size, "direct read must stay unrewritten")
+  }
 }

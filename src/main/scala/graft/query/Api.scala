@@ -5,6 +5,7 @@ import graft.ingest.TableStore
 import graft.queries.QueryDef.broadcastIfSmall
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Read-side query surface (SURVEY.md §2.D): the six parameter objects of
   * idb.go re-expressed as DataFrame builders over the maintained tables.
@@ -131,19 +132,51 @@ object Api {
       extends Exception(s"account $addr has $count resources > max")
 
   // ── JSON body accessors (txn document paths) ───────────────────────
+  //
+  // Body predicates all evaluate against ONE parse of the txn document
+  // per row: the active conjuncts combine into a single filter over a
+  // one-element higher-order `exists`, whose lambda variable binds the
+  // parsed struct — the plan carries exactly one from_json however many
+  // predicates stack. (Projecting the struct as a column does NOT work:
+  // predicate pushdown re-inlines the alias per field reference — six
+  // from_json copies for five predicates, measured in
+  // tools/JsonParseProbe.) Every schema leaf is STRING, so values coerce
+  // exactly like get_json_object (numbers → literal text, objects → JSON
+  // text; parity pinned by the same probe) and the original casts apply
+  // unchanged on top.
 
-  private def j(path: String): Column = get_json_object(col("txn"), path)
+  private val BodySchema = StructType(Seq(
+    StructField("sig", StringType),
+    StructField("msig", StringType),
+    StructField("lsig", StructType(Seq(
+      StructField("sig", StringType), StructField("msig", StringType)))),
+    StructField("txn", StructType(Seq(
+      StructField("note", StringType), StructField("amt", StringType),
+      StructField("rekey", StringType), StructField("aamt", StringType),
+      StructField("snd", StringType), StructField("rcv", StringType),
+      StructField("close", StringType), StructField("asnd", StringType),
+      StructField("arcv", StringType), StructField("aclose", StringType),
+      StructField("fadd", StringType)))),
+    StructField("dt", StructType(Seq(StructField("ca", StringType))))))
 
-  /** SignatureType classifier as a predicate on the txn JSON body
+  /** All body conjuncts over one parsed struct, as a single filter. */
+  private def bodyFilter(conds: Seq[Column => Column]): Column =
+    exists(array(from_json(col("txn"), BodySchema)),
+      b => conds.map(_(b)).reduce(_ && _))
+
+  private def tf(b: Column, field: String): Column =
+    b.getField("txn").getField(field)
+
+  /** SignatureType classifier over the parsed txn body
     * (sig_type.go:46-63): top-level sig wins, then msig; an lsig CARRYING
     * a delegation sig/msig classifies as sig/msig — plain `lsig` only when
     * both nested fields are absent. */
-  private[query] def sigTypeCond(st: String): Column = {
-    val sig = j("$.sig").isNotNull
-    val msig = j("$.msig").isNotNull
-    val lsig = j("$.lsig").isNotNull
-    val lsigSig = j("$.lsig.sig").isNotNull
-    val lsigMsig = j("$.lsig.msig").isNotNull
+  private def sigTypeCond(st: String, b: Column): Column = {
+    val sig = b.getField("sig").isNotNull
+    val msig = b.getField("msig").isNotNull
+    val lsig = b.getField("lsig").isNotNull
+    val lsigSig = b.getField("lsig").getField("sig").isNotNull
+    val lsigMsig = b.getField("lsig").getField("msig").isNotNull
     st match {
       case "sig" => sig || (!msig && lsig && lsigSig)
       case "msig" => !sig && (msig || (lsig && !lsigSig && lsigMsig))
@@ -151,6 +184,11 @@ object Api {
       case other => throw new IllegalArgumentException(s"invalid sigtype: $other")
     }
   }
+
+  /** Standalone classifier predicate on a `txn` JSON column (spec surface;
+    * routes through the same single-parse path the filter uses). */
+  private[query] def sigTypeCond(st: String): Column =
+    bodyFilter(Seq(b => sigTypeCond(st, b)))
 
   /** State-table read, bucket-pruned to the key's single `bkt=N` partition
     * when the query carries an exact key on the table's bucketing column
@@ -238,28 +276,33 @@ object Api {
     f.offsetLT.foreach(o => txn = txn.filter(col("intra") < o))
     f.offsetGT.foreach(o => txn = txn.filter(col("intra") > o))
 
-    // JSON body predicates.
-    f.sigType.foreach(st => txn = txn.filter(sigTypeCond(st)))
+    // JSON body predicates — collected, then applied as ONE conjunct so
+    // all of them share a single parse per row (see BodySchema above).
+    val body = Seq.newBuilder[Column => Column]
+    f.sigType.foreach(st => body += (b => sigTypeCond(st, b)))
     f.notePrefix.foreach { p =>
       // note is base64; a byte prefix is a base64 prefix only on 3-byte
       // boundaries, so compare decoded prefixes.
-      txn = txn.filter(
-        substring(unbase64(j("$.txn.note")), 1, p.length) === lit(p))
+      body += (b => substring(unbase64(tf(b, "note")), 1, p.length) === lit(p))
     }
-    f.algosGT.foreach(v => txn = txn.filter(col("typeenum") === 1 && j("$.txn.amt").cast("long") > v))
-    f.algosLT.foreach(v => txn = txn.filter(col("typeenum") === 1 &&
-      coalesce(j("$.txn.amt").cast("long"), lit(0L)) < v))
+    f.algosGT.foreach(v => body += (b =>
+      col("typeenum") === 1 && tf(b, "amt").cast("long") > v))
+    f.algosLT.foreach(v => body += (b =>
+      col("typeenum") === 1 && coalesce(tf(b, "amt").cast("long"), lit(0L)) < v))
     // EffectiveAmount = amt + close amount (extra.aca / dt.ca; idb.go:136).
-    val closeAmt = coalesce(get_json_object(col("txn"), "$.dt.ca").cast("long"), lit(0L))
-    val eff = coalesce(j("$.txn.amt").cast("long"), lit(0L)) + closeAmt
-    f.effectiveAmountGT.foreach(v => txn = txn.filter(col("typeenum") === 1 && eff > v))
-    f.effectiveAmountLT.foreach(v => txn = txn.filter(col("typeenum") === 1 && eff < v))
+    def eff(b: Column) = coalesce(tf(b, "amt").cast("long"), lit(0L)) +
+      coalesce(b.getField("dt").getField("ca").cast("long"), lit(0L))
+    f.effectiveAmountGT.foreach(v => body += (b => col("typeenum") === 1 && eff(b) > v))
+    f.effectiveAmountLT.foreach(v => body += (b => col("typeenum") === 1 && eff(b) < v))
     f.rekeyTo.foreach { want =>
-      val has = j("$.txn.rekey").isNotNull
-      txn = txn.filter(if (want) has else !has)
+      body += (b => if (want) tf(b, "rekey").isNotNull else tf(b, "rekey").isNull)
     }
-    f.assetAmountGT.foreach(v => txn = txn.filter(j("$.txn.aamt").cast("decimal(20,0)") > lit(v.toString).cast("decimal(20,0)")))
-    f.assetAmountLT.foreach(v => txn = txn.filter(j("$.txn.aamt").cast("decimal(20,0)") < lit(v.toString).cast("decimal(20,0)")))
+    f.assetAmountGT.foreach(v => body += (b =>
+      tf(b, "aamt").cast("decimal(20,0)") > lit(v.toString).cast("decimal(20,0)")))
+    f.assetAmountLT.foreach(v => body += (b =>
+      tf(b, "aamt").cast("decimal(20,0)") < lit(v.toString).cast("decimal(20,0)")))
+    val bodyConds = body.result()
+    if (bodyConds.nonEmpty) txn = txn.filter(bodyFilter(bodyConds))
 
     // Address participation semi-join (§2.E row 1): filter the tiny
     // per-address slice of txn_participation, broadcast it into the semi
@@ -298,19 +341,22 @@ object Api {
   }
 
   /** AddressRole refinement: which body field carries the address
-    * (idb.go:185-189 + address_role.go). */
+    * (idb.go:185-189 + address_role.go). One parsed-struct conjunct, same
+    * single-parse contract as the other body predicates. */
   private def roleRefinement(addr: String, role: Int): Column = {
     import AddressRole._
-    var c = lit(false)
-    def or(cond: Column): Unit = c = c || cond
-    if ((role & Sender) != 0) or(j("$.txn.snd") === addr)
-    if ((role & Receiver) != 0) or(j("$.txn.rcv") === addr)
-    if ((role & CloseRemainderTo) != 0) or(j("$.txn.close") === addr)
-    if ((role & AssetSender) != 0) or(j("$.txn.asnd") === addr)
-    if ((role & AssetReceiver) != 0) or(j("$.txn.arcv") === addr)
-    if ((role & AssetCloseTo) != 0) or(j("$.txn.aclose") === addr)
-    if ((role & FreezeAccount) != 0) or(j("$.txn.fadd") === addr)
-    c
+    bodyFilter(Seq { b =>
+      var c = lit(false)
+      def or(cond: Column): Unit = c = c || cond
+      if ((role & Sender) != 0) or(tf(b, "snd") === addr)
+      if ((role & Receiver) != 0) or(tf(b, "rcv") === addr)
+      if ((role & CloseRemainderTo) != 0) or(tf(b, "close") === addr)
+      if ((role & AssetSender) != 0) or(tf(b, "asnd") === addr)
+      if ((role & AssetReceiver) != 0) or(tf(b, "arcv") === addr)
+      if ((role & AssetCloseTo) != 0) or(tf(b, "aclose") === addr)
+      if ((role & FreezeAccount) != 0) or(tf(b, "fadd") === addr)
+      c
+    })
   }
 
   /** Inner-txn → root conversion (idb.go:137-143): replace inner rows with

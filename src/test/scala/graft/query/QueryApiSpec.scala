@@ -232,6 +232,16 @@ class QueryApiSpec extends SparkSpec {
     val (notRekeyed, _) = Api.transactions(store, Api.TransactionFilter(
       rekeyTo = Some(false), round = Some(3)))
     assert(notRekeyed.count() == 1)
+
+    // Parse-once contract: five stacked body predicates plan as ONE
+    // from_json over the txn document, not one parse per predicate (and
+    // no get_json_object at all on this path).
+    val (many, _) = Api.transactions(store, Api.TransactionFilter(
+      sigType = Some("sig"), algosGT = Some(1), algosLT = Some(1000),
+      effectiveAmountGT = Some(1), rekeyTo = Some(false)))
+    val opt = many.queryExecution.optimizedPlan.toString
+    assert("from_json".r.findAllIn(opt).size == 1, s"expected one parse:\n$opt")
+    assert(!opt.contains("get_json_object"), s"stacked raw parses remain:\n$opt")
   }
 
   test("engine_ingest_e2e driver query returns newest-first rows") {

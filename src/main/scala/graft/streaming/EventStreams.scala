@@ -92,6 +92,27 @@ object EventStreams {
         col("r.ts") <= col("l.ts") + expr(s"INTERVAL $within"))
   }
 
+  /** Streaming session windows — the streaming twin of the batch
+    * gaps-and-islands query (`h3_session_agg`): per-user events closer
+    * than `gap` merge into one session; a session finalizes (Append
+    * emits) once the watermark passes its end + gap, and its state is
+    * reclaimed — open sessions are the ONLY state, so state tracks
+    * concurrent users, not history. The batch twin splits on
+    * `ts - prev_ts > gap` (inclusive merge at the exact boundary) while
+    * session_window's interval is [ts, ts+gap) (exclusive) — identical
+    * sessions except for events landing exactly `gap` apart.
+    *
+    * At a fine gap/slide this replaces the batch plan's two full
+    * per-user sort-windows with incremental merge on arrival — the
+    * shape to run continuously at corpus scale. */
+  def sessionAgg(events: DataFrame, gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup with BOUNDED state — the streaming face of
     * `graft.operators.Dedup.exact` for a continuously-arriving corpus:
     * rows whose `keys` match an earlier row within the watermark horizon

@@ -145,4 +145,58 @@ class EventStreamsSpec extends SparkSpec {
     assert(bodies.contains("reappears past horizon"),
       "state for keys older than the watermark must be reclaimed")
   }
+
+  test("session windows: gap closes sessions, cross-batch merge, batch-twin parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventStreams.sessionAgg(
+      mem.toDF().toDF("ts", "user_id", "value"), "30 minutes", "10 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    val base = 1700000000L
+    // user 1 session A opens; user 2 session opens
+    mem.addData((ts(base), 1L, 1.0), (ts(base + 100), 2L, 7.0))
+    q.processAllAvailable()
+    // next micro-batch EXTENDS user 1's open session (10 min later),
+    // then a 45-min gap starts session B
+    mem.addData((ts(base + 600), 1L, 2.0), (ts(base + 600 + 2700), 1L, 4.0))
+    q.processAllAvailable()
+    // advance the watermark far past everything: all sessions finalize
+    mem.addData((ts(base + 100000), 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.sql("SELECT * FROM sessions WHERE user_id < 9").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toInstant.getEpochSecond,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(out == Set(
+      (1L, base, 2L, 3.0),            // cross-batch merge: 2 events, one session
+      (1L, base + 3300, 1L, 4.0),     // opened by the 45-min gap
+      (2L, base + 100, 1L, 7.0)))
+
+    // batch twin (h3_session_agg's gaps-and-islands) over the same rows
+    // produces the identical session set
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq((ts(base), 1L, 1.0), (ts(base + 100), 2L, 7.0),
+      (ts(base + 600), 1L, 2.0), (ts(base + 3300), 1L, 4.0))
+      .toDF("ts", "user_id", "value")
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val batch = rows
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"),
+        sum("value").as("sum_value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toInstant.getEpochSecond,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(batch == out, "streaming sessions must equal the batch gaps-and-islands")
+  }
 }

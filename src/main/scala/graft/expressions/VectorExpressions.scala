@@ -180,50 +180,15 @@ case class NearestCentroids(
   @transient private lazy val idArr: Array[Long] = ids.toArray
   @transient private lazy val centArr: Array[Array[Float]] = centroids.map(_.toArray).toArray
 
-  private def simOf(a: ArrayData, cent: Array[Float]): Double = {
-    if (a == null || a.numElements() != cent.length) return -2.0
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < cent.length) {
-      if (a.isNullAt(i)) return -2.0
-      val x = a.getFloat(i).toDouble
-      val y = cent(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    val d = na * nb
-    if (d <= 0) -2.0
-    else {
-      val c = dot / math.sqrt(d)
-      if (round4)
-        java.math.BigDecimal.valueOf(c).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-      else c
-    }
-  }
-
   /** Called from both interpreted eval and the generated code (via a
     * reference object): k cosines + an O(k·n) selection, all row-local. */
   def pick(a: ArrayData): ArrayData = {
     val k = idArr.length
     val sims = new Array[Double](k)
     var c = 0
-    while (c < k) { sims(c) = simOf(a, centArr(c)); c += 1 }
-    val out = new Array[Long](math.min(n, k))
-    val used = new Array[Boolean](k)
-    var o = 0
-    while (o < out.length) {
-      var best = -1
-      var i = 0
-      while (i < k) {
-        // strict > keeps the earliest (= smallest id) on ties
-        if (!used(i) && (best < 0 || sims(i) > sims(best))) best = i
-        i += 1
-      }
-      used(best) = true
-      out(o) = idArr(best)
-      o += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    while (c < k) { sims(c) = CentroidMath.sim(a, centArr(c), round4); c += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      CentroidMath.topIds(sims, idArr, n))
   }
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
@@ -244,6 +209,168 @@ case class NearestCentroids(
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** Row-local centroid math shared by the flat and two-level assignment
+  * expressions — ONE definition of the cosine (with the oracle's round4
+  * lattice) and of the (sim desc, id asc) selection, so the two paths
+  * can never drift in tie or degenerate-row semantics. */
+private[expressions] object CentroidMath {
+  /** Cosine, or -2.0 for null/length-mismatched/zero-norm rows (below any
+    * real cosine, so degenerate rows still assign — to the smallest id). */
+  def sim(a: ArrayData, cent: Array[Float], round4: Boolean): Double = {
+    if (a == null || a.numElements() != cent.length) return -2.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < cent.length) {
+      if (a.isNullAt(i)) return -2.0
+      val x = a.getFloat(i).toDouble
+      val y = cent(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = na * nb
+    if (d <= 0) -2.0
+    else {
+      val c = dot / math.sqrt(d)
+      if (round4)
+        java.math.BigDecimal.valueOf(c).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      else c
+    }
+  }
+
+  /** Top-`n` ids by (sim desc, id asc) — explicit id tie-break, so the
+    * input need not be id-sorted (the two-level gather is not). */
+  def topIds(sims: Array[Double], ids: Array[Long], n: Int): Array[Long] = {
+    val k = ids.length
+    val out = new Array[Long](math.min(n, k))
+    val used = new Array[Boolean](k)
+    var o = 0
+    while (o < out.length) {
+      var best = -1
+      var i = 0
+      while (i < k) {
+        if (!used(i) && (best < 0 || sims(i) > sims(best) ||
+          (sims(i) == sims(best) && ids(i) < ids(best)))) best = i
+        i += 1
+      }
+      used(best) = true
+      out(o) = ids(best)
+      o += 1
+    }
+    out
+  }
+
+  /** Top-`n` INDEXES by (sim desc, index asc). */
+  def topIdx(sims: Array[Double], n: Int): Array[Int] = {
+    val k = sims.length
+    val out = new Array[Int](math.min(n, k))
+    val used = new Array[Boolean](k)
+    var o = 0
+    while (o < out.length) {
+      var best = -1
+      var i = 0
+      while (i < k) {
+        if (!used(i) && (best < 0 || sims(i) > sims(best))) best = i
+        i += 1
+      }
+      used(best) = true
+      out(o) = best
+      o += 1
+    }
+    out
+  }
+}
+
+/** Two-level IVF assignment: coarse-quantize first (C ≈ √nlist coarse
+  * centroids), then argmax only over the fine centroids of the
+  * `branches` nearest coarse cells — O((C + branches·nlist/C)·dims) per
+  * row instead of the flat argmax's O(nlist·dims), the difference
+  * between 900 and tens of thousands of rows/s/core at nlist=16384
+  * (RecallProbe `assign` sweep; PLANS.md).
+  *
+  * The trade is the standard coarse-quantizer approximation (IMI /
+  * IVF-ADC family): a vector near a coarse-cell boundary may assign to a
+  * slightly different fine centroid than the flat argmax. Used with the
+  * SAME instance on the corpus side (assignment) and the query side
+  * (probe list), the IVF search stays internally consistent — both sides
+  * commit to the same partition of the space, so the approximation
+  * perturbs cell shapes, not the probe semantics. `branches = C` searches
+  * every branch and equals the flat argmax bit-for-bit (pinned by spec).
+  */
+case class TwoLevelNearestCentroids(
+    child: Expression,
+    coarse: Seq[Seq[Float]],
+    fineIds: Seq[Seq[Long]],
+    fineVecs: Seq[Seq[Seq[Float]]],
+    n: Int,
+    branches: Int,
+    round4: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(coarse.nonEmpty && coarse.length == fineIds.length &&
+    coarse.length == fineVecs.length, "coarse/fine shape mismatch")
+  require(fineIds.zip(fineVecs).forall(p => p._1.length == p._2.length),
+    "fine ids/vecs mismatch")
+  require(branches >= 1, "must search at least one branch")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got $other")
+  }
+
+  @transient private lazy val coarseArr: Array[Array[Float]] = coarse.map(_.toArray).toArray
+  @transient private lazy val fineIdArr: Array[Array[Long]] = fineIds.map(_.toArray).toArray
+  @transient private lazy val fineVecArr: Array[Array[Array[Float]]] =
+    fineVecs.map(_.map(_.toArray).toArray).toArray
+
+  def pick(a: ArrayData): ArrayData = {
+    val cN = coarseArr.length
+    val coarseSims = new Array[Double](cN)
+    var c = 0
+    while (c < cN) { coarseSims(c) = CentroidMath.sim(a, coarseArr(c), round4); c += 1 }
+    val picked = CentroidMath.topIdx(coarseSims, math.min(branches, cN))
+    var total = 0
+    picked.foreach(b => total += fineIdArr(b).length)
+    val ids = new Array[Long](total)
+    val sims = new Array[Double](total)
+    var o = 0
+    picked.foreach { b =>
+      val bi = fineIdArr(b); val bv = fineVecArr(b)
+      var i = 0
+      while (i < bi.length) {
+        ids(o) = bi(i)
+        sims(o) = CentroidMath.sim(a, bv(i), round4)
+        o += 1; i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      CentroidMath.topIds(sims, ids, n))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    pick(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("twoLevelNearest", this, classOf[TwoLevelNearestCentroids].getName)
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  $ref.pick(${childGen.isNull} ? null :
+        |    (org.apache.spark.sql.catalyst.util.ArrayData) ${childGen.value});
+      """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TwoLevelNearestCentroids =
     copy(child = newChild)
 }
 
@@ -405,6 +532,14 @@ object VectorExpressions {
   def nearestCentroids(vec: Column, ids: Seq[Long], centroids: Seq[Seq[Float]],
                        n: Int, round4: Boolean): Column =
     Bridge.column(NearestCentroids(Bridge.expression(vec), ids, centroids, n, round4))
+
+  /** Two-level (coarse → fine) variant for large nlist; see
+    * [[TwoLevelNearestCentroids]]. */
+  def twoLevelNearestCentroids(vec: Column, coarse: Seq[Seq[Float]],
+      fineIds: Seq[Seq[Long]], fineVecs: Seq[Seq[Seq[Float]]],
+      n: Int, branches: Int, round4: Boolean): Column =
+    Bridge.column(TwoLevelNearestCentroids(
+      Bridge.expression(vec), coarse, fineIds, fineVecs, n, branches, round4))
 
   /** SQL names (`graft_vector_dot`, `graft_cosine_sim`) for spark.sql use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

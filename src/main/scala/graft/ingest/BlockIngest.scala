@@ -180,6 +180,16 @@ object BlockIngest {
           TableStore.MetaSpecialAccounts -> specialAccounts,
           TableStore.MetaNextRound -> (lastRound + 1).toString),
         appends = manifestAppends ++ indexAppends)
+      mark("commit")
+
+      // Compaction cadence: once a range bucket is SEALED (the watermark
+      // moved past it), fold its per-batch file-sets into one — at most
+      // one rewrite per bucket ever, so the manifest's file count stays
+      // bounded while ingest runs forever. Driver-side manifest scan;
+      // a no-op on every batch that doesn't seal a bucket.
+      val activeRbkt = (lastRound + 1) / store.roundsPerPartition
+      staged.foreach { case (t, _) => store.compactSealed(t, activeRbkt) }
+      mark("compact")
     } finally all.unpersist()
   }
 

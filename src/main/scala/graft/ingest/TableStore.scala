@@ -357,9 +357,30 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     * periodically — the manifest makes it a metadata swap, invisible to
     * concurrent readers resolving the old manifest. Returns the number of
     * buckets compacted. */
-  def compact(table: String, maxFilesPerBucket: Int = 8): Int = {
+  def compact(table: String, maxFilesPerBucket: Int = 8): Int =
+    compactWhere(table, maxFilesPerBucket, _ => true)
+
+  /** Compaction cadence for the ingest loop: compact only SEALED range
+    * buckets — those entirely below `activeRbkt` (the bucket the next
+    * round lands in), which ingest will never append to again. Each
+    * bucket is therefore rewritten AT MOST ONCE over its lifetime (2×
+    * total write amplification), unlike compacting the active bucket,
+    * which would re-rewrite an ever-growing file set every few batches
+    * (quadratic in batches-per-bucket). Steady state: sealed buckets
+    * hold ≤ a handful of files each, the active bucket at most
+    * rounds-per-bucket / rounds-per-batch — the manifest's file count is
+    * bounded, flat in chain length per bucket. The check is a
+    * driver-side scan of the cached manifest: a no-op batch costs no IO
+    * and no Spark job. */
+  def compactSealed(table: String, activeRbkt: Long, maxFilesPerBucket: Int = 8): Int =
+    compactWhere(table, maxFilesPerBucket, _ < activeRbkt)
+
+  private def compactWhere(table: String, maxFilesPerBucket: Int,
+                           eligible: Long => Boolean): Int = {
     val byBucket = manifest(table).groupBy(rbktOf)
-    val oversized = byBucket.filter(_._2.size > maxFilesPerBucket)
+    val oversized = byBucket.filter { case (b, fs) =>
+      eligible(b) && fs.size > maxFilesPerBucket
+    }
     if (oversized.isEmpty) return 0
     val keepAsIs = byBucket.view.filterKeys(b => !oversized.contains(b)).values.flatten.toSeq
     val rewritten = stageAppend(table,

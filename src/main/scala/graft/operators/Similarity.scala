@@ -157,6 +157,77 @@ object Similarity {
       .nearestCentroids(vec, sorted.map(_._1), sorted.map(_._2), n = n, round4 = round4)
   }
 
+  /** Grouping of the fine centroids under `nCoarse` coarse centroids —
+    * the driver-side index [[TwoLevelNearestCentroids]] ships to
+    * executors. Pure-Scala Lloyd's over the nlist fine centroids (cosine
+    * assignment with the same tie semantics as the expression,
+    * arithmetic-mean re-center, strided deterministic seed): nlist ≤ 10⁵
+    * points, so training is milliseconds of driver time. Empty coarse
+    * cells keep their previous position and end up with no fine members
+    * (harmless: never the argmax of anything). */
+  def buildCoarseIndex(cents: Seq[(Long, Seq[Float])], nCoarse: Int, iters: Int = 3)
+      : (Seq[Seq[Float]], Seq[Seq[Long]], Seq[Seq[Seq[Float]]]) = {
+    val sorted = cents.sortBy(_._1)
+    val ids = sorted.map(_._1).toArray
+    val vecs = sorted.map(_._2.toArray).toArray
+    val k = math.min(nCoarse, vecs.length)
+    val dims = vecs.head.length
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      val d = na * nb
+      if (d <= 0) -2.0 else dot / math.sqrt(d)
+    }
+
+    // strided seed: evenly spaced fine centroids, deterministic
+    var coarse = Array.tabulate(k)(c => vecs(c * vecs.length / k).clone())
+    var assign = new Array[Int](vecs.length)
+    for (_ <- 0 until iters) {
+      var v = 0
+      while (v < vecs.length) {
+        var best = 0; var bestSim = -3.0
+        var c = 0
+        while (c < k) {
+          val s = cos(vecs(v), coarse(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        assign(v) = best
+        v += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      v = 0
+      while (v < vecs.length) {
+        val c = assign(v); counts(c) += 1
+        var i = 0
+        while (i < dims) { sums(c)(i) += vecs(v)(i); i += 1 }
+        v += 1
+      }
+      coarse = Array.tabulate(k)(c =>
+        if (counts(c) == 0) coarse(c)
+        else Array.tabulate(dims)(i => (sums(c)(i) / counts(c)).toFloat))
+    }
+    val byBranch = assign.zipWithIndex.groupBy(_._1)
+    (coarse.map(_.toSeq).toSeq,
+      (0 until k).map(c => byBranch.get(c).map(_.map(p => ids(p._2)).toSeq).getOrElse(Nil)),
+      (0 until k).map(c => byBranch.get(c).map(_.map(p => vecs(p._2).toSeq).toSeq).getOrElse(Nil)))
+  }
+
+  /** Two-level probe list: ids of the `n` nearest fine centroids searching
+    * only the `branches` nearest coarse cells — O((√nlist)·dims) per row
+    * at branches ≈ small, vs [[topCentroids]]' O(nlist·dims). Use the SAME
+    * index for corpus assignment (n = 1) and query probing so both sides
+    * agree on the partition. */
+  def topCentroidsTwoLevel(vec: Column,
+      index: (Seq[Seq[Float]], Seq[Seq[Long]], Seq[Seq[Seq[Float]]]),
+      n: Int, branches: Int, round4: Boolean): Column =
+    graft.expressions.VectorExpressions.twoLevelNearestCentroids(
+      vec, index._1, index._2, index._3, n = n, branches = branches, round4 = round4)
+
   /** Lloyd's k-means over the embedding column, pure DataFrame ops:
     * seed with `k` deterministic rows, then iterate assign (per-row
     * codegen'd argmax over the driver-side centroid list — a pure
@@ -215,10 +286,19 @@ object Similarity {
     * lattice — the probed fraction of the corpus is scanned at 4×
     * less IO. Assignment stays float so cluster membership is identical
     * in both modes. */
+  /** `coarseBranches > 0` switches assignment AND query probing to the
+    * two-level coarse index (C = ⌈√nlist⌉ cells, searching that many
+    * branches) — the required shape once nlist reaches the 10⁴–10⁵ a
+    * billion-vector deployment wants, where the flat per-row argmax is
+    * the scan bottleneck (RecallProbe `assign`: 900 rows/s at
+    * nlist=16384 vs 48k at 256). Both sides share one index, so the
+    * search stays internally consistent (see
+    * [[graft.expressions.TwoLevelNearestCentroids]]). */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, centroidIdCol: String,
               query: DataFrame, k: Int, probes: Int = 1,
-              scoreQuantized: Boolean = false): DataFrame = {
+              scoreQuantized: Boolean = false,
+              coarseBranches: Int = 0): DataFrame = {
     // Centroids are tiny (nlist × dims) — collect driver-side and ship
     // them inside the assignment expression as a plan literal. Assignment
     // then compiles into the scan's projection: the corpus is never
@@ -235,15 +315,22 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .toSeq
 
+    val twoLevel = Option.when(coarseBranches > 0)(
+      buildCoarseIndex(cents, nCoarse = math.ceil(math.sqrt(cents.size)).toInt))
+    def assignCol(n: Int): Column = twoLevel match {
+      case Some(idx) => topCentroidsTwoLevel(col(vecCol), idx, n, coarseBranches, round4 = true)
+      case None => topCentroids(col(vecCol), cents, n, round4 = true)
+    }
+
     val corpusVec = if (scoreQuantized) quantizeInt8(col(vecCol)) else col(vecCol)
     val queryVec = if (scoreQuantized) quantizeInt8(col(vecCol)) else col(vecCol)
     val assigned = df.select(col(idCol).as("_aid"), corpusVec.as("_avec"),
-      nearestCentroid(col(vecCol), cents, round4 = true).as("_cid"))
+      assignCol(1).getItem(0).as("_cid"))
     // Query side probes its `probes` nearest clusters — same expression
     // with n = probes, exploded into one row per probed cluster.
     val queryClusters = query
       .select(queryVec.as("_qvec"),
-        explode(topCentroids(col(vecCol), cents, probes, round4 = true)).as("_qcid"))
+        explode(assignCol(probes)).as("_qcid"))
     val score =
       if (scoreQuantized) cosineInt8(col("_avec"), col("_qvec"))
       else cosine(col("_avec"), col("_qvec"))

@@ -20,8 +20,8 @@ object EngineQueries {
 
   /** Deterministic chain: `rounds` rounds × `txnsPerRound` pay/axfer txns
     * with per-round account/asset deltas and one app call with inners. */
-  def syntheticBlocks(rounds: Int, txnsPerRound: Int): Seq[Block] =
-    (0 until rounds).map { r =>
+  def syntheticBlocks(rounds: Int, txnsPerRound: Int, startRound: Int = 0): Seq[Block] =
+    (startRound until startRound + rounds).map { r =>
       val payset = (0 until txnsPerRound).map { i =>
         val from = addr((r * 13 + i) % 40)
         val to = addr((r * 13 + i + 1) % 40)

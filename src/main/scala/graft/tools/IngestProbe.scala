@@ -12,6 +12,37 @@ object IngestProbe {
     spark.sparkContext.setLogLevel("WARN")
     // warmup
     spark.range(10).count()
+
+    // `compact` mode: file-count growth under the seal-time compaction
+    // cadence over 10k+ rounds (roundsPerPartition shrunk to 1000 so the
+    // run seals ten buckets; the cadence itself is scale-free). Expect:
+    // sealed buckets collapse to ~1 file each right after the batch that
+    // seals them, so total manifest files saw-tooth around (active-bucket
+    // files + #sealed buckets) instead of growing linearly in batches.
+    if (args.contains("compact")) {
+      val root = java.nio.file.Files.createTempDirectory("graft-probe-compact").toString
+      val store = new TableStore(spark, root, nBuckets = 8, roundsPerPartition = 1000L)
+      BlockIngest.initGenesis(store,
+        (0 until 40).map(i => (EngineQueries.addr(i), 1000000L, "{}")), network = "graft-bench")
+      import spark.implicits._
+      val batchRounds = 500
+      for (b <- 0 until 21) {
+        val blocks = EngineQueries.syntheticBlocks(
+          rounds = batchRounds, txnsPerRound = 4, startRound = b * batchRounds)
+        val t0 = System.nanoTime()
+        BlockIngest.applyBlocks(store, spark.createDataset(blocks.map(BlockCodec.blockToJson)))
+        val dt = (System.nanoTime() - t0) / 1e9
+        val m = store.manifest("txn")
+        val byBkt = m.groupBy(_.takeWhile(_ != '/'))
+        val active = s"rbkt=${((b + 1) * batchRounds) / 1000}"
+        val sealedMax = byBkt.collect { case (k, fs) if k != active => fs.size }.maxOption.getOrElse(0)
+        println(f"[probe-compact] batch $b%2d (rounds ${(b + 1) * batchRounds}%6d): " +
+          f"$dt%5.2f s, txn manifest files=${m.size}%4d, buckets=${byBkt.size}%3d, " +
+          f"max sealed-bucket files=$sealedMax%3d")
+      }
+      spark.stop()
+      return
+    }
     for (i <- 1 to 2) {
       val root = java.nio.file.Files.createTempDirectory("graft-probe").toString
       val store = new TableStore(spark, root, nBuckets = 8)

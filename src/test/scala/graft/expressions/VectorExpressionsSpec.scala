@@ -111,6 +111,58 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(viaExpr == viaWindow)
   }
 
+  test("TwoLevelNearestCentroids: all-branches == flat argmax; narrow search stays in-branch") {
+    val rnd = new scala.util.Random(7)
+    val cents = (0 until 64).map(c => (c.toLong * 3, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val idx = Similarity.buildCoarseIndex(cents, nCoarse = 8)
+    assert(idx._2.map(_.size).sum == 64, "every fine centroid lands in exactly one branch")
+
+    val df = ((0 until 200).map(i => (i.toLong, Some(Seq.fill(16)(rnd.nextFloat() * 2 - 1)))) ++
+      Seq((500L, Some(Seq(0.0f))), (501L, None))) // degenerate rows assign too
+      .toDF("id", "v")
+
+    // searching EVERY branch is the flat argmax, bit-for-bit (same cosine,
+    // same round4 lattice, same (sim desc, id asc) ties)
+    val flat = df.select(col("id"),
+      Similarity.topCentroids(col("v"), cents, n = 3, round4 = true).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val all = df.select(col("id"),
+      Similarity.topCentroidsTwoLevel(col("v"), idx, n = 3, branches = 8, round4 = true).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(all == flat)
+
+    // branches = 1 returns ids only from the single searched branch
+    val byBranch = idx._2.zipWithIndex.flatMap { case (ids, b) => ids.map(_ -> b) }.toMap
+    df.select(Similarity.topCentroidsTwoLevel(col("v"), idx, n = 3, branches = 1, round4 = true))
+      .collect().foreach { r =>
+        val picked = r.getSeq[Long](0)
+        assert(picked.nonEmpty && picked.map(byBranch).distinct.size == 1,
+          s"narrow search must stay within one branch, got $picked")
+      }
+  }
+
+  test("ivfTopK with a two-level coarse index matches the flat path when all branches search") {
+    val rnd = new scala.util.Random(13)
+    val cents = (0 until 16).map(c => (c.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val centDf = cents.toDF("cid", "v")
+      .select(col("cid"), col("v").cast("array<float>").as("v"))
+    val corpus = (100 until 400).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val query = corpus.filter(col("id") === 100)
+    val flat = Similarity.ivfTopK(corpus, "id", "v", centDf, "cid", query, k = 5, probes = 2)
+      .collect().map(_.getLong(0)).toSeq
+    // nCoarse = ceil(sqrt(16)) = 4; branches = 4 searches them all
+    val two = Similarity.ivfTopK(corpus, "id", "v", centDf, "cid", query, k = 5, probes = 2,
+      coarseBranches = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(two == flat)
+    // a narrow two-level probe still returns k well-formed results
+    val narrow = Similarity.ivfTopK(corpus, "id", "v", centDf, "cid", query, k = 5, probes = 2,
+      coarseBranches = 1).collect()
+    assert(narrow.length == 5 && narrow.head.getLong(0) == 100L,
+      "the query vector itself must top its own probe")
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // local relations constant-fold to LocalTableScan; use a file-backed
     // frame so a real codegen stage is planned

@@ -82,6 +82,33 @@ class ManifestSpec extends SparkSpec {
     assert(store.compact("block_header", maxFilesPerBucket = 2) == 0)
   }
 
+  test("compactSealed rewrites only buckets below the active one") {
+    val store = new TableStore(spark, tmpDir("graft-man-cs"), nBuckets = 2, roundsPerPartition = 4L)
+    (0L until 8L).foreach { r =>
+      val files = store.stageAppend("block_header", headerDf(Seq(r)))
+      store.commitMetastate(Nil, Seq(store.manifestKey("block_header") -> files.mkString("\n")))
+    }
+    val before = store.manifest("block_header")
+    assert(before.count(_.startsWith("rbkt=1/")) == 4)
+
+    // next round would be 8 → bucket 2; buckets 0 and 1 are sealed.
+    // With activeRbkt = 1 only bucket 0 may be touched.
+    assert(store.compactSealed("block_header", activeRbkt = 1, maxFilesPerBucket = 2) == 1)
+    val mid = store.manifest("block_header")
+    assert(mid.count(_.startsWith("rbkt=0/")) == 1, "sealed bucket folds to one file")
+    assert(mid.filter(_.startsWith("rbkt=1/")).sorted == before.filter(_.startsWith("rbkt=1/")).sorted,
+      "active bucket must stay byte-identical (no repeated rewrite amplification)")
+
+    // bucket 1 seals when the watermark moves to bucket 2
+    assert(store.compactSealed("block_header", activeRbkt = 2, maxFilesPerBucket = 2) == 1)
+    assert(store.manifest("block_header").count(_.startsWith("rbkt=1/")) == 1)
+    // nothing further to do: cadence is idempotent and each bucket was
+    // rewritten exactly once
+    assert(store.compactSealed("block_header", activeRbkt = 2, maxFilesPerBucket = 2) == 0)
+    assert(store.read("block_header").select("round").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 8L).toSeq)
+  }
+
   test("pruneRounds drops whole buckets unread and rewrites only the boundary bucket") {
     val store = new TableStore(spark, tmpDir("graft-man-pr"), nBuckets = 2, roundsPerPartition = 4L)
     val files = store.stageAppend("block_header", headerDf(0L until 12L))

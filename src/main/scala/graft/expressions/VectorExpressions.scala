@@ -541,6 +541,14 @@ object VectorExpressions {
     Bridge.column(TwoLevelNearestCentroids(
       Bridge.expression(vec), coarse, fineIds, fineVecs, n, branches, round4))
 
+  /** Product-quantization code bytes; see [[PQEncode]]. */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Float]]], round4: Boolean): Column =
+    Bridge.column(PQEncode(Bridge.expression(vec), codebooks, round4))
+
+  /** ADC score (sum of LUT terms) over PQ codes; see [[PQADCScore]]. */
+  def pqAdcScore(codes: Column, lut: Seq[Seq[Double]]): Column =
+    Bridge.column(PQADCScore(Bridge.expression(codes), lut))
+
   /** SQL names (`graft_vector_dot`, `graft_cosine_sim`) for spark.sql use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier

@@ -217,6 +217,101 @@ object Similarity {
       (0 until k).map(c => byBranch.get(c).map(_.map(p => vecs(p._2).toSeq).toSeq).getOrElse(Nil)))
   }
 
+  // ── Product quantization (PQ/ADC): the compression tier ─────────────
+  //
+  // SQ8 shrinks vectors 4×; PQ shrinks them to m BYTES (32× at
+  // dims=64/m=8): each of m subspaces stores only the index of its
+  // nearest codebook entry, and a query scans the codes with a
+  // precomputed lookup table — m adds per row, no floats, no
+  // multiplications (expressions.PQEncode / PQADCScore). This is the
+  // standard billion-vector memory tier (IVF-PQ composes exactly like
+  // ivfTopK(scoreQuantized): assignment picks cells, PQ codes score).
+
+  /** Codebooks from `k` deterministic seed rows: codebook[j][c] is row
+    * c's j-th subspace slice. Oracle-expressible (a SQL engine can slice
+    * the same rows), so driver queries pin the whole encode+scan path;
+    * [[trainPqCodebooks]] is the quality path. */
+  def pqCodebooksFromRows(rows: Seq[Seq[Float]], m: Int): Seq[Seq[Seq[Float]]] = {
+    require(rows.nonEmpty && rows.head.length % m == 0, "dims must divide into m subspaces")
+    val sub = rows.head.length / m
+    (0 until m).map(j => rows.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** Per-subspace Lloyd's (L2) over a driver-collected sample — the
+    * trained-codebook quality path. Deterministic strided seed. */
+  def trainPqCodebooks(df: DataFrame, vecCol: String, m: Int, k: Int,
+                       iters: Int = 5, sampleN: Int = 10000): Seq[Seq[Seq[Float]]] = {
+    val sample = df.select(col(vecCol)).limit(sampleN).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty && sample.head.length % m == 0, "dims must divide into m subspaces")
+    val sub = sample.head.length / m
+    (0 until m).map { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      val kk = math.min(k, pts.length)
+      // strided seed with a +c skew so a periodic corpus (row i drawn
+      // from cluster i mod p) can't alias every seed onto one cluster
+      var cents = Array.tabulate(kk)(c =>
+        pts(math.min(pts.length - 1, c * pts.length / kk + c)).clone())
+      val assign = new Array[Int](pts.length)
+      for (_ <- 0 until iters) {
+        var p = 0
+        while (p < pts.length) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var d = 0.0; var t = 0
+            while (t < sub) { val df2 = pts(p)(t).toDouble - cents(c)(t); d += df2 * df2; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assign(p) = best; p += 1
+        }
+        val sums = Array.fill(kk)(new Array[Double](sub))
+        val counts = new Array[Int](kk)
+        p = 0
+        while (p < pts.length) {
+          val c = assign(p); counts(c) += 1
+          var t = 0
+          while (t < sub) { sums(c)(t) += pts(p)(t); t += 1 }
+          p += 1
+        }
+        cents = Array.tabulate(kk)(c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(sub)(t => (sums(c)(t) / counts(c)).toFloat))
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ code column (binary, m bytes per row). */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Float]]]): Column =
+    graft.expressions.VectorExpressions.pqEncode(vec, codebooks, round4 = true)
+
+  /** ADC top-k: encode the corpus (or scan a pre-encoded code column),
+    * build the query's m × k inner-product LUT driver-side (terms on the
+    * round4 lattice, like every cross-engine score here), and rank rows
+    * by the summed table lookups. The corpus scan reads m bytes per row. */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+                codebooks: Seq[Seq[Seq[Float]]], query: DataFrame, k: Int): DataFrame = {
+    val qv = query.select(col(vecCol).cast("array<float>")).head().getSeq[Float](0).toArray
+    val m = codebooks.length
+    val sub = qv.length / m
+    val lut: Seq[Seq[Double]] = (0 until m).map { j =>
+      codebooks(j).map { cent =>
+        var d = 0.0; var t = 0
+        while (t < sub) { d += qv(j * sub + t).toDouble * cent(t); t += 1 }
+        java.math.BigDecimal.valueOf(d).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    }
+    df.select(col(idCol),
+      graft.expressions.VectorExpressions
+        .pqAdcScore(pqEncode(col(vecCol), codebooks), lut).as("_s"))
+      .select(col(idCol), round(col("_s"), 4).as("adc_score"))
+      .filter(col("adc_score").isNotNull)
+      .orderBy(desc("adc_score"), asc(idCol))
+      .limit(k)
+  }
+
   /** Two-level probe list: ids of the `n` nearest fine centroids searching
     * only the `branches` nearest coarse cells — O((√nlist)·dims) per row
     * at branches ≈ small, vs [[topCentroids]]' O(nlist·dims). Use the SAME

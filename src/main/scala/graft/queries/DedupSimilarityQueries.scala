@@ -226,6 +226,50 @@ object DedupSimilarityQueries {
           k = 10, scoreQuantized = true)
     },
 
+    // ── PQ/ADC: the compression tier (m=8 bytes per vector, 32× vs
+    //    float32). Codebooks are the first 16 corpus rows sliced into 8
+    //    subspaces (deterministic + SQL-expressible, so the WHOLE
+    //    encode→LUT→scan path is oracle-pinned); query vec 0 scans the
+    //    codes with its precomputed LUT. trainPqCodebooks is the quality
+    //    path (PQSpec pins it beats seeds); this query pins mechanics. ──
+    QueryDef.sql(
+      "sim_pq_adc_topk",
+      """WITH cb AS (SELECT vec_id - 1 AS code, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+        |js AS (SELECT CAST(range AS INT) AS j FROM range(8)),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 16),
+        |u AS (SELECT c.vec_id, js.j, cb.code,
+        |        unnest(list_slice(c.embedding, js.j*8+1, js.j*8+8)) AS x,
+        |        unnest(list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS y
+        |      FROM corpus c, js, cb),
+        |d AS (SELECT vec_id, j, code,
+        |        round(sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 4) AS l2
+        |      FROM u GROUP BY 1, 2, 3),
+        |asg AS (SELECT vec_id, j, code FROM (
+        |          SELECT vec_id, j, code,
+        |            row_number() OVER (PARTITION BY vec_id, j ORDER BY l2, code) AS rn FROM d)
+        |        WHERE rn = 1),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |lu AS (SELECT js.j, cb.code,
+        |        unnest(list_slice(qv.qe, js.j*8+1, js.j*8+8)) AS x,
+        |        unnest(list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS y
+        |      FROM qv, js, cb),
+        |lut AS (SELECT j, code, round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS term
+        |        FROM lu GROUP BY 1, 2)
+        |SELECT a.vec_id, round(sum(l.term), 4) AS adc_score
+        |FROM asg a JOIN lut l ON a.j = l.j AND a.code = l.code
+        |GROUP BY a.vec_id
+        |ORDER BY adc_score DESC, a.vec_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val seedRows = emb.filter(col("vec_id").between(1, 16)).orderBy("vec_id")
+          .select(col("embedding").cast("array<float>"))
+          .collect().map(_.getSeq[Float](0).toSeq).toSeq
+        Similarity.pqAdcTopK(
+          emb.filter(col("vec_id") > 16), "vec_id", "embedding",
+          Similarity.pqCodebooksFromRows(seedRows, m = 8),
+          query = emb.filter(col("vec_id") === 0), k = 20)
+    },
+
     // ── Multimodal metadata: opaque binary + typed metadata columns. ───
     QueryDef.sql(
       "mm_binary_meta",

@@ -132,6 +132,54 @@ object Dedup {
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
   }
 
+  /** Duplicate-cluster resolution over a near-dup pair graph: label every
+    * paired document with the SMALLEST doc id reachable through pairs
+    * (connected components, min-id labeling) — the step between pair
+    * generation and actually dropping duplicates: keep the row whose id
+    * equals its cluster label, drop the rest, and a whole transitive
+    * family of near-dups collapses to one canonical doc. Returns
+    * `(doc, cluster)` for every doc that appears in a pair.
+    *
+    * Iterative min-label propagation: each round a doc's label becomes
+    * the min of its own and its neighbors' labels — one hash-shuffled
+    * join + one partial-aggregated groupBy per round, nothing on the
+    * driver, so the iteration scales with the PAIR graph (small: it is
+    * the dedup output skeleton), not the corpus. Rounds needed = graph
+    * diameter; LSH dup families are near-cliques, so 2–3 rounds settle
+    * in practice. Convergence is checked with a `limit(1)` changed-label
+    * probe (early-exits the scan on the first difference). */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+                        maxRounds: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbr = edges
+        .join(labels.select(col("doc").as("dst"), col("cluster")), Seq("dst"))
+        .select(col("src").as("doc"), col("cluster"))
+      val next = labels.unionByName(nbr)
+        .groupBy("doc").agg(min("cluster").as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.select(col("doc"), col("cluster").as("_old")), Seq("doc"))
+        .filter(col("cluster") =!= col("_old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact Jaccard of two string sets. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -70,6 +70,36 @@ object DedupSimilarityQueries {
           .orderBy("doc_a", "doc_b")
     },
 
+    // ── Duplicate-cluster resolution: connected components (min-id
+    //    label) over the LSH pair graph — pair generation's missing
+    //    half: a transitive family of near-dups collapses to one
+    //    canonical doc (keep doc == cluster). Spark runs iterative
+    //    min-label propagation; the oracle computes the same components
+    //    with a recursive transitive-closure CTE. ──
+    QueryDef.sql(
+      "dedup_clusters",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |r AS (SELECT a, b FROM e
+         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)
+         |SELECT a AS doc, least(a, min(b)) AS cluster
+         |FROM r GROUP BY a ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        val pairs = Dedup.lshCandidatePairs(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4)
+        Dedup.duplicateClusters(pairs).orderBy("doc")
+    },
+
     // ── 16-bit SimHash fingerprint. ────────────────────────────────────
     QueryDef.sql(
       "dedup_simhash", {

@@ -247,4 +247,22 @@ class OperatorsSpec extends SparkSpec {
     assert(m(2L).contains(math.rint(5.0 / 7.0 * 10000) / 10000))
     assert(m(3L).isEmpty && m(4L).isEmpty)
   }
+
+  test("duplicateClusters: min-id components, chains propagate, singletons excluded") {
+    import spark.implicits._
+    // component {1,2,3,9} as a CHAIN (9-1, 1-2, 2-3: label must propagate
+    // two hops, exercising the iteration), component {5,6} as one pair;
+    // doc 7 appears in no pair and must be absent from the output
+    val pairs = Seq((9L, 1L), (1L, 2L), (2L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(!got.contains(7L))
+
+    // empty pair graph → empty labeling (the convergence loop must not spin)
+    val empty = graft.operators.Dedup.duplicateClusters(
+      pairs.filter(col("doc_a") < 0))
+    assert(empty.count() == 0)
+  }
 }

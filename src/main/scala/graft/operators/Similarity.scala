@@ -389,11 +389,19 @@ object Similarity {
     * nlist=16384 vs 48k at 256). Both sides share one index, so the
     * search stays internally consistent (see
     * [[graft.expressions.TwoLevelNearestCentroids]]). */
+  /** `pqCodebooks` switches within-cluster scoring to the PQ/ADC tier
+    * (IVF-PQ, the canonical billion-vector composition): float
+    * assignment picks the probed cells exactly as before, but the probed
+    * fraction of the corpus is scanned as m-byte codes against the
+    * query's LUT — code IO instead of vector IO. Single-query form (the
+    * LUT is per-query, built driver-side); returns `adc_score` instead
+    * of `cos_sim`. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, centroidIdCol: String,
               query: DataFrame, k: Int, probes: Int = 1,
               scoreQuantized: Boolean = false,
-              coarseBranches: Int = 0): DataFrame = {
+              coarseBranches: Int = 0,
+              pqCodebooks: Option[Seq[Seq[Seq[Float]]]] = None): DataFrame = {
     // Centroids are tiny (nlist × dims) — collect driver-side and ship
     // them inside the assignment expression as a plan literal. Assignment
     // then compiles into the scan's projection: the corpus is never
@@ -415,6 +423,34 @@ object Similarity {
     def assignCol(n: Int): Column = twoLevel match {
       case Some(idx) => topCentroidsTwoLevel(col(vecCol), idx, n, coarseBranches, round4 = true)
       case None => topCentroids(col(vecCol), cents, n, round4 = true)
+    }
+
+    if (pqCodebooks.isDefined) {
+      // IVF-PQ: assignment stays float (identical cell membership), the
+      // probed scan reads codes only.
+      val cb = pqCodebooks.get
+      val qv = query.select(col(vecCol).cast("array<float>")).head().getSeq[Float](0).toArray
+      val m = cb.length
+      val sub = qv.length / m
+      val lut: Seq[Seq[Double]] = (0 until m).map { j =>
+        cb(j).map { cent =>
+          var d = 0.0; var t = 0
+          while (t < sub) { d += qv(j * sub + t).toDouble * cent(t); t += 1 }
+          java.math.BigDecimal.valueOf(d).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
+      }
+      val assigned = df.select(col(idCol).as("_aid"),
+        pqEncode(col(vecCol), cb).as("_codes"),
+        assignCol(1).getItem(0).as("_cid"))
+      val queryClusters = query.select(explode(assignCol(probes)).as("_qcid"))
+      return assigned
+        .join(broadcast(queryClusters), col("_cid") === col("_qcid"))
+        .select(col("_aid").as(idCol),
+          round(graft.expressions.VectorExpressions.pqAdcScore(col("_codes"), lut), 4)
+            .as("adc_score"))
+        .filter(col("adc_score").isNotNull)
+        .orderBy(desc("adc_score"), asc(idCol))
+        .limit(k)
     }
 
     val corpusVec = if (scoreQuantized) quantizeInt8(col(vecCol)) else col(vecCol)

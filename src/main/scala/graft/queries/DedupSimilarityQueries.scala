@@ -256,6 +256,65 @@ object DedupSimilarityQueries {
           k = 10, scoreQuantized = true)
     },
 
+    // ── IVF-PQ: the canonical billion-vector composition — float
+    //    assignment picks the probed cells (same CTE as sim_ivf_topk),
+    //    PQ codes score the probed fraction (same lattice as
+    //    sim_pq_adc_topk, codebook rows 9..24 so it never overlaps the
+    //    IVF centroids 1..8). ──
+    QueryDef.sql(
+      "sim_ivf_pq_topk",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 24 OR vec_id = 0),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |qc AS (SELECT cid FROM asg WHERE vec_id = 0),
+        |cand AS (SELECT a.vec_id FROM asg a, qc WHERE a.cid = qc.cid AND a.vec_id <> 0),
+        |cb AS (SELECT vec_id - 9 AS code, embedding AS cv2 FROM embeddings WHERE vec_id BETWEEN 9 AND 24),
+        |js AS (SELECT CAST(range AS INT) AS j FROM range(8)),
+        |u2 AS (SELECT e.vec_id, js.j, cb.code,
+        |        unnest(list_slice(e.embedding, js.j*8+1, js.j*8+8)) AS x,
+        |        unnest(list_slice(cb.cv2, js.j*8+1, js.j*8+8)) AS y
+        |      FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id, js, cb),
+        |d2 AS (SELECT vec_id, j, code,
+        |        round(sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 4) AS l2
+        |      FROM u2 GROUP BY 1, 2, 3),
+        |pasg AS (SELECT vec_id, j, code FROM (
+        |           SELECT vec_id, j, code,
+        |             row_number() OVER (PARTITION BY vec_id, j ORDER BY l2, code) AS rn FROM d2)
+        |         WHERE rn = 1),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |lu AS (SELECT js.j, cb.code,
+        |        unnest(list_slice(qv.qe, js.j*8+1, js.j*8+8)) AS x,
+        |        unnest(list_slice(cb.cv2, js.j*8+1, js.j*8+8)) AS y
+        |      FROM qv, js, cb),
+        |lut AS (SELECT j, code, round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS term
+        |        FROM lu GROUP BY 1, 2)
+        |SELECT pa.vec_id, round(sum(l.term), 4) AS adc_score
+        |FROM pasg pa JOIN lut l ON pa.j = l.j AND pa.code = l.code
+        |GROUP BY 1
+        |ORDER BY adc_score DESC, pa.vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val seedRows = emb.filter(col("vec_id").between(9, 24)).orderBy("vec_id")
+          .select(col("embedding").cast("array<float>"))
+          .collect().map(_.getSeq[Float](0).toSeq).toSeq
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") > 24), "vec_id", "embedding",
+          centroids = emb.filter(col("vec_id").between(1, 8)),
+          centroidIdCol = "vec_id",
+          query = emb.filter(col("vec_id") === 0),
+          k = 10,
+          pqCodebooks = Some(Similarity.pqCodebooksFromRows(seedRows, m = 8)))
+    },
+
     // ── PQ/ADC: the compression tier (m=8 bytes per vector, 32× vs
     //    float32). Codebooks are the first 16 corpus rows sliced into 8
     //    subspaces (deterministic + SQL-expressible, so the WHOLE

@@ -255,10 +255,24 @@ class OperatorsSpec extends SparkSpec {
     // doc 7 appears in no pair and must be absent from the output
     val pairs = Seq((9L, 1L), (1L, 2L), (2L, 3L), (5L, 6L))
       .toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L)
+    // driver union-find path (the default below driverEdgeLimit)
     val got = graft.operators.Dedup.duplicateClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(got == expect)
     assert(!got.contains(7L))
+    // distributed label-propagation path (forced): identical labels
+    val dist = graft.operators.Dedup.duplicateClusters(pairs, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expect, "driver and distributed paths must agree")
+
+    // a 64-doc chain needs pointer doubling to settle inside maxRounds=8
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val chainGot = graft.operators.Dedup
+      .duplicateClusters(chain, maxRounds = 8, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot == (0L to 63L).map(_ -> 0L).toMap,
+      "doubling must converge a 64-chain in <= 8 rounds")
 
     // empty pair graph → empty labeling (the convergence loop must not spin)
     val empty = graft.operators.Dedup.duplicateClusters(

@@ -31,6 +31,35 @@ object Sharding {
   def assign(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
     df.withColumn("shard", shardId(col(keyCol), nShards))
 
+  /** Sequence-packing assignment — the step between sharding and the
+    * trainer: per shard, documents are concatenated in id order and
+    * chunked into fixed `seqLen`-token packs (the standard pretraining
+    * layout: concatenate, then cut at sequence boundaries, documents
+    * spanning a cut straddle two packs). Returns the input keyed by
+    * `(shard, doc)` plus `tok_start` (the doc's offset in its shard's
+    * token stream), `pack_first` and `pack_last` (the pack range the doc
+    * lands in). Everything is integer arithmetic over a per-shard
+    * running sum — deterministic, engine-portable, and cheap to
+    * recompute anywhere.
+    *
+    * Scale: ONE window per shard partition (`sum over (partition by
+    * shard order by doc)` — a sort within each shard's partition, no
+    * global ordering anywhere). Shard count is the parallelism dial: at
+    * corpus scale use thousands of shards so each window sorts a
+    * shard-sized slice. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    keyCol: String, nShards: Int, seqLen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+    assign(df, keyCol, nShards)
+      .withColumn("tok_start",
+        (sum(col(tokensCol)).over(w) - col(tokensCol)).cast("long"))
+      // integer DIV end-to-end: pack ids stay exact at any stream length
+      .withColumn("pack_first", expr(s"tok_start DIV $seqLen"))
+      .withColumn("pack_last",
+        expr(s"greatest(tok_start + $tokensCol - 1, tok_start) DIV $seqLen"))
+  }
+
   /** Write `df` as `shard=N` parquet directories under `outDir`. One
     * shuffle on (shard, sub-file) — both derived from the content key, so
     * the physical layout is as deterministic as the assignment; the

@@ -140,6 +140,37 @@ object DataPipelineQueries {
           .orderBy("shard")
     },
 
+    // ── Sequence packing: per shard, documents concatenate in id order
+    //    and chunk into fixed 256-token packs (the standard pretraining
+    //    layout — docs spanning a cut straddle two packs). Pure integer
+    //    arithmetic over a per-shard running sum: hash-exact across
+    //    engines by construction. ──
+    QueryDef.sql(
+      "pipeline_pack_sequences",
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(text),1,8)[i]) - 1)
+        |                         * power(16, 8 - i) for i in range(1,9) ]) AS BIGINT)
+        |         % 8 AS INTEGER) AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_start
+        |  FROM a)
+        |SELECT shard, doc_id, n_tokens, tok_start,
+        |  tok_start // 256 AS pack_first,
+        |  greatest(tok_start + n_tokens - 1, tok_start) // 256 AS pack_last
+        |FROM b ORDER BY shard, doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        Sharding.packSequences(docs, "doc_id", "n_tokens",
+            keyCol = "text", nShards = 8, seqLen = 256)
+          .select("shard", "doc_id", "n_tokens", "tok_start", "pack_first", "pack_last")
+          .orderBy("shard", "doc_id")
+    },
+
     // ── Repetition signal (Gopher/C4 family): duplicate-bigram fraction
     //    per document — boilerplate scores high, prose near 0. Pure
     //    per-row expression: shingle, distinct, ratio inside the row. ──

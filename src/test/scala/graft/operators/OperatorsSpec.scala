@@ -279,4 +279,27 @@ class OperatorsSpec extends SparkSpec {
       pairs.filter(col("doc_a") < 0))
     assert(empty.count() == 0)
   }
+
+  test("packSequences: concatenate-and-chunk offsets, straddling docs, empty docs") {
+    import spark.implicits._
+    // one shard (nShards = 1): docs of 100/30/0/900 tokens, seqLen 128
+    val docs = Seq((1L, "k1", 100L), (2L, "k2", 30L), (3L, "k3", 0L), (4L, "k4", 900L))
+      .toDF("doc_id", "key", "n_tokens")
+    val got = graft.operators.Sharding
+      .packSequences(docs, "doc_id", "n_tokens", keyCol = "key", nShards = 1, seqLen = 128)
+      .select("doc_id", "tok_start", "pack_first", "pack_last")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((0L, 0L, 0L)))       // tokens 0..99 → pack 0
+    assert(got(2L) == ((100L, 0L, 1L)))     // tokens 100..129 STRADDLE packs 0/1
+    assert(got(3L) == ((130L, 1L, 1L)))     // empty doc sits at its offset's pack
+    assert(got(4L) == ((130L, 1L, 8L)))     // tokens 130..1029 span packs 1..8
+
+    // shards pack independently: same doc set split across 4 shards
+    // restarts tok_start at 0 within each shard
+    val sharded = graft.operators.Sharding
+      .packSequences(docs, "doc_id", "n_tokens", keyCol = "key", nShards = 4, seqLen = 128)
+      .select("shard", "tok_start").collect()
+    val firstPerShard = sharded.groupBy(_.getInt(0)).values.map(_.map(_.getLong(1)).min)
+    assert(firstPerShard.forall(_ == 0L), "every shard's stream starts at offset 0")
+  }
 }

@@ -31,6 +31,31 @@ object Sharding {
   def assign(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
     df.withColumn("shard", shardId(col(keyCol), nShards))
 
+  /** Deterministic content-hash sampling: keep a row iff its key's
+    * md5-fold lands under `permille`/1000 — the reproducible Bernoulli
+    * sample every training-mix pipeline needs (re-runs, other engines,
+    * and the trainer all re-derive membership; no RNG state, no seed
+    * drift, stable under corpus re-ordering). Integer threshold on a
+    * 1000-bucket fold so the predicate is hash-exact across engines.
+    * Per-row expression — no shuffle, composes into any scan. */
+  def hashBucket1000(key: Column): Column =
+    (conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 1000).cast("int")
+
+  def sampleByHash(df: DataFrame, keyCol: String, permille: Int): DataFrame =
+    df.filter(hashBucket1000(col(keyCol)) < permille)
+
+  /** Stratified variant: per-stratum keep-rates (permille), the
+    * training-mix shape — "keep 100% of wiki, 30% of web, 5% of
+    * boilerplate". Strata absent from the map keep `defaultPermille`.
+    * Still one per-row predicate: the rate map rides as a CASE chain. */
+  def sampleStratified(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Int], defaultPermille: Int = 0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket1000(col(keyCol)) < rate)
+  }
+
   /** Sequence-packing assignment — the step between sharding and the
     * trainer: per shard, documents are concatenated in id order and
     * chunked into fixed `seqLen`-token packs (the standard pretraining

@@ -140,6 +140,27 @@ object DataPipelineQueries {
           .orderBy("shard")
     },
 
+    // ── Training-mix sampling: deterministic per-stratum keep-rates on
+    //    a content-hash fold — "all of en, 60% of de/fr, 30% of es, 15%
+    //    of zh", reproducible by any engine with md5, no RNG state. ──
+    QueryDef.sql(
+      "pipeline_sample_mix",
+      """WITH a AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(text),1,8)[i]) - 1)
+        |                         * power(16, 8 - i) for i in range(1,9) ]) AS BIGINT)
+        |         % 1000 AS INTEGER) AS bkt
+        |  FROM documents)
+        |SELECT doc_id, lang FROM a
+        |WHERE bkt < CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 600 WHEN 'fr' THEN 600
+        |                      WHEN 'es' THEN 300 WHEN 'zh' THEN 150 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Sharding.sampleStratified(Tables.documents(s, d), "text", "lang",
+            Map("en" -> 1000, "de" -> 600, "fr" -> 600, "es" -> 300, "zh" -> 150))
+          .select("doc_id", "lang").orderBy("doc_id")
+    },
+
     // ── Sequence packing: per shard, documents concatenate in id order
     //    and chunk into fixed 256-token packs (the standard pretraining
     //    layout — docs spanning a cut straddle two packs). Pure integer

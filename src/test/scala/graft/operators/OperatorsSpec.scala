@@ -280,6 +280,31 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("sampleByHash: deterministic, nested by rate, stratified default drops") {
+    import spark.implicits._
+    val docs = (0 until 500).map(i => (i.toLong, s"content-$i",
+      Seq("en", "de", "zh")(i % 3))).toDF("doc_id", "text", "lang")
+    val at300 = graft.operators.Sharding.sampleByHash(docs, "text", 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val at600 = graft.operators.Sharding.sampleByHash(docs, "text", 600)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // deterministic re-run and NESTED samples: raising the rate only ADDS
+    assert(at300 == graft.operators.Sharding.sampleByHash(docs, "text", 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(at300.subsetOf(at600))
+    assert(at300.size < at600.size && at600.size < 500)
+    // rate is approximately honored on uniform content
+    assert(math.abs(at300.size - 150) < 60, s"~30% expected, got ${at300.size}/500")
+
+    val strat = graft.operators.Sharding.sampleStratified(docs, "text", "lang",
+      Map("en" -> 1000, "de" -> 500))
+    val langs = strat.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs.getOrElse("zh", 0L) == 0L, "absent stratum keeps defaultPermille = 0")
+    assert(langs("en") == docs.filter(col("lang") === "en").count(), "1000 permille keeps all")
+    assert(langs("de") > 0 && langs("de") < docs.filter(col("lang") === "de").count())
+  }
+
   test("packSequences: concatenate-and-chunk offsets, straddling docs, empty docs") {
     import spark.implicits._
     // one shard (nShards = 1): docs of 100/30/0/900 tokens, seqLen 128

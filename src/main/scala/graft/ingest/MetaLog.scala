@@ -71,9 +71,13 @@ final class MetaLog(rootDir: String, val checkpointInterval: Int = 64) {
         "set" -> JObj(TreeMap.from(sets.map { case (k, v) => k -> (JStr(v): JVal) }))))
       val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       Files.writeString(tmp, json)
-      // no REPLACE_EXISTING: a second writer racing to version `next`
-      // fails loudly instead of silently clobbering a commit
-      Files.move(tmp, dir.resolve(f"$next%020d.json"), StandardCopyOption.ATOMIC_MOVE)
+      // createLink, NOT move: ATOMIC_MOVE maps to rename(2), which
+      // silently REPLACES an existing target on POSIX — a second writer
+      // racing to version `next` would clobber a committed record. A
+      // hard link to an existing name throws FileAlreadyExistsException,
+      // which is the single-writer contract enforced loudly.
+      try Files.createLink(dir.resolve(f"$next%020d.json"), tmp)
+      finally Files.deleteIfExists(tmp)
       cache = (next, applyOps(cache._2, sets, appends))
       if (next > 0 && next % checkpointInterval == 0) writeCheckpoint(next)
     }

@@ -358,7 +358,7 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     * concurrent readers resolving the old manifest. Returns the number of
     * buckets compacted. */
   def compact(table: String, maxFilesPerBucket: Int = 8): Int =
-    compactWhere(table, maxFilesPerBucket, _ => true)
+    compactWhere(table, maxFilesPerBucket, _ => true, vacuumAfter = true)
 
   /** Compaction cadence for the ingest loop: compact only SEALED range
     * buckets — those entirely below `activeRbkt` (the bucket the next
@@ -373,10 +373,16 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     * driver-side scan of the cached manifest: a no-op batch costs no IO
     * and no Spark job. */
   def compactSealed(table: String, activeRbkt: Long, maxFilesPerBucket: Int = 8): Int =
-    compactWhere(table, maxFilesPerBucket, _ < activeRbkt)
+    // vacuumAfter = false: this runs INSIDE the ingest loop, where a
+    // concurrent reader may still be scanning a pre-compaction snapshot
+    // (a createViews view, a long query) — the manifest swap retires the
+    // old files logically, and the PHYSICAL delete waits for the
+    // explicit `vacuum` maintenance call (the Delta/Iceberg
+    // logical-now-physical-later retention contract).
+    compactWhere(table, maxFilesPerBucket, _ < activeRbkt, vacuumAfter = false)
 
   private def compactWhere(table: String, maxFilesPerBucket: Int,
-                           eligible: Long => Boolean): Int = {
+                           eligible: Long => Boolean, vacuumAfter: Boolean): Int = {
     val byBucket = manifest(table).groupBy(rbktOf)
     val oversized = byBucket.filter { case (b, fs) =>
       eligible(b) && fs.size > maxFilesPerBucket
@@ -389,7 +395,7 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     val newManifest = keepAsIs ++ rewritten
     putMetastate((manifestKey(table) -> newManifest.mkString("\n")) +:
       bloomMaintenanceKvs(table, newManifest, rewritten): _*)
-    vacuum(table)
+    if (vacuumAfter) vacuum(table)
     oversized.size
   }
 

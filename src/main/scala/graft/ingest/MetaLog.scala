@@ -66,8 +66,19 @@ final class MetaLog(rootDir: String, val checkpointInterval: Int = 64) {
       refresh()
       val next = if (cache._1 == Long.MinValue) 0L else cache._1 + 1
       Files.createDirectories(dir)
+      // merge duplicate append keys BEFORE rendering: a JSON object keeps
+      // one value per key, so two `app` ops on the same key in one record
+      // would silently drop a line on disk while the in-memory fold kept
+      // both — replayed state would diverge from the writer's cache
+      // (caught by the model-check spec).
+      val mergedAppends = appends.foldLeft(Vector.empty[(String, String)]) {
+        case (acc, (k, v)) => acc.indexWhere(_._1 == k) match {
+          case -1 => acc :+ (k -> v)
+          case i => acc.updated(i, k -> (acc(i)._2 + "\n" + v))
+        }
+      }
       val json = render(JObj.of(
-        "app" -> JObj(TreeMap.from(appends.map { case (k, v) => k -> (JStr(v): JVal) })),
+        "app" -> JObj(TreeMap.from(mergedAppends.map { case (k, v) => k -> (JStr(v): JVal) })),
         "set" -> JObj(TreeMap.from(sets.map { case (k, v) => k -> (JStr(v): JVal) }))))
       val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       Files.writeString(tmp, json)

@@ -89,6 +89,26 @@ class PQSpec extends SparkSpec {
     assert(viaExpr == viaRel)
   }
 
+  test("IVF-PQ composes with the two-level assigner (all branches == flat IVF-PQ)") {
+    val rnd = new scala.util.Random(41)
+    val cents = (0 until 16).map(c => (c.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val centDf = cents.toDF("cid", "v")
+      .select(col("cid"), col("v").cast("array<float>").as("v"))
+    val corpus = (100 until 300).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val query = corpus.filter(col("id") === 150)
+    val cb = Similarity.pqCodebooksFromRows(
+      (0 until 8).map(_ => Seq.fill(8)(rnd.nextFloat() * 2 - 1)), m = 4)
+    val flat = Similarity.ivfTopK(corpus, "id", "v", centDf, "cid", query,
+      k = 5, probes = 2, pqCodebooks = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val composed = Similarity.ivfTopK(corpus, "id", "v", centDf, "cid", query,
+      k = 5, probes = 2, pqCodebooks = Some(cb), coarseBranches = 4) // all 4 branches
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(composed == flat,
+      "two-level assignment searching every branch must not change IVF-PQ results")
+  }
+
   test("trained codebooks reconstruct better than strided seeds") {
     val rnd = new scala.util.Random(31)
     val dims = 16; val m = 4; val k = 8

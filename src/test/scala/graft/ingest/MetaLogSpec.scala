@@ -116,6 +116,33 @@ class MetaLogSpec extends SparkSpec {
     assert(store.fileRoundStatsRaw("txn")("rbkt=1/c.parquet") == (5L, 9L))
   }
 
+  test("model check: random op sequences match an in-memory map, any reader, any interval") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val root = tmpDir(s"metalog-model-$trial")
+      val interval = Seq(3, 7, 16)(trial % 3)
+      val log = new MetaLog(root, checkpointInterval = interval)
+      var model = Map.empty[String, String]
+      val keys = Vector("wm", "m.txn", "m.part", "stats", "acct")
+      (0 until 120).foreach { i =>
+        val sets = (0 until rnd.nextInt(3)).map(_ => keys(rnd.nextInt(keys.size)) -> s"v$i-${rnd.nextInt(10)}")
+        val apps = (0 until rnd.nextInt(3)).map(_ => keys(rnd.nextInt(keys.size)) -> s"line$i")
+        log.append(sets, apps)
+        model = sets.foldLeft(model) { case (m, (k, v)) => m.updated(k, v) }
+        model = apps.foldLeft(model) { case (m, (k, v)) =>
+          m.updated(k, m.get(k).filter(_.nonEmpty).map(_ + "\n" + v).getOrElse(v))
+        }
+        if (i % 17 == 0) {
+          // a FRESH reader (checkpoint + tail replay) sees exactly the model
+          assert(new MetaLog(root, checkpointInterval = interval).state() == model,
+            s"trial $trial diverged at op $i")
+        }
+      }
+      assert(log.state() == model)
+      assert(new MetaLog(root).state() == model)
+    }
+  }
+
   test("readOnly store refuses mutation and does not heal on read") {
     val root = tmpDir("store")
     val rw = new TableStore(spark, root)

@@ -237,6 +237,21 @@ object Dedup {
     labels
   }
 
+  /** Keep one canonical row per duplicate family: drop every row whose
+    * cluster label differs from its own id, keep everything else
+    * (cluster representatives AND never-paired rows). The end of the
+    * dedup pipeline: pairs → clusters → THIS → clean corpus.
+    * One anti-join against the drop list (clustered non-representatives
+    * — bounded by the pair skeleton, usually tiny). Deliberately NOT a
+    * hard broadcast: on a duplicate-heavy corpus the drop list grows
+    * with the dup rate, and AQE picks broadcast vs shuffle from its
+    * actual size instead of OOMing the driver on a hint. */
+  def keepCanonical(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val drops = clusters.filter(col("doc") =!= col("cluster"))
+      .select(col("doc").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard of two string sets. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -100,6 +100,37 @@ object DedupSimilarityQueries {
         Dedup.duplicateClusters(pairs).orderBy("doc")
     },
 
+    // ── End of the dedup pipeline: pairs → clusters → keep ONE
+    //    canonical doc per family (smallest id), plus every never-paired
+    //    doc. The oracle anti-joins the recursive-closure drop list. ──
+    QueryDef.sql(
+      "dedup_keep_canonical",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |r AS (SELECT a, b FROM e
+         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         |lbl AS (SELECT a AS doc, least(a, min(b)) AS cluster FROM r GROUP BY a)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc FROM lbl WHERE doc <> cluster)
+         |ORDER BY d.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+        val clusters = Dedup.duplicateClusters(
+          Dedup.lshCandidatePairs(docs, "doc_id", "text", shingleN = 3, k = 8, bands = 4))
+        Dedup.keepCanonical(docs, "doc_id", clusters)
+          .select("doc_id", "lang").orderBy("doc_id")
+    },
+
     // ── 16-bit SimHash fingerprint. ────────────────────────────────────
     QueryDef.sql(
       "dedup_simhash", {

@@ -298,6 +298,66 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Capstone composition — the corpus build a trainer consumes, as
+    //    ONE declarative plan: quality gates → exact dedup (min doc per
+    //    content hash) → deterministic 60% content sample → shard →
+    //    sequence packing. Every stage reuses an operator with its own
+    //    oracle-pinned query; this pins their COMPOSITION (gates fuse
+    //    into the scan, one shuffle for the dedup groupBy, one for the
+    //    per-shard pack window). ──
+    QueryDef.sql(
+      "pipeline_corpus_build",
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, text, len(ws) AS n_tokens,
+        |    len(list_filter(ws, w -> w IN ('the','a','of','and'))) AS n_en,
+        |    round(CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / nullif(len(ws), 0), 4) AS sr
+        |  FROM toks),
+        |kept AS (
+        |  SELECT doc_id, text, n_tokens FROM feat
+        |  WHERE n_en >= 2 AND n_tokens >= 5 AND sr <= 0.5),
+        |dedup AS (
+        |  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, min(text) AS text,
+        |    CAST(min(n_tokens) AS BIGINT) AS n_tokens
+        |  FROM kept GROUP BY md5(text)),
+        |f AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(text),1,8)[i]) - 1)
+        |                    * power(16, 8 - i) for i in range(1,9) ]) AS BIGINT) AS fold
+        |  FROM dedup),
+        |samp AS (SELECT doc_id, n_tokens, CAST(fold % 8 AS INTEGER) AS shard
+        |         FROM f WHERE fold % 1000 < 600),
+        |packed AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_start
+        |  FROM samp)
+        |SELECT shard, doc_id, n_tokens, tok_start,
+        |  tok_start // 256 AS pack_first,
+        |  greatest(tok_start + n_tokens - 1, tok_start) // 256 AS pack_last
+        |FROM packed ORDER BY shard, doc_id""".stripMargin) {
+      (s, d) =>
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val (n, _, sr) = TextOps.qualityMetrics(col("ws"), stops)
+        val cleaned = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), wordsCol.as("ws"))
+          .select(col("doc_id"), col("text"), n.as("n_tokens"),
+            TextOps.langIdEn(col("ws"), Seq("the", "a", "of", "and"), minHits = 2).as("plang"),
+            sr.as("sr"))
+          .filter(col("plang") === "en" && col("n_tokens") >= 5 && col("sr") <= 0.5)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min("doc_id").cast("long").as("doc_id"), min("text").as("text"),
+            min("n_tokens").cast("long").as("n_tokens"))
+        Sharding.packSequences(
+            Sharding.sampleByHash(cleaned, "text", permille = 600),
+            "doc_id", "n_tokens", keyCol = "text", nShards = 8, seqLen = 256)
+          .select("shard", "doc_id", "n_tokens", "tok_start", "pack_first", "pack_last")
+          .orderBy("shard", "doc_id")
+    },
+
     // ── Brute-force cosine top-k against a query vector (the ANN
     //    baseline; LSH-bucketed variant in graft.operators.Similarity).
     //    Query side is one broadcast row; scan side is one pass. ──

@@ -84,6 +84,37 @@ object TextOps {
     when(size(filter(toks, w => w.isInCollection(markers))) >= minHits, "en")
       .otherwise("und")
 
+  /** Benchmark decontamination — flag training documents that share
+    * `shingleN`-gram content with an evaluation set (the overlap that
+    * silently inflates benchmark scores). Returns one row per corpus
+    * doc: `(doc, n_shingles, n_hits, contamination)` where
+    * contamination = hits / distinct shingles (NULL for sub-n docs).
+    *
+    * Scale shape: the BENCHMARK side is the small one (eval suites are
+    * thousands of docs), so its distinct shingle set broadcasts and the
+    * corpus side streams through a map-side join — one scan of the
+    * corpus, no corpus shuffle for the probe; the per-doc hit count
+    * aggregates on the (tiny) hit subset only, then left-joins back. */
+  def contamination(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                    benchmark: org.apache.spark.sql.DataFrame, benchTextCol: String,
+                    shingleN: Int = 8): org.apache.spark.sql.DataFrame = {
+    val doc = col(idCol).as("doc")
+    val shd = array_distinct(shingles(tokens(col(textCol)), shingleN))
+    val benchShingles = benchmark
+      .select(explode(array_distinct(shingles(tokens(col(benchTextCol)), shingleN))).as("g"))
+      .distinct()
+    val hits = df.select(doc, explode(shd).as("g"))
+      .join(broadcast(benchShingles), Seq("g"))
+      .groupBy("doc").agg(count(lit(1)).as("n_hits"))
+    df.select(doc, size(shd).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc"), "left_outer")
+      .select(col("doc"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          when(col("n_shingles") === 0, lit(null)).otherwise(col("n_shingles")), 4)
+          .as("contamination"))
+  }
+
   /** Quality metrics as (n_tokens, mean_token_len, stopword_ratio); zero
     * tokens ⇒ NULL ratios (ANSI nullif semantics on both engines). */
   def qualityMetrics(toks: Column, stopwords: Seq[String]): (Column, Column, Column) = {

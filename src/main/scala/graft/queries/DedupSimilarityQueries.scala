@@ -100,6 +100,33 @@ object DedupSimilarityQueries {
         Dedup.duplicateClusters(pairs).orderBy("doc")
     },
 
+    // ── Benchmark decontamination: flag corpus docs sharing 3-gram
+    //    content with the "eval set" (docs 0-9) — the overlap audit any
+    //    training corpus needs before a benchmark claim. Benchmark
+    //    shingle set broadcasts; corpus streams through one scan. ──
+    QueryDef.sql(
+      "pipeline_decontaminate",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${duckShingles("ws", 3)}) AS shd FROM t),
+         |bench AS (SELECT DISTINCT unnest(shd) AS g FROM sh WHERE doc_id < 10),
+         |corp AS (SELECT doc_id, shd FROM sh WHERE doc_id >= 10),
+         |u AS (SELECT doc_id, unnest(shd) AS g FROM corp),
+         |hits AS (SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM u JOIN bench USING (g) GROUP BY 1)
+         |SELECT c.doc_id AS doc, CAST(len(c.shd) AS BIGINT) AS n_shingles,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / nullif(len(c.shd), 0), 4) AS contamination
+         |FROM corp c LEFT JOIN hits h ON h.doc_id = c.doc_id
+         |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+        TextOps.contamination(
+            docs.filter(col("doc_id") >= 10), "doc_id", "text",
+            benchmark = docs.filter(col("doc_id") < 10), benchTextCol = "text",
+            shingleN = 3)
+          .orderBy("doc")
+    },
+
     // ── End of the dedup pipeline: pairs → clusters → keep ONE
     //    canonical doc per family (smallest id), plus every never-paired
     //    doc. The oracle anti-joins the recursive-closure drop list. ──

@@ -217,6 +217,40 @@ object Similarity {
       (0 until k).map(c => byBranch.get(c).map(_.map(p => vecs(p._2).toSeq).toSeq).getOrElse(Nil)))
   }
 
+  /** Bulk k-NN self-join: the `k` nearest neighbors of EVERY row (not
+    * one query's top-k, not a similarity threshold) — the primitive
+    * behind semantic dedup, nearest-neighbor labeling, and hard-negative
+    * mining at corpus scale. Brute force is all-pairs O(n²); this routes
+    * through the IVF cells: every row is ASSIGNED to its one cell, and
+    * PROBES its `probes` nearest cells, so candidate pairs are (probe
+    * side ⋈ assigned side) within a cell — the join fan-out is bounded
+    * by probes × cell size, and everything shuffles on the cell id, then
+    * on the query id for the per-row top-k window. Recall follows the
+    * IVF trade (probes is the dial); a row's pair set is exact within
+    * its probed cells. */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, centroidIdCol: String,
+              k: Int, probes: Int = 2): DataFrame = {
+    val cents: Seq[(Long, Seq[Float])] = centroids
+      .select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .toSeq
+    val assigned = df.select(col(idCol).as("id_b"), col(vecCol).as("_bvec"),
+      nearestCentroid(col(vecCol), cents, round4 = true).as("_cid"))
+    val probed = df.select(col(idCol).as("id_a"), col(vecCol).as("_avec"),
+      explode(topCentroids(col(vecCol), cents, probes, round4 = true)).as("_cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(desc("cos_sim"), asc("id_b"))
+    probed.join(assigned, Seq("_cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_avec"), col("_bvec")), 4).as("cos_sim"))
+      .filter(col("cos_sim").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   // ── Product quantization (PQ/ADC): the compression tier ─────────────
   //
   // SQ8 shrinks vectors 4×; PQ shrinks them to m BYTES (32× at

@@ -314,6 +314,50 @@ object DedupSimilarityQueries {
           k = 10, scoreQuantized = true)
     },
 
+    // ── Bulk k-NN join: the top-3 neighbors of EVERY vector through
+    //    shared IVF cells (probe side explodes 2 cells, assigned side
+    //    holds 1) — the semantic-dedup / hard-negative-mining primitive,
+    //    sub-quadratic by cell construction. ──
+    QueryDef.sql(
+      "sim_knn_join",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id AS id_b, cid FROM r WHERE rn = 1),
+        |qasg AS (SELECT vec_id AS id_a, cid FROM r WHERE rn <= 2),
+        |p AS (SELECT id_a, id_b FROM qasg JOIN asg USING (cid) WHERE id_a <> id_b),
+        |u2 AS (SELECT p.id_a, p.id_b, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+        |       FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
+        |              JOIN embeddings eb ON eb.vec_id = p.id_b),
+        |s2 AS (SELECT id_a, id_b,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM u2 GROUP BY 1, 2),
+        |sc AS (SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS cos_sim
+        |       FROM s2 WHERE na * nb > 0),
+        |rk AS (SELECT id_a, id_b, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS INTEGER) AS rank
+        |       FROM sc)
+        |SELECT id_a, id_b, cos_sim, rank FROM rk WHERE rank <= 3
+        |ORDER BY id_a, rank""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.knnJoin(
+            emb.filter(col("vec_id") > 8), "vec_id", "embedding",
+            centroids = emb.filter(col("vec_id").between(1, 8)),
+            centroidIdCol = "vec_id", k = 3, probes = 2)
+          .orderBy("id_a", "rank")
+    },
+
     // ── IVF-PQ: the canonical billion-vector composition — float
     //    assignment picks the probed cells (same CTE as sim_ivf_topk),
     //    PQ codes score the probed fraction (same lattice as

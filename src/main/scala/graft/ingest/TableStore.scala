@@ -40,7 +40,8 @@ import scala.util.Using
   * and the writer heals on its own open/commit path).
   */
 final class TableStore(val spark: SparkSession, val root: String, val nBuckets: Int = 16,
-                       val roundsPerPartition: Long = 10000L, val readOnly: Boolean = false) {
+                       val roundsPerPartition: Long = 10000L, val readOnly: Boolean = false,
+                       val metaCheckpointInterval: Int = 64) {
   import TableStore._
 
   spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -552,7 +553,7 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   // once per log version into the in-driver cache. A pre-log
   // `metastate.json` is honored as the base state (read-only migration).
 
-  private val metaLog = new MetaLog(root)
+  private val metaLog = new MetaLog(root, metaCheckpointInterval)
 
   // version-keyed cache of parsed index structures (decoded blooms,
   // round stats): re-parsed once per commit, not once per query

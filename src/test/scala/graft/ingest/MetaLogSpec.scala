@@ -143,6 +143,37 @@ class MetaLogSpec extends SparkSpec {
     }
   }
 
+  test("real ingest across a checkpoint boundary: reopen resumes and replays exactly") {
+    import graft.codec.BlockCodec
+    import graft.queries.EngineQueries
+    import spark.implicits._
+    val root = tmpDir("store-ckpt")
+    // interval 3: ten 1-block batches cross several checkpoints
+    val store = new TableStore(spark, root, nBuckets = 2, metaCheckpointInterval = 3)
+    BlockIngest.initGenesis(store,
+      (0 until 10).map(i => (EngineQueries.addr(i), 1000000L, "{}")), network = "ckpt-net")
+    for (r <- 0 until 10)
+      BlockIngest.applyBlocks(store, spark.createDataset(
+        EngineQueries.syntheticBlocks(rounds = 1, txnsPerRound = 2, startRound = r)
+          .map(BlockCodec.blockToJson)))
+    val txnCount = store.read("txn").count()
+    assert(store.nextRound == 10 && txnCount > 0)
+    assert(metaFiles(root).exists(_.endsWith(".checkpoint.json")),
+      "ten commits at interval 3 must have checkpointed")
+
+    // a FRESH store (new JVM in production) materializes checkpoint+tail:
+    // same watermark, same manifests, same data — and keeps ingesting
+    val reopened = new TableStore(spark, root, nBuckets = 2, metaCheckpointInterval = 3)
+    assert(reopened.nextRound == 10)
+    assert(reopened.read("txn").count() == txnCount)
+    assert(reopened.manifest("txn") == store.manifest("txn"))
+    BlockIngest.applyBlocks(reopened, spark.createDataset(
+      EngineQueries.syntheticBlocks(rounds = 1, txnsPerRound = 2, startRound = 10)
+        .map(BlockCodec.blockToJson)))
+    assert(reopened.nextRound == 11)
+    assert(reopened.read("txn").count() > txnCount)
+  }
+
   test("readOnly store refuses mutation and does not heal on read") {
     val root = tmpDir("store")
     val rw = new TableStore(spark, root)

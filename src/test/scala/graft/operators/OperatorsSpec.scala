@@ -305,6 +305,55 @@ class OperatorsSpec extends SparkSpec {
     assert(langs("de") > 0 && langs("de") < docs.filter(col("lang") === "de").count())
   }
 
+  test("contamination: exact overlap scores 1.0, disjoint scores 0, sub-n docs NULL") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"), // identical → every shingle hits
+      (2L, "completely different words entirely here now"), // disjoint → 0
+      (3L, "fox jumps high and keeps going far"), // partial overlap
+      (4L, "too short")) // < n tokens → no shingles → NULL fraction
+      .toDF("doc_id", "text")
+    val m = graft.operators.TextOps.contamination(corpus, "doc_id", "text", bench, "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), Option(r.get(3)))).toMap
+    assert(m(1L)._1 > 0 && m(1L)._2.contains(1.0))
+    assert(m(2L) == ((0L, Some(0.0))))
+    assert(m(3L)._1 == 1 && m(3L)._2.exists(f => f.asInstanceOf[Double] > 0 && f.asInstanceOf[Double] < 1))
+    assert(m(4L) == ((0L, None)), "sub-n docs have no shingles, fraction NULL")
+  }
+
+  test("knnJoin: every row gets at most k ranked neighbors from its probed cells") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val cents = (0 until 4).map(c => (c.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val centDf = cents.toDF("cid", "v").select(col("cid"), col("v").cast("array<float>").as("v"))
+    val corpus = (10 until 110).map(i => (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val out = graft.operators.Similarity.knnJoin(corpus, "id", "v", centDf, "cid", k = 3, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byA = out.groupBy(_._1)
+    assert(byA.nonEmpty && byA.values.forall(_.length <= 3))
+    byA.values.foreach { ns =>
+      val sorted = ns.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length).toSeq, "ranks are 1..n dense")
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3),
+        "neighbors ordered by similarity")
+    }
+    assert(out.forall(p => p._1 != p._2), "no self-pairs")
+    // probing ALL cells makes the join exact: equals brute-force top-3
+    val all = graft.operators.Similarity.knnJoin(corpus, "id", "v", centDf, "cid", k = 3, probes = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("cs"), asc("id_b"))
+    val brute = corpus.crossJoin(corpus.select(col("id").as("id_b"), col("v").as("vb")))
+      .filter(col("id") =!= col("id_b"))
+      .select(col("id"), col("id_b"),
+        round(graft.operators.Similarity.cosine(col("v"), col("vb")), 4).as("cs"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(all == brute, "all-cell probing must equal brute-force top-k")
+  }
+
   test("packSequences: concatenate-and-chunk offsets, straddling docs, empty docs") {
     import spark.implicits._
     // one shard (nShards = 1): docs of 100/30/0/900 tokens, seqLen 128

@@ -4,28 +4,31 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Whole-signature MinHash as ONE codegen'd expression.
   *
-  * Semantics are bit-identical to the composable form
-  * `min over word-n-gram shingles of md5(seed ‖ "|" ‖ shingle)` (what the
-  * DuckDB oracles replicate), but evaluated as a single per-row loop:
+  * Hash family: ONE md5 per shingle (its first 4 bytes, as an unsigned
+  * 32-bit base value `h`) fanned out to `k` signature slots through `k`
+  * linear permutations
+  *
+  *   v_i = (a_i * h + b_i) mod P,   P = 2038074743 (prime < 2^31)
+  *
+  * with `a_i`/`b_i` themselves md5-derived ([[MinHashImpl.coeffs]]) so
+  * the whole construction stays self-contained and engine-portable: the
+  * DuckDB oracles rebuild it verbatim (md5 + UBIGINT arithmetic — every
+  * product is < 2^63, so no overflow on either engine). This is the
+  * standard permuted-MinHash design (same shape as Spark ML's
+  * MinHashLSH `(1 + elem) * a + b mod prime`), chosen over the earlier
+  * min-of-k-md5s family because it does k× less digest work per shingle
+  * — at corpus scale the signature pass IS the dedup cost.
+  *
+  * Evaluated as a single per-row loop:
   *
   *   - The composable form needs `explode(shingles)` + `groupBy(doc).agg(k
-  *     × min(md5…))`. `min` over a STRING buffer is not HashAggregate-able
-  *     (string agg buffers aren't mutable in UnsafeRow), so Spark falls
-  *     back to SortAggregate — a full sort of the exploded shingle frame
-  *     (|corpus| × |shingles/doc| rows) on both sides of any downstream
-  *     self-join. At 100 TB that sort IS the job.
-  *   - This expression computes the k digests per shingle and keeps k
-  *     running minima in a tight loop: no explode, no sort, no exchange —
-  *     the signature is born narrow, inside whole-stage codegen.
-  *
-  * Hex-string lexicographic order == unsigned byte order of the raw
-  * digests (hex is monotone per byte), so minima are tracked on the
-  * 16-byte digests and hex-encoded once at the end.
+  *     × min(…))` — an exchange plus aggregation the per-row loop avoids
+  *     entirely: the signature is born narrow, inside whole-stage codegen.
+  *   - Per shingle: one digest, k multiply-adds, k running minima.
   *
   * NULL when the input token array is NULL or yields fewer than `n`
   * tokens (mirrors `explode_outer` + `min(NULL)` in the agg form).
@@ -35,7 +38,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashSig(child: Expression, n: Int, k: Int) extends UnaryExpression {
   require(n >= 1 && k >= 1, s"MinHashSig needs n>=1, k>=1 (got n=$n, k=$k)")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_sig"
 
@@ -70,14 +73,31 @@ object MinHashImpl {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  private val HEX = "0123456789abcdef".toCharArray
 
-  /** Seed prefixes "0|", "1|", … are shared across rows; cache per k. */
-  private val prefixCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
-  private def prefixes(k: Int): Array[Array[Byte]] =
-    prefixCache.computeIfAbsent(k,
-      kk => Array.tabulate(kk)(i => (i.toString + "|").getBytes("UTF-8")))
+  /** The permutation modulus: the largest prime below 2^31 used by Spark
+    * ML's MinHashLSH. a_i < P and h < 2^32 keep a_i*h + b_i < 2^63. */
+  val Prime: Long = 2038074743L
+
+  /** Unsigned 32-bit value of a digest's first 4 bytes. */
+  private def head32(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+
+  /** md5-derived permutation coefficients, identical on every engine:
+    * a_i = head32(md5("a|i")) mod (P-1) + 1  (never 0),
+    * b_i = head32(md5("b|i")) mod P.
+    * Oracle SQL inlines the same values (rendered by [[coeffSql]]). */
+  def coeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k, kk => {
+      val md = md5.get()
+      def h32(s: String): Long = {
+        md.reset()
+        head32(md.digest(s.getBytes("UTF-8")))
+      }
+      (Array.tabulate(kk)(i => h32(s"a|$i") % (Prime - 1) + 1),
+        Array.tabulate(kk)(i => h32(s"b|$i") % Prime))
+    })
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
   /** Called from both interpreted eval and generated code. Returns null
     * for "no shingles" (fewer than n tokens). */
@@ -85,15 +105,14 @@ object MinHashImpl {
     val m = tokens.numElements()
     if (m < n) return null
     val md = md5.get()
-    val pfx = prefixes(k)
+    val (as, bs) = coeffs(k)
     val toks = new Array[Array[Byte]](m)
     var t = 0
     while (t < m) {
       toks(t) = if (tokens.isNullAt(t)) null else tokens.getUTF8String(t).getBytes
       t += 1
     }
-    val mins = new Array[Array[Byte]](k)
-    val space = " ".getBytes("UTF-8")
+    val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j <= m - n) {
       // shingle = tokens[j..j+n-1] joined with ' ' (nulls skipped, concat_ws)
@@ -110,52 +129,23 @@ object MinHashImpl {
       while (c < n) {
         val tb = toks(j + c)
         if (tb != null) {
-          if (pos > 0) { sh(pos) = space(0); pos += 1 }
+          if (pos > 0) { sh(pos) = ' '.toByte; pos += 1 }
           System.arraycopy(tb, 0, sh, pos, tb.length)
           pos += tb.length
         }
         c += 1
       }
+      md.reset()
+      val h = head32(md.digest(sh))
       var i = 0
       while (i < k) {
-        md.reset()
-        md.update(pfx(i))
-        md.update(sh)
-        val d = md.digest()
-        if (mins(i) == null || unsignedLess(d, mins(i))) mins(i) = d
+        val v = (as(i) * h + bs(i)) % Prime
+        if (v < mins(i)) mins(i) = v
         i += 1
       }
       j += 1
     }
-    val out = new Array[AnyRef](k)
-    var i = 0
-    while (i < k) {
-      out(i) = UTF8String.fromString(hex(mins(i)))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xff
-      val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
-  }
-
-  private def hex(d: Array[Byte]): String = {
-    val cs = new Array[Char](d.length * 2)
-    var i = 0
-    while (i < d.length) {
-      cs(2 * i) = HEX((d(i) >> 4) & 0xf)
-      cs(2 * i + 1) = HEX(d(i) & 0xf)
-      i += 1
-    }
-    new String(cs)
+    new GenericArrayData(mins)
   }
 }
 

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for the training-data pipeline: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard.
   *
-  * Portability-by-construction: the hash family is md5-hex (present and
-  * bit-identical in Spark and DuckDB), and a MinHash needs only a uniform
-  * hash with a total order — the lexicographic min of md5 hex strings
-  * qualifies, so no engine-specific 64-bit integer hashing is needed
-  * anywhere.
+  * Portability-by-construction: every hash bottoms out in md5 (present
+  * and bit-identical in Spark and DuckDB). The MinHash family is ONE md5
+  * per shingle fanned out to k slots through k linear permutations
+  * `(a_i*h + b_i) mod P` ([[graft.expressions.MinHashImpl]]) — k× less
+  * digest work than a min-of-k-md5s family, exactly reproducible in
+  * DuckDB UBIGINT arithmetic (every product < 2^63), and the same shape
+  * as Spark ML's MinHashLSH.
   *
   * Scale notes (100 TB): every operator is one scan + one shuffle on a
   * short key. Candidate generation is LSH-banded — pairs are only formed
@@ -29,18 +31,26 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
 
   /** k MinHash values over word-`n`-gram shingles: element i is
-    * min over shingles of md5(i ‖ "|" ‖ shingle).
+    * min over shingles of (a_i * h(shingle) + b_i) mod P, where h is the
+    * unsigned 32-bit head of md5(shingle) and a_i/b_i are the md5-derived
+    * coefficients of [[graft.expressions.MinHashImpl.coeffs]].
     *
-    * Expression form (nested higher-order functions). ONLY use this on a
-    * pre-materialized shingle ATTRIBUTE: non-lambda subexpressions inside
-    * an interpreted HOF lambda are re-evaluated per element, so an inlined
-    * shingle pipeline (split → array_remove → slice…) would run k× per
-    * window — measured 80× slower than [[minhashSignatures]] at sf0.1. */
-  def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => md5(concat(i.cast("string"), lit("|"), s)))))
+    * Composable reference form (what the DuckDB oracles and the parity
+    * spec rebuild). ONLY use this on a pre-materialized shingle
+    * ATTRIBUTE: non-lambda subexpressions inside an interpreted HOF
+    * lambda are re-evaluated per element, so an inlined shingle pipeline
+    * (split → array_remove → slice…) would run k× per window — measured
+    * 80× slower than [[minhashSignatures]] at sf0.1. */
+  def minhashSignature(sh: Column, k: Int): Column = {
+    val (as, bs) = graft.expressions.MinHashImpl.coeffs(k)
+    val p = graft.expressions.MinHashImpl.Prime
+    val base = (s: Column) => conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => (lit(as(i)) * base(s) + lit(bs(i))) % lit(p)))
+    }: _*)
+  }
 
-  /** MinHash signatures as a DataFrame: (id, sig array<string>).
+  /** MinHash signatures as a DataFrame: (id, sig array<bigint>).
     *
     * Narrow form: the whole signature is ONE codegen'd expression
     * ([[graft.expressions.MinHashSig]]) evaluated per row — no explode, no
@@ -61,7 +71,9 @@ object Dedup {
     * band hash become candidate pairs. */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("|", slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
+      b => md5(concat_ws("|",
+        transform(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
+          v => v.cast("string")))))
 
   /** Candidate near-dup pairs via banded LSH, with exact n-gram Jaccard
     * computed on each candidate (verification step — LSH recalls, Jaccard

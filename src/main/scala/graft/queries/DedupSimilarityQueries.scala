@@ -21,8 +21,18 @@ object DedupSimilarityQueries {
     "list_filter(string_split(trim(text), ' '), w -> w <> '')"
   private def duckShingles(ws: String, n: Int): String =
     s"CASE WHEN len($ws) >= $n THEN [array_to_string(list_slice($ws, j, j + ${n - 1}), ' ') for j in range(1, len($ws) - ${n - 2})] ELSE CAST([] AS VARCHAR[]) END"
-  private def duckSig(sh: String, k: Int): String =
-    s"[list_min(list_transform($sh, s -> md5(CAST(i AS VARCHAR) || '|' || s))) for i in range(0, $k)]"
+  // Permuted MinHash, the exact twin of graft.expressions.MinHashImpl:
+  // h = unsigned 32-bit head of md5(shingle); slot i = (a_i*h + b_i) % P.
+  // The a_i/b_i literals are rendered from MinHashImpl.coeffs so both
+  // engines share one definition; every product is < 2^63 (a_i < P < 2^31,
+  // h < 2^32), so UBIGINT arithmetic never overflows.
+  private def duckSig(sh: String, k: Int): String = {
+    val (as, bs) = graft.expressions.MinHashImpl.coeffs(k)
+    val p = graft.expressions.MinHashImpl.Prime
+    (0 until k).map(i =>
+      s"list_min(list_transform($sh, s -> (${as(i)} * CAST('0x' || substr(md5(s), 1, 8) AS UBIGINT) + ${bs(i)}) % $p))")
+      .mkString("[", ", ", "]")
+  }
   private def duckJaccard(a: String, b: String): String =
     s"round(CAST(len(list_intersect($a, $b)) AS DOUBLE) / nullif(len(list_distinct(list_concat($a, $b))), 0), 4)"
 

@@ -75,6 +75,62 @@ object Dedup {
         transform(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
           v => v.cast("string")))))
 
+  /** The storable LSH band index of a corpus: (doc, band_idx, band_hash)
+    * — what an incremental pipeline persists once per corpus so a new
+    * batch never re-bands old documents ([[incrementalLshPairs]]). */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                shingleN: Int, k: Int, bands: Int): DataFrame =
+    minhashSignatures(df, idCol, textCol, shingleN, k)
+      .filter(col("sig").isNotNull)
+      .select(col("doc"),
+        posexplode(bandHashes(col("sig"), bands, k / bands))
+          .as(Seq("band_idx", "band_hash")))
+
+  /** [[bandIndex]] pre-aggregated into capped buckets: (band_idx,
+    * band_hash, docs) with each bucket holding its `maxBucket` smallest
+    * doc ids (bounded aggregate — O(maxBucket) buffer on a hot bucket).
+    * This is the join-ready stored form; `droppedAcc` surfaces cap
+    * truncation exactly as in [[lshCandidatePairs]]. */
+  def bandBuckets(index: DataFrame, maxBucket: Int = 1000,
+                  droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    index.groupBy("band_idx", "band_hash")
+      .agg(graft.expressions.BoundedCollect
+        .boundedSortedCollect(col("doc"), maxBucket, droppedAcc).as("docs"))
+
+  /** Incremental dedup: near-dup pairs between an INCOMING batch and an
+    * already-indexed corpus — the daily-ingest shape. The corpus side is
+    * its stored [[bandBuckets]] (never re-shingled, never re-banded,
+    * never paired with itself); only the batch is hashed, and each batch
+    * band row meets at most `maxBucket` corpus ids through the bucket
+    * join, so the candidate fan-out is bounded per row no matter how
+    * degenerate the corpus bucket. Jaccard verification re-shingles
+    * candidates ONLY, on both sides. Returns
+    * (doc_new, doc_old, n_shared_bands, jaccard). Within-batch duplicates
+    * are [[lshCandidatePairs]]' job — compose both for a full daily run. */
+  def incrementalLshPairs(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      corpusBuckets: DataFrame, corpusDocs: DataFrame,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val newBands = bandIndex(newDocs, idCol, textCol, shingleN, k, bands)
+      .withColumnRenamed("doc", "doc_new")
+    val pairs = newBands
+      .join(corpusBuckets, Seq("band_idx", "band_hash"))
+      .select(col("doc_new"), explode(col("docs")).as("doc_old"))
+      .groupBy("doc_new", "doc_old")
+      .agg(count(lit(1)).as("n_shared_bands"))
+    def shd(df: DataFrame, side: String, cand: DataFrame) =
+      df.select(col(idCol).as(side), col(textCol))
+        .join(cand.select(col(side)).distinct(), Seq(side), "left_semi")
+        .select(col(side),
+          array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
+            .as(s"sh_$side"))
+    pairs
+      .join(shd(newDocs, "doc_new", pairs), Seq("doc_new"))
+      .join(shd(corpusDocs, "doc_old", pairs), Seq("doc_old"))
+      .select(col("doc_new"), col("doc_old"), col("n_shared_bands"),
+        round(jaccard(col("sh_doc_new"), col("sh_doc_old")), 4).as("jaccard"))
+  }
+
   /** Candidate near-dup pairs via banded LSH, with exact n-gram Jaccard
     * computed on each candidate (verification step — LSH recalls, Jaccard
     * decides). Returns (doc_a, doc_b, n_shared_bands, jaccard).
@@ -93,11 +149,7 @@ object Dedup {
     // measured 30× slower when they do. They are joined back per pair side
     // at the end (one narrow join each; AQE broadcasts the small pair
     // frame, so the shingle sets never shuffle).
-    val withBands = minhashSignatures(df, idCol, textCol, shingleN, k)
-      .filter(col("sig").isNotNull)
-      .select(col("doc"),
-        posexplode(bandHashes(col("sig"), bands, k / bands))
-          .as(Seq("band_idx", "band_hash")))
+    val withBands = bandIndex(df, idCol, textCol, shingleN, k, bands)
 
     // ONE shuffle does bucket formation AND the cap: collect each bucket's
     // `maxBucket` SMALLEST doc ids via the bounded aggregate

@@ -107,10 +107,19 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    p: Int, minCos: Double, maxBucket: Int = 1000,
-                   droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+                   droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    nearDupPairsBy(df, idCol, vecCol, signBucket(col(vecCol), p), minCos, maxBucket, droppedAcc)
+
+  /** The bucket-generalized core of [[nearDupPairs]]: pair within any
+    * per-row bucket key (sign-LSH orthant, IVF cell, …), verify with
+    * exact cosine. Each row must map to exactly ONE bucket, so pairs are
+    * born unique. */
+  def nearDupPairsBy(df: DataFrame, idCol: String, vecCol: String,
+                     bucket: Column, minCos: Double, maxBucket: Int,
+                     droppedAcc: Option[org.apache.spark.util.LongAccumulator]): DataFrame = {
     val ids = col("ids")
     val pairs = df
-      .select(col(idCol).as("id"), signBucket(col(vecCol), p).as("bucket"))
+      .select(col(idCol).as("id"), bucket.as("bucket"))
       .groupBy("bucket")
       .agg(graft.expressions.BoundedCollect
         .boundedSortedCollect(col("id"), maxBucket, droppedAcc).as("ids"))
@@ -133,6 +142,41 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") > minCos)
+  }
+
+  /** Semantic near-dup pairs (the pair half of SemDeDup-style embedding
+    * dedup): bucket = the row's IVF cell instead of a sign-LSH orthant,
+    * so "near" is judged among semantic neighbors rather than within an
+    * orthant — then exact cosine verifies each candidate. Same scale
+    * shape as [[nearDupPairsBy]]: one shuffle on the cell id, bounded
+    * buckets, ids-only pair skeleton. Cell granularity is the recall/cost
+    * dial — nlist grows with the corpus so cells stay bounded, exactly
+    * like [[ivfTopK]]'s corpus side. */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame, centroidIdCol: String,
+                           minCos: Double, maxBucket: Int = 1000,
+                           droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val cents: Seq[(Long, Seq[Float])] = centroids
+      .select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .toSeq
+    nearDupPairsBy(df, idCol, vecCol,
+      nearestCentroid(col(vecCol), cents, round4 = true),
+      minCos, maxBucket, droppedAcc)
+  }
+
+  /** Whole semantic-dedup pipeline: cell-bucketed cosine pairs →
+    * connected components → keep one canonical row per family (smallest
+    * id) plus every never-paired row. The embedding-space twin of
+    * `Dedup.lshCandidatePairs` → `duplicateClusters` → `keepCanonical`. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, centroidIdCol: String,
+                    minCos: Double, maxBucket: Int = 1000): DataFrame = {
+    val pairs = semanticNearDupPairs(df, idCol, vecCol, centroids, centroidIdCol,
+      minCos, maxBucket)
+    Dedup.keepCanonical(df, idCol, Dedup.duplicateClusters(pairs, "id_a", "id_b"))
   }
 
   /** Nearest-centroid id per row (the IVF assignment argmax) as ONE

@@ -629,5 +629,82 @@ object DedupSimilarityQueries {
             TextOps.rollingFingerprint(col("text"), 8).as("fp"))
           .orderBy("doc_id")
     },
+
+    // ── Incremental dedup: an incoming batch (doc_id >= 400) against the
+    //    stored band index of an already-ingested corpus (doc_id < 400) —
+    //    the daily-ingest shape: the corpus is never re-banded and never
+    //    paired with itself; only batch×corpus candidates form. ──
+    QueryDef.sql(
+      "dedup_incremental_pairs",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_new, c.doc_id AS doc_old,
+         |        CAST(count(*) AS BIGINT) AS n_shared_bands
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id >= 400 AND c.doc_id < 400 GROUP BY 1, 2)
+         |SELECT doc_new, doc_old, n_shared_bands,
+         |  ${duckJaccard("x.shd", "y.shd")} AS jaccard
+         |FROM p JOIN shd x ON x.doc_id = p.doc_new JOIN shd y ON y.doc_id = p.doc_old
+         |ORDER BY doc_new, doc_old""".stripMargin) {
+      (s, d) =>
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+        val corpus = docs.filter(col("doc_id") < 400)
+        val batch = docs.filter(col("doc_id") >= 400)
+        val buckets = Dedup.bandBuckets(
+          Dedup.bandIndex(corpus, "doc_id", "text", 3, 8, 4))
+        Dedup.incrementalLshPairs(batch, "doc_id", "text", buckets, corpus)
+          .orderBy("doc_new", "doc_old")
+    },
+
+    // ── Semantic dedup (embedding space): IVF-cell-bucketed cosine pairs
+    //    → connected components → keep one canonical vector per family.
+    //    The oracle computes exact within-cell pairs and a recursive
+    //    transitive closure over those above the threshold. ──
+    QueryDef.sql(
+      "sim_semantic_dedup",
+      """WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+        |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |u2 AS (SELECT p.ia, p.ib, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+        |       FROM p JOIN embeddings ea ON ea.vec_id = p.ia
+        |              JOIN embeddings eb ON eb.vec_id = p.ib),
+        |s2 AS (SELECT ia, ib,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM u2 GROUP BY 1, 2),
+        |sc AS (SELECT ia, ib FROM s2
+        |       WHERE na * nb > 0 AND round(dot / sqrt(na * nb), 4) > 0.35),
+        |e AS (SELECT ia AS a, ib AS b FROM sc UNION SELECT ib, ia FROM sc),
+        |tc AS (SELECT a, b FROM e
+        |       UNION SELECT tc.a, e.b FROM tc JOIN e ON tc.b = e.a),
+        |lbl AS (SELECT a AS doc, least(a, min(b)) AS cluster FROM tc GROUP BY a)
+        |SELECT v.vec_id FROM v
+        |WHERE v.vec_id NOT IN (SELECT doc FROM lbl WHERE doc <> cluster)
+        |ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.semanticDedup(
+            emb.filter(col("vec_id") > 8), "vec_id", "embedding",
+            centroids = emb.filter(col("vec_id").between(1, 8)),
+            centroidIdCol = "vec_id", minCos = 0.35)
+          .select("vec_id").orderBy("vec_id")
+    },
   )
 }

@@ -144,6 +144,42 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.flatMap(p => Set(p._1, p._2)) == (1L to 5L).toSet)
   }
 
+  test("incremental LSH pairs: batch meets corpus only — no corpus×corpus, no batch×batch") {
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // corpus-internal dup
+      (3L, "completely different words entirely unrelated content here today now"))
+    val batch = docs(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1 and 2
+      (11L, "the quick brown fox jumps over the lazy dog again and again"), // batch-internal dup of 10
+      (12L, "fresh novel sentence with no overlap whatsoever in this batch"))
+    val buckets = Dedup.bandBuckets(Dedup.bandIndex(corpus, "doc_id", "text", 3, 8, 4))
+    val pairs = Dedup.incrementalLshPairs(batch, "doc_id", "text", buckets, corpus)
+      .collect().map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"),
+        r.getAs[Long]("n_shared_bands"), r.getAs[Double]("jaccard"))).toSet
+    // exactly batch→corpus edges: {10,11} × {1,2}, all 4 bands, jaccard 1.0
+    assert(pairs == Set((10L, 1L, 4L, 1.0), (10L, 2L, 4L, 1.0),
+      (11L, 1L, 4L, 1.0), (11L, 2L, 4L, 1.0)))
+  }
+
+  test("semantic dedup: pairs form within IVF cells; one canonical row per family survives") {
+    val cents = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val df = Seq(
+      (10L, Seq(1.0f, 0.10f)),  // cell 1
+      (11L, Seq(1.0f, 0.11f)),  // cell 1, near-dup of 10
+      (12L, Seq(1.0f, 0.90f)),  // cell 2 (closer to e2 than e1? cos(e1)=0.74, cos(e2)=0.67 → cell 1)
+      (13L, Seq(0.1f, 1.0f)))   // cell 2
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDupPairs(df, "vec_id", "embedding",
+      cents, "vec_id", minCos = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSet == Set((10L, 11L))) // 12 shares cell 1 but cos < 0.99; 13 is alone in cell 2
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+      cents, "vec_id", minCos = 0.99)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(kept == Set(10L, 12L, 13L)) // 11 collapses into 10's family
+  }
+
   test("salted join and salted agg: identical results to the plain forms on skewed data") {
     // 90% of rows share one key — the hot-key shape salting exists for
     val big = ((1 to 900).map(_ => (1L, "hot")) ++ (1 to 100).map(i => (i.toLong % 7 + 2, s"v$i")))

@@ -93,6 +93,37 @@ final class MetaLog(rootDir: String, val checkpointInterval: Int = 64) {
       if (next > 0 && next % checkpointInterval == 0) writeCheckpoint(next)
     }
 
+  /** The materialized KV state AS OF `version` — the time-travel read
+    * path: nearest checkpoint at/below `version`, then tail replay up to
+    * it. History is bounded by checkpoint retention (records at/below the
+    * previous checkpoint are trimmed), so a version older than that
+    * horizon throws rather than silently answering from the wrong state.
+    * Physical data files referenced by an old state stay readable until
+    * an explicit `vacuum` — the standard snapshot-vs-vacuum contract. */
+  def stateAt(version: Long): Map[String, String] = {
+    val (recs, cps) = listEntries()
+    val head = (recs.keySet ++ cps.keySet).foldLeft(-1L)(math.max)
+    if (version > head) throw new IllegalArgumentException(
+      s"version $version is beyond the log head $head")
+    if (version < 0)
+      return if (Files.exists(legacyPath)) parseObjFile(legacyPath) else Map.empty
+    val baseV = cps.keySet.filter(_ <= version).maxOption
+    var st: Map[String, String] = baseV match {
+      case Some(v) => parseObjFile(cps(v))
+      case None =>
+        if (Files.exists(legacyPath)) parseObjFile(legacyPath)
+        else Map.empty[String, String]
+    }
+    (baseV.getOrElse(-1L) + 1 to version).foreach { v =>
+      recs.get(v) match {
+        case Some(p) => st = applyRecordFile(st, p)
+        case None => throw new IllegalStateException(
+          s"version $version is older than the retention horizon (record $v trimmed by checkpointing)")
+      }
+    }
+    st
+  }
+
   // ── internals ───────────────────────────────────────────────────────
 
   private def applyOps(st: Map[String, String], sets: Seq[(String, String)],

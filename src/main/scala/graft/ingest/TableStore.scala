@@ -566,6 +566,32 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     * key index-aware rules use to avoid re-decoding an unchanged index. */
   def metaVersion: Long = metaLog.version
 
+  /** The metastate AS OF a past commit ([[MetaLog.stateAt]]) — bounded by
+    * checkpoint retention; throws past the horizon instead of guessing. */
+  def metastateAt(version: Long): Map[String, String] = metaLog.stateAt(version)
+
+  /** An append table's committed file set as of `version`. */
+  def manifestAt(table: String, version: Long): Seq[String] =
+    metastateAt(version).get(manifestKey(table))
+      .map(_.split('\n').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Snapshot (time-travel) read of an append table: exactly the rows
+    * committed as of metadata-log `version` — what a reproducible corpus
+    * build pins so retraining months later reads byte-identical data.
+    * Valid until an explicit `vacuum`/`compact(vacuumAfter)` physically
+    * removes files the old manifest references (`compactSealed` only
+    * REPLACES files logically, so snapshots survive the in-loop
+    * compaction cadence). Append tables only: state tables are LWW-merged
+    * in place and keep no per-version file sets. */
+  def readAsOf(table: String, version: Long): DataFrame = {
+    require(Schemas.contains(table) && isAppendTable(table),
+      s"readAsOf supports append (manifest-backed) tables, not '$table'")
+    readManifest(table, manifestAt(table, version))
+  }
+
+  private def isAppendTable(table: String): Boolean =
+    table == "txn" || table == "txn_participation" || table == "block_header"
+
   def putMetastate(kvs: (String, String)*): Unit = {
     requireWritable("putMetastate")
     metaLog.append(sets = kvs)

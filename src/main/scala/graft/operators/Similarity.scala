@@ -284,15 +284,25 @@ object Similarity {
       nearestCentroid(col(vecCol), cents, round4 = true).as("_cid"))
     val probed = df.select(col(idCol).as("id_a"), col(vecCol).as("_avec"),
       explode(topCentroids(col(vecCol), cents, probes, round4 = true)).as("_cid"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id_a").orderBy(desc("cos_sim"), asc("id_b"))
+    // Per-row top-k WITHOUT a window: row_number() needs the whole scored
+    // pair frame shuffled AND sorted per id_a; the bounded aggregate keeps
+    // each row's k best candidates in an O(k) heap with map-side partials,
+    // so only ≤ k rows per (id_a, partition) ever reach the exchange —
+    // at corpus scale the pair frame is the big thing, and it now dies in
+    // the partial aggregation. Heap order = (-cos_sim, id_b): "smallest"
+    // is highest similarity, ties to the smaller id (row_number parity).
     probed.join(assigned, Seq("_cid"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("_avec"), col("_bvec")), 4).as("cos_sim"))
       .filter(col("cos_sim").isNotNull)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy("id_a")
+      .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+        struct((-col("cos_sim")).as("nc"), col("id_b")), k).as("_top"))
+      .select(col("id_a"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("id_a"), col("_t.id_b").as("id_b"),
+        (-col("_t.nc")).as("cos_sim"),
+        (col("_pos") + 1).cast("int").as("rank"))
   }
 
   // ── Product quantization (PQ/ADC): the compression tier ─────────────

@@ -4,6 +4,7 @@ import graft.codec.{BlockCodec, Codecs}
 import graft.ingest.{BlockIngest, TableStore}
 import graft.model._
 import graft.query.Api
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** The engine's own write+read vertical exposed through the driver
@@ -82,5 +83,43 @@ object EngineQueries {
         txns.select("round", "intra", "typeenum", "asset", "txid")
           .orderBy(desc("round"), desc("intra"))
     },
+
+    // Snapshot (time-travel) read: a two-phase-ingested store with the
+    // metadata-log version pinned between phases; the query reads the txn
+    // table both at head and as of the pin — the reproducible-corpus
+    // contract (rows-only: engine tables). The pinned view must show ONLY
+    // phase-1 rounds even though head has both, which the row values make
+    // visible to the driver. The fixture store is built once per session
+    // (ingest cost is engine_ingest_e2e's measurement; THIS query times
+    // the as-of read path: stateAt replay + manifest-subset scan).
+    QueryDef.rowsOnly("engine_snapshot_read") {
+      (s, _) =>
+        val (store, vPin) = snapshotFixture(s)
+        def span(df: org.apache.spark.sql.DataFrame, view: String) =
+          df.agg(lit(view).as("view"), min("round").as("lo"),
+            max("round").as("hi"), count(lit(1)).as("rows"))
+        span(store.readAsOf("txn", vPin), "pinned")
+          .unionByName(span(store.read("txn"), "head"))
+          .orderBy("view")
+    },
   )
+
+  // one fixture per session: (store, pinned version after phase 1)
+  private val snapshotStores =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (TableStore, Long)]()
+  private def snapshotFixture(s: SparkSession): (TableStore, Long) =
+    snapshotStores.computeIfAbsent(s, s => {
+      val root = java.nio.file.Files.createTempDirectory("graft-engine-tt").toString
+      val store = new TableStore(s, root, nBuckets = 8)
+      BlockIngest.initGenesis(store,
+        (0 until 40).map(i => (addr(i), 1000000L, "{}")), network = "graft-bench")
+      import s.implicits._
+      def ingest(start: Int): Unit = BlockIngest.applyBlocks(store,
+        s.createDataset(syntheticBlocks(rounds = 3, txnsPerRound = 6,
+          startRound = start).map(BlockCodec.blockToJson)))
+      ingest(0)
+      val vPin = store.metaVersion
+      ingest(3)
+      (store, vPin)
+    })
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
   * per-iteration wall time and (optionally) the formatted physical plan.
   *
   * Usage: runMain graft.tools.Profile <queryName> [sfDir] [iters] [explain]
+  * `GRAFT_PROFILE_CONF=k=v;k=v` A/Bs arbitrary session confs in one sitting.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -13,14 +14,19 @@ object Profile {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val iters = if (args.length > 2) args(2).toInt else 3
     val doExplain = args.contains("explain")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("GRAFT_PROFILE_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        builder.config(kv.substring(0, i), kv.substring(i + 1))
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
     // warmup (JIT, codegen, parquet footers)

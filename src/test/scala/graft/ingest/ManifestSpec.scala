@@ -125,6 +125,43 @@ class ManifestSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${store.root}/block_header/rbkt=0")))
   }
 
+  test("readAsOf pins a committed snapshot across later appends, compaction, and a checkpoint") {
+    // interval 2 so the later commits cross a checkpoint boundary: stateAt
+    // must replay from a checkpoint, not just walk the live tail
+    val store = new TableStore(spark, tmpDir("graft-asof"), nBuckets = 2,
+      roundsPerPartition = 4L, metaCheckpointInterval = 2)
+    def commit(rounds: Seq[Long]): Unit =
+      store.commitMetastate(sets = Nil, appends = Seq(
+        store.manifestKey("block_header") ->
+          store.stageAppend("block_header", headerDf(rounds)).mkString("\n")))
+
+    commit(Seq(0L, 1L))   // v0
+    commit(Seq(2L, 3L))   // v1
+    commit(Seq(4L, 5L))   // v2 ⇒ checkpoint@2
+    val vPin = store.metaVersion
+    val rowsAtPin = store.read("block_header").collect().map(_.getLong(3)).sorted
+
+    commit(Seq(6L, 7L))   // v3
+    // logical rewrite only — old files must stay readable for snapshots;
+    // its own manifest commit (v4) writes checkpoint@4 and trims records ≤ 2
+    store.compactSealed("block_header", activeRbkt = Long.MaxValue, maxFilesPerBucket = 1)
+
+    assert(store.read("block_header").count() == 8, "head read sees everything")
+    val snap = store.readAsOf("block_header", vPin).collect().map(_.getLong(3)).sorted
+    assert(snap.sameElements(rowsAtPin), "snapshot must be stable at the pinned version")
+    assert(snap.sameElements(Array(0L, 1L, 2L, 3L, 4L, 5L)))
+
+    // past the retention horizon (record 0 trimmed by checkpointing),
+    // beyond-head, and state-table misuse all fail loudly
+    intercept[IllegalStateException](store.readAsOf("block_header", 0L))
+    intercept[IllegalArgumentException](store.readAsOf("block_header", store.metaVersion + 10))
+    intercept[IllegalArgumentException](store.readAsOf("account", store.metaVersion))
+
+    // vacuum ends the snapshot contract: compaction's replaced files go away
+    store.vacuum("block_header")
+    intercept[Throwable](store.readAsOf("block_header", vPin).collect())
+  }
+
   test("interrupted state-bucket swap recovers without losing pre-merge rows") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._

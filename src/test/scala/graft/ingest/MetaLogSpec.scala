@@ -123,6 +123,7 @@ class MetaLogSpec extends SparkSpec {
       val interval = Seq(3, 7, 16)(trial % 3)
       val log = new MetaLog(root, checkpointInterval = interval)
       var model = Map.empty[String, String]
+      var history = Vector.empty[Map[String, String]] // model AFTER commit v
       val keys = Vector("wm", "m.txn", "m.part", "stats", "acct")
       (0 until 120).foreach { i =>
         val sets = (0 until rnd.nextInt(3)).map(_ => keys(rnd.nextInt(keys.size)) -> s"v$i-${rnd.nextInt(10)}")
@@ -132,14 +133,24 @@ class MetaLogSpec extends SparkSpec {
         model = apps.foldLeft(model) { case (m, (k, v)) =>
           m.updated(k, m.get(k).filter(_.nonEmpty).map(_ + "\n" + v).getOrElse(v))
         }
+        history :+= model
         if (i % 17 == 0) {
           // a FRESH reader (checkpoint + tail replay) sees exactly the model
           assert(new MetaLog(root, checkpointInterval = interval).state() == model,
             s"trial $trial diverged at op $i")
+          // time travel: any past version either matches its historical
+          // model exactly or throws the retention-horizon error — never a
+          // silently wrong state
+          (0 to i).foreach { v =>
+            try assert(log.stateAt(v) == history(v), s"trial $trial stateAt($v) wrong at op $i")
+            catch { case _: IllegalStateException => () /* past the horizon */ }
+          }
         }
       }
       assert(log.state() == model)
       assert(new MetaLog(root).state() == model)
+      // the head version is always within the horizon
+      assert(log.stateAt(log.version) == model)
     }
   }
 

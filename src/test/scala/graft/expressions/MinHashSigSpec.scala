@@ -67,6 +67,18 @@ class MinHashSigSpec extends SparkSpec {
     val mismatch = joined.filter(
       !(col("gs") <=> col("ws"))).collect()
     assert(mismatch.isEmpty, s"mismatches: ${mismatch.take(3).mkString(", ")}")
+
+    // third form: the composable HOF expression over a materialized
+    // shingle attribute (what ad-hoc SQL users would compose)
+    val hof = df
+      .select(col("doc_id").as("doc"),
+        TextOps.shingles(TextOps.tokens(col("text")), n).as("sh"))
+      .select(col("doc"),
+        when(size(col("sh")) > 0, Dedup.minhashSignature(col("sh"), k))
+          .otherwise(lit(null)).as("sig"))
+    val hofJoined = got.alias("g").join(hof.alias("h"), col("g.doc") === col("h.doc"))
+      .filter(!(col("g.sig") <=> col("h.sig"))).collect()
+    assert(hofJoined.isEmpty, s"HOF-form mismatches: ${hofJoined.take(3).mkString(", ")}")
   }
 
   test("NULL contract: null text, empty text, fewer than n tokens") {

@@ -111,22 +111,33 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       corpusBuckets: DataFrame, corpusDocs: DataFrame,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    val newBands = bandIndex(newDocs, idCol, textCol, shingleN, k, bands)
-      .withColumnRenamed("doc", "doc_new")
+    def shd(df: DataFrame) = df.select(col(idCol).as("doc"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("shd"))
+    incrementalLshPairsFrom(
+      bandIndex(newDocs, idCol, textCol, shingleN, k, bands),
+      shd(newDocs), corpusBuckets, shd(corpusDocs))
+  }
+
+  /** [[incrementalLshPairs]] from PRECOMPUTED parts — the streaming face
+    * ([[graft.streaming.StreamingDedup]]) passes the stored corpus
+    * shingle sets so corpus TEXT is never re-read. Both shingle frames
+    * are (doc, shd) and must use the same representation (raw n-grams or
+    * hashed n-grams) — Jaccard only compares within one family. */
+  def incrementalLshPairsFrom(
+      newBands: DataFrame, newShingles: DataFrame,
+      corpusBuckets: DataFrame, corpusShingles: DataFrame): DataFrame = {
     val pairs = newBands
+      .withColumnRenamed("doc", "doc_new")
       .join(corpusBuckets, Seq("band_idx", "band_hash"))
       .select(col("doc_new"), explode(col("docs")).as("doc_old"))
       .groupBy("doc_new", "doc_old")
       .agg(count(lit(1)).as("n_shared_bands"))
-    def shd(df: DataFrame, side: String, cand: DataFrame) =
-      df.select(col(idCol).as(side), col(textCol))
-        .join(cand.select(col(side)).distinct(), Seq(side), "left_semi")
-        .select(col(side),
-          array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))
-            .as(s"sh_$side"))
+    def side(df: DataFrame, s: String, cand: DataFrame) =
+      df.select(col("doc").as(s), col("shd").as(s"sh_$s"))
+        .join(cand.select(col(s)).distinct(), Seq(s), "left_semi")
     pairs
-      .join(shd(newDocs, "doc_new", pairs), Seq("doc_new"))
-      .join(shd(corpusDocs, "doc_old", pairs), Seq("doc_old"))
+      .join(side(newShingles, "doc_new", pairs), Seq("doc_new"))
+      .join(side(corpusShingles, "doc_old", pairs), Seq("doc_old"))
       .select(col("doc_new"), col("doc_old"), col("n_shared_bands"),
         round(jaccard(col("sh_doc_new"), col("sh_doc_old")), 4).as("jaccard"))
   }

@@ -62,12 +62,19 @@ object StreamingDedup {
     val canon = Dedup.keepCanonical(batch, idCol, Dedup.duplicateClusters(withinPairs))
 
     // (2) cross-batch: candidates from earlier batches' stored bands,
-    // verified against their stored hashed shingle sets
+    // verified against their stored hashed shingle sets. The index is
+    // semi-joined down to the BATCH's band keys before bucketing: the
+    // batch's key set is tiny (|batch| × bands rows) and broadcasts, so
+    // the per-batch cost is one column-pruned index scan — never an
+    // O(corpus-index) shuffle to re-bucket rows no batch band touches.
     val (priorBands, priorShd) = readIndex(spark, indexDir, belowBatch = Some(batchId))
     val newBands = Dedup.bandIndex(canon, idCol, textCol, shingleN, k, bands)
     val newShd = hashedShingles(canon, idCol, textCol, shingleN)
+    val touched = priorBands.join(
+      broadcast(newBands.select("band_idx", "band_hash").distinct()),
+      Seq("band_idx", "band_hash"), "left_semi")
     val dupOfPrior = Dedup.incrementalLshPairsFrom(
-        newBands, newShd, Dedup.bandBuckets(priorBands, maxBucket), priorShd)
+        newBands, newShd, Dedup.bandBuckets(touched, maxBucket), priorShd)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_new").as(idCol)).distinct()
     val survivors = canon.join(dupOfPrior, Seq(idCol), "left_anti")

@@ -546,6 +546,18 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     graft.plans.TxidIndexPruneRule.install(spark, this)
   }
 
+  /** Snapshot views for SQL users: the append tables as of `version`,
+    * registered as `<prefix><table>` (e.g. prefix "v123_" → `v123_txn`)
+    * — the SQL face of [[readAsOf]], same retention/vacuum contract.
+    * State tables keep no per-version file sets, so only the append
+    * tables get a view. */
+  def createViewsAsOf(version: Long, prefix: String): Unit = {
+    require(prefix.nonEmpty, "snapshot views need a distinguishing prefix")
+    Seq("txn", "txn_participation", "block_header").foreach { t =>
+      readAsOf(t, version).createOrReplaceTempView(prefix + t)
+    }
+  }
+
   // ── Metastate (KV) ─────────────────────────────────────────────────
   //
   // Backed by the append-only metadata log ([[MetaLog]]): a commit

@@ -151,6 +151,10 @@ class ManifestSpec extends SparkSpec {
     assert(snap.sameElements(rowsAtPin), "snapshot must be stable at the pinned version")
     assert(snap.sameElements(Array(0L, 1L, 2L, 3L, 4L, 5L)))
 
+    // the SQL face: snapshot views answer from the pinned file set
+    store.createViewsAsOf(vPin, s"v${vPin}_")
+    assert(spark.sql(s"SELECT count(*) FROM v${vPin}_block_header").head().getLong(0) == 6)
+
     // past the retention horizon (record 0 trimmed by checkpointing),
     // beyond-head, and state-table misuse all fail loudly
     intercept[IllegalStateException](store.readAsOf("block_header", 0L))

@@ -274,15 +274,25 @@ object Similarity {
     * its probed cells. */
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, centroidIdCol: String,
-              k: Int, probes: Int = 2): DataFrame = {
+              k: Int, probes: Int = 2): DataFrame =
+    knnJoinBetween(df, df, idCol, vecCol, centroids, centroidIdCol, k, probes)
+
+  /** Two-frame k-NN join: the `k` nearest CORPUS rows of every QUERY row
+    * (self-join when both frames coincide — [[knnJoin]]). The asymmetric
+    * form is the nearest-neighbor labeling / retrieval shape: queries
+    * probe, corpus is assigned, cells meet in the middle. */
+  def knnJoinBetween(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String,
+                     centroids: DataFrame, centroidIdCol: String,
+                     k: Int, probes: Int = 2): DataFrame = {
     val cents: Seq[(Long, Seq[Float])] = centroids
       .select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .toSeq
-    val assigned = df.select(col(idCol).as("id_b"), col(vecCol).as("_bvec"),
+    val assigned = corpus.select(col(idCol).as("id_b"), col(vecCol).as("_bvec"),
       nearestCentroid(col(vecCol), cents, round4 = true).as("_cid"))
-    val probed = df.select(col(idCol).as("id_a"), col(vecCol).as("_avec"),
+    val probed = queries.select(col(idCol).as("id_a"), col(vecCol).as("_avec"),
       explode(topCentroids(col(vecCol), cents, probes, round4 = true)).as("_cid"))
     // Per-row top-k WITHOUT a window: row_number() needs the whole scored
     // pair frame shuffled AND sorted per id_a; the bounded aggregate keeps
@@ -303,6 +313,32 @@ object Similarity {
       .select(col("id_a"), col("_t.id_b").as("id_b"),
         (-col("_t.nc")).as("cos_sim"),
         (col("_pos") + 1).cast("int").as("rank"))
+  }
+
+  /** k-NN majority-vote labeling: predict each query row's label from
+    * its `k` nearest labeled corpus rows through the IVF cells — the
+    * auto-labeling / weak-supervision primitive (label a new slice of
+    * corpus from a labeled seed set). Vote ties break to the SMALLEST
+    * label (deterministic, engine-portable). Returns
+    * (id, pred_label, votes).
+    *
+    * Scale shape: [[knnJoinBetween]]'s bounded cell join, then the vote
+    * is one hash aggregation per (query, label) and a `min(struct)`
+    * argmax per query — map-side partials everywhere, no window. */
+  def knnLabel(queries: DataFrame, corpus: DataFrame,
+               idCol: String, vecCol: String, labelCol: String,
+               centroids: DataFrame, centroidIdCol: String,
+               k: Int, probes: Int = 2): DataFrame = {
+    val neighbors = knnJoinBetween(queries, corpus, idCol, vecCol,
+      centroids, centroidIdCol, k, probes)
+    neighbors
+      .join(corpus.select(col(idCol).as("id_b"), col(labelCol).as("_lbl")), Seq("id_b"))
+      .groupBy(col("id_a"), col("_lbl"))
+      .agg(count(lit(1)).as("_votes"))
+      .groupBy(col("id_a").as(idCol))
+      .agg(min(struct((-col("_votes")).as("nv"), col("_lbl"))).as("_top"))
+      .select(col(idCol), col("_top._lbl").as("pred_label"),
+        (-col("_top.nv")).as("votes"))
   }
 
   // ── Product quantization (PQ/ADC): the compression tier ─────────────

@@ -630,6 +630,68 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── k-NN majority-vote labeling: predict labels for vectors 100-199
+    //    from the labeled corpus (vec_id >= 200) through shared IVF
+    //    cells — the auto-labeling primitive. Vote ties break to the
+    //    smallest label on both engines. ──
+    QueryDef.sql(
+      "sim_knn_label",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id BETWEEN 100 AND 199),
+        |v AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 200),
+        |uq AS (SELECT q.vec_id, c.cid, unnest(q.embedding) AS x, unnest(c.cv) AS y FROM q, c),
+        |sq AS (SELECT vec_id, cid,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM uq GROUP BY 1, 2),
+        |rq AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |       FROM sq),
+        |qasg AS (SELECT vec_id AS id_a, cid FROM rq WHERE rn <= 2),
+        |uv AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |sv AS (SELECT vec_id, cid,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM uv GROUP BY 1, 2),
+        |rv AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |         ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |       FROM sv),
+        |asg AS (SELECT vec_id AS id_b, cid FROM rv WHERE rn = 1),
+        |p AS (SELECT DISTINCT id_a, id_b FROM qasg JOIN asg USING (cid)),
+        |u2 AS (SELECT p.id_a, p.id_b, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+        |       FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
+        |              JOIN embeddings eb ON eb.vec_id = p.id_b),
+        |s2 AS (SELECT id_a, id_b,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM u2 GROUP BY 1, 2),
+        |sc AS (SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS cos_sim
+        |       FROM s2 WHERE na * nb > 0),
+        |rk AS (SELECT id_a, id_b,
+        |         row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS rank
+        |       FROM sc),
+        |votes AS (SELECT rk.id_a, v.label, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM rk JOIN v ON v.vec_id = rk.id_b WHERE rk.rank <= 5
+        |          GROUP BY 1, 2)
+        |SELECT id_a AS vec_id, label AS pred_label, cnt AS votes FROM (
+        |  SELECT id_a, label, cnt,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY cnt DESC, label) AS rn
+        |  FROM votes) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.knnLabel(
+            queries = emb.filter(col("vec_id").between(100, 199)),
+            corpus = emb.filter(col("vec_id") >= 200),
+            "vec_id", "embedding", "label",
+            centroids = emb.filter(col("vec_id").between(1, 8)),
+            centroidIdCol = "vec_id", k = 5, probes = 2)
+          .orderBy("vec_id")
+    },
+
     // ── Incremental dedup: an incoming batch (doc_id >= 400) against the
     //    stored band index of an already-ingested corpus (doc_id < 400) —
     //    the daily-ingest shape: the corpus is never re-banded and never

@@ -180,6 +180,24 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(10L, 12L, 13L)) // 11 collapses into 10's family
   }
 
+  test("knnLabel: majority vote over cell neighbors, ties to the smallest label") {
+    val cents = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // cell-1 rows rank (cos desc, id asc): 200, 201 (both round to
+    // cos 1.0 — id breaks the tie), then 202 (0.9999); 203 is in cell 2
+    val corpus = Seq(
+      (200L, Seq(1.0f, 0.01f), 7), (201L, Seq(1.0f, 0.02f), 3),
+      (202L, Seq(1.0f, 0.03f), 7), (203L, Seq(0.0f, 1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, Seq(1.0f, 0.015f))).toDF("vec_id", "embedding")
+    def pred(k: Int) = Similarity.knnLabel(queries, corpus,
+      "vec_id", "embedding", "label", cents, "vec_id", k = k, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // k=3: all three cell-1 rows vote → 7 wins 2:1
+    assert(pred(3).toSeq == Seq((100L, 7, 2L)))
+    // k=2: neighbors 200 (7) and 201 (3) — a 1-1 tie breaks to label 3
+    assert(pred(2).toSeq == Seq((100L, 3, 1L)))
+  }
+
   test("salted join and salted agg: identical results to the plain forms on skewed data") {
     // 90% of rows share one key — the hot-key shape salting exists for
     val big = ((1 to 900).map(_ => (1L, "hot")) ++ (1 to 100).map(i => (i.toLong % 7 + 2, s"v$i")))

@@ -56,6 +56,21 @@ object Sharding {
     df.filter(hashBucket1000(col(keyCol)) < rate)
   }
 
+  /** Temperature-flattened keep-rates (permille) from stratum counts —
+    * the multilingual-mix math: dominant strata are down-sampled toward
+    * uniform, the rarest stratum keeps 100%. This is the α = 0.5 point
+    * of the standard `p_i^α` temperature family, computed as
+    * `round(1000 · sqrt(min_count / count_i))` — deliberately sqrt, NOT
+    * pow: IEEE sqrt is correctly rounded on every platform, so Spark and
+    * any SQL oracle derive bit-identical rates (pow differs by ulps
+    * across libm implementations, which flips a floor/round on a
+    * boundary). Feed the result straight into [[sampleStratified]]. */
+  def flattenedKeepPermille(counts: Map[String, Long]): Map[String, Int] = {
+    require(counts.nonEmpty && counts.values.forall(_ > 0), "need positive stratum counts")
+    val m = counts.values.min.toDouble
+    counts.map { case (s, n) => s -> math.round(1000.0 * math.sqrt(m / n)).toInt }
+  }
+
   /** Sequence-packing assignment — the step between sharding and the
     * trainer: per shard, documents are concatenated in id order and
     * chunked into fixed `seqLen`-token packs (the standard pretraining

@@ -161,6 +161,36 @@ object DataPipelineQueries {
           .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // ── Temperature-flattened mixing: keep-rates DERIVED from the
+    //    corpus itself (α = 0.5 of the p^α family, via correctly-rounded
+    //    sqrt so both engines compute identical rates) — dominant langs
+    //    down-sample toward uniform, the rarest keeps 100%. ──
+    QueryDef.sql(
+      "pipeline_sample_temperature",
+      """WITH n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS cnt FROM documents GROUP BY 1),
+        |r AS (SELECT lang,
+        |        CAST(round(1000 * sqrt((SELECT min(cnt) FROM n) / cnt)) AS INTEGER) AS permille
+        |      FROM n),
+        |a AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(text),1,8)[i]) - 1)
+        |                         * power(16, 8 - i) for i in range(1,9) ]) AS BIGINT)
+        |         % 1000 AS INTEGER) AS bkt
+        |  FROM documents)
+        |SELECT a.doc_id, a.lang FROM a JOIN r USING (lang)
+        |WHERE a.bkt < r.permille
+        |ORDER BY a.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        // stratum counts are tiny (|langs| rows) — driver-derived rates,
+        // then the same one-predicate sampling scan as pipeline_sample_mix
+        val counts = docs.groupBy("lang").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        Sharding.sampleStratified(docs, "text", "lang",
+            Sharding.flattenedKeepPermille(counts))
+          .select("doc_id", "lang").orderBy("doc_id")
+    },
+
     // ── Sequence packing: per shard, documents concatenate in id order
     //    and chunk into fixed 256-token packs (the standard pretraining
     //    layout — docs spanning a cut straddle two packs). Pure integer

@@ -180,6 +180,17 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(10L, 12L, 13L)) // 11 collapses into 10's family
   }
 
+  test("flattenedKeepPermille: rarest stratum keeps 1000‰, dominant flattens by sqrt") {
+    val rates = Sharding.flattenedKeepPermille(Map("en" -> 400L, "de" -> 100L, "zh" -> 25L))
+    assert(rates("zh") == 1000)                       // rarest keeps all
+    assert(rates("de") == 500)                        // sqrt(25/100) = 1/2
+    assert(rates("en") == 250)                        // sqrt(25/400) = 1/4
+    // expected post-sample mass ratio en:de:zh = 100:50:25 — flattened
+    // from 16:4:1 toward uniform but order-preserving
+    intercept[IllegalArgumentException](Sharding.flattenedKeepPermille(Map.empty))
+    intercept[IllegalArgumentException](Sharding.flattenedKeepPermille(Map("x" -> 0L)))
+  }
+
   test("knnLabel: majority vote over cell neighbors, ties to the smallest label") {
     val cents = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
     // cell-1 rows rank (cos desc, id asc): 200, 201 (both round to

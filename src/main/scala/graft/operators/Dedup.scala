@@ -118,6 +118,37 @@ object Dedup {
       shd(newDocs), corpusBuckets, shd(corpusDocs))
   }
 
+  /** Within-corpus LSH pairs from PRECOMPUTED parts: `bandIdx` is a
+    * [[bandIndex]]-shaped frame, `shingles` is (doc, shd) in whatever
+    * gram representation the caller stores (raw or hashed — Jaccard is
+    * representation-blind as long as both rows use the same one). The
+    * streaming path computes both ONCE per batch and reuses them for
+    * pairing, cross-batch checks, and index storage; [[lshCandidatePairs]]
+    * keeps its candidate-only re-shingle form, which is the right shape
+    * when shingle sets are NOT otherwise needed. */
+  def lshPairsFrom(bandIdx: DataFrame, shingles: DataFrame,
+                   maxBucket: Int = 1000,
+                   droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val docs = col("docs")
+    val pairs = bandIdx
+      .groupBy("band_idx", "band_hash")
+      .agg(graft.expressions.BoundedCollect
+        .boundedSortedCollect(col("doc"), maxBucket, droppedAcc).as("docs"))
+      .filter(size(docs) >= 2)
+      .select(explode(flatten(transform(docs, (x, i) =>
+        transform(slice(docs, i + 2, size(docs)),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+    def side(s: String) = shingles.select(col("doc").as(s), col("shd").as(s"sh_$s"))
+    pairs
+      .join(side("doc_a"), Seq("doc_a"))
+      .join(side("doc_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        round(jaccard(col("sh_doc_a"), col("sh_doc_b")), 4).as("jaccard"))
+  }
+
   /** [[incrementalLshPairs]] from PRECOMPUTED parts — the streaming face
     * ([[graft.streaming.StreamingDedup]]) passes the stored corpus
     * shingle sets so corpus TEXT is never re-read. Both shingle frames

@@ -56,9 +56,21 @@ object StreamingDedup {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    // Hash the batch ONCE: the band index and the hashed shingle sets are
+    // needed for pairing (1), the cross-batch check (2), AND the stored
+    // index entries (3) — materialize them here and derive every stage by
+    // (broadcast-sized) semi-joins instead of re-tokenizing per stage.
+    // localCheckpoint: materialized AND lineage-truncated, so the three
+    // consumers share the work without re-planning the hash pipeline.
+    val batchBands = Dedup.bandIndex(batch, idCol, textCol, shingleN, k, bands)
+      .localCheckpoint()
+    val batchShd = hashedShingles(batch, idCol, textCol, shingleN).localCheckpoint()
+    def forDocs(df: DataFrame, ids: DataFrame) =
+      df.join(broadcast(ids.select(col(idCol).as("doc"))), Seq("doc"), "left_semi")
+
     // (1) within-batch: full pipeline, first (smallest id) copy wins
-    val withinPairs = Dedup.lshCandidatePairs(batch, idCol, textCol,
-      shingleN, k, bands, maxBucket).filter(col("jaccard") >= minJaccard)
+    val withinPairs = Dedup.lshPairsFrom(batchBands, batchShd, maxBucket)
+      .filter(col("jaccard") >= minJaccard)
     val canon = Dedup.keepCanonical(batch, idCol, Dedup.duplicateClusters(withinPairs))
 
     // (2) cross-batch: candidates from earlier batches' stored bands,
@@ -68,13 +80,13 @@ object StreamingDedup {
     // the per-batch cost is one column-pruned index scan — never an
     // O(corpus-index) shuffle to re-bucket rows no batch band touches.
     val (priorBands, priorShd) = readIndex(spark, indexDir, belowBatch = Some(batchId))
-    val newBands = Dedup.bandIndex(canon, idCol, textCol, shingleN, k, bands)
-    val newShd = hashedShingles(canon, idCol, textCol, shingleN)
+    val canonBands = forDocs(batchBands, canon)
     val touched = priorBands.join(
-      broadcast(newBands.select("band_idx", "band_hash").distinct()),
+      broadcast(canonBands.select("band_idx", "band_hash").distinct()),
       Seq("band_idx", "band_hash"), "left_semi")
     val dupOfPrior = Dedup.incrementalLshPairsFrom(
-        newBands, newShd, Dedup.bandBuckets(touched, maxBucket), priorShd)
+        canonBands, forDocs(batchShd, canon),
+        Dedup.bandBuckets(touched, maxBucket), priorShd)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_new").as(idCol)).distinct()
     val survivors = canon.join(dupOfPrior, Seq(idCol), "left_anti")
@@ -83,11 +95,9 @@ object StreamingDedup {
       .localCheckpoint()
 
     // (3) append the survivors' index entries (idempotent per batch)
-    val sb = Dedup.bandIndex(survivors, idCol, textCol, shingleN, k, bands)
-      .withColumn("batch", lit(batchId))
-    sb.write.mode("overwrite").partitionBy("batch").parquet(s"$indexDir/bands")
-    hashedShingles(survivors, idCol, textCol, shingleN)
-      .withColumn("batch", lit(batchId))
+    forDocs(batchBands, survivors).withColumn("batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$indexDir/bands")
+    forDocs(batchShd, survivors).withColumn("batch", lit(batchId))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$indexDir/shingles")
     survivors
   }

@@ -105,7 +105,11 @@ final class MetaLog(rootDir: String, val checkpointInterval: Int = 64) {
     val head = (recs.keySet ++ cps.keySet).foldLeft(-1L)(math.max)
     if (version > head) throw new IllegalArgumentException(
       s"version $version is beyond the log head $head")
-    if (version < 0)
+    // -1 is the ONE legacy pre-log version; any other negative is a
+    // caller bug, not a request for the base state.
+    if (version < -1) throw new IllegalArgumentException(
+      s"version $version is not a log version (the legacy base is -1)")
+    if (version == -1)
       return if (Files.exists(legacyPath)) parseObjFile(legacyPath) else Map.empty
     val baseV = cps.keySet.filter(_ <= version).maxOption
     var st: Map[String, String] = baseV match {
@@ -116,7 +120,18 @@ final class MetaLog(rootDir: String, val checkpointInterval: Int = 64) {
     }
     (baseV.getOrElse(-1L) + 1 to version).foreach { v =>
       recs.get(v) match {
-        case Some(p) => st = applyRecordFile(st, p)
+        case Some(p) =>
+          // A concurrent writer's checkpoint trim can delete the record
+          // BETWEEN our listing and this read — same retention-horizon
+          // condition as a missing listing, same error.
+          st =
+            try applyRecordFile(st, p)
+            catch {
+              case e: java.nio.file.NoSuchFileException =>
+                throw new IllegalStateException(
+                  s"version $version is older than the retention horizon " +
+                    s"(record $v trimmed by checkpointing during the read)", e)
+            }
         case None => throw new IllegalStateException(
           s"version $version is older than the retention horizon (record $v trimmed by checkpointing)")
       }

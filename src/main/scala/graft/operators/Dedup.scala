@@ -79,12 +79,16 @@ object Dedup {
     * — what an incremental pipeline persists once per corpus so a new
     * batch never re-bands old documents ([[incrementalLshPairs]]). */
   def bandIndex(df: DataFrame, idCol: String, textCol: String,
-                shingleN: Int, k: Int, bands: Int): DataFrame =
+                shingleN: Int, k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k) — " +
+        "a remainder would silently ignore the trailing signature slots")
     minhashSignatures(df, idCol, textCol, shingleN, k)
       .filter(col("sig").isNotNull)
       .select(col("doc"),
         posexplode(bandHashes(col("sig"), bands, k / bands))
           .as(Seq("band_idx", "band_hash")))
+  }
 
   /** [[bandIndex]] pre-aggregated into capped buckets: (band_idx,
     * band_hash, docs) with each bucket holding its `maxBucket` smallest
@@ -111,6 +115,8 @@ object Dedup {
       newDocs: DataFrame, idCol: String, textCol: String,
       corpusBuckets: DataFrame, corpusDocs: DataFrame,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     def shd(df: DataFrame) = df.select(col(idCol).as("doc"),
       array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("shd"))
     incrementalLshPairsFrom(

@@ -52,7 +52,8 @@ object StreamingDedup {
     * on static frames (spec-pinned) or via [[attach]]. */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
                    indexDir: String, shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-                   minJaccard: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+                   minJaccard: Double = 0.8, maxBucket: Int = 1000,
+                   droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -69,7 +70,7 @@ object StreamingDedup {
       df.join(broadcast(ids.select(col(idCol).as("doc"))), Seq("doc"), "left_semi")
 
     // (1) within-batch: full pipeline, first (smallest id) copy wins
-    val withinPairs = Dedup.lshPairsFrom(batchBands, batchShd, maxBucket)
+    val withinPairs = Dedup.lshPairsFrom(batchBands, batchShd, maxBucket, droppedAcc)
       .filter(col("jaccard") >= minJaccard)
     val canon = Dedup.keepCanonical(batch, idCol, Dedup.duplicateClusters(withinPairs))
 
@@ -86,7 +87,7 @@ object StreamingDedup {
       Seq("band_idx", "band_hash"), "left_semi")
     val dupOfPrior = Dedup.incrementalLshPairsFrom(
         canonBands, forDocs(batchShd, canon),
-        Dedup.bandBuckets(touched, maxBucket), priorShd)
+        Dedup.bandBuckets(touched, maxBucket, droppedAcc), priorShd)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_new").as(idCol)).distinct()
     val survivors = canon.join(dupOfPrior, Seq(idCol), "left_anti")
@@ -108,10 +109,17 @@ object StreamingDedup {
   def readIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                 belowBatch: Option[Long] = None): (DataFrame, DataFrame) = {
     import spark.implicits._
-    def readOr(path: String, empty: => DataFrame): DataFrame =
-      if (new java.io.File(path).exists())
+    // Existence through Hadoop's FileSystem, not java.io.File: the index
+    // lives in durable storage, and on HDFS/S3 a local-file check is
+    // always false — the stored index would silently read as empty and
+    // cross-batch dedup would silently stop.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    def readOr(path: String, empty: => DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (p.getFileSystem(hadoopConf).exists(p))
         belowBatch.foldLeft(spark.read.parquet(path))((df, b) => df.filter(col("batch") < b))
       else empty
+    }
     (readOr(s"$indexDir/bands",
         Seq.empty[(Long, Int, String)].toDF("doc", "band_idx", "band_hash")),
       readOr(s"$indexDir/shingles",
@@ -123,12 +131,13 @@ object StreamingDedup {
   def attach(docs: DataFrame, idCol: String, textCol: String,
              indexDir: String, outDir: String, checkpointDir: String,
              shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-             minJaccard: Double = 0.8, maxBucket: Int = 1000): StreamingQuery =
+             minJaccard: Double = 0.8, maxBucket: Int = 1000,
+             droppedAcc: Option[org.apache.spark.util.LongAccumulator] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, indexDir,
-          shingleN, k, bands, minJaccard, maxBucket)
+          shingleN, k, bands, minJaccard, maxBucket, droppedAcc)
           .withColumn("batch", lit(batchId))
           .write.mode("overwrite").partitionBy("batch").parquet(outDir)
       }

@@ -15,17 +15,46 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MinHashThroughputProbe {
 
-  /** The round-3 family: slot i = min over shingles of md5(i ‖ "|" ‖ s). */
+  /** The round-3 family: slot i = min over shingles of md5(i ‖ "|" ‖ s).
+    *
+    * Byte-level shingle assembly MIRRORS [[MinHashImpl.eval]] (tokens
+    * decoded to bytes once, shingle built with arraycopy, no per-shingle
+    * strings) so the printed speedup isolates the ONE difference the probe
+    * claims to measure — k digests per shingle vs one — rather than
+    * conflating it with baseline allocation overhead. */
   private def kDigestEval(tokens: ArrayData, n: Int, k: Int): Array[Array[Byte]] = {
     val m = tokens.numElements()
     if (m < n) return null
     val md = java.security.MessageDigest.getInstance("MD5")
     val pfx = Array.tabulate(k)(i => s"$i|".getBytes("UTF-8"))
+    val toks = new Array[Array[Byte]](m)
+    var t = 0
+    while (t < m) {
+      toks(t) = if (tokens.isNullAt(t)) null else tokens.getUTF8String(t).getBytes
+      t += 1
+    }
     val mins = new Array[Array[Byte]](k)
     var j = 0
     while (j <= m - n) {
-      val sh = (j until j + n).map(tokens.getUTF8String(_).toString).mkString(" ")
-        .getBytes("UTF-8")
+      var len = 0
+      var c = 0
+      while (c < n) {
+        val tb = toks(j + c)
+        if (tb != null) len += (if (len > 0) 1 else 0) + tb.length
+        c += 1
+      }
+      val sh = new Array[Byte](len)
+      var pos = 0
+      c = 0
+      while (c < n) {
+        val tb = toks(j + c)
+        if (tb != null) {
+          if (pos > 0) { sh(pos) = ' '.toByte; pos += 1 }
+          System.arraycopy(tb, 0, sh, pos, tb.length)
+          pos += tb.length
+        }
+        c += 1
+      }
       var i = 0
       while (i < k) {
         md.reset(); md.update(pfx(i)); md.update(sh)

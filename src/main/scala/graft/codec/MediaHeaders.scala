@@ -1,0 +1,218 @@
+package graft.codec
+
+/** Dependency-free media-container header parsers: PNG (IHDR + APNG acTL),
+  * JPEG (SOFn), GIF (logical screen descriptor + frame count), WAV (fmt +
+  * data chunks). Pure byte arithmetic over the blob head — no codec
+  * libraries, no decompression — which is exactly the metadata a 100 TB
+  * media-curation scan needs (dimensions, frame counts, audio geometry)
+  * at zero decode cost.
+  *
+  * `parse` sniffs the magic number and dispatches; a blob that is not one
+  * of the four containers — or that IS one but is truncated/malformed
+  * before its header fields — returns None, and the caller decides the
+  * fallback ([[graft.operators.Multimodal]] keeps its deterministic fake
+  * for exactly that path, preserving the synthetic-fixture contract).
+  *
+  * All parsers bound every read (no exceptions on truncated input) and
+  * never scan more than the header region plus, for GIF frame counting
+  * and WAV chunk walking, a linear block walk bounded by the blob length.
+  */
+object MediaHeaders {
+
+  /** Parsed container metadata. Image formats fill width/height/nFrames
+    * (+ bitDepth/channels); WAV fills channels/bitDepth/sampleRate/
+    * durationMs and counts sample frames in nFrames. */
+  final case class MediaMeta(
+      format: String,
+      width: Option[Int] = None,
+      height: Option[Int] = None,
+      nFrames: Option[Int] = None,
+      bitDepth: Option[Int] = None,
+      channels: Option[Int] = None,
+      sampleRate: Option[Int] = None,
+      durationMs: Option[Long] = None)
+
+  def parse(b: Array[Byte]): Option[MediaMeta] =
+    if (isPng(b)) parsePng(b)
+    else if (isJpeg(b)) parseJpeg(b)
+    else if (isGif(b)) parseGif(b)
+    else if (isWav(b)) parseWav(b)
+    else None
+
+  // ── byte readers (bounds-checked) ───────────────────────────────────
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  // ── PNG ─────────────────────────────────────────────────────────────
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a
+
+  /** IHDR is mandatory-first: width/height (big-endian 32), bit depth,
+    * color type → channel count. APNG's acTL chunk (before the first
+    * IDAT) carries num_frames; a plain PNG is one frame. */
+  private def parsePng(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 33 || tag(b, 12) != "IHDR") return None
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+    val depth = u8(b, 24)
+    val channels = u8(b, 25) match {
+      case 0 => 1 // greyscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette
+      case 4 => 2 // grey + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => return None
+    }
+    // chunk walk for acTL (stop at IDAT — acTL must precede it)
+    var frames = 1L
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= b.length) {
+      val len = be32(b, i)
+      val typ = tag(b, i + 4)
+      if (typ == "IDAT" || typ == "IEND") done = true
+      else if (typ == "acTL" && len >= 4 && i + 12 <= b.length) {
+        frames = be32(b, i + 8); done = true
+      }
+      if (len < 0 || len > Int.MaxValue - 12) done = true
+      else i += 12 + len.toInt // len + type + data + crc
+    }
+    Some(MediaMeta("png", width = Some(w.toInt), height = Some(h.toInt),
+      nFrames = Some(math.min(frames, Int.MaxValue).toInt),
+      bitDepth = Some(depth), channels = Some(channels)))
+  }
+
+  // ── JPEG ────────────────────────────────────────────────────────────
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 3 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8 && u8(b, 2) == 0xff
+
+  /** Marker walk to the first SOFn frame header: precision (bit depth),
+    * height, width, component count (channels). Standalone markers
+    * (TEM, RSTn) carry no length; everything else is big-endian
+    * length-prefixed. */
+  private def parseJpeg(b: Array[Byte]): Option[MediaMeta] = {
+    var i = 2
+    while (i + 4 <= b.length) {
+      if (u8(b, i) != 0xff) return None // lost sync
+      var m = u8(b, i + 1)
+      var j = i + 1
+      while (m == 0xff && j + 1 < b.length) { j += 1; m = u8(b, j) } // fill bytes
+      val at = j + 1
+      m match {
+        case 0x01 | 0xd0 | 0xd1 | 0xd2 | 0xd3 | 0xd4 | 0xd5 | 0xd6 | 0xd7 =>
+          i = at // standalone
+        case 0xd9 => return None // EOI before any SOF
+        case sof if (sof >= 0xc0 && sof <= 0xcf) && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          if (at + 7 > b.length) return None
+          val depth = u8(b, at + 2)
+          val h = be16(b, at + 3); val w = be16(b, at + 5)
+          val comps = if (at + 8 <= b.length) u8(b, at + 7) else return None
+          if (w == 0 || h == 0) return None
+          return Some(MediaMeta("jpeg", width = Some(w), height = Some(h),
+            nFrames = Some(1), bitDepth = Some(depth), channels = Some(comps)))
+        case _ =>
+          if (at + 2 > b.length) return None
+          val len = be16(b, at)
+          if (len < 2) return None
+          i = at + len
+      }
+    }
+    None
+  }
+
+  // ── GIF ─────────────────────────────────────────────────────────────
+
+  def isGif(b: Array[Byte]): Boolean =
+    b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** Logical screen descriptor (little-endian 16-bit dims) + a block walk
+    * counting image descriptors — the real frame count for animated GIFs.
+    * Color resolution bits give the original palette bit depth. */
+  private def parseGif(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 13) return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w == 0 || h == 0) return None
+    val flags = u8(b, 10)
+    val depth = ((flags >> 4) & 0x7) + 1
+    var i = 13
+    if ((flags & 0x80) != 0) i += 3 * (1 << ((flags & 0x7) + 1)) // global color table
+    var frames = 0
+    var done = false
+    def skipSubBlocks(start: Int): Int = {
+      var p = start
+      while (p < b.length && u8(b, p) != 0) p += 1 + u8(b, p)
+      p + 1 // past the terminator
+    }
+    while (!done && i < b.length) {
+      u8(b, i) match {
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) { done = true }
+          else {
+            frames += 1
+            val lflags = u8(b, i + 9)
+            var p = i + 10
+            if ((lflags & 0x80) != 0) p += 3 * (1 << ((lflags & 0x7) + 1))
+            p += 1 // LZW minimum code size
+            i = skipSubBlocks(p)
+          }
+        case 0x21 => // extension: introducer, label, sub-blocks
+          i = skipSubBlocks(i + 2)
+        case 0x3b => done = true // trailer
+        case _ => done = true // malformed past the frames we already saw
+      }
+    }
+    if (frames == 0) frames = 1 // header-only blob: LSD still describes one image
+    Some(MediaMeta("gif", width = Some(w), height = Some(h),
+      nFrames = Some(frames), bitDepth = Some(depth)))
+  }
+
+  // ── WAV ─────────────────────────────────────────────────────────────
+
+  def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** RIFF chunk walk: `fmt ` gives channels / sample rate / bits per
+    * sample; `data` size over block align gives the sample-frame count,
+    * and frames over rate the duration. Chunks are even-padded. */
+  private def parseWav(b: Array[Byte]): Option[MediaMeta] = {
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1; var blockAlign = -1
+    var dataSize = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val id = tag(b, i)
+      val size = le32(b, i + 4)
+      if (size < 0) return None
+      if (id == "fmt " && size >= 16 && i + 24 <= b.length) {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        blockAlign = le16(b, i + 20)
+        bits = le16(b, i + 22)
+      } else if (id == "data") {
+        // size may describe bytes beyond this blob (header-only sample) —
+        // the declared size is still the authoritative frame count
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // even padding
+    }
+    if (channels <= 0 || rate <= 0) return None
+    val frames =
+      if (dataSize >= 0 && blockAlign > 0) Some(math.min(dataSize / blockAlign, Int.MaxValue).toInt)
+      else None
+    val durMs = frames.map(f => f.toLong * 1000L / rate)
+    Some(MediaMeta("wav", nFrames = frames, bitDepth = Some(bits).filter(_ > 0),
+      channels = Some(channels), sampleRate = Some(rate), durationMs = durMs))
+  }
+}

@@ -8,22 +8,33 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, batch-shaped decode / feature-extract /
   * frame-sample stages over `mapPartitions`.
   *
-  * The actual media codecs are NOT in this environment, so the decode step
-  * is a clearly-marked deterministic STUB (`stubDecode`) — what is real and
-  * tested is everything Spark cares about: the schema contract, the
-  * per-partition batch shape (decoder state is initialized once per
-  * partition, not per row — the expensive part with a real codec), the
-  * pushdown-friendly metadata columns, and the binary-safe expressions.
+  * The decode step is REAL for the four common containers — PNG, JPEG,
+  * GIF, WAV — via [[graft.codec.MediaHeaders]] (dependency-free header
+  * parsing: dimensions, frame counts, audio geometry, no decompression).
+  * Blobs whose magic number matches none of those (including this repo's
+  * synthetic text-byte fixtures) fall back to a clearly-marked
+  * deterministic stub (`stubDecode`), preserving the fixture contract the
+  * DuckDB oracles pin. Pixel/sample DECODING (which needs codec libraries
+  * absent from this environment) is still out of scope; the per-partition
+  * batch shape is exactly where such a codec would initialize.
   */
 object Multimodal {
 
-  /** Metadata schema extracted from a media blob. */
+  /** Metadata schema extracted from a media blob. The first five fields
+    * are the original image-shaped contract; the tail carries the real
+    * parser's extras (container name, audio geometry) and is null on the
+    * stub path and for fields a format doesn't have. */
   val MediaMetaSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType, nullable = false),
     StructField("format_sig", StringType, nullable = true), // first-4-bytes hex
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
-    StructField("n_frames", IntegerType, nullable = true)))
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("format", StringType, nullable = true), // png|jpeg|gif|wav, null = stub
+    StructField("bit_depth", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
 
   /** Column-only metadata: byte length + hex signature of the first 4
     * bytes (magic-number sniffing) — pure expressions, codegen'd,
@@ -34,12 +45,11 @@ object Multimodal {
   private def expr_substr(blob: org.apache.spark.sql.Column) =
     substring(blob, 1, 4)
 
-  /** STUB decoder: deterministically derives (width, height, n_frames)
-    * from the blob bytes. A real deployment replaces ONLY the body of this
-    * function with an actual codec call; the partition/batch shape stays.
+  /** STUB decoder for blobs that are NOT a recognized media container:
+    * deterministically derives (width, height, n_frames) from the blob
+    * bytes, so synthetic fixtures (text bytes) stay oracle-reproducible.
     */
   private def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    // ??? real codec goes here — deterministic fake below
     val len = bytes.length
     val b0 = if (len > 0) bytes(0) & 0xff else 0
     val b1 = if (len > 1) bytes(1) & 0xff else 0
@@ -47,7 +57,9 @@ object Multimodal {
   }
 
   /** Decode stage: one decoder init per PARTITION (the batch shape that
-    * matters with a real codec lib), one struct row out per blob. */
+    * matters with a real codec lib), one struct row out per blob. Real
+    * header parsing for PNG/JPEG/GIF/WAV; deterministic stub for
+    * everything else (format column null marks the stub path). */
   def decodeMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(
@@ -61,8 +73,17 @@ object Multimodal {
         // NULL blob ≡ empty media (decoders never see a null pointer)
         val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
         val sig = blob.take(4).map("%02x".format(_)).mkString
-        val (w, h, f) = stubDecode(blob)
-        Row(id, blob.length.toLong, sig, w, h, f)
+        graft.codec.MediaHeaders.parse(blob) match {
+          case Some(m) =>
+            Row(id, blob.length.toLong, sig,
+              m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
+              m.nFrames.map(Int.box).orNull, m.format,
+              m.bitDepth.map(Int.box).orNull, m.channels.map(Int.box).orNull,
+              m.sampleRate.map(Int.box).orNull, m.durationMs.map(Long.box).orNull)
+          case None =>
+            val (w, h, f) = stubDecode(blob)
+            Row(id, blob.length.toLong, sig, w, h, f, null, null, null, null, null)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -587,6 +587,39 @@ object DedupSimilarityQueries {
           .orderBy("doc_id", "frame_idx")
     },
 
+    // ── REAL container decode, closed-loop: build genuine PNG/JPEG/GIF/
+    //    WAV blobs whose header fields are pure doc_id arithmetic
+    //    (graft.codec.MediaFixtures), parse them with the real header
+    //    parsers (graft.codec.MediaHeaders via decodeMeta), and let DuckDB
+    //    compute the expected fields from the same arithmetic WITHOUT
+    //    parsing — any endianness/offset bug in builder or parser breaks
+    //    the hash. ──────────────────────────────────────────────────────
+    QueryDef.sql(
+      "mm_real_decode",
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 4 < 3 THEN CAST(1 + doc_id % 640 AS INT) END AS width,
+        |  CASE WHEN doc_id % 4 < 3 THEN CAST(1 + doc_id % 480 AS INT) END AS height,
+        |  CAST(CASE doc_id % 4 WHEN 2 THEN 1 + doc_id % 3 WHEN 3 THEN 1 + doc_id % 50 ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 16 ELSE 8 END AS INT) AS bit_depth,
+        |  CASE doc_id % 4 WHEN 0 THEN CAST(3 AS INT) WHEN 1 THEN CAST(3 AS INT)
+        |       WHEN 3 THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 4 = 3 THEN CAST(8000 * (1 + doc_id % 5) AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 4 = 3
+        |       THEN CAST((1 + doc_id % 50) * 1000 // (8000 * (1 + doc_id % 5)) AS BIGINT) END AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.MediaFixtures.build(id))))
+          .toDF("doc_id", "blob")
+        Multimodal.decodeMeta(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("format"), col("width"),
+            col("height"), col("n_frames"), col("bit_depth"), col("channels"),
+            col("sample_rate"), col("duration_ms"))
+          .orderBy("doc_id")
+    },
+
     // ── Winnowing fingerprint set (char 8-grams, window 4): min-hash per
     //    sliding position window, deduped — window FRAMES (ROWS BETWEEN)
     //    on both engines. ──────────────────────────────────────────────

@@ -1,0 +1,126 @@
+package graft.codec
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import org.apache.spark.sql.Row
+
+/** Byte-accurate container fixtures through the real header parsers —
+  * and through the full decodeMeta stage, alongside a stub-path blob. */
+class MediaHeadersSpec extends SparkSpec {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** A genuine 1×1 RGBA PNG (the canonical minimal transparent pixel). */
+  private val png1x1 = hex(
+    "89504e470d0a1a0a" +
+      "0000000d49484452 0000000100000001 0806000000 1f15c489" +
+      "0000000d49444154 789c626001000000ffff0300 0006000557bfabd4" + // wrong crc is fine: not validated
+      "0000000049454e44 ae426082")
+
+  /** An APNG head: same IHDR, then an acTL chunk declaring 3 frames. */
+  private val apngHead = hex(
+    "89504e470d0a1a0a" +
+      "0000000d49484452 0000002000000010 0806000000 00000000" + // 32×16
+      "00000008 6163544c 00000003 00000000 00000000" + // acTL: num_frames=3, num_plays=0
+      "0000000049444154") // IDAT begins (no data needed)
+
+  /** Minimal JFIF JPEG: APP0 + SOF0 (8-bit, 3 components, 3 wide 2 high). */
+  private val jpegMin = hex(
+    "ffd8" +
+      "ffe0 0010 4a46494600 0101 00 0001 0001 00 00" + // APP0 JFIF, 16 bytes
+      "ffc0 0011 08 0002 0003 03 01 1100 02 1101 03 1101" + // SOF0 h=2 w=3, 3 comps
+      "ffd9")
+
+  /** Animated GIF89a: 4×5 screen, 2-entry global palette, two 1×1 frames. */
+  private val gifAnim = hex(
+    "474946383961" + // GIF89a
+      "0400 0500" + // logical screen 4×5 (LE)
+      "f0" + // flags: GCT present, color resolution 7+1=8 bits, GCT size 2^1=2
+      "00 00" + // bg color, aspect
+      "000000 ffffff" + // global color table (2 × RGB)
+      "21f9 04 00 0a00 00 00" + // graphic control extension (sub-block 4, term)
+      "2c 0000 0000 0100 0100 00" + "02" + "01 00" + "00" + // frame 1 + LZW + subblocks
+      "21f9 04 00 0a00 00 00" +
+      "2c 0000 0000 0100 0100 00" + "02" + "01 00" + "00" + // frame 2
+      "3b")
+
+  /** PCM WAV: stereo, 44.1 kHz, 16-bit, 400 data bytes = 100 frames. */
+  private val wavPcm: Array[Byte] = {
+    val data = new Array[Byte](400)
+    hex("52494646" + "24010000" + "57415645" + // RIFF, size 292 (not checked), WAVE
+      "666d7420 10000000" + // "fmt ", 16
+      "0100" + "0200" + "44ac0000" + "10b10200" + "0400" + "1000" + // PCM, 2ch, 44100, 4-align, 16-bit
+      "64617461 90010000") ++ data // "data", 400
+  }
+
+  test("png: IHDR dimensions, depth, channels; single frame") {
+    val m = MediaHeaders.parse(png1x1).get
+    assert(m == MediaHeaders.MediaMeta("png", width = Some(1), height = Some(1),
+      nFrames = Some(1), bitDepth = Some(8), channels = Some(4)))
+  }
+
+  test("apng: acTL frame count before IDAT") {
+    val m = MediaHeaders.parse(apngHead).get
+    assert((m.width, m.height, m.nFrames) == (Some(32), Some(16), Some(3)))
+  }
+
+  test("jpeg: SOF0 dimensions, precision, components behind APP0") {
+    val m = MediaHeaders.parse(jpegMin).get
+    assert(m == MediaHeaders.MediaMeta("jpeg", width = Some(3), height = Some(2),
+      nFrames = Some(1), bitDepth = Some(8), channels = Some(3)))
+  }
+
+  test("gif: LSD dimensions, palette depth, animated frame count") {
+    val m = MediaHeaders.parse(gifAnim).get
+    assert(m == MediaHeaders.MediaMeta("gif", width = Some(4), height = Some(5),
+      nFrames = Some(2), bitDepth = Some(8)))
+  }
+
+  test("wav: fmt geometry, data frame count, duration") {
+    val m = MediaHeaders.parse(wavPcm).get
+    assert(m == MediaHeaders.MediaMeta("wav", nFrames = Some(100),
+      bitDepth = Some(16), channels = Some(2), sampleRate = Some(44100),
+      durationMs = Some(100L * 1000 / 44100)))
+  }
+
+  test("unrecognized and truncated blobs parse to None") {
+    assert(MediaHeaders.parse("hello world".getBytes("UTF-8")).isEmpty)
+    assert(MediaHeaders.parse(Array.emptyByteArray).isEmpty)
+    assert(MediaHeaders.parse(png1x1.take(20)).isEmpty) // sig ok, IHDR cut
+    assert(MediaHeaders.parse(hex("ffd8ffd9")).isEmpty) // EOI before SOF
+    assert(MediaHeaders.parse(wavPcm.take(20)).isEmpty) // fmt cut
+  }
+
+  test("decodeMeta: real containers get real metadata, text falls to the stub") {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = true)))
+    val rows = Seq(
+      Row(1L, png1x1), Row(2L, jpegMin), Row(3L, gifAnim), Row(4L, wavPcm),
+      Row(5L, "just some text".getBytes("UTF-8")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = Multimodal.decodeMeta(df, "media_id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getAs[String]("format") == "png")
+    assert(out(1L).getAs[Int]("width") == 1 && out(1L).getAs[Int]("height") == 1)
+    assert(out(2L).getAs[String]("format") == "jpeg")
+    assert(out(2L).getAs[Int]("width") == 3 && out(2L).getAs[Int]("height") == 2)
+    assert(out(3L).getAs[String]("format") == "gif")
+    assert(out(3L).getAs[Int]("n_frames") == 2)
+    assert(out(4L).getAs[String]("format") == "wav")
+    assert(out(4L).getAs[Int]("sample_rate") == 44100)
+    assert(out(4L).getAs[Int]("n_frames") == 100)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("width"))) // audio has no pixels
+    // stub path: format null, fake dims follow the pinned byte arithmetic
+    val t = out(5L)
+    assert(t.isNullAt(t.fieldIndex("format")))
+    val bytes = "just some text".getBytes("UTF-8")
+    assert(t.getAs[Int]("width") == 16 + ((bytes(0) & 0xff) % 64) * 16)
+    assert(t.getAs[Int]("n_frames") == 1 + bytes.length % 30)
+  }
+}

@@ -237,7 +237,8 @@ class OperatorsSpec extends SparkSpec {
       col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
     val meta = Multimodal.decodeMeta(media, "doc_id", "blob")
     assert(meta.schema.fieldNames.toSeq ==
-      Seq("media_id", "byte_len", "format_sig", "width", "height", "n_frames"))
+      Seq("media_id", "byte_len", "format_sig", "width", "height", "n_frames",
+        "format", "bit_depth", "channels", "sample_rate", "duration_ms"))
     val m = meta.collect().map(r => r.getLong(0) -> r).toMap
     assert(m(1L).getAs[Long]("byte_len") == 11)
     assert(m(1L).getAs[String]("format_sig") == "68656c6c") // "hell"

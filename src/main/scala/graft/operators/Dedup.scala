@@ -267,12 +267,16 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
                         maxRounds: Int = 30,
                         driverEdgeLimit: Long = 4_000_000L): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the pair SKELETON exactly once, before anything fans
+    // out. The input plan is the expensive part (signature → banding →
+    // bucket join → Jaccard); referencing `pairs` from two union branches
+    // would run that whole pipeline twice in one job, and a later count
+    // gate + collect would pay more traversals still. localCheckpoint is
+    // eager and lineage-truncating: one job computes the generation
+    // pipeline, and the gate count, the driver collect, and the
+    // distributed loop all read the materialized two-column frame.
+    val skel = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint()
 
     // The pair graph is the dedup OUTPUT skeleton — usually minuscule
     // next to the corpus. Below `driverEdgeLimit` edges (a few tens of
@@ -281,13 +285,15 @@ object Dedup {
     // codegen compilation for three fresh plans (~seconds) regardless of
     // data size, while union-find on 10⁶ edges is milliseconds. The
     // distributed path remains the correctness-equivalent big-graph
-    // fallback (spec-pinned against the same results).
-    val isLongIds = edges.schema.fields.forall(f =>
+    // fallback (spec-pinned against the same results). Union-find needs
+    // neither symmetrized nor deduplicated edges, so the driver path
+    // skips the union+distinct shuffle entirely.
+    val isLongIds = skel.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (isLongIds && edges.count() <= driverEdgeLimit) {
+    if (isLongIds && skel.count() <= driverEdgeLimit) {
       import spark.implicits._
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      val es = skel.select(col("src").cast("long"), col("dst").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -305,9 +311,17 @@ object Dedup {
         }
       }
       val out = parent.keys.toSeq.sorted.map(d => (d, find(d)))
-      edges.unpersist()
       return out.toDF("doc", "cluster")
     }
+
+    // Distributed path: min-label propagation needs symmetric edges.
+    // The skeleton is already materialized, so this union+distinct is a
+    // shuffle over the (small) pair frame only.
+    import org.apache.spark.storage.StorageLevel
+    val edges = skel
+      .unionByName(skel.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Each round's result is localCheckpoint'ed (eager): the data is
     // materialized AND the logical plan is truncated to a LogicalRDD.

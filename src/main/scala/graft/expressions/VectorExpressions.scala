@@ -549,6 +549,14 @@ object VectorExpressions {
   def pqAdcScore(codes: Column, lut: Seq[Seq[Double]]): Column =
     Bridge.column(PQADCScore(Bridge.expression(codes), lut))
 
+  /** A query vector's ADC lookup table as data; see [[PQAdcLut]]. */
+  def pqAdcLut(qvec: Column, codebooks: Seq[Seq[Seq[Float]]], round4: Boolean): Column =
+    Bridge.column(PQAdcLut(Bridge.expression(qvec), codebooks, round4))
+
+  /** ADC score with the LUT as a column; see [[PQADCScoreDyn]]. */
+  def pqAdcScoreDyn(codes: Column, lut: Column): Column =
+    Bridge.column(PQADCScoreDyn(Bridge.expression(codes), Bridge.expression(lut)))
+
   /** SQL names (`graft_vector_dot`, `graft_cosine_sim`) for spark.sql use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier

@@ -596,4 +596,91 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
   }
+
+  /** BATCHED IVF top-k: the `k` nearest probed-cell corpus rows of EVERY
+    * query in a query SET, through ONE corpus scan — the shape a
+    * retrieval pipeline actually runs (N queries against a stored
+    * corpus), where looping [[ivfTopK]] would re-scan the corpus N times.
+    *
+    * Everything per-query rides the broadcast as DATA, not plan
+    * literals: the query's probe list is a column (`explode` of the
+    * n-nearest-centroid expression), its scoring payload is a column —
+    * the float vector, its SQ8 lattice, or its ADC lookup table
+    * ([[graft.expressions.PQAdcLut]]) when `pqCodebooks` selects the
+    * code tier. The corpus side is assigned + scored in one pass, and
+    * per-query top-k dies in the bounded heap aggregate (O(k) buffer,
+    * map-side partials) exactly like [[knnJoinBetween]] — no window, no
+    * per-query job. Returns (query_id, `idCol`, cos_sim|adc_score, rank);
+    * ties rank to the smaller id, matching the single-query forms.
+    */
+  def ivfTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, centroidIdCol: String,
+                   queries: DataFrame, queryIdCol: String,
+                   k: Int, probes: Int = 1,
+                   scoreQuantized: Boolean = false,
+                   coarseBranches: Int = 0,
+                   pqCodebooks: Option[Seq[Seq[Seq[Float]]]] = None): DataFrame = {
+    val cents: Seq[(Long, Seq[Float])] = centroids
+      .select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .toSeq
+    val twoLevel = Option.when(coarseBranches > 0)(
+      buildCoarseIndex(cents, nCoarse = math.ceil(math.sqrt(cents.size)).toInt))
+    def assignCol(n: Int): Column = twoLevel match {
+      case Some(idx) => topCentroidsTwoLevel(col(vecCol), idx, n, coarseBranches, round4 = true)
+      case None => topCentroids(col(vecCol), cents, n, round4 = true)
+    }
+
+    val (corpus, querySide, score, scoreName) = pqCodebooks match {
+      case Some(cb) =>
+        (df.select(col(idCol).as("_aid"), pqEncode(col(vecCol), cb).as("_pay"),
+            assignCol(1).getItem(0).as("_cid")),
+          queries.select(col(queryIdCol).as("query_id"),
+            graft.expressions.VectorExpressions.pqAdcLut(col(vecCol), cb, round4 = true).as("_qpay"),
+            explode(assignCol(probes)).as("_qcid")),
+          graft.expressions.VectorExpressions.pqAdcScoreDyn(col("_pay"), col("_qpay")),
+          "adc_score")
+      case None =>
+        val pay = if (scoreQuantized) quantizeInt8(col(vecCol)) else col(vecCol)
+        (df.select(col(idCol).as("_aid"), pay.as("_pay"), assignCol(1).getItem(0).as("_cid")),
+          queries.select(col(queryIdCol).as("query_id"), pay.as("_qpay"),
+            explode(assignCol(probes)).as("_qcid")),
+          if (scoreQuantized) cosineInt8(col("_pay"), col("_qpay"))
+          else cosine(col("_pay"), col("_qpay")),
+          "cos_sim")
+    }
+    batchTopK(corpus.join(broadcast(querySide), col("_cid") === col("_qcid")),
+      idCol, score, scoreName, k)
+  }
+
+  /** BATCHED full-scan ADC: every query's top-k over the whole code
+    * column in one scan — [[pqAdcTopK]] for a query set. The broadcast
+    * carries (query_id, LUT) rows; the corpus never shuffles and is read
+    * once (m bytes a row) for all N queries. */
+  def pqAdcTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+                     codebooks: Seq[Seq[Seq[Float]]],
+                     queries: DataFrame, queryIdCol: String, k: Int): DataFrame = {
+    val luts = queries.select(col(queryIdCol).as("query_id"),
+      graft.expressions.VectorExpressions.pqAdcLut(col(vecCol), codebooks, round4 = true).as("_qpay"))
+    val corpus = df.select(col(idCol).as("_aid"), pqEncode(col(vecCol), codebooks).as("_pay"))
+    batchTopK(corpus.crossJoin(broadcast(luts)), idCol,
+      graft.expressions.VectorExpressions.pqAdcScoreDyn(col("_pay"), col("_qpay")),
+      "adc_score", k)
+  }
+
+  /** Shared tail of the batch forms: round, per-query bounded top-k
+    * heap, explode to (query_id, id, score, rank). */
+  private def batchTopK(scored: DataFrame, idCol: String, score: Column,
+                        scoreName: String, k: Int): DataFrame =
+    scored
+      .select(col("query_id"), col("_aid"), round(score, 4).as("_s"))
+      .filter(col("_s").isNotNull)
+      .groupBy("query_id")
+      .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+        struct((-col("_s")).as("ns"), col("_aid")), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), col("_t._aid").as(idCol),
+        (-col("_t.ns")).as(scoreName),
+        (col("_pos") + 1).cast("int").as("rank"))
 }

@@ -427,6 +427,110 @@ object DedupSimilarityQueries {
           pqCodebooks = Some(Similarity.pqCodebooksFromRows(seedRows, m = 8)))
     },
 
+    // ── BATCHED IVF: a query SET (vecs 0-3) against one corpus scan,
+    //    probes=2, per-query top-5. Probe lists and query vectors ride
+    //    the broadcast as columns; per-query top-k dies in the bounded
+    //    heap. The oracle replays assignment + probing + ranking per
+    //    query with window functions. ──────────────────────────────────
+    QueryDef.sql(
+      "sim_ivf_batch",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |uq AS (SELECT q.qid, c.cid, unnest(q.qe) AS x, unnest(c.cv) AS y FROM q, c),
+        |sq AS (SELECT qid, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM uq GROUP BY 1, 2),
+        |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |       FROM sq),
+        |qp AS (SELECT qid, cid FROM rq WHERE rn <= 2),
+        |cand AS (SELECT qp.qid, a.vec_id FROM asg a JOIN qp ON a.cid = qp.cid),
+        |u2 AS (SELECT cand.qid, cand.vec_id, unnest(e.embedding) AS x, unnest(qe2.embedding) AS y
+        |       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+        |                 JOIN embeddings qe2 ON qe2.vec_id = cand.qid),
+        |s2 AS (SELECT qid, vec_id,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM u2 GROUP BY 1, 2),
+        |rk AS (SELECT qid, vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
+        |       FROM s2 WHERE na * nb > 0)
+        |SELECT qid AS query_id, vec_id, cos_sim, CAST(rn AS INT) AS "rank"
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKBatch(
+          emb.filter(col("vec_id") > 8), "vec_id", "embedding",
+          centroids = emb.filter(col("vec_id").between(1, 8)),
+          centroidIdCol = "vec_id",
+          queries = emb.filter(col("vec_id") < 4), queryIdCol = "vec_id",
+          k = 5, probes = 2)
+          .orderBy("query_id", "rank")
+    },
+
+    // ── BATCHED full-scan ADC: every query's LUT is DATA (PQAdcLut →
+    //    broadcast), scored against one pass over the code column
+    //    (PQADCScoreDyn) — N queries, one corpus scan, no per-query
+    //    plan. Same codebooks and lattice as sim_pq_adc_topk. ──────────
+    QueryDef.sql(
+      "sim_pq_adc_batch",
+      """WITH cb AS (SELECT vec_id - 1 AS code, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+        |js AS (SELECT CAST(range AS INT) AS j FROM range(8)),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 16),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+        |u AS (SELECT c.vec_id, js.j, cb.code,
+        |        unnest(list_slice(c.embedding, js.j*8+1, js.j*8+8)) AS x,
+        |        unnest(list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS y
+        |      FROM corpus c, js, cb),
+        |d AS (SELECT vec_id, j, code,
+        |        round(sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 4) AS l2
+        |      FROM u GROUP BY 1, 2, 3),
+        |asg AS (SELECT vec_id, j, code FROM (
+        |          SELECT vec_id, j, code,
+        |            row_number() OVER (PARTITION BY vec_id, j ORDER BY l2, code) AS rn FROM d)
+        |        WHERE rn = 1),
+        |lu AS (SELECT q.qid, js.j, cb.code,
+        |        unnest(list_slice(q.qe, js.j*8+1, js.j*8+8)) AS x,
+        |        unnest(list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS y
+        |      FROM q, js, cb),
+        |lut AS (SELECT qid, j, code, round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS term
+        |        FROM lu GROUP BY 1, 2, 3),
+        |sc AS (SELECT l.qid, a.vec_id, round(sum(l.term), 4) AS adc_score
+        |       FROM asg a JOIN lut l ON a.j = l.j AND a.code = l.code
+        |       GROUP BY 1, 2),
+        |rk AS (SELECT qid, vec_id, adc_score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY adc_score DESC, vec_id) AS rn
+        |       FROM sc)
+        |SELECT qid AS query_id, vec_id, adc_score, CAST(rn AS INT) AS "rank"
+        |FROM rk WHERE rn <= 10 ORDER BY query_id, "rank"""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val seedRows = emb.filter(col("vec_id").between(1, 16)).orderBy("vec_id")
+          .select(col("embedding").cast("array<float>"))
+          .collect().map(_.getSeq[Float](0).toSeq).toSeq
+        Similarity.pqAdcTopKBatch(
+          emb.filter(col("vec_id") > 16), "vec_id", "embedding",
+          Similarity.pqCodebooksFromRows(seedRows, m = 8),
+          queries = emb.filter(col("vec_id") < 4), queryIdCol = "vec_id",
+          k = 10)
+          .orderBy("query_id", "rank")
+    },
+
     // ── PQ/ADC: the compression tier (m=8 bytes per vector, 32× vs
     //    float32). Codebooks are the first 16 corpus rows sliced into 8
     //    subspaces (deterministic + SQL-expressible, so the WHOLE

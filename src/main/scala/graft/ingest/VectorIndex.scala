@@ -1,0 +1,170 @@
+package graft.ingest
+
+import graft.codec.CanonicalJson
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stored, versioned ANN index objects inside a [[TableStore]] — the
+  * lifecycle a 100 TB deployment needs: train ONCE, publish, and serve
+  * every later query/batch from the stored artifact instead of
+  * re-collecting or re-training per call.
+  *
+  * Layout (same publish discipline as the append-table manifests):
+  *   - payloads are IMMUTABLE parquet dirs under
+  *     `<root>/_vecindex/<name>/<uuid>/` — `centroids/` (centroid_id,
+  *     vec) and, when the PQ tier is trained, `codebooks/`
+  *     (j, code, cv);
+  *   - the CURRENT version is one metastate key `vecindex.<name>`
+  *     holding canonical JSON (dir, nlist, m, dims) — published through
+  *     the metadata log's atomic append, so an index flip is one commit
+  *     and a reader either sees the old complete index or the new one,
+  *     never a half-written dir;
+  *   - because the pointer lives in the log, `loadAt(metaVersion)` reads
+  *     the index AS OF any retained log version (snapshot consistency
+  *     with the rest of the store — the same `stateAt` machinery as
+  *     time-travel table reads), and table compaction/vacuum never
+  *     touches `_vecindex` payloads.
+  *
+  * The coarse (two-level) index is NOT stored: it derives
+  * deterministically from the centroid list in milliseconds
+  * ([[Similarity.buildCoarseIndex]]), so storing it would only create a
+  * second artifact to keep consistent.
+  */
+object VectorIndex {
+
+  def metaKey(name: String): String = s"vecindex.$name"
+
+  /** One loaded (driver-resident) index version: the centroid list, the
+    * optional PQ codebooks, and the payload handle. Centroids and
+    * codebooks are nlist×dims / m×k×(dims/m) floats — index metadata,
+    * not data; the corpus itself never moves. */
+  final case class Loaded(
+      name: String,
+      dir: String,
+      centroids: Seq[(Long, Seq[Float])],
+      codebooks: Option[Seq[Seq[Seq[Float]]]]) {
+    def nlist: Int = centroids.size
+    def dims: Int = centroids.headOption.map(_._2.length).getOrElse(0)
+  }
+
+  /** Train and publish version `name`: Lloyd's centroids over the corpus
+    * (`iters = 0` keeps the deterministic first-`nlist`-rows seed — the
+    * oracle-expressible form), plus PQ codebooks when `pqM > 0`.
+    * Retraining under the same name publishes a NEW payload dir and
+    * atomically flips the pointer; old dirs stay readable for
+    * `loadAt` until explicitly removed. */
+  def train(store: TableStore, name: String, df: DataFrame,
+            idCol: String, vecCol: String, nlist: Int, iters: Int = 3,
+            pqM: Int = 0, pqK: Int = 256): Loaded = {
+    val centroids = Similarity.trainCentroids(df, idCol, vecCol, nlist, iters)
+      .select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).cast("array<float>").as("vec"))
+    val codebooks = Option.when(pqM > 0)(
+      Similarity.trainPqCodebooks(df, vecCol, m = pqM, k = pqK))
+    publish(store, name, centroids, codebooks)
+  }
+
+  /** Publish a caller-supplied centroid frame (and optional codebooks)
+    * as version `name` — the path for externally-trained or
+    * seed-row-derived indexes. */
+  def publish(store: TableStore, name: String, centroids: DataFrame,
+              codebooks: Option[Seq[Seq[Seq[Float]]]] = None): Loaded = {
+    val dir = s"${store.root}/_vecindex/$name/${java.util.UUID.randomUUID().toString.take(8)}"
+    val cents = centroids
+      .select(col(centroids.columns.head).cast("long").as("centroid_id"),
+        col(centroids.columns(1)).cast("array<float>").as("vec"))
+    cents.write.mode("errorifexists").parquet(s"$dir/centroids")
+    codebooks.foreach { cb =>
+      val rows = for {
+        (sub, j) <- cb.zipWithIndex
+        (cv, code) <- sub.zipWithIndex
+      } yield (j, code, cv)
+      val spark = store.spark
+      import spark.implicits._
+      rows.toDF("j", "code", "cv")
+        .select(col("j"), col("code"), col("cv").cast("array<float>").as("cv"))
+        .write.mode("errorifexists").parquet(s"$dir/codebooks")
+    }
+    val collected = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+    import CanonicalJson._
+    val meta = render(JObj.of(
+      "dir" -> JStr(dir),
+      "nlist" -> JStr(collected.size.toString),
+      "m" -> JStr(codebooks.map(_.size).getOrElse(0).toString),
+      "dims" -> JStr(collected.headOption.map(_._2.length).getOrElse(0).toString)))
+    store.putMetastate(metaKey(name) -> meta)
+    Loaded(name, dir, collected, codebooks)
+  }
+
+  /** The CURRENT version of index `name`. */
+  def load(store: TableStore, name: String): Loaded =
+    loadFromMeta(store, name, store.metastate)
+
+  /** Index `name` AS OF metadata-log version `metaVersion` — snapshot-
+    * consistent with `readAsOf`/`createViewsAsOf` at the same version. */
+  def loadAt(store: TableStore, name: String, metaVersion: Long): Loaded =
+    loadFromMeta(store, name, store.metastateAt(metaVersion))
+
+  private def loadFromMeta(store: TableStore, name: String,
+                           meta: Map[String, String]): Loaded = {
+    import CanonicalJson._
+    val json = meta.getOrElse(metaKey(name),
+      throw new IllegalArgumentException(s"no stored vector index '$name'"))
+    val obj = parse(json).asObj
+    val dir = obj("dir").str
+    val m = obj("m").str.toInt
+    val cents = store.spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+    val cb = Option.when(m > 0) {
+      val rows = store.spark.read.parquet(s"$dir/codebooks")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toSeq))
+      (0 until m).map(j =>
+        rows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq)
+    }
+    Loaded(name, dir, cents, cb)
+  }
+
+  /** Single-query IVF top-k through stored index `name` (current
+    * version): no training, no per-call centroid collect from the
+    * corpus — the call is the probed scan only. */
+  def ivfTopK(store: TableStore, name: String,
+              df: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, k: Int, probes: Int = 1,
+              scoreQuantized: Boolean = false,
+              coarseBranches: Int = 0,
+              usePq: Boolean = false): DataFrame = {
+    val idx = load(store, name)
+    Similarity.ivfTopK(df, idCol, vecCol,
+      centroidFrame(store, idx, vecCol), "centroid_id", query, k, probes,
+      scoreQuantized, coarseBranches,
+      pqCodebooks = if (usePq) idx.codebooks else None)
+  }
+
+  /** Batched form through the stored index — one corpus scan per query
+    * set, index artifacts straight from the store. */
+  def ivfTopKBatch(store: TableStore, name: String,
+                   df: DataFrame, idCol: String, vecCol: String,
+                   queries: DataFrame, queryIdCol: String,
+                   k: Int, probes: Int = 1,
+                   scoreQuantized: Boolean = false,
+                   coarseBranches: Int = 0,
+                   usePq: Boolean = false): DataFrame = {
+    val idx = load(store, name)
+    Similarity.ivfTopKBatch(df, idCol, vecCol,
+      centroidFrame(store, idx, vecCol), "centroid_id", queries, queryIdCol, k, probes,
+      scoreQuantized, coarseBranches,
+      pqCodebooks = if (usePq) idx.codebooks else None)
+  }
+
+  /** The loaded centroid list as a frame whose vector column carries the
+    * CALLER's column name (the Similarity APIs read the same `vecCol`
+    * from corpus and centroid frames). */
+  private def centroidFrame(store: TableStore, idx: Loaded, vecCol: String): DataFrame = {
+    val spark = store.spark
+    import spark.implicits._
+    idx.centroids.toDF("centroid_id", "vec")
+      .select(col("centroid_id"), col("vec").cast("array<float>").as(vecCol))
+  }
+}

@@ -483,6 +483,65 @@ object DedupSimilarityQueries {
           .orderBy("query_id", "rank")
     },
 
+    // ── STORED-INDEX IVF: centroids are published into a TableStore as
+    //    a named, versioned index object (one metastate commit flips the
+    //    pointer), and the query routes through VectorIndex.load — no
+    //    per-call training or corpus-side centroid collect. Same oracle
+    //    construction as sim_ivf_batch with probes=1/k=8: the stored
+    //    artifact must change nothing about the answer. ────────────────
+    QueryDef.sql(
+      "sim_ivf_stored",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |uq AS (SELECT q.qid, c.cid, unnest(q.qe) AS x, unnest(c.cv) AS y FROM q, c),
+        |sq AS (SELECT qid, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM uq GROUP BY 1, 2),
+        |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |       FROM sq),
+        |qp AS (SELECT qid, cid FROM rq WHERE rn = 1),
+        |cand AS (SELECT qp.qid, a.vec_id FROM asg a JOIN qp ON a.cid = qp.cid),
+        |u2 AS (SELECT cand.qid, cand.vec_id, unnest(e.embedding) AS x, unnest(qe2.embedding) AS y
+        |       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+        |                 JOIN embeddings qe2 ON qe2.vec_id = cand.qid),
+        |s2 AS (SELECT qid, vec_id,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM u2 GROUP BY 1, 2),
+        |rk AS (SELECT qid, vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
+        |       FROM s2 WHERE na * nb > 0)
+        |SELECT qid AS query_id, vec_id, cos_sim, CAST(rn AS INT) AS "rank"
+        |FROM rk WHERE rn <= 8 ORDER BY query_id, "rank"""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val root = java.nio.file.Files.createTempDirectory("graft-vidx-q").toString
+        val store = new graft.ingest.TableStore(s, root, nBuckets = 2)
+        graft.ingest.VectorIndex.publish(store, "driver",
+          emb.filter(col("vec_id").between(1, 8)).select(col("vec_id"), col("embedding")))
+        graft.ingest.VectorIndex.ivfTopKBatch(store, "driver",
+          emb.filter(col("vec_id") > 8), "vec_id", "embedding",
+          queries = emb.filter(col("vec_id") < 4), queryIdCol = "vec_id",
+          k = 8, probes = 1)
+          .orderBy("query_id", "rank")
+    },
+
     // ── BATCHED full-scan ADC: every query's LUT is DATA (PQAdcLut →
     //    broadcast), scored against one pass over the code column
     //    (PQADCScoreDyn) — N queries, one corpus scan, no per-query

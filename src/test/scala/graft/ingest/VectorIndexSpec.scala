@@ -1,0 +1,77 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Stored vector-index lifecycle: train → publish → query through the
+  * stored artifact, version flips, as-of loads, and survival across
+  * metadata-log checkpoint churn. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(47)
+  private def vec(dims: Int) = Seq.fill(dims)(rnd.nextFloat() * 2 - 1)
+  private def corpusDF(n: Int, dims: Int) =
+    (0L until n.toLong).map(i => (i, vec(dims))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+
+  test("train → publish → load round-trips centroids and codebooks") {
+    val store = new TableStore(spark, tmpDir("graft-vidx"), nBuckets = 2)
+    val corpus = corpusDF(120, 16).localCheckpoint()
+    val trained = VectorIndex.train(store, "main", corpus, "id", "v",
+      nlist = 6, iters = 2, pqM = 4, pqK = 8)
+    val loaded = VectorIndex.load(store, "main")
+    assert(loaded.centroids == trained.centroids)
+    assert(loaded.codebooks.get == trained.codebooks.get)
+    assert(loaded.nlist == 6 && loaded.dims == 16)
+  }
+
+  test("stored-index query equals the ad-hoc call with the same centroids") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-q"), nBuckets = 2)
+    val corpus = corpusDF(150, 16).localCheckpoint()
+    val centroids = corpus.filter(col("id") < 8)
+    VectorIndex.publish(store, "seeds", centroids)
+    val queries = corpus.filter(col("id") >= 140)
+    val stored = VectorIndex.ivfTopKBatch(store, "seeds",
+      corpus.filter(col("id").between(8, 139)), "id", "v",
+      queries, "id", k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val adhoc = Similarity.ivfTopKBatch(
+      corpus.filter(col("id").between(8, 139)), "id", "v", centroids, "id",
+      queries, "id", k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored == adhoc && stored.nonEmpty)
+  }
+
+  test("retrain flips the pointer atomically; loadAt reads the old version") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-v"), nBuckets = 2)
+    val corpus = corpusDF(100, 8).localCheckpoint()
+    val v1 = VectorIndex.publish(store, "main", corpus.filter(col("id") < 4))
+    val versionAfterV1 = store.metaVersion
+    val v2 = VectorIndex.publish(store, "main", corpus.filter(col("id").between(10, 15)))
+    assert(v1.dir != v2.dir, "retrain must write a fresh immutable payload dir")
+    assert(VectorIndex.load(store, "main").centroids == v2.centroids)
+    val old = VectorIndex.loadAt(store, "main", versionAfterV1)
+    assert(old.centroids == v1.centroids, "as-of load must see the old artifact")
+  }
+
+  test("index survives metadata-log checkpoint churn and readOnly reopen") {
+    val root = tmpDir("graft-vidx-cp")
+    val store = new TableStore(spark, root, nBuckets = 2, metaCheckpointInterval = 8)
+    val corpus = corpusDF(60, 8).localCheckpoint()
+    val published = VectorIndex.publish(store, "main", corpus.filter(col("id") < 5))
+    // push the log through several checkpoints (trims old records)
+    (0 until 40).foreach(i => store.putMetastate(s"churn.$i" -> i.toString))
+    assert(VectorIndex.load(store, "main").centroids == published.centroids)
+    // a fresh read-only store (another JVM's view) sees the same index
+    val reader = new TableStore(spark, root, nBuckets = 2, readOnly = true)
+    assert(VectorIndex.load(reader, "main").centroids == published.centroids)
+  }
+
+  test("loading an unknown index fails loudly") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-e"), nBuckets = 2)
+    val e = intercept[IllegalArgumentException](VectorIndex.load(store, "nope"))
+    assert(e.getMessage.contains("nope"))
+  }
+}

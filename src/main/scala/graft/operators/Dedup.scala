@@ -279,20 +279,23 @@ object Dedup {
     val skel = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint()
 
     // The pair graph is the dedup OUTPUT skeleton — usually minuscule
-    // next to the corpus. Below `driverEdgeLimit` edges (a few tens of
-    // MB), a driver-side union-find beats the distributed loop by two
-    // orders of magnitude: each distributed round pays whole-stage
-    // codegen compilation for three fresh plans (~seconds) regardless of
-    // data size, while union-find on 10⁶ edges is milliseconds. The
-    // distributed path remains the correctness-equivalent big-graph
-    // fallback (spec-pinned against the same results). Union-find needs
-    // neither symmetrized nor deduplicated edges, so the driver path
-    // skips the union+distinct shuffle entirely.
+    // next to the corpus. Below `driverEdgeLimit` edges a driver-side
+    // union-find beats the distributed loop: each distributed round pays
+    // whole-stage codegen compilation for three fresh plans plus two
+    // joins over the edge frame, while union-find is linear scans.
+    // ConnectedComponentsProbe (PLANS.md) measures the driver path ahead
+    // at every size to ≥10M edges (14.7s vs 54.0s at 10M, chained
+    // families), so the 4M default is a driver-MEMORY guardrail (collect
+    // + label map), not a speed crossover — raise it when the driver has
+    // headroom. The distributed path remains the correctness-equivalent
+    // arbitrarily-large-graph fallback (spec-pinned against the same
+    // results). Union-find needs neither symmetrized nor deduplicated
+    // edges, so the driver path skips the union+distinct shuffle
+    // entirely.
     val isLongIds = skel.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
     if (isLongIds && skel.count() <= driverEdgeLimit) {
-      import spark.implicits._
       val es = skel.select(col("src").cast("long"), col("dst").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -311,7 +314,18 @@ object Dedup {
         }
       }
       val out = parent.keys.toSeq.sorted.map(d => (d, find(d)))
-      return out.toDF("doc", "cluster")
+      // NOT a LocalRelation: toDF on a driver Seq serializes the whole
+      // result into ONE task of every downstream job (measured 2-3× the
+      // union-find itself at millions of labels). parallelize slices it
+      // so consumers (keepCanonical's join, aggregations) read a normal
+      // distributed frame; small results keep one slice.
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val slices = math.max(1, math.min(32, out.size / 100_000)).toInt
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          out.map { case (d, c) => org.apache.spark.sql.Row(d, c) }, slices),
+        StructType(Seq(StructField("doc", LongType, nullable = false),
+          StructField("cluster", LongType, nullable = false))))
     }
 
     // Distributed path: min-label propagation needs symmetric edges.
@@ -356,6 +370,8 @@ object Dedup {
       labels = next
       converged = changed == 0
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $round converged=$converged")
     }
     edges.unpersist()
     require(converged,

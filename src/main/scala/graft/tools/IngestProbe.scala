@@ -43,6 +43,50 @@ object IngestProbe {
       spark.stop()
       return
     }
+    // `streamdedup` mode: real block ingest COMPOSED with streaming
+    // near-dup dedup per micro-batch over 5k+ rounds — the end-to-end
+    // continuous-pipeline shape. The check is twofold: blocks/s holds
+    // ≥100 with dedup in the loop, and per-batch dedup cost stays FLAT
+    // as the stored band index grows (the index scan is pruned to the
+    // batch's band keys; an unpruned scan would grow linearly in
+    // batches).
+    if (args.contains("streamdedup")) {
+      val root = java.nio.file.Files.createTempDirectory("graft-probe-sd").toString
+      val store = new TableStore(spark, root, nBuckets = 8)
+      val indexDir = java.nio.file.Files.createTempDirectory("graft-probe-sd-idx").toString
+      BlockIngest.initGenesis(store,
+        (0 until 40).map(i => (EngineQueries.addr(i), 1000000L, "{}")), network = "graft-bench")
+      import spark.implicits._
+      val batchRounds = 500
+      val nBatches = 10
+      def words(seed: Long, n: Int): String =
+        (0 until n).map(j => s"w${math.floorMod(seed * 31 + j * 2654435761L, 5000L)}").mkString(" ")
+      for (b <- 0 until nBatches) {
+        val blocks = EngineQueries.syntheticBlocks(
+          rounds = batchRounds, txnsPerRound = 4, startRound = b * batchRounds)
+        val t0 = System.nanoTime()
+        BlockIngest.applyBlocks(store, spark.createDataset(blocks.map(BlockCodec.blockToJson)))
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        // one document per round; every 5th is a recurring template, so
+        // later batches carry real cross-batch near-dups
+        val docs = (0 until batchRounds).map { i =>
+          val id = (b * batchRounds + i).toLong
+          val text =
+            if (i % 5 == 0) s"recurring boilerplate notice ${words(i % 17, 30)}"
+            else s"unique ${words(id, 30)}"
+          (id, text)
+        }.toDF("doc_id", "text")
+        val t1 = System.nanoTime()
+        val survivors = graft.streaming.StreamingDedup
+          .processBatch(docs, b, "doc_id", "text", indexDir).count()
+        val tDedup = (System.nanoTime() - t1) / 1e9
+        println(f"[probe-sd] batch $b%2d rounds=${(b + 1) * batchRounds}%5d: " +
+          f"ingest=$tIngest%5.2f s dedup=$tDedup%5.2f s " +
+          f"${batchRounds / (tIngest + tDedup)}%6.1f blocks/s survivors=$survivors%4d")
+      }
+      spark.stop()
+      return
+    }
     for (i <- 1 to 2) {
       val root = java.nio.file.Files.createTempDirectory("graft-probe").toString
       val store = new TableStore(spark, root, nBuckets = 8)

@@ -100,17 +100,36 @@ object SkewedAnnProbe {
       f"pairs=$pairs dropped=${dropped.value} (cap bounds the hot orthant)")
     drainHistogram("nearDupPairs")
 
-    // 2. knnJoin through the skewed cells, AQE skew split on/off
-    Seq(true, false).foreach { skewOn =>
+    // 2. knnJoin through the skewed cells. Two join regimes:
+    //    - broadcast (the default when the probe side fits): the hot
+    //      cell's quadratic work spreads EVENLY over the corpus
+    //      partitions — no straggler to split, AQE skew-join is moot,
+    //      and the dial that matters is total work (nlist/probes);
+    //    - shuffle (forced via autoBroadcastJoinThreshold=-1, the 100 TB
+    //      regime where both sides are too big to broadcast): the hot
+    //      cell lands in ONE shuffle partition and AQE's skew split is
+    //      what breaks the straggler.
+    for (bcast <- Seq(true, false); skewOn <- Seq(true, false)) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", if (bcast) "10m" else "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", if (bcast) "10m" else "-1")
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn)
-      // force the split to consider our partition sizes
+      // CRITICAL: AQE detects skew on INPUT bytes, but a quadratic
+      // in-cell join's hot partition is input-SMALL (13k vectors ≈ 1.3 MB
+      // here) and output-huge — the default 256 MB threshold (and even a
+      // few-MB one) never fires. The thresholds must come down to the
+      // input scale of a hot cell for the split to trigger at all.
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
-      val t1 = System.nanoTime()
-      val out = Similarity.knnJoin(corpus, "id", "v", centroids, "id", k = 5, probes = 1).count()
-      println(f"[skew-probe] knnJoin skewJoin=$skewOn%-5s wall=${(System.nanoTime() - t1) / 1e9}%7.2f s rows=$out")
-      drainHistogram(s"knnJoin skewJoin=$skewOn")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      if (bcast && !skewOn) () // broadcast plan ignores skewJoin: skip the duplicate run
+      else {
+        val t1 = System.nanoTime()
+        val out = Similarity.knnJoin(corpus, "id", "v", centroids, "id", k = 5, probes = 1).count()
+        println(f"[skew-probe] knnJoin bcast=$bcast%-5s skewJoin=$skewOn%-5s " +
+          f"wall=${(System.nanoTime() - t1) / 1e9}%7.2f s rows=$out")
+        drainHistogram(s"knnJoin bcast=$bcast skew=$skewOn")
+      }
     }
     spark.stop()
   }

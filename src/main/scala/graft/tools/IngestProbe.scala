@@ -57,10 +57,17 @@ object IngestProbe {
       BlockIngest.initGenesis(store,
         (0 until 40).map(i => (EngineQueries.addr(i), 1000000L, "{}")), network = "graft-bench")
       import spark.implicits._
-      val batchRounds = 500
-      val nBatches = 10
+      // args: streamdedup [batchRounds] — 5k rounds total either way
+      val batchRounds = args.dropWhile(_ != "streamdedup").drop(1).headOption
+        .map(_.toInt).getOrElse(500)
+      val nBatches = 5000 / batchRounds
+      // non-linear word mix: a linear (seed + j·C) form makes different
+      // seeds produce SHIFTED copies of one global word cycle (huge
+      // accidental n-gram overlap); murmur keeps unique docs unique
       def words(seed: Long, n: Int): String =
-        (0 until n).map(j => s"w${math.floorMod(seed * 31 + j * 2654435761L, 5000L)}").mkString(" ")
+        (0 until n).map(j =>
+          s"w${math.floorMod(scala.util.hashing.MurmurHash3.productHash((seed, j)).toLong, 5000L)}")
+          .mkString(" ")
       for (b <- 0 until nBatches) {
         val blocks = EngineQueries.syntheticBlocks(
           rounds = batchRounds, txnsPerRound = 4, startRound = b * batchRounds)

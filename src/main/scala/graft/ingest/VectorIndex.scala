@@ -4,6 +4,7 @@ import graft.codec.CanonicalJson
 import graft.operators.Similarity
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Stored, versioned ANN index objects inside a [[TableStore]] — the
   * lifecycle a 100 TB deployment needs: train ONCE, publish, and serve
@@ -156,6 +157,28 @@ object VectorIndex {
       centroidFrame(store, idx, vecCol), "centroid_id", queries, queryIdCol, k, probes,
       scoreQuantized, coarseBranches,
       pqCodebooks = if (usePq) idx.codebooks else None)
+  }
+
+  /** Remove payload dirs of index `name` that the CURRENT pointer no
+    * longer references — the vacuum half of the snapshot contract
+    * (mirrors table vacuum: old versions stay readable via `loadAt`
+    * until this is called explicitly). Returns the dirs removed. */
+  def vacuum(store: TableStore, name: String): Seq[String] = {
+    val current = store.metastate.get(metaKey(name)).map { json =>
+      CanonicalJson.parse(json).asObj("dir").str
+    }
+    val base = java.nio.file.Paths.get(s"${store.root}/_vecindex/$name")
+    if (!java.nio.file.Files.isDirectory(base)) return Nil
+    val doomed = scala.util.Using.resource(java.nio.file.Files.list(base)) {
+      _.iterator().asScala.toList
+    }.filter(p => !current.contains(p.toString))
+    doomed.foreach { p =>
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+        _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(java.nio.file.Files.delete(_))
+      }
+    }
+    doomed.map(_.toString)
   }
 
   /** The loaded centroid list as a frame whose vector column carries the

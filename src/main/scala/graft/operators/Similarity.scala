@@ -82,7 +82,13 @@ object Similarity {
   /** Sign-LSH bucket key: the sign bits of the first `p` dimensions as a
     * '0'/'1' string (a fixed axis-projection hyperplane family —
     * deterministic, engine-portable, and a real random-hyperplane LSH for
-    * axis-symmetric embedding distributions). */
+    * axis-symmetric embedding distributions). A SKEWED real-world
+    * distribution (boilerplate mass in one region) concentrates a large
+    * corpus fraction into one orthant; the bounded collect absorbs that
+    * at recall cost (SkewedAnnProbe: 80%-hot corpus stays balanced and
+    * memory-capped, truncation counted) — prefer
+    * [[semanticNearDupPairs]] there, whose IVF cells follow the
+    * distribution instead of fixed axes. */
   def signBucket(vec: Column, p: Int): Column =
     concat((0 until p).map(i =>
       when(element_at(vec, i + 1) >= 0, "1").otherwise("0")): _*)

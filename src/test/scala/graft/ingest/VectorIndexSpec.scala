@@ -69,6 +69,17 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.load(reader, "main").centroids == published.centroids)
   }
 
+  test("vacuum removes only unreferenced payload dirs") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-vac"), nBuckets = 2)
+    val corpus = corpusDF(60, 8).localCheckpoint()
+    val v1 = VectorIndex.publish(store, "main", corpus.filter(col("id") < 4))
+    val v2 = VectorIndex.publish(store, "main", corpus.filter(col("id").between(10, 13)))
+    val removed = VectorIndex.vacuum(store, "main")
+    assert(removed == Seq(v1.dir), "only the superseded payload goes")
+    assert(VectorIndex.load(store, "main").centroids == v2.centroids)
+    assert(VectorIndex.vacuum(store, "main").isEmpty, "second vacuum is a no-op")
+  }
+
   test("loading an unknown index fails loudly") {
     val store = new TableStore(spark, tmpDir("graft-vidx-e"), nBuckets = 2)
     val e = intercept[IllegalArgumentException](VectorIndex.load(store, "nope"))

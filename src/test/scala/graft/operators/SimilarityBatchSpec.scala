@@ -63,6 +63,15 @@ class SimilarityBatchSpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKBatch with the two-level coarse index equals the flat batch") {
+    val flat = batchRows(Similarity.ivfTopKBatch(
+      corpus, "id", "v", centroids, "id", queries, "id", k = 6, probes = 2))
+    val twoLevel = batchRows(Similarity.ivfTopKBatch(
+      corpus, "id", "v", centroids, "id", queries, "id", k = 6, probes = 2,
+      coarseBranches = 3)) // branches == nCoarse(⌈√8⌉=3): exhaustive ⇒ bit-equal
+    assert(twoLevel == flat)
+  }
+
   test("pqAdcTopKBatch equals per-query pqAdcTopK") {
     val batch = batchRows(Similarity.pqAdcTopKBatch(
       corpus, "id", "v", codebooks, queries, "id", k = 8))

@@ -159,6 +159,59 @@ object VectorIndex {
       pqCodebooks = if (usePq) idx.codebooks else None)
   }
 
+  /** Encode a corpus against stored index `name` and persist the result
+    * as a CODE TABLE: (id, cid, codes) parquet under the index payload
+    * dir — m bytes of PQ codes and a cell id per row instead of
+    * dims×4 bytes of floats. This is the billion-vector SERVING layout:
+    * encoding happens once at ingest/build time, and every later query
+    * scans codes only ([[scanCodesTopKBatch]]); the float vectors never
+    * need to be read again on the query path. The code table is tied to
+    * the index version that encoded it (it lives in that version's
+    * payload dir and vacuums with it). */
+  def encodeCorpus(store: TableStore, name: String, df: DataFrame,
+                   idCol: String, vecCol: String, label: String = "corpus"): String = {
+    val idx = load(store, name)
+    val cb = idx.codebooks.getOrElse(throw new IllegalArgumentException(
+      s"index '$name' has no PQ codebooks — train with pqM > 0"))
+    val dir = s"${idx.dir}/codes_$label"
+    df.select(col(idCol).as("id"),
+        Similarity.nearestCentroid(col(vecCol), idx.centroids, round4 = true).as("cid"),
+        Similarity.pqEncode(col(vecCol), cb).as("codes"))
+      .write.mode("errorifexists").parquet(dir)
+    dir
+  }
+
+  /** Batched IVF-PQ top-k over a STORED code table: the corpus side is
+    * the (id, cid, codes) parquet — no vector column is read at all.
+    * Queries still carry float vectors (they compute probe lists and
+    * ADC LUTs against the loaded index artifacts); scoring is m table
+    * lookups per corpus row. Returns (query_id, id, adc_score, rank). */
+  def scanCodesTopKBatch(store: TableStore, name: String,
+                         queries: DataFrame, queryIdCol: String, vecCol: String,
+                         k: Int, probes: Int = 1,
+                         label: String = "corpus"): DataFrame = {
+    val idx = load(store, name)
+    val cb = idx.codebooks.getOrElse(throw new IllegalArgumentException(
+      s"index '$name' has no PQ codebooks"))
+    val codes = store.spark.read.parquet(s"${idx.dir}/codes_$label")
+    val querySide = queries.select(col(queryIdCol).as("query_id"),
+      graft.expressions.VectorExpressions.pqAdcLut(col(vecCol), cb, round4 = true).as("_lut"),
+      explode(Similarity.topCentroids(col(vecCol), idx.centroids, probes, round4 = true))
+        .as("_qcid"))
+    codes.join(broadcast(querySide), col("cid") === col("_qcid"))
+      .select(col("query_id"), col("id").as("_aid"),
+        round(graft.expressions.VectorExpressions.pqAdcScoreDyn(col("codes"), col("_lut")), 4)
+          .as("_s"))
+      .filter(col("_s").isNotNull)
+      .groupBy("query_id")
+      .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+        struct((-col("_s")).as("ns"), col("_aid")), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id"), col("_t._aid").as("id"),
+        (-col("_t.ns")).as("adc_score"),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
+
   /** Remove payload dirs of index `name` that the CURRENT pointer no
     * longer references — the vacuum half of the snapshot contract
     * (mirrors table vacuum: old versions stay readable via `loadAt`

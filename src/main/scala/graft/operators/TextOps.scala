@@ -117,6 +117,21 @@ object TextOps {
 
   /** Quality metrics as (n_tokens, mean_token_len, stopword_ratio); zero
     * tokens ⇒ NULL ratios (ANSI nullif semantics on both engines). */
+  /** Redact common PII shapes before training: emails, IPv4 addresses,
+    * and long digit runs (account/card/id numbers) become typed
+    * placeholders. Patterns are deliberately POSIX-simple so Java regex
+    * (Spark) and RE2 (DuckDB, the oracle) agree byte-for-byte; order
+    * matters (emails first — an address can contain digit runs; IPs
+    * before bare digit runs for the same reason). One codegen'd
+    * regexp_replace chain, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+      "\\b\\d{9,}\\b", "<NUM>")
+
   def qualityMetrics(toks: Column, stopwords: Seq[String]): (Column, Column, Column) = {
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, v) => a + v)

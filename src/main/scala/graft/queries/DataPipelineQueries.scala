@@ -49,6 +49,33 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── PII redaction before training: emails → <EMAIL>, IPv4 → <IP>,
+    //    long digit runs → <NUM>, as one codegen'd regexp_replace chain.
+    //    Deterministic PII is APPENDED to every document from doc_id
+    //    arithmetic on both engines, so the hash pins the regex
+    //    semantics (Java vs RE2) on real matches, not on a corpus that
+    //    happens to contain none. ──────────────────────────────────────
+    QueryDef.sql(
+      "text_redact_pii",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    coalesce(text, '') || ' contact user' || doc_id || '@example.com via 10.0.'
+        |      || (doc_id % 256) || '.7 ref ' || (doc_id * 1000000007),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{9,}\b', '<NUM>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val raw = concat(
+          coalesce(col("text"), lit("")), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com via 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 ref "),
+          (col("doc_id") * 1000000007L).cast("string"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.redactPii(raw).as("clean"))
+          .orderBy("doc_id")
+    },
+
     // ── Quality scoring: length stats + stopword ratio. Single-op double
     //    division (bit-exact across engines), rounded defensively. ──
     QueryDef.sql(

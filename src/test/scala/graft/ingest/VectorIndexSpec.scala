@@ -69,6 +69,31 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.load(reader, "main").centroids == published.centroids)
   }
 
+  test("stored code table: scanCodesTopKBatch equals the vector-reading batch") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-codes"), nBuckets = 2)
+    val corpus = corpusDF(200, 16).localCheckpoint()
+    val centroids = corpus.filter(col("id") < 8)
+    val cb = Similarity.pqCodebooksFromRows(
+      corpus.filter(col("id").between(8, 23)).orderBy("id")
+        .collect().map(_.getSeq[Float](1).toSeq).toSeq, m = 4)
+    VectorIndex.publish(store, "pq", centroids, Some(cb))
+    val body = corpus.filter(col("id") >= 24)
+    val queries = corpus.filter(col("id") < 4)
+    VectorIndex.encodeCorpus(store, "pq", body, "id", "v")
+    val stored = VectorIndex.scanCodesTopKBatch(store, "pq", queries, "id", "v",
+      k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = Similarity.ivfTopKBatch(body, "id", "v", centroids, "id",
+      queries, "id", k = 5, probes = 2, pqCodebooks = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(stored == direct && stored.nonEmpty)
+    // the stored scan must not read a vector column
+    val plan = VectorIndex.scanCodesTopKBatch(store, "pq", queries, "id", "v",
+      k = 5, probes = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("ReadSchema: struct<id:bigint,v:"),
+      "code scan should read (id, cid, codes), never the float vectors")
+  }
+
   test("vacuum removes only unreferenced payload dirs") {
     val store = new TableStore(spark, tmpDir("graft-vidx-vac"), nBuckets = 2)
     val corpus = corpusDF(60, 8).localCheckpoint()

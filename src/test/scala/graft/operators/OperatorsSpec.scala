@@ -257,6 +257,21 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(f.sum - 1.0) < 1e-9) // L1-normalized histogram
   }
 
+  test("PII redaction: emails, IPs, long digit runs; shorter runs survive") {
+    val out = docs(
+      (1L, "mail a.b+c@sub.example.org now"),
+      (2L, "host 192.168.001.1 up, version 1.2"),
+      (3L, "card 4111111111111111 ok, zip 94110, order 12345678"),
+      (4L, "no pii here at all"))
+      .select(col("doc_id"), TextOps.redactPii(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> now")
+    assert(out(2L) == "host <IP> up, version 1.2", "dotted short version numbers survive")
+    assert(out(3L) == "card <NUM> ok, zip 94110, order 12345678",
+      "9+ digit runs redact; 5- and 8-digit runs survive")
+    assert(out(4L) == "no pii here at all")
+  }
+
   test("winnowing fingerprints: local (shared content ⇒ shared prints), windows complete") {
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
     val shifted = "PREFIX " + base // same content, shifted positions

@@ -84,8 +84,9 @@ object MediaHeaders {
       else if (typ == "acTL" && len >= 4 && i + 12 <= b.length) {
         frames = be32(b, i + 8); done = true
       }
-      if (len < 0 || len > Int.MaxValue - 12) done = true
-      else i += 12 + len.toInt // len + type + data + crc
+      // len + type + data + crc; Long advance clamped to the blob end so
+      // a hostile 2^31-scale length can't wrap the cursor negative
+      i = math.min(i.toLong + 12L + math.max(0L, len), b.length.toLong).toInt
     }
     Some(MediaMeta("png", width = Some(w.toInt), height = Some(h.toInt),
       nFrames = Some(math.min(frames, Int.MaxValue).toInt),
@@ -193,8 +194,7 @@ object MediaHeaders {
     var dataSize = -1L
     while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
       val id = tag(b, i)
-      val size = le32(b, i + 4)
-      if (size < 0) return None
+      val size = le32(b, i + 4) // 0 .. 2^32-1: advance in Long, never Int
       if (id == "fmt " && size >= 16 && i + 24 <= b.length) {
         channels = le16(b, i + 10)
         rate = le32(b, i + 12).toInt
@@ -205,7 +205,8 @@ object MediaHeaders {
         // the declared size is still the authoritative frame count
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // even padding
+      // even padding; a giant declared size simply walks past the blob end
+      i = math.min(i.toLong + 8L + size + (size & 1L), b.length.toLong).toInt
     }
     if (channels <= 0 || rate <= 0) return None
     val frames =

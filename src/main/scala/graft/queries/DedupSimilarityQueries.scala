@@ -860,6 +860,31 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── Frame sampling over REAL containers: the n_frames driving the
+    //    explode comes from actual header parsing (GIF image-descriptor
+    //    walks, WAV sample-frame counts, PNG/JPEG single frames), not
+    //    the stub; the oracle derives the same counts from the fixture
+    //    arithmetic. stride 2, audio rows included (a WAV's "frames"
+    //    are sample frames — the explode shape is the same). ───────────
+    QueryDef.sql(
+      "mm_real_frames",
+      """WITH f AS (SELECT doc_id,
+        |    CAST(CASE doc_id % 4 WHEN 2 THEN 1 + doc_id % 3 WHEN 3 THEN 1 + doc_id % 50 ELSE 1 END AS INT) AS n_frames
+        |  FROM documents),
+        |x AS (SELECT doc_id, n_frames, unnest(range(0, n_frames, 2)) AS fi FROM f)
+        |SELECT doc_id, n_frames, CAST(fi AS INT) AS frame_idx
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.MediaFixtures.build(id))))
+          .toDF("doc_id", "blob")
+        val meta = Multimodal.decodeMeta(blobs, "doc_id", "blob")
+        Multimodal.sampleFrames(meta, stride = 2)
+          .select(col("media_id").as("doc_id"), col("n_frames"), col("frame_idx"))
+          .orderBy("doc_id", "frame_idx")
+    },
+
     // ── Winnowing fingerprint set (char 8-grams, window 4): min-hash per
     //    sliding position window, deduped — window FRAMES (ROWS BETWEEN)
     //    on both engines. ──────────────────────────────────────────────

@@ -94,6 +94,25 @@ class MediaHeadersSpec extends SparkSpec {
     assert(MediaHeaders.parse(wavPcm.take(20)).isEmpty) // fmt cut
   }
 
+  test("parsers never throw: random bytes, random truncations, magic + garbage") {
+    val rnd = new scala.util.Random(13)
+    val fixtures = Seq(png1x1, apngHead, jpegMin, gifAnim, wavPcm)
+    for (_ <- 0 until 2000) {
+      val b = rnd.nextInt(4) match {
+        case 0 => Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte) // pure noise
+        case 1 => fixtures(rnd.nextInt(fixtures.size)).take(rnd.nextInt(60)) // truncation
+        case 2 => // valid magic, garbage body
+          val f = fixtures(rnd.nextInt(fixtures.size))
+          f.take(12) ++ Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)
+        case _ => // bit-flipped fixture
+          val f = fixtures(rnd.nextInt(fixtures.size)).clone()
+          if (f.nonEmpty) { val i = rnd.nextInt(f.length); f(i) = (f(i) ^ (1 << rnd.nextInt(8))).toByte }
+          f
+      }
+      MediaHeaders.parse(b) // must return Some or None, never throw
+    }
+  }
+
   test("decodeMeta: real containers get real metadata, text falls to the stub") {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

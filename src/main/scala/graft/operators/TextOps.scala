@@ -117,6 +117,31 @@ object TextOps {
 
   /** Quality metrics as (n_tokens, mean_token_len, stopword_ratio); zero
     * tokens ⇒ NULL ratios (ANSI nullif semantics on both engines). */
+  /** Cross-document repeated n-gram coverage — the corpus-level signal
+    * behind exact-substring dedup (spans that recur across documents are
+    * the memorization risk; within-doc repetition is [[dupNgramFraction]]'s
+    * job, so grams are deduplicated per doc first). Returns
+    * (doc, n_shingles, n_crossdup, crossdup_frac) for every doc with at
+    * least one n-gram.
+    *
+    * Scale shape: one explode of distinct per-doc grams, ONE shuffle on
+    * the gram (min/max doc id per gram — map-side partial, no
+    * count-distinct), and a join back on the gram. A gram is cross-doc
+    * iff min(doc) ≠ max(doc): constant state per gram, no doc-list
+    * accumulation, no quadratic pairing. */
+  def crossDupCoverage(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                       n: Int): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("g"))
+    val stats = sh.groupBy("g").agg(min("doc").as("_mind"), max("doc").as("_maxd"))
+    sh.join(stats, Seq("g"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_mind") =!= col("_maxd"), 1).otherwise(0)).as("n_crossdup"))
+      .select(col("doc"), col("n_shingles"), col("n_crossdup"),
+        round(col("n_crossdup").cast("double") / col("n_shingles"), 4).as("crossdup_frac"))
+  }
+
   /** Redact common PII shapes before training: emails, IPv4 addresses,
     * and long digit runs (account/card/id numbers) become typed
     * placeholders. Patterns are deliberately POSIX-simple so Java regex

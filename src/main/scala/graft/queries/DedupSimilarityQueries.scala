@@ -137,6 +137,27 @@ object DedupSimilarityQueries {
           .orderBy("doc")
     },
 
+    // ── Cross-document repeated n-gram coverage: the exact-substring
+    //    dedup signal (grams recurring ACROSS docs; within-doc repeats
+    //    are text_repetition's job). One shuffle on the gram, min≠max
+    //    doc id instead of count-distinct — constant state per gram. ──
+    QueryDef.sql(
+      "text_crossdup_coverage",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(${duckShingles("ws", 3)})) AS g FROM t),
+         |st AS (SELECT g, min(doc_id) AS mind, max(doc_id) AS maxd FROM sh GROUP BY g)
+         |SELECT sh.doc_id AS doc,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN st.mind <> st.maxd THEN 1 ELSE 0 END) AS BIGINT) AS n_crossdup,
+         |  round(CAST(sum(CASE WHEN st.mind <> st.maxd THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS crossdup_frac
+         |FROM sh JOIN st USING (g)
+         |GROUP BY 1 ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.crossDupCoverage(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text", n = 3)
+          .orderBy("doc")
+    },
+
     // ── End of the dedup pipeline: pairs → clusters → keep ONE
     //    canonical doc per family (smallest id), plus every never-paired
     //    doc. The oracle anti-joins the recursive-closure drop list. ──

@@ -257,6 +257,20 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(f.sum - 1.0) < 1e-9) // L1-normalized histogram
   }
 
+  test("cross-doc gram coverage: shared spans count, within-doc repeats don't") {
+    val shared = "alpha beta gamma delta"
+    val out = TextOps.crossDupCoverage(docs(
+      (1L, s"$shared unique one two"), // grams of `shared` recur in doc 2
+      (2L, s"$shared other words here"),
+      (3L, "totally distinct text body now"),
+      (4L, "loop loop loop loop loop loop")) // within-doc repeat, one distinct gram
+      , "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._2 == 2 && out(2L)._2 == 2, "the 2 grams inside the shared span recur")
+    assert(out(3L)._2 == 0, "no cross-doc grams")
+    assert(out(4L) == (1L, 0L), "distinct-gram dedup: self-repetition is not cross-doc")
+  }
+
   test("PII redaction: emails, IPs, long digit runs; shorter runs survive") {
     val out = docs(
       (1L, "mail a.b+c@sub.example.org now"),

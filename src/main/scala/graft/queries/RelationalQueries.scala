@@ -96,6 +96,34 @@ object RelationalQueries {
           .orderBy("r_name", "n_name")
     },
 
+    // ── E6 AS-OF join: every click enriched with the user's most recent
+    //    purchase at or before it — the event-analytics operator Spark
+    //    lacks natively, composed as tagged-union + one sort + carry-
+    //    forward window (operators/AsOfJoin). DuckDB's native ASOF JOIN
+    //    is the oracle; the right side is deduped per (user, ts) so tie
+    //    semantics can't differ between engines. ───────────────────────
+    QueryDef.sql(
+      "e6_asof_join",
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS ref_event_id
+        |          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, r.ref_event_id
+        |FROM clicks l ASOF LEFT JOIN purch r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").cast("long").as("ref_event_id"))
+        graft.operators.AsOfJoin
+          .asofJoinLeft(clicks, purch, Seq("user_id"), "ts", "ts", Seq("ref_event_id"))
+          .select(col("event_id"), col("user_id"), col("asof_ref_event_id").as("ref_event_id"))
+          .orderBy("event_id")
+    },
+
     // ── E1/D semi-join + keyset pagination: "transactions by address"
     //    (txn_participation ⋈ txn, idb.go:180-233 + token idb.go:56-100).
     //    Orders of BUILDING-segment customers, keyset token

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics: latest-at-or-before per key, strict variant,
+  * unmatched-left nulls, equal-time ties, and a relational twin. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def l(rows: (Long, Long, Long)*) = rows.toDF("id", "k", "t")
+  private def r(rows: (Long, Long, String)*) = rows.toDF("k", "t", "v")
+    .select(col("k"), col("t"), col("v"))
+
+  test("latest at-or-before per key; unmatched stays null") {
+    val left = l((1L, 10L, 5L), (2L, 10L, 20L), (3L, 10L, 2L), (4L, 99L, 50L))
+    val right = r((10L, 3L, "a"), (10L, 5L, "b"), (10L, 15L, "c"), (77L, 1L, "x"))
+    val out = AsOfJoin.asofJoinLeft(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(row => row.getLong(0) -> Option(row.getString(3))).toMap
+    assert(out(1L) == Some("b"), "t=5 sees the equal-time right (inclusive)")
+    assert(out(2L) == Some("c"), "t=20 sees the latest of 3,5,15")
+    assert(out(3L) == None, "t=2 precedes every right row")
+    assert(out(4L) == None, "key 99 has no right rows")
+  }
+
+  test("strict variant excludes the equal-time right row") {
+    val left = l((1L, 10L, 5L))
+    val right = r((10L, 3L, "a"), (10L, 5L, "b"))
+    val out = AsOfJoin.asofJoinLeft(left, right, Seq("k"), "t", "t", Seq("v"),
+      strict = true).head().getString(3)
+    assert(out == "a", "strict: right.t < left.t only")
+  }
+
+  test("equal-time right ties resolve to the last payload in ascending order") {
+    val left = l((1L, 10L, 9L))
+    val right = r((10L, 7L, "m"), (10L, 7L, "z"), (10L, 7L, "a"))
+    val out = AsOfJoin.asofJoinLeft(left, right, Seq("k"), "t", "t", Seq("v"))
+      .head().getString(3)
+    assert(out == "z", "deterministic: max payload among equal times")
+  }
+
+  test("matches a relational max-per-left twin on random data") {
+    val rnd = new scala.util.Random(77)
+    val left = (0 until 300).map(i => (i.toLong, (rnd.nextInt(8)).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "t")
+    val right = (0 until 200).map(i => ((rnd.nextInt(8)).toLong, rnd.nextInt(1000).toLong, s"p$i"))
+      .toDF("k", "t", "v")
+      // unique (k, t) so the twin's argmax is unambiguous
+      .groupBy("k", "t").agg(max("v").as("v"))
+    val got = AsOfJoin.asofJoinLeft(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(row => row.getLong(0) -> Option(row.getString(3))).toMap
+    val twin = left.as("l")
+      .join(right.as("r"), col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+      .groupBy(col("l.id"))
+      .agg(max(struct(col("r.t"), col("r.v"))).as("m"))
+      .select(col("id"), col("m.v").as("v"))
+      .collect().map(row => row.getLong(0) -> Option(row.getString(1))).toMap
+    assert(got == twin)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — left points joined to right INTERVALS that
+  * contain them — without the BroadcastNestedLoop/cartesian product
+  * Spark plans for a bare inequality join. The standard bucketization:
+  * pick a bin width, explode each right interval into every bin it
+  * overlaps, land each left point in its single bin, EQUI-join on
+  * (keys, bin), then apply the exact containment predicate.
+  *
+  * Cost model (the 100 TB posture): the shuffle is hash-partitioned on
+  * (keys, bin) like any equi-join; the right side inflates by
+  * avg(interval span / binWidth + 1), and each candidate pair meets in
+  * EXACTLY one bin (the left point's), so no post-join dedup is needed.
+  * Pick binWidth near the typical interval span: too small inflates
+  * the right side, too large degrades toward per-bin cartesian chunks.
+  * Catalyst still prunes/pushes around the join since it is a plain
+  * equi-join under the hood.
+  */
+object RangeJoin {
+
+  /** Inner join `left` points to `right` intervals:
+    * `left.pointCol ∈ [right.loCol, right.hiCol]` (inclusive both ends),
+    * plus optional equi `keys`. Point and bounds must be numeric (bin
+    * with longs — timestamps go through unix_micros upstream). Emits
+    * left.* ++ right.* (minus the right's key columns). */
+  def binnedIntervalJoin(left: DataFrame, right: DataFrame,
+                         pointCol: String, loCol: String, hiCol: String,
+                         binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left.withColumn("_bin", floor(col(pointCol) / binWidth))
+    val r = right.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    l.join(r, keys :+ "_bin", "inner")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+}

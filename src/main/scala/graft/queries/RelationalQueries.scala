@@ -124,6 +124,36 @@ object RelationalQueries {
           .orderBy("event_id")
     },
 
+    // ── E7 RANGE join: views within one hour AFTER each signup, per
+    //    user — bucketized interval join (operators/RangeJoin): explode
+    //    intervals into bins, EQUI-join on (user, bin), exact predicate
+    //    after; each pair meets in exactly one bin. A bare inequality
+    //    join would plan BroadcastNestedLoop — quadratic per user. ─────
+    QueryDef.sql(
+      "e7_range_join",
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |s AS (SELECT event_id AS signup_id, user_id, ts AS lo, ts + INTERVAL 1 HOUR AS hi
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT v.view_id, v.user_id, s.signup_id
+        |FROM v JOIN s ON v.user_id = s.user_id AND v.ts >= s.lo AND v.ts <= s.hi
+        |ORDER BY view_id, signup_id""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val hourUs = 3600L * 1000000L
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            unix_micros(col("ts")).as("t"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"),
+            unix_micros(col("ts")).as("lo"),
+            (unix_micros(col("ts")) + hourUs).as("hi"))
+        graft.operators.RangeJoin
+          .binnedIntervalJoin(views, signups, "t", "lo", "hi",
+            binWidth = hourUs, keys = Seq("user_id"))
+          .select(col("view_id"), col("user_id"), col("signup_id"))
+          .orderBy("view_id", "signup_id")
+    },
+
     // ── E1/D semi-join + keyset pagination: "transactions by address"
     //    (txn_participation ⋈ txn, idb.go:180-233 + token idb.go:56-100).
     //    Orders of BUILDING-segment customers, keyset token

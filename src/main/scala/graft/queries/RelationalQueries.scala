@@ -154,6 +154,30 @@ object RelationalQueries {
           .orderBy("view_id", "signup_id")
     },
 
+    // ── H4 per-key ordered sequence assembly: each user's event-type
+    //    history as one ordered string — the "build training sequences
+    //    from event logs" shape (conversation assembly, behavioral
+    //    curricula). One hash aggregation; ordering is imposed INSIDE
+    //    the row (array_sort over (ts, event_id, type) structs) so no
+    //    global sort precedes the groupBy, and the (ts, event_id)
+    //    tiebreak makes the sequence deterministic on both engines. ────
+    QueryDef.sql(
+      "h4_user_sequences",
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type"))).as("seq"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+    },
+
     // ── E1/D semi-join + keyset pagination: "transactions by address"
     //    (txn_participation ⋈ txn, idb.go:180-233 + token idb.go:56-100).
     //    Orders of BUILDING-segment customers, keyset token

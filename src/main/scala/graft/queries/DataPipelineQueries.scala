@@ -49,6 +49,33 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Per-language length percentiles: the quantile profile a quality
+    //    gate is calibrated against (cutoffs are usually set at P10/P90
+    //    of the corpus, not absolute numbers). Spark's exact percentile
+    //    and DuckDB's quantile_cont share linear interpolation, so the
+    //    values hash-match after rounding. At 100 TB, calibrate on a
+    //    sample or switch to approx_percentile (a KLL-style sketch whose
+    //    merge is corpus-size-free) — exact percentile buffers each
+    //    group's values; the exact form here is the oracle-checkable
+    //    calibration path. ───────────────────────────────────────────────
+    QueryDef.sql(
+      "corpus_length_percentiles",
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(quantile_cont(length(text), 0.1) AS DOUBLE), 4) AS p10,
+        |  round(CAST(quantile_cont(length(text), 0.5) AS DOUBLE), 4) AS p50,
+        |  round(CAST(quantile_cont(length(text), 0.9) AS DOUBLE), 4) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(length(text), 0.1)"), 4).as("p10"),
+            round(expr("percentile(length(text), 0.5)"), 4).as("p50"),
+            round(expr("percentile(length(text), 0.9)"), 4).as("p90"))
+          .orderBy("lang")
+    },
+
     // ── PII redaction before training: emails → <EMAIL>, IPv4 → <IP>,
     //    long digit runs → <NUM>, as one codegen'd regexp_replace chain.
     //    Deterministic PII is APPENDED to every document from doc_id

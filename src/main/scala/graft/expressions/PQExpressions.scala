@@ -69,6 +69,7 @@ case class PQEncode(
           d += diff * diff
           t += 1
         }
+        if (!java.lang.Double.isFinite(d)) return null // NaN element → NULL code
         if (round4)
           d = java.math.BigDecimal.valueOf(d).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
         if (d < bestDist) { bestDist = d; best = c } // strict < keeps smallest code on ties
@@ -200,6 +201,10 @@ case class PQAdcLut(
         var d = 0.0
         var t = 0
         while (t < subDim) { d += q.getFloat(base + t).toDouble * cent(t); t += 1 }
+        // a NaN/Inf element (embedding-pipeline artifact) must yield a
+        // NULL LUT, not a NumberFormatException from BigDecimal inside
+        // a codegen'd expression on an executor
+        if (!java.lang.Double.isFinite(d)) return null
         terms(c) =
           if (round4)
             java.math.BigDecimal.valueOf(d).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()

@@ -217,14 +217,20 @@ object VectorIndex {
     * (mirrors table vacuum: old versions stay readable via `loadAt`
     * until this is called explicitly). Returns the dirs removed. */
   def vacuum(store: TableStore, name: String): Seq[String] = {
+    // Compare NORMALIZED absolute paths, not raw strings: a store root
+    // with a trailing slash or "./" writes "dir" into the metastate with
+    // a double slash, while Files.list yields collapsed paths — a raw
+    // string compare would then treat the LIVE payload as unreferenced
+    // and delete it.
+    def norm(s: String) = java.nio.file.Paths.get(s).toAbsolutePath.normalize()
     val current = store.metastate.get(metaKey(name)).map { json =>
-      CanonicalJson.parse(json).asObj("dir").str
+      norm(CanonicalJson.parse(json).asObj("dir").str)
     }
     val base = java.nio.file.Paths.get(s"${store.root}/_vecindex/$name")
     if (!java.nio.file.Files.isDirectory(base)) return Nil
     val doomed = scala.util.Using.resource(java.nio.file.Files.list(base)) {
       _.iterator().asScala.toList
-    }.filter(p => !current.contains(p.toString))
+    }.filter(p => !current.contains(p.toAbsolutePath.normalize()))
     doomed.foreach { p =>
       scala.util.Using.resource(java.nio.file.Files.walk(p)) {
         _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

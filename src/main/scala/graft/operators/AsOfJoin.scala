@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
   *   - ties among right rows at the same (key, t) resolve to the LAST
   *     payload under ascending payload order (deterministic; pre-dedupe
   *     the right side per (key, t) if another rule is wanted).
-  *   - null join keys never match (both sides' null-key rows group
-  *     together, but a left row only sees right payloads of its own
-  *     partition — callers with nullable keys should filter, as in SQL).
+  *   - null join keys never match, as in SQL: Spark's window
+  *     partitioning groups null keys together, so the carried payload
+  *     is explicitly nulled for null-key left rows.
   *   - unmatched left rows keep null payloads (LEFT OUTER as-of).
+  *   - internal column names (`_t`, `_side`, `_p_*`) and the output
+  *     `asof_*` names must not collide with caller columns — enforced
+  *     loudly.
   */
 object AsOfJoin {
 
@@ -39,6 +42,10 @@ object AsOfJoin {
                    leftTime: String, rightTime: String,
                    payloads: Seq[String], strict: Boolean = false): DataFrame = {
     require(payloads.nonEmpty, "need at least one right payload column")
+    val reserved = Seq("_t", "_side") ++ payloads.map(p => s"_p_$p") ++
+      payloads.map(p => s"asof_$p")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"caller columns collide with as-of internals: ${clash.mkString(", ")}")
     val leftOut = left.columns.toSeq
     val leftOnly = leftOut.filterNot(keys.contains)
     val rSchema = right.schema
@@ -62,9 +69,13 @@ object AsOfJoin {
       .orderBy(col("_t").asc +: sideOrder +: payloads.map(p => col(s"_p_$p").asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // a null key never matches (SQL semantics) — the window would group
+    // null keys together, so null-key left rows get their payload nulled
+    val keyIsNull = keys.map(col(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
     l2.unionByName(r2)
       .select(col("*") +: payloads.map(p =>
-        last(col(s"_p_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
+        when(keyIsNull, lit(null))
+          .otherwise(last(col(s"_p_$p"), ignoreNulls = true).over(w)).as(s"asof_$p")): _*)
       .filter(col("_side") === 1)
       .select(leftOut.map(col) ++ payloads.map(p => col(s"asof_$p")): _*)
   }

@@ -272,11 +272,14 @@ object Dedup {
     // out. The input plan is the expensive part (signature → banding →
     // bucket join → Jaccard); referencing `pairs` from two union branches
     // would run that whole pipeline twice in one job, and a later count
-    // gate + collect would pay more traversals still. localCheckpoint is
-    // eager and lineage-truncating: one job computes the generation
-    // pipeline, and the gate count, the driver collect, and the
-    // distributed loop all read the materialized two-column frame.
-    val skel = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).localCheckpoint()
+    // gate + collect would pay more traversals still. persist + the gate
+    // count materializes it in one job AND can be released explicitly
+    // when this call is done — a streaming job calls this every
+    // micro-batch, so leaked block-manager storage would accumulate
+    // (the iterative loop's lineage still gets truncated by its own
+    // per-round localCheckpoints).
+    val skel = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // The pair graph is the dedup OUTPUT skeleton — usually minuscule
     // next to the corpus. Below `driverEdgeLimit` edges a driver-side
@@ -295,7 +298,8 @@ object Dedup {
     val isLongIds = skel.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (isLongIds && skel.count() <= driverEdgeLimit) {
+    val nEdges = skel.count() // materializes the persist in one job
+    if (isLongIds && nEdges <= driverEdgeLimit) {
       val es = skel.select(col("src").cast("long"), col("dst").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -314,6 +318,7 @@ object Dedup {
         }
       }
       val out = parent.keys.toSeq.sorted.map(d => (d, find(d)))
+      skel.unpersist()
       // NOT a LocalRelation: toDF on a driver Seq serializes the whole
       // result into ONE task of every downstream job (measured 2-3× the
       // union-find itself at millions of labels). parallelize slices it
@@ -374,6 +379,7 @@ object Dedup {
         println(s"[cc] round $round converged=$converged")
     }
     edges.unpersist()
+    skel.unpersist()
     require(converged,
       s"duplicateClusters did not converge in $maxRounds rounds — component diameter > 2^$maxRounds?")
     labels

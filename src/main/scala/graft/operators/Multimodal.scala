@@ -59,8 +59,16 @@ object Multimodal {
   /** Decode stage: one decoder init per PARTITION (the batch shape that
     * matters with a real codec lib), one struct row out per blob. Real
     * header parsing for PNG/JPEG/GIF/WAV; deterministic stub for
-    * everything else (format column null marks the stub path). */
-  def decodeMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    * everything else (format column null marks the stub path).
+    *
+    * `sniff = false` forces the stub for EVERY blob: the stub-pinned
+    * oracle queries feed text bytes as blobs, and nothing stops a text
+    * document from beginning with a container magic ("GIF89a",
+    * "RIFF…WAVE" are plain ASCII) — sniffing there would silently move
+    * such a row onto the real-parse path and diverge from the stub
+    * arithmetic the oracle computes. */
+  def decodeMeta(df: DataFrame, idCol: String, blobCol: String,
+                 sniff: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(
       StructField("media_id", LongType, nullable = false) +: MediaMetaSchema.fields.toSeq)
@@ -73,7 +81,7 @@ object Multimodal {
         // NULL blob ≡ empty media (decoders never see a null pointer)
         val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
         val sig = blob.take(4).map("%02x".format(_)).mkString
-        graft.codec.MediaHeaders.parse(blob) match {
+        (if (sniff) graft.codec.MediaHeaders.parse(blob) else None) match {
           case Some(m) =>
             Row(id, blob.length.toLong, sig,
               m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,

@@ -30,6 +30,8 @@ object RangeJoin {
                          pointCol: String, loCol: String, hiCol: String,
                          binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
+      "a caller column named _bin would be silently overwritten and dropped")
     val l = left.withColumn("_bin", floor(col(pointCol) / binWidth))
     val r = right.withColumn("_bin",
       explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))

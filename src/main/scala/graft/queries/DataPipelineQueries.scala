@@ -65,7 +65,7 @@ object DataPipelineQueries {
         |  round(CAST(quantile_cont(length(text), 0.1) AS DOUBLE), 4) AS p10,
         |  round(CAST(quantile_cont(length(text), 0.5) AS DOUBLE), 4) AS p50,
         |  round(CAST(quantile_cont(length(text), 0.9) AS DOUBLE), 4) AS p90
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+        |FROM documents GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin) {
       (s, d) =>
         Tables.documents(s, d)
           .groupBy("lang")
@@ -73,7 +73,8 @@ object DataPipelineQueries {
             round(expr("percentile(length(text), 0.1)"), 4).as("p10"),
             round(expr("percentile(length(text), 0.5)"), 4).as("p50"),
             round(expr("percentile(length(text), 0.9)"), 4).as("p90"))
-          .orderBy("lang")
+          // Spark asc puts nulls FIRST, DuckDB last — pin it
+          .orderBy(asc_nulls_last("lang"))
     },
 
     // ── PII redaction before training: emails → <EMAIL>, IPv4 → <IP>,

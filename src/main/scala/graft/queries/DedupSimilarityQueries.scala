@@ -43,13 +43,20 @@ object DedupSimilarityQueries {
   private val storedIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), graft.ingest.TableStore]()
   private def storedIndex(kind: String, d: String, s: org.apache.spark.sql.SparkSession)
-                         (build: graft.ingest.TableStore => Unit): graft.ingest.TableStore =
+                         (build: graft.ingest.TableStore => Unit): graft.ingest.TableStore = {
+    // a cached store pins its SparkSession; if that session has been
+    // stopped since (test suites, sequential harnesses), rebuild under
+    // the live one instead of failing on a dead context
+    val stale = Option(storedIndexCache.get((kind, d)))
+      .exists(_.spark.sparkContext.isStopped)
+    if (stale) storedIndexCache.remove((kind, d))
     storedIndexCache.computeIfAbsent((kind, d), { _ =>
       val root = java.nio.file.Files.createTempDirectory(s"graft-vidx-$kind").toString
       val store = new graft.ingest.TableStore(s, root, nBuckets = 2)
       build(store)
       store
     })
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -789,7 +796,7 @@ object DedupSimilarityQueries {
       (s, d) =>
         val media = Tables.documents(s, d)
           .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("blob"))
-        Multimodal.decodeMeta(media, "doc_id", "blob")
+        Multimodal.decodeMeta(media, "doc_id", "blob", sniff = false)
           .select(col("media_id").as("doc_id"), col("byte_len"), col("format_sig"),
             col("width"), col("height"), col("n_frames"))
           .orderBy("doc_id")
@@ -832,7 +839,7 @@ object DedupSimilarityQueries {
       (s, d) =>
         val media = Tables.documents(s, d)
           .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("blob"))
-        val meta = Multimodal.decodeMeta(media, "doc_id", "blob")
+        val meta = Multimodal.decodeMeta(media, "doc_id", "blob", sniff = false)
         val feats = Multimodal.extractFeatures(media, "doc_id", "blob")
         val total = greatest(col("byte_len"), lit(1L)).cast("double")
         val counts = (0 until 8).map(i =>
@@ -857,7 +864,7 @@ object DedupSimilarityQueries {
       (s, d) =>
         val media = Tables.documents(s, d)
           .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("blob"))
-        val meta = Multimodal.decodeMeta(media, "doc_id", "blob")
+        val meta = Multimodal.decodeMeta(media, "doc_id", "blob", sniff = false)
         Multimodal.sampleFrames(meta, stride = 3)
           .select(col("media_id").as("doc_id"), col("n_frames"), col("frame_idx"))
           .orderBy("doc_id", "frame_idx")

@@ -105,6 +105,15 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.vacuum(store, "main").isEmpty, "second vacuum is a no-op")
   }
 
+  test("vacuum under a trailing-slash store root spares the live payload") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-slash") + "/", nBuckets = 2)
+    val corpus = corpusDF(40, 8).localCheckpoint()
+    val live = VectorIndex.publish(store, "main", corpus.filter(col("id") < 4))
+    assert(VectorIndex.vacuum(store, "main").isEmpty,
+      "the only payload is the live one — nothing may be deleted")
+    assert(VectorIndex.load(store, "main").centroids == live.centroids)
+  }
+
   test("loading an unknown index fails loudly") {
     val store = new TableStore(spark, tmpDir("graft-vidx-e"), nBuckets = 2)
     val e = intercept[IllegalArgumentException](VectorIndex.load(store, "nope"))

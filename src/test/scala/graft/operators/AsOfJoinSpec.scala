@@ -39,6 +39,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == "z", "deterministic: max payload among equal times")
   }
 
+  test("null keys never match (SQL semantics), even against null-key rights") {
+    val left = Seq((1L, Option.empty[Long], 10L), (2L, Some(7L), 10L))
+      .toDF("id", "k", "t")
+    val right = Seq((Option.empty[Long], 5L, "nul"), (Some(7L), 5L, "ok"))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asofJoinLeft(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out(1L) == None, "a null key matches nothing")
+    assert(out(2L) == Some("ok"))
+  }
+
+  test("internal-name collisions are rejected loudly") {
+    val left = Seq((1L, 2L, 3L)).toDF("id", "k", "_side")
+    val right = Seq((2L, 1L, "v")).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin.asofJoinLeft(left, right, Seq("k"), "_side", "t", Seq("v")))
+    assert(e.getMessage.contains("_side"))
+  }
+
   test("matches a relational max-per-left twin on random data") {
     val rnd = new scala.util.Random(77)
     val left = (0 until 300).map(i => (i.toLong, (rnd.nextInt(8)).toLong, rnd.nextInt(1000).toLong))

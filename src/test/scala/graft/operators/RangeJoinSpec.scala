@@ -26,6 +26,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set(1L), "key 8 must not match key 7's interval")
   }
 
+  test("a caller _bin column is rejected instead of silently lost") {
+    val pts = Seq((1L, 5L, 9L)).toDF("pid", "t", "_bin")
+    val ivs = Seq((100L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val e = intercept[IllegalArgumentException](
+      RangeJoin.binnedIntervalJoin(pts, ivs, "t", "lo", "hi", 4L))
+    assert(e.getMessage.contains("_bin"))
+  }
+
   test("matches the plain inequality join on random data, several bin widths") {
     val rnd = new scala.util.Random(31)
     val pts = (0 until 400).map(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(2000).toLong))

@@ -83,6 +83,15 @@ class SimilarityBatchSpec extends SparkSpec {
     }
   }
 
+  test("a NaN query vector yields no rows for that query, not a job failure") {
+    val nanQuery = Seq((99L, Seq.fill(dims)(Float.NaN))).toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val mixed = queries.unionByName(nanQuery)
+    val out = Similarity.pqAdcTopKBatch(corpus, "id", "v", codebooks, mixed, "id", k = 3)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(out == (0L until 5L).toSet, "the NaN query drops out; the rest answer")
+  }
+
   test("batch ranks are 1..k dense per query, ordered by score desc then id") {
     val out = Similarity.ivfTopKBatch(
       corpus, "id", "v", centroids, "id", queries, "id", k = 4, probes = 2)

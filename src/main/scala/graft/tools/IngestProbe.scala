@@ -94,6 +94,56 @@ object IngestProbe {
       spark.stop()
       return
     }
+    // `streamsem` mode: same composition with the SEMANTIC streaming
+    // dedup — per batch, embedding rows dedup against a durable IVF-cell
+    // vector index. Flatness of the dedup column proves the probed-cell
+    // pruning; survivors prove first-wins across batches.
+    if (args.contains("streamsem")) {
+      val root = java.nio.file.Files.createTempDirectory("graft-probe-ss").toString
+      val store = new TableStore(spark, root, nBuckets = 8)
+      val indexDir = java.nio.file.Files.createTempDirectory("graft-probe-ss-idx").toString
+      BlockIngest.initGenesis(store,
+        (0 until 40).map(i => (EngineQueries.addr(i), 1000000L, "{}")), network = "graft-bench")
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val dims = 16
+      val batchRounds = 500
+      def vec(seed: Long): Seq[Float] = {
+        val r = new scala.util.Random(seed)
+        Seq.fill(dims)(r.nextFloat() * 2 - 1)
+      }
+      val rc = new scala.util.Random(3)
+      val cents = (0L until 16L).map(c => (c, Seq.fill(dims)(rc.nextFloat() * 2 - 1)))
+        .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+        .localCheckpoint()
+      for (b <- 0 until 10) {
+        val blocks = EngineQueries.syntheticBlocks(
+          rounds = batchRounds, txnsPerRound = 4, startRound = b * batchRounds)
+        val t0 = System.nanoTime()
+        BlockIngest.applyBlocks(store, spark.createDataset(blocks.map(BlockCodec.blockToJson)))
+        val tIngest = (System.nanoTime() - t0) / 1e9
+        // every 5th row is a slightly-perturbed copy of one of 17 template
+        // vectors — real cross-batch semantic dups
+        val rows = (0 until batchRounds).map { i =>
+          val id = (b * batchRounds + i).toLong
+          val v =
+            if (i % 5 == 0) vec(1000 + i % 17).map(x => (x * 0.98f + 0.002f))
+            else vec(id)
+          (id, v)
+        }
+        val docs = rows.toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+        val t1 = System.nanoTime()
+        val survivors = graft.streaming.StreamingSemanticDedup
+          .processBatch(docs, b, "id", "v", cents, "id", indexDir, minCos = 0.99)
+          .count()
+        val tDedup = (System.nanoTime() - t1) / 1e9
+        println(f"[probe-ss] batch $b%2d rounds=${(b + 1) * batchRounds}%5d: " +
+          f"ingest=$tIngest%5.2f s semdedup=$tDedup%5.2f s " +
+          f"${batchRounds / (tIngest + tDedup)}%6.1f blocks/s survivors=$survivors%4d")
+      }
+      spark.stop()
+      return
+    }
     for (i <- 1 to 2) {
       val root = java.nio.file.Files.createTempDirectory("graft-probe").toString
       val store = new TableStore(spark, root, nBuckets = 8)

@@ -44,6 +44,24 @@ object Sharding {
   def sampleByHash(df: DataFrame, keyCol: String, permille: Int): DataFrame =
     df.filter(hashBucket1000(col(keyCol)) < permille)
 
+  /** Deterministic, disjoint train/val/test split on the content key's
+    * 1000-bucket fold: buckets [0, train) → "train",
+    * [train, train+val) → "val", the rest → "test". Same reproducibility
+    * contract as [[sampleByHash]] — membership is derivable by any
+    * engine from the key alone, stable under re-ordering and re-runs,
+    * and rows can never leak between splits (one fold, three disjoint
+    * ranges). Per-row projection, no shuffle. */
+  def splitByHash(df: DataFrame, keyCol: String,
+                  trainPermille: Int = 900, valPermille: Int = 50): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000, "permilles must fit in [0, 1000]")
+    val bkt = hashBucket1000(col(keyCol))
+    df.withColumn("split",
+      when(bkt < trainPermille, "train")
+        .when(bkt < trainPermille + valPermille, "val")
+        .otherwise("test"))
+  }
+
   /** Stratified variant: per-stratum keep-rates (permille), the
     * training-mix shape — "keep 100% of wiki, 30% of web, 5% of
     * boilerplate". Strata absent from the map keep `defaultPermille`.

@@ -77,6 +77,34 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Deterministic train/val/test split: 90/5/5 on the doc_id's
+    //    md5 fold — membership re-derivable by any engine from the key
+    //    alone (no RNG/seed state), splits disjoint by construction.
+    //    Output is the per-(split, lang) profile a data card reports. ──
+    QueryDef.sql(
+      "pipeline_split_train_eval",
+      """WITH b AS (SELECT doc_id, lang, text,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) % 1000 AS INT) AS bkt
+        |  FROM documents),
+        |s AS (SELECT CASE WHEN bkt < 900 THEN 'train' WHEN bkt < 950 THEN 'val' ELSE 'test' END AS split,
+        |        lang,
+        |        len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS nt
+        |      FROM b)
+        |SELECT split, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin) {
+      (s, d) =>
+        // md5 the STRING form of the id (matches the oracle's VARCHAR
+        // cast; a bare long would md5 its binary encoding instead)
+        Sharding.splitByHash(
+            Tables.documents(s, d).withColumn("_key", col("doc_id").cast("string")), "_key")
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(wordsCol)).as("n_tokens"))
+          .orderBy("split", "lang")
+    },
+
     // ── PII redaction before training: emails → <EMAIL>, IPv4 → <IP>,
     //    long digit runs → <NUM>, as one codegen'd regexp_replace chain.
     //    Deterministic PII is APPENDED to every document from doc_id

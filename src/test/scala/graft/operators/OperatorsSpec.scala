@@ -271,6 +271,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == (1L, 0L), "distinct-gram dedup: self-repetition is not cross-doc")
   }
 
+  test("hash split: total, disjoint, deterministic, ratio-true") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, i.toString)).toDF("id", "key")
+    val split = Sharding.splitByHash(df, "key").cache()
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000, "every row lands in exactly one split")
+    assert(counts("train") > 1700 && counts("val") > 50 && counts("test") > 50,
+      s"roughly 90/5/5: $counts")
+    val again = Sharding.splitByHash(df, "key")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split.collect().forall(r => again(r.getLong(0)) == r.getString(2)),
+      "membership is a pure function of the key")
+    split.unpersist()
+    intercept[IllegalArgumentException](Sharding.splitByHash(df, "key", 980, 40))
+  }
+
   test("PII redaction: emails, IPs, long digit runs; shorter runs survive") {
     val out = docs(
       (1L, "mail a.b+c@sub.example.org now"),

@@ -198,18 +198,12 @@ object VectorIndex {
       graft.expressions.VectorExpressions.pqAdcLut(col(vecCol), cb, round4 = true).as("_lut"),
       explode(Similarity.topCentroids(col(vecCol), idx.centroids, probes, round4 = true))
         .as("_qcid"))
-    codes.join(broadcast(querySide), col("cid") === col("_qcid"))
-      .select(col("query_id"), col("id").as("_aid"),
-        round(graft.expressions.VectorExpressions.pqAdcScoreDyn(col("codes"), col("_lut")), 4)
-          .as("_s"))
-      .filter(col("_s").isNotNull)
-      .groupBy("query_id")
-      .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
-        struct((-col("_s")).as("ns"), col("_aid")), k).as("_top"))
-      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
-      .select(col("query_id"), col("_t._aid").as("id"),
-        (-col("_t.ns")).as("adc_score"),
-        (col("_pos") + 1).cast("int").as("rank"))
+    Similarity.batchTopK(
+      codes.join(broadcast(querySide), col("cid") === col("_qcid"))
+        .select(col("query_id"), col("id").as("_aid"), col("codes"), col("_lut")),
+      "id",
+      graft.expressions.VectorExpressions.pqAdcScoreDyn(col("codes"), col("_lut")),
+      "adc_score", k)
   }
 
   /** Remove payload dirs of index `name` that the CURRENT pointer no

@@ -675,10 +675,12 @@ object Similarity {
       "adc_score", k)
   }
 
-  /** Shared tail of the batch forms: round, per-query bounded top-k
-    * heap, explode to (query_id, id, score, rank). */
-  private def batchTopK(scored: DataFrame, idCol: String, score: Column,
-                        scoreName: String, k: Int): DataFrame =
+  /** Shared tail of the batch forms (also the stored-code scan's —
+    * [[graft.ingest.VectorIndex.scanCodesTopKBatch]]): round, per-query
+    * bounded top-k heap, explode to (query_id, id, score, rank). Expects
+    * `scored` to carry `query_id` and `_aid` columns. */
+  private[graft] def batchTopK(scored: DataFrame, idCol: String, score: Column,
+                               scoreName: String, k: Int): DataFrame =
     scored
       .select(col("query_id"), col("_aid"), round(score, 4).as("_s"))
       .filter(col("_s").isNotNull)

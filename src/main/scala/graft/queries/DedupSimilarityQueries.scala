@@ -58,6 +58,50 @@ object DedupSimilarityQueries {
     })
   }
 
+  // Shared oracle for the batched-IVF queries (sim_ivf_batch probes=2/k=5,
+  // sim_ivf_stored probes=1/k=8 — the stored artifact must change nothing
+  // about the answer): corpus assignment + query probing + per-query
+  // ranking, all through window functions.
+  private def ivfBatchOracle(probes: Int, k: Int): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+       |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+       |s AS (SELECT vec_id, cid,
+       |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+       |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+       |      FROM u GROUP BY 1, 2),
+       |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+       |      FROM s),
+       |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+       |uq AS (SELECT q.qid, c.cid, unnest(q.qe) AS x, unnest(c.cv) AS y FROM q, c),
+       |sq AS (SELECT qid, cid,
+       |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+       |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+       |       FROM uq GROUP BY 1, 2),
+       |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+       |       FROM sq),
+       |qp AS (SELECT qid, cid FROM rq WHERE rn <= $probes),
+       |cand AS (SELECT qp.qid, a.vec_id FROM asg a JOIN qp ON a.cid = qp.cid),
+       |u2 AS (SELECT cand.qid, cand.vec_id, unnest(e.embedding) AS x, unnest(qe2.embedding) AS y
+       |       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+       |                 JOIN embeddings qe2 ON qe2.vec_id = cand.qid),
+       |s2 AS (SELECT qid, vec_id,
+       |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+       |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+       |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+       |       FROM u2 GROUP BY 1, 2),
+       |rk AS (SELECT qid, vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim,
+       |        row_number() OVER (PARTITION BY qid
+       |          ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
+       |       FROM s2 WHERE na * nb > 0)
+       |SELECT qid AS query_id, vec_id, cos_sim, CAST(rn AS INT) AS "rank"
+       |FROM rk WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── MinHash signature + LSH band hashes per document. ──────────────
@@ -477,44 +521,7 @@ object DedupSimilarityQueries {
     //    query with window functions. ──────────────────────────────────
     QueryDef.sql(
       "sim_ivf_batch",
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
-        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
-        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
-        |s AS (SELECT vec_id, cid,
-        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-        |      FROM u GROUP BY 1, 2),
-        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
-        |      FROM s),
-        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
-        |uq AS (SELECT q.qid, c.cid, unnest(q.qe) AS x, unnest(c.cv) AS y FROM q, c),
-        |sq AS (SELECT qid, cid,
-        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-        |       FROM uq GROUP BY 1, 2),
-        |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
-        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
-        |       FROM sq),
-        |qp AS (SELECT qid, cid FROM rq WHERE rn <= 2),
-        |cand AS (SELECT qp.qid, a.vec_id FROM asg a JOIN qp ON a.cid = qp.cid),
-        |u2 AS (SELECT cand.qid, cand.vec_id, unnest(e.embedding) AS x, unnest(qe2.embedding) AS y
-        |       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
-        |                 JOIN embeddings qe2 ON qe2.vec_id = cand.qid),
-        |s2 AS (SELECT qid, vec_id,
-        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-        |       FROM u2 GROUP BY 1, 2),
-        |rk AS (SELECT qid, vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim,
-        |        row_number() OVER (PARTITION BY qid
-        |          ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
-        |       FROM s2 WHERE na * nb > 0)
-        |SELECT qid AS query_id, vec_id, cos_sim, CAST(rn AS INT) AS "rank"
-        |FROM rk WHERE rn <= 5 ORDER BY query_id, "rank"""".stripMargin) {
+      ivfBatchOracle(probes = 2, k = 5)) {
       (s, d) =>
         val emb = Tables.embeddings(s, d)
         Similarity.ivfTopKBatch(
@@ -534,44 +541,7 @@ object DedupSimilarityQueries {
     //    artifact must change nothing about the answer. ────────────────
     QueryDef.sql(
       "sim_ivf_stored",
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
-        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
-        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
-        |s AS (SELECT vec_id, cid,
-        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-        |      FROM u GROUP BY 1, 2),
-        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
-        |      FROM s),
-        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
-        |uq AS (SELECT q.qid, c.cid, unnest(q.qe) AS x, unnest(c.cv) AS y FROM q, c),
-        |sq AS (SELECT qid, cid,
-        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-        |       FROM uq GROUP BY 1, 2),
-        |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
-        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
-        |       FROM sq),
-        |qp AS (SELECT qid, cid FROM rq WHERE rn = 1),
-        |cand AS (SELECT qp.qid, a.vec_id FROM asg a JOIN qp ON a.cid = qp.cid),
-        |u2 AS (SELECT cand.qid, cand.vec_id, unnest(e.embedding) AS x, unnest(qe2.embedding) AS y
-        |       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
-        |                 JOIN embeddings qe2 ON qe2.vec_id = cand.qid),
-        |s2 AS (SELECT qid, vec_id,
-        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-        |       FROM u2 GROUP BY 1, 2),
-        |rk AS (SELECT qid, vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim,
-        |        row_number() OVER (PARTITION BY qid
-        |          ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
-        |       FROM s2 WHERE na * nb > 0)
-        |SELECT qid AS query_id, vec_id, cos_sim, CAST(rn AS INT) AS "rank"
-        |FROM rk WHERE rn <= 8 ORDER BY query_id, "rank"""".stripMargin) {
+      ivfBatchOracle(probes = 1, k = 8)) {
       (s, d) =>
         val emb = Tables.embeddings(s, d)
         val store = storedIndex("ivf", d, s) { st =>

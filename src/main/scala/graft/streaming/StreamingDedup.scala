@@ -109,21 +109,26 @@ object StreamingDedup {
   def readIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                 belowBatch: Option[Long] = None): (DataFrame, DataFrame) = {
     import spark.implicits._
-    // Existence through Hadoop's FileSystem, not java.io.File: the index
-    // lives in durable storage, and on HDFS/S3 a local-file check is
-    // always false — the stored index would silently read as empty and
-    // cross-batch dedup would silently stop.
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    def readOr(path: String, empty: => DataFrame): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      if (p.getFileSystem(hadoopConf).exists(p))
-        belowBatch.foldLeft(spark.read.parquet(path))((df, b) => df.filter(col("batch") < b))
-      else empty
-    }
-    (readOr(s"$indexDir/bands",
+    (readBatchedOr(spark, s"$indexDir/bands", belowBatch,
         Seq.empty[(Long, Int, String)].toDF("doc", "band_idx", "band_hash")),
-      readOr(s"$indexDir/shingles",
+      readBatchedOr(spark, s"$indexDir/shingles", belowBatch,
         Seq.empty[(Long, Seq[String])].toDF("doc", "shd")))
+  }
+
+  /** A `batch=`-partitioned parquet dir, optionally pruned to batches
+    * below `belowBatch`, or `empty` when it does not exist yet (first
+    * batch). Existence through Hadoop's FileSystem, not java.io.File:
+    * these indexes live in durable storage, and on HDFS/S3 a local-file
+    * check is always false — the stored index would silently read as
+    * empty and cross-batch dedup would silently stop. Shared with
+    * [[StreamingSemanticDedup]]. */
+  private[streaming] def readBatchedOr(spark: org.apache.spark.sql.SparkSession,
+                                       path: String, belowBatch: Option[Long],
+                                       empty: => DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      belowBatch.foldLeft(spark.read.parquet(path))((df, b) => df.filter(col("batch") < b))
+    else empty
   }
 
   /** Convenience wiring: survivors of every micro-batch land in `outDir`

@@ -88,26 +88,13 @@ object StreamingSemanticDedup {
 
   /** The stored (id, cid, vec) index, optionally only batches below
     * `belowBatch` (partition-pruned); empty with the right schema before
-    * the first batch. Existence via Hadoop's FileSystem (works on
-    * HDFS/S3, not just local disk). */
+    * the first batch (durable-storage existence semantics shared with
+    * [[StreamingDedup.readBatchedOr]]). */
   def readIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                 belowBatch: Option[Long] = None): DataFrame = {
-    val path = s"$indexDir/vectors"
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-      belowBatch.foldLeft(spark.read.parquet(path))((df, b) => df.filter(col("batch") < b))
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("cid",
-            org.apache.spark.sql.types.LongType, nullable = true),
-          org.apache.spark.sql.types.StructField("vec",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType, containsNull = true), nullable = true),
-          org.apache.spark.sql.types.StructField("batch",
-            org.apache.spark.sql.types.LongType, nullable = true))))
+    import spark.implicits._
+    StreamingDedup.readBatchedOr(spark, s"$indexDir/vectors", belowBatch,
+      Seq.empty[(Long, Long, Seq[Float], Long)].toDF("id", "cid", "vec", "batch"))
   }
 
   /** Convenience wiring: survivors of every micro-batch land in `outDir`

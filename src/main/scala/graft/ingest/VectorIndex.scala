@@ -72,23 +72,29 @@ object VectorIndex {
   def publish(store: TableStore, name: String, centroids: DataFrame,
               codebooks: Option[Seq[Seq[Seq[Float]]]] = None): Loaded = {
     val dir = s"${store.root}/_vecindex/$name/${java.util.UUID.randomUUID().toString.take(8)}"
-    val cents = centroids
+    // collect ONCE and write the parquet from the collected rows: the
+    // centroid plan may be nondeterministic (freshly trained, no
+    // checkpoint), and executing it twice (write + collect) could
+    // publish an artifact that disagrees with the metadata
+    val collected = centroids
       .select(col(centroids.columns.head).cast("long").as("centroid_id"),
         col(centroids.columns(1)).cast("array<float>").as("vec"))
-    cents.write.mode("errorifexists").parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
+    val spark = store.spark
+    import spark.implicits._
+    collected.toDF("centroid_id", "vec")
+      .select(col("centroid_id"), col("vec").cast("array<float>").as("vec"))
+      .write.mode("errorifexists").parquet(s"$dir/centroids")
     codebooks.foreach { cb =>
       val rows = for {
         (sub, j) <- cb.zipWithIndex
         (cv, code) <- sub.zipWithIndex
       } yield (j, code, cv)
-      val spark = store.spark
-      import spark.implicits._
       rows.toDF("j", "code", "cv")
         .select(col("j"), col("code"), col("cv").cast("array<float>").as("cv"))
         .write.mode("errorifexists").parquet(s"$dir/codebooks")
     }
-    val collected = cents.collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq.sortBy(_._1)
     import CanonicalJson._
     val meta = render(JObj.of(
       "dir" -> JStr(dir),

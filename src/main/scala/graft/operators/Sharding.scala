@@ -52,11 +52,14 @@ object Sharding {
     * and rows can never leak between splits (one fold, three disjoint
     * ranges). Per-row projection, no shuffle. */
   def splitByHash(df: DataFrame, keyCol: String,
-                  trainPermille: Int = 900, valPermille: Int = 50): DataFrame = {
+                  trainPermille: Int = 900, valPermille: Int = 50,
+                  outCol: String = "split"): DataFrame = {
     require(trainPermille >= 0 && valPermille >= 0 &&
       trainPermille + valPermille <= 1000, "permilles must fit in [0, 1000]")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists; pass outCol to pick another name")
     val bkt = hashBucket1000(col(keyCol))
-    df.withColumn("split",
+    df.withColumn(outCol,
       when(bkt < trainPermille, "train")
         .when(bkt < trainPermille + valPermille, "val")
         .otherwise("test"))

@@ -40,17 +40,17 @@ object DedupSimilarityQueries {
   // encodes ONCE and serves many queries, so repeated driver runs of the
   // stored-index queries must time the SCAN, not a rebuild. (Verify and
   // Bench are separate JVMs — each pays one build, then reuses.)
-  private val storedIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.ingest.TableStore]()
+  private val storedIndexCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, org.apache.spark.sql.SparkSession), graft.ingest.TableStore]()
   private def storedIndex(kind: String, d: String, s: org.apache.spark.sql.SparkSession)
                          (build: graft.ingest.TableStore => Unit): graft.ingest.TableStore = {
-    // a cached store pins its SparkSession; if that session has been
-    // stopped since (test suites, sequential harnesses), rebuild under
-    // the live one instead of failing on a dead context
-    val stale = Option(storedIndexCache.get((kind, d)))
-      .exists(_.spark.sparkContext.isStopped)
-    if (stale) storedIndexCache.remove((kind, d))
-    storedIndexCache.computeIfAbsent((kind, d), { _ =>
+    // a cached store pins its SparkSession, so the session is part of
+    // the cache key: a different live session for the same (kind, dir)
+    // gets its own store instead of frames bound to a stopped/foreign
+    // context, and the atomic computeIfAbsent replaces the old
+    // check-then-act staleness probe. Entries for stopped sessions
+    // linger but are bounded by sessions-per-JVM (test suites).
+    storedIndexCache.computeIfAbsent((kind, d, s), { _ =>
       val root = java.nio.file.Files.createTempDirectory(s"graft-vidx-$kind").toString
       val store = new graft.ingest.TableStore(s, root, nBuckets = 2)
       build(store)

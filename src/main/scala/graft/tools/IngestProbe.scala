@@ -60,6 +60,8 @@ object IngestProbe {
       // args: streamdedup [batchRounds] — 5k rounds total either way
       val batchRounds = args.dropWhile(_ != "streamdedup").drop(1).headOption
         .map(_.toInt).getOrElse(500)
+      require(batchRounds > 0 && 5000 % batchRounds == 0,
+        s"batchRounds must be a positive divisor of 5000, got $batchRounds")
       val nBatches = 5000 / batchRounds
       // non-linear word mix: a linear (seed + j·C) form makes different
       // seeds produce SHIFTED copies of one global word cycle (huge

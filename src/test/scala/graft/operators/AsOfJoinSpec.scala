@@ -58,6 +58,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("_side"))
   }
 
+  test("a matched right row's NULL payload is returned, not an older row's value") {
+    val left = l((1L, 10L, 20L))
+    val right = Seq((10L, 3L, Some("old")), (10L, 15L, Option.empty[String]))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asofJoinLeft(left, right, Seq("k"), "t", "t", Seq("v"))
+      .head()
+    assert(out.isNullAt(3), "latest right row has v=null; must NOT fall back to t=3's 'old'")
+  }
+
+  test("multi-payload columns always come from the SAME right row") {
+    // latest right row has (a=null, b="B2"); an older row has (a="A1", b=null).
+    // Per-column carry would stitch ("A1", "B2") from two different rows.
+    val left = l((1L, 10L, 20L))
+    val right = Seq(
+        (10L, 3L, Some("A1"), Option.empty[String]),
+        (10L, 15L, Option.empty[String], Some("B2")))
+      .toDF("k", "t", "a", "b")
+    val out = AsOfJoin.asofJoinLeft(left, right, Seq("k"), "t", "t", Seq("a", "b"))
+      .head()
+    assert(out.isNullAt(3) && out.getString(4) == "B2",
+      "both payloads must come from the t=15 row: (null, B2)")
+  }
+
   test("matches a relational max-per-left twin on random data") {
     val rnd = new scala.util.Random(77)
     val left = (0 until 300).map(i => (i.toLong, (rnd.nextInt(8)).toLong, rnd.nextInt(1000).toLong))

@@ -25,16 +25,34 @@ object RangeJoin {
     * `left.pointCol ∈ [right.loCol, right.hiCol]` (inclusive both ends),
     * plus optional equi `keys`. Point and bounds must be numeric (bin
     * with longs — timestamps go through unix_micros upstream). Emits
-    * left.* ++ right.* (minus the right's key columns). */
+    * left.* ++ right.* (minus the right's key columns).
+    *
+    * `maxBins` guards the explode: one open-ended sentinel interval
+    * (`hi = Long.MaxValue`) or a binWidth picked for the wrong unit
+    * would otherwise explode a single row into up to 2³¹ bins and kill
+    * the job at 100 TB. Any interval spanning more than `maxBins` bins
+    * fails FAST at the scan with an actionable message — cap open-ended
+    * intervals at the domain's real maximum (e.g. `least(hi, maxTs)`)
+    * or raise binWidth before joining. */
   def binnedIntervalJoin(left: DataFrame, right: DataFrame,
                          pointCol: String, loCol: String, hiCol: String,
-                         binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+                         binWidth: Long, keys: Seq[String] = Nil,
+                         maxBins: Long = 10000L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBins > 0, "maxBins must be positive")
     require(!left.columns.contains("_bin") && !right.columns.contains("_bin"),
       "a caller column named _bin would be silently overwritten and dropped")
     val l = left.withColumn("_bin", floor(col(pointCol) / binWidth))
-    val r = right.withColumn("_bin",
-      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    val loBin = floor(col(loCol) / binWidth)
+    val hiBin = floor(col(hiCol) / binWidth)
+    // null bounds stay a null sequence (explode drops the row, as before)
+    val guarded = when(coalesce(hiBin - loBin < lit(maxBins), lit(true)),
+        sequence(loBin, hiBin))
+      .otherwise(raise_error(concat(
+        lit(s"range-join interval spans more than $maxBins bins of width $binWidth: ["),
+        col(loCol), lit(", "), col(hiCol),
+        lit("] — cap open-ended intervals at the domain max or raise binWidth"))))
+    val r = right.withColumn("_bin", explode(guarded))
     l.join(r, keys :+ "_bin", "inner")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")

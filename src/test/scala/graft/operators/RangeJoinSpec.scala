@@ -34,6 +34,36 @@ class RangeJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("_bin"))
   }
 
+  test("an open-ended sentinel interval fails fast with an actionable message") {
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    val ivs = Seq((100L, 0L, Long.MaxValue)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception](
+      RangeJoin.binnedIntervalJoin(pts, ivs, "t", "lo", "hi", 4L).collect())
+    val msg = Option(e.getCause).map(_.toString).getOrElse("") + e.getMessage
+    assert(msg.contains("bins"), s"expected the bins-per-interval guard, got: $msg")
+  }
+
+  test("intervals at the maxBins edge pass; one bin over fails") {
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    // width 1: [0, 9] spans 10 bins — allowed at maxBins=10; [0, 10] is 11
+    val ok = Seq((100L, 0L, 9L)).toDF("iid", "lo", "hi")
+    assert(RangeJoin.binnedIntervalJoin(pts, ok, "t", "lo", "hi", 1L,
+      maxBins = 10L).count() == 1)
+    val over = Seq((100L, 0L, 10L)).toDF("iid", "lo", "hi")
+    intercept[Exception](
+      RangeJoin.binnedIntervalJoin(pts, over, "t", "lo", "hi", 1L,
+        maxBins = 10L).collect())
+  }
+
+  test("null interval bounds are dropped, not errored") {
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    val ivs = Seq((100L, Some(0L), Option.empty[Long]), (200L, Some(0L), Some(9L)))
+      .toDF("iid", "lo", "hi")
+    val out = RangeJoin.binnedIntervalJoin(pts, ivs, "t", "lo", "hi", 4L)
+      .select("iid").collect().map(_.getLong(0)).toSet
+    assert(out == Set(200L), "the null-hi interval matches nothing and raises nothing")
+  }
+
   test("matches the plain inequality join on random data, several bin widths") {
     val rnd = new scala.util.Random(31)
     val pts = (0 until 400).map(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(2000).toLong))

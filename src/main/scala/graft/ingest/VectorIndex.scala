@@ -212,10 +212,160 @@ object VectorIndex {
       "adc_score", k)
   }
 
+  // ───────────────────────── incremental append ─────────────────────────
+  // Daily embedding ingest is the same shape as the band index's
+  // incremental form: new vectors arrive, the published
+  // centroids/codebooks DON'T change, so only the DELTA needs encoding.
+  // Encoded rows live as immutable parquet SEGMENT dirs under the index
+  // version that encoded them (`<version>/segs_<label>/<uuid>`), and the
+  // authoritative segment list is ONE metastate key
+  // (`vecindex.<name>.segs.<label>`) — so an append is one atomic log
+  // commit, a reader sees the old complete list or the new one (never a
+  // half-registered segment), and `metastateAt` gives as-of reads of the
+  // encoded corpus for free. Retraining starts a fresh list: segments
+  // are meaningless under centroids other than the ones that encoded
+  // them, so a list is bound to its version dir and readers check it.
+
+  def metaKeySegs(name: String, label: String): String =
+    s"vecindex.$name.segs.$label"
+
+  private def renderSegs(dir: String, segs: Seq[String]): String = {
+    import CanonicalJson._
+    render(JObj.of("dir" -> JStr(dir),
+      "segs" -> JArr(segs.map(JStr(_)).toVector)))
+  }
+
+  private def parseSegs(json: String): (String, Seq[String]) = {
+    import CanonicalJson._
+    val obj = parse(json).asObj
+    (obj("dir").str, obj("segs").arr.map(_.str))
+  }
+
+  /** Segments currently registered for (`name`, `label`) — empty when
+    * none exist yet or when the registered list belongs to a superseded
+    * index version (`boundDir` differs): appending after a retrain
+    * starts over, because old segments are encoded under dead centroids. */
+  private def registeredSegments(meta: Map[String, String], name: String,
+                                 boundDir: String, label: String): Seq[String] =
+    meta.get(metaKeySegs(name, label)) match {
+      case Some(json) =>
+        val (dir, segs) = parseSegs(json)
+        if (dir == boundDir) segs else Nil
+      case None => Nil
+    }
+
+  /** Encode ONLY `df` under the CURRENT published centroids (and PQ
+    * codebooks when the index has them), write it as a new immutable
+    * delta segment, and atomically register it — the incremental path
+    * that makes daily ingest O(delta), not O(corpus): nothing existing
+    * is re-read, re-encoded, or rewritten. Segment rows are
+    * (id, cid, codes) on a PQ index, (id, cid, vec) otherwise (the
+    * assignment expression is the same one the query path uses, so
+    * stored cells are bit-identical to on-the-fly assignment).
+    * Returns the new segment dir. */
+  def appendCorpus(store: TableStore, name: String, df: DataFrame,
+                   idCol: String, vecCol: String,
+                   label: String = "corpus"): String = {
+    val idx = load(store, name)
+    val seg = s"${idx.dir}/segs_$label/${java.util.UUID.randomUUID().toString.take(8)}"
+    val encoded = idx.codebooks match {
+      case Some(cb) => df.select(col(idCol).cast("long").as("id"),
+        Similarity.nearestCentroid(col(vecCol), idx.centroids, round4 = true).as("cid"),
+        Similarity.pqEncode(col(vecCol), cb).as("codes"))
+      case None => df.select(col(idCol).cast("long").as("id"),
+        Similarity.nearestCentroid(col(vecCol), idx.centroids, round4 = true).as("cid"),
+        col(vecCol).cast("array<float>").as("vec"))
+    }
+    encoded.write.mode("errorifexists").parquet(seg)
+    val segs = registeredSegments(store.metastate, name, idx.dir, label) :+ seg
+    store.putMetastate(metaKeySegs(name, label) -> renderSegs(idx.dir, segs))
+    seg
+  }
+
+  /** The encoded corpus of (`name`, `label`) — the union of all
+    * registered segments, as one DataFrame. */
+  def readEncoded(store: TableStore, name: String,
+                  label: String = "corpus"): DataFrame =
+    readEncodedFromMeta(store, store.metastate, name, label)
+
+  /** As-of form: the segment union registered at `metaVersion` —
+    * snapshot-consistent with `loadAt`/`readAsOf` at the same version. */
+  def readEncodedAt(store: TableStore, name: String, metaVersion: Long,
+                    label: String = "corpus"): DataFrame =
+    readEncodedFromMeta(store, store.metastateAt(metaVersion), name, label)
+
+  private def readEncodedFromMeta(store: TableStore, meta: Map[String, String],
+                                  name: String, label: String): DataFrame = {
+    val idx = loadFromMeta(store, name, meta)
+    val segs = registeredSegments(meta, name, idx.dir, label)
+    require(segs.nonEmpty,
+      s"no segments registered for index '$name' label '$label' under its current version — appendCorpus first")
+    store.spark.read.parquet(segs: _*)
+  }
+
+  /** Batched IVF top-k over the SEGMENT union: one scan of the encoded
+    * segments for N queries, reading stored cells (and codes, on a PQ
+    * index) instead of re-assigning the corpus — the serving path after
+    * incremental appends. `metaVersion` pins an as-of snapshot (index
+    * artifacts AND segment list from the same log version, so a
+    * concurrent append/retrain can't tear the read). Returns
+    * (query_id, id, cos_sim|adc_score, rank) like the other batch forms. */
+  def ivfSegmentsTopKBatch(store: TableStore, name: String,
+                           queries: DataFrame, queryIdCol: String, vecCol: String,
+                           k: Int, probes: Int = 1,
+                           label: String = "corpus",
+                           metaVersion: Option[Long] = None,
+                           outIdCol: String = "id"): DataFrame = {
+    val meta = metaVersion.map(store.metastateAt).getOrElse(store.metastate)
+    val idx = loadFromMeta(store, name, meta)
+    val segs = readEncodedFromMeta(store, meta, name, label)
+    val probe = explode(
+      Similarity.topCentroids(col(vecCol), idx.centroids, probes, round4 = true)).as("_qcid")
+    idx.codebooks match {
+      case Some(cb) =>
+        val querySide = queries.select(col(queryIdCol).as("query_id"),
+          graft.expressions.VectorExpressions.pqAdcLut(col(vecCol), cb, round4 = true).as("_qpay"),
+          probe)
+        Similarity.batchTopK(
+          segs.join(broadcast(querySide), col("cid") === col("_qcid"))
+            .select(col("query_id"), col("id").as("_aid"),
+              col("codes").as("_pay"), col("_qpay")),
+          outIdCol,
+          graft.expressions.VectorExpressions.pqAdcScoreDyn(col("_pay"), col("_qpay")),
+          "adc_score", k)
+      case None =>
+        val querySide = queries.select(col(queryIdCol).as("query_id"),
+          col(vecCol).cast("array<float>").as("_qpay"), probe)
+        Similarity.batchTopK(
+          segs.join(broadcast(querySide), col("cid") === col("_qcid"))
+            .select(col("query_id"), col("id").as("_aid"),
+              col("vec").as("_pay"), col("_qpay")),
+          outIdCol, Similarity.cosine(col("_pay"), col("_qpay")), "cos_sim", k)
+    }
+  }
+
+  /** Merge all registered segments of (`name`, `label`) into ONE new
+    * segment and flip the list to it — the small-files half of the
+    * append story (mirrors table seal-time compaction). Superseded
+    * segment dirs stay readable via `readEncodedAt` until [[vacuum]]. */
+  def compactSegments(store: TableStore, name: String,
+                      label: String = "corpus"): String = {
+    val idx = load(store, name)
+    val segs = registeredSegments(store.metastate, name, idx.dir, label)
+    require(segs.nonEmpty, s"nothing to compact for '$name' label '$label'")
+    val merged = s"${idx.dir}/segs_$label/${java.util.UUID.randomUUID().toString.take(8)}"
+    store.spark.read.parquet(segs: _*)
+      .write.mode("errorifexists").parquet(merged)
+    store.putMetastate(metaKeySegs(name, label) -> renderSegs(idx.dir, Seq(merged)))
+    merged
+  }
+
   /** Remove payload dirs of index `name` that the CURRENT pointer no
     * longer references — the vacuum half of the snapshot contract
     * (mirrors table vacuum: old versions stay readable via `loadAt`
-    * until this is called explicitly). Returns the dirs removed. */
+    * until this is called explicitly). Also sweeps UNREGISTERED segment
+    * dirs inside the current version (superseded by [[compactSegments]]
+    * or orphaned by a crashed append). Returns the dirs removed. */
   def vacuum(store: TableStore, name: String): Seq[String] = {
     // Compare NORMALIZED absolute paths, not raw strings: a store root
     // with a trailing slash or "./" writes "dir" into the metastate with
@@ -231,13 +381,30 @@ object VectorIndex {
     val doomed = scala.util.Using.resource(java.nio.file.Files.list(base)) {
       _.iterator().asScala.toList
     }.filter(p => !current.contains(p.toAbsolutePath.normalize()))
-    doomed.foreach { p =>
+    // inside the LIVE version: sweep segment dirs no current segment
+    // list references (compacted-away or crash-orphaned appends). The
+    // registered set spans all labels of this index.
+    val registered: Set[java.nio.file.Path] = store.metastate.collect {
+      case (k, v) if k.startsWith(s"vecindex.$name.segs.") =>
+        parseSegs(v)._2.map(norm)
+    }.flatten.toSet
+    val doomedSegs = current.toList.flatMap { cd =>
+      val segRoots = scala.util.Using.resource(java.nio.file.Files.list(cd)) {
+        _.iterator().asScala.toList
+      }.filter(p => p.getFileName.toString.startsWith("segs_"))
+      segRoots.flatMap { sr =>
+        scala.util.Using.resource(java.nio.file.Files.list(sr)) {
+          _.iterator().asScala.toList
+        }.filter(p => !registered.contains(p.toAbsolutePath.normalize()))
+      }
+    }
+    (doomed ++ doomedSegs).foreach { p =>
       scala.util.Using.resource(java.nio.file.Files.walk(p)) {
         _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(java.nio.file.Files.delete(_))
       }
     }
-    doomed.map(_.toString)
+    (doomed ++ doomedSegs).map(_.toString)
   }
 
   /** The loaded centroid list as a frame whose vector column carries the

@@ -555,6 +555,35 @@ object DedupSimilarityQueries {
           .orderBy("query_id", "rank")
     },
 
+    // ── INCREMENTALLY APPENDED INDEX (the daily-ingest lifecycle): the
+    //    corpus arrives in TWO batches, each encoded ONLY once under the
+    //    published centroids and registered as an immutable delta
+    //    segment (one atomic metastate commit per append); the query
+    //    scans the segment UNION's stored cell assignments — no row is
+    //    ever re-encoded, and the answer must equal one-shot assignment
+    //    over the whole corpus (same centroids ⇒ same cells), which is
+    //    exactly what the oracle computes. ─────────────────────────────
+    QueryDef.sql(
+      "sim_ivf_appended",
+      ivfBatchOracle(probes = 2, k = 7)) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val store = storedIndex("ivfapp", d, s) { st =>
+          graft.ingest.VectorIndex.publish(st, "inc",
+            emb.filter(col("vec_id").between(1, 8)).select(col("vec_id"), col("embedding")))
+          graft.ingest.VectorIndex.appendCorpus(st, "inc",
+            emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 0),
+            "vec_id", "embedding")
+          graft.ingest.VectorIndex.appendCorpus(st, "inc",
+            emb.filter(col("vec_id") > 8 && col("vec_id") % 2 === 1),
+            "vec_id", "embedding")
+        }
+        graft.ingest.VectorIndex.ivfSegmentsTopKBatch(store, "inc",
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          k = 7, probes = 2, outIdCol = "vec_id")
+          .orderBy("query_id", "rank")
+    },
+
     // ── BATCHED full-scan ADC: every query's LUT is DATA (PQAdcLut →
     //    broadcast), scored against one pass over the code column
     //    (PQADCScoreDyn) — N queries, one corpus scan, no per-query

@@ -119,4 +119,100 @@ class VectorIndexSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](VectorIndex.load(store, "nope"))
     assert(e.getMessage.contains("nope"))
   }
+
+  test("appendCorpus: the segment-union query equals one-shot assignment over the union") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-app"), nBuckets = 2)
+    val corpus = corpusDF(220, 16).localCheckpoint()
+    val centroids = corpus.filter(col("id") < 8)
+    VectorIndex.publish(store, "inc", centroids)
+    val dayOne = corpus.filter(col("id").between(8, 119))
+    val dayTwo = corpus.filter(col("id").between(120, 209))
+    val queries = corpus.filter(col("id") >= 210)
+    VectorIndex.appendCorpus(store, "inc", dayOne, "id", "v")
+    VectorIndex.appendCorpus(store, "inc", dayTwo, "id", "v")
+    assert(VectorIndex.readEncoded(store, "inc").count() == 112 + 90)
+    val viaSegs = VectorIndex.ivfSegmentsTopKBatch(store, "inc", queries, "id", "v",
+      k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val oneShot = Similarity.ivfTopKBatch(dayOne.unionByName(dayTwo), "id", "v",
+      centroids, "id", queries, "id", k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaSegs == oneShot && viaSegs.nonEmpty)
+  }
+
+  test("appendCorpus on a PQ index stores codes and serves ADC without the vectors") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-apq"), nBuckets = 2)
+    val corpus = corpusDF(200, 16).localCheckpoint()
+    val centroids = corpus.filter(col("id") < 8)
+    val cb = Similarity.pqCodebooksFromRows(
+      corpus.filter(col("id").between(8, 23)).orderBy("id")
+        .collect().map(_.getSeq[Float](1).toSeq).toSeq, m = 4)
+    VectorIndex.publish(store, "pqinc", centroids, Some(cb))
+    val body = corpus.filter(col("id") >= 24)
+    val queries = corpus.filter(col("id") < 4)
+    VectorIndex.appendCorpus(store, "pqinc", body, "id", "v")
+    val viaSegs = VectorIndex.ivfSegmentsTopKBatch(store, "pqinc", queries, "id", "v",
+      k = 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = Similarity.ivfTopKBatch(body, "id", "v", centroids, "id",
+      queries, "id", k = 5, probes = 2, pqCodebooks = Some(cb))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaSegs == direct && viaSegs.nonEmpty)
+    val plan = VectorIndex.ivfSegmentsTopKBatch(store, "pqinc", queries, "id", "v",
+      k = 5, probes = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("ReadSchema: struct<id:bigint,v:"),
+      "segment ADC scan reads (id, cid, codes), never the float vectors")
+  }
+
+  test("append is atomic in the log: as-of sees the pre-append segment list") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-asof"), nBuckets = 2)
+    val corpus = corpusDF(160, 8).localCheckpoint()
+    VectorIndex.publish(store, "inc", corpus.filter(col("id") < 4))
+    VectorIndex.appendCorpus(store, "inc", corpus.filter(col("id").between(4, 99)), "id", "v")
+    val vAfterFirst = store.metaVersion
+    VectorIndex.appendCorpus(store, "inc", corpus.filter(col("id") >= 100), "id", "v")
+    assert(VectorIndex.readEncoded(store, "inc").count() == 156)
+    assert(VectorIndex.readEncodedAt(store, "inc", vAfterFirst).count() == 96,
+      "the as-of read must see exactly the first segment")
+    val pinned = VectorIndex.ivfSegmentsTopKBatch(store, "inc",
+      corpus.filter(col("id") < 2), "id", "v", k = 3, probes = 1,
+      metaVersion = Some(vAfterFirst))
+      .select("id").collect().map(_.getLong(0))
+    assert(pinned.forall(_ < 100), "a pinned query can never see post-snapshot rows")
+  }
+
+  test("retrain invalidates old segments; append starts a fresh list") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-ret"), nBuckets = 2)
+    val corpus = corpusDF(120, 8).localCheckpoint()
+    VectorIndex.publish(store, "inc", corpus.filter(col("id") < 4))
+    VectorIndex.appendCorpus(store, "inc", corpus.filter(col("id").between(4, 59)), "id", "v")
+    VectorIndex.publish(store, "inc", corpus.filter(col("id").between(10, 13)))
+    val e = intercept[IllegalArgumentException](VectorIndex.readEncoded(store, "inc"))
+    assert(e.getMessage.contains("appendCorpus"),
+      "old segments are bound to dead centroids and must not be served")
+    VectorIndex.appendCorpus(store, "inc", corpus.filter(col("id") >= 60), "id", "v")
+    assert(VectorIndex.readEncoded(store, "inc").count() == 60,
+      "the fresh list holds only rows encoded under the new version")
+  }
+
+  test("compactSegments merges to one dir; vacuum sweeps the superseded segments") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-cmp"), nBuckets = 2)
+    val corpus = corpusDF(140, 8).localCheckpoint()
+    VectorIndex.publish(store, "inc", corpus.filter(col("id") < 4))
+    val s1 = VectorIndex.appendCorpus(store, "inc", corpus.filter(col("id").between(4, 69)), "id", "v")
+    val s2 = VectorIndex.appendCorpus(store, "inc", corpus.filter(col("id") >= 70), "id", "v")
+    val before = VectorIndex.ivfSegmentsTopKBatch(store, "inc",
+      corpus.filter(col("id") < 2), "id", "v", k = 4, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val merged = VectorIndex.compactSegments(store, "inc")
+    val after = VectorIndex.ivfSegmentsTopKBatch(store, "inc",
+      corpus.filter(col("id") < 2), "id", "v", k = 4, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before && after.nonEmpty, "compaction must not change any answer")
+    val removed = VectorIndex.vacuum(store, "inc")
+    assert(removed.toSet == Set(s1, s2), "vacuum sweeps exactly the two pre-compaction segments")
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(merged)))
+    assert(VectorIndex.readEncoded(store, "inc").count() == 136,
+      "the compacted segment survives vacuum intact")
+  }
 }

@@ -84,6 +84,67 @@ object TextOps {
     when(size(filter(toks, w => w.isInCollection(markers))) >= minHits, "en")
       .otherwise("und")
 
+  /** Character-trigram profiles for ten languages — the classic
+    * frequency-profile approach (Cavnar & Trenkle's n-gram text
+    * categorization, trimmed to the highest-frequency trigrams plus a
+    * few diacritic singletons per language; standard public corpus
+    * statistics). Deliberately tiny and LITERAL so the whole classifier
+    * is reproducible by any SQL engine: the score of a language is the
+    * total occurrence count of its profile grams in the lowercased
+    * text — substring counts, no tokenization, no floats. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "sch", "ein", "ich", "den", "cht", "ung", "gen", "ß"),
+    "en" -> Seq("the", "and", "ing", "ion", "tio", "ent", "her", "tha", "hat", "was"),
+    "es" -> Seq("que", "los", "con", "una", "las", "por", "ado", "nte", "ión", "ñ"),
+    "fr" -> Seq("les", "des", "une", "eur", "ait", "lle", "ons", "que", "est", "é"),
+    "it" -> Seq("che", "non", "per", "del", "ell", "zio", "gli", "lla", "ssi", "à"),
+    "nl" -> Seq("een", "het", "van", "aan", "oor", "ijk", "ver", "dat", "niet", "ij"),
+    "pl" -> Seq("nie", "prz", "ych", "owa", "ego", "rze", "czy", "się", "ł", "ż"),
+    "pt" -> Seq("ção", "não", "uma", "ara", "com", "ade", "par", "dos", "ões", "ã"),
+    "sv" -> Seq("och", "att", "det", "för", "som", "ill", "den", "ande", "är", "å"),
+    "tr" -> Seq("lar", "bir", "yor", "ler", "çin", "dır", "nda", "ını", "ğ", "ş"))
+
+  /** Multi-language ID over [[langProfiles]]: per language, score =
+    * Σ occurrences of its grams in `lower(text)`; winner = max score
+    * with ties to the lexicographically smallest language code; all-zero
+    * ⇒ "und". Returns a struct (lang_pred, score).
+    *
+    * Occurrence counting is the deletion identity
+    * `(len(t) - len(replace(t, g))) / len(g)` — pure `length`/`replace`
+    * composition, so it stays inside whole-stage codegen on Spark AND is
+    * expressible verbatim in ANSI SQL (the oracle twin is GENERATED from
+    * the same profile literals — one source of truth). ~100 substring
+    * scans per row at 10 langs × ~10 grams: per-row work, no shuffle, no
+    * UDF; at 100 TB this rides the same scan as any other per-row
+    * projection. */
+  def langIdMulti(text: Column): Column = {
+    val tx = lower(text)
+    val entries = langProfiles.map { case (lang, grams) =>
+      val score = grams.map { g =>
+        (length(tx) - length(replace(tx, lit(g), lit("")))) / g.codePointCount(0, g.length)
+      }.reduce(_ + _)
+      // sort_array ascending on (-score, lang) puts the winner first
+      // with exactly the pinned tie-break (max score, then smallest code)
+      struct((-score).cast("double").as("ns"), lit(lang).as("lang"))
+    }
+    val top = element_at(sort_array(array(entries: _*)), 1)
+    struct(
+      when(top.getField("ns") === 0, lit("und")).otherwise(top.getField("lang"))
+        .as("lang_pred"),
+      (-top.getField("ns")).cast("long").as("score"))
+  }
+
+  /** The DuckDB twin of [[langIdMulti]], generated from the SAME profile
+    * literals (`tx` must be the lowercased text expression; emits
+    * per-language `SELECT ... AS lang, ... AS score` branches to UNION). */
+  def langIdMultiOracleBranches(docExpr: String, txExpr: String): String =
+    langProfiles.map { case (lang, grams) =>
+      val sum = grams.map { g =>
+        s"(length($txExpr) - length(replace($txExpr, '$g', ''))) // ${g.codePointCount(0, g.length)}"
+      }.mkString(" + ")
+      s"SELECT $docExpr, '$lang' AS lang, $sum AS score FROM t"
+    }.mkString("\nUNION ALL\n")
+
   /** Benchmark decontamination — flag training documents that share
     * `shingleN`-gram content with an evaluation set (the overlap that
     * silently inflates benchmark scores). Returns one row per corpus

@@ -355,6 +355,60 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── MULTI-language ID: ten char-trigram profiles (de en es fr it nl
+    //    pl pt sv tr), score = total profile-gram occurrences in the
+    //    lowercased text, argmax with ties to the smallest code, all-zero
+    //    ⇒ 'und'. The oracle's per-language branches are GENERATED from
+    //    the same Scala profile literals, so Spark and DuckDB can never
+    //    drift. On this synthetic corpus several languages genuinely
+    //    fire ('order' contains de's 'der', 'query' contains es/fr's
+    //    'que'), so the downstream per-language machinery sees >1 class;
+    //    real-text behavior is pinned in OperatorsSpec with native
+    //    sentences per language. ──
+    QueryDef.sql(
+      "text_langid_multi",
+      s"""WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents),
+         |sc AS (
+         |${TextOps.langIdMultiOracleBranches("doc_id", "tx")}),
+         |r AS (SELECT doc_id, lang, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |      FROM sc)
+         |SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_pred,
+         |  CAST(score AS BIGINT) AS score
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.langIdMulti(col("text")).as("lm"))
+          .select(col("doc_id"), col("lm.lang_pred").as("lang_pred"),
+            col("lm.score").as("score"))
+          .orderBy("doc_id")
+    },
+
+    // ── Per-DETECTED-language corpus profile — the grouping the
+    //    temperature-mix sampler consumes, now over a real multi-class
+    //    classifier instead of the labeled metadata column. ──
+    QueryDef.sql(
+      "corpus_langid_profile",
+      s"""WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents),
+         |sc AS (
+         |${TextOps.langIdMultiOracleBranches("doc_id", "tx")}),
+         |r AS (SELECT doc_id, lang, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |      FROM sc),
+         |p AS (SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_pred, score
+         |      FROM r WHERE rn = 1)
+         |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(CAST(score AS DOUBLE)), 4) AS avg_score
+         |FROM p GROUP BY 1 ORDER BY lang_pred""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(TextOps.langIdMulti(col("text")).as("lm"))
+          .groupBy(col("lm.lang_pred").as("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("lm.score").cast("double")), 4).as("avg_score"))
+          .orderBy("lang_pred")
+    },
+
     // ── Document fingerprint: hash of the sorted distinct token set
     //    (bag-normalized content fingerprint for near-dup bucketing). ──
     QueryDef.sql(

@@ -488,4 +488,61 @@ class OperatorsSpec extends SparkSpec {
     val firstPerShard = sharded.groupBy(_.getInt(0)).values.map(_.map(_.getLong(1)).min)
     assert(firstPerShard.forall(_ == 0L), "every shard's stream starts at offset 0")
   }
+
+  test("langIdMulti: native sentences classify to their language, all ten classes") {
+    // one plain-prose sentence per language — function words + diacritics,
+    // nothing adversarial
+    val samples = Seq(
+      "de" -> "Der Hund und die Katze sind in dem großen Garten geblieben, und ich dachte an nichts.",
+      "en" -> "The cat was sitting on the mat and the dog was watching the nation's information.",
+      "es" -> "Los niños que viven en una casa grande son los que juegan por la mañana con las cosas.",
+      "fr" -> "Les enfants des écoles ont une grande salle où les professeurs donnent des leçons utiles.",
+      "it" -> "Che cosa vuoi che io faccia per te, della bella giornata che non passa mai, degli amici?",
+      "nl" -> "Een goede vriend van het dorp kwam aan de deur en dat was niet een verrassing voor ons.",
+      "pl" -> "Nie wiem, czy przyszedł do nas wczoraj, ale przecież czekaliśmy na niego przez cały dzień.",
+      "pt" -> "A nação não tem uma solução para os problemas da população, com a informação que temos.",
+      "sv" -> "Det var en gång en liten flicka som bodde i en stor stad och hon älskade att läsa böcker.",
+      "tr" -> "Onlar bir gün için şehre geldiler ve yaşadıkları yerin insanları onları çok iyi karşıladı.")
+    val out = samples.map { case (lang, s) => (lang, s) }.toDF("expected", "text")
+      .select(col("expected"), TextOps.langIdMulti(col("text")).as("lm"))
+      .select(col("expected"), col("lm.lang_pred").as("got"), col("lm.score"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"expected ${r.getString(0)}, got ${r.getString(1)} (score ${r.getLong(2)})")
+    }
+  }
+
+  test("langIdMulti: all-zero scores give 'und'; ties break to the smallest code") {
+    val out = Seq((1L, "xxxx qq kk 12345"), (2L, ""), (3L, "derque"))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.langIdMulti(col("text")).as("lm")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getStruct(1).getString(0), r.getStruct(1).getLong(1)))
+    assert(out(0) == ((1L, "und", 0L)), "no profile gram fires")
+    assert(out(1) == ((2L, "und", 0L)), "empty text is undetermined")
+    // "derque": de scores 1 ('der'), es scores 1 ('que'), fr scores 1 ('que')
+    // — tie breaks to 'de', the smallest code
+    assert(out(2) == ((3L, "de", 1L)), "pinned lexicographic tie-break")
+  }
+
+  test("langIdMulti feeds the temperature mix: detected-language counts flatten the sample") {
+    // 40 english docs vs 4 german docs: the sampler must keep all the
+    // rare detected class and sqrt-flatten the dominant one
+    val docs = ((0 until 40).map(i => (i.toLong, s"The thing and the other thing number $i was there."))
+      ++ (40 until 44).map(i => (i.toLong, s"Der Wagen und die Straße und ich, Nummer $i.")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id").cast("string").as("doc_id"),
+        TextOps.langIdMulti(col("text")).getField("lang_pred").as("lp"))
+      .localCheckpoint()
+    val counts = docs.groupBy("lp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("en", "de") && counts("en") == 40 && counts("de") == 4)
+    val rates = Sharding.flattenedKeepPermille(counts)
+    assert(rates("de") == 1000, "rarest detected class keeps everything")
+    assert(rates("en") == math.round(1000.0 * math.sqrt(4.0 / 40)).toInt)
+    val kept = Sharding.sampleStratified(docs, "doc_id", "lp", rates)
+      .groupBy("lp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("de") == 4, "permille 1000 keeps every rare-class doc")
+    assert(kept.getOrElse("en", 0L) < 40, "dominant class is down-sampled")
+  }
 }

@@ -203,6 +203,75 @@ object TextOps {
         round(col("n_crossdup").cast("double") / col("n_shingles"), 4).as("crossdup_frac"))
   }
 
+  /** EXACT-substring cross-document coverage — the suffix-array-shaped
+    * training-data operator ([[crossDupCoverage]] measures which fixed
+    * n-grams recur; THIS measures which token POSITIONS sit inside an
+    * exact repeated substring of ≥ `n` tokens shared with another
+    * document, the thing substring dedup would actually cut).
+    *
+    * The identity that makes it distributed: a position is inside a
+    * cross-document exact run of length ≥ n IFF some n-gram covering it
+    * also occurs in another document (substrings of a shared substring
+    * are shared; a shared n-gram IS a run of n). So the covered set is
+    * the span-union of cross-doc-shared n-grams, EXACTLY — no suffix
+    * array, no anchors-then-extend rounds. Returns one row per doc with
+    * ≥ 1 n-gram: (doc, n_tokens, covered_tokens, covered_frac, max_run)
+    * where max_run is the longest maximal covered region (two abutting
+    * runs that overlap merge into one region — the region a dedup pass
+    * would excise in one cut).
+    *
+    * Scale shape: one posexplode of per-doc n-grams, ONE shuffle on the
+    * gram for the min≠max cross-doc test (constant state per gram), a
+    * join back, and a per-doc sorted fold that is O(doc length) IN-ROW —
+    * document-bounded, not corpus-bounded. At 100 TB, shuffle the md5 of
+    * the gram instead of the string (the band-hash trick) to cut
+    * exchange width; kept as strings here so the DuckDB twin is
+    * byte-exact. */
+  def exactRunCoverage(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                       n: Int): org.apache.spark.sql.DataFrame = {
+    val L = n.toLong
+    val doc = col(idCol).as("doc")
+    val base = df.select(doc, tokens(col(textCol)).as("ws"))
+      .select(col("doc"), size(col("ws")).cast("long").as("n_tokens"),
+        shingles(col("ws"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
+    val crossDoc = pos.groupBy("g")
+      .agg(min("doc").as("_mind"), max("doc").as("_maxd"))
+      .filter(col("_mind") =!= col("_maxd"))
+      .select("g")
+    // positions whose n-gram recurs in ANOTHER doc, folded per doc into
+    // (covered union size, longest merged region) in one in-row pass over
+    // the sorted position list: intervals [p, p+n-1] merge iff the gap to
+    // the previous position is ≤ n.
+    val folded = pos.join(crossDoc, Seq("g"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+      .select(col("doc"), aggregate(
+        slice(col("ps"), lit(2), greatest(size(col("ps")) - 1, lit(0))),
+        struct(element_at(col("ps"), 1).as("prev"),
+          element_at(col("ps"), 1).as("cs"),
+          lit(L).as("best"), lit(L).as("covered")),
+        (acc, p) => {
+          val gap = p - acc.getField("prev")
+          val merge = gap <= L
+          struct(p.as("prev"),
+            when(merge, acc.getField("cs")).otherwise(p).as("cs"),
+            greatest(acc.getField("best"),
+              when(merge, p + lit(L) - acc.getField("cs")).otherwise(lit(L))).as("best"),
+            (acc.getField("covered") + when(merge, gap).otherwise(lit(L))).as("covered"))
+        }).as("f"))
+      .select(col("doc"), col("f.covered").as("covered_tokens"),
+        col("f.best").as("max_run"))
+    base.select(col("doc"), col("n_tokens"))
+      .join(folded, Seq("doc"), "left_outer")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"), 4)
+          .as("covered_frac"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
   /** Redact common PII shapes before training: emails, IPv4 addresses,
     * and long digit runs (account/card/id numbers) become typed
     * placeholders. Patterns are deliberately POSIX-simple so Java regex

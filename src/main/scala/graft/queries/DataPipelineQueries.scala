@@ -355,6 +355,43 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── EXACT-substring cross-doc coverage: which token positions sit
+    //    inside an exact ≥5-token run shared with ANOTHER document — the
+    //    suffix-array-shaped operator, via the span-union identity
+    //    (position covered ⇔ some 5-gram through it is cross-doc). The
+    //    oracle recomputes the union with gaps-and-islands windows over
+    //    the shared-gram positions. ──
+    QueryDef.sql(
+      "text_exact_runs",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM t WHERE len(ws) >= 5),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, len(ws) - 3)) AS pos,
+        |        unnest([array_to_string(list_slice(ws, j, j + 4), ' ') for j in range(1, len(ws) - 3)]) AS gram
+        |      FROM b),
+        |s AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |sp AS (SELECT g.doc_id, g.pos FROM g JOIN s USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS brk
+        |        FROM sp),
+        |grp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM isl),
+        |iv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e FROM grp GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS covered_tokens,
+        |               CAST(max(e - s + 1) AS BIGINT) AS max_run
+        |        FROM iv GROUP BY 1)
+        |SELECT b.doc_id AS doc, b.n_tokens,
+        |  CAST(coalesce(covered_tokens, 0) AS BIGINT) AS covered_tokens,
+        |  round(CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens, 4) AS covered_frac,
+        |  CAST(coalesce(max_run, 0) AS BIGINT) AS max_run
+        |FROM b LEFT JOIN cov ON cov.doc_id = b.doc_id
+        |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.exactRunCoverage(Tables.documents(s, d), "doc_id", "text", n = 5)
+          .orderBy("doc")
+    },
+
     // ── MULTI-language ID: ten char-trigram profiles (de en es fr it nl
     //    pl pt sv tr), score = total profile-gram occurrences in the
     //    lowercased text, argmax with ties to the smallest code, all-zero

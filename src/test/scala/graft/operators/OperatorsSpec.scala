@@ -489,6 +489,41 @@ class OperatorsSpec extends SparkSpec {
     assert(firstPerShard.forall(_ == 0L), "every shard's stream starts at offset 0")
   }
 
+  test("exactRunCoverage: boundary runs, overlapping-run merge, within-doc repeats excluded") {
+    // docs share "a b c d e f g" (7 tokens) — doc 1 carries it at the END
+    // (boundary), doc 2 at the START; doc 3 repeats a 5-gram only within
+    // ITSELF (not cross-doc); doc 4 is shorter than n and must be absent.
+    val docs = Seq(
+      (1L, "x1 x2 x3 a b c d e f g"),
+      (2L, "a b c d e f g y1 y2 y3"),
+      (3L, "p q r s t z1 z2 p q r s t"),
+      (4L, "u v w")).toDF("doc_id", "text")
+    val out = TextOps.exactRunCoverage(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(!out.contains(4L), "a doc below n tokens has no grams and no row")
+    // the shared 7-token run = three overlapping 5-grams merging into ONE
+    // region of 7, flush against the end of doc 1 / start of doc 2
+    assert(out(1L) == ((10L, 7L, 0.7, 7L)), s"boundary-at-end run, got ${out(1L)}")
+    assert(out(2L) == ((10L, 7L, 0.7, 7L)), s"boundary-at-start run, got ${out(2L)}")
+    assert(out(3L) == ((12L, 0L, 0.0, 0L)),
+      s"within-doc repetition is not cross-doc coverage, got ${out(3L)}")
+  }
+
+  test("exactRunCoverage: disjoint shared runs stay separate regions; gap ≤ n merges") {
+    // doc 10 shares run A (positions 0-4) with doc 11 and run B
+    // (positions 10-14) with doc 12: two islands, covered 10, max_run 5.
+    val docs = Seq(
+      (10L, "a1 a2 a3 a4 a5 m1 m2 m3 m4 m5 b1 b2 b3 b4 b5"),
+      (11L, "a1 a2 a3 a4 a5 k1 k2 k3 k4 k5 k6 k7 k8 k9 k0"),
+      (12L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c0 b1 b2 b3 b4 b5")).toDF("doc_id", "text")
+    val out = TextOps.exactRunCoverage(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    assert(out(10L) == ((10L, 5L)), s"two disjoint 5-runs: covered 10, max 5, got ${out(10L)}")
+    assert(out(11L) == ((5L, 5L)) && out(12L) == ((5L, 5L)))
+  }
+
   test("langIdMulti: native sentences classify to their language, all ten classes") {
     // one plain-prose sentence per language — function words + diacritics,
     // nothing adversarial

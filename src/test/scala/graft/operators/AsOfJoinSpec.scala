@@ -81,6 +81,37 @@ class AsOfJoinSpec extends SparkSpec {
       "both payloads must come from the t=15 row: (null, B2)")
   }
 
+  test("sliced form equals the plain form on random data, all slice widths") {
+    val rnd = new scala.util.Random(91)
+    // hot key 0 takes ~70% of rows; payloads include nulls
+    def key() = if (rnd.nextInt(10) < 7) 0L else rnd.nextInt(5).toLong + 1
+    val left = (0 until 500).map(i => (i.toLong, key(), rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "t")
+    val right = (0 until 300).map { i =>
+      (key(), rnd.nextInt(1000).toLong,
+        if (rnd.nextInt(5) == 0) Option.empty[String] else Some(s"p$i"))
+    }.toDF("k", "t", "v")
+    for (strict <- Seq(false, true); w <- Seq(1L, 7L, 100L, 1000000L)) {
+      val plain = AsOfJoin.asofJoinLeft(left, right, Seq("k"), "t", "t", Seq("v"), strict)
+        .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+      val sliced = AsOfJoin.asofJoinLeftSliced(left, right, Seq("k"), "t", "t", Seq("v"),
+        sliceWidth = w, strict = strict)
+        .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+      assert(sliced == plain, s"strict=$strict sliceWidth=$w")
+    }
+  }
+
+  test("sliced form: carry-in crosses empty slices; null keys still never match") {
+    val left = Seq((1L, Some(10L), 950L), (2L, Option.empty[Long], 950L)).toDF("id", "k", "t")
+    val right = Seq((Some(10L), 3L, "early"), (Option.empty[Long], 900L, "nul"))
+      .toDF("k", "t", "v")
+    // sliceWidth 10: the right row sits ~94 empty slices before the left row
+    val out = AsOfJoin.asofJoinLeftSliced(left, right, Seq("k"), "t", "t", Seq("v"), 10L)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out(1L) == Some("early"), "boundary carry must cross all empty slices")
+    assert(out(2L) == None, "null keys never match in the sliced form either")
+  }
+
   test("matches a relational max-per-left twin on random data") {
     val rnd = new scala.util.Random(77)
     val left = (0 until 300).map(i => (i.toLong, (rnd.nextInt(8)).toLong, rnd.nextInt(1000).toLong))

@@ -6,6 +6,7 @@ import graft.model._
 import graft.query.Api
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The engine's own write+read vertical exposed through the driver
   * surface: builds a deterministic synthetic chain, ingests it through the
@@ -82,6 +83,56 @@ object EngineQueries {
           address = Some(addr(1)), limit = Some(500)))
         txns.select("round", "intra", "typeenum", "asset", "txid")
           .orderBy(desc("round"), desc("intra"))
+    },
+
+    // Streaming AS-OF enrichment: a memory stream of round references is
+    // enriched per micro-batch against block_header through ONE pinned
+    // metastate version (StreamingEnrich) while a concurrent phase-2
+    // ingest commits mid-batch — the torn-read trap the operator exists
+    // to close. Output is the per-batch enrichment summary; the values
+    // make the pinning visible to the driver: batch 0 (pinned before the
+    // commit) resolves only phase-1 refs, batch 1 resolves the rest.
+    // rows-only: engine tables + streaming, no SQL oracle.
+    QueryDef.rowsOnly("engine_stream_enrich") {
+      (s, _) =>
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val root = java.nio.file.Files.createTempDirectory("graft-engine-se").toString
+        val store = new TableStore(s, root, nBuckets = 8)
+        BlockIngest.initGenesis(store,
+          (0 until 40).map(i => (addr(i), 1000000L, "{}")), network = "graft-bench")
+        def ingest(start: Int, n: Int): Unit = BlockIngest.applyBlocks(store,
+          s.createDataset(syntheticBlocks(rounds = n, txnsPerRound = 4,
+            startRound = start).map(BlockCodec.blockToJson)))
+        ingest(0, 4) // phase 1: rounds 0-3
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+        val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+        val trap = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val q = graft.streaming.StreamingEnrich.enrichEachBatch(
+          mem.toDF().toDF("round_ref"), store) { (batch, snap) =>
+          val hdr = snap.read("block_header").select(col("round"), col("realtime"))
+          val joined = batch.join(hdr, col("round_ref") === col("round"), "left_outer")
+          if (trap.getAndSet(false)) ingest(4, 4) // commits rounds 4-7 mid-batch
+          joined
+        } { (df, batchId) =>
+          df.agg(count(lit(1)), count(col("round")), max(col("round"))).collect()
+            .foreach(r => acc.add((batchId, r.getLong(0), r.getLong(1),
+              if (r.isNullAt(2)) -1L else r.getLong(2))))
+        }
+        mem.addData(0L, 2L, 5L, 7L) // 5 and 7 exist only after the mid-batch commit
+        q.processAllAvailable()
+        mem.addData(5L, 7L)
+        q.processAllAvailable()
+        q.stop()
+        // explicit schema: tuple toDF's TypeTag derivation is unreliable
+        // inside these query lambdas (scala-reflect RefinedType failure)
+        val schema = org.apache.spark.sql.types.StructType(
+          Seq("batch_id", "n_refs", "n_enriched", "hi_round").map(
+            org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.LongType)))
+        val rows = acc.toArray(Array.empty[(Long, Long, Long, Long)]).toSeq.sortBy(_._1)
+          .map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4))
+        s.createDataFrame(new java.util.ArrayList(rows.asJava), schema)
+          .orderBy("batch_id")
     },
 
     // Snapshot (time-travel) read: a two-phase-ingested store with the

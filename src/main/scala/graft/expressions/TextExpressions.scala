@@ -1,0 +1,89 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-classifier language ID as ONE codegen'd expression.
+  *
+  * Semantics are EXACTLY the portable column formula the oracle pins
+  * (`Σ_g non-overlapping occurrences of g` per language, argmax with
+  * ties to the lexicographically smallest code, all-zero ⇒ "und") — but
+  * evaluated in a single per-row pass: one string materialization and
+  * ~100 allocation-free indexOf loops, instead of ~100 `replace` calls
+  * each copying the text (measured 5× on the sf0.1 corpus). The
+  * non-overlapping count (indexOf stepping by the needle's length)
+  * matches the `(len(t) - len(replace(t, g))) / len(g)` deletion
+  * identity by construction.
+  *
+  * The input must already be lowercased (`lower(text)`): case folding
+  * stays in the engine's own `lower`, which the oracle twins pin, so
+  * this expression never has to agree with anyone about Unicode case
+  * rules. */
+case class LangIdMultiExpr(child: Expression,
+                           profiles: Seq[(String, Seq[String])])
+  extends UnaryExpression {
+
+  @transient private lazy val sorted = profiles.sortBy(_._1).toArray
+  @transient private lazy val langs: Array[UTF8String] =
+    sorted.map(p => UTF8String.fromString(p._1))
+  @transient private lazy val grams: Array[Array[String]] =
+    sorted.map(_._2.toArray)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang_pred", StringType, nullable = false),
+    StructField("score", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_langid_multi"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    LangIdImpl.eval(text.asInstanceOf[UTF8String], langs, grams)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val langsRef = ctx.addReferenceObj("langs", langs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val gramsRef = ctx.addReferenceObj("grams", grams, "java.lang.String[][]")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.expressions.LangIdImpl.eval($in, $langsRef, $gramsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdMultiExpr =
+    copy(child = newChild)
+}
+
+/** Static helper (separate object so the generated code's static call
+  * isn't shadowed by the case class's inherited `eval`). */
+object LangIdImpl {
+  private val und = UTF8String.fromString("und")
+
+  def eval(text: UTF8String, langs: Array[UTF8String],
+           grams: Array[Array[String]]): InternalRow = {
+    val s = text.toString
+    var bestScore = 0L
+    var bestLang = und
+    var i = 0
+    while (i < grams.length) {
+      val gs = grams(i)
+      var sum = 0L
+      var j = 0
+      while (j < gs.length) {
+        val g = gs(j)
+        var idx = s.indexOf(g)
+        while (idx >= 0) { sum += 1; idx = s.indexOf(g, idx + g.length) }
+        j += 1
+      }
+      // langs are lex-sorted, so strict > pins ties to the smallest code
+      if (sum > bestScore) { bestScore = sum; bestLang = langs(i) }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestLang, bestScore))
+  }
+}

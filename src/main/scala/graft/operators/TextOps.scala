@@ -105,33 +105,21 @@ object TextOps {
     "tr" -> Seq("lar", "bir", "yor", "ler", "çin", "dır", "nda", "ını", "ğ", "ş"))
 
   /** Multi-language ID over [[langProfiles]]: per language, score =
-    * Σ occurrences of its grams in `lower(text)`; winner = max score
-    * with ties to the lexicographically smallest language code; all-zero
-    * ⇒ "und". Returns a struct (lang_pred, score).
+    * Σ non-overlapping occurrences of its grams in `lower(text)`; winner
+    * = max score with ties to the lexicographically smallest language
+    * code; all-zero ⇒ "und". Returns a struct (lang_pred, score).
     *
-    * Occurrence counting is the deletion identity
-    * `(len(t) - len(replace(t, g))) / len(g)` — pure `length`/`replace`
-    * composition, so it stays inside whole-stage codegen on Spark AND is
-    * expressible verbatim in ANSI SQL (the oracle twin is GENERATED from
-    * the same profile literals — one source of truth). ~100 substring
-    * scans per row at 10 langs × ~10 grams: per-row work, no shuffle, no
-    * UDF; at 100 TB this rides the same scan as any other per-row
-    * projection. */
+    * Evaluated by [[graft.expressions.LangIdMultiExpr]] — one per-row
+    * pass, allocation-free needle loops — because the portable
+    * `(len(t) - len(replace(t, g))) / len(g)` column composition, while
+    * semantically identical (it's what the GENERATED oracle twin runs),
+    * copies the text ~100× per row (measured 5× slower on the sf0.1
+    * corpus). Per-row work, no shuffle, no UDF; at 100 TB this rides
+    * the same scan as any other projection. */
   def langIdMulti(text: Column): Column = {
-    val tx = lower(text)
-    val entries = langProfiles.map { case (lang, grams) =>
-      val score = grams.map { g =>
-        (length(tx) - length(replace(tx, lit(g), lit("")))) / g.codePointCount(0, g.length)
-      }.reduce(_ + _)
-      // sort_array ascending on (-score, lang) puts the winner first
-      // with exactly the pinned tie-break (max score, then smallest code)
-      struct((-score).cast("double").as("ns"), lit(lang).as("lang"))
-    }
-    val top = element_at(sort_array(array(entries: _*)), 1)
-    struct(
-      when(top.getField("ns") === 0, lit("und")).otherwise(top.getField("lang"))
-        .as("lang_pred"),
-      (-top.getField("ns")).cast("long").as("score"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.LangIdMultiExpr(
+      Bridge.expression(lower(text)), langProfiles))
   }
 
   /** The DuckDB twin of [[langIdMulti]], generated from the SAME profile
@@ -235,16 +223,19 @@ object TextOps {
       .select(col("doc"), size(col("ws")).cast("long").as("n_tokens"),
         shingles(col("ws"), n).as("sh"))
       .filter(size(col("sh")) > 0)
+    // min/max doc per gram through ONE window over the gram partition —
+    // not groupBy+join-back, which would both re-execute the
+    // scan+shingle upstream (two plan branches) and shuffle the
+    // exploded frame a second time for the join
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
-    val crossDoc = pos.groupBy("g")
-      .agg(min("doc").as("_mind"), max("doc").as("_maxd"))
-      .filter(col("_mind") =!= col("_maxd"))
-      .select("g")
+      .withColumn("_mind", min("doc").over(wg))
+      .withColumn("_maxd", max("doc").over(wg))
     // positions whose n-gram recurs in ANOTHER doc, folded per doc into
     // (covered union size, longest merged region) in one in-row pass over
     // the sorted position list: intervals [p, p+n-1] merge iff the gap to
     // the previous position is ≤ n.
-    val folded = pos.join(crossDoc, Seq("g"))
+    val folded = pos.filter(col("_mind") =!= col("_maxd"))
       .groupBy("doc")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
       .select(col("doc"), aggregate(

@@ -438,11 +438,17 @@ object DataPipelineQueries {
          |  round(avg(CAST(score AS DOUBLE)), 4) AS avg_score
          |FROM p GROUP BY 1 ORDER BY lang_pred""".stripMargin) {
       (s, d) =>
+        // extract fields in a SEPARATE cheap projection: grouping and agg
+        // expressions that reach into the struct directly make the
+        // aggregate re-evaluate the expensive classifier per reference
+        // (measured 1.9 s vs 0.4 s at sf0.1)
         Tables.documents(s, d)
           .select(TextOps.langIdMulti(col("text")).as("lm"))
-          .groupBy(col("lm.lang_pred").as("lang_pred"))
+          .select(col("lm.lang_pred").as("lang_pred"),
+            col("lm.score").cast("double").as("score"))
+          .groupBy("lang_pred")
           .agg(count(lit(1)).as("n_docs"),
-            round(avg(col("lm.score").cast("double")), 4).as("avg_score"))
+            round(avg(col("score")), 4).as("avg_score"))
           .orderBy("lang_pred")
     },
 

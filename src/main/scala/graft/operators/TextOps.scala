@@ -263,6 +263,56 @@ object TextOps {
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
 
+  /** The CUT half of exact-substring dedup ([[exactRunCoverage]] is the
+    * measure half): remove from each document every token span that
+    * already appears in an EARLIER document (keep-first policy — the doc
+    * with the smallest id keeps its text; later copies lose the shared
+    * run), and return the cleaned token stream re-joined. A position is
+    * removed iff some cross-doc n-gram covering it has min(doc) < this
+    * doc — the same span-union identity as the coverage operator, with
+    * the min-doc comparison playing the canonical-keep role.
+    *
+    * Returns (doc, n_tokens, n_kept, clean_text) for every doc with ≥ 1
+    * n-gram; docs shorter than `n` have no grams and no row. Same scale
+    * shape as [[exactRunCoverage]]: one gram window, then the kept-token
+    * reassembly is an in-row filter over the doc's own token array —
+    * document-bounded.
+    *
+    * The removal mask is built from SHINGLE positions folded in-row
+    * (sorted start list → per-token containment via the carry of the
+    * max covered end), not by exploding one row per covered token. */
+  def exactRunDedupText(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                        n: Int): org.apache.spark.sql.DataFrame = {
+    val L = n
+    val doc = col(idCol).as("doc")
+    val base = df.select(doc, tokens(col(textCol)).as("ws"))
+      .select(col("doc"), col("ws"), shingles(col("ws"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    // positions (1-based shingle index) whose gram occurs in an EARLIER doc
+    val removePos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
+      .withColumn("_mind", min("doc").over(wg))
+      .filter(col("_mind") < col("doc"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(col("pos").cast("long") + 1)).as("rs"))
+    // removed token positions = union of [s, s+n-1] over removed-run
+    // starts, materialized ONCE per row (shingle starts never pass the
+    // doc end, so no clamp); the kept list is a hash-based array_except
+    // — no per-token fold (an interpreted HOF fold per token would be
+    // O(tokens × starts) per doc, the 80× re-evaluation trap).
+    val covered = array_distinct(flatten(transform(col("rs"),
+      s => sequence(s, s + (L - 1)))))
+    base.join(removePos, Seq("doc"), "left_outer")
+      .select(col("doc"), col("ws"), size(col("ws")).cast("long").as("n_tokens"),
+        when(col("rs").isNull, array().cast("array<long>")).otherwise(covered).as("cov"))
+      .select(col("doc"), col("n_tokens"),
+        transform(array_except(sequence(lit(1L), col("n_tokens")), col("cov")),
+          p => element_at(col("ws"), p.cast("int"))).as("kept"))
+      .select(col("doc"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** Redact common PII shapes before training: emails, IPv4 addresses,
     * and long digit runs (account/card/id numbers) become typed
     * placeholders. Patterns are deliberately POSIX-simple so Java regex

@@ -392,6 +392,38 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── EXACT-substring dedup, the CUT half: spans already present in an
+    //    EARLIER doc (keep-first) are removed and the cleaned token
+    //    stream re-joined. The oracle rebuilds the text with an anti-join
+    //    of token positions against the covered-position union. ──
+    QueryDef.sql(
+      "text_exact_dedup",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM t WHERE len(ws) >= 5),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, len(ws) - 3)) AS pos,
+        |        unnest([array_to_string(list_slice(ws, j, j + 4), ' ') for j in range(1, len(ws) - 3)]) AS gram
+        |      FROM b),
+        |m AS (SELECT gram, min(doc_id) AS mind FROM g GROUP BY gram),
+        |rp AS (SELECT g.doc_id, g.pos FROM g JOIN m USING (gram) WHERE m.mind < g.doc_id),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p FROM rp, (SELECT unnest(range(0, 5)) AS o) oo),
+        |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, unnest(ws) AS w FROM b),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |         LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+        |         WHERE cov.p IS NULL),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(w, ' ' ORDER BY p) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id AS doc, b.n_tokens,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id
+        |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.exactRunDedupText(Tables.documents(s, d), "doc_id", "text", n = 5)
+          .orderBy("doc")
+    },
+
     // ── MULTI-language ID: ten char-trigram profiles (de en es fr it nl
     //    pl pt sv tr), score = total profile-gram occurrences in the
     //    lowercased text, argmax with ties to the smallest code, all-zero

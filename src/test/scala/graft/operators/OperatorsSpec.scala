@@ -524,6 +524,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out(11L) == ((5L, 5L)) && out(12L) == ((5L, 5L)))
   }
 
+  test("exactRunDedupText: keep-first removal, earlier doc intact, overlaps merge") {
+    val docs = Seq(
+      (1L, "x1 x2 x3 a b c d e f g"),          // earliest owner of the run: keeps all
+      (2L, "a b c d e f g y1 y2 y3"),          // loses the 7-token run, keeps the tail
+      (3L, "z1 a b c d e f g z2 z3"),          // loses the run mid-doc
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u0")).toDF("doc_id", "text")
+    val out = TextOps.exactRunDedupText(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, "x1 x2 x3 a b c d e f g")), s"first owner keeps: ${out(1L)}")
+    assert(out(2L) == ((3L, "y1 y2 y3")), s"later copy cut: ${out(2L)}")
+    assert(out(3L) == ((3L, "z1 z2 z3")), s"mid-doc cut keeps both flanks: ${out(3L)}")
+    assert(out(4L) == ((10L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u0")), "unique doc untouched")
+  }
+
+  test("exactRunDedupText: a fully-shared later doc empties; within-doc repeats survive") {
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),                      // exact later copy: fully removed
+      (3L, "p q r s t p q r s t")).toDF("doc_id", "text") // repeats only within itself
+    val out = TextOps.exactRunDedupText(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(2L) == ((0L, "")), s"full later copy must empty: ${out(2L)}")
+    assert(out(3L) == ((10L, "p q r s t p q r s t")),
+      "within-doc repetition is not cross-doc and survives")
+  }
+
   test("langIdMulti: native sentences classify to their language, all ten classes") {
     // one plain-prose sentence per language — function words + diacritics,
     // nothing adversarial

@@ -54,6 +54,26 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
 
+  /** Semantic decontamination — per corpus vector, the MAX cosine to any
+    * vector of a reference (evaluation) set, plus the ≥-threshold flag:
+    * the embedding-space twin of [[TextOps.contamination]] (n-gram
+    * overlap can't see paraphrases; embedding similarity can). The eval
+    * set is the small side by nature (eval suites are thousands of rows)
+    * so it BROADCASTS and the corpus streams through one scan — the max
+    * dies in a map-side partial aggregate, nothing corpus-sized
+    * shuffles. At an eval size where per-row × |eval| cosines dominate,
+    * escalate to the IVF-cell route ([[knnJoinBetween]]) and take each
+    * row's top-1 instead. */
+  def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
+                            evalSet: DataFrame, threshold: Double): DataFrame =
+    corpus.crossJoin(broadcast(evalSet.select(col(vecCol).as("_qvec"))))
+      .select(col(idCol), round(cosine(col(vecCol), col("_qvec")), 4).as("_sim"))
+      .filter(col("_sim").isNotNull)
+      .groupBy(idCol)
+      .agg(max(col("_sim")).as("max_eval_sim"))
+      .select(col(idCol), col("max_eval_sim"),
+        (col("max_eval_sim") >= threshold).as("contaminated"))
+
   /** Per-vector symmetric int8 quantization (SQ8): the storage/scan
     * format for billion-vector corpora — 4× less IO than float32, and
     * the per-vector scale cancels inside cosine so quantized vectors

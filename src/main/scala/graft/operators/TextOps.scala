@@ -313,6 +313,52 @@ object TextOps {
         concat_ws(" ", col("kept")).as("clean_text"))
   }
 
+  /** BM25-shaped relevance top-k over the corpus for a literal term set
+    * — the retrieval query a data pipeline runs to pull topical slices.
+    * Classic Robertson weighting with ONE deliberate deviation: the idf
+    * factor is the RATIONAL core `(N - df + 0.5) / (df + 0.5)` without
+    * the log. Multiplication/division/addition are correctly rounded in
+    * IEEE arithmetic, so Spark and any SQL oracle produce bit-identical
+    * scores; `ln` is NOT correctly rounded and differs across libm
+    * implementations (the same reason the temperature sampler uses sqrt,
+    * not pow — see [[Sharding.flattenedKeepPermille]]). Per term the
+    * transform is monotone in the textbook idf, and the multi-term sum
+    * stays a reasonable relevance score — pinned exactly, documented
+    * honestly.
+    *
+    * Scale shape: one corpus scan computes per-term tf and doc length;
+    * the corpus-level stats (N, avg length, per-term document
+    * frequencies) reduce to ONE row that broadcasts back; scoring is a
+    * per-row projection and the top-k dies in TakeOrderedAndProject.
+    * Two scans of the corpus total — the stats pass and the scoring
+    * pass — which is the floor for corpus-normalized scoring. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("ws"), w => w === t)).cast("double").as(s"_tf$i")
+    }
+    val base = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .select(Seq(col("doc"), size(col("ws")).cast("double").as("_len")) ++ tfCols: _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(col("_len")).as("_avg") +:
+        terms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1.0).otherwise(0.0)).as(s"_df$i")): _*)
+    val score = terms.indices.map { i =>
+      val idf = (col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5)
+      val tf = col(s"_tf$i")
+      idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / col("_avg")))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .select(col("doc"), col("_len").cast("long").as("n_tokens"),
+        round(score, 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+  }
+
   /** Redact common PII shapes before training: emails, IPv4 addresses,
     * and long digit runs (account/card/id numbers) become typed
     * placeholders. Patterns are deliberately POSIX-simple so Java regex

@@ -392,6 +392,37 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── BM25-shaped retrieval top-k (rational idf for cross-engine bit
+    //    parity — see TextOps.bm25TopK scaladoc; ln is not correctly
+    //    rounded across libms, rational arithmetic is). The SQL mirrors
+    //    the Spark expression tree operation-for-operation. ──
+    QueryDef.sql(
+      "text_bm25_topk",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |bse AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len,
+        |          CAST(len(list_filter(ws, w -> w = 'spark')) AS DOUBLE) AS tf0,
+        |          CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) AS tf1,
+        |          CAST(len(list_filter(ws, w -> w = 'merge')) AS DOUBLE) AS tf2
+        |        FROM t),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgl,
+        |          sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |          sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |          sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |        FROM bse),
+        |sc AS (SELECT doc_id, CAST(len AS BIGINT) AS n_tokens,
+        |        round(
+        |          (n - df0 + 0.5) / (df0 + 0.5) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgl))
+        |        + (n - df1 + 0.5) / (df1 + 0.5) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgl))
+        |        + (n - df2 + 0.5) / (df2 + 0.5) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgl))
+        |        , 4) AS score
+        |       FROM bse, st)
+        |SELECT doc_id AS doc, n_tokens, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc LIMIT 15""".stripMargin) {
+      (s, d) =>
+        TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("spark", "window", "merge"), k = 15)
+    },
+
     // ── EXACT-substring dedup, the CUT half: spans already present in an
     //    EARLIER doc (keep-first) are removed and the cleaned token
     //    stream re-joined. The oracle rebuilds the text with an anti-join

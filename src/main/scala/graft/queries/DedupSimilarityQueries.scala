@@ -584,6 +584,32 @@ object DedupSimilarityQueries {
           .orderBy("query_id", "rank")
     },
 
+    // ── SEMANTIC decontamination: per corpus vector, max cosine to any
+    //    eval-set vector + threshold flag — the embedding-space twin of
+    //    pipeline_decontaminate (n-gram overlap misses paraphrases). The
+    //    eval side broadcasts; the max dies map-side. ──
+    QueryDef.sql(
+      "pipeline_decontaminate_semantic",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 6),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 16),
+        |u AS (SELECT v.vec_id, q.qid, unnest(v.embedding) AS x, unnest(q.qe) AS y FROM v, q),
+        |s AS (SELECT vec_id, qid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |c AS (SELECT vec_id, max(round(dot / sqrt(na * nb), 4)) AS max_eval_sim
+        |      FROM s WHERE na * nb > 0 GROUP BY 1)
+        |SELECT vec_id, max_eval_sim, max_eval_sim >= 0.3 AS contaminated
+        |FROM c ORDER BY vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.semanticContamination(
+          emb.filter(col("vec_id") > 16), "vec_id", "embedding",
+          evalSet = emb.filter(col("vec_id") < 6), threshold = 0.3)
+          .orderBy("vec_id")
+    },
+
     // ── BATCHED full-scan ADC: every query's LUT is DATA (PQAdcLut →
     //    broadcast), scored against one pass over the code column
     //    (PQADCScoreDyn) — N queries, one corpus scan, no per-query

@@ -550,6 +550,83 @@ class OperatorsSpec extends SparkSpec {
       "within-doc repetition is not cross-doc and survives")
   }
 
+  test("semanticContamination: exact eval copy flags, orthogonal doesn't, max wins") {
+    val corpus = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),  // identical to eval vec → 1.0
+      (101L, Seq(0f, 0f, 0f, 1f)),  // orthogonal to both eval vecs → 0.0
+      (102L, Seq(1f, 1f, 0f, 0f))). // 45° to one eval vec → ~0.7071
+      toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val evals = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.semanticContamination(corpus, "vec_id", "embedding", evals, 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(100L) == ((1.0, true)), "exact copy of an eval vector")
+    assert(out(101L) == ((0.0, false)), "orthogonal to the whole eval set")
+    assert(out(102L) == ((0.7071, true)), "max over eval vectors, not first")
+  }
+
+  test("bm25TopK: rarer terms weigh more, more hits rank higher, no-hit docs drop") {
+    // 'rare' appears in one doc, 'common' in all four; equal lengths
+    val docs = Seq(
+      (1L, "rare f1 f2 f3 common"),
+      (2L, "common f1 f2 f3 f4"),
+      (3L, "common common f1 f2 f3"),
+      (4L, "f1 f2 f3 f4 common")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text", Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.map(_._1).head == 1L, "the only rare-term doc must rank first")
+    val scores = out.toMap
+    assert(scores(3L) > scores(2L), "two common hits beat one at equal length")
+    assert(out.length == 4 && out.map(_._2).forall(_ > 0))
+    val none = TextOps.bm25TopK(docs, "doc_id", "text", Seq("absent"), k = 10).count()
+    assert(none == 0, "a term hitting nothing returns no rows (score 0 filtered)")
+  }
+
+  test("exactRunCoverage + exactRunDedupText match a brute-force model on random corpora") {
+    val n = 4
+    val rnd = new scala.util.Random(123)
+    // tiny vocab → heavy accidental overlap, the adversarial regime
+    val docs = (0 until 60).map { i =>
+      val len = 4 + rnd.nextInt(20)
+      (i.toLong, (0 until len).map(_ => s"w${rnd.nextInt(8)}").mkString(" "))
+    }
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    // brute force: position p of doc d is covered iff one of the n-grams
+    // through p occurs in ANOTHER doc; removal additionally requires an
+    // occurrence in an EARLIER doc
+    def grams(ws: Seq[String]) = ws.sliding(n).map(_.mkString(" ")).toVector
+    val gramDocs = toks.toSeq.flatMap { case (id, ws) =>
+      if (ws.length >= n) grams(ws).map(_ -> id) else Nil
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def spans(id: Long, pred: Set[Long] => Boolean): Set[Int] = {
+      val ws = toks(id)
+      (0 to ws.length - n).flatMap { s =>
+        val g = ws.slice(s, s + n).mkString(" ")
+        if (pred(gramDocs(g))) (s until s + n) else Nil
+      }.toSet
+    }
+    val df = docs.toDF("doc_id", "text")
+    val cov = TextOps.exactRunCoverage(df, "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    val ded = TextOps.exactRunDedupText(df, "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    for ((id, ws) <- toks if ws.length >= n) {
+      val covered = spans(id, ds => (ds - id).nonEmpty)
+      assert(cov(id)._1 == covered.size.toLong, s"doc $id covered_tokens")
+      val maxRun = if (covered.isEmpty) 0
+        else covered.toSeq.sorted.foldLeft((0, -2, 0)) { case ((best, prev, cur), p) =>
+          val c = if (p == prev + 1) cur + 1 else 1
+          (math.max(best, c), p, c)
+        }._1
+      assert(cov(id)._2 == maxRun.toLong, s"doc $id max_run")
+      val removed = spans(id, ds => ds.exists(_ < id))
+      val expectClean = ws.zipWithIndex.collect { case (w, p) if !removed(p) => w }.mkString(" ")
+      assert(ded(id) == expectClean, s"doc $id clean_text")
+    }
+  }
+
   test("langIdMulti: native sentences classify to their language, all ten classes") {
     // one plain-prose sentence per language — function words + diacritics,
     // nothing adversarial

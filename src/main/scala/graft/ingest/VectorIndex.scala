@@ -268,13 +268,14 @@ object VectorIndex {
                    label: String = "corpus"): String = {
     val idx = load(store, name)
     val seg = s"${idx.dir}/segs_$label/${java.util.UUID.randomUUID().toString.take(8)}"
+    val v = col(vecCol).cast("array<float>")
     val encoded = idx.codebooks match {
       case Some(cb) => df.select(col(idCol).cast("long").as("id"),
-        Similarity.nearestCentroid(col(vecCol), idx.centroids, round4 = true).as("cid"),
-        Similarity.pqEncode(col(vecCol), cb).as("codes"))
+        Similarity.nearestCentroid(v, idx.centroids, round4 = true).as("cid"),
+        Similarity.pqEncode(v, cb).as("codes"))
       case None => df.select(col(idCol).cast("long").as("id"),
-        Similarity.nearestCentroid(col(vecCol), idx.centroids, round4 = true).as("cid"),
-        col(vecCol).cast("array<float>").as("vec"))
+        Similarity.nearestCentroid(v, idx.centroids, round4 = true).as("cid"),
+        v.as("vec"))
     }
     encoded.write.mode("errorifexists").parquet(seg)
     val segs = registeredSegments(store.metastate, name, idx.dir, label) :+ seg

@@ -540,6 +540,60 @@ object RelationalQueries {
           .limit(100)
     },
 
+    // ── H5 ordered event funnel: per user, the earliest view → click →
+    //    purchase chain (strictly increasing times) and the furthest
+    //    stage reached. Greedy-earliest equals any-chain-exists: every
+    //    click after SOME view is after the EARLIEST view, so the min
+    //    chain the oracle computes is the same chain the in-row fold
+    //    finds. ONE shuffle on user_id; the fold is per-user bounded
+    //    (the h4_user_sequences shape), vs the oracle's three
+    //    aggregate+join rounds — same answer, one exchange. ──
+    QueryDef.sql(
+      "h5_event_funnel",
+      """WITH e AS (SELECT user_id, ts, event_type FROM events WHERE event_id % 23 < 3),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage,
+        |  v.t1 AS first_view, c.t2 AS first_click, p.t3 AS first_purchase
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+        val nullTs = lit(null).cast("timestamp")
+        val f = aggregate(col("evs"),
+          struct(nullTs.as("t1"), nullTs.as("t2"), nullTs.as("t3")),
+          (acc, e) => {
+            val (t1, t2, t3) = (acc.getField("t1"), acc.getField("t2"), acc.getField("t3"))
+            val (ts, et) = (e.getField("ts"), e.getField("et"))
+            struct(
+              when(t1.isNull && et === "view", ts).otherwise(t1).as("t1"),
+              when(t2.isNull && t1.isNotNull && et === "click" && ts > t1, ts)
+                .otherwise(t2).as("t2"),
+              when(t3.isNull && t2.isNotNull && et === "purchase" && ts > t2, ts)
+                .otherwise(t3).as("t3"))
+          })
+        Tables.events(s, d)
+          // deterministic thinning so partial funnels exist (the dense
+          // synthetic stream otherwise completes every user's chain)
+          .filter(pmod(col("event_id"), lit(23)) < 3)
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_type").as("et")))).as("evs"))
+          .select(col("user_id"), f.as("f"))
+          .select(col("user_id"),
+            when(col("f.t3").isNotNull, 3L).when(col("f.t2").isNotNull, 2L)
+              .when(col("f.t1").isNotNull, 1L).otherwise(0L).as("funnel_stage"),
+            col("f.t1").as("first_view"), col("f.t2").as("first_click"),
+            col("f.t3").as("first_purchase"))
+          .orderBy("user_id")
+    },
+
     // ── H1 tumbling-window streaming aggregation shape (batch-equivalent:
     //    date_trunc bucket; SURVEY §2.H — windowed aggs for the events
     //    stream). Structured Streaming variant in graft.streaming. ──

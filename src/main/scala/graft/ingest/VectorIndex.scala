@@ -263,10 +263,21 @@ object VectorIndex {
     * assignment expression is the same one the query path uses, so
     * stored cells are bit-identical to on-the-fly assignment).
     * Returns the new segment dir. */
+  /** `maxSegments > 0` adds the compaction CADENCE the table layer has
+    * at seal time: when an append would leave more than `maxSegments`
+    * registered segments, the existing ones are first merged into one
+    * ([[compactSegments]]) so segment count — and the query's file-open
+    * cost — stays bounded under continuous daily appends, amortized one
+    * rewrite per `maxSegments` appends. Superseded segment dirs remain
+    * as-of readable until [[vacuum]]. */
   def appendCorpus(store: TableStore, name: String, df: DataFrame,
                    idCol: String, vecCol: String,
-                   label: String = "corpus"): String = {
+                   label: String = "corpus",
+                   maxSegments: Int = 0): String = {
     val idx = load(store, name)
+    if (maxSegments > 0 &&
+        registeredSegments(store.metastate, name, idx.dir, label).size >= maxSegments)
+      compactSegments(store, name, label)
     val seg = s"${idx.dir}/segs_$label/${java.util.UUID.randomUUID().toString.take(8)}"
     val v = col(vecCol).cast("array<float>")
     val encoded = idx.codebooks match {

@@ -65,6 +65,26 @@ object Sharding {
         .otherwise("test"))
   }
 
+  /** Deterministic bounded sample PER GROUP — "keep at most `n` docs of
+    * every source", the fixed-budget cousin of the rate-based
+    * [[sampleStratified]]: membership is the first `n` keys of each
+    * group in md5 order, so any engine reproduces the exact sample and
+    * re-runs are stable under row reordering. The top-n dies in the
+    * bounded-collect aggregate (O(n) state, map-side partials) — no
+    * per-group window sort, so one dominant group costs O(n) per
+    * partition rather than a full-group sort, the difference at 100 TB
+    * between a heap and a straggler. */
+  def samplePerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
+    require(n > 0, "need a positive per-group budget")
+    df.select(col(groupCol), col(keyCol),
+        md5(col(keyCol).cast("string")).as("_h"))
+      .groupBy(groupCol)
+      .agg(graft.expressions.BoundedCollect
+        .boundedSortedCollect(struct(col("_h"), col(keyCol)), n).as("_top"))
+      .select(col(groupCol), explode(col("_top")).as("_t"))
+      .select(col(groupCol), col(s"_t.$keyCol").as(keyCol))
+  }
+
   /** Stratified variant: per-stratum keep-rates (permille), the
     * training-mix shape — "keep 100% of wiki, 30% of web, 5% of
     * boilerplate". Strata absent from the map keep `defaultPermille`.

@@ -392,6 +392,25 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── Fixed-budget per-source sample: at most 20 docs per source, the
+    //    first 20 of each group in md5-of-key order (deterministic,
+    //    engine-reproducible). Spark runs it through the bounded-collect
+    //    heap (O(n) state, map-side partials — no per-group sort); the
+    //    oracle is the window row_number form. ──
+    QueryDef.sql(
+      "pipeline_sample_per_source",
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20
+        |ORDER BY source, doc_id""".stripMargin) {
+      (s, d) =>
+        Sharding.samplePerGroup(Tables.documents(s, d), "source", "doc_id", n = 20)
+          .orderBy("source", "doc_id")
+    },
+
     // ── BM25-shaped retrieval top-k (rational idf for cross-engine bit
     //    parity — see TextOps.bm25TopK scaladoc; ln is not correctly
     //    rounded across libms, rational arithmetic is). The SQL mirrors

@@ -72,6 +72,54 @@ object EventStreams {
     * idempotent sink wants. */
   val FinalizedWindows: OutputMode = OutputMode.Append()
 
+  final case class FunnelProgress(
+      user_id: Long, funnel_stage: Int,
+      first_view: Option[java.sql.Timestamp],
+      first_click: Option[java.sql.Timestamp],
+      first_purchase: Option[java.sql.Timestamp])
+
+  /** Streaming twin of the batch `h5_event_funnel` query: per-user
+    * ordered step-1 → step-2 → step-3 progress (strictly increasing
+    * times, greedy-earliest chain) maintained CONTINUOUSLY in keyed
+    * state — each micro-batch advances users' funnels instead of
+    * re-folding history. State is one struct of three optional
+    * timestamps per user: O(users), not O(events).
+    *
+    * Greedy state can only move forward, so the incremental result
+    * equals the batch fold when each user's events arrive in time order
+    * across batches (within a batch they are sorted here); an earlier
+    * step-1 arriving AFTER a later one was consumed cannot rewind the
+    * chain — the inherent one-pass/streaming trade, worth knowing and
+    * spec-pinned. */
+  def funnelProgress(events: Dataset[UserEvent],
+                     steps: (String, String, String) = ("view", "click", "purchase"),
+                     timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val (s1, s2, s3) = steps
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](timeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[FunnelProgress]) =>
+          var cur = state.getOption.getOrElse(FunnelProgress(userId, 0, None, None, None))
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            cur =
+              if (cur.first_view.isEmpty && e.event_type == s1)
+                cur.copy(funnel_stage = 1, first_view = Some(e.ts))
+              else if (cur.first_view.nonEmpty && cur.first_click.isEmpty &&
+                       e.event_type == s2 && e.ts.getTime > cur.first_view.get.getTime)
+                cur.copy(funnel_stage = 2, first_click = Some(e.ts))
+              else if (cur.first_click.nonEmpty && cur.first_purchase.isEmpty &&
+                       e.event_type == s3 && e.ts.getTime > cur.first_click.get.getTime)
+                cur.copy(funnel_stage = 3, first_purchase = Some(e.ts))
+              else cur
+          }
+          state.update(cur)
+          if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+            state.setTimeoutDuration("1 hour")
+          cur
+      }
+  }
+
   /** Watermarked stream-stream interval join — the impressions⋈clicks
     * shape: match right-stream rows to left-stream rows on `key` when the
     * right event lands within [left.ts, left.ts + within]. Both sides are

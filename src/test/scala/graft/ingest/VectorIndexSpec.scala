@@ -195,6 +195,25 @@ class VectorIndexSpec extends SparkSpec {
       "the fresh list holds only rows encoded under the new version")
   }
 
+  test("appendCorpus(maxSegments) keeps segment count bounded under continuous appends") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-cad"), nBuckets = 2)
+    val corpus = corpusDF(240, 8).localCheckpoint()
+    VectorIndex.publish(store, "inc", corpus.filter(col("id") < 4))
+    for (b <- 0 until 8)
+      VectorIndex.appendCorpus(store, "inc",
+        corpus.filter(col("id").between(4 + b * 20, 23 + b * 20)), "id", "v",
+        maxSegments = 3)
+    // every row is queryable and the registered list never exceeded
+    // maxSegments + 1 (compact-then-append)
+    assert(VectorIndex.readEncoded(store, "inc").count() == 160)
+    val segDirs = VectorIndex.readEncoded(store, "inc").inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(segDirs.length <= 4,
+      s"cadence must bound live segments, got ${segDirs.length}")
+    assert(VectorIndex.readEncoded(store, "inc")
+      .select("id").distinct().count() == 160, "no row lost or duplicated by compaction")
+  }
+
   test("compactSegments merges to one dir; vacuum sweeps the superseded segments") {
     val store = new TableStore(spark, tmpDir("graft-vidx-cmp"), nBuckets = 2)
     val corpus = corpusDF(140, 8).localCheckpoint()

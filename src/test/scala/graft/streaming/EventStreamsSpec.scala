@@ -146,6 +146,43 @@ class EventStreamsSpec extends SparkSpec {
       "state for keys older than the watermark must be reclaimed")
   }
 
+  test("funnelProgress: stages advance across batches, order enforced, no rewind") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.funnelProgress(mem.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update()).start()
+
+    // batch 1: u1 view→click; u2 clicks BEFORE any view (must not count);
+    // u3 completes everything in one batch (order within batch sorted)
+    mem.addData(
+      EventStreams.UserEvent(1, ts(100), "view", 0),
+      EventStreams.UserEvent(1, ts(200), "click", 0),
+      EventStreams.UserEvent(2, ts(100), "click", 0),
+      EventStreams.UserEvent(3, ts(300), "purchase", 0),
+      EventStreams.UserEvent(3, ts(100), "view", 0),
+      EventStreams.UserEvent(3, ts(200), "click", 0))
+    q.processAllAvailable()
+    // batch 2: u1 purchases (completes cross-batch); u2 finally views —
+    // stage 1 only, the earlier click stays unconsumed
+    mem.addData(
+      EventStreams.UserEvent(1, ts(400), "purchase", 0),
+      EventStreams.UserEvent(2, ts(200), "view", 0))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.sql("SELECT * FROM funnel").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)), Option(r.getTimestamp(4))))
+      .groupBy(_._1).view.mapValues(_.last).toMap
+    assert(last(1L)._2 == 3 && last(1L)._5.contains(ts(400)), "u1 completes across batches")
+    assert(last(2L)._2 == 1 && last(2L)._4.isEmpty,
+      "a click before the first view never counts; no rewind to consume it")
+    assert(last(3L) == ((3L, 3, Some(ts(100)), Some(ts(200)), Some(ts(300)))),
+      "in-batch events are processed in time order")
+  }
+
   test("session windows: gap closes sessions, cross-batch merge, batch-twin parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

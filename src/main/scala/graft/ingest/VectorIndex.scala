@@ -229,28 +229,35 @@ object VectorIndex {
   def metaKeySegs(name: String, label: String): String =
     s"vecindex.$name.segs.$label"
 
-  private def renderSegs(dir: String, segs: Seq[String]): String = {
+  // The registry value is NEWLINE-SEPARATED one-segment lines, written
+  // through the metadata log's APPEND channel: each append adds its own
+  // line, so two concurrent appenders can never lose each other's
+  // segment to a read-modify-write race (a single set-valued list
+  // would). compactSegments SETs the key back to one line; an append
+  // racing a compact lands after the set and survives alongside the
+  // merged segment — only compaction itself is single-maintainer (the
+  // same discipline as table compaction).
+  private def renderSegLine(dir: String, seg: String): String = {
     import CanonicalJson._
-    render(JObj.of("dir" -> JStr(dir),
-      "segs" -> JArr(segs.map(JStr(_)).toVector)))
+    render(JObj.of("dir" -> JStr(dir), "seg" -> JStr(seg)))
   }
 
-  private def parseSegs(json: String): (String, Seq[String]) = {
+  private def parseSegLines(value: String): Seq[(String, String)] = {
     import CanonicalJson._
-    val obj = parse(json).asObj
-    (obj("dir").str, obj("segs").arr.map(_.str))
+    value.split('\n').toSeq.filter(_.nonEmpty).map { ln =>
+      val o = parse(ln).asObj
+      (o("dir").str, o("seg").str)
+    }
   }
 
   /** Segments currently registered for (`name`, `label`) — empty when
-    * none exist yet or when the registered list belongs to a superseded
+    * none exist yet or when the registered lines belong to a superseded
     * index version (`boundDir` differs): appending after a retrain
     * starts over, because old segments are encoded under dead centroids. */
   private def registeredSegments(meta: Map[String, String], name: String,
                                  boundDir: String, label: String): Seq[String] =
     meta.get(metaKeySegs(name, label)) match {
-      case Some(json) =>
-        val (dir, segs) = parseSegs(json)
-        if (dir == boundDir) segs else Nil
+      case Some(v) => parseSegLines(v).filter(_._1 == boundDir).map(_._2)
       case None => Nil
     }
 
@@ -289,8 +296,8 @@ object VectorIndex {
         v.as("vec"))
     }
     encoded.write.mode("errorifexists").parquet(seg)
-    val segs = registeredSegments(store.metastate, name, idx.dir, label) :+ seg
-    store.putMetastate(metaKeySegs(name, label) -> renderSegs(idx.dir, segs))
+    store.commitMetastate(sets = Nil,
+      appends = Seq(metaKeySegs(name, label) -> renderSegLine(idx.dir, seg)))
     seg
   }
 
@@ -368,7 +375,7 @@ object VectorIndex {
     val merged = s"${idx.dir}/segs_$label/${java.util.UUID.randomUUID().toString.take(8)}"
     store.spark.read.parquet(segs: _*)
       .write.mode("errorifexists").parquet(merged)
-    store.putMetastate(metaKeySegs(name, label) -> renderSegs(idx.dir, Seq(merged)))
+    store.putMetastate(metaKeySegs(name, label) -> renderSegLine(idx.dir, merged))
     merged
   }
 
@@ -398,7 +405,7 @@ object VectorIndex {
     // registered set spans all labels of this index.
     val registered: Set[java.nio.file.Path] = store.metastate.collect {
       case (k, v) if k.startsWith(s"vecindex.$name.segs.") =>
-        parseSegs(v)._2.map(norm)
+        parseSegLines(v).map(p => norm(p._2))
     }.flatten.toSet
     val doomedSegs = current.toList.flatMap { cd =>
       val segRoots = scala.util.Using.resource(java.nio.file.Files.list(cd)) {

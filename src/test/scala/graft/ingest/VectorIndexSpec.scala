@@ -195,6 +195,27 @@ class VectorIndexSpec extends SparkSpec {
       "the fresh list holds only rows encoded under the new version")
   }
 
+  test("concurrent appends never lose a segment (line-append registry)") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-conc"), nBuckets = 2)
+    val corpus = corpusDF(244, 8).localCheckpoint()
+    VectorIndex.publish(store, "inc", corpus.filter(col("id") < 4))
+    // 8 appends from 4 threads: a set-valued list would drop segments to
+    // read-modify-write races; the append-channel registry cannot
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val jobs = (0 until 8).map { b =>
+      Future(VectorIndex.appendCorpus(store, "inc",
+        corpus.filter(col("id").between(4 + b * 30, 33 + b * 30)), "id", "v"))
+    }
+    Await.result(Future.sequence(jobs), Duration.Inf)
+    pool.shutdown()
+    assert(VectorIndex.readEncoded(store, "inc").count() == 240,
+      "all 8 concurrently-appended segments must be registered")
+    assert(VectorIndex.readEncoded(store, "inc").select("id").distinct().count() == 240)
+  }
+
   test("appendCorpus(maxSegments) keeps segment count bounded under continuous appends") {
     val store = new TableStore(spark, tmpDir("graft-vidx-cad"), nBuckets = 2)
     val corpus = corpusDF(240, 8).localCheckpoint()

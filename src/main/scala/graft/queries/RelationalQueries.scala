@@ -594,6 +594,41 @@ object RelationalQueries {
           .orderBy("user_id")
     },
 
+    // ── H6 cohort retention: users bucketed by first-signup week, then
+    //    per (cohort, week-offset) distinct active users — the classic
+    //    retention triangle. Two shuffles (per-user cohort, then the
+    //    cohort×offset count-distinct); offsets clamp to 0..4. DuckDB's
+    //    date_trunc('week') yields DATE while Spark's yields TIMESTAMP,
+    //    hence the oracle-side cast. ──
+    QueryDef.sql(
+      "h6_cohort_retention",
+      """WITH s AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cw
+        |           FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+        |j AS (SELECT s.user_id, s.cw,
+        |        CAST(date_diff('day', s.cw, a.wk) AS BIGINT) // 7 AS off
+        |      FROM s JOIN a USING (user_id))
+        |SELECT cw AS cohort_week, off AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM j WHERE off BETWEEN 0 AND 4
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val cohorts = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cw"))
+        val active = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).as("wk")).distinct()
+        cohorts.join(active, Seq("user_id"))
+          .select(col("cw"),
+            floor(datediff(col("wk"), col("cw")) / 7).as("off"),
+            col("user_id"))
+          .filter(col("off").between(0, 4))
+          .groupBy(col("cw").as("cohort_week"), col("off").as("week_offset"))
+          .agg(countDistinct("user_id").as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+    },
+
     // ── H1 tumbling-window streaming aggregation shape (batch-equivalent:
     //    date_trunc bucket; SURVEY §2.H — windowed aggs for the events
     //    stream). Structured Streaming variant in graft.streaming. ──

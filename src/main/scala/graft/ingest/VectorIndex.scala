@@ -328,7 +328,14 @@ object VectorIndex {
     * incremental appends. `metaVersion` pins an as-of snapshot (index
     * artifacts AND segment list from the same log version, so a
     * concurrent append/retrain can't tear the read). Returns
-    * (query_id, id, cos_sim|adc_score, rank) like the other batch forms. */
+    * (query_id, id, cos_sim|adc_score, rank) like the other batch forms.
+    *
+    * At a real nlist (10⁴-10⁵) the flat per-query probe argmax escalates
+    * to the two-level coarse form the ad-hoc paths already have
+    * ([[Similarity.topCentroidsTwoLevel]]) — on BOTH the append-time
+    * assignment and the probe side, recorded per segment so mixed-mode
+    * segments can't disagree about cell membership; not wired here
+    * because the driver corpus runs at nlist=8. */
   def ivfSegmentsTopKBatch(store: TableStore, name: String,
                            queries: DataFrame, queryIdCol: String, vecCol: String,
                            k: Int, probes: Int = 1,

@@ -183,6 +183,42 @@ class EventStreamsSpec extends SparkSpec {
       "in-batch events are processed in time order")
   }
 
+  test("funnelProgress: random-corpus parity with the batch greedy fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "click", "purchase", "error")
+    val events = (0 until 300).map { i =>
+      EventStreams.UserEvent(rnd.nextInt(20).toLong, ts(rnd.nextInt(5000).toLong),
+        types(rnd.nextInt(types.length)), 0.0)
+    }
+    // the streaming contract is per-user in-order arrival across batches:
+    // sort globally, split into consecutive micro-batches
+    val ordered = events.sortBy(_.ts.getTime)
+    val mem = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.funnelProgress(mem.toDS())
+      .writeStream.format("memory").queryName("funnelpar")
+      .outputMode(OutputMode.Update()).start()
+    ordered.grouped(100).foreach { b => mem.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.sql("SELECT * FROM funnelpar").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    // batch model: greedy earliest chain per user over the full history
+    val expect = ordered.groupBy(_.user_id).view.mapValues { evs =>
+      var (t1, t2, t3) = (Option.empty[Long], Option.empty[Long], Option.empty[Long])
+      evs.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        if (t1.isEmpty && e.event_type == "view") t1 = Some(t)
+        else if (t1.nonEmpty && t2.isEmpty && e.event_type == "click" && t > t1.get) t2 = Some(t)
+        else if (t2.nonEmpty && t3.isEmpty && e.event_type == "purchase" && t > t2.get) t3 = Some(t)
+      }
+      if (t3.nonEmpty) 3 else if (t2.nonEmpty) 2 else if (t1.nonEmpty) 1 else 0
+    }.toMap
+    assert(streamed == expect,
+      "incremental streaming state must equal the batch greedy fold under in-order arrival")
+  }
+
   test("session windows: gap closes sessions, cross-batch merge, batch-twin parity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

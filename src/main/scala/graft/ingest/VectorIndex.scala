@@ -281,6 +281,10 @@ object VectorIndex {
                    idCol: String, vecCol: String,
                    label: String = "corpus",
                    maxSegments: Int = 0): String = {
+    // fail BEFORE the parquet write: the registry commit would reject a
+    // readOnly store anyway, but only after leaving an orphan segment dir
+    if (store.readOnly) throw new IllegalStateException(
+      s"appendCorpus on a readOnly TableStore (${store.root}) — this session declared itself query-only")
     val idx = load(store, name)
     if (maxSegments > 0 &&
         registeredSegments(store.metastate, name, idx.dir, label).size >= maxSegments)

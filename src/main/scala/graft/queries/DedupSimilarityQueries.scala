@@ -102,6 +102,64 @@ object DedupSimilarityQueries {
        |SELECT qid AS query_id, vec_id, cos_sim, CAST(rn AS INT) AS "rank"
        |FROM rk WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
 
+  // Shared oracle for the stored/appended PQ code-tier queries
+  // (sim_pq_stored_codes probes=2/k=6, sim_pq_appended probes=1/k=5):
+  // merged IVF assignment + PQ code construction, parameterized the
+  // same way as ivfBatchOracle.
+  private def pqStoredOracle(probes: Int, k: Int): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |cbk AS (SELECT vec_id - 1 AS code, embedding AS cbv FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+        |js AS (SELECT CAST(range AS INT) AS j FROM range(8)),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 16),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM corpus v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |uq AS (SELECT q.qid, c.cid, unnest(q.qe) AS x, unnest(c.cv) AS y FROM q, c),
+        |sq AS (SELECT qid, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM uq GROUP BY 1, 2),
+        |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |       FROM sq),
+        |qp AS (SELECT qid, cid FROM rq WHERE rn <= $probes),
+        |cand AS (SELECT qp.qid, a.vec_id FROM asg a JOIN qp ON a.cid = qp.cid),
+        |cu AS (SELECT v.vec_id, js.j, cbk.code,
+        |        unnest(list_slice(v.embedding, js.j*8+1, js.j*8+8)) AS x,
+        |        unnest(list_slice(cbk.cbv, js.j*8+1, js.j*8+8)) AS y
+        |      FROM corpus v, js, cbk),
+        |d AS (SELECT vec_id, j, code,
+        |        round(sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 4) AS l2
+        |      FROM cu GROUP BY 1, 2, 3),
+        |pasg AS (SELECT vec_id, j, code FROM (
+        |          SELECT vec_id, j, code,
+        |            row_number() OVER (PARTITION BY vec_id, j ORDER BY l2, code) AS rn FROM d)
+        |        WHERE rn = 1),
+        |lu AS (SELECT q.qid, js.j, cbk.code,
+        |        unnest(list_slice(q.qe, js.j*8+1, js.j*8+8)) AS x,
+        |        unnest(list_slice(cbk.cbv, js.j*8+1, js.j*8+8)) AS y
+        |      FROM q, js, cbk),
+        |lut AS (SELECT qid, j, code, round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS term
+        |        FROM lu GROUP BY 1, 2, 3),
+        |sc AS (SELECT l.qid, p.vec_id, round(sum(l.term), 4) AS adc_score
+        |       FROM pasg p JOIN lut l ON p.j = l.j AND p.code = l.code
+        |       JOIN cand ON cand.qid = l.qid AND cand.vec_id = p.vec_id
+        |       GROUP BY 1, 2),
+        |rk AS (SELECT qid, vec_id, adc_score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY adc_score DESC, vec_id) AS rn
+        |       FROM sc)
+        |SELECT qid AS query_id, vec_id AS id, adc_score, CAST(rn AS INT) AS "rank"
+        |FROM rk WHERE rn <= $k ORDER BY query_id, "rank"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── MinHash signature + LSH band hashes per document. ──────────────
@@ -610,6 +668,39 @@ object DedupSimilarityQueries {
           .orderBy("vec_id")
     },
 
+    // ── INCREMENTALLY APPENDED PQ INDEX: same lifecycle as
+    //    sim_ivf_appended but through the code tier — two appends encode
+    //    only their delta into (id, cid, codes) segments under the
+    //    published centroids+codebooks, and the batched ADC query scans
+    //    the segment union's codes (never the float vectors). The oracle
+    //    is the same merged IVF+PQ construction as sim_pq_stored_codes
+    //    (k=5, probes=1 distinguishes it): stored-vs-appended must
+    //    change nothing about the answer. ──────────────────────────────
+    QueryDef.sql(
+      "sim_pq_appended",
+      pqStoredOracle(probes = 1, k = 5)) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val store = storedIndex("pqapp", d, s) { st =>
+          val seedRows = emb.filter(col("vec_id").between(1, 16)).orderBy("vec_id")
+            .select(col("embedding").cast("array<float>"))
+            .collect().map(_.getSeq[Float](0).toSeq).toSeq
+          graft.ingest.VectorIndex.publish(st, "pqinc",
+            emb.filter(col("vec_id").between(1, 8)).select(col("vec_id"), col("embedding")),
+            Some(Similarity.pqCodebooksFromRows(seedRows, m = 8)))
+          graft.ingest.VectorIndex.appendCorpus(st, "pqinc",
+            emb.filter(col("vec_id") > 16 && col("vec_id") % 2 === 0),
+            "vec_id", "embedding")
+          graft.ingest.VectorIndex.appendCorpus(st, "pqinc",
+            emb.filter(col("vec_id") > 16 && col("vec_id") % 2 === 1),
+            "vec_id", "embedding")
+        }
+        graft.ingest.VectorIndex.ivfSegmentsTopKBatch(store, "pqinc",
+          emb.filter(col("vec_id") < 4), "vec_id", "embedding",
+          k = 5, probes = 1, outIdCol = "id")
+          .orderBy("query_id", "rank")
+    },
+
     // ── BATCHED full-scan ADC: every query's LUT is DATA (PQAdcLut →
     //    broadcast), scored against one pass over the code column
     //    (PQADCScoreDyn) — N queries, one corpus scan, no per-query
@@ -666,58 +757,7 @@ object DedupSimilarityQueries {
     //    assignment and PQ code constructions. ─────────────────────────
     QueryDef.sql(
       "sim_pq_stored_codes",
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-        |cbk AS (SELECT vec_id - 1 AS code, embedding AS cbv FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
-        |js AS (SELECT CAST(range AS INT) AS j FROM range(8)),
-        |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 16),
-        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
-        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM corpus v, c),
-        |s AS (SELECT vec_id, cid,
-        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-        |      FROM u GROUP BY 1, 2),
-        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
-        |      FROM s),
-        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
-        |uq AS (SELECT q.qid, c.cid, unnest(q.qe) AS x, unnest(c.cv) AS y FROM q, c),
-        |sq AS (SELECT qid, cid,
-        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
-        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
-        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
-        |       FROM uq GROUP BY 1, 2),
-        |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
-        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
-        |       FROM sq),
-        |qp AS (SELECT qid, cid FROM rq WHERE rn <= 2),
-        |cand AS (SELECT qp.qid, a.vec_id FROM asg a JOIN qp ON a.cid = qp.cid),
-        |cu AS (SELECT v.vec_id, js.j, cbk.code,
-        |        unnest(list_slice(v.embedding, js.j*8+1, js.j*8+8)) AS x,
-        |        unnest(list_slice(cbk.cbv, js.j*8+1, js.j*8+8)) AS y
-        |      FROM corpus v, js, cbk),
-        |d AS (SELECT vec_id, j, code,
-        |        round(sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 4) AS l2
-        |      FROM cu GROUP BY 1, 2, 3),
-        |pasg AS (SELECT vec_id, j, code FROM (
-        |          SELECT vec_id, j, code,
-        |            row_number() OVER (PARTITION BY vec_id, j ORDER BY l2, code) AS rn FROM d)
-        |        WHERE rn = 1),
-        |lu AS (SELECT q.qid, js.j, cbk.code,
-        |        unnest(list_slice(q.qe, js.j*8+1, js.j*8+8)) AS x,
-        |        unnest(list_slice(cbk.cbv, js.j*8+1, js.j*8+8)) AS y
-        |      FROM q, js, cbk),
-        |lut AS (SELECT qid, j, code, round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS term
-        |        FROM lu GROUP BY 1, 2, 3),
-        |sc AS (SELECT l.qid, p.vec_id, round(sum(l.term), 4) AS adc_score
-        |       FROM pasg p JOIN lut l ON p.j = l.j AND p.code = l.code
-        |       JOIN cand ON cand.qid = l.qid AND cand.vec_id = p.vec_id
-        |       GROUP BY 1, 2),
-        |rk AS (SELECT qid, vec_id, adc_score,
-        |        row_number() OVER (PARTITION BY qid ORDER BY adc_score DESC, vec_id) AS rn
-        |       FROM sc)
-        |SELECT qid AS query_id, vec_id AS id, adc_score, CAST(rn AS INT) AS "rank"
-        |FROM rk WHERE rn <= 6 ORDER BY query_id, "rank"""".stripMargin) {
+      pqStoredOracle(probes = 2, k = 6)) {
       (s, d) =>
         val emb = Tables.embeddings(s, d)
         val store = storedIndex("pq", d, s) { st =>

@@ -195,6 +195,19 @@ class VectorIndexSpec extends SparkSpec {
       "the fresh list holds only rows encoded under the new version")
   }
 
+  test("appendCorpus refuses a readOnly store; the reader still serves segments") {
+    val root = tmpDir("graft-vidx-ro")
+    val store = new TableStore(spark, root, nBuckets = 2)
+    val corpus = corpusDF(80, 8).localCheckpoint()
+    VectorIndex.publish(store, "inc", corpus.filter(col("id") < 4))
+    VectorIndex.appendCorpus(store, "inc", corpus.filter(col("id") >= 4), "id", "v")
+    val reader = new TableStore(spark, root, nBuckets = 2, readOnly = true)
+    assert(VectorIndex.readEncoded(reader, "inc").count() == 76,
+      "a query-only session reads the segment union")
+    intercept[IllegalStateException](
+      VectorIndex.appendCorpus(reader, "inc", corpus.filter(col("id") < 4), "id", "v"))
+  }
+
   test("concurrent appends never lose a segment (line-append registry)") {
     val store = new TableStore(spark, tmpDir("graft-vidx-conc"), nBuckets = 2)
     val corpus = corpusDF(244, 8).localCheckpoint()

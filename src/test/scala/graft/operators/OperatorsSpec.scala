@@ -550,6 +550,20 @@ class OperatorsSpec extends SparkSpec {
       "within-doc repetition is not cross-doc and survives")
   }
 
+  test("samplePerGroup: deterministic bound per group, heap plan (no window sort)") {
+    val df = (0 until 500).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = Sharding.samplePerGroup(df, "source", "doc_id", n = 10)
+    val counts = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 10) && counts.size == 3)
+    val again = Sharding.samplePerGroup(df, "source", "doc_id", n = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == out.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+      "re-runs produce the identical sample")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bounded-collect heap, not a per-group window sort")
+  }
+
   test("semanticContamination: exact eval copy flags, orthogonal doesn't, max wins") {
     val corpus = Seq(
       (100L, Seq(1f, 0f, 0f, 0f)),  // identical to eval vec → 1.0

@@ -395,7 +395,11 @@ object VectorIndex {
     * (mirrors table vacuum: old versions stay readable via `loadAt`
     * until this is called explicitly). Also sweeps UNREGISTERED segment
     * dirs inside the current version (superseded by [[compactSegments]]
-    * or orphaned by a crashed append). Returns the dirs removed. */
+    * or orphaned by a crashed append). Maintenance-window operation:
+    * like [[compactSegments]] it is single-maintainer — an append's
+    * segment dir exists briefly BEFORE its registry line commits, and a
+    * concurrent vacuum would sweep it as an orphan. Returns the dirs
+    * removed. */
   def vacuum(store: TableStore, name: String): Seq[String] = {
     // Compare NORMALIZED absolute paths, not raw strings: a store root
     // with a trailing slash or "./" writes "dir" into the metastate with

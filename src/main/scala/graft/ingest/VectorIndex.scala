@@ -276,7 +276,14 @@ object VectorIndex {
     * ([[compactSegments]]) so segment count — and the query's file-open
     * cost — stays bounded under continuous daily appends, amortized one
     * rewrite per `maxSegments` appends. Superseded segment dirs remain
-    * as-of readable until [[vacuum]]. */
+    * as-of readable until [[vacuum]].
+    *
+    * Concurrency: with `maxSegments = 0` (the default) any number of
+    * appenders are safe — each contributes its own registry line.
+    * `maxSegments > 0` is SINGLE-APPENDER: the embedded compaction's
+    * SET discards lines appended between its registry read and its
+    * write, so concurrent appenders must keep the default and run
+    * [[compactSegments]] from one maintenance owner instead. */
   def appendCorpus(store: TableStore, name: String, df: DataFrame,
                    idCol: String, vecCol: String,
                    label: String = "corpus",

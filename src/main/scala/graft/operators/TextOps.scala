@@ -263,6 +263,33 @@ object TextOps {
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
 
+  /** N-gram novelty scoring — the corpus-frequency quality signal: per
+    * doc, the fraction of its distinct n-grams that occur in NO other
+    * document (`novel_frac`) and the mean number of documents its grams
+    * appear in (`mean_gram_df`). High novelty ≈ original content; low ≈
+    * boilerplate/template (the df side of what [[crossDupCoverage]]
+    * measures as a binary). Per-gram document frequency is one
+    * partial-aggregated groupBy on the gram (docs' grams are deduped
+    * first, so df = distinct-doc count without a count-distinct), joined
+    * back to the doc's gram list — map-side-combinable on purpose: a
+    * stop-word-like hot gram reduces in partials instead of sorting into
+    * one window task. Returns (doc, n_grams, n_novel, novel_frac,
+    * mean_gram_df) for docs with ≥ 1 n-gram. */
+  def ngramNovelty(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                   n: Int): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("g"))
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("_df"))
+    sh.join(dfreq, Seq("g"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"),
+        sum(col("_df")).as("_dfsum"))
+      .select(col("doc"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novel_frac"),
+        round(col("_dfsum").cast("double") / col("n_grams"), 4).as("mean_gram_df"))
+  }
+
   /** The CUT half of exact-substring dedup ([[exactRunCoverage]] is the
     * measure half): remove from each document every token span that
     * already appears in an EARLIER document (keep-first policy — the doc

@@ -355,6 +355,31 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── N-gram novelty scoring: per doc, the fraction of its distinct
+    //    4-grams appearing in no other doc, and the mean document
+    //    frequency of its grams — the corpus-frequency quality signal.
+    //    Per-doc grams are deduped first so df needs no count-distinct
+    //    and the gram agg stays map-side combinable under hot grams. ──
+    QueryDef.sql(
+      "text_novelty",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         CASE WHEN len(ws) >= 4
+        |           THEN [array_to_string(list_slice(ws, j, j + 3), ' ') for j in range(1, len(ws) - 2)]
+        |           ELSE CAST([] AS VARCHAR[]) END)) AS g
+        |       FROM t),
+        |dfq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY g)
+        |SELECT sh.doc_id AS doc, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novel_frac,
+        |  round(CAST(sum(df) AS DOUBLE) / count(*), 4) AS mean_gram_df
+        |FROM sh JOIN dfq USING (g)
+        |GROUP BY sh.doc_id ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.ngramNovelty(Tables.documents(s, d), "doc_id", "text", n = 4)
+          .orderBy("doc")
+    },
+
     // ── EXACT-substring cross-doc coverage: which token positions sit
     //    inside an exact ≥5-token run shared with ANOTHER document — the
     //    suffix-array-shaped operator, via the span-union identity

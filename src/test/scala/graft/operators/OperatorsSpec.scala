@@ -550,6 +550,22 @@ class OperatorsSpec extends SparkSpec {
       "within-doc repetition is not cross-doc and survives")
   }
 
+  test("ngramNovelty: unique docs score 1.0, exact copies 0.0, df counts docs not repeats") {
+    val docs = Seq(
+      (1L, "a b c d e"),            // shares both grams with doc 2
+      (2L, "a b c d e"),
+      (3L, "p q r s t"),            // fully unique
+      (4L, "x y x y x y x y")).toDF("doc_id", "text") // repeats only internally
+    val out = TextOps.ngramNovelty(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((2L, 0.0, 2.0)) && out(2L) == ((2L, 0.0, 2.0)),
+      s"exact copies: nothing novel, every gram in 2 docs — ${out(1L)}")
+    assert(out(3L) == ((2L, 1.0, 1.0)), "unique doc is fully novel")
+    assert(out(4L)._2 == 1.0 && out(4L)._3 == 1.0,
+      "within-doc repeats dedupe: df counts documents, not occurrences")
+  }
+
   test("samplePerGroup: deterministic bound per group, heap plan (no window sort)") {
     val df = (0 until 500).map(i => (i.toLong, s"src${i % 3}")).toDF("doc_id", "source")
     val out = Sharding.samplePerGroup(df, "source", "doc_id", n = 10)

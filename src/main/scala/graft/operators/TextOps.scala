@@ -208,34 +208,56 @@ object TextOps {
     * runs that overlap merge into one region — the region a dedup pass
     * would excise in one cut).
     *
-    * Scale shape: one posexplode of per-doc n-grams, ONE shuffle on the
-    * gram for the min≠max cross-doc test (constant state per gram), a
-    * join back, and a per-doc sorted fold that is O(doc length) IN-ROW —
-    * document-bounded, not corpus-bounded. At 100 TB, shuffle the md5 of
+    * Scale shape: one posexplode of per-doc n-grams, a partial-aggregated
+    * groupBy on the gram for the min≠max cross-doc test (constant state
+    * per gram, hot grams collapse in map-side partials), a join back on
+    * the gram, and a per-doc sorted fold that is O(doc length) IN-ROW —
+    * document-bounded, not corpus-bounded. The per-gram stats are
+    * deliberately NOT a window over the gram partition: a window
+    * partition is one task, so a stop-word-hot gram occurring in a
+    * constant fraction of all documents would serialize into a single
+    * sort at 100× (and no mechanism can split a window partition).
+    *
+    * The join back is skew-bounded DETERMINISTICALLY by a df-threshold
+    * hot/cold split (the per-gram count rides the same partial agg for
+    * free): grams with df ≥ `hotDf` resolve through a broadcast join
+    * map-side and never enter any exchange — their positions are
+    * cross-doc-covered by definition — while the cold shuffle join has
+    * every key < `hotDf` rows by construction. Measured in
+    * [[graft.tools.GramSkewProbe]] (one gram in 80% of 4M docs):
+    * max-task record skew 5.9× (window) / 3.5× (plain join back, which
+    * AQE can NOT split — OptimizeSkewedJoin doesn't match through the
+    * aggregate+filter under the join) / 1.0× (this split). The
+    * broadcast side is bounded: #grams with df ≥ K ≤ total gram rows /
+    * K. Cross-doc filtering happens on the stats side BEFORE the join,
+    * so single-doc grams never travel. At 100 TB, shuffle the md5 of
     * the gram instead of the string (the band-hash trick) to cut
     * exchange width; kept as strings here so the DuckDB twin is
     * byte-exact. */
   def exactRunCoverage(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-                       n: Int): org.apache.spark.sql.DataFrame = {
+                       n: Int, hotDf: Long = 65536L): org.apache.spark.sql.DataFrame = {
     val L = n.toLong
     val doc = col(idCol).as("doc")
     val base = df.select(doc, tokens(col(textCol)).as("ws"))
       .select(col("doc"), size(col("ws")).cast("long").as("n_tokens"),
         shingles(col("ws"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    // min/max doc per gram through ONE window over the gram partition —
-    // not groupBy+join-back, which would both re-execute the
-    // scan+shingle upstream (two plan branches) and shuffle the
-    // exploded frame a second time for the join
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
-      .withColumn("_mind", min("doc").over(wg))
-      .withColumn("_maxd", max("doc").over(wg))
-    // positions whose n-gram recurs in ANOTHER doc, folded per doc into
+    val stats = pos.groupBy("g")
+      .agg(min("doc").as("_mind"), max("doc").as("_maxd"), count(lit(1)).as("_cnt"))
+      .filter(col("_mind") =!= col("_maxd"))
+    val hot = stats.filter(col("_cnt") >= hotDf).select(col("g"), lit(1).as("_hot"))
+    val cold = stats.filter(col("_cnt") < hotDf).select("g")
+    val posH = pos.join(broadcast(hot), Seq("g"), "left_outer")
+    // positions whose n-gram recurs in ANOTHER doc (hot: decided
+    // map-side by the broadcast; cold: inner join — an un-joined
+    // position is uncovered by definition), folded per doc into
     // (covered union size, longest merged region) in one in-row pass over
     // the sorted position list: intervals [p, p+n-1] merge iff the gap to
     // the previous position is ≤ n.
-    val folded = pos.filter(col("_mind") =!= col("_maxd"))
+    val coveredPos = posH.filter(col("_hot") === 1).select("doc", "pos")
+      .unionByName(posH.filter(col("_hot").isNull).join(cold, Seq("g")).select("doc", "pos"))
+    val folded = coveredPos
       .groupBy("doc")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
       .select(col("doc"), aggregate(
@@ -301,25 +323,40 @@ object TextOps {
     *
     * Returns (doc, n_tokens, n_kept, clean_text) for every doc with ≥ 1
     * n-gram; docs shorter than `n` have no grams and no row. Same scale
-    * shape as [[exactRunCoverage]]: one gram window, then the kept-token
-    * reassembly is an in-row filter over the doc's own token array —
-    * document-bounded.
+    * shape as [[exactRunCoverage]] (partial-agg groupBy on the gram +
+    * df-threshold hot/cold split join back — hot grams carry min(doc)
+    * in the broadcast, so the keep-first test runs map-side — not a
+    * single-task-per-gram window), then the kept-token reassembly is an
+    * in-row filter over the doc's own token array — document-bounded.
     *
     * The removal mask is built from SHINGLE positions folded in-row
     * (sorted start list → per-token containment via the carry of the
     * max covered end), not by exploding one row per covered token. */
   def exactRunDedupText(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-                        n: Int): org.apache.spark.sql.DataFrame = {
+                        n: Int, hotDf: Long = 65536L): org.apache.spark.sql.DataFrame = {
     val L = n
     val doc = col(idCol).as("doc")
     val base = df.select(doc, tokens(col(textCol)).as("ws"))
       .select(col("doc"), col("ws"), shingles(col("ws"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
+    // min(doc) per gram via partial-agg groupBy (hot grams collapse
+    // map-side; a per-gram window would serialize them into one task).
+    // Single-occurrence grams can never satisfy min(doc) < doc — filter
+    // them off the build side before the join.
+    val stats = pos.groupBy("g")
+      .agg(min("doc").as("_mind"), count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > 1)
+    // df-threshold hot/cold split (see exactRunCoverage): hot grams
+    // carry their min(doc) in the broadcast so the earlier-doc test
+    // runs map-side; the cold join's keys are < hotDf rows each.
+    val hot = stats.filter(col("_cnt") >= hotDf).select(col("g"), col("_mind").as("_hmind"))
+    val cold = stats.filter(col("_cnt") < hotDf).select("g", "_mind")
+    val posH = pos.join(broadcast(hot), Seq("g"), "left_outer")
     // positions (1-based shingle index) whose gram occurs in an EARLIER doc
-    val removePos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
-      .withColumn("_mind", min("doc").over(wg))
-      .filter(col("_mind") < col("doc"))
+    val removePos = posH.filter(col("_hmind") < col("doc")).select("doc", "pos")
+      .unionByName(posH.filter(col("_hmind").isNull).join(cold, Seq("g"))
+        .filter(col("_mind") < col("doc")).select("doc", "pos"))
       .groupBy("doc")
       .agg(sort_array(collect_list(col("pos").cast("long") + 1)).as("rs"))
     // removed token positions = union of [s, s+n-1] over removed-run

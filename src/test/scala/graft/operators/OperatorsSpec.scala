@@ -657,6 +657,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("exactRun operators: hot/cold df-split routing is invisible to results") {
+    // same adversarial tiny-vocab corpus; hotDf=2 routes EVERY repeated
+    // gram through the broadcast path, hotDf=5 mixes the two paths —
+    // both must be row-identical to the all-cold default
+    val n = 4
+    val rnd = new scala.util.Random(321)
+    val docs = (0 until 60).map { i =>
+      val len = 4 + rnd.nextInt(20)
+      (i.toLong, (0 until len).map(_ => s"w${rnd.nextInt(8)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc").collect().map(_.toSeq).toSeq
+    val covCold = rows(TextOps.exactRunCoverage(df, "doc_id", "text", n))
+    assert(rows(TextOps.exactRunCoverage(df, "doc_id", "text", n, hotDf = 2L)) == covCold)
+    assert(rows(TextOps.exactRunCoverage(df, "doc_id", "text", n, hotDf = 5L)) == covCold)
+    val dedCold = rows(TextOps.exactRunDedupText(df, "doc_id", "text", n))
+    assert(rows(TextOps.exactRunDedupText(df, "doc_id", "text", n, hotDf = 2L)) == dedCold)
+    assert(rows(TextOps.exactRunDedupText(df, "doc_id", "text", n, hotDf = 5L)) == dedCold)
+  }
+
   test("langIdMulti: native sentences classify to their language, all ten classes") {
     // one plain-prose sentence per language — function words + diacritics,
     // nothing adversarial

@@ -45,8 +45,14 @@ object RangeJoin {
     val l = left.withColumn("_bin", floor(col(pointCol) / binWidth))
     val loBin = floor(col(loCol) / binWidth)
     val hiBin = floor(col(hiCol) / binWidth)
-    // null bounds stay a null sequence (explode drops the row, as before)
-    val guarded = when(coalesce(hiBin - loBin < lit(maxBins), lit(true)),
+    // null bounds stay a null sequence (explode drops the row, as before);
+    // a REVERSED interval (hi < lo — corrupted or sentinel-swapped row)
+    // is dropped the same way BEFORE the span check: its negative span
+    // would pass the guard while sequence(lo, hi) counts DOWN and can
+    // explode into up to 2^31 bins — and such a row can never satisfy
+    // the containment filter anyway
+    val guarded = when(hiBin < loBin, lit(null).cast("array<bigint>"))
+      .when(coalesce(hiBin - loBin < lit(maxBins), lit(true)),
         sequence(loBin, hiBin))
       .otherwise(raise_error(concat(
         lit(s"range-join interval spans more than $maxBins bins of width $binWidth: ["),

@@ -63,16 +63,26 @@ object Similarity {
     * dies in a map-side partial aggregate, nothing corpus-sized
     * shuffles. At an eval size where per-row × |eval| cosines dominate,
     * escalate to the IVF-cell route ([[knnJoinBetween]]) and take each
-    * row's top-1 instead. */
+    * row's top-1 instead.
+    *
+    * Output is a FULL-corpus annotation: every corpus id gets a row, so
+    * `keep rows where contaminated = false` is a safe downstream filter.
+    * Rows whose embedding is null/malformed (cosine null against every
+    * eval vector) — and every row when the eval set is empty — come back
+    * as (max_eval_sim = null, contaminated = false): no-evidence means
+    * not-flagged, never silently dropped. */
   def semanticContamination(corpus: DataFrame, idCol: String, vecCol: String,
-                            evalSet: DataFrame, threshold: Double): DataFrame =
-    corpus.crossJoin(broadcast(evalSet.select(col(vecCol).as("_qvec"))))
+                            evalSet: DataFrame, threshold: Double): DataFrame = {
+    val sims = corpus.crossJoin(broadcast(evalSet.select(col(vecCol).as("_qvec"))))
       .select(col(idCol), round(cosine(col(vecCol), col("_qvec")), 4).as("_sim"))
       .filter(col("_sim").isNotNull)
       .groupBy(idCol)
       .agg(max(col("_sim")).as("max_eval_sim"))
+    corpus.select(col(idCol))
+      .join(sims, Seq(idCol), "left_outer")
       .select(col(idCol), col("max_eval_sim"),
-        (col("max_eval_sim") >= threshold).as("contaminated"))
+        coalesce(col("max_eval_sim") >= threshold, lit(false)).as("contaminated"))
+  }
 
   /** Per-vector symmetric int8 quantization (SQ8): the storage/scan
     * format for billion-vector corpora — 4× less IO than float32, and

@@ -658,8 +658,9 @@ object DedupSimilarityQueries {
         |      FROM u GROUP BY 1, 2),
         |c AS (SELECT vec_id, max(round(dot / sqrt(na * nb), 4)) AS max_eval_sim
         |      FROM s WHERE na * nb > 0 GROUP BY 1)
-        |SELECT vec_id, max_eval_sim, max_eval_sim >= 0.3 AS contaminated
-        |FROM c ORDER BY vec_id""".stripMargin) {
+        |SELECT v.vec_id, c.max_eval_sim,
+        |       coalesce(c.max_eval_sim >= 0.3, FALSE) AS contaminated
+        |FROM v LEFT JOIN c ON v.vec_id = c.vec_id ORDER BY v.vec_id""".stripMargin) {
       (s, d) =>
         val emb = Tables.embeddings(s, d)
         Similarity.semanticContamination(

@@ -98,27 +98,43 @@ object EventStreams {
     val (s1, s2, s3) = steps
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelProgress, FunnelProgress](timeout) {
-        (userId: Long, batch: Iterator[UserEvent], state: GroupState[FunnelProgress]) =>
-          var cur = state.getOption.getOrElse(FunnelProgress(userId, 0, None, None, None))
-          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            cur =
-              if (cur.first_view.isEmpty && e.event_type == s1)
-                cur.copy(funnel_stage = 1, first_view = Some(e.ts))
-              else if (cur.first_view.nonEmpty && cur.first_click.isEmpty &&
-                       e.event_type == s2 && e.ts.getTime > cur.first_view.get.getTime)
-                cur.copy(funnel_stage = 2, first_click = Some(e.ts))
-              else if (cur.first_click.nonEmpty && cur.first_purchase.isEmpty &&
-                       e.event_type == s3 && e.ts.getTime > cur.first_click.get.getTime)
-                cur.copy(funnel_stage = 3, first_purchase = Some(e.ts))
-              else cur
-          }
-          state.update(cur)
-          if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
-            state.setTimeoutDuration("1 hour")
-          cur
-      }
+      .mapGroupsWithState[FunnelProgress, FunnelProgress](timeout)(
+        funnelStep(s1, s2, s3, timeout))
   }
+
+  /** The per-group state transition of [[funnelProgress]], named so the
+    * timeout path is unit-testable with `TestGroupState`. On timeout
+    * (idle past the re-armed duration) the user's state is EVICTED —
+    * keeping state O(active users), not O(users ever seen) — and the
+    * final standing is emitted; a later event for that user starts a
+    * fresh funnel. */
+  private[graft] def funnelStep(s1: String, s2: String, s3: String,
+                                timeout: GroupStateTimeout)(
+      userId: Long, batch: Iterator[UserEvent],
+      state: GroupState[FunnelProgress]): FunnelProgress =
+    if (state.hasTimedOut) {
+      val last = state.get
+      state.remove()
+      last
+    } else {
+      var cur = state.getOption.getOrElse(FunnelProgress(userId, 0, None, None, None))
+      batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        cur =
+          if (cur.first_view.isEmpty && e.event_type == s1)
+            cur.copy(funnel_stage = 1, first_view = Some(e.ts))
+          else if (cur.first_view.nonEmpty && cur.first_click.isEmpty &&
+                   e.event_type == s2 && e.ts.getTime > cur.first_view.get.getTime)
+            cur.copy(funnel_stage = 2, first_click = Some(e.ts))
+          else if (cur.first_click.nonEmpty && cur.first_purchase.isEmpty &&
+                   e.event_type == s3 && e.ts.getTime > cur.first_click.get.getTime)
+            cur.copy(funnel_stage = 3, first_purchase = Some(e.ts))
+          else cur
+      }
+      state.update(cur)
+      if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+        state.setTimeoutDuration("1 hour")
+      cur
+    }
 
   /** Watermarked stream-stream interval join — the impressions⋈clicks
     * shape: match right-stream rows to left-stream rows on `key` when the

@@ -597,6 +597,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out(102L) == ((0.7071, true)), "max over eval vectors, not first")
   }
 
+  test("semanticContamination: full-corpus annotation — null embeddings and empty eval set") {
+    val corpus = Seq(
+      (100L, Some(Seq(1f, 0f, 0f, 0f))),
+      (101L, Option.empty[Seq[Float]])) // malformed row: cosine null vs every eval vec
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val evals = Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.semanticContamination(corpus, "vec_id", "embedding", evals, 0.5)
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), r.getBoolean(2)))).toMap
+    assert(out.keySet == Set(100L, 101L), "every corpus id gets a row")
+    assert(out(101L) == ((None, false)), "no-evidence row: null sim, NOT flagged, NOT dropped")
+    // empty eval set: nothing can be contaminated, but nothing disappears
+    val none = Similarity.semanticContamination(
+      corpus, "vec_id", "embedding", evals.filter(col("vec_id") < 0), 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(none == Map(100L -> false, 101L -> false))
+  }
+
   test("bm25TopK: rarer terms weigh more, more hits rank higher, no-hit docs drop") {
     // 'rare' appears in one doc, 'common' in all four; equal lengths
     val docs = Seq(

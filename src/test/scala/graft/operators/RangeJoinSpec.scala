@@ -64,6 +64,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set(200L), "the null-hi interval matches nothing and raises nothing")
   }
 
+  test("a reversed interval is dropped, not bin-exploded") {
+    val pts = Seq((1L, 5L)).toDF("pid", "t")
+    // hi < lo: a corrupted/sentinel-swapped row whose negative span
+    // passes a naive span guard while sequence(lo, hi) would count DOWN
+    // (here across ~2^61 bins); it can never contain a point — drop it
+    val ivs = Seq((100L, Long.MaxValue, 0L), (200L, 0L, 9L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.binnedIntervalJoin(pts, ivs, "t", "lo", "hi", 4L)
+      .select("iid").collect().map(_.getLong(0)).toSet
+    assert(out == Set(200L), "the reversed interval matches nothing and raises nothing")
+  }
+
   test("matches the plain inequality join on random data, several bin widths") {
     val rnd = new scala.util.Random(31)
     val pts = (0 until 400).map(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(2000).toLong))

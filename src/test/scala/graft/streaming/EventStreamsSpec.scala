@@ -183,6 +183,28 @@ class EventStreamsSpec extends SparkSpec {
       "in-batch events are processed in time order")
   }
 
+  test("funnelStep: a timed-out user is EVICTED and emits its final standing") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val standing = EventStreams.FunnelProgress(7L, 2, Some(ts(100)), Some(ts(200)), None)
+    val timedOut = TestGroupState.create[EventStreams.FunnelProgress](
+      Optional.of(standing), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], true)
+    val out = EventStreams.funnelStep("view", "click", "purchase",
+      GroupStateTimeout.ProcessingTimeTimeout)(7L, Iterator.empty, timedOut)
+    assert(out == standing, "the final standing is emitted on timeout")
+    assert(timedOut.isRemoved, "state is evicted, not re-registered")
+    // the live path still updates state and re-arms the timeout
+    val live = TestGroupState.create[EventStreams.FunnelProgress](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], false)
+    EventStreams.funnelStep("view", "click", "purchase",
+      GroupStateTimeout.ProcessingTimeTimeout)(
+      8L, Iterator(EventStreams.UserEvent(8L, ts(100), "view", 0)), live)
+    assert(live.isUpdated && !live.isRemoved)
+    assert(live.getTimeoutTimestampMs.isPresent, "timeout re-armed for the live user")
+  }
+
   test("funnelProgress: random-corpus parity with the batch greedy fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

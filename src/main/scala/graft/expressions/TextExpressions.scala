@@ -87,3 +87,40 @@ object LangIdImpl {
     new GenericInternalRow(Array[Any](bestLang, bestScore))
   }
 }
+
+/** Unicode NFC normalization as a codegen'd unary expression — Spark has
+  * no built-in normalizer, and a Scala UDF would break whole-stage
+  * codegen in the middle of the text-cleaning chain. Delegates to
+  * `java.text.Normalizer` (the JDK's ICU-derived tables); the DuckDB
+  * oracle twin is `nfc_normalize`. Already-normalized strings (the
+  * overwhelming majority of real text — `isNormalized`'s quick-check
+  * pass is O(n) with no allocation) are returned as-is, so the copy is
+  * paid only on rows that actually decompose. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $t")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    TextNormImpl.nfc(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expressions.TextNormImpl.nfc($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object TextNormImpl {
+  def nfc(t: UTF8String): UTF8String = {
+    val s = t.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+}

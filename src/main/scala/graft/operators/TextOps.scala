@@ -14,6 +14,21 @@ object TextOps {
   /** Whitespace tokenizer (empty-token free). */
   def tokens(text: Column): Column = array_remove(split(trim(text), " "), "")
 
+  /** Text normalization — the step every real corpus pipeline runs
+    * BEFORE dedup/fingerprinting (without it, `"Café"` composed and
+    * `"Café"` decomposed never dedup): optional HTML/markup strip →
+    * Unicode NFC ([[graft.expressions.NfcNormalize]], codegen'd) →
+    * case fold → whitespace collapse to single spaces + trim. Pure
+    * per-row expression chain — rides the scan at any corpus size.
+    * Every stage has an exact DuckDB twin (`regexp_replace`,
+    * `nfc_normalize`, `lower`, `trim`), which the oracle pins. */
+  def normalize(text: Column, stripHtml: Boolean = false): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val stripped = if (stripHtml) regexp_replace(text, "<[^>]*>", " ") else text
+    val nfc = Bridge.column(graft.expressions.NfcNormalize(Bridge.expression(stripped)))
+    trim(regexp_replace(lower(nfc), "\\s+", " "))
+  }
+
   /** BPE-ish subword count heuristic: words + punctuation clusters counted
     * separately (regexp token classes). */
   def bpeishTokenCount(text: Column): Column =

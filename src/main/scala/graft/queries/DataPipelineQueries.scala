@@ -33,6 +33,26 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("content_hash"))
     },
 
+    // ── Text normalization (HTML strip → NFC → case fold → whitespace
+    //    collapse): the pre-dedup cleaning pass. A projection — its
+    //    bench line is scan+count (the long-standing count()-pruning
+    //    caveat); correctness is hash-pinned through Verify. ──
+    QueryDef.sql(
+      "text_normalize",
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(regexp_replace(text, '<[^>]*>', ' ', 'g'))), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars
+        |FROM n ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextOps.normalize(col("text"), stripHtml = true).as("norm_text"))
+          .select(col("doc_id"), col("norm_text"),
+            length(col("norm_text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+    },
+
     // ── Token counting (whitespace tokenizer) + char counts. ──
     QueryDef.sql(
       "text_tokens",

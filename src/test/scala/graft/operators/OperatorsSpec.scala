@@ -676,6 +676,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("normalize: NFC + case fold + whitespace collapse + HTML strip; dedup sees through it") {
+    val composed = "Café au lait"            // é as U+00E9
+    val decomposed = "Café au lait"         // e + combining U+0301
+    val docs = Seq(
+      (1L, composed),
+      (2L, "  " + decomposed.toUpperCase + "\t\n"), // case + whitespace noise
+      (3L, "<p>Café   au <b>lait</b></p>"),    // markup + run of spaces
+      (4L, "something else")).toDF("doc_id", "text")
+    val norm = docs.select(col("doc_id"),
+      TextOps.normalize(col("text"), stripHtml = true).as("text"))
+    val vals = norm.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vals(1L) == "café au lait")
+    assert(vals(2L) == "café au lait", "decomposed+upper+padding folds to the same form")
+    assert(vals(3L) == "café au lait", "tags stripped, runs collapsed")
+    assert(vals(4L) == "something else")
+    // the motivating property: composed vs decomposed now EXACT-dedup
+    val groups = Dedup.exact(norm, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(groups.exists { case (_, keeper, size) => keeper == 1L && size == 3L },
+      "all three Café spellings share one content hash with keep-first id 1")
+  }
+
   test("exactRun operators: hot/cold df-split routing is invisible to results") {
     // same adversarial tiny-vocab corpus; hotDf=2 routes EVERY repeated
     // gram through the broadcast path, hotDf=5 mixes the two paths —

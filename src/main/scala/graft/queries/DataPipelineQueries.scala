@@ -97,6 +97,24 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Sketch twin of the exact percentiles: approx_percentile's
+    //    KLL-family buffer is O(sketch), not O(group) — exact
+    //    `percentile` materializes EVERY value of a group in its
+    //    aggregation buffer, which OOMs on a billion-row language
+    //    group; this is the form a 100 TB job runs. Rows-only on
+    //    purpose: sketch outputs are engine-specific by construction
+    //    and can't hash-match any oracle (the exact query above stays
+    //    the oracle-pinned calibration path). ──
+    QueryDef.rowsOnly("corpus_length_percentiles_approx") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            expr("approx_percentile(length(text), array(0.1, 0.5, 0.9), 10000)")
+              .as("approx_p10_p50_p90"))
+          .orderBy(asc_nulls_last("lang"))
+    },
+
     // ── Deterministic train/val/test split: 90/5/5 on the doc_id's
     //    md5 fold — membership re-derivable by any engine from the key
     //    alone (no RNG/seed state), splits disjoint by construction.

@@ -233,31 +233,39 @@ object VectorIndex {
   // through the metadata log's APPEND channel: each append adds its own
   // line, so two concurrent appenders can never lose each other's
   // segment to a read-modify-write race (a single set-valued list
-  // would). compactSegments SETs the key back to one line; an append
-  // racing a compact lands after the set and survives alongside the
-  // merged segment — only compaction itself is single-maintainer (the
-  // same discipline as table compaction).
-  private def renderSegLine(dir: String, seg: String): String = {
+  // would). compactSegments SETs the key back to one line per assignment
+  // mode; an append racing a compact lands after the set and survives
+  // alongside the merged segment — only compaction itself is
+  // single-maintainer (the same discipline as table compaction).
+  //
+  // Each line records the segment's ASSIGNMENT MODE (`cb` = the
+  // coarseBranches its rows were cell-assigned with, 0 = flat argmax):
+  // two-level assignment with branches < nCoarse is approximate, so a
+  // query must probe a segment with the same geometry that encoded it —
+  // the registry is what makes mixed-mode segment unions consistent.
+  private def renderSegLine(dir: String, seg: String, cb: Int): String = {
     import CanonicalJson._
-    render(JObj.of("dir" -> JStr(dir), "seg" -> JStr(seg)))
+    render(JObj.of("cb" -> JStr(cb.toString), "dir" -> JStr(dir), "seg" -> JStr(seg)))
   }
 
-  private def parseSegLines(value: String): Seq[(String, String)] = {
+  private def parseSegLines(value: String): Seq[(String, String, Int)] = {
     import CanonicalJson._
     value.split('\n').toSeq.filter(_.nonEmpty).map { ln =>
       val o = parse(ln).asObj
-      (o("dir").str, o("seg").str)
+      // pre-mode lines (no "cb") were flat-assigned
+      (o("dir").str, o("seg").str, o.get("cb").map(_.str.toInt).getOrElse(0))
     }
   }
 
-  /** Segments currently registered for (`name`, `label`) — empty when
-    * none exist yet or when the registered lines belong to a superseded
-    * index version (`boundDir` differs): appending after a retrain
-    * starts over, because old segments are encoded under dead centroids. */
+  /** (segment dir, assignment coarseBranches) currently registered for
+    * (`name`, `label`) — empty when none exist yet or when the
+    * registered lines belong to a superseded index version (`boundDir`
+    * differs): appending after a retrain starts over, because old
+    * segments are encoded under dead centroids. */
   private def registeredSegments(meta: Map[String, String], name: String,
-                                 boundDir: String, label: String): Seq[String] =
+                                 boundDir: String, label: String): Seq[(String, Int)] =
     meta.get(metaKeySegs(name, label)) match {
-      case Some(v) => parseSegLines(v).filter(_._1 == boundDir).map(_._2)
+      case Some(v) => parseSegLines(v).filter(_._1 == boundDir).map(t => (t._2, t._3))
       case None => Nil
     }
 
@@ -284,10 +292,20 @@ object VectorIndex {
     * SET discards lines appended between its registry read and its
     * write, so concurrent appenders must keep the default and run
     * [[compactSegments]] from one maintenance owner instead. */
+  /** `coarseBranches > 0` escalates cell assignment to the two-level
+    * coarse form (C = ⌈√nlist⌉ cells, searching that many branches) —
+    * required once nlist reaches 10⁴–10⁵, where the flat per-row argmax
+    * is the append bottleneck (RecallProbe: 900 rows/s at nlist=16384 vs
+    * 48k at 256). The mode is RECORDED in the segment's registry line,
+    * and [[ivfSegmentsTopKBatch]] probes each segment with the same
+    * geometry that encoded it, so mixed-mode unions stay consistent.
+    * `coarseBranches = ⌈√nlist⌉` searches every branch — bit-identical
+    * to flat assignment (spec-pinned). */
   def appendCorpus(store: TableStore, name: String, df: DataFrame,
                    idCol: String, vecCol: String,
                    label: String = "corpus",
-                   maxSegments: Int = 0): String = {
+                   maxSegments: Int = 0,
+                   coarseBranches: Int = 0): String = {
     // fail BEFORE the parquet write: the registry commit would reject a
     // readOnly store anyway, but only after leaving an orphan segment dir
     if (store.readOnly) throw new IllegalStateException(
@@ -298,19 +316,35 @@ object VectorIndex {
       compactSegments(store, name, label)
     val seg = s"${idx.dir}/segs_$label/${java.util.UUID.randomUUID().toString.take(8)}"
     val v = col(vecCol).cast("array<float>")
+    val cid = assignmentCol(v, idx, coarseBranches)
     val encoded = idx.codebooks match {
       case Some(cb) => df.select(col(idCol).cast("long").as("id"),
-        Similarity.nearestCentroid(v, idx.centroids, round4 = true).as("cid"),
-        Similarity.pqEncode(v, cb).as("codes"))
+        cid.as("cid"), Similarity.pqEncode(v, cb).as("codes"))
       case None => df.select(col(idCol).cast("long").as("id"),
-        Similarity.nearestCentroid(v, idx.centroids, round4 = true).as("cid"),
-        v.as("vec"))
+        cid.as("cid"), v.as("vec"))
     }
     encoded.write.mode("errorifexists").parquet(seg)
     store.commitMetastate(sets = Nil,
-      appends = Seq(metaKeySegs(name, label) -> renderSegLine(idx.dir, seg)))
+      appends = Seq(metaKeySegs(name, label) -> renderSegLine(idx.dir, seg, coarseBranches)))
     seg
   }
+
+  /** Cell assignment under the recorded mode: flat argmax at cb = 0,
+    * two-level (C = ⌈√nlist⌉, searching `cb` branches) otherwise. The
+    * coarse index derives deterministically from the centroid list, so
+    * append-time and probe-time geometry agree without storing it. */
+  private def assignmentCol(v: org.apache.spark.sql.Column, idx: Loaded, cb: Int)
+      : org.apache.spark.sql.Column =
+    probeListCol(v, idx, cb, n = 1).getItem(0)
+
+  private def probeListCol(v: org.apache.spark.sql.Column, idx: Loaded, cb: Int,
+                           n: Int): org.apache.spark.sql.Column =
+    if (cb > 0)
+      Similarity.topCentroidsTwoLevel(v,
+        Similarity.buildCoarseIndex(idx.centroids,
+          nCoarse = math.ceil(math.sqrt(idx.nlist.toDouble)).toInt),
+        n = n, branches = cb, round4 = true)
+    else Similarity.topCentroids(v, idx.centroids, n, round4 = true)
 
   /** The encoded corpus of (`name`, `label`) — the union of all
     * registered segments, as one DataFrame. */
@@ -330,7 +364,7 @@ object VectorIndex {
     val segs = registeredSegments(meta, name, idx.dir, label)
     require(segs.nonEmpty,
       s"no segments registered for index '$name' label '$label' under its current version — appendCorpus first")
-    store.spark.read.parquet(segs: _*)
+    store.spark.read.parquet(segs.map(_._1): _*)
   }
 
   /** Batched IVF top-k over the SEGMENT union: one scan of the encoded
@@ -341,12 +375,14 @@ object VectorIndex {
     * concurrent append/retrain can't tear the read). Returns
     * (query_id, id, cos_sim|adc_score, rank) like the other batch forms.
     *
-    * At a real nlist (10⁴-10⁵) the flat per-query probe argmax escalates
-    * to the two-level coarse form the ad-hoc paths already have
-    * ([[Similarity.topCentroidsTwoLevel]]) — on BOTH the append-time
-    * assignment and the probe side, recorded per segment so mixed-mode
-    * segments can't disagree about cell membership; not wired here
-    * because the driver corpus runs at nlist=8. */
+    * Each segment is probed with the SAME assignment geometry that
+    * encoded it (the registry records the mode): flat-assigned segments
+    * get the flat probe list, two-level segments the two-level one with
+    * their recorded branch count. A mixed-mode union produces one pair
+    * frame per mode, unioned BEFORE the shared top-k heap — per query
+    * the candidate set is the union of what each segment's own geometry
+    * probes, and the heap sees every candidate once (segment ids are
+    * disjoint across segments by construction). */
   def ivfSegmentsTopKBatch(store: TableStore, name: String,
                            queries: DataFrame, queryIdCol: String, vecCol: String,
                            k: Int, probes: Int = 1,
@@ -355,46 +391,64 @@ object VectorIndex {
                            outIdCol: String = "id"): DataFrame = {
     val meta = metaVersion.map(store.metastateAt).getOrElse(store.metastate)
     val idx = loadFromMeta(store, name, meta)
-    val segs = readEncodedFromMeta(store, meta, name, label)
-    val probe = explode(
-      Similarity.topCentroids(col(vecCol), idx.centroids, probes, round4 = true)).as("_qcid")
-    idx.codebooks match {
-      case Some(cb) =>
-        val querySide = queries.select(col(queryIdCol).as("query_id"),
-          graft.expressions.VectorExpressions.pqAdcLut(col(vecCol), cb, round4 = true).as("_qpay"),
-          probe)
-        Similarity.batchTopK(
+    val regs = registeredSegments(meta, name, idx.dir, label)
+    require(regs.nonEmpty,
+      s"no segments registered for index '$name' label '$label' under its current version — appendCorpus first")
+    val byMode: Seq[(Int, Seq[String])] =
+      regs.groupBy(_._2).view.mapValues(_.map(_._1)).toSeq.sortBy(_._1)
+    val spark = store.spark
+    val pairFrames = byMode.map { case (cb, segDirs) =>
+      val segs = spark.read.parquet(segDirs: _*)
+      val probe = explode(probeListCol(col(vecCol), idx, cb, n = probes)).as("_qcid")
+      idx.codebooks match {
+        case Some(codebooks) =>
+          val querySide = queries.select(col(queryIdCol).as("query_id"),
+            graft.expressions.VectorExpressions.pqAdcLut(col(vecCol), codebooks, round4 = true).as("_qpay"),
+            probe)
           segs.join(broadcast(querySide), col("cid") === col("_qcid"))
             .select(col("query_id"), col("id").as("_aid"),
-              col("codes").as("_pay"), col("_qpay")),
-          outIdCol,
+              col("codes").as("_pay"), col("_qpay"))
+        case None =>
+          val querySide = queries.select(col(queryIdCol).as("query_id"),
+            col(vecCol).cast("array<float>").as("_qpay"), probe)
+          segs.join(broadcast(querySide), col("cid") === col("_qcid"))
+            .select(col("query_id"), col("id").as("_aid"),
+              col("vec").as("_pay"), col("_qpay"))
+      }
+    }
+    val pairs = pairFrames.reduce(_.unionByName(_))
+    idx.codebooks match {
+      case Some(_) =>
+        Similarity.batchTopK(pairs, outIdCol,
           graft.expressions.VectorExpressions.pqAdcScoreDyn(col("_pay"), col("_qpay")),
           "adc_score", k)
       case None =>
-        val querySide = queries.select(col(queryIdCol).as("query_id"),
-          col(vecCol).cast("array<float>").as("_qpay"), probe)
-        Similarity.batchTopK(
-          segs.join(broadcast(querySide), col("cid") === col("_qcid"))
-            .select(col("query_id"), col("id").as("_aid"),
-              col("vec").as("_pay"), col("_qpay")),
-          outIdCol, Similarity.cosine(col("_pay"), col("_qpay")), "cos_sim", k)
+        Similarity.batchTopK(pairs, outIdCol,
+          Similarity.cosine(col("_pay"), col("_qpay")), "cos_sim", k)
     }
   }
 
-  /** Merge all registered segments of (`name`, `label`) into ONE new
-    * segment and flip the list to it — the small-files half of the
-    * append story (mirrors table seal-time compaction). Superseded
-    * segment dirs stay readable via `readEncodedAt` until [[vacuum]]. */
+  /** Merge the registered segments of (`name`, `label`) into ONE new
+    * segment PER ASSIGNMENT MODE and flip the list — the small-files
+    * half of the append story (mirrors table seal-time compaction).
+    * Modes never merge with each other: a two-level-assigned row under a
+    * flat-mode registry line would be probed with the wrong geometry.
+    * Superseded segment dirs stay readable via `readEncodedAt` until
+    * [[vacuum]]. Returns the merged dirs (one per mode present). */
   def compactSegments(store: TableStore, name: String,
-                      label: String = "corpus"): String = {
+                      label: String = "corpus"): Seq[String] = {
     val idx = load(store, name)
-    val segs = registeredSegments(store.metastate, name, idx.dir, label)
-    require(segs.nonEmpty, s"nothing to compact for '$name' label '$label'")
-    val merged = s"${idx.dir}/segs_$label/${java.util.UUID.randomUUID().toString.take(8)}"
-    store.spark.read.parquet(segs: _*)
-      .write.mode("errorifexists").parquet(merged)
-    store.putMetastate(metaKeySegs(name, label) -> renderSegLine(idx.dir, merged))
-    merged
+    val regs = registeredSegments(store.metastate, name, idx.dir, label)
+    require(regs.nonEmpty, s"nothing to compact for '$name' label '$label'")
+    val mergedLines = regs.groupBy(_._2).toSeq.sortBy(_._1).map { case (cb, group) =>
+      val merged = s"${idx.dir}/segs_$label/${java.util.UUID.randomUUID().toString.take(8)}"
+      store.spark.read.parquet(group.map(_._1): _*)
+        .write.mode("errorifexists").parquet(merged)
+      (merged, cb)
+    }
+    store.putMetastate(metaKeySegs(name, label) ->
+      mergedLines.map { case (dir, cb) => renderSegLine(idx.dir, dir, cb) }.mkString("\n"))
+    mergedLines.map(_._1)
   }
 
   /** Remove payload dirs of index `name` that the CURRENT pointer no
@@ -427,7 +481,7 @@ object VectorIndex {
     // registered set spans all labels of this index.
     val registered: Set[java.nio.file.Path] = store.metastate.collect {
       case (k, v) if k.startsWith(s"vecindex.$name.segs.") =>
-        parseSegLines(v).map(p => norm(p._2))
+        parseSegLines(v).map(t => norm(t._2))
     }.flatten.toSet
     val doomedSegs = current.toList.flatMap { cd =>
       val segRoots = scala.util.Using.resource(java.nio.file.Files.list(cd)) {

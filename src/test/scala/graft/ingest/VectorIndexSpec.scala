@@ -248,6 +248,57 @@ class VectorIndexSpec extends SparkSpec {
       .select("id").distinct().count() == 160, "no row lost or duplicated by compaction")
   }
 
+  test("two-level append with branches = nCoarse is bit-identical to flat append") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-2l"), nBuckets = 2)
+    val corpus = corpusDF(160, 8).localCheckpoint()
+    VectorIndex.publish(store, "tl", corpus.filter(col("id") < 9)) // nlist=9 ⇒ nCoarse=3
+    val body = corpus.filter(col("id") >= 9)
+    VectorIndex.appendCorpus(store, "tl", body, "id", "v", label = "flat")
+    // branches == nCoarse searches every coarse cell: exhaustive ⇒ the
+    // same argmax as flat, so the stored (id, cid) must match exactly
+    VectorIndex.appendCorpus(store, "tl", body, "id", "v", label = "twolevel",
+      coarseBranches = 3)
+    def cells(label: String) =
+      VectorIndex.readEncoded(store, "tl", label).select("id", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cells("twolevel") == cells("flat") && cells("flat").nonEmpty)
+    // and the served answers agree bit-for-bit
+    val queries = corpus.filter(col("id") < 5)
+    def served(label: String) =
+      VectorIndex.ivfSegmentsTopKBatch(store, "tl", queries, "id", "v",
+        k = 4, probes = 2, label = label)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served("twolevel") == served("flat"))
+  }
+
+  test("mixed-mode segment union: each segment is probed with its own geometry") {
+    val store = new TableStore(spark, tmpDir("graft-vidx-mix"), nBuckets = 2)
+    val corpus = corpusDF(200, 8).localCheckpoint()
+    VectorIndex.publish(store, "mix", corpus.filter(col("id") < 9))
+    val dayOne = corpus.filter(col("id").between(9, 99))
+    val dayTwo = corpus.filter(col("id") >= 100)
+    VectorIndex.appendCorpus(store, "mix", dayOne, "id", "v") // flat
+    VectorIndex.appendCorpus(store, "mix", dayTwo, "id", "v",
+      coarseBranches = 1) // APPROXIMATE two-level: cells may differ from flat
+    // self-recall across the union: every appended vector, queried back,
+    // must find ITSELF at sim 1.0 — guaranteed only if the probe list of
+    // each segment uses the same (approximate) geometry that assigned it
+    val queries = corpus.filter(col("id").between(9, 18))
+      .unionByName(corpus.filter(col("id").between(100, 109)))
+    val top1 = VectorIndex.ivfSegmentsTopKBatch(store, "mix", queries, "id", "v",
+        k = 1, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    queries.select("id").collect().map(_.getLong(0)).foreach { q =>
+      assert(top1.get(q).contains(q), s"query $q must find itself in the mixed union")
+    }
+    // compaction preserves the mode split: one merged dir per mode
+    assert(VectorIndex.compactSegments(store, "mix").size == 2)
+    val after = VectorIndex.ivfSegmentsTopKBatch(store, "mix", queries, "id", "v",
+        k = 1, probes = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after == top1, "mode-preserving compaction changes no answer")
+  }
+
   test("compactSegments merges to one dir; vacuum sweeps the superseded segments") {
     val store = new TableStore(spark, tmpDir("graft-vidx-cmp"), nBuckets = 2)
     val corpus = corpusDF(140, 8).localCheckpoint()
@@ -257,7 +308,10 @@ class VectorIndexSpec extends SparkSpec {
     val before = VectorIndex.ivfSegmentsTopKBatch(store, "inc",
       corpus.filter(col("id") < 2), "id", "v", k = 4, probes = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val merged = VectorIndex.compactSegments(store, "inc")
+    val merged = VectorIndex.compactSegments(store, "inc") match {
+      case Seq(one) => one
+      case other => fail(s"single-mode corpus must compact to one dir, got $other")
+    }
     val after = VectorIndex.ivfSegmentsTopKBatch(store, "inc",
       corpus.filter(col("id") < 2), "id", "v", k = 4, probes = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

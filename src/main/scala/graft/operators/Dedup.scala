@@ -24,6 +24,48 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Paragraph-granularity exact dedup — the C4/RefinedWeb shape the
+    * doc-level family doesn't cover: split each document on `delim`
+    * (literal, default blank line), remove every paragraph whose exact
+    * content already appeared at an earlier (doc, position) anywhere in
+    * the corpus (keep-first), and reassemble the surviving paragraphs in
+    * order. Returns (doc, n_paras, n_kept, clean_text).
+    *
+    * Scale shape: one posexplode of paragraphs, a partial-aggregated
+    * groupBy on the content hash (min(struct(doc, pos)) + count collapse
+    * map-side — a boilerplate paragraph repeated across half the corpus
+    * reduces in partials), and a join back AGAINST DUPLICATE GROUPS ONLY
+    * (count > 1 filter: unique paragraphs — the overwhelming majority —
+    * never enter the build side; an un-joined paragraph is kept by
+    * definition). Reassembly is an in-row sort over the doc's own kept
+    * paragraphs — document-bounded. For a corpus where one paragraph
+    * dominates (the stop-gram regime), the df-threshold hot/cold split
+    * of [[TextOps.exactRunCoverage]] applies unchanged to the join. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     delim: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("pos", "para")))
+      .withColumn("_h", md5(col("para")))
+    val dupFirsts = paras.groupBy("_h")
+      .agg(min(struct(col("doc"), col("pos"))).as("_first"), count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > 1)
+      .select("_h", "_first")
+    paras.join(dupFirsts, Seq("_h"), "left_outer")
+      .select(col("doc"), col("pos"), col("para"),
+        (col("_first").isNull ||
+          (col("doc") === col("_first.doc") && col("pos") === col("_first.pos")))
+          .as("_keep"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"), struct(col("pos"), col("para"))))),
+            x => x.getField("para")),
+          delim).as("clean_text"))
+  }
+
   /** Exact dedup: content-hash groupBy keeping the lowest doc id
     * (hash-partitioned aggregation, map-side partials). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -53,6 +53,47 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Paragraph-granularity dedup (C4/RefinedWeb shape): the raw
+    //    corpus has no paragraph breaks, so the query first builds a
+    //    paragraph'd corpus deterministically — three docs per group,
+    //    blank-line-joined in doc_id order, plus the SAME boilerplate
+    //    footer paragraph on every group (the C4 motivation: site-wide
+    //    boilerplate; also inherits the corpus's real duplicate docs as
+    //    cross-group duplicate paragraphs at sf0.1) — then keep-first
+    //    paragraph dedup + reassembly: every group but the first loses
+    //    the footer. ──
+    QueryDef.sql(
+      "text_para_dedup",
+      """WITH g AS (
+        |  SELECT CAST(doc_id AS BIGINT) // 3 AS doc,
+        |    string_agg(text, chr(10) || chr(10) ORDER BY doc_id)
+        |      || chr(10) || chr(10) || 'all rights reserved contact us for details' AS text
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT doc,
+        |    CAST(generate_subscripts(string_split(text, chr(10) || chr(10)), 1) - 1 AS INTEGER) AS pos,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS para
+        |  FROM g),
+        |m AS (
+        |  SELECT doc, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc, pos) AS rn
+        |  FROM p)
+        |SELECT doc,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10) || chr(10) ORDER BY pos), '') AS clean_text
+        |FROM m GROUP BY doc ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        val grouped = Tables.documents(s, d)
+          .groupBy(expr("CAST(doc_id AS BIGINT) div 3").as("doc"))
+          .agg(concat(
+            array_join(
+              transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")), "\n\n"),
+            lit("\n\nall rights reserved contact us for details")).as("text"))
+        Dedup.paragraphDedup(grouped, "doc", "text").orderBy("doc")
+    },
+
     // ── Token counting (whitespace tokenizer) + char counts. ──
     QueryDef.sql(
       "text_tokens",

@@ -698,6 +698,23 @@ class OperatorsSpec extends SparkSpec {
       "all three Café spellings share one content hash with keep-first id 1")
   }
 
+  test("paragraphDedup: keep-first across docs AND within a doc, ordered reassembly") {
+    val docs = Seq(
+      (1L, "alpha one\n\nshared para\n\nbeta two"),
+      (2L, "shared para\n\ngamma three\n\nshared para"), // cross-doc dup + own repeat
+      (3L, "delta four"),
+      (4L, "shared para")). // becomes empty after dedup
+      toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 3L, "alpha one\n\nshared para\n\nbeta two")),
+      "doc 1 owns the first occurrence and keeps everything")
+    assert(out(2L) == ((3L, 1L, "gamma three")),
+      "both copies in doc 2 lose to doc 1's earlier occurrence")
+    assert(out(3L) == ((1L, 1L, "delta four")))
+    assert(out(4L) == ((1L, 0L, "")), "a fully-duplicate doc empties, row preserved")
+  }
+
   test("exactRun operators: hot/cold df-split routing is invisible to results") {
     // same adversarial tiny-vocab corpus; hotDf=2 routes EVERY repeated
     // gram through the broadcast path, hotDf=5 mixes the two paths —

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Which [[duplicateClusters]] path a given edge frame takes — named
+    * so the decision is testable and the log line can't drift from the
+    * branch it describes. */
+  private[graft] def clustersPathName(isLongIds: Boolean, nEdges: Long,
+                                      driverEdgeLimit: Long): String =
+    if (isLongIds && nEdges <= driverEdgeLimit) "driver-union-find"
+    else "distributed-pointer-doubling"
+
   /** Paragraph-granularity exact dedup — the C4/RefinedWeb shape the
     * doc-level family doesn't cover: split each document on `delim`
     * (literal, default blank line), remove every paragraph whose exact
@@ -341,7 +351,11 @@ object Dedup {
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
     val nEdges = skel.count() // materializes the persist in one job
-    if (isLongIds && nEdges <= driverEdgeLimit) {
+    // the flip is a ~4× cost change at the limit (PLANS.md crossover
+    // table) — surface which path ran instead of switching silently
+    val path = clustersPathName(isLongIds, nEdges, driverEdgeLimit)
+    log.info(s"duplicateClusters: $path ($nEdges edges, driverEdgeLimit=$driverEdgeLimit, longIds=$isLongIds)")
+    if (path == "driver-union-find") {
       val es = skel.select(col("src").cast("long"), col("dst").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]

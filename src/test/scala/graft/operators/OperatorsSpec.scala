@@ -698,6 +698,16 @@ class OperatorsSpec extends SparkSpec {
       "all three Café spellings share one content hash with keep-first id 1")
   }
 
+  test("duplicateClusters path selection: driver union-find iff long ids within the limit") {
+    assert(Dedup.clustersPathName(isLongIds = true, nEdges = 4_000_000L,
+      driverEdgeLimit = 4_000_000L) == "driver-union-find")
+    assert(Dedup.clustersPathName(isLongIds = true, nEdges = 4_000_001L,
+      driverEdgeLimit = 4_000_000L) == "distributed-pointer-doubling")
+    assert(Dedup.clustersPathName(isLongIds = false, nEdges = 10L,
+      driverEdgeLimit = 4_000_000L) == "distributed-pointer-doubling",
+      "string ids can't use the long-keyed union-find regardless of size")
+  }
+
   test("paragraphDedup: keep-first across docs AND within a doc, ordered reassembly") {
     val docs = Seq(
       (1L, "alpha one\n\nshared para\n\nbeta two"),

@@ -76,6 +76,57 @@ object Dedup {
           delim).as("clean_text"))
   }
 
+  /** Corpus-level boilerplate LINE removal — the C4 "citation needed /
+    * cookie banner" rule: strip EVERY occurrence (not keep-first — a
+    * boilerplate line carries no signal anywhere) of a line whose exact
+    * content occurs in at least `minDocs` DISTINCT documents, and
+    * reassemble the surviving lines in order. Returns
+    * (doc, n_lines, n_kept, clean_text). Complements [[paragraphDedup]]
+    * (keep-first at paragraph granularity) — together they are the two
+    * halves of the C4 cleaning pass.
+    *
+    * Scale shape: one posexplode of lines; the per-line distinct-doc
+    * count is (line-hash, doc) dedup + plain count — both
+    * partial-aggregated groupBys (no count-distinct Expand), so a line
+    * occurring in half the corpus collapses map-side. The join back is
+    * skew-bounded DETERMINISTICALLY by the same hot/cold split as
+    * [[TextOps.exactRunCoverage]]: lines with doc-count ≥ `hotDocs` are
+    * resolved through a broadcast join and ELIMINATED FROM THE PROBE SIDE
+    * MAP-SIDE before any exchange (the broadcast side is provably
+    * bounded: #lines with count ≥ K ≤ distinct (line,doc) rows / K),
+    * while the cold shuffle join has every key < `hotDocs` build rows by
+    * construction — the ubiquitous boilerplate that motivates the
+    * operator never travels through a shuffle at all. Reassembly is an
+    * in-row sort over the doc's own kept lines — document-bounded. */
+  def lineDedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                      minDocs: Long = 3L, hotDocs: Long = 65536L,
+                      delim: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("pos", "line")))
+      .withColumn("_h", md5(col("line")))
+    val boiler = lines.select(col("_h"), col("doc")).distinct()
+      .groupBy("_h").agg(count(lit(1)).as("_docs"))
+      .filter(col("_docs") >= minDocs)
+    val hot = boiler.filter(col("_docs") >= hotDocs).select(col("_h"), lit(1).as("_hot"))
+    val cold = boiler.filter(col("_docs") < hotDocs).select(col("_h"), lit(1).as("_cold"))
+    val probed = lines.join(broadcast(hot), Seq("_h"), "left_outer")
+    val markedHot = probed.filter(col("_hot") === 1)
+      .select(col("doc"), col("pos"), col("line"), lit(false).as("_keep"))
+    val markedRest = probed.filter(col("_hot").isNull)
+      .join(cold, Seq("_h"), "left_outer")
+      .select(col("doc"), col("pos"), col("line"), col("_cold").isNull.as("_keep"))
+    markedHot.unionByName(markedRest)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          delim).as("clean_text"))
+  }
+
   /** Exact dedup: content-hash groupBy keeping the lowest doc id
     * (hash-partitioned aggregation, map-side partials). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -94,6 +94,48 @@ object DataPipelineQueries {
         Dedup.paragraphDedup(grouped, "doc", "text").orderBy("doc")
     },
 
+    // ── Corpus-level boilerplate LINE removal (the other half of the
+    //    C4 cleaning pass): strip EVERY occurrence of a line occurring
+    //    in ≥ 2 distinct documents — [[text_para_dedup]] keeps the
+    //    first copy; a boilerplate line keeps none. Same deterministic
+    //    line-structured corpus construction (3 docs per group,
+    //    newline-joined, shared footer line on every group): the footer
+    //    vanishes from ALL groups, and any doc text duplicated across
+    //    groups (present at sf0.1) vanishes from both. ──
+    QueryDef.sql(
+      "text_line_dedup",
+      """WITH g AS (
+        |  SELECT CAST(doc_id AS BIGINT) // 3 AS doc,
+        |    string_agg(text, chr(10) ORDER BY doc_id)
+        |      || chr(10) || 'copyright footer all rights reserved' AS text
+        |  FROM documents GROUP BY 1),
+        |l AS (
+        |  SELECT doc,
+        |    CAST(generate_subscripts(string_split(text, chr(10)), 1) - 1 AS INTEGER) AS pos,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM g),
+        |d AS (
+        |  SELECT md5(line) AS h, count(DISTINCT doc) AS n_docs
+        |  FROM l GROUP BY 1),
+        |m AS (
+        |  SELECT doc, pos, line, n_docs < 2 AS keep
+        |  FROM l JOIN d ON md5(line) = d.h)
+        |SELECT doc,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS clean_text
+        |FROM m GROUP BY doc ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        val grouped = Tables.documents(s, d)
+          .groupBy(expr("CAST(doc_id AS BIGINT) div 3").as("doc"))
+          .agg(concat(
+            array_join(
+              transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+                x => x.getField("text")), "\n"),
+            lit("\ncopyright footer all rights reserved")).as("text"))
+        Dedup.lineDedupCorpus(grouped, "doc", "text", minDocs = 2L).orderBy("doc")
+    },
+
     // ── Token counting (whitespace tokenizer) + char counts. ──
     QueryDef.sql(
       "text_tokens",

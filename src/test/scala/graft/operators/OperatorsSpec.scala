@@ -725,6 +725,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, "")), "a fully-duplicate doc empties, row preserved")
   }
 
+  test("lineDedupCorpus: strips EVERY occurrence at minDocs distinct docs, hot/cold invariant") {
+    val docs = Seq(
+      (1L, "intro one\ncookie banner\nbody alpha"),
+      (2L, "cookie banner\nbody beta\ncookie banner"), // in-doc repeat: 1 distinct doc per extra copy
+      (3L, "body gamma\nrepeated in same doc\nrepeated in same doc"),
+      (4L, "cookie banner")). // all-boilerplate doc empties
+      toDF("doc_id", "text")
+    def res(minDocs: Long, hotDocs: Long = 65536L) =
+      Dedup.lineDedupCorpus(docs, "doc_id", "text", minDocs, hotDocs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val out = res(2L)
+    assert(out(1L) == ((3L, 2L, "intro one\nbody alpha")),
+      "the banner is stripped from its FIRST doc too (no keep-first)")
+    assert(out(2L) == ((3L, 1L, "body beta")))
+    assert(out(3L) == ((3L, 3L, "body gamma\nrepeated in same doc\nrepeated in same doc")),
+      "an in-doc repeat is ONE distinct doc — not boilerplate")
+    assert(out(4L) == ((1L, 0L, "")), "all-boilerplate doc keeps its row, empty text")
+    assert(res(2L, hotDocs = 2L) == out && res(2L, hotDocs = 3L) == out,
+      "hot/cold routing is invisible to results")
+    assert(res(4L).values.forall(v => v._1 == v._2), "minDocs above max df keeps everything")
+  }
+
   test("exactRun operators: hot/cold df-split routing is invisible to results") {
     // same adversarial tiny-vocab corpus; hotDf=2 routes EVERY repeated
     // gram through the broadcast path, hotDf=5 mixes the two paths —

@@ -453,6 +453,69 @@ object TextOps {
         "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
       "\\b\\d{9,}\\b", "<NUM>")
 
+  /** Gopher-rule document quality gate (Rae et al. 2021 §A1.1, the
+    * public rule set every big corpus pipeline starts from): word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio (`#` and
+    * `...`), bullet-line and ellipsis-line fractions, fraction of words
+    * with an alphabetic character, and a required minimum number of
+    * DISTINCT stopword types present. Returns ONE struct column with the
+    * raw metrics, a boolean per rule, and the conjunction `keep` — so a
+    * pipeline can either filter on `keep` or report per-rule rejection
+    * counts from the same pass.
+    *
+    * Shape: pure column expressions over the row (one whole-stage-codegen
+    * projection, no shuffle, no UDF); per-doc work is O(doc length).
+    * Ratio denominators are nullif-guarded — an empty doc fails the
+    * word-count rule rather than tripping a NULL/NaN engine divergence
+    * (booleans coalesce NULL metrics to false). */
+  def gopherFilters(text: Column,
+                    stopwords: Seq[String] =
+                      Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+                    minWords: Long = 50L, maxWords: Long = 100000L,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1,
+                    maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                    minAlphaFrac: Double = 0.8, minStopHits: Long = 2L): Column = {
+    val ws = tokens(text)
+    val n = size(ws).cast("long")
+    val denom = when(n === 0L, lit(null)).otherwise(n)
+    val meanLen =
+      aggregate(transform(ws, w => length(w).cast("long")), lit(0L), (a, v) => a + v)
+        .cast("double") / denom
+    // occurrence counts via the length-difference identity (replace is
+    // left-to-right non-overlapping in both engines)
+    val symCnt = (length(text) - length(replace(text, lit("#"), lit("")))).cast("double") +
+      (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3.0
+    val symRatio = symCnt / denom
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletFrac =
+      size(filter(lines, l => substring(ltrim(l), 1, 1).isin("-", "*"))).cast("double") / nLines
+    val ellipsisFrac =
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nLines
+    val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / denom
+    val stopHits =
+      size(filter(array(stopwords.map(lit): _*), s => array_contains(ws, s))).cast("long")
+    val passWords = n >= minWords && n <= maxWords
+    val passMeanLen = coalesce(meanLen >= minMeanLen && meanLen <= maxMeanLen, lit(false))
+    val passSymbol = coalesce(symRatio <= maxSymbolRatio, lit(false))
+    val passBullet = bulletFrac <= maxBulletFrac
+    val passEllipsis = ellipsisFrac <= maxEllipsisFrac
+    val passAlpha = coalesce(alphaFrac >= minAlphaFrac, lit(false))
+    val passStop = stopHits >= minStopHits
+    struct(
+      n.as("n_words"), round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 4).as("symbol_ratio"), round(bulletFrac, 4).as("bullet_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_frac"), round(alphaFrac, 4).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      passWords.as("pass_words"), passMeanLen.as("pass_mean_len"),
+      passSymbol.as("pass_symbol"), passBullet.as("pass_bullet"),
+      passEllipsis.as("pass_ellipsis"), passAlpha.as("pass_alpha"),
+      passStop.as("pass_stop"),
+      (passWords && passMeanLen && passSymbol && passBullet &&
+        passEllipsis && passAlpha && passStop).as("keep"))
+  }
+
   def qualityMetrics(toks: Column, stopwords: Seq[String]): (Column, Column, Column) = {
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, v) => a + v)

@@ -281,6 +281,75 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Gopher-rule quality gate (Rae et al. 2021 §A1.1): per-language
+    //    kept count + per-rule rejection counts, all from ONE
+    //    whole-stage-codegen projection pass (TextOps.gopherFilters) +
+    //    one partial-agg groupBy. The published thresholds produce a
+    //    real mix on the driver corpus (~half the docs sit under the
+    //    50-word minimum; stopword-hits≥2 splits the rest). ──
+    QueryDef.sql(
+      "text_gopher_filters",
+      """WITH t AS (
+        |  SELECT lang, text,
+        |    list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang,
+        |    len(ws) AS n,
+        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |      / nullif(len(ws), 0) AS mean_len,
+        |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        |      + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+        |      / nullif(len(ws), 0) AS sym_ratio,
+        |    CAST(len(list_filter(ls, l -> left(ltrim(l), 1) IN ('-', '*'))) AS DOUBLE)
+        |      / len(ls) AS bullet_frac,
+        |    CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS DOUBLE)
+        |      / len(ls) AS ell_frac,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |      / nullif(len(ws), 0) AS alpha_frac,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(ws, s))) AS stop_hits
+        |  FROM t),
+        |b AS (
+        |  SELECT lang,
+        |    n >= 50 AND n <= 100000 AS p_words,
+        |    coalesce(mean_len >= 3.0 AND mean_len <= 10.0, false) AS p_mean,
+        |    coalesce(sym_ratio <= 0.1, false) AS p_sym,
+        |    bullet_frac <= 0.9 AS p_bullet,
+        |    ell_frac <= 0.3 AS p_ell,
+        |    coalesce(alpha_frac >= 0.8, false) AS p_alpha,
+        |    stop_hits >= 2 AS p_stop
+        |  FROM m)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN p_words AND p_mean AND p_sym AND p_bullet
+        |                 AND p_ell AND p_alpha AND p_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN NOT p_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+        |  CAST(sum(CASE WHEN NOT p_mean THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_len,
+        |  CAST(sum(CASE WHEN NOT p_sym THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+        |  CAST(sum(CASE WHEN NOT p_bullet THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet,
+        |  CAST(sum(CASE WHEN NOT p_ell THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis,
+        |  CAST(sum(CASE WHEN NOT p_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+        |  CAST(sum(CASE WHEN NOT p_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop
+        |FROM b GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin) {
+      (s, d) =>
+        def failCnt(f: String) = sum(when(!col(s"q.$f"), 1L).otherwise(0L))
+        Tables.documents(s, d)
+          .select(col("lang"), TextOps.gopherFilters(col("text")).as("q"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("q.keep"), 1L).otherwise(0L)).as("n_kept"),
+            failCnt("pass_words").as("fail_words"),
+            failCnt("pass_mean_len").as("fail_mean_len"),
+            failCnt("pass_symbol").as("fail_symbol"),
+            failCnt("pass_bullet").as("fail_bullet"),
+            failCnt("pass_ellipsis").as("fail_ellipsis"),
+            failCnt("pass_alpha").as("fail_alpha"),
+            failCnt("pass_stop").as("fail_stop"))
+          .orderBy(asc_nulls_last("lang"))
+    },
+
     // ── Corpus profile: per-language counts + EXACT percentiles of doc
     //    length (both engines interpolate linearly; round(,4) absorbs the
     //    last-ulp arithmetic drift). One shuffle, map-side partials. ──

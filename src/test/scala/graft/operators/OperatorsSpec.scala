@@ -725,6 +725,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, "")), "a fully-duplicate doc empties, row preserved")
   }
 
+  test("gopherFilters: each rule trips on its own trigger, keep is the conjunction") {
+    val good = (("the quick brown fox jumps over the lazy dog and that was fine to see " * 4) +
+      "with more of those have been here").trim // >50 words, all rules pass
+    val docs = Seq(
+      (1L, good),
+      (2L, "short doc with the and of that"), // < 50 words
+      (3L, ("# ## ### " * 40 + "the of and that have with be to").trim), // symbol ratio > 0.1
+      (4L, (Seq.fill(30)("- bullet item\n- another").mkString("\n") +
+        "\nthe of and that have with " + "filler words galore ok " * 10).trim), // bullets > 0.9
+      (5L, ("1 2 3 4 5 6 7 8 9 0 " * 6 + "the of and extra").trim), // alpha frac < 0.8
+      (6L, ("zz yy xx ww vv uu tt ss rr qq " * 6).trim), // no stopwords
+      (7L, "")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextOps.gopherFilters(col("text")).as("q"))
+      .select(col("doc_id"), col("q.keep"), col("q.pass_words"), col("q.pass_symbol"),
+        col("q.pass_bullet"), col("q.pass_alpha"), col("q.pass_stop"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)), "clean doc keeps")
+    assert(!out(2L)._2 && !out(2L)._1, "word-count minimum")
+    assert(!out(3L)._3 && !out(3L)._1, "symbol ratio")
+    assert(!out(4L)._4 && !out(4L)._1, "bullet-line fraction")
+    assert(!out(5L)._5 && !out(5L)._1, "alphabetic word fraction")
+    assert(!out(6L)._6 && !out(6L)._1, "stopword-type minimum")
+    assert(!out(7L)._1, "empty doc rejected, no NULL leak into keep")
+  }
+
   test("lineDedupCorpus: strips EVERY occurrence at minDocs distinct docs, hot/cold invariant") {
     val docs = Seq(
       (1L, "intro one\ncookie banner\nbody alpha"),

@@ -27,6 +27,49 @@ object Sharding {
   def shardId(key: Column, nShards: Int): Column =
     (conv(substring(md5(key), 1, 8), 16, 10).cast("long") % nShards).cast("int")
 
+  /** Deterministic per-epoch shuffle key: md5 over (seed, key). A pure
+    * function of its inputs — the same (seed, key) orders identically on
+    * any engine, any run; a new seed is a fresh epoch-wide permutation. */
+  def shuffleKey(key: Column, seed: String): Column =
+    md5(concat_ws(":", lit(seed), key.cast("string")))
+
+  /** Deterministic GLOBAL training order: assign every row its exact
+    * position 0..n-1 in the epoch's shuffled order (sort by
+    * [[shuffleKey]], key as tiebreak) — reproducible across runs and
+    * engines, resumable mid-epoch (skip rows with pos < checkpoint),
+    * re-permuted per epoch by the seed.
+    *
+    * The positions are computed WITHOUT a global window (a partition-less
+    * `row_number()` is ONE task over the whole corpus — the hot-gram
+    * failure mode in its purest form): rows hash-bucket by the first
+    * shuffle-key byte, per-bucket counts cumsum on the driver
+    * (`buckets` rows — a centroid-sized side), and each row's position
+    * is its bucket's offset plus its rank WITHIN the bucket. Bucket
+    * ranks are windows partitioned by bucket: md5 is uniform, so every
+    * task holds ~n/`buckets` rows regardless of data skew — at 100 TB
+    * raise `buckets` (the hex prefix) to keep per-task sorts in memory.
+    * Total order equals the naive global sort exactly: bucket id is the
+    * shuffle key's leading byte, so inter-bucket order IS key order. */
+  def epochOrder(df: DataFrame, keyCol: String, seed: String,
+                 buckets: Int = 256): DataFrame = {
+    require(buckets >= 1 && buckets <= 256, s"buckets must be in [1,256], got $buckets")
+    val keyed = df
+      .withColumn("_sk", shuffleKey(col(keyCol), seed))
+      .withColumn("_b", // contiguous byte ranges: inter-bucket order IS key order
+        ((conv(substring(col("_sk"), 1, 2), 16, 10).cast("int") * lit(buckets)) / lit(256))
+          .cast("int"))
+    val counts = keyed.groupBy("_b").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0 -> 0L) { case ((_, acc), (b, c)) => b -> (acc + c) }
+      .init.zip(counts).map { case ((_, off), (b, _)) => b -> off }.toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_b").orderBy("_sk", keyCol)
+    keyed
+      .withColumn("pos",
+        element_at(typedLit(offsets), col("_b")) +
+          row_number().over(w).cast("long") - 1L)
+      .drop("_b")
+  }
+
   /** Assignment projection: the input plus a `shard` column. */
   def assign(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
     df.withColumn("shard", shardId(col(keyCol), nShards))

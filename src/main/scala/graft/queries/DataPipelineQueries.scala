@@ -413,6 +413,26 @@ object DataPipelineQueries {
           .orderBy("shard")
     },
 
+    // ── Deterministic GLOBAL training order (epoch shuffle): every row
+    //    gets its exact position in the md5-permuted order — computed
+    //    via contiguous hash-buckets + driver cumsum of 256 bucket
+    //    counts + per-bucket rank windows (~n/256 rows per task), NOT a
+    //    partition-less row_number window (one task over the whole
+    //    corpus). The oracle IS that naive global window — DuckDB can
+    //    afford it at driver scale — pinning that the bucketed
+    //    composition equals the total order exactly. ──
+    QueryDef.sql(
+      "pipeline_epoch_order",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY pos""".stripMargin) {
+      (s, d) =>
+        Sharding.epochOrder(Tables.documents(s, d).select("doc_id"), "doc_id", "ep1")
+          .select(col("doc_id"), col("pos"))
+          .orderBy("pos")
+    },
+
     // ── Training-mix sampling: deterministic per-stratum keep-rates on
     //    a content-hash fold — "all of en, 60% of de/fr, 30% of es, 15%
     //    of zh", reproducible by any engine with md5, no RNG state. ──

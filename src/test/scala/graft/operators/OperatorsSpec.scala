@@ -466,6 +466,27 @@ class OperatorsSpec extends SparkSpec {
     assert(all == brute, "all-cell probing must equal brute-force top-k")
   }
 
+  test("epochOrder: bucketed positions equal the naive total order; seed re-permutes") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    def posMap(seed: String, buckets: Int) =
+      Sharding.epochOrder(df, "id", seed, buckets)
+        .select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p = posMap("e1", 256)
+    assert(p.values.toSeq.sorted == (0L until 1000L), "exact permutation 0..n-1")
+    // naive reference: sort by the same key on the driver
+    val naive = (0L until 1000L)
+      .sortBy(id => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"e1:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(p == naive, "bucketed composition must equal the global sort exactly")
+    assert(posMap("e1", 7) == p && posMap("e1", 1) == p,
+      "bucket count is invisible to the order (contiguous ranges)")
+    val p2 = posMap("e2", 256)
+    assert(p2 != p, "a new seed is a new permutation")
+    assert(p2.values.toSeq.sorted == (0L until 1000L))
+  }
+
   test("packSequences: concatenate-and-chunk offsets, straddling docs, empty docs") {
     import spark.implicits._
     // one shard (nShards = 1): docs of 100/30/0/900 tokens, seqLen 128

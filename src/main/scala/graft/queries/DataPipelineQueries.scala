@@ -941,5 +941,67 @@ object DataPipelineQueries {
           emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           query = emb.filter(col("vec_id") === 0), k = 20)
     },
+
+    // ── Composed end-to-end cleaning pipeline (the text-side analogue
+    //    of engine_ingest_e2e): normalize → exact-dedup survivors →
+    //    Gopher gate → per-language yield profile, ONE Spark plan with
+    //    ONE full DuckDB oracle. Pins that the operators compose —
+    //    dedup keys on the NORMALIZED text (the reason normalize runs
+    //    first), the gate reads the survivor frame, and the profile is
+    //    a partial-agg groupBy on lang. mean_kept_words divides two
+    //    exact integer sums (no double-summation order drift). ──
+    QueryDef.sql(
+      "pipeline_clean_e2e",
+      """WITH n AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(lower(nfc_normalize(regexp_replace(text, '<[^>]*>', ' ', 'g'))), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |k AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY md5(t)),
+        |s AS (SELECT n.* FROM n JOIN k USING (doc_id)),
+        |m AS (
+        |  SELECT lang, t,
+        |    list_filter(string_split(trim(t), ' '), w -> w <> '') AS ws,
+        |    string_split(t, chr(10)) AS ls
+        |  FROM s),
+        |b AS (
+        |  SELECT lang, len(ws) AS n,
+        |    len(ws) >= 50 AND len(ws) <= 100000
+        |    AND coalesce(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+        |          / nullif(len(ws), 0) BETWEEN 3.0 AND 10.0, false)
+        |    AND coalesce((CAST(length(t) - length(replace(t, '#', '')) AS DOUBLE)
+        |          + CAST(length(t) - length(replace(t, '...', '')) AS DOUBLE) / 3.0)
+        |          / nullif(len(ws), 0) <= 0.1, false)
+        |    AND CAST(len(list_filter(ls, l -> left(ltrim(l), 1) IN ('-', '*'))) AS DOUBLE)
+        |          / len(ls) <= 0.9
+        |    AND CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS DOUBLE)
+        |          / len(ls) <= 0.3
+        |    AND coalesce(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |          / nullif(len(ws), 0) >= 0.8, false)
+        |    AND len(list_filter(['the','be','to','of','and','that','have','with'],
+        |          s2 -> list_contains(ws, s2))) >= 2 AS keep
+        |  FROM m)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN keep THEN n ELSE 0 END) AS DOUBLE)
+        |    / nullif(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0), 4) AS mean_kept_words
+        |FROM b GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin) {
+      (s, d) =>
+        val n = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TextOps.normalize(col("text"), stripHtml = true).as("t"))
+        val keepers = n.groupBy(md5(col("t"))).agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val survivors = n.join(keepers, Seq("doc_id"), "left_semi")
+        survivors.select(col("lang"), TextOps.gopherFilters(col("t")).as("q"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("q.keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("q.keep"), col("q.n_words")).otherwise(0L)).as("_sw"))
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+            round(col("_sw").cast("double") /
+              when(col("n_kept") === 0L, lit(null)).otherwise(col("n_kept")), 4)
+              .as("mean_kept_words"))
+          .orderBy(asc_nulls_last("lang"))
+    },
   )
 }

@@ -438,6 +438,41 @@ object TextOps {
       .limit(k)
   }
 
+  /** Hybrid retrieval: BM25 lexical candidate generation ([[bm25TopK]],
+    * top `kCand`) re-ranked by embedding cosine against ONE query vector
+    * — the retrieve-then-rerank shape of RAG/eval pipelines. Docs
+    * without an embedding row (partial coverage is the norm while a
+    * backfill runs) KEEP their lexical standing with a null `cos_sim`,
+    * ranked below every reranked doc (nulls-last) — they are not
+    * silently dropped. Returns top `k` of (doc, n_tokens, score,
+    * cos_sim), ordered (cos_sim desc nulls last, score desc, doc).
+    *
+    * Scale shape: the candidate frame is ≤ `kCand` rows, so the pass
+    * over the full embedding table is an INNER join with the candidates
+    * broadcast (BuildRight, streamed map-side — never a corpus-wide
+    * shuffle, never a broadcast of anything embedding-sized); its
+    * output — ≤ `kCand` cosine rows — is then the broadcast BUILD side
+    * of the final left_outer, which Spark allows (a plain
+    * `cands.join(emb, "left_outer")` could NOT broadcast its tiny
+    * preserved LEFT side and would shuffle the whole embedding table). */
+  def hybridRetrievalTopK(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                          terms: Seq[String],
+                          emb: org.apache.spark.sql.DataFrame, embIdCol: String, embCol: String,
+                          query: org.apache.spark.sql.DataFrame,
+                          kCand: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val cands = bm25TopK(df, idCol, textCol, terms, kCand)
+    val q = broadcast(query.select(col(embCol).as("_qvec")))
+    val cos = emb.select(col(embIdCol).as("doc"), col(embCol).as("_v"))
+      .join(broadcast(cands.select("doc")), Seq("doc"))
+      .crossJoin(q)
+      .select(col("doc"),
+        round(graft.operators.Similarity.cosine(col("_v"), col("_qvec")), 4).as("cos_sim"))
+    cands.join(broadcast(cos), Seq("doc"), "left_outer")
+      .select(col("doc"), col("n_tokens"), col("score"), col("cos_sim"))
+      .orderBy(desc_nulls_last("cos_sim"), desc("score"), asc("doc"))
+      .limit(k)
+  }
+
   /** Redact common PII shapes before training: emails, IPv4 addresses,
     * and long digit runs (account/card/id numbers) become typed
     * placeholders. Patterns are deliberately POSIX-simple so Java regex

@@ -1003,5 +1003,57 @@ object DataPipelineQueries {
               .as("mean_kept_words"))
           .orderBy(asc_nulls_last("lang"))
     },
+
+    // ── Hybrid retrieval (retrieve-then-rerank, the RAG/eval shape):
+    //    BM25 top-50 lexical candidates re-ranked by embedding cosine
+    //    against the vec_id-0 query vector. At sf0.1 the embedding
+    //    table covers only part of the corpus, so the null-cos_sim
+    //    lexical-only path is exercised for real: those docs keep
+    //    their BM25 standing below every reranked doc (nulls last)
+    //    instead of vanishing. Candidates broadcast into the one pass
+    //    over embeddings; the ≤50-row cosine frame broadcasts back. ──
+    QueryDef.sql(
+      "text_hybrid_retrieval",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |bse AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len,
+        |          CAST(len(list_filter(ws, w -> w = 'vector')) AS DOUBLE) AS tf0,
+        |          CAST(len(list_filter(ws, w -> w = 'stream')) AS DOUBLE) AS tf1,
+        |          CAST(len(list_filter(ws, w -> w = 'join')) AS DOUBLE) AS tf2
+        |        FROM t),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgl,
+        |          sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |          sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |          sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |        FROM bse),
+        |sc AS (SELECT doc_id, CAST(len AS BIGINT) AS n_tokens,
+        |        round(
+        |          (n - df0 + 0.5) / (df0 + 0.5) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgl))
+        |        + (n - df1 + 0.5) / (df1 + 0.5) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgl))
+        |        + (n - df2 + 0.5) / (df2 + 0.5) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgl))
+        |        , 4) AS score
+        |       FROM bse, st),
+        |cand AS (SELECT doc_id AS doc, n_tokens, score FROM sc WHERE score > 0
+        |         ORDER BY score DESC, doc LIMIT 50),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |u AS (SELECT c.doc, unnest(e.embedding) AS x, unnest(q.qvec) AS y
+        |      FROM cand c JOIN embeddings e ON e.vec_id = c.doc, q),
+        |s2 AS (SELECT doc,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY doc)
+        |SELECT c.doc, c.n_tokens, c.score,
+        |  CASE WHEN s2.na * s2.nb > 0 THEN round(s2.dot / sqrt(s2.na * s2.nb), 4) END AS cos_sim
+        |FROM cand c LEFT JOIN s2 USING (doc)
+        |ORDER BY cos_sim DESC NULLS LAST, score DESC, doc LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        TextOps.hybridRetrievalTopK(
+          Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("vector", "stream", "join"),
+          emb = emb, embIdCol = "vec_id", embCol = "embedding",
+          query = emb.filter(col("vec_id") === 0),
+          kCand = 50, k = 10)
+    },
   )
 }

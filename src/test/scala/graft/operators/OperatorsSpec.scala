@@ -746,6 +746,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, "")), "a fully-duplicate doc empties, row preserved")
   }
 
+  test("hybridRetrievalTopK: cosine reranks; missing embeddings keep lexical standing nulls-last") {
+    val docs = Seq(
+      (1L, "alpha query term here query"),
+      (2L, "query term something else"),
+      (3L, "query unrelated words"),
+      (4L, "no relevant words at all zz")). // score 0 → not a candidate
+      toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), // the query vector
+      (1L, Array(0.0f, 1.0f)), // orthogonal → cos 0.0
+      (2L, Array(1.0f, 0.0f))) // aligned → cos 1.0; doc 3 has NO embedding
+      .toDF("vec_id", "embedding")
+    val out = TextOps.hybridRetrievalTopK(docs, "doc_id", "text",
+      terms = Seq("query", "term"), emb, "vec_id", "embedding",
+      query = emb.filter(col("vec_id") === 0), kCand = 10, k = 10)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      2L -> Some(1.0), 1L -> Some(0.0), 3L -> None),
+      "aligned doc first, orthogonal second, embedding-less doc kept LAST — not dropped")
+  }
+
   test("gopherFilters: each rule trips on its own trigger, keep is the conjunction") {
     val good = (("the quick brown fox jumps over the lazy dog and that was fine to see " * 4) +
       "with more of those have been here").trim // >50 words, all rules pass

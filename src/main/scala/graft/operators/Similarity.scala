@@ -228,6 +228,33 @@ object Similarity {
       .getItem(0)
   }
 
+  /** Cluster-balanced (diversity-preserving) sampling — the embedding-
+    * space curation draw: assign every vector to its nearest centroid
+    * (same argmax + round-4 tie semantics as the IVF family) and keep at
+    * most `perCell` ids per cell in md5 order. A global uniform sample
+    * draws proportionally to cluster mass and starves small clusters;
+    * the per-cell budget keeps every region of the space represented —
+    * the shape cluster-curation pipelines use to rebalance web-scale
+    * corpora. Returns `(cid, <idCol>)`.
+    *
+    * Scale shape: assignment is ONE codegen'd per-row expression over
+    * driver-side centroid literals (no crossJoin, no window, no corpus
+    * shuffle); the per-cell cut is the bounded-collect heap — per-cell
+    * state is O(perCell) and a hot cell collapses map-side, so the one
+    * exchange carries at most nCells × perCell candidate structs. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, centroidIdCol: String,
+                            perCell: Int): DataFrame = {
+    val cents: Seq[(Long, Seq[Float])] = centroids
+      .select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+      .toSeq
+    val assigned = df.select(
+      nearestCentroid(col(vecCol), cents, round4 = true).as("cid"), col(idCol))
+    Sharding.samplePerGroup(assigned, "cid", idCol, perCell)
+  }
+
   /** Ids of the `n` nearest centroids (sim desc, id asc) — the query-side
     * probe list. */
   def topCentroids(vec: Column, cents: Seq[(Long, Seq[Float])], n: Int,

@@ -473,6 +473,51 @@ object TextOps {
       .limit(k)
   }
 
+  /** Lowercased URL hosts of a document — the input to domain-level
+    * filtering (blocklists, per-domain caps, provenance stats: the
+    * URL-filtering stage every web-corpus pipeline runs). The pattern is
+    * deliberately RE2-simple (`https?://` then host charset) so Java
+    * regex (Spark) and RE2 (DuckDB oracle) agree byte-for-byte; paths,
+    * ports and query strings end the host at the first excluded char.
+    * Per-row projection — rides the scan, no shuffle. */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(lower(text), lit("https?://([a-z0-9.-]+)"), lit(1))
+
+  /** Suffix-aware blocklist membership: `d` is blocked when it equals a
+    * blocklist entry or is a subdomain of one (`ads.tracker.net` matches
+    * `tracker.net` — the semantics real blocklists assume). The list
+    * compiles into an OR chain of literal comparisons — tiny lists are
+    * the norm; a million-entry blocklist would broadcast-join instead. */
+  def domainBlocked(domain: Column, blocklist: Seq[String]): Column =
+    blocklist.map(b => domain === b || domain.endsWith("." + b))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Per-domain corpus profile: `(domain, n_urls, n_docs, blocked)`,
+    * the table a curation run eyeballs before committing a blocklist.
+    * Scale shape: distinct-doc counts go through (domain, doc) dedup +
+    * plain count — two partial-aggregated groupBys, NO count-distinct
+    * Expand — so a hot domain (half the web sits on a few hosts)
+    * collapses map-side in both passes. The exploded frame is evaluated
+    * once per consumer (2 text scans; persist it at 100 TB if the
+    * rescan dominates — same documented posture as lineDedupCorpus). */
+  def urlDomainProfile(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                       blocklist: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val u = df.select(col(idCol).as("doc"), explode(urlDomains(col(textCol))).as("domain"))
+    val nUrls = u.groupBy("domain").agg(count(lit(1)).as("n_urls"))
+    val nDocs = u.select("domain", "doc").distinct()
+      .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+    nUrls.join(nDocs, Seq("domain"))
+      .withColumn("blocked", domainBlocked(col("domain"), blocklist))
+  }
+
+  /** Doc-level blocklist gate: `(doc, n_urls, blocked)` — drop-in
+    * filter stage (`keep = !blocked`). One projection, no shuffle. */
+  def urlBlocklistGate(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                       blocklist: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc"), urlDomains(col(textCol)).as("_ds"))
+      .select(col("doc"), size(col("_ds")).cast("long").as("n_urls"),
+        coalesce(exists(col("_ds"), d => domainBlocked(d, blocklist)), lit(false)).as("blocked"))
+
   /** Redact common PII shapes before training: emails, IPv4 addresses,
     * and long digit runs (account/card/id numbers) become typed
     * placeholders. Patterns are deliberately POSIX-simple so Java regex

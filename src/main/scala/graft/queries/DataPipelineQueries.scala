@@ -1055,5 +1055,40 @@ object DataPipelineQueries {
           query = emb.filter(col("vec_id") === 0),
           kCand = 50, k = 10)
     },
+
+    // ── URL/domain profile (the web-corpus URL-filtering stage). The
+    //    corpus has no URLs, so — redact_pii precedent — both engines
+    //    append the SAME deterministic URLs: a doc_id-derived shard host
+    //    plus a 1-in-7 blocklisted tracker / 6-in-7 benign host, giving
+    //    a hot domain (6/7 of all docs), a blocked suffix-match case
+    //    (ads.tracker.net vs blocklist entry tracker.net), and 39 cold
+    //    shard hosts. Distinct-doc counts via (domain, doc) dedup +
+    //    plain count — no count-distinct Expand. ──
+    QueryDef.sql(
+      "text_url_domains",
+      """WITH t AS (SELECT doc_id, lower(coalesce(text, '') || ' see http://w' || (doc_id % 13)
+        |    || '.shard' || (doc_id % 3) || '.example.com/p and '
+        |    || CASE WHEN doc_id % 7 = 0 THEN 'https://ads.tracker.net/x?q=1'
+        |            ELSE 'http://docs.open-data.org/y' END) AS tx FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(tx, 'https?://([a-z0-9.-]+)', 1)) AS domain FROM t),
+        |a AS (SELECT domain, count(*) AS n_urls FROM u GROUP BY domain),
+        |b AS (SELECT domain, count(*) AS n_docs
+        |      FROM (SELECT DISTINCT domain, doc_id FROM u) GROUP BY domain)
+        |SELECT a.domain, a.n_urls, b.n_docs,
+        |  (a.domain = 'tracker.net' OR a.domain LIKE '%.tracker.net') AS blocked
+        |FROM a JOIN b USING (domain)
+        |ORDER BY n_urls DESC, domain LIMIT 25""".stripMargin) {
+      (s, d) =>
+        val raw = concat(
+          coalesce(col("text"), lit("")), lit(" see http://w"),
+          (col("doc_id") % 13).cast("string"), lit(".shard"),
+          (col("doc_id") % 3).cast("string"), lit(".example.com/p and "),
+          when(col("doc_id") % 7 === 0, lit("https://ads.tracker.net/x?q=1"))
+            .otherwise(lit("http://docs.open-data.org/y")))
+        TextOps.urlDomainProfile(
+          Tables.documents(s, d).select(col("doc_id"), raw.as("text")),
+          "doc_id", "text", blocklist = Seq("tracker.net"))
+          .orderBy(desc("n_urls"), asc("domain")).limit(25)
+    },
   )
 }

@@ -1175,5 +1175,36 @@ object DedupSimilarityQueries {
             centroidIdCol = "vec_id", minCos = 0.35)
           .select("vec_id").orderBy("vec_id")
     },
+
+    // ── Cluster-balanced sampling: assign to nearest of 8 centroid
+    //    vectors (the shared sim_ivf assignment SQL), keep ≤ 15 ids per
+    //    cell in md5 order — the diversity-preserving curation draw
+    //    (a global sample draws by cluster mass and starves small
+    //    cells). md5-order cut = the pipeline_sample_per_source idiom. ──
+    QueryDef.sql(
+      "sim_cluster_sample",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |k AS (SELECT cid, vec_id, row_number() OVER (PARTITION BY cid
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM asg)
+        |SELECT cid, vec_id FROM k WHERE rn <= 15 ORDER BY cid, vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.clusterBalancedSample(
+            emb.filter(col("vec_id") > 8), "vec_id", "embedding",
+            centroids = emb.filter(col("vec_id").between(1, 8)),
+            centroidIdCol = "vec_id", perCell = 15)
+          .orderBy("cid", "vec_id")
+    },
   )
 }

@@ -767,6 +767,47 @@ class OperatorsSpec extends SparkSpec {
       "aligned doc first, orthogonal second, embedding-less doc kept LAST — not dropped")
   }
 
+  test("urlDomainProfile/urlBlocklistGate: extraction, suffix blocklist, distinct-doc counts") {
+    val docs = Seq(
+      (1L, "see https://Ads.Tracker.net/x?q=1 then http://a.example.com/p1 and http://a.example.com/p2"),
+      (2L, "plain http://tracker.net/root here"),
+      (3L, "http://b.example.com only"),
+      (4L, "no urls at all"),
+      (5L, "http://nottracker.net/x")).toDF("doc_id", "text")
+    val prof = TextOps.urlDomainProfile(docs, "doc_id", "text", Seq("tracker.net"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(prof("a.example.com") == ((2L, 1L, false)), "two urls but ONE distinct doc")
+    assert(prof("ads.tracker.net") == ((1L, 1L, true)), "case-folded host; subdomain blocked via suffix")
+    assert(prof("tracker.net") == ((1L, 1L, true)), "exact blocklist entry blocked")
+    assert(!prof("nottracker.net")._3, "suffix match requires a dot boundary — nottracker.net is NOT blocked")
+    assert(!prof.contains("no"), "plain words never parse as domains")
+    val gate = TextOps.urlBlocklistGate(docs, "doc_id", "text", Seq("tracker.net"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(gate(1L) == ((3L, true)) && gate(2L) == ((1L, true)), "any blocked domain taints the doc")
+    assert(gate(4L) == ((0L, false)), "url-free doc passes with zero count")
+    assert(gate(5L) == ((1L, false)), "near-miss domain passes")
+  }
+
+  test("clusterBalancedSample: per-cell budget, small cells never starved, deterministic") {
+    val cents = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // five vectors near centroid 1, ONE near centroid 2
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.8f, 0.2f)), (12L, Array(0.95f, 0.0f)),
+      (13L, Array(0.7f, 0.3f)), (14L, Array(0.85f, 0.15f)),
+      (20L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    def run() = Similarity.clusterBalancedSample(vecs, "vec_id", "embedding",
+      cents, "vec_id", perCell = 2).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val out = run()
+    assert(out.count(_._1 == 1L) == 2, "hot cell cut to the per-cell budget")
+    assert(out.filter(_._1 == 2L).map(_._2) == Seq(20L),
+      "small cell keeps its one member — a global sample would starve it")
+    assert(out.forall(p => Seq(10L, 11L, 12L, 13L, 14L).contains(p._2) || p == ((2L, 20L))),
+      "sampled ids come from the assigned cell's members")
+    assert(run() == out, "md5-order draw is deterministic")
+  }
+
   test("gopherFilters: each rule trips on its own trigger, keep is the conjunction") {
     val good = (("the quick brown fox jumps over the lazy dog and that was fine to see " * 4) +
       "with more of those have been here").trim // >50 words, all rules pass

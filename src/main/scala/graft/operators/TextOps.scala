@@ -473,6 +473,45 @@ object TextOps {
       .limit(k)
   }
 
+  /** Linear bag-of-words quality classifier — the learned-filter stage
+    * (GPT-3/LLaMA-style "quality classifier" gating) reduced to its
+    * deployable core: `score = Σ_w count(w)·weight(w) / n_tokens`,
+    * weights in INTEGER permille so the accumulation is exact long
+    * arithmetic (a double sum is order-dependent in the last ulp and
+    * can flip the last digit against a SQL oracle); the single closing
+    * division of exact operands is IEEE-correctly-rounded, hence
+    * bit-identical on every engine — and deliberately NOT decimal-
+    * rounded after: `round(x, 4)` DIVERGES across engines on halfway
+    * cases (raw/40000 = 0.03525 rounded 0.0353 by Java HALF_UP,
+    * 0.0352 by DuckDB — measured at sf0.001). Returns
+    * `(doc, n_tokens, n_hits, score, keep)`; empty docs score NULL and
+    * keep=false.
+    *
+    * Scale shape: tokens explode then broadcast-join the vocab (a real
+    * classifier vocab is ~10⁵ rows — broadcast-sized by construction),
+    * per-doc sums partial-aggregate map-side, zero-hit docs return via
+    * one left join against the doc spine. No corpus-keyed shuffle other
+    * than the per-doc agg; no UDF. */
+  def classifierScore(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                      weightsPermille: Map[String, Long], threshold: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = weightsPermille.toSeq.toDF("w", "_wt")
+    val toks = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("w"))
+    val hits = toks.join(broadcast(vocab), Seq("w"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_hits"), sum("_wt").as("_raw"))
+    df.select(col(idCol).as("doc"), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(hits, Seq("doc"), "left_outer")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("_raw"), lit(0L)).cast("double") /
+          (when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")) * 1000.0))
+          .as("score"))
+      .withColumn("keep", coalesce(col("score") >= threshold, lit(false)))
+  }
+
   /** Lowercased URL hosts of a document — the input to domain-level
     * filtering (blocklists, per-domain caps, provenance stats: the
     * URL-filtering stage every web-corpus pipeline runs). The pattern is

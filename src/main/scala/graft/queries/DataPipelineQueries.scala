@@ -1090,5 +1090,34 @@ object DataPipelineQueries {
           "doc_id", "text", blocklist = Seq("tracker.net"))
           .orderBy(desc("n_urls"), asc("domain")).limit(25)
     },
+
+    // ── Linear bag-of-words quality classifier (the learned-filter
+    //    gate). INTEGER permille weights → exact long accumulation; ONE
+    //    closing division of exact operands (IEEE-identical on both
+    //    engines) and NO decimal round — round(x,4) flips halfway cases
+    //    (0.03525 → 0.0353 Java HALF_UP vs 0.0352 DuckDB, measured). ──
+    QueryDef.sql(
+      "text_classifier_score",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |v(w, wt) AS (VALUES ('vector', 400), ('stream', 300), ('query', 250), ('data', 200),
+        |             ('join', 150), ('the', -50), ('a', -20), ('slow', -350)),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, CAST(sum(wt) AS BIGINT) AS raw
+        |      FROM e JOIN v USING (w) GROUP BY doc_id),
+        |sc AS (SELECT t.doc_id AS doc, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |        coalesce(h.n_hits, 0) AS n_hits,
+        |        coalesce(h.raw, 0) /
+        |          (CASE WHEN len(t.ws) = 0 THEN NULL ELSE len(t.ws) END * 1000.0) AS score
+        |       FROM t LEFT JOIN h ON h.doc_id = t.doc_id)
+        |SELECT doc, n_tokens, n_hits, score, coalesce(score >= 0.02, false) AS keep
+        |FROM sc ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.classifierScore(Tables.documents(s, d), "doc_id", "text",
+          weightsPermille = Map(
+            "vector" -> 400L, "stream" -> 300L, "query" -> 250L, "data" -> 200L,
+            "join" -> 150L, "the" -> -50L, "a" -> -20L, "slow" -> -350L),
+          threshold = 0.02)
+          .orderBy("doc")
+    },
   )
 }

@@ -788,6 +788,24 @@ class OperatorsSpec extends SparkSpec {
     assert(gate(5L) == ((1L, false)), "near-miss domain passes")
   }
 
+  test("classifierScore: exact permille accumulation, zero-hit and empty docs, keep gate") {
+    val docs = Seq(
+      (1L, "good good bad"),        // (2*500 - 300) / (3*1000) = 700/3000
+      (2L, "bad bad bad bad"),      // -1200 / 4000 = -0.3 exactly
+      (3L, "nothing matches here"), // 0 hits → score 0.0, keep false at 0.1
+      (4L, "")).                    // empty → NULL score, keep false
+      toDF("doc_id", "text")
+    val out = TextOps.classifierScore(docs, "doc_id", "text",
+      weightsPermille = Map("good" -> 500L, "bad" -> -300L), threshold = 0.1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((3L, 3L, Some(700.0 / 3000.0), true)),
+      "mixed doc: the one correctly-rounded division, kept")
+    assert(out(2L) == ((4L, 4L, Some(-0.3), false)), "negative-weight doc rejected")
+    assert(out(3L) == ((3L, 0L, Some(0.0), false)), "zero-hit doc scores 0.0 — present, not dropped")
+    assert(out(4L) == ((0L, 0L, None, false)), "empty doc: NULL score, keep=false, row preserved")
+  }
+
   test("clusterBalancedSample: per-cell budget, small cells never starved, deterministic") {
     val cents = Seq(
       (1L, Array(1.0f, 0.0f)),

@@ -128,6 +128,41 @@ object Sharding {
       .select(col(groupCol), col(s"_t.$keyCol").as(keyCol))
   }
 
+  /** Per-group score threshold at the (1 − frac) quantile — the
+    * calibration half of "keep the top `frac` of each group by score"
+    * (per-language quality gating, the filter stage after a classifier
+    * scores the corpus). Exact `percentile` by default (linear
+    * interpolation ≡ DuckDB `quantile_cont`, the oracle-parity form);
+    * `approx = true` switches to `approx_percentile`, whose sketch
+    * buffer is O(sketch) per group where exact percentile materializes
+    * EVERY group value — the same billion-row-group hazard documented
+    * on corpus_length_percentiles, so approx is the 100 TB path (and is
+    * rows-only vs an oracle: sketches are engine-specific). Output is
+    * one row per group — broadcast-sized by construction. */
+  def topFractionThresholds(df: DataFrame, groupCol: String, scoreCol: String,
+                            frac: Double, approx: Boolean = false): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val q = 1.0 - frac
+    val thr =
+      if (approx) expr(s"approx_percentile($scoreCol, $q, 10000)").cast("double")
+      else expr(s"percentile($scoreCol, $q)")
+    df.groupBy(groupCol).agg(thr.as("thr"))
+  }
+
+  /** The gate itself: rows with score ≥ their group's
+    * [[topFractionThresholds]] cutoff. The threshold frame broadcasts
+    * back, so the corpus is filtered MAP-SIDE — no rank window over the
+    * group (a per-group top-⌈frac·n⌉ window puts a whole group in one
+    * task AND its cut is O(group), the hot-key shape this operator
+    * exists to avoid; a threshold is O(1) per row at any group size). */
+  def keepTopFraction(df: DataFrame, groupCol: String, scoreCol: String,
+                      frac: Double, approx: Boolean = false): DataFrame =
+    df.join(
+        broadcast(topFractionThresholds(df, groupCol, scoreCol, frac, approx)
+          .withColumnRenamed("thr", "_thr")),
+        Seq(groupCol))
+      .filter(col(scoreCol) >= col("_thr")).drop("_thr")
+
   /** Stratified variant: per-stratum keep-rates (permille), the
     * training-mix shape — "keep 100% of wiki, 30% of web, 5% of
     * boilerplate". Strata absent from the map keep `defaultPermille`.

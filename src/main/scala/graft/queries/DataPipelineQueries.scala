@@ -1119,5 +1119,48 @@ object DataPipelineQueries {
           threshold = 0.02)
           .orderBy("doc")
     },
+
+    // ── Per-language top-fraction quality gate: keep the top 30% of
+    //    each language by classifier score. Threshold = exact per-group
+    //    percentile (≡ quantile_cont; unrounded — the score doubles are
+    //    bit-identical cross-engine, see text_classifier_score), then
+    //    one broadcast join + map-side count. NO per-group rank window:
+    //    a top-⌈frac·n⌉ cut is O(group)-per-task, a threshold is O(1)
+    //    per row at any group size. ──
+    QueryDef.sql(
+      "pipeline_quality_topfrac",
+      """WITH t AS (SELECT d.doc_id, d.lang,
+        |        list_filter(string_split(trim(d.text), ' '), w -> w <> '') AS ws FROM documents d),
+        |v(w, wt) AS (VALUES ('vector', 400), ('stream', 300), ('query', 250), ('data', 200),
+        |             ('join', 150), ('the', -50), ('a', -20), ('slow', -350)),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |h AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS raw FROM e JOIN v USING (w) GROUP BY doc_id),
+        |sc AS (SELECT t.doc_id, t.lang,
+        |        coalesce(h.raw, 0) /
+        |          (CASE WHEN len(t.ws) = 0 THEN NULL ELSE len(t.ws) END * 1000.0) AS score
+        |       FROM t LEFT JOIN h USING (doc_id)),
+        |q AS (SELECT lang, quantile_cont(score, 0.7) AS thr FROM sc GROUP BY lang)
+        |SELECT sc.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN sc.score >= q.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  q.thr
+        |FROM sc JOIN q USING (lang)
+        |GROUP BY sc.lang, q.thr ORDER BY sc.lang""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val scored = TextOps.classifierScore(docs, "doc_id", "text",
+            weightsPermille = Map(
+              "vector" -> 400L, "stream" -> 300L, "query" -> 250L, "data" -> 200L,
+              "join" -> 150L, "the" -> -50L, "a" -> -20L, "slow" -> -350L),
+            threshold = 0.02)
+          .join(docs.select(col("doc_id").as("doc"), col("lang")), Seq("doc"))
+        scored
+          .join(broadcast(Sharding.topFractionThresholds(scored, "lang", "score", frac = 0.3)),
+            Seq("lang"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("score") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+            max("thr").as("thr"))
+          .orderBy("lang")
+    },
   )
 }

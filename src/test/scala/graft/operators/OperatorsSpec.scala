@@ -806,6 +806,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, None, false)), "empty doc: NULL score, keep=false, row preserved")
   }
 
+  test("keepTopFraction: per-group percentile gate keeps the top fraction via threshold, not rank") {
+    val df = Seq(
+      ("en", 1L, 0.1), ("en", 2L, 0.2), ("en", 3L, 0.3), ("en", 4L, 0.4),
+      ("de", 9L, 0.9)).toDF("lang", "doc", "score")
+    val thr = Sharding.topFractionThresholds(df, "lang", "score", frac = 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(thr("en") == 0.25 && thr("de") == 0.9,
+      "linear interpolation between order statistics (quantile_cont semantics)")
+    val kept = Sharding.keepTopFraction(df, "lang", "score", 0.5)
+      .select("doc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L, 9L),
+      "top half of en kept; a single-row group survives its own threshold (score >= thr inclusive)")
+    val keptApprox = Sharding.keepTopFraction(df, "lang", "score", 0.5, approx = true)
+      .select("doc").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptApprox.nonEmpty, "approx path (the 100 TB form) runs and keeps rows")
+  }
+
   test("clusterBalancedSample: per-cell budget, small cells never starved, deterministic") {
     val cents = Seq(
       (1L, Array(1.0f, 0.0f)),

@@ -484,8 +484,11 @@ object TextOps {
     * rounded after: `round(x, 4)` DIVERGES across engines on halfway
     * cases (raw/40000 = 0.03525 rounded 0.0353 by Java HALF_UP,
     * 0.0352 by DuckDB — measured at sf0.001). Returns
-    * `(doc, n_tokens, n_hits, score, keep)`; empty docs score NULL and
-    * keep=false.
+    * `(doc, n_tokens, n_hits, raw_permille, score, keep)` — the exact
+    * long numerator rides along so downstream aggregations
+    * ([[domainQuality]]) can re-derive corpus-weighted means in exact
+    * arithmetic instead of summing order-dependent doubles; empty docs
+    * score NULL and keep=false.
     *
     * Scale shape: tokens explode then broadcast-join the vocab (a real
     * classifier vocab is ~10⁵ rows — broadcast-sized by construction),
@@ -506,10 +509,43 @@ object TextOps {
       .join(hits, Seq("doc"), "left_outer")
       .select(col("doc"), col("n_tokens"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("_raw"), lit(0L)).as("raw_permille"),
         (coalesce(col("_raw"), lit(0L)).cast("double") /
           (when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")) * 1000.0))
           .as("score"))
       .withColumn("keep", coalesce(col("score") >= threshold, lit(false)))
+  }
+
+  /** Blocklist MINING — the closing of the URL-filtering loop: aggregate
+    * the classifier verdict per referenced domain and flag domains whose
+    * corpus-weighted mean score falls below `minScore` (a domain whose
+    * pages consistently score badly is a blocklist candidate; this is
+    * how domain blocklists are derived rather than hand-written).
+    * `mean_score = Σ raw_permille / (Σ n_tokens · 1000)` — both sums are
+    * exact long arithmetic, ONE closing IEEE division (summing per-doc
+    * score doubles would be order-dependent and oracle-divergent).
+    * A doc counts once per distinct referenced domain. Returns
+    * `(domain, n_docs, mean_score, low_quality)`.
+    *
+    * Scale shape: one scored frame (the classifier's explode +
+    * broadcast-vocab join), one (doc, domain) explode, one join on doc,
+    * one partial-agg groupBy on domain — hot domains collapse map-side
+    * because every aggregate is a plain sum/count. */
+  def domainQuality(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                    weightsPermille: Map[String, Long], minScore: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = classifierScore(df, idCol, textCol, weightsPermille, threshold = minScore)
+    val doms = df.select(col(idCol).as("doc"),
+      explode(array_distinct(urlDomains(col(textCol)))).as("domain"))
+    doms.join(scored, Seq("doc"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("raw_permille").as("_raw"), sum("n_tokens").as("_toks"))
+      .select(col("domain"), col("n_docs"),
+        (col("_raw").cast("double") /
+          (when(col("_toks") === 0, lit(null)).otherwise(col("_toks")) * 1000.0))
+          .as("mean_score"))
+      .withColumn("low_quality", coalesce(col("mean_score") < minScore, lit(false)))
   }
 
   /** Lowercased URL hosts of a document — the input to domain-level

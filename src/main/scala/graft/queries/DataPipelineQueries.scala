@@ -1106,10 +1106,11 @@ object DataPipelineQueries {
         |      FROM e JOIN v USING (w) GROUP BY doc_id),
         |sc AS (SELECT t.doc_id AS doc, CAST(len(t.ws) AS BIGINT) AS n_tokens,
         |        coalesce(h.n_hits, 0) AS n_hits,
+        |        coalesce(h.raw, 0) AS raw_permille,
         |        coalesce(h.raw, 0) /
         |          (CASE WHEN len(t.ws) = 0 THEN NULL ELSE len(t.ws) END * 1000.0) AS score
         |       FROM t LEFT JOIN h ON h.doc_id = t.doc_id)
-        |SELECT doc, n_tokens, n_hits, score, coalesce(score >= 0.02, false) AS keep
+        |SELECT doc, n_tokens, n_hits, raw_permille, score, coalesce(score >= 0.02, false) AS keep
         |FROM sc ORDER BY doc""".stripMargin) {
       (s, d) =>
         TextOps.classifierScore(Tables.documents(s, d), "doc_id", "text",
@@ -1161,6 +1162,52 @@ object DataPipelineQueries {
             sum(when(col("score") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
             max("thr").as("thr"))
           .orderBy("lang")
+    },
+
+    // ── Blocklist MINING: per-domain corpus-weighted mean classifier
+    //    score, low-quality domains flagged — how blocklists are
+    //    derived rather than hand-written (closes the urlDomains +
+    //    classifierScore loop). Same deterministic URL synthesis as
+    //    text_url_domains; the tracker appears only on doc_id % 7 = 0
+    //    docs, so its doc population — and mean — genuinely differs
+    //    from the hot benign domain. Means are exact long sums with ONE
+    //    closing division. ──
+    QueryDef.sql(
+      "pipeline_domain_quality",
+      """WITH t0 AS (SELECT doc_id, lower(coalesce(text, '') || ' see http://w' || (doc_id % 13)
+        |    || '.shard' || (doc_id % 3) || '.example.com/p and '
+        |    || CASE WHEN doc_id % 7 = 0 THEN 'https://ads.tracker.net/x?q=1'
+        |            ELSE 'http://docs.open-data.org/y' END) AS tx FROM documents),
+        |t AS (SELECT doc_id, tx, list_filter(string_split(trim(tx), ' '), w -> w <> '') AS ws FROM t0),
+        |v(w, wt) AS (VALUES ('vector', 400), ('stream', 300), ('query', 250), ('data', 200),
+        |             ('join', 150), ('the', -50), ('a', -20), ('slow', -350)),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |h AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS raw FROM e JOIN v USING (w) GROUP BY doc_id),
+        |sc AS (SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens, coalesce(h.raw, 0) AS raw
+        |       FROM t LEFT JOIN h USING (doc_id)),
+        |u AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(tx, 'https?://([a-z0-9.-]+)', 1)) AS domain FROM t),
+        |g AS (SELECT u.domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(sc.raw) AS BIGINT) AS sraw, CAST(sum(sc.n_tokens) AS BIGINT) AS stoks
+        |      FROM u JOIN sc USING (doc_id) GROUP BY u.domain)
+        |SELECT domain, n_docs,
+        |  sraw / (CASE WHEN stoks = 0 THEN NULL ELSE stoks END * 1000.0) AS mean_score,
+        |  coalesce(sraw / (CASE WHEN stoks = 0 THEN NULL ELSE stoks END * 1000.0) < 0.01, false) AS low_quality
+        |FROM g ORDER BY mean_score ASC NULLS LAST, domain LIMIT 25""".stripMargin) {
+      (s, d) =>
+        val raw = lower(concat(
+          coalesce(col("text"), lit("")), lit(" see http://w"),
+          (col("doc_id") % 13).cast("string"), lit(".shard"),
+          (col("doc_id") % 3).cast("string"), lit(".example.com/p and "),
+          when(col("doc_id") % 7 === 0, lit("https://ads.tracker.net/x?q=1"))
+            .otherwise(lit("http://docs.open-data.org/y"))))
+        TextOps.domainQuality(
+            Tables.documents(s, d).select(col("doc_id"), raw.as("text")),
+            "doc_id", "text",
+            weightsPermille = Map(
+              "vector" -> 400L, "stream" -> 300L, "query" -> 250L, "data" -> 200L,
+              "join" -> 150L, "the" -> -50L, "a" -> -20L, "slow" -> -350L),
+            minScore = 0.01)
+          .orderBy(asc_nulls_last("mean_score"), asc("domain")).limit(25)
     },
   )
 }

@@ -798,12 +798,30 @@ class OperatorsSpec extends SparkSpec {
     val out = TextOps.classifierScore(docs, "doc_id", "text",
       weightsPermille = Map("good" -> 500L, "bad" -> -300L), threshold = 0.1)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))).toMap
-    assert(out(1L) == ((3L, 3L, Some(700.0 / 3000.0), true)),
-      "mixed doc: the one correctly-rounded division, kept")
-    assert(out(2L) == ((4L, 4L, Some(-0.3), false)), "negative-weight doc rejected")
-    assert(out(3L) == ((3L, 0L, Some(0.0), false)), "zero-hit doc scores 0.0 — present, not dropped")
-    assert(out(4L) == ((0L, 0L, None, false)), "empty doc: NULL score, keep=false, row preserved")
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((3L, 3L, 700L, Some(700.0 / 3000.0), true)),
+      "mixed doc: exact numerator + the one correctly-rounded division, kept")
+    assert(out(2L) == ((4L, 4L, -1200L, Some(-0.3), false)), "negative-weight doc rejected")
+    assert(out(3L) == ((3L, 0L, 0L, Some(0.0), false)), "zero-hit doc scores 0.0 — present, not dropped")
+    assert(out(4L) == ((0L, 0L, 0L, None, false)), "empty doc: NULL score, keep=false, row preserved")
+  }
+
+  test("domainQuality: exact corpus-weighted mean per domain flags blocklist candidates") {
+    val docs = Seq(
+      (1L, "bad bad see http://spam.site/x"),              // raw -600, 4 tokens
+      (2L, "bad good stuff http://spam.site/y"),           // raw 200, 4 tokens
+      (3L, "good good good via http://fine.org/a"),        // raw 1500, 5 tokens
+      (4L, "good http://fine.org/b and http://fine.org/c") // raw 500, 4 tokens; fine.org counted ONCE
+    ).toDF("doc_id", "text")
+    val out = TextOps.domainQuality(docs, "doc_id", "text",
+      weightsPermille = Map("good" -> 500L, "bad" -> -300L), minScore = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out("spam.site") == ((2L, -400.0 / 8000.0, true)),
+      "exact mean (-600+200)/((4+4)*1000) below cutoff -> blocklist candidate")
+    assert(out("fine.org") == ((2L, 2000.0 / 9000.0, false)),
+      "doc 4 counts once despite two fine.org urls; high mean passes")
   }
 
   test("keepTopFraction: per-group percentile gate keeps the top fraction via threshold, not rank") {

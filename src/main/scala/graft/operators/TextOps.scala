@@ -93,6 +93,43 @@ object TextOps {
   def dupNgramFraction(toks: Column, n: Int): Column =
     dupFractionOfShingles(shingles(toks, n))
 
+  /** The other half of the Gopher repetition rule set (Rae et al. 2021
+    * Table A1) that [[dupNgramFraction]] doesn't cover — CHARACTER-mass
+    * repetition signals: `top_char_frac` = chars covered by the single
+    * heaviest `topN`-gram (count × gram length, the "fraction of
+    * characters in the most frequent n-gram" rule, n = 2–4 in the
+    * paper), and `dup_char_frac` = chars across ALL occurrences of
+    * duplicated `dupN`-grams (n = 5–10 in the paper). Both are
+    * per-occurrence char sums over the raw text length — overlapping
+    * occurrences multi-count, so degenerate loops can exceed 1.0 (the
+    * standard published formulation; [[exactRunCoverage]] is the
+    * position-exact span-union alternative when a true ≤1 coverage is
+    * needed). Fractions are exact-integer numerators over `n_chars`
+    * with ONE unrounded IEEE division — bit-identical cross-engine.
+    *
+    * Scale shape: explode → partial-agg groupBy (doc, gram) → partial-
+    * agg groupBy doc, twice — every key is doc-bounded (no corpus-hot
+    * gram key exists here because counts are WITHIN-doc), then two
+    * doc-spine left joins. Short docs (< n tokens) score 0.0; empty
+    * docs NULL. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                        topN: Int = 2, dupN: Int = 5): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("doc"), col(textCol).as("_tx"))
+    def gramCounts(n: Int) = base
+      .select(col("doc"), explode(shingles(tokens(col("_tx")), n)).as("g"))
+      .groupBy("doc", "g").agg(count(lit(1)).as("c"))
+    val top = gramCounts(topN).groupBy("doc")
+      .agg(max(col("c") * length(col("g"))).as("_topchars"))
+    val dup = gramCounts(dupN).groupBy("doc")
+      .agg(sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(0L)).as("_dupchars"))
+    val denom = when(length(col("_tx")) === 0, lit(null))
+      .otherwise(length(col("_tx"))) * 1.0
+    base.join(top, Seq("doc"), "left_outer").join(dup, Seq("doc"), "left_outer")
+      .select(col("doc"), length(col("_tx")).cast("long").as("n_chars"),
+        (coalesce(col("_topchars"), lit(0L)) / denom).as("top_char_frac"),
+        (coalesce(col("_dupchars"), lit(0L)) / denom).as("dup_char_frac"))
+  }
+
   /** Marker-based language id (SURVEY-mandated heuristic: n-gram stats
     * degenerate on synthetic corpora, function-word markers don't). */
   def langIdEn(toks: Column, markers: Seq[String], minHits: Int): Column =

@@ -1209,5 +1209,34 @@ object DataPipelineQueries {
             minScore = 0.01)
           .orderBy(asc_nulls_last("mean_score"), asc("domain")).limit(25)
     },
+
+    // ── Gopher character-mass repetition signals: chars in the heaviest
+    //    2-gram + chars across duplicated 5-grams, over raw text length.
+    //    Exact integer numerators, ONE unrounded closing division. ──
+    QueryDef.sql(
+      "text_rep_signals",
+      """WITH t AS (SELECT doc_id, text, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+        |         THEN [array_to_string(list_slice(ws, j, j + 1), ' ') for j in range(1, len(ws))]
+        |         ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+        |c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, max(c * length(g)) AS topchars FROM c2 GROUP BY doc_id),
+        |g5 AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 5
+        |         THEN [array_to_string(list_slice(ws, j, j + 4), ' ') for j in range(1, len(ws) - 3)]
+        |         ELSE CAST([] AS VARCHAR[]) END) AS g FROM t),
+        |c5 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM g5 GROUP BY doc_id, g),
+        |d5 AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dupchars
+        |       FROM c5 GROUP BY doc_id)
+        |SELECT t.doc_id AS doc, CAST(length(t.text) AS BIGINT) AS n_chars,
+        |  coalesce(t2.topchars, 0) /
+        |    (CASE WHEN length(t.text) = 0 THEN NULL ELSE length(t.text) END * 1.0) AS top_char_frac,
+        |  coalesce(d5.dupchars, 0) /
+        |    (CASE WHEN length(t.text) = 0 THEN NULL ELSE length(t.text) END * 1.0) AS dup_char_frac
+        |FROM t LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text", topN = 2, dupN = 5)
+          .orderBy("doc")
+    },
   )
 }

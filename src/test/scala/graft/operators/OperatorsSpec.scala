@@ -807,6 +807,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, None, false)), "empty doc: NULL score, keep=false, row preserved")
   }
 
+  test("repetitionSignals: top-gram char mass, duplicated-gram char mass, short-doc zeros") {
+    val docs = Seq(
+      (1L, "a b a b a b"),             // 2-grams: "a b"×3 (9 chars), "b a"×2; no dup 5-grams
+      (2L, "x y x y x y x y x y x y"), // dup 5-grams: both alternants ×4 → 72 chars > n_chars
+      (3L, "z"),                       // no 2-grams at all
+      (4L, "")).                       // empty → NULL fractions
+      toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text", topN = 2, dupN = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((11L, Some(9.0 / 11.0), Some(0.0))),
+      "heaviest 2-gram = 'a b' x3 x 3 chars; 5-grams all unique")
+    assert(out(2L) == ((23L, Some(18.0 / 23.0), Some(72.0 / 23.0))),
+      "overlapping dup occurrences multi-count: the published formulation may exceed 1.0")
+    assert(out(3L) == ((1L, Some(0.0), Some(0.0))), "sub-n doc scores 0.0, row preserved")
+    assert(out(4L) == ((0L, None, None)), "empty doc: NULL fractions")
+  }
+
   test("domainQuality: exact corpus-weighted mean per domain flags blocklist candidates") {
     val docs = Seq(
       (1L, "bad bad see http://spam.site/x"),              // raw -600, 4 tokens

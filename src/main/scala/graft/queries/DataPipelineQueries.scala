@@ -586,7 +586,7 @@ object DataPipelineQueries {
         |FROM sh JOIN dfq USING (g)
         |GROUP BY sh.doc_id ORDER BY doc""".stripMargin) {
       (s, d) =>
-        TextOps.ngramNovelty(Tables.documents(s, d), "doc_id", "text", n = 4)
+        TextOps.ngramNovelty(QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text", n = 4)
           .orderBy("doc")
     },
 

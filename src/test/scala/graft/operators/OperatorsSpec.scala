@@ -827,6 +827,40 @@ class OperatorsSpec extends SparkSpec {
     assert(out(4L) == ((0L, None, None)), "empty doc: NULL fractions")
   }
 
+  test("round-7 operators: plan shapes hold (broadcasts, no rank windows, no Expand)") {
+    val docs = (1L to 40L).map(i => (i, s"query term doc nr $i plus words here"))
+      .toDF("doc_id", "text")
+    val emb = (0L to 40L).map(i => (i, Array(i.toFloat, 1f))).toDF("vec_id", "embedding")
+
+    val hybPlan = TextOps.hybridRetrievalTopK(docs, "doc_id", "text", Seq("query", "term"),
+        emb, "vec_id", "embedding", emb.filter(col("vec_id") === 0), kCand = 5, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(hybPlan.contains("BroadcastHashJoin"), "candidates broadcast into the embedding pass")
+    assert(!hybPlan.contains("SortMergeJoin"), "the embedding table is never shuffle-joined")
+
+    val cents = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val clPlan = Similarity.clusterBalancedSample(emb, "vec_id", "embedding", cents, "vec_id", 3)
+      .queryExecution.executedPlan.toString
+    assert(!clPlan.contains("Window") && !clPlan.contains("Cartesian"),
+      "centroid argmax is a per-row expression + bounded-collect heap, never a window or cross join")
+
+    val uPlan = TextOps.urlDomainProfile(docs, "doc_id", "text", Seq("x.com"))
+      .queryExecution.executedPlan.toString
+    assert(!uPlan.contains("Expand"), "(domain, doc) dedup + plain count — no count-distinct Expand")
+
+    val dqPlan = TextOps.domainQuality(docs, "doc_id", "text", Map("query" -> 10L), 0.0)
+      .queryExecution.executedPlan.toString
+    assert(!dqPlan.contains("Expand") && dqPlan.contains("BroadcastHashJoin"),
+      "classifier vocab broadcasts; domain aggregation stays Expand-free")
+
+    val scored = docs.select(col("doc_id"), lit("en").as("lang"),
+      (col("doc_id") % 7).cast("double").as("score"))
+    val tfPlan = Sharding.keepTopFraction(scored, "lang", "score", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(tfPlan.contains("BroadcastHashJoin") && !tfPlan.contains("Window"),
+      "percentile THRESHOLD broadcast back — not a per-group rank window")
+  }
+
   test("domainQuality: exact corpus-weighted mean per domain flags blocklist candidates") {
     val docs = Seq(
       (1L, "bad bad see http://spam.site/x"),              // raw -600, 4 tokens

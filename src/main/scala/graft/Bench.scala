@@ -61,6 +61,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2.abs).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness keeps only the LAST ~2000 chars of stdout and scans that
+    // tail for a parseable JSON line. With 100+ registered queries the full
+    // line above is ~3.3 KB, so its head falls outside the window and it
+    // stopped parsing (BENCH r4-r6: "parsed": null; r2-r3 parsed only
+    // because the line still fit). Emit a compact summary LAST — total,
+    // failure count, and the slowest queries — so the tail always contains
+    // one intact parseable line; the full per-query map stays in the line
+    // above for local tooling.
+    val failed = results.count(_._2 < 0)
+    val slow = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"failed":$failed,"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -250,6 +250,8 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
       .toSeq
+    require(cents.nonEmpty,
+      "clusterBalancedSample needs >= 1 centroid (empty centroid frame)")
     val assigned = df.select(
       nearestCentroid(col(vecCol), cents, round4 = true).as("cid"), col(idCol))
     Sharding.samplePerGroup(assigned, "cid", idCol, perCell)

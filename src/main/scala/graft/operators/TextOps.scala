@@ -498,7 +498,10 @@ object TextOps {
                           query: org.apache.spark.sql.DataFrame,
                           kCand: Int, k: Int): org.apache.spark.sql.DataFrame = {
     val cands = bm25TopK(df, idCol, textCol, terms, kCand)
-    val q = broadcast(query.select(col(embCol).as("_qvec")))
+    // limit(1): a multi-row query frame would silently fan out the cosine
+    // frame through the crossJoin and duplicate candidates in the output —
+    // one query vector is the operator's contract, enforce it in the plan.
+    val q = broadcast(query.select(col(embCol).as("_qvec")).limit(1))
     val cos = emb.select(col(embIdCol).as("doc"), col(embCol).as("_v"))
       .join(broadcast(cands.select("doc")), Seq("doc"))
       .crossJoin(q)

@@ -765,6 +765,11 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       2L -> Some(1.0), 1L -> Some(0.0), 3L -> None),
       "aligned doc first, orthogonal second, embedding-less doc kept LAST — not dropped")
+    val multi = TextOps.hybridRetrievalTopK(docs, "doc_id", "text",
+      terms = Seq("query", "term"), emb, "vec_id", "embedding",
+      query = emb, kCand = 10, k = 10) // 3-row query frame: contract is ONE vector
+      .collect().map(_.getLong(0)).toSeq
+    assert(multi.distinct == multi, "multi-row query frame must not duplicate candidates")
   }
 
   test("urlDomainProfile/urlBlocklistGate: extraction, suffix blocklist, distinct-doc counts") {

@@ -550,4 +550,53 @@ object Dedup {
   /** Hamming distance between two equal-length '0'/'1' fingerprints. */
   def hammingBits(a: Column, b: Column): Column =
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), d => d))
+
+  /** Contiguous block boundaries splitting 16 signature bits into
+    * `nBlocks` near-even spans — shared by the Spark plan and the oracle
+    * SQL generator so the band geometry cannot drift between them. */
+  private[graft] def simhashBlockBounds(nBlocks: Int): IndexedSeq[Int] =
+    (0 to nBlocks).map(i => i * 16 / nBlocks)
+
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`
+    * of the [[simhash16]] fingerprint — the pair-generating half the
+    * signature operator alone doesn't give you.
+    *
+    * Candidate generation is pigeonhole banding, never all-pairs: the
+    * 16-bit signature splits into `maxHamming + 1` contiguous blocks,
+    * and any pair inside the Hamming ball must agree EXACTLY on at
+    * least one block (≤ maxHamming bits differ, so some block carries
+    * none of them). Each block is an equi-join key — the shuffle
+    * partitions on (block_idx, block_bits) — and the exact distance
+    * then prunes candidates via a single bit_count(xor) on the integer
+    * form of the signature. Output `(id_a, id_b, hamming)`, id_a <
+    * id_b, each pair exactly once (the distinct collapses the up-to-
+    * (k+1)-fold band duplication with map-side partial aggregation).
+    *
+    * 100 TB posture: identical hot-bucket geometry to MinHash banding —
+    * a block value shared by a large corpus fraction concentrates its
+    * bucket. 16-bit signatures make such collisions likely at corpus
+    * scale; production simhash is 64-bit with 8-bit blocks, which this
+    * shape generalizes to verbatim (wider conv + bigint xor). The
+    * pigeonhole guarantee is exact either way: recall within the ball
+    * is 100%, unlike MinHash banding's probabilistic recall.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "maxHamming must be in [0, 16)")
+    val bounds = simhashBlockBounds(maxHamming + 1)
+    val blocks = (0 until maxHamming + 1).map { i =>
+      substring(col("simhash"), bounds(i) + 1, bounds(i + 1) - bounds(i))
+    }
+    val sigs = simhash16(df, idCol, textCol)
+      .select(col("doc_id"), conv(col("simhash"), 2, 10).cast("int").as("sig"),
+        posexplode(array(blocks: _*)))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("pos"), col("col"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("pos"), col("col"))
+    a.join(b, Seq("pos", "col"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -35,6 +35,27 @@ object DedupSimilarityQueries {
   }
   private def duckJaccard(a: String, b: String): String =
     s"round(CAST(len(list_intersect($a, $b)) AS DOUBLE) / nullif(len(list_distinct(list_concat($a, $b))), 0), 4)"
+  // Per-doc 16-bit SimHash over `documents` — the term-for-term twin of
+  // Dedup.simhash16Relational; shared by the fingerprint query and the
+  // near-dup-pairs query so both oracles carry one signature definition.
+  private def duckSimhash16: String = {
+    val sums = (0 until 16).map { bit =>
+      val p = bit / 4 + 1
+      val q = 1 << (bit % 4)
+      s"sum(CASE WHEN w IS NULL THEN 0 ELSE 2 * (((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) // $q) % 2) - 1 END) AS s$bit"
+    }.mkString(",\n    ")
+    val bits = (0 until 16).map(bit =>
+      s"(CASE WHEN s$bit > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s"""SELECT doc_id, $bits AS simhash
+       |FROM (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM (SELECT doc_id, md5(w) AS h, w
+       |        FROM (SELECT doc_id,
+       |                unnest(CASE WHEN len(ws) = 0 THEN [NULL] ELSE ws END) AS w
+       |              FROM (SELECT doc_id, $DuckToks AS ws FROM documents)))
+       |  GROUP BY doc_id)""".stripMargin
+  }
 
   // One stored-index build per (kind, sfDir) per JVM: production trains/
   // encodes ONCE and serves many queries, so repeated driver runs of the
@@ -315,27 +336,43 @@ object DedupSimilarityQueries {
 
     // ── 16-bit SimHash fingerprint. ────────────────────────────────────
     QueryDef.sql(
-      "dedup_simhash", {
-        val sums = (0 until 16).map { bit =>
-          val p = bit / 4 + 1
-          val q = 1 << (bit % 4)
-          s"sum(CASE WHEN w IS NULL THEN 0 ELSE 2 * (((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) // $q) % 2) - 1 END) AS s$bit"
-        }.mkString(",\n    ")
-        val bits = (0 until 16).map(bit =>
-          s"(CASE WHEN s$bit > 0 THEN '1' ELSE '0' END)").mkString(" || ")
-        s"""SELECT doc_id, $bits AS simhash
-           |FROM (
-           |  SELECT doc_id,
-           |    $sums
-           |  FROM (SELECT doc_id, md5(w) AS h, w
-           |        FROM (SELECT doc_id,
-           |                unnest(CASE WHEN len(ws) = 0 THEN [NULL] ELSE ws END) AS w
-           |              FROM (SELECT doc_id, $DuckToks AS ws FROM documents)))
-           |  GROUP BY doc_id)
-           |ORDER BY doc_id""".stripMargin
-      }) {
+      "dedup_simhash",
+      s"""$duckSimhash16
+         |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
         Dedup.simhash16(QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // ── SimHash near-dup pairs (pigeonhole-banded Hamming ball). ───────
+    // The oracle forms the SAME candidate set declaratively (agree on
+    // ≥1 block, expressed as an OR over the block substrings generated
+    // from the same simhashBlockBounds the Spark plan uses) and the
+    // same exact prune; the pigeonhole identity makes both equal the
+    // full Hamming-ball pair set, which is what the hash match pins.
+    QueryDef.sql(
+      "dedup_simhash_pairs", {
+        val k = 2
+        val bounds = Dedup.simhashBlockBounds(k + 1)
+        val bandEq = (0 until k + 1).map { i =>
+          val (p, w) = (bounds(i) + 1, bounds(i + 1) - bounds(i))
+          s"substr(a.simhash, $p, $w) = substr(b.simhash, $p, $w)"
+        }.mkString(" OR ")
+        val ham = (1 to 16).map(i =>
+          s"(CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH s AS ($duckSimhash16),
+           |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |             a.simhash AS sa, b.simhash AS sb
+           |      FROM s a JOIN s b ON a.doc_id < b.doc_id AND ($bandEq))
+           |SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
+           |FROM c
+           |WHERE $ham <= $k
+           |ORDER BY id_a, id_b""".stripMargin
+      }) {
+      (s, d) =>
+        Dedup.simhashNearDupPairs(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text", maxHamming = 2)
+          .orderBy("id_a", "id_b")
     },
 
     // ── n-gram Jaccard similarity scan vs a query document. ────────────

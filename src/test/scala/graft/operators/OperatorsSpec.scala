@@ -69,6 +69,27 @@ class OperatorsSpec extends SparkSpec {
     assert(expr(3L) == "0" * 16 && expr(4L) == "0" * 16)
   }
 
+  test("simhash near-dup pairs: banded candidates equal brute-force Hamming ball") {
+    // overlapping sliding token windows → a spread of small distances
+    val rows = (1L to 24L).map { i =>
+      (i, (0 until 30).map(j => s"t${(i + j) % 40}").mkString(" "))
+    }
+    val df = docs(rows: _*)
+    val sig = Dedup.simhash16(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    for (k <- 0 to 3) {
+      val got = Dedup.simhashNearDupPairs(df, "doc_id", "text", maxHamming = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        a <- 1L to 24L; b <- (a + 1) to 24L
+        h = ham(sig(a), sig(b)) if h <= k
+      } yield (a, b, h.toLong)).toSet
+      assert(got == want, s"k=$k")
+      if (k == 3) assert(want.nonEmpty) // the fixture must exercise the ball
+    }
+  }
+
   test("jaccard column: exact set semantics") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))

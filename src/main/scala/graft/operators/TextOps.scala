@@ -556,6 +556,69 @@ object TextOps {
       .withColumn("keep", coalesce(col("score") >= threshold, lit(false)))
   }
 
+  /** Unigram-LM surprisal gate — the perplexity-proxy quality filter
+    * (KenLM-style in role, not in estimator), FP-parity-safe by
+    * construction: per-word surprisal is the INTEGER bit length
+    * `length(bin(total div cnt)) - 1` = floor(log2(total/cnt)) — exact
+    * integer arithmetic, no transcendental whose last-ulp differs
+    * across engines — accumulated per doc as exact long sums with ONE
+    * closing IEEE division (the classifier doctrine). Low mean bits ≈
+    * boilerplate (all hot words), high ≈ gibberish/OOV-dense; `keep`
+    * is the two-sided band [minBits, maxBits].
+    *
+    * `lm`: optional `(w, cnt)` unigram counts to score under (a
+    * held-out/reference LM — the decontamination-style separation);
+    * None scores the corpus under itself. Words absent from an
+    * external LM score as a count-1 word — floor(log2(total)) — the
+    * exact-integer stand-in for add-one smoothing (no smoothing FP).
+    *
+    * Returns `(doc, n_tokens, raw_bits, mean_bits, keep)` — one row
+    * per input doc (empty/null docs: n_tokens 0, mean null, keep
+    * false).
+    *
+    * Scale shape: explode → partial-agg groupBy (doc, w) — a hot word
+    * collapses map-side; vocab counts partial-agg on w; the totals
+    * frame is ONE row (broadcast); vocab joins back size-gated
+    * (Heaps-law small at driver scale, degrades to a shuffle join when
+    * distinct-word stats exceed the gate). The (doc, w) frame feeds
+    * both the vocab build and the join back, so the token scan
+    * evaluates twice — the lineDedup posture; persist it at 100 TB if
+    * the rescan dominates. */
+  def surprisalScore(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                     minBits: Double, maxBits: Double,
+                     lm: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val dw = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("doc", "w").agg(count(lit(1)).cast("long").as("occ"))
+    val counts = lm.getOrElse(dw.groupBy("w").agg(sum("occ").as("cnt")))
+    val tot = counts.agg(sum("cnt").as("total"))
+    val vocab = counts.crossJoin(broadcast(tot))
+      .select(col("w"), (length(expr("bin(total div cnt)")) - 1).cast("long").as("bits"))
+    // size-gated broadcast: hint only when Catalyst's own estimate says
+    // the vocab is small; beyond the gate it degrades to a shuffle join
+    val vocabSide =
+      if (vocab.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20)) broadcast(vocab)
+      else vocab
+    // unseen words (external LM only): surprisal of a count-1 word,
+    // floor(log2(total)) — the one-row totals frame broadcasts
+    val perDoc = dw.join(vocabSide, Seq("w"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc")
+      .agg(sum(coalesce(col("bits"), (length(expr("bin(total)")) - 1).cast("long"))
+          * col("occ")).as("_raw"),
+        sum("occ").as("_n"))
+    df.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left_outer")
+      .select(col("doc"),
+        coalesce(col("_n"), lit(0L)).as("n_tokens"),
+        coalesce(col("_raw"), lit(0L)).as("raw_bits"),
+        (coalesce(col("_raw"), lit(0L)).cast("double") /
+          when(coalesce(col("_n"), lit(0L)) === 0, lit(null))
+            .otherwise(col("_n")).cast("double")).as("mean_bits"))
+      .withColumn("keep",
+        coalesce(col("mean_bits") >= minBits && col("mean_bits") <= maxBits, lit(false)))
+  }
+
   /** Blocklist MINING — the closing of the URL-filtering loop: aggregate
     * the classifier verdict per referenced domain and flag domains whose
     * corpus-weighted mean score falls below `minScore` (a domain whose

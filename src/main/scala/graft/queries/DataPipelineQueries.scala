@@ -1121,6 +1121,38 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── Unigram-LM surprisal gate (perplexity-proxy quality filter).
+    //    FP-parity-safe by construction: per-word surprisal is the
+    //    INTEGER bit length floor(log2(total div cnt)) via bin() —
+    //    identical exact-integer semantics in both engines, no
+    //    transcendental — long accumulation, ONE closing division,
+    //    score ships unrounded (the classifier doctrine). ──
+    QueryDef.sql(
+      "text_surprisal_gate",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ FROM e GROUP BY doc_id, w),
+        |v AS (SELECT w, CAST(sum(occ) AS BIGINT) AS cnt FROM dw GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+        |s AS (SELECT w, CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS bits FROM v, tot),
+        |d AS (SELECT dw.doc_id AS doc, CAST(sum(s.bits * dw.occ) AS BIGINT) AS raw_bits,
+        |             CAST(sum(dw.occ) AS BIGINT) AS n_tokens
+        |      FROM dw JOIN s USING (w) GROUP BY dw.doc_id)
+        |SELECT t.doc_id AS doc,
+        |  coalesce(d.n_tokens, 0) AS n_tokens,
+        |  coalesce(d.raw_bits, 0) AS raw_bits,
+        |  coalesce(d.raw_bits, 0) / CAST(CASE WHEN coalesce(d.n_tokens, 0) = 0 THEN NULL
+        |                                      ELSE d.n_tokens END AS DOUBLE) AS mean_bits,
+        |  coalesce(coalesce(d.raw_bits, 0) / CAST(CASE WHEN coalesce(d.n_tokens, 0) = 0 THEN NULL
+        |      ELSE d.n_tokens END AS DOUBLE) BETWEEN 4.01 AND 4.4, false) AS keep
+        |FROM t LEFT JOIN d ON d.doc = t.doc_id
+        |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.surprisalScore(Tables.documents(s, d), "doc_id", "text",
+          minBits = 4.01, maxBits = 4.4)
+          .orderBy("doc")
+    },
+
     // ── Per-language top-fraction quality gate: keep the top 30% of
     //    each language by classifier score. Threshold = exact per-group
     //    percentile (≡ quantile_cont; unrounded — the score doubles are

@@ -90,6 +90,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("surprisal gate: exact integer-bit surprisal, self-LM, external LM, empty docs kept") {
+    // self-LM: counts a=6, b=1, total=7 → bits(a)=len(bin(7 div 6))-1=0,
+    // bits(b)=len(bin(7))-1=2
+    val df = docs((1L, "a a a a a"), (2L, "a b"), (3L, ""), (4L, null))
+    val self = TextOps.surprisalScore(df, "doc_id", "text", minBits = 0.5, maxBits = 1.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toMap
+    assert(self(1L) == ((5L, 0L, Some(0.0), false)))
+    assert(self(2L) == ((2L, 2L, Some(1.0), true)))
+    assert(self(3L) == ((0L, 0L, None, false))) // empty doc: kept in output, keep=false
+    assert(self(4L) == ((0L, 0L, None, false)))
+
+    // external LM {a: 3}, total 3 → bits(a)=0; OOV b scores as count-1:
+    // len(bin(3))-1 = 1
+    import df.sparkSession.implicits._
+    val lm = Seq(("a", 3L)).toDF("w", "cnt")
+    val ext = TextOps.surprisalScore(df, "doc_id", "text", minBits = 0.0, maxBits = 9.0,
+      lm = Some(lm))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(ext(2L) == Some(0.5))
+    assert(ext(1L) == Some(0.0))
+  }
+
   test("jaccard column: exact set semantics") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))

@@ -108,6 +108,29 @@ object Sharding {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
+    * not the doc id, so a family of near-duplicates can never straddle
+    * the train/eval boundary — [[splitByHash]] on raw ids leaks
+    * paraphrases of training docs into eval (the within-corpus sibling
+    * of benchmark decontamination). `clusters` is
+    * [[Dedup.duplicateClusters]] output `(doc, cluster)`; docs absent
+    * from it are singletons and key on their own id, so the split is
+    * identical to [[splitByHash]] wherever no duplicate exists.
+    * Adds `cluster_key` + `outCol`.
+    *
+    * Scale shape: one left join on the doc id (clusters ≤ corpus rows,
+    * usually ≪) then a per-row projection — no extra shuffle beyond
+    * the join; at 100 TB bucket both sides on the id to co-locate it. */
+  def splitLeakageSafe(df: DataFrame, idCol: String, clusters: DataFrame,
+                       trainPermille: Int = 900, valPermille: Int = 50,
+                       outCol: String = "split"): DataFrame = {
+    val ck = df
+      .join(clusters.select(col("doc").as(idCol), col("cluster")), Seq(idCol), "left_outer")
+      .withColumn("cluster_key", coalesce(col("cluster"), col(idCol)).cast("string"))
+      .drop("cluster")
+    splitByHash(ck, "cluster_key", trainPermille, valPermille, outCol)
+  }
+
   /** Deterministic bounded sample PER GROUP — "keep at most `n` docs of
     * every source", the fixed-budget cousin of the rate-based
     * [[sampleStratified]]: membership is the first `n` keys of each

@@ -255,6 +255,56 @@ object DedupSimilarityQueries {
         Dedup.duplicateClusters(pairs).orderBy("doc")
     },
 
+    // ── Leakage-safe train/val/test split: hash the near-dup CLUSTER
+    //    id, not the doc id — a paraphrase family can never straddle
+    //    the train/eval boundary (the within-corpus sibling of
+    //    decontamination). Same LSH clusters as dedup_clusters;
+    //    singletons key on their own id. Aggregated per (split,
+    //    cluster) first — partial-agg, no count-distinct Expand. ──
+    QueryDef.sql(
+      "pipeline_split_leakage_safe",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |r AS (SELECT a, b FROM e
+         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         |lbl AS (SELECT a AS doc, least(a, min(b)) AS cluster FROM r GROUP BY a),
+         |k AS (SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS ck,
+         |        len(list_filter(string_split(trim(d.text), ' '), w -> w <> '')) AS nt
+         |      FROM documents d LEFT JOIN lbl l ON l.doc = d.doc_id),
+         |c AS (SELECT ck,
+         |        CAST(CAST('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8) AS UBIGINT) % 1000 AS INT) AS bkt,
+         |        CAST(count(*) AS BIGINT) AS cnt, CAST(sum(nt) AS BIGINT) AS tok
+         |      FROM k GROUP BY ck)
+         |SELECT CASE WHEN bkt < 900 THEN 'train' WHEN bkt < 950 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1 ORDER BY split""".stripMargin) {
+      (s, d) =>
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+        val clusters = Dedup.duplicateClusters(
+          Dedup.lshCandidatePairs(docs, "doc_id", "text", shingleN = 3, k = 8, bands = 4))
+        graft.operators.Sharding
+          .splitLeakageSafe(docs, "doc_id", clusters)
+          .groupBy("split", "cluster_key")
+          .agg(count(lit(1)).as("cnt"),
+            sum(size(TextOps.tokens(col("text")))).as("tok"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum("cnt").as("n_docs"),
+            sum("tok").as("n_tokens"))
+          .orderBy("split")
+    },
+
     // ── Benchmark decontamination: flag corpus docs sharing 3-gram
     //    content with the "eval set" (docs 0-9) — the overlap audit any
     //    training corpus needs before a benchmark claim. Benchmark

@@ -332,6 +332,31 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sharding.splitByHash(df, "key", 980, 40))
   }
 
+  test("leakage-safe split: no near-dup cluster straddles; naive doc-hash split does") {
+    import spark.implicits._
+    // 60 near-dup pairs (ids 2i, 2i+1 share text) + distinct singletons
+    val base = (1 to 25).map(i => s"w$i").mkString(" ")
+    val rows = (0L until 120L).map { i =>
+      (i, if (i % 2 == 0) s"$base pair${i / 2}" else s"$base pair${i / 2} x")
+    } ++ (200L until 240L).map(i => (i, (1 to 25).map(j => s"u${i}t$j").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val clusters = Dedup.duplicateClusters(
+      Dedup.lshCandidatePairs(df, "doc_id", "text", shingleN = 3, k = 8, bands = 4))
+    val safe = Sharding.splitLeakageSafe(df, "doc_id", clusters)
+    // invariant: every cluster_key maps to exactly one split
+    assert(safe.groupBy("cluster_key").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count() == 0)
+    assert(safe.count() == df.count(), "left join preserves every doc")
+    // the naive id-hash split DOES straddle at least one of those pairs
+    val naive = Sharding.splitByHash(
+      df.withColumn("_k", col("doc_id").cast("string")), "_k")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val straddled = (0L until 120L by 2).exists(i => naive(i) != naive(i + 1))
+    assert(straddled, "fixture must exhibit the leak the operator prevents")
+    // pairs are genuinely clustered (operator had something to protect)
+    assert(clusters.count() >= 120)
+  }
+
   test("PII redaction: emails, IPs, long digit runs; shorter runs survive") {
     val out = docs(
       (1L, "mail a.b+c@sub.example.org now"),

@@ -774,6 +774,37 @@ object TextOps {
         passEllipsis && passAlpha && passStop).as("keep"))
   }
 
+  /** Vocabulary growth curve (the Heaps'-law audit): bucket the corpus
+    * into `nBuckets` contiguous id ranges and count how many DISTINCT
+    * words make their FIRST appearance in each — `(bucket, new_words,
+    * cum_vocab)`, one row per bucket including empty ones. A flattening
+    * curve means vocabulary saturation (more data, few new types — a
+    * diversity ceiling); a linear one means the corpus keeps supplying
+    * novelty. First occurrence is `min(doc)` per word — a partial-agg
+    * groupBy where the hottest word collapses map-side — and the only
+    * window runs over the nBuckets-row aggregate, so no per-word or
+    * per-doc state ever serializes. Bucket arithmetic is exact integer
+    * (`first_doc * nBuckets div (max_id + 1)`), reproducible in any
+    * engine. */
+  def vocabGrowth(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val firsts = df.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(min("doc").as("first_doc"))
+    val maxId = df.agg(max(col(idCol)).as("max_id"))
+    val perBucket = firsts.crossJoin(broadcast(maxId))
+      .select(expr(s"CAST(first_doc * $nBuckets div (max_id + 1) AS BIGINT)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("nw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bucket").rowsBetween(Long.MinValue, 0)
+    (0L until nBuckets.toLong).toDF("bucket")
+      .join(perBucket, Seq("bucket"), "left_outer")
+      .select(col("bucket"), coalesce(col("nw"), lit(0L)).as("new_words"))
+      .withColumn("cum_vocab", sum("new_words").over(w))
+  }
+
   def qualityMetrics(toks: Column, stopwords: Seq[String]): (Column, Column, Column) = {
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, v) => a + v)

@@ -390,6 +390,28 @@ object DataPipelineQueries {
           .limit(100)
     },
 
+    // ── Vocabulary growth curve (Heaps'-law audit): distinct words by
+    //    first-appearance bucket + cumulative vocab. min(doc) per word
+    //    is partial-agg (hot word collapses map-side); the only window
+    //    runs over the nBuckets-row aggregate. ──
+    QueryDef.sql(
+      "text_vocab_growth",
+      """WITH e AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS w
+        |           FROM documents),
+        |f AS (SELECT w, min(doc_id) AS fd FROM e GROUP BY w),
+        |mx AS (SELECT max(doc_id) AS mid FROM documents),
+        |pb AS (SELECT CAST(fd * 10 // (mid + 1) AS BIGINT) AS bucket,
+        |              CAST(count(*) AS BIGINT) AS nw
+        |       FROM f, mx GROUP BY 1),
+        |sp AS (SELECT unnest(range(0, 10)) AS bucket)
+        |SELECT sp.bucket, coalesce(pb.nw, 0) AS new_words,
+        |  CAST(sum(coalesce(pb.nw, 0)) OVER (ORDER BY sp.bucket) AS BIGINT) AS cum_vocab
+        |FROM sp LEFT JOIN pb USING (bucket) ORDER BY bucket""".stripMargin) {
+      (s, d) =>
+        TextOps.vocabGrowth(Tables.documents(s, d), "doc_id", "text", nBuckets = 10)
+          .orderBy("bucket")
+    },
+
     // ── Training-shard assignment: content-keyed md5 sharding (the
     //    export stage; membership reproducible by any engine — DuckDB
     //    re-derives the hex value with a digit fold). Balance check via

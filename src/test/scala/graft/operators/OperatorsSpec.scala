@@ -357,6 +357,19 @@ class OperatorsSpec extends SparkSpec {
     assert(clusters.count() >= 120)
   }
 
+  test("vocab growth: first-occurrence buckets, empty buckets kept, cumulative exact") {
+    // ids 0..9, nBuckets=5 → bucket = id div 2. "a" first at 0, "b" at 1,
+    // "c" at 4; docs 5..9 all repeats → buckets 1(partial), 3, 4 empty of
+    // new words except where firsts land
+    val df = docs(
+      (0L, "a a"), (1L, "a b"), (2L, "b"), (3L, "a"), (4L, "c b"),
+      (5L, "a"), (6L, "b"), (7L, "c"), (8L, "a c"), (9L, ""))
+    val out = TextOps.vocabGrowth(df, "doc_id", "text", nBuckets = 5)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L, 2L), (1L, 0L, 2L), (2L, 1L, 3L), (3L, 0L, 3L), (4L, 0L, 3L)))
+  }
+
   test("PII redaction: emails, IPs, long digit runs; shorter runs survive") {
     val out = docs(
       (1L, "mail a.b+c@sub.example.org now"),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Sharding, Similarity, TextOps}
+import graft.operators.{Bpe, Dedup, Sharding, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -150,6 +150,26 @@ object DataPipelineQueries {
             size(wordsCol).cast("long").as("n_tokens"),
             length(col("text")).cast("long").as("n_chars_text"))
           .orderBy("doc_id")
+    },
+
+    // ── Learned BPE tokenizer (rows-only: training is an iterative
+    //    global argmax no SQL oracle can express; the algorithm is
+    //    pinned by BpeSpec's hand-computed merge goldens instead).
+    //    Train once on the corpus word-freq table (ONE distributed
+    //    scan + guarded driver merge loop — the sentencepiece shape),
+    //    then encode per doc under the broadcast rank map. ──
+    QueryDef.rowsOnly("text_bpe_tokenize") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Bpe.encode(docs, "doc_id", "text", Bpe.train(docs, "text", nMerges = 30))
+        .orderBy("doc")
+    },
+    QueryDef.rowsOnly("text_bpe_merges") { (s, d) =>
+      val s2 = s
+      import s2.implicits._
+      Bpe.train(Tables.documents(s, d), "text", nMerges = 30)
+        .zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "left", "right")
+        .orderBy("rank")
     },
 
     // ── Per-language length percentiles: the quantile profile a quality

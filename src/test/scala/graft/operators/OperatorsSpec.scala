@@ -948,6 +948,32 @@ class OperatorsSpec extends SparkSpec {
       "percentile THRESHOLD broadcast back — not a per-group rank window")
   }
 
+  test("overtime operators: plan shapes hold (no cartesian pairs, no Expand, vocab broadcasts)") {
+    val docs = (1L to 40L).map(i => (i, s"alpha beta g$i delta words here plus"))
+      .toDF("doc_id", "text")
+
+    val shPlan = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 2)
+      .queryExecution.executedPlan.toString
+    assert(!shPlan.contains("Cartesian"),
+      "candidates come from the block equi-join, never an all-pairs product")
+
+    val spPlan = TextOps.surprisalScore(docs, "doc_id", "text", 0.0, 99.0)
+      .queryExecution.executedPlan.toString
+    assert(spPlan.contains("BroadcastHashJoin"),
+      "the one-row totals frame (and at this size the vocab) broadcasts")
+    assert(!spPlan.contains("Expand"), "plain partial-agg sums, no count-distinct")
+
+    val vgPlan = TextOps.vocabGrowth(docs, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(!vgPlan.contains("Expand"), "first-occurrence min() is a plain partial agg")
+
+    val clusters = Seq((2L, 1L)).toDF("doc", "cluster")
+    val lsPlan = Sharding.splitLeakageSafe(docs, "doc_id", clusters)
+      .queryExecution.executedPlan.toString
+    assert(!lsPlan.contains("Window") && !lsPlan.contains("Cartesian"),
+      "cluster-key split is one join + a projection")
+  }
+
   test("domainQuality: exact corpus-weighted mean per domain flags blocklist candidates") {
     val docs = Seq(
       (1L, "bad bad see http://spam.site/x"),              // raw -600, 4 tokens

@@ -208,13 +208,21 @@ object DataPipelineQueries {
     //    purpose: sketch outputs are engine-specific by construction
     //    and can't hash-match any oracle (the exact query above stays
     //    the oracle-pinned calibration path). ──
+    //    Scalar columns, not one array: the driver's rows-only check
+    //    still loads the parquet into pandas, and an array-typed cell
+    //    crashes its sort (numpy arrays aren't hashable) — unpack the
+    //    sketch's three quantiles into p10/p50/p90 columns. ──
     QueryDef.rowsOnly("corpus_length_percentiles_approx") {
       (s, d) =>
         Tables.documents(s, d)
           .groupBy("lang")
           .agg(count(lit(1)).as("n"),
             expr("approx_percentile(length(text), array(0.1, 0.5, 0.9), 10000)")
-              .as("approx_p10_p50_p90"))
+              .as("q"))
+          .select(col("lang"), col("n"),
+            col("q").getItem(0).as("approx_p10"),
+            col("q").getItem(1).as("approx_p50"),
+            col("q").getItem(2).as("approx_p90"))
           .orderBy(asc_nulls_last("lang"))
     },
 

@@ -229,13 +229,26 @@ object TextOps {
     * the gram (min/max doc id per gram — map-side partial, no
     * count-distinct), and a join back on the gram. A gram is cross-doc
     * iff min(doc) ≠ max(doc): constant state per gram, no doc-list
-    * accumulation, no quadratic pairing. */
+    * accumulation, no quadratic pairing.
+    *
+    * The join-back build side is pinned to the AGGREGATED stats frame,
+    * size-gated: Catalyst's static estimate for a post-Generate frame is
+    * derived from the pre-explode scan bytes, so left to itself the
+    * planner broadcast the 50×-larger exploded side (observed BuildLeft
+    * at sf0.1 — rebuilding that broadcast per run was seconds of driver
+    * work and GC-pressure variance). Stats is the side with provably ≤
+    * one constant-width row per distinct gram; above the gate the join
+    * degrades to the shuffle AQE re-plans from runtime sizes. */
   def crossDupCoverage(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                        n: Int): org.apache.spark.sql.DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
       explode(array_distinct(shingles(tokens(col(textCol)), n))).as("g"))
     val stats = sh.groupBy("g").agg(min("doc").as("_mind"), max("doc").as("_maxd"))
-    sh.join(stats, Seq("g"))
+    val statsGated =
+      if (stats.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
+        broadcast(stats)
+      else stats
+    sh.join(statsGated, Seq("g"))
       .groupBy("doc")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("_mind") =!= col("_maxd"), 1).otherwise(0)).as("n_crossdup"))

@@ -974,6 +974,19 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("crossDupCoverage: join-back builds on the aggregated stats side, never the exploded side") {
+    // Catalyst's static size estimate for a post-Generate frame is inherited
+    // from the pre-explode scan, so without the explicit gate it chose
+    // BuildLeft — broadcasting the (doc, gram) explode, 50× the stats side
+    // on a high-reuse corpus. Pin the build side so the regression is loud.
+    val docs = (1L to 40L).map(i => (i, s"shared prefix words here tail nr $i"))
+      .toDF("doc_id", "text")
+    val plan = TextOps.crossDupCoverage(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("BuildLeft"),
+      "stats (right) side broadcasts; the exploded gram frame must never be the build side")
+  }
+
   test("domainQuality: exact corpus-weighted mean per domain flags blocklist candidates") {
     val docs = Seq(
       (1L, "bad bad see http://spam.site/x"),              // raw -600, 4 tokens

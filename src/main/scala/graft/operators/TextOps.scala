@@ -818,6 +818,45 @@ object TextOps {
       .withColumn("cum_vocab", sum("new_words").over(w))
   }
 
+  /** Token-window chunking with overlap — the RAG/embedding-pipeline
+    * granularity between [[Dedup.lineDedupCorpus line]]/paragraph and
+    * whole-document: split each document into windows of `chunkSize`
+    * tokens advancing by `chunkSize - overlap`, so consecutive chunks
+    * share `overlap` tokens of context. Chunk count per doc is
+    * `max(1, ceil((n - overlap) / stride))` — the last window may be
+    * short, but no window is ever a pure suffix of its predecessor
+    * (the degenerate tail a naive `while start < n` walk emits).
+    * Zero-token docs produce zero chunks.
+    *
+    * Returns (doc, chunk_idx, start_tok, n_tokens, chunk_text);
+    * `start_tok` is the 0-based token offset, so a downstream embed +
+    * provenance join can map a chunk hit back to its source span.
+    *
+    * Scale shape: one scan, one per-row `sequence` explode, zero
+    * shuffles — chunking rides the scan at any corpus size, and the
+    * explode factor is n/stride, bounded by the document length the
+    * row already carries. All integer arithmetic is kept positive so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val nChunks = when(col("n") <= overlap, lit(1L)) // n==0 rows are filtered out below
+      .otherwise(expr(s"CAST((n - $overlap + ${stride - 1}) div $stride AS BIGINT)"))
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .select(col("doc"), col("ws"), size(col("ws")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc"), col("ws"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_idx"))
+      .select(col("doc"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        slice(col("ws"), (col("chunk_idx") * stride + 1L).cast("int"), lit(chunkSize)).as("toks"))
+      .select(col("doc"), col("chunk_idx"), col("start_tok"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), " ").as("chunk_text"))
+  }
+
   def qualityMetrics(toks: Column, stopwords: Seq[String]): (Column, Column, Column) = {
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, v) => a + v)

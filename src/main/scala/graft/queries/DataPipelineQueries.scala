@@ -53,6 +53,32 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Token-window chunking with overlap (the RAG/embedding-pipeline
+    //    granularity): windows of 32 tokens advancing by 24, so
+    //    consecutive chunks share 8 tokens of context. Chunk count is
+    //    max(1, ceil((n-overlap)/stride)) — the tail window may be
+    //    short but never a pure suffix of its predecessor. One per-row
+    //    sequence explode, zero shuffles; ORDER BY is presentation.
+    //    Integer arithmetic stays positive so Spark's truncating `div`
+    //    and DuckDB's flooring `//` agree. ──
+    QueryDef.sql(
+      "text_chunk_tokens",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |s AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws,
+        |        unnest(range(0, CASE WHEN n <= 8 THEN 1 ELSE (n - 8 + 23) // 24 END)) AS chunk_idx
+        |      FROM s)
+        |SELECT doc_id AS doc, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 24 AS BIGINT) AS start_tok,
+        |  CAST(len(list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text
+        |FROM c ORDER BY doc, chunk_idx""".stripMargin) {
+      (s, d) =>
+        TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+          .orderBy("doc", "chunk_idx")
+    },
+
     // ── Paragraph-granularity dedup (C4/RefinedWeb shape): the raw
     //    corpus has no paragraph breaks, so the query first builds a
     //    paragraph'd corpus deterministically — three docs per group,

@@ -974,6 +974,33 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("chunkTokens: window walk, short tail, sub-size and empty docs, overlap sharing") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 toks, size 4 overlap 1, stride 3: ceil(9/3)=3 chunks
+      (2L, "x y"),                 // sub-size: 1 chunk of 2
+      (3L, " "),                   // zero tokens: no chunks
+      (4L, "p q r s")              // exactly size: 1 chunk (ceil(3/3)=1)
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("doc", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "d e f g"), // shares 'd' with chunk 0: overlap=1
+      (1L, 2L, 6L, 4L, "g h i j"),
+      (2L, 0L, 0L, 2L, "x y"),
+      (4L, 0L, 0L, 4L, "p q r s")))
+    // tail-window rule: 11 tokens, same geometry → ceil(10/3)=4, last chunk short
+    val tail = TextOps.chunkTokens(Seq((1L, "a b c d e f g h i j k")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 4, overlap = 1)
+      .orderBy("chunk_idx").collect().map(r => (r.getLong(2), r.getString(4)))
+    assert(tail.toSeq == Seq((0L, "a b c d"), (3L, "d e f g"), (6L, "g h i j"), (9L, "j k")))
+    // plan shape: chunking must ride the scan — no exchange anywhere
+    val plan = TextOps.chunkTokens(docs, "doc_id", "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "chunking is a pure per-row explode, zero shuffles")
+  }
+
   test("crossDupCoverage: join-back builds on the aggregated stats side, never the exploded side") {
     // Catalyst's static size estimate for a post-Generate frame is inherited
     // from the pre-explode scan, so without the explicit gate it chose

@@ -69,11 +69,16 @@ object Bench {
     // failure count, and the slowest queries — so the tail always contains
     // one intact parseable line; the full per-query map stays in the line
     // above for local tooling.
-    val failed = results.count(_._2 < 0)
+    val failedNames = results.collect { case (k, v) if v < 0 => k }
+    // Name the failures in the tail line (bounded so the line stays inside
+    // the harness's stdout window): BENCH_r08 recorded "failed": 9 with the
+    // identities lost to truncation, which made the regression untraceable
+    // from the artifact alone.
+    val failedList = failedNames.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val slow = results.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"failed":$failed,"slowest":$slow,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"failed":${failedNames.size},"failed_names":$failedList,"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

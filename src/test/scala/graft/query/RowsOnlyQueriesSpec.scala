@@ -1,0 +1,68 @@
+package graft.query
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Schema + row-count pins for the rows-only driver queries — the six
+  * entries with no DuckDB oracle (engine-internal tables; learned BPE's
+  * iterative global argmax; engine-specific sketch values). Without these
+  * pins a regression in any of them is invisible: the driver records only
+  * that rows were produced. Run at sf0.001 to keep the suite cheap; every
+  * assertion is derived from the query's own inputs, not transcribed
+  * output, so a legitimate fixture change fails loudly rather than
+  * silently shifting.
+  */
+class RowsOnlyQueriesSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("rows-only queries: every registered query without an oracle is pinned here") {
+    val oracled = SparkEntry.oracleSql.keySet
+    val rowsOnly = SparkEntry.queries.keySet -- oracled
+    assert(rowsOnly == Set(
+      "corpus_length_percentiles_approx",
+      "engine_ingest_e2e", "engine_snapshot_read", "engine_stream_enrich",
+      "text_bpe_merges", "text_bpe_tokenize"),
+      "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("corpus_length_percentiles_approx: scalar sketch columns, one row per lang") {
+    val df = run("corpus_length_percentiles_approx")
+    assert(df.columns.toSeq == Seq("lang", "n", "approx_p10", "approx_p50", "approx_p90"))
+    val langs = graft.Tables.documents(spark, sf).select("lang").distinct().count()
+    val rows = df.collect()
+    assert(rows.length.toLong == langs)
+    // sketch values are engine-specific but must be ordered quantiles
+    rows.foreach { r =>
+      val (p10, p50, p90) = (r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(p10 <= p50 && p50 <= p90, s"quantiles out of order for ${r.getString(0)}")
+    }
+  }
+
+  test("text_bpe_merges: 30 ranked merges; text_bpe_tokenize: one row per doc, ratio <= 1 bound sanity") {
+    val merges = run("text_bpe_merges")
+    assert(merges.columns.toSeq == Seq("rank", "left", "right"))
+    assert(merges.count() == 30)
+    val tok = run("text_bpe_tokenize")
+    assert(tok.columns.toSeq == Seq("doc", "n_tokens", "n_bpe", "bpe_ratio"))
+    assert(tok.count() == graft.Tables.documents(spark, sf).count())
+    // BPE only ever merges: per-word piece count is bounded by word length,
+    // and is at least 1, so n_bpe >= n_tokens for whitespace words.
+    assert(tok.filter(org.apache.spark.sql.functions.col("n_bpe") <
+      org.apache.spark.sql.functions.col("n_tokens")).count() == 0)
+  }
+
+  test("engine queries: stable schemas and fixture-determined row counts") {
+    val e2e = run("engine_ingest_e2e")
+    assert(e2e.columns.toSeq == Seq("round", "intra", "typeenum", "asset", "txid"))
+    val e2eRows = e2e.count()
+    val snap = run("engine_snapshot_read")
+    assert(snap.columns.toSeq == Seq("view", "lo", "hi", "rows"))
+    assert(snap.count() == 2, "one row per snapshot view")
+    val enrich = run("engine_stream_enrich")
+    assert(enrich.columns.toSeq == Seq("batch_id", "n_refs", "n_enriched", "hi_round"))
+    assert(enrich.count() == 2, "two streaming micro-batches")
+    // the ingest fixture is deterministic: same blocks -> same txn rows
+    assert(e2eRows == 28, "8-round deterministic ingest fixture emits 28 txn rows")
+  }
+}

@@ -349,7 +349,36 @@ object Similarity {
   def knnJoinBetween(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String,
                      centroids: DataFrame, centroidIdCol: String,
-                     k: Int, probes: Int = 2): DataFrame = {
+                     k: Int, probes: Int = 2): DataFrame =
+    cellBoundedTopK(queries, corpus, idCol, vecCol, centroids, centroidIdCol,
+      k, probes, band = None)
+
+  /** Hard-negative mining — the retrieval/embedding-training curation
+    * draw: for each query row, the `k` highest-cosine corpus rows whose
+    * similarity falls INSIDE `(bandLo, bandHi]`. Above the band is a
+    * positive or near-duplicate (training on it teaches the model
+    * nothing — or worse, punishes a true match); below it is an easy
+    * negative the model already separates. The band is applied to the
+    * rounded score BEFORE the heap, so rank is dense within the band.
+    *
+    * Scale shape: identical to [[knnJoinBetween]] — cell-bucketed
+    * candidate join, band filter map-side, O(k) bounded heap; the pair
+    * frame dies in the partial aggregation. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String,
+                    centroids: DataFrame, centroidIdCol: String,
+                    k: Int, bandLo: Double, bandHi: Double,
+                    probes: Int = 2): DataFrame = {
+    require(bandLo < bandHi, s"need bandLo < bandHi, got [$bandLo, $bandHi]")
+    cellBoundedTopK(queries, corpus, idCol, vecCol, centroids, centroidIdCol,
+      k, probes, band = Some((bandLo, bandHi)))
+  }
+
+  private def cellBoundedTopK(queries: DataFrame, corpus: DataFrame,
+                              idCol: String, vecCol: String,
+                              centroids: DataFrame, centroidIdCol: String,
+                              k: Int, probes: Int,
+                              band: Option[(Double, Double)]): DataFrame = {
     val cents: Seq[(Long, Seq[Float])] = centroids
       .select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect()
@@ -366,11 +395,17 @@ object Similarity {
     // at corpus scale the pair frame is the big thing, and it now dies in
     // the partial aggregation. Heap order = (-cos_sim, id_b): "smallest"
     // is highest similarity, ties to the smaller id (row_number parity).
-    probed.join(assigned, Seq("_cid"))
+    val scored = probed.join(assigned, Seq("_cid"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("_avec"), col("_bvec")), 4).as("cos_sim"))
       .filter(col("cos_sim").isNotNull)
+    val banded = band match {
+      case Some((lo, hi)) =>
+        scored.filter(col("cos_sim") > lo && col("cos_sim") <= hi)
+      case None => scored
+    }
+    banded
       .groupBy("id_a")
       .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
         struct((-col("cos_sim")).as("nc"), col("id_b")), k).as("_top"))

@@ -600,6 +600,66 @@ object DedupSimilarityQueries {
           .orderBy("id_a", "rank")
     },
 
+    // ── Hard-negative mining: per query, top-k corpus rows whose cosine
+    //    sits INSIDE (0.30, 0.85] — above is a positive/near-dup (useless
+    //    or harmful as a negative), below is an easy negative the model
+    //    already separates. Same cell-bucketed candidate join + bounded
+    //    heap as sim_knn_join; the band filters map-side before the heap,
+    //    so rank is dense within the band. Queries = vec_id > 8 ∧ ≡ 0
+    //    (mod 50); corpus = the rest; centroids 1..8 as elsewhere. ──
+    QueryDef.sql(
+      "sim_hard_negatives",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8 AND vec_id % 50 = 0),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8 AND vec_id % 50 <> 0),
+        |ub AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |sb AS (SELECT vec_id, cid,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM ub GROUP BY 1, 2),
+        |asg AS (SELECT vec_id AS id_b, cid FROM (
+        |          SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn FROM sb) WHERE rn = 1),
+        |ua AS (SELECT q.vec_id, c.cid, unnest(q.embedding) AS x, unnest(c.cv) AS y FROM q, c),
+        |sa AS (SELECT vec_id, cid,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM ua GROUP BY 1, 2),
+        |qasg AS (SELECT vec_id AS id_a, cid FROM (
+        |           SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn FROM sa) WHERE rn <= 2),
+        |p AS (SELECT id_a, id_b FROM qasg JOIN asg USING (cid) WHERE id_a <> id_b),
+        |u2 AS (SELECT p.id_a, p.id_b, unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+        |       FROM p JOIN embeddings ea ON ea.vec_id = p.id_a
+        |              JOIN embeddings eb ON eb.vec_id = p.id_b),
+        |s2 AS (SELECT id_a, id_b,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM u2 GROUP BY 1, 2),
+        |sc AS (SELECT id_a, id_b, round(dot / sqrt(na * nb), 4) AS cos_sim
+        |       FROM s2 WHERE na * nb > 0),
+        |bd AS (SELECT * FROM sc WHERE cos_sim > 0.30 AND cos_sim <= 0.85),
+        |rk AS (SELECT id_a, id_b, cos_sim,
+        |         CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos_sim DESC, id_b) AS INTEGER) AS rank
+        |       FROM bd)
+        |SELECT id_a, id_b, cos_sim, rank FROM rk WHERE rank <= 5
+        |ORDER BY id_a, rank""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val pool = emb.filter(col("vec_id") > 8)
+        Similarity.hardNegatives(
+            queries = pool.filter(col("vec_id") % 50 === 0),
+            corpus = pool.filter(col("vec_id") % 50 =!= 0),
+            "vec_id", "embedding",
+            centroids = emb.filter(col("vec_id").between(1, 8)),
+            centroidIdCol = "vec_id",
+            k = 5, bandLo = 0.30, bandHi = 0.85, probes = 2)
+          .orderBy("id_a", "rank")
+    },
+
     // ── IVF-PQ: the canonical billion-vector composition — float
     //    assignment picks the probed cells (same CTE as sim_ivf_topk),
     //    PQ codes score the probed fraction (same lattice as

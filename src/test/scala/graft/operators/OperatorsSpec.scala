@@ -974,6 +974,30 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("hardNegatives: band excludes positives/near-dups above and easy negatives below; rank dense") {
+    val q = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 0f)),      // cos 1.0  — positive/near-dup: above band, excluded
+      (2L, Array(0.8f, 0.6f)),  // cos 0.8  — hard negative, rank 1
+      (3L, Array(0.6f, 0.8f)),  // cos 0.6  — hard negative, rank 2
+      (4L, Array(0f, 1f)),      // cos 0.0  — easy negative: below band, excluded
+      (5L, Array(-1f, 0f))      // cos -1.0 — excluded
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((1L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(q, corpus, "vec_id", "embedding",
+        cents, "vec_id", k = 5, bandLo = 0.3, bandHi = 0.85, probes = 1)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.toSeq == Seq((2L, 0.8, 1), (3L, 0.6, 2)),
+      "only in-band rows survive; rank is dense within the band, best first")
+    // bandHi is inclusive: a row AT the boundary is kept
+    val edge = Similarity.hardNegatives(q,
+        Seq((9L, Array(0.85f, math.sqrt(1 - 0.85 * 0.85).toFloat))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, "vec_id", k = 1, bandLo = 0.3, bandHi = 0.85, probes = 1)
+      .collect()
+    assert(edge.length == 1 && edge(0).getDouble(2) == 0.85)
+  }
+
   test("chunkTokens: window walk, short tail, sub-size and empty docs, overlap sharing") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), // 10 toks, size 4 overlap 1, stride 3: ceil(9/3)=3 chunks

@@ -225,6 +225,60 @@ object DedupSimilarityQueries {
           .orderBy("doc_a", "doc_b")
     },
 
+    // ── Chunk-granularity LSH near-dup pairs: the sub-document shape —
+    //    a doc that copies ONE paragraph from another never band-collides
+    //    at doc level (the copied span is a small minority of its
+    //    shingles), but its 32-token windows do. Pure composition:
+    //    chunkTokens → composite chunk key → the SAME lshCandidatePairs
+    //    operator, keys unpacked back to (doc, chunk) for provenance.
+    //    Chunks below shingleN can't shingle and are dropped on both
+    //    sides; chunk_idx < 1000 holds by construction at any corpus the
+    //    composite key serves (32-token stride × 1000 = 32k-token docs;
+    //    longer docs get a wider key, not a different plan). ──
+    QueryDef.sql(
+      "dedup_chunk_lsh_pairs",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sdoc AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+         |c AS (SELECT doc_id, ws,
+         |        unnest(range(0, CASE WHEN n <= 8 THEN 1 ELSE (n - 8 + 23) // 24 END)) AS chunk_idx
+         |      FROM sdoc),
+         |ch AS (SELECT doc_id * 1000 + chunk_idx AS cid,
+         |         list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32) AS cw
+         |       FROM c WHERE len(list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) >= 3),
+         |sh AS (SELECT cid, ${duckShingles("cw", 3)} AS sh FROM ch),
+         |shd AS (SELECT cid, list_distinct(sh) AS shd FROM sh),
+         |m AS (SELECT cid, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT cid, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.cid AS cid_a, c.cid AS cid_b,
+         |        CAST(count(*) AS BIGINT) AS n_shared_bands
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.cid < c.cid GROUP BY 1, 2)
+         |SELECT CAST(cid_a // 1000 AS BIGINT) AS doc_a, CAST(cid_a % 1000 AS BIGINT) AS chunk_a,
+         |  CAST(cid_b // 1000 AS BIGINT) AS doc_b, CAST(cid_b % 1000 AS BIGINT) AS chunk_b,
+         |  n_shared_bands, ${duckJaccard("x.shd", "y.shd")} AS jaccard
+         |FROM p JOIN shd x ON x.cid = p.cid_a JOIN shd y ON y.cid = p.cid_b
+         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin) {
+      (s, d) =>
+        val chunks = graft.operators.TextOps.chunkTokens(
+            QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text",
+            chunkSize = 32, overlap = 8)
+          .filter(col("n_tokens") >= 3)
+          .select((col("doc") * 1000 + col("chunk_idx")).as("chunk_id"),
+            col("chunk_text").as("text"))
+        Dedup.lshCandidatePairs(chunks, "chunk_id", "text",
+            shingleN = 3, k = 8, bands = 4)
+          .select(
+            expr("CAST(doc_a div 1000 AS BIGINT)").as("da"),
+            expr("CAST(doc_a % 1000 AS BIGINT)").as("chunk_a"),
+            expr("CAST(doc_b div 1000 AS BIGINT)").as("db"),
+            expr("CAST(doc_b % 1000 AS BIGINT)").as("chunk_b"),
+            col("n_shared_bands"), col("jaccard"))
+          .withColumnsRenamed(Map("da" -> "doc_a", "db" -> "doc_b"))
+          .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+    },
+
     // ── Duplicate-cluster resolution: connected components (min-id
     //    label) over the LSH pair graph — pair generation's missing
     //    half: a transitive family of near-dups collapses to one

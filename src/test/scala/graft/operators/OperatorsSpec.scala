@@ -974,6 +974,29 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("chunk-level LSH: a copied 32-token span pairs at chunk granularity with jaccard 1.0") {
+    // docs 1 and 2 share ONLY their first 32 tokens (one "paragraph");
+    // the remaining 64 tokens are disjoint, so at doc level the copied
+    // span is a small minority of shingles — the sub-document shape.
+    val para = (1 to 32).map(i => s"shared$i").mkString(" ")
+    val restA = (1 to 64).map(i => s"alpha$i").mkString(" ")
+    val restB = (1 to 64).map(i => s"beta$i").mkString(" ")
+    val docs = Seq((1L, s"$para $restA"), (2L, s"$para $restB")).toDF("doc_id", "text")
+    val chunks = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 32, overlap = 8)
+      .filter(col("n_tokens") >= 3)
+      .select((col("doc") * 1000 + col("chunk_idx")).as("chunk_id"),
+        col("chunk_text").as("text"))
+    val pairs = Dedup.lshCandidatePairs(chunks, "chunk_id", "text",
+        shingleN = 3, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // chunk 0 of doc 1 ≡ chunk 0 of doc 2: all bands collide, jaccard 1.0
+    assert(pairs.exists { case (a, b, nb, j) => a == 1000L && b == 2000L && nb == 4L && j == 1.0 },
+      s"expected the copied-span chunk pair (1000, 2000); got ${pairs.mkString(", ")}")
+    // no cross-doc pair between the DISJOINT tails
+    assert(!pairs.exists { case (a, b, _, _) => a == 1002L && b == 2002L },
+      "disjoint tail chunks must not pair")
+  }
+
   test("hardNegatives: band excludes positives/near-dups above and easy negatives below; rank dense") {
     val q = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
     val corpus = Seq(

@@ -507,6 +507,30 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware canonical selection: keep the HIGHEST-`scoreCol`
+    * member of each duplicate cluster (ties to the smallest id), plus
+    * every singleton — what a production dedup pass actually wants
+    * ([[keepCanonical]]'s min-id keep throws away a clean copy whenever
+    * the boilerplate-laden one got the smaller id). `clusters` is
+    * [[duplicateClusters]] output; only the per-cluster GROUPING is
+    * used, so any component labeling (min-id, least-of-pair) selects
+    * identical survivors.
+    *
+    * Scale shape: the argmax is `min(struct(-score, id))` — one
+    * partial-agg groupBy on the cluster id, no rank window, so the
+    * biggest duplicate family collapses map-side; singletons ride a
+    * left_anti on the (tiny) cluster membership frame. */
+  def keepBestInCluster(df: DataFrame, idCol: String, scoreCol: String,
+                        clusters: DataFrame): DataFrame = {
+    val membership = clusters.select(col("doc").as(idCol), col("cluster"))
+    val best = df.join(membership, Seq(idCol))
+      .groupBy("cluster")
+      .agg(min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id"))).as("_b"))
+      .select(col("_b.id").as(idCol))
+    df.join(membership.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(df.join(best, Seq(idCol), "left_semi"))
+  }
+
   /** Exact Jaccard of two string sets. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

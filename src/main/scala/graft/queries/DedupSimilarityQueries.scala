@@ -438,6 +438,51 @@ object DedupSimilarityQueries {
           .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // ── Quality-aware canonical selection: keep the highest-quality
+    //    member of each duplicate cluster (score = doc length here; any
+    //    score column composes), ties to the smallest id — min-id keep
+    //    throws away the clean copy whenever the boilerplate-laden one
+    //    got the smaller id. Only the cluster GROUPING is used, so
+    //    Spark's min-id labels and the oracle's least-of-pair labels
+    //    select identical survivors. Argmax is min(struct(-score, id)):
+    //    partial-agg, no rank window — the biggest family collapses
+    //    map-side. ──
+    QueryDef.sql(
+      "dedup_keep_best",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |r AS (SELECT a, b FROM e
+         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         |lbl AS (SELECT a AS doc, least(a, min(b)) AS cluster FROM r GROUP BY a),
+         |scored AS (SELECT l.doc, l.cluster, length(d.text) AS sc
+         |           FROM lbl l JOIN documents d ON d.doc_id = l.doc),
+         |keep AS (SELECT doc FROM (
+         |           SELECT doc, row_number() OVER (PARTITION BY cluster
+         |             ORDER BY sc DESC, doc) AS rn FROM scored) WHERE rn = 1)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS score
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc FROM lbl)
+         |   OR d.doc_id IN (SELECT doc FROM keep)
+         |ORDER BY d.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+          .select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("score"))
+        val clusters = Dedup.duplicateClusters(
+          Dedup.lshCandidatePairs(docs, "doc_id", "text", shingleN = 3, k = 8, bands = 4))
+        Dedup.keepBestInCluster(docs, "doc_id", "score", clusters)
+          .select("doc_id", "score").orderBy("doc_id")
+    },
+
     // ── 16-bit SimHash fingerprint. ────────────────────────────────────
     QueryDef.sql(
       "dedup_simhash",

@@ -974,6 +974,26 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("keepBestInCluster: highest score survives per cluster, ties to min id, singletons kept") {
+    val docs = Seq(
+      (1L, "a", 5L),  // cluster {1,2,3}: doc 2 has the best score
+      (2L, "b", 9L),
+      (3L, "c", 9L),  // ties doc 2 on score; larger id loses
+      (4L, "d", 1L),  // singleton (not in any pair): always kept
+      (5L, "e", 0L),  // cluster {5,6}: doc 6 wins
+      (6L, "f", 2L)
+    ).toDF("doc_id", "text", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc", "cluster")
+    val kept = Dedup.keepBestInCluster(docs, "doc_id", "score", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L))
+    // plan shape: argmax is a partial-agg struct-min, never a rank window
+    val plan = Dedup.keepBestInCluster(docs, "doc_id", "score", clusters)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-cluster argmax must not be a rank window")
+  }
+
   test("chunk-level LSH: a copied 32-token span pairs at chunk granularity with jaccard 1.0") {
     // docs 1 and 2 share ONLY their first 32 tokens (one "paragraph");
     // the remaining 64 tokens are disjoint, so at doc level the copied

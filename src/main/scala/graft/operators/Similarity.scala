@@ -54,6 +54,41 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
 
+  /** Matryoshka (prefix-dimension) retrieval funnel: coarse-rank the
+    * whole corpus on the first `prefixDims` dimensions — the cheap scan
+    * an MRL-trained embedding makes meaningful, `prefixDims/dims` of the
+    * IO and arithmetic — then re-rank only the `kCand` shortlist with
+    * full-dimension cosine. Returns the final top `k` as
+    * (id, cos_prefix, cos_full, rank), rank by full cosine (ties to the
+    * smaller id), so the output records how much the coarse order lied.
+    *
+    * Scale shape: one corpus scan computing the prefix cosine against
+    * the broadcast query + a TakeOrdered(kCand); only ≤ kCand rows reach
+    * the full-dimension re-rank (a second cosine on the shortlist rows
+    * themselves — no corpus re-scan, the full vector rides the first
+    * projection). At 100 TB pair this with the stored-codes IVF tier:
+    * prefix scan over cells, full re-rank over survivors. */
+  def matryoshkaTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: DataFrame, prefixDims: Int, kCand: Int, k: Int): DataFrame = {
+    require(prefixDims > 0 && kCand >= k && k > 0,
+      s"need 0 < k <= kCand and prefixDims > 0, got prefixDims=$prefixDims kCand=$kCand k=$k")
+    val q = query.select(slice(col(vecCol), 1, prefixDims).as("_qp"), col(vecCol).as("_qf"))
+    val shortlist = df.crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol), col("_qf"),
+        round(cosine(slice(col(vecCol), 1, prefixDims), col("_qp")), 4).as("cos_prefix"))
+      .filter(col("cos_prefix").isNotNull)
+      .orderBy(desc("cos_prefix"), asc(idCol))
+      .limit(kCand)
+    shortlist
+      .select(col(idCol), col("cos_prefix"),
+        round(cosine(col(vecCol), col("_qf")), 4).as("cos_full"))
+      .orderBy(desc("cos_full"), asc(idCol))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cos_full"), asc(idCol))))
+  }
+
   /** Semantic decontamination — per corpus vector, the MAX cosine to any
     * vector of a reference (evaluation) set, plus the ≥-threshold flag:
     * the embedding-space twin of [[TextOps.contamination]] (n-gram

@@ -545,6 +545,47 @@ object DedupSimilarityQueries {
           .limit(20)
     },
 
+    // ── Matryoshka retrieval funnel: coarse-rank the corpus on the
+    //    FIRST 16 of 64 dims (the MRL prefix — a quarter of the IO and
+    //    arithmetic), full-dim re-rank only the 50-row shortlist. The
+    //    output carries both cosines, recording how much the coarse
+    //    order lied. The final rank window runs over ≤ k rows. ──
+    QueryDef.sql(
+      "sim_mrl_topk",
+      """WITH q AS (SELECT list_slice(embedding, 1, 16) AS qp, embedding AS qf
+        |           FROM embeddings WHERE vec_id = 0),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+        |up AS (SELECT v.vec_id, unnest(list_slice(v.embedding, 1, 16)) AS x, unnest(q.qp) AS y FROM v, q),
+        |sp AS (SELECT vec_id,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM up GROUP BY 1),
+        |cp AS (SELECT vec_id, round(dot / sqrt(na * nb), 4) AS cos_prefix
+        |       FROM sp WHERE na * nb > 0),
+        |short AS (SELECT vec_id, cos_prefix FROM cp
+        |          ORDER BY cos_prefix DESC, vec_id LIMIT 50),
+        |uf AS (SELECT s.vec_id, s.cos_prefix, unnest(e.embedding) AS x, unnest(q.qf) AS y
+        |       FROM short s JOIN embeddings e ON e.vec_id = s.vec_id, q),
+        |sf AS (SELECT vec_id, cos_prefix,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM uf GROUP BY 1, 2),
+        |cf AS (SELECT vec_id, cos_prefix, round(dot / sqrt(na * nb), 4) AS cos_full
+        |       FROM sf WHERE na * nb > 0)
+        |SELECT vec_id, cos_prefix, cos_full,
+        |  CAST(row_number() OVER (ORDER BY cos_full DESC, vec_id) AS INTEGER) AS rank
+        |FROM cf ORDER BY cos_full DESC, vec_id LIMIT 10""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.matryoshkaTopK(
+            emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+            query = emb.filter(col("vec_id") === 0),
+            prefixDims = 16, kCand = 50, k = 10)
+          .orderBy("rank")
+    },
+
     // ── Embedding near-dup pairs via sign-LSH buckets. ─────────────────
     QueryDef.sql(
       "sim_neardup_pairs", {

@@ -974,6 +974,24 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("matryoshkaTopK: prefix coarse-rank can lie, full-dim re-rank corrects inside the shortlist") {
+    // prefix = first 2 dims. id 1 looks PERFECT in the prefix but its
+    // tail points away; id 2 has a slightly worse prefix and a perfect
+    // tail. Full-dim re-rank must flip them. id 3's prefix is bad enough
+    // to miss a kCand=2 shortlist even though its full cosine beats id 1.
+    val q = Seq((0L, Array(1f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1f, 0f, -1f, 0f)),     // cos_prefix 1.0, cos_full 0.0
+      (2L, Array(0.9f, 0.1f, 1f, 0f)),  // cos_prefix ~0.995, cos_full ~0.95
+      (3L, Array(0.1f, 0.9f, 1f, 0f))   // cos_prefix ~0.11 — misses the shortlist
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaTopK(corpus, "vec_id", "embedding", q,
+        prefixDims = 2, kCand = 2, k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(out.toSeq == Seq((2L, 1), (1L, 2)),
+      "full-dim cosine must reorder the prefix shortlist; id 3 stays shortlisted out")
+  }
+
   test("keepBestInCluster: highest score survives per cluster, ties to min id, singletons kept") {
     val docs = Seq(
       (1L, "a", 5L),  // cluster {1,2,3}: doc 2 has the best score

@@ -186,6 +186,40 @@ object Sharding {
         Seq(groupCol))
       .filter(col(scoreCol) >= col("_thr")).drop("_thr")
 
+  /** Token-budget corpus assembly — the data-recipe primitive: per
+    * source, keep the best-scoring docs until the source's token budget
+    * is filled. Admission is SCORE-GROUP-ATOMIC: whole (source, score)
+    * groups are admitted in score-descending order while their
+    * cumulative token mass fits the budget; the first group that would
+    * overflow is rejected entirely. Group-atomic is what keeps the
+    * operator hot-key-free — partial admission inside the boundary
+    * group needs a doc-level cumsum over that group, i.e. a window
+    * whose partition is unbounded. Contract: `scoreCol` must be
+    * discrete/bucketized (quality permille, length bucket); bucketize a
+    * continuous score first, which also makes "budget granularity" an
+    * explicit knob. Sources missing from `budgets` get `defaultBudget`.
+    *
+    * Scale shape: one partial-agg groupBy to (source, score) token
+    * sums; the cumulative sum runs over THAT aggregate (rows = score
+    * cardinality per source, the vocabGrowth posture, never corpus
+    * rows); the admitted (source, score) pairs broadcast back and the
+    * corpus is filtered map-side. */
+  def fillTokenBudget(df: DataFrame, sourceCol: String, scoreCol: String,
+                      tokensCol: String, budgets: Map[String, Long],
+                      defaultBudget: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(desc(scoreCol))
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val admitted = df.groupBy(sourceCol, scoreCol)
+      .agg(sum(col(tokensCol)).as("_gt"))
+      .withColumn("_cum", sum("_gt").over(w))
+      .filter(col("_cum") <= budgetCol)
+      .select(col(sourceCol), col(scoreCol))
+    df.join(broadcast(admitted), Seq(sourceCol, scoreCol))
+  }
+
   /** Stratified variant: per-stratum keep-rates (permille), the
     * training-mix shape — "keep 100% of wiki, 30% of web, 5% of
     * boilerplate". Strata absent from the map keep `defaultPermille`.

@@ -252,6 +252,38 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Token-budget corpus assembly: fill each language's token budget
+    //    with its best-scoring docs (score = 50-char length bucket —
+    //    the discrete-score contract; a continuous quality score gets
+    //    bucketized first). Admission is score-group-atomic in score-
+    //    descending order; the cumsum window runs over the (source,
+    //    score) AGGREGATE — score-cardinality rows per source, never
+    //    corpus rows — and the admitted pairs broadcast back as a
+    //    map-side filter. en gets 6000 tokens, everything else 2500. ──
+    QueryDef.sql(
+      "pipeline_token_budget",
+      """WITH t AS (SELECT doc_id, coalesce(lang, '??') AS source,
+        |             CAST(length(text) // 50 AS BIGINT) AS score,
+        |             CAST(len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |g AS (SELECT source, score, sum(n_tokens) AS gt FROM t GROUP BY 1, 2),
+        |c AS (SELECT source, score,
+        |        sum(gt) OVER (PARTITION BY source ORDER BY score DESC) AS cum FROM g),
+        |adm AS (SELECT source, score FROM c
+        |        WHERE cum <= CASE WHEN source = 'en' THEN 6000 ELSE 2500 END)
+        |SELECT t.doc_id, t.source, t.score, t.n_tokens
+        |FROM t JOIN adm USING (source, score) ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          coalesce(col("lang"), lit("??")).as("source"),
+          expr("CAST(length(text) div 50 AS BIGINT)").as("score"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        Sharding.fillTokenBudget(docs, "source", "score", "n_tokens",
+            budgets = Map("en" -> 6000L), defaultBudget = 2500L)
+          .select("doc_id", "source", "score", "n_tokens")
+          .orderBy("doc_id")
+    },
+
     // ── Deterministic train/val/test split: 90/5/5 on the doc_id's
     //    md5 fold — membership re-derivable by any engine from the key
     //    alone (no RNG/seed state), splits disjoint by construction.

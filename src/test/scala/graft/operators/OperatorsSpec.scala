@@ -974,6 +974,29 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("fillTokenBudget: score-group-atomic admission, per-source budgets, overflow group rejected whole") {
+    val docs = Seq(
+      // source A, budget 100: score 3 group (40) fits, score 2 group (60)
+      // fits exactly at the boundary, score 1 group would overflow
+      (1L, "A", 3L, 40L),
+      (2L, "A", 2L, 30L), (3L, "A", 2L, 30L),
+      (4L, "A", 1L, 10L),   // cum 110 > 100: whole group rejected (atomic)
+      // source B on the default budget 50: only its best group fits
+      (5L, "B", 9L, 50L),
+      (6L, "B", 8L, 1L)
+    ).toDF("doc_id", "source", "score", "n_tokens")
+    val kept = Sharding.fillTokenBudget(docs, "source", "score", "n_tokens",
+        budgets = Map("A" -> 100L), defaultBudget = 50L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L),
+      "boundary group admitted when it fits exactly; overflow group rejected whole; default budget applies")
+    // the cumsum window must run over the aggregate, not corpus rows:
+    // admitted frame is (source, score) pairs, broadcast back
+    val plan = Sharding.fillTokenBudget(docs, "source", "score", "n_tokens", Map("A" -> 100L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "admitted pairs broadcast back as a map-side filter")
+  }
+
   test("matryoshkaTopK: prefix coarse-rank can lie, full-dim re-rank corrects inside the shortlist") {
     // prefix = first 2 dims. id 1 looks PERFECT in the prefix but its
     // tail points away; id 2 has a slightly worse prefix and a perfect

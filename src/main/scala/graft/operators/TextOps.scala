@@ -818,6 +818,54 @@ object TextOps {
       .withColumn("cum_vocab", sum("new_words").over(w))
   }
 
+  /** TF-IDF keyword extraction — top-`k` terms per document by
+    * tf·idf, the topic-labeling/faceting stage. FP-parity-safe like
+    * [[surprisalScore]]: idf is the INTEGER bit length
+    * `floor(log2(n_docs div df))` — ubiquitous terms (df close to
+    * n_docs) get idf 0 and stop mattering, rare terms get the doc-count
+    * bit scale — so score = tf · idf_bits is exact integer arithmetic
+    * end-to-end, no transcendental whose last ulp differs across
+    * engines. Ties rank lexicographically (deterministic cross-engine).
+    *
+    * Scale shape: (doc, term) partial-agg for tf; vocab partial-agg for
+    * df (the hottest term collapses map-side); one-row doc count
+    * broadcast; size-gated broadcast of the vocab frame back (above the
+    * gate it degrades to a shuffle join on the term — and a term hot on
+    * the tf side has df ≈ n_docs, hence idf 0: the skewed keys are
+    * exactly the ones a pre-filter on idf_bits > 0 removes, applied
+    * here BEFORE the join so stop-word mass never travels); per-doc
+    * top-k through the O(k) bounded heap, no rank window. */
+  def tfIdfTerms(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                 k: Int, ngram: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(ngram >= 1, "ngram must be >= 1")
+    // ngram > 1 extracts key-PHRASES: on a corpus whose unigrams are all
+    // ubiquitous (template-heavy web text), every unigram idf rounds to 0
+    // and extraction degenerates; word n-grams keep meaningful df.
+    val terms = if (ngram == 1) tokens(col(textCol))
+                else shingles(tokens(col(textCol)), ngram)
+    val tf = df.select(col(idCol).as("doc"), explode(terms).as("w"))
+      .groupBy("doc", "w").agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy("w").agg(count(lit(1)).as("dfc"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"),
+        expr("CAST(length(bin(n_docs div dfc)) - 1 AS BIGINT)").as("idf_bits"))
+      .filter(col("idf_bits") > 0)
+    val idfGated =
+      if (idf.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
+        broadcast(idf)
+      else idf
+    tf.join(idfGated, Seq("w"))
+      .select(col("doc"), col("w"), (col("tf") * col("idf_bits")).as("score"))
+      .groupBy("doc")
+      .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+        struct((-col("score")).as("ns"), col("w")), k).as("_top"))
+      .select(col("doc"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("doc"), col("_t.w").as("term"),
+        (-col("_t.ns")).as("score"),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
+
   /** Token-window chunking with overlap — the RAG/embedding-pipeline
     * granularity between [[Dedup.lineDedupCorpus line]]/paragraph and
     * whole-document: split each document into windows of `chunkSize`

@@ -252,6 +252,38 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── TF-IDF key-phrase extraction: top-3 word 3-grams per doc by
+    //    tf·idf with the INTEGER-bit idf = floor(log2(n_docs div df)) —
+    //    exact integer score, no transcendental (surprisal-gate
+    //    doctrine). 3-grams, not unigrams: this corpus is template-
+    //    heavy, every unigram's idf rounds to 0 and unigram extraction
+    //    degenerates (measured: 8 docs of 500 surfaced anything).
+    //    idf-0 (ubiquitous) terms are dropped BEFORE the vocab join on
+    //    both engines, so stop-word mass never travels; per-doc top-k
+    //    is the bounded heap, the oracle ranks with row_number. ──
+    QueryDef.sql(
+      "text_tfidf_terms",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN [array_to_string(list_slice(ws, j, j + 2), ' ') for j in range(1, len(ws) - 1)] ELSE CAST([] AS VARCHAR[]) END AS gs FROM t),
+        |e AS (SELECT doc_id, unnest(gs) AS w FROM g),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY 1, 2),
+        |dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |idf AS (SELECT w, CAST(length(bin(n_docs // dfc)) - 1 AS BIGINT) AS idf_bits
+        |        FROM dfq, n),
+        |sc AS (SELECT tf.doc_id AS doc, tf.w AS term, tf.tf * idf.idf_bits AS score
+        |       FROM tf JOIN idf ON idf.w = tf.w WHERE idf.idf_bits > 0),
+        |rk AS (SELECT doc, term, score,
+        |         CAST(row_number() OVER (PARTITION BY doc ORDER BY score DESC, term) AS INTEGER) AS rank
+        |       FROM sc)
+        |SELECT doc, term, score, rank FROM rk WHERE rank <= 3
+        |ORDER BY doc, rank""".stripMargin) {
+      (s, d) =>
+        TextOps.tfIdfTerms(QueryDef.fanOutIfNarrow(Tables.documents(s, d)),
+            "doc_id", "text", k = 3, ngram = 3)
+          .orderBy("doc", "rank")
+    },
+
     // ── Token-budget corpus assembly: fill each language's token budget
     //    with its best-scoring docs (score = 50-char length bucket —
     //    the discrete-score contract; a continuous quality score gets

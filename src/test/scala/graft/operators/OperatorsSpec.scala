@@ -974,6 +974,24 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("tfIdfTerms: integer-bit idf, ubiquitous terms dropped, tf multiplies, ties lexicographic") {
+    // 4 docs; unigram mode for hand-computable idf: floor(log2(4 div df))
+    val docs = Seq(
+      (1L, "rare common half half stop"), // rare: df1 idf2; half: df2 idf1 tf2; stop: df4 idf0
+      (2L, "half stop stop"),
+      (3L, "stop aaa bbb"),               // aaa/bbb both df1 idf2 tf1: tie → lexicographic
+      (4L, "stop")                        // only idf-0 terms: no output rows
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfIdfTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), (r.getString(1), r.getLong(2)))).toMap
+    assert(out((1L, 1)) == (("common", 2L)),
+      "common/half/rare all score 2 (df1·tf1·idf2, df2·tf2·idf1, df1·tf1·idf2); tie → lexicographic")
+    assert(out((1L, 2)) == (("half", 2L)))
+    assert(out((2L, 1)) == (("half", 1L)), "stop (df 4, idf 0) never ranks")
+    assert(out((3L, 1)) == (("aaa", 2L)) && out((3L, 2)) == (("bbb", 2L)), "score tie → lexicographic")
+    assert(!out.keySet.exists(_._1 == 4L), "a doc of only idf-0 terms produces no rows")
+  }
+
   test("fillTokenBudget: score-group-atomic admission, per-source budgets, overflow group rejected whole") {
     val docs = Seq(
       // source A, budget 100: score 3 group (40) fits, score 2 group (60)

@@ -124,3 +124,49 @@ object TextNormImpl {
     else UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
 }
+
+/** Deflate-compressed byte length of a string — the compression-ratio
+  * quality signal (Gopher/RefinedWeb lineage: highly repetitive text
+  * compresses far below natural prose, random/binary soup doesn't
+  * compress at all). The signal is the LENGTH only; compressed bytes are
+  * never materialized into a column. Deterministic for a fixed input on
+  * a fixed zlib level (level 6, the java.util.zip default); no SQL
+  * engine exposes deflate, so consumers are rows-only + spec-pinned.
+  * Codegen'd static call; a fresh Deflater per row is allocation-heavy
+  * in principle but the buffer is thread-confined and the cost is
+  * dominated by the deflate loop itself. */
+case class DeflateLength(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_deflate_length"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $t")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    DeflateImpl.length(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expressions.DeflateImpl.length($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLength =
+    copy(child = newChild)
+}
+
+object DeflateImpl {
+  def length(t: UTF8String): Long = {
+    val bytes = t.getBytes
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}

@@ -818,6 +818,31 @@ object TextOps {
       .withColumn("cum_vocab", sum("new_words").over(w))
   }
 
+  /** Compression-ratio quality signal (Gopher/RefinedWeb lineage):
+    * deflate_bytes / utf8_bytes per document. Highly repetitive or
+    * boilerplate text compresses far below natural prose (ratio → 0);
+    * random-character soup doesn't compress at all (ratio ≈ 1, deflate
+    * framing can push slightly above); natural text sits in a band —
+    * the two-sided keep mirrors [[surprisalScore]]. Pure per-row
+    * codegen'd expression, rides the scan at any corpus size. No SQL
+    * engine exposes deflate, so consumers are rows-only + spec-pinned
+    * (the ratio is deterministic for fixed input at the fixed level).
+    * Empty docs: ratio NULL, keep false. */
+  def compressionSignal(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                        minRatio: Double, maxRatio: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val t = col(textCol)
+    val defl = Bridge.column(graft.expressions.DeflateLength(Bridge.expression(t)))
+    df.select(col(idCol).as("doc"),
+        octet_length(t).cast("long").as("n_bytes"),
+        defl.as("deflate_bytes"))
+      .withColumn("ratio",
+        col("deflate_bytes").cast("double") /
+          when(col("n_bytes") === 0, lit(null)).otherwise(col("n_bytes")))
+      .withColumn("keep",
+        coalesce(col("ratio").between(minRatio, maxRatio), lit(false)))
+  }
+
   /** TF-IDF keyword extraction — top-`k` terms per document by
     * tf·idf, the topic-labeling/faceting stage. FP-parity-safe like
     * [[surprisalScore]]: idf is the INTEGER bit length

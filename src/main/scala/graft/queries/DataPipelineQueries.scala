@@ -252,6 +252,16 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Compression-ratio quality gate: deflate_bytes/utf8_bytes per
+    //    doc (repetitive text → low, random soup → ~1, prose in a
+    //    band). No SQL engine exposes deflate → rows-only; semantics
+    //    pinned by OperatorsSpec goldens + RowsOnlyQueriesSpec shape. ──
+    QueryDef.rowsOnly("text_compression_gate") { (s, d) =>
+      TextOps.compressionSignal(Tables.documents(s, d), "doc_id", "text",
+          minRatio = 0.25, maxRatio = 0.9)
+        .orderBy("doc")
+    },
+
     // ── TF-IDF key-phrase extraction: top-3 word 3-grams per doc by
     //    tf·idf with the INTEGER-bit idf = floor(log2(n_docs div df)) —
     //    exact integer score, no transcendental (surprisal-gate

@@ -974,6 +974,40 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("compressionSignal: repetitive text compresses, random soup doesn't, band gates, empty NULL") {
+    val rng = new scala.util.Random(7)
+    val soup = Array.fill(400)((33 + rng.nextInt(94)).toChar).mkString
+    val prose = Seq(
+      "the cat sat on the mat and watched the quiet garden path below",
+      "a light rain had started and the stones along the path darkened",
+      "somewhere beyond the hedge a door closed and footsteps faded out",
+      "the cat stretched once then settled back to watch the rain fall",
+      "nothing else moved except the slow drip from the iron gate hinge",
+      "and the garden kept its small sounds to itself until the evening"
+    ).mkString(" ")
+    val docs = Seq(
+      (1L, prose),                     // natural redundancy, ~390 bytes
+      (2L, "spam spam spam " * 40),   // extreme repetition
+      (3L, soup),                      // near-incompressible
+      (4L, "")                         // empty
+    ).toDF("doc_id", "text")
+    val out = TextOps.compressionSignal(docs, "doc_id", "text", minRatio = 0.25, maxRatio = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))).toMap
+    val (n1, Some(r1), k1) = out(1L)
+    assert(n1 == prose.length.toLong && r1 > 0.25 && r1 < 0.9 && k1,
+      s"prose sits in the band (got $r1)")
+    val (_, Some(r2), k2) = out(2L)
+    assert(r2 < 0.1 && !k2, s"40x-repeated phrase compresses far below the band (got $r2)")
+    val (_, Some(r3), k3) = out(3L)
+    assert(r3 > 0.9 && !k3, s"random soup must not compress into the band (got $r3)")
+    assert(out(4L) == ((0L, None, false)), "empty doc: NULL ratio, keep false")
+    // determinism: same input, same plan, same ratio
+    val again = TextOps.compressionSignal(docs, "doc_id", "text", 0.25, 0.9)
+      .filter(col("doc") === 3L).collect()(0).getDouble(3)
+    assert(again == r3)
+  }
+
   test("tfIdfTerms: integer-bit idf, ubiquitous terms dropped, tf multiplies, ties lexicographic") {
     // 4 docs; unigram mode for hand-computable idf: floor(log2(4 div df))
     val docs = Seq(

@@ -22,8 +22,16 @@ class RowsOnlyQueriesSpec extends SparkSpec {
     assert(rowsOnly == Set(
       "corpus_length_percentiles_approx",
       "engine_ingest_e2e", "engine_snapshot_read", "engine_stream_enrich",
-      "text_bpe_merges", "text_bpe_tokenize"),
+      "text_bpe_merges", "text_bpe_tokenize", "text_compression_gate"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("text_compression_gate: one row per doc, ratio ordered columns, both gate branches live") {
+    val df = run("text_compression_gate")
+    assert(df.columns.toSeq == Seq("doc", "n_bytes", "deflate_bytes", "ratio", "keep"))
+    assert(df.count() == graft.Tables.documents(spark, sf).count())
+    val branches = df.groupBy("keep").count().collect().map(_.getBoolean(0)).toSet
+    assert(branches.contains(true), "the keep band must be live on the driver corpus")
   }
 
   test("corpus_length_percentiles_approx: scalar sketch columns, one row per lang") {

@@ -438,6 +438,61 @@ object DedupSimilarityQueries {
           .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // ── Dedup observability report: per language, how much duplication
+    //    each tier sees — exact (distinct text groups) and near-dup
+    //    (docs appearing in ≥1 LSH candidate pair; membership only, no
+    //    closure). The report a pipeline run ships next to its output.
+    //    Expand-free: distinct counts go through (lang, text) /
+    //    membership pre-aggregation, never count-distinct. ──
+    QueryDef.sql(
+      "corpus_dedup_report",
+      s"""WITH d AS (SELECT doc_id, coalesce(lang, '??') AS lang, text FROM documents),
+         |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT text) AS BIGINT) AS n_exact_unique
+         |       FROM d GROUP BY lang),
+         |t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+         |mem AS (SELECT DISTINCT doc FROM (
+         |          SELECT doc_a AS doc FROM p UNION ALL SELECT doc_b FROM p)),
+         |nd AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS neardup_docs
+         |       FROM mem JOIN d ON d.doc_id = mem.doc GROUP BY d.lang)
+         |SELECT ex.lang, ex.n_docs, ex.n_exact_unique,
+         |  ex.n_docs - ex.n_exact_unique AS exact_dup_docs,
+         |  coalesce(nd.neardup_docs, 0) AS neardup_docs,
+         |  round(CAST(coalesce(nd.neardup_docs, 0) AS DOUBLE) / ex.n_docs, 4) AS neardup_rate
+         |FROM ex LEFT JOIN nd USING (lang)
+         |ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), coalesce(col("lang"), lit("??")).as("lang"), col("text"))
+        // Expand-free distinct: (lang, text) pre-aggregation
+        val ex = docs.groupBy("lang", "text").agg(count(lit(1)).as("_n"))
+          .groupBy("lang")
+          .agg(sum("_n").as("n_docs"), count(lit(1)).as("n_exact_unique"))
+        val pairs = Dedup.lshCandidatePairs(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4)
+        val members = pairs.select(col("doc_a").as("doc_id"))
+          .unionByName(pairs.select(col("doc_b").as("doc_id")))
+          .distinct()
+        val nd = members.join(docs, Seq("doc_id"))
+          .groupBy("lang").agg(count(lit(1)).as("neardup_docs"))
+        ex.join(nd, Seq("lang"), "left_outer")
+          .select(col("lang"), col("n_docs"), col("n_exact_unique"),
+            (col("n_docs") - col("n_exact_unique")).as("exact_dup_docs"),
+            coalesce(col("neardup_docs"), lit(0L)).as("neardup_docs"),
+            round(coalesce(col("neardup_docs"), lit(0L)).cast("double") / col("n_docs"), 4)
+              .as("neardup_rate"))
+          .orderBy("lang")
+    },
+
     // ── Quality-aware canonical selection: keep the highest-quality
     //    member of each duplicate cluster (score = doc length here; any
     //    score column composes), ties to the smallest id — min-id keep

@@ -632,6 +632,53 @@ object TextOps {
         coalesce(col("mean_bits") >= minBits && col("mean_bits") <= maxBits, lit(false)))
   }
 
+  /** Bigram-conditional surprisal gate — the second-order sibling of
+    * [[surprisalScore]]: per word TRANSITION, bits =
+    * floor(log2(ctx(w1) div big(w1, w2))), where `big` is the corpus
+    * bigram count and `ctx` the count of transitions leaving w1 (so
+    * ctx ≥ big ≥ 1 in the self-LM and bits is a non-negative integer —
+    * exact arithmetic end-to-end, one closing IEEE division, the
+    * FP-parity doctrine). A unigram model can't see scrambled word
+    * order (same bag of words, same unigram surprisal); transitions
+    * can. Docs with < 2 tokens: zero transitions, NULL mean, keep
+    * false.
+    *
+    * Scale shape: (doc, w1, w2) partial agg; corpus bigram table from a
+    * second partial agg; context counts from a third (the hottest
+    * context collapses map-side); size-gated broadcast of the bigram LM
+    * back, shuffle join beyond the gate. */
+  def bigramSurprisal(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                      minBits: Double, maxBits: Double): org.apache.spark.sql.DataFrame = {
+    val ws = tokens(col(textCol))
+    val bi = df.select(col(idCol).as("doc"),
+        posexplode(slice(ws, lit(1), greatest(size(ws) - 1, lit(0)))).as(Seq("_i", "w1")),
+        ws.as("_ws"))
+      .select(col("doc"), col("w1"),
+        element_at(col("_ws"), col("_i") + 2).as("w2"))
+      .groupBy("doc", "w1", "w2").agg(count(lit(1)).cast("long").as("occ"))
+    val big = bi.groupBy("w1", "w2").agg(sum("occ").as("big"))
+    val ctx = big.groupBy("w1").agg(sum("big").as("ctx"))
+    val lm = big.join(ctx, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        (length(expr("bin(ctx div big)")) - 1).cast("long").as("bits"))
+    val lmSide =
+      if (lm.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20)) broadcast(lm)
+      else lm
+    val perDoc = bi.join(lmSide, Seq("w1", "w2"))
+      .groupBy("doc")
+      .agg(sum(col("bits") * col("occ")).as("_raw"), sum("occ").as("_n"))
+    df.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left_outer")
+      .select(col("doc"),
+        coalesce(col("_n"), lit(0L)).as("n_transitions"),
+        coalesce(col("_raw"), lit(0L)).as("raw_bits"),
+        (coalesce(col("_raw"), lit(0L)).cast("double") /
+          when(coalesce(col("_n"), lit(0L)) === 0, lit(null))
+            .otherwise(col("_n")).cast("double")).as("mean_bits"))
+      .withColumn("keep",
+        coalesce(col("mean_bits") >= minBits && col("mean_bits") <= maxBits, lit(false)))
+  }
+
   /** Blocklist MINING — the closing of the URL-filtering loop: aggregate
     * the classifier verdict per referenced domain and flag domains whose
     * corpus-weighted mean score falls below `minScore` (a domain whose

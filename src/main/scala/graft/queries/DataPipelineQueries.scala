@@ -1303,6 +1303,41 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── Bigram-conditional surprisal gate: the second-order LM signal —
+    //    a unigram model can't see scrambled word order (same bag of
+    //    words ⇒ same unigram surprisal); transitions can. Per
+    //    transition bits = floor(log2(ctx(w1) div big(w1,w2))), exact
+    //    integers, ONE closing division (surprisal doctrine). Band
+    //    [4.15, 4.45] exercises keep and reject at every sf (probed:
+    //    medians 4.14–4.33, tails 4.0–5.0). ──
+    QueryDef.sql(
+      "text_bigram_surprisal",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t WHERE len(ws) >= 2)),
+        |bi AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ FROM e GROUP BY 1, 2, 3),
+        |big AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS big FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(big) AS BIGINT) AS ctx FROM big GROUP BY 1),
+        |lm AS (SELECT w1, w2, CAST(length(bin(ctx // big)) - 1 AS BIGINT) AS bits
+        |       FROM big JOIN ctx USING (w1)),
+        |d AS (SELECT bi.doc_id AS doc, CAST(sum(lm.bits * bi.occ) AS BIGINT) AS raw_bits,
+        |             CAST(sum(bi.occ) AS BIGINT) AS n
+        |      FROM bi JOIN lm USING (w1, w2) GROUP BY 1)
+        |SELECT t.doc_id AS doc,
+        |  coalesce(d.n, 0) AS n_transitions,
+        |  coalesce(d.raw_bits, 0) AS raw_bits,
+        |  coalesce(d.raw_bits, 0) / CAST(CASE WHEN coalesce(d.n, 0) = 0 THEN NULL
+        |                                      ELSE d.n END AS DOUBLE) AS mean_bits,
+        |  coalesce(coalesce(d.raw_bits, 0) / CAST(CASE WHEN coalesce(d.n, 0) = 0 THEN NULL
+        |      ELSE d.n END AS DOUBLE) BETWEEN 4.15 AND 4.45, false) AS keep
+        |FROM t LEFT JOIN d ON d.doc = t.doc_id
+        |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.bigramSurprisal(Tables.documents(s, d), "doc_id", "text",
+            minBits = 4.15, maxBits = 4.45)
+          .orderBy("doc")
+    },
+
     // ── Per-language top-fraction quality gate: keep the top 30% of
     //    each language by classifier score. Threshold = exact per-group
     //    percentile (≡ quantile_cont; unrounded — the score doubles are

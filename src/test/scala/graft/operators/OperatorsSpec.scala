@@ -974,6 +974,24 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("bigramSurprisal: hand-computed transition bits, sub-2-token docs NULL, band gates") {
+    // corpus bigram counts: (a,b)=3, (b,a)=3, (b,b)=1; ctx(a)=3, ctx(b)=4
+    // bits(a→b)=bitlen(3 div 3)-1=0; bits(b→a)=bitlen(4 div 3)-1=0;
+    // bits(b→b)=bitlen(4 div 1)-1=2
+    val docs = Seq(
+      (1L, "a b a b a"), // 4 transitions, raw 0, mean 0.0 → reject
+      (2L, "a b b a"),   // 3 transitions, raw 2, mean 2/3 → keep in [0.5, 1.0]
+      (3L, "x")          // no transitions: NULL mean, keep false
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(docs, "doc_id", "text", minBits = 0.5, maxBits = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((4L, 0L, Some(0.0), false)))
+    assert(out(2L) == ((3L, 2L, Some(2.0 / 3.0), true)))
+    assert(out(3L) == ((0L, 0L, None, false)))
+  }
+
   test("compressionSignal: repetitive text compresses, random soup doesn't, band gates, empty NULL") {
     val rng = new scala.util.Random(7)
     val soup = Array.fill(400)((33 + rng.nextInt(94)).toChar).mkString

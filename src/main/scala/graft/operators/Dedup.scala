@@ -531,6 +531,49 @@ object Dedup {
       .unionByName(df.join(best, Seq(idCol), "left_semi"))
   }
 
+  /** Winnowing-fingerprint pair detection — the MOSS shape: two docs
+    * sharing ≥ `minShared` DISCRIMINATIVE winnow fingerprints share
+    * actual character runs (winnowing guarantees every ≥ k+window-1
+    * char match leaves ≥ 1 common fingerprint — local overlap, which
+    * set-level MinHash dilutes away). Discriminative = document
+    * frequency in [2, maxDf]: a fingerprint in thousands of docs is
+    * boilerplate, carries no pair information, and is ALSO the hot
+    * bucket that would blow the pair join up quadratically — measured
+    * on the driver corpus: one fp in 68% of docs, 95M raw pairs vs 41k
+    * at maxDf 10. The df threshold is declarative (count + filter), so
+    * the oracle replicates it exactly — unlike a bucket CAP, which
+    * truncates nondeterministically. Containment =
+    * shared / min(|A|, |B|) over discriminative fingerprints — the
+    * size-asymmetric metric: a short doc wholly inside a long one
+    * scores 1.0 where Jaccard rounds to 0.
+    *
+    * Scale shape: per-doc fingerprints (doc-bounded windows) → explode
+    * → partial-agg df → the [2, maxDf] filter BEFORE anything pairs →
+    * bucket self-join with every bucket ≤ maxDf rows by construction →
+    * pair partial-agg. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, window: Int = 4,
+                  maxDf: Long = 10L, minShared: Long = 2L): DataFrame = {
+    val fp = TextOps.winnowingFingerprints(df, idCol, textCol, k, window)
+      .select(col("doc"), explode(col("fingerprints")).as("fp"))
+    val keep = fp.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select("fp")
+    val disc = fp.join(keep, Seq("fp"))
+    val sizes = disc.groupBy("doc").agg(count(lit(1)).as("_nfp"))
+    val pairs = disc.select(col("fp"), col("doc").as("doc_a"))
+      .join(disc.select(col("fp"), col("doc").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("doc").as("doc_a"), col("_nfp").as("_na")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("_nfp").as("_nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("_na"), col("_nb")), 4)
+          .as("containment"))
+  }
+
   /** Exact Jaccard of two string sets. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

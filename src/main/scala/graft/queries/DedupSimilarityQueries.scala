@@ -1364,6 +1364,43 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── Winnowing-fingerprint pairs (the MOSS shape): docs sharing ≥ 2
+    //    DISCRIMINATIVE fingerprints (df in [2, 10]) share actual char
+    //    runs; containment = shared / min(|A|,|B|) catches the short-
+    //    doc-inside-long-doc case Jaccard rounds to 0. The df threshold
+    //    is declarative so the oracle replicates it exactly — and it's
+    //    also the hot-bucket guard (one fp sits in 68% of docs here:
+    //    95M raw pairs vs 41k after the filter). ──
+    QueryDef.sql(
+      "dedup_winnow_pairs",
+      """WITH p AS (SELECT doc_id, text,
+        |             unnest(range(1, greatest(length(text) - 6, 1))) AS i
+        |           FROM documents WHERE length(text) >= 8),
+        |h AS (SELECT doc_id, i, md5(substr(text, i, 8)) AS h,
+        |        length(text) - 7 AS n FROM p),
+        |w AS (SELECT doc_id, i, n,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |      FROM h),
+        |fp AS (SELECT DISTINCT doc_id AS doc, wmin AS fp
+        |       FROM w WHERE i - 1 <= greatest(n - 4, 0)),
+        |keep AS (SELECT fp FROM (SELECT fp, count(*) AS d FROM fp GROUP BY fp)
+        |         WHERE d BETWEEN 2 AND 10),
+        |disc AS (SELECT doc, fp.fp FROM fp JOIN keep USING (fp)),
+        |sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS nfp FROM disc GROUP BY doc),
+        |pr AS (SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |       FROM disc a JOIN disc b USING (fp) WHERE a.doc < b.doc
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+        |  round(CAST(pr.n_shared AS DOUBLE) / least(sa.nfp, sb.nfp), 4) AS containment
+        |FROM pr JOIN sizes sa ON sa.doc = pr.doc_a JOIN sizes sb ON sb.doc = pr.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+        Dedup.winnowPairs(QueryDef.fanOutIfNarrow(Tables.documents(s, d)),
+            "doc_id", "text", k = 8, window = 4, maxDf = 10L, minShared = 2L)
+          .orderBy("doc_a", "doc_b")
+    },
+
     // ── Rolling-hash document fingerprint (char 8-grams). ──────────────
     QueryDef.sql(
       "text_rolling_fingerprint",

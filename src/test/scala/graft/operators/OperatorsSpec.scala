@@ -974,6 +974,28 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("winnowPairs: containment catches subset docs, boilerplate df-threshold suppresses pairs") {
+    val core = "theQuickBrownFoxJumpsOverTheLazyDog0123456789"
+    val docs = Seq(
+      (1L, core),                                    // wholly contained in doc 2
+      (2L, core + "andThenSomeEntirelyDifferentTailMaterialHere"),
+      (3L, "zzzCompletelyUnrelatedContentWithNoOverlapAtAllxxx")
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowPairs(docs, "doc_id", "text", maxDf = 10L, minShared = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.contains((1L, 2L)), "shared char runs must pair")
+    assert(out((1L, 2L))._2 == 1.0,
+      "doc 1 is a prefix of doc 2: every discriminative fingerprint of 1 is in 2 → containment 1.0")
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L }, "no-overlap doc never pairs")
+
+    // boilerplate: the same substring in 12 docs exceeds maxDf 10 — its
+    // fingerprints are non-discriminative and generate NO pairs
+    val boiler = (1L to 12L).map(i => (i, core + s"uniquePerDocSuffixNumber${i}xyzpqr"))
+      .toDF("doc_id", "text")
+    val bp = Dedup.winnowPairs(boiler, "doc_id", "text", maxDf = 10L, minShared = 2L).count()
+    assert(bp == 0, s"boilerplate-only overlap above maxDf must not pair (got $bp pairs)")
+  }
+
   test("bigramSurprisal: hand-computed transition bits, sub-2-token docs NULL, band gates") {
     // corpus bigram counts: (a,b)=3, (b,a)=3, (b,b)=1; ctx(a)=3, ctx(b)=4
     // bits(a→b)=bitlen(3 div 3)-1=0; bits(b→a)=bitlen(4 div 3)-1=0;

@@ -1364,6 +1364,92 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── ANN recall@k as a first-class measured query: per probe query,
+    //    |IVF(probes=1) top-5 ∩ exact top-5| / 5 — the approximation-
+    //    quality number an ANN deployment monitors, here oracle-pinned
+    //    (both sides are deterministic given the data, so recall is
+    //    too). Exact side = brute-force bounded heap; IVF side = the
+    //    production ivfTopKBatch. ──
+    QueryDef.sql(
+      "sim_ann_recall",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |uq AS (SELECT q.qid, c.cid, unnest(q.qe) AS x, unnest(c.cv) AS y FROM q, c),
+        |sq AS (SELECT qid, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM uq GROUP BY 1, 2),
+        |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |       FROM sq),
+        |qp AS (SELECT qid, cid FROM rq WHERE rn <= 1),
+        |cand AS (SELECT qp.qid, a.vec_id FROM asg a JOIN qp ON a.cid = qp.cid),
+        |u2 AS (SELECT cand.qid, cand.vec_id, unnest(e.embedding) AS x, unnest(qe2.embedding) AS y
+        |       FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id
+        |                 JOIN embeddings qe2 ON qe2.vec_id = cand.qid),
+        |s2 AS (SELECT qid, vec_id,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM u2 GROUP BY 1, 2),
+        |iv AS (SELECT qid, vec_id FROM (
+        |         SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |           ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
+        |         FROM s2 WHERE na * nb > 0) WHERE rn <= 5),
+        |ub AS (SELECT q.qid, v.vec_id, unnest(v.embedding) AS x, unnest(q.qe) AS y FROM v, q),
+        |sb AS (SELECT qid, vec_id,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM ub GROUP BY 1, 2),
+        |exact AS (SELECT qid, vec_id FROM (
+        |            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |              ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
+        |            FROM sb WHERE na * nb > 0) WHERE rn <= 5)
+        |SELECT e.qid AS query_id, CAST(5 AS BIGINT) AS k,
+        |  CAST(count(i.vec_id) AS BIGINT) AS n_overlap,
+        |  round(count(i.vec_id) / 5.0, 4) AS recall
+        |FROM exact e LEFT JOIN iv i ON i.qid = e.qid AND i.vec_id = e.vec_id
+        |GROUP BY e.qid ORDER BY query_id""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") > 8)
+        val queries = emb.filter(col("vec_id") < 4)
+        val cents = emb.filter(col("vec_id").between(1, 8))
+        val ivf = Similarity.ivfTopKBatch(corpus, "vec_id", "embedding",
+            cents, "vec_id", queries, "vec_id", k = 5, probes = 1)
+          .select(col("query_id").as("qid"), col("vec_id").as("ivf_hit"))
+        val exact = corpus.crossJoin(broadcast(
+            queries.select(col("vec_id").as("qid"), col("embedding").as("_q"))))
+          .select(col("qid"), col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("_q")), 4).as("_cos"))
+          .filter(col("_cos").isNotNull)
+          .groupBy("qid")
+          .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+            struct((-col("_cos")).as("nc"), col("vec_id")), 5).as("_top"))
+          .select(col("qid"), explode(col("_top")).as("_t"))
+          .select(col("qid"), col("_t.vec_id").as("vec_id"))
+        exact.join(ivf,
+            exact("qid") === ivf("qid") && exact("vec_id") === ivf("ivf_hit"), "left_outer")
+          .groupBy(exact("qid").as("query_id"))
+          .agg(lit(5L).as("k"),
+            count(col("ivf_hit")).as("n_overlap"),
+            round(count(col("ivf_hit")).cast("double") / 5.0, 4).as("recall"))
+          .orderBy("query_id")
+    },
+
     // ── Winnowing-fingerprint pairs (the MOSS shape): docs sharing ≥ 2
     //    DISCRIMINATIVE fingerprints (df in [2, 10]) share actual char
     //    runs; containment = shared / min(|A|,|B|) catches the short-

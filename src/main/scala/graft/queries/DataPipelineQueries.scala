@@ -1303,6 +1303,55 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── The data card: the one-row corpus summary that ships with a
+    //    dataset release — sizes, language mix (mode via min(struct)
+    //    argmax, no rank window), exact-duplication rate. Every number
+    //    is an exact integer or one closing division. ──
+    QueryDef.sql(
+      "pipeline_data_card",
+      """WITH t AS (SELECT doc_id, coalesce(lang, '??') AS lang, text,
+        |             len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS n_toks
+        |           FROM documents),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |           CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts
+        |         FROM t),
+        |lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY lang),
+        |top AS (SELECT lang AS top_lang, c AS top_c FROM lc
+        |        ORDER BY c DESC, lang LIMIT 1)
+        |SELECT b.n_docs, b.n_tokens, b.n_chars, b.n_langs,
+        |  top.top_lang,
+        |  round(CAST(top.top_c AS DOUBLE) / b.n_docs, 4) AS top_lang_share,
+        |  b.n_docs - b.n_unique_texts AS exact_dup_docs,
+        |  round(CAST(b.n_docs - b.n_unique_texts AS DOUBLE) / b.n_docs, 4) AS dup_frac,
+        |  round(CAST(b.n_tokens AS DOUBLE) / b.n_docs, 4) AS mean_doc_tokens
+        |FROM base b, top""".stripMargin) {
+      (s, d) =>
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          coalesce(col("lang"), lit("??")).as("lang"), col("text"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+        // Expand-free distincts: pre-aggregate on the distinct key
+        val uniqueTexts = t.groupBy("text").agg(count(lit(1)).as("_c"))
+          .agg(count(lit(1)).as("n_unique_texts"))
+        val langCounts = t.groupBy("lang").agg(count(lit(1)).as("_c"))
+        val nLangs = langCounts.agg(count(lit(1)).as("n_langs"))
+        val top = langCounts
+          .agg(min(struct((-col("_c")).as("nc"), col("lang"))).as("_m"))
+          .select(col("_m.lang").as("top_lang"), (-col("_m.nc")).as("_topc"))
+        val base = t.agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        base.crossJoin(nLangs).crossJoin(uniqueTexts).crossJoin(top)
+          .select(col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
+            col("top_lang"),
+            round(col("_topc").cast("double") / col("n_docs"), 4).as("top_lang_share"),
+            (col("n_docs") - col("n_unique_texts")).as("exact_dup_docs"),
+            round((col("n_docs") - col("n_unique_texts")).cast("double") / col("n_docs"), 4)
+              .as("dup_frac"),
+            round(col("n_tokens").cast("double") / col("n_docs"), 4).as("mean_doc_tokens"))
+    },
+
     // ── The cleaning FUNNEL: all four oracled quality gates composed in
     //    pipeline order (gopher rules → classifier → unigram surprisal →
     //    bigram surprisal) with per-language cumulative pass counts —

@@ -1364,6 +1364,39 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── Embedding-corpus health stats: the one-row report a vector
+    //    pipeline checks before indexing — row/dim counts, zero vectors
+    //    (cosine-undefined), norm percentiles. Percentiles are
+    //    selection-based (order-independent, exact ≡ quantile_cont);
+    //    a norm MEAN would sum doubles order-dependently and is
+    //    deliberately absent. ──
+    QueryDef.sql(
+      "sim_embedding_stats",
+      """WITH u AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),
+        |n AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS dims,
+        |        round(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm
+        |      FROM u GROUP BY vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  min(dims) AS min_dims, max(dims) AS max_dims,
+        |  CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_vectors,
+        |  round(CAST(quantile_cont(norm, 0.1) AS DOUBLE), 4) AS p10_norm,
+        |  round(CAST(quantile_cont(norm, 0.5) AS DOUBLE), 4) AS p50_norm,
+        |  round(CAST(quantile_cont(norm, 0.9) AS DOUBLE), 4) AS p90_norm
+        |FROM n""".stripMargin) {
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            size(col("embedding")).cast("long").as("dims"),
+            round(sqrt(aggregate(col("embedding"),
+              lit(0.0), (a, x) => a + x.cast("double") * x.cast("double"))), 4).as("norm"))
+          .agg(count(lit(1)).as("n_vectors"),
+            min("dims").as("min_dims"), max("dims").as("max_dims"),
+            sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("zero_vectors"),
+            round(expr("percentile(norm, 0.1)"), 4).as("p10_norm"),
+            round(expr("percentile(norm, 0.5)"), 4).as("p50_norm"),
+            round(expr("percentile(norm, 0.9)"), 4).as("p90_norm"))
+    },
+
     // ── ANN recall@k as a first-class measured query: per probe query,
     //    |IVF(probes=1) top-5 ∩ exact top-5| / 5 — the approximation-
     //    quality number an ANN deployment monitors, here oracle-pinned

@@ -888,6 +888,59 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Code-mixing / language-consistency signal: language-ID each
+    //    NON-overlapping 32-token window (overlap would double-count
+    //    boundary text), then per doc: window count, distinct detected
+    //    languages, modal language and its share. A whole-doc classifier
+    //    averages a bilingual doc into one label; windows expose the
+    //    mix. Composition: chunkTokens → the langIdMulti expression →
+    //    two partial-agg groupBys + min(struct) argmax (no rank window,
+    //    no count-distinct Expand). Oracle reuses the GENERATED langid
+    //    branches over the chunk CTE, so both engines share one
+    //    classifier definition. ──
+    QueryDef.sql(
+      "text_code_mixing",
+      s"""WITH d0 AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+         |s0 AS (SELECT doc_id, ws, len(ws) AS n FROM d0 WHERE len(ws) > 0),
+         |c0 AS (SELECT doc_id, ws, unnest(range(0, (n + 31) // 32)) AS ci FROM s0),
+         |t AS (SELECT doc_id * 100000 + ci AS cid, doc_id, ci,
+         |        lower(array_to_string(list_slice(ws, ci * 32 + 1, ci * 32 + 32), ' ')) AS tx
+         |      FROM c0),
+         |sc AS (
+         |${TextOps.langIdMultiOracleBranches("cid", "tx")}),
+         |r AS (SELECT cid, lang, score,
+         |        row_number() OVER (PARTITION BY cid ORDER BY score DESC, lang) AS rn
+         |      FROM sc),
+         |p AS (SELECT cid, CASE WHEN score = 0 THEN 'und' ELSE lang END AS lp
+         |      FROM r WHERE rn = 1),
+         |j AS (SELECT t.doc_id, p.lp FROM p JOIN t USING (cid)),
+         |lc AS (SELECT doc_id, lp, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+         |          CAST(count(*) AS BIGINT) AS n_langs FROM lc GROUP BY 1),
+         |top AS (SELECT doc_id, lp AS top_lang, c AS topc FROM (
+         |          SELECT doc_id, lp, c, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY c DESC, lp) AS rn FROM lc) WHERE rn = 1)
+         |SELECT a.doc_id AS doc, a.n_chunks, a.n_langs, top.top_lang,
+         |  round(CAST(top.topc AS DOUBLE) / a.n_chunks, 4) AS consistency,
+         |  a.n_langs > 1 AS mixed
+         |FROM agg a JOIN top USING (doc_id) ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        val perChunk = TextOps.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+            chunkSize = 32, overlap = 0)
+          .select(col("doc"), TextOps.langIdMulti(col("chunk_text")).as("lm"))
+          .select(col("doc"), col("lm.lang_pred").as("lp"))
+        val lc = perChunk.groupBy("doc", "lp").agg(count(lit(1)).as("c"))
+        val agg = lc.groupBy("doc").agg(sum("c").as("n_chunks"), count(lit(1)).as("n_langs"))
+        val top = lc.groupBy("doc")
+          .agg(min(struct((-col("c")).as("nc"), col("lp"))).as("m"))
+          .select(col("doc"), col("m.lp").as("top_lang"), (-col("m.nc")).as("topc"))
+        agg.join(top, Seq("doc"))
+          .select(col("doc"), col("n_chunks"), col("n_langs"), col("top_lang"),
+            round(col("topc").cast("double") / col("n_chunks"), 4).as("consistency"),
+            (col("n_langs") > 1).as("mixed"))
+          .orderBy("doc")
+    },
+
     // ── Per-DETECTED-language corpus profile — the grouping the
     //    temperature-mix sampler consumes, now over a real multi-class
     //    classifier instead of the labeled metadata column. ──

@@ -974,6 +974,23 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("code-mixing composition: windowed langid exposes a bilingual doc a whole-doc label averages away") {
+    val de = "der schnelle braune fuchs springt über den faulen hund und die katze schläft"
+    val en = "the quick brown fox jumps over the lazy dog and the cat sleeps here"
+    // 3 windows of German then 3 of English (32-token windows, overlap 0)
+    val bilingual = (Seq.fill(8)(de) ++ Seq.fill(8)(en)).mkString(" ")
+    val mono = Seq.fill(16)(en).mkString(" ")
+    val docs = Seq((1L, bilingual), (2L, mono)).toDF("doc_id", "text")
+    val perChunk = TextOps.chunkTokens(docs, "doc_id", "text", chunkSize = 32, overlap = 0)
+      .select(col("doc"), TextOps.langIdMulti(col("chunk_text")).getField("lang_pred").as("lp"))
+    val langs = perChunk.groupBy("doc")
+      .agg(collect_set(col("lp")).as("ls"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(langs(1L).size > 1 && langs(1L).contains("de") && langs(1L).contains("en"),
+      s"bilingual doc must show both languages at window level (got ${langs(1L)})")
+    assert(langs(2L) == Set("en"), s"monolingual doc stays one label (got ${langs(2L)})")
+  }
+
   test("winnowPairs: containment catches subset docs, boilerplate df-threshold suppresses pairs") {
     val core = "theQuickBrownFoxJumpsOverTheLazyDog0123456789"
     val docs = Seq(

@@ -442,6 +442,49 @@ object TextOps {
         concat_ws(" ", col("kept")).as("clean_text"))
   }
 
+  /** Within-document repetition CUT (de-looping) — keep-first over the
+    * doc's own n-gram runs: a token position is removed iff it is
+    * covered by an n-gram occurrence whose gram already appeared at an
+    * EARLIER position of the SAME document. The cleaner for degenerate
+    * generation loops and copy-pasted boilerplate inside one document —
+    * the within-doc sibling of [[exactRunDedupText]] (which cuts
+    * cross-document runs and leaves self-repetition alone).
+    *
+    * Scale shape: strictly easier than the cross-doc form — every key
+    * is (doc, gram), so ALL state is document-scoped: no corpus-level
+    * gram stats, no hot-gram risk, no df threshold needed. One
+    * posexplode, one partial-agg groupBy on (doc, gram), one join back
+    * on the same key, and the span-union reassembly fold shared with
+    * the cross-doc operator (hash-based array_except, no per-token
+    * interpreted fold). */
+  def selfRepDedupText(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                       n: Int): org.apache.spark.sql.DataFrame = {
+    val L = n
+    val base = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .select(col("doc"), col("ws"), shingles(col("ws"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
+    val firsts = pos.groupBy("doc", "g")
+      .agg(min("pos").as("_first"), count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > 1)
+    val removePos = pos.join(firsts, Seq("doc", "g"))
+      .filter(col("pos") > col("_first"))
+      .select("doc", "pos")
+      .groupBy("doc")
+      .agg(sort_array(collect_list(col("pos").cast("long") + 1)).as("rs"))
+    val covered = array_distinct(flatten(transform(col("rs"),
+      s => sequence(s, s + (L - 1)))))
+    base.join(removePos, Seq("doc"), "left_outer")
+      .select(col("doc"), col("ws"), size(col("ws")).cast("long").as("n_tokens"),
+        when(col("rs").isNull, array().cast("array<long>")).otherwise(covered).as("cov"))
+      .select(col("doc"), col("n_tokens"),
+        transform(array_except(sequence(lit(1L), col("n_tokens")), col("cov")),
+          p => element_at(col("ws"), p.cast("int"))).as("kept"))
+      .select(col("doc"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** BM25-shaped relevance top-k over the corpus for a literal term set
     * — the retrieval query a data pipeline runs to pull topical slices.
     * Classic Robertson weighting with ONE deliberate deviation: the idf

@@ -859,6 +859,39 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── Within-doc repetition cut (de-looping): keep-first over the
+    //    doc's OWN 3-gram runs — the degenerate-generation cleaner; the
+    //    within-doc sibling of text_exact_dedup. Every key is
+    //    (doc, gram): document-scoped state, no hot-gram risk at all. ──
+    QueryDef.sql(
+      "text_selfrep_dedup",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM t WHERE len(ws) >= 3),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, len(ws) - 1)) AS pos,
+        |        unnest([array_to_string(list_slice(ws, j, j + 2), ' ') for j in range(1, len(ws) - 1)]) AS gram
+        |      FROM b),
+        |m AS (SELECT doc_id, gram, min(pos) AS fp, count(*) AS c FROM g GROUP BY 1, 2),
+        |rp AS (SELECT g.doc_id, g.pos FROM g JOIN m USING (doc_id, gram)
+        |       WHERE m.c > 1 AND g.pos > m.fp),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p FROM rp, (SELECT unnest(range(0, 3)) AS o) oo),
+        |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, unnest(ws) AS w FROM b),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |         LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+        |         WHERE cov.p IS NULL),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(w, ' ' ORDER BY p) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id AS doc, b.n_tokens,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id
+        |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.selfRepDedupText(Tables.documents(s, d), "doc_id", "text", n = 3)
+          .orderBy("doc")
+    },
+
     // ── MULTI-language ID: ten char-trigram profiles (de en es fr it nl
     //    pl pt sv tr), score = total profile-gram occurrences in the
     //    lowercased text, argmax with ties to the smallest code, all-zero

@@ -974,6 +974,31 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("selfRepDedupText: generation loop cut keep-first, overlap collapse, clean doc untouched") {
+    val docs = Seq(
+      (1L, "say this again say this again say this again done"), // loop ×3
+      (2L, "a a a a a"),                                          // degenerate token loop
+      (3L, "all distinct words here nothing repeats at any point") // untouched
+    ).toDF("doc_id", "text")
+    val out = TextOps.selfRepDedupText(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: grams repeat from pos 4 on ("say this again" at 1, 4, 7; plus
+    // the wrap grams) — everything from token 4 to the last covered token
+    // is cut; "done" survives only if no repeated gram covers it
+    val (n1, k1, t1) = out(1L)
+    assert(n1 == 10 && t1.startsWith("say this again"), s"first occurrence survives (got '$t1')")
+    assert(k1 < n1, "later loop iterations must be cut")
+    assert(!t1.matches(".*say this again.*say this again.*"), "no second loop copy survives")
+    // span-union semantics: later-occurrence spans [2..4] and [3..5] are
+    // cut wholesale, consuming the overlap with the first occurrence —
+    // only token 1 survives (same contract as the cross-doc cut)
+    val (n2, k2, t2) = out(2L)
+    assert(n2 == 5 && k2 == 1 && t2 == "a",
+      "overlapping self-repeat spans cut wholesale, first token survives")
+    assert(out(3L) == ((9L, 9L, "all distinct words here nothing repeats at any point")),
+      "a repetition-free doc passes through byte-identical")
+  }
+
   test("code-mixing composition: windowed langid exposes a bilingual doc a whole-doc label averages away") {
     val de = "der schnelle braune fuchs springt über den faulen hund und die katze schläft"
     val en = "the quick brown fox jumps over the lazy dog and the cat sleeps here"

@@ -1364,6 +1364,46 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── Near-dup threshold calibration sweep: candidate-pair counts at
+    //    a ladder of cosine thresholds in ONE pass over the sign-LSH
+    //    bucketed pairs — the curve an operator reads to pick the
+    //    semantic-dedup cutoff (too low merges topics, too high misses
+    //    paraphrases). Conditional sums over one pair frame: the sweep
+    //    costs one scan regardless of ladder length. Ladder calibrated
+    //    to the corpus (bucketed-pair cosine maxes at 0.49 at sf0.1),
+    //    so every rung is informative. ──
+    QueryDef.sql(
+      "sim_threshold_sweep", {
+        val bucket = (1 to 6).map(i =>
+          s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+           |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.embedding AS ea, c.embedding AS eb
+           |      FROM b a JOIN b c USING (bucket) WHERE a.vec_id < c.vec_id),
+           |u AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM p),
+           |s AS (SELECT id_a, id_b,
+           |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+           |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+           |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+           |      FROM u GROUP BY 1, 2),
+           |sc AS (SELECT round(dot / sqrt(na * nb), 4) AS cs FROM s WHERE na * nb > 0)
+           |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           |  CAST(sum(CASE WHEN cs >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS ge_010,
+           |  CAST(sum(CASE WHEN cs >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS ge_020,
+           |  CAST(sum(CASE WHEN cs >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS ge_030,
+           |  CAST(sum(CASE WHEN cs >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS ge_040,
+           |  CAST(sum(CASE WHEN cs >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS ge_045
+           |FROM sc""".stripMargin
+      }) {
+      (s, d) =>
+        val pairs = Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          p = 6, minCos = -2.0) // below any cosine: the ladder does the thresholding
+        def ge(t: Double, name: String) =
+          sum(when(col("cos_sim") >= t, 1L).otherwise(0L)).as(name)
+        pairs.agg(count(lit(1)).as("n_candidates"),
+          ge(0.1, "ge_010"), ge(0.2, "ge_020"), ge(0.3, "ge_030"),
+          ge(0.4, "ge_040"), ge(0.45, "ge_045"))
+    },
+
     // ── Embedding-corpus health stats: the one-row report a vector
     //    pipeline checks before indexing — row/dim counts, zero vectors
     //    (cosine-undefined), norm percentiles. Percentiles are

@@ -518,6 +518,31 @@ object DataPipelineQueries {
           .limit(100)
     },
 
+    // ── Sketch twin of the vocabulary size: approx_count_distinct's
+    //    HLL++ buffer is O(sketch) per group where an exact distinct
+    //    needs the full (lang, word) pre-aggregation pass — at 100 TB
+    //    the sketch answers "how big is each language's vocabulary"
+    //    from ONE scan with constant memory. Rows-only on purpose
+    //    (sketch estimates are engine-specific); the exact twin is
+    //    pinned through text_vocab_topk/text_vocab_growth. The exact
+    //    per-lang count rides along so the sketch's relative error is
+    //    OBSERVABLE in the artifact, not asserted blindly. ──
+    QueryDef.rowsOnly("text_vocab_approx") { (s, d) =>
+      Tables.documents(s, d)
+        .select(coalesce(col("lang"), lit("??")).as("lang"), explode(wordsCol).as("w"))
+        .groupBy("lang")
+        .agg(approx_count_distinct(col("w")).as("approx_vocab"),
+          count(lit(1)).as("n_tokens"))
+        .join(
+          Tables.documents(s, d)
+            .select(coalesce(col("lang"), lit("??")).as("lang"), explode(wordsCol).as("w"))
+            .groupBy("lang", "w").agg(count(lit(1)).as("_c"))
+            .groupBy("lang").agg(count(lit(1)).as("exact_vocab")),
+          Seq("lang"))
+        .select(col("lang"), col("n_tokens"), col("exact_vocab"), col("approx_vocab"))
+        .orderBy("lang")
+    },
+
     // ── Vocabulary growth curve (Heaps'-law audit): distinct words by
     //    first-appearance bucket + cumulative vocab. min(doc) per word
     //    is partial-agg (hot word collapses map-side); the only window

@@ -22,8 +22,21 @@ class RowsOnlyQueriesSpec extends SparkSpec {
     assert(rowsOnly == Set(
       "corpus_length_percentiles_approx",
       "engine_ingest_e2e", "engine_snapshot_read", "engine_stream_enrich",
-      "text_bpe_merges", "text_bpe_tokenize", "text_compression_gate"),
+      "text_bpe_merges", "text_bpe_tokenize", "text_compression_gate",
+      "text_vocab_approx"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("text_vocab_approx: one row per lang, sketch within 15% of the exact vocab it reports beside") {
+    val df = run("text_vocab_approx")
+    assert(df.columns.toSeq == Seq("lang", "n_tokens", "exact_vocab", "approx_vocab"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, approx) = (r.getLong(2), r.getLong(3))
+      assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+        s"HLL++ at default rsd must land within 15% (lang ${r.getString(0)}: $approx vs $exact)")
+    }
   }
 
   test("text_compression_gate: one row per doc, ratio ordered columns, both gate branches live") {

@@ -1243,6 +1243,39 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "chunking is a pure per-row explode, zero shuffles")
   }
 
+  test("chunkTokens fuzz: zero-overlap chunks reassemble exactly; count formula holds for random geometry") {
+    val rng = new scala.util.Random(42)
+    val docs = (1L to 60L).map { i =>
+      val n = rng.nextInt(120) // includes 0-token docs
+      (i, (1 to n).map(j => s"t${rng.nextInt(50)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (size <- Seq(1, 7, 32); overlap <- Seq(0, size / 2).distinct) {
+      val stride = size - overlap
+      val out = TextOps.chunkTokens(docs, "doc_id", "text", size, overlap)
+        .orderBy("doc", "chunk_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+      val toks = docs.collect().map(r =>
+        r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+      toks.foreach { case (id, ws) =>
+        val chunks = out.getOrElse(id, Seq.empty)
+        if (ws.isEmpty) assert(chunks.isEmpty, s"doc $id empty -> no chunks")
+        else {
+          val expected = math.max(1L,
+            if (ws.length <= overlap) 1L else (ws.length - overlap + stride - 1L) / stride)
+          assert(chunks.length.toLong == expected,
+            s"doc $id n=${ws.length} size=$size overlap=$overlap: ${chunks.length} != $expected")
+          if (overlap == 0)
+            assert(chunks.mkString(" ") == ws.mkString(" "),
+              s"zero-overlap chunks must reassemble doc $id exactly")
+          else
+            assert(chunks.head.split(" ").length == math.min(size, ws.length),
+              s"first chunk is full-width (doc $id)")
+        }
+      }
+    }
+  }
+
   test("crossDupCoverage: join-back builds on the aggregated stats side, never the exploded side") {
     // Catalyst's static size estimate for a post-Generate frame is inherited
     // from the pre-explode scan, so without the explicit gate it chose

@@ -1364,6 +1364,104 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── Recall-vs-probes curve: mean/min recall@5 at probes ∈ {1,2,4}
+    //    — THE IVF tuning artifact (how many cells must a query touch
+    //    for acceptable recall). Exact side computed once; integer-exact
+    //    aggregation: sum of per-query overlaps with ONE closing
+    //    division (avg of 0.2-steps would sum doubles order-
+    //    dependently). Oracle CTE blocks are GENERATED per probe count
+    //    from one template, so the three rungs cannot drift. ──
+    QueryDef.sql(
+      "sim_recall_probes_curve", {
+        val perProbe = Seq(1, 2, 4).map { p =>
+          s"""iv$p AS (SELECT qid, vec_id FROM (
+             |  SELECT s2.qid, s2.vec_id, row_number() OVER (PARTITION BY s2.qid
+             |    ORDER BY round(s2.dot / sqrt(s2.na * s2.nb), 4) DESC, s2.vec_id) AS rn
+             |  FROM (SELECT cand.qid, cand.vec_id,
+             |          sum(CAST(u2.x AS DOUBLE) * CAST(u2.y AS DOUBLE)) AS dot,
+             |          sum(CAST(u2.x AS DOUBLE) * CAST(u2.x AS DOUBLE)) AS na,
+             |          sum(CAST(u2.y AS DOUBLE) * CAST(u2.y AS DOUBLE)) AS nb
+             |        FROM (SELECT qp.qid, a.vec_id
+             |              FROM asg a JOIN (SELECT qid, cid FROM rq WHERE rn <= $p) qp
+             |                ON a.cid = qp.cid) cand,
+             |             LATERAL (SELECT unnest(e.embedding) AS x, unnest(q2.embedding) AS y
+             |                      FROM embeddings e, embeddings q2
+             |                      WHERE e.vec_id = cand.vec_id AND q2.vec_id = cand.qid) u2
+             |        GROUP BY 1, 2) s2
+             |  WHERE s2.na * s2.nb > 0) WHERE rn <= 5),
+             |ov$p AS (SELECT e.qid, CAST(count(i.vec_id) AS BIGINT) AS ov
+             |         FROM exact e LEFT JOIN iv$p i ON i.qid = e.qid AND i.vec_id = e.vec_id
+             |         GROUP BY e.qid),
+             |r$p AS (SELECT CAST($p AS BIGINT) AS probes,
+             |          round(CAST(sum(ov) AS DOUBLE) / (count(*) * 5), 4) AS mean_recall,
+             |          round(CAST(min(ov) AS DOUBLE) / 5, 4) AS min_recall
+             |        FROM ov$p)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+           |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+           |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+           |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+           |s AS (SELECT vec_id, cid,
+           |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+           |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+           |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+           |      FROM u GROUP BY 1, 2),
+           |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+           |      FROM s),
+           |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+           |uq AS (SELECT q.qid, c.cid, unnest(q.qe) AS x, unnest(c.cv) AS y FROM q, c),
+           |sq AS (SELECT qid, cid,
+           |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+           |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+           |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+           |       FROM uq GROUP BY 1, 2),
+           |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+           |       FROM sq),
+           |ub AS (SELECT q.qid, v.vec_id, unnest(v.embedding) AS x, unnest(q.qe) AS y FROM v, q),
+           |sb AS (SELECT qid, vec_id,
+           |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+           |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+           |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+           |       FROM ub GROUP BY 1, 2),
+           |exact AS (SELECT qid, vec_id FROM (
+           |            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+           |              ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
+           |            FROM sb WHERE na * nb > 0) WHERE rn <= 5),
+           |$perProbe
+           |SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4
+           |ORDER BY probes""".stripMargin
+      }) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") > 8)
+        val queries = emb.filter(col("vec_id") < 4)
+        val cents = emb.filter(col("vec_id").between(1, 8))
+        val exact = corpus.crossJoin(broadcast(
+            queries.select(col("vec_id").as("qid"), col("embedding").as("_q"))))
+          .select(col("qid"), col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("_q")), 4).as("_cos"))
+          .filter(col("_cos").isNotNull)
+          .groupBy("qid")
+          .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+            struct((-col("_cos")).as("nc"), col("vec_id")), 5).as("_top"))
+          .select(col("qid"), explode(col("_top")).as("_t"))
+          .select(col("qid"), col("_t.vec_id").as("vec_id"))
+        Seq(1, 2, 4).map { p =>
+          val ivf = Similarity.ivfTopKBatch(corpus, "vec_id", "embedding",
+              cents, "vec_id", queries, "vec_id", k = 5, probes = p)
+            .select(col("query_id").as("qid"), col("vec_id").as("ivf_hit"))
+          exact.join(ivf,
+              exact("qid") === ivf("qid") && exact("vec_id") === ivf("ivf_hit"), "left_outer")
+            .groupBy(exact("qid"))
+            .agg(count(col("ivf_hit")).as("ov"))
+            .agg(lit(p.toLong).as("probes"),
+              round(sum("ov").cast("double") / (count(lit(1)) * 5), 4).as("mean_recall"),
+              round(min("ov").cast("double") / 5, 4).as("min_recall"))
+        }.reduce(_.unionByName(_)).orderBy("probes")
+    },
+
     // ── Near-dup threshold calibration sweep: candidate-pair counts at
     //    a ladder of cosine thresholds in ONE pass over the sign-LSH
     //    bucketed pairs — the curve an operator reads to pick the

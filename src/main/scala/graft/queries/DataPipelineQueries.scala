@@ -518,6 +518,42 @@ object DataPipelineQueries {
           .limit(100)
     },
 
+    // ── Stopword mining: derive the function-word list from the corpus
+    //    itself — words present in ≥ half of all documents, with
+    //    document-frequency and token-share stats. This is where the
+    //    funnel's calibrated stop list COMES from (the Rae list is just
+    //    this query run on English web text). Distinct-doc counts via
+    //    (word, doc) pre-agg — no count-distinct Expand; thresholds are
+    //    integer comparisons against the one-row doc count broadcast. ──
+    QueryDef.sql(
+      "text_stopword_mining",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |wd AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS occ FROM e GROUP BY 1, 2),
+        |st AS (SELECT w, CAST(count(*) AS BIGINT) AS df, CAST(sum(occ) AS BIGINT) AS tf FROM wd GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tokens FROM st)
+        |SELECT st.w AS word, st.df, st.tf,
+        |  round(CAST(st.df AS DOUBLE) / n.n_docs, 4) AS df_frac,
+        |  round(CAST(st.tf AS DOUBLE) / tot.n_tokens, 4) AS token_share
+        |FROM st, n, tot
+        |WHERE st.df * 2 >= n.n_docs
+        |ORDER BY df DESC, word""".stripMargin) {
+      (s, d) =>
+        val e = Tables.documents(s, d)
+          .select(col("doc_id"), explode(wordsCol).as("w"))
+        val st = e.groupBy("w", "doc_id").agg(count(lit(1)).as("occ"))
+          .groupBy("w").agg(count(lit(1)).as("df"), sum("occ").as("tf"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val tot = st.agg(sum("tf").as("n_tokens"))
+        st.crossJoin(broadcast(n)).crossJoin(broadcast(tot))
+          .filter(col("df") * 2 >= col("n_docs"))
+          .select(col("w").as("word"), col("df"), col("tf"),
+            round(col("df").cast("double") / col("n_docs"), 4).as("df_frac"),
+            round(col("tf").cast("double") / col("n_tokens"), 4).as("token_share"))
+          .orderBy(desc("df"), asc("word"))
+    },
+
     // ── Sketch twin of the vocabulary size: approx_count_distinct's
     //    HLL++ buffer is O(sketch) per group where an exact distinct
     //    needs the full (lang, word) pre-aggregation pass — at 100 TB

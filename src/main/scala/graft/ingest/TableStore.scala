@@ -601,6 +601,20 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
     readManifest(table, manifestAt(table, version))
   }
 
+  /** Row-level diff between two pinned snapshot versions of an append
+    * table — the time-travel audit ("what changed between yesterday's
+    * corpus and today's"): rows only in `v2` tagged `added`, rows only
+    * in `v1` tagged `removed` (prune/delete rewrites shrink a manifest,
+    * so both directions are real). Multiset semantics via `exceptAll` —
+    * a duplicate row appearing once more IS a change — computed as one
+    * aggregate-shaped set difference per direction, no collect. */
+  def diffAsOf(table: String, v1: Long, v2: Long): DataFrame = {
+    val a = readAsOf(table, v1)
+    val b = readAsOf(table, v2)
+    b.exceptAll(a).withColumn("_op", org.apache.spark.sql.functions.lit("added"))
+      .unionByName(a.exceptAll(b).withColumn("_op", org.apache.spark.sql.functions.lit("removed")))
+  }
+
   private def isAppendTable(table: String): Boolean =
     table == "txn" || table == "txn_participation" || table == "block_header"
 

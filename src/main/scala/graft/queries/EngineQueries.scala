@@ -153,6 +153,22 @@ object EngineQueries {
           .unionByName(span(store.read("txn"), "head"))
           .orderBy("view")
     },
+
+    // ── Time-travel DIFF: what changed between the pinned phase-1
+    //    snapshot and the head — the corpus-version audit. The phase-2
+    //    ingest only appends, so the diff is pure 'added' rows spanning
+    //    exactly the phase-2 rounds; 'removed' is structurally possible
+    //    (prune rewrites) and reported when present. ──
+    QueryDef.rowsOnly("engine_snapshot_diff") {
+      (s, _) =>
+        val (store, vPin) = snapshotFixture(s)
+        store.diffAsOf("txn", vPin, store.metaVersion)
+          .groupBy("_op")
+          .agg(count(lit(1)).as("rows"),
+            min("round").as("lo_round"), max("round").as("hi_round"))
+          .withColumnRenamed("_op", "op")
+          .orderBy("op")
+    },
   )
 
   // one fixture per session: (store, pinned version after phase 1)

@@ -85,6 +85,35 @@ class IngestSpec extends SparkSpec {
     assert(store.metastate(TableStore.MetaSpecialAccounts).contains(FeeSink))
   }
 
+  test("diffAsOf: append phases diff as pure adds; self-diff empty; compaction invisible to diff") {
+    val store = newStore()
+    BlockIngest.initGenesis(store,
+      Seq((A, 1000000L, "{}"), (B, 2000000L, "{}")), network = "graft-test")
+    BlockIngest.applyBlocks(store, blocksDs(
+      block(0, Vector(pay(A, B, 100)), delta = LedgerDelta()),
+      block(1, Vector(pay(B, A, 50)), delta = LedgerDelta())))
+    val v1 = store.metaVersion
+    BlockIngest.applyBlocks(store, blocksDs(
+      block(2, Vector(pay(A, B, 10), pay(B, A, 20)), delta = LedgerDelta())))
+    val v2 = store.metaVersion
+
+    def ops(df: org.apache.spark.sql.DataFrame) = df.groupBy("_op").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops(store.diffAsOf("txn", v1, v2)) == Map("added" -> 2L),
+      "phase 2 appended exactly round 2's txns")
+    assert(store.diffAsOf("txn", v1, v1).count() == 0, "self-diff is empty")
+
+    // compaction WITHOUT vacuum is a content-preserving metadata swap:
+    // the old version's files stay live, and the diff across it is empty
+    store.compactSealed("txn", activeRbkt = Long.MaxValue, maxFilesPerBucket = 1)
+    val v3 = store.metaVersion
+    assert(v3 > v2, "compaction commits a new metadata version")
+    assert(store.diffAsOf("txn", v2, v3).count() == 0,
+      "compaction must be invisible to a row-level diff")
+    // (prune/vacuum delete unreferenced files immediately, so diffs
+    // across a vacuum boundary are out of contract by design)
+  }
+
   test("re-applying an already-accounted round is a no-op (idempotent replay)") {
     val store = newStore()
     val b0 = block(0, Vector(pay(A, B, 100)),

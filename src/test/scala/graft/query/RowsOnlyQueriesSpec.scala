@@ -23,7 +23,7 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "corpus_length_percentiles_approx",
       "engine_ingest_e2e", "engine_snapshot_read", "engine_stream_enrich",
       "text_bpe_merges", "text_bpe_tokenize", "text_compression_gate",
-      "text_vocab_approx"),
+      "text_vocab_approx", "engine_snapshot_diff"),
       "a new rows-only query was registered without a pin in this spec")
   }
 
@@ -80,6 +80,11 @@ class RowsOnlyQueriesSpec extends SparkSpec {
     val snap = run("engine_snapshot_read")
     assert(snap.columns.toSeq == Seq("view", "lo", "hi", "rows"))
     assert(snap.count() == 2, "one row per snapshot view")
+    val diff = run("engine_snapshot_diff")
+    assert(diff.columns.toSeq == Seq("op", "rows", "lo_round", "hi_round"))
+    val dr = diff.collect()
+    assert(dr.length == 1 && dr(0).getString(0) == "added" && dr(0).getLong(1) == 24,
+      "append-only phase 2 diffs as exactly its 24 added txn rows")
     val enrich = run("engine_stream_enrich")
     assert(enrich.columns.toSeq == Seq("batch_id", "n_refs", "n_enriched", "hi_round"))
     assert(enrich.count() == 2, "two streaming micro-batches")

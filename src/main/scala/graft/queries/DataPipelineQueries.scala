@@ -726,6 +726,51 @@ object DataPipelineQueries {
           .orderBy("shard", "doc_id")
     },
 
+    // ── Packing-efficiency report: per shard, how much of the fixed
+    //    seqLen×packs token budget the concatenate-and-cut layout
+    //    actually fills — the padding waste a training run pays for.
+    //    Derived from the same running-sum assignment as
+    //    pipeline_pack_sequences; one aggregate over its output. ──
+    QueryDef.sql(
+      "pipeline_pack_efficiency",
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(text),1,8)[i]) - 1)
+        |                         * power(16, 8 - i) for i in range(1,9) ]) AS BIGINT)
+        |         % 8 AS INTEGER) AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_start
+        |  FROM a),
+        |c AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    greatest(tok_start + n_tokens - 1, tok_start) // 256 AS pack_last
+        |  FROM b)
+        |SELECT shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(max(pack_last) + 1 AS BIGINT) AS n_packs,
+        |  CAST((max(pack_last) + 1) * 256 - sum(n_tokens) AS BIGINT) AS pad_tokens,
+        |  round(CAST((max(pack_last) + 1) * 256 - sum(n_tokens) AS DOUBLE)
+        |        / ((max(pack_last) + 1) * 256), 4) AS pad_frac
+        |FROM c GROUP BY shard ORDER BY shard""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        Sharding.packSequences(docs, "doc_id", "n_tokens",
+            keyCol = "text", nShards = 8, seqLen = 256)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            (max("pack_last") + 1).as("n_packs"),
+            ((max("pack_last") + 1) * 256 - sum("n_tokens")).as("pad_tokens"),
+            round(((max("pack_last") + 1) * 256 - sum("n_tokens")).cast("double") /
+              ((max("pack_last") + 1) * 256), 4).as("pad_frac"))
+          .orderBy("shard")
+    },
+
     // ── Repetition signal (Gopher/C4 family): duplicate-bigram fraction
     //    per document — boilerplate scores high, prose near 0. Pure
     //    per-row expression: shingle, distinct, ratio inside the row. ──

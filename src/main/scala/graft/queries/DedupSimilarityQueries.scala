@@ -1766,6 +1766,60 @@ object DedupSimilarityQueries {
           .orderBy("doc_new", "doc_old")
     },
 
+    // ── Incremental CHUNK-level dedup: a new-doc batch's 32-token
+    //    windows against the STORED chunk band index of the existing
+    //    corpus — the arrival path of sub-document dedup (no corpus
+    //    re-banding, no batch×corpus pairs; same composite-key plumbing
+    //    as dedup_chunk_lsh_pairs through the same incremental core as
+    //    dedup_incremental_pairs). Batch = docs ≥ 400, corpus < 400. ──
+    QueryDef.sql(
+      "dedup_chunk_incremental",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sdoc AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+         |c0 AS (SELECT doc_id, ws,
+         |        unnest(range(0, CASE WHEN n <= 8 THEN 1 ELSE (n - 8 + 23) // 24 END)) AS chunk_idx
+         |      FROM sdoc),
+         |ch AS (SELECT doc_id * 1000 + chunk_idx AS cid,
+         |         list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32) AS cw
+         |       FROM c0 WHERE len(list_slice(ws, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) >= 3),
+         |sh AS (SELECT cid, ${duckShingles("cw", 3)} AS sh FROM ch),
+         |shd AS (SELECT cid, list_distinct(sh) AS shd FROM sh),
+         |m AS (SELECT cid, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT cid, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.cid AS cid_new, c.cid AS cid_old,
+         |        CAST(count(*) AS BIGINT) AS n_shared_bands
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.cid >= 400000 AND c.cid < 400000 GROUP BY 1, 2)
+         |SELECT CAST(cid_new // 1000 AS BIGINT) AS doc_new, CAST(cid_new % 1000 AS BIGINT) AS chunk_new,
+         |  CAST(cid_old // 1000 AS BIGINT) AS doc_old, CAST(cid_old % 1000 AS BIGINT) AS chunk_old,
+         |  n_shared_bands, ${duckJaccard("x.shd", "y.shd")} AS jaccard
+         |FROM p JOIN shd x ON x.cid = p.cid_new JOIN shd y ON y.cid = p.cid_old
+         |ORDER BY doc_new, chunk_new, doc_old, chunk_old""".stripMargin) {
+      (s, d) =>
+        def chunksOf(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.TextOps.chunkTokens(df, "doc_id", "text",
+              chunkSize = 32, overlap = 8)
+            .filter(col("n_tokens") >= 3)
+            .select((col("doc") * 1000 + col("chunk_idx")).as("chunk_id"),
+              col("chunk_text").as("text"))
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+        val corpusChunks = chunksOf(docs.filter(col("doc_id") < 400))
+        val batchChunks = chunksOf(docs.filter(col("doc_id") >= 400))
+        val buckets = Dedup.bandBuckets(
+          Dedup.bandIndex(corpusChunks, "chunk_id", "text", 3, 8, 4))
+        Dedup.incrementalLshPairs(batchChunks, "chunk_id", "text", buckets, corpusChunks)
+          .select(
+            expr("CAST(doc_new div 1000 AS BIGINT)").as("dn"),
+            expr("CAST(doc_new % 1000 AS BIGINT)").as("chunk_new"),
+            expr("CAST(doc_old div 1000 AS BIGINT)").as("dold"),
+            expr("CAST(doc_old % 1000 AS BIGINT)").as("chunk_old"),
+            col("n_shared_bands"), col("jaccard"))
+          .withColumnsRenamed(Map("dn" -> "doc_new", "dold" -> "doc_old"))
+          .orderBy("doc_new", "chunk_new", "doc_old", "chunk_old")
+    },
+
     // ── Semantic dedup (embedding space): IVF-cell-bucketed cosine pairs
     //    → connected components → keep one canonical vector per family.
     //    The oracle computes exact within-cell pairs and a recursive

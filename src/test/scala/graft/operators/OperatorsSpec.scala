@@ -1243,6 +1243,36 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "chunking is a pure per-row explode, zero shuffles")
   }
 
+  test("round-9 operators: plan shapes hold (no cartesian, no rank windows, no Expand)") {
+    val docs = (1L to 40L).map(i => (i, s"alpha beta g$i delta words here plus extra tail"))
+      .toDF("doc_id", "text")
+
+    val wpPlan = Dedup.winnowPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!wpPlan.contains("Cartesian"),
+      "winnow pairs come from the fingerprint equi-join, never all-pairs")
+
+    val tfPlan = TextOps.tfIdfTerms(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!tfPlan.contains("Window"),
+      "per-doc top-k is the bounded heap, not a rank window")
+
+    val bsPlan = TextOps.bigramSurprisal(docs, "doc_id", "text", 0.0, 99.0)
+      .queryExecution.executedPlan.toString
+    assert(!bsPlan.contains("Expand") && !bsPlan.contains("Window"),
+      "plain partial-agg sums; no count-distinct, no window")
+
+    val srPlan = TextOps.selfRepDedupText(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!srPlan.contains("Window") && !srPlan.contains("Cartesian"),
+      "de-looping is (doc, gram) partial aggs + joins, no window")
+
+    val csPlan = TextOps.compressionSignal(docs, "doc_id", "text", 0.25, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!csPlan.contains("Exchange"),
+      "the deflate signal is a pure per-row projection, zero shuffles")
+  }
+
   test("chunkTokens fuzz: zero-overlap chunks reassemble exactly; count formula holds for random geometry") {
     val rng = new scala.util.Random(42)
     val docs = (1L to 60L).map { i =>

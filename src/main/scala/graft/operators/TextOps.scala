@@ -216,6 +216,36 @@ object TextOps {
           .as("contamination"))
   }
 
+  /** Contamination PROVENANCE — the audit behind [[contamination]]'s
+    * per-doc counts: WHICH benchmark item overlaps which corpus doc,
+    * and by how many shared n-grams. A decontamination decision
+    * ("drop doc X") needs this to be reviewable; the aggregate alone
+    * can't distinguish one heavy benchmark match from ten light ones.
+    * Only pairs with ≥ `minShared` shared grams are emitted.
+    *
+    * Scale shape: same as the aggregate form — the benchmark side
+    * ((gram, bench_doc), distinct) broadcasts, the corpus streams
+    * through one scan, and the (doc, bench_doc) partial-agg count
+    * collapses map-side. The output is bounded by true overlap, not
+    * corpus size. */
+  def contaminationProvenance(df: org.apache.spark.sql.DataFrame, idCol: String,
+                              textCol: String,
+                              benchmark: org.apache.spark.sql.DataFrame,
+                              benchIdCol: String, benchTextCol: String,
+                              shingleN: Int = 8,
+                              minShared: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val benchShingles = benchmark
+      .select(col(benchIdCol).as("bench_doc"),
+        explode(array_distinct(shingles(tokens(col(benchTextCol)), shingleN))).as("g"))
+      .distinct()
+    df.select(col(idCol).as("doc"),
+        explode(array_distinct(shingles(tokens(col(textCol)), shingleN))).as("g"))
+      .join(broadcast(benchShingles), Seq("g"))
+      .groupBy("doc", "bench_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Quality metrics as (n_tokens, mean_token_len, stopword_ratio); zero
     * tokens ⇒ NULL ratios (ANSI nullif semantics on both engines). */
   /** Cross-document repeated n-gram coverage — the corpus-level signal

@@ -386,6 +386,32 @@ object DedupSimilarityQueries {
           .orderBy("doc")
     },
 
+    // ── Contamination provenance: WHICH benchmark item (docs 0-9)
+    //    overlaps which corpus doc and by how many shared 3-grams —
+    //    the reviewable audit behind the decontamination decision (the
+    //    aggregate count can't distinguish one heavy match from ten
+    //    light ones). Pairs with ≥ 3 shared grams only. ──
+    QueryDef.sql(
+      "pipeline_decontaminate_provenance",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${duckShingles("ws", 3)}) AS shd FROM t),
+         |bench AS (SELECT DISTINCT doc_id AS bench_doc, unnest(shd) AS g FROM sh WHERE doc_id < 10),
+         |u AS (SELECT doc_id, unnest(shd) AS g FROM sh WHERE doc_id >= 10)
+         |SELECT u.doc_id AS doc, bench.bench_doc,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM u JOIN bench USING (g)
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY doc, bench_doc""".stripMargin) {
+      (s, d) =>
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+        TextOps.contaminationProvenance(
+            docs.filter(col("doc_id") >= 10), "doc_id", "text",
+            benchmark = docs.filter(col("doc_id") < 10),
+            benchIdCol = "doc_id", benchTextCol = "text",
+            shingleN = 3, minShared = 3L)
+          .orderBy("doc", "bench_doc")
+    },
+
     // ── Cross-document repeated n-gram coverage: the exact-substring
     //    dedup signal (grams recurring ACROSS docs; within-doc repeats
     //    are text_repetition's job). One shuffle on the gram, min≠max

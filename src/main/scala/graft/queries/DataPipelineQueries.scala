@@ -1080,6 +1080,57 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── Language-ID confidence margin: top-1 minus top-2 score per doc
+    //    — the routing signal (a doc whose best and runner-up languages
+    //    score nearly equal shouldn't be hard-routed; margin 0 means
+    //    genuinely ambiguous). Oracle ranks the same GENERATED branches
+    //    twice; Spark evaluates the classifier expression once per
+    //    language column-wise and takes the two largest scores with
+    //    greatest()/array_sort — no explode, no window. ──
+    QueryDef.sql(
+      "text_langid_margin",
+      s"""WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents),
+         |sc AS (
+         |${TextOps.langIdMultiOracleBranches("doc_id", "tx")}),
+         |r AS (SELECT doc_id, lang, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |      FROM sc),
+         |top1 AS (SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_pred,
+         |           CAST(score AS BIGINT) AS s1 FROM r WHERE rn = 1),
+         |top2 AS (SELECT doc_id, CAST(score AS BIGINT) AS s2 FROM r WHERE rn = 2)
+         |SELECT top1.doc_id AS doc, top1.lang_pred, top1.s1 AS best_score,
+         |  top1.s1 - top2.s2 AS margin,
+         |  top1.s1 - top2.s2 <= 1 AS ambiguous
+         |FROM top1 JOIN top2 USING (doc_id) ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        // per-language scores as columns, then the top-2 via one sorted
+        // array expression — per-row, no explode, no window
+        val tx = lower(col("text"))
+        val scoreCols = TextOps.langProfiles.map { case (lang, grams) =>
+          val cnt = grams.map(g =>
+            ((length(tx) - length(regexp_replace(tx, java.util.regex.Pattern.quote(g), ""))) /
+              lit(g.codePointCount(0, g.length))).cast("long"))
+            .reduce(_ + _)
+          struct(cnt.as("score"), lit(lang).as("lang"))
+        }
+        Tables.documents(s, d)
+          .select(col("doc_id").as("doc"),
+            array_sort(array(scoreCols: _*),
+              (a, b) => when(a.getField("score") > b.getField("score"), -1)
+                .when(a.getField("score") < b.getField("score"), 1)
+                .when(a.getField("lang") < b.getField("lang"), -1)
+                .when(a.getField("lang") > b.getField("lang"), 1)
+                .otherwise(0)).as("ranked"))
+          .select(col("doc"),
+            when(element_at(col("ranked"), 1).getField("score") === 0, lit("und"))
+              .otherwise(element_at(col("ranked"), 1).getField("lang")).as("lang_pred"),
+            element_at(col("ranked"), 1).getField("score").as("best_score"),
+            (element_at(col("ranked"), 1).getField("score") -
+              element_at(col("ranked"), 2).getField("score")).as("margin"))
+          .withColumn("ambiguous", col("margin") <= 1)
+          .orderBy("doc")
+    },
+
     // ── Per-DETECTED-language corpus profile — the grouping the
     //    temperature-mix sampler consumes, now over a real multi-class
     //    classifier instead of the labeled metadata column. ──

@@ -246,6 +246,50 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** SURGICAL decontamination — cut the benchmark-overlapping SPANS and
+    * keep the document: a token position is removed iff it is covered
+    * by an n-gram that also occurs in the benchmark set (the span-union
+    * identity of [[exactRunDedupText]], with membership-in-benchmark as
+    * the removal test instead of an earlier-doc test). Dropping whole
+    * documents ([[contamination]] + filter) throws away everything a
+    * long document knows because one quoted benchmark sentence rode
+    * along; this removes exactly the overlapping runs.
+    *
+    * Scale shape: strictly simpler than the cross-doc cut — NO corpus
+    * gram statistics at all: the benchmark gram set broadcasts (eval
+    * suites are small by nature), the corpus streams through one scan,
+    * and removal positions resolve map-side; then the shared in-row
+    * span-union fold. Returns (doc, n_tokens, n_kept, clean_text). */
+  def contaminationCutText(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String,
+                           benchmark: org.apache.spark.sql.DataFrame,
+                           benchTextCol: String,
+                           n: Int): org.apache.spark.sql.DataFrame = {
+    val L = n
+    val base = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .select(col("doc"), col("ws"), shingles(col("ws"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val benchGrams = benchmark
+      .select(explode(array_distinct(shingles(tokens(col(benchTextCol)), n))).as("g"))
+      .distinct()
+    val removePos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
+      .join(broadcast(benchGrams), Seq("g"))
+      .select("doc", "pos")
+      .groupBy("doc")
+      .agg(sort_array(collect_list(col("pos").cast("long") + 1)).as("rs"))
+    val covered = array_distinct(flatten(transform(col("rs"),
+      s => sequence(s, s + (L - 1)))))
+    base.join(removePos, Seq("doc"), "left_outer")
+      .select(col("doc"), col("ws"), size(col("ws")).cast("long").as("n_tokens"),
+        when(col("rs").isNull, array().cast("array<long>")).otherwise(covered).as("cov"))
+      .select(col("doc"), col("n_tokens"),
+        transform(array_except(sequence(lit(1L), col("n_tokens")), col("cov")),
+          p => element_at(col("ws"), p.cast("int"))).as("kept"))
+      .select(col("doc"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** Quality metrics as (n_tokens, mean_token_len, stopword_ratio); zero
     * tokens ⇒ NULL ratios (ANSI nullif semantics on both engines). */
   /** Cross-document repeated n-gram coverage — the corpus-level signal

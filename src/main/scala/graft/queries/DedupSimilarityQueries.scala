@@ -386,6 +386,45 @@ object DedupSimilarityQueries {
           .orderBy("doc")
     },
 
+    // ── SURGICAL decontamination: cut benchmark-overlapping SPANS, keep
+    //    the doc — dropping a whole long document because one quoted
+    //    benchmark sentence rode along wastes everything else it knows.
+    //    Removal = position covered by a 3-gram present in the bench
+    //    set (docs 0-9); the span-union fold of text_exact_dedup with a
+    //    broadcast membership test instead of corpus gram stats. ──
+    QueryDef.sql(
+      "pipeline_decontaminate_cut",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |b AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, ws FROM t
+         |      WHERE len(ws) >= 3 AND doc_id >= 10),
+         |bench AS (SELECT DISTINCT unnest(${duckShingles("ws", 3)}) AS gram FROM t WHERE doc_id < 10),
+         |g AS (SELECT doc_id,
+         |        unnest(range(1, len(ws) - 1)) AS pos,
+         |        unnest([array_to_string(list_slice(ws, j, j + 2), ' ') for j in range(1, len(ws) - 1)]) AS gram
+         |      FROM b),
+         |rp AS (SELECT g.doc_id, g.pos FROM g JOIN bench USING (gram)),
+         |cov AS (SELECT DISTINCT doc_id, pos + o AS p FROM rp, (SELECT unnest(range(0, 3)) AS o) oo),
+         |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS p, unnest(ws) AS w FROM b),
+         |kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+         |         LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+         |         WHERE cov.p IS NULL),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |          string_agg(w, ' ' ORDER BY p) AS clean_text
+         |        FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id AS doc, b.n_tokens,
+         |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(agg.clean_text, '') AS clean_text
+         |FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id
+         |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        TextOps.contaminationCutText(
+            docs.filter(col("doc_id") >= 10), "doc_id", "text",
+            benchmark = docs.filter(col("doc_id") < 10), benchTextCol = "text",
+            n = 3)
+          .orderBy("doc")
+    },
+
     // ── Contamination provenance: WHICH benchmark item (docs 0-9)
     //    overlaps which corpus doc and by how many shared 3-grams —
     //    the reviewable audit behind the decontamination decision (the

@@ -974,6 +974,24 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("contaminationCutText: only benchmark-covered spans cut, clean docs byte-identical") {
+    val bench = Seq((0L, "secret eval answer key here")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "intro words then secret eval answer key here and useful tail content"),
+      (11L, "completely clean document with no benchmark overlap at all today")
+    ).toDF("doc_id", "text")
+    val out = TextOps.contaminationCutText(docs, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val (n10, k10, t10) = out(10L)
+    assert(n10 == 12 && !t10.contains("secret") && !t10.contains("answer"),
+      s"the quoted benchmark span must be excised (got '$t10')")
+    assert(t10.startsWith("intro words") && t10.endsWith("tail content"),
+      s"surrounding useful content survives (got '$t10')")
+    assert(k10 < n10)
+    assert(out(11L) == ((10L, 10L, "completely clean document with no benchmark overlap at all today")),
+      "a clean doc passes through byte-identical")
+  }
+
   test("selfRepDedupText: generation loop cut keep-first, overlap collapse, clean doc untouched") {
     val docs = Seq(
       (1L, "say this again say this again say this again done"), // loop ×3

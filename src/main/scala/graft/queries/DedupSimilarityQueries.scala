@@ -1429,6 +1429,48 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── IVF cell-balance report: rows per cell + the imbalance ratio
+    //    (max cell / ideal uniform) — the index-health number that
+    //    predicts probe tail latency (a probe into a hot cell scans
+    //    that cell's whole posting list). Same assignment expression
+    //    as every sim_ivf_* query; one partial-agg groupBy. ──
+    QueryDef.sql(
+      "sim_cell_balance",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+        |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+        |s AS (SELECT vec_id, cid,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+        |      FROM s),
+        |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+        |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_rows FROM asg GROUP BY cid),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_cells FROM cnt)
+        |SELECT cnt.cid, cnt.n_rows,
+        |  round(CAST(cnt.n_rows AS DOUBLE) / tot.total, 4) AS cell_frac,
+        |  round(CAST(cnt.n_rows AS DOUBLE) * tot.n_cells / tot.total, 4) AS imbalance
+        |FROM cnt, tot ORDER BY cid""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val cents: Seq[(Long, Seq[Float])] = emb.filter(col("vec_id").between(1, 8))
+          .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSeq
+        val cnt = emb.filter(col("vec_id") > 8)
+          .select(Similarity.nearestCentroid(col("embedding"), cents, round4 = true).as("cid"))
+          .groupBy("cid").agg(count(lit(1)).as("n_rows"))
+        val tot = cnt.agg(sum("n_rows").as("total"), count(lit(1)).as("n_cells"))
+        cnt.crossJoin(broadcast(tot))
+          .select(col("cid"), col("n_rows"),
+            round(col("n_rows").cast("double") / col("total"), 4).as("cell_frac"),
+            round(col("n_rows").cast("double") * col("n_cells") / col("total"), 4)
+              .as("imbalance"))
+          .orderBy("cid")
+    },
+
     // ── Recall-vs-probes curve: mean/min recall@5 at probes ∈ {1,2,4}
     //    — THE IVF tuning artifact (how many cells must a query touch
     //    for acceptable recall). Exact side computed once; integer-exact

@@ -1736,6 +1736,46 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── Per-language classifier-score percentiles: the calibration
+    //    table a threshold gate is tuned against (set the cutoff at a
+    //    score quantile, not an absolute). Exact percentile ≡
+    //    quantile_cont (linear interpolation both engines); the score
+    //    itself is the bit-exact classifier score. ──
+    QueryDef.sql(
+      "text_quality_percentiles",
+      """WITH t AS (SELECT doc_id, coalesce(lang, '??') AS lang,
+        |             list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |v(w, wt) AS (VALUES ('vector', 400), ('stream', 300), ('query', 250), ('data', 200),
+        |             ('join', 150), ('the', -50), ('a', -20), ('slow', -350)),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |h AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS raw FROM e JOIN v USING (w) GROUP BY doc_id),
+        |sc AS (SELECT t.lang,
+        |        coalesce(h.raw, 0) /
+        |          (CASE WHEN len(t.ws) = 0 THEN NULL ELSE len(t.ws) END * 1000.0) AS score
+        |       FROM t LEFT JOIN h ON h.doc_id = t.doc_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(quantile_cont(score, 0.1) AS DOUBLE), 4) AS p10,
+        |  round(CAST(quantile_cont(score, 0.5) AS DOUBLE), 4) AS p50,
+        |  round(CAST(quantile_cont(score, 0.9) AS DOUBLE), 4) AS p90
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        val weights = Map(
+          "vector" -> 400L, "stream" -> 300L, "query" -> 250L, "data" -> 200L,
+          "join" -> 150L, "the" -> -50L, "a" -> -20L, "slow" -> -350L)
+        val scored = TextOps.classifierScore(Tables.documents(s, d), "doc_id", "text",
+            weights, threshold = 0.0)
+          .select(col("doc").as("doc_id"), col("score"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), coalesce(col("lang"), lit("??")).as("lang"))
+          .join(scored, Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(score, 0.1)"), 4).as("p10"),
+            round(expr("percentile(score, 0.5)"), 4).as("p50"),
+            round(expr("percentile(score, 0.9)"), 4).as("p90"))
+          .orderBy("lang")
+    },
+
     // ── Per-language top-fraction quality gate: keep the top 30% of
     //    each language by classifier score. Threshold = exact per-group
     //    percentile (≡ quantile_cont; unrounded — the score doubles are

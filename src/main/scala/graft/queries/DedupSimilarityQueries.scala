@@ -503,6 +503,61 @@ object DedupSimilarityQueries {
           .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // ── The dedup LADDER: survivors per tier in pipeline order — exact
+    //    (content hash, keep min id) then near-dup LSH clustering run
+    //    on the EXACT survivors only (the real pipeline order: the
+    //    cheap tier shrinks the corpus before the fuzzy tier bands it).
+    //    Per-language cumulative counts, the dedup twin of
+    //    pipeline_filter_funnel. ──
+    QueryDef.sql(
+      "dedup_ladder",
+      s"""WITH RECURSIVE d AS (SELECT doc_id, coalesce(lang, '??') AS lang, text FROM documents),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY text),
+         |s1 AS (SELECT d.doc_id, d.lang, d.text FROM d JOIN ex USING (doc_id)),
+         |t AS (SELECT doc_id, $DuckToks AS ws FROM s1),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |r AS (SELECT a, b FROM e
+         |      UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         |lbl AS (SELECT a AS doc, least(a, min(b)) AS cluster FROM r GROUP BY a),
+         |s2 AS (SELECT s1.doc_id, s1.lang FROM s1
+         |       WHERE s1.doc_id NOT IN (SELECT doc FROM lbl WHERE doc <> cluster))
+         |SELECT d.lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(s1k.doc_id) AS BIGINT) AS after_exact,
+         |  CAST(count(s2k.doc_id) AS BIGINT) AS after_neardup
+         |FROM d
+         |LEFT JOIN (SELECT doc_id FROM s1) s1k ON s1k.doc_id = d.doc_id
+         |LEFT JOIN (SELECT doc_id FROM s2) s2k ON s2k.doc_id = d.doc_id
+         |GROUP BY d.lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), coalesce(col("lang"), lit("??")).as("lang"), col("text"))
+        val exactKeep = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val s1 = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+        val clusters = Dedup.duplicateClusters(
+          Dedup.lshCandidatePairs(QueryDef.fanOutIfNarrow(s1), "doc_id", "text",
+            shingleN = 3, k = 8, bands = 4))
+        val s2 = Dedup.keepCanonical(s1, "doc_id", clusters).select("doc_id")
+        docs
+          .join(s1.select(col("doc_id"), lit(1).as("_s1")), Seq("doc_id"), "left_outer")
+          .join(s2.select(col("doc_id"), lit(1).as("_s2")), Seq("doc_id"), "left_outer")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("_s1")).as("after_exact"),
+            count(col("_s2")).as("after_neardup"))
+          .orderBy("lang")
+    },
+
     // ── Dedup observability report: per language, how much duplication
     //    each tier sees — exact (distinct text groups) and near-dup
     //    (docs appearing in ≥1 LSH candidate pair; membership only, no

@@ -1282,6 +1282,69 @@ object DedupSimilarityQueries {
           query = emb.filter(col("vec_id") === 0), k = 20)
     },
 
+    // ── PQ quantization recall: |ADC top-20 ∩ EXACT-dot top-20| / 20 —
+    //    the compression-quality number a PQ deployment monitors, the
+    //    code-tier sibling of sim_ann_recall. Exact side is the DOT
+    //    product (what ADC approximates), so the number isolates
+    //    quantization loss, not metric mismatch. ──
+    QueryDef.sql(
+      "sim_pq_recall",
+      """WITH cb AS (SELECT vec_id - 1 AS code, embedding AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+        |js AS (SELECT CAST(range AS INT) AS j FROM range(8)),
+        |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 16),
+        |u AS (SELECT c.vec_id, js.j, cb.code,
+        |        unnest(list_slice(c.embedding, js.j*8+1, js.j*8+8)) AS x,
+        |        unnest(list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS y
+        |      FROM corpus c, js, cb),
+        |d AS (SELECT vec_id, j, code,
+        |        round(sum((CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 4) AS l2
+        |      FROM u GROUP BY 1, 2, 3),
+        |asg AS (SELECT vec_id, j, code FROM (
+        |          SELECT vec_id, j, code,
+        |            row_number() OVER (PARTITION BY vec_id, j ORDER BY l2, code) AS rn FROM d)
+        |        WHERE rn = 1),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |lu AS (SELECT js.j, cb.code,
+        |        unnest(list_slice(qv.qe, js.j*8+1, js.j*8+8)) AS x,
+        |        unnest(list_slice(cb.cv, js.j*8+1, js.j*8+8)) AS y
+        |      FROM qv, js, cb),
+        |lut AS (SELECT j, code, round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS term
+        |        FROM lu GROUP BY 1, 2),
+        |adc AS (SELECT a.vec_id FROM (
+        |          SELECT a.vec_id, round(sum(l.term), 4) AS adc_score
+        |          FROM asg a JOIN lut l ON a.j = l.j AND a.code = l.code
+        |          GROUP BY a.vec_id ORDER BY adc_score DESC, a.vec_id LIMIT 20) a),
+        |ue AS (SELECT c.vec_id, unnest(c.embedding) AS x, unnest(qv.qe) AS y FROM corpus c, qv),
+        |ex AS (SELECT vec_id FROM (
+        |         SELECT vec_id, round(sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS dot
+        |         FROM ue GROUP BY vec_id ORDER BY dot DESC, vec_id LIMIT 20))
+        |SELECT CAST(20 AS BIGINT) AS k,
+        |  CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
+        |  round(count(a.vec_id) / 20.0, 4) AS recall
+        |FROM ex e LEFT JOIN adc a ON a.vec_id = e.vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") > 16)
+        val query = emb.filter(col("vec_id") === 0)
+        val seedRows = emb.filter(col("vec_id").between(1, 16)).orderBy("vec_id")
+          .select(col("embedding").cast("array<float>"))
+          .collect().map(_.getSeq[Float](0).toSeq).toSeq
+        val adc = Similarity.pqAdcTopK(corpus, "vec_id", "embedding",
+            Similarity.pqCodebooksFromRows(seedRows, m = 8), query, k = 20)
+          .select(col("vec_id").as("adc_hit"))
+        val exact = corpus.crossJoin(broadcast(query.select(col("embedding").as("_q"))))
+          .select(col("vec_id"),
+            round(graft.expressions.VectorExpressions.vectorDot(col("embedding"), col("_q")), 4)
+              .as("_dot"))
+          .filter(col("_dot").isNotNull)
+          .orderBy(desc("_dot"), asc("vec_id")).limit(20)
+          .select("vec_id")
+        exact.join(adc, exact("vec_id") === adc("adc_hit"), "left_outer")
+          .agg(lit(20L).as("k"),
+            count(col("adc_hit")).as("n_overlap"),
+            round(count(col("adc_hit")).cast("double") / 20.0, 4).as("recall"))
+    },
+
     // ── Multimodal metadata: opaque binary + typed metadata columns. ───
     QueryDef.sql(
       "mm_binary_meta",

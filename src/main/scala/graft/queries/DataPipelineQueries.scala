@@ -1335,6 +1335,58 @@ object DataPipelineQueries {
           query = emb.filter(col("vec_id") === 0), k = 20)
     },
 
+    // ── SQ8 quantization recall: |int8-lattice top-20 ∩ exact-cosine
+    //    top-20|/20 — completes the three-tier approximation-quality
+    //    family (IVF cells: sim_ann_recall; PQ codes: sim_pq_recall;
+    //    SQ8 lattice: here). SQ8's O(1/127) per-coordinate perturbation
+    //    should cost little recall at k=20 — now measured, not assumed. ──
+    QueryDef.sql(
+      "sim_sq8_recall",
+      """WITH z AS (SELECT vec_id, embedding,
+        |        list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS maxabs
+        |      FROM embeddings),
+        |qz AS (SELECT vec_id,
+        |        CASE WHEN maxabs > 0 THEN
+        |          [GREATEST(-127.0, LEAST(127.0, FLOOR(127.0 * CAST(x AS DOUBLE) / maxabs + 0.5))) for x in embedding]
+        |        ELSE [0.0 * CAST(x AS DOUBLE) for x in embedding] END AS q
+        |      FROM z),
+        |qq AS (SELECT q AS qv FROM qz WHERE vec_id = 0),
+        |u AS (SELECT e.vec_id, unnest(e.q) AS x, unnest(qq.qv) AS y
+        |      FROM qz e, qq WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+        |      FROM u GROUP BY vec_id),
+        |qtop AS (SELECT vec_id FROM (
+        |           SELECT vec_id, round(dot / sqrt(na * nb), 4) AS cs FROM s WHERE na > 0 AND nb > 0
+        |           ORDER BY cs DESC, vec_id LIMIT 20)),
+        |qf AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |uf AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(qf.qe) AS y
+        |       FROM embeddings e, qf WHERE e.vec_id <> 0),
+        |sf AS (SELECT vec_id,
+        |         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM uf GROUP BY vec_id),
+        |exact AS (SELECT vec_id FROM (
+        |            SELECT vec_id, round(dot / sqrt(na * nb), 4) AS cs FROM sf WHERE na * nb > 0
+        |            ORDER BY cs DESC, vec_id LIMIT 20))
+        |SELECT CAST(20 AS BIGINT) AS k,
+        |  CAST(count(q.vec_id) AS BIGINT) AS n_overlap,
+        |  round(count(q.vec_id) / 20.0, 4) AS recall
+        |FROM exact e LEFT JOIN qtop q ON q.vec_id = e.vec_id""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val query = emb.filter(col("vec_id") === 0)
+        val q8 = Similarity.cosineTopKQuantized(corpus, "vec_id", "embedding", query, k = 20)
+          .select(col("vec_id").as("q8_hit"))
+        val exact = Similarity.cosineTopK(corpus, "vec_id", "embedding", query, k = 20)
+          .select("vec_id")
+        exact.join(q8, exact("vec_id") === q8("q8_hit"), "left_outer")
+          .agg(lit(20L).as("k"),
+            count(col("q8_hit")).as("n_overlap"),
+            round(count(col("q8_hit")).cast("double") / 20.0, 4).as("recall"))
+    },
+
     // ── Composed end-to-end cleaning pipeline (the text-side analogue
     //    of engine_ingest_e2e): normalize → exact-dedup survivors →
     //    Gopher gate → per-language yield profile, ONE Spark plan with

@@ -63,6 +63,36 @@ object AsOfJoin {
           .otherwise(last(col("_ps"), ignoreNulls = true).over(w))))
   }
 
+  /** Tolerance form of [[asofJoinLeft]] — the market-data semantic: a
+    * match older than `toleranceSec` is no match at all (a quote from
+    * last week must not enrich today's trade just because nothing newer
+    * exists). Implemented ON TOP of the plain form: the matched right
+    * timestamp rides along as one extra carried payload, and every
+    * payload is nulled where the match is stale — same one-window cost
+    * envelope, no extra shuffle. */
+  def asofJoinLeftTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                            leftTime: String, rightTime: String,
+                            payloads: Seq[String], toleranceSec: Long,
+                            strict: Boolean = false): DataFrame = {
+    require(toleranceSec >= 0, "toleranceSec must be non-negative")
+    val tsCopy = "_asof_rt"
+    val joined = asofJoinLeft(left, right.withColumn(tsCopy, col(rightTime)),
+      keys, leftTime, rightTime, payloads :+ tsCopy, strict)
+    // seconds for timestamp columns; the column's own units otherwise
+    // (the generic as-of accepts any orderable time column)
+    val age = left.schema(leftTime).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        (unix_micros(col(leftTime)) - unix_micros(col(s"asof_$tsCopy"))) >
+          toleranceSec * 1000000L
+      case _ => (col(leftTime) - col(s"asof_$tsCopy")) > toleranceSec
+    }
+    val stale = col(s"asof_$tsCopy").isNull || age
+    payloads.foldLeft(joined) { (df, p) =>
+      df.withColumn(s"asof_$p", when(stale, lit(null)).otherwise(col(s"asof_$p")))
+    }.drop(s"asof_$tsCopy")
+  }
+
   /** Hot-key form of [[asofJoinLeft]] — identical semantics, different
     * cost envelope. The plain form windows per KEY, so one hot key (80%
     * of rows on a single key measured 12× task skew and 4.6× wall in

@@ -124,6 +124,37 @@ object RelationalQueries {
           .orderBy("event_id")
     },
 
+    // ── E8 as-of with staleness TOLERANCE: a purchase more than 10
+    //    minutes older than the click is no match at all (the
+    //    market-data semantic — last week's quote must not enrich
+    //    today's trade just because nothing newer exists). Same
+    //    one-window cost as the plain as-of; the matched right
+    //    timestamp rides as one extra carried payload. ──
+    QueryDef.sql(
+      "e8_asof_tolerance",
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS ref_event_id
+        |          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id,
+        |  CASE WHEN r.ts IS NOT NULL AND epoch(l.ts) - epoch(r.ts) <= 600
+        |       THEN r.ref_event_id END AS ref_event_id
+        |FROM clicks l ASOF LEFT JOIN purch r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts")
+          .agg(max("event_id").cast("long").as("ref_event_id"))
+        graft.operators.AsOfJoin
+          .asofJoinLeftTolerance(clicks, purch, Seq("user_id"), "ts", "ts",
+            Seq("ref_event_id"), toleranceSec = 600L)
+          .select(col("event_id"), col("user_id"), col("asof_ref_event_id").as("ref_event_id"))
+          .orderBy("event_id")
+    },
+
     // ── E7 RANGE join: views within one hour AFTER each signup, per
     //    user — bucketized interval join (operators/RangeJoin): explode
     //    intervals into bins, EQUI-join on (user, bin), exact predicate

@@ -23,6 +23,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == None, "key 99 has no right rows")
   }
 
+  test("tolerance variant: stale matches null out, fresh and equal-time matches survive") {
+    val left = l((1L, 10L, 5L), (2L, 10L, 100L), (3L, 10L, 8L))
+    val right = r((10L, 5L, "a"), (10L, 7L, "b"))
+    val out = AsOfJoin.asofJoinLeftTolerance(left, right, Seq("k"), "t", "t",
+        Seq("v"), toleranceSec = 3L)
+      .collect().map(row => row.getLong(0) -> Option(row.getString(3))).toMap
+    assert(out(1L) == Some("a"), "equal-time match has age 0: kept")
+    assert(out(2L) == None, "t=100 matches t=7 but age 93 > 3: nulled, row kept (LEFT)")
+    assert(out(3L) == Some("b"), "age 1 within tolerance")
+  }
+
   test("strict variant excludes the equal-time right row") {
     val left = l((1L, 10L, 5L))
     val right = r((10L, 3L, "a"), (10L, 5L, "b"))

@@ -503,6 +503,42 @@ object DedupSimilarityQueries {
           .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // ── Jaccard histogram over the LSH candidate pairs: the lexical
+    //    twin of sim_threshold_sweep — the curve that calibrates
+    //    minJaccard before a dedup run commits to a cutoff. One pass,
+    //    conditional sums; ladder rungs are corpus-informed. ──
+    QueryDef.sql(
+      "dedup_jaccard_histogram",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+         |j AS (SELECT ${duckJaccard("x.shd", "y.shd")} AS jc
+         |      FROM p JOIN shd x ON x.doc_id = p.doc_a JOIN shd y ON y.doc_id = p.doc_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN jc >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS ge_020,
+         |  CAST(sum(CASE WHEN jc >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS ge_040,
+         |  CAST(sum(CASE WHEN jc >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS ge_060,
+         |  CAST(sum(CASE WHEN jc >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS ge_080,
+         |  CAST(sum(CASE WHEN jc >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS ge_099
+         |FROM j""".stripMargin) {
+      (s, d) =>
+        val pairs = Dedup.lshCandidatePairs(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4)
+        def ge(t: Double, name: String) =
+          sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(name)
+        pairs.agg(count(lit(1)).as("n_candidates"),
+          ge(0.2, "ge_020"), ge(0.4, "ge_040"), ge(0.6, "ge_060"),
+          ge(0.8, "ge_080"), ge(0.99, "ge_099"))
+    },
+
     // ── The dedup LADDER: survivors per tier in pipeline order — exact
     //    (content hash, keep min id) then near-dup LSH clustering run
     //    on the EXACT survivors only (the real pipeline order: the

@@ -735,6 +735,42 @@ object DedupSimilarityQueries {
           .orderBy("id_a", "id_b")
     },
 
+    // ── Hamming histogram over the SimHash ball: pair counts at each
+    //    distance 0..3 in one pass over the banded k=3 candidates —
+    //    completes the calibration-curve family (cosine ladder, Jaccard
+    //    histogram, Hamming here): pick maxHamming where the count
+    //    inflects. Pigeonhole recall is exact inside the ball, so
+    //    counts are true, not probabilistic. ──
+    QueryDef.sql(
+      "dedup_simhash_histogram", {
+        val k = 3
+        val bounds = Dedup.simhashBlockBounds(k + 1)
+        val bandEq = (0 until k + 1).map { i =>
+          val (p, w) = (bounds(i) + 1, bounds(i + 1) - bounds(i))
+          s"substr(a.simhash, $p, $w) = substr(b.simhash, $p, $w)"
+        }.mkString(" OR ")
+        val ham = (1 to 16).map(i =>
+          s"(CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH s AS ($duckSimhash16),
+           |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |             a.simhash AS sa, b.simhash AS sb
+           |      FROM s a JOIN s b ON a.doc_id < b.doc_id AND ($bandEq)),
+           |h AS (SELECT CAST($ham AS BIGINT) AS hd FROM c WHERE $ham <= $k)
+           |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CASE WHEN hd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+           |  CAST(sum(CASE WHEN hd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+           |  CAST(sum(CASE WHEN hd = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+           |  CAST(sum(CASE WHEN hd = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+           |FROM h""".stripMargin
+      }) {
+      (s, d) =>
+        val pairs = Dedup.simhashNearDupPairs(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text", maxHamming = 3)
+        def h(v: Int) = sum(when(col("hamming") === v, 1L).otherwise(0L)).as(s"h$v")
+        pairs.agg(count(lit(1)).as("n_pairs"), h(0), h(1), h(2), h(3))
+    },
+
     // ── n-gram Jaccard similarity scan vs a query document. ────────────
     QueryDef.sql(
       "dedup_jaccard_topk",

@@ -554,6 +554,36 @@ object DataPipelineQueries {
           .orderBy(desc("df"), asc("word"))
     },
 
+    // ── Token-length histogram: docs per 16-token bucket (plus a
+    //    cumulative fraction) — the length-distribution panel on every
+    //    corpus dashboard; the shape that picks chunk/pack sizes. ──
+    QueryDef.sql(
+      "corpus_token_histogram",
+      """WITH t AS (SELECT CAST(len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS BIGINT) AS n
+        |           FROM documents),
+        |h AS (SELECT CAST(n // 16 AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM h)
+        |SELECT h.bucket, h.bucket * 16 AS lo_tokens, h.n_docs,
+        |  round(CAST(sum(h.n_docs) OVER (ORDER BY h.bucket) AS DOUBLE) / tot.total, 4) AS cum_frac
+        |FROM h, tot ORDER BY bucket""".stripMargin) {
+      (s, d) =>
+        val h = Tables.documents(s, d)
+          .select(size(wordsCol).cast("long").as("n"))
+          .select(expr("CAST(n div 16 AS BIGINT)").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        val tot = h.agg(sum("n_docs").as("total"))
+        // the cumsum window runs over the BUCKET aggregate (vocabGrowth
+        // posture): tens of rows, never corpus rows
+        h.crossJoin(broadcast(tot))
+          .withColumn("cum",
+            sum("n_docs").over(org.apache.spark.sql.expressions.Window
+              .orderBy("bucket").rowsBetween(Long.MinValue, 0)))
+          .select(col("bucket"), (col("bucket") * 16).as("lo_tokens"), col("n_docs"),
+            round(col("cum").cast("double") / col("total"), 4).as("cum_frac"))
+          .orderBy("bucket")
+    },
+
     // ── Sketch twin of the vocabulary size: approx_count_distinct's
     //    HLL++ buffer is O(sketch) per group where an exact distinct
     //    needs the full (lang, word) pre-aggregation pass — at 100 TB

@@ -124,6 +124,24 @@ object RelationalQueries {
           .orderBy("event_id")
     },
 
+    // ── Event-rate histogram: events per hour per type — the ingest-rate
+    //    panel (a flat-lining type means a broken producer; a spike means
+    //    a runaway one). One partial-agg groupBy on (hour, type). ──
+    QueryDef.sql(
+      "h7_event_rate",
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            // decimal(20,4) sum: exact regardless of order (the doctrine)
+            round(sum(col("value").cast("decimal(20,4)")).cast("double"), 2).as("sum_value"))
+          .orderBy("hour", "event_type")
+    },
+
     // ── E8 as-of with staleness TOLERANCE: a purchase more than 10
     //    minutes older than the click is no match at all (the
     //    market-data semantic — last week's quote must not enrich

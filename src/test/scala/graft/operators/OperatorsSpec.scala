@@ -974,6 +974,65 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("selfRepDedupText fuzz: operator equals a brute-force span-union reference on random docs") {
+    val rng = new scala.util.Random(11)
+    val n = 3
+    val docs = (1L to 50L).map { i =>
+      val len = 1 + rng.nextInt(40)
+      (i, (1 to len).map(_ => s"w${rng.nextInt(6)}").mkString(" ")) // tiny vocab → many repeats
+    }
+    def reference(text: String): (Long, Long, String) = {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.length < n) return (ws.length.toLong, ws.length.toLong, ws.mkString(" "))
+      val grams = ws.sliding(n).map(_.mkString(" ")).toArray
+      val first = scala.collection.mutable.Map.empty[String, Int]
+      val cut = scala.collection.mutable.Set.empty[Int] // 0-based token idx
+      grams.zipWithIndex.foreach { case (g, p) =>
+        first.get(g) match {
+          case Some(fp) if fp < p => (p until p + n).foreach(cut += _)
+          case None => first(g) = p
+          case _ => ()
+        }
+      }
+      val kept = ws.indices.filterNot(cut).map(ws)
+      (ws.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }
+    val out = TextOps.selfRepDedupText(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      if (ws.length >= n) // operator emits rows only for shingle-bearing docs
+        assert(out(id) == reference(text), s"doc $id diverged from brute force: '$text'")
+    }
+  }
+
+  test("bigramSurprisal fuzz: operator equals a brute-force integer-bit reference on random docs") {
+    val rng = new scala.util.Random(23)
+    val docs = (1L to 40L).map { i =>
+      val len = rng.nextInt(30)
+      (i, (1 to len).map(_ => s"t${rng.nextInt(8)}").mkString(" "))
+    }
+    // brute-force corpus LM + per-doc mean bits
+    val allBi = docs.flatMap { case (_, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty); ws.dropRight(1).zip(ws.drop(1))
+    }
+    val big = allBi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = allBi.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def bits(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val out = TextOps.bigramSurprisal(docs.toDF("doc_id", "text"), "doc_id", "text", 0.0, 99.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    docs.foreach { case (id, t) =>
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val trans = ws.dropRight(1).zip(ws.drop(1))
+      val raw = trans.map(b => bits(ctx(b._1) / big(b))).sum
+      val expected =
+        if (trans.isEmpty) (0L, 0L, None)
+        else (trans.length.toLong, raw, Some(raw.toDouble / trans.length))
+      assert(out(id) == expected, s"doc $id diverged: '$t'")
+    }
+  }
+
   test("contaminationCutText: only benchmark-covered spans cut, clean docs byte-identical") {
     val bench = Seq((0L, "secret eval answer key here")).toDF("doc_id", "text")
     val docs = Seq(

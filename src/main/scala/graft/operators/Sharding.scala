@@ -188,10 +188,13 @@ object Sharding {
 
   /** Token-budget corpus assembly — the data-recipe primitive: per
     * source, keep the best-scoring docs until the source's token budget
-    * is filled. Admission is SCORE-GROUP-ATOMIC: whole (source, score)
-    * groups are admitted in score-descending order while their
-    * cumulative token mass fits the budget; the first group that would
-    * overflow is rejected entirely. Group-atomic is what keeps the
+    * is filled. Admission is SCORE-GROUP-ATOMIC and a cumulative
+    * PREFIX: whole (source, score) groups are admitted in
+    * score-descending order while their cumulative token mass fits the
+    * budget; the first group that would overflow is rejected entirely,
+    * AND so is everything below it — the cumsum only grows, so no
+    * lower-scored group re-qualifies (not greedy-skip; fuzz-pinned
+    * against a brute-force reference). Group-atomic is what keeps the
     * operator hot-key-free — partial admission inside the boundary
     * group needs a doc-level cumsum over that group, i.e. a window
     * whose partition is unbounded. Contract: `scoreCol` must be

@@ -974,6 +974,56 @@ class OperatorsSpec extends SparkSpec {
       "cluster-key split is one join + a projection")
   }
 
+  test("fillTokenBudget fuzz: operator equals a brute-force group-atomic reference on random inputs") {
+    val rng = new scala.util.Random(31)
+    val rows = (1L to 120L).map { i =>
+      (i, s"s${rng.nextInt(4)}", rng.nextInt(5).toLong, 1L + rng.nextInt(40)) }
+    val budgets = Map("s0" -> 120L, "s1" -> 60L, "s2" -> 0L)
+    val default = 45L
+    // cumulative-PREFIX rule, not greedy-skip: the first overflowing
+    // group rejects itself and everything below it (the cumsum only
+    // grows, so no later group can re-qualify) — this is what keeps the
+    // operator a pure aggregate + filter with no per-group state
+    def reference: Set[Long] = {
+      rows.groupBy(_._2).flatMap { case (src, rs) =>
+        val budget = budgets.getOrElse(src, default)
+        val byScore = rs.groupBy(_._3).toSeq.sortBy(-_._1)
+        val cums = byScore.scanLeft(0L) { case (acc, (_, grp)) => acc + grp.map(_._4).sum }.drop(1)
+        byScore.zip(cums).takeWhile(_._2 <= budget).flatMap(_._1._2.map(_._1))
+      }.toSet
+    }
+    val kept = Sharding.fillTokenBudget(
+        rows.toDF("doc_id", "source", "score", "n_tokens"),
+        "source", "score", "n_tokens", budgets, default)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == reference, s"diff: op-only=${kept -- reference} ref-only=${reference -- kept}")
+  }
+
+  test("tfIdfTerms fuzz: operator equals a brute-force tf-idf-bits reference") {
+    val rng = new scala.util.Random(41)
+    val docs = (1L to 30L).map { i =>
+      (i, (1 to 1 + rng.nextInt(20)).map(_ => s"w${rng.nextInt(12)}").mkString(" ")) }
+    val byDoc = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }.toMap
+    val dfreq = byDoc.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nDocs = docs.length.toLong
+    def bits(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val k = 3
+    def reference(id: Long): Seq[(String, Long, Int)] = {
+      val ws = byDoc(id)
+      val tf = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      tf.toSeq.map { case (w, f) => (w, f * bits(nDocs / dfreq(w))) }
+        .filter(_._2 > 0)
+        .sortBy { case (w, s) => (-s, w) }.take(k)
+        .zipWithIndex.map { case ((w, s), r) => (w, s, r + 1) }
+    }
+    val out = TextOps.tfIdfTerms(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    docs.foreach { case (id, _) =>
+      assert(out.getOrElse(id, Seq.empty) == reference(id), s"doc $id diverged")
+    }
+  }
+
   test("selfRepDedupText fuzz: operator equals a brute-force span-union reference on random docs") {
     val rng = new scala.util.Random(11)
     val n = 3

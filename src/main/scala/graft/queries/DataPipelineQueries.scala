@@ -554,6 +554,36 @@ object DataPipelineQueries {
           .orderBy(desc("df"), asc("word"))
     },
 
+    // ── Lexical diversity (type-token ratio family): per doc, distinct
+    //    types over tokens plus root-TTR (types/√tokens, the
+    //    length-robust variant — plain TTR shrinks with doc length by
+    //    construction). sqrt is correctly rounded in IEEE arithmetic on
+    //    every platform (the flattenedKeepPermille doctrine), so both
+    //    ratios hash-match unrounded-then-rounded. Per-row distinct via
+    //    array_distinct — no corpus state at all. ──
+    QueryDef.sql(
+      "text_lexical_diversity",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(ws)) AS BIGINT) AS n_types FROM t)
+        |SELECT doc_id AS doc, n_tokens, n_types,
+        |  round(CAST(n_types AS DOUBLE) / nullif(n_tokens, 0), 4) AS ttr,
+        |  round(CAST(n_types AS DOUBLE) / nullif(sqrt(CAST(n_tokens AS DOUBLE)), 0), 4) AS rttr
+        |FROM m ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id").as("doc"),
+            size(wordsCol).cast("long").as("n_tokens"),
+            size(array_distinct(wordsCol)).cast("long").as("n_types"))
+          .select(col("doc"), col("n_tokens"), col("n_types"),
+            round(col("n_types").cast("double") /
+              when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")), 4).as("ttr"),
+            round(col("n_types").cast("double") /
+              when(col("n_tokens") === 0, lit(null))
+                .otherwise(sqrt(col("n_tokens").cast("double"))), 4).as("rttr"))
+          .orderBy("doc")
+    },
+
     // ── Token-length histogram: docs per 16-token bucket (plus a
     //    cumulative fraction) — the length-distribution panel on every
     //    corpus dashboard; the shape that picks chunk/pack sizes. ──

@@ -216,6 +216,56 @@ object TextOps {
           .as("contamination"))
   }
 
+  /** Bloom-pruned decontamination — [[contamination]] for the regime
+    * where the benchmark gram set is too large to broadcast EXACTLY
+    * (a full eval-suite union at 8-grams runs to billions of strings,
+    * tens of GB; a Bloom sketch of the same set at 1% fpp is ~10 bits
+    * per gram). Identical output to [[contamination]] — the sketch
+    * only PRUNES: corpus grams stream past a broadcast Bloom filter
+    * map-side, and the survivors (true hits + ~fpp false positives)
+    * go through an exact confirm join that removes every false
+    * positive. The alternative at that size is a full shuffle join of
+    * the entire corpus gram stream against the benchmark set — the
+    * Bloom cuts the shuffled volume from O(corpus grams) to
+    * O(hits + fpp·corpus grams).
+    *
+    * The sketch is built distributed (`DataFrameStatFunctions
+    * .bloomFilter`, one pass over the benchmark side + a sizing
+    * count); the per-row probe is a bounded hash test riding the scan
+    * (the documented UDF exception: a broadcast sketch probe has no
+    * column-expression form). The confirm join deliberately carries no
+    * broadcast hint — in the target regime the benchmark set exceeds
+    * the broadcast threshold and AQE picks a shuffled join on the
+    * pruned (small) survivor stream. Sibling of the file-pruning
+    * [[graft.ingest.FileBloom]]; same fpp logic, corpus-scale build. */
+  def contaminationBloomPruned(df: org.apache.spark.sql.DataFrame, idCol: String,
+                               textCol: String,
+                               benchmark: org.apache.spark.sql.DataFrame,
+                               benchTextCol: String,
+                               shingleN: Int = 8,
+                               fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val doc = col(idCol).as("doc")
+    val shd = array_distinct(shingles(tokens(col(textCol)), shingleN))
+    val benchShingles = benchmark
+      .select(explode(array_distinct(shingles(tokens(col(benchTextCol)), shingleN))).as("g"))
+      .distinct()
+    val nBench = math.max(benchShingles.count(), 1L)
+    val bloom = benchShingles.stat.bloomFilter("g", nBench, fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContain(g))
+    val hits = df.select(doc, explode(shd).as("g"))
+      .filter(mightContain(col("g")))   // map-side prune: ~(1-fpp) of misses die here
+      .join(benchShingles, Seq("g"))    // exact confirm: false positives die here
+      .groupBy("doc").agg(count(lit(1)).as("n_hits"))
+    df.select(doc, size(shd).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc"), "left_outer")
+      .select(col("doc"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          when(col("n_shingles") === 0, lit(null)).otherwise(col("n_shingles")), 4)
+          .as("contamination"))
+  }
+
   /** Contamination PROVENANCE — the audit behind [[contamination]]'s
     * per-doc counts: WHICH benchmark item overlaps which corpus doc,
     * and by how many shared n-grams. A decontamination decision

@@ -386,6 +386,39 @@ object DedupSimilarityQueries {
           .orderBy("doc")
     },
 
+    // ── Bloom-PRUNED decontamination: same answer as the exact query
+    //    above — the oracle is literally the same SQL — through the
+    //    too-big-to-broadcast path: benchmark grams become a broadcast
+    //    Bloom sketch, corpus grams are pruned map-side, and an exact
+    //    confirm join kills the sketch's false positives. At 100 TB the
+    //    benchmark union can be billions of grams (no broadcast, and a
+    //    full corpus-gram shuffle join is the bottleneck); the sketch
+    //    cuts shuffled volume to O(hits + fpp·grams) while changing
+    //    nothing about the result, which is exactly what the shared
+    //    oracle proves. ──
+    QueryDef.sql(
+      "pipeline_decontaminate_bloom",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${duckShingles("ws", 3)}) AS shd FROM t),
+         |bench AS (SELECT DISTINCT unnest(shd) AS g FROM sh WHERE doc_id < 10),
+         |corp AS (SELECT doc_id, shd FROM sh WHERE doc_id >= 10),
+         |u AS (SELECT doc_id, unnest(shd) AS g FROM corp),
+         |hits AS (SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM u JOIN bench USING (g) GROUP BY 1)
+         |SELECT c.doc_id AS doc, CAST(len(c.shd) AS BIGINT) AS n_shingles,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / nullif(len(c.shd), 0), 4) AS contamination
+         |FROM corp c LEFT JOIN hits h ON h.doc_id = c.doc_id
+         |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+        TextOps.contaminationBloomPruned(
+            docs.filter(col("doc_id") >= 10), "doc_id", "text",
+            benchmark = docs.filter(col("doc_id") < 10), benchTextCol = "text",
+            shingleN = 3)
+          .orderBy("doc")
+    },
+
     // ── SURGICAL decontamination: cut benchmark-overlapping SPANS, keep
     //    the doc — dropping a whole long document because one quoted
     //    benchmark sentence rode along wastes everything else it knows.

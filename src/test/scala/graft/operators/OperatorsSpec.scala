@@ -516,6 +516,33 @@ class OperatorsSpec extends SparkSpec {
     assert(m(4L) == ((0L, None)), "sub-n docs have no shingles, fraction NULL")
   }
 
+  test("contaminationBloomPruned: identical to exact contamination on a mixed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def sentence(n: Int): String = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bench = (100L until 110L).map(i => (i, sentence(12))).toDF("doc_id", "text")
+    val benchTexts = bench.collect().map(_.getString(1))
+    // corpus: some docs quote benchmark spans, some are clean, one sub-n
+    val corpus = ((1L to 40L).map { i =>
+      val t =
+        if (i % 5 == 0) sentence(4) + " " + benchTexts((i % 10).toInt) + " " + sentence(4)
+        else if (i == 7L) "too short"
+        else sentence(15)
+      (i, t)
+    }).toDF("doc_id", "text")
+    val exact = graft.operators.TextOps.contamination(
+      corpus, "doc_id", "text", bench, "text", shingleN = 3)
+    val bloomed = graft.operators.TextOps.contaminationBloomPruned(
+      corpus, "doc_id", "text", bench, "text", shingleN = 3, fpp = 0.01)
+    val ke = exact.orderBy("doc").collect().map(_.toSeq).toSeq
+    val kb = bloomed.orderBy("doc").collect().map(_.toSeq).toSeq
+    assert(ke == kb, "bloom prune + exact confirm must be invisible in the result")
+    assert(ke.exists(r => r(2).asInstanceOf[Long] > 0), "fixture has real hits")
+    assert(ke.exists(r => r(2).asInstanceOf[Long] == 0), "fixture has clean docs")
+  }
+
   test("knnJoin: every row gets at most k ranked neighbors from its probed cells") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

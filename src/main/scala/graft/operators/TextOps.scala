@@ -938,6 +938,33 @@ object TextOps {
         "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
       "\\b\\d{9,}\\b", "<NUM>")
 
+  /** PII DETECTION profile — the audit in front of [[redactPii]]: per-doc
+    * match counts per PII class (`n_emails`, `n_ips`, `n_longnums`) and
+    * a `has_pii` flag, as one struct column. A privacy review needs the
+    * class-level counts (how much PII, of what kind, where) before the
+    * redaction decision; the replace chain alone destroys that signal.
+    * Pattern literals are IDENTICAL to [[redactPii]]'s, and the counting
+    * respects the same precedence hazard: emails are counted on the raw
+    * text, IPs after emails are masked (an address's host can't donate
+    * an IP-shaped substring), digit runs after both (an email local-part
+    * or IP octet run can't count as an account number). Pure codegen'd
+    * expression chain — rides the scan, no shuffle, no UDF. */
+  def piiProfile(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val num = "\\b\\d{9,}\\b"
+    val noEmail = regexp_replace(text, email, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, ip, "<IP>")
+    val nEmails = size(regexp_extract_all(text, lit(email), lit(0))).cast("long")
+    val nIps = size(regexp_extract_all(noEmail, lit(ip), lit(0))).cast("long")
+    val nNums = size(regexp_extract_all(noIp, lit(num), lit(0))).cast("long")
+    struct(
+      nEmails.as("n_emails"),
+      nIps.as("n_ips"),
+      nNums.as("n_longnums"),
+      (nEmails + nIps + nNums > 0).as("has_pii"))
+  }
+
   /** Gopher-rule document quality gate (Rae et al. 2021 §A1.1, the
     * public rule set every big corpus pipeline starts from): word-count
     * bounds, mean-word-length bounds, symbol-to-word ratio (`#` and

@@ -381,6 +381,46 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── PII DETECTION profile: per-class match counts (emails, IPv4s,
+    //    long digit runs) + has_pii — the audit a privacy review runs
+    //    BEFORE deciding to redact; same pattern literals and masking
+    //    precedence as text_redact_pii (emails counted raw, IPs after
+    //    emails masked, digit runs after both). Same injected-PII text
+    //    as the redact query so every class actually fires. ──
+    QueryDef.sql(
+      "text_pii_profile",
+      """WITH r AS (SELECT doc_id,
+        |    coalesce(text, '') || ' contact user' || doc_id || '@example.com via 10.0.'
+        |      || (doc_id % 256) || '.7 ref ' || (doc_id * 1000000007) AS raw
+        |  FROM documents),
+        |m AS (SELECT doc_id, raw,
+        |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email
+        |  FROM r),
+        |m2 AS (SELECT doc_id, raw, no_email,
+        |    regexp_replace(no_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS no_ip
+        |  FROM m),
+        |c AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(no_email, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |    CAST(len(regexp_extract_all(no_ip, '\b\d{9,}\b')) AS BIGINT) AS n_longnums
+        |  FROM m2)
+        |SELECT doc_id, n_emails, n_ips, n_longnums,
+        |  (n_emails + n_ips + n_longnums > 0) AS has_pii
+        |FROM c ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val raw = concat(
+          coalesce(col("text"), lit("")), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com via 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 ref "),
+          (col("doc_id") * 1000000007L).cast("string"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.piiProfile(raw).as("p"))
+          .select(col("doc_id"), col("p.n_emails").as("n_emails"),
+            col("p.n_ips").as("n_ips"), col("p.n_longnums").as("n_longnums"),
+            col("p.has_pii").as("has_pii"))
+          .orderBy("doc_id")
+    },
+
     // ── Quality scoring: length stats + stopword ratio. Single-op double
     //    division (bit-exact across engines), rounded defensively. ──
     QueryDef.sql(

@@ -714,5 +714,73 @@ object RelationalQueries {
           .agg(countDistinct("w").as("n_distinct_words"))
           .orderBy("doc_id")
     },
+
+    // ── Data-quality EXPECTATION suite (the Great-Expectations / dbt-test
+    //    shape): declared checks → one violation-count row per check. All
+    //    row-level checks on a table fold into ONE aggregate over ONE scan
+    //    (k checks ≠ k passes); uniqueness rides the same pass; referential
+    //    checks are one join each. The orderdate_epoch check FAILS on this
+    //    corpus (orders run past 1998) on purpose — a validation report
+    //    that can only say "pass" proves nothing about its counting. ──
+    QueryDef.sql(
+      "corpus_expectations",
+      """WITH cust AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_nn,
+        |    CAST(sum(CASE WHEN coalesce(c_acctbal BETWEEN -1000 AND 10000, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_bal
+        |  FROM customer),
+        |ord AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uq,
+        |    CAST(sum(CASE WHEN coalesce(o_orderstatus IN ('F','O','P'), false) THEN 0 ELSE 1 END) AS BIGINT) AS v_st,
+        |    CAST(sum(CASE WHEN coalesce(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_tp,
+        |    CAST(sum(CASE WHEN coalesce(year(o_orderdate) <= 1998, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_yr
+        |  FROM orders),
+        |li AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_q,
+        |    CAST(sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_d,
+        |    CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_sd
+        |  FROM lineitem),
+        |fk1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey),
+        |fk2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'custkey_not_null' AS check_name, 'customer' AS tbl, n AS n_rows, v_nn AS n_violations, v_nn = 0 AS pass FROM cust
+        |  UNION ALL SELECT 'acctbal_range', 'customer', n, v_bal, v_bal = 0 FROM cust
+        |  UNION ALL SELECT 'orderkey_unique', 'orders', n, v_uq, v_uq = 0 FROM ord
+        |  UNION ALL SELECT 'status_enum', 'orders', n, v_st, v_st = 0 FROM ord
+        |  UNION ALL SELECT 'totalprice_positive', 'orders', n, v_tp, v_tp = 0 FROM ord
+        |  UNION ALL SELECT 'orderdate_epoch', 'orders', n, v_yr, v_yr = 0 FROM ord
+        |  UNION ALL SELECT 'quantity_range', 'lineitem', n, v_q, v_q = 0 FROM li
+        |  UNION ALL SELECT 'discount_range', 'lineitem', n, v_d, v_d = 0 FROM li
+        |  UNION ALL SELECT 'shipdate_not_null', 'lineitem', n, v_sd, v_sd = 0 FROM li
+        |  UNION ALL SELECT 'custkey_fk', 'orders', n, v, v = 0 FROM fk1
+        |  UNION ALL SELECT 'orderkey_fk', 'lineitem', n, v, v = 0 FROM fk2
+        |) ORDER BY tbl, check_name""".stripMargin) {
+      (s, d) =>
+        import graft.operators.Validation
+        import graft.operators.Validation.{Expect, Unique}
+        val cust = Validation.tableReport(Tables.customer(s, d), "customer", Seq(
+          Expect("custkey_not_null", col("c_custkey").isNotNull),
+          Expect("acctbal_range", col("c_acctbal").between(-1000, 10000))))
+        val ord = Validation.tableReport(Tables.orders(s, d), "orders", Seq(
+          Unique("orderkey_unique", col("o_orderkey")),
+          Expect("status_enum", col("o_orderstatus").isin("F", "O", "P")),
+          Expect("totalprice_positive", col("o_totalprice") > 0),
+          Expect("orderdate_epoch", year(col("o_orderdate")) <= 1998)))
+        val li = Validation.tableReport(Tables.lineitem(s, d), "lineitem", Seq(
+          Expect("quantity_range", col("l_quantity").between(1, 50)),
+          Expect("discount_range", col("l_discount").between(0, 0.1)),
+          Expect("shipdate_not_null", col("l_shipdate").isNotNull)))
+        val fk1 = Validation.referentialReport(Tables.orders(s, d), "o_custkey",
+          "orders", Tables.customer(s, d), "c_custkey", "custkey_fk")
+        val fk2 = Validation.referentialReport(Tables.lineitem(s, d), "l_orderkey",
+          "lineitem", Tables.orders(s, d), "o_orderkey", "orderkey_fk")
+        Validation.suite(Seq(cust, ord, li, fk1, fk2))
+          .orderBy("tbl", "check_name")
+    },
   )
 }

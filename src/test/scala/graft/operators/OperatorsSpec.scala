@@ -516,6 +516,24 @@ class OperatorsSpec extends SparkSpec {
     assert(m(4L) == ((0L, None)), "sub-n docs have no shingles, fraction NULL")
   }
 
+  test("piiProfile: class counts respect masking precedence, clean text all-zero") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a@b.com and c.d@e.org plus ip 10.0.0.1 and acct 1234567890"),
+      (2L, "no pii here at all"),
+      (3L, "digits inside email x12345678901@y.com must not count as numbers"),
+      (4L, "ip 192.168.0.1 only"),
+      (5L, "")).toDF("doc_id", "text")
+    val m = rows.select(col("doc_id"), graft.operators.TextOps.piiProfile(col("text")).as("p"))
+      .select(col("doc_id"), col("p.n_emails"), col("p.n_ips"), col("p.n_longnums"), col("p.has_pii"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(m(1L) == ((2L, 1L, 1L, true)))
+    assert(m(2L) == ((0L, 0L, 0L, false)))
+    assert(m(3L) == ((1L, 0L, 0L, true)), "email's digit run is masked before number counting")
+    assert(m(4L) == ((0L, 1L, 0L, true)))
+    assert(m(5L) == ((0L, 0L, 0L, false)))
+  }
+
   test("contaminationBloomPruned: identical to exact contamination on a mixed corpus") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

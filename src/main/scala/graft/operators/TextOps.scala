@@ -693,6 +693,97 @@ object TextOps {
       .limit(k)
   }
 
+  /** Retrieval-quality evaluation — MRR@k / recall@k / NDCG@k of the
+    * BM25 ranker against derived relevance labels (a doc is relevant to
+    * a query iff it contains EVERY query term): the eval harness behind
+    * any retrieval stage (BM25 candidate generation, hybrid rerank,
+    * decontamination probes) — a ranker you can't score, you can't
+    * tune. One row per query: `(qid, n_relevant, n_hits, rr, recall,
+    * ndcg)`.
+    *
+    * Scale shape: ALL queries evaluate in ONE pass — the union of query
+    * terms becomes tf columns of a single base scan (the [[bm25TopK]]
+    * stats shape, batched), per-query scores explode from one array,
+    * and per-query top-k runs through the bounded heap
+    * ([[graft.expressions.BoundedCollect]] — NO per-query window sort,
+    * so a query matching half the corpus can't serialize a task).
+    * Metric discounts are a rank-indexed LITERAL table (1/log2(r+1)
+    * precomputed at plan build, with its prefix sums for the ideal
+    * DCG) — no transcendental evaluates at query time, so Spark and a
+    * SQL oracle consume bit-identical constants (the surprisal-gate
+    * doctrine). Relevance ⊆ {score>0} because every term present means
+    * every rational idf term contributes positively. */
+  def retrievalEval(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                    queries: Seq[(String, Seq[String])], k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "need non-empty queries")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val tIdx = allTerms.zipWithIndex.toMap
+    val tfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("ws"), w => w === t)).cast("double").as(s"_tf$i")
+    }
+    val base = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .select(Seq(col("doc"), size(col("ws")).cast("double").as("_len")) ++ tfCols: _*)
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(col("_len")).as("_avg") +:
+        allTerms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1.0).otherwise(0.0)).as(s"_df$i")): _*)
+    val perQ = queries.map { case (qid, terms) =>
+      val score = terms.map { t =>
+        val i = tIdx(t)
+        val idf = (col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5)
+        val tf = col(s"_tf$i")
+        idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / col("_avg")))
+      }.reduce(_ + _)
+      val rel = terms.map(t => col(s"_tf${tIdx(t)}") > 0).reduce(_ && _)
+      struct(lit(qid).as("qid"), round(score, 4).as("score"), rel.as("rel"))
+    }
+    val scored = base.crossJoin(broadcast(stats))
+      .select(col("doc"), explode(array(perQ: _*)).as("q"))
+      .select(col("doc"), col("q.qid").as("qid"), col("q.score").as("score"),
+        col("q.rel").as("rel"))
+      .filter(col("score") > 0)
+    // literal discount table: weights(r) = 1/log2(r+1), 1-based; idcg(m) =
+    // prefix sum of the first m weights — computed HERE, consumed as plain
+    // double literals by both engines.
+    val w = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val idcg = w.scanLeft(0.0)(_ + _).tail
+    val topk = scored.groupBy("qid")
+      .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+        struct((-col("score")).as("ns"), col("doc"), col("rel")), k).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), (col("_pos") + 1).cast("long").as("rank"),
+        col("_t.rel").as("rel"))
+    val hitAgg = topk.groupBy("qid").agg(
+      sum(when(col("rel"), 1L).otherwise(0L)).as("n_hits"),
+      min(when(col("rel"), col("rank"))).as("_minr"),
+      sum(when(col("rel"),
+        element_at(array(w.map(lit): _*), col("rank").cast("int")))
+        .otherwise(0.0)).as("_dcg"))
+    val relTotals = scored.groupBy("qid")
+      .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("n_relevant"))
+    val qFrame = queries.map(_._1).toDF("qid")
+    qFrame.join(relTotals, Seq("qid"), "left_outer")
+      .join(hitAgg, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(lit(1.0) / col("_minr"), lit(0.0)), 4).as("rr"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          when(coalesce(col("n_relevant"), lit(0L)) === 0, lit(null))
+            .otherwise(col("n_relevant")), 4).as("recall"),
+        // index-0 guard: element_at is 1-based and THROWS at 0, so the
+        // zero-relevant case must short-circuit to NULL before indexing
+        round(when(coalesce(col("n_relevant"), lit(0L)) === 0, lit(null))
+          .otherwise(col("_dcg") /
+            element_at(array(idcg.map(lit): _*),
+              least(col("n_relevant"), lit(k.toLong)).cast("int"))), 4)
+          .as("ndcg"))
+  }
+
   /** Linear bag-of-words quality classifier — the learned-filter stage
     * (GPT-3/LLaMA-style "quality classifier" gating) reduced to its
     * deployable core: `score = Σ_w count(w)·weight(w) / n_tokens`,

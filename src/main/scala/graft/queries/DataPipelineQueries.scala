@@ -1033,6 +1033,71 @@ object DataPipelineQueries {
           terms = Seq("spark", "window", "merge"), k = 15)
     },
 
+    // ── Retrieval-quality EVAL: MRR@10 / recall@10 / NDCG@10 of the BM25
+    //    ranker against derived relevance (doc relevant iff it contains
+    //    EVERY query term). All five queries score in ONE corpus pass
+    //    (batched tf columns), per-query top-k through the bounded heap
+    //    (no per-query window sort). The NDCG discount table and its
+    //    prefix sums are computed ONCE here in Scala and interpolated
+    //    into BOTH engines as identical double literals — no log()
+    //    evaluates at query time (generated-oracle doctrine). ──
+    {
+      val evalQueries = Seq(
+        "q_all3" -> Seq("spark", "window", "merge"),
+        "q_merge" -> Seq("merge"),
+        "q_spark" -> Seq("spark"),
+        "q_spark_window" -> Seq("spark", "window"),
+        "q_window_merge" -> Seq("window", "merge"))
+      val k = 10
+      val allTerms = evalQueries.flatMap(_._2).distinct
+      val w = (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      val idcg = w.scanLeft(0.0)(_ + _).tail
+      val tfDefs = allTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) AS tf$i" }.mkString(", ")
+      val dfDefs = allTerms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+      val branches = evalQueries.map { case (qid, terms) =>
+        val score = terms.map { t =>
+          val i = allTerms.indexOf(t)
+          s"(n - df$i + 0.5) / (df$i + 0.5) * (tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * len / avgl))"
+        }.mkString(" + ")
+        val rel = terms.map(t => s"tf${allTerms.indexOf(t)} > 0").mkString(" AND ")
+        s"SELECT doc_id, '$qid' AS qid, round($score, 4) AS score, ($rel) AS rel FROM bse, st"
+      }.mkString("\nUNION ALL\n")
+      QueryDef.sql(
+        "text_retrieval_eval",
+        s"""WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+           |bse AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len, $tfDefs FROM t),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len) AS avgl, $dfDefs FROM bse),
+           |scored AS (
+           |$branches),
+           |f AS (SELECT * FROM scored WHERE score > 0),
+           |tk AS (SELECT qid, doc_id, rel,
+           |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+           |       FROM f),
+           |h AS (SELECT qid,
+           |        CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |        min(CASE WHEN rel THEN rank END) AS minr,
+           |        sum(CASE WHEN rel THEN (${w.mkString("[", ", ", "]")})[rank] ELSE 0.0 END) AS dcg
+           |      FROM tk WHERE rank <= $k GROUP BY qid),
+           |r AS (SELECT qid, CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+           |      FROM f GROUP BY qid),
+           |qs AS (SELECT unnest([${evalQueries.map(q => s"'${q._1}'").mkString(", ")}]) AS qid)
+           |SELECT qs.qid AS qid,
+           |  coalesce(n_relevant, 0) AS n_relevant,
+           |  coalesce(n_hits, 0) AS n_hits,
+           |  round(coalesce(1.0 / minr, 0.0), 4) AS rr,
+           |  round(CAST(coalesce(n_hits, 0) AS DOUBLE) / nullif(coalesce(n_relevant, 0), 0), 4) AS recall,
+           |  round(CASE WHEN coalesce(n_relevant, 0) = 0 THEN NULL
+           |        ELSE dcg / (${idcg.mkString("[", ", ", "]")})[least(n_relevant, $k)] END, 4) AS ndcg
+           |FROM qs LEFT JOIN r ON r.qid = qs.qid LEFT JOIN h ON h.qid = qs.qid
+           |ORDER BY qs.qid""".stripMargin) {
+        (s, d) =>
+          TextOps.retrievalEval(Tables.documents(s, d), "doc_id", "text",
+            evalQueries, k = k).orderBy("qid")
+      }
+    },
+
     // ── EXACT-substring dedup, the CUT half: spans already present in an
     //    EARLIER doc (keep-first) are removed and the cleaned token
     //    stream re-joined. The oracle rebuilds the text with an anti-join

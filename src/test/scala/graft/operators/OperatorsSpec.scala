@@ -516,6 +516,30 @@ class OperatorsSpec extends SparkSpec {
     assert(m(4L) == ((0L, None)), "sub-n docs have no shingles, fraction NULL")
   }
 
+  test("retrievalEval: perfect ranker scores 1.0, absent term scores empty, partial in between") {
+    import spark.implicits._
+    // 4 docs: doc 1-2 contain "cat", doc 3 contains "cat dog", doc 4 neither
+    val docs = Seq(
+      (1L, "cat sat on the mat"),
+      (2L, "a cat and a cat again here"),   // tf=2 → ranks above doc 1
+      (3L, "cat dog cat dog walk"),
+      (4L, "nothing relevant at all here")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.retrievalEval(docs, "doc_id", "text",
+      Seq("q_cat" -> Seq("cat"), "q_catdog" -> Seq("cat", "dog"), "q_none" -> Seq("zebra")),
+      k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), Option(r.get(4)), Option(r.get(5))))).toMap
+    // q_cat: 3 relevant docs, all in top-10 → recall 1.0, first hit rank 1 → rr 1.0
+    assert(out("q_cat")._1 == 3L && out("q_cat")._2 == 3L)
+    assert(out("q_cat")._3 == 1.0 && out("q_cat")._4.contains(1.0))
+    assert(out("q_cat")._5.contains(1.0), "all relevant retrieved contiguously from rank 1 → ndcg 1")
+    // q_catdog: only doc 3 has both; it also top-ranks (both terms fire)
+    assert(out("q_catdog")._1 == 1L && out("q_catdog")._2 == 1L && out("q_catdog")._3 == 1.0)
+    // q_none: term absent → no relevant, no scored rows, metrics zero/null
+    assert(out("q_none")._1 == 0L && out("q_none")._2 == 0L && out("q_none")._3 == 0.0)
+    assert(out("q_none")._4.isEmpty && out("q_none")._5.isEmpty)
+  }
+
   test("piiProfile: class counts respect masking precedence, clean text all-zero") {
     import spark.implicits._
     val rows = Seq(

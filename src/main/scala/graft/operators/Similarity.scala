@@ -54,6 +54,44 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
 
+  /** MaxSim late-interaction scoring (the ColBERT shape): document and
+    * query are MULTI-vector — `m` sub-vectors of `dims/m` components
+    * carved from the embedding column — and the score is
+    * Σ over query sub-vectors of (max over doc sub-vectors of cosine):
+    * each query "token" finds its best-matching doc "token"
+    * independently, which is what lets late-interaction retrieval beat
+    * single-vector cosine on multi-topic documents.
+    *
+    * Determinism contract: the per-token maxes are summed in SCALED
+    * INTEGER form — Σ round(max·10⁴) — then closed with ONE division.
+    * A raw double Σ over the m maxes is addition-order-dependent in the
+    * last ulp, and a SQL oracle's aggregate feeds its sum in whatever
+    * order the (vec_id, t) hash-aggregate emits — the integer sum is
+    * order-free, so both engines produce the same bits (the classifier
+    * permille doctrine applied to floats). Zero-norm sub-vectors yield
+    * NULL cosines which `greatest` skips; a query token with NO valid
+    * doc token contributes 0.
+    *
+    * Scale shape: one corpus scan, query row broadcast, per-row work
+    * m·dims inside whole-stage codegen (m² cosines of dims/m each),
+    * top-k dies in TakeOrderedAndProject. No shuffle at all. */
+  def maxSimTopK(df: DataFrame, idCol: String, vecCol: String,
+                 query: DataFrame, dims: Int, m: Int, k: Int): DataFrame = {
+    require(m >= 2 && dims % m == 0, s"dims=$dims must split into m=$m sub-vectors")
+    val sub = dims / m
+    val joined = df.crossJoin(broadcast(query.select(col(vecCol).as("_qvec")).limit(1)))
+    val scaled = (0 until m).map { t =>
+      val qt = slice(col("_qvec"), t * sub + 1, sub)
+      val best = greatest((0 until m).map { j =>
+        cosine(slice(col(vecCol), j * sub + 1, sub), qt)
+      }: _*)
+      round(coalesce(best, lit(0.0)) * 10000)
+    }.reduce(_ + _)
+    joined.select(col(idCol), (scaled / 10000.0).as("maxsim"))
+      .orderBy(desc("maxsim"), asc(idCol))
+      .limit(k)
+  }
+
   /** Matryoshka (prefix-dimension) retrieval funnel: coarse-rank the
     * whole corpus on the first `prefixDims` dimensions — the cheap scan
     * an MRL-trained embedding makes meaningful, `prefixDims/dims` of the

@@ -1470,6 +1470,42 @@ object DataPipelineQueries {
           query = emb.filter(col("vec_id") === 0), k = 20)
     },
 
+    // ── MaxSim late-interaction top-k (ColBERT shape): doc + query as 8
+    //    sub-vectors of 8 dims; score = Σ over query tokens of the best
+    //    doc-token cosine. The per-token maxes sum as SCALED INTEGERS
+    //    (round(max·10⁴)) closed by one division — a raw double sum is
+    //    addition-order-dependent and the oracle's hash-agg emission
+    //    order is not Spark's; the integer sum is order-free. ──
+    QueryDef.sql(
+      "sim_maxsim_topk",
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |tj AS (SELECT e.vec_id, tt.t, jj.j,
+        |         list_slice(q.qvec, tt.t * 8 + 1, tt.t * 8 + 8) AS qs,
+        |         list_slice(e.embedding, jj.j * 8 + 1, jj.j * 8 + 8) AS ds
+        |       FROM embeddings e, q,
+        |         (SELECT unnest(range(0, 8)) AS t) tt,
+        |         (SELECT unnest(range(0, 8)) AS j) jj
+        |       WHERE e.vec_id <> 0),
+        |u AS (SELECT vec_id, t, j, unnest(ds) AS x, unnest(qs) AS y FROM tj),
+        |c AS (SELECT vec_id, t, j,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |      FROM u GROUP BY 1, 2, 3),
+        |mx AS (SELECT vec_id, t, max(dot / sqrt(na * nb)) AS mc
+        |       FROM c WHERE na * nb > 0 GROUP BY 1, 2),
+        |s AS (SELECT vec_id, sum(round(mc * 10000)) AS sc FROM mx GROUP BY 1)
+        |SELECT e.vec_id, coalesce(s.sc, 0) / 10000.0 AS maxsim
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id <> 0) e
+        |LEFT JOIN s ON s.vec_id = e.vec_id
+        |ORDER BY maxsim DESC, e.vec_id LIMIT 20""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        Similarity.maxSimTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          query = emb.filter(col("vec_id") === 0), dims = 64, m = 8, k = 20)
+    },
+
     // ── SQ8-quantized cosine top-k: the billion-vector scan format
     //    (int8 lattice, 4× less IO; per-vector scale cancels in cosine).
     //    The oracle reproduces the lattice exactly — round(x) is

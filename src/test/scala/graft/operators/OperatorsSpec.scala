@@ -516,6 +516,29 @@ class OperatorsSpec extends SparkSpec {
     assert(m(4L) == ((0L, None)), "sub-n docs have no shingles, fraction NULL")
   }
 
+  test("maxSimTopK: per-token best match sums; finds cross-position matches plain cosine misses") {
+    import spark.implicits._
+    def f(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val rows = Seq(
+      (0L, f(1, 0, 0, 1)),   // query: tokens [1,0] and [0,1]
+      (1L, f(0, 1, 1, 0)),   // A: tokens swapped vs query → maxsim 2.0, plain cosine 0
+      (2L, f(1, 0, 1, 0)),   // B: one matching token → maxsim 1.0
+      (3L, f(-1, 0, 0, -1))) // C: anti-aligned → maxes clamp at 0 → 0.0
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = graft.operators.Similarity.maxSimTopK(
+      rows.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      query = rows.filter(col("vec_id") === 0), dims = 4, m = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((1L, 2.0), (2L, 1.0), (3L, 0.0)))
+    // the single-vector baseline scores A at 0 — late interaction is the point
+    val plain = graft.operators.Similarity.cosineTopK(
+      rows.filter(col("vec_id") === 1), "vec_id", "embedding",
+      query = rows.filter(col("vec_id") === 0), k = 1)
+      .collect().head.getDouble(1)
+    assert(plain == 0.0)
+  }
+
   test("retrievalEval: perfect ranker scores 1.0, absent term scores empty, partial in between") {
     import spark.implicits._
     // 4 docs: doc 1-2 contain "cat", doc 3 contains "cat dog", doc 4 neither

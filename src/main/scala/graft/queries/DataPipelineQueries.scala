@@ -178,6 +178,26 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Distributed classifier TRAINING (rows-only: full-batch GD is an
+    //    iterative global reduce no SQL oracle can express; the algorithm
+    //    is pinned by ClassifierSpec's bit-identical local twin instead).
+    //    Label = doc mentions 'spark'; separable, so the loss/accuracy
+    //    trajectory is the observable. One treeAggregate scan per epoch,
+    //    long-quantized gradients → same bits under any partitioning. ──
+    QueryDef.rowsOnly("text_classifier_train") { (s, d) =>
+      val s2 = s
+      import s2.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("label",
+          array_contains(TextOps.tokens(col("text")), "spark").cast("int"))
+      val m = graft.operators.Classifier.train(docs, "text", "label",
+        dim = 4096, epochs = 12, lr = 0.5)
+      m.epochLoss.indices.map(e =>
+          (e.toLong, m.epochLoss(e), m.epochAccuracy(e)))
+        .toDF("epoch", "loss", "accuracy")
+        .orderBy("epoch")
+    },
+
     // ── Learned BPE tokenizer (rows-only: training is an iterative
     //    global argmax no SQL oracle can express; the algorithm is
     //    pinned by BpeSpec's hand-computed merge goldens instead).

@@ -223,6 +223,45 @@ object Sharding {
     df.join(broadcast(admitted), Seq(sourceCol, scoreCol))
   }
 
+  /** Mixture-design SOLVER — turns a target mix (integer permille per
+    * source) plus a global token budget into the per-source plan the
+    * sampling/budget operators consume: `(source, n_docs, avail_tokens,
+    * target_permille, want_tokens, take_tokens, rate, deficit)`. A
+    * data recipe ("15% of each curated source, the rest spread over
+    * web") meets reality here: `want = budget·permille div 1000` is the
+    * recipe's ask, `take = min(avail, want)` is what the corpus can
+    * give, `deficit` marks sources whose ask exceeds supply (the signal
+    * to re-weight or upsample), and `rate` is the keep-fraction to feed
+    * [[sampleStratified]] (as permille) or [[fillTokenBudget]] (as a
+    * per-source budget). All sizing is exact long arithmetic — permille
+    * weights and integer division, ONE closing division for the rate
+    * (the permille doctrine) — so the plan is engine-reproducible.
+    *
+    * Scale shape: one partial-agg groupBy over the corpus to per-source
+    * token mass (sources are few — the output is driver-size), the
+    * weight table broadcasts, everything after the agg is per-row
+    * arithmetic on tens of rows. */
+  def mixtureSolver(df: DataFrame, sourceCol: String, textCol: String,
+                    targetPermille: Map[String, Long],
+                    budgetTokens: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = targetPermille.toSeq.toDF("_src", "_tp")
+    val avail = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(textCol)))).cast("long").as("avail_tokens"))
+    avail.join(broadcast(weights), col("source") === col("_src"), "left_outer")
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        coalesce(col("_tp"), lit(0L)).as("target_permille"))
+      .withColumn("want_tokens",
+        expr(s"CAST($budgetTokens * target_permille div 1000 AS BIGINT)"))
+      .withColumn("take_tokens", least(col("avail_tokens"), col("want_tokens")))
+      .withColumn("rate",
+        round(col("take_tokens").cast("double") /
+          when(col("avail_tokens") === 0, lit(null)).otherwise(col("avail_tokens")), 4))
+      .withColumn("deficit", col("want_tokens") > col("avail_tokens"))
+  }
+
   /** Stratified variant: per-stratum keep-rates (permille), the
     * training-mix shape — "keep 100% of wiki, 30% of web, 5% of
     * boilerplate". Strata absent from the map keep `defaultPermille`.

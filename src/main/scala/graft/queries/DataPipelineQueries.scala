@@ -1022,6 +1022,41 @@ object DataPipelineQueries {
           .orderBy("source", "doc_id")
     },
 
+    // ── Mixture-design SOLVER: target mix (permille per source) + global
+    //    token budget → per-source want/take/rate/deficit plan. Curated
+    //    sources (src0-3) ask 150‰ each of a 12k-token budget — more
+    //    than they hold at small SF, so the deficit column actually
+    //    fires; exact long sizing, one closing division for the rate. ──
+    {
+      val weights: Map[String, Long] =
+        (0 to 3).map(i => s"src$i" -> 150L).toMap ++
+          (4 to 19).map(i => s"src$i" -> 25L).toMap
+      val budget = 12000L
+      val valuesSql = weights.toSeq.sortBy(_._1)
+        .map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      QueryDef.sql(
+        "pipeline_mixture_solver",
+        s"""WITH w(src, tp) AS (VALUES $valuesSql),
+           |a AS (SELECT source,
+           |        CAST(count(*) AS BIGINT) AS n_docs,
+           |        CAST(sum(len(list_filter(string_split(trim(text), ' '), t -> t <> ''))) AS BIGINT) AS avail_tokens
+           |      FROM documents GROUP BY source),
+           |p AS (SELECT a.source, a.n_docs, a.avail_tokens,
+           |        CAST(coalesce(w.tp, 0) AS BIGINT) AS target_permille,
+           |        CAST($budget * coalesce(w.tp, 0) // 1000 AS BIGINT) AS want_tokens
+           |      FROM a LEFT JOIN w ON w.src = a.source)
+           |SELECT source, n_docs, avail_tokens, target_permille, want_tokens,
+           |  least(avail_tokens, want_tokens) AS take_tokens,
+           |  round(CAST(least(avail_tokens, want_tokens) AS DOUBLE) / nullif(avail_tokens, 0), 4) AS rate,
+           |  want_tokens > avail_tokens AS deficit
+           |FROM p ORDER BY source""".stripMargin) {
+        (s, d) =>
+          Sharding.mixtureSolver(Tables.documents(s, d), "source", "text",
+            targetPermille = weights, budgetTokens = budget)
+            .orderBy("source")
+      }
+    },
+
     // ── BM25-shaped retrieval top-k (rational idf for cross-engine bit
     //    parity — see TextOps.bm25TopK scaladoc; ln is not correctly
     //    rounded across libms, rational arithmetic is). The SQL mirrors

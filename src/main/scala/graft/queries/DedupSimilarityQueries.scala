@@ -1450,6 +1450,29 @@ object DedupSimilarityQueries {
             round(count(col("adc_hit")).cast("double") / 20.0, 4).as("recall"))
     },
 
+    // ── Media EXACT dedup: content-hash over the binary column (the
+    //    image/audio twin of dedup_exact — byte-identical assets recur
+    //    massively in web crawls; md5-of-blob groups them engine-
+    //    portably). Keep = min id per hash; one partial-agg shuffle on
+    //    the hash, no binary payload travels (hash computed map-side). ──
+    QueryDef.sql(
+      "mm_exact_dedup",
+      """SELECT md5(coalesce(text, '')) AS content_hash,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM documents
+        |GROUP BY 1 ORDER BY content_hash""".stripMargin) {
+      // oracle hashes the VARCHAR (DuckDB md5 has no BLOB overload); the
+      // bytes are identical because the blob IS the text's UTF-8
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(encode(coalesce(col("text"), lit("")), "UTF-8")).as("content_hash"))
+          .groupBy("content_hash")
+          .agg(count(lit(1)).as("n_copies"), min("doc_id").cast("long").as("keep_id"))
+          .orderBy("content_hash")
+    },
+
     // ── Multimodal metadata: opaque binary + typed metadata columns. ───
     QueryDef.sql(
       "mm_binary_meta",

@@ -516,6 +516,27 @@ class OperatorsSpec extends SparkSpec {
     assert(m(4L) == ((0L, None)), "sub-n docs have no shingles, fraction NULL")
   }
 
+  test("mixtureSolver: want/take/rate/deficit exact; undeclared source gets zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "curated"),   // 10 tokens
+      (2L, "a b c d e f g h i j", "curated"),   // curated avail = 20
+      (3L, ("w " * 100).trim, "web"),           // web avail = 100
+      (4L, "x y z", "stray"))                   // undeclared
+      .toDF("doc_id", "text", "source")
+    val plan = graft.operators.Sharding.mixtureSolver(docs, "source", "text",
+      targetPermille = Map("curated" -> 500L, "web" -> 500L), budgetTokens = 80L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getBoolean(7)))).toMap
+    // curated: want 80*500/1000 = 40 > avail 20 → take 20, rate 1.0, deficit
+    assert(plan("curated") == ((20L, 500L, 40L, 20L, 1.0, true)))
+    // web: want 40 ≤ avail 100 → take 40, rate 0.4, no deficit
+    assert(plan("web") == ((100L, 500L, 40L, 40L, 0.4, false)))
+    // stray: permille 0 → want 0, take 0, rate 0, no deficit
+    assert(plan("stray") == ((3L, 0L, 0L, 0L, 0.0, false)))
+  }
+
   test("maxSimTopK: per-token best match sums; finds cross-position matches plain cosine misses") {
     import spark.implicits._
     def f(xs: Double*): Seq[Float] = xs.map(_.toFloat)

@@ -169,6 +169,29 @@ object EngineQueries {
           .withColumnRenamed("_op", "op")
           .orderBy("op")
     },
+
+    // ── Streaming data-quality monitor vertical: the documents corpus
+    //    arrives as two micro-batches (even/odd doc ids) through
+    //    StreamingValidation — per-batch expectation counts plus the
+    //    durable cumulative ledger (batch-partitioned parquet state,
+    //    replay-idempotent; spec-pinned in StreamingValidationSpec).
+    //    rows-only: the ledger is the engine's own state. ──
+    QueryDef.rowsOnly("engine_stream_validate") {
+      (s, d) =>
+        import graft.operators.Validation.{Expect, Unique}
+        val docs = graft.Tables.documents(s, d)
+        val checks = Seq(
+          Expect("doc_id_not_null", col("doc_id").isNotNull),
+          Expect("text_nonempty", length(col("text")) > 0),
+          Expect("chars_consistent", col("n_chars") === length(col("text"))),
+          Unique("doc_id_unique", col("doc_id")))
+        val st = java.nio.file.Files.createTempDirectory("graft-sval").toString
+        val r0 = graft.streaming.StreamingValidation.processBatch(
+          docs.filter(col("doc_id") % 2 === 0), 0L, "documents", checks, st)
+        val r1 = graft.streaming.StreamingValidation.processBatch(
+          docs.filter(col("doc_id") % 2 === 1), 1L, "documents", checks, st)
+        r0.unionByName(r1).orderBy("batch_id", "check_name")
+    },
   )
 
   // one fixture per session: (store, pinned version after phase 1)

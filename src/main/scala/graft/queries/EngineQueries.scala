@@ -192,6 +192,30 @@ object EngineQueries {
           docs.filter(col("doc_id") % 2 === 1), 1L, "documents", checks, st)
         r0.unionByName(r1).orderBy("batch_id", "check_name")
     },
+
+    // ── JSONL ingest vertical with quarantine: the corpus serialized to
+    //    JSONL + three injected broken lines, read back through
+    //    TextSources — every line accounted for (good + corrupt = total),
+    //    ids and languages surviving the round-trip intact. rows-only:
+    //    the fixture file is the engine's own. ──
+    QueryDef.rowsOnly("engine_jsonl_quarantine") {
+      (s, d) =>
+        import s.implicits._
+        val docs = graft.Tables.documents(s, d).filter(col("doc_id") < 100)
+        val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+        val lines = docs
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"))).as("line"))
+          .unionByName(Seq("BROKEN {", "also not json", "{\"doc_id\": 999 trailing")
+            .toDF("line"))
+        lines.coalesce(1).write.mode("overwrite").text(dir)
+        val (good, bad) = graft.sources.TextSources.readJsonlWithQuarantine(
+          s, dir, org.apache.spark.sql.types.StructType
+            .fromDDL("doc_id BIGINT, text STRING, lang STRING"))
+        good.agg(count(lit(1)).as("n_good"),
+            sum("doc_id").as("sum_ids"),
+            countDistinct("lang").as("n_langs"))
+          .crossJoin(bad.agg(count(lit(1)).as("n_corrupt")))
+    },
   )
 
   // one fixture per session: (store, pinned version after phase 1)

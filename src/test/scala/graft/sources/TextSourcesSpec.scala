@@ -1,0 +1,46 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+class TextSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+
+  test("jsonl: syntactic damage quarantines; schema drift stays PERMISSIVE") {
+    val dir = tmpDir("jsonl-src")
+    Seq(
+      """{"doc_id": 1, "text": "hello"}""",
+      """{"doc_id": 2}""",                              // missing field → NULL text
+      """{"doc_id": "NaN?", "text": "typed"}""",        // type mismatch → NULL doc_id
+      """TRUNCATED {"doc_id": 4""",                     // corrupt → quarantine
+      """{"doc_id": 5, "text": "ok", "extra": true}""", // extra field → ignored
+      """not json either""")                            // corrupt → quarantine
+      .toDF("line").coalesce(1).write.mode("overwrite").text(dir)
+
+    val (good, corrupt) = TextSources.readJsonlWithQuarantine(spark, dir, schema)
+    val g = good.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(good.count() == 4 && corrupt.count() == 2, "no line silently dropped: 4 + 2 = 6")
+    assert(g.contains((Some(2L), None)), "missing field survives with NULL")
+    assert(g.contains((None, Some("typed"))), "type mismatch nulls the field, keeps the row")
+    assert(g.contains((Some(5L), Some("ok"))), "extra fields ignored")
+    val q = corrupt.collect().map(_.getString(0)).toSet
+    assert(q == Set("""TRUNCATED {"doc_id": 4""", "not json either"))
+  }
+
+  test("csv: lines without the required key quarantine; quarantine writer round-trips") {
+    val dir = tmpDir("csv-src")
+    Seq("1,alpha", "2,beta", ",missing-key", "garbage-only-one-column-xyz,", "3,gamma")
+      .toDF("line").coalesce(1).write.mode("overwrite").text(dir)
+    val (good, corrupt) = TextSources.readCsvWithQuarantine(
+      spark, dir, schema, requiredCol = "doc_id")
+    assert(good.count() == 3 && corrupt.count() == 2)
+    assert(good.select(sum("doc_id")).head.getLong(0) == 6L)
+    val qdir = tmpDir("csv-quar")
+    TextSources.writeQuarantine(corrupt, qdir)
+    val back = spark.read.text(qdir).collect().map(_.getString(0)).toSet
+    assert(back == Set(",missing-key", "garbage-only-one-column-xyz,"))
+  }
+}

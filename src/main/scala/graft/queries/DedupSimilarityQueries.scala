@@ -225,6 +225,53 @@ object DedupSimilarityQueries {
           .orderBy("doc_a", "doc_b")
     },
 
+    // ── Source-duplication provenance MATRIX: LSH near-dup pairs rolled
+    //    up to (source_a, source_b) — WHICH sources copy from which (a
+    //    mirror site, a syndicated feed, a scraper double-crawl), the
+    //    decision input for source-level dedup ordering that doc-level
+    //    pair lists can't show. Pure composition: the SAME banding
+    //    machinery, verified pairs (jaccard ≥ 0.5) joined to the doc→
+    //    source map twice, unordered pair normalized source_a ≤ source_b.
+    //    Scale: the rollup collapses map-side; the source map is a
+    //    two-column projection of the corpus (no text travels). ──
+    QueryDef.sql(
+      "dedup_source_matrix",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+         |v AS (SELECT doc_a, doc_b FROM p
+         |      JOIN shd x ON x.doc_id = p.doc_a JOIN shd y ON y.doc_id = p.doc_b
+         |      WHERE ${duckJaccard("x.shd", "y.shd")} >= 0.5),
+         |src AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_a,
+         |  greatest(sa.source, sb.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM v JOIN src sa ON sa.doc_id = v.doc_a
+         |       JOIN src sb ON sb.doc_id = v.doc_b
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin) {
+      (s, d) =>
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+        val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+            shingleN = 3, k = 8, bands = 4)
+          .filter(col("jaccard") >= 0.5)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("_sa")), Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("_sb")), Seq("doc_b"))
+          .select(least(col("_sa"), col("_sb")).as("source_a"),
+            greatest(col("_sa"), col("_sb")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+    },
+
     // ── Chunk-granularity LSH near-dup pairs: the sub-document shape —
     //    a doc that copies ONE paragraph from another never band-collides
     //    at doc level (the copied span is a small minority of its

@@ -23,8 +23,46 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "corpus_length_percentiles_approx",
       "engine_ingest_e2e", "engine_snapshot_read", "engine_stream_enrich",
       "text_bpe_merges", "text_bpe_tokenize", "text_compression_gate",
-      "text_vocab_approx", "engine_snapshot_diff"),
+      "text_vocab_approx", "engine_snapshot_diff",
+      "text_classifier_train", "engine_stream_validate",
+      "engine_jsonl_quarantine"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("text_classifier_train: one row per epoch, loss from ln(2), finite trajectory") {
+    val df = run("text_classifier_train")
+    assert(df.columns.toSeq == Seq("epoch", "loss", "accuracy"))
+    val rows = df.collect()
+    assert(rows.length == 12 && rows.map(_.getLong(0)).toSeq == (0L until 12L))
+    assert(math.abs(rows.head.getDouble(1) - math.log(2.0)) < 1e-9,
+      "epoch 0 loss is exactly ln(2) at zero weights")
+    assert(rows.forall(r => !r.getDouble(1).isNaN && r.getDouble(1) > 0))
+    assert(rows.last.getDouble(1) < rows.head.getDouble(1), "training must reduce loss")
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("engine_stream_validate: two batches x four checks, cumulative = sum of batches") {
+    val df = run("engine_stream_validate")
+    assert(df.columns.toSeq == Seq("batch_id", "check_name", "tbl", "n_rows",
+      "n_violations", "pass", "cum_rows", "cum_violations", "cum_pass"))
+    val rows = df.collect()
+    assert(rows.length == 8, "2 batches x 4 checks")
+    val total = graft.Tables.documents(spark, sf).count()
+    val b1 = rows.filter(_.getLong(0) == 1L)
+    assert(b1.forall(_.getLong(6) == total), "batch-1 cumulative rows = whole corpus")
+    rows.foreach(r => assert(r.getLong(7) >= r.getLong(4) || r.getLong(0) == 0L))
+  }
+
+  test("engine_jsonl_quarantine: every line accounted for, ids and langs intact") {
+    val df = run("engine_jsonl_quarantine")
+    assert(df.columns.toSeq == Seq("n_good", "sum_ids", "n_langs", "n_corrupt"))
+    val r = df.collect().head
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+    assert(r.getLong(0) == docs.count(), "every serialized doc parses back")
+    assert(r.getLong(3) == 3L, "exactly the three injected broken lines quarantine")
+    assert(r.getLong(1) == docs.agg(org.apache.spark.sql.functions.sum("doc_id"))
+      .head.getLong(0), "ids survive the round-trip")
   }
 
   test("text_vocab_approx: one row per lang, sketch within 15% of the exact vocab it reports beside") {

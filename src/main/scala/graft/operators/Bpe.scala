@@ -115,6 +115,30 @@ object Bpe {
     trainMerges(freq, nMerges)
   }
 
+  /** Persist a trained merge table as parquet — the deploy artifact of
+    * the train-once/encode-many contract (a tokenizer is trained on one
+    * corpus snapshot and then encodes every future batch; retraining
+    * per job would silently shift token boundaries mid-corpus). Rank is
+    * the load order, stored explicitly — parquet row order is not a
+    * contract. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i.toLong, l, r) }
+      .toDF("rank", "left", "right")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a stored merge table in rank order (inverse of [[saveMerges]];
+    * round-trip identity is spec-pinned). Driver-side collect is the
+    * point — a merge table is vocabulary-sized, and the encoder wants
+    * it broadcast, not joined. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir).orderBy("rank")
+      .select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
   /** Distributed encoder: per-doc whitespace-token count vs BPE symbol
     * count under the broadcast rank map — `(doc, n_tokens, n_bpe,
     * bpe_ratio)`; ratio is ONE closing division of exact longs (the

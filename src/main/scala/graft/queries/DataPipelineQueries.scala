@@ -217,6 +217,19 @@ object DataPipelineQueries {
         .toDF("rank", "left", "right")
         .orderBy("rank")
     },
+    // ── Stored-tokenizer deploy path: train on the FIRST corpus slice,
+    //    persist the merge table, reload it, encode the WHOLE corpus
+    //    under the stored ranks — the train-once/encode-many contract
+    //    (retraining per job silently shifts token boundaries
+    //    mid-corpus; round-trip identity is spec-pinned in BpeSpec). ──
+    QueryDef.rowsOnly("text_bpe_stored") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+      Bpe.saveMerges(s,
+        Bpe.train(docs.filter(col("doc_id") < 200), "text", nMerges = 30), dir)
+      Bpe.encode(docs, "doc_id", "text", Bpe.loadMerges(s, dir))
+        .orderBy("doc")
+    },
 
     // ── Per-language length percentiles: the quantile profile a quality
     //    gate is calibrated against (cutoffs are usually set at P10/P90
@@ -671,6 +684,50 @@ object DataPipelineQueries {
               .orderBy("bucket").rowsBetween(Long.MinValue, 0)))
           .select(col("bucket"), (col("bucket") * 16).as("lo_tokens"), col("n_docs"),
             round(col("cum").cast("double") / col("total"), 4).as("cum_frac"))
+          .orderBy("bucket")
+    },
+
+    // ── Distribution-drift profile between two corpus versions (stand-in:
+    //    even vs odd doc ids — deterministic halves with the same
+    //    generative process, so contributions hover near zero; a real
+    //    drift would spike specific buckets): per token-length bucket,
+    //    each side's probability mass and the symmetric chi-square
+    //    contribution (pa−pb)²/(pa+pb). Deliberately NOT PSI: PSI's
+    //    ln(pa/pb) is a transcendental at query time, chi-square is
+    //    rational — divisions and products only, bit-stable across
+    //    engines (surprisal-gate doctrine). Per-bucket rows, no
+    //    cross-bucket float sum anywhere. ──
+    QueryDef.sql(
+      "corpus_drift_profile",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(trim(text), ' '), w -> w <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT CAST(n // 16 AS BIGINT) AS bucket,
+        |        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |      FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb FROM b),
+        |p AS (SELECT bucket, n_a, n_b,
+        |        CAST(n_a AS DOUBLE) / ta AS pa, CAST(n_b AS DOUBLE) / tb AS pb
+        |      FROM b, tot)
+        |SELECT bucket, n_a, n_b, round(pa, 6) AS pa, round(pb, 6) AS pb,
+        |  round((pa - pb) * (pa - pb) / nullif(pa + pb, 0), 6) AS chi2_contrib
+        |FROM p ORDER BY bucket""".stripMargin) {
+      (s, d) =>
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), size(wordsCol).cast("long").as("n"))
+        val b = t.select(col("doc_id"), expr("CAST(n div 16 AS BIGINT)").as("bucket"))
+          .groupBy("bucket")
+          .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+        val tot = b.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+        val pa = col("n_a").cast("double") / col("ta")
+        val pb = col("n_b").cast("double") / col("tb")
+        b.crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_a"), col("n_b"),
+            round(pa, 6).as("pa"), round(pb, 6).as("pb"),
+            round((pa - pb) * (pa - pb) /
+              when(pa + pb === 0, lit(null)).otherwise(pa + pb), 6).as("chi2_contrib"))
           .orderBy("bucket")
     },
 

@@ -225,6 +225,54 @@ object DedupSimilarityQueries {
           .orderBy("doc_a", "doc_b")
     },
 
+    // ── Edit-distance verification of LSH candidates: Levenshtein over
+    //    the candidate pairs the bands surfaced — the character-level
+    //    second opinion on gram-level similarity (a pair can share every
+    //    3-gram shingle yet differ by scattered single-character edits —
+    //    OCR noise, diacritic damage — which Jaccard under-weights and
+    //    edit distance counts one by one). INTEGER output: both engines
+    //    implement the same DP, so the distance is oracle-exact with no
+    //    float doctrine needed; the similarity ratio is ONE closing
+    //    division. Scale: distance runs ONLY on the banded candidates
+    //    (O(len²) per pair is why it can't be the primary dedup at
+    //    corpus scale — the bands bound the pair count first). ──
+    QueryDef.sql(
+      "dedup_edit_verify",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+         |  CAST(greatest(length(x.text), length(y.text)) AS BIGINT) AS max_len,
+         |  round(1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+         |    / nullif(greatest(length(x.text), length(y.text)), 0), 4) AS edit_sim
+         |FROM p JOIN documents x ON x.doc_id = p.doc_a
+         |       JOIN documents y ON y.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) {
+      (s, d) =>
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+        val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+            shingleN = 3, k = 8, bands = 4)
+          .select("doc_a", "doc_b")
+        val txt = docs.select(col("doc_id"), col("text"))
+        pairs
+          .join(txt.select(col("doc_id").as("doc_a"), col("text").as("_ta")), Seq("doc_a"))
+          .join(txt.select(col("doc_id").as("doc_b"), col("text").as("_tb")), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("_ta"), col("_tb")).cast("long").as("edit_dist"),
+            greatest(length(col("_ta")), length(col("_tb"))).cast("long").as("max_len"))
+          .withColumn("edit_sim",
+            round(lit(1.0) - col("edit_dist").cast("double") /
+              when(col("max_len") === 0, lit(null)).otherwise(col("max_len")), 4))
+          .orderBy("doc_a", "doc_b")
+    },
+
     // ── Source-duplication provenance MATRIX: LSH near-dup pairs rolled
     //    up to (source_a, source_b) — WHICH sources copy from which (a
     //    mirror site, a syndicated feed, a scraper double-crawl), the

@@ -68,4 +68,17 @@ class BpeSpec extends SparkSpec {
     // cc (freq 1) is truncated; merges come from aa/bb only
     assert(m.nonEmpty && m.forall { case (l, r) => !(l + r).contains("c") })
   }
+
+  test("saveMerges/loadMerges round-trips in rank order; stored encode ≡ fresh encode") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "the bat and the rat"))
+      .toDF("doc_id", "text")
+    val trained = Bpe.train(df, "text", nMerges = 12)
+    val dir = tmpDir("bpe-merges")
+    Bpe.saveMerges(spark, trained, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == trained, "rank order must survive the parquet round-trip")
+    val fresh = Bpe.encode(df, "doc_id", "text", trained).collect().map(_.toSeq).toSeq
+    val stored = Bpe.encode(df, "doc_id", "text", loaded).collect().map(_.toSeq).toSeq
+    assert(stored == fresh)
+  }
 }

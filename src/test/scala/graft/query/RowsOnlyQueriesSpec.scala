@@ -25,8 +25,16 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "text_bpe_merges", "text_bpe_tokenize", "text_compression_gate",
       "text_vocab_approx", "engine_snapshot_diff",
       "text_classifier_train", "engine_stream_validate",
-      "engine_jsonl_quarantine"),
+      "engine_jsonl_quarantine", "text_bpe_stored"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("text_bpe_stored: stored-tokenizer encode covers every doc with the bound invariant") {
+    val df = run("text_bpe_stored")
+    assert(df.columns.toSeq == Seq("doc", "n_tokens", "n_bpe", "bpe_ratio"))
+    assert(df.count() == graft.Tables.documents(spark, sf).count())
+    assert(df.filter(org.apache.spark.sql.functions.col("n_bpe") <
+      org.apache.spark.sql.functions.col("n_tokens")).count() == 0)
   }
 
   test("text_classifier_train: one row per epoch, loss from ln(2), finite trajectory") {

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions._
+
+/** `spark.sql.extensions` entry point — the idiomatic cluster-deployment
+  * wiring (`--conf spark.sql.extensions=graft.GraftExtensions`): injects
+  * the library's native Catalyst expressions into the SQL function
+  * registry, so a SQL-only user (a notebook, a BI tool, a `spark.sql`
+  * pipeline) gets the codegen'd kernels — NOT UDF shims — with no Scala
+  * import. The Scala surface (`graft.operators.*`) builds the same
+  * expression nodes directly; this class is the SQL door to them.
+  *
+  * Only stateless, arity-checkable expressions are injected. The
+  * bloom/manifest pruning rule (`plans.TxidIndexPruneRule`) stays on
+  * its store-scoped registration path — an optimizer rule bound to a
+  * TableStore instance has no meaningful session-global form.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info(classOf[CosineSim], "graft_cosine",
+        "graft_cosine(a, b) - cosine similarity of two float arrays, NULL on zero norms"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(a, b)")
+        CosineSim(args(0), args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info(classOf[VectorDot], "graft_dot",
+        "graft_dot(a, b) - dot product of two float arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a, b)")
+        VectorDot(args(0), args(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_simhash16"),
+      info(classOf[SimHash16], "graft_simhash16",
+        "graft_simhash16(tokens) - 16-bit SimHash of a token array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash16(tokens)")
+        SimHash16(args(0))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      info(classOf[NfcNormalize], "graft_nfc",
+        "graft_nfc(s) - Unicode NFC normalization"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc(s)")
+        NfcNormalize(args(0))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_deflate_len"),
+      info(classOf[DeflateLength], "graft_deflate_len",
+        "graft_deflate_len(s) - deflate-compressed byte length of a string"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_deflate_len(s)")
+        DeflateLength(args(0))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_int8_quantize"),
+      info(classOf[Int8Quantize], "graft_int8_quantize",
+        "graft_int8_quantize(v) - SQ8 lattice quantization of a float array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_int8_quantize(v)")
+        Int8Quantize(args(0))
+      }))
+  }
+}

@@ -14,4 +14,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply an extensions module's FUNCTION injections to an already-built
+    * session (`SparkSessionExtensions.registerFunctions` is
+    * `private[sql]`, reachable from this subpackage). The config path
+    * (`spark.sql.extensions=graft.GraftExtensions`) binds at session
+    * build; this is the attach-later door for sessions the library
+    * didn't build — a shared notebook session, a test harness. */
+  def attachFunctions(spark: org.apache.spark.sql.SparkSession,
+                      module: org.apache.spark.sql.SparkSessionExtensions => Unit): Unit = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    module(ext)
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** The SQL door: GraftExtensions' injected functions must resolve for
+  * pure-SQL users and agree with the Scala operator surface. Attached to
+  * the shared session via Bridge.attachFunctions — the config path
+  * (spark.sql.extensions=graft.GraftExtensions) binds at session build,
+  * which a shared test JVM can't re-do; both paths register the same
+  * (identifier, info, builder) tuples. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private lazy val session = {
+    Bridge.attachFunctions(spark, new GraftExtensions)
+    spark
+  }
+
+  test("injected functions resolve in SQL and agree with the operator surface") {
+    val decomposed = "Café" // e + combining acute
+    val row = session.sql(
+      s"""SELECT
+         |  graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+         |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos_same,
+         |  graft_dot(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)),
+         |            array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT))) AS dot,
+         |  graft_nfc('$decomposed') AS nfc,
+         |  graft_simhash16(array('a', 'b')) AS sh,
+         |  graft_deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa') AS dl
+         |""".stripMargin).collect().head
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getDouble(1) == 23.0)
+    assert(row.getString(2) == "Caf\u00e9", "combining acute composes to one codepoint")
+    import org.apache.spark.sql.functions._
+    val viaScala = session.range(1).select(Bridge.column(
+      graft.expressions.SimHash16(Bridge.expression(
+        array(lit("a"), lit("b"))))).as("sh")).collect().head.getString(0)
+    assert(row.getString(3) == viaScala, "SQL and Scala surfaces share one kernel")
+    assert(row.getLong(4) > 0 && row.getLong(4) < 24, "repetitive text deflates")
+  }
+
+  test("zero-norm cosine is NULL through SQL too") {
+    val r = session.sql(
+      "SELECT graft_cosine(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c")
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("wrong arity fails analysis, not execution") {
+    intercept[Exception] {
+      session.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT)))").collect()
+    }
+  }
+}

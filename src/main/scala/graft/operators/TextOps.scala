@@ -655,6 +655,89 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 corpus-statistics INDEX — the stored artifact that turns the
+    * two-scan ranker ([[bm25TopK]]: stats pass + scoring pass) into a
+    * ONE-scan serve path: `meta/` holds (n_docs, total_len) as exact
+    * longs, `df/` the full document-frequency vocabulary (Heaps-law
+    * bounded — orders of magnitude smaller than the corpus). The serve
+    * path reads the handful of queried terms' dfs driver-side and
+    * scores with literal constants: one corpus scan, TakeOrdered top-k,
+    * zero aggregation — the search-index deployment shape. */
+  def bm25IndexBuild(dir: String, docs: org.apache.spark.sql.DataFrame,
+                     textCol: String): Unit = {
+    val toks = docs.select(tokens(col(textCol)).as("ws"))
+    toks.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(size(col("ws"))), lit(0L)).cast("long").as("total_len"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    toks.select(explode(array_distinct(col("ws"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$dir/df")
+  }
+
+  /** Incremental index update — the reason the stats live as exact
+    * longs: doc counts, token totals and per-term dfs are all SUMS, so
+    * folding a new batch in is associative long addition and
+    * `build(A) then update(B)` is BIT-IDENTICAL to `build(A ∪ B)`
+    * (spec-pinned; a float-carrying index could never promise that).
+    * Cost is O(batch) + O(touched vocabulary) — the corpus is not
+    * rescanned. New frames are materialized (localCheckpoint) before
+    * the overwrite so the read side never races its own rewrite. */
+  def bm25IndexUpdate(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      newDocs: org.apache.spark.sql.DataFrame,
+                      textCol: String): Unit = {
+    val toks = newDocs.select(tokens(col(textCol)).as("ws"))
+    val meta = spark.read.parquet(s"$dir/meta")
+      .unionByName(toks.agg(count(lit(1)).cast("long").as("n_docs"),
+        coalesce(sum(size(col("ws"))), lit(0L)).cast("long").as("total_len")))
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("total_len").cast("long").as("total_len"))
+      .localCheckpoint()
+    val dfs = spark.read.parquet(s"$dir/df")
+      .unionByName(toks.select(explode(array_distinct(col("ws"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum("df").cast("long").as("df"))
+      .localCheckpoint()
+    meta.write.mode("overwrite").parquet(s"$dir/meta")
+    dfs.write.mode("overwrite").parquet(s"$dir/df")
+  }
+
+  /** Serve from the stored index: ONE corpus scan. Stats arrive as
+    * literal doubles (exact integers, so `avgl = total/n` is the same
+    * single division on any engine); terms absent from the vocabulary
+    * get df = 0 — they simply score high-idf against docs that contain
+    * them, matching the fresh-stats ranker on any corpus that contains
+    * the term at all. */
+  def bm25TopKStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, terms: Seq[String], k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val metaRow = spark.read.parquet(s"$dir/meta").collect().head
+    val (nDocs, totalLen) = (metaRow.getLong(0), metaRow.getLong(1))
+    val dfMap = spark.read.parquet(s"$dir/df")
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = nDocs.toDouble
+    val avgl = totalLen.toDouble / nDocs.toDouble
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("ws"), w => w === t)).cast("double").as(s"_tf$i")
+    }
+    val base = corpus.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .select(Seq(col("doc"), size(col("ws")).cast("double").as("_len")) ++ tfCols: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      val idf = (n - df + 0.5) / (df + 0.5)
+      val tf = col(s"_tf$i")
+      lit(idf) * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len") / lit(avgl)))
+    }.reduce(_ + _)
+    base.select(col("doc"), col("_len").cast("long").as("n_tokens"),
+        round(score, 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+  }
+
   /** Hybrid retrieval: BM25 lexical candidate generation ([[bm25TopK]],
     * top `kCand`) re-ranked by embedding cosine against ONE query vector
     * — the retrieve-then-rerank shape of RAG/eval pipelines. Docs

@@ -516,6 +516,31 @@ class OperatorsSpec extends SparkSpec {
     assert(m(4L) == ((0L, None)), "sub-n docs have no shingles, fraction NULL")
   }
 
+  test("bm25 index: build+update ≡ full build bit-for-bit; stored serve ≡ fresh two-scan ranker") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("spark", "window", "merge", "filter", "join", "scan", "sort", "agg")
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val (a, b) = (docs.filter(col("doc_id") <= 30), docs.filter(col("doc_id") > 30))
+    val incDir = tmpDir("bm25-inc"); val fullDir = tmpDir("bm25-full")
+    graft.operators.TextOps.bm25IndexBuild(incDir, a, "text")
+    graft.operators.TextOps.bm25IndexUpdate(spark, incDir, b, "text")
+    graft.operators.TextOps.bm25IndexBuild(fullDir, docs, "text")
+    def stats(dir: String) = (
+      spark.read.parquet(s"$dir/meta").collect().head.toSeq,
+      spark.read.parquet(s"$dir/df").orderBy("term").collect().map(_.toSeq).toSeq)
+    assert(stats(incDir) == stats(fullDir), "exact long sums make update ≡ rebuild")
+    val stored = graft.operators.TextOps.bm25TopKStored(spark, incDir, docs,
+      "doc_id", "text", Seq("spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val fresh = graft.operators.TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(stored == fresh, "one-scan stored serve ranks exactly like the fresh ranker")
+  }
+
   test("mixtureSolver: want/take/rate/deficit exact; undeclared source gets zero") {
     import spark.implicits._
     val docs = Seq(

@@ -738,6 +738,76 @@ object TextOps {
       .limit(k)
   }
 
+  /** Posting-list index — the last rung of the retrieval ladder (fresh
+    * ranker: 2 corpus scans → stored stats: 1 scan → postings: NO
+    * corpus scan at serve time): `postings/` holds (term, doc, tf, len)
+    * BUCKET-partitioned by term hash, so a query's terms map to a
+    * handful of disk partitions and the serve path reads only those —
+    * at 100 TB the query cost is the postings of its terms, independent
+    * of corpus size. Doc length is denormalized into every posting row
+    * (a join back to the corpus for `len` would defeat the point).
+    * Pairs with the [[bm25IndexBuild]] stats artifact for n/avgl/df. */
+  def bm25PostingsBuild(dir: String, docs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        nBuckets: Int = 64): Unit = {
+    docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .select(col("doc"), size(col("ws")).cast("long").as("len"),
+        explode(col("ws")).as("term"))
+      .groupBy("doc", "len", "term").agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+  }
+
+  /** Serve BM25 top-k from postings + the stats artifact. The read is
+    * partition-pruned to the queried terms' buckets; per-doc tf columns
+    * come from conditional aggregation (NOT a per-row score sum — the
+    * final score must be the SAME term-ordered expression tree as
+    * [[bm25TopK]], or float addition order would diverge from the
+    * shared oracle). Docs containing none of the terms never appear —
+    * exactly the fresh ranker's score>0 set. */
+  def bm25TopKPostings(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       terms: Seq[String], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       nBuckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val metaRow = spark.read.parquet(s"$dir/meta").collect().head
+    val (nDocs, totalLen) = (metaRow.getLong(0), metaRow.getLong(1))
+    val dfMap = spark.read.parquet(s"$dir/df")
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = nDocs.toDouble
+    val avgl = totalLen.toDouble / nDocs.toDouble
+    val buckets = terms.map(t => hashBucketOf(spark, t, nBuckets)).distinct
+    val posts = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val aggCols = first(col("len")).as("_len") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(col("term") === t, col("tf"))), lit(0L))
+          .cast("double").as(s"_tf$i")
+      }
+    val pivoted = posts.groupBy("doc").agg(aggCols.head, aggCols.tail: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      val idf = (n - df + 0.5) / (df + 0.5)
+      val tf = col(s"_tf$i")
+      lit(idf) * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_len").cast("double") / lit(avgl)))
+    }.reduce(_ + _)
+    pivoted.select(col("doc"), col("_len").cast("long").as("n_tokens"),
+        round(score, 4).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(desc("score"), asc("doc"))
+      .limit(k)
+  }
+
+  /** The bucket a term's postings land in — computed THROUGH the engine
+    * (one-row eval of the same `pmod(hash(term), n)` expression the
+    * writer used), not a reimplementation that could drift. */
+  private def hashBucketOf(spark: org.apache.spark.sql.SparkSession,
+                           term: String, nBuckets: Int): Int =
+    spark.range(1).select(pmod(hash(lit(term)), lit(nBuckets)).as("b"))
+      .collect().head.getInt(0)
+
   /** Hybrid retrieval: BM25 lexical candidate generation ([[bm25TopK]],
     * top `kCand`) re-ranked by embedding cosine against ONE query vector
     * — the retrieve-then-rerank shape of RAG/eval pipelines. Docs

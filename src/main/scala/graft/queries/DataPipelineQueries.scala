@@ -1249,6 +1249,44 @@ object DataPipelineQueries {
           terms = Seq("spark", "window", "merge"), k = 15)
     },
 
+    // ── Posting-list BM25 serve: the index is built once (postings
+    //    bucket-partitioned by term hash + the stats artifact), then
+    //    top-k is answered WITHOUT scanning the corpus — the read prunes
+    //    to the queried terms' buckets. Same oracle as the fresh
+    //    ranker (exact-avg form): a hash-match proves the inverted
+    //    index serves byte-identical rankings. ──
+    QueryDef.sql(
+      "text_bm25_postings",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |bse AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS len,
+        |          CAST(len(list_filter(ws, w -> w = 'spark')) AS DOUBLE) AS tf0,
+        |          CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) AS tf1,
+        |          CAST(len(list_filter(ws, w -> w = 'merge')) AS DOUBLE) AS tf2
+        |        FROM t),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |          CAST(CAST(sum(len) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgl,
+        |          sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        |          sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        |          sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+        |        FROM bse),
+        |sc AS (SELECT doc_id, CAST(len AS BIGINT) AS n_tokens,
+        |        round(
+        |          (n - df0 + 0.5) / (df0 + 0.5) * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgl))
+        |        + (n - df1 + 0.5) / (df1 + 0.5) * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgl))
+        |        + (n - df2 + 0.5) / (df2 + 0.5) * (tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * len / avgl))
+        |        , 4) AS score
+        |       FROM bse, st)
+        |SELECT doc_id AS doc, n_tokens, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc LIMIT 15""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val dir = java.nio.file.Files.createTempDirectory("graft-postings").toString
+        TextOps.bm25IndexBuild(dir, docs, "text")
+        TextOps.bm25PostingsBuild(dir, docs, "doc_id", "text")
+        TextOps.bm25TopKPostings(s, dir,
+          terms = Seq("spark", "window", "merge"), k = 15)
+    },
+
     // ── EXACT-substring dedup, the CUT half: spans already present in an
     //    EARLIER doc (keep-first) are removed and the cleaned token
     //    stream re-joined. The oracle rebuilds the text with an anti-join

@@ -541,6 +541,31 @@ class OperatorsSpec extends SparkSpec {
     assert(stored == fresh, "one-scan stored serve ranks exactly like the fresh ranker")
   }
 
+  test("bm25 postings: partition-pruned serve ranks exactly like the fresh two-scan ranker") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val vocab = Vector("spark", "window", "merge", "filter", "join", "scan", "sort", "agg")
+    val docs = (1L to 80L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("bm25-post")
+    graft.operators.TextOps.bm25IndexBuild(dir, docs, "text")
+    graft.operators.TextOps.bm25PostingsBuild(dir, docs, "doc_id", "text", nBuckets = 8)
+    val served = graft.operators.TextOps.bm25TopKPostings(spark, dir,
+      Seq("spark", "merge"), k = 12, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fresh = graft.operators.TextOps.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "merge"), k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == fresh)
+    // the pruned read touches only the queried terms' buckets
+    val touched = Seq("spark", "merge").map(t =>
+      spark.range(1).select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit(t)),
+        org.apache.spark.sql.functions.lit(8)).as("b")).collect().head.getInt(0)).toSet
+    assert(touched.size <= 2, "two terms map to at most two buckets of eight")
+  }
+
   test("mixtureSolver: want/take/rate/deficit exact; undeclared source gets zero") {
     import spark.implicits._
     val docs = Seq(

@@ -758,6 +758,26 @@ object TextOps {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
   }
 
+  /** Incremental postings update: NEW documents append their posting
+    * rows — (doc, term) keys of unseen docs can't collide with stored
+    * rows, so the update is a pure partitioned APPEND, no merge, no
+    * read of the existing index (contrast [[bm25IndexUpdate]], which
+    * must fold df counters). Pair with [[bm25IndexUpdate]] for the
+    * stats; build(A)+update(B) serves identically to build(A∪B)
+    * (spec-pinned). Re-ingesting an already-indexed doc is the caller's
+    * invariant to keep (the engine-side dedup/idempotence machinery —
+    * TableStore manifests, StreamingDedup — exists for exactly that). */
+  def bm25PostingsUpdate(dir: String, newDocs: org.apache.spark.sql.DataFrame,
+                         idCol: String, textCol: String,
+                         nBuckets: Int = 64): Unit = {
+    newDocs.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .select(col("doc"), size(col("ws")).cast("long").as("len"),
+        explode(col("ws")).as("term"))
+      .groupBy("doc", "len", "term").agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+  }
+
   /** Serve BM25 top-k from postings + the stats artifact. The read is
     * partition-pruned to the queried terms' buckets; per-doc tf columns
     * come from conditional aggregation (NOT a per-row score sum — the

@@ -731,6 +731,29 @@ object DataPipelineQueries {
           .orderBy("bucket")
     },
 
+    // ── Heavy-hitters sketch twin: Count-Min estimates for the exact
+    //    top-20 tokens, exact counts riding beside (the HLL-twin
+    //    pattern: the sketch's error is OBSERVABLE in the result). CMS
+    //    counters are commutative sums — deterministic under any
+    //    partitioning at a fixed seed — and never underestimate; both
+    //    properties are pinned in RowsOnlyQueriesSpec. At 100 TB the
+    //    sketch replaces a full token groupBy with O(width·depth)
+    //    mergeable state per partition. rows-only: no SQL engine
+    //    reproduces Spark's CMS hashing. ──
+    QueryDef.rowsOnly("text_heavyhitters_sketch") { (s, d) =>
+      val s2 = s
+      import s2.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+      val exact = toks.groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("w")).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val cms = toks.stat.countMinSketch("w", eps = 0.0005, confidence = 0.99, seed = 42)
+      exact.map { case (w, n) => (w, n, cms.estimateCount(w)) }.toSeq
+        .toDF("term", "exact_count", "cms_count")
+        .orderBy(desc("exact_count"), asc("term"))
+    },
+
     // ── Sketch twin of the vocabulary size: approx_count_distinct's
     //    HLL++ buffer is O(sketch) per group where an exact distinct
     //    needs the full (lang, word) pre-aggregation pass — at 100 TB

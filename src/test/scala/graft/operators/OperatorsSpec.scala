@@ -558,6 +558,17 @@ class OperatorsSpec extends SparkSpec {
       Seq("spark", "merge"), k = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(served == fresh)
+    // incremental: build on half, append the other half — same serve
+    val incDir = tmpDir("bm25-post-inc")
+    val (h1, h2) = (docs.filter(col("doc_id") <= 40), docs.filter(col("doc_id") > 40))
+    graft.operators.TextOps.bm25IndexBuild(incDir, h1, "text")
+    graft.operators.TextOps.bm25PostingsBuild(incDir, h1, "doc_id", "text", nBuckets = 8)
+    graft.operators.TextOps.bm25IndexUpdate(spark, incDir, h2, "text")
+    graft.operators.TextOps.bm25PostingsUpdate(incDir, h2, "doc_id", "text", nBuckets = 8)
+    val servedInc = graft.operators.TextOps.bm25TopKPostings(spark, incDir,
+      Seq("spark", "merge"), k = 12, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(servedInc == fresh, "appended postings + folded stats serve ≡ full build")
     // the pruned read touches only the queried terms' buckets
     val touched = Seq("spark", "merge").map(t =>
       spark.range(1).select(org.apache.spark.sql.functions.pmod(

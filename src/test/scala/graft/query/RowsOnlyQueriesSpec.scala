@@ -25,8 +25,26 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "text_bpe_merges", "text_bpe_tokenize", "text_compression_gate",
       "text_vocab_approx", "engine_snapshot_diff",
       "text_classifier_train", "engine_stream_validate",
-      "engine_jsonl_quarantine", "text_bpe_stored"),
+      "engine_jsonl_quarantine", "text_bpe_stored",
+      "text_heavyhitters_sketch"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("text_heavyhitters_sketch: CMS never underestimates, overestimate within eps bound") {
+    val df = run("text_heavyhitters_sketch")
+    assert(df.columns.toSeq == Seq("term", "exact_count", "cms_count"))
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val total = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.TextOps.tokens(org.apache.spark.sql.functions.col("text"))))
+      .count()
+    rows.foreach { r =>
+      val (exact, cms) = (r.getLong(1), r.getLong(2))
+      assert(cms >= exact, s"CMS underestimated ${r.getString(0)}: $cms < $exact")
+      assert(cms - exact <= math.max(1L, (0.0005 * 2 * total).toLong),
+        s"${r.getString(0)} overestimate ${cms - exact} exceeds 2x eps bound")
+    }
   }
 
   test("text_bpe_stored: stored-tokenizer encode covers every doc with the bound invariant") {

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational edge lists — PageRank as the first
+  * resident (the influence/centrality measure a provenance graph, a
+  * citation web, or a supplier→customer commerce graph all want).
+  *
+  * Determinism contract (the [[Classifier]] doctrine applied to graph
+  * message passing): every per-edge message is quantized ONCE to a
+  * scaled long — `round(rank/out · 2^32)` — so the per-node inbound
+  * reduction is an exact commutative sum and the rank vector is
+  * BIT-IDENTICAL under any partitioning (a raw double sum would drift
+  * with aggregation order and diverge from any SQL oracle). Dangling
+  * mass (nodes with no out-edges) is folded the same way: an exact
+  * scaled-long sum redistributed uniformly. Every double expression is
+  * written in one fixed shape that the oracle mirrors token-for-token.
+  *
+  * Scale shape: one distinct-edge frame and one out-degree frame, both
+  * reused across iterations; each iteration is ONE join
+  * (edges ⋈ ranks, shuffling on src) + ONE partial-agg groupBy on dst
+  * (a celebrity node's inbound messages collapse map-side — exactly
+  * the skew posture a power-law graph needs) + one driver-side scalar
+  * for the dangling fold. Iteration count is fixed and small (a
+  * centrality REPORT, not a convergence solver); ranks localCheckpoint
+  * per iteration so lineage stays flat. */
+object Graph {
+
+  /** 2^32 — the message quantum (see [[Classifier.Scale]]). */
+  val Scale: Double = 4294967296.0
+
+  /** PageRank over a directed edge list (duplicate edges collapse —
+    * multiplicity is not weight here). Returns `(node, rank)`. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val nN = nodes.count()
+    val out = e.groupBy("src").agg(count(lit(1)).as("out")).cache()
+    var ranks = nodes.withColumn("rank", lit(1.0 / nN))
+    for (_ <- 0 until iters) {
+      val dangScaled = ranks
+        .join(out, ranks("node") === out("src"), "left_anti")
+        .agg(coalesce(sum(round(col("rank") * Scale).cast("long")), lit(0L)))
+        .head.getLong(0)
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(out, Seq("src"))
+        .select(col("dst").as("node"),
+          round(col("rank") / col("out") * Scale).cast("long").as("m"))
+        .groupBy("node").agg(sum("m").as("msum"))
+      val base = (1.0 - damping) / nN + damping * (dangScaled / Scale) / nN
+      ranks = nodes.join(contribs, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(base) + lit(damping) * (coalesce(col("msum"), lit(0L)) / Scale))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Sequential reference twin — same quantization, same expression
+    * shapes, no engine; the spec pins the distributed path against it
+    * bit-for-bit. */
+  def pageRankLocal(edges: Seq[(Long, Long)], iters: Int,
+                    damping: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val nN = nodes.size.toLong
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var ranks = nodes.map(_ -> 1.0 / nN).toMap
+    for (_ <- 0 until iters) {
+      val dangScaled = nodes.filterNot(out.contains)
+        .map(n => StrictMath.round(ranks(n) * Scale)).sum
+      val msums = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) =>
+          StrictMath.round(ranks(s) / out(s) * Scale)
+        }.sum
+      }
+      val base = (1.0 - damping) / nN + damping * (dangScaled / Scale) / nN
+      ranks = nodes.map(n =>
+        n -> (base + damping * (msums.getOrElse(n, 0L) / Scale))).toMap
+    }
+    ranks
+  }
+}

@@ -715,6 +715,56 @@ object RelationalQueries {
           .orderBy("doc_id")
     },
 
+    // ── Deterministic distributed PageRank over the supplier→customer
+    //    commerce graph (who supplies the buyers that matter): per-edge
+    //    messages quantized ONCE to round(rank/out·2^32) longs, so every
+    //    reduction is an exact commutative sum — the rank vector is
+    //    bit-identical under any partitioning AND reproducible by this
+    //    oracle, which unrolls the same three iterations in SQL with
+    //    every float literal emitted from the SAME Scala doubles
+    //    (CAST-wrapped so DuckDB's decimal literals can't take a decimal
+    //    arithmetic path). GraphSpec pins distributed ≡ sequential twin. ──
+    {
+      val iters = 3
+      val S = "4294967296.0"
+      // emit driver-computed doubles as literals so both engines parse
+      // the identical bits ((1.0-0.85) in double is NOT decimal 0.15)
+      val b1 = (1.0 - 0.85).toString
+      val iterBlocks = (1 to iters).map { i =>
+        val p = s"r${i - 1}"
+        s"""g$i AS (SELECT CAST(coalesce(sum(CAST(round(r.rank * $S) AS BIGINT)), 0) AS BIGINT) AS dang
+           |      FROM $p r LEFT JOIN o ON o.src = r.node WHERE o.src IS NULL),
+           |c$i AS (SELECT e.dst AS node,
+           |        CAST(sum(CAST(round(r.rank / o.out * $S) AS BIGINT)) AS BIGINT) AS msum
+           |      FROM e JOIN $p r ON r.node = e.src JOIN o ON o.src = e.src
+           |      GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |        (CAST($b1 AS DOUBLE) / nn.cnt + CAST(0.85 AS DOUBLE) * (g$i.dang / $S) / nn.cnt)
+           |          + CAST(0.85 AS DOUBLE) * (coalesce(c.msum, 0) / $S) AS rank
+           |      FROM nodes n CROSS JOIN nn CROSS JOIN g$i
+           |      LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      QueryDef.sql(
+        "graph_pagerank",
+        s"""WITH e AS (SELECT DISTINCT l_suppkey + 100000 AS src, o_custkey AS dst
+           |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+           |nodes AS (SELECT DISTINCT node FROM
+           |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+           |o AS (SELECT src, CAST(count(*) AS BIGINT) AS out FROM e GROUP BY src),
+           |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.cnt AS rank FROM nodes, nn),
+           |$iterBlocks
+           |SELECT node, rank FROM r$iters
+           |ORDER BY rank DESC, node LIMIT 100""".stripMargin) {
+        (s, d) =>
+          val e = Tables.lineitem(s, d)
+            .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+            .select((col("l_suppkey") + 100000L).as("src"), col("o_custkey").as("dst"))
+          graft.operators.Graph.pageRank(e, "src", "dst", iters = iters)
+            .orderBy(desc("rank"), asc("node")).limit(100)
+      }
+    },
+
     // ── Data-quality EXPECTATION suite (the Great-Expectations / dbt-test
     //    shape): declared checks → one violation-count row per check. All
     //    row-level checks on a table fold into ONE aggregate over ONE scan

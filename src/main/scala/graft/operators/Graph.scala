@@ -64,6 +64,66 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities — the bipartite-friendly centrality
+    * (PageRank collapses on a bipartite graph: all source-side mass
+    * drains to sinks; HITS scores BOTH sides). Same determinism
+    * doctrine with a twist: the L1 normalization — usually a float sum
+    * over all scores — never happens in floats here. Inbound sums stay
+    * SCALED LONGS, the normalizer is their exact long total, and each
+    * score is ONE division of two exact longs. Nodes with zero inbound
+    * (no authority/hub evidence) are absent from their side's output —
+    * score 0 by definition, and the oracle agrees by construction.
+    * Returns `(role 'hub'|'auth', node, score)`. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().cache()
+    var hubs = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0))
+    var auths: DataFrame = null
+    for (_ <- 0 until iters) {
+      val am = e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), round(col("h") * Scale).cast("long").as("m"))
+        .groupBy("node").agg(sum("m").as("ms"))
+      val atot = am.agg(coalesce(sum("ms"), lit(0L))).head.getLong(0)
+      auths = am.select(col("node"),
+          (col("ms").cast("double") / atot.toDouble).as("a"))
+        .localCheckpoint()
+      val hm = e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), round(col("a") * Scale).cast("long").as("m"))
+        .groupBy("node").agg(sum("m").as("ms"))
+      val htot = hm.agg(coalesce(sum("ms"), lit(0L))).head.getLong(0)
+      hubs = hm.select(col("node"),
+          (col("ms").cast("double") / htot.toDouble).as("h"))
+        .localCheckpoint()
+    }
+    hubs.select(lit("hub").as("role"), col("node"), col("h").as("score"))
+      .unionByName(auths.select(lit("auth").as("role"), col("node"), col("a").as("score")))
+  }
+
+  /** Sequential HITS twin (see [[pageRankLocal]]). */
+  def hitsLocal(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Double], Map[Long, Double]) = {
+    val e = edges.distinct
+    var hubs: Map[Long, Double] = e.map(_._1).distinct.map(_ -> 1.0).toMap
+    var auths: Map[Long, Double] = Map.empty
+    for (_ <- 0 until iters) {
+      val am = e.filter(p => hubs.contains(p._1)).groupBy(_._2).map { case (d, es) =>
+        d -> es.map(p => StrictMath.round(hubs(p._1) * Scale)).sum
+      }
+      val atot = am.values.sum
+      auths = am.map { case (n, ms) => n -> ms.toDouble / atot.toDouble }
+      val hm = e.filter(p => auths.contains(p._2)).groupBy(_._1).map { case (s, es) =>
+        s -> es.map(p => StrictMath.round(auths(p._2) * Scale)).sum
+      }
+      val htot = hm.values.sum
+      hubs = hm.map { case (n, ms) => n -> ms.toDouble / htot.toDouble }
+    }
+    (hubs, auths)
+  }
+
   /** Sequential reference twin — same quantization, same expression
     * shapes, no engine; the spec pins the distributed path against it
     * bit-for-bit. */

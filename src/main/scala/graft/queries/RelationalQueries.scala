@@ -765,6 +765,57 @@ object RelationalQueries {
       }
     },
 
+    // ── HITS hubs & authorities on the same commerce graph — the
+    //    bipartite centrality PageRank can't give (source-side mass all
+    //    drains to sinks there; HITS scores both sides). The usually-
+    //    float L1 normalization never happens in floats: inbound sums
+    //    stay scaled longs, the normalizer is their exact total, each
+    //    score is ONE long/long division — so the oracle's unrolled
+    //    iterations reproduce every bit. ──
+    {
+      val iters = 2
+      val S = "4294967296.0"
+      val blocks = (1 to iters).map { i =>
+        val p = s"h${i - 1}"
+        s"""am$i AS (SELECT e.dst AS node,
+           |        CAST(sum(CAST(round(h.h * $S) AS BIGINT)) AS BIGINT) AS ms
+           |      FROM e JOIN $p h ON h.node = e.src GROUP BY e.dst),
+           |at$i AS (SELECT CAST(sum(ms) AS BIGINT) AS t FROM am$i),
+           |a$i AS (SELECT node, CAST(ms AS DOUBLE) / CAST(at$i.t AS DOUBLE) AS a
+           |      FROM am$i, at$i),
+           |hm$i AS (SELECT e.src AS node,
+           |        CAST(sum(CAST(round(a.a * $S) AS BIGINT)) AS BIGINT) AS ms
+           |      FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+           |ht$i AS (SELECT CAST(sum(ms) AS BIGINT) AS t FROM hm$i),
+           |h$i AS (SELECT node, CAST(ms AS DOUBLE) / CAST(ht$i.t AS DOUBLE) AS h
+           |      FROM hm$i, ht$i)""".stripMargin
+      }.mkString(",\n")
+      QueryDef.sql(
+        "graph_hits",
+        s"""WITH e AS (SELECT DISTINCT l_suppkey + 100000 AS src, o_custkey AS dst
+           |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+           |h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS h FROM e),
+           |$blocks
+           |SELECT * FROM (
+           |  (SELECT 'auth' AS role, node, a AS score FROM a$iters
+           |   ORDER BY a DESC, node LIMIT 50)
+           |  UNION ALL
+           |  (SELECT 'hub' AS role, node, h AS score FROM h$iters
+           |   ORDER BY h DESC, node LIMIT 50)
+           |) ORDER BY role, score DESC, node""".stripMargin) {
+        (s, d) =>
+          val e = Tables.lineitem(s, d)
+            .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+            .select((col("l_suppkey") + 100000L).as("src"), col("o_custkey").as("dst"))
+          val scored = graft.operators.Graph.hits(e, "src", "dst", iters = iters)
+          val topA = scored.filter(col("role") === "auth")
+            .orderBy(desc("score"), asc("node")).limit(50)
+          val topH = scored.filter(col("role") === "hub")
+            .orderBy(desc("score"), asc("node")).limit(50)
+          topA.unionByName(topH).orderBy(asc("role"), desc("score"), asc("node"))
+      }
+    },
+
     // ── Data-quality EXPECTATION suite (the Great-Expectations / dbt-test
     //    shape): declared checks → one violation-count row per check. All
     //    row-level checks on a table fold into ONE aggregate over ONE scan

@@ -38,6 +38,24 @@ class GraphSpec extends SparkSpec {
     assert(ranks(1L) > others.max, "the in-degree hub must outrank every other node")
   }
 
+  test("hits: distributed ≡ sequential twin; both sides L1-normalize to ~1") {
+    val edges = edgeFixture
+    val out = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val outRep = Graph.hits(edges.toDF("src", "dst").repartition(9), "src", "dst", iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == outRep, "partitioning must not change a bit")
+    val (lh, la) = Graph.hitsLocal(edges, iters = 2)
+    assert(out.collect { case (("hub", n), s) => n -> s } == lh)
+    assert(out.collect { case (("auth", n), s) => n -> s } == la)
+    val hubSum = out.collect { case (("hub", _), s) => s }.sum
+    val authSum = out.collect { case (("auth", _), s) => s }.sum
+    assert(math.abs(hubSum - 1.0) < 1e-9 && math.abs(authSum - 1.0) < 1e-9)
+    // node 1 receives every node's link → top authority
+    val topAuth = out.collect { case (("auth", n), s) => (s, n) }.max._2
+    assert(topAuth == 1L)
+  }
+
   test("pageRank: dangling-only sinks still receive and redistribute mass") {
     // star into a sink: 2..5 -> 1, node 1 dangling
     val edges = (2L to 5L).map(s => (s, 1L))

@@ -142,6 +142,39 @@ object RelationalQueries {
           .orderBy("hour", "event_type")
     },
 
+    // ── H8 event-rate anomaly gate: hours whose count deviates more
+    //    than 2σ from the corpus-hour mean — with NO float statistics:
+    //    z² > k² rewrites as (c·N − S)² > k²·(N·SS − S²), every operand
+    //    an exact long ((c−μ)²·N² vs k²σ²·N², both sides multiplied
+    //    through by N²). The classic mean/stddev form would float-drift
+    //    across engines; this one can't. ──
+    QueryDef.sql(
+      "h8_event_anomaly",
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |          CAST(sum(c * c) AS BIGINT) AS ss
+        |       FROM h)
+        |SELECT hour, c AS n_events,
+        |  (c * n - s) * (c * n - s) AS dev2_n2,
+        |  4 * (n * ss - s * s) AS var4_n2,
+        |  (c * n - s) * (c * n - s) > 4 * (n * ss - s * s) AS anomalous
+        |FROM h, st ORDER BY hour""".stripMargin) {
+      (s, d) =>
+        val h = Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("c"))
+        val st = h.agg(count(lit(1)).as("n"), sum("c").as("s"),
+          sum(col("c") * col("c")).as("ss"))
+        val dev = col("c") * col("n") - col("s")
+        val var4 = lit(4L) * (col("n") * col("ss") - col("s") * col("s"))
+        h.crossJoin(broadcast(st))
+          .select(col("hour"), col("c").as("n_events"),
+            (dev * dev).as("dev2_n2"), var4.as("var4_n2"),
+            (dev * dev > var4).as("anomalous"))
+          .orderBy("hour")
+    },
+
     // ── E8 as-of with staleness TOLERANCE: a purchase more than 10
     //    minutes older than the click is no match at all (the
     //    market-data semantic — last week's quote must not enrich

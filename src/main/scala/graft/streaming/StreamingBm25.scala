@@ -97,6 +97,31 @@ object StreamingBm25 {
       .limit(k)
   }
 
+  /** Retention vacuum: drop every batch partition below `keepFromBatch`
+    * — the news-index shape (serve the last N days, reclaim the rest).
+    * Deleting WHOLE batch partitions is what the batch-first layout
+    * buys: retention is a directory unlink, not a rewrite, and the
+    * stats fold self-heals because the dropped batches' partials
+    * vanish with their partitions (serve recomputes n/avgl from what
+    * remains — no tombstones, no compensating records). A batch id is
+    * monotone in arrival order, so "keep the last k batches" is a
+    * driver-side max(batch)−k. */
+  def vacuum(spark: SparkSession, indexDir: String, keepFromBatch: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    for (sub <- Seq("postings", "stats")) {
+      val root = new org.apache.hadoop.fs.Path(s"$indexDir/$sub")
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        fs.listStatus(root).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("batch=") &&
+              name.stripPrefix("batch=").toLongOption.exists(_ < keepFromBatch))
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+
   /** Convenience wiring: maintain the index from a document stream. */
   def attach(docs: DataFrame, idCol: String, textCol: String,
              indexDir: String, checkpointDir: String,

@@ -43,6 +43,23 @@ class StreamingBm25Spec extends SparkSpec {
     assert(nd == 60L)
   }
 
+  test("vacuum: dropped batches vanish from serve; stats self-heal") {
+    val idx = tmpDir("sbm25-vac")
+    val all = corpus(1 to 60)
+    val (b0, b1) = all.splitAt(30)
+    StreamingBm25.processBatch(b0.toDF("doc_id", "text"), 0L, "doc_id", "text", idx, nBuckets = 8)
+    StreamingBm25.processBatch(b1.toDF("doc_id", "text"), 1L, "doc_id", "text", idx, nBuckets = 8)
+    StreamingBm25.vacuum(spark, idx, keepFromBatch = 1L)
+    val served = StreamingBm25.topK(spark, idx, Seq("spark", "merge"), k = 12, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val freshRetained = graft.operators.TextOps.bm25TopK(b1.toDF("doc_id", "text"),
+        "doc_id", "text", Seq("spark", "merge"), k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == freshRetained,
+      "after vacuum the index must behave as if only the retained batches ever arrived")
+    assert(spark.read.parquet(s"$idx/stats").agg(sum("n_docs")).head.getLong(0) == 30L)
+  }
+
   test("end-to-end under a streaming query") {
     val src = tmpDir("sbm25-src"); val idx = tmpDir("sbm25-idx"); val cp = tmpDir("sbm25-cp")
     corpus(1 to 20).toDF("doc_id", "text").write.mode("overwrite").parquet(src)

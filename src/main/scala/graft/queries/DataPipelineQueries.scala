@@ -198,18 +198,26 @@ object DataPipelineQueries {
         .orderBy("epoch")
     },
 
-    // ── Learned BPE tokenizer (rows-only: training is an iterative
-    //    global argmax no SQL oracle can express; the algorithm is
-    //    pinned by BpeSpec's hand-computed merge goldens instead).
-    //    Train once on the corpus word-freq table (ONE distributed
-    //    scan + guarded driver merge loop — the sentencepiece shape),
-    //    then encode per doc under the broadcast rank map. ──
-    QueryDef.rowsOnly("text_bpe_tokenize") { (s, d) =>
+    // ── Learned BPE tokenizer. The oracle is GENERATED unrolled-iteration
+    //    SQL (the graph_pagerank precedent): DuckDB re-derives all 30
+    //    merges from the corpus word-freq table — global pair counts,
+    //    count-desc/pair-asc argmax, left-to-right merge application via
+    //    a list_reduce fold — then greedily encodes every distinct word
+    //    under the derived ranks, so tokenizer TRAINING and ENCODING are
+    //    both independently verified (was rows-only through round 8).
+    //    Spark side: train once on the corpus word-freq table (ONE
+    //    distributed scan + guarded driver merge loop — the sentencepiece
+    //    shape), then encode per doc under the broadcast rank map. ──
+    QueryDef.sql(
+      "text_bpe_tokenize",
+      BpeOracle.tokenizeSql(n = 30, encodeSteps = 12)) { (s, d) =>
       val docs = Tables.documents(s, d)
       Bpe.encode(docs, "doc_id", "text", Bpe.train(docs, "text", nMerges = 30))
         .orderBy("doc")
     },
-    QueryDef.rowsOnly("text_bpe_merges") { (s, d) =>
+    QueryDef.sql(
+      "text_bpe_merges",
+      BpeOracle.mergesSql(n = 30)) { (s, d) =>
       val s2 = s
       import s2.implicits._
       Bpe.train(Tables.documents(s, d), "text", nMerges = 30)
@@ -221,8 +229,14 @@ object DataPipelineQueries {
     //    persist the merge table, reload it, encode the WHOLE corpus
     //    under the stored ranks — the train-once/encode-many contract
     //    (retraining per job silently shifts token boundaries
-    //    mid-corpus; round-trip identity is spec-pinned in BpeSpec). ──
-    QueryDef.rowsOnly("text_bpe_stored") { (s, d) =>
+    //    mid-corpus; round-trip identity is spec-pinned in BpeSpec).
+    //    The oracle re-derives the merges from the SAME doc_id < 200
+    //    slice and encodes the whole corpus — persist/reload must be an
+    //    exact identity for the hashes to meet. ──
+    QueryDef.sql(
+      "text_bpe_stored",
+      BpeOracle.tokenizeSql(n = 30, encodeSteps = 12,
+        trainSrc = "(SELECT * FROM documents WHERE doc_id < 200)")) { (s, d) =>
       val docs = Tables.documents(s, d)
       val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
       Bpe.saveMerges(s,

@@ -2,9 +2,11 @@ package graft.query
 
 import graft.{SparkEntry, SparkSpec}
 
-/** Schema + row-count pins for the rows-only driver queries — the six
-  * entries with no DuckDB oracle (engine-internal tables; learned BPE's
-  * iterative global argmax; engine-specific sketch values). Without these
+/** Schema + row-count pins for the rows-only driver queries — the
+  * entries with no DuckDB oracle (engine-internal tables;
+  * engine-specific sketch values; the BPE family graduated to a
+  * generated unrolled-iteration oracle in round 9 but keeps its pins
+  * here as cheap fast-fail). Without these
   * pins a regression in any of them is invisible: the driver records only
   * that rows were produced. Run at sf0.001 to keep the suite cheap; every
   * assertion is derived from the query's own inputs, not transcribed
@@ -22,10 +24,10 @@ class RowsOnlyQueriesSpec extends SparkSpec {
     assert(rowsOnly == Set(
       "corpus_length_percentiles_approx",
       "engine_ingest_e2e", "engine_snapshot_read", "engine_stream_enrich",
-      "text_bpe_merges", "text_bpe_tokenize", "text_compression_gate",
+      "text_compression_gate",
       "text_vocab_approx", "engine_snapshot_diff",
       "text_classifier_train", "engine_stream_validate",
-      "engine_jsonl_quarantine", "text_bpe_stored",
+      "engine_jsonl_quarantine",
       "text_heavyhitters_sketch"),
       "a new rows-only query was registered without a pin in this spec")
   }

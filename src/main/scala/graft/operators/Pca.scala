@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed PCA over the embedding column — the
+  * dimensionality-reduction stage an embedding pipeline runs before ANN
+  * (project to the leading components, score/serve on fewer dims at less
+  * IO) and the drift lens a corpus monitor wants (the top component IS
+  * the dominant axis of variation).
+  *
+  * Determinism doctrine ([[Graph]] / [[Classifier]]): every distributed
+  * reduction sums values quantized ONCE to scaled longs
+  * (`round(x · 2^32)`), so second moments, power-iteration matmuls, the
+  * normalizer, the Rayleigh quotient, and the per-row projections are
+  * all EXACT commutative sums — bit-identical under any partitioning and
+  * reproducible by an unrolled SQL oracle (every float expression is one
+  * fixed shape the oracle mirrors token-for-token).
+  *
+  * Scale shape: the corpus is touched by ONE `treeAggregate` pass that
+  * folds each partition into a d + d² long array (first + second
+  * moments together) — no shuffle at all; the reduce volume is d² per
+  * partition regardless of corpus size. The d×d
+  * covariance then lives driver-side (d=64 → 4 KB of longs) where power
+  * iteration is a few thousand flops — never a distributed job. The
+  * projection pass is one scan, zero shuffles (per-row fold against
+  * broadcast-literal mean/component arrays).
+  *
+  * Overflow bound (why 2^32 is safe): with |x| ≤ B the quantized product
+  * magnitude is ≤ B²·2^32, so n rows sum to ≤ n·B²·2^32 — for unit-norm
+  * embeddings (B ≤ 1) that stays inside a signed long up to n ≈ 2^30
+  * rows. Past that, shard the moment pass (per-shard exact longs, exact
+  * long-sum merge) — the quantum does NOT need to shrink.
+  */
+object Pca {
+
+  /** 2^32 — the shared message quantum (see [[Graph.Scale]]). */
+  val Scale: Double = 4294967296.0
+
+  /** Round-half-away-from-zero on a double — the shared quantizer.
+    * Bit-equivalent to BOTH Spark's `round()` (BigDecimal HALF_UP over
+    * the shortest decimal representation: a double ≠ 0.5 keeps its side
+    * of 0.5 under round-trip-unique printing, a double == 0.5 rounds
+    * away) and DuckDB's C-library `round()` — but allocation-free, which
+    * matters at d² quantizations per row. The floor(x+0.5) shortcut
+    * alone is WRONG for the largest double below 0.5 (the add rounds up
+    * to 1.0); the correction term restores exactness. */
+  @inline private[operators] def rnd(x: Double): Long =
+    if (x >= 0) {
+      val r = Math.floor(x + 0.5)
+      (if (r - x > 0.5) r - 1.0 else r).toLong
+    } else {
+      val r = Math.ceil(x - 0.5)
+      (if (x - r > 0.5) r + 1.0 else r).toLong
+    }
+
+  /** Exact first+second moments: (n, S_i = Σ round(x_i·2^32),
+    * Q_ij = Σ round(x_i·x_j·2^32)) — the sufficient statistics of the
+    * covariance, as longs. ONE `treeAggregate` pass (the [[Classifier]]
+    * shape): each partition folds its rows into a d + d² long array, the
+    * merge is an exact long-vector sum — no row inflation, no shuffle,
+    * and the reduce volume is d² per partition regardless of corpus
+    * size. (A first cut exploded the per-row outer product into d²
+    * struct rows for a groupBy — same exchange bound on paper, but the
+    * 4096× row inflation plus per-element BigDecimal rounding made it
+    * 60× slower at sf0.1.) */
+  def moments(df: DataFrame, vecCol: String): (Long, Array[Long], Array[Array[Long]]) = {
+    val rows = df.select(col(vecCol).cast("array<float>"))
+    val d = rows.head.getSeq[Float](0).size
+    val zero = new Array[Long](1 + d + d * d)
+    val agg = rows.rdd.treeAggregate(zero)(
+      seqOp = (acc, row) => {
+        val v = row.getSeq[Float](0)
+        acc(0) += 1L
+        var i = 0
+        while (i < d) {
+          val xi = v(i).toDouble
+          acc(1 + i) += rnd(xi * Scale)
+          var j = 0
+          val base = 1 + d + i * d
+          while (j < d) { acc(base + j) += rnd(xi * v(j).toDouble * Scale); j += 1 }
+          i += 1
+        }
+        acc
+      },
+      combOp = (a, b) => {
+        var k = 0
+        while (k < a.length) { a(k) += b(k); k += 1 }
+        a
+      })
+    (agg(0), Array.tabulate(d)(i => agg(1 + i)),
+      Array.tabulate(d, d)((i, j) => agg(1 + d + i * d + j)))
+  }
+
+  /** Covariance C_ij as a DataFrame (pos_i, pos_j, cov) — the
+    * closing-division shape shared with the oracle:
+    * (Q/2^32)/n − ((S_i/2^32)/n)·((S_j/2^32)/n). The corpus pass is the
+    * distributed part ([[moments]]); the d×d assembly is driver-side by
+    * construction (d² doubles, plan-literal sized). */
+  def covariance(df: DataFrame, vecCol: String): DataFrame = {
+    val (n, s, q) = moments(df, vecCol)
+    val d = s.length
+    val spark = df.sparkSession
+    import spark.implicits._
+    (for (i <- 0 until d; j <- 0 until d) yield {
+      val cov = (q(i)(j).toDouble / Scale) / n -
+        ((s(i).toDouble / Scale) / n) * ((s(j).toDouble / Scale) / n)
+      (i.toLong, j.toLong, cov)
+    }).toDF("pos_i", "pos_j", "cov")
+  }
+
+  /** First principal component + eigenvalue + per-dim mean. */
+  final case class Model(mean: Array[Double], component: Array[Double], eigval: Double)
+
+  /** Driver-side power iteration on the exact moments — the SAME
+    * quantized arithmetic as the oracle's unrolled steps, so the
+    * component vector is reproduced bit-for-bit by DuckDB. */
+  def topComponent(df: DataFrame, vecCol: String, iters: Int): Model = {
+    val (n, s, q) = moments(df, vecCol)
+    topComponentFromMoments(n, s, q, iters)
+  }
+
+  /** The pure driver core ([[topComponent]] minus the distributed moment
+    * pass) — also the sequential twin PcaSpec compares against. */
+  def topComponentFromMoments(n: Long, s: Array[Long], q: Array[Array[Long]],
+                              iters: Int): Model = {
+    val d = s.length
+    val mean = s.map(si => (si.toDouble / Scale) / n)
+    val c = Array.tabulate(d, d) { (i, j) =>
+      (q(i)(j).toDouble / Scale) / n -
+        ((s(i).toDouble / Scale) / n) * ((s(j).toDouble / Scale) / n)
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 0 until iters) {
+      val uq = Array.tabulate(d) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += rnd(c(i)(j) * v(j) * Scale); j += 1 }
+        acc
+      }
+      val w = uq.map(_.toDouble / Scale)
+      var nq = 0L
+      w.foreach(wv => nq += rnd(wv * wv * Scale))
+      val nrm = math.sqrt(nq.toDouble / Scale)
+      v = w.map(_ / nrm)
+    }
+    var lq = 0L
+    for (i <- 0 until d; j <- 0 until d) lq += rnd(c(i)(j) * v(i) * v(j) * Scale)
+    Model(mean, v, lq.toDouble / Scale)
+  }
+
+  /** Project every row onto the component: ONE scan, zero shuffles —
+    * the mean/component travel as plan literals and the per-row fold is
+    * an exact long sum closed by one division. Returns (id, pc1). */
+  def project(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val meanArr = array(model.mean.map(lit): _*)
+    val vArr = array(model.component.map(lit): _*)
+    df.select(col(idCol).as("vec_id"),
+      (aggregate(
+        transform(col(vecCol), (xi: Column, i: Column) =>
+          round((xi.cast("double") - element_at(meanArr, i + 1)) *
+            element_at(vArr, i + 1) * Scale).cast("long")),
+        lit(0L), (acc: Column, x: Column) => acc + x) / Scale).as("pc1"))
+  }
+}

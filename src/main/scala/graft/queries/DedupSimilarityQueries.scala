@@ -2344,5 +2344,40 @@ object DedupSimilarityQueries {
             centroidIdCol = "vec_id", perCell = 15)
           .orderBy("cid", "vec_id")
     },
+
+    // ── Deterministic distributed PCA (operators/Pca): exact quantized
+    //    moments → driver-side power iteration → distributed projection.
+    //    The oracle (PcaOracle) re-derives the WHOLE eigen-solve in SQL —
+    //    unrolled quantized matmul/normalize steps, the pagerank doctrine
+    //    applied to linear algebra — so all three stages hash-match
+    //    bit-for-bit. v0 literal is the Scala-printed 1/√64 (both engines
+    //    parse identical bits); 8 iterations is a report, not a
+    //    convergence solver, same as graph_pagerank's 3. ──
+    QueryDef.sql("sim_pca_cov", PcaOracle.covSql) { (s, d) =>
+      graft.operators.Pca.covariance(Tables.embeddings(s, d), "embedding")
+        .orderBy("pos_i", "pos_j")
+    },
+    QueryDef.sql(
+      "sim_pca_top_pc",
+      PcaOracle.topPcSql(iters = 8, v0lit = (1.0 / math.sqrt(64.0)).toString)) {
+      (s, d) =>
+        val s2 = s
+        import s2.implicits._
+        val m = graft.operators.Pca.topComponent(
+          Tables.embeddings(s, d), "embedding", iters = 8)
+        m.component.zipWithIndex
+          .map { case (v, i) => (i.toLong, v, m.eigval) }.toSeq
+          .toDF("pos", "loading", "eigval")
+          .orderBy("pos")
+    },
+    QueryDef.sql(
+      "sim_pca_project",
+      PcaOracle.projectSql(iters = 8, v0lit = (1.0 / math.sqrt(64.0)).toString)) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val m = graft.operators.Pca.topComponent(emb, "embedding", iters = 8)
+        graft.operators.Pca.project(emb, "vec_id", "embedding", m)
+          .orderBy("vec_id")
+    },
   )
 }

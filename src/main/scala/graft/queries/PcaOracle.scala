@@ -1,0 +1,60 @@
+package graft.queries
+
+/** GENERATED DuckDB oracle for the deterministic PCA family
+  * ([[graft.operators.Pca]]) — the unrolled-iteration precedent
+  * (graph_pagerank, BpeOracle) applied to power iteration: DuckDB
+  * re-derives the exact quantized moments, the covariance (one fixed
+  * closing-division shape mirrored token-for-token), every power-
+  * iteration step (quantized matmul, quantized normalizer, one division),
+  * the Rayleigh eigenvalue, and the per-row projections — so the whole
+  * eigen-solve is independently verified, not just its inputs.
+  *
+  * All CTEs MATERIALIZED (the step chain references each state twice;
+  * default inlining re-evaluates the prefix exponentially — the BpeOracle
+  * lesson). `v0lit` must be the Scala-printed double `1/√d` so both
+  * engines parse identical bits (the pagerank literal doctrine).
+  */
+object PcaOracle {
+
+  private val S = "4294967296.0"
+
+  /** Moment + covariance chain over the embeddings table. */
+  private def covBlocks: String =
+    s"""u0 AS MATERIALIZED (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, unnest(embedding) AS xi FROM embeddings),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |sm AS MATERIALIZED (SELECT i, CAST(sum(CAST(round(CAST(xi AS DOUBLE) * $S) AS BIGINT)) AS BIGINT) AS sq FROM u0 GROUP BY i),
+       |qq AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(CAST(round(CAST(a.xi AS DOUBLE) * CAST(b.xi AS DOUBLE) * $S) AS BIGINT)) AS BIGINT) AS q FROM u0 a JOIN u0 b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cv AS MATERIALIZED (SELECT qq.i, qq.j, (CAST(qq.q AS DOUBLE) / $S) / nn.n - ((CAST(si.sq AS DOUBLE) / $S) / nn.n) * ((CAST(sj.sq AS DOUBLE) / $S) / nn.n) AS c FROM qq JOIN sm si ON si.i = qq.i JOIN sm sj ON sj.i = qq.j CROSS JOIN nn)""".stripMargin
+
+  /** Unrolled power-iteration steps v0 → v`iters`. */
+  private def powerBlocks(iters: Int, v0lit: String): String = {
+    val head = s"v0 AS MATERIALIZED (SELECT i, CAST($v0lit AS DOUBLE) AS vv FROM sm)"
+    val steps = (1 to iters).map { k =>
+      s"""u$k AS MATERIALIZED (SELECT cv.i AS i, CAST(sum(CAST(round(cv.c * v.vv * $S) AS BIGINT)) AS BIGINT) AS uq FROM cv JOIN v${k - 1} v ON v.i = cv.j GROUP BY cv.i),
+         |w$k AS MATERIALIZED (SELECT i, CAST(uq AS DOUBLE) / $S AS wv FROM u$k),
+         |n$k AS MATERIALIZED (SELECT CAST(sum(CAST(round(wv * wv * $S) AS BIGINT)) AS BIGINT) AS nq FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, wv / sqrt(CAST(n$k.nq AS DOUBLE) / $S) AS vv FROM w$k, n$k)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** Oracle for `sim_pca_cov`: the full d×d covariance, 0-based dims. */
+  def covSql: String =
+    s"""WITH $covBlocks
+       |SELECT i - 1 AS pos_i, j - 1 AS pos_j, c AS cov FROM cv ORDER BY pos_i, pos_j""".stripMargin
+
+  /** Oracle for `sim_pca_top_pc`: first component + Rayleigh eigenvalue. */
+  def topPcSql(iters: Int, v0lit: String): String =
+    s"""WITH $covBlocks,
+       |${powerBlocks(iters, v0lit)},
+       |lam AS MATERIALIZED (SELECT CAST(sum(CAST(round(cv.c * a.vv * b.vv * $S) AS BIGINT)) AS BIGINT) AS lq FROM cv JOIN v$iters a ON a.i = cv.i JOIN v$iters b ON b.i = cv.j)
+       |SELECT v.i - 1 AS pos, v.vv AS loading, CAST(lam.lq AS DOUBLE) / $S AS eigval FROM v$iters v, lam ORDER BY pos""".stripMargin
+
+  /** Oracle for `sim_pca_project`: every row's coordinate along PC1. */
+  def projectSql(iters: Int, v0lit: String): String =
+    s"""WITH $covBlocks,
+       |${powerBlocks(iters, v0lit)},
+       |mn AS MATERIALIZED (SELECT i, (CAST(sq AS DOUBLE) / $S) / nn.n AS m FROM sm, nn)
+       |SELECT u0.vec_id AS vec_id, CAST(sum(CAST(round((CAST(u0.xi AS DOUBLE) - mn.m) * v.vv * $S) AS BIGINT)) AS BIGINT) / $S AS pc1
+       |FROM u0 JOIN mn ON mn.i = u0.i JOIN v$iters v ON v.i = u0.i GROUP BY u0.vec_id ORDER BY vec_id""".stripMargin
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Anisotropic fixture: variance concentrated along a known axis so the
+    * dominant component is unambiguous (dims 0/1 carry the signal at 3:1,
+    * the rest is small noise). */
+  private def fixture(n: Int, d: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map { i =>
+      val t = rnd.nextGaussian()
+      val v = Array.tabulate(d) {
+        case 0 => (3.0 * t + 0.05 * rnd.nextGaussian()).toFloat
+        case 1 => (1.0 * t + 0.05 * rnd.nextGaussian()).toFloat
+        case _ => (0.05 * rnd.nextGaussian()).toFloat
+      }
+      (i.toLong, v.toSeq)
+    }
+  }
+
+  /** Sequential twin: plain-Scala moments with the same quantization. */
+  private def localMoments(rows: Seq[Seq[Float]]): (Long, Array[Long], Array[Array[Long]]) = {
+    val d = rows.head.length
+    def rnd(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val s = Array.fill(d)(0L)
+    val q = Array.fill(d, d)(0L)
+    rows.foreach { r =>
+      for (i <- 0 until d) {
+        s(i) += rnd(r(i).toDouble * Pca.Scale)
+        for (j <- 0 until d) q(i)(j) += rnd(r(i).toDouble * r(j).toDouble * Pca.Scale)
+      }
+    }
+    (rows.size.toLong, s, q)
+  }
+
+  test("moments: distributed ≡ sequential twin bit-for-bit, any partitioning") {
+    val rows = fixture(200, 8)
+    val df = rows.toDF("vec_id", "embedding")
+    val (n1, s1, q1) = Pca.moments(df.repartition(1), "embedding")
+    val (n2, s2, q2) = Pca.moments(df.repartition(13), "embedding")
+    val (nl, sl, ql) = localMoments(rows.map(_._2))
+    assert(n1 == nl && n2 == nl)
+    assert(s1.sameElements(sl) && s2.sameElements(sl),
+      "first moments must be exact longs, partition-independent")
+    assert(q1.map(_.toSeq).toSeq == ql.map(_.toSeq).toSeq &&
+      q2.map(_.toSeq).toSeq == ql.map(_.toSeq).toSeq,
+      "second moments must be exact longs, partition-independent")
+  }
+
+  test("topComponent: recovers the planted dominant axis; unit norm; positive eigval") {
+    val rows = fixture(400, 8)
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.topComponent(df, "embedding", iters = 8)
+    val nrm = math.sqrt(m.component.map(v => v * v).sum)
+    assert(math.abs(nrm - 1.0) < 1e-6, s"component must be unit norm, got $nrm")
+    assert(m.eigval > 0.0)
+    // planted axis is (3,1,0,...)/sqrt(10): |cos| with the component ≈ 1
+    val axis = Array(3.0, 1.0, 0, 0, 0, 0, 0, 0).map(_ / math.sqrt(10.0))
+    val cos = math.abs(m.component.zip(axis).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.999, s"dominant axis not recovered (|cos| = $cos)")
+    // Rayleigh quotient of the component beats every coordinate axis
+    val (n, s, q) = localMoments(rows.map(_._2))
+    val c = Array.tabulate(8, 8)((i, j) =>
+      (q(i)(j).toDouble / Pca.Scale) / n -
+        ((s(i).toDouble / Pca.Scale) / n) * ((s(j).toDouble / Pca.Scale) / n))
+    for (k <- 0 until 8)
+      assert(m.eigval >= c(k)(k) - 1e-9,
+        s"eigval ${m.eigval} below coordinate variance $k = ${c(k)(k)}")
+  }
+
+  test("project: zero-mean scores, variance equals the eigval, exact under repartition") {
+    val rows = fixture(300, 8)
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.topComponent(df, "embedding", iters = 8)
+    val p1 = Pca.project(df.repartition(1), "vec_id", "embedding", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p9 = Pca.project(df.repartition(9), "vec_id", "embedding", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p1 == p9, "projection must be bit-identical under any partitioning")
+    val xs = p1.values.toSeq
+    val mean = xs.sum / xs.size
+    assert(math.abs(mean) < 1e-5, s"centered projection must have ~zero mean, got $mean")
+    val varr = xs.map(x => (x - mean) * (x - mean)).sum / xs.size
+    assert(math.abs(varr - m.eigval) / m.eigval < 0.01,
+      s"projection variance $varr must match the eigval ${m.eigval}")
+  }
+
+  test("covariance frame: symmetric, diag nonnegative, matches the driver moments") {
+    val rows = fixture(150, 6)
+    val df = rows.toDF("vec_id", "embedding")
+    val cov = Pca.covariance(df, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cov.size == 36)
+    for (i <- 0 until 6; j <- 0 until 6) {
+      assert(cov((i.toLong, j.toLong)) == cov((j.toLong, i.toLong)),
+        s"covariance must be exactly symmetric at ($i,$j)")
+    }
+    for (i <- 0 until 6) assert(cov((i.toLong, i.toLong)) >= 0.0)
+    val (n, s, q) = localMoments(rows.map(_._2))
+    for (i <- 0 until 6; j <- 0 until 6) {
+      val want = (q(i)(j).toDouble / Pca.Scale) / n -
+        ((s(i).toDouble / Pca.Scale) / n) * ((s(j).toDouble / Pca.Scale) / n)
+      assert(cov((i.toLong, j.toLong)) == want,
+        s"distributed covariance must equal the twin bit-for-bit at ($i,$j)")
+    }
+  }
+}

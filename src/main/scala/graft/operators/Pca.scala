@@ -124,12 +124,25 @@ object Pca {
     * pass) — also the sequential twin PcaSpec compares against. */
   def topComponentFromMoments(n: Long, s: Array[Long], q: Array[Array[Long]],
                               iters: Int): Model = {
-    val d = s.length
     val mean = s.map(si => (si.toDouble / Scale) / n)
-    val c = Array.tabulate(d, d) { (i, j) =>
+    val c = covFromMoments(n, s, q)
+    val (v, lam) = powerIterate(c, iters)
+    Model(mean, v, lam)
+  }
+
+  private def covFromMoments(n: Long, s: Array[Long],
+                             q: Array[Array[Long]]): Array[Array[Double]] = {
+    val d = s.length
+    Array.tabulate(d, d) { (i, j) =>
       (q(i)(j).toDouble / Scale) / n -
         ((s(i).toDouble / Scale) / n) * ((s(j).toDouble / Scale) / n)
     }
+  }
+
+  /** One quantized power-iteration solve on a driver-side matrix —
+    * the exact arithmetic the oracle's unrolled steps mirror. */
+  private def powerIterate(c: Array[Array[Double]], iters: Int): (Array[Double], Double) = {
+    val d = c.length
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     for (_ <- 0 until iters) {
       val uq = Array.tabulate(d) { i =>
@@ -146,7 +159,29 @@ object Pca {
     }
     var lq = 0L
     for (i <- 0 until d; j <- 0 until d) lq += rnd(c(i)(j) * v(i) * v(j) * Scale)
-    Model(mean, v, lq.toDouble / Scale)
+    (v, lq.toDouble / Scale)
+  }
+
+  /** Leading `k` components via deflation: solve, subtract the rank-one
+    * term `λ·v·vᵀ` (one fixed double shape the oracle mirrors), solve
+    * again. Power iteration on a deflated matrix converges to the NEXT
+    * eigenvector because the removed direction now has eigenvalue ~0.
+    * Returns components in eigenvalue order with the shared mean. */
+  final case class Components(mean: Array[Double], comps: Seq[(Array[Double], Double)])
+
+  def topComponents(df: DataFrame, vecCol: String, k: Int, iters: Int): Components = {
+    val (n, s, q) = moments(df, vecCol)
+    val mean = s.map(si => (si.toDouble / Scale) / n)
+    var c = covFromMoments(n, s, q)
+    val d = s.length
+    val out = Seq.newBuilder[(Array[Double], Double)]
+    for (m <- 0 until k) {
+      val (v, lam) = powerIterate(c, iters)
+      out += ((v, lam))
+      if (m < k - 1)
+        c = Array.tabulate(d, d)((i, j) => c(i)(j) - lam * v(i) * v(j))
+    }
+    Components(mean, out.result())
   }
 
   /** Project every row onto the component: ONE scan, zero shuffles —

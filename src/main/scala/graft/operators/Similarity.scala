@@ -858,4 +858,53 @@ object Similarity {
       .select(col("query_id"), col("_t._aid").as(idCol),
         (-col("_t.ns")).as(scoreName),
         (col("_pos") + 1).cast("int").as("rank"))
+
+  /** Deterministic ±1 sign matrix for Johnson–Lindenstrauss random
+    * projection: sign(j, i) from the first hex digit of md5("rp{i}_{j}")
+    * — re-derivable by ANY engine from the dims alone (no RNG state, the
+    * sampling-family doctrine), so the oracle reconstructs the same
+    * matrix with its own md5. Rows are output dims, columns input dims. */
+  def rpSigns(dIn: Int, dOut: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dOut, dIn) { (j, i) =>
+      val h = md.digest(s"rp${i}_$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    }
+  }
+
+  /** JL random projection to `dOut` dims — the TRAIN-FREE dimensionality
+    * reduction (no moment pass, no stored model: the matrix is a pure
+    * function of the dims, so any executor — or any future batch —
+    * re-derives it; the arrival-path property PCA lacks). One scan, zero
+    * shuffles: dOut exact-long folds per row against plan-literal sign
+    * rows, closed by /2^32/√dOut. Distance preservation is the JL
+    * guarantee (ε ~ √(ln n / dOut)); the recall query measures it. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dOut: Int): DataFrame = {
+    val dIn = df.select(size(col(vecCol))).head.getInt(0)
+    val signs = rpSigns(dIn, dOut)
+    val invRoot = math.sqrt(dOut.toDouble)
+    val yCols = (0 until dOut).map { j =>
+      val sArr = array(signs(j).map(lit): _*)
+      (aggregate(
+        transform(col(vecCol), (x: Column, i: Column) =>
+          round(x.cast("double") * element_at(sArr, i + 1) * Pca.Scale).cast("long")),
+        lit(0L), (a: Column, b: Column) => a + b)
+        .cast("double") / Pca.Scale / invRoot).as(s"y$j")
+    }
+    df.select(col(idCol).as("vec_id"), array(yCols: _*).as("proj"))
+  }
+
+  /** Exact-long pair dot: Σ round(aᵢ·bᵢ·2^32) — order-free, the score
+    * primitive of the projected-space recall query. */
+  private[graft] def quantDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => round(x * y * Pca.Scale).cast("long")),
+      lit(0L), (acc: Column, v: Column) => acc + v)
+
+  /** Cosine in projected (double) space from quantized sums — one fixed
+    * closing shape the oracle mirrors. */
+  private[graft] def quantCosine(a: Column, b: Column): Column =
+    round((quantDot(a, b).cast("double") / Pca.Scale) /
+      sqrt((quantDot(a, a).cast("double") / Pca.Scale) *
+        (quantDot(b, b).cast("double") / Pca.Scale)), 4)
 }

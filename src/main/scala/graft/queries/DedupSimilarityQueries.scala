@@ -2370,6 +2370,25 @@ object DedupSimilarityQueries {
           .toDF("pos", "loading", "eigval")
           .orderBy("pos")
     },
+    // ── Leading-2 components via deflation: after PC1, subtract the
+    //    rank-one term λ·v·vᵀ (one fixed double shape both engines
+    //    share) and re-solve — power iteration on the deflated matrix
+    //    converges to PC2 because the removed direction's eigenvalue is
+    //    ~0. The oracle unrolls BOTH solves and the deflation. ──
+    QueryDef.sql(
+      "sim_pca_components",
+      PcaOracle.componentsSql(k = 2, iters = 8,
+        v0lit = (1.0 / math.sqrt(64.0)).toString)) {
+      (s, d) =>
+        val s2 = s
+        import s2.implicits._
+        val cs = graft.operators.Pca.topComponents(
+          Tables.embeddings(s, d), "embedding", k = 2, iters = 8)
+        cs.comps.zipWithIndex.flatMap { case ((v, lam), m) =>
+          v.zipWithIndex.map { case (x, i) => (m.toLong, i.toLong, x, lam) }
+        }.toDF("comp", "pos", "loading", "eigval")
+          .orderBy("comp", "pos")
+    },
     QueryDef.sql(
       "sim_pca_project",
       PcaOracle.projectSql(iters = 8, v0lit = (1.0 / math.sqrt(64.0)).toString)) {
@@ -2378,6 +2397,110 @@ object DedupSimilarityQueries {
         val m = graft.operators.Pca.topComponent(emb, "embedding", iters = 8)
         graft.operators.Pca.project(emb, "vec_id", "embedding", m)
           .orderBy("vec_id")
+    },
+
+    // ── Johnson–Lindenstrauss random projection 64 → 16 dims: the
+    //    TRAIN-FREE reduction (the ±1 matrix is md5-derived from the dim
+    //    indices alone — no RNG state, no stored model, any engine or
+    //    future batch re-derives it; the arrival-path property PCA
+    //    lacks). One scan, zero shuffles; each coordinate is an exact
+    //    long fold closed by /2^32/√16. The oracle rebuilds the SAME
+    //    matrix with DuckDB's own md5. ──
+    QueryDef.sql(
+      "sim_rp_project",
+      """WITH sg AS (SELECT i, j, CASE WHEN substring(md5('rp' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+        |      FROM (SELECT unnest(range(0, 64)) AS i), (SELECT unnest(range(0, 16)) AS j)),
+        |u0 AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i, unnest(embedding) AS xi FROM embeddings),
+        |pr AS (SELECT u0.vec_id, sg.j, CAST(sum(CAST(round(CAST(u0.xi AS DOUBLE) * sg.sgn * 4294967296.0) AS BIGINT)) AS BIGINT) AS pq
+        |       FROM u0 JOIN sg ON sg.i = u0.i GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS BIGINT) AS dim, CAST(pq AS DOUBLE) / 4294967296.0 / 4.0 AS y
+        |FROM pr ORDER BY vec_id, dim""".stripMargin) {
+      (s, d) =>
+        Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
+            dOut = 16)
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "y")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"), col("y"))
+          .orderBy("vec_id", "dim")
+    },
+
+    // ── Recall@10 of the 16-dim projected space vs exact 64-dim cosine
+    //    — the JL quality number (4× less IO per scored pair; ε-distortion
+    //    shows up exactly here). Projected-space scores use quantized-long
+    //    dot/norms (order-free, oracle-exact); the exact side is the
+    //    sim_ann_recall brute-force convention. ──
+    QueryDef.sql(
+      "sim_rp_recall",
+      """WITH sg AS (SELECT i, j, CASE WHEN substring(md5('rp' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+        |      FROM (SELECT unnest(range(0, 64)) AS i), (SELECT unnest(range(0, 16)) AS j)),
+        |u0 AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i, unnest(embedding) AS xi FROM embeddings),
+        |pr AS (SELECT u0.vec_id, sg.j, CAST(sum(CAST(round(CAST(u0.xi AS DOUBLE) * sg.sgn * 4294967296.0) AS BIGINT)) AS BIGINT) AS pq
+        |       FROM u0 JOIN sg ON sg.i = u0.i GROUP BY 1, 2),
+        |pj AS (SELECT vec_id, j, CAST(pq AS DOUBLE) / 4294967296.0 / 4.0 AS y FROM pr),
+        |pc AS (SELECT vec_id, j, y FROM pj WHERE vec_id > 8),
+        |pq2 AS (SELECT vec_id AS qid, j, y FROM pj WHERE vec_id < 4),
+        |pd AS (SELECT pq2.qid, pc.vec_id,
+        |        CAST(sum(CAST(round(pq2.y * pc.y * 4294967296.0) AS BIGINT)) AS BIGINT) AS dq,
+        |        CAST(sum(CAST(round(pq2.y * pq2.y * 4294967296.0) AS BIGINT)) AS BIGINT) AS naq,
+        |        CAST(sum(CAST(round(pc.y * pc.y * 4294967296.0) AS BIGINT)) AS BIGINT) AS nbq
+        |       FROM pq2 JOIN pc ON pc.j = pq2.j GROUP BY 1, 2),
+        |rpk AS (SELECT qid, vec_id FROM (
+        |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |            ORDER BY round((CAST(dq AS DOUBLE) / 4294967296.0) / sqrt((CAST(naq AS DOUBLE) / 4294967296.0) * (CAST(nbq AS DOUBLE) / 4294967296.0)), 4) DESC, vec_id) AS rn
+        |          FROM pd WHERE naq > 0 AND nbq > 0) WHERE rn <= 10),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8),
+        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+        |ub AS (SELECT q.qid, v.vec_id, unnest(v.embedding) AS x, unnest(q.qe) AS y FROM v, q),
+        |sb AS (SELECT qid, vec_id,
+        |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+        |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+        |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+        |       FROM ub GROUP BY 1, 2),
+        |exact AS (SELECT qid, vec_id FROM (
+        |            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |              ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
+        |            FROM sb WHERE na * nb > 0) WHERE rn <= 10)
+        |SELECT e.qid AS query_id, CAST(10 AS BIGINT) AS k,
+        |  CAST(count(i.vec_id) AS BIGINT) AS n_overlap,
+        |  round(count(i.vec_id) / 10.0, 4) AS recall
+        |FROM exact e LEFT JOIN rpk i ON i.qid = e.qid AND i.vec_id = e.vec_id
+        |GROUP BY e.qid ORDER BY query_id""".stripMargin) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val proj = Similarity.randomProject(emb, "vec_id", "embedding", dOut = 16)
+        val pc = proj.filter(col("vec_id") > 8)
+        val pq = proj.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("proj").as("_q"))
+        val rpTop = pc.crossJoin(broadcast(pq))
+          .select(col("qid"), col("vec_id"),
+            Similarity.quantCosine(col("_q"), col("proj")).as("_s"),
+            Similarity.quantDot(col("_q"), col("_q")).as("_na"),
+            Similarity.quantDot(col("proj"), col("proj")).as("_nb"))
+          .filter(col("_na") > 0 && col("_nb") > 0)
+          .groupBy("qid")
+          .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+            struct((-col("_s")).as("ns"), col("vec_id")), 10).as("_top"))
+          .select(col("qid"), explode(col("_top")).as("_t"))
+          .select(col("qid"), col("_t.vec_id").as("rp_hit"))
+        val corpus = emb.filter(col("vec_id") > 8)
+        val queries = emb.filter(col("vec_id") < 4)
+        val exact = corpus.crossJoin(broadcast(
+            queries.select(col("vec_id").as("qid"), col("embedding").as("_qe"))))
+          .select(col("qid"), col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("_qe")), 4).as("_cos"))
+          .filter(col("_cos").isNotNull)
+          .groupBy("qid")
+          .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+            struct((-col("_cos")).as("nc"), col("vec_id")), 10).as("_top"))
+          .select(col("qid"), explode(col("_top")).as("_t"))
+          .select(col("qid"), col("_t.vec_id").as("vec_id"))
+        exact.join(rpTop,
+            exact("qid") === rpTop("qid") && exact("vec_id") === rpTop("rp_hit"),
+            "left_outer")
+          .groupBy(exact("qid").as("query_id"))
+          .agg(lit(10L).as("k"),
+            count(col("rp_hit")).as("n_overlap"),
+            round(count(col("rp_hit")) / 10.0, 4).as("recall"))
+          .orderBy("query_id")
     },
   )
 }

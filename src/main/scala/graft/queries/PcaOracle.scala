@@ -26,14 +26,17 @@ object PcaOracle {
        |qq AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(CAST(round(CAST(a.xi AS DOUBLE) * CAST(b.xi AS DOUBLE) * $S) AS BIGINT)) AS BIGINT) AS q FROM u0 a JOIN u0 b ON a.vec_id = b.vec_id GROUP BY 1, 2),
        |cv AS MATERIALIZED (SELECT qq.i, qq.j, (CAST(qq.q AS DOUBLE) / $S) / nn.n - ((CAST(si.sq AS DOUBLE) / $S) / nn.n) * ((CAST(sj.sq AS DOUBLE) / $S) / nn.n) AS c FROM qq JOIN sm si ON si.i = qq.i JOIN sm sj ON sj.i = qq.j CROSS JOIN nn)""".stripMargin
 
-  /** Unrolled power-iteration steps v0 → v`iters`. */
-  private def powerBlocks(iters: Int, v0lit: String): String = {
-    val head = s"v0 AS MATERIALIZED (SELECT i, CAST($v0lit AS DOUBLE) AS vv FROM sm)"
+  /** Unrolled power-iteration steps `${p}v0` → `${p}v{iters}` over the
+    * matrix CTE `cvn(i, j, c)`; `p` prefixes the step names so deflated
+    * re-solves can chain in one statement. */
+  private def powerBlocks(iters: Int, v0lit: String,
+                          cvn: String = "cv", p: String = ""): String = {
+    val head = s"${p}v0 AS MATERIALIZED (SELECT i, CAST($v0lit AS DOUBLE) AS vv FROM sm)"
     val steps = (1 to iters).map { k =>
-      s"""u$k AS MATERIALIZED (SELECT cv.i AS i, CAST(sum(CAST(round(cv.c * v.vv * $S) AS BIGINT)) AS BIGINT) AS uq FROM cv JOIN v${k - 1} v ON v.i = cv.j GROUP BY cv.i),
-         |w$k AS MATERIALIZED (SELECT i, CAST(uq AS DOUBLE) / $S AS wv FROM u$k),
-         |n$k AS MATERIALIZED (SELECT CAST(sum(CAST(round(wv * wv * $S) AS BIGINT)) AS BIGINT) AS nq FROM w$k),
-         |v$k AS MATERIALIZED (SELECT i, wv / sqrt(CAST(n$k.nq AS DOUBLE) / $S) AS vv FROM w$k, n$k)""".stripMargin
+      s"""${p}u$k AS MATERIALIZED (SELECT $cvn.i AS i, CAST(sum(CAST(round($cvn.c * v.vv * $S) AS BIGINT)) AS BIGINT) AS uq FROM $cvn JOIN ${p}v${k - 1} v ON v.i = $cvn.j GROUP BY $cvn.i),
+         |${p}w$k AS MATERIALIZED (SELECT i, CAST(uq AS DOUBLE) / $S AS wv FROM ${p}u$k),
+         |${p}n$k AS MATERIALIZED (SELECT CAST(sum(CAST(round(wv * wv * $S) AS BIGINT)) AS BIGINT) AS nq FROM ${p}w$k),
+         |${p}v$k AS MATERIALIZED (SELECT i, wv / sqrt(CAST(${p}n$k.nq AS DOUBLE) / $S) AS vv FROM ${p}w$k, ${p}n$k)""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }
@@ -49,6 +52,32 @@ object PcaOracle {
        |${powerBlocks(iters, v0lit)},
        |lam AS MATERIALIZED (SELECT CAST(sum(CAST(round(cv.c * a.vv * b.vv * $S) AS BIGINT)) AS BIGINT) AS lq FROM cv JOIN v$iters a ON a.i = cv.i JOIN v$iters b ON b.i = cv.j)
        |SELECT v.i - 1 AS pos, v.vv AS loading, CAST(lam.lq AS DOUBLE) / $S AS eigval FROM v$iters v, lam ORDER BY pos""".stripMargin
+
+  /** Oracle for `sim_pca_components`: leading `k` components via
+    * deflation — after each solve the rank-one term `λ·v·vᵀ` is
+    * subtracted in the SAME fixed shape as the Scala driver
+    * (`c - lam * v_i * v_j`, left-associated), and the next solve runs
+    * on the deflated matrix. */
+  def componentsSql(k: Int, iters: Int, v0lit: String): String = {
+    val blocks = Seq.newBuilder[String]
+    var cvn = "cv"
+    for (m <- 1 to k) {
+      val p = s"c$m"
+      blocks += powerBlocks(iters, v0lit, cvn, p)
+      blocks += s"lam$m AS MATERIALIZED (SELECT CAST(sum(CAST(round($cvn.c * a.vv * b.vv * $S) AS BIGINT)) AS BIGINT) AS lq FROM $cvn JOIN ${p}v$iters a ON a.i = $cvn.i JOIN ${p}v$iters b ON b.i = $cvn.j)"
+      if (m < k) {
+        val next = s"cv$m"
+        blocks += s"$next AS MATERIALIZED (SELECT $cvn.i, $cvn.j, $cvn.c - (CAST(lam$m.lq AS DOUBLE) / $S) * a.vv * b.vv AS c FROM $cvn CROSS JOIN lam$m JOIN ${p}v$iters a ON a.i = $cvn.i JOIN ${p}v$iters b ON b.i = $cvn.j)"
+        cvn = next
+      }
+    }
+    val sel = (1 to k).map { m =>
+      s"SELECT CAST(${m - 1} AS BIGINT) AS comp, v.i - 1 AS pos, v.vv AS loading, CAST(lam$m.lq AS DOUBLE) / $S AS eigval FROM c${m}v$iters v, lam$m"
+    }.mkString("\nUNION ALL ")
+    s"""WITH $covBlocks,
+       |${blocks.result().mkString(",\n")}
+       |SELECT comp, pos, loading, eigval FROM ($sel) ORDER BY comp, pos""".stripMargin
+  }
 
   /** Oracle for `sim_pca_project`: every row's coordinate along PC1. */
   def projectSql(iters: Int, v0lit: String): String =

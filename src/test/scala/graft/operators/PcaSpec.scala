@@ -90,6 +90,36 @@ class PcaSpec extends SparkSpec {
       s"projection variance $varr must match the eigval ${m.eigval}")
   }
 
+  test("topComponents: deflation yields orthogonal components with descending eigvals") {
+    // well-separated planted spectrum (deflation orthogonality needs an
+    // eigengap: with a degenerate tail, power iteration can stall inside
+    // the noise subspace before suppressing the previous component)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      val (a, b, c) = (rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian())
+      val v = Array.tabulate(8) {
+        case 0 => (3.0 * a + 0.02 * rnd.nextGaussian()).toFloat
+        case 1 => (1.2 * b + 0.02 * rnd.nextGaussian()).toFloat
+        case 2 => (0.5 * c + 0.02 * rnd.nextGaussian()).toFloat
+        case _ => (0.02 * rnd.nextGaussian()).toFloat
+      }
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cs = Pca.topComponents(df, "embedding", k = 3, iters = 10)
+    assert(cs.comps.size == 3)
+    val eig = cs.comps.map(_._2)
+    assert(eig == eig.sortBy(-_), s"eigvals must descend, got $eig")
+    for (Seq((a, _), (b, _)) <- cs.comps.combinations(2)) {
+      val dot = math.abs(a.zip(b).map { case (x, y) => x * y }.sum)
+      assert(dot < 1e-4, s"components must be orthogonal, |dot| = $dot")
+    }
+    // first solve of topComponents == topComponent exactly (same arithmetic)
+    val m1 = Pca.topComponent(df, "embedding", iters = 10)
+    assert(cs.comps.head._1.sameElements(m1.component) && cs.comps.head._2 == m1.eigval,
+      "k=1 of the deflation chain must be bit-identical to the single solve")
+  }
+
   test("covariance frame: symmetric, diag nonnegative, matches the driver moments") {
     val rows = fixture(150, 6)
     val df = rows.toDF("vec_id", "embedding")

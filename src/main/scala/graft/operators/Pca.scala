@@ -171,6 +171,11 @@ object Pca {
 
   def topComponents(df: DataFrame, vecCol: String, k: Int, iters: Int): Components = {
     val (n, s, q) = moments(df, vecCol)
+    topComponentsFromMoments(n, s, q, k, iters)
+  }
+
+  def topComponentsFromMoments(n: Long, s: Array[Long], q: Array[Array[Long]],
+                               k: Int, iters: Int): Components = {
     val mean = s.map(si => (si.toDouble / Scale) / n)
     var c = covFromMoments(n, s, q)
     val d = s.length
@@ -184,17 +189,74 @@ object Pca {
     Components(mean, out.result())
   }
 
+  /** Moments are EXACT LONGS, so they are additive: merge = elementwise
+    * long sum, and solve-on-merged is BIT-IDENTICAL to solve-on-union —
+    * the O(delta) arrival path (the VectorIndex.appendCorpus /
+    * incremental-BM25 doctrine applied to linear algebra). A new batch
+    * costs one moment pass over the BATCH; the corpus is never
+    * re-scanned, and unlike float streaming-PCA sketches nothing is
+    * approximate: the merged state IS the full-corpus state. */
+  def mergeMoments(a: (Long, Array[Long], Array[Array[Long]]),
+                   b: (Long, Array[Long], Array[Array[Long]])): (Long, Array[Long], Array[Array[Long]]) = {
+    require(a._2.length == b._2.length, "moment dims must agree")
+    val d = a._2.length
+    (a._1 + b._1,
+      Array.tabulate(d)(i => a._2(i) + b._2(i)),
+      Array.tabulate(d, d)((i, j) => a._3(i)(j) + b._3(i)(j)))
+  }
+
+  /** Persist the moment array as the PCA deploy artifact (rows
+    * (kind, i, j, v): kind 0 = n, 1 = S_i, 2 = Q_ij) — longs only, so
+    * the round trip is exact by construction. */
+  def saveMoments(spark: org.apache.spark.sql.SparkSession,
+                  m: (Long, Array[Long], Array[Array[Long]]), dir: String): Unit = {
+    import spark.implicits._
+    val (n, s, q) = m
+    val rows = Seq((0, 0, 0, n)) ++
+      s.indices.map(i => (1, i, 0, s(i))) ++
+      (for (i <- s.indices; j <- s.indices) yield (2, i, j, q(i)(j)))
+    rows.toDF("kind", "i", "j", "v").write.mode("overwrite").parquet(dir)
+  }
+
+  def loadMoments(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): (Long, Array[Long], Array[Array[Long]]) = {
+    val rows = spark.read.parquet(dir)
+      .select("kind", "i", "j", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    val d = rows.keysIterator.collect { case (1, i, _) => i }.max + 1
+    (rows((0, 0, 0)),
+      Array.tabulate(d)(i => rows((1, i, 0))),
+      Array.tabulate(d, d)((i, j) => rows((2, i, j))))
+  }
+
+  /** One projection fold column: exact long sum closed by one division,
+    * mean/component as plan literals. */
+  private def projCol(vecCol: String, mean: Array[Double],
+                      comp: Array[Double]): Column = {
+    val meanArr = array(mean.map(lit): _*)
+    val vArr = array(comp.map(lit): _*)
+    aggregate(
+      transform(col(vecCol), (xi: Column, i: Column) =>
+        round((xi.cast("double") - element_at(meanArr, i + 1)) *
+          element_at(vArr, i + 1) * Scale).cast("long")),
+      lit(0L), (acc: Column, x: Column) => acc + x) / Scale
+  }
+
   /** Project every row onto the component: ONE scan, zero shuffles —
     * the mean/component travel as plan literals and the per-row fold is
     * an exact long sum closed by one division. Returns (id, pc1). */
-  def project(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val meanArr = array(model.mean.map(lit): _*)
-    val vArr = array(model.component.map(lit): _*)
+  def project(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
     df.select(col(idCol).as("vec_id"),
-      (aggregate(
-        transform(col(vecCol), (xi: Column, i: Column) =>
-          round((xi.cast("double") - element_at(meanArr, i + 1)) *
-            element_at(vArr, i + 1) * Scale).cast("long")),
-        lit(0L), (acc: Column, x: Column) => acc + x) / Scale).as("pc1"))
+      projCol(vecCol, model.mean, model.component).as("pc1"))
+
+  /** Project onto several components in ONE scan (the 2-D corpus-map /
+    * outlier-score shape): one fold column per component. */
+  def projectMany(df: DataFrame, idCol: String, vecCol: String,
+                  cs: Components, names: Seq[String]): DataFrame = {
+    require(names.size <= cs.comps.size)
+    val cols = names.zipWithIndex.map { case (nm, m) =>
+      projCol(vecCol, cs.mean, cs.comps(m)._1).as(nm)
+    }
+    df.select(col(idCol).as("vec_id") +: cols: _*)
   }
 }

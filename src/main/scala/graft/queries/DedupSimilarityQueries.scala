@@ -2399,6 +2399,72 @@ object DedupSimilarityQueries {
           .orderBy("vec_id")
     },
 
+    // ── 2-D corpus map: every embedding's (pc1, pc2) coordinates — what
+    //    a curation UI scatter-plots and a drift monitor bins. One extra
+    //    scan after the moment pass (both folds ride it together). ──
+    QueryDef.sql(
+      "sim_pca_map",
+      PcaOracle.mapSql(iters = 8, v0lit = (1.0 / math.sqrt(64.0)).toString)) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val cs = graft.operators.Pca.topComponents(emb, "embedding", k = 2, iters = 8)
+        graft.operators.Pca.projectMany(emb, "vec_id", "embedding", cs,
+            Seq("pc1", "pc2"))
+          .orderBy("vec_id")
+    },
+
+    // ── Embedding-space outliers: top-20 by the 2-component Mahalanobis
+    //    score p₁²/λ₁ + p₂²/λ₂ — the curation gate for broken/degenerate
+    //    embeddings (an encoder failure lands far from the corpus cloud
+    //    along the dominant axes). Score shape is fixed and mirrored. ──
+    QueryDef.sql(
+      "sim_pca_outliers",
+      PcaOracle.outliersSql(iters = 8, v0lit = (1.0 / math.sqrt(64.0)).toString)) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val cs = graft.operators.Pca.topComponents(emb, "embedding", k = 2, iters = 8)
+        val Seq((_, l1), (_, l2)) = cs.comps.toSeq
+        graft.operators.Pca.projectMany(emb, "vec_id", "embedding", cs,
+            Seq("_p1", "_p2"))
+          .select(col("vec_id"),
+            round(col("_p1") * col("_p1") / l1 + col("_p2") * col("_p2") / l2, 4)
+              .as("score"))
+          .orderBy(desc("score"), asc("vec_id")).limit(20)
+    },
+
+    // ── INCREMENTAL PCA — the O(delta) arrival path: the exact-long
+    //    moment arrays are ADDITIVE, so a new batch costs one moment
+    //    pass over the batch and an elementwise long merge; the corpus
+    //    is never re-scanned, and nothing is approximate — the merged
+    //    state IS the full-corpus state. Proven by the SHARED oracle:
+    //    this query trains on the even half, persists/reloads those
+    //    moments, appends the odd half, and must hash-match the SAME
+    //    from-scratch componentsSql as sim_pca_components (the
+    //    incremental-BM25 precedent). ──
+    QueryDef.sql(
+      "sim_pca_incremental",
+      PcaOracle.componentsSql(k = 2, iters = 8,
+        v0lit = (1.0 / math.sqrt(64.0)).toString)) {
+      (s, d) =>
+        val s2 = s
+        import s2.implicits._
+        val emb = Tables.embeddings(s, d)
+        val mA = graft.operators.Pca.moments(
+          emb.filter(col("vec_id") % 2 === 0), "embedding")
+        val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
+        graft.operators.Pca.saveMoments(s, mA, dir)
+        val merged = graft.operators.Pca.mergeMoments(
+          graft.operators.Pca.loadMoments(s, dir),
+          graft.operators.Pca.moments(
+            emb.filter(col("vec_id") % 2 =!= 0), "embedding"))
+        val cs = graft.operators.Pca.topComponentsFromMoments(
+          merged._1, merged._2, merged._3, k = 2, iters = 8)
+        cs.comps.zipWithIndex.flatMap { case ((v, lam), m) =>
+          v.zipWithIndex.map { case (x, i) => (m.toLong, i.toLong, x, lam) }
+        }.toDF("comp", "pos", "loading", "eigval")
+          .orderBy("comp", "pos")
+    },
+
     // ── Johnson–Lindenstrauss random projection 64 → 16 dims: the
     //    TRAIN-FREE reduction (the ±1 matrix is md5-derived from the dim
     //    indices alone — no RNG state, no stored model, any engine or

@@ -53,12 +53,11 @@ object PcaOracle {
        |lam AS MATERIALIZED (SELECT CAST(sum(CAST(round(cv.c * a.vv * b.vv * $S) AS BIGINT)) AS BIGINT) AS lq FROM cv JOIN v$iters a ON a.i = cv.i JOIN v$iters b ON b.i = cv.j)
        |SELECT v.i - 1 AS pos, v.vv AS loading, CAST(lam.lq AS DOUBLE) / $S AS eigval FROM v$iters v, lam ORDER BY pos""".stripMargin
 
-  /** Oracle for `sim_pca_components`: leading `k` components via
-    * deflation — after each solve the rank-one term `λ·v·vᵀ` is
-    * subtracted in the SAME fixed shape as the Scala driver
-    * (`c - lam * v_i * v_j`, left-associated), and the next solve runs
-    * on the deflated matrix. */
-  def componentsSql(k: Int, iters: Int, v0lit: String): String = {
+  /** Deflation chain for `k` components: each solve runs under prefix
+    * `c{m}`, the eigenvalue lands in `lam{m}`, and the next solve runs on
+    * the deflated matrix (`c - lam * v_i * v_j`, left-associated — the
+    * SAME fixed shape as the Scala driver). */
+  private def componentChain(k: Int, iters: Int, v0lit: String): String = {
     val blocks = Seq.newBuilder[String]
     var cvn = "cv"
     for (m <- 1 to k) {
@@ -71,13 +70,49 @@ object PcaOracle {
         cvn = next
       }
     }
+    blocks.result().mkString(",\n")
+  }
+
+  /** Oracle for `sim_pca_components` (and, verbatim, for
+    * `sim_pca_incremental` — the appended-moments path must be
+    * bit-identical to from-scratch, so it SHARES this oracle: the
+    * incremental-BM25 shared-oracle precedent). */
+  def componentsSql(k: Int, iters: Int, v0lit: String): String = {
     val sel = (1 to k).map { m =>
       s"SELECT CAST(${m - 1} AS BIGINT) AS comp, v.i - 1 AS pos, v.vv AS loading, CAST(lam$m.lq AS DOUBLE) / $S AS eigval FROM c${m}v$iters v, lam$m"
     }.mkString("\nUNION ALL ")
     s"""WITH $covBlocks,
-       |${blocks.result().mkString(",\n")}
+       |${componentChain(k, iters, v0lit)}
        |SELECT comp, pos, loading, eigval FROM ($sel) ORDER BY comp, pos""".stripMargin
   }
+
+  /** Per-component projection CTE `p$m(vec_id, y)` against the mean. */
+  private def projBlock(m: Int, iters: Int): String =
+    s"p$m AS MATERIALIZED (SELECT u0.vec_id AS vec_id, CAST(sum(CAST(round((CAST(u0.xi AS DOUBLE) - mn.m) * v.vv * $S) AS BIGINT)) AS BIGINT) / $S AS y FROM u0 JOIN mn ON mn.i = u0.i JOIN c${m}v$iters v ON v.i = u0.i GROUP BY u0.vec_id)"
+
+  /** Oracle for `sim_pca_map`: every row's (pc1, pc2) coordinates — the
+    * 2-D corpus map. */
+  def mapSql(iters: Int, v0lit: String): String =
+    s"""WITH $covBlocks,
+       |${componentChain(2, iters, v0lit)},
+       |mn AS MATERIALIZED (SELECT i, (CAST(sq AS DOUBLE) / $S) / nn.n AS m FROM sm, nn),
+       |${projBlock(1, iters)},
+       |${projBlock(2, iters)}
+       |SELECT p1.vec_id AS vec_id, p1.y AS pc1, p2.y AS pc2
+       |FROM p1 JOIN p2 ON p2.vec_id = p1.vec_id ORDER BY vec_id""".stripMargin
+
+  /** Oracle for `sim_pca_outliers`: top-20 by the 2-component
+    * Mahalanobis score p₁²/λ₁ + p₂²/λ₂ — embedding-space outliers. */
+  def outliersSql(iters: Int, v0lit: String): String =
+    s"""WITH $covBlocks,
+       |${componentChain(2, iters, v0lit)},
+       |mn AS MATERIALIZED (SELECT i, (CAST(sq AS DOUBLE) / $S) / nn.n AS m FROM sm, nn),
+       |${projBlock(1, iters)},
+       |${projBlock(2, iters)}
+       |SELECT p1.vec_id AS vec_id,
+       |  round(p1.y * p1.y / (CAST(lam1.lq AS DOUBLE) / $S) + p2.y * p2.y / (CAST(lam2.lq AS DOUBLE) / $S), 4) AS score
+       |FROM p1 JOIN p2 ON p2.vec_id = p1.vec_id CROSS JOIN lam1 CROSS JOIN lam2
+       |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
   /** Oracle for `sim_pca_project`: every row's coordinate along PC1. */
   def projectSql(iters: Int, v0lit: String): String =

@@ -120,6 +120,31 @@ class PcaSpec extends SparkSpec {
       "k=1 of the deflation chain must be bit-identical to the single solve")
   }
 
+  test("incremental moments: merge(A, B) == moments(A ∪ B) exactly; save/load is identity") {
+    val rows = fixture(300, 8)
+    val (a, b) = rows.partition(_._1 % 3 == 0)
+    val dfA = a.toDF("vec_id", "embedding")
+    val dfB = b.toDF("vec_id", "embedding")
+    val dfAll = rows.toDF("vec_id", "embedding")
+    val mA = Pca.moments(dfA, "embedding")
+    val mB = Pca.moments(dfB, "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pca-spec").toString
+    Pca.saveMoments(spark, mA, dir)
+    val merged = Pca.mergeMoments(Pca.loadMoments(spark, dir), mB)
+    val full = Pca.moments(dfAll, "embedding")
+    assert(merged._1 == full._1)
+    assert(merged._2.sameElements(full._2),
+      "appended first moments must equal full-corpus bit-for-bit")
+    assert(merged._3.map(_.toSeq).toSeq == full._3.map(_.toSeq).toSeq,
+      "appended second moments must equal full-corpus bit-for-bit")
+    // and therefore the solve is identical too
+    val c1 = Pca.topComponentsFromMoments(merged._1, merged._2, merged._3, 2, 8)
+    val c2 = Pca.topComponentsFromMoments(full._1, full._2, full._3, 2, 8)
+    assert(c1.comps.map(_._2) == c2.comps.map(_._2) &&
+      c1.comps.zip(c2.comps).forall { case ((v1, _), (v2, _)) => v1.sameElements(v2) },
+      "solve on merged moments must be bit-identical to from-scratch")
+  }
+
   test("covariance frame: symmetric, diag nonnegative, matches the driver moments") {
     val rows = fixture(150, 6)
     val df = rows.toDF("vec_id", "embedding")

@@ -666,4 +666,67 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** `(1/b)^(1/r)` by repeated sqrt (r a power of two) — the S-curve
+    * threshold in an engine-portable shape (sqrt is IEEE-exact in both
+    * engines; a library `pow` is only ≤1-ulp and could straddle the
+    * rounding boundary). */
+  private[operators] def sCurveThreshold(b: Int, r: Int): Double = {
+    require(Integer.bitCount(r) == 1, s"rows-per-band $r must be a power of two")
+    var v = 1.0 / b
+    var rr = r
+    while (rr > 1) { v = math.sqrt(v); rr /= 2 }
+    v
+  }
+
+  /** `1 − (1 − j^r)^b` with both powers as left-associated multiply
+    * chains (no `pow`), mirroring the generated oracle token-for-token. */
+  private[operators] def sCurveProb(j: Double, b: Int, r: Int): Double = {
+    var jr = j
+    for (_ <- 2 to r) jr *= j
+    val f = 1.0 - jr
+    var fb = f
+    for (_ <- 2 to b) fb *= f
+    1.0 - fb
+  }
+
+  /** LSH parameter PLANNER: for every power-of-two (bands, rows) split of
+    * the `k`-slot signature, the S-curve numbers (collision threshold
+    * `(1/b)^(1/r)`, collision probability at the calibration jaccards)
+    * AND the MEASURED distinct candidate-pair count at that banding over
+    * the corpus — the table that picks (b, r) before a dedup run commits
+    * to a cutoff (theory alone misjudges a corpus whose similarity mass
+    * sits on the curve's shoulder; the measured pair count is the cost
+    * side of the dial). Signatures are computed ONCE and re-banded per
+    * combo; at production scale run the planner on a sample — the
+    * candidate count scales linearly for fixed bucket-collision rates,
+    * and the probability columns are corpus-free. */
+  def lshPlan(df: DataFrame, idCol: String, textCol: String,
+              shingleN: Int, k: Int,
+              js: Seq[Double] = Seq(0.5, 0.7, 0.9)): DataFrame = {
+    require(Integer.bitCount(k) == 1, s"signature length $k must be a power of two")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = minhashSignatures(df, idCol, textCol, shingleN, k)
+      .filter(col("sig").isNotNull).cache()
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val combos = (0 to 30).map(1 << _).filter(_ <= k)
+    val rows = combos.map { b =>
+      val r = k / b
+      val idx = sigs.select(col("doc"),
+        posexplode(bandHashes(col("sig"), b, r)).as(Seq("band_idx", "band_hash")))
+      val n = idx.as("a")
+        .join(idx.as("c"), Seq("band_idx", "band_hash"))
+        .filter(col("a.doc") < col("c.doc"))
+        .select(col("a.doc").as("x"), col("c.doc").as("y")).distinct()
+        .count()
+      (b.toLong, r.toLong, round4(sCurveThreshold(b, r)),
+        round4(sCurveProb(js(0), b, r)), round4(sCurveProb(js(1), b, r)),
+        round4(sCurveProb(js(2), b, r)), n)
+    }
+    sigs.unpersist()
+    rows.toDF("bands", "rows_per_band", "threshold",
+      "p_at_j05", "p_at_j07", "p_at_j09", "n_candidates")
+  }
 }

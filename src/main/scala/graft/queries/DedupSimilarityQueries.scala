@@ -225,6 +225,51 @@ object DedupSimilarityQueries {
           .orderBy("doc_a", "doc_b")
     },
 
+    // ── LSH parameter PLANNER: for every power-of-two (bands, rows)
+    //    split of the 8-slot signature, the S-curve numbers (threshold
+    //    (1/b)^(1/r), collision probability at j=0.5/0.7/0.9) and the
+    //    MEASURED distinct candidate-pair count at that banding — the
+    //    table that picks (b, r) before a dedup run commits to a cutoff.
+    //    Engine-portable math shapes: thresholds by repeated sqrt, powers
+    //    as left-associated multiply chains — no library pow() whose
+    //    last-ulp could straddle the rounding boundary. ──
+    {
+      val k = 8
+      val combos = Seq(1, 2, 4, 8)
+      def chain(l: String, p: Int) = List.fill(p)(l).mkString(" * ")
+      def root(inner: String, r: Int): String = {
+        var s0 = inner; var rr = r
+        while (rr > 1) { s0 = s"sqrt($s0)"; rr /= 2 }
+        s0
+      }
+      val bandCtes = combos.map { b =>
+        val r = k / b
+        s"""b$b AS (SELECT doc_id, i AS band_idx, md5(array_to_string(list_slice(sig, $r*i+1, $r*i+$r), '|')) AS band_hash
+           |      FROM m, (SELECT unnest(range(0, $b)) AS i)),
+           |n$b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (SELECT DISTINCT a.doc_id AS x, c.doc_id AS y FROM b$b a JOIN b$b c USING (band_idx, band_hash) WHERE a.doc_id < c.doc_id))""".stripMargin
+      }.mkString(",\n")
+      val rowsSel = combos.map { b =>
+        val r = k / b
+        def p(j: String) =
+          s"round(1.0 - ${chain(s"(1.0 - ${chain(s"CAST($j AS DOUBLE)", r)})", b)}, 4)"
+        val th =
+          if (r == 1) s"round(CAST(1.0 AS DOUBLE) / $b, 4)"
+          else s"round(${root(s"CAST(1.0 AS DOUBLE) / $b", r)}, 4)"
+        s"SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band, $th AS threshold, ${p("0.5")} AS p_at_j05, ${p("0.7")} AS p_at_j07, ${p("0.9")} AS p_at_j09, n$b.n AS n_candidates FROM n$b"
+      }.mkString("\nUNION ALL ")
+      QueryDef.sql(
+        "dedup_lsh_planner",
+        s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+           |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+           |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+           |$bandCtes
+           |SELECT * FROM ($rowsSel) ORDER BY bands""".stripMargin) { (s, d) =>
+        Dedup.lshPlan(QueryDef.fanOutIfNarrow(Tables.documents(s, d)),
+            "doc_id", "text", shingleN = 3, k = 8)
+          .orderBy("bands")
+      }
+    },
+
     // ── Edit-distance verification of LSH candidates: Levenshtein over
     //    the candidate pairs the bands surfaced — the character-level
     //    second opinion on gram-level similarity (a pair can share every

@@ -38,6 +38,30 @@ class OperatorsSpec extends SparkSpec {
     assert(p.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("lshPlan: S-curve math matches pow(), thresholds descend, candidates grow with bands") {
+    // the sqrt/multiply-chain shapes must agree with the textbook formulae
+    for (b <- Seq(1, 2, 4, 8); j <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val r = 8 / b
+      assert(math.abs(Dedup.sCurveThreshold(b, r) - math.pow(1.0 / b, 1.0 / r)) < 1e-12)
+      assert(math.abs(Dedup.sCurveProb(j, b, r) -
+        (1.0 - math.pow(1.0 - math.pow(j, r), b))) < 1e-12)
+    }
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = docs(
+      (1L, base), (2L, base.replace("w30", "changed")),
+      (3L, base), (4L, "totally different content with other words in it here"))
+    val plan = Dedup.lshPlan(df, "doc_id", "text", shingleN = 3, k = 8)
+      .orderBy("bands").collect()
+    assert(plan.length == 4)
+    val th = plan.map(_.getAs[Double]("threshold")).toSeq
+    assert(th == th.sortBy(-(_: Double)), "threshold descends as bands grow")
+    val ns = plan.map(_.getAs[Long]("n_candidates")).toSeq
+    assert(ns == ns.sorted,
+      "aligned power-of-two splits: a coarser-band match implies its sub-band matches, " +
+        s"so candidates are monotone in bands — got $ns")
+    assert(ns.head >= 1, "the exact-dup pair must collide even at one band of 8 rows")
+  }
+
   test("minhash LSH recalls a near-duplicate (one word changed)") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = base.replace("w30", "changed")

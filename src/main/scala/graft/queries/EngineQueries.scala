@@ -193,6 +193,61 @@ object EngineQueries {
         r0.unionByName(r1).orderBy("batch_id", "check_name")
     },
 
+    // ── Streaming embedding-drift vertical: reference moments trained on
+    //    half the embeddings and persisted (the Pca.saveMoments deploy
+    //    artifact), then two micro-batches — a clean quarter and a
+    //    mean-shifted copy (+0.3 on every dim) — through StreamingDrift:
+    //    per-batch z-score of the projection mean on the stored PC1,
+    //    banked batch moments, and the incrementally re-solved axis. The
+    //    shifted batch MUST alarm, the clean one must not (both branches
+    //    live; spec-pinned in StreamingDriftSpec). rows-only: the
+    //    ledger and moments are the engine's own state. ──
+    QueryDef.rowsOnly("engine_stream_drift") {
+      (s, d) =>
+        val emb = graft.Tables.embeddings(s, d)
+        val refDir = java.nio.file.Files.createTempDirectory("graft-drift-ref").toString
+        val stDir = java.nio.file.Files.createTempDirectory("graft-drift-st").toString
+        graft.operators.Pca.saveMoments(s,
+          graft.operators.Pca.moments(emb.filter(col("vec_id") % 4 <= 1), "embedding"),
+          refDir)
+        val clean = emb.filter(col("vec_id") % 4 === 2)
+        val shifted = emb.filter(col("vec_id") % 4 === 3)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => (x + lit(0.3f)).cast("float")).as("embedding"))
+        val r0 = graft.streaming.StreamingDrift.processBatch(
+          clean, 0L, "vec_id", "embedding", refDir, stDir)
+        val r1 = graft.streaming.StreamingDrift.processBatch(
+          shifted, 1L, "vec_id", "embedding", refDir, stDir)
+        r0.unionByName(r1).orderBy("batch_id")
+    },
+
+    // ── ORC source/sink round trip: the corpus slice written to ORC and
+    //    read back through Spark's native ORC reader, then content-
+    //    aggregated. NOT rows-only: the oracle computes the same
+    //    aggregate over the parquet source, so a hash match proves the
+    //    round trip preserved every id, language, text byte (distinct
+    //    md5), and length — format-conversion correctness as a first-
+    //    class checked query, the TextSources JSONL/CSV sibling. ──
+    QueryDef.sql(
+      "engine_orc_roundtrip",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id < 300""".stripMargin) {
+      (s, d) =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+        graft.Tables.documents(s, d).filter(col("doc_id") < 300)
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .agg(count(lit(1)).as("n_docs"),
+            sum("doc_id").as("sum_ids"),
+            countDistinct("lang").as("n_langs"),
+            countDistinct(md5(col("text").cast("binary"))).as("n_texts"),
+            sum(length(col("text"))).as("sum_chars"))
+    },
+
     // ── JSONL ingest vertical with quarantine: the corpus serialized to
     //    JSONL + three injected broken lines, read back through
     //    TextSources — every line accounted for (good + corrupt = total),

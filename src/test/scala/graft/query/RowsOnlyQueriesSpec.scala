@@ -27,9 +27,24 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "text_compression_gate",
       "text_vocab_approx", "engine_snapshot_diff",
       "text_classifier_train", "engine_stream_validate",
-      "engine_jsonl_quarantine",
+      "engine_jsonl_quarantine", "engine_stream_drift",
       "text_heavyhitters_sketch"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("engine_stream_drift: clean batch quiet, shifted batch alarms, axes reported") {
+    val df = run("engine_stream_drift")
+    assert(df.columns.toSeq == Seq("batch_id", "n_rows", "mean_pc1", "var_pc1",
+      "z_mean", "axis_cos", "eigval_ref", "eigval_new", "alarm"))
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(!rows(0).getAs[Boolean]("alarm"), "same-distribution quarter must not alarm")
+    assert(rows(1).getAs[Boolean]("alarm"), "the +0.3 mean-shifted batch must alarm")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("axis_cos")
+      assert(c >= 0.0 && c <= 1.0 + 1e-12)
+      assert(r.getAs[Double]("eigval_ref") > 0.0 && r.getAs[Double]("eigval_new") > 0.0)
+    }
   }
 
   test("text_heavyhitters_sketch: CMS never underestimates, overestimate within eps bound") {

@@ -1762,6 +1762,45 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── binaryFile ARRIVAL path: the same real containers, but arriving
+    //    as individual FILES through Spark's binaryFile source (how raw
+    //    media actually lands at scale — an object-store prefix of
+    //    blobs, not a parquet column), media id recovered from the file
+    //    name, then the SAME header-parse pipeline. The oracle is
+    //    mm_real_decode's fixture arithmetic restricted to the written
+    //    slice, so the file round trip + path-id recovery + parse are
+    //    all hash-checked. At 100 TB the source partitions by file and
+    //    the parse rides the read — no driver involvement; the
+    //    driver-side fixture WRITE here is test scaffolding, not the
+    //    operator. ──
+    QueryDef.sql(
+      "mm_binary_files",
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 4 < 3 THEN CAST(1 + doc_id % 640 AS INT) END AS width,
+        |  CASE WHEN doc_id % 4 < 3 THEN CAST(1 + doc_id % 480 AS INT) END AS height,
+        |  CAST(CASE doc_id % 4 WHEN 2 THEN 1 + doc_id % 3 WHEN 3 THEN 1 + doc_id % 50 ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 16 ELSE 8 END AS INT) AS bit_depth
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val dir = java.nio.file.Files.createTempDirectory("graft-mmfiles")
+        Tables.documents(s, d).select(col("doc_id"))
+          .filter(col("doc_id") < 200)
+          .collect().map(_.getLong(0))
+          .foreach { id =>
+            java.nio.file.Files.write(dir.resolve(s"$id.bin"),
+              graft.codec.MediaFixtures.build(id))
+          }
+        val blobs = s.read.format("binaryFile").load(dir.toString)
+          .select(
+            regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+            col("content").as("blob"))
+        Multimodal.decodeMeta(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("format"), col("width"),
+            col("height"), col("n_frames"), col("bit_depth"))
+          .orderBy("doc_id")
+    },
+
     // ── Frame sampling over REAL containers: the n_frames driving the
     //    explode comes from actual header parsing (GIF image-descriptor
     //    walks, WAV sample-frame counts, PNG/JPEG single frames), not

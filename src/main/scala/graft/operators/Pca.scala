@@ -48,10 +48,14 @@ object Pca {
   @inline private[operators] def rnd(x: Double): Long =
     if (x >= 0) {
       val r = Math.floor(x + 0.5)
-      (if (r - x > 0.5) r - 1.0 else r).toLong
+      // the add can round UP across the boundary (x = nextDown(0.5):
+      // x+0.5 lands on 1.0); `x < r - 0.5` is exact because r - 0.5 is
+      // representable at r's scale, unlike the earlier `r - x > 0.5`
+      // form whose subtraction itself double-rounds back onto 0.5
+      (if (x < r - 0.5) r - 1.0 else r).toLong
     } else {
       val r = Math.ceil(x - 0.5)
-      (if (x - r > 0.5) r + 1.0 else r).toLong
+      (if (x > r + 0.5) r + 1.0 else r).toLong
     }
 
   /** Exact first+second moments: (n, S_i = Σ round(x_i·2^32),

@@ -38,6 +38,26 @@ class PcaSpec extends SparkSpec {
     (rows.size.toLong, s, q)
   }
 
+  test("rnd: allocation-free quantizer ≡ BigDecimal HALF_UP on adversarial + random doubles") {
+    def big(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val adversarial = Seq(
+      0.5, -0.5, 1.5, -1.5, 2.5, -2.5,
+      0.49999999999999994, -0.49999999999999994, // largest |double| below 0.5:
+      // floor(x+0.5) alone would round these to ±1 (the add lands on 1.0)
+      1.4999999999999998, -1.4999999999999998,
+      0.0, -0.0, 1e-300, -1e-300, 4503599627370495.5, -4503599627370495.5,
+      123456789.49999999, -123456789.49999999)
+    adversarial.foreach { x =>
+      assert(Pca.rnd(x) == big(x), s"quantizer mismatch at $x: ${Pca.rnd(x)} vs ${big(x)}")
+    }
+    val r = new scala.util.Random(99)
+    (1 to 100000).foreach { _ =>
+      val x = (r.nextDouble() - 0.5) * math.pow(10, r.nextInt(12).toDouble)
+      assert(Pca.rnd(x) == big(x), s"quantizer mismatch at $x")
+    }
+  }
+
   test("moments: distributed ≡ sequential twin bit-for-bit, any partitioning") {
     val rows = fixture(200, 8)
     val df = rows.toDF("vec_id", "embedding")

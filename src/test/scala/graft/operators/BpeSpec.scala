@@ -81,4 +81,29 @@ class BpeSpec extends SparkSpec {
     val stored = Bpe.encode(df, "doc_id", "text", loaded).collect().map(_.toSeq).toSeq
     assert(stored == fresh)
   }
+
+  test("oracle fold identity: greedy last-element folding == applyMerge for any single rule (fuzz)") {
+    // BpeOracle's list_reduce applies one merge by folding left and
+    // merging whenever the accumulator's last symbol is l and the next
+    // is r. The documented argument: a just-merged symbol l||r is
+    // strictly longer than l, so it can never re-match l, which makes
+    // greedy folding exactly left-to-right non-overlapping application.
+    // Fuzz it against the reference applyMerge over small alphabets
+    // (where overlapping-run cases like (a,a) on "aaaa" actually occur).
+    def foldApply(s: Seq[String], m: (String, String)): Seq[String] =
+      s.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == m._1 && x == m._2)
+          acc.init :+ (m._1 + m._2)
+        else acc :+ x
+      }
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "ab", "ba", "aa")
+    for (_ <- 1 to 20000) {
+      val s = Array.fill(1 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size)))
+      val m = (alphabet(rnd.nextInt(alphabet.size)), alphabet(rnd.nextInt(alphabet.size)))
+      val ref = Bpe.applyMerge(s, m).toSeq
+      assert(foldApply(s.toSeq, m) == ref,
+        s"fold != applyMerge on ${s.toSeq} with $m")
+    }
+  }
 }

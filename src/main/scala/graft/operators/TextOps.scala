@@ -1435,6 +1435,81 @@ object TextOps {
         array_join(col("toks"), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking (the rsync/FastCDC shape at token
+    * granularity): a chunk boundary falls AFTER token `e` whenever the
+    * `w`-token window ending at `e` hashes to `0 mod divisor` — so
+    * boundaries are a function of local CONTENT, not absolute position,
+    * and an insertion near the head shifts every downstream token
+    * without moving any downstream boundary. Fixed-window chunking
+    * ([[chunkTokens]]) loses all alignment after one inserted token;
+    * CDC re-synchronizes at the first content boundary, which is what
+    * makes chunk-hash dedup robust against prepended boilerplate /
+    * shifted quotes. Expected chunk length ≈ `divisor` tokens (+ the
+    * window warm-up); a boundary at the last token is suppressed so no
+    * empty tail chunk exists; docs shorter than `w` are one chunk.
+    *
+    * Hash gate = the [[Sharding.hashBucket1000]] md5-fold convention
+    * (engine-portable, no RNG). Returns (doc, chunk_idx, start_tok
+    * 1-based, n_toks, chunk_hash = md5 of the space-joined chunk).
+    *
+    * Scale shape: one scan, all chunk geometry in-row (transform +
+    * filter + zip_with over the token array — no window function, no
+    * shuffle), one per-row explode bounded by the doc's own chunk
+    * count. Work per row is O(n·w) for the window hashes plus
+    * O(chunks·len) for reassembly — doc-bounded, no corpus term. */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                w: Int, divisor: Int): org.apache.spark.sql.DataFrame = {
+    require(w > 0 && divisor > 0)
+    val gate = (g: Column) =>
+      conv(substring(md5(g), 1, 8), 16, 10).cast("long") % divisor === 0
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc"), col("ws"),
+        // boundary token-ends: window j (0-based) covers tokens
+        // j+1..j+w (1-based), end e = j+w; keep e only if e < n
+        filter(
+          transform(shingles(col("ws"), w), (g: Column, j: Column) =>
+            when(gate(g), j + lit(w)).otherwise(lit(-1))),
+          e => e =!= -1 && e < size(col("ws"))).as("be"))
+      .select(col("doc"), col("ws"),
+        concat(array(lit(1)), transform(col("be"), _ + 1)).as("starts"),
+        concat(col("be"), array(size(col("ws")))).as("ends"))
+      .select(col("doc"), col("ws"),
+        posexplode(zip_with(col("starts"), col("ends"),
+          (s: Column, e: Column) => struct(s.as("st"), e.as("en"))))
+          .as(Seq("chunk_idx", "sp")))
+      .select(col("doc"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("sp.st").cast("long").as("start_tok"),
+        (col("sp.en") - col("sp.st") + 1).cast("long").as("n_toks"),
+        md5(concat_ws(" ",
+          slice(col("ws"), col("sp.st"), col("sp.en") - col("sp.st") + 1))).as("chunk_hash"))
+  }
+
+  /** Cross-document duplicated-chunk coverage over [[cdcChunks]] — the
+    * shift-resilient twin of [[crossDupCoverage]]: a chunk is duplicated
+    * iff its hash occurs in more than one document (min(doc) ≠ max(doc)
+    * per hash — constant state, partial-agg, hot-hash-safe), and the
+    * coverage is token-weighted. Returns (doc, n_chunks, n_dup_chunks,
+    * dup_token_frac). */
+  def cdcDedupCoverage(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                       w: Int, divisor: Int): org.apache.spark.sql.DataFrame = {
+    val ch = cdcChunks(df, idCol, textCol, w, divisor)
+    val stats = ch.groupBy("chunk_hash")
+      .agg(min("doc").as("_mind"), max("doc").as("_maxd"))
+    val statsGated =
+      if (stats.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
+        broadcast(stats)
+      else stats
+    ch.join(statsGated, Seq("chunk_hash"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_mind") =!= col("_maxd"), 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("_mind") =!= col("_maxd"), col("n_toks")).otherwise(0L)).as("_dupToks"),
+        sum(col("n_toks")).as("_toks"))
+      .select(col("doc"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("_dupToks").cast("double") / col("_toks"), 4).as("dup_token_frac"))
+  }
+
   def qualityMetrics(toks: Column, stopwords: Seq[String]): (Column, Column, Column) = {
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, v) => a + v)

@@ -79,6 +79,72 @@ object DataPipelineQueries {
           .orderBy("doc", "chunk_idx")
     },
 
+    // ── Content-defined chunking (rsync/FastCDC at token granularity):
+    //    a boundary falls after token e whenever the 3-token window
+    //    ending at e md5-folds to 0 mod 4 — boundaries are a function
+    //    of CONTENT, not position, so an insertion near the head shifts
+    //    every downstream token without moving downstream boundaries
+    //    (fixed windows lose all alignment; CDC re-synchronizes at the
+    //    first content boundary — spec-pinned shift-resilience). All
+    //    chunk geometry in-row; the only explode is the per-doc chunk
+    //    list. ──
+    QueryDef.sql(
+      "text_cdc_chunks",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws, len(ws) AS n,
+        |        CASE WHEN len(ws) >= 3 THEN [array_to_string(list_slice(ws, j, j + 2), ' ') for j in range(1, len(ws) - 1)] ELSE CAST([] AS VARCHAR[]) END AS sh
+        |      FROM t WHERE len(ws) > 0),
+        |b AS (SELECT doc_id, ws, n,
+        |        [ j + 2 for j in range(1, len(sh) + 1)
+        |          if CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(sh[j]),1,8)[i]) - 1) * power(16, 8 - i) for i in range(1,9) ]) AS BIGINT) % 4 AS INTEGER) = 0
+        |             and j + 2 < n ] AS be
+        |      FROM f),
+        |c AS (SELECT doc_id, ws, list_prepend(1, [e + 1 for e in be]) AS starts, list_append(be, n) AS ends FROM b),
+        |u AS (SELECT doc_id, ws, unnest(range(1, len(starts) + 1)) AS ci, unnest(starts) AS st, unnest(ends) AS en FROM c)
+        |SELECT doc_id AS doc, CAST(ci - 1 AS BIGINT) AS chunk_idx,
+        |  CAST(st AS BIGINT) AS start_tok, CAST(en - st + 1 AS BIGINT) AS n_toks,
+        |  md5(array_to_string(list_slice(ws, st, en), ' ')) AS chunk_hash
+        |FROM u ORDER BY doc, chunk_idx""".stripMargin) {
+      (s, d) =>
+        TextOps.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+            w = 3, divisor = 4)
+          .orderBy("doc", "chunk_idx")
+    },
+
+    // ── Shift-resilient chunk dedup over the CDC chunks: a chunk is
+    //    duplicated iff its hash occurs in >1 document (min≠max per
+    //    hash — constant state, partial-agg, hot-hash-safe), coverage
+    //    token-weighted — the crossDupCoverage twin that survives
+    //    prepended boilerplate. ──
+    QueryDef.sql(
+      "text_cdc_dedup",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws, len(ws) AS n,
+        |        CASE WHEN len(ws) >= 3 THEN [array_to_string(list_slice(ws, j, j + 2), ' ') for j in range(1, len(ws) - 1)] ELSE CAST([] AS VARCHAR[]) END AS sh
+        |      FROM t WHERE len(ws) > 0),
+        |b AS (SELECT doc_id, ws, n,
+        |        [ j + 2 for j in range(1, len(sh) + 1)
+        |          if CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(sh[j]),1,8)[i]) - 1) * power(16, 8 - i) for i in range(1,9) ]) AS BIGINT) % 4 AS INTEGER) = 0
+        |             and j + 2 < n ] AS be
+        |      FROM f),
+        |c AS (SELECT doc_id, ws, list_prepend(1, [e + 1 for e in be]) AS starts, list_append(be, n) AS ends FROM b),
+        |u AS (SELECT doc_id, unnest(starts) AS st, unnest(ends) AS en FROM c),
+        |ch AS (SELECT u.doc_id AS doc, en - st + 1 AS n_toks,
+        |         md5(array_to_string(list_slice(c2.ws, u.st, u.en), ' ')) AS chunk_hash
+        |       FROM u JOIN c c2 ON c2.doc_id = u.doc_id),
+        |stats AS (SELECT chunk_hash, min(doc) AS mind, max(doc) AS maxd FROM ch GROUP BY 1)
+        |SELECT ch.doc, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN s.mind <> s.maxd THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  round(CAST(sum(CASE WHEN s.mind <> s.maxd THEN ch.n_toks ELSE 0 END) AS DOUBLE) / sum(ch.n_toks), 4) AS dup_token_frac
+        |FROM ch JOIN stats s USING (chunk_hash)
+        |GROUP BY ch.doc ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.cdcDedupCoverage(
+            QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text",
+            w = 3, divisor = 4)
+          .orderBy("doc")
+    },
+
     // ── Paragraph-granularity dedup (C4/RefinedWeb shape): the raw
     //    corpus has no paragraph breaks, so the query first builds a
     //    paragraph'd corpus deterministically — three docs per group,

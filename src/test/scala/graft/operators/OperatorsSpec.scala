@@ -62,6 +62,49 @@ class OperatorsSpec extends SparkSpec {
     assert(ns.head >= 1, "the exact-dup pair must collide even at one band of 8 rows")
   }
 
+  test("cdcChunks: reassembly identity, geometry well-formed, short docs one chunk") {
+    val rnd = new scala.util.Random(31)
+    val words = (1 to 80).map(_ => s"t${rnd.nextInt(50)}")
+    val df = docs((1L, words.mkString(" ")), (2L, "a b"), (3L, "solo"))
+    val ch = TextOps.cdcChunks(df, "doc_id", "text", w = 3, divisor = 4)
+      .orderBy("doc", "chunk_idx").collect()
+    // short docs (< w tokens) are exactly one whole-doc chunk
+    assert(ch.count(_.getAs[Long]("doc") == 2L) == 1)
+    assert(ch.count(_.getAs[Long]("doc") == 3L) == 1)
+    // geometry: chunks tile 1..n contiguously
+    val d1 = ch.filter(_.getAs[Long]("doc") == 1L)
+    assert(d1.head.getAs[Long]("start_tok") == 1L)
+    d1.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("start_tok") ==
+          a.getAs[Long]("start_tok") + a.getAs[Long]("n_toks"))
+      case _ =>
+    }
+    assert(d1.map(_.getAs[Long]("n_toks")).sum == 80L)
+    assert(d1.length > 1, "an 80-token doc must produce multiple CDC chunks")
+  }
+
+  test("cdcChunks: shift-resilient — a prepended token realigns; fixed windows do not") {
+    val rnd = new scala.util.Random(77)
+    val words = (1 to 120).map(_ => s"w${rnd.nextInt(40)}")
+    val orig = words.mkString(" ")
+    val shifted = "zzz " + orig // one-token insertion at the head
+    val df = docs((1L, orig), (2L, shifted))
+    def hashes(doc: Long) = TextOps.cdcChunks(df, "doc_id", "text", 3, 4)
+      .filter(col("doc") === doc).select("chunk_hash")
+      .collect().map(_.getString(0)).toSet
+    val shared = hashes(1L).intersect(hashes(2L)).size
+    assert(shared.toDouble / hashes(1L).size > 0.5,
+      s"CDC must re-synchronize after the edit (shared $shared of ${hashes(1L).size})")
+    // fixed-window chunking under the same shift shares (almost) nothing
+    def fixedHashes(doc: Long) = TextOps.chunkTokens(df, "doc_id", "text", 8, 0)
+      .filter(col("doc") === doc)
+      .select(md5(col("chunk_text")).as("h")).collect().map(_.getString(0)).toSet
+    val fixedShared = fixedHashes(1L).intersect(fixedHashes(2L)).size
+    assert(fixedShared < shared,
+      s"fixed windows must lose alignment where CDC keeps it ($fixedShared vs $shared)")
+  }
+
   test("minhash LSH recalls a near-duplicate (one word changed)") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val near = base.replace("w30", "changed")

@@ -145,6 +145,56 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── Incremental CDC dedup — the arrival path: the corpus's chunk
+    //    hashes are a STORED index (persisted + reloaded here, the
+    //    bpe_stored precedent); an arriving batch (doc_id % 10 == 0) is
+    //    chunked and probed against it — no corpus re-chunking, probe
+    //    volume = the batch's own chunks. Shift-resilience is what makes
+    //    the stored index durable: edits upstream of a chunk don't
+    //    invalidate downstream hashes. ──
+    QueryDef.sql(
+      "text_cdc_incremental",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws, len(ws) AS n,
+        |        CASE WHEN len(ws) >= 3 THEN [array_to_string(list_slice(ws, j, j + 2), ' ') for j in range(1, len(ws) - 1)] ELSE CAST([] AS VARCHAR[]) END AS sh
+        |      FROM t WHERE len(ws) > 0),
+        |b AS (SELECT doc_id, ws, n,
+        |        [ j + 2 for j in range(1, len(sh) + 1)
+        |          if CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(sh[j]),1,8)[i]) - 1) * power(16, 8 - i) for i in range(1,9) ]) AS BIGINT) % 4 AS INTEGER) = 0
+        |             and j + 2 < n ] AS be
+        |      FROM f),
+        |c AS (SELECT doc_id, ws, list_prepend(1, [e + 1 for e in be]) AS starts, list_append(be, n) AS ends FROM b),
+        |u AS (SELECT doc_id, unnest(starts) AS st, unnest(ends) AS en FROM c),
+        |ch AS (SELECT u.doc_id AS doc, en - st + 1 AS n_toks,
+        |         md5(array_to_string(list_slice(c2.ws, u.st, u.en), ' ')) AS chunk_hash
+        |       FROM u JOIN c c2 ON c2.doc_id = u.doc_id),
+        |idx AS (SELECT DISTINCT chunk_hash FROM ch WHERE doc % 10 <> 0),
+        |bt AS (SELECT doc, n_toks, chunk_hash FROM ch WHERE doc % 10 = 0)
+        |SELECT bt.doc, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN idx.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known_chunks,
+        |  round(CAST(sum(CASE WHEN idx.chunk_hash IS NOT NULL THEN bt.n_toks ELSE 0 END) AS DOUBLE) / sum(bt.n_toks), 4) AS known_token_frac
+        |FROM bt LEFT JOIN idx ON idx.chunk_hash = bt.chunk_hash
+        |GROUP BY bt.doc ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val corpusChunks = TextOps.cdcChunks(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", w = 3, divisor = 4)
+        val dir = java.nio.file.Files.createTempDirectory("graft-cdc-idx").toString
+        corpusChunks.select("chunk_hash").distinct()
+          .write.mode("overwrite").parquet(dir)
+        val idx = s.read.parquet(dir)
+          .withColumn("_known", lit(1))
+        val batch = TextOps.cdcChunks(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", w = 3, divisor = 4)
+        batch.join(idx, Seq("chunk_hash"), "left_outer")
+          .groupBy("doc")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("_known").isNotNull, 1L).otherwise(0L)).as("n_known_chunks"),
+            round(sum(when(col("_known").isNotNull, col("n_toks")).otherwise(0L))
+              .cast("double") / sum(col("n_toks")), 4).as("known_token_frac"))
+          .orderBy("doc")
+    },
+
     // ── Paragraph-granularity dedup (C4/RefinedWeb shape): the raw
     //    corpus has no paragraph breaks, so the query first builds a
     //    paragraph'd corpus deterministically — three docs per group,

@@ -1458,8 +1458,8 @@ object TextOps {
     * count. Work per row is O(n·w) for the window hashes plus
     * O(chunks·len) for reassembly — doc-bounded, no corpus term. */
   def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
-                w: Int, divisor: Int): org.apache.spark.sql.DataFrame = {
-    require(w > 0 && divisor > 0)
+                w: Int, divisor: Int, minLen: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(w > 0 && divisor > 0 && minLen >= 1)
     val gate = (g: Column) =>
       conv(substring(md5(g), 1, 8), 16, 10).cast("long") % divisor === 0
     df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
@@ -1471,6 +1471,20 @@ object TextOps {
           transform(shingles(col("ws"), w), (g: Column, j: Column) =>
             when(gate(g), j + lit(w)).otherwise(lit(-1))),
           e => e =!= -1 && e < size(col("ws"))).as("be"))
+      // FastCDC-style min-chunk constraint as an in-row sequential fold:
+      // keep a candidate end only if it is >= minLen past the previous
+      // KEPT end (and >= minLen from the start) — greedy left-to-right,
+      // which is exactly the streaming-cut semantics; with minLen = 1
+      // the fold keeps every candidate (ends are strictly increasing),
+      // so the default is bit-identical to the unconstrained form. The
+      // tail chunk may still be short (FastCDC accepts that; merging it
+      // would re-introduce position dependence).
+      .select(col("doc"), col("ws"),
+        aggregate(col("be"), array().cast("array<integer>"),
+          (acc: Column, e: Column) =>
+            when((size(acc) === 0 && e >= minLen) ||
+              (size(acc) > 0 && e - element_at(acc, -1) >= minLen),
+              concat(acc, array(e))).otherwise(acc)).as("be"))
       .select(col("doc"), col("ws"),
         concat(array(lit(1)), transform(col("be"), _ + 1)).as("starts"),
         concat(col("be"), array(size(col("ws")))).as("ends"))

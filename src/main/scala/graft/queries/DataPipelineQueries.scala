@@ -145,6 +145,46 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── FastCDC-style bounded chunking: the same content gate, plus a
+    //    min-chunk-size-4 constraint applied as an in-row sequential
+    //    fold (keep a candidate end only if ≥ 4 past the previous KEPT
+    //    end — greedy left-to-right streaming-cut semantics; both
+    //    engines run the identical fold, Spark aggregate() vs DuckDB
+    //    list_reduce over a prepended-empty accumulator. DuckDB v1.0
+    //    list_reduce BUG: a lambda branch returning `acc` unchanged
+    //    silently drops earlier appends — the else branch must build a
+    //    NEW list, hence list_concat(acc, [])). Kills the
+    //    pathological run of adjacent boundaries a degenerate token
+    //    sequence produces; the tail may still be short by design. ──
+    QueryDef.sql(
+      "text_cdc_bounded",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws FROM documents),
+        |f AS (SELECT doc_id, ws, len(ws) AS n,
+        |        CASE WHEN len(ws) >= 3 THEN [array_to_string(list_slice(ws, j, j + 2), ' ') for j in range(1, len(ws) - 1)] ELSE CAST([] AS VARCHAR[]) END AS sh
+        |      FROM t WHERE len(ws) > 0),
+        |b AS (SELECT doc_id, ws, n,
+        |        [ j + 2 for j in range(1, len(sh) + 1)
+        |          if CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(sh[j]),1,8)[i]) - 1) * power(16, 8 - i) for i in range(1,9) ]) AS BIGINT) % 4 AS INTEGER) = 0
+        |             and j + 2 < n ] AS be
+        |      FROM f),
+        |k AS (SELECT doc_id, ws, n,
+        |        list_reduce(list_prepend(CAST([] AS INTEGER[]), [[e] for e in be]),
+        |          (acc, x) -> CASE WHEN (len(acc) = 0 AND x[1] >= 4) OR (len(acc) > 0 AND x[1] - acc[-1] >= 4)
+        |                      THEN list_append(acc, x[1])
+        |                      ELSE list_concat(acc, CAST([] AS INTEGER[])) END) AS be
+        |      FROM b),
+        |c AS (SELECT doc_id, ws, list_prepend(1, [e + 1 for e in be]) AS starts, list_append(be, n) AS ends FROM k),
+        |u AS (SELECT doc_id, ws, unnest(range(1, len(starts) + 1)) AS ci, unnest(starts) AS st, unnest(ends) AS en FROM c)
+        |SELECT doc_id AS doc, CAST(ci - 1 AS BIGINT) AS chunk_idx,
+        |  CAST(st AS BIGINT) AS start_tok, CAST(en - st + 1 AS BIGINT) AS n_toks,
+        |  md5(array_to_string(list_slice(ws, st, en), ' ')) AS chunk_hash
+        |FROM u ORDER BY doc, chunk_idx""".stripMargin) {
+      (s, d) =>
+        TextOps.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+            w = 3, divisor = 4, minLen = 4)
+          .orderBy("doc", "chunk_idx")
+    },
+
     // ── Incremental CDC dedup — the arrival path: the corpus's chunk
     //    hashes are a STORED index (persisted + reloaded here, the
     //    bpe_stored precedent); an arriving batch (doc_id % 10 == 0) is

@@ -84,6 +84,23 @@ class OperatorsSpec extends SparkSpec {
     assert(d1.length > 1, "an 80-token doc must produce multiple CDC chunks")
   }
 
+  test("cdcChunks minLen: every non-tail chunk >= minLen; minLen=1 is the identity") {
+    val rnd = new scala.util.Random(13)
+    val words = (1 to 150).map(_ => s"q${rnd.nextInt(20)}")
+    val df = docs((1L, words.mkString(" ")))
+    val bounded = TextOps.cdcChunks(df, "doc_id", "text", 3, 4, minLen = 4)
+      .orderBy("chunk_idx").collect()
+    bounded.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("n_toks") >= 4L,
+        s"non-tail chunk shorter than minLen: ${r.getAs[Long]("n_toks")}")
+    }
+    assert(bounded.map(_.getAs[Long]("n_toks")).sum == 150L, "tiling still exact")
+    val a = TextOps.cdcChunks(df, "doc_id", "text", 3, 4).collect().map(_.toSeq).toSeq
+    val b = TextOps.cdcChunks(df, "doc_id", "text", 3, 4, minLen = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "minLen = 1 must be bit-identical to the unconstrained form")
+  }
+
   test("cdcChunks: shift-resilient — a prepended token realigns; fixed windows do not") {
     val rnd = new scala.util.Random(77)
     val words = (1 to 120).map(_ => s"w${rnd.nextInt(40)}")

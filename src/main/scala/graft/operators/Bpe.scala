@@ -151,11 +151,14 @@ object Bpe {
     val bc = df.sparkSession.sparkContext.broadcast(ranks)
     val nBpe = udf { (ws: Seq[String]) =>
       var total = 0L
-      ws.foreach(w => total += encodeWord(w, bc.value))
+      if (ws != null) ws.foreach(w => total += encodeWord(w, bc.value))
       total
     }
+    // null text behaves as empty (0 tokens, 0 pieces, null ratio) —
+    // without the coalesce the per-row UDF NPEs on scraped-corpus nulls
     df.select(col(idCol).as("doc"),
-        TextOps.tokens(col(textCol)).as("_ws"))
+        coalesce(TextOps.tokens(col(textCol)),
+          array().cast("array<string>")).as("_ws"))
       .select(col("doc"),
         size(col("_ws")).cast("long").as("n_tokens"),
         nBpe(col("_ws")).as("n_bpe"))

@@ -70,7 +70,10 @@ object Pca {
     * 60× slower at sf0.1.) */
   def moments(df: DataFrame, vecCol: String): (Long, Array[Long], Array[Array[Long]]) = {
     val rows = df.select(col(vecCol).cast("array<float>"))
-    val d = rows.head.getSeq[Float](0).size
+    val first = rows.limit(1).collect()
+    require(first.nonEmpty,
+      s"Pca.moments: input is empty — no rows to derive the dimensionality from")
+    val d = first.head.getSeq[Float](0).size
     val zero = new Array[Long](1 + d + d * d)
     val agg = rows.rdd.treeAggregate(zero)(
       seqOp = (acc, row) => {
@@ -158,8 +161,13 @@ object Pca {
       val w = uq.map(_.toDouble / Scale)
       var nq = 0L
       w.foreach(wv => nq += rnd(wv * wv * Scale))
-      val nrm = math.sqrt(nq.toDouble / Scale)
-      v = w.map(_ / nrm)
+      // zero-variance matrix: the step maps everything to 0 and the
+      // normalizer vanishes — keep the previous vector instead of
+      // dividing 0/0 into NaNs (eigval correctly reports 0)
+      if (nq > 0L) {
+        val nrm = math.sqrt(nq.toDouble / Scale)
+        v = w.map(_ / nrm)
+      }
     }
     var lq = 0L
     for (i <- 0 until d; j <- 0 until d) lq += rnd(c(i)(j) * v(i) * v(j) * Scale)

@@ -84,4 +84,21 @@ object StreamingDrift {
       .toDF("batch_id", "n_rows", "mean_pc1", "var_pc1", "z_mean",
         "axis_cos", "eigval_ref", "eigval_new", "alarm")
   }
+
+  /** Convenience wiring ([[StreamingValidation.attach]] shape): one drift
+    * report row per micro-batch, batch-partitioned under `outDir`
+    * (idempotent on replay — the report recomputes bit-identically). */
+  def attach(rows: DataFrame, idCol: String, vecCol: String,
+             momentsDir: String, stateDir: String, outDir: String,
+             checkpointDir: String, iters: Int = 8,
+             zThreshold: Double = 4.0): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, idCol, vecCol, momentsDir, stateDir,
+            iters, zThreshold)
+          .withColumn("batch", col("batch_id"))
+          .write.mode("overwrite").partitionBy("batch").parquet(outDir)
+      }
+      .start()
 }

@@ -41,6 +41,29 @@ class StreamingDriftSpec extends SparkSpec {
       s"mean-shifted batch must alarm (z = ${r1.getAs[Double]("z_mean")})")
   }
 
+  test("attach: a real MemoryStream drive lands one report row per micro-batch") {
+    val refDir = java.nio.file.Files.createTempDirectory("drift-ref3").toString
+    val stDir = java.nio.file.Files.createTempDirectory("drift-st3").toString
+    val outDir = java.nio.file.Files.createTempDirectory("drift-out3").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("drift-ck3").toString
+    Pca.saveMoments(spark,
+      Pca.moments(cloud(300, 8).toDF("vec_id", "embedding"), "embedding"), refDir)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingDrift.attach(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      refDir, stDir, outDir, ckDir)
+    mem.addData(cloud(100, 9): _*)
+    q.processAllAvailable()
+    mem.addData(cloud(100, 10, shift = 0.6): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir).orderBy("batch_id").collect()
+    assert(out.length == 2, "one report row per micro-batch")
+    assert(!out(0).getAs[Boolean]("alarm") && out(1).getAs[Boolean]("alarm"))
+  }
+
   test("replayed batch reports bit-identically; cumulative moments equal the union") {
     val refDir = java.nio.file.Files.createTempDirectory("drift-ref2").toString
     val stDir = java.nio.file.Files.createTempDirectory("drift-st2").toString

@@ -1507,7 +1507,12 @@ object TextOps {
     * dup_token_frac). */
   def cdcDedupCoverage(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                        w: Int, divisor: Int): org.apache.spark.sql.DataFrame = {
-    val ch = cdcChunks(df, idCol, textCol, w, divisor)
+    // materialize the chunk frame once: both the per-hash stats and the
+    // join-back read it, and without the checkpoint the whole HOF
+    // chunking chain is re-evaluated on both sides of the join (the
+    // graph_hits lesson — structurally right even though at sf0.1 the
+    // measured wall time is within noise of the recompute form)
+    val ch = cdcChunks(df, idCol, textCol, w, divisor).localCheckpoint()
     val stats = ch.groupBy("chunk_hash")
       .agg(min("doc").as("_mind"), max("doc").as("_maxd"))
     val statsGated =

@@ -106,8 +106,8 @@ object DataPipelineQueries {
         |  md5(array_to_string(list_slice(ws, st, en), ' ')) AS chunk_hash
         |FROM u ORDER BY doc, chunk_idx""".stripMargin) {
       (s, d) =>
-        TextOps.cdcChunks(Tables.documents(s, d), "doc_id", "text",
-            w = 3, divisor = 4)
+        TextOps.cdcChunks(QueryDef.fanOutIfNarrow(Tables.documents(s, d)),
+            "doc_id", "text", w = 3, divisor = 4)
           .orderBy("doc", "chunk_idx")
     },
 
@@ -180,8 +180,8 @@ object DataPipelineQueries {
         |  md5(array_to_string(list_slice(ws, st, en), ' ')) AS chunk_hash
         |FROM u ORDER BY doc, chunk_idx""".stripMargin) {
       (s, d) =>
-        TextOps.cdcChunks(Tables.documents(s, d), "doc_id", "text",
-            w = 3, divisor = 4, minLen = 4)
+        TextOps.cdcChunks(QueryDef.fanOutIfNarrow(Tables.documents(s, d)),
+            "doc_id", "text", w = 3, divisor = 4, minLen = 4)
           .orderBy("doc", "chunk_idx")
     },
 
@@ -216,7 +216,7 @@ object DataPipelineQueries {
         |FROM bt LEFT JOIN idx ON idx.chunk_hash = bt.chunk_hash
         |GROUP BY bt.doc ORDER BY doc""".stripMargin) {
       (s, d) =>
-        val docs = Tables.documents(s, d)
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
         val corpusChunks = TextOps.cdcChunks(
           docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", w = 3, divisor = 4)
         val dir = java.nio.file.Files.createTempDirectory("graft-cdc-idx").toString

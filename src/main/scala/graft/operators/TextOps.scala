@@ -1529,6 +1529,52 @@ object TextOps {
         round(col("_dupToks").cast("double") / col("_toks"), 4).as("dup_token_frac"))
   }
 
+  /** PMI collocation mining — which word PAIRS travel together beyond
+    * chance (the classic phrase/collocation detector: "new york" scores
+    * high because p(ab) ≫ p(a)·p(b); "of the" scores low despite its
+    * raw count). Score is the INTEGER-BIT PMI of the surprisal-gate
+    * doctrine: floor(log2(c_ab·N / (c_a·c_b))) via `length(bin(q))-1`
+    * on exact-long numerator/denominator, with the sign split
+    * (num ≥ den → +bits of num/den, else −bits of den/num) — no
+    * transcendental, bit-identical across engines. `minCount` kills the
+    * rare-pair PMI explosion (a hapax pair maxes PMI by definition).
+    *
+    * Scale shape: one scan → (bigram) partial-agg count, one (word)
+    * partial-agg count, two broadcast-sized joins back to the surviving
+    * (count ≥ minCount) bigrams — hot words collapse map-side, and the
+    * pair frame is bounded by distinct bigrams, not corpus size. */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                      minCount: Long, topK: Int): org.apache.spark.sql.DataFrame = {
+    val bi = df.select(explode(shingles(tokens(col(textCol)), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+    val uni = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = bi.agg(coalesce(sum("c_ab"), lit(0L))).head.getLong(0)
+    val cand = bi.filter(col("c_ab") >= minCount)
+      .select(col("bg"), col("c_ab"),
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+    cand
+      .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
+        (col("c_ab") * lit(n)).as("_num"), (col("c_a") * col("c_b")).as("_den"))
+      .select(col("bg").as("bigram"), col("c_ab").as("n_pair"),
+        col("c_a").as("n_left"), col("c_b").as("n_right"),
+        // `div` (not /) so the quotient stays an exact long — double
+        // division would round past 2^53
+        when(col("_num") >= col("_den"),
+          expr("CAST(length(bin(_num div _den)) - 1 AS BIGINT)"))
+          .otherwise(-expr("CAST(length(bin(_den div _num)) - 1 AS BIGINT)"))
+          .as("pmi_bits"),
+        // fractional discrimination inside a bit bucket: the exact lift
+        // ratio as ONE closing IEEE division (num, den < 2^53 at any
+        // corpus where c_ab·N fits a double — document the bound)
+        round(col("_num").cast("double") / col("_den"), 4).as("lift"))
+      .orderBy(desc("pmi_bits"), desc("lift"), desc("n_pair"), asc("bigram"))
+      .limit(topK)
+  }
+
   def qualityMetrics(toks: Column, stopwords: Seq[String]): (Column, Column, Column) = {
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, v) => a + v)

@@ -79,6 +79,40 @@ object DataPipelineQueries {
           .orderBy("doc", "chunk_idx")
     },
 
+    // ── PMI collocation mining: which word pairs travel together beyond
+    //    chance (the classic phrase detector — p(ab) ≫ p(a)p(b) scores
+    //    high regardless of raw count). Integer-bit PMI =
+    //    floor(log2(c_ab·N / c_a·c_b)) via length(bin(div)) on exact
+    //    longs, sign-split for negative PMI — the surprisal-gate
+    //    doctrine, no transcendental, bit-identical across engines.
+    //    min count 5 kills the hapax-pair PMI explosion. ──
+    QueryDef.sql(
+      "text_pmi_bigrams",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS ws FROM documents),
+        |g AS (SELECT CASE WHEN len(ws) >= 2 THEN [array_to_string(list_slice(ws, j, j + 1), ' ') for j in range(1, len(ws))] ELSE CAST([] AS VARCHAR[]) END AS gs FROM t),
+        |bi AS (SELECT unnest(gs) AS bg FROM g),
+        |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM bi GROUP BY bg),
+        |n AS (SELECT CAST(coalesce(sum(c_ab), 0) AS BIGINT) AS nn FROM bc),
+        |uni AS (SELECT unnest(ws) AS w FROM t),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+        |cand AS (SELECT bc.bg, bc.c_ab, a.c AS c_a, b.c AS c_b,
+        |           bc.c_ab * n.nn AS num, a.c * b.c AS den
+        |         FROM bc CROSS JOIN n
+        |         JOIN uc a ON a.w = string_split(bc.bg, ' ')[1]
+        |         JOIN uc b ON b.w = string_split(bc.bg, ' ')[2]
+        |         WHERE bc.c_ab >= 5)
+        |SELECT bg AS bigram, c_ab AS n_pair, c_a AS n_left, c_b AS n_right,
+        |  CASE WHEN num >= den THEN CAST(length(bin(num // den)) - 1 AS BIGINT)
+        |       ELSE -CAST(length(bin(den // num)) - 1 AS BIGINT) END AS pmi_bits,
+        |  round(CAST(num AS DOUBLE) / den, 4) AS lift
+        |FROM cand
+        |ORDER BY pmi_bits DESC, lift DESC, n_pair DESC, bigram LIMIT 20""".stripMargin) {
+      (s, d) =>
+        TextOps.pmiCollocations(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text",
+          minCount = 5L, topK = 20)
+    },
+
     // ── Content-defined chunking (rsync/FastCDC at token granularity):
     //    a boundary falls after token e whenever the 3-token window
     //    ending at e md5-folds to 0 mod 4 — boundaries are a function

@@ -1545,8 +1545,11 @@ object TextOps {
     * pair frame is bounded by distinct bigrams, not corpus size. */
   def pmiCollocations(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                       minCount: Long, topK: Int): org.apache.spark.sql.DataFrame = {
+    // materialize the bigram counts once: the N normalizer action and
+    // the candidate frame both read them (the graph_hits lesson)
     val bi = df.select(explode(shingles(tokens(col(textCol)), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
     val uni = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val n = bi.agg(coalesce(sum("c_ab"), lit(0L))).head.getLong(0)

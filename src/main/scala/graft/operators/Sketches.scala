@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for corpus-scale statistics — HyperLogLog distinct
+  * counting and count-min frequency estimation — built integer-exact on
+  * the repo's cross-engine md5 substrate so the driver's DuckDB oracle
+  * can pin them bit-for-bit (unlike `approx_count_distinct` /
+  * `approx_percentile`, whose buffers are engine-private).
+  *
+  * Why sketches at 100 TB: `count(DISTINCT x)` shuffles every distinct
+  * value; a billion-key distinct is a corpus-sized exchange. The HLL
+  * register frame is `m` rows (here 256) NO MATTER the corpus size, and
+  * partial aggregation collapses it map-side — the shuffle carries at
+  * most `m` rows per task. Count-min is the same story for frequency:
+  * `d·w` cells total, merged by plain addition, so heavy-hitter serving
+  * never rebuilds a corpus-sized vocabulary. Both sketches are
+  * commutative-monoid merges (max / sum), which is exactly what Spark's
+  * partial-agg machinery wants.
+  *
+  * Determinism contract: every register and cell derives from md5 hex
+  * digits through integer arithmetic only — no engine RNG, no float
+  * accumulation. The closing HLL estimate is ONE fixed-order IEEE
+  * expression over an exact integer sum (the correctly-rounded-closing-
+  * division doctrine of the temperature sampler / surprisal gate).
+  *
+  * Reference analogue: the reference keeps exact health/metastate counts
+  * (`health.go`, `state_pointers`) because its tables are node-local;
+  * a distributed corpus needs the mergeable form.
+  */
+object Sketches {
+
+  /** Number of HLL registers — 2 md5 hex chars' worth (2^8). */
+  val HllM = 256
+
+  /** Register cap: rho ≤ 40 keeps 2^(40-rho) an exact long and the
+    * harmonic sum ≤ m·2^40 = 2^48, exactly representable even as a
+    * double (< 2^53) — so ANY summation order yields identical bits. */
+  val HllRhoCap = 40
+
+  /** HLL bucket: fold of the first 2 md5 hex chars, 0..255. */
+  def hllBucket(key: Column): Column =
+    conv(substring(md5(key), 1, 2), 16, 10).cast("int")
+
+  /** HLL rho over the 64-bit suffix (md5 hex chars 3..18): number of
+    * leading zero BITS + 1, capped at [[HllRhoCap]]. Computed from hex
+    * digits: 4 bits per leading '0' char, then 3/2/1/0 more from the
+    * first non-zero digit's own leading zeros — integer CASE arithmetic,
+    * portable to any engine with substr/regexp. */
+  def hllRho(key: Column): Column = {
+    val tail = substring(md5(key), 3, 16)
+    val z = length(regexp_extract(tail, "^(0*)", 1))
+    val dval = conv(tail.substr(z + lit(1), lit(1)), 16, 10).cast("int")
+    val lzd = when(dval >= 8, 0).when(dval >= 4, 1).when(dval >= 2, 2).otherwise(3)
+    when(z >= 16, HllRhoCap)
+      .otherwise(least(z * 4 + lzd + 1, lit(HllRhoCap)))
+      .cast("int")
+  }
+
+  /** The full m-row register frame for `df[keyCol]` — empty buckets
+    * surface as register 0 (they carry the strongest evidence in the
+    * harmonic mean; dropping them is the classic HLL implementation
+    * bug). One partial-agg groupBy on ≤ m distinct buckets: map-side
+    * collapse makes the exchange O(m · tasks) regardless of corpus. */
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
+    val regs = df
+      .select(hllBucket(col(keyCol)).as("bucket"), hllRho(col(keyCol)).as("rho"))
+      .groupBy("bucket").agg(max("rho").as("r"))
+    df.sparkSession.range(HllM).select(col("id").cast("int").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("r"), lit(0)).cast("int").as("register"))
+  }
+
+  /** Element-wise merge of two register frames (the distributed-union
+    * property: HLL(A ∪ B) = max(HLL(A), HLL(B)) per bucket). */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b.withColumnRenamed("register", "rb"), Seq("bucket"))
+      .select(col("bucket"), greatest(col("register"), col("rb")).as("register"))
+
+  /** One-row estimate from a register frame: exact integer harmonic
+    * numerator S = Σ 2^(cap - register), zero-bucket count, and the
+    * standard alpha_m · m² / Σ2^-M estimate as one fixed-order IEEE
+    * chain over S (both engines round identically). Small-range linear
+    * counting (m·ln(m/V)) is deliberately NOT folded in — ln is
+    * transcendental; a serving layer applies it on top of `n_zero`. */
+  def hllEstimate(registers: DataFrame): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    registers.agg(
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - register)")).as("s_sum"),
+      sum(when(col("register") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .select(
+        lit(HllM).as("m"), col("s_sum"), col("n_zero"),
+        round(lit(alpha * HllM.toDouble * HllM.toDouble) *
+          lit(math.pow(2.0, HllRhoCap)) / col("s_sum").cast("double"), 4)
+          .as("hll_estimate"))
+  }
+
+  /** Count-min bucket for sketch row `r`: fold of the first 8 md5 hex
+    * chars of "r:key", mod `w`. Row-salting the key string gives the d
+    * independent hash functions from the one md5 primitive. */
+  def cmsBucket(key: Column, row: Int, w: Int): Column =
+    (conv(substring(md5(concat(lit(s"$row:"), key)), 1, 8), 16, 10)
+      .cast("long") % w).cast("int")
+
+  /** Build the d×w cell frame `(r, b, c)` from keys with an integer
+    * weight column (1 per occurrence, or a pre-aggregated count — CMS is
+    * linear, so both yield identical cells). The explode is d-fold on
+    * the KEY frame, then one partial-agg groupBy on ≤ d·w cells — the
+    * exchange is sketch-sized, never corpus-sized. */
+  def cmsCells(df: DataFrame, keyCol: String, weightCol: String,
+               d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2 (got d=$d, w=$w)")
+    val rows = array((0 until d).map(r =>
+      struct(lit(r).as("r"), cmsBucket(col(keyCol), r, w).as("b"))): _*)
+    df.select(explode(rows).as("rb"), col(weightCol).cast("long").as("c"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum("c").as("c"))
+  }
+
+  /** Point estimates for `probes[keyCol]`: min over the d rows of the
+    * probed cells — the classic CMS upper bound (estimate ≥ true count,
+    * always). The cell frame is d·w rows; [[graft.queries.QueryDef
+    * .broadcastIfSmall]]-shaped by construction, so the probe join never
+    * shuffles the probe side. */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, keyCol: String,
+                  d: Int = 4, w: Int = 1024): DataFrame = {
+    val rows = array((0 until d).map(r =>
+      struct(lit(r).as("r"), cmsBucket(col(keyCol), r, w).as("b"))): _*)
+    probes
+      .select(col("*"), explode(rows).as("rb"))
+      .join(cells, col("rb.r") === cells("r") && col("rb.b") === cells("b"))
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min("c").as("cms_est"))
+  }
+}

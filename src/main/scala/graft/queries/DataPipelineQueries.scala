@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Dedup, Sharding, Similarity, TextOps}
+import graft.operators.{Bpe, Dedup, Sharding, Similarity, Sketches, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -2561,6 +2561,111 @@ object DataPipelineQueries {
       (s, d) =>
         TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text", topN = 2, dupN = 5)
           .orderBy("doc")
+    },
+
+    // ── HyperLogLog register frame over distinct document bodies — the
+    //    mergeable distinct-count sketch, pinned bit-for-bit: registers
+    //    derive from md5 hex digits through integer CASE arithmetic only
+    //    (Sketches.hllBucket/hllRho), so DuckDB reproduces every one of
+    //    the 256 rows. The key is the DOC BODY — "how many unique
+    //    documents" is the dedup-planning cardinality. count(DISTINCT)
+    //    shuffles every distinct value; at
+    //    100 TB this frame is 256 rows no matter the corpus, collapsed
+    //    map-side by partial agg. Empty buckets surface as register 0
+    //    (dropping them is the classic HLL estimate bug). ──
+    QueryDef.sql(
+      "corpus_hll_registers",
+      """WITH h AS (SELECT DISTINCT text AS w FROM documents WHERE text IS NOT NULL),
+        |rr AS (SELECT (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS bucket,
+        |              substr(md5(w), 3, 16) AS tail FROM h),
+        |z AS (SELECT bucket, tail, length(regexp_extract(tail, '^(0*)', 1)) AS nz FROM rr),
+        |dv AS (SELECT bucket, nz, strpos('0123456789abcdef', substr(tail, nz + 1, 1)) - 1 AS d FROM z),
+        |rho AS (SELECT bucket, CASE WHEN nz >= 16 THEN 40 ELSE
+        |          least(4 * nz + CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+        |                              WHEN d >= 2 THEN 2 ELSE 3 END + 1, 40) END AS rho
+        |        FROM dv),
+        |regs0 AS (SELECT bucket, CAST(max(rho) AS INTEGER) AS register FROM rho GROUP BY bucket)
+        |SELECT CAST(b.range AS INTEGER) AS bucket,
+        |       CAST(coalesce(r0.register, 0) AS INTEGER) AS register
+        |FROM range(0, 256) b LEFT JOIN regs0 r0 ON r0.bucket = b.range
+        |ORDER BY bucket""".stripMargin) {
+      (s, d) =>
+        val words = Tables.documents(s, d)
+          .select(col("text").as("w")).where(col("w").isNotNull).distinct()
+        Sketches.hllRegisters(words, "w").orderBy("bucket")
+    },
+
+    // ── The HLL estimate against ground truth, one row: exact integer
+    //    harmonic numerator S = Σ 2^(40-register) (≤ 2^48, so ANY
+    //    summation order is bit-identical), then the alpha·m²/Σ2^-M
+    //    closing estimate as one fixed-order IEEE chain both engines
+    //    round identically (temperature-sampler doctrine). The true
+    //    distinct count rides along to show the ~6.5% (1.04/√256)
+    //    expected error honestly. ──
+    QueryDef.sql(
+      "corpus_hll_estimate",
+      """WITH h AS (SELECT DISTINCT text AS w FROM documents WHERE text IS NOT NULL),
+        |rr AS (SELECT (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS bucket,
+        |              substr(md5(w), 3, 16) AS tail FROM h),
+        |z AS (SELECT bucket, tail, length(regexp_extract(tail, '^(0*)', 1)) AS nz FROM rr),
+        |dv AS (SELECT bucket, nz, strpos('0123456789abcdef', substr(tail, nz + 1, 1)) - 1 AS d FROM z),
+        |rho AS (SELECT bucket, CASE WHEN nz >= 16 THEN 40 ELSE
+        |          least(4 * nz + CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+        |                              WHEN d >= 2 THEN 2 ELSE 3 END + 1, 40) END AS rho
+        |        FROM dv),
+        |regs0 AS (SELECT bucket, CAST(max(rho) AS INTEGER) AS register FROM rho GROUP BY bucket),
+        |regs AS (SELECT CAST(b.range AS INTEGER) AS bucket, coalesce(r0.register, 0) AS register
+        |         FROM range(0, 256) b LEFT JOIN regs0 r0 ON r0.bucket = b.range),
+        |agg AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (40 - register)) AS BIGINT) AS s_sum,
+        |               CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |        FROM regs)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_distinct_true,
+        |  CAST(256 AS INTEGER) AS m, agg.s_sum, agg.n_zero,
+        |  round(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0
+        |        * 1099511627776.0 / CAST(agg.s_sum AS DOUBLE), 4) AS hll_estimate
+        |FROM agg""".stripMargin) {
+      (s, d) =>
+        val words = Tables.documents(s, d)
+          .select(col("text").as("w")).where(col("w").isNotNull).distinct()
+        words.agg(count(lit(1)).cast("long").as("n_distinct_true"))
+          .crossJoin(Sketches.hllEstimate(Sketches.hllRegisters(words, "w")))
+    },
+
+    // ── Count-min heavy hitters: build the 4×1024 integer cell frame
+    //    from word counts (CMS is linear — counts and raw occurrences
+    //    yield identical cells, spec-pinned), probe the 20 true heaviest
+    //    words, report true vs estimate side by side. Every cell and
+    //    estimate is an exact BIGINT; the row-salted md5 fold gives both
+    //    engines the same d hash functions. At 100 TB the sketch is
+    //    4096 cells merged by addition — heavy-hitter serving without a
+    //    corpus-sized vocabulary. ──
+    QueryDef.sql(
+      "text_cms_heavy",
+      """WITH t AS (SELECT list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT unnest(ws) AS w FROM t),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt FROM e GROUP BY w),
+        |cr AS (SELECT wc.w, wc.true_cnt, r.range AS r,
+        |         CAST(CAST(list_sum([ (strpos('0123456789abcdef',
+        |                 substr(md5(CAST(r.range AS VARCHAR) || ':' || wc.w), 1, 8)[i]) - 1)
+        |                 * power(16, 8 - i) for i in range(1, 9) ]) AS BIGINT)
+        |              % 1024 AS INTEGER) AS b
+        |       FROM wc, range(0, 4) r),
+        |cells AS (SELECT r, b, CAST(sum(true_cnt) AS BIGINT) AS c FROM cr GROUP BY r, b),
+        |probes AS (SELECT w, true_cnt FROM wc ORDER BY true_cnt DESC, w LIMIT 20)
+        |SELECT p.w, p.true_cnt, CAST(min(c.c) AS BIGINT) AS cms_est
+        |FROM probes p JOIN cr ON cr.w = p.w JOIN cells c ON c.r = cr.r AND c.b = cr.b
+        |GROUP BY p.w, p.true_cnt
+        |ORDER BY p.true_cnt DESC, p.w""".stripMargin) {
+      (s, d) =>
+        val wc = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("true_cnt"))
+        val cells = Sketches.cmsCells(wc, "w", "true_cnt")
+        val probes = wc.orderBy(col("true_cnt").desc, col("w").asc).limit(20)
+        Sketches.cmsEstimate(QueryDef.broadcastIfSmall(cells), probes, "w")
+          .orderBy(col("true_cnt").desc, col("w").asc)
     },
   )
 }

@@ -1578,6 +1578,126 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Fixed-point floor(256·log2(num/den)) for positive long column
+    * expressions — the sub-bit log the DSIR scorer needs. Integer
+    * arithmetic only, unrolled (the PCA/BPE unrolled-oracle doctrine):
+    * normalize the 16.16 ratio q = num·2^16 div den into one octave,
+    * then 8 squaring steps each yield one fractional bit
+    * (m ← m² div 2^16; overflow past 2^17 emits a 1 and halves).
+    * Every step is exact long arithmetic — any engine with integer
+    * div reproduces it bit-for-bit; the div-floor noise stays below
+    * the 1/256 output quantum for ~2 trailing bits (spec-measured
+    * ±2 quanta vs real log2). Caller guarantees num·2^16 fits a long
+    * (num ≤ ~1.4e14); ratios below 2^-16 saturate at q = 1. Applied
+    * via a withColumn chain so each step is one named projection —
+    * Catalyst reuses, not recomputes, the previous step. */
+  def withFixedPointLog2Q8(df: org.apache.spark.sql.DataFrame,
+                           numExpr: String, denExpr: String,
+                           outCol: String): org.apache.spark.sql.DataFrame = {
+    var out = df
+      .withColumn("_q0", greatest(expr(s"(($numExpr) * 65536) div ($denExpr)"), lit(1L)))
+      .withColumn("_cc", (length(expr("bin(_q0)")) - 17).cast("long"))
+      .withColumn("_m0",
+        when(col("_cc") >= 0, expr("_q0 div shiftleft(CAST(1 AS BIGINT), CAST(_cc AS INT))"))
+          .otherwise(expr("_q0 * shiftleft(CAST(1 AS BIGINT), CAST(-_cc AS INT))")))
+      .withColumn("_f0", lit(0L))
+    for (i <- 1 to 8) {
+      out = out
+        .withColumn(s"_s$i", expr(s"(_m${i - 1} * _m${i - 1}) div 65536"))
+        .withColumn(s"_f$i",
+          col(s"_f${i - 1}") * 2 + when(col(s"_s$i") >= 131072L, 1L).otherwise(0L))
+        .withColumn(s"_m$i",
+          when(col(s"_s$i") >= 131072L, expr(s"_s$i div 2")).otherwise(col(s"_s$i")))
+    }
+    out.withColumn(outCol, col("_cc") * 256L + col("_f8"))
+      .drop((Seq("_q0", "_cc") ++ (0 to 8).flatMap(i =>
+        Seq(s"_m$i", s"_f$i", s"_s$i"))): _*)
+  }
+
+  /** DSIR-shaped importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public arXiv
+    * 2302.03169): score every raw document by how target-like its
+    * hashed-unigram distribution is, log w(x) = Σ_tokens
+    * [log p_target(b) - log p_raw(b)] over `buckets` md5 feature
+    * buckets with add-one smoothing. FP-parity-safe sub-bit variant of
+    * the PMI doctrine: the per-bucket log-ratio is
+    * [[withFixedPointLog2Q8]] of the exact cross-products t_b·R vs
+    * r_b·T — 1/256-bit resolution (corpus-vs-target lifts are a few
+    * percent on real data; whole-bit quantization collapses them all
+    * to 0, measured on this corpus), still pure integer arithmetic,
+    * no transcendental; per-doc accumulation is an exact long sum.
+    *
+    * `targetCol`: boolean marking the target subset (rows where it is
+    * null count as raw-only). Returns `(doc, n_tokens, imp_q8)` with
+    * `imp_q8` in 1/256-bit units; empty docs score 0.
+    *
+    * Scale shape: explode → partial-agg groupBy (doc, bucket) — the
+    * hashed feature space caps distinct keys per doc at `buckets`, so
+    * a hot token collapses map-side; the bucket-stats frame is exactly
+    * `buckets` rows (broadcast back); totals are ONE row. Long-range
+    * guard: t_b·R·2^16 must fit a long — exact to ~1.4e14 cross-
+    * product, i.e. ~1e7 tokens per side; beyond that pre-quantize
+    * counts to per-million before the ratio (PMI's c_ab·N note). */
+  def importanceScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, targetCol: String,
+                      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
+    val hb = (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % buckets).cast("int")
+    val db = df
+      .select(col(idCol).as("doc"), coalesce(col(targetCol), lit(false)).as("is_t"),
+        explode(tokens(col(textCol))).as("w"))
+      .select(col("doc"), col("is_t"), hb.as("b"))
+      .groupBy("doc", "is_t", "b").agg(count(lit(1)).cast("long").as("occ"))
+    val stats = db.groupBy("b").agg(
+      (sum(when(col("is_t"), col("occ")).otherwise(0L)) + 1L).as("t"),
+      (sum("occ") + 1L).as("r"))
+    // buckets rows by construction — always broadcastable; the signed
+    // sub-bit score is log(t/T) - log(r/R) = log2q8(t·R, r·T)
+    val tots = stats.agg(sum("t").as("tt"), sum("r").as("rt"))
+    val sb = broadcast(
+      withFixedPointLog2Q8(stats.crossJoin(broadcast(tots)),
+        "t * rt", "r * tt", "sb")
+        .select(col("b"), col("sb")))
+    val perDoc = db.join(sb, Seq("b"))
+      .groupBy("doc")
+      .agg(sum(col("sb") * col("occ")).as("_raw"), sum("occ").as("_n"))
+    df.select(col(idCol).as("doc"))
+      .join(perDoc, Seq("doc"), "left_outer")
+      .select(col("doc"),
+        coalesce(col("_n"), lit(0L)).as("n_tokens"),
+        coalesce(col("_raw"), lit(0L)).as("imp_q8"))
+  }
+
+  /** Deterministic selection on an [[importanceScore]] frame: keep the
+    * most target-like `keepPermille`/1000 of documents. True DSIR
+    * resamples with Gumbel noise; the reproducible stand-in (the
+    * repo-wide RNG-free sampling doctrine) is a SCORE-HISTOGRAM cutoff:
+    * integer bit-scores take few distinct values, so the histogram is
+    * driver-sized at ANY corpus scale (no global sort, no window) —
+    * walk it descending to the first cumulative count ≥ the target and
+    * keep every doc at or above that score. Boundary scores over-select
+    * rather than tie-break arbitrarily (documented, deterministic).
+    * Returns the input plus a `selected` flag. */
+  def importanceSelect(scored: org.apache.spark.sql.DataFrame,
+                       keepPermille: Int): org.apache.spark.sql.DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000, s"bad permille: $keepPermille")
+    val hist = scored.groupBy("imp_q8").agg(count(lit(1)).as("c"))
+      .orderBy(desc("imp_q8"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    val target = (n * keepPermille + 999) / 1000 // ceil
+    if (target == 0) scored.withColumn("selected", lit(false))
+    else {
+      var cum = 0L
+      var cutoff = Long.MinValue
+      var i = 0
+      while (i < hist.length && cum < target) {
+        cum += hist(i)._2; cutoff = hist(i)._1; i += 1
+      }
+      scored.withColumn("selected", col("imp_q8") >= cutoff)
+    }
+  }
+
   def qualityMetrics(toks: Column, stopwords: Seq[String]): (Column, Column, Column) = {
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, v) => a + v)

@@ -2667,5 +2667,52 @@ object DataPipelineQueries {
         Sketches.cmsEstimate(QueryDef.broadcastIfSmall(cells), probes, "w")
           .orderBy(col("true_cnt").desc, col("w").asc)
     },
+
+    // ── DSIR-shaped data selection: score every doc by how 'en'-like
+    //    its hashed-unigram distribution is — the sub-bit (1/256-bit)
+    //    fixed-point log-ratio of smoothed target vs raw bucket
+    //    frequencies, 8 unrolled integer squaring steps generated by
+    //    DsirOracle so both engines run the identical ladder (whole-bit
+    //    PMI quantization measured degenerate here: corpus lifts are
+    //    0.93–1.15×, all rounding to 0 bits). Selection keeps the top
+    //    300‰ via the score-histogram cutoff (driver-sized at any
+    //    corpus — no global sort); boundary scores over-select rather
+    //    than tie-break arbitrarily. ──
+    QueryDef.sql(
+      "pipeline_dsir_select",
+      s"""WITH t AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_t,
+         |             list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+         |e AS (SELECT doc_id, is_t, unnest(ws) AS w FROM t),
+         |eb AS (SELECT doc_id, is_t,
+         |         CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(w), 1, 8)[i]) - 1)
+         |              * power(16, 8 - i) for i in range(1, 9) ]) AS BIGINT) % 1024 AS INTEGER) AS b
+         |       FROM e),
+         |db AS (SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS occ FROM eb GROUP BY 1, 2, 3),
+         |stats AS (SELECT b, CAST(sum(CASE WHEN is_t THEN occ ELSE 0 END) + 1 AS BIGINT) AS t,
+         |                 CAST(sum(occ) + 1 AS BIGINT) AS r FROM db GROUP BY b),
+         |tots AS (SELECT CAST(sum(t) AS BIGINT) AS tt, CAST(sum(r) AS BIGINT) AS rt FROM stats),
+         |nd AS (SELECT b, t * rt AS num, r * tt AS den FROM stats, tots),
+         |${DsirOracle.fixedPointLog2Cte("nd")},
+         |pd AS (SELECT db.doc_id, CAST(sum(sbq.sb * db.occ) AS BIGINT) AS raw,
+         |              CAST(sum(db.occ) AS BIGINT) AS n
+         |       FROM db JOIN sbq USING (b) GROUP BY db.doc_id),
+         |sc AS (SELECT d.doc_id AS doc, coalesce(pd.n, 0) AS n_tokens,
+         |              coalesce(pd.raw, 0) AS imp_q8
+         |       FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+         |hist AS (SELECT imp_q8, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY imp_q8),
+         |cum AS (SELECT imp_q8, sum(c) OVER (ORDER BY imp_q8 DESC) AS cm FROM hist),
+         |cut AS (SELECT max(imp_q8) AS cutoff FROM cum
+         |        WHERE cm >= ((SELECT count(*) FROM sc) * 300 + 999) // 1000)
+         |SELECT sc.doc, sc.n_tokens, sc.imp_q8,
+         |       sc.imp_q8 >= cut.cutoff AS selected
+         |FROM sc, cut ORDER BY sc.doc""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .withColumn("is_en", coalesce(col("lang") === "en", lit(false)))
+        TextOps.importanceSelect(
+            TextOps.importanceScore(docs, "doc_id", "text", "is_en"),
+            keepPermille = 300)
+          .orderBy("doc")
+    },
   )
 }

@@ -916,5 +916,33 @@ object RelationalQueries {
         Validation.suite(Seq(cust, ord, li, fk1, fk2))
           .orderBy("tbl", "check_name")
     },
+
+    // ── Z-order (Morton) layout key over orders: hash-dim custkey ×
+    //    range-dim order date (the cluster-by-(hash(user), day) shape).
+    //    Sorting by zval makes parquet row-group min/max tight on BOTH
+    //    dimensions, so a 2-D range predicate prunes groups a one-column
+    //    sort cannot (tools/ZOrderProbe measures the actual skip). Pure
+    //    shift-and-or expression tree, bit-identical in DuckDB. ──
+    QueryDef.sql(
+      "e8_zorder_layout",
+      """WITH b AS (SELECT o_orderkey,
+        |    o_custkey % 256 AS xb,
+        |    least(greatest((datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) * 256) // 2405, 0), 255) AS yb
+        |  FROM orders)
+        |SELECT o_orderkey, xb, yb,
+        |  CAST(list_sum([ ((xb >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+        |                + ((yb >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+        |                  for i in range(0, 8) ]) AS BIGINT) AS zval
+        |FROM b ORDER BY zval, o_orderkey LIMIT 200""".stripMargin) {
+      (s, d) =>
+        import graft.operators.Sharding
+        val x = (col("o_custkey") % 256).cast("long")
+        val y = Sharding.rangeBucket(
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")), 0L, 2404L, 8)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), x.as("xb"), y.as("yb"),
+            Sharding.zorderValue(x, y, 8).as("zval"))
+          .orderBy("zval", "o_orderkey").limit(200)
+    },
   )
 }

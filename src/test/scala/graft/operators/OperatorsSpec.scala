@@ -1884,4 +1884,28 @@ class OperatorsSpec extends SparkSpec {
     assert(kept("de") == 4, "permille 1000 keeps every rare-class doc")
     assert(kept.getOrElse("en", 0L) < 40, "dominant class is down-sampled")
   }
+
+  test("zorderValue matches an independent Morton reference; rangeBucket is exact") {
+    import spark.implicits._
+    def mortonRef(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L), (200L, 13L))
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Sharding.zorderValue(col("x"), col("y"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (x, y) => assert(got((x, y)) === mortonRef(x, y, 8), s"($x,$y)") }
+
+    // rangeBucket: exact integer floor division, clamped at both ends
+    val vals = Seq(-5L, 0L, 1L, 1202L, 2404L, 9999L)
+    val b = vals.toDF("v")
+      .select(col("v"), Sharding.rangeBucket(col("v"), 0L, 2404L, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach { v =>
+      val expect = math.min(255L, math.max(0L, v * 256L / 2405L))
+      assert(b(v) === expect, s"v=$v")
+    }
+    // locality: adjacent z-values stay adjacent in at least one dim (the
+    // interleave property: z differing only in the low bit differ by x's low bit)
+    assert(mortonRef(2, 0, 8) === 4L && mortonRef(0, 2, 8) === 8L)
+  }
 }

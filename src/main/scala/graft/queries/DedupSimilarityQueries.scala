@@ -2652,5 +2652,20 @@ object DedupSimilarityQueries {
             round(count(col("rp_hit")) / 10.0, 4).as("recall"))
           .orderBy("query_id")
     },
+
+    // ── Deterministic distributed k-means (Lloyd's, 4 clusters, 3
+    //    iterations) over the embedding corpus — content-deterministic
+    //    residue-class seeding, quantized-long distances with the
+    //    min(dq·k+j) tie-broken argmin, exact long component sums, and
+    //    floor-divided dyadic centroid updates. The oracle unrolls every
+    //    iteration (KMeansOracle); each Spark iteration is ONE
+    //    treeAggregate pass (k·(d+1) longs per partition, no shuffle). ──
+    QueryDef.sql(
+      "sim_kmeans_train",
+      KMeansOracle.trainSql(k = 4, iters = 3)) {
+      (s, d) =>
+        graft.operators.KMeans.trainFrame(
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 4, iters = 3)
+    },
   )
 }

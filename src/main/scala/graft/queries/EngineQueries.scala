@@ -271,6 +271,45 @@ object EngineQueries {
             countDistinct("lang").as("n_langs"))
           .crossJoin(bad.agg(count(lit(1)).as("n_corrupt")))
     },
+
+    // ── Streaming cardinality vertical — NOT rows-only, because the
+    //    register lattice makes an external oracle possible: two
+    //    micro-batches (doc_id split even/odd) max-merge into the
+    //    durable register table, and merged-registers-of-halves ≡
+    //    registers-of-whole, so DuckDB re-derives the final estimate
+    //    from the documents table alone. A hash match proves the
+    //    streaming merge path computes exactly the batch sketch. ──
+    QueryDef.sql(
+      "engine_stream_cardinality",
+      """WITH h AS (SELECT DISTINCT text AS w FROM documents WHERE text IS NOT NULL),
+        |rr AS (SELECT (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS bucket,
+        |              substr(md5(w), 3, 16) AS tail FROM h),
+        |z AS (SELECT bucket, tail, length(regexp_extract(tail, '^(0*)', 1)) AS nz FROM rr),
+        |dv AS (SELECT bucket, nz, strpos('0123456789abcdef', substr(tail, nz + 1, 1)) - 1 AS d FROM z),
+        |rho AS (SELECT bucket, CASE WHEN nz >= 16 THEN 40 ELSE
+        |          least(4 * nz + CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+        |                              WHEN d >= 2 THEN 2 ELSE 3 END + 1, 40) END AS rho
+        |        FROM dv),
+        |regs0 AS (SELECT bucket, CAST(max(rho) AS INTEGER) AS register FROM rho GROUP BY bucket),
+        |regs AS (SELECT CAST(b.range AS INTEGER) AS bucket, coalesce(r0.register, 0) AS register
+        |         FROM range(0, 256) b LEFT JOIN regs0 r0 ON r0.bucket = b.range),
+        |agg AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (40 - register)) AS BIGINT) AS s_sum,
+        |               CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |        FROM regs)
+        |SELECT agg.n_zero,
+        |  round(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0
+        |        * 1099511627776.0 / CAST(agg.s_sum AS DOUBLE), 4) AS hll_estimate
+        |FROM agg""".stripMargin) {
+      (s, d) =>
+        val idx = java.nio.file.Files.createTempDirectory("graft-scard").toString
+        val docs = graft.Tables.documents(s, d)
+        graft.streaming.StreamingCardinality.processBatch(
+          docs.filter(col("doc_id") % 2 === 0), 0L, "text", idx)
+        graft.streaming.StreamingCardinality.processBatch(
+          docs.filter(col("doc_id") % 2 === 1), 1L, "text", idx)
+          .select("n_zero", "hll_estimate")
+    },
   )
 
   // one fixture per session: (store, pinned version after phase 1)

@@ -1648,6 +1648,10 @@ object TextOps {
         explode(tokens(col(textCol))).as("w"))
       .select(col("doc"), col("is_t"), hb.as("b"))
       .groupBy("doc", "is_t", "b").agg(count(lit(1)).cast("long").as("occ"))
+      // consumed by BOTH the bucket-stats build and the score join-back —
+      // without this the tokenize+explode pass runs twice (the CDC
+      // chunk-frame precedent)
+      .localCheckpoint()
     val stats = db.groupBy("b").agg(
       (sum(when(col("is_t"), col("occ")).otherwise(0L)) + 1L).as("t"),
       (sum("occ") + 1L).as("r"))
@@ -1681,12 +1685,15 @@ object TextOps {
   def importanceSelect(scored: org.apache.spark.sql.DataFrame,
                        keepPermille: Int): org.apache.spark.sql.DataFrame = {
     require(keepPermille >= 0 && keepPermille <= 1000, s"bad permille: $keepPermille")
-    val hist = scored.groupBy("imp_q8").agg(count(lit(1)).as("c"))
+    // the histogram collect and the returned frame both consume the
+    // scored pipeline — materialize once
+    val scoredCk = scored.localCheckpoint()
+    val hist = scoredCk.groupBy("imp_q8").agg(count(lit(1)).as("c"))
       .orderBy(desc("imp_q8"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val n = hist.map(_._2).sum
     val target = (n * keepPermille + 999) / 1000 // ceil
-    if (target == 0) scored.withColumn("selected", lit(false))
+    if (target == 0) scoredCk.withColumn("selected", lit(false))
     else {
       var cum = 0L
       var cutoff = Long.MinValue
@@ -1694,7 +1701,7 @@ object TextOps {
       while (i < hist.length && cum < target) {
         cum += hist(i)._2; cutoff = hist(i)._1; i += 1
       }
-      scored.withColumn("selected", col("imp_q8") >= cutoff)
+      scoredCk.withColumn("selected", col("imp_q8") >= cutoff)
     }
   }
 

@@ -2591,8 +2591,12 @@ object DataPipelineQueries {
         |FROM range(0, 256) b LEFT JOIN regs0 r0 ON r0.bucket = b.range
         |ORDER BY bucket""".stripMargin) {
       (s, d) =>
+        // no .distinct(): registers are max-folds, duplicate-insensitive
+        // by construction (spec-pinned) — a distinct here would shuffle
+        // the corpus CONTENT; without it the bucket groupBy partial-aggs
+        // map-side and the exchange is <= 256 rows per task
         val words = Tables.documents(s, d)
-          .select(col("text").as("w")).where(col("w").isNotNull).distinct()
+          .select(col("text").as("w")).where(col("w").isNotNull)
         Sketches.hllRegisters(words, "w").orderBy("bucket")
     },
 
@@ -2627,9 +2631,12 @@ object DataPipelineQueries {
         |        * 1099511627776.0 / CAST(agg.s_sum AS DOUBLE), 4) AS hll_estimate
         |FROM agg""".stripMargin) {
       (s, d) =>
+        // registers over the RAW stream (duplicate-insensitive); only the
+        // ground-truth column pays the distinct, and it exists to expose
+        // the sketch's error, not to serve it
         val words = Tables.documents(s, d)
-          .select(col("text").as("w")).where(col("w").isNotNull).distinct()
-        words.agg(count(lit(1)).cast("long").as("n_distinct_true"))
+          .select(col("text").as("w")).where(col("w").isNotNull)
+        words.agg(countDistinct(col("w")).cast("long").as("n_distinct_true"))
           .crossJoin(Sketches.hllEstimate(Sketches.hllRegisters(words, "w")))
     },
 

@@ -96,6 +96,60 @@ object Sketches {
           .as("hll_estimate"))
   }
 
+  /** EXACT quantiles with O(distinct values) state — the third rung of
+    * the percentile ladder: exact `percentile` buffers EVERY value of a
+    * group (OOMs a billion-row group), `approx_percentile` is a sketch
+    * (engine-private, can't hash-match an oracle) — but for integer-ish
+    * metrics (lengths, token counts, latencies) the value domain is
+    * small, so reduce to a (group, value, count) HISTOGRAM first: the
+    * groupBy partial-aggregates map-side, per-group state is bounded by
+    * the domain (not the row count), and the quantile is an exact
+    * linear-interpolation walk over the histogram — same answer as the
+    * buffering form, verified by sharing its oracle.
+    *
+    * Rank arithmetic mirrors quantile_cont: pos = q·(n_valid−1) over
+    * null-free values; `n` in the output counts ALL rows (the oracle's
+    * count(*)); all-null groups surface with null quantiles.
+    *
+    * Scale shape: one partial-agg groupBy to the histogram, one
+    * histogram-sized window for cumulative counts, then one broadcast-
+    * sized join per requested quantile — no corpus-sized sort, no
+    * per-group value buffering. */
+  def histQuantiles(df: DataFrame, groupCol: String, value: Column,
+                    qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 },
+      "quantiles must be named and within [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"), value.as("v"))
+    val hist = base.where(col("v").isNotNull)
+      .groupBy("g", "v").agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+    val cum = hist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("cumb", col("cum") - col("c"))
+    val groups = base.groupBy("g").agg(count(lit(1)).as("n"))
+    // <=>: a NULL group key is a real group and must keep its nv
+    val nValid = hist.groupBy("g").agg(sum("c").as("nv"))
+      .withColumnRenamed("g", "_gn")
+    val spine = groups.join(nValid, col("g") <=> col("_gn"), "left_outer").drop("_gn")
+    qs.foldLeft(spine) { case (acc, (name, q)) =>
+      val pos = lit(q) * (col("nv") - 1).cast("double")
+      val lo = floor(pos).cast("long")
+      val hi = least(lo + 1, col("nv") - 1)
+      val hl = cum.select(col("g").as("_g"), col("v").as("_vl"),
+        col("cumb").as("_bl"), col("cum").as("_cl"))
+      val hu = cum.select(col("g").as("_g2"), col("v").as("_vu"),
+        col("cumb").as("_bu"), col("cum").as("_cu"))
+      acc
+        .join(hl, acc("g") <=> hl("_g") && lo >= col("_bl") && lo < col("_cl"), "left_outer")
+        .join(hu, acc("g") <=> hu("_g2") && hi >= col("_bu") && hi < col("_cu"), "left_outer")
+        .withColumn(name,
+          round(col("_vl").cast("double") +
+            (pos - lo.cast("double")) * (col("_vu").cast("double") - col("_vl").cast("double")), 4))
+        .drop("_g", "_vl", "_bl", "_cl", "_g2", "_vu", "_bu", "_cu")
+    }.drop("nv").withColumnRenamed("g", groupCol)
+  }
+
   /** Count-min bucket for sketch row `r`: fold of the first 8 md5 hex
     * chars of "r:key", mod `w`. Row-salting the key string gives the d
     * independent hash functions from the one md5 primitive. */

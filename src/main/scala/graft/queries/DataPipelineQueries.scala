@@ -463,6 +463,26 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Histogram twin of the exact percentiles — the scale-CORRECT
+    //    exact path for integer-domain metrics: reduce to a
+    //    (group, value, count) histogram (partial-agg, state bounded by
+    //    the value DOMAIN, not the row count), then an exact
+    //    interpolation walk. SHARES the buffering form's oracle — the
+    //    answers must be identical, only the memory shape differs. ──
+    QueryDef.sql(
+      "corpus_length_percentiles_hist",
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(quantile_cont(length(text), 0.1) AS DOUBLE), 4) AS p10,
+        |  round(CAST(quantile_cont(length(text), 0.5) AS DOUBLE), 4) AS p50,
+        |  round(CAST(quantile_cont(length(text), 0.9) AS DOUBLE), 4) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin) {
+      (s, d) =>
+        Sketches.histQuantiles(Tables.documents(s, d), "lang", length(col("text")),
+            Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+          .orderBy(asc_nulls_last("lang"))
+    },
+
     // ── Sketch twin of the exact percentiles: approx_percentile's
     //    KLL-family buffer is O(sketch), not O(group) — exact
     //    `percentile` materializes EVERY value of a group in its

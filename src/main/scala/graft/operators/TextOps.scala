@@ -1638,23 +1638,47 @@ object TextOps {
     * guard: t_b·R·2^16 must fit a long — exact to ~1.4e14 cross-
     * product, i.e. ~1e7 tokens per side; beyond that pre-quantize
     * counts to per-million before the ratio (PMI's c_ab·N note). */
-  def importanceScore(df: org.apache.spark.sql.DataFrame, idCol: String,
-                      textCol: String, targetCol: String,
-                      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+  /** (doc, is_t, bucket, occ) token-occurrence frame — the shared
+    * substrate of the DSIR family. Partial-agg groupBy: a hot token
+    * collapses map-side, per-doc keys capped at `buckets`. */
+  private def importanceDocBuckets(df: org.apache.spark.sql.DataFrame, idCol: String,
+                                   textCol: String, targetCol: Option[String],
+                                   buckets: Int): org.apache.spark.sql.DataFrame = {
     require(buckets >= 2 && buckets <= 65536, s"buckets out of range: $buckets")
     val hb = (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % buckets).cast("int")
-    val db = df
-      .select(col(idCol).as("doc"), coalesce(col(targetCol), lit(false)).as("is_t"),
+    df.select(col(idCol).as("doc"),
+        targetCol.map(c => coalesce(col(c), lit(false))).getOrElse(lit(false)).as("is_t"),
         explode(tokens(col(textCol))).as("w"))
       .select(col("doc"), col("is_t"), hb.as("b"))
       .groupBy("doc", "is_t", "b").agg(count(lit(1)).cast("long").as("occ"))
-      // consumed by BOTH the bucket-stats build and the score join-back —
-      // without this the tokenize+explode pass runs twice (the CDC
-      // chunk-frame precedent)
-      .localCheckpoint()
-    val stats = db.groupBy("b").agg(
-      (sum(when(col("is_t"), col("occ")).otherwise(0L)) + 1L).as("t"),
-      (sum("occ") + 1L).as("r"))
+  }
+
+  /** RAW per-bucket counts `(b, tc, rc)` — the DSIR model's sufficient
+    * statistics, deliberately unsmoothed so they are ADDITIVE: counts
+    * over corpus halves union+sum to exactly the full-corpus counts,
+    * which is what makes the arrival path exact (the incremental-BM25
+    * doctrine — a new batch folds in without re-scanning the corpus;
+    * smoothing is applied once at serve time by
+    * [[importanceScoreFromCounts]]). */
+  def importanceBucketCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                             textCol: String, targetCol: String,
+                             buckets: Int = 1024): org.apache.spark.sql.DataFrame =
+    importanceDocBuckets(df, idCol, textCol, Some(targetCol), buckets)
+      .groupBy("b").agg(
+        sum(when(col("is_t"), col("occ")).otherwise(0L)).as("tc"),
+        sum("occ").as("rc"))
+
+  /** Additive merge of [[importanceBucketCounts]] frames. */
+  def importanceCountsMerge(a: org.apache.spark.sql.DataFrame,
+                            b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    a.unionByName(b).groupBy("b").agg(sum("tc").as("tc"), sum("rc").as("rc"))
+
+  private def importanceScoreCore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                                  db: org.apache.spark.sql.DataFrame,
+                                  counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // add-one smoothing at serve time (counts stay raw-additive)
+    val stats = counts.select(col("b"), (col("tc") + 1L).as("t"), (col("rc") + 1L).as("r"))
     // buckets rows by construction — always broadcastable; the signed
     // sub-bit score is log(t/T) - log(r/R) = log2q8(t·R, r·T)
     val tots = stats.agg(sum("t").as("tt"), sum("r").as("rt"))
@@ -1662,14 +1686,41 @@ object TextOps {
       withFixedPointLog2Q8(stats.crossJoin(broadcast(tots)),
         "t * rt", "r * tt", "sb")
         .select(col("b"), col("sb")))
-    val perDoc = db.join(sb, Seq("b"))
+    // left + coalesce 0: a serve-corpus token hashing to a bucket the
+    // stored counts never saw scores neutral (ratio ~1), not dropped
+    val perDoc = db.join(sb, Seq("b"), "left_outer")
       .groupBy("doc")
-      .agg(sum(col("sb") * col("occ")).as("_raw"), sum("occ").as("_n"))
+      .agg(sum(coalesce(col("sb"), lit(0L)) * col("occ")).as("_raw"), sum("occ").as("_n"))
     df.select(col(idCol).as("doc"))
       .join(perDoc, Seq("doc"), "left_outer")
       .select(col("doc"),
         coalesce(col("_n"), lit(0L)).as("n_tokens"),
         coalesce(col("_raw"), lit(0L)).as("imp_q8"))
+  }
+
+  def importanceScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, targetCol: String,
+                      buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val db = importanceDocBuckets(df, idCol, textCol, Some(targetCol), buckets)
+      // consumed by BOTH the bucket-stats build and the score join-back —
+      // without this the tokenize+explode pass runs twice (the CDC
+      // chunk-frame precedent)
+      .localCheckpoint()
+    val counts = db.groupBy("b").agg(
+      sum(when(col("is_t"), col("occ")).otherwise(0L)).as("tc"),
+      sum("occ").as("rc"))
+    importanceScoreCore(df, idCol, db, counts)
+  }
+
+  /** Score a corpus under STORED bucket counts — the arrival-path serve:
+    * the scored corpus never contributes to (and never re-derives) the
+    * model; pair with [[importanceBucketCounts]]/[[importanceCountsMerge]]
+    * for O(batch) model updates. */
+  def importanceScoreFromCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                                textCol: String, counts: org.apache.spark.sql.DataFrame,
+                                buckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val db = importanceDocBuckets(df, idCol, textCol, None, buckets).localCheckpoint()
+    importanceScoreCore(df, idCol, db, counts)
   }
 
   /** Deterministic selection on an [[importanceScore]] frame: keep the

@@ -17,6 +17,37 @@ object DataPipelineQueries {
 
   private val wordsCol = TextOps.tokens(col("text"))
 
+  // Shared by pipeline_dsir_select AND pipeline_dsir_incremental — the
+  // incremental-BM25 doctrine: the arrival-path result must be
+  // bit-identical to the from-scratch one, proven by one oracle.
+  private val DsirSelectOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_t,
+         |             list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+         |e AS (SELECT doc_id, is_t, unnest(ws) AS w FROM t),
+         |eb AS (SELECT doc_id, is_t,
+         |         CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(w), 1, 8)[i]) - 1)
+         |              * power(16, 8 - i) for i in range(1, 9) ]) AS BIGINT) % 1024 AS INTEGER) AS b
+         |       FROM e),
+         |db AS (SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS occ FROM eb GROUP BY 1, 2, 3),
+         |stats AS (SELECT b, CAST(sum(CASE WHEN is_t THEN occ ELSE 0 END) + 1 AS BIGINT) AS t,
+         |                 CAST(sum(occ) + 1 AS BIGINT) AS r FROM db GROUP BY b),
+         |tots AS (SELECT CAST(sum(t) AS BIGINT) AS tt, CAST(sum(r) AS BIGINT) AS rt FROM stats),
+         |nd AS (SELECT b, t * rt AS num, r * tt AS den FROM stats, tots),
+         |${DsirOracle.fixedPointLog2Cte("nd")},
+         |pd AS (SELECT db.doc_id, CAST(sum(sbq.sb * db.occ) AS BIGINT) AS raw,
+         |              CAST(sum(db.occ) AS BIGINT) AS n
+         |       FROM db JOIN sbq USING (b) GROUP BY db.doc_id),
+         |sc AS (SELECT d.doc_id AS doc, coalesce(pd.n, 0) AS n_tokens,
+         |              coalesce(pd.raw, 0) AS imp_q8
+         |       FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+         |hist AS (SELECT imp_q8, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY imp_q8),
+         |cum AS (SELECT imp_q8, sum(c) OVER (ORDER BY imp_q8 DESC) AS cm FROM hist),
+         |cut AS (SELECT max(imp_q8) AS cutoff FROM cum
+         |        WHERE cm >= ((SELECT count(*) FROM sc) * 300 + 999) // 1000)
+         |SELECT sc.doc, sc.n_tokens, sc.imp_q8,
+         |       sc.imp_q8 >= cut.cutoff AS selected
+         |FROM sc, cut ORDER BY sc.doc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: content-hash groupBy, keep lowest doc_id per group. ──
@@ -2707,37 +2738,37 @@ object DataPipelineQueries {
     //    than tie-break arbitrarily. ──
     QueryDef.sql(
       "pipeline_dsir_select",
-      s"""WITH t AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_t,
-         |             list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
-         |e AS (SELECT doc_id, is_t, unnest(ws) AS w FROM t),
-         |eb AS (SELECT doc_id, is_t,
-         |         CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(w), 1, 8)[i]) - 1)
-         |              * power(16, 8 - i) for i in range(1, 9) ]) AS BIGINT) % 1024 AS INTEGER) AS b
-         |       FROM e),
-         |db AS (SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS occ FROM eb GROUP BY 1, 2, 3),
-         |stats AS (SELECT b, CAST(sum(CASE WHEN is_t THEN occ ELSE 0 END) + 1 AS BIGINT) AS t,
-         |                 CAST(sum(occ) + 1 AS BIGINT) AS r FROM db GROUP BY b),
-         |tots AS (SELECT CAST(sum(t) AS BIGINT) AS tt, CAST(sum(r) AS BIGINT) AS rt FROM stats),
-         |nd AS (SELECT b, t * rt AS num, r * tt AS den FROM stats, tots),
-         |${DsirOracle.fixedPointLog2Cte("nd")},
-         |pd AS (SELECT db.doc_id, CAST(sum(sbq.sb * db.occ) AS BIGINT) AS raw,
-         |              CAST(sum(db.occ) AS BIGINT) AS n
-         |       FROM db JOIN sbq USING (b) GROUP BY db.doc_id),
-         |sc AS (SELECT d.doc_id AS doc, coalesce(pd.n, 0) AS n_tokens,
-         |              coalesce(pd.raw, 0) AS imp_q8
-         |       FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
-         |hist AS (SELECT imp_q8, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY imp_q8),
-         |cum AS (SELECT imp_q8, sum(c) OVER (ORDER BY imp_q8 DESC) AS cm FROM hist),
-         |cut AS (SELECT max(imp_q8) AS cutoff FROM cum
-         |        WHERE cm >= ((SELECT count(*) FROM sc) * 300 + 999) // 1000)
-         |SELECT sc.doc, sc.n_tokens, sc.imp_q8,
-         |       sc.imp_q8 >= cut.cutoff AS selected
-         |FROM sc, cut ORDER BY sc.doc""".stripMargin) {
+      DsirSelectOracleSql) {
       (s, d) =>
         val docs = Tables.documents(s, d)
           .withColumn("is_en", coalesce(col("lang") === "en", lit(false)))
         TextOps.importanceSelect(
             TextOps.importanceScore(docs, "doc_id", "text", "is_en"),
+            keepPermille = 300)
+          .orderBy("doc")
+    },
+
+    // ── Incremental DSIR (the arrival path): raw bucket counts are
+    //    ADDITIVE sufficient statistics — built per corpus half, merged
+    //    by union+sum, served with add-one smoothing applied once at
+    //    score time. SHARES pipeline_dsir_select's oracle verbatim (the
+    //    incremental-BM25 doctrine): merged-counts scoring must be
+    //    bit-identical to from-scratch scoring or the hashes cannot
+    //    meet. A production run persists the counts frame (1024 rows)
+    //    and folds each arriving batch in O(batch). ──
+    QueryDef.sql(
+      "pipeline_dsir_incremental",
+      DsirSelectOracleSql) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+          .withColumn("is_en", coalesce(col("lang") === "en", lit(false)))
+        val c1 = TextOps.importanceBucketCounts(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "is_en")
+        val c2 = TextOps.importanceBucketCounts(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "is_en")
+        TextOps.importanceSelect(
+            TextOps.importanceScoreFromCounts(docs, "doc_id", "text",
+              TextOps.importanceCountsMerge(c1, c2)),
             keepPermille = 300)
           .orderBy("doc")
     },

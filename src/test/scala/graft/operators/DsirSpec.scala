@@ -57,6 +57,29 @@ class DsirSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("merged half-counts score bit-identically to from-scratch; unseen buckets are neutral") {
+    val docs = ((0 until 30).map(i => (i.toLong, s"alpha beta word$i", i % 3 == 0)) ++
+      (30 until 60).map(i => (i.toLong, s"gamma delta word$i", false)))
+      .toDF("doc_id", "text", "is_t")
+    val full = TextOps.importanceScore(docs, "doc_id", "text", "is_t")
+      .orderBy("doc").collect().toSeq
+    val c1 = TextOps.importanceBucketCounts(
+      docs.filter(col("doc_id") < 30), "doc_id", "text", "is_t")
+    val c2 = TextOps.importanceBucketCounts(
+      docs.filter(col("doc_id") >= 30), "doc_id", "text", "is_t")
+    val merged = TextOps.importanceScoreFromCounts(docs, "doc_id", "text",
+      TextOps.importanceCountsMerge(c1, c2))
+      .orderBy("doc").collect().toSeq
+    assert(merged === full)
+
+    // a doc whose tokens the stored counts never saw scores 0, not null/drop
+    val unseen = TextOps.importanceScoreFromCounts(
+      Seq((99L, "totally novel tokens here")).toDF("doc_id", "text"),
+      "doc_id", "text", c1)
+      .collect().head
+    assert(unseen.getLong(1) === 4L && unseen.getLong(2) === 0L)
+  }
+
   test("importanceSelect keeps ceil(permille) docs, boundary over-selects") {
     val scored = Seq((1L, 5L, 30L), (2L, 5L, 20L), (3L, 5L, 20L),
       (4L, 5L, 10L), (5L, 5L, 0L))

@@ -310,6 +310,56 @@ object EngineQueries {
           docs.filter(col("doc_id") % 2 === 1), 1L, "text", idx)
           .select("n_zero", "hll_estimate")
     },
+
+    // ── Streaming-DSIR vertical, ORACLE-pinned: batch 0 (even doc_ids)
+    //    builds the count ledger, batch 1 (odd doc_ids) is scored
+    //    against it — exactly scoreFromCounts(odd, counts(even)), which
+    //    DuckDB re-derives: stats CTEs over the even half, the generated
+    //    fixed-point-log ladder, per-doc sums over the odd half with
+    //    unseen buckets neutral. A hash match proves the ledger
+    //    write/read/serve path loses nothing. ──
+    QueryDef.sql(
+      "engine_stream_importance",
+      s"""WITH te AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_t,
+         |              list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+         |            FROM documents WHERE doc_id % 2 = 0),
+         |ee AS (SELECT doc_id, is_t, unnest(ws) AS w FROM te),
+         |ebe AS (SELECT doc_id, is_t,
+         |          CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(w), 1, 8)[i]) - 1)
+         |               * power(16, 8 - i) for i in range(1, 9) ]) AS BIGINT) % 1024 AS INTEGER) AS b
+         |        FROM ee),
+         |dbe AS (SELECT doc_id, is_t, b, CAST(count(*) AS BIGINT) AS occ FROM ebe GROUP BY 1, 2, 3),
+         |stats AS (SELECT b, CAST(sum(CASE WHEN is_t THEN occ ELSE 0 END) + 1 AS BIGINT) AS t,
+         |                 CAST(sum(occ) + 1 AS BIGINT) AS r FROM dbe GROUP BY b),
+         |tots AS (SELECT CAST(sum(t) AS BIGINT) AS tt, CAST(sum(r) AS BIGINT) AS rt FROM stats),
+         |nd AS (SELECT b, t * rt AS num, r * tt AS den FROM stats, tots),
+         |${DsirOracle.fixedPointLog2Cte("nd")},
+         |to_ AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+         |        FROM documents WHERE doc_id % 2 = 1),
+         |eo AS (SELECT doc_id, unnest(ws) AS w FROM to_),
+         |ebo AS (SELECT doc_id,
+         |          CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(w), 1, 8)[i]) - 1)
+         |               * power(16, 8 - i) for i in range(1, 9) ]) AS BIGINT) % 1024 AS INTEGER) AS b
+         |        FROM eo),
+         |dbo AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS occ FROM ebo GROUP BY 1, 2),
+         |pd AS (SELECT dbo.doc_id, CAST(sum(coalesce(sbq.sb, 0) * dbo.occ) AS BIGINT) AS raw,
+         |              CAST(sum(dbo.occ) AS BIGINT) AS n
+         |       FROM dbo LEFT JOIN sbq USING (b) GROUP BY dbo.doc_id)
+         |SELECT t.doc_id AS doc, coalesce(pd.n, 0) AS n_tokens,
+         |  coalesce(pd.raw, 0) AS imp_q8,
+         |  coalesce(pd.raw, 0) >= 1 AS admitted
+         |FROM to_ t LEFT JOIN pd ON pd.doc_id = t.doc_id
+         |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        val idx = java.nio.file.Files.createTempDirectory("graft-simp").toString
+        val docs = graft.Tables.documents(s, d)
+          .withColumn("is_en", coalesce(col("lang") === "en", lit(false)))
+        graft.streaming.StreamingImportance.processBatch(
+          docs.filter(col("doc_id") % 2 === 0), 0L, "doc_id", "text", "is_en", idx, 1L)
+        graft.streaming.StreamingImportance.processBatch(
+          docs.filter(col("doc_id") % 2 === 1), 1L, "doc_id", "text", "is_en", idx, 1L)
+          .orderBy("doc")
+    },
   )
 
   // one fixture per session: (store, pinned version after phase 1)

@@ -729,4 +729,43 @@ object Dedup {
     rows.toDF("bands", "rows_per_band", "threshold",
       "p_at_j05", "p_at_j07", "p_at_j09", "n_candidates")
   }
+
+  /** CONTAINMENT scoring over LSH candidate pairs — the asymmetric
+    * relation Jaccard structurally misses: a short quote inside a long
+    * article has |A∩B|/|A∪B| ≈ 0 but |A∩B|/|A| ≈ 1. Score =
+    * n_common / min(n_a, n_b) (containment of the smaller side), with
+    * `contained` the integer-exact 10·n_common ≥ minPermille·min(n)/100
+    * gate — no float threshold compare.
+    *
+    * Scale shape: pair generation stays inside the banding machinery
+    * (bounded buckets, never all-pairs); the intersection count is two
+    * equi-joins of the BOUNDED pair list against distinct (doc, gram)
+    * frames — cost O(pairs × grams-per-doc), not corpus². Docs with no
+    * shingle (< n tokens) drop with their pairs by the inner size join
+    * (a containment over an empty set is undefined, not 1.0). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+                       minPermille: Int = 900): DataFrame = {
+    require(minPermille >= 0 && minPermille <= 1000, s"bad permille: $minPermille")
+    val pairs = lshCandidatePairs(df, idCol, textCol, shingleN, k, bands)
+      .select("doc_a", "doc_b")
+    val grams = df.select(col(idCol).as("doc"),
+        explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))).as("g"))
+    val sizes = grams.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(grams.select(col("doc").as("doc_a"), col("g")), Seq("doc_a"))
+      .join(grams.select(col("doc").as("doc_b"), col("g")), Seq("doc_b", "g"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("n_a"), col("n_b"))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 4))
+      .withColumn("contained",
+        col("n_common") * 1000 >= least(col("n_a"), col("n_b")) * minPermille)
+  }
 }

@@ -318,6 +318,43 @@ object DedupSimilarityQueries {
           .orderBy("doc_a", "doc_b")
     },
 
+    // ── Containment scoring over LSH candidate pairs — the asymmetric
+    //    dup relation Jaccard structurally misses (a quote inside an
+    //    article: intersection/union ≈ 0 but intersection/|quote| ≈ 1).
+    //    Same banding machinery, intersection by two equi-joins of the
+    //    bounded pair list against distinct (doc, gram); the `contained`
+    //    gate is integer-exact (n_common·1000 vs min·permille). ──
+    QueryDef.sql(
+      "dedup_containment_pairs",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |      FROM b a JOIN b c USING (band_idx, band_hash)
+         |      WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+         |g AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM sh),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |ic AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_common
+         |       FROM p JOIN g ga ON ga.doc_id = p.doc_a
+         |              JOIN g gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+         |       GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, coalesce(ic.n_common, 0) AS n_common,
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  round(coalesce(ic.n_common, 0) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS containment,
+         |  coalesce(ic.n_common, 0) * 1000 >= least(sa.n, sb.n) * 900 AS contained
+         |FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+         |       JOIN sz sb ON sb.doc_id = p.doc_b
+         |       LEFT JOIN ic ON ic.doc_a = p.doc_a AND ic.doc_b = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin) {
+      (s, d) =>
+        Dedup.containmentPairs(QueryDef.fanOutIfNarrow(Tables.documents(s, d)),
+            "doc_id", "text", shingleN = 3, k = 8, bands = 4, minPermille = 900)
+          .orderBy("doc_a", "doc_b")
+    },
+
     // ── Source-duplication provenance MATRIX: LSH near-dup pairs rolled
     //    up to (source_a, source_b) — WHICH sources copy from which (a
     //    mirror site, a syndicated feed, a scraper double-crawl), the

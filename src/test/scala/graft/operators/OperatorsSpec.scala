@@ -197,6 +197,30 @@ class OperatorsSpec extends SparkSpec {
     assert(ext(1L) == Some(0.0))
   }
 
+  test("containmentPairs: a quote inside an article scores 1.0 where jaccard is low") {
+    import spark.implicits._
+    val article = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (5 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, article), (2L, quote),
+      (3L, (100 to 120).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // bands = 8 (r = 1): any matching signature slot surfaces the pair —
+    // the quote's shingle set is a strict subset, so slots collide
+    // whenever the article's argmin shingle falls inside the quote
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 8, minPermille = 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    val p = out((1L, 2L))
+    // quote: 16 tokens -> 14 shingles, all inside the article's 38
+    assert(p._1 === 14L && p._3 === 14L && p._2 === 38L)
+    assert(p._4 === 1.0 && p._5, s"full containment expected: $p")
+    // jaccard would be 14/38 = 0.37 — under any near-dup threshold
+    assert(p._1.toDouble / (p._2 + p._3 - p._1) < 0.4)
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)),
+      "unrelated doc must not pair")
+  }
+
   test("jaccard column: exact set semantics") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j"))

@@ -103,6 +103,74 @@ object Multimodal {
     meta.select(col("media_id"), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Exact-long integer division for Columns (Spark's `/` is IEEE):
+    * subtract the remainder first so the quotient is an exact integer. */
+  private def ldiv(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+    ((n - (n % d)) / d).cast("long")
+
+  /** Aspect-preserving bounded-box resize dimensions — the planning half
+    * of the thumbnail stage, pure integer arithmetic so any engine
+    * reproduces it: no upscaling (w ≤ maxW ∧ h ≤ maxH passes through);
+    * otherwise the binding side is decided by the exact cross-product
+    * compare w·maxH ≥ h·maxW (no float ratio), the bound dimension pins
+    * to its max, and the other floors to the exact scaled value with a
+    * ≥ 1 guard. Null dims (audio rows) pass through null. */
+  def resizeDims(w: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column,
+                 maxW: Int, maxH: Int)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    require(maxW >= 1 && maxH >= 1, s"bad bounds: ${maxW}x$maxH")
+    val wl = w.cast("long")
+    val hl = h.cast("long")
+    val noResize = wl <= maxW && hl <= maxH
+    val widthBound = wl * maxH >= hl * maxW
+    val outW = when(w.isNull || h.isNull, lit(null))
+      .when(noResize, wl)
+      .when(widthBound, lit(maxW.toLong))
+      .otherwise(greatest(ldiv(wl * maxH, hl), lit(1L)))
+      .cast("int")
+    val outH = when(w.isNull || h.isNull, lit(null))
+      .when(noResize, hl)
+      .when(widthBound, greatest(ldiv(hl * maxW, wl), lit(1L)))
+      .otherwise(lit(maxH.toLong))
+      .cast("int")
+    (outW, outH)
+  }
+
+  /** Thumbnail stage over a decodeMeta frame: plans the bounded-box
+    * dims with [[resizeDims]], then materializes a STUB thumbnail
+    * payload (deterministic bytes — the pixel resample itself needs a
+    * codec lib this container doesn't carry) through the same
+    * one-init-per-partition mapPartitions batch shape a real resampler
+    * runs in. Schema, null handling (audio rows get no thumb), and
+    * byte sizing (out_w·out_h, the 1-byte-luma plan) are real and
+    * oracle-checkable; only the pixel values are fake. */
+  def resizeStub(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = meta.sparkSession
+    val (ow, oh) = resizeDims(col("width"), col("height"), maxW, maxH)
+    val planned = meta.select(col("media_id"), col("width"), col("height"),
+      ow.as("out_w"), oh.as("out_h"))
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("out_w", IntegerType, nullable = true),
+      StructField("out_h", IntegerType, nullable = true),
+      StructField("thumb", BinaryType, nullable = true)))
+    val rdd = planned.rdd.mapPartitions { rows =>
+      // resampler/codec context would be created HERE, once per partition
+      rows.map { r =>
+        val id = r.getLong(0)
+        if (r.isNullAt(3) || r.isNullAt(4)) Row(id, null, null, null)
+        else {
+          val w = r.getInt(3); val h = r.getInt(4)
+          val bytes = new Array[Byte](w * h)
+          var i = 0
+          while (i < bytes.length) { bytes(i) = ((id + i * 31) % 256).toByte; i += 1 }
+          Row(id, w, h, bytes)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Feature-extraction stage: fixed-size float vector per blob (stub:
     * byte histogram over 8 buckets, L1-normalized — deterministic, and the
     * same batch shape as a real embedding model). */

@@ -1799,6 +1799,44 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── Bounded-box thumbnail planning + stub resample over the REAL
+    //    containers: aspect-preserving dims by exact cross-product
+    //    compare (w·maxH ≥ h·maxW — no float ratio), no upscaling,
+    //    audio rows pass through null; the resample itself is a marked
+    //    stub behind the one-init-per-partition batch shape, but the
+    //    byte sizing (out_w·out_h) is real and the oracle re-derives
+    //    dims + sizing from the fixture arithmetic without parsing. ──
+    QueryDef.sql(
+      "mm_resize_plan",
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 < 3 THEN CAST(1 + doc_id % 640 AS BIGINT) END AS w,
+        |    CASE WHEN doc_id % 4 < 3 THEN CAST(1 + doc_id % 480 AS BIGINT) END AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, w, h,
+        |    CASE WHEN w IS NULL THEN NULL
+        |         WHEN w <= 64 AND h <= 48 THEN w
+        |         WHEN w * 48 >= h * 64 THEN 64
+        |         ELSE greatest((w * 48) // h, 1) END AS ow,
+        |    CASE WHEN w IS NULL THEN NULL
+        |         WHEN w <= 64 AND h <= 48 THEN h
+        |         WHEN w * 48 >= h * 64 THEN greatest((h * 64) // w, 1)
+        |         ELSE 48 END AS oh
+        |  FROM f)
+        |SELECT doc_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(ow * oh AS BIGINT) AS thumb_bytes
+        |FROM r ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.MediaFixtures.build(id))))
+          .toDF("doc_id", "blob")
+        val meta = Multimodal.decodeMeta(blobs, "doc_id", "blob")
+        Multimodal.resizeStub(meta, maxW = 64, maxH = 48)
+          .select(col("media_id").as("doc_id"), col("out_w"), col("out_h"),
+            length(col("thumb")).cast("long").as("thumb_bytes"))
+          .orderBy("doc_id")
+    },
+
     // ── binaryFile ARRIVAL path: the same real containers, but arriving
     //    as individual FILES through Spark's binaryFile source (how raw
     //    media actually lands at scale — an object-store prefix of

@@ -197,6 +197,32 @@ class OperatorsSpec extends SparkSpec {
     assert(ext(1L) == Some(0.0))
   }
 
+  test("resizeDims: aspect preserved, no upscale, both binding sides, degenerate guards") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, Some(32), Some(20)),   // inside the box: untouched
+      (2L, Some(640), Some(480)), // height-bound for 64x48 (640*48 < 480*64 is false -> equal, width-bound)
+      (3L, Some(1280), Some(480)),// clearly width-bound
+      (4L, Some(100), Some(4800)),// clearly height-bound
+      (5L, Some(6400), Some(1)),  // extreme aspect: floor guard -> out_h = 1
+      (6L, None, None))           // audio row: nulls pass through
+    val df = cases.toDF("id", "w", "h")
+    val (ow, oh) = Multimodal.resizeDims(col("w"), col("h"), maxW = 64, maxH = 48)
+    val got = df.select(col("id"), ow.as("ow"), oh.as("oh"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Int]), Option(r.get(2)).map(_.asInstanceOf[Int])))).toMap
+    assert(got(1L) === ((Some(32), Some(20))))
+    assert(got(2L) === ((Some(64), Some(48)))) // 640x480 = 4:3 = 64:48 exactly
+    assert(got(3L) === ((Some(64), Some(24))))
+    assert(got(4L) === ((Some(1), Some(48))))
+    assert(got(5L) === ((Some(64), Some(1))), "floor guard must keep dims >= 1")
+    assert(got(6L) === ((None, None)))
+    // bounds hold everywhere
+    got.values.foreach { case (w, h) =>
+      w.foreach(v => assert(v >= 1 && v <= 64)); h.foreach(v => assert(v >= 1 && v <= 48))
+    }
+  }
+
   test("containmentPairs: a quote inside an article scores 1.0 where jaccard is low") {
     import spark.implicits._
     val article = (1 to 40).map(i => s"w$i").mkString(" ")

@@ -72,6 +72,38 @@ object Sketches {
       .select(col("bucket"), coalesce(col("r"), lit(0)).cast("int").as("register"))
   }
 
+  /** Per-GROUP register frames — the shape that replaces
+    * `GROUP BY g, count(DISTINCT x)` at scale: the exchange carries at
+    * most |groups|·m register rows instead of every distinct (g, x)
+    * pair. Empty buckets are NOT materialized per group (that would be
+    * |groups|·m rows even for tiny groups); [[hllEstimateByGroup]]
+    * accounts for them arithmetically instead. */
+  def hllRegistersByGroup(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.select(col(groupCol).as("g"),
+        hllBucket(col(keyCol)).as("bucket"), hllRho(col(keyCol)).as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").cast("int").as("register"))
+
+  /** One estimate row per group from a [[hllRegistersByGroup]] frame.
+    * Missing buckets contribute 2^cap each to the harmonic numerator
+    * (register 0) without being materialized: S = Σ_present 2^(cap-r) +
+    * (m - n_present)·2^cap — exact long arithmetic, then the same
+    * fixed-order closing estimate as [[hllEstimate]]. */
+  def hllEstimateByGroup(registers: DataFrame): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    registers.groupBy("g").agg(
+      count(lit(1)).as("_present"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - register)")).as("_sp"),
+      sum(when(col("register") === 0, 1L).otherwise(0L)).as("_zp"))
+      .select(col("g"),
+        (col("_sp") + (lit(HllM.toLong) - col("_present")) *
+          lit(1L << HllRhoCap)).as("s_sum"),
+        (col("_zp") + (lit(HllM.toLong) - col("_present"))).as("n_zero"))
+      .select(col("g"), col("s_sum"), col("n_zero"),
+        round(lit(alpha * HllM.toDouble * HllM.toDouble) *
+          lit(math.pow(2.0, HllRhoCap)) / col("s_sum").cast("double"), 4)
+          .as("hll_estimate"))
+  }
+
   /** Element-wise merge of two register frames (the distributed-union
     * property: HLL(A ∪ B) = max(HLL(A), HLL(B)) per bucket). */
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =

@@ -2691,6 +2691,58 @@ object DataPipelineQueries {
           .crossJoin(Sketches.hllEstimate(Sketches.hllRegisters(words, "w")))
     },
 
+    // ── GROUPED HLL — the shape that replaces GROUP BY + count(DISTINCT)
+    //    at scale: per-lang register frames (≤ |groups|·256 exchange rows
+    //    instead of every distinct (lang, text) pair), missing buckets
+    //    accounted arithmetically (S += (m − present)·2^40) instead of
+    //    materialized per group. True per-lang distincts ride along to
+    //    expose the per-group error honestly — and at driver SF they
+    //    expose the SMALL-RANGE BIAS: groups of ~100 distinct under 256
+    //    registers sit far below the 2.5m linear-counting crossover, so
+    //    the raw estimate reads ~3× high (71 true → 220.4 at sf0.001).
+    //    That is the correct raw-HLL value (the oracle pins it); the
+    //    n_zero column is exactly the V that linear counting m·ln(m/V)
+    //    needs, and the serving layer applies it — ln is transcendental
+    //    and stays outside the bit-exactness contract (the PSI/chi-square
+    //    precedent). ──
+    QueryDef.sql(
+      "corpus_hll_by_lang",
+      """WITH h AS (SELECT DISTINCT lang AS g, text AS w FROM documents WHERE text IS NOT NULL),
+        |rr AS (SELECT g, (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS bucket,
+        |              substr(md5(w), 3, 16) AS tail FROM h),
+        |z AS (SELECT g, bucket, tail, length(regexp_extract(tail, '^(0*)', 1)) AS nz FROM rr),
+        |dv AS (SELECT g, bucket, nz, strpos('0123456789abcdef', substr(tail, nz + 1, 1)) - 1 AS d FROM z),
+        |rho AS (SELECT g, bucket, CASE WHEN nz >= 16 THEN 40 ELSE
+        |          least(4 * nz + CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+        |                              WHEN d >= 2 THEN 2 ELSE 3 END + 1, 40) END AS rho
+        |        FROM dv),
+        |regs AS (SELECT g, bucket, CAST(max(rho) AS INTEGER) AS register FROM rho GROUP BY 1, 2),
+        |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS present,
+        |          CAST(sum(CAST(1 AS BIGINT) << (40 - register)) AS BIGINT) AS sp,
+        |          CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zp
+        |        FROM regs GROUP BY g),
+        |tr AS (SELECT lang AS g, CAST(count(DISTINCT text) AS BIGINT) AS n_true
+        |       FROM documents WHERE text IS NOT NULL GROUP BY 1)
+        |SELECT a.g AS lang, tr.n_true,
+        |  CAST(a.sp + (256 - a.present) * (CAST(1 AS BIGINT) << 40) AS BIGINT) AS s_sum,
+        |  CAST(a.zp + (256 - a.present) AS BIGINT) AS n_zero,
+        |  round(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0 * 1099511627776.0
+        |    / CAST(a.sp + (256 - a.present) * (CAST(1 AS BIGINT) << 40) AS DOUBLE), 4) AS hll_estimate
+        |FROM agg a JOIN tr ON tr.g IS NOT DISTINCT FROM a.g
+        |ORDER BY lang NULLS LAST""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        val est = Sketches.hllEstimateByGroup(
+          Sketches.hllRegistersByGroup(docs, "lang", "text"))
+        val truth = docs.groupBy(col("lang").as("_g2"))
+          .agg(countDistinct("text").cast("long").as("n_true"))
+        est.join(truth, col("g") <=> col("_g2"))
+          .select(col("g").as("lang"), col("n_true"), col("s_sum"),
+            col("n_zero"), col("hll_estimate"))
+          .orderBy(asc_nulls_last("lang"))
+    },
+
     // ── Count-min heavy hitters: build the 4×1024 integer cell frame
     //    from word counts (CMS is linear — counts and raw occurrences
     //    yield identical cells, spec-pinned), probe the 20 true heaviest

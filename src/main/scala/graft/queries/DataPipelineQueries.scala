@@ -2234,6 +2234,54 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── Classifier CALIBRATION: score bins vs observed label rate — the
+    //    reliability diagram every deployed quality filter needs (a
+    //    monotone pos_frac over bins means the score ranks; a flat one
+    //    means the threshold is theater). Binning stays integer: score
+    //    per token in permille spt = raw·1000 div n_tokens (both engines
+    //    truncate integer division toward zero — the kmeans-measured
+    //    semantics), width-25 bins clamped to ±12; ONE closing division
+    //    per bin row. Label = 'en' (the DSIR target), so this also reads
+    //    as "does the keyword score predict the DSIR target". ──
+    QueryDef.sql(
+      "text_classifier_calibration",
+      """WITH t AS (SELECT doc_id, coalesce(lang = 'en', false) AS is_pos,
+        |             list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |v(w, wt) AS (VALUES ('vector', 400), ('stream', 300), ('query', 250), ('data', 200),
+        |             ('join', 150), ('the', -50), ('a', -20), ('slow', -350)),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |h AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS raw FROM e JOIN v USING (w) GROUP BY doc_id),
+        |sc AS (SELECT t.doc_id, t.is_pos, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |         coalesce(h.raw, 0) AS raw FROM t LEFT JOIN h USING (doc_id)
+        |       WHERE len(t.ws) > 0),
+        |b AS (SELECT doc_id, is_pos,
+        |        greatest(-12, least(12, (raw * 1000 // n_tokens) // 25)) AS bin FROM sc)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  round(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS pos_frac
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val scored = TextOps.classifierScore(docs, "doc_id", "text",
+          weightsPermille = Map(
+            "vector" -> 400L, "stream" -> 300L, "query" -> 250L, "data" -> 200L,
+            "join" -> 150L, "the" -> -50L, "a" -> -20L, "slow" -> -350L),
+          threshold = 0.02)
+        val labels = docs.select(col("doc_id").as("doc"),
+          coalesce(col("lang") === "en", lit(false)).as("is_pos"))
+        scored.join(labels, Seq("doc"))
+          .where(col("n_tokens") > 0)
+          .withColumn("bin",
+            greatest(lit(-12L), least(lit(12L),
+              expr("(raw_permille * 1000 div n_tokens) div 25"))))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"))
+          .withColumn("pos_frac",
+            round(col("n_pos").cast("double") / col("n_docs"), 4))
+          .orderBy("bin")
+    },
+
     // ── Unigram-LM surprisal gate (perplexity-proxy quality filter).
     //    FP-parity-safe by construction: per-word surprisal is the
     //    INTEGER bit length floor(log2(total div cnt)) via bin() —

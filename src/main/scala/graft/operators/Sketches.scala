@@ -58,6 +58,15 @@ object Sketches {
       .cast("int")
   }
 
+  /** (bucket, rho) via the codegen'd digest-byte expression
+    * ([[graft.expressions.HllBucketRho]]) — bit-identical to the
+    * portable [[hllBucket]]/[[hllRho]] hex chain (spec-pinned), minus
+    * the per-row hex string, regexp, and conv(). */
+  def hllBucketRhoFast(key: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.HllBucketRho(Bridge.expression(key)))
+  }
+
   /** The full m-row register frame for `df[keyCol]` — empty buckets
     * surface as register 0 (they carry the strongest evidence in the
     * harmonic mean; dropping them is the classic HLL implementation
@@ -65,7 +74,8 @@ object Sketches {
     * collapse makes the exchange O(m · tasks) regardless of corpus. */
   def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
     val regs = df
-      .select(hllBucket(col(keyCol)).as("bucket"), hllRho(col(keyCol)).as("rho"))
+      .select(hllBucketRhoFast(col(keyCol).cast("string")).as("br"))
+      .select(col("br.bucket").as("bucket"), col("br.rho").as("rho"))
       .groupBy("bucket").agg(max("rho").as("r"))
     df.sparkSession.range(HllM).select(col("id").cast("int").as("bucket"))
       .join(regs, Seq("bucket"), "left")
@@ -80,7 +90,8 @@ object Sketches {
     * accounts for them arithmetically instead. */
   def hllRegistersByGroup(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
     df.select(col(groupCol).as("g"),
-        hllBucket(col(keyCol)).as("bucket"), hllRho(col(keyCol)).as("rho"))
+        hllBucketRhoFast(col(keyCol).cast("string")).as("br"))
+      .select(col("g"), col("br.bucket").as("bucket"), col("br.rho").as("rho"))
       .groupBy("g", "bucket").agg(max("rho").cast("int").as("register"))
 
   /** One estimate row per group from a [[hllRegistersByGroup]] frame.

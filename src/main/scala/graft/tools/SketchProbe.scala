@@ -60,6 +60,20 @@ object SketchProbe {
           graft.operators.Sketches.hllRegisters(docs, "k"))
           .collect().head.getAs[Double]("hll_estimate").toLong
       }
+      // registers-only A/B: identical plan shape, only the per-row
+      // (bucket, rho) computation differs
+      timed(s"hll rows: codegen digest expr x$rep") {
+        import graft.operators.Sketches
+        docs.select(Sketches.hllBucketRhoFast(col("k")).as("br"))
+          .select(col("br.bucket").as("bucket"), col("br.rho").as("rho"))
+          .groupBy("bucket").agg(max("rho")).count()
+      }
+      timed(s"hll rows: portable hex chain x$rep") {
+        import graft.operators.Sketches
+        docs.select(Sketches.hllBucket(col("k")).as("bucket"),
+            Sketches.hllRho(col("k")).as("rho"))
+          .groupBy("bucket").agg(max("rho")).count()
+      }
       rep *= 4
     }
     spark.stop()

@@ -67,5 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_int8_quantize(v)")
         Int8Quantize(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_hll_bucket_rho"),
+      info(classOf[HllBucketRho], "graft_hll_bucket_rho",
+        "graft_hll_bucket_rho(key) - HLL (bucket, rho) struct from the key's md5 digest"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_hll_bucket_rho(key)")
+        HllBucketRho(args(0))
+      }))
   }
 }

@@ -38,6 +38,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(4) > 0 && row.getLong(4) < 24, "repetitive text deflates")
   }
 
+  test("graft_hll_bucket_rho resolves in SQL and matches the Scala surface") {
+    val row = session.sql(
+      "SELECT graft_hll_bucket_rho('doc-body-42').bucket AS b, " +
+        "graft_hll_bucket_rho('doc-body-42').rho AS r").collect().head
+    import org.apache.spark.sql.functions._
+    val viaScala = session.range(1)
+      .select(graft.operators.Sketches.hllBucketRhoFast(lit("doc-body-42")).as("br"))
+      .select(col("br.bucket"), col("br.rho")).collect().head
+    assert(row.getInt(0) === viaScala.getInt(0) && row.getInt(1) === viaScala.getInt(1))
+  }
+
   test("zero-norm cosine is NULL through SQL too") {
     val r = session.sql(
       "SELECT graft_cosine(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c")

@@ -2739,6 +2739,47 @@ object DataPipelineQueries {
           .crossJoin(Sketches.hllEstimate(Sketches.hllRegisters(words, "w")))
     },
 
+    // ── Per-language unigram ENTROPY in exact fixed-point: H =
+    //    Σ cnt·floor(256·log2(total/cnt)) / (256·total) — the corpus
+    //    diversity metric (low = template soup, high = diverse prose),
+    //    computed with NO transcendental: the same 8-step integer
+    //    squaring ladder as DSIR (DsirOracle generates the DuckDB twin;
+    //    the ladder's opaque id column carries lang|word), one closing
+    //    IEEE division. Vocab-sized frames throughout — the groupBys
+    //    partial-agg, hot words collapse map-side. ──
+    QueryDef.sql(
+      "corpus_entropy_by_lang",
+      s"""WITH t AS (SELECT coalesce(lang, '~null~') AS lang,
+         |             list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+         |e AS (SELECT lang, unnest(ws) AS w FROM t),
+         |c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+         |tt AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY 1),
+         |nd AS (SELECT c.lang || '|' || c.w AS b, tt.total AS num, c.cnt AS den,
+         |              c.lang, c.cnt FROM c JOIN tt USING (lang)),
+         |${DsirOracle.fixedPointLog2Cte("nd")},
+         |pd AS (SELECT nd.lang, CAST(sum(sbq.sb * nd.cnt) AS BIGINT) AS raw_q8,
+         |              CAST(sum(nd.cnt) AS BIGINT) AS n_tokens
+         |       FROM nd JOIN sbq USING (b) GROUP BY nd.lang)
+         |SELECT lang, n_tokens, raw_q8,
+         |  round(raw_q8 / (256.0 * n_tokens), 4) AS entropy_bits
+         |FROM pd ORDER BY lang""".stripMargin) {
+      (s, d) =>
+        val c = Tables.documents(s, d)
+          .select(coalesce(col("lang"), lit("~null~")).as("lang"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).cast("long").as("cnt"))
+        val tt = c.groupBy("lang").agg(sum("cnt").as("total"))
+        val sc = TextOps.withFixedPointLog2Q8(c.join(tt, Seq("lang")),
+          "total", "cnt", "lq8")
+        sc.groupBy("lang")
+          .agg(sum(col("lq8") * col("cnt")).as("raw_q8"),
+            sum(col("cnt")).as("n_tokens"))
+          .select(col("lang"), col("n_tokens"), col("raw_q8"),
+            round(col("raw_q8").cast("double") / (lit(256.0) * col("n_tokens")), 4)
+              .as("entropy_bits"))
+          .orderBy("lang")
+    },
+
     // ── GROUPED HLL — the shape that replaces GROUP BY + count(DISTINCT)
     //    at scale: per-lang register frames (≤ |groups|·256 exchange rows
     //    instead of every distinct (lang, text) pair), missing buckets

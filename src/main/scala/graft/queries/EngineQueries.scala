@@ -360,6 +360,44 @@ object EngineQueries {
           docs.filter(col("doc_id") % 2 === 1), 1L, "doc_id", "text", "is_en", idx, 1L)
           .orderBy("doc")
     },
+
+    // ── Streaming heavy-hitters vertical, ORACLE-pinned via additivity:
+    //    two micro-batches (even/odd doc_ids) fold their CMS cell deltas
+    //    into the ledger; since cells are a commutative monoid, the
+    //    union-summed ledger must equal the whole-corpus sketch — so the
+    //    final probe round shares text_cms_heavy's oracle verbatim and a
+    //    hash match proves the delta-ledger write/read/serve path. ──
+    QueryDef.sql(
+      "engine_stream_heavyhitters",
+      """WITH t AS (SELECT list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |e AS (SELECT unnest(ws) AS w FROM t),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS true_cnt FROM e GROUP BY w),
+        |cr AS (SELECT wc.w, wc.true_cnt, r.range AS r,
+        |         CAST(CAST(list_sum([ (strpos('0123456789abcdef',
+        |                 substr(md5(CAST(r.range AS VARCHAR) || ':' || wc.w), 1, 8)[i]) - 1)
+        |                 * power(16, 8 - i) for i in range(1, 9) ]) AS BIGINT)
+        |              % 1024 AS INTEGER) AS b
+        |       FROM wc, range(0, 4) r),
+        |cells AS (SELECT r, b, CAST(sum(true_cnt) AS BIGINT) AS c FROM cr GROUP BY r, b),
+        |probes AS (SELECT w, true_cnt FROM wc ORDER BY true_cnt DESC, w LIMIT 20)
+        |SELECT p.w, p.true_cnt, CAST(min(c.c) AS BIGINT) AS cms_est
+        |FROM probes p JOIN cr ON cr.w = p.w JOIN cells c ON c.r = cr.r AND c.b = cr.b
+        |GROUP BY p.w, p.true_cnt
+        |ORDER BY p.true_cnt DESC, p.w""".stripMargin) {
+      (s, d) =>
+        val idx = java.nio.file.Files.createTempDirectory("graft-shh").toString
+        val docs = graft.Tables.documents(s, d)
+        val probes = docs
+          .select(explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("w").asc).limit(20)
+        graft.streaming.StreamingHeavyHitters.processBatch(
+          docs.filter(col("doc_id") % 2 === 0), 0L, "text", probes, "w", idx)
+        graft.streaming.StreamingHeavyHitters.processBatch(
+          docs.filter(col("doc_id") % 2 === 1), 1L, "text", probes, "w", idx)
+          .select(col("w"), col("true_cnt"), col("cms_est"))
+          .orderBy(col("true_cnt").desc, col("w").asc)
+    },
   )
 
   // one fixture per session: (store, pinned version after phase 1)

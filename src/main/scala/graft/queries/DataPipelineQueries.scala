@@ -2832,6 +2832,71 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── HLL set algebra: estimated overlap of two document sets by
+    //    inclusion-exclusion — |A∩B| ≈ E(A) + E(B) − E(A ⊔ B), where the
+    //    union sketch is the REGISTER MAX-MERGE (the only set operation
+    //    the lattice gives; intersection has no direct sketch). This is
+    //    the join-cardinality estimator a planner wants from two table
+    //    sketches without scanning either side. True intersection rides
+    //    along; at corpus scale the three estimates cost 3·m register
+    //    rows. A = en docs, B = docs mentioning 'vector'. ──
+    QueryDef.sql(
+      "corpus_hll_overlap",
+      """WITH a AS (SELECT DISTINCT text AS w FROM documents WHERE text IS NOT NULL AND lang = 'en'),
+        |b AS (SELECT DISTINCT text AS w FROM documents WHERE text IS NOT NULL AND contains(text, 'vector')),
+        |ra AS (SELECT (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS bucket,
+        |              substr(md5(w), 3, 16) AS tail, 0 AS side FROM a),
+        |rb AS (SELECT (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS bucket,
+        |              substr(md5(w), 3, 16) AS tail, 1 AS side FROM b),
+        |rr AS (SELECT * FROM ra UNION ALL SELECT * FROM rb),
+        |z AS (SELECT side, bucket, tail, length(regexp_extract(tail, '^(0*)', 1)) AS nz FROM rr),
+        |dv AS (SELECT side, bucket, nz, strpos('0123456789abcdef', substr(tail, nz + 1, 1)) - 1 AS d FROM z),
+        |rho AS (SELECT side, bucket, CASE WHEN nz >= 16 THEN 40 ELSE
+        |          least(4 * nz + CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+        |                              WHEN d >= 2 THEN 2 ELSE 3 END + 1, 40) END AS rho
+        |        FROM dv),
+        |regs AS (SELECT side, bucket, CAST(max(rho) AS INTEGER) AS register FROM rho GROUP BY 1, 2),
+        |full0 AS (SELECT s.side, CAST(g.range AS INTEGER) AS bucket, coalesce(r.register, 0) AS register
+        |          FROM (SELECT 0 AS side UNION ALL SELECT 1) s CROSS JOIN range(0, 256) g
+        |          LEFT JOIN regs r ON r.bucket = g.range AND r.side = s.side),
+        |uni AS (SELECT bucket, CAST(max(register) AS INTEGER) AS register FROM full0 GROUP BY bucket),
+        |est AS (SELECT side, CAST(sum(CAST(1 AS BIGINT) << (40 - register)) AS BIGINT) AS s_sum
+        |        FROM full0 GROUP BY side),
+        |estu AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (40 - register)) AS BIGINT) AS s_sum FROM uni),
+        |ev AS (SELECT
+        |  round(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0 * 1099511627776.0
+        |    / CAST((SELECT s_sum FROM est WHERE side = 0) AS DOUBLE), 4) AS est_a,
+        |  round(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0 * 1099511627776.0
+        |    / CAST((SELECT s_sum FROM est WHERE side = 1) AS DOUBLE), 4) AS est_b,
+        |  round(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0 * 1099511627776.0
+        |    / CAST((SELECT s_sum FROM estu) AS DOUBLE), 4) AS est_union),
+        |tru AS (SELECT CAST(count(*) AS BIGINT) AS n_inter_true
+        |        FROM a JOIN b ON a.w = b.w)
+        |SELECT ev.est_a, ev.est_b, ev.est_union,
+        |  round(ev.est_a + ev.est_b - ev.est_union, 4) AS est_intersection,
+        |  tru.n_inter_true
+        |FROM ev, tru""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d).where(col("text").isNotNull)
+        val a = docs.where(col("lang") === "en").select(col("text").as("w"))
+        val b = docs.where(col("text").contains("vector")).select(col("text").as("w"))
+        val ra = Sketches.hllRegisters(a, "w")
+        val rb = Sketches.hllRegisters(b, "w")
+        val estA = Sketches.hllEstimate(ra).select(col("hll_estimate").as("est_a"))
+        val estB = Sketches.hllEstimate(rb).select(col("hll_estimate").as("est_b"))
+        val estU = Sketches.hllEstimate(Sketches.hllMerge(ra, rb))
+          .select(col("hll_estimate").as("est_union"))
+        val truth = a.distinct().join(b.distinct(), Seq("w"))
+          .agg(count(lit(1)).cast("long").as("n_inter_true"))
+        estA.crossJoin(estB).crossJoin(estU)
+          .withColumn("est_intersection",
+            round(col("est_a") + col("est_b") - col("est_union"), 4))
+          .crossJoin(truth)
+          .select("est_a", "est_b", "est_union", "est_intersection", "n_inter_true")
+    },
+
     // ── Count-min heavy hitters: build the 4×1024 integer cell frame
     //    from word counts (CMS is linear — counts and raw occurrences
     //    yield identical cells, spec-pinned), probe the 20 true heaviest

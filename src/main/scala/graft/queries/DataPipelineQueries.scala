@@ -48,6 +48,65 @@ object DataPipelineQueries {
          |       sc.imp_q8 >= cut.cutoff AS selected
          |FROM sc, cut ORDER BY sc.doc""".stripMargin
 
+  // The four-gate CTE prefix (gopher -> classifier -> unigram surprisal
+  // -> bigram surprisal keep flags per doc) shared VERBATIM by
+  // pipeline_filter_funnel and pipeline_drop_reasons, so the audit can
+  // never drift from the funnel.
+  private val FilterGatePrefixSql: String =
+    """WITH docs AS (SELECT doc_id, coalesce(lang, '??') AS lang, text,
+        |    list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents),
+        |gm AS (SELECT doc_id,
+        |    len(ws) AS n,
+        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / nullif(len(ws), 0) AS mean_len,
+        |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        |      + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
+        |      / nullif(len(ws), 0) AS sym_ratio,
+        |    CAST(len(list_filter(ls, l -> left(ltrim(l), 1) IN ('-', '*'))) AS DOUBLE) / len(ls) AS bullet_frac,
+        |    CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS DOUBLE) / len(ls) AS ell_frac,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / nullif(len(ws), 0) AS alpha_frac,
+        |    len(list_filter(['spark','window','merge','table','column','vector','stream','value'], s -> list_contains(ws, s))) AS stop_hits
+        |  FROM docs),
+        |gk AS (SELECT doc_id,
+        |    (n >= 20 AND n <= 100000 AND coalesce(mean_len >= 3.0 AND mean_len <= 10.0, false)
+        |     AND coalesce(sym_ratio <= 0.1, false) AND bullet_frac <= 0.9 AND ell_frac <= 0.3
+        |     AND coalesce(alpha_frac >= 0.8, false) AND stop_hits >= 2) AS g_keep
+        |  FROM gm),
+        |cv(w, wt) AS (VALUES ('vector', 400), ('stream', 300), ('query', 250), ('data', 200),
+        |              ('join', 150), ('the', -50), ('a', -20), ('slow', -350)),
+        |ce AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+        |ch AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS raw FROM ce JOIN cv USING (w) GROUP BY doc_id),
+        |ck AS (SELECT d.doc_id,
+        |    coalesce(coalesce(h.raw, 0) /
+        |      (CASE WHEN len(d.ws) = 0 THEN NULL ELSE len(d.ws) END * 1000.0) >= 0.02, false) AS c_keep
+        |  FROM docs d LEFT JOIN ch h ON h.doc_id = d.doc_id),
+        |sdw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ FROM ce GROUP BY doc_id, w),
+        |sv AS (SELECT w, CAST(sum(occ) AS BIGINT) AS cnt FROM sdw GROUP BY w),
+        |stot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM sv),
+        |sbits AS (SELECT w, CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS bits FROM sv, stot),
+        |sdoc AS (SELECT sdw.doc_id, CAST(sum(sbits.bits * sdw.occ) AS BIGINT) AS raw_bits,
+        |             CAST(sum(sdw.occ) AS BIGINT) AS n
+        |      FROM sdw JOIN sbits USING (w) GROUP BY sdw.doc_id),
+        |sk AS (SELECT d.doc_id,
+        |    coalesce(s.raw_bits / CAST(CASE WHEN coalesce(s.n, 0) = 0 THEN NULL ELSE s.n END AS DOUBLE)
+        |      BETWEEN 4.01 AND 4.4, false) AS s_keep
+        |  FROM docs d LEFT JOIN sdoc s ON s.doc_id = d.doc_id),
+        |be AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docs WHERE len(ws) >= 2)),
+        |bbi AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ FROM be GROUP BY 1, 2, 3),
+        |bbig AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS big FROM bbi GROUP BY 1, 2),
+        |bctx AS (SELECT w1, CAST(sum(big) AS BIGINT) AS ctx FROM bbig GROUP BY 1),
+        |blm AS (SELECT w1, w2, CAST(length(bin(ctx // big)) - 1 AS BIGINT) AS bits
+        |       FROM bbig JOIN bctx USING (w1)),
+        |bdoc AS (SELECT bbi.doc_id, CAST(sum(blm.bits * bbi.occ) AS BIGINT) AS raw_bits,
+        |             CAST(sum(bbi.occ) AS BIGINT) AS n
+        |      FROM bbi JOIN blm USING (w1, w2) GROUP BY 1),
+        |bk AS (SELECT d.doc_id,
+        |    coalesce(b.raw_bits / CAST(CASE WHEN coalesce(b.n, 0) = 0 THEN NULL ELSE b.n END AS DOUBLE)
+        |      BETWEEN 4.15 AND 4.45, false) AS b_keep
+        |  FROM docs d LEFT JOIN bdoc b ON b.doc_id = d.doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: content-hash groupBy, keep lowest doc_id per group. ──
@@ -2372,59 +2431,8 @@ object DataPipelineQueries {
     //    funnel can never drift from the individual gate queries. ──
     QueryDef.sql(
       "pipeline_filter_funnel",
-      """WITH docs AS (SELECT doc_id, coalesce(lang, '??') AS lang, text,
-        |    list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws,
-        |    string_split(text, chr(10)) AS ls
-        |  FROM documents),
-        |gm AS (SELECT doc_id,
-        |    len(ws) AS n,
-        |    CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / nullif(len(ws), 0) AS mean_len,
-        |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
-        |      + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0)
-        |      / nullif(len(ws), 0) AS sym_ratio,
-        |    CAST(len(list_filter(ls, l -> left(ltrim(l), 1) IN ('-', '*'))) AS DOUBLE) / len(ls) AS bullet_frac,
-        |    CAST(len(list_filter(ls, l -> right(l, 3) = '...')) AS DOUBLE) / len(ls) AS ell_frac,
-        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / nullif(len(ws), 0) AS alpha_frac,
-        |    len(list_filter(['spark','window','merge','table','column','vector','stream','value'], s -> list_contains(ws, s))) AS stop_hits
-        |  FROM docs),
-        |gk AS (SELECT doc_id,
-        |    (n >= 20 AND n <= 100000 AND coalesce(mean_len >= 3.0 AND mean_len <= 10.0, false)
-        |     AND coalesce(sym_ratio <= 0.1, false) AND bullet_frac <= 0.9 AND ell_frac <= 0.3
-        |     AND coalesce(alpha_frac >= 0.8, false) AND stop_hits >= 2) AS g_keep
-        |  FROM gm),
-        |cv(w, wt) AS (VALUES ('vector', 400), ('stream', 300), ('query', 250), ('data', 200),
-        |              ('join', 150), ('the', -50), ('a', -20), ('slow', -350)),
-        |ce AS (SELECT doc_id, unnest(ws) AS w FROM docs),
-        |ch AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS raw FROM ce JOIN cv USING (w) GROUP BY doc_id),
-        |ck AS (SELECT d.doc_id,
-        |    coalesce(coalesce(h.raw, 0) /
-        |      (CASE WHEN len(d.ws) = 0 THEN NULL ELSE len(d.ws) END * 1000.0) >= 0.02, false) AS c_keep
-        |  FROM docs d LEFT JOIN ch h ON h.doc_id = d.doc_id),
-        |sdw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ FROM ce GROUP BY doc_id, w),
-        |sv AS (SELECT w, CAST(sum(occ) AS BIGINT) AS cnt FROM sdw GROUP BY w),
-        |stot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM sv),
-        |sbits AS (SELECT w, CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS bits FROM sv, stot),
-        |sdoc AS (SELECT sdw.doc_id, CAST(sum(sbits.bits * sdw.occ) AS BIGINT) AS raw_bits,
-        |             CAST(sum(sdw.occ) AS BIGINT) AS n
-        |      FROM sdw JOIN sbits USING (w) GROUP BY sdw.doc_id),
-        |sk AS (SELECT d.doc_id,
-        |    coalesce(s.raw_bits / CAST(CASE WHEN coalesce(s.n, 0) = 0 THEN NULL ELSE s.n END AS DOUBLE)
-        |      BETWEEN 4.01 AND 4.4, false) AS s_keep
-        |  FROM docs d LEFT JOIN sdoc s ON s.doc_id = d.doc_id),
-        |be AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
-        |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM docs WHERE len(ws) >= 2)),
-        |bbi AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS occ FROM be GROUP BY 1, 2, 3),
-        |bbig AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS big FROM bbi GROUP BY 1, 2),
-        |bctx AS (SELECT w1, CAST(sum(big) AS BIGINT) AS ctx FROM bbig GROUP BY 1),
-        |blm AS (SELECT w1, w2, CAST(length(bin(ctx // big)) - 1 AS BIGINT) AS bits
-        |       FROM bbig JOIN bctx USING (w1)),
-        |bdoc AS (SELECT bbi.doc_id, CAST(sum(blm.bits * bbi.occ) AS BIGINT) AS raw_bits,
-        |             CAST(sum(bbi.occ) AS BIGINT) AS n
-        |      FROM bbi JOIN blm USING (w1, w2) GROUP BY 1),
-        |bk AS (SELECT d.doc_id,
-        |    coalesce(b.raw_bits / CAST(CASE WHEN coalesce(b.n, 0) = 0 THEN NULL ELSE b.n END AS DOUBLE)
-        |      BETWEEN 4.15 AND 4.45, false) AS b_keep
-        |  FROM docs d LEFT JOIN bdoc b ON b.doc_id = d.doc_id)
+      (FilterGatePrefixSql + """
+        
         |SELECT d.lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT) AS pass_gopher,
@@ -2434,7 +2442,7 @@ object DataPipelineQueries {
         |FROM docs d
         |JOIN gk USING (doc_id) JOIN ck USING (doc_id)
         |JOIN sk USING (doc_id) JOIN bk USING (doc_id)
-        |GROUP BY d.lang ORDER BY lang""".stripMargin) {
+        |GROUP BY d.lang ORDER BY lang""".stripMargin)) {
       (s, d) =>
         val docs = Tables.documents(s, d)
         val weights = Map(
@@ -2467,6 +2475,54 @@ object DataPipelineQueries {
             sum(when(col("g_keep") && col("c_keep") && col("s_keep") && col("b_keep"), 1L)
               .otherwise(0L)).as("pass_bigram"))
           .orderBy("lang")
+    },
+
+    // ── Per-doc drop-reason audit: the FIRST gate that kills each doc,
+    //    rolled up to (lang, reason) counts — the "where did my corpus
+    //    go" table a filtering run ships next to the funnel. Shares the
+    //    funnel's four-gate CTE prefix VERBATIM (one Scala val), so the
+    //    two reports cannot disagree about a gate. ──
+    QueryDef.sql(
+      "pipeline_drop_reasons",
+      (FilterGatePrefixSql + """
+        |SELECT d.lang,
+        |  CASE WHEN NOT g_keep THEN 'gopher'
+        |       WHEN NOT c_keep THEN 'classifier'
+        |       WHEN NOT s_keep THEN 'surprisal'
+        |       WHEN NOT b_keep THEN 'bigram'
+        |       ELSE 'kept' END AS reason,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM docs d
+        |JOIN gk USING (doc_id) JOIN ck USING (doc_id)
+        |JOIN sk USING (doc_id) JOIN bk USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY lang, reason""".stripMargin)) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val weights = Map(
+          "vector" -> 400L, "stream" -> 300L, "query" -> 250L, "data" -> 200L,
+          "join" -> 150L, "the" -> -50L, "a" -> -20L, "slow" -> -350L)
+        val g = docs.select(col("doc_id"),
+          coalesce(col("lang"), lit("??")).as("lang"),
+          TextOps.gopherFilters(col("text"),
+            stopwords = Seq("spark", "window", "merge", "table",
+              "column", "vector", "stream", "value"),
+            minWords = 20L).getField("keep").as("g_keep"))
+        val c = TextOps.classifierScore(docs, "doc_id", "text", weights, threshold = 0.02)
+          .select(col("doc").as("doc_id"), col("keep").as("c_keep"))
+        val s1 = TextOps.surprisalScore(docs, "doc_id", "text", minBits = 4.01, maxBits = 4.4)
+          .select(col("doc").as("doc_id"), col("keep").as("s_keep"))
+        val s2 = TextOps.bigramSurprisal(docs, "doc_id", "text", minBits = 4.15, maxBits = 4.45)
+          .select(col("doc").as("doc_id"), col("keep").as("b_keep"))
+        g.join(c, Seq("doc_id")).join(s1, Seq("doc_id")).join(s2, Seq("doc_id"))
+          .withColumn("reason",
+            when(!col("g_keep"), "gopher")
+              .when(!col("c_keep"), "classifier")
+              .when(!col("s_keep"), "surprisal")
+              .when(!col("b_keep"), "bigram")
+              .otherwise("kept"))
+          .groupBy("lang", "reason")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "reason")
     },
 
     // ── Bigram-conditional surprisal gate: the second-order LM signal —

@@ -917,6 +917,77 @@ object RelationalQueries {
           .orderBy("tbl", "check_name")
     },
 
+    // ── Calendar gap-fill: the dense (hour × type) event-rate series —
+    //    a dashboard can't distinguish "no data" from "zero events"
+    //    without it, and rolling windows over a sparse series silently
+    //    shrink their denominators. The spine is CALENDAR-sized
+    //    (bounded by the time range, not the event count), so the
+    //    cross join and left join stay trivial at any data scale. ──
+    QueryDef.sql(
+      "h9_event_gapfill",
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT s.hour, ty.event_type, coalesce(c.n, 0) AS n_events
+        |FROM spine s CROSS JOIN ty
+        |LEFT JOIN c ON c.hour = s.hour AND c.event_type = ty.event_type
+        |ORDER BY s.hour, ty.event_type""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val spine = ev
+          .agg(date_trunc("hour", min("ts")).as("lo"), date_trunc("hour", max("ts")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+        val types = ev.select("event_type").distinct()
+        spine.crossJoin(broadcast(types))
+          .join(hourly, Seq("hour", "event_type"), "left_outer")
+          .select(col("hour"), col("event_type"), coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy("hour", "event_type")
+    },
+
+    // ── 24-hour trailing mean over the GAP-FILLED series — rows-frame
+    //    windows are only correct on a dense series (on a sparse one the
+    //    23-row lookback spans an unbounded wall-clock range); the
+    //    gap-fill above is what licenses it. Exact long sums, one
+    //    closing division; partitions are (type × calendar), bounded by
+    //    the time range at any corpus size. ──
+    QueryDef.sql(
+      "h10_rolling_rate",
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |dense AS (SELECT s.hour, ty.event_type, coalesce(c.n, 0) AS n_events
+        |          FROM spine s CROSS JOIN ty
+        |          LEFT JOIN c ON c.hour = s.hour AND c.event_type = ty.event_type)
+        |SELECT hour, event_type, n_events,
+        |  round(CAST(sum(n_events) OVER w AS DOUBLE)
+        |        / count(*) OVER w, 4) AS rolling_mean_24h
+        |FROM dense
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |ORDER BY hour, event_type""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val spine = ev
+          .agg(date_trunc("hour", min("ts")).as("lo"), date_trunc("hour", max("ts")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+        val types = ev.select("event_type").distinct()
+        val dense = spine.crossJoin(broadcast(types))
+          .join(hourly, Seq("hour", "event_type"), "left_outer")
+          .select(col("hour"), col("event_type"), coalesce(col("n"), lit(0L)).as("n_events"))
+        val w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-23, 0)
+        dense.select(col("hour"), col("event_type"), col("n_events"),
+          round(sum("n_events").over(w).cast("double") /
+            count(lit(1)).over(w), 4).as("rolling_mean_24h"))
+          .orderBy("hour", "event_type")
+    },
+
     // ── Z-order (Morton) layout key over orders: hash-dim custkey ×
     //    range-dim order date (the cluster-by-(hash(user), day) shape).
     //    Sorting by zval makes parquet row-group min/max tight on BOTH

@@ -573,6 +573,43 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Winsorized length statistics: per-language doc lengths clipped
+    //    to [p10, p90] — the outlier-robust mean a calibration pass
+    //    reports next to the raw one (one 500k-char doc shouldn't move
+    //    a language's "typical length"). Quantiles come from the
+    //    histogram walk (domain-bounded state); clipped values sum
+    //    through decimal(20,4) so the mean is order-proof. ──
+    QueryDef.sql(
+      "corpus_winsorize_lengths",
+      """WITH q AS (SELECT lang,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(quantile_cont(length(text), 0.1) AS DOUBLE), 4) AS p10,
+        |    round(CAST(quantile_cont(length(text), 0.9) AS DOUBLE), 4) AS p90
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, q.n, q.p10, q.p90,
+        |  round(CAST(sum(CAST(length(d.text) AS DECIMAL(20,4))) AS DOUBLE) / q.n, 4) AS mean_raw,
+        |  round(CAST(sum(CAST(least(greatest(CAST(length(d.text) AS DOUBLE), q.p10), q.p90)
+        |                      AS DECIMAL(20,4))) AS DOUBLE) / q.n, 4) AS mean_winsorized
+        |FROM documents d JOIN q ON q.lang IS NOT DISTINCT FROM d.lang
+        |GROUP BY d.lang, q.n, q.p10, q.p90
+        |ORDER BY d.lang NULLS LAST""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val q = Sketches.histQuantiles(docs, "lang", length(col("text")),
+            Seq("p10" -> 0.1, "p90" -> 0.9))
+          .withColumnRenamed("lang", "_ql")
+        docs.join(broadcast(q), col("lang") <=> col("_ql"))
+          .withColumn("_len", length(col("text")).cast("double"))
+          .withColumn("_w", least(greatest(col("_len"), col("p10")), col("p90")))
+          .groupBy(col("lang"), col("n"), col("p10"), col("p90"))
+          .agg(
+            round(sum(col("_len").cast("decimal(20,4)")).cast("double") / col("n"), 4)
+              .as("mean_raw"),
+            round(sum(col("_w").cast("decimal(20,4)")).cast("double") / col("n"), 4)
+              .as("mean_winsorized"))
+          .orderBy(asc_nulls_last("lang"))
+    },
+
     // ── Sketch twin of the exact percentiles: approx_percentile's
     //    KLL-family buffer is O(sketch), not O(group) — exact
     //    `percentile` materializes EVERY value of a group in its

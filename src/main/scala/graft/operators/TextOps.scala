@@ -1756,6 +1756,30 @@ object TextOps {
     }
   }
 
+  /** Fixed-size RAG chunking: token windows of `size` starting every
+    * `size − overlap` tokens — the retrieval-prep shape ([[cdcChunks]]
+    * is the DEDUP chunker: content-defined boundaries, no overlap; a
+    * retrieval index wants uniform windows with context overlap so no
+    * answer span straddles a boundary unseen). Pure in-row HOFs —
+    * sequence + slice + md5 — no shuffle, rides the scan. The tail
+    * chunk may be short; docs shorter than `size` yield one chunk;
+    * empty docs none. Returns (doc, chunk_idx, start_tok, n_toks,
+    * chunk_hash). */
+  def ragChunks(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens (got $chunkTokens, overlap=$overlap)")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= 1)
+      .select(col("doc"), col("ws"),
+        posexplode(sequence(lit(1), size(col("ws")), lit(stride))).as(Seq("chunk_idx", "st")))
+      .select(col("doc"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("st").cast("long").as("start_tok"),
+        least(lit(chunkTokens.toLong), size(col("ws")) - col("st") + 1).cast("long").as("n_toks"),
+        md5(concat_ws(" ", slice(col("ws"), col("st"), lit(chunkTokens)))).as("chunk_hash"))
+  }
+
   def qualityMetrics(toks: Column, stopwords: Seq[String]): (Column, Column, Column) = {
     val n = size(toks).cast("long")
     val sumLen = aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, v) => a + v)

@@ -2925,6 +2925,28 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Fixed-size RAG chunking: 48-token windows every 32 tokens
+    //    (16-token overlap) — the retrieval-prep twin of the CDC
+    //    chunker (content-defined, overlap-free, for DEDUP; this one is
+    //    uniform with context overlap so no answer span straddles a
+    //    boundary unseen). Pure in-row HOFs, no shuffle. ──
+    QueryDef.sql(
+      "text_rag_chunks",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |x AS (SELECT doc_id, ws, unnest([ i for i in range(1, len(ws) + 1, 32) ]) AS st,
+        |             generate_subscripts([ i for i in range(1, len(ws) + 1, 32) ], 1) AS ci
+        |      FROM t WHERE len(ws) >= 1)
+        |SELECT doc_id AS doc, CAST(ci - 1 AS BIGINT) AS chunk_idx,
+        |  CAST(st AS BIGINT) AS start_tok,
+        |  CAST(least(48, len(ws) - st + 1) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(list_slice(ws, st, st + 47), ' ')) AS chunk_hash
+        |FROM x ORDER BY doc, chunk_idx""".stripMargin) {
+      (s, d) =>
+        TextOps.ragChunks(Tables.documents(s, d), "doc_id", "text",
+            chunkTokens = 48, overlap = 16)
+          .orderBy("doc", "chunk_idx")
+    },
+
     // ── HLL set algebra: estimated overlap of two document sets by
     //    inclusion-exclusion — |A∩B| ≈ E(A) + E(B) − E(A ⊔ B), where the
     //    union sketch is the REGISTER MAX-MERGE (the only set operation

@@ -197,6 +197,26 @@ class OperatorsSpec extends SparkSpec {
     assert(ext(1L) == Some(0.0))
   }
 
+  test("ragChunks: stride/overlap geometry, short docs, empty docs") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, doc), (2L, "a b"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.ragChunks(df, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // stride 2: starts 1,3,5,7,9 — five chunks, tail is 2 tokens
+    assert(out.keys.count(_._1 == 1L) === 5)
+    assert(out((1L, 0L)) === ((1L, 4L)) && out((1L, 3L)) === ((7L, 4L)))
+    assert(out((1L, 4L)) === ((9L, 2L)), "tail chunk is short")
+    // short doc: one chunk of its own length
+    assert(out.keys.count(_._1 == 2L) === 1 && out((2L, 0L)) === ((1L, 2L)))
+    // empty/null docs: no chunks
+    assert(!out.keys.exists(k => k._1 == 3L || k._1 == 4L))
+    // consecutive chunks overlap by exactly `overlap` tokens: start deltas = stride
+    val starts = (0 to 4).map(i => out((1L, i.toLong))._1)
+    assert(starts === Seq(1L, 3L, 5L, 7L, 9L))
+  }
+
   test("resizeDims: aspect preserved, no upscale, both binding sides, degenerate guards") {
     import spark.implicits._
     val cases = Seq(

@@ -39,6 +39,19 @@ object KMeans {
   /** 2^32 — the shared quantum (see [[Pca.Scale]]). */
   val Scale: Double = Pca.Scale
 
+  /** Exact dyadic mean of float vectors — the centroid idiom exposed
+    * for ad-hoc "more like these" queries: per-dim quantized-long sums,
+    * one truncating division, float cast (all IEEE-reproducible by any
+    * engine). */
+  def dyadicMeanFloat(vs: Seq[Seq[Float]]): Array[Float] = {
+    require(vs.nonEmpty, "dyadicMeanFloat of an empty set")
+    val d = vs.head.size
+    Array.tabulate(d) { i =>
+      val sq = vs.map(v => Pca.rnd(v(i).toDouble * Scale)).sum
+      ((sq / vs.length).toDouble / Scale).toFloat
+    }
+  }
+
   final case class Model(
       centroids: Array[Array[Double]], // k × d, dyadic after iteration 1
       sizes: Array[Long]) // members per cluster in the final assignment

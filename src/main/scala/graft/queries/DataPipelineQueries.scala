@@ -2033,6 +2033,48 @@ object DataPipelineQueries {
           query = emb.filter(col("vec_id") === 0), k = 20)
     },
 
+    // ── "More like these": retrieval from a SET of positive examples —
+    //    the curation gesture (mark 5 good docs, pull the nearest
+    //    neighbors of their mean). The centroid is the kmeans dyadic
+    //    idiom: per-dim quantized-long sums, ONE truncating division by
+    //    n, float-cast (IEEE round-to-nearest on both engines) — so the
+    //    query vector is bit-identical cross-engine and the rest is the
+    //    standard broadcast-query cosine scan, seeds excluded. ──
+    QueryDef.sql(
+      "sim_morelikethese",
+      """WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+        |           FROM embeddings WHERE vec_id IN (0, 10, 20, 30, 40)),
+        |cq AS (SELECT i,
+        |         CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 4294967296.0) AS BIGINT)) // 5
+        |              AS DOUBLE) / 4294967296.0 AS FLOAT) AS y
+        |       FROM u GROUP BY i),
+        |v AS (SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS i, unnest(e.embedding) AS x
+        |      FROM embeddings e WHERE e.vec_id NOT IN (0, 10, 20, 30, 40)),
+        |s AS (SELECT v.vec_id,
+        |        sum(CAST(v.x AS DOUBLE) * CAST(cq.y AS DOUBLE)) AS dot,
+        |        sum(CAST(v.x AS DOUBLE) * CAST(v.x AS DOUBLE)) AS na,
+        |        sum(CAST(cq.y AS DOUBLE) * CAST(cq.y AS DOUBLE)) AS nb
+        |      FROM v JOIN cq USING (i) GROUP BY v.vec_id)
+        |SELECT vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim
+        |FROM s WHERE na * nb > 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 15""".stripMargin) {
+      (s, d) =>
+        val seedIds = Seq(0L, 10L, 20L, 30L, 40L)
+        val emb = Tables.embeddings(s, d)
+        val arrs = emb.filter(col("vec_id").isin(seedIds: _*))
+          .select(col("embedding").cast("array<float>"))
+          .collect().map(_.getSeq[Float](0))
+        require(arrs.nonEmpty, "no seed vectors found")
+        val centroid =
+          graft.operators.KMeans.dyadicMeanFloat(arrs.toSeq).toSeq
+        val s2 = s
+        import s2.implicits._
+        val qdf = Seq((-1L, centroid)).toDF("vec_id", "embedding")
+        Similarity.cosineTopK(
+          emb.filter(!col("vec_id").isin(seedIds: _*)), "vec_id", "embedding",
+          query = qdf, k = 15)
+    },
+
     // ── MaxSim late-interaction top-k (ColBERT shape): doc + query as 8
     //    sub-vectors of 8 dims; score = Σ over query tokens of the best
     //    doc-token cosine. The per-token maxes sum as SCALED INTEGERS

@@ -1002,6 +1002,61 @@ object DedupSimilarityQueries {
           .limit(20)
     },
 
+    // ── Banding RECALL against brute-force ground truth: every pair with
+    //    true Jaccard ≥ 0.5 on a bounded slice (doc_id < 1000 — all-pairs
+    //    is the MEASUREMENT, not the production path) vs the pairs the
+    //    8-slot/4-band machinery surfaces. The one-row report is the
+    //    empirical check of the S-curve numbers the LSH planner predicts.
+    //    Measured recall is 1.0 tri-scale — honest reading: this corpus's
+    //    near-dups are near-exact (j ≈ 1, where the curve saturates); the
+    //    ~0.68-at-j=0.5 prediction would bite on borderline pairs the
+    //    template pool doesn't generate;
+    //    candidates surfaced but below threshold count as precision
+    //    overhead, not recall. ──
+    QueryDef.sql(
+      "dedup_banding_recall",
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents WHERE doc_id < 1000),
+         |s AS (SELECT doc_id, list_distinct(${duckShingles("ws", 3)}) AS shd FROM t),
+         |tp AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |       FROM s a JOIN s c ON a.doc_id < c.doc_id
+         |       WHERE ${duckJaccard("a.shd", "c.shd")} >= 0.5),
+         |sh AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+         |m AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh),
+         |b AS (SELECT doc_id, i AS band_idx,
+         |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+         |      FROM m, (SELECT unnest(range(0, 4)) AS i)),
+         |cp AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+         |       FROM b a JOIN b c USING (band_idx, band_hash)
+         |       WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+         |fnd AS (SELECT tp.doc_a, tp.doc_b FROM tp JOIN cp USING (doc_a, doc_b))
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cp) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM fnd) AS n_found,
+         |  round((SELECT count(*) FROM fnd) /
+         |        CAST(nullif((SELECT count(*) FROM tp), 0) AS DOUBLE), 4) AS recall""".stripMargin) {
+      (s, d) =>
+        val slice = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).filter(col("doc_id") < 1000))
+        val shd = array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
+        val sets = slice.select(col("doc_id"), shd.as("shd")).localCheckpoint()
+        val truth = sets.as("a").join(sets.as("c"),
+            col("a.doc_id") < col("c.doc_id"))
+          .where(Dedup.jaccard(col("a.shd"), col("c.shd")) >= 0.5)
+          .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+          .localCheckpoint()
+        val cand = Dedup.lshCandidatePairs(slice, "doc_id", "text",
+            shingleN = 3, k = 8, bands = 4)
+          .select("doc_a", "doc_b").localCheckpoint()
+        val found = truth.join(cand, Seq("doc_a", "doc_b"))
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(col("n_true"), col("n_candidates"), col("n_found"),
+            round(col("n_found").cast("double") /
+              when(col("n_true") === 0, lit(null)).otherwise(col("n_true")), 4)
+              .as("recall"))
+    },
+
     // ── Matryoshka retrieval funnel: coarse-rank the corpus on the
     //    FIRST 16 of 64 dims (the MRL prefix — a quarter of the IO and
     //    arithmetic), full-dim re-rank only the 50-row shortlist. The

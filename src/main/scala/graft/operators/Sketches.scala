@@ -193,6 +193,54 @@ object Sketches {
     }.drop("nv").withColumnRenamed("g", groupCol)
   }
 
+  /** The (group, value, count) histogram behind [[histQuantiles]],
+    * exposed as a storable artifact: counts are ADDITIVE, so corpus
+    * halves union+sum to exactly the full histogram and quantiles over
+    * the merged artifact are bit-identical to from-scratch (the
+    * incremental-BM25 doctrine applied to order statistics — an
+    * arriving batch folds in at O(batch distinct values), the corpus is
+    * never re-scanned). */
+  def histBuild(df: DataFrame, groupCol: String, value: Column): DataFrame =
+    df.select(col(groupCol).as("g"), value.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).cast("long").as("c"))
+
+  /** Additive merge of [[histBuild]] artifacts. */
+  def histMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("g", "v").agg(sum("c").as("c"))
+
+  /** [[histQuantiles]] served from a stored histogram instead of raw
+    * rows. NOTE: `n` counts histogram mass (non-null values), not raw
+    * rows — a stored histogram cannot know about rows whose value was
+    * null; callers needing the raw-row count keep it beside the
+    * artifact. */
+  def histQuantilesFromHist(hist: DataFrame,
+                            qs: Seq[(String, Double)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 },
+      "quantiles must be named and within [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy("v")
+    val cum = hist
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("cumb", col("cum") - col("c"))
+    val spine = hist.groupBy("g").agg(sum("c").as("n"), sum("c").as("nv"))
+    qs.foldLeft(spine) { case (acc, (name, q)) =>
+      val pos = lit(q) * (col("nv") - 1).cast("double")
+      val lo = floor(pos).cast("long")
+      val hi = least(lo + 1, col("nv") - 1)
+      val hl = cum.select(col("g").as("_g"), col("v").as("_vl"),
+        col("cumb").as("_bl"), col("cum").as("_cl"))
+      val hu = cum.select(col("g").as("_g2"), col("v").as("_vu"),
+        col("cumb").as("_bu"), col("cum").as("_cu"))
+      acc
+        .join(hl, acc("g") <=> hl("_g") && lo >= col("_bl") && lo < col("_cl"), "left_outer")
+        .join(hu, acc("g") <=> hu("_g2") && hi >= col("_bu") && hi < col("_cu"), "left_outer")
+        .withColumn(name,
+          round(col("_vl").cast("double") +
+            (pos - lo.cast("double")) * (col("_vu").cast("double") - col("_vl").cast("double")), 4))
+        .drop("_g", "_vl", "_bl", "_cl", "_g2", "_vu", "_bu", "_cu")
+    }.drop("nv")
+  }
+
   /** Count-min bucket for sketch row `r`: fold of the first 8 md5 hex
     * chars of "r:key", mod `w`. Row-salting the key string gives the d
     * independent hash functions from the one md5 primitive. */

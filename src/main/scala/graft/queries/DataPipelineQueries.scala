@@ -573,6 +573,37 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── INCREMENTAL percentiles (the arrival path for order
+    //    statistics): the (group, value, count) histogram is an ADDITIVE
+    //    artifact — built per corpus half, union+summed, served — and
+    //    the result must be bit-identical to the from-scratch histogram
+    //    walk, so it SHARES corpus_length_percentiles_hist's oracle
+    //    (which itself shares the buffering percentile's). An arriving
+    //    batch folds in at O(batch distinct values). ──
+    QueryDef.sql(
+      "corpus_percentiles_incremental",
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(quantile_cont(length(text), 0.1) AS DOUBLE), 4) AS p10,
+        |  round(CAST(quantile_cont(length(text), 0.5) AS DOUBLE), 4) AS p50,
+        |  round(CAST(quantile_cont(length(text), 0.9) AS DOUBLE), 4) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val h1 = Sketches.histBuild(
+          docs.filter(col("doc_id") % 2 === 0), "lang", length(col("text")))
+        val h2 = Sketches.histBuild(
+          docs.filter(col("doc_id") % 2 === 1), "lang", length(col("text")))
+        val q = Sketches.histQuantilesFromHist(Sketches.histMerge(h1, h2),
+            Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+          .drop("n").withColumnRenamed("g", "_g")
+        // raw-row count (incl. null-text rows) rides beside the artifact
+        val n = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        n.join(q, col("lang") <=> col("_g"), "left_outer")
+          .select(col("lang"), col("n"), col("p10"), col("p50"), col("p90"))
+          .orderBy(asc_nulls_last("lang"))
+    },
+
     // ── Winsorized length statistics: per-language doc lengths clipped
     //    to [p10, p90] — the outlier-robust mean a calibration pass
     //    reports next to the raw one (one 500k-char doc shouldn't move

@@ -171,6 +171,28 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Audio resample planning — the WAV-side twin of [[resizeDims]]:
+    * output sample count for a target rate in exact integer arithmetic
+    * (out = in·target div rate, truncating — both engines agree), plus
+    * the output byte size under 16-bit PCM (samples · channels · 2).
+    * Non-audio rows (null sample_rate) pass through null. The resample
+    * itself needs a DSP lib this container doesn't carry; the plan is
+    * the schedulable, oracle-checkable half. */
+  def resamplePlan(meta: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate >= 1, s"bad target rate: $targetRate")
+    val inSamples = col("n_frames").cast("long")
+    val out = when(col("sample_rate").isNull, lit(null))
+      .otherwise(ldiv(inSamples * targetRate, col("sample_rate").cast("long")))
+    // image/video rows carry their own channels (e.g. RGB = 3) — every
+    // audio-plan column must gate on sample_rate, not just the samples
+    meta.select(col("media_id"), col("sample_rate"),
+      when(col("sample_rate").isNull, lit(null)).otherwise(col("channels")).as("channels"),
+      when(col("sample_rate").isNull, lit(null)).otherwise(inSamples).as("in_samples"),
+      lit(targetRate).as("out_rate"),
+      out.cast("long").as("out_samples"),
+      (out * col("channels").cast("long") * 2L).cast("long").as("out_bytes"))
+  }
+
   /** Feature-extraction stage: fixed-size float vector per blob (stub:
     * byte histogram over 8 buckets, L1-normalized — deterministic, and the
     * same batch shape as a real embedding model). */

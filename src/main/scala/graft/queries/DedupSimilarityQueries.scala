@@ -1892,6 +1892,36 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── Audio resample planning over the REAL WAV containers — the
+    //    resizeDims twin for the audio modality: out samples for a 16 kHz
+    //    target in exact truncating integer arithmetic, out bytes under
+    //    16-bit PCM; image/video rows pass through null. Oracle
+    //    re-derives everything from the fixture arithmetic. ──
+    QueryDef.sql(
+      "mm_audio_resample_plan",
+      """WITH f AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 3 THEN CAST(8000 * (1 + doc_id % 5) AS BIGINT) END AS rate,
+        |    CASE WHEN doc_id % 4 = 3 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS ch,
+        |    CASE WHEN doc_id % 4 = 3 THEN CAST(1 + doc_id % 50 AS BIGINT) END AS ns
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+        |  ns AS in_samples, CAST(16000 AS INT) AS out_rate,
+        |  (ns * 16000) // rate AS out_samples,
+        |  ((ns * 16000) // rate) * ch * 2 AS out_bytes
+        |FROM f ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.MediaFixtures.build(id))))
+          .toDF("doc_id", "blob")
+        Multimodal.resamplePlan(Multimodal.decodeMeta(blobs, "doc_id", "blob"),
+            targetRate = 16000)
+          .select(col("media_id").as("doc_id"), col("sample_rate"), col("channels"),
+            col("in_samples"), col("out_rate"), col("out_samples"), col("out_bytes"))
+          .orderBy("doc_id")
+    },
+
     // ── binaryFile ARRIVAL path: the same real containers, but arriving
     //    as individual FILES through Spark's binaryFile source (how raw
     //    media actually lands at scale — an object-store prefix of

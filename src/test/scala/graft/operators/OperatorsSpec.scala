@@ -197,6 +197,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ext(1L) == Some(0.0))
   }
 
+  test("resamplePlan: exact truncating rate math, non-audio rows all-null") {
+    import spark.implicits._
+    val meta = Seq(
+      (1L, Some(8000), Some(1), Some(12345)),  // upsample 2x
+      (2L, Some(40000), Some(2), Some(100)),   // downsample 2.5x: 100*16000/40000 = 40
+      (3L, None, Some(3), Some(7)))            // image row: channels must NOT leak
+      .toDF("media_id", "sample_rate", "channels", "n_frames")
+    val got = Multimodal.resamplePlan(meta, targetRate = 16000)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(5)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Int]),
+          Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) === ((Some(24690L), Some(1), Some(49380L))))
+    assert(got(2L) === ((Some(40L), Some(2), Some(160L))))
+    assert(got(3L) === ((None, None, None)))
+  }
+
   test("ragChunks: stride/overlap geometry, short docs, empty docs") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens

@@ -2905,6 +2905,56 @@ object DataPipelineQueries {
           .crossJoin(Sketches.hllEstimate(Sketches.hllRegisters(words, "w")))
     },
 
+    // ── Zipf rank-frequency slope: least squares of log f vs log r over
+    //    the top-30 words — the corpus-naturalness diagnostic (natural
+    //    text ≈ −1; template soup ≈ 0). BOTH logs are the fixed-point
+    //    integer ladder (two prefixed instances in one oracle — the PCA
+    //    deflation-prefix precedent), so Σx, Σy, Σxy, Σx² are exact
+    //    longs and the slope is ONE closing division of exact integers.
+    //    The rank window runs on a 30-row frame (bounded by K, never by
+    //    the corpus). ──
+    QueryDef.sql(
+      "corpus_zipf_slope",
+      s"""WITH t AS (SELECT list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+         |e AS (SELECT unnest(ws) AS w FROM t),
+         |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY w),
+         |rk AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+         |       FROM wc ORDER BY cnt DESC, w LIMIT 30),
+         |ndr AS (SELECT w AS b, CAST(rank AS BIGINT) AS num, CAST(1 AS BIGINT) AS den FROM rk),
+         |${DsirOracle.fixedPointLog2Cte("ndr", "r")},
+         |ndf AS (SELECT w AS b, cnt AS num, CAST(1 AS BIGINT) AS den FROM rk),
+         |${DsirOracle.fixedPointLog2Cte("ndf", "f")},
+         |xy AS (SELECT r.b, r.sb AS x, f.sb AS y FROM rsbq r JOIN fsbq f ON f.b = r.b),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM xy)
+         |SELECT n,
+         |  n * sxy - sx * sy AS num,
+         |  n * sxx - sx * sx AS den,
+         |  round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+         |FROM s""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val wc = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).cast("long").as("cnt"))
+        // rank window over the K-row frame — bounded by K, never the corpus
+        val ranked = wc.orderBy(col("cnt").desc, col("w")).limit(30)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+        val withX = TextOps.withFixedPointLog2Q8(ranked, "rank", "1", "x")
+        val withXY = TextOps.withFixedPointLog2Q8(withX, "cnt", "1", "y")
+        withXY.agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          .select(col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+    },
+
     // ── Per-language unigram ENTROPY in exact fixed-point: H =
     //    Σ cnt·floor(256·log2(total/cnt)) / (256·total) — the corpus
     //    diversity metric (low = template soup, high = diverse prose),

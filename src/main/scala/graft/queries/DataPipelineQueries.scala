@@ -1183,6 +1183,76 @@ object DataPipelineQueries {
           .orderBy("bucket")
     },
 
+    // ── Heaps-law exponent: β in V(n) ≈ K·n^β from the 10-bucket vocab
+    //    growth curve — least squares of log cum_vocab vs log cum_tokens
+    //    with both logs from the fixed-point ladder (the Zipf regression
+    //    shape; natural text β ≈ 0.4–0.6, a closed template vocabulary
+    //    → β ≈ 0 once the vocab saturates). All sums exact longs, one
+    //    closing division; every frame is 10 rows past the partial-agg
+    //    bucket counts. ──
+    QueryDef.sql(
+      "corpus_heaps_slope",
+      s"""WITH e AS (SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS w
+         |           FROM documents),
+         |mx AS (SELECT max(doc_id) AS mid FROM documents),
+         |tb AS (SELECT CAST(doc_id * 10 // (mid + 1) AS BIGINT) AS bucket,
+         |              CAST(count(*) AS BIGINT) AS nt FROM e, mx GROUP BY 1),
+         |f AS (SELECT w, min(doc_id) AS fd FROM e GROUP BY w),
+         |pb AS (SELECT CAST(fd * 10 // (mid + 1) AS BIGINT) AS bucket,
+         |              CAST(count(*) AS BIGINT) AS nw FROM f, mx GROUP BY 1),
+         |sp AS (SELECT unnest(range(0, 10)) AS bucket),
+         |cum AS (SELECT sp.bucket,
+         |          CAST(sum(coalesce(tb.nt, 0)) OVER (ORDER BY sp.bucket) AS BIGINT) AS ct,
+         |          CAST(sum(coalesce(pb.nw, 0)) OVER (ORDER BY sp.bucket) AS BIGINT) AS cv
+         |        FROM sp LEFT JOIN tb USING (bucket) LEFT JOIN pb USING (bucket)),
+         |ndn AS (SELECT CAST(bucket AS VARCHAR) AS b, greatest(ct, 1) AS num, CAST(1 AS BIGINT) AS den FROM cum),
+         |${DsirOracle.fixedPointLog2Cte("ndn", "n")},
+         |ndv AS (SELECT CAST(bucket AS VARCHAR) AS b, greatest(cv, 1) AS num, CAST(1 AS BIGINT) AS den FROM cum),
+         |${DsirOracle.fixedPointLog2Cte("ndv", "v")},
+         |xy AS (SELECT n.sb AS x, v.sb AS y FROM nsbq n JOIN vsbq v ON v.b = n.b),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |      FROM xy)
+         |SELECT n,
+         |  n * sxy - sx * sy AS num,
+         |  n * sxx - sx * sx AS den,
+         |  round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS heaps_beta
+         |FROM s""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val e = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val mid = docs.agg(max("doc_id")).collect().head.getLong(0)
+        val bucketOf = (c: org.apache.spark.sql.Column) =>
+          expr(s"(${c.toString} * 10) div ${mid + 1}")
+        val tb = e.groupBy(bucketOf(col("doc_id")).as("bucket"))
+          .agg(count(lit(1)).cast("long").as("nt"))
+        val pb = e.groupBy("w").agg(min("doc_id").as("fd"))
+          .groupBy(bucketOf(col("fd")).as("bucket"))
+          .agg(count(lit(1)).cast("long").as("nw"))
+        val spine = s.range(10).select(col("id").as("bucket"))
+        val w10 = Window.orderBy("bucket") // 10-row frame, bounded by design
+        val cum = spine
+          .join(tb, Seq("bucket"), "left_outer")
+          .join(pb, Seq("bucket"), "left_outer")
+          .select(col("bucket"),
+            sum(coalesce(col("nt"), lit(0L))).over(w10).as("ct"),
+            sum(coalesce(col("nw"), lit(0L))).over(w10).as("cv"))
+          .withColumn("ctg", greatest(col("ct"), lit(1L)))
+          .withColumn("cvg", greatest(col("cv"), lit(1L)))
+        val withX = TextOps.withFixedPointLog2Q8(cum, "ctg", "1", "x")
+        val withXY = TextOps.withFixedPointLog2Q8(withX, "cvg", "1", "y")
+        withXY.agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          .select(col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("heaps_beta"))
+    },
+
     // ── Training-shard assignment: content-keyed md5 sharding (the
     //    export stage; membership reproducible by any engine — DuckDB
     //    re-derives the hex value with a digit fold). Balance check via

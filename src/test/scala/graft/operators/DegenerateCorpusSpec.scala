@@ -73,4 +73,43 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(!top.exists(_.getAs[Long]("vec_id") == 1L),
       "a zero vector has no cosine and must not rank")
   }
+
+  test("sketches: empty and null-heavy corpora flow through") {
+    // HLL: empty input = all-zero registers, estimate defined (raw bias regime)
+    val regs = Sketches.hllRegisters(empty.select(col("text").as("k")), "k")
+    assert(regs.count() == 256 && regs.agg(sum("register")).collect().head.getLong(0) == 0)
+    val est = Sketches.hllEstimate(regs).collect().head
+    assert(est.getAs[Long]("n_zero") == 256L)
+    // nulls are ignored, not crashed on
+    val withNulls = nasty.select(col("text").as("k"))
+    assert(Sketches.hllRegisters(withNulls, "k").count() == 256)
+    // CMS over an empty frame: zero cells, estimates never invented
+    val cells = Sketches.cmsCells(
+      empty.select(col("text").as("w")).withColumn("c", lit(1L)), "w", "c")
+    assert(cells.count() == 0)
+    // histogram quantiles: empty input yields an empty frame, no throw
+    assert(Sketches.histQuantiles(empty, "doc_id", length(col("text")),
+      Seq("p50" -> 0.5)).count() == 0)
+  }
+
+  test("dsir: empty corpus and all-target corpus score without throwing") {
+    val e2 = empty.withColumn("is_t", lit(false))
+    assert(TextOps.importanceScore(e2, "doc_id", "text", "is_t").count() == 0)
+    assert(TextOps.importanceSelect(
+      TextOps.importanceScore(e2, "doc_id", "text", "is_t"), 300).count() == 0)
+    // target == raw: every smoothed ratio is (t+1)·R vs (r+1)·T with t=r —
+    // scores collapse to ~0 and selection still picks ceil(permille)
+    val all = nasty.withColumn("is_t", lit(true))
+    val sel = TextOps.importanceSelect(
+      TextOps.importanceScore(all, "doc_id", "text", "is_t"), 500)
+    assert(sel.count() == 6 && sel.where(col("selected")).count() >= 3)
+  }
+
+  test("kmeans: k = 1 collapses to the dyadic mean of everything") {
+    val vs = Seq((0L, Seq(1.0f, 3.0f)), (1L, Seq(3.0f, 5.0f)), (2L, Seq(5.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val m = KMeans.train(vs, "vec_id", "embedding", k = 1, iters = 2)
+    assert(m.sizes.toSeq == Seq(3L))
+    assert(math.abs(m.centroids(0)(0) - 3.0) < 1e-9 && math.abs(m.centroids(0)(1) - 3.0) < 1e-9)
+  }
 }

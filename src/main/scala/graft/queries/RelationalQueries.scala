@@ -988,6 +988,53 @@ object RelationalQueries {
           .orderBy("hour", "event_type")
     },
 
+    // ── Hourly distinct users via grouped HLL — the canonical sketch
+    //    deployment (unique visitors per window): per-hour register
+    //    frames instead of a per-hour distinct-user exchange, missing
+    //    buckets folded in arithmetically, truth riding along. Keys md5
+    //    the DECIMAL string of user_id — both engines print integers
+    //    identically. ──
+    QueryDef.sql(
+      "h11_hourly_distinct_users",
+      """WITH h AS (SELECT DISTINCT date_trunc('hour', ts) AS g, CAST(user_id AS VARCHAR) AS w
+        |           FROM events WHERE user_id IS NOT NULL),
+        |rr AS (SELECT g, (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS bucket,
+        |              substr(md5(w), 3, 16) AS tail FROM h),
+        |z AS (SELECT g, bucket, tail, length(regexp_extract(tail, '^(0*)', 1)) AS nz FROM rr),
+        |dv AS (SELECT g, bucket, nz, strpos('0123456789abcdef', substr(tail, nz + 1, 1)) - 1 AS d FROM z),
+        |rho AS (SELECT g, bucket, CASE WHEN nz >= 16 THEN 40 ELSE
+        |          least(4 * nz + CASE WHEN d >= 8 THEN 0 WHEN d >= 4 THEN 1
+        |                              WHEN d >= 2 THEN 2 ELSE 3 END + 1, 40) END AS rho
+        |        FROM dv),
+        |regs AS (SELECT g, bucket, CAST(max(rho) AS INTEGER) AS register FROM rho GROUP BY 1, 2),
+        |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS present,
+        |          CAST(sum(CAST(1 AS BIGINT) << (40 - register)) AS BIGINT) AS sp,
+        |          CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zp
+        |        FROM regs GROUP BY g),
+        |tr AS (SELECT date_trunc('hour', ts) AS g, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+        |       FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT a.g AS hour, tr.n_true,
+        |  CAST(a.sp + (256 - a.present) * (CAST(1 AS BIGINT) << 40) AS BIGINT) AS s_sum,
+        |  CAST(a.zp + (256 - a.present) AS BIGINT) AS n_zero,
+        |  round(((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0) * 256.0 * 1099511627776.0
+        |    / CAST(a.sp + (256 - a.present) * (CAST(1 AS BIGINT) << 40) AS DOUBLE), 4) AS hll_estimate
+        |FROM agg a JOIN tr ON tr.g = a.g
+        |ORDER BY hour""".stripMargin) {
+      (s, d) =>
+        import graft.operators.Sketches
+        val ev = Tables.events(s, d).where(col("user_id").isNotNull)
+          .select(date_trunc("hour", col("ts")).as("g"),
+            col("user_id").cast("string").as("w"))
+        val est = Sketches.hllEstimateByGroup(Sketches.hllRegistersByGroup(ev, "g", "w"))
+        val truth = ev.groupBy(col("g").as("_g2"))
+          .agg(countDistinct("w").cast("long").as("n_true"))
+        est.join(truth, col("g") === col("_g2"))
+          .select(col("g").as("hour"), col("n_true"), col("s_sum"),
+            col("n_zero"), col("hll_estimate"))
+          .orderBy("hour")
+    },
+
     // ── Z-order (Morton) layout key over orders: hash-dim custkey ×
     //    range-dim order date (the cluster-by-(hash(user), day) shape).
     //    Sorting by zval makes parquet row-group min/max tight on BOTH

@@ -125,6 +125,47 @@ object KMeans {
     Model(cents, sizes)
   }
 
+  /** The SERVE half: every vector's cluster under a trained model —
+    * the same quantized-distance argmin as the training pass (ties to
+    * the smallest cluster id), run as one mapPartitions over broadcast
+    * centroid literals. No shuffle; composes into cluster-balanced
+    * sampling and per-cluster curation downstream. */
+  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    val k = model.centroids.length
+    val d = model.centroids.head.length
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val rows = df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    val out = rows.rdd.mapPartitions { it =>
+      val cs = bc.value
+      it.map { r =>
+        val v = r.getSeq[Float](1)
+        var best = 0
+        var bestQ = Long.MaxValue
+        var j = 0
+        while (j < k) {
+          val c = cs(j)
+          var dq = 0L
+          var i = 0
+          while (i < d) {
+            val diff = v(i).toDouble - c(i)
+            dq += Pca.rnd(diff * diff * Scale)
+            i += 1
+          }
+          val key = dq * k + j
+          if (key < bestQ) { bestQ = key; best = j }
+          j += 1
+        }
+        org.apache.spark.sql.Row(r.getLong(0), best.toLong)
+      }
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
   /** The trained model as an exploded frame `(cluster, n_members, dim,
     * cq)` with cq = centroid·2^32 (exact long — dyadic coordinates make
     * this lossless), the array-free shape the driver compare sorts. */

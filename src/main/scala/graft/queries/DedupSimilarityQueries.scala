@@ -2827,5 +2827,20 @@ object DedupSimilarityQueries {
         graft.operators.KMeans.trainFrame(
           Tables.embeddings(s, d), "vec_id", "embedding", k = 4, iters = 3)
     },
+
+    // ── The k-means SERVE half: every vector's assignment under the
+    //    trained model — the oracle replays training AND one more
+    //    quantized-distance argmin round, so the full train→assign
+    //    contract is pinned end to end. ──
+    QueryDef.sql(
+      "sim_kmeans_assign",
+      KMeansOracle.assignSql(k = 4, iters = 3)) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val m = graft.operators.KMeans.train(emb, "vec_id", "embedding",
+          k = 4, iters = 3)
+        graft.operators.KMeans.assign(emb, "vec_id", "embedding", m)
+          .orderBy("vec_id")
+    },
   )
 }

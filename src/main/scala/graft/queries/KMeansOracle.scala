@@ -43,4 +43,36 @@ object KMeansOracle {
        |FROM c$iters c LEFT JOIN n$iters n USING (j)
        |ORDER BY cluster, dim""".stripMargin
   }
+
+  /** Oracle for the SERVE half: every vector's assignment under the
+    * trained model — one more quantized-distance/argmin round against
+    * the final centroid frame. */
+  def assignSql(k: Int, iters: Int): String = {
+    val header =
+      s"""u0 AS MATERIALIZED (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i, CAST(unnest(embedding) AS DOUBLE) AS xi FROM embeddings),
+         |sd AS MATERIALIZED (SELECT vec_id % $k AS j, min(vec_id) AS sid FROM embeddings GROUP BY 1),
+         |c0 AS MATERIALIZED (SELECT sd.j, u0.i, u0.xi AS cv FROM sd JOIN u0 ON u0.vec_id = sd.sid)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val p = t - 1
+      s"""d$t AS MATERIALIZED (SELECT u0.vec_id, c.j,
+         |    CAST(sum(CAST(round((u0.xi - c.cv) * (u0.xi - c.cv) * $S) AS BIGINT)) AS BIGINT) AS dq
+         |  FROM u0 JOIN c$p c ON c.i = u0.i GROUP BY 1, 2),
+         |a$t AS MATERIALIZED (SELECT vec_id, CAST(min(dq * $k + j) % $k AS BIGINT) AS j FROM d$t GROUP BY vec_id),
+         |n$t AS MATERIALIZED (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a$t GROUP BY j),
+         |s$t AS MATERIALIZED (SELECT a.j, u0.i, CAST(sum(CAST(round(u0.xi * $S) AS BIGINT)) AS BIGINT) AS sq
+         |  FROM a$t a JOIN u0 ON u0.vec_id = a.vec_id GROUP BY 1, 2),
+         |c$t AS MATERIALIZED (
+         |  SELECT s.j, s.i, CAST(s.sq // n.n AS DOUBLE) / $S AS cv FROM s$t s JOIN n$t n USING (j)
+         |  UNION ALL
+         |  SELECT c.j, c.i, c.cv FROM c$p c WHERE c.j NOT IN (SELECT j FROM n$t))""".stripMargin
+    }
+    val serve =
+      s"""ds AS (SELECT u0.vec_id, c.j,
+         |    CAST(sum(CAST(round((u0.xi - c.cv) * (u0.xi - c.cv) * $S) AS BIGINT)) AS BIGINT) AS dq
+         |  FROM u0 JOIN c$iters c ON c.i = u0.i GROUP BY 1, 2)
+         |SELECT vec_id, CAST(min(dq * $k + j) % $k AS BIGINT) AS cluster
+         |FROM ds GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    s"""WITH ${(header +: steps).mkString(",\n")},
+       |${serve}""".stripMargin
+  }
 }

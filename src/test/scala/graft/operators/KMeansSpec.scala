@@ -46,6 +46,25 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("assign is consistent with training sizes and deterministic") {
+    val rows = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) 5f else -5f
+      (i.toLong, Seq(base + (i % 7) * 0.1f, base - (i % 3) * 0.1f))
+    }
+    val df = vecDf(rows)
+    val m = KMeans.train(df, "vec_id", "embedding", k = 2, iters = 3)
+    val a = KMeans.assign(df, "vec_id", "embedding", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // assignment histogram under the final centroids need not equal the
+    // LAST TRAINING pass's sizes in general, but on converged blobs it does
+    val hist = a.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(hist.values.toSeq.sorted === m.sizes.toSeq.sorted)
+    // deterministic under repartitioning
+    val b = KMeans.assign(df.repartition(7), "vec_id", "embedding", m)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b === a)
+  }
+
   test("requires every residue class inhabited") {
     val rows = Seq((0L, Seq(1f, 1f)), (2L, Seq(2f, 2f))) // no id % 4 == 1
     intercept[IllegalArgumentException](

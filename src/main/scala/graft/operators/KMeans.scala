@@ -125,11 +125,12 @@ object KMeans {
     Model(cents, sizes)
   }
 
-  /** The SERVE half: every vector's cluster under a trained model —
-    * the same quantized-distance argmin as the training pass (ties to
-    * the smallest cluster id), run as one mapPartitions over broadcast
-    * centroid literals. No shuffle; composes into cluster-balanced
-    * sampling and per-cluster curation downstream. */
+  /** The SERVE half: every vector's cluster under a trained model plus
+    * its quantized squared distance (the inertia ingredient) — the same
+    * argmin as the training pass (ties to the smallest cluster id), run
+    * as one mapPartitions over broadcast centroid literals. No shuffle;
+    * composes into cluster-balanced sampling, per-cluster curation, and
+    * the elbow diagnostic downstream. */
   def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
     val spark = df.sparkSession
     val k = model.centroids.length
@@ -156,13 +157,16 @@ object KMeans {
           if (key < bestQ) { bestQ = key; best = j }
           j += 1
         }
-        org.apache.spark.sql.Row(r.getLong(0), best.toLong)
+        // recover the winning quantized distance from the tie-break key
+        org.apache.spark.sql.Row(r.getLong(0), best.toLong, (bestQ - best) / k)
       }
     }
     spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist_q",
         org.apache.spark.sql.types.LongType, nullable = false))))
   }
 

@@ -2840,7 +2840,25 @@ object DedupSimilarityQueries {
         val m = graft.operators.KMeans.train(emb, "vec_id", "embedding",
           k = 4, iters = 3)
         graft.operators.KMeans.assign(emb, "vec_id", "embedding", m)
+          .select("vec_id", "cluster")
           .orderBy("vec_id")
+    },
+
+    // ── Per-cluster inertia (within-cluster sum of quantized squared
+    //    distances) — the elbow-curve ingredient, EXACT: dq values are
+    //    already quantized longs, so per-cluster sums are bit-stable
+    //    and the oracle replays them integer-for-integer. ──
+    QueryDef.sql(
+      "sim_kmeans_inertia",
+      KMeansOracle.inertiaSql(k = 4, iters = 3)) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val m = graft.operators.KMeans.train(emb, "vec_id", "embedding",
+          k = 4, iters = 3)
+        graft.operators.KMeans.assign(emb, "vec_id", "embedding", m)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"), sum("dist_q").as("inertia_q"))
+          .orderBy("cluster")
     },
   )
 }

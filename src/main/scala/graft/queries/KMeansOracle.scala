@@ -75,4 +75,21 @@ object KMeansOracle {
     s"""WITH ${(header +: steps).mkString(",\n")},
        |${serve}""".stripMargin
   }
+
+  /** Oracle for per-cluster inertia: the serve round's winning quantized
+    * distances summed per cluster — dq recovered exactly from the
+    * tie-break key ((min_key − j) / k, integer division exact because
+    * min_key ≡ j (mod k)). */
+  def inertiaSql(k: Int, iters: Int): String = {
+    val base = assignSql(k, iters)
+    val cut = base.lastIndexOf("SELECT vec_id,")
+    // the prefix ends at the ds CTE's closing paren — append the argmin
+    // rollup as two more CTE-equivalent steps
+    s"""${base.substring(0, cut).trim.stripSuffix(")")}),
+       |a AS (SELECT vec_id, CAST(min(dq * $k + j) AS BIGINT) AS mk FROM ds GROUP BY vec_id)
+       |SELECT CAST(mk % $k AS BIGINT) AS cluster,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum((mk - mk % $k) // $k) AS BIGINT) AS inertia_q
+       |FROM a GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
 }

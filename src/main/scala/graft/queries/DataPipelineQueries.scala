@@ -2553,6 +2553,48 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── HELD-OUT surprisal (the honest perplexity shape): the unigram
+    //    LM trains on the EVEN half and scores the ODD half — a model
+    //    scoring its own training data under-reads surprisal, and every
+    //    real perplexity eval separates the two. Unseen words score as
+    //    count-1 events (floor(log2 total), the exact-integer add-one
+    //    stand-in). Same integer-bit core and ONE closing division as
+    //    the self-scored gate. ──
+    QueryDef.sql(
+      "text_surprisal_heldout",
+      """WITH trn AS (SELECT list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+        |             FROM documents WHERE doc_id % 2 = 0),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM (SELECT unnest(ws) AS w FROM trn) GROUP BY w),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+        |s AS (SELECT w, CAST(length(bin(total // cnt)) - 1 AS BIGINT) AS bits FROM v, tot),
+        |t AS (SELECT doc_id, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws
+        |      FROM documents WHERE doc_id % 2 = 1),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS occ FROM e GROUP BY doc_id, w),
+        |d AS (SELECT dw.doc_id AS doc,
+        |        CAST(sum(coalesce(s.bits, (SELECT length(bin(total)) - 1 FROM tot)) * dw.occ) AS BIGINT) AS raw_bits,
+        |        CAST(sum(dw.occ) AS BIGINT) AS n_tokens
+        |      FROM dw LEFT JOIN s USING (w) GROUP BY dw.doc_id)
+        |SELECT t.doc_id AS doc,
+        |  coalesce(d.n_tokens, 0) AS n_tokens,
+        |  coalesce(d.raw_bits, 0) AS raw_bits,
+        |  coalesce(d.raw_bits, 0) / CAST(CASE WHEN coalesce(d.n_tokens, 0) = 0 THEN NULL
+        |                                      ELSE d.n_tokens END AS DOUBLE) AS mean_bits,
+        |  coalesce(coalesce(d.raw_bits, 0) / CAST(CASE WHEN coalesce(d.n_tokens, 0) = 0 THEN NULL
+        |      ELSE d.n_tokens END AS DOUBLE) BETWEEN 4.01 AND 4.4, false) AS keep
+        |FROM t LEFT JOIN d ON d.doc = t.doc_id
+        |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val lm = docs.filter(col("doc_id") % 2 === 0)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).cast("long").as("cnt"))
+        TextOps.surprisalScore(docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", minBits = 4.01, maxBits = 4.4, lm = Some(lm))
+          .orderBy("doc")
+    },
+
     // ── The data card: the one-row corpus summary that ships with a
     //    dataset release — sizes, language mix (mode via min(struct)
     //    argmax, no rank window), exact-duplication rate. Every number

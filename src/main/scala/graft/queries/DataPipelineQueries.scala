@@ -1347,6 +1347,50 @@ object DataPipelineQueries {
           .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // ── Quality-WEIGHTED sampling: per-doc keep-rate derived from the
+    //    doc's own classifier score — keep-permille = clamp(500 +
+    //    score-per-token-permille, 0, 1000), so good docs keep at up to
+    //    100% and junk decays toward 0 — then the same reproducible
+    //    md5-fold membership test as every sampler here (no RNG state;
+    //    any engine re-derives who stayed). The per-doc-rate form
+    //    generalizes the per-stratum temperature sampler. All integer
+    //    until the membership compare. ──
+    QueryDef.sql(
+      "pipeline_sample_quality_weighted",
+      """WITH t AS (SELECT doc_id, text, list_filter(string_split(trim(text), ' '), w -> w <> '') AS ws FROM documents),
+        |v(w, wt) AS (VALUES ('vector', 400), ('stream', 300), ('query', 250), ('data', 200),
+        |             ('join', 150), ('the', -50), ('a', -20), ('slow', -350)),
+        |e AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |h AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS raw FROM e JOIN v USING (w) GROUP BY doc_id),
+        |p AS (SELECT t.doc_id, t.text,
+        |        greatest(0, least(1000,
+        |          500 + coalesce(h.raw, 0) * 1000 // (CASE WHEN len(t.ws) = 0 THEN NULL ELSE len(t.ws) END * 1000)
+        |        )) AS permille
+        |      FROM t LEFT JOIN h USING (doc_id)),
+        |b AS (SELECT doc_id, permille,
+        |        CAST(CAST(list_sum([ (strpos('0123456789abcdef', substr(md5(text), 1, 8)[i]) - 1)
+        |             * power(16, 8 - i) for i in range(1, 9) ]) AS BIGINT) % 1000 AS INTEGER) AS bkt
+        |      FROM p)
+        |SELECT doc_id, CAST(permille AS BIGINT) AS keep_permille
+        |FROM b WHERE bkt < permille ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = Tables.documents(s, d)
+        val scored = TextOps.classifierScore(docs, "doc_id", "text",
+          weightsPermille = Map(
+            "vector" -> 400L, "stream" -> 300L, "query" -> 250L, "data" -> 200L,
+            "join" -> 150L, "the" -> -50L, "a" -> -20L, "slow" -> -350L),
+          threshold = 0.02)
+          .select(col("doc").as("doc_id"),
+            greatest(lit(0L), least(lit(1000L),
+              lit(500L) + expr("(raw_permille * 1000) div " +
+                "(CASE WHEN n_tokens = 0 THEN NULL ELSE n_tokens END * 1000)")))
+              .as("keep_permille"))
+        docs.join(scored, Seq("doc_id"))
+          .where(Sharding.hashBucket1000(col("text")) < col("keep_permille"))
+          .select(col("doc_id"), col("keep_permille"))
+          .orderBy("doc_id")
+    },
+
     // ── Sequence packing: per shard, documents concatenate in id order
     //    and chunk into fixed 256-token packs (the standard pretraining
     //    layout — docs spanning a cut straddle two packs). Pure integer

@@ -398,6 +398,32 @@ object EngineQueries {
           .select(col("w"), col("true_cnt"), col("cms_est"))
           .orderBy(col("true_cnt").desc, col("w").asc)
     },
+
+    // ── Streaming percentiles vertical, ORACLE-pinned via additivity:
+    //    two micro-batches write histogram deltas, the union-summed
+    //    ledger must equal the whole-corpus histogram, so the final
+    //    quantile report matches DuckDB's quantile_cont over the raw
+    //    table (n = non-null value count — the histogram cannot know
+    //    about null-valued rows). ──
+    QueryDef.sql(
+      "engine_stream_percentiles",
+      """SELECT lang,
+        |  CAST(count(length(text)) AS BIGINT) AS n,
+        |  round(CAST(quantile_cont(length(text), 0.1) AS DOUBLE), 4) AS p10,
+        |  round(CAST(quantile_cont(length(text), 0.5) AS DOUBLE), 4) AS p50,
+        |  round(CAST(quantile_cont(length(text), 0.9) AS DOUBLE), 4) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin) {
+      (s, d) =>
+        val idx = java.nio.file.Files.createTempDirectory("graft-sperc").toString
+        val docs = graft.Tables.documents(s, d)
+        val qs = Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9)
+        graft.streaming.StreamingPercentiles.processBatch(
+          docs.filter(col("doc_id") % 2 === 0), 0L, "lang", length(col("text")), idx, qs)
+        graft.streaming.StreamingPercentiles.processBatch(
+          docs.filter(col("doc_id") % 2 === 1), 1L, "lang", length(col("text")), idx, qs)
+          .select(col("g").as("lang"), col("n"), col("p10"), col("p50"), col("p90"))
+          .orderBy(asc_nulls_last("lang"))
+    },
   )
 
   // one fixture per session: (store, pinned version after phase 1)

@@ -553,6 +553,46 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Gini coefficient of doc lengths per language — the inequality
+    //    lens on corpus balance (0 = uniform lengths, →1 = a few huge
+    //    docs dominate), computed from the HISTOGRAM, not a global
+    //    sort: for a run of c equal values v after B predecessors,
+    //    Σ rank·x = v·(c·B + c(c+1)/2) — exact longs through the
+    //    domain-bounded window, two fixed-order closing divisions. ──
+    QueryDef.sql(
+      "corpus_length_gini",
+      """WITH h AS (SELECT lang, length(text) AS v, CAST(count(*) AS BIGINT) AS c
+        |           FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT lang, v, c,
+        |        CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+        |      FROM h),
+        |a AS (SELECT lang,
+        |        CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(v * c) AS BIGINT) AS s,
+        |        CAST(sum(v * (c * b + c * (c + 1) // 2)) AS BIGINT) AS t
+        |      FROM w GROUP BY lang)
+        |SELECT lang, n, s AS sum_len,
+        |  round(2.0 * t / (CAST(n AS DOUBLE) * s) - (n + 1.0) / n, 4) AS gini
+        |FROM a ORDER BY lang NULLS LAST""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val h = Tables.documents(s, d).where(col("text").isNotNull)
+          .groupBy(col("lang"), length(col("text")).as("v"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val w = Window.partitionBy("lang").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = h.withColumn("b", coalesce(sum("c").over(w), lit(0L)))
+        ranked.groupBy("lang")
+          .agg(sum("c").as("n"), sum(col("v") * col("c")).as("s"),
+            sum(col("v") * (col("c") * col("b") +
+              expr("(c * (c + 1)) div 2"))).as("t"))
+          .select(col("lang"), col("n"), col("s").as("sum_len"),
+            round(lit(2.0) * col("t") / (col("n").cast("double") * col("s")) -
+              (col("n") + lit(1.0)) / col("n"), 4).as("gini"))
+          .orderBy(asc_nulls_last("lang"))
+    },
+
     // ── Histogram twin of the exact percentiles — the scale-CORRECT
     //    exact path for integer-domain metrics: reduce to a
     //    (group, value, count) histogram (partial-agg, state bounded by

@@ -988,6 +988,28 @@ object RelationalQueries {
           .orderBy("hour", "event_type")
     },
 
+    // ── Ship-lag distribution per order priority: days from order to
+    //    line shipment, quantiles via the domain-bounded histogram walk
+    //    (lags are small integers — the exact-percentile shape that
+    //    never buffers a group) over the orders⋈lineitem join. ──
+    QueryDef.sql(
+      "f9_ship_lag_percentiles",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(quantile_cont(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)), 0.5) AS DOUBLE), 4) AS p50,
+        |  round(CAST(quantile_cont(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)), 0.9) AS DOUBLE), 4) AS p90
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, d) =>
+        import graft.operators.Sketches
+        val joined = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        Sketches.histQuantiles(joined, "o_orderpriority",
+            datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))),
+            Seq("p50" -> 0.5, "p90" -> 0.9))
+          .orderBy("o_orderpriority")
+    },
+
     // ── Hourly distinct users via grouped HLL — the canonical sketch
     //    deployment (unique visitors per window): per-hour register
     //    frames instead of a per-hour distinct-user exchange, missing

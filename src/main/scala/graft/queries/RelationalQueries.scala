@@ -988,6 +988,46 @@ object RelationalQueries {
           .orderBy("hour", "event_type")
     },
 
+    // ── Top-3 customers by revenue per nation THROUGH THE BOUNDED HEAP —
+    //    the per-group top-k shape that replaces the rank window: a
+    //    window sorts every customer of a nation in one task (the
+    //    hot-gram failure mode, relational edition); the bounded-collect
+    //    aggregate keeps 3 rows of state per nation and collapses
+    //    map-side. Revenue quantized to e-4 units (exact long) so heap
+    //    ordering and the oracle's ORDER BY agree bit-for-bit. ──
+    QueryDef.sql(
+      "e9_top_customers_per_nation",
+      """WITH r AS (SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000) AS BIGINT) AS units
+        |           FROM orders GROUP BY o_custkey),
+        |j AS (SELECT n.n_name, c.c_custkey, r.units
+        |      FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+        |             JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |k AS (SELECT n_name, c_custkey, units,
+        |        row_number() OVER (PARTITION BY n_name ORDER BY units DESC, c_custkey) AS rk
+        |      FROM j)
+        |SELECT n_name, CAST(rk AS INT) AS rank, c_custkey,
+        |  round(units / 10000.0, 4) AS revenue
+        |FROM k WHERE rk <= 3 ORDER BY n_name, rank""".stripMargin) {
+      (s, d) =>
+        val rev = Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(round(sum(col("o_totalprice").cast(DecimalType(18, 4))) * 10000)
+            .cast("long").as("units"))
+        val j = rev
+          .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("c_nationkey"))
+          .select(col("n_name"), col("c_custkey"), col("units"))
+        j.groupBy("n_name")
+          .agg(graft.expressions.BoundedCollect
+            .boundedSortedCollect(struct((-col("units")).as("negu"), col("c_custkey")), 3)
+            .as("_top"))
+          .select(col("n_name"), posexplode(col("_top")).as(Seq("_i", "_t")))
+          .select(col("n_name"), (col("_i") + 1).cast("int").as("rank"),
+            col("_t.c_custkey").as("c_custkey"),
+            round((-col("_t.negu")).cast("double") / 10000.0, 4).as("revenue"))
+          .orderBy("n_name", "rank")
+    },
+
     // ── Ship-lag distribution per order priority: days from order to
     //    line shipment, quantiles via the domain-bounded histogram walk
     //    (lags are small integers — the exact-percentile shape that

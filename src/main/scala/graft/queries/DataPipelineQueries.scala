@@ -553,6 +553,33 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Boilerplate-line report: the lines shared by the most documents
+    //    (nav bars, footers, license blurbs) — the evidence table behind
+    //    the C4 "drop lines seen in ≥ N docs" rule, and the calibration
+    //    input for text_line_dedup's threshold. Lines travel as md5
+    //    hashes (identity, not text); distinct-doc counts are min≠max-
+    //    free exact counts over the (line, doc) distinct frame. ──
+    QueryDef.sql(
+      "text_boilerplate_lines",
+      """WITH l AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> trim(x) <> '')) AS line
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT md5(line) AS line_hash, CAST(max(length(line)) AS BIGINT) AS line_len,
+        |             CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM l GROUP BY md5(line))
+        |SELECT line_hash, line_len, n_docs
+        |FROM c ORDER BY n_docs DESC, line_hash LIMIT 25""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d).where(col("text").isNotNull)
+          .select(col("doc_id"),
+            explode(filter(split(col("text"), "\n"), x => trim(x) =!= "")).as("line"))
+          .distinct()
+          .groupBy(md5(col("line")).as("line_hash"))
+          .agg(max(length(col("line"))).cast("long").as("line_len"),
+            count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("line_hash"))
+          .limit(25)
+    },
+
     // ── Gini coefficient of doc lengths per language — the inequality
     //    lens on corpus balance (0 = uniform lengths, →1 = a few huge
     //    docs dominate), computed from the HISTOGRAM, not a global

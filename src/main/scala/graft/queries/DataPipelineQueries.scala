@@ -553,6 +553,42 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Duplicate-mass curve: how much of the corpus sits in exact-dup
+    //    families of each size — the dedup-planning evidence (family-size
+    //    1 = unique mass; the tail tells you what keep-first will delete
+    //    and whether near-dup machinery is even worth running). Group
+    //    sizes from content hashes, then a size histogram with doc mass
+    //    and its descending cumulative share. ──
+    QueryDef.sql(
+      "corpus_dup_mass_curve",
+      """WITH g AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS fam
+        |           FROM documents WHERE text IS NOT NULL GROUP BY md5(text)),
+        |s AS (SELECT fam, CAST(count(*) AS BIGINT) AS n_families,
+        |             CAST(sum(fam) AS BIGINT) AS n_docs
+        |      FROM g GROUP BY fam),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM s)
+        |SELECT s.fam AS family_size, s.n_families, s.n_docs,
+        |  round(CAST(sum(s.n_docs) OVER (ORDER BY s.fam DESC) AS DOUBLE) / t.total, 4)
+        |    AS cum_share_ge
+        |FROM s, t ORDER BY family_size""".stripMargin) {
+      (s, d) =>
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.documents(s, d).where(col("text").isNotNull)
+          .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("fam"))
+        val sz = g.groupBy("fam")
+          .agg(count(lit(1)).as("n_families"), sum("fam").as("n_docs"))
+        val total = sz.agg(sum("n_docs").as("total"))
+        // size histogram is tiny (distinct family sizes) — the window is
+        // bounded by the histogram, not the corpus
+        val w = Window.orderBy(col("fam").desc)
+        sz.crossJoin(broadcast(total))
+          .withColumn("cum_share_ge",
+            round(sum("n_docs").over(w).cast("double") / col("total"), 4))
+          .select(col("fam").as("family_size"), col("n_families"),
+            col("n_docs"), col("cum_share_ge"))
+          .orderBy("family_size")
+    },
+
     // ── Boilerplate-line report: the lines shared by the most documents
     //    (nav bars, footers, license blurbs) — the evidence table behind
     //    the C4 "drop lines seen in ≥ N docs" rule, and the calibration

@@ -2003,6 +2003,35 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── Language-ID CONFUSION MATRIX: predicted vs labeled language —
+    //    the evaluation table behind any classifier deployment (which
+    //    labels bleed into which predictions). Reuses the generated
+    //    per-profile oracle branches; counts are exact. On this corpus
+    //    the trigram profiles disagree with the labels wholesale
+    //    (templates are language-agnostic) — the matrix SHOWS that,
+    //    which is precisely its job. ──
+    QueryDef.sql(
+      "text_langid_confusion",
+      s"""WITH t AS (SELECT doc_id, coalesce(lang, '??') AS label, lower(text) AS tx FROM documents),
+         |sc AS (
+         |${TextOps.langIdMultiOracleBranches("doc_id", "tx")}),
+         |r AS (SELECT doc_id, lang, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |      FROM sc),
+         |p AS (SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_pred
+         |      FROM r WHERE rn = 1)
+         |SELECT t.label, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM t JOIN p USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY label, lang_pred""".stripMargin) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(coalesce(col("lang"), lit("??")).as("label"),
+            TextOps.langIdMulti(col("text")).getField("lang_pred").as("lang_pred"))
+          .groupBy("label", "lang_pred")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("label", "lang_pred")
+    },
+
     // ── Code-mixing / language-consistency signal: language-ID each
     //    NON-overlapping 32-token window (overlap would double-count
     //    boundary text), then per doc: window count, distinct detected

@@ -39,23 +39,48 @@ object Bench {
         .count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
 
+    // Queries that persist/localCheckpoint intermediates leak their blocks —
+    // each invocation builds FRESH frames, so nothing from a previous run is
+    // ever reused, but the blocks stay in the block manager. Over a 200+
+    // query sweep that accumulation evicts/GC-thrashes later queries (the
+    // r09 artifact billed one query 8× its profiled warm cost this way).
+    // Dropping every persistent RDD + cached plan between runs is therefore
+    // pure hygiene: no cross-query cache exists by construction.
+    def clearLeakedBlocks(): Unit = {
+      try {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // One untimed iteration per query first: whole-stage-codegen compile
-      // is per-plan (~1-2s for expression-heavy queries) and would
-      // otherwise be billed to the query. The timed run then measures the
-      // steady-state plan — the number that predicts cluster throughput.
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () } // the timed run reports the failure
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+      // Two timed executions, report the MIN. Run 1 doubles as the warmup
+      // (whole-stage-codegen compile is per-plan, ~1-2s for expression-heavy
+      // queries; JIT and parquet footers likewise bill the first run), so
+      // the min is the steady-state cost — the number that predicts cluster
+      // throughput — while still being robust to a GC pause or scheduler
+      // interleave landing on either run (the rounds-5/6/9 cold-billing
+      // artifact class).
+      def onePass(): Option[Double] = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearLeakedBlocks()
+        if (ok) Some(dt) else None
+      }
+      val dt = (onePass(), onePass()) match {
+        case (Some(a), Some(b)) => math.min(a, b)
+        case (Some(a), None)    => -a // ran once, then failed: report failure
+        case (None, Some(b))    => -b
+        case (None, None)       => -0.001
+      }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

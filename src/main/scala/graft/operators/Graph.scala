@@ -30,18 +30,6 @@ object Graph {
   /** 2^32 — the message quantum (see [[Classifier.Scale]]). */
   val Scale: Double = 4294967296.0
 
-  /** Size-gated broadcast for the per-iteration score frame: node-count
-    * sized (bounded by distinct vertices), so at bench scale it
-    * broadcasts and the EDGE frame is never shuffled per iteration —
-    * measured 2.5× on graph_hits; at a billion-node graph the stats
-    * exceed the gate and the join degrades to the shuffle AQE re-plans.
-    * A broadcast changes the join strategy, never the quantized values,
-    * so the rank/score vectors stay bit-identical (spec + oracle hold). */
-  private def broadcastIfSmall(df: DataFrame, maxBytes: Long = 64L << 20): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
-      org.apache.spark.sql.functions.broadcast(df)
-    else df
-
   /** PageRank over a directed edge list (duplicate edges collapse —
     * multiplicity is not weight here). Returns `(node, rank)`. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -55,8 +43,13 @@ object Graph {
     val nN = nodes.count()
     val out = e.groupBy("src").agg(count(lit(1)).as("out")).cache()
     var ranks = nodes.withColumn("rank", lit(1.0 / nN))
-    // node-count gate (see hits): checkpointed rank frames have no plan
-    // stats, so the broadcast decision keys off the known vertex count
+    // Size-gated broadcast of the per-iteration score frame (node-count
+    // sized), so at bench scale the EDGE frame is never shuffled per
+    // iteration — measured 2.5× on graph_hits. Checkpointed rank frames
+    // carry no plan stats, so the gate keys off the driver-known vertex
+    // count, not sizeInBytes; past 2M nodes the join degrades to the
+    // shuffle AQE re-plans. A broadcast changes the join strategy, never
+    // the quantized values, so the vectors stay bit-identical.
     def gated(df: DataFrame): DataFrame =
       if (nN <= 2000000L) org.apache.spark.sql.functions.broadcast(df) else df
     for (_ <- 0 until iters) {
@@ -103,6 +96,7 @@ object Graph {
     // "unknown = huge"), so the gate keys off the driver-known vertex
     // bound instead — exact, and it degrades to the shuffle join past it
     val nNodes = hubs.count()
+    // same node-count broadcast gate as pageRank's `gated` (see there)
     def gated(df: DataFrame): DataFrame =
       if (nNodes <= 2000000L) org.apache.spark.sql.functions.broadcast(df) else df
     var auths: DataFrame = null

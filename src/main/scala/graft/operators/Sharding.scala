@@ -338,6 +338,14 @@ object Sharding {
   def rangeBucket(v: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(hi > lo && bits >= 1 && bits <= 31, s"bad range/bits: [$lo,$hi]/$bits")
     val span = hi - lo + 1L
+    // (v-lo)·2^bits is computed in long arithmetic: a span wider than
+    // 2^(63-bits) (e.g. epoch-micros with bits near 31) would overflow
+    // and the clamp would silently send in-range values to bucket 0,
+    // destroying z-order locality with no error. Fail loudly instead;
+    // callers with such ranges should pre-scale (days, seconds) first.
+    require(span <= (Long.MaxValue >> bits),
+      s"range span $span * 2^$bits overflows long arithmetic; " +
+        "pre-scale the dimension (e.g. micros -> seconds) or lower bits")
     val n = (v.cast("long") - lo) * (1L << bits)
     // Column `/` is IEEE double division — subtract the long remainder
     // first so the quotient is an exact integer (exact in double too)

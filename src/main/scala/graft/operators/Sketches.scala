@@ -87,9 +87,15 @@ object Sketches {
     * most |groups|·m register rows instead of every distinct (g, x)
     * pair. Empty buckets are NOT materialized per group (that would be
     * |groups|·m rows even for tiny groups); [[hllEstimateByGroup]]
-    * accounts for them arithmetically instead. */
+    * accounts for them arithmetically instead. NULL keys are dropped
+    * here — the same contract the ungrouped [[hllRegisters]] gets
+    * implicitly (a null key hashes to a null (bucket, rho) struct and
+    * falls out of the max) — otherwise a (g, null, null) row would
+    * count toward `_present` downstream without contributing a
+    * harmonic term, skewing that group's estimate. */
   def hllRegistersByGroup(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
-    df.select(col(groupCol).as("g"),
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"),
         hllBucketRhoFast(col(keyCol).cast("string")).as("br"))
       .select(col("g"), col("br.bucket").as("bucket"), col("br.rho").as("rho"))
       .groupBy("g", "bucket").agg(max("rho").cast("int").as("register"))
@@ -265,17 +271,23 @@ object Sketches {
 
   /** Point estimates for `probes[keyCol]`: min over the d rows of the
     * probed cells — the classic CMS upper bound (estimate ≥ true count,
-    * always). The cell frame is d·w rows; [[graft.queries.QueryDef
-    * .broadcastIfSmall]]-shaped by construction, so the probe join never
-    * shuffles the probe side. */
+    * always). A probe cell the sketch never touched counts as 0 (LEFT
+    * join + coalesce), so a never-seen probe key reports `cms_est = 0`
+    * instead of silently vanishing from the output — with an inner join
+    * a key missing even ONE of its d cells would also take min over only
+    * the present cells, inflating the bound. The cell frame is d·w rows;
+    * [[graft.queries.QueryDef.broadcastIfSmall]]-shaped by construction,
+    * so the probe join never shuffles the probe side. */
   def cmsEstimate(cells: DataFrame, probes: DataFrame, keyCol: String,
                   d: Int = 4, w: Int = 1024): DataFrame = {
     val rows = array((0 until d).map(r =>
       struct(lit(r).as("r"), cmsBucket(col(keyCol), r, w).as("b"))): _*)
     probes
       .select(col("*"), explode(rows).as("rb"))
-      .join(cells, col("rb.r") === cells("r") && col("rb.b") === cells("b"))
+      .join(cells, col("rb.r") === cells("r") && col("rb.b") === cells("b"),
+        "left_outer")
+      .withColumn("_c0", coalesce(cells("c"), lit(0L)))
       .groupBy(probes.columns.map(col): _*)
-      .agg(min("c").as("cms_est"))
+      .agg(min("_c0").as("cms_est"))
   }
 }

@@ -1035,22 +1035,31 @@ object DedupSimilarityQueries {
          |  round((SELECT count(*) FROM fnd) /
          |        CAST(nullif((SELECT count(*) FROM tp), 0) AS DOUBLE), 4) AS recall""".stripMargin) {
       (s, d) =>
+        // One pass, no checkpoints: the earlier form localCheckpoint'ed
+        // truth/cand/sets and crossJoined three separate count aggregates,
+        // so every invocation paid three eager materialization jobs (and
+        // leaked their blocks) — the r09 bench billed that at 8× the warm
+        // profile. truth and cand are each computed exactly once below:
+        // flag them and FULL-OUTER join on the pair key, then one aggregate
+        // reads n_true / n_candidates / n_found off the flags (sum skips
+        // nulls; the product flag is non-null only where both sides hit).
         val slice = QueryDef.fanOutIfNarrow(
           Tables.documents(s, d).filter(col("doc_id") < 1000))
         val shd = array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
-        val sets = slice.select(col("doc_id"), shd.as("shd")).localCheckpoint()
+        val sets = slice.select(col("doc_id"), shd.as("shd"))
         val truth = sets.as("a").join(sets.as("c"),
             col("a.doc_id") < col("c.doc_id"))
           .where(Dedup.jaccard(col("a.shd"), col("c.shd")) >= 0.5)
-          .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-          .localCheckpoint()
+          .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+            lit(1L).as("is_true"))
         val cand = Dedup.lshCandidatePairs(slice, "doc_id", "text",
             shingleN = 3, k = 8, bands = 4)
-          .select("doc_a", "doc_b").localCheckpoint()
-        val found = truth.join(cand, Seq("doc_a", "doc_b"))
-        truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("is_cand"))
+        truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(
+            coalesce(sum(col("is_true")), lit(0L)).as("n_true"),
+            coalesce(sum(col("is_cand")), lit(0L)).as("n_candidates"),
+            coalesce(sum(col("is_true") * col("is_cand")), lit(0L)).as("n_found"))
           .select(col("n_true"), col("n_candidates"), col("n_found"),
             round(col("n_found").cast("double") /
               when(col("n_true") === 0, lit(null)).otherwise(col("n_true")), 4)

@@ -15,9 +15,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * The ledger is |batches|·(d·w) rows of longs; `compact` union-sums it
   * back to one `batch=-1` base partition when |batches| matters —
-  * correct because cells are a commutative monoid, and replay-safe
-  * because compaction writes the base under dynamic overwrite while
-  * live batches keep their own partitions.
+  * correct because cells are a commutative monoid. Compaction is a FULL
+  * directory rewrite (absorbed partitions must actually disappear), so
+  * it must run with the stream QUIESCED: a micro-batch partition
+  * committed between compact's read and its rewrite would be deleted
+  * (undercount). Stop the query, compact, restart — the same
+  * stop-the-world contract a ledger checkpoint carries.
   */
 object StreamingHeavyHitters {
 
@@ -51,10 +54,13 @@ object StreamingHeavyHitters {
   /** Union-sum deltas with `batch < belowBatch` (plus any existing
     * base) into one `batch=-1` base partition, keeping newer deltas
     * intact — a FULL directory rewrite, not a dynamic overwrite, so
-    * absorbed partitions actually disappear. `belowBatch` must sit at
-    * or below the stream's replayable horizon: a replayed batch whose
-    * delta was absorbed would re-add its partition and double-count
-    * (the same horizon contract every ledger compaction here carries). */
+    * absorbed partitions actually disappear. Two preconditions: the
+    * stream must be STOPPED (see class doc — a partition committed
+    * between the read below and the rewrite would be deleted), and
+    * `belowBatch` must sit at or below the stream's replayable horizon:
+    * a replayed batch whose delta was absorbed would re-add its
+    * partition and double-count (the same horizon contract every
+    * ledger compaction here carries). */
   def compact(spark: org.apache.spark.sql.SparkSession, indexDir: String,
               belowBatch: Long): Unit = {
     import spark.implicits._

@@ -54,6 +54,51 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit SimHash of a token array as ONE codegen'd per-row expression —
+  * the production fingerprint width ([[SimHash16]] is the didactic form;
+  * a 16-bit space has 65,536 values and saturates at corpus scale).
+  *
+  * Same construction, wider: md5 hex chars 1..16 carry 4 bits each
+  * (char p, 1-based, = bits (p-1)·4‥(p-1)·4+3; bit j of digit value v =
+  * (v div 2^j) mod 2); tokens vote ±1 per bit and the sign is the
+  * fingerprint bit. The 64 bits assemble into one LONG with bit i of the
+  * long = fingerprint bit i (bit 63 lands on the sign bit — harmless,
+  * every consumer treats the long as a bag of bits via xor/bit_count).
+  *
+  * A NULL or empty token array yields 0L (all votes zero), never NULL.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got $t")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    SimHashImpl.eval64(if (t == null) null else t.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value} = graft.expressions.SimHashImpl.eval64(
+          ${childGen.isNull} ? null : ${childGen.value});
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object SimHashImpl {
   private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -99,6 +144,39 @@ object SimHashImpl {
     }
     UTF8String.fromString(new String(cs))
   }
+
+  /** 64-bit form: digest bytes 0..7 carry the 16 nibbles (hex chars
+    * 1..16); nibble p (0-based) = high nibble of byte p/2 when p is
+    * even, low when odd — the generalization of the 16-bit chain. */
+  def eval64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    if (tokens != null) {
+      val md = md5.get()
+      val m = tokens.numElements()
+      var i = 0
+      while (i < m) {
+        if (!tokens.isNullAt(i)) {
+          md.reset()
+          val d = md.digest(tokens.getUTF8String(i).getBytes)
+          var bit = 0
+          while (bit < 64) {
+            val p = bit >> 2
+            val v = if ((p & 1) == 0) (d(p >> 1) >> 4) & 0xf else d(p >> 1) & 0xf
+            counts(bit) += (if (((v >> (bit & 3)) & 1) == 1) 1 else -1)
+            bit += 1
+          }
+        }
+        i += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
 }
 
 object SimHashExpressions {
@@ -107,4 +185,7 @@ object SimHashExpressions {
 
   def simhash16(tokens: Column): Column =
     Bridge.column(SimHash16(Bridge.expression(tokens)))
+
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
 }

@@ -618,11 +618,11 @@ object Dedup {
   def hammingBits(a: Column, b: Column): Column =
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), d => d))
 
-  /** Contiguous block boundaries splitting 16 signature bits into
+  /** Contiguous block boundaries splitting `width` signature bits into
     * `nBlocks` near-even spans — shared by the Spark plan and the oracle
     * SQL generator so the band geometry cannot drift between them. */
-  private[graft] def simhashBlockBounds(nBlocks: Int): IndexedSeq[Int] =
-    (0 to nBlocks).map(i => i * 16 / nBlocks)
+  private[graft] def simhashBlockBounds(nBlocks: Int, width: Int = 16): IndexedSeq[Int] =
+    (0 to nBlocks).map(i => i * width / nBlocks)
 
   /** SimHash near-duplicate pairs within Hamming distance `maxHamming`
     * of the [[simhash16]] fingerprint — the pair-generating half the
@@ -642,10 +642,10 @@ object Dedup {
     * 100 TB posture: identical hot-bucket geometry to MinHash banding —
     * a block value shared by a large corpus fraction concentrates its
     * bucket. 16-bit signatures make such collisions likely at corpus
-    * scale; production simhash is 64-bit with 8-bit blocks, which this
-    * shape generalizes to verbatim (wider conv + bigint xor). The
-    * pigeonhole guarantee is exact either way: recall within the ball
-    * is 100%, unlike MinHash banding's probabilistic recall.
+    * scale; use [[simhash64NearDupPairs]] (the production 64-bit form
+    * of this exact shape) for real corpora. The pigeonhole guarantee is
+    * exact either way: recall within the ball is 100%, unlike MinHash
+    * banding's probabilistic recall.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 2): DataFrame = {
@@ -657,6 +657,83 @@ object Dedup {
     val sigs = simhash16(df, idCol, textCol)
       .select(col("doc_id"), conv(col("simhash"), 2, 10).cast("int").as("sig"),
         posexplode(array(blocks: _*)))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("pos"), col("col"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("pos"), col("col"))
+    a.join(b, Seq("pos", "col"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Production-width 64-bit SimHash as one LONG per document — the
+    * [[simhash16]] construction over md5 hex chars 1..16 (the 16-bit
+    * space has 65,536 values and is measurably saturated at corpus
+    * scale: the Hamming-ball histogram at sf0.1 counts 1.57M 16-bit
+    * pairs vs the handful of true near-dups the 64-bit space isolates).
+    * Bit i of the long = fingerprint bit i; bit 63 lands on the sign
+    * bit, which every consumer treats as plain bits via xor/bit_count.
+    * Codegen'd per-row expression ([[graft.expressions.SimHash64]]):
+    * no explode, no 64-aggregate shuffle — the fingerprint rides the
+    * scan. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.expressions.SimHashExpressions
+        .simhash64(TextOps.tokens(col(textCol))).as("simhash64"))
+
+  /** Relational (explode + 64 codegen'd sums) 64-bit SimHash — the
+    * reference implementation the oracle SQL mirrors term-for-term,
+    * including the signed assembly of bit 63: the long is
+    * Σ_{bit<63} sign_bit·2^bit plus Long.MinValue when bit 63 votes
+    * positive — exact signed arithmetic in both engines, no unsigned
+    * 2^63 ever materializing. OperatorsSpec pins this bit-identical to
+    * the expression form. */
+  def simhash64Relational(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc_id"),
+      explode_outer(TextOps.tokens(col(textCol))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val sums = (0 until 64).map { bit =>
+      val p = bit / 4 + 1
+      val q = 1 << (bit % 4)
+      sum(expr(
+        s"CASE WHEN w IS NULL THEN 0 ELSE 2 * (((locate(substr(h, $p, 1), '0123456789abcdef') - 1) div $q) % 2) - 1 END"))
+        .as(s"s$bit")
+    }
+    val terms = (0 until 63).map(bit =>
+      when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L))) :+
+      when(col("s63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
+    exploded.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), terms.reduce(_ + _).as("simhash64"))
+  }
+
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`
+    * on the 64-bit fingerprint — [[simhashNearDupPairs]] at production
+    * width. Same pigeonhole banding: `maxHamming + 1` contiguous blocks
+    * of the 64 bits (at maxHamming = 7 that is the classic 8-blocks-of-
+    * 8-bits scheme), any in-ball pair agrees exactly on ≥ 1 block, each
+    * block an equi-join key, then one `bit_count(xor)` prunes to the
+    * exact ball. Blocks are extracted with an unsigned shift + mask on
+    * the long — the signature never leaves integer form, so the band
+    * shuffle carries (pos, 8-byte block) rows, not bit-strings.
+    *
+    * 100 TB posture: identical geometry to the 16-bit form, but the
+    * block value space is what makes it production-viable — an 8-bit
+    * block has 256 values and WILL concentrate buckets, which is why
+    * blocks here are `64/(k+1)` bits (k=3 → 16-bit blocks, 65k values);
+    * recall inside the ball stays exactly 100% either way. */
+  def simhash64NearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val bounds = simhashBlockBounds(maxHamming + 1, 64)
+    val blocks = (0 until maxHamming + 1).map { i =>
+      val w = bounds(i + 1) - bounds(i)
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      shiftrightunsigned(col("simhash64"), bounds(i)).bitwiseAND(lit(mask))
+    }
+    val sigs = simhash64(df, idCol, textCol)
+      .select(col("doc_id"), col("simhash64").as("sig"),
+        posexplode(array(blocks.map(_.cast("long")): _*)))
     val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("pos"), col("col"))
     val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("pos"), col("col"))
     a.join(b, Seq("pos", "col"))

@@ -57,6 +57,40 @@ object DedupSimilarityQueries {
        |  GROUP BY doc_id)""".stripMargin
   }
 
+  // Per-doc 64-bit SimHash votes (s0..s63) — the inner aggregate shared
+  // by the bit-string and signed-BIGINT assemblies below; term-for-term
+  // twin of Dedup.simhash64Relational's vote stage.
+  private def duckSimhash64Votes: String = {
+    val sums = (0 until 64).map { bit =>
+      val p = bit / 4 + 1
+      val q = 1 << (bit % 4)
+      s"sum(CASE WHEN w IS NULL THEN 0 ELSE 2 * (((strpos('0123456789abcdef', substr(h, $p, 1)) - 1) // $q) % 2) - 1 END) AS s$bit"
+    }.mkString(",\n    ")
+    s"""SELECT doc_id,
+       |    $sums
+       |  FROM (SELECT doc_id, md5(w) AS h, w
+       |        FROM (SELECT doc_id,
+       |                unnest(CASE WHEN len(ws) = 0 THEN [NULL] ELSE ws END) AS w
+       |              FROM (SELECT doc_id, $DuckToks AS ws FROM documents)))
+       |  GROUP BY doc_id""".stripMargin
+  }
+  // 64-char bit string, char i+1 = bit i (the banding/hamming form).
+  private def duckSimhash64Bits: String = {
+    val bits = (0 until 64).map(bit =>
+      s"(CASE WHEN s$bit > 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s"SELECT doc_id, $bits AS simhash FROM ($duckSimhash64Votes)"
+  }
+  // Signed BIGINT assembly: Σ_{bit<63} sign_bit·2^bit, bit 63 adds
+  // Long.MinValue — exact signed arithmetic, no unsigned 2^63 (the twin
+  // of Dedup.simhash64Relational's closing select).
+  private def duckSimhash64Long: String = {
+    val terms = (0 until 63).map(bit =>
+      s"(CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END)") :+
+      "(CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    s"""SELECT doc_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS simhash64
+       |FROM ($duckSimhash64Votes)""".stripMargin
+  }
+
   // One stored-index build per (kind, sfDir) per JVM: production trains/
   // encodes ONCE and serves many queries, so repeated driver runs of the
   // stored-index queries must time the SCAN, not a rebuild. (Verify and
@@ -979,6 +1013,84 @@ object DedupSimilarityQueries {
           QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text", maxHamming = 3)
         def h(v: Int) = sum(when(col("hamming") === v, 1L).otherwise(0L)).as(s"h$v")
         pairs.agg(count(lit(1)).as("n_pairs"), h(0), h(1), h(2), h(3))
+    },
+
+    // ── Production-width 64-bit SimHash fingerprint (one LONG/doc). ────
+    QueryDef.sql(
+      "dedup_simhash64",
+      s"""$duckSimhash64Long
+         |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Dedup.simhash64(QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text")
+          .orderBy("doc_id")
+    },
+
+    // ── 64-bit SimHash near-dup pairs: pigeonhole banding at k=3 →
+    //    4 blocks of 16 bits (block width 64/(k+1) keeps the bucket key
+    //    space at 65k values; see simhash64NearDupPairs' posture note).
+    //    The oracle forms the same candidate set declaratively on the
+    //    bit-string form and the same exact hamming prune; pigeonhole
+    //    makes both equal the full Hamming-ball pair set. ──
+    QueryDef.sql(
+      "dedup_simhash64_pairs", {
+        val k = 3
+        val bounds = Dedup.simhashBlockBounds(k + 1, 64)
+        val bandEq = (0 until k + 1).map { i =>
+          val (p, w) = (bounds(i) + 1, bounds(i + 1) - bounds(i))
+          s"substr(a.simhash, $p, $w) = substr(b.simhash, $p, $w)"
+        }.mkString(" OR ")
+        val ham = (1 to 64).map(i =>
+          s"(CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH s AS ($duckSimhash64Bits),
+           |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |             a.simhash AS sa, b.simhash AS sb
+           |      FROM s a JOIN s b ON a.doc_id < b.doc_id AND ($bandEq))
+           |SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
+           |FROM c
+           |WHERE $ham <= $k
+           |ORDER BY id_a, id_b""".stripMargin
+      }) {
+      (s, d) =>
+        Dedup.simhash64NearDupPairs(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+    },
+
+    // ── 64-bit Hamming histogram at k=7 — the classic 8-blocks-of-8-bits
+    //    banding, and the saturation evidence next to the 16-bit
+    //    histogram: the same corpus that packs 1.57M pairs into the
+    //    16-bit ball leaves the 64-bit ball holding only true
+    //    near-duplicates (the fingerprint space stopped colliding). ──
+    QueryDef.sql(
+      "dedup_simhash64_histogram", {
+        val k = 7
+        val bounds = Dedup.simhashBlockBounds(k + 1, 64)
+        val bandEq = (0 until k + 1).map { i =>
+          val (p, w) = (bounds(i) + 1, bounds(i + 1) - bounds(i))
+          s"substr(a.simhash, $p, $w) = substr(b.simhash, $p, $w)"
+        }.mkString(" OR ")
+        val ham = (1 to 64).map(i =>
+          s"(CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val hsums = (0 to k).map(v =>
+          s"CAST(sum(CASE WHEN hd = $v THEN 1 ELSE 0 END) AS BIGINT) AS h$v")
+          .mkString(",\n           |  ")
+        s"""WITH s AS ($duckSimhash64Bits),
+           |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |             a.simhash AS sa, b.simhash AS sb
+           |      FROM s a JOIN s b ON a.doc_id < b.doc_id AND ($bandEq)),
+           |h AS (SELECT CAST($ham AS BIGINT) AS hd FROM c WHERE $ham <= $k)
+           |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |  $hsums
+           |FROM h""".stripMargin
+      }) {
+      (s, d) =>
+        val pairs = Dedup.simhash64NearDupPairs(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text", maxHamming = 7)
+        def h(v: Int) = sum(when(col("hamming") === v, 1L).otherwise(0L)).as(s"h$v")
+        pairs.agg(count(lit(1)).as("n_pairs"),
+          h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
     },
 
     // ── n-gram Jaccard similarity scan vs a query document. ────────────

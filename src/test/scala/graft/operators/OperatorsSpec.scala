@@ -174,6 +174,54 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("simhash64 expression is bit-identical to the relational form incl. null/empty docs") {
+    val data = docs((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b a b a"), (3L, ""), (4L, null), (5L, "   "), (6L, "Ünïcødé tökens αβγ"),
+      (7L, (1 to 200).map(i => s"word$i").mkString(" ")))
+    val expr = Dedup.simhash64(data, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rel = Dedup.simhash64Relational(data, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr == rel)
+    assert(expr(3L) == 0L && expr(4L) == 0L && expr(5L) == 0L)
+    // the wide fixture must actually exercise the sign bit at least once
+    // across the fixtures, else the signed assembly is untested
+    assert(data.collect().nonEmpty && expr.values.exists(_ < 0L))
+    // low 16 bits of the 64-bit fingerprint are NOT the 16-bit form
+    // (different hex chars carry them) — but both derive from one md5,
+    // so bits 0..15 of simhash64 equal simhash16's bits exactly
+    val s16 = Dedup.simhash16(data, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, sig) <- expr) {
+      val low16 = (0 until 16).map(b => if (((sig >> b) & 1L) == 1L) '1' else '0').mkString
+      assert(low16 == s16(id), s"doc $id: low 16 bits must equal the 16-bit fingerprint")
+    }
+  }
+
+  test("simhash64 near-dup pairs: banded candidates equal brute-force Hamming ball") {
+    val rows = (1L to 24L).map { i =>
+      (i, (0 until 30).map(j => s"t${(i + j) % 40}").mkString(" "))
+    }
+    val df = docs(rows: _*)
+    val sig = Dedup.simhash64(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (k <- Seq(0, 1, 2, 3, 7)) { // k=7 is the 8-blocks-of-8-bits scheme
+      val got = Dedup.simhash64NearDupPairs(df, "doc_id", "text", maxHamming = k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        a <- 1L to 24L; b <- (a + 1) to 24L
+        h = ham(sig(a), sig(b)) if h <= k
+      } yield (a, b, h.toLong)).toSet
+      assert(got == want, s"k=$k")
+    }
+    // 64-bit space separates what 16 bits conflates: across the sliding
+    // windows, distances concentrate well above the k=7 ball except for
+    // genuinely overlapping windows
+    val all = for { a <- 1L to 24L; b <- (a + 1) to 24L } yield ham(sig(a), sig(b))
+    assert(all.max > 7, "fixture must contain far pairs in 64-bit space")
+  }
+
   test("surprisal gate: exact integer-bit surprisal, self-LM, external LM, empty docs kept") {
     // self-LM: counts a=6, b=1, total=7 → bits(a)=len(bin(7 div 6))-1=0,
     // bits(b)=len(bin(7))-1=2

@@ -36,9 +36,17 @@ object MediaFixtures {
       case _ => wav(
         channels = (1L + math.floorMod(seed, 2L)).toInt,
         sampleRate = 8000 * (1L + math.floorMod(seed, 5L)).toInt,
-        frames = (1L + math.floorMod(seed, 50L)).toInt)
+        frames = (1L + math.floorMod(seed, 50L)).toInt,
+        sample = (i, c) => pcmSample(seed, i, c))
     }
   }
+
+  /** Deterministic 16-bit PCM sample for frame `i`, channel `c` of the
+    * seed-`s` WAV fixture — pure arithmetic, so the resample oracle can
+    * recompute the decoded stream in SQL without touching bytes:
+    * ((s·31 + i·7 + c·13 + 11) mod 65536) − 32768. */
+  def pcmSample(seed: Long, frame: Int, channel: Int): Int =
+    math.floorMod(seed * 31L + frame * 7L + channel * 13L + 11L, 65536L).toInt - 32768
 
   // ── PNG: sig + IHDR + (token) IDAT + IEND, real CRCs ────────────────
 
@@ -104,9 +112,18 @@ object MediaFixtures {
     out.toByteArray
   }
 
-  // ── WAV: RIFF/WAVE + fmt (PCM) + data (zero samples) ────────────────
+  // ── WAV: RIFF/WAVE + fmt (PCM) + data (real 16-bit samples) ─────────
 
-  def wav(channels: Int, sampleRate: Int, frames: Int): Array[Byte] = {
+  /** Zero-filled samples — the header-fixture form the parser fuzz uses. */
+  def wav(channels: Int, sampleRate: Int, frames: Int): Array[Byte] =
+    wav(channels, sampleRate, frames, (_, _) => 0)
+
+  /** `sample(frame, channel)` fills the interleaved 16-bit LE data chunk —
+    * unlike the other fixture payloads this one is genuinely decodable,
+    * which is what lets [[graft.operators.Multimodal.resamplePcm]] run a
+    * REAL decode+resample against an arithmetic oracle. */
+  def wav(channels: Int, sampleRate: Int, frames: Int,
+          sample: (Int, Int) => Int): Array[Byte] = {
     val blockAlign = 2 * channels // 16-bit PCM
     val dataSize = frames * blockAlign
     val out = new ByteArrayOutputStream()
@@ -123,7 +140,15 @@ object MediaFixtures {
     out.write(le16(16), 0, 2) // bits per sample
     out.write("data".getBytes("US-ASCII"), 0, 4)
     out.write(le32(dataSize), 0, 4)
-    out.write(new Array[Byte](dataSize), 0, dataSize)
+    var i = 0
+    while (i < frames) {
+      var c = 0
+      while (c < channels) {
+        out.write(le16(sample(i, c)), 0, 2)
+        c += 1
+      }
+      i += 1
+    }
     out.toByteArray
   }
 

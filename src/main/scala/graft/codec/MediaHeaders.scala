@@ -216,4 +216,47 @@ object MediaHeaders {
     Some(MediaMeta("wav", nFrames = frames, bitDepth = Some(bits).filter(_ > 0),
       channels = Some(channels), sampleRate = Some(rate), durationMs = durMs))
   }
+
+  /** Decoded 16-bit PCM: `samples` is the interleaved frame-major
+    * stream (frame 0 ch 0, frame 0 ch 1, …), exactly as stored. */
+  final case class WavPcm(channels: Int, sampleRate: Int, samples: Array[Short])
+
+  /** FULL sample decode for 16-bit PCM WAVs — the one format in the
+    * parser family whose payload needs no codec library: the data chunk
+    * IS the samples, little-endian int16 interleaved. Returns None for
+    * anything that is not a PCM (format code 1) 16-bit WAV, and
+    * truncates to the bytes actually present in the blob (a header-only
+    * sample whose declared data size exceeds the blob decodes to the
+    * prefix that exists — never a read past the end). */
+  def wavPcm16(b: Array[Byte]): Option[WavPcm] = {
+    if (!isWav(b)) return None
+    var i = 12
+    var fmtCode = -1; var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1L
+    while (i + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val id = tag(b, i)
+      val size = le32(b, i + 4)
+      if (id == "fmt " && size >= 16 && i + 24 <= b.length) {
+        fmtCode = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        bits = le16(b, i + 22)
+      } else if (id == "data" && dataOff < 0) {
+        dataOff = i + 8
+        dataLen = size
+      }
+      i = math.min(i.toLong + 8L + size + (size & 1L), b.length.toLong).toInt
+    }
+    if (fmtCode != 1 || channels <= 0 || rate <= 0 || bits != 16 || dataOff < 0)
+      return None
+    val avail = math.min(dataLen, (b.length - dataOff).toLong).toInt
+    val n = avail / 2
+    val out = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      out(j) = ((b(dataOff + 2 * j) & 0xff) | (b(dataOff + 2 * j + 1) << 8)).toShort
+      j += 1
+    }
+    Some(WavPcm(channels, rate, out))
+  }
 }

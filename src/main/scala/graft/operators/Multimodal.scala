@@ -14,9 +14,13 @@ import org.apache.spark.sql.types._
   * Blobs whose magic number matches none of those (including this repo's
   * synthetic text-byte fixtures) fall back to a clearly-marked
   * deterministic stub (`stubDecode`), preserving the fixture contract the
-  * DuckDB oracles pin. Pixel/sample DECODING (which needs codec libraries
-  * absent from this environment) is still out of scope; the per-partition
-  * batch shape is exactly where such a codec would initialize.
+  * DuckDB oracles pin. Payload decoding is REAL where no codec library is
+  * needed: 16-bit PCM WAV audio decodes and resamples end-to-end
+  * ([[resamplePcm]], oracle-pinned sample-for-sample). COMPRESSED pixel
+  * decoding (PNG/JPEG/GIF rasters) still needs codec libraries absent
+  * from this environment — [[resizeStub]] stays the honestly-marked stub
+  * for that path; the per-partition batch shape is exactly where such a
+  * codec would initialize.
   */
 object Multimodal {
 
@@ -175,9 +179,10 @@ object Multimodal {
     * output sample count for a target rate in exact integer arithmetic
     * (out = in·target div rate, truncating — both engines agree), plus
     * the output byte size under 16-bit PCM (samples · channels · 2).
-    * Non-audio rows (null sample_rate) pass through null. The resample
-    * itself needs a DSP lib this container doesn't carry; the plan is
-    * the schedulable, oracle-checkable half. */
+    * Non-audio rows (null sample_rate) pass through null.
+    * [[resamplePcm]] EXECUTES this plan for 16-bit PCM blobs; this
+    * planning form stays the metadata-only pass a scheduler runs first
+    * (byte budgeting before any data chunk is read). */
   def resamplePlan(meta: DataFrame, targetRate: Int): DataFrame = {
     require(targetRate >= 1, s"bad target rate: $targetRate")
     val inSamples = col("n_frames").cast("long")
@@ -191,6 +196,90 @@ object Multimodal {
       lit(targetRate).as("out_rate"),
       out.cast("long").as("out_samples"),
       (out * col("channels").cast("long") * 2L).cast("long").as("out_bytes"))
+  }
+
+  /** REAL audio resample — executes the plan [[resamplePlan]] schedules.
+    *
+    * Decode: 16-bit PCM samples straight from the WAV data chunk
+    * ([[graft.codec.MediaHeaders.wavPcm16]] — PCM needs no codec
+    * library; the chunk IS the samples). Resample: per channel, linear
+    * interpolation to `targetRate` in EXACT integer arithmetic — output
+    * sample j sits at input position j·inRate/targetRate, i.e. between
+    * input frames k = (j·inRate) div targetRate and k+1 (clamped), with
+    * fractional weight frac = (j·inRate) mod targetRate, and
+    * out = s0 + (s1 − s0)·frac div targetRate (division truncating
+    * toward zero in both Spark and the oracle engine). n_out is
+    * resamplePlan's out_samples — the plan and the execution agree by
+    * construction.
+    *
+    * Output: one row per (media, channel) carrying the resampled
+    * stream's exact integer fingerprint — count / sum / min / max /
+    * first / last — so an arithmetic oracle pins every decoded byte and
+    * every interpolation step without shipping the streams themselves.
+    * Blobs that are not in-blob 16-bit PCM WAVs produce NO row (images
+    * and header-only audio have nothing to resample). One decode context
+    * per partition, same batch shape as the other stages; at 100 TB the
+    * work is embarrassingly per-row and rides the scan. */
+  def resamplePcm(df: DataFrame, idCol: String, blobCol: String,
+                  targetRate: Int): DataFrame = {
+    require(targetRate >= 1, s"bad target rate: $targetRate")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
+      StructField("in_rate", IntegerType, nullable = false),
+      StructField("out_rate", IntegerType, nullable = false),
+      StructField("n_in", LongType, nullable = false),
+      StructField("n_out", LongType, nullable = false),
+      StructField("sum_out", LongType, nullable = false),
+      StructField("min_out", IntegerType, nullable = false),
+      StructField("max_out", IntegerType, nullable = false),
+      StructField("first_out", IntegerType, nullable = false),
+      StructField("last_out", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // resampler state (filters, rate converters) would init HERE
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.wavPcm16(blob) match {
+          case Some(p) if p.channels > 0 =>
+            val frames = p.samples.length / p.channels
+            val nOut = frames.toLong * targetRate / p.sampleRate
+            (0 until p.channels).iterator.flatMap { c =>
+              if (nOut <= 0) Iterator.empty
+              else {
+                var j = 0L
+                var sum = 0L
+                var mn = Int.MaxValue
+                var mx = Int.MinValue
+                var first = 0
+                var last = 0
+                while (j < nOut) {
+                  val posNum = j * p.sampleRate
+                  val k = (posNum / targetRate).toInt
+                  val frac = (posNum % targetRate).toInt
+                  val k1 = math.min(k + 1, frames - 1)
+                  val s0 = p.samples(k * p.channels + c).toInt
+                  val s1 = p.samples(k1 * p.channels + c).toInt
+                  // (s1-s0)·frac can exceed Int range (65k · rate) — stay long
+                  val v = s0 + (((s1 - s0).toLong * frac) / targetRate).toInt
+                  sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  if (j == 0L) first = v
+                  last = v
+                  j += 1L
+                }
+                Iterator.single(Row(r.getLong(idIdx), c, p.sampleRate, targetRate,
+                  frames.toLong, nOut, sum, mn, mx, first, last))
+              }
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Feature-extraction stage: fixed-size float vector per blob (stub:

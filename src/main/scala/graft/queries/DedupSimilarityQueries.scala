@@ -2043,6 +2043,60 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── REAL PCM decode + resample — the execution of the plan above:
+    //    the WAV fixtures carry genuine 16-bit PCM whose sample values
+    //    are pure seed arithmetic (MediaFixtures.pcmSample), Spark
+    //    decodes the actual data-chunk BYTES and linear-interpolates to
+    //    16 kHz in exact integer arithmetic, and DuckDB recomputes the
+    //    whole resampled stream from the arithmetic without touching a
+    //    byte — count/sum/min/max/first/last per (media, channel) pin
+    //    every decoded sample and every interpolation step. Any
+    //    endianness, interleave, offset, or rounding bug breaks the
+    //    hash. ──
+    QueryDef.sql(
+      "mm_pcm_resample",
+      """WITH f AS (SELECT doc_id,
+        |    CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS rate,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS nch,
+        |    CAST(1 + doc_id % 50 AS BIGINT) AS ns
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |cc AS (SELECT doc_id, rate, ns, unnest(range(0, nch)) AS c FROM f),
+        |o AS (SELECT doc_id, rate, ns, c, (ns * 16000) // rate AS n_out,
+        |        unnest(range(0, (ns * 16000) // rate)) AS j
+        |      FROM cc),
+        |v AS (SELECT doc_id, rate, ns, c, n_out, j,
+        |        (j * rate) // 16000 AS k,
+        |        least((j * rate) // 16000 + 1, ns - 1) AS k1,
+        |        (j * rate) % 16000 AS frac
+        |      FROM o),
+        |s AS (SELECT doc_id, rate, ns, c, n_out, j, frac,
+        |        ((doc_id * 31 + k * 7 + c * 13 + 11) % 65536) - 32768 AS s0,
+        |        ((doc_id * 31 + k1 * 7 + c * 13 + 11) % 65536) - 32768 AS s1
+        |      FROM v),
+        |r AS (SELECT doc_id, rate, ns, c, n_out, j,
+        |        s0 + ((s1 - s0) * frac) // 16000 AS v
+        |      FROM s)
+        |SELECT doc_id, CAST(c AS INT) AS channel, CAST(rate AS INT) AS in_rate,
+        |  CAST(16000 AS INT) AS out_rate, ns AS n_in,
+        |  CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(v) AS BIGINT) AS sum_out,
+        |  CAST(min(v) AS INT) AS min_out, CAST(max(v) AS INT) AS max_out,
+        |  CAST(sum(CASE WHEN j = 0 THEN v ELSE 0 END) AS INT) AS first_out,
+        |  CAST(sum(CASE WHEN j = n_out - 1 THEN v ELSE 0 END) AS INT) AS last_out
+        |FROM r GROUP BY doc_id, c, rate, ns
+        |ORDER BY doc_id, channel""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.MediaFixtures.build(id))))
+          .toDF("doc_id", "blob")
+        Multimodal.resamplePcm(blobs, "doc_id", "blob", targetRate = 16000)
+          .select(col("media_id").as("doc_id"), col("channel"), col("in_rate"),
+            col("out_rate"), col("n_in"), col("n_out"), col("sum_out"),
+            col("min_out"), col("max_out"), col("first_out"), col("last_out"))
+          .orderBy("doc_id", "channel")
+    },
+
     // ── binaryFile ARRIVAL path: the same real containers, but arriving
     //    as individual FILES through Spark's binaryFile source (how raw
     //    media actually lands at scale — an object-store prefix of

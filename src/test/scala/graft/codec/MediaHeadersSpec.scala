@@ -86,6 +86,28 @@ class MediaHeadersSpec extends SparkSpec {
       durationMs = Some(100L * 1000 / 44100)))
   }
 
+  test("wavPcm16: decodes exactly the interleaved samples the fixture wrote") {
+    val blob = MediaFixtures.wav(channels = 2, sampleRate = 16000, frames = 5,
+      sample = (i, c) => i * 100 + c * 7 - 250) // mixes negative and positive
+    val p = MediaHeaders.wavPcm16(blob).get
+    assert(p.channels == 2 && p.sampleRate == 16000)
+    assert(p.samples.toSeq == (0 until 5).flatMap(i => Seq(i * 100 - 250, i * 100 + 7 - 250)).map(_.toShort))
+    // extreme 16-bit values survive the LE round trip
+    val edge = MediaHeaders.wavPcm16(
+      MediaFixtures.wav(1, 8000, 3, (i, _) => Seq(-32768, 0, 32767)(i))).get
+    assert(edge.samples.toSeq == Seq(-32768, 0, 32767).map(_.toShort))
+    // a truncated blob decodes the prefix that exists, never throws
+    val cut = MediaHeaders.wavPcm16(blob.dropRight(7)).get
+    assert(cut.samples.length == (blob.length - 44 - 7) / 2)
+    // zero-filled geometry fixture decodes too (all zeros)
+    val z = MediaHeaders.wavPcm16(wavPcm).get
+    assert(z.samples.length == 200 && z.samples.forall(_ == 0))
+    // non-wav containers refuse
+    assert(MediaHeaders.wavPcm16(png1x1).isEmpty)
+    assert(MediaHeaders.wavPcm16(jpegMin).isEmpty)
+    assert(MediaHeaders.wavPcm16("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("unrecognized and truncated blobs parse to None") {
     assert(MediaHeaders.parse("hello world".getBytes("UTF-8")).isEmpty)
     assert(MediaHeaders.parse(Array.emptyByteArray).isEmpty)

@@ -262,6 +262,45 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) === ((None, None, None)))
   }
 
+  test("resamplePcm: byte-decoded resample equals an independent in-memory reference") {
+    import spark.implicits._
+    // fixtures spanning up/downsample, mono/stereo, plus a non-audio blob
+    val specs = Seq(
+      (1L, 1, 8000, 13),   // upsample 2x
+      (2L, 2, 40000, 50),  // downsample 2.5x, stereo
+      (3L, 2, 16000, 7),   // identity rate
+      (4L, 1, 24000, 1))   // single frame
+    def fill(id: Long)(i: Int, c: Int): Int = graft.codec.MediaFixtures.pcmSample(id, i, c)
+    val rows = specs.map { case (id, ch, rate, fr) =>
+      (id, graft.codec.MediaFixtures.wav(ch, rate, fr, fill(id))) } :+
+      ((9L, graft.codec.MediaFixtures.png(4, 4))) // image row: no output
+    val got = Multimodal.resamplePcm(rows.toDF("media_id", "blob"), "media_id", "blob",
+        targetRate = 16000)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7), r.getInt(8),
+          r.getInt(9), r.getInt(10)))).toMap
+    // independent reference: same math straight from the fill function,
+    // no bytes involved — pins the byte decode AND the interpolation
+    val want = (for {
+      (id, ch, rate, fr) <- specs
+      c <- 0 until ch
+      nOut = fr.toLong * 16000 / rate if nOut > 0
+    } yield {
+      val vs = (0L until nOut).map { j =>
+        val k = (j * rate / 16000).toInt
+        val frac = (j * rate % 16000).toInt
+        val k1 = math.min(k + 1, fr - 1)
+        val s0 = fill(id)(k, c)
+        val s1 = fill(id)(k1, c)
+        s0 + (((s1 - s0).toLong * frac) / 16000).toInt
+      }
+      (id, c) -> ((fr.toLong, nOut, vs.map(_.toLong).sum, vs.min, vs.max, vs.head, vs.last))
+    }).toMap
+    assert(got == want)
+    assert(!got.keySet.exists(_._1 == 9L)) // the image produced no row
+    assert(got.keySet.count(_._1 == 2L) == 2) // stereo: one row per channel
+  }
+
   test("ragChunks: stride/overlap geometry, short docs, empty docs") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens

@@ -221,6 +221,97 @@ object EngineQueries {
         r0.unionByName(r1).orderBy("batch_id")
     },
 
+    // ── Streaming corpus-build CAPSTONE: the arrival-mode twin of
+    //    pipeline_corpus_build — ONE attached stream (MemoryStream →
+    //    foreachBatch) runs each micro-batch through the full composed
+    //    funnel (validate → quality/lang gates → cross-batch dedup
+    //    against the stored band index → per-source token budgets →
+    //    drift monitor vs stored reference moments → durable corpus
+    //    append), with every stage's ledger batch-partitioned and
+    //    replay-idempotent (StreamingCorpusSpec pins replay across the
+    //    whole composition). The corpus arrives as two micro-batches
+    //    (even/odd doc ids); tight per-source budgets make the
+    //    cross-batch remaining-budget read visible in batch 1's counts.
+    //    rows-only: streams + engine ledgers, no SQL oracle. ──
+    QueryDef.rowsOnly("engine_stream_corpus") {
+      (s, d) =>
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        // 400-doc slice: the fixture's cost is per-batch composition
+        // overhead x dedup verification on a template-heavy corpus; the
+        // slice keeps the bench line honest while every funnel stage
+        // still fires (the 100 TB path is the operator, not the fixture)
+        val docs = graft.Tables.documents(s, d)
+          .filter(col("doc_id") < 400)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+            col("source"))
+        // drift reference: quality-feature moments of the GATE-PASSING
+        // slice (the deploy artifact a production build trains offline,
+        // on the distribution the funnel is expected to admit — training
+        // on the raw multilingual corpus would make the monitor flag the
+        // en-gate's own selection bias instead of arrival anomalies)
+        val sc = graft.streaming.StreamingCorpus
+        val ws = graft.operators.TextOps.tokens(col("text"))
+        val (nT, _, sr) = graft.operators.TextOps.qualityMetrics(ws, sc.DefaultStops)
+        val gatePassing = docs.filter(
+          graft.operators.TextOps.langIdEn(ws, sc.DefaultLangMarkers, 2) === "en" &&
+            nT >= 5 && sr <= 0.5)
+        val refDir = java.nio.file.Files.createTempDirectory("graft-scorp-ref").toString
+        graft.operators.Pca.saveMoments(s,
+          graft.operators.Pca.moments(
+            sc.qualityFeatures(gatePassing, "doc_id", "text", sc.DefaultStops),
+            "features"), refDir)
+        val stateDir = java.nio.file.Files.createTempDirectory("graft-scorp-st").toString
+        val corpusDir = java.nio.file.Files.createTempDirectory("graft-scorp-c").toString
+        val outDir = java.nio.file.Files.createTempDirectory("graft-scorp-o").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft-scorp-k").toString
+        val checks = Seq(
+          graft.operators.Validation.Expect("text_nonempty", length(col("text")) > 0),
+          graft.operators.Validation.Unique("doc_id_unique", col("doc_id")))
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+        val q = graft.streaming.StreamingCorpus.attach(
+          mem.toDF().toDF("doc_id", "text", "source"),
+          "doc_id", "text", "source", checks,
+          // src0/src1 squeezed (cross-batch remaining-budget read visible
+          // in batch 1), everything else effectively unbudgeted
+          budgets = Map("src0" -> 300L, "src1" -> 300L),
+          defaultBudget = 100000000L,
+          refDir, stateDir, corpusDir, outDir, ckptDir,
+          // clean batches sit within sampling noise of the gate-passing
+          // reference; the poisoned batch lands far beyond any threshold
+          zThreshold = 8.0)
+        val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        // batch 1 carries the three cross-batch proofs in one arrival:
+        // - 10 EXACT COPIES of batch-0 docs (fresh ids): the stored band
+        //   index must reject them (cross-batch dedup);
+        // - 5 novel 400-token src0 docs: src0's 300-token budget can
+        //   never fit them, whatever batch 0 admitted (cross-batch
+        //   remaining-budget read, deterministic at every sf);
+        // - 20 poisoned-source docs (~6x quality-feature shift, sized so
+        //   the quantized-long drift moments stay in range): they pass
+        //   every gate and the budget, and must trip the drift alarm.
+        val copies = gatePassing.orderBy(col("doc_id")).limit(10)
+          .select("text", "source").collect().zipWithIndex
+          .map { case (r, i) => (300000L + i, r.getString(0), r.getString(1)) }
+        val novelSrc0 = (0 until 5).map { i =>
+          (200000L + i, "the size of the data and the run " +
+            (0 until 392).map(j => s"n${i}_$j").mkString(" "), "src0") }
+        val poisoned = (0 until 20).map { i =>
+          (100000L + i, "the data of the run " +
+            (0 until 300).map(j => s"w${i}_$j").mkString(" "), "poison") }
+        try {
+          mem.addData(rows.toSeq)
+          q.processAllAvailable()
+          mem.addData(copies.toSeq ++ novelSrc0 ++ poisoned)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(outDir)
+          .select(col("batch_id"), col("n_arrived"), col("n_valid"),
+            col("n_gated"), col("n_unique"), col("n_admitted"),
+            col("admitted_tokens"), col("checks_pass"), col("drift_alarm"))
+          .orderBy("batch_id")
+    },
+
     // ── ORC source/sink round trip: the corpus slice written to ORC and
     //    read back through Spark's native ORC reader, then content-
     //    aggregated. NOT rows-only: the oracle computes the same

@@ -28,8 +28,45 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "text_vocab_approx", "engine_snapshot_diff",
       "text_classifier_train", "engine_stream_validate",
       "engine_jsonl_quarantine", "engine_stream_drift",
+      "engine_stream_corpus",
       "text_heavyhitters_sketch"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("engine_stream_corpus: funnel monotone, cross-batch dedup/budget visible, clean drift") {
+    val df = run("engine_stream_corpus")
+    assert(df.columns.toSeq == Seq("batch_id", "n_arrived", "n_valid",
+      "n_gated", "n_unique", "n_admitted", "admitted_tokens", "checks_pass",
+      "drift_alarm"))
+    val rows = df.collect()
+    assert(rows.length == 2 && rows.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val nDocs = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 400).count()
+    assert(rows(0).getLong(1) == nDocs, "every corpus doc arrives in batch 0")
+    rows.foreach { r =>
+      // the funnel can only narrow: arrived ≥ valid ≥ gated ≥ unique ≥ admitted
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= r.getLong(3) &&
+        r.getLong(3) >= r.getLong(4) && r.getLong(4) >= r.getLong(5))
+      assert(r.getAs[Boolean]("checks_pass"), "fixture batches pass their expectations")
+    }
+    // batch 0: a clean slice of the gate-passing reference distribution
+    assert(!rows(0).getAs[Boolean]("drift_alarm"),
+      "a same-distribution slice must not trip the drift alarm")
+    assert(rows(0).getLong(5) > 0L, "batch 0 admits a real corpus")
+    // the template-heavy corpus really deduplicates within batch 0
+    assert(rows(0).getLong(4) < rows(0).getLong(3),
+      "near-dedup must remove documents from this template-generated corpus")
+    // batch 1 = 10 exact copies + 5 over-budget novel src0 docs + 20
+    // poisoned docs; all 35 pass validation and the gates, the copies die
+    // in CROSS-BATCH dedup (stored band index), the novel src0 docs die
+    // in the CROSS-BATCH budget (400 tokens can never fit a 300 budget),
+    // the poison is admitted and must trip the drift monitor
+    val b1 = rows(1)
+    assert(b1.getLong(1) == 35L && b1.getLong(2) == 35L && b1.getLong(3) == 35L)
+    assert(b1.getLong(4) == 25L, "exact copies rejected by the stored index")
+    assert(b1.getLong(5) == 20L, "novel src0 docs rejected by the spent budget")
+    assert(b1.getLong(6) == 20L * 305L, "poison tokens: 20 docs x 305 tokens")
+    assert(b1.getAs[Boolean]("drift_alarm"), "the poisoned batch must alarm")
   }
 
   test("engine_stream_drift: clean batch quiet, shifted batch alarms, axes reported") {

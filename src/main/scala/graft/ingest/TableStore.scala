@@ -640,6 +640,28 @@ final class TableStore(val spark: SparkSession, val root: String, val nBuckets: 
   def nextRound: Long =
     metastate.get(MetaNextRound).map(_.toLong).getOrElse(0L)
 
+  /** GetNextRoundToLoad (dummy/dummy.go:41-42): the next round whose
+    * transactions need loading = max committed txn round + 1, 0 for an
+    * empty table. Pure metadata at any scale: the per-file round stats
+    * committed with the manifest answer it driver-side — no scan. Only
+    * files predating the stats index (none in practice) fall back to one
+    * bounded aggregate over exactly those files. */
+  def nextRoundToLoad: Long = {
+    val files = manifest("txn")
+    if (files.isEmpty) return 0L
+    val stats = fileRoundStatsRaw("txn")
+    val (withStats, without) = files.partition(stats.contains)
+    val hiStats = withStats.foldLeft(-1L)((m, f) => math.max(m, stats(f)._2))
+    val hiScan =
+      if (without.isEmpty) -1L
+      else {
+        val r = readManifest("txn", without)
+          .agg(org.apache.spark.sql.functions.max("round")).head
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    math.max(hiStats, hiScan) + 1L
+  }
+
   def setNextRound(r: Long): Unit = putMetastate(MetaNextRound -> r.toString)
 }
 

@@ -770,6 +770,35 @@ object DataPipelineQueries {
           .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Approx-percentile twin for CONTINUOUS metrics: classifier
+    //    scores are real-valued (score = raw_permille / (n·1000)), so
+    //    histQuantiles' exact integer-domain histogram does not apply —
+    //    this is the GK-sketch (approx_percentile) side of the family,
+    //    per language, the shape that survives a 100 TB corpus where
+    //    sorting scores per group would shuffle everything. rows-only
+    //    (sketch internals are engine-specific); RowsOnlyQueriesSpec
+    //    pins each sketch quantile within rank-error of the exactly
+    //    sorted scores. Same scalar-column unpacking as the length twin
+    //    (array cells crash the driver's pandas sort). ──
+    QueryDef.rowsOnly("text_score_percentiles_approx") {
+      (s, d) =>
+        val scored = TextOps.classifierScore(Tables.documents(s, d), "doc_id", "text",
+          weightsPermille = Map(
+            "vector" -> 400L, "stream" -> 300L, "query" -> 250L, "data" -> 200L,
+            "join" -> 150L, "the" -> -50L, "a" -> -20L, "slow" -> -350L),
+          threshold = 0.02)
+        Tables.documents(s, d).select(col("doc_id").as("doc"), col("lang"))
+          .join(scored, Seq("doc"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            expr("approx_percentile(score, array(0.1, 0.5, 0.9), 10000)").as("q"))
+          .select(col("lang"), col("n"),
+            round(col("q").getItem(0), 6).as("approx_p10"),
+            round(col("q").getItem(1), 6).as("approx_p50"),
+            round(col("q").getItem(2), 6).as("approx_p90"))
+          .orderBy(asc_nulls_last("lang"))
+    },
+
     // ── Compression-ratio quality gate: deflate_bytes/utf8_bytes per
     //    doc (repetitive text → low, random soup → ~1, prose in a
     //    band). No SQL engine exposes deflate → rows-only; semantics

@@ -632,6 +632,12 @@ object Api {
       network = meta.get(TableStore.MetaNetwork))
   }
 
+  /** GetNextRoundToLoad (dummy/dummy.go:41-42): the txn-table loading
+    * watermark — where NextRoundToAccount tracks state accounting, this
+    * tracks which rounds have landed in the transaction table (they can
+    * differ mid-catchup). Metadata-only (manifest round stats). */
+  def nextRoundToLoad(store: TableStore): Long = store.nextRoundToLoad
+
   /** DeleteTransactions(keep): prune txn rows older than `keep`, record the
     * watermark in metastate (dummy.go:107; types.go:33-36). Range buckets
     * wholly below `keep` drop out of the manifest unread; only the

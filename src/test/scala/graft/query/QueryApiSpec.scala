@@ -328,6 +328,17 @@ class QueryApiSpec extends SparkSpec {
       s"""{"next":${Long.MaxValue}}""")
   }
 
+  test("nextRoundToLoad: max committed txn round + 1 from manifest stats, 0 when empty") {
+    // the 4-round fixture: txn rounds 0..3 committed → next to load is 4,
+    // agreeing with NextRoundToAccount on a caught-up store
+    assert(Api.nextRoundToLoad(store) == 4L)
+    assert(store.nextRoundToLoad == store.nextRound)
+    // an initialized-but-unloaded store reports 0 (dummy.go:41-42 shape)
+    val empty = new TableStore(spark, tmpDir("graft-nrtl"), nBuckets = 4)
+    BlockIngest.initGenesis(empty, Seq((A, 10L, "{}")), "net")
+    assert(Api.nextRoundToLoad(empty) == 0L)
+  }
+
   test("deleteTransactions prunes old round partitions and records watermark") {
     // fresh store so other tests are unaffected
     val s2 = new TableStore(spark, tmpDir("graft-prune"), nBuckets = 4)

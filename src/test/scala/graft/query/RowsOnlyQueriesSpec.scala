@@ -28,9 +28,43 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "text_vocab_approx", "engine_snapshot_diff",
       "text_classifier_train", "engine_stream_validate",
       "engine_jsonl_quarantine", "engine_stream_drift",
-      "engine_stream_corpus",
+      "engine_stream_corpus", "text_score_percentiles_approx",
       "text_heavyhitters_sketch"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("text_score_percentiles_approx: sketch quantiles sit at exact ranks for small groups") {
+    val df = run("text_score_percentiles_approx")
+    assert(df.columns.toSeq == Seq("lang", "n", "approx_p10", "approx_p50", "approx_p90"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // exact per-lang sorted scores, recomputed through the same operator
+    val scored = graft.operators.TextOps.classifierScore(
+      graft.Tables.documents(spark, sf), "doc_id", "text",
+      weightsPermille = Map(
+        "vector" -> 400L, "stream" -> 300L, "query" -> 250L, "data" -> 200L,
+        "join" -> 150L, "the" -> -50L, "a" -> -20L, "slow" -> -350L),
+      threshold = 0.02)
+    val byLang = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id").as("doc"),
+        org.apache.spark.sql.functions.col("lang"))
+      .join(scored, Seq("doc"))
+      .select("lang", "score").collect()
+      .filter(!_.isNullAt(1))
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val xs = byLang(lang)
+      // GK sketch at accuracy 10000: exact rank for groups this small —
+      // each reported quantile must be at the exact percentile position
+      // (Spark's continuous approx_percentile definition: the smallest
+      // value whose rank >= ceil(p * n)), up to the query's rounding
+      def at(p: Double) = xs(math.max(0, math.ceil(p * xs.length).toInt - 1))
+      assert(math.abs(r.getDouble(2) - at(0.1)) < 1e-6, s"$lang p10")
+      assert(math.abs(r.getDouble(3) - at(0.5)) < 1e-6, s"$lang p50")
+      assert(math.abs(r.getDouble(4) - at(0.9)) < 1e-6, s"$lang p90")
+    }
   }
 
   test("engine_stream_corpus: funnel monotone, cross-batch dedup/budget visible, clean drift") {

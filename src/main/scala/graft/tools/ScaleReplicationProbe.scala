@@ -1,0 +1,196 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Replication scale probe for the COMPOSED heavyweights — the artifact
+  * that converts the 100 TB plan-shape arguments into measurements: the
+  * sf corpus replicated ×1/×10/×32 through four composed pipelines
+  * (corpus build, exact-run dedup, stored-IVF serve, duplicate
+  * clustering), recording wall, shuffle-write volume, and max single
+  * task time at each size. Near-linear wall + flat-ish max-task =
+  * the plan distributes; a superlinear line or a ballooning max task
+  * names the operator that would fall over first on a real cluster.
+  *
+  * Replication semantics per pipeline (they differ deliberately):
+  * - corpus build: replica-salted TEXT (novel content — the growth path
+  *   where nothing collapses and every stage does ×N work);
+  * - exact-run dedup: UNMODIFIED text under fresh ids (×N duplication —
+  *   gram document-frequencies grow ×N, stressing the hot-gram
+  *   broadcast split, which is the point);
+  * - IVF serve: replica-perturbed embeddings under fresh ids (corpus
+  *   ×N, fixed query set — serve cost should track probed-cell volume,
+  *   linear in N at fixed nlist);
+  * - clustering: unmodified text under fresh ids (duplicate families
+  *   grow ×N members → candidate pairs per bucket grow ×N²; the
+  *   BoundedCollect caps + dropped-id accumulator are the designed
+  *   guard, and the probe records what they drop).
+  *
+  * Usage: runMain graft.tools.ScaleReplicationProbe [sfDir] [reps]
+  *   (reps comma-separated, default "1,10,32")
+  */
+object ScaleReplicationProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).getOrElse("1,10,32").split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    @volatile var shufW = 0L
+    @volatile var maxTask = 0L
+    val durs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (sc.stageInfo.taskMetrics != null)
+          shufW += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) {
+          maxTask = math.max(maxTask, te.taskInfo.duration)
+          durs.add(te.taskInfo.duration)
+        }
+    }
+    // each body call builds its own checkpointed fixture; drop the blocks
+    // after every run or the x64 frames accumulate in the block manager
+    // and evictions masquerade as straggler tasks (the Bench r09 lesson)
+    def clearBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+    // clearBetween=false for bodies that REUSE a checkpoint built outside
+    // the timed body (unpersisting a localCheckpoint invalidates it - the
+    // lineage is gone, the second run would die on missing blocks)
+    def timed(label: String, clearBetween: Boolean = true)(body: => Long): Unit = {
+      body // warm (codegen/JIT; fresh frames every call, so no cache reuse)
+      if (clearBetween) clearBlocks()
+      shufW = 0; maxTask = 0; durs.clear()
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val v = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(listener)
+      clearBlocks()
+      // p95-vs-max disambiguates "one straggler" from "per-task load
+      // grew because the probe fixes 32 partitions while data grows"
+      val ds = durs.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      val p95 = if (ds.isEmpty) 0L else ds((ds.length * 95) / 100 min (ds.length - 1))
+      println(f"[scale-probe] $label%-28s wall $wall%7.2f s  shufW ${shufW / 1024}%9d KiB  maxTask ${maxTask}%6d ms  p95 ${p95}%6d ms  out $v%d")
+    }
+
+    def docsTimes(rep: Int, saltText: Boolean): DataFrame = {
+      val base = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val rf = base.crossJoin(spark.range(rep).select(col("id").as("_rep")))
+      val text =
+        if (saltText) concat_ws(" ", concat(lit("rep"), col("_rep")), col("text"))
+        else col("text")
+      rf.select((col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
+        text.as("text"), col("source"))
+        .repartition(32) // replicas spread like arriving data, not 1 task/replica
+        // materialized OUTSIDE the timed body: the replication crossJoin
+        // is fixture scaffolding (a few scan tasks doing xN concat/copy
+        // work) and was polluting maxTask with a linear-in-N task that
+        // no real pipeline contains
+        .localCheckpoint()
+    }
+
+    for (rep <- reps) {
+      println(s"── replication x$rep ──")
+
+      // 1. corpus build (gates → exact dedup → hash sample → shard+pack)
+      timed(s"corpus_build x$rep") {
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val d0 = docsTimes(rep, saltText = true)
+        val ws = graft.operators.TextOps.tokens(col("text"))
+        val (n, _, sr) = graft.operators.TextOps.qualityMetrics(ws, stops)
+        val cleaned = d0
+          .select(col("doc_id"), col("text"), n.as("n_tokens"),
+            graft.operators.TextOps.langIdEn(ws, Seq("the", "a", "of", "and"), 2).as("plang"),
+            sr.as("sr"))
+          .filter(col("plang") === "en" && col("n_tokens") >= 5 && col("sr") <= 0.5)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(min("doc_id").cast("long").as("doc_id"), min("text").as("text"),
+            min("n_tokens").cast("long").as("n_tokens"))
+        graft.operators.Sharding.packSequences(
+          graft.operators.Sharding.sampleByHash(cleaned, "text", permille = 600),
+          "doc_id", "n_tokens", keyCol = "text", nShards = 8, seqLen = 256).count()
+      }
+
+      // 2. exact-run dedup (duplicated grams: df grows xN, hot path live)
+      timed(s"exact_run_dedup x$rep") {
+        graft.operators.TextOps.exactRunDedupText(
+          docsTimes(rep, saltText = false), "doc_id", "text", n = 5).count()
+      }
+
+      // 2b. hotDf A/B — measured OUTCOME (kept as the record): timings
+      //     and shuffle volume are IDENTICAL at 4096 vs 65536 at every
+      //     replication, and p95 ≈ max at every size — the growing
+      //     maxTask is balanced per-task load under the probe's fixed
+      //     32 partitions (a cluster scales partitions with input), not
+      //     gram-key skew; this corpus' gram df distribution doesn't
+      //     straddle the two thresholds.
+      timed(s"exact_run_dedup x$rep hotDf=4k") {
+        graft.operators.TextOps.exactRunDedupText(
+          docsTimes(rep, saltText = false), "doc_id", "text", n = 5,
+          hotDf = 4096L).count()
+      }
+
+      // 3. stored-IVF serve: publish once per size, time ONLY the serve
+      locally {
+        val emb = graft.Tables.embeddings(spark, sfDir)
+        val perturbed = emb.crossJoin(spark.range(rep).select(col("id").as("_rep")))
+          .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
+            transform(col("embedding"),
+              x => (x + col("_rep").cast("float") * lit(0.001f)).cast("float"))
+              .as("embedding"))
+          .repartition(32).localCheckpoint() // build cost excluded from serve
+        val root = java.nio.file.Files.createTempDirectory(s"graft-scale-ivf$rep").toString
+        val store = new graft.ingest.TableStore(spark, root, nBuckets = 2)
+        graft.ingest.VectorIndex.publish(store, "probe",
+          emb.filter(col("vec_id").between(1, 8)).select(col("vec_id"), col("embedding")))
+        val queries = emb.filter(col("vec_id") < 4)
+        timed(s"ivf_stored_serve x$rep", clearBetween = false) {
+          graft.ingest.VectorIndex.ivfTopKBatch(store, "probe",
+            perturbed.filter(col("vec_id") > 8), "vec_id", "embedding",
+            queries = queries, queryIdCol = "vec_id",
+            k = 8, probes = 1).count()
+        }
+      }
+
+      // 4. duplicate clustering (families xN → per-bucket pairs xN²;
+      //    caps + accumulator are the guard under test)
+      locally {
+        val dropped = spark.sparkContext.longAccumulator(s"dropped-x$rep")
+        timed(s"dedup_clusters x$rep") {
+          val pairs = graft.operators.Dedup.lshCandidatePairs(
+            docsTimes(rep, saltText = false), "doc_id", "text",
+            shingleN = 3, k = 8, bands = 4, droppedAcc = Some(dropped))
+          graft.operators.Dedup.duplicateClusters(pairs).count()
+        }
+        println(s"[scale-probe]   clusters x$rep bucket-cap dropped ids: ${dropped.value}")
+      }
+
+      // 4b. the quadratic mitigated: replica families are EXACT
+      //     duplicates, and a production pipeline collapses those with
+      //     the hash groupBy BEFORE banding (pipeline_corpus_build's
+      //     own stage order) — near-dup machinery then sees one
+      //     representative per family and the N² pair mass never forms.
+      timed(s"clusters_precollapsed x$rep") {
+        val d0 = docsTimes(rep, saltText = false)
+        val canon = d0.groupBy(md5(col("text")).as("_h"))
+          .agg(min("doc_id").as("doc_id"), min("text").as("text"))
+          .drop("_h")
+        graft.operators.Dedup.duplicateClusters(
+          graft.operators.Dedup.lshCandidatePairs(canon, "doc_id", "text",
+            shingleN = 3, k = 8, bands = 4)).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -62,6 +62,72 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Deterministic 8-bit sample for pixel (x, y) channel `c` of the
+    * seed-`s` raster fixtures — pure arithmetic, so the pixel-decode
+    * oracles recompute decoded rasters in SQL without touching bytes:
+    * (s·31 + x·7 + y·13 + c·11 + 5) mod 256. */
+  def pixel(seed: Long, x: Int, y: Int, c: Int): Int =
+    math.floorMod(seed * 31L + x * 7L + y * 13L + c * 11L + 5L, 256L).toInt
+
+  /** Fully REAL PNG: 8-bit truecolor with `pix(x, y, c)` pixel data,
+    * per-row filter types from `filterOf(y)` (all five PNG filters are
+    * genuinely applied — the encoder computes the residuals the decoder
+    * must invert), scanlines zlib-deflated with java.util.zip.Deflater.
+    * Unlike the header-only [[png]], this blob decodes end-to-end
+    * ([[MediaHeaders.pngPixels]]); the compressed BYTES are not part of
+    * any oracle contract (only the decoded pixels are), so Deflater's
+    * exact output encoding is free to vary. */
+  def pngReal(w: Int, h: Int, pix: (Int, Int, Int) => Int,
+              filterOf: Int => Int = _ => 0): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"bad dims: ${w}x$h")
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val prior = new Array[Int](stride) // previous row, unfiltered
+    val cur = new Array[Int](stride)
+    var o = 0
+    var y = 0
+    while (y < h) {
+      var i = 0
+      while (i < stride) { cur(i) = pix(i / bpp, y, i % bpp) & 0xff; i += 1 }
+      val ft = filterOf(y)
+      require(ft >= 0 && ft <= 4, s"bad filter $ft")
+      raw(o) = ft.toByte; o += 1
+      i = 0
+      while (i < stride) {
+        val a = if (i >= bpp) cur(i - bpp) else 0
+        val b = prior(i)
+        val cc = if (i >= bpp) prior(i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => // Paeth
+            val p = a + b - cc
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - cc)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+        }
+        raw(o) = ((cur(i) - pred) & 0xff).toByte; o += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val comp = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    chunk(out, "IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    chunk(out, "IDAT", comp.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   private def chunk(out: ByteArrayOutputStream, typ: String, data: Array[Byte]): Unit = {
     out.write(be32(data.length), 0, 4)
     val t = typ.getBytes("US-ASCII")
@@ -107,6 +173,62 @@ object MediaFixtures {
       out.write(Array[Byte](0x2c, 0, 0, 0, 0, 1, 0, 1, 0, 0), 0, 10)
       // LZW min code size + one 1-byte sub-block + terminator
       out.write(Array[Byte](2, 1, 0, 0), 0, 4)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Fully REAL GIF89a: global 256-entry grayscale color table (entry
+    * i = (i,i,i)) and `frames` full-size image frames whose color
+    * INDICES are `pix(x, y, frame)` — encoded as a genuine LZW stream.
+    * The encoder uses the spec's reset facility (a CLEAR code before
+    * every pixel code) so it never grows the dictionary: fixed 9-bit
+    * codes, trivially correct, and decodable by ANY conformant GIF LZW
+    * decoder — including the general one in
+    * [[MediaHeaders.gifFrames]], whose dictionary machinery gets its
+    * real-stream exercise from spec fixtures with growing dictionaries.
+    */
+  def gifReal(w: Int, h: Int, frames: Int, pix: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && frames >= 1, s"bad geometry: ${w}x$h x$frames")
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    out.write(le16(w), 0, 2)
+    out.write(le16(h), 0, 2)
+    out.write(0xf7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // bg index, aspect
+    var ci = 0
+    while (ci < 256) { out.write(ci); out.write(ci); out.write(ci); ci += 1 }
+    val clear = 256; val eoi = 257; val codeWidth = 9
+    (0 until frames).foreach { f =>
+      out.write(Array[Byte](0x2c, 0, 0, 0, 0), 0, 5)
+      out.write(le16(w), 0, 2)
+      out.write(le16(h), 0, 2)
+      out.write(0) // no local color table, not interlaced
+      out.write(8) // LZW min code size
+      // pack 9-bit codes LSB-first: CLEAR px CLEAR px … EOI
+      val bits = new ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      def put(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += codeWidth
+        while (nbits >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { put(clear); put(pix(x, y, f) & 0xff); x += 1 }
+        y += 1
+      }
+      put(eoi)
+      if (nbits > 0) bits.write((acc & 0xff).toInt)
+      val data = bits.toByteArray
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n)
+        out.write(data, off, n)
+        off += n
+      }
+      out.write(0) // block terminator
     }
     out.write(0x3b)
     out.toByteArray

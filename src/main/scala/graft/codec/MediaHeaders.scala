@@ -93,6 +93,86 @@ object MediaHeaders {
       bitDepth = Some(depth), channels = Some(channels)))
   }
 
+  /** Decoded 8-bit truecolor raster: `rgb` is row-major, 3 bytes per
+    * pixel, exactly the unfiltered scanline bytes. */
+  final case class PngRaster(width: Int, height: Int, rgb: Array[Byte])
+
+  /** FULL pixel decode for 8-bit truecolor non-interlaced PNGs — zlib
+    * inflate (java.util.zip, in every JVM) plus the five scanline
+    * filters inverted per the spec; no codec library involved. Returns
+    * None for any other PNG flavor (palette, alpha, 16-bit, interlaced
+    * — a real codec's job), for truncated/corrupt zlib streams, for a
+    * stream that inflates to the wrong length, and for rasters over
+    * 64 MiB (a hostile IHDR must not allocate unbounded memory). */
+  def pngPixels(b: Array[Byte]): Option[PngRaster] = {
+    if (!isPng(b) || b.length < 33 || tag(b, 12) != "IHDR") return None
+    val w = be32(b, 16); val h = be32(b, 20)
+    if (w <= 0 || h <= 0) return None
+    // 8-bit truecolor (color 2), deflate, adaptive filters, no interlace
+    if (u8(b, 24) != 8 || u8(b, 25) != 2 || u8(b, 26) != 0 ||
+      u8(b, 27) != 0 || u8(b, 28) != 0) return None
+    val stride = w * 3
+    val rawLen = h * (stride + 1)
+    if (rawLen > (64L << 20)) return None
+    // concatenate IDAT chunk data (the zlib stream may span chunks)
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var done = false
+    while (!done && i + 8 <= b.length) {
+      val len = be32(b, i)
+      val typ = tag(b, i + 4)
+      if (typ == "IEND") done = true
+      else if (typ == "IDAT" && len > 0 && i + 8 + len <= b.length)
+        idat.write(b, i + 8, len.toInt)
+      i = math.min(i.toLong + 12L + math.max(0L, len), b.length.toLong).toInt
+    }
+    if (idat.size() == 0) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // invert the per-row filter (spec 9.2); all arithmetic mod 256
+    val out = new Array[Byte]((h * stride).toInt)
+    val bpp = 3
+    var y = 0
+    while (y < h) {
+      val ft = raw(y.toInt * (stride.toInt + 1)) & 0xff
+      if (ft > 4) return None
+      val ri = y.toInt * (stride.toInt + 1) + 1
+      val oi = y.toInt * stride.toInt
+      var x = 0
+      while (x < stride) {
+        val a = if (x >= bpp) out(oi + x - bpp) & 0xff else 0
+        val up = if (y > 0) out(oi - stride.toInt + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) out(oi - stride.toInt + x - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case _ =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        out(oi + x) = (((raw(ri + x) & 0xff) + pred) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngRaster(w.toInt, h.toInt, out))
+  }
+
   // ── JPEG ────────────────────────────────────────────────────────────
 
   def isJpeg(b: Array[Byte]): Boolean =
@@ -177,6 +257,133 @@ object MediaHeaders {
     if (frames == 0) frames = 1 // header-only blob: LSD still describes one image
     Some(MediaMeta("gif", width = Some(w), height = Some(h),
       nFrames = Some(frames), bitDepth = Some(depth)))
+  }
+
+  /** Decoded GIF frames: per frame the row-major COLOR-INDEX bytes
+    * (the color table lookup is the caller's business — the fixtures
+    * use a grayscale identity table, so index ≡ luma). */
+  final case class GifRaster(width: Int, height: Int, frames: Seq[Array[Byte]])
+
+  /** FULL raster decode for non-interlaced GIFs — a complete, general
+    * LZW decoder (variable code width 3..12 bits LSB-first, dictionary
+    * growth, CLEAR/EOI handling, the k-omega-k self-referencing case) in
+    * plain byte arithmetic; no codec library. Frames must be full-size
+    * at origin (the fixtures' shape; partial-update animation is a real
+    * codec's compositing job). Returns None for interlaced or
+    * local-color-table frames, malformed streams, or out-of-range
+    * codes; decoding stops cleanly at EOI or stream end. */
+  def gifFrames(b: Array[Byte]): Option[GifRaster] = {
+    if (!isGif(b) || b.length < 13) return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > (64L << 20)) return None
+    val flags = u8(b, 10)
+    var i = 13
+    if ((flags & 0x80) != 0) i += 3 * (1 << ((flags & 7) + 1)) // skip GCT
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (i < b.length && u8(b, i) != 0x3b) {
+      u8(b, i) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+          i += 1
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val iw = le16(b, i + 5); val ih = le16(b, i + 7)
+          val ifl = u8(b, i + 9)
+          if (le16(b, i + 1) != 0 || le16(b, i + 3) != 0 || iw != w || ih != h)
+            return None // partial-update frame: compositing out of scope
+          if ((ifl & 0x40) != 0) return None // interlaced
+          i += 10
+          if ((ifl & 0x80) != 0) i += 3 * (1 << ((ifl & 7) + 1)) // local table
+          if (i >= b.length) return None
+          val mcs = u8(b, i); i += 1
+          if (mcs < 2 || mcs > 8) return None
+          // concatenate the LZW sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && u8(b, i) != 0) {
+            val n = u8(b, i)
+            if (i + 1 + n > b.length) return None
+            data.write(b, i + 1, n)
+            i += 1 + n
+          }
+          i += 1 // terminator
+          frames += (lzwDecode(data.toByteArray, mcs, iw * ih) match {
+            case Some(px) => px
+            case None => return None
+          })
+        case _ => return None
+      }
+    }
+    if (frames.isEmpty) None else Some(GifRaster(w, h, frames.toSeq))
+  }
+
+  /** General GIF-flavor LZW: codes packed LSB-first, width grows from
+    * minCodeSize+1 up to 12 bits as the dictionary fills, CLEAR resets,
+    * EOI (or stream end) stops. Emits exactly `expected` bytes or None. */
+  private[codec] def lzwDecode(data: Array[Byte], mcs: Int, expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    var codeSize = mcs + 1
+    var nextCode = eoi + 1
+    var prev = -1
+    var acc = 0L; var nbits = 0; var di = 0
+    val stack = new Array[Byte](4096)
+    def emitChain(code: Int): Int = { // returns the chain's FIRST byte
+      var sp = 0
+      var c = code
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val first = c
+      if (outLen < expected) { out(outLen) = c.toByte; outLen += 1 }
+      while (sp > 0) {
+        sp -= 1
+        if (outLen < expected) { out(outLen) = stack(sp); outLen += 1 }
+      }
+      first
+    }
+    var running = true
+    while (running) {
+      while (nbits < codeSize && di < data.length) {
+        acc |= (data(di) & 0xffL) << nbits; nbits += 8; di += 1
+      }
+      if (nbits < codeSize) running = false // stream end
+      else {
+        val code = (acc & ((1L << codeSize) - 1)).toInt
+        acc >>= codeSize; nbits -= codeSize
+        if (code == clear) {
+          codeSize = mcs + 1; nextCode = eoi + 1; prev = -1
+        } else if (code == eoi) running = false
+        else if (prev == -1) {
+          if (code >= clear) return None // first code after clear must be literal
+          emitChain(code)
+          prev = code
+        } else if (code < nextCode) {
+          val first = emitChain(code)
+          if (nextCode < 4096) {
+            prefix(nextCode) = prev; suffix(nextCode) = first.toByte; nextCode += 1
+            if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+          }
+          prev = code
+        } else if (code == nextCode && nextCode < 4096) {
+          // the k-omega-k case: entry being defined is itself emitted
+          prefix(nextCode) = prev
+          suffix(nextCode) = {
+            var c = prev
+            while (c >= clear) c = prefix(c)
+            c.toByte
+          }
+          nextCode += 1
+          emitChain(nextCode - 1)
+          if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+          prev = code
+        } else return None // out-of-range code
+        if (outLen >= expected) running = false
+      }
+    }
+    if (outLen == expected) Some(out) else None
   }
 
   // ── WAV ─────────────────────────────────────────────────────────────

@@ -14,13 +14,16 @@ import org.apache.spark.sql.types._
   * Blobs whose magic number matches none of those (including this repo's
   * synthetic text-byte fixtures) fall back to a clearly-marked
   * deterministic stub (`stubDecode`), preserving the fixture contract the
-  * DuckDB oracles pin. Payload decoding is REAL where no codec library is
-  * needed: 16-bit PCM WAV audio decodes and resamples end-to-end
-  * ([[resamplePcm]], oracle-pinned sample-for-sample). COMPRESSED pixel
-  * decoding (PNG/JPEG/GIF rasters) still needs codec libraries absent
-  * from this environment — [[resizeStub]] stays the honestly-marked stub
-  * for that path; the per-partition batch shape is exactly where such a
-  * codec would initialize.
+  * DuckDB oracles pin. Payload decoding is REAL wherever no external
+  * codec library is needed: 16-bit PCM WAV decodes and resamples
+  * end-to-end ([[resamplePcm]]), PNG truecolor rasters inflate/unfilter
+  * through the JVM's zlib ([[pngPixelStats]], [[resizePixels]] — a real
+  * nearest-neighbor thumbnail), and GIF frames decode through a full
+  * general LZW ([[gifRasterStats]]) — each oracle-pinned byte-for-byte.
+  * Only JPEG's DCT entropy decode still needs a codec library this
+  * environment does not carry; [[resizeStub]] remains the
+  * honestly-marked stub for exactly that path, and the per-partition
+  * batch shape is where such a codec would initialize.
   */
 object Multimodal {
 
@@ -142,12 +145,13 @@ object Multimodal {
 
   /** Thumbnail stage over a decodeMeta frame: plans the bounded-box
     * dims with [[resizeDims]], then materializes a STUB thumbnail
-    * payload (deterministic bytes — the pixel resample itself needs a
-    * codec lib this container doesn't carry) through the same
-    * one-init-per-partition mapPartitions batch shape a real resampler
-    * runs in. Schema, null handling (audio rows get no thumb), and
-    * byte sizing (out_w·out_h, the 1-byte-luma plan) are real and
-    * oracle-checkable; only the pixel values are fake. */
+    * payload through the same one-init-per-partition mapPartitions
+    * batch shape a real resampler runs in. Schema, null handling
+    * (audio rows get no thumb), and byte sizing (out_w·out_h, the
+    * 1-byte-luma plan) are real and oracle-checkable; the pixel values
+    * are fake. This metadata-level stage is now needed only for
+    * formats the engine cannot genuinely decode (JPEG) — for PNG
+    * rasters [[resizePixels]] EXECUTES the same plan on real pixels. */
   def resizeStub(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val spark = meta.sparkSession
     val (ow, oh) = resizeDims(col("width"), col("height"), maxW, maxH)
@@ -276,6 +280,167 @@ object Multimodal {
               }
             }
           case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL PNG pixel decode — 8-bit truecolor rasters inflated and
+    * unfiltered by [[graft.codec.MediaHeaders.pngPixels]] (zlib is in
+    * every JVM; all five scanline filters inverted). One row per
+    * decodable blob with the raster's exact integer fingerprint
+    * (dimensions, byte count, sum/min/max and the first/last channel
+    * bytes) — enough for an arithmetic oracle to pin every decoded
+    * byte without shipping rasters. Non-PNG / non-truecolor /
+    * corrupt-stream blobs produce NO row. Decode rides the scan
+    * (mapPartitions, one inflater context per partition). */
+  def pngPixelStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sum_pix", LongType, nullable = false),
+      StructField("min_pix", IntegerType, nullable = false),
+      StructField("max_pix", IntegerType, nullable = false),
+      StructField("first_pix", IntegerType, nullable = false),
+      StructField("last_pix", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.pngPixels(blob) match {
+          case Some(p) if p.rgb.nonEmpty =>
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < p.rgb.length) {
+              val v = p.rgb(i) & 0xff
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            Iterator.single(Row(r.getLong(idIdx), p.width, p.height,
+              p.rgb.length.toLong, sum, mn, mx,
+              p.rgb(0) & 0xff, p.rgb(p.rgb.length - 1) & 0xff))
+          case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL GIF raster decode — full LZW
+    * ([[graft.codec.MediaHeaders.gifFrames]], general variable-width
+    * decoder). One row per (blob, frame) with the frame's color-index
+    * fingerprint; undecodable blobs produce no rows. */
+  def gifRasterStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("sum_idx", LongType, nullable = false),
+      StructField("min_idx", IntegerType, nullable = false),
+      StructField("max_idx", IntegerType, nullable = false),
+      StructField("first_idx", IntegerType, nullable = false),
+      StructField("last_idx", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.gifFrames(blob) match {
+          case Some(g) =>
+            g.frames.iterator.zipWithIndex.collect {
+              case (px, f) if px.nonEmpty =>
+                var sum = 0L; var mn = 255; var mx = 0
+                var i = 0
+                while (i < px.length) {
+                  val v = px(i) & 0xff
+                  sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                  i += 1
+                }
+                Row(r.getLong(idIdx), f, g.width, g.height, px.length.toLong,
+                  sum, mn, mx, px(0) & 0xff, px(px.length - 1) & 0xff)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** [[resizeDims]]' integer logic as plain scalars — shared by the
+    * real resampler so plan and execution can never disagree. */
+  private[operators] def resizeDimsScalar(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH >= h.toLong * maxW)
+      (maxW, math.max(1L, h.toLong * maxW / w).toInt)
+    else
+      (math.max(1L, w.toLong * maxH / h).toInt, maxH)
+
+  /** REAL image resize — executes the bounded-box thumbnail plan for
+    * the rasters the engine can genuinely decode (PNG truecolor):
+    * [[resizeDimsScalar]] picks the aspect-preserving output box, then
+    * nearest-neighbor sampling in exact integer arithmetic — output
+    * pixel (ox, oy) reads source (ox·w div outW, oy·h div outH) — so an
+    * arithmetic oracle replays every sampled byte. Returns the REAL
+    * thumbnail bytes (row-major RGB) plus the same integer fingerprint
+    * shape as [[pngPixelStats]]; undecodable blobs produce no row.
+    * [[resizeStub]] remains only for formats whose pixel decode needs a
+    * codec library (JPEG's DCT). */
+  def resizePixels(df: DataFrame, idCol: String, blobCol: String,
+                   maxW: Int, maxH: Int): DataFrame = {
+    require(maxW >= 1 && maxH >= 1, s"bad bounds: ${maxW}x$maxH")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sum_pix", LongType, nullable = false),
+      StructField("first_pix", IntegerType, nullable = false),
+      StructField("last_pix", IntegerType, nullable = false),
+      StructField("thumb", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.pngPixels(blob) match {
+          case Some(p) =>
+            val (ow, oh) = resizeDimsScalar(p.width, p.height, maxW, maxH)
+            val thumb = new Array[Byte](ow * oh * 3)
+            var sum = 0L
+            var oy = 0
+            while (oy < oh) {
+              val sy = oy * p.height / oh
+              var ox = 0
+              while (ox < ow) {
+                val sx = ox * p.width / ow
+                val si = (sy * p.width + sx) * 3
+                val di = (oy * ow + ox) * 3
+                var c = 0
+                while (c < 3) {
+                  val v = p.rgb(si + c) & 0xff
+                  thumb(di + c) = v.toByte
+                  sum += v
+                  c += 1
+                }
+                ox += 1
+              }
+              oy += 1
+            }
+            Iterator.single(Row(r.getLong(idIdx), p.width, p.height, ow, oh,
+              thumb.length.toLong, sum, thumb(0) & 0xff,
+              thumb(thumb.length - 1) & 0xff, thumb))
+          case None => Iterator.empty
         }
       }
     }

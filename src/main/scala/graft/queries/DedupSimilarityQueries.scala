@@ -2097,6 +2097,140 @@ object DedupSimilarityQueries {
           .orderBy("doc_id", "channel")
     },
 
+    // ── REAL PNG pixel decode: genuinely zlib-deflated 8-bit truecolor
+    //    fixtures with per-row filter types cycling through all five PNG
+    //    filters ((doc_id + y) % 5 — the filter machinery is IN the
+    //    oracle-checked path), inflated + unfiltered by the JVM's own
+    //    zlib, fingerprinted per raster. DuckDB recomputes every decoded
+    //    byte from the seed arithmetic without touching the blob. ──
+    QueryDef.sql(
+      "mm_png_pixels",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 24 AS BIGINT) AS w,
+        |                  CAST(1 + doc_id % 18 AS BIGINT) AS h FROM documents),
+        |u AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |v AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM u),
+        |e AS (SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c FROM v),
+        |p AS (SELECT doc_id, w, h,
+        |        (doc_id * 31 + x * 7 + y * 13 + c * 11 + 5) % 256 AS px
+        |      FROM e)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(px) AS BIGINT) AS sum_pix,
+        |  CAST(min(px) AS INT) AS min_pix, CAST(max(px) AS INT) AS max_pix,
+        |  CAST((doc_id * 31 + 5) % 256 AS INT) AS first_pix,
+        |  CAST((doc_id * 31 + (w - 1) * 7 + (h - 1) * 13 + 22 + 5) % 256 AS INT) AS last_pix
+        |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 24).toInt; val h = (1 + id % 18).toInt
+            (id, graft.codec.MediaFixtures.pngReal(w, h,
+              (x, y, c) => graft.codec.MediaFixtures.pixel(id, x, y, c),
+              filterOf = y => ((id + y) % 5).toInt))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.pngPixelStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("n_bytes"), col("sum_pix"), col("min_pix"), col("max_pix"),
+            col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
+    // ── REAL GIF raster decode: genuine LZW streams (the fixture
+    //    encoder uses the spec's CLEAR-reset facility; the decoder is a
+    //    full general variable-width LZW, spec-pinned against an
+    //    independent textbook compressor), one fingerprint row per
+    //    (doc, frame), oracle from the seed arithmetic. ──
+    QueryDef.sql(
+      "mm_gif_raster",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 12 AS BIGINT) AS w,
+        |                  CAST(1 + doc_id % 9 AS BIGINT) AS h,
+        |                  CAST(1 + doc_id % 3 AS BIGINT) AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fr FROM d),
+        |u AS (SELECT doc_id, w, h, fr, unnest(range(0, w)) AS x FROM f),
+        |v AS (SELECT doc_id, w, h, fr, x, unnest(range(0, h)) AS y FROM u),
+        |p AS (SELECT doc_id, w, h, fr,
+        |        (doc_id * 31 + x * 7 + y * 13 + fr * 11 + 5) % 256 AS px
+        |      FROM v)
+        |SELECT doc_id, CAST(fr AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(sum(px) AS BIGINT) AS sum_idx,
+        |  CAST(min(px) AS INT) AS min_idx, CAST(max(px) AS INT) AS max_idx,
+        |  CAST((doc_id * 31 + fr * 11 + 5) % 256 AS INT) AS first_idx,
+        |  CAST((doc_id * 31 + (w - 1) * 7 + (h - 1) * 13 + fr * 11 + 5) % 256 AS INT) AS last_idx
+        |FROM p GROUP BY doc_id, fr, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 12).toInt; val h = (1 + id % 9).toInt
+            val nf = (1 + id % 3).toInt
+            (id, graft.codec.MediaFixtures.gifReal(w, h, nf,
+              (x, y, f) => graft.codec.MediaFixtures.pixel(id, x, y, f)))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.gifRasterStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("frame_idx"), col("width"),
+            col("height"), col("n_px"), col("sum_idx"), col("min_idx"),
+            col("max_idx"), col("first_idx"), col("last_idx"))
+          .orderBy("doc_id", "frame_idx")
+    },
+
+    // ── REAL thumbnail resize — the execution of mm_resize_plan for
+    //    rasters the engine genuinely decodes: PNG pixels through zlib,
+    //    aspect-preserving 8×6 box by the same exact integer dims logic,
+    //    nearest-neighbor sampling sx = ox·w div ow / sy = oy·h div oh.
+    //    DuckDB replays every SAMPLED byte from the arithmetic; the
+    //    resizeStub now covers only JPEG. ──
+    QueryDef.sql(
+      "mm_raster_resize",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 24 AS BIGINT) AS w,
+        |                  CAST(1 + doc_id % 18 AS BIGINT) AS h FROM documents),
+        |r AS (SELECT doc_id, w, h,
+        |    CASE WHEN w <= 8 AND h <= 6 THEN w
+        |         WHEN w * 6 >= h * 8 THEN 8
+        |         ELSE greatest((w * 6) // h, 1) END AS ow,
+        |    CASE WHEN w <= 8 AND h <= 6 THEN h
+        |         WHEN w * 6 >= h * 8 THEN greatest((h * 8) // w, 1)
+        |         ELSE 6 END AS oh
+        |  FROM d),
+        |u AS (SELECT doc_id, w, h, ow, oh, unnest(range(0, ow)) AS ox FROM r),
+        |v AS (SELECT doc_id, w, h, ow, oh, ox, unnest(range(0, oh)) AS oy FROM u),
+        |e AS (SELECT doc_id, w, h, ow, oh,
+        |        (ox * w) // ow AS sx, (oy * h) // oh AS sy,
+        |        unnest(range(0, 3)) AS c
+        |      FROM v),
+        |p AS (SELECT doc_id, w, h, ow, oh,
+        |        (doc_id * 31 + sx * 7 + sy * 13 + c * 11 + 5) % 256 AS px
+        |      FROM e)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |  CAST(ow * oh * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(px) AS BIGINT) AS sum_pix,
+        |  CAST((doc_id * 31 + 5) % 256 AS INT) AS first_pix,
+        |  CAST((doc_id * 31 + (((ow - 1) * w) // ow) * 7
+        |        + (((oh - 1) * h) // oh) * 13 + 22 + 5) % 256 AS INT) AS last_pix
+        |FROM p GROUP BY doc_id, w, h, ow, oh ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 24).toInt; val h = (1 + id % 18).toInt
+            (id, graft.codec.MediaFixtures.pngReal(w, h,
+              (x, y, c) => graft.codec.MediaFixtures.pixel(id, x, y, c),
+              filterOf = y => ((id + y) % 5).toInt))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.resizePixels(blobs, "doc_id", "blob", maxW = 8, maxH = 6)
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("out_w"), col("out_h"), col("n_bytes"), col("sum_pix"),
+            col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
     // ── binaryFile ARRIVAL path: the same real containers, but arriving
     //    as individual FILES through Spark's binaryFile source (how raw
     //    media actually lands at scale — an object-store prefix of

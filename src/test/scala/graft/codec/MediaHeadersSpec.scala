@@ -108,6 +108,88 @@ class MediaHeadersSpec extends SparkSpec {
     assert(MediaHeaders.wavPcm16("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("pngPixels: real deflate round trip inverts all five scanline filters") {
+    def pix(x: Int, y: Int, c: Int): Int = (x * 7 + y * 13 + c * 11 + 5) % 256
+    // every row a different filter type, cycling through all five
+    val blob = MediaFixtures.pngReal(13, 10, pix, filterOf = y => y % 5)
+    val r = MediaHeaders.pngPixels(blob).get
+    assert(r.width == 13 && r.height == 10 && r.rgb.length == 13 * 10 * 3)
+    for (y <- 0 until 10; x <- 0 until 13; c <- 0 until 3)
+      assert((r.rgb((y * 13 + x) * 3 + c) & 0xff) == pix(x, y, c),
+        s"pixel ($x,$y,$c) filter ${y % 5}")
+    // 1x1 edge (no left/up neighbors on any filter)
+    for (ft <- 0 to 4) {
+      val one = MediaHeaders.pngPixels(MediaFixtures.pngReal(1, 1, pix, _ => ft)).get
+      assert(one.rgb.map(_ & 0xff).toSeq == Seq(pix(0, 0, 0), pix(0, 0, 1), pix(0, 0, 2)))
+    }
+    // refusals: header-only fixture (token IDAT inflates short), truncation,
+    // non-truecolor flavors, corrupt zlib
+    assert(MediaHeaders.pngPixels(png1x1).isEmpty)
+    assert(MediaHeaders.pngPixels(blob.take(60)).isEmpty)
+    val corrupt = blob.clone(); corrupt(45) = (corrupt(45) ^ 0x5a).toByte
+    assert(MediaHeaders.pngPixels(corrupt).isEmpty ||
+      MediaHeaders.pngPixels(corrupt).get.rgb.length == 13 * 10 * 3) // a bit flip may survive zlib but never crashes
+  }
+
+  test("gifFrames: fixture LZW decodes; a REAL growing-dictionary stream decodes too") {
+    def pix(x: Int, y: Int, f: Int): Int = (x * 3 + y * 5 + f * 17 + 2) % 256
+    val blob = MediaFixtures.gifReal(9, 7, 3, pix)
+    val g = MediaHeaders.gifFrames(blob).get
+    assert(g.width == 9 && g.height == 7 && g.frames.length == 3)
+    for (f <- 0 until 3; y <- 0 until 7; x <- 0 until 9)
+      assert((g.frames(f)(y * 9 + x) & 0xff) == pix(x, y, f), s"($x,$y,$f)")
+    assert(MediaHeaders.parse(blob).get.nFrames.contains(3), "header parser agrees")
+
+    // textbook LZW COMPRESSOR (dictionary growth, width bumps) written
+    // here independently; the decoder must invert it — this is the path
+    // the clear-code fixture encoder deliberately never exercises,
+    // including the k-omega-k self-reference on repetitive input
+    def lzwEncode(pixels: Array[Int], mcs: Int): Array[Byte] = {
+      val clear = 1 << mcs; val eoi = clear + 1
+      var dict = scala.collection.mutable.Map.empty[List[Int], Int]
+      var nextCode = eoi + 1
+      var codeSize = mcs + 1
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      def put(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += codeSize
+        while (nbits >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      put(clear)
+      var cur = List.empty[Int]
+      for (p <- pixels) {
+        val ext = cur :+ p
+        if (cur.isEmpty || (ext.length == 1 && p < clear) || dict.contains(ext)) cur = ext
+        else {
+          put(if (cur.length == 1) cur.head else dict(cur))
+          if (nextCode < 4096) {
+            dict(ext) = nextCode; nextCode += 1
+            // GIF encoders bump width when nextCode EXCEEDS the width
+            if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          }
+          cur = List(p)
+        }
+      }
+      if (cur.nonEmpty) put(if (cur.length == 1) cur.head else dict(cur))
+      put(eoi)
+      if (nbits > 0) bits.write((acc & 0xff).toInt)
+      bits.toByteArray
+    }
+    // repetitive input triggers k-omega-k; the varied tail grows the
+    // dictionary across a width bump (16-color alphabet, mcs=4: codes
+    // widen 5 -> 6 -> 7 bits as entries pass 32 and 64)
+    val pixels = Array.fill(40)(7) ++ (0 until 300).map(i => (i * i + 3) % 16).toArray
+    val mcs = 4
+    val stream = lzwEncode(pixels, mcs)
+    val decoded = MediaHeaders.lzwDecode(stream, mcs, pixels.length).get
+    assert(decoded.map(_ & 0xff).toSeq == pixels.toSeq,
+      "general decoder must invert an independent textbook LZW compressor")
+    // and a pure k-omega-k opener: "aaaa..." forces code==nextCode immediately
+    val rep = Array.fill(64)(5)
+    val repDecoded = MediaHeaders.lzwDecode(lzwEncode(rep, mcs), mcs, rep.length).get
+    assert(repDecoded.map(_ & 0xff).toSeq == rep.toSeq)
+  }
+
   test("unrecognized and truncated blobs parse to None") {
     assert(MediaHeaders.parse("hello world".getBytes("UTF-8")).isEmpty)
     assert(MediaHeaders.parse(Array.emptyByteArray).isEmpty)

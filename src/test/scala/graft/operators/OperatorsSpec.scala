@@ -301,6 +301,43 @@ class OperatorsSpec extends SparkSpec {
     assert(got.keySet.count(_._1 == 2L) == 2) // stereo: one row per channel
   }
 
+  test("resizePixels: real decoded thumbnail equals an independent in-memory reference") {
+    import spark.implicits._
+    def pix(id: Long)(x: Int, y: Int, c: Int): Int = graft.codec.MediaFixtures.pixel(id, x, y, c)
+    val rows = Seq(
+      (1L, graft.codec.MediaFixtures.pngReal(20, 9, pix(1L), y => y % 5)),  // width-bound
+      (2L, graft.codec.MediaFixtures.pngReal(5, 16, pix(2L), y => (y + 1) % 5)), // height-bound
+      (3L, graft.codec.MediaFixtures.pngReal(4, 3, pix(3L))),               // no resize
+      (9L, graft.codec.MediaFixtures.gif(3, 3, 1)))                          // undecodable as PNG
+    val got = Multimodal.resizePixels(rows.toDF("media_id", "blob"), "media_id", "blob",
+        maxW = 8, maxH = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getInt(4), r.getLong(6), r.getAs[Array[Byte]]("thumb").toSeq))).toMap
+    assert(!got.contains(9L), "a GIF produces no PNG-resize row")
+    def ref(id: Long, w: Int, h: Int): ((Int, Int), Array[Byte]) = {
+      val (ow, oh) =
+        if (w <= 8 && h <= 6) (w, h)
+        else if (w.toLong * 6 >= h.toLong * 8) (8, math.max(1, h * 8 / w))
+        else (math.max(1, w * 6 / h), 6)
+      val t = for (oy <- 0 until oh; ox <- 0 until ow; c <- 0 until 3)
+        yield pix(id)(ox * w / ow, oy * h / oh, c).toByte
+      ((ow, oh), t.toArray)
+    }
+    for ((id, w, h) <- Seq((1L, 20, 9), (2L, 5, 16), (3L, 4, 3))) {
+      val ((ow, oh), t) = ref(id, w, h)
+      val (gw, gh, gsum, gthumb) = got(id)
+      assert((gw, gh) == ((ow, oh)), s"dims for $id")
+      assert(gthumb == t.toSeq, s"thumbnail bytes for $id")
+      assert(gsum == t.map(_ & 0xff).map(_.toLong).sum, s"sum for $id")
+    }
+    // dims agree with the declarative plan (resizeDims Column logic)
+    val planned = Seq((1L, 20, 9), (2L, 5, 16), (3L, 4, 3)).toDF("media_id", "width", "height")
+    val (owc, ohc) = Multimodal.resizeDims(col("width"), col("height"), 8, 6)
+    val plan = planned.select(col("media_id"), owc.as("ow"), ohc.as("oh"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    for ((id, (gw, gh, _, _)) <- got) assert(plan(id) == ((gw, gh)), s"plan/exec agree $id")
+  }
+
   test("ragChunks: stride/overlap geometry, short docs, empty docs") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens

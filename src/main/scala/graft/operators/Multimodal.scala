@@ -447,6 +447,134 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Perceptual difference hash (dHash) over REAL decoded pixels — the
+    * image-dedup fingerprint: decode (PNG truecolor), reduce each
+    * pixel to an integer gray (div-3 mean of the channels), resample
+    * to a 9×8 grid with the same nearest-neighbor integer sampling as
+    * [[resizePixels]], then hash bit (y·8 + x) = [gray(x+1, y) >
+    * gray(x, y)] over the 8×8 horizontal gradients. Every step is
+    * exact integer arithmetic, so an oracle replays the hash from
+    * fixture arithmetic. The result is one LONG per image — which is
+    * deliberately the same shape as [[graft.operators.Dedup]]'s 64-bit
+    * SimHash, so the pigeonhole Hamming-ball pair machinery applies to
+    * images unchanged. dHash's defining property (brightness-invariant:
+    * a constant shift preserves every gradient sign) is spec-pinned.
+    * Undecodable blobs produce no row. */
+  def dHash64(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.pngPixels(blob) match {
+          case Some(p) =>
+            def gray(gx: Int, gy: Int): Int = {
+              val sx = gx * p.width / 9
+              val sy = gy * p.height / 8
+              val si = (sy * p.width + sx) * 3
+              ((p.rgb(si) & 0xff) + (p.rgb(si + 1) & 0xff) + (p.rgb(si + 2) & 0xff)) / 3
+            }
+            var hashv = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (gray(gx + 1, gy) > gray(gx, gy)) hashv |= 1L << (gy * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            Iterator.single(Row(r.getLong(idIdx), hashv))
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image near-duplicate pairs within Hamming distance `maxHamming` of
+    * the [[dHash64]] fingerprint — [[graft.operators.Dedup
+    * .simhash64NearDupPairs]]' pigeonhole geometry applied to images:
+    * `maxHamming + 1` contiguous blocks of the 64 bits as equi-join
+    * keys (any in-ball pair agrees exactly on ≥ 1 block), then one
+    * `bit_count(xor)` prunes to the exact ball. Never all-pairs. */
+  def imageNearDupPairs(df: DataFrame, idCol: String, blobCol: String,
+                        maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val bounds = (0 to maxHamming + 1).map(i => i * 64 / (maxHamming + 1))
+    val blocks = (0 until maxHamming + 1).map { i =>
+      val width = bounds(i + 1) - bounds(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("dhash"), bounds(i)).bitwiseAND(lit(mask))
+    }
+    val sigs = dHash64(df, idCol, blobCol)
+      .select(col("media_id"), col("dhash").as("sig"),
+        posexplode(array(blocks.map(_.cast("long")): _*)))
+    val a = sigs.select(col("media_id").as("id_a"), col("sig").as("sig_a"), col("pos"), col("col"))
+    val b = sigs.select(col("media_id").as("id_b"), col("sig").as("sig_b"), col("pos"), col("col"))
+    a.join(b, Seq("pos", "col"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Audio feature extraction over REAL decoded PCM — the signal-level
+    * stats an audio-curation gate filters on, per (media, channel), all
+    * exact integers: sample count, sum (DC offset numerator), sum of
+    * squares (energy / RMS numerator — the closing sqrt is the
+    * caller's one IEEE step), zero crossings (sign alternations, the
+    * classic pitch/noisiness proxy; sign boundary at < 0 vs ≥ 0), and
+    * peak |amplitude| (clip detection). Non-PCM16 blobs produce no
+    * row; decode rides the scan. */
+  def audioFeatures(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_s", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.wavPcm16(blob) match {
+          case Some(p) if p.channels > 0 && p.samples.length >= p.channels =>
+            val frames = p.samples.length / p.channels
+            (0 until p.channels).iterator.map { c =>
+              var sum = 0L; var sq = 0L; var zc = 0L; var peak = 0
+              var prevNeg = false
+              var i = 0
+              while (i < frames) {
+                val v = p.samples(i * p.channels + c).toInt
+                sum += v
+                sq += v.toLong * v
+                val neg = v < 0
+                if (i > 0 && neg != prevNeg) zc += 1
+                prevNeg = neg
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                i += 1
+              }
+              Row(r.getLong(idIdx), c, p.sampleRate, frames.toLong, sum, sq, zc, peak)
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Feature-extraction stage: fixed-size float vector per blob (stub:
     * byte histogram over 8 buckets, L1-normalized — deterministic, and the
     * same batch shape as a real embedding model). */

@@ -2231,6 +2231,139 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── Perceptual image fingerprint (dHash) over REAL decoded pixels:
+    //    PNG decode → integer gray → 9×8 nearest-neighbor grid → 64
+    //    horizontal-gradient sign bits as one LONG. The fixture builds
+    //    brightness-shifted DUPLICATE images (same doc_id%100 base ⇒
+    //    identical dims and gradients; doc_id÷100 adds a constant
+    //    brightness shift) — dHash's defining invariance. The oracle
+    //    replays decode + gray + sampling + gradient + signed bit-63
+    //    assembly entirely from the seed arithmetic. ──
+    QueryDef.sql(
+      "mm_image_dhash", {
+        def gray(sx: String, sy: String): String = {
+          val t = (0 to 2).map(c =>
+            s"(((sb * 31 + ($sx) * 7 + ($sy) * 13 + $c * 11 + 5) % 256) % 200 + sh * 3)")
+          s"((${t.mkString(" + ")}) // 3)"
+        }
+        val g0 = gray("(gx * w) // 9", "(gy * h) // 8")
+        val g1 = gray("((gx + 1) * w) // 9", "(gy * h) // 8")
+        s"""WITH d AS (SELECT doc_id, doc_id % 100 AS sb, (doc_id // 100) % 3 AS sh FROM documents),
+           |m AS (SELECT doc_id, sb, sh, CAST(1 + sb % 24 AS BIGINT) AS w,
+           |             CAST(1 + sb % 18 AS BIGINT) AS h FROM d),
+           |u AS (SELECT doc_id, sb, sh, w, h, unnest(range(0, 8)) AS gy FROM m),
+           |v AS (SELECT doc_id, sb, sh, w, h, gy, unnest(range(0, 8)) AS gx FROM u),
+           |b AS (SELECT doc_id, gy, gx,
+           |        CASE WHEN $g1 > $g0 THEN
+           |          CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+           |               ELSE (CAST(1 AS BIGINT) << CAST(gy * 8 + gx AS INTEGER)) END
+           |        ELSE 0 END AS term
+           |      FROM v)
+           |SELECT doc_id, CAST(sum(term) AS BIGINT) AS dhash
+           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val sb = id % 100; val sh = ((id / 100) % 3).toInt
+            val w = (1 + sb % 24).toInt; val h = (1 + sb % 18).toInt
+            (id, graft.codec.MediaFixtures.pngReal(w, h,
+              (x, y, c) => graft.codec.MediaFixtures.pixel(sb, x, y, c) % 200 + sh * 3,
+              filterOf = y => ((id + y) % 5).toInt))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.dHash64(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("dhash"))
+          .orderBy("doc_id")
+    },
+
+    // ── Image NEAR-DUP pairs — multimodal dedup as a first-class
+    //    operator: the 64-bit pigeonhole Hamming-ball machinery applied
+    //    to the dHash longs, so brightness-shifted copies pair at
+    //    hamming 0 without any all-pairs scan. The oracle computes the
+    //    same dHash longs and takes the exact ball with xor+bit_count.
+    //    ──
+    QueryDef.sql(
+      "mm_image_neardup_pairs", {
+        def gray(sx: String, sy: String): String = {
+          val t = (0 to 2).map(c =>
+            s"(((sb * 31 + ($sx) * 7 + ($sy) * 13 + $c * 11 + 5) % 256) % 200 + sh * 3)")
+          s"((${t.mkString(" + ")}) // 3)"
+        }
+        val g0 = gray("(gx * w) // 9", "(gy * h) // 8")
+        val g1 = gray("((gx + 1) * w) // 9", "(gy * h) // 8")
+        s"""WITH d AS (SELECT doc_id, doc_id % 100 AS sb, (doc_id // 100) % 3 AS sh FROM documents),
+           |m AS (SELECT doc_id, sb, sh, CAST(1 + sb % 24 AS BIGINT) AS w,
+           |             CAST(1 + sb % 18 AS BIGINT) AS h FROM d),
+           |u AS (SELECT doc_id, sb, sh, w, h, unnest(range(0, 8)) AS gy FROM m),
+           |v AS (SELECT doc_id, sb, sh, w, h, gy, unnest(range(0, 8)) AS gx FROM u),
+           |b AS (SELECT doc_id, gy, gx,
+           |        CASE WHEN $g1 > $g0 THEN
+           |          CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+           |               ELSE (CAST(1 AS BIGINT) << CAST(gy * 8 + gx AS INTEGER)) END
+           |        ELSE 0 END AS term
+           |      FROM v),
+           |dh AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS dhash FROM b GROUP BY doc_id)
+           |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.dhash, c.dhash)) AS BIGINT) AS hamming
+           |FROM dh a JOIN dh c ON a.doc_id < c.doc_id
+           |WHERE bit_count(xor(a.dhash, c.dhash)) <= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val sb = id % 100; val sh = ((id / 100) % 3).toInt
+            val w = (1 + sb % 24).toInt; val h = (1 + sb % 18).toInt
+            (id, graft.codec.MediaFixtures.pngReal(w, h,
+              (x, y, c) => graft.codec.MediaFixtures.pixel(sb, x, y, c) % 200 + sh * 3,
+              filterOf = y => ((id + y) % 5).toInt))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.imageNearDupPairs(blobs, "doc_id", "blob", maxHamming = 2)
+          .orderBy("id_a", "id_b")
+    },
+
+    // ── Audio features over REAL decoded PCM — the signal-level curation
+    //    gate (energy, DC offset, zero-crossing rate, clip peak), all
+    //    exact integers per (media, channel); the oracle replays every
+    //    decoded sample from the fixture arithmetic. ──
+    QueryDef.sql(
+      "mm_audio_features",
+      """WITH f AS (SELECT doc_id,
+        |    CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS rate,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS nch,
+        |    CAST(1 + doc_id % 50 AS BIGINT) AS ns
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |cc AS (SELECT doc_id, rate, ns, unnest(range(0, nch)) AS c FROM f),
+        |o AS (SELECT doc_id, rate, ns, c, unnest(range(0, ns)) AS i FROM cc),
+        |v AS (SELECT doc_id, rate, ns, c, i,
+        |        ((doc_id * 31 + i * 7 + c * 13 + 11) % 65536) - 32768 AS s,
+        |        CASE WHEN i > 0 THEN
+        |          ((doc_id * 31 + (i - 1) * 7 + c * 13 + 11) % 65536) - 32768 END AS sp
+        |      FROM o)
+        |SELECT doc_id, CAST(c AS INT) AS channel, CAST(rate AS INT) AS sample_rate,
+        |  ns AS n_samples, CAST(sum(s) AS BIGINT) AS sum_s,
+        |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN i > 0 AND ((s < 0) <> (sp < 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings,
+        |  CAST(max(abs(s)) AS INT) AS peak
+        |FROM v GROUP BY doc_id, c, rate, ns
+        |ORDER BY doc_id, channel""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.MediaFixtures.build(id))))
+          .toDF("doc_id", "blob")
+        Multimodal.audioFeatures(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("channel"), col("sample_rate"),
+            col("n_samples"), col("sum_s"), col("sum_sq"),
+            col("zero_crossings"), col("peak"))
+          .orderBy("doc_id", "channel")
+    },
+
     // ── binaryFile ARRIVAL path: the same real containers, but arriving
     //    as individual FILES through Spark's binaryFile source (how raw
     //    media actually lands at scale — an object-store prefix of

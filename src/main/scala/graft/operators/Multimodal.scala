@@ -575,6 +575,43 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Image embedding from REAL decoded pixels — the classical gray-
+    * histogram baseline (integer gray = div-3 channel mean, `bins`
+    * equal-width buckets, raw integer COUNTS — exact, so any engine
+    * recomputes the vector bit-for-bit and the closing cosine is the
+    * one IEEE step). The bridge from the multimodal decode stages into
+    * the similarity stack: the output column is directly consumable by
+    * [[graft.operators.Similarity]]'s cosine/ANN operators. */
+  def imageHistogramFeatures(df: DataFrame, idCol: String, blobCol: String,
+                             bins: Int = 8): DataFrame = {
+    require(bins >= 1 && bins <= 256, s"bad bins: $bins")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ArrayType(LongType, containsNull = false), nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val width = 256 / bins + (if (256 % bins == 0) 0 else 1)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.pngPixels(blob) match {
+          case Some(p) =>
+            val hist = new Array[Long](bins)
+            var i = 0
+            while (i + 2 < p.rgb.length) {
+              val g = ((p.rgb(i) & 0xff) + (p.rgb(i + 1) & 0xff) + (p.rgb(i + 2) & 0xff)) / 3
+              hist(g / width) += 1L
+              i += 3
+            }
+            Iterator.single(Row(r.getLong(idIdx), hist.toSeq))
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Feature-extraction stage: fixed-size float vector per blob (stub:
     * byte histogram over 8 buckets, L1-normalized — deterministic, and the
     * same batch shape as a real embedding model). */

@@ -2364,6 +2364,59 @@ object DedupSimilarityQueries {
           .orderBy("doc_id", "channel")
     },
 
+    // ── Multimodal → similarity bridge: gray-histogram image embeddings
+    //    from REAL decoded pixels, then the standard broadcast-query
+    //    cosine scan over them — image search running on the SAME
+    //    similarity operator as the text/vector stack (integer count
+    //    vectors, so both engines build the embedding bit-for-bit and
+    //    cosine is the one IEEE step). ──
+    QueryDef.sql(
+      "mm_image_similarity", {
+        def grayPix = {
+          val t = (0 to 2).map(c =>
+            s"(((sb * 31 + x * 7 + y * 13 + $c * 11 + 5) % 256) % 200 + sh * 3)")
+          s"((${t.mkString(" + ")}) // 3)"
+        }
+        s"""WITH d AS (SELECT doc_id, doc_id % 100 AS sb, (doc_id // 100) % 3 AS sh FROM documents),
+           |m AS (SELECT doc_id, sb, sh, CAST(1 + sb % 24 AS BIGINT) AS w,
+           |             CAST(1 + sb % 18 AS BIGINT) AS h FROM d),
+           |u AS (SELECT doc_id, sb, sh, w, h, unnest(range(0, w)) AS x FROM m),
+           |v AS (SELECT doc_id, sb, sh, x, unnest(range(0, h)) AS y FROM u),
+           |g AS (SELECT doc_id, $grayPix AS gr FROM v),
+           |hb AS (SELECT doc_id, gr // 32 AS bin, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM g GROUP BY 1, 2),
+           |grid AS (SELECT d.doc_id, r.range AS bin FROM d, range(0, 8) r),
+           |hv AS (SELECT grid.doc_id, grid.bin, coalesce(hb.cnt, 0) AS cnt
+           |       FROM grid LEFT JOIN hb ON hb.doc_id = grid.doc_id AND hb.bin = grid.bin),
+           |q AS (SELECT bin, cnt AS qc FROM hv WHERE doc_id = 0),
+           |s AS (SELECT hv.doc_id,
+           |        sum(CAST(hv.cnt AS DOUBLE) * CAST(q.qc AS DOUBLE)) AS dot,
+           |        sum(CAST(hv.cnt AS DOUBLE) * CAST(hv.cnt AS DOUBLE)) AS na,
+           |        sum(CAST(q.qc AS DOUBLE) * CAST(q.qc AS DOUBLE)) AS nb
+           |      FROM hv JOIN q USING (bin) WHERE hv.doc_id <> 0 GROUP BY 1)
+           |SELECT doc_id, round(dot / sqrt(na * nb), 4) AS cos_sim
+           |FROM s WHERE na * nb > 0
+           |ORDER BY cos_sim DESC, doc_id LIMIT 20""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val sb = id % 100; val sh = ((id / 100) % 3).toInt
+            val w = (1 + sb % 24).toInt; val h = (1 + sb % 18).toInt
+            (id, graft.codec.MediaFixtures.pngReal(w, h,
+              (x, y, c) => graft.codec.MediaFixtures.pixel(sb, x, y, c) % 200 + sh * 3,
+              filterOf = y => ((id + y) % 5).toInt))
+          })
+          .toDF("doc_id", "blob")
+        val feats = Multimodal.imageHistogramFeatures(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"),
+            col("features").cast("array<float>").as("features"))
+        Similarity.cosineTopK(
+          feats.filter(col("doc_id") =!= 0), "doc_id", "features",
+          query = feats.filter(col("doc_id") === 0), k = 20)
+    },
+
     // ── binaryFile ARRIVAL path: the same real containers, but arriving
     //    as individual FILES through Spark's binaryFile source (how raw
     //    media actually lands at scale — an object-store prefix of

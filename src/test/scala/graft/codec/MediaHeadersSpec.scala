@@ -200,7 +200,13 @@ class MediaHeadersSpec extends SparkSpec {
 
   test("parsers never throw: random bytes, random truncations, magic + garbage") {
     val rnd = new scala.util.Random(13)
-    val fixtures = Seq(png1x1, apngHead, jpegMin, gifAnim, wavPcm)
+    // the full decoders face the same arbitrary bytes the header parsers
+    // do — fuzz them with decodable fixtures in the pool so bit flips
+    // land INSIDE real zlib/LZW/PCM streams, not just headers
+    val fixtures = Seq(png1x1, apngHead, jpegMin, gifAnim, wavPcm,
+      MediaFixtures.pngReal(6, 5, (x, y, c) => (x + y + c) % 256, y => y % 5),
+      MediaFixtures.gifReal(5, 4, 2, (x, y, f) => (x * 2 + y + f) % 256),
+      MediaFixtures.wav(2, 8000, 9, (i, c) => i * 1000 - 4000 + c))
     for (_ <- 0 until 2000) {
       val b = rnd.nextInt(4) match {
         case 0 => Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte) // pure noise
@@ -213,7 +219,11 @@ class MediaHeadersSpec extends SparkSpec {
           if (f.nonEmpty) { val i = rnd.nextInt(f.length); f(i) = (f(i) ^ (1 << rnd.nextInt(8))).toByte }
           f
       }
-      MediaHeaders.parse(b) // must return Some or None, never throw
+      // must return Some or None, never throw — headers AND full decoders
+      MediaHeaders.parse(b)
+      MediaHeaders.pngPixels(b)
+      MediaHeaders.gifFrames(b)
+      MediaHeaders.wavPcm16(b)
     }
   }
 

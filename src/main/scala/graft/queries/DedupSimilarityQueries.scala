@@ -2417,6 +2417,80 @@ object DedupSimilarityQueries {
           query = feats.filter(col("doc_id") === 0), k = 20)
     },
 
+    // ── CROSS-MODAL dedup report — the policy view a multimodal corpus
+    //    needs: which candidate pairs are duplicates by TEXT (LSH +
+    //    jaccard ≥ 0.8), by IMAGE (equal dHash over really-decoded
+    //    pixels), or by BOTH. One pass: each pair generator runs once,
+    //    flags meet in a full-outer join, one aggregate reads the three
+    //    counts (the dedup_banding_recall shape). The oracle recomputes
+    //    both pair sets from scratch — text via the banding SQL, image
+    //    via the dHash arithmetic — and takes the same counts. ──
+    QueryDef.sql(
+      "mm_crossmodal_dedup", {
+        def gray(sx: String, sy: String): String = {
+          val t = (0 to 2).map(c =>
+            s"(((sb * 31 + ($sx) * 7 + ($sy) * 13 + $c * 11 + 5) % 256) % 200 + sh * 3)")
+          s"((${t.mkString(" + ")}) // 3)"
+        }
+        val g0 = gray("(gx * w) // 9", "(gy * h) // 8")
+        val g1 = gray("((gx + 1) * w) // 9", "(gy * h) // 8")
+        s"""WITH t AS (SELECT doc_id, $DuckToks AS ws FROM documents),
+           |sh0 AS (SELECT doc_id, ${duckShingles("ws", 3)} AS sh FROM t),
+           |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh0),
+           |m0 AS (SELECT doc_id, ${duckSig("sh", 8)} AS sig FROM sh0),
+           |b0 AS (SELECT doc_id, i AS band_idx,
+           |        md5(array_to_string(list_slice(sig, 2*i+1, 2*i+2), '|')) AS band_hash
+           |      FROM m0, (SELECT unnest(range(0, 4)) AS i)),
+           |cp AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+           |       FROM b0 a JOIN b0 c USING (band_idx, band_hash)
+           |       WHERE a.doc_id < c.doc_id GROUP BY 1, 2),
+           |tp AS (SELECT id_a, id_b FROM cp
+           |       JOIN shd x ON x.doc_id = cp.id_a JOIN shd y ON y.doc_id = cp.id_b
+           |       WHERE ${duckJaccard("x.shd", "y.shd")} >= 0.8),
+           |dd AS (SELECT doc_id, doc_id % 100 AS sb, (doc_id // 100) % 3 AS sh FROM documents),
+           |mm AS (SELECT doc_id, sb, sh, CAST(1 + sb % 24 AS BIGINT) AS w,
+           |             CAST(1 + sb % 18 AS BIGINT) AS h FROM dd),
+           |uu AS (SELECT doc_id, sb, sh, w, h, unnest(range(0, 8)) AS gy FROM mm),
+           |vv AS (SELECT doc_id, sb, sh, w, h, gy, unnest(range(0, 8)) AS gx FROM uu),
+           |bb AS (SELECT doc_id, CASE WHEN $g1 > $g0 THEN
+           |          CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+           |               ELSE (CAST(1 AS BIGINT) << CAST(gy * 8 + gx AS INTEGER)) END
+           |        ELSE 0 END AS term
+           |      FROM vv),
+           |dh AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS dhash FROM bb GROUP BY doc_id),
+           |ip AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+           |       FROM dh a JOIN dh c ON a.doc_id < c.doc_id WHERE a.dhash = c.dhash)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_text_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ip) AS n_image_pairs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM tp JOIN ip USING (id_a, id_b)) AS n_both""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val docs = QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+        val textPairs = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+            shingleN = 3, k = 8, bands = 4)
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+            lit(1L).as("is_text"))
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val sb = id % 100; val shv = ((id / 100) % 3).toInt
+            val w = (1 + sb % 24).toInt; val h = (1 + sb % 18).toInt
+            (id, graft.codec.MediaFixtures.pngReal(w, h,
+              (x, y, c) => graft.codec.MediaFixtures.pixel(sb, x, y, c) % 200 + shv * 3,
+              filterOf = y => ((id + y) % 5).toInt))
+          })
+          .toDF("doc_id", "blob")
+        val imgPairs = Multimodal.imageNearDupPairs(blobs, "doc_id", "blob", maxHamming = 0)
+          .select(col("id_a"), col("id_b"), lit(1L).as("is_img"))
+        textPairs.join(imgPairs, Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            coalesce(sum(col("is_text")), lit(0L)).as("n_text_pairs"),
+            coalesce(sum(col("is_img")), lit(0L)).as("n_image_pairs"),
+            coalesce(sum(col("is_text") * col("is_img")), lit(0L)).as("n_both"))
+    },
+
     // ── binaryFile ARRIVAL path: the same real containers, but arriving
     //    as individual FILES through Spark's binaryFile source (how raw
     //    media actually lands at scale — an object-store prefix of

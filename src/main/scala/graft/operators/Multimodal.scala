@@ -524,6 +524,52 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-frame perceptual hash over REAL decoded GIF rasters — the
+    * video-analysis face of [[dHash64]]: each frame's color-index
+    * raster (the fixtures' grayscale-identity table makes index ≡
+    * luma) is sampled onto the same 9×8 grid and hashed into 64
+    * gradient-sign bits. One row per (media, frame); feed consecutive
+    * frames into a Hamming compare for scene-cut detection (a cut
+    * rewrites the gradient structure; within-scene motion barely moves
+    * it). */
+  def frameDHash64(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.gifFrames(blob) match {
+          case Some(g) =>
+            g.frames.iterator.zipWithIndex.map { case (px, f) =>
+              def gray(gx: Int, gy: Int): Int = {
+                val sx = gx * g.width / 9
+                val sy = gy * g.height / 8
+                px(sy * g.width + sx) & 0xff
+              }
+              var hashv = 0L
+              var gy = 0
+              while (gy < 8) {
+                var gx = 0
+                while (gx < 8) {
+                  if (gray(gx + 1, gy) > gray(gx, gy)) hashv |= 1L << (gy * 8 + gx)
+                  gx += 1
+                }
+                gy += 1
+              }
+              Row(r.getLong(idIdx), f, hashv)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Audio feature extraction over REAL decoded PCM — the signal-level
     * stats an audio-curation gate filters on, per (media, channel), all
     * exact integers: sample count, sum (DC offset numerator), sum of

@@ -2491,6 +2491,71 @@ object DedupSimilarityQueries {
             coalesce(sum(col("is_text") * col("is_img")), lit(0L)).as("n_both"))
     },
 
+    // ── Video scene-cut detection over REAL decoded frames: per-frame
+    //    dHash on the LZW-decoded GIF rasters, consecutive frames
+    //    compared by Hamming distance. Frame pixels are md5-mixed (an
+    //    AFFINE per-frame formula would make a re-seed a constant
+    //    brightness shift, which dHash is — correctly — invariant to;
+    //    measured: 0 cuts, the invariance proving itself). Every ODD
+    //    doc hard-cuts at every frame boundary (each frame re-seeded),
+    //    every EVEN doc is a static scene (hamming exactly 0); cut
+    //    detectability honestly degrades with resolution (a 2-pixel-
+    //    wide gif has ~8 active gradient bits). ──
+    QueryDef.sql(
+      "mm_video_scene_cuts", {
+        def pix(sx: String, sy: String): String =
+          s"CAST('0x' || substr(md5(sf || ':' || ($sx) || ':' || ($sy)), 1, 2) AS INTEGER)"
+        val g0 = pix("(gx * w) // 9", "(gy * h) // 8")
+        val g1 = pix("((gx + 1) * w) // 9", "(gy * h) // 8")
+        s"""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 12 AS BIGINT) AS w,
+           |                  CAST(1 + doc_id % 9 AS BIGINT) AS h,
+           |                  CAST(1 + doc_id % 3 AS BIGINT) AS nf FROM documents),
+           |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fr FROM d),
+           |sfc AS (SELECT doc_id, w, h, fr,
+           |          doc_id + fr * (doc_id % 2) * 7919 AS sf FROM f),
+           |u AS (SELECT doc_id, w, h, fr, sf, unnest(range(0, 8)) AS gy FROM sfc),
+           |v AS (SELECT doc_id, w, h, fr, sf, gy, unnest(range(0, 8)) AS gx FROM u),
+           |b AS (SELECT doc_id, fr, CASE WHEN $g1 > $g0 THEN
+           |          CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+           |               ELSE (CAST(1 AS BIGINT) << CAST(gy * 8 + gx AS INTEGER)) END
+           |        ELSE 0 END AS term
+           |      FROM v),
+           |dh AS (SELECT doc_id, fr, CAST(sum(term) AS BIGINT) AS dhash
+           |       FROM b GROUP BY doc_id, fr)
+           |SELECT a.doc_id AS doc_id, CAST(a.fr AS INT) AS frame_idx,
+           |  CAST(bit_count(xor(a.dhash, c.dhash)) AS BIGINT) AS hamming,
+           |  bit_count(xor(a.dhash, c.dhash)) > 16 AS is_cut
+           |FROM dh a JOIN dh c ON c.doc_id = a.doc_id AND c.fr = a.fr + 1
+           |ORDER BY a.doc_id, frame_idx""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { id =>
+              val w = (1 + id % 12).toInt; val h = (1 + id % 9).toInt
+              val nf = (1 + id % 3).toInt
+              (id, graft.codec.MediaFixtures.gifReal(w, h, nf,
+                (x, y, f) => {
+                  val sf = id + f.toLong * (id % 2) * 7919L
+                  md.reset()
+                  md.digest(s"$sf:$x:$y".getBytes("UTF-8"))(0) & 0xff
+                }))
+            }
+          }
+          .toDF("doc_id", "blob")
+        val dh = Multimodal.frameDHash64(blobs, "doc_id", "blob")
+        val a = dh.select(col("media_id").as("doc_id"), col("frame_idx"), col("dhash").as("_ha"))
+        val b = dh.select(col("media_id").as("doc_id"),
+          (col("frame_idx") - 1).as("frame_idx"), col("dhash").as("_hb"))
+        a.join(b, Seq("doc_id", "frame_idx"))
+          .select(col("doc_id"), col("frame_idx"),
+            bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("long").as("hamming"))
+          .withColumn("is_cut", col("hamming") > 16)
+          .orderBy("doc_id", "frame_idx")
+    },
+
     // ── binaryFile ARRIVAL path: the same real containers, but arriving
     //    as individual FILES through Spark's binaryFile source (how raw
     //    media actually lands at scale — an object-store prefix of

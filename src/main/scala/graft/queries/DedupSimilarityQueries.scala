@@ -2556,6 +2556,92 @@ object DedupSimilarityQueries {
           .orderBy("doc_id", "frame_idx")
     },
 
+    // ── Multimodal → STORED-INDEX lifecycle: the image embeddings from
+    //    really-decoded pixels go through the same publish-once /
+    //    serve-many IVF machinery as the text/vector stack (cells from
+    //    stored centroids, probes=1 cell pruning, in-cell cosine
+    //    re-rank). The oracle rebuilds the histogram vectors in SQL and
+    //    replays assignment → probe → re-rank — the ivfBatchOracle
+    //    skeleton with the embeddings table swapped for the arithmetic
+    //    histogram CTE. ──
+    QueryDef.sql(
+      "mm_image_ivf", {
+        def grayPix = {
+          val t = (0 to 2).map(c =>
+            s"(((sb * 31 + x * 7 + y * 13 + $c * 11 + 5) % 256) % 200 + sh * 3)")
+          s"((${t.mkString(" + ")}) // 3)"
+        }
+        s"""WITH dd AS (SELECT doc_id, doc_id % 100 AS sb, (doc_id // 100) % 3 AS sh FROM documents),
+           |mm AS (SELECT doc_id, sb, sh, CAST(1 + sb % 24 AS BIGINT) AS w,
+           |             CAST(1 + sb % 18 AS BIGINT) AS h FROM dd),
+           |uu AS (SELECT doc_id, sb, sh, w, h, unnest(range(0, w)) AS x FROM mm),
+           |vv AS (SELECT doc_id, sb, sh, x, unnest(range(0, h)) AS y FROM uu),
+           |g AS (SELECT doc_id, $grayPix AS gr FROM vv),
+           |hb AS (SELECT doc_id, gr // 32 AS bin, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM g GROUP BY 1, 2),
+           |grid AS (SELECT dd.doc_id, r.range AS bin FROM dd, range(0, 8) r),
+           |emb AS (SELECT grid.doc_id AS vec_id,
+           |          list(CAST(coalesce(hb.cnt, 0) AS DOUBLE) ORDER BY grid.bin) AS embedding
+           |        FROM grid LEFT JOIN hb ON hb.doc_id = grid.doc_id AND hb.bin = grid.bin
+           |        GROUP BY grid.doc_id),
+           |c AS (SELECT vec_id AS cid, embedding AS cv FROM emb WHERE vec_id BETWEEN 1 AND 8),
+           |v AS (SELECT vec_id, embedding FROM emb WHERE vec_id > 8),
+           |q AS (SELECT vec_id AS qid, embedding AS qe FROM emb WHERE vec_id < 4),
+           |u AS (SELECT v.vec_id, c.cid, unnest(v.embedding) AS x, unnest(c.cv) AS y FROM v, c),
+           |s AS (SELECT vec_id, cid,
+           |        sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+           |      FROM u GROUP BY 1, 2),
+           |r AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+           |      FROM s WHERE na * nb > 0),
+           |asg AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+           |uq AS (SELECT q.qid, c.cid, unnest(q.qe) AS x, unnest(c.cv) AS y FROM q, c),
+           |sq AS (SELECT qid, cid,
+           |        sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+           |       FROM uq GROUP BY 1, 2),
+           |rq AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+           |        ORDER BY round(dot / sqrt(na * nb), 4) DESC, cid) AS rn
+           |       FROM sq WHERE na * nb > 0),
+           |qp AS (SELECT qid, cid FROM rq WHERE rn <= 1),
+           |cand AS (SELECT qp.qid, a.vec_id FROM asg a JOIN qp ON a.cid = qp.cid),
+           |u2 AS (SELECT cand.qid, cand.vec_id, unnest(e.embedding) AS x, unnest(qe2.embedding) AS y
+           |       FROM cand JOIN emb e ON e.vec_id = cand.vec_id
+           |                 JOIN emb qe2 ON qe2.vec_id = cand.qid),
+           |s2 AS (SELECT qid, vec_id,
+           |        sum(x * y) AS dot, sum(x * x) AS na, sum(y * y) AS nb
+           |       FROM u2 GROUP BY 1, 2),
+           |rk AS (SELECT qid, vec_id, round(dot / sqrt(na * nb), 4) AS cos_sim,
+           |        row_number() OVER (PARTITION BY qid
+           |          ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
+           |       FROM s2 WHERE na * nb > 0)
+           |SELECT qid AS query_id, vec_id AS doc_id, cos_sim, CAST(rn AS INT) AS "rank"
+           |FROM rk WHERE rn <= 8 ORDER BY query_id, "rank"""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val sb = id % 100; val shv = ((id / 100) % 3).toInt
+            val w = (1 + sb % 24).toInt; val h = (1 + sb % 18).toInt
+            (id, graft.codec.MediaFixtures.pngReal(w, h,
+              (x, y, c) => graft.codec.MediaFixtures.pixel(sb, x, y, c) % 200 + shv * 3,
+              filterOf = y => ((id + y) % 5).toInt))
+          })
+          .toDF("doc_id", "blob")
+        val feats = Multimodal.imageHistogramFeatures(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"),
+            col("features").cast("array<float>").as("features"))
+        val store = storedIndex("ivf_img", d, s) { st =>
+          graft.ingest.VectorIndex.publish(st, "imgdriver",
+            feats.filter(col("doc_id").between(1, 8)).select(col("doc_id"), col("features")))
+        }
+        graft.ingest.VectorIndex.ivfTopKBatch(store, "imgdriver",
+          feats.filter(col("doc_id") > 8), "doc_id", "features",
+          queries = feats.filter(col("doc_id") < 4), queryIdCol = "doc_id",
+          k = 8, probes = 1)
+          .orderBy("query_id", "rank")
+    },
+
     // ── binaryFile ARRIVAL path: the same real containers, but arriving
     //    as individual FILES through Spark's binaryFile source (how raw
     //    media actually lands at scale — an object-store prefix of

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decode-throughput probe for the multimodal family — the 100 TB
+  * posture measurement for the per-row decode stages: blobs/s and MB/s
+  * for PNG (zlib inflate + unfilter), GIF (general LZW), and WAV PCM
+  * decode+resample at growing corpus replication. The stages are
+  * embarrassingly per-row (mapPartitions riding the scan, no shuffle),
+  * so throughput per core should be FLAT in corpus size — any droop
+  * names a hidden per-row allocation or driver involvement.
+  *
+  * Usage: runMain graft.tools.MediaDecodeProbe [sfDir] [reps]
+  */
+object MediaDecodeProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).getOrElse("1,8,32").split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed(label: String, nBlobs: Long, bytes: Long)(body: => Long): Unit = {
+      body // warm
+      val t0 = System.nanoTime()
+      val v = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[media-probe] $label%-22s wall $wall%6.2f s  ${nBlobs / wall}%9.0f blobs/s  ${bytes / wall / 1048576}%7.1f MB/s  out $v%d")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    for (rep <- reps) {
+      val ids = graft.Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+        .collect().toSeq
+      val repIds = (0 until rep).flatMap(r => ids.map(_ + r * 10000000L))
+      println(s"── x$rep: ${repIds.size} blobs ──")
+
+      val pngBlobs = spark.createDataset(repIds).repartition(32)
+        .mapPartitions(_.map { id =>
+          val sb = id % 100
+          val w = (1 + sb % 24).toInt; val h = (1 + sb % 18).toInt
+          (id, graft.codec.MediaFixtures.pngReal(w, h,
+            (x, y, c) => graft.codec.MediaFixtures.pixel(sb, x, y, c)))
+        }).toDF("doc_id", "blob").localCheckpoint()
+      val pngBytes = pngBlobs.agg(sum(length(col("blob")))).head.getLong(0)
+      timed(s"png decode x$rep", repIds.size, pngBytes) {
+        graft.operators.Multimodal.pngPixelStats(pngBlobs, "doc_id", "blob").count()
+      }
+
+      val gifBlobs = spark.createDataset(repIds).repartition(32)
+        .mapPartitions(_.map { id =>
+          val w = (1 + id % 12).toInt; val h = (1 + id % 9).toInt
+          (id, graft.codec.MediaFixtures.gifReal(w, h, (1 + id % 3).toInt,
+            (x, y, f) => graft.codec.MediaFixtures.pixel(id % 100, x, y, f)))
+        }).toDF("doc_id", "blob").localCheckpoint()
+      val gifBytes = gifBlobs.agg(sum(length(col("blob")))).head.getLong(0)
+      timed(s"gif lzw decode x$rep", repIds.size, gifBytes) {
+        graft.operators.Multimodal.gifRasterStats(gifBlobs, "doc_id", "blob").count()
+      }
+
+      val wavBlobs = spark.createDataset(repIds).repartition(32)
+        .mapPartitions(_.map(id => (id, graft.codec.MediaFixtures.build(3 + 4 * (id % 1000)))))
+        .toDF("doc_id", "blob").localCheckpoint()
+      val wavBytes = wavBlobs.agg(sum(length(col("blob")))).head.getLong(0)
+      timed(s"pcm resample x$rep", repIds.size, wavBytes) {
+        graft.operators.Multimodal.resamplePcm(wavBlobs, "doc_id", "blob", 16000).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -338,6 +338,27 @@ class OperatorsSpec extends SparkSpec {
     for ((id, (gw, gh, _, _)) <- got) assert(plan(id) == ((gw, gh)), s"plan/exec agree $id")
   }
 
+  test("audioFeatures: exact stats against an in-memory reference, incl. sign edges") {
+    import spark.implicits._
+    // channel 0 crosses zero repeatedly; channel 1 stays negative (zc=0);
+    // include the extreme -32768 for the abs/peak edge
+    val samples = Array(
+      Array(100, -200, 300, -32768, 0, -1),  // ch0 (0 counts as non-negative)
+      Array(-5, -6, -7, -8, -9, -10))        // ch1
+    val blob = graft.codec.MediaFixtures.wav(2, 8000, 6, (i, c) => samples(c)(i))
+    val got = Multimodal.audioFeatures(Seq((7L, blob)).toDF("media_id", "blob"),
+        "media_id", "blob")
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getInt(7)))).toMap
+    def refOf(xs: Array[Int]) = (
+      xs.length.toLong, xs.map(_.toLong).sum, xs.map(v => v.toLong * v).sum,
+      xs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong, xs.map(math.abs).max)
+    assert(got(0) == refOf(samples(0)))
+    assert(got(1) == refOf(samples(1)))
+    assert(got(0)._4 == 5L, "ch0 alternates sign at all 5 boundaries (0 counts non-negative)")
+    assert(got(1)._4 == 0L, "all-negative channel has zero crossings")
+  }
+
   test("ragChunks: stride/overlap geometry, short docs, empty docs") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens

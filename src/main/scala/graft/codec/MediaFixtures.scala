@@ -160,6 +160,128 @@ object MediaFixtures {
     out.write(payload, 0, payload.length)
   }
 
+  /** Fully REAL baseline JPEG: a complete DQT/SOF0/DHT/SOS stream whose
+    * entropy data is genuinely Huffman-coded — decodable by ANY baseline
+    * decoder (including the JDK's own `javax.imageio`, which the spec
+    * uses as the independent reference, and
+    * [[MediaHeaders.jpegPixels]]).
+    *
+    * Inputs are the QUANTIZED DCT coefficient blocks directly
+    * (`coefOf(comp, bx, by)` → 64 values in zigzag order, |DC| ≤ 2047,
+    * |AC| ≤ 1023) with one zigzag-order quant table per component —
+    * choosing coefficients in the frequency domain is what keeps the
+    * decode EXACT arithmetic on the seed: encode is then lossless, and
+    * a DC-only block decodes to precisely
+    * `clamp(((dc·q + 4) >> 3) + 128)`, the closed form the DuckDB
+    * oracles replay. Components: 1 (grayscale) or 3 (YCbCr 4:4:4).
+    *
+    * Huffman tables are GENERATED flat canonical tables (all 12 DC
+    * categories at 4 bits; EOB, ZRL and every (run 0–15, size 1–10)
+    * symbol at 8 bits) — spec-legal, driven through the general
+    * table-building machinery on both sides, and free of any table
+    * literals. `restartEvery` > 0 inserts DRI/RSTn markers. */
+  def jpegReal(w: Int, h: Int, qtables: Seq[Array[Int]],
+               coefOf: (Int, Int, Int) => Array[Int],
+               restartEvery: Int = 0): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"bad dims: ${w}x$h")
+    require(qtables.nonEmpty && qtables.length <= 3 && qtables.length != 2,
+      s"1 or 3 components, got ${qtables.length}")
+    qtables.foreach(q => require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
+      "quant entries must be 1..255"))
+    val nc = qtables.length
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0xff.toByte, 0xd8.toByte), 0, 2) // SOI
+    qtables.zipWithIndex.foreach { case (q, tq) =>
+      marker(out, 0xdb, (tq.toByte +: q.map(_.toByte)).toArray)
+    }
+    if (restartEvery > 0) marker(out, 0xdd, be16(restartEvery))
+    val sof = Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](nc.toByte) ++
+      (0 until nc).flatMap(ci => Seq((ci + 1).toByte, 0x11.toByte, ci.toByte))
+    marker(out, 0xc0, sof)
+    // flat canonical Huffman tables: DC cats 0..11 at 4 bits (code = cat),
+    // AC symbols [EOB, ZRL, (r,s)…] at 8 bits (code = list index)
+    val acSyms: Array[Int] =
+      Array(0x00, 0xf0) ++ (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s)
+    val dcBits = Array.tabulate(16)(l => if (l == 3) 12 else 0)
+    val acBits = Array.tabulate(16)(l => if (l == 7) acSyms.length else 0)
+    marker(out, 0xc4, (0x00.toByte +: (dcBits.map(_.toByte) ++ (0 to 11).map(_.toByte))).toArray)
+    marker(out, 0xc4, (0x10.toByte +: (acBits.map(_.toByte) ++ acSyms.map(_.toByte))).toArray)
+    val sos = Array[Byte](nc.toByte) ++
+      (0 until nc).flatMap(ci => Seq((ci + 1).toByte, 0x00.toByte)) ++
+      Array[Byte](0, 63, 0)
+    marker(out, 0xda, sos)
+    val acIndex: Map[Int, Int] = acSyms.zipWithIndex.toMap
+    // entropy data: MSB-first bit packing with 0xFF → 0xFF00 stuffing
+    var acc = 0L; var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      require(len >= 1 && len <= 24)
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val byte = ((acc >> (nbits - 8)) & 0xff).toInt
+        out.write(byte)
+        if (byte == 0xff) out.write(0x00)
+        nbits -= 8
+      }
+    }
+    def flushPad(): Unit = if (nbits > 0) {
+      val byte = (((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xff).toInt
+      out.write(byte)
+      if (byte == 0xff) out.write(0x00)
+      nbits = 0; acc = 0L
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putMagnitude(v: Int, cat: Int): Unit =
+      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val pred = new Array[Int](nc)
+    var rstIdx = 0
+    var mcu = 0
+    val total = mcusX * mcusY
+    while (mcu < total) {
+      if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+        flushPad()
+        out.write(Array[Byte](0xff.toByte, (0xd0 | rstIdx).toByte), 0, 2)
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+      }
+      val bx = mcu % mcusX
+      val by = mcu / mcusX
+      var ci = 0
+      while (ci < nc) {
+        val zz = coefOf(ci, bx, by)
+        require(zz.length == 64, s"coef block must be 64, got ${zz.length}")
+        val diff = zz(0) - pred(ci)
+        pred(ci) = zz(0)
+        require(math.abs(diff) <= 2047, s"DC diff out of range: $diff")
+        val dcCat = category(diff)
+        putBits(dcCat, 4)
+        putMagnitude(diff, dcCat)
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          val v = zz(k)
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) { putBits(acIndex(0xf0), 8); run -= 16 }
+            val s = category(v)
+            require(s >= 1 && s <= 10, s"AC coefficient out of range: $v")
+            putBits(acIndex((run << 4) | s), 8)
+            putMagnitude(v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) putBits(acIndex(0x00), 8) // EOB
+        ci += 1
+      }
+      mcu += 1
+    }
+    flushPad()
+    out.write(Array[Byte](0xff.toByte, 0xd9.toByte), 0, 2) // EOI
+    out.toByteArray
+  }
+
   // ── GIF89a: LSD + n 1×1 frames + trailer ────────────────────────────
 
   def gif(w: Int, h: Int, nFrames: Int): Array[Byte] = {

@@ -212,6 +212,480 @@ object MediaHeaders {
     None
   }
 
+  /** Decoded baseline-JPEG raster: `channels` = 1 (grayscale, w·h
+    * luma bytes) or 3 (RGB from YCbCr, w·h·3 bytes, row-major). */
+  final case class JpegRaster(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /** FULL baseline-JPEG pixel decode — Huffman entropy decode,
+    * dequantization, and a 13-bit fixed-point integer IDCT (the
+    * Loeffler–Ligtenberg–Moshytz 8-point factorization, ITU T.81
+    * Annex A semantics) in plain JVM arithmetic; no codec library.
+    *
+    * Scope: sequential baseline/extended DCT (SOF0/SOF1), 8-bit, one
+    * interleaved scan, all sampling factors 1×1 (grayscale or 4:4:4
+    * color; subsampled chroma needs a codec's upsampling filter and
+    * returns None, as do progressive/arithmetic/hierarchical frames),
+    * restart markers honored. Color output is JFIF YCbCr→RGB in the
+    * standard 16-bit fixed-point form. Deterministic by construction:
+    * every step is integer arithmetic, so a DC-only block decodes to
+    * exactly `clamp(((dc·q + 4) >> 3) + 128)` — the closed form the
+    * arithmetic oracles replay. Returns None for any malformed,
+    * truncated, or out-of-scope stream; never throws; rasters are
+    * bounded to 64 MiB. */
+  def jpegPixels(b: Array[Byte]): Option[JpegRaster] = {
+    if (!isJpeg(b)) return None
+    // tables gathered on the marker walk
+    val quant = new Array[Array[Int]](4) // zigzag order
+    val huffDc = new Array[HuffTable](4)
+    val huffAc = new Array[HuffTable](4)
+    var restartInterval = 0
+    var frame: JpegFrame = null
+    var i = 2
+    while (i + 4 <= b.length) {
+      if (u8(b, i) != 0xff) return None
+      var m = u8(b, i + 1)
+      var j = i + 1
+      while (m == 0xff && j + 1 < b.length) { j += 1; m = u8(b, j) }
+      val at = j + 1
+      m match {
+        case 0x01 | 0xd0 | 0xd1 | 0xd2 | 0xd3 | 0xd4 | 0xd5 | 0xd6 | 0xd7 =>
+          i = at
+        case 0xd9 => return None // EOI before SOS
+        case 0xdb => // DQT: one or more tables
+          if (at + 2 > b.length) return None
+          val len = be16(b, at)
+          var p = at + 2
+          val end = at + len
+          if (end > b.length) return None
+          while (p < end) {
+            val pq = u8(b, p) >> 4; val tq = u8(b, p) & 15
+            if (pq != 0 || tq > 3 || p + 65 > end) return None // 8-bit tables only
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) { t(k) = u8(b, p + 1 + k); k += 1 }
+            quant(tq) = t
+            p += 65
+          }
+          i = at + len
+        case 0xc4 => // DHT: one or more tables
+          if (at + 2 > b.length) return None
+          val len = be16(b, at)
+          var p = at + 2
+          val end = at + len
+          if (end > b.length) return None
+          while (p < end) {
+            val tc = u8(b, p) >> 4; val th = u8(b, p) & 15
+            if (tc > 1 || th > 3 || p + 17 > end) return None
+            val bits = (1 to 16).map(l => u8(b, p + l)).toArray
+            val n = bits.sum
+            if (p + 17 + n > end || n > 256) return None
+            val vals = new Array[Int](n)
+            var k = 0
+            while (k < n) { vals(k) = u8(b, p + 17 + k); k += 1 }
+            val tbl = buildHuff(bits, vals).getOrElse(return None)
+            if (tc == 0) huffDc(th) = tbl else huffAc(th) = tbl
+            p += 17 + n
+          }
+          i = at + len
+        case 0xdd => // DRI
+          if (at + 4 > b.length) return None
+          restartInterval = be16(b, at + 2)
+          i = at + be16(b, at)
+        case 0xc0 | 0xc1 => // baseline / extended sequential DCT
+          if (at + 2 > b.length) return None
+          val len = be16(b, at)
+          if (at + len > b.length || len < 8) return None
+          if (u8(b, at + 2) != 8) return None // 8-bit precision only
+          val h = be16(b, at + 3); val w = be16(b, at + 5)
+          val nc = u8(b, at + 7)
+          if (w <= 0 || h <= 0 || (nc != 1 && nc != 3) || len < 8 + 3 * nc) return None
+          val comps = (0 until nc).map { c =>
+            val o = at + 8 + 3 * c
+            val samp = u8(b, o + 1)
+            if (samp != 0x11) return None // 4:4:4 / grayscale only
+            JpegComp(u8(b, o), u8(b, o + 2))
+          }.toArray
+          if (frame != null) return None // one frame only
+          frame = JpegFrame(w, h, comps)
+          i = at + len
+        case sof if sof >= 0xc2 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          return None // progressive / arithmetic / lossless: codec territory
+        case 0xda => // SOS: scan header then entropy data to the end
+          if (frame == null || at + 2 > b.length) return None
+          val len = be16(b, at)
+          if (at + len > b.length) return None
+          val ns = u8(b, at + 2)
+          if (ns != frame.comps.length || len < 6 + 2 * ns) return None
+          val scanSel = (0 until ns).map { c =>
+            val o = at + 3 + 2 * c
+            val id = u8(b, o)
+            val ci = frame.comps.indexWhere(_.id == id)
+            if (ci < 0) return None
+            (ci, u8(b, o + 1) >> 4, u8(b, o + 1) & 15)
+          }
+          return decodeScan(b, at + len, frame, scanSel, quant, huffDc, huffAc,
+            restartInterval)
+        case _ =>
+          if (at + 2 > b.length) return None
+          val len = be16(b, at)
+          if (len < 2) return None
+          i = at + len
+      }
+    }
+    None
+  }
+
+  private final case class JpegComp(id: Int, tq: Int)
+  private final case class JpegFrame(w: Int, h: Int, comps: Array[JpegComp])
+
+  /** Canonical Huffman decode tables per ITU T.81 Annex C/F: mincode /
+    * maxcode / valptr per code length, symbols in huffval order. */
+  private final case class HuffTable(mincode: Array[Int], maxcode: Array[Int],
+                                     valptr: Array[Int], huffval: Array[Int])
+
+  private def buildHuff(bits: Array[Int], vals: Array[Int]): Option[HuffTable] = {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      if (bits(l - 1) == 0) maxcode(l) = -1
+      else {
+        valptr(l) = k
+        mincode(l) = code
+        code += bits(l - 1); k += bits(l - 1)
+        maxcode(l) = code - 1
+        if (code > (1 << l)) return None // over-subscribed length
+      }
+      code <<= 1
+      l += 1
+    }
+    Some(HuffTable(mincode, maxcode, valptr, vals))
+  }
+
+  /** Natural-order index for each zigzag position, generated by the
+    * diagonal walk (T.81 Figure A.6). */
+  private val ZigzagNat: Array[Int] = {
+    val out = new Array[Int](64)
+    var x = 0; var y = 0
+    var i = 0
+    while (i < 64) {
+      out(i) = y * 8 + x
+      if ((x + y) % 2 == 0) { // moving up-right
+        if (x == 7) y += 1 else if (y == 0) x += 1 else { x += 1; y -= 1 }
+      } else { // moving down-left
+        if (y == 7) x += 1 else if (x == 0) y += 1 else { x -= 1; y += 1 }
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** MSB-first bit reader over an unstuffed entropy segment. */
+  private final class BitReader(data: Array[Byte]) {
+    private var pos = 0
+    private var acc = 0
+    private var nbits = 0
+    /** next bit, or -1 at segment end */
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= data.length) return -1
+        acc = data(pos) & 0xff; pos += 1; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val x = bit()
+        if (x < 0) return -1
+        v = (v << 1) | x
+        i += 1
+      }
+      v
+    }
+  }
+
+  private def huffDecode(r: BitReader, t: HuffTable): Int = {
+    var code = r.bit()
+    if (code < 0) return -1
+    var l = 1
+    while (code > t.maxcode(l)) {
+      val x = r.bit()
+      if (x < 0) return -1
+      code = (code << 1) | x
+      l += 1
+      if (l > 16) return -1
+    }
+    val idx = t.valptr(l) + code - t.mincode(l)
+    if (idx < 0 || idx >= t.huffval.length) -1 else t.huffval(idx)
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  // 13-bit scaled cosines of the Loeffler 8-point factorization
+  private val ConstBits = 13
+  private val Pass1Bits = 2
+  private val F0_298631336 = 2446
+  private val F0_390180644 = 3196
+  private val F0_541196100 = 4433
+  private val F0_765366865 = 6270
+  private val F0_899976223 = 7373
+  private val F1_175875602 = 9633
+  private val F1_501321110 = 12299
+  private val F1_847759065 = 15137
+  private val F1_961570560 = 16069
+  private val F2_053119869 = 16819
+  private val F2_562915447 = 20995
+  private val F3_072711026 = 25172
+
+  @inline private def descale(x: Long, n: Int): Long = (x + (1L << (n - 1))) >> n
+
+  /** Fixed-point 2-D 8×8 inverse DCT: column pass keeping Pass1Bits
+    * fractional bits, row pass descaled by ConstBits+Pass1Bits+3, then
+    * +128 level shift and clamp — all Long arithmetic, so hostile
+    * coefficient magnitudes cannot overflow. `coef` is natural order;
+    * output samples land in `out` (row-major 64). */
+  private def idct8x8(coef: Array[Long], out: Array[Int]): Unit = {
+    val ws = new Array[Long](64)
+    var c = 0
+    while (c < 8) { // column pass
+      val s0 = coef(c); val s1 = coef(8 + c); val s2 = coef(16 + c)
+      val s3 = coef(24 + c); val s4 = coef(32 + c); val s5 = coef(40 + c)
+      val s6 = coef(48 + c); val s7 = coef(56 + c)
+      if (s1 == 0 && s2 == 0 && s3 == 0 && s4 == 0 && s5 == 0 && s6 == 0 && s7 == 0) {
+        // constant column (the overwhelmingly common sparse case) —
+        // numerically identical to the full path, verified in spec
+        val v = s0 << Pass1Bits
+        var r = 0
+        while (r < 8) { ws(r * 8 + c) = v; r += 1 }
+      } else {
+        val z1e = (s2 + s6) * F0_541196100
+        val t2 = z1e + s6 * (-F1_847759065)
+        val t3 = z1e + s2 * F0_765366865
+        val t0 = (s0 + s4) << ConstBits
+        val t1 = (s0 - s4) << ConstBits
+        val t10 = t0 + t3; val t13 = t0 - t3
+        val t11 = t1 + t2; val t12 = t1 - t2
+        var o0 = s7; var o1 = s5; var o2 = s3; var o3 = s1
+        var z1 = o0 + o3; var z2 = o1 + o2
+        var z3 = o0 + o2; var z4 = o1 + o3
+        val z5 = (z3 + z4) * F1_175875602
+        o0 *= F0_298631336
+        o1 *= F2_053119869
+        o2 *= F3_072711026
+        o3 *= F1_501321110
+        z1 *= -F0_899976223
+        z2 *= -F2_562915447
+        z3 = z3 * (-F1_961570560) + z5
+        z4 = z4 * (-F0_390180644) + z5
+        o0 += z1 + z3; o1 += z2 + z4
+        o2 += z2 + z3; o3 += z1 + z4
+        val sh = ConstBits - Pass1Bits
+        ws(c) = descale(t10 + o3, sh)
+        ws(56 + c) = descale(t10 - o3, sh)
+        ws(8 + c) = descale(t11 + o2, sh)
+        ws(48 + c) = descale(t11 - o2, sh)
+        ws(16 + c) = descale(t12 + o1, sh)
+        ws(40 + c) = descale(t12 - o1, sh)
+        ws(24 + c) = descale(t13 + o0, sh)
+        ws(32 + c) = descale(t13 - o0, sh)
+      }
+      c += 1
+    }
+    var r = 0
+    while (r < 8) { // row pass
+      val o = r * 8
+      val s0 = ws(o); val s1 = ws(o + 1); val s2 = ws(o + 2); val s3 = ws(o + 3)
+      val s4 = ws(o + 4); val s5 = ws(o + 5); val s6 = ws(o + 6); val s7 = ws(o + 7)
+      val z1e = (s2 + s6) * F0_541196100
+      val t2 = z1e + s6 * (-F1_847759065)
+      val t3 = z1e + s2 * F0_765366865
+      val t0 = (s0 + s4) << ConstBits
+      val t1 = (s0 - s4) << ConstBits
+      val t10 = t0 + t3; val t13 = t0 - t3
+      val t11 = t1 + t2; val t12 = t1 - t2
+      var o0 = s7; var o1 = s5; var o2 = s3; var o3 = s1
+      var z1 = o0 + o3; var z2 = o1 + o2
+      var z3 = o0 + o2; var z4 = o1 + o3
+      val z5 = (z3 + z4) * F1_175875602
+      o0 *= F0_298631336
+      o1 *= F2_053119869
+      o2 *= F3_072711026
+      o3 *= F1_501321110
+      z1 *= -F0_899976223
+      z2 *= -F2_562915447
+      z3 = z3 * (-F1_961570560) + z5
+      z4 = z4 * (-F0_390180644) + z5
+      o0 += z1 + z3; o1 += z2 + z4
+      o2 += z2 + z3; o3 += z1 + z4
+      val sh = ConstBits + Pass1Bits + 3
+      @inline def px(v: Long): Int = {
+        val x = descale(v, sh) + 128L
+        if (x < 0L) 0 else if (x > 255L) 255 else x.toInt
+      }
+      out(o) = px(t10 + o3)
+      out(o + 7) = px(t10 - o3)
+      out(o + 1) = px(t11 + o2)
+      out(o + 6) = px(t11 - o2)
+      out(o + 2) = px(t12 + o1)
+      out(o + 5) = px(t12 - o1)
+      out(o + 3) = px(t13 + o0)
+      out(o + 4) = px(t13 - o0)
+      r += 1
+    }
+  }
+
+  /** Entropy-decode the interleaved scan: unstuff/segment at restart
+    * markers, Huffman-decode every MCU (one 8×8 block per component at
+    * 1×1 sampling), dequantize, IDCT, assemble component planes, crop,
+    * and color-convert (JFIF YCbCr→RGB, 16-bit fixed point) if 3
+    * components. */
+  private def decodeScan(b: Array[Byte], scanStart: Int, frame: JpegFrame,
+                         scanSel: Seq[(Int, Int, Int)],
+                         quant: Array[Array[Int]], huffDc: Array[HuffTable],
+                         huffAc: Array[HuffTable],
+                         restartInterval: Int): Option[JpegRaster] = {
+    val w = frame.w; val h = frame.h
+    val nc = frame.comps.length
+    if (w.toLong * h * nc > (64L << 20)) return None
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val totalMcus = mcusX.toLong * mcusY
+    if (totalMcus > Int.MaxValue) return None
+    // per-component decode context
+    val qt = new Array[Array[Int]](nc)
+    val dct = new Array[HuffTable](nc)
+    val act = new Array[HuffTable](nc)
+    scanSel.foreach { case (ci, td, ta) =>
+      val tq = frame.comps(ci).tq
+      if (tq > 3 || quant(tq) == null) return None
+      if (td > 3 || ta > 3 || huffDc(td) == null || huffAc(ta) == null) return None
+      qt(ci) = quant(tq)
+      dct(ci) = huffDc(td)
+      act(ci) = huffAc(ta)
+    }
+    // segment the entropy data at restart markers, unstuffing 0xFF00
+    val segments = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val cur = new java.io.ByteArrayOutputStream()
+    var p = scanStart
+    var done = false
+    while (!done && p < b.length) {
+      val v = u8(b, p)
+      if (v != 0xff) { cur.write(v); p += 1 }
+      else if (p + 1 >= b.length) done = true
+      else {
+        val m = u8(b, p + 1)
+        if (m == 0x00) { cur.write(0xff); p += 2 }
+        else if (m >= 0xd0 && m <= 0xd7) {
+          segments += cur.toByteArray; cur.reset(); p += 2
+        } else done = true // EOI or any other marker ends the scan
+      }
+    }
+    segments += cur.toByteArray
+    // decode MCUs
+    val planes = Array.fill(nc)(new Array[Byte](mcusX * 8 * mcusY * 8))
+    val pred = new Array[Int](nc)
+    val coefZZ = new Array[Int](64)
+    val coefNat = new Array[Long](64)
+    val samples = new Array[Int](64)
+    var seg = 0
+    var reader = new BitReader(segments(seg))
+    var mcu = 0
+    val perSeg = if (restartInterval > 0) restartInterval else Int.MaxValue
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % perSeg == 0) {
+        seg += 1
+        if (seg >= segments.length) return None
+        reader = new BitReader(segments(seg))
+        java.util.Arrays.fill(pred, 0)
+      }
+      val bx = (mcu % mcusX) * 8
+      val by = (mcu / mcusX) * 8
+      var ci = 0
+      while (ci < nc) {
+        java.util.Arrays.fill(coefZZ, 0)
+        val t = huffDecode(reader, dct(ci))
+        if (t < 0 || t > 15) return None
+        val diffBits = reader.receive(t)
+        if (diffBits < 0) return None
+        pred(ci) += extend(diffBits, t)
+        coefZZ(0) = pred(ci)
+        var k = 1
+        var eob = false
+        while (!eob && k < 64) {
+          val rs = huffDecode(reader, act(ci))
+          if (rs < 0) return None
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 else eob = true
+          } else {
+            k += r
+            if (k > 63) return None
+            val vb = reader.receive(s)
+            if (vb < 0) return None
+            coefZZ(k) = extend(vb, s)
+            k += 1
+          }
+        }
+        val q = qt(ci)
+        var z = 0
+        while (z < 64) { coefNat(ZigzagNat(z)) = coefZZ(z).toLong * q(z); z += 1 }
+        idct8x8(coefNat, samples)
+        val plane = planes(ci)
+        val stride = mcusX * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            plane((by + yy) * stride + bx + xx) = samples(yy * 8 + xx).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // crop + color-convert
+    val stride = mcusX * 8
+    if (nc == 1) {
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * stride, out, y * w, w)
+        y += 1
+      }
+      Some(JpegRaster(w, h, 1, out))
+    } else {
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = planes(0)(y * stride + x) & 0xff
+          val cb = (planes(1)(y * stride + x) & 0xff) - 128
+          val cr = (planes(2)(y * stride + x) & 0xff) - 128
+          val o = (y * w + x) * 3
+          out(o) = clamp255(yv + (((91881 * cr) + 32768) >> 16)).toByte
+          out(o + 1) = clamp255(yv + (((-22554 * cb - 46802 * cr) + 32768) >> 16)).toByte
+          out(o + 2) = clamp255(yv + (((116130 * cb) + 32768) >> 16)).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(JpegRaster(w, h, 3, out))
+    }
+  }
+
+  @inline private def clamp255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
   // ── GIF ─────────────────────────────────────────────────────────────
 
   def isGif(b: Array[Byte]): Boolean =

@@ -15,15 +15,19 @@ import org.apache.spark.sql.types._
   * synthetic text-byte fixtures) fall back to a clearly-marked
   * deterministic stub (`stubDecode`), preserving the fixture contract the
   * DuckDB oracles pin. Payload decoding is REAL wherever no external
-  * codec library is needed: 16-bit PCM WAV decodes and resamples
-  * end-to-end ([[resamplePcm]]), PNG truecolor rasters inflate/unfilter
-  * through the JVM's zlib ([[pngPixelStats]], [[resizePixels]] — a real
-  * nearest-neighbor thumbnail), and GIF frames decode through a full
-  * general LZW ([[gifRasterStats]]) — each oracle-pinned byte-for-byte.
-  * Only JPEG's DCT entropy decode still needs a codec library this
-  * environment does not carry; [[resizeStub]] remains the
-  * honestly-marked stub for exactly that path, and the per-partition
-  * batch shape is where such a codec would initialize.
+  * codec library is needed — which is now ALL FOUR container formats:
+  * 16-bit PCM WAV decodes and resamples end-to-end ([[resamplePcm]]),
+  * PNG truecolor rasters inflate/unfilter through the JVM's zlib
+  * ([[pngPixelStats]]), GIF frames decode through a full general LZW
+  * ([[gifRasterStats]]), and baseline JPEG decodes through a complete
+  * Huffman + dequant + fixed-point-IDCT path ([[jpegPixelStats]]) —
+  * each oracle-pinned byte-for-byte. The raster operators
+  * ([[resizePixels]], [[dHash64]], [[imageHistogramFeatures]]) accept
+  * PNG and JPEG through one unified decode. [[resizeStub]] remains the
+  * honestly-marked stub only for blobs OUTSIDE the decodable scope
+  * (progressive/subsampled JPEG, palette/16-bit PNG — a codec
+  * library's job), and the per-partition batch shape is where such a
+  * codec would initialize.
   */
 object Multimodal {
 
@@ -149,9 +153,10 @@ object Multimodal {
     * batch shape a real resampler runs in. Schema, null handling
     * (audio rows get no thumb), and byte sizing (out_w·out_h, the
     * 1-byte-luma plan) are real and oracle-checkable; the pixel values
-    * are fake. This metadata-level stage is now needed only for
-    * formats the engine cannot genuinely decode (JPEG) — for PNG
-    * rasters [[resizePixels]] EXECUTES the same plan on real pixels. */
+    * are fake. This metadata-level stage is now needed only for blobs
+    * outside the decodable scope (progressive/subsampled JPEG, palette
+    * PNG) — for PNG truecolor and baseline JPEG rasters
+    * [[resizePixels]] EXECUTES the same plan on real pixels. */
   def resizeStub(meta: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val spark = meta.sparkSession
     val (ow, oh) = resizeDims(col("width"), col("height"), maxW, maxH)
@@ -331,6 +336,78 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Unified RGB raster decode for the still-image formats the engine
+    * genuinely decodes end-to-end: PNG truecolor (zlib + filters) and
+    * baseline JPEG (Huffman + fixed-point IDCT — grayscale expands
+    * gray→RGB so every caller sees one shape). Returns (w, h, rgb
+    * row-major 3-byte pixels); None for GIF (index rasters with frame
+    * semantics keep their own operators) and anything undecodable. */
+  private def rgbRaster(blob: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    graft.codec.MediaHeaders.pngPixels(blob) match {
+      case Some(p) => Some((p.width, p.height, p.rgb))
+      case None =>
+        graft.codec.MediaHeaders.jpegPixels(blob).map { j =>
+          if (j.channels == 3) (j.width, j.height, j.pixels)
+          else {
+            val rgb = new Array[Byte](j.pixels.length * 3)
+            var i = 0
+            while (i < j.pixels.length) {
+              rgb(3 * i) = j.pixels(i); rgb(3 * i + 1) = j.pixels(i)
+              rgb(3 * i + 2) = j.pixels(i)
+              i += 1
+            }
+            (j.width, j.height, rgb)
+          }
+        }
+    }
+
+  /** REAL baseline-JPEG pixel decode — Huffman entropy decode,
+    * dequantization, and the fixed-point Loeffler IDCT
+    * ([[graft.codec.MediaHeaders.jpegPixels]]; pure JVM arithmetic, no
+    * codec library). One row per decodable blob with the raster's
+    * exact integer fingerprint over the decoded plane (grayscale: luma
+    * bytes; color: interleaved RGB after the fixed-point JFIF
+    * YCbCr→RGB). DC-only fixtures make every step closed-form seed
+    * arithmetic, which is what the DuckDB oracle replays; non-baseline
+    * / subsampled / corrupt blobs produce NO row. Decode rides the
+    * scan. */
+  def jpegPixelStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sum_pix", LongType, nullable = false),
+      StructField("min_pix", IntegerType, nullable = false),
+      StructField("max_pix", IntegerType, nullable = false),
+      StructField("first_pix", IntegerType, nullable = false),
+      StructField("last_pix", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.jpegPixels(blob) match {
+          case Some(p) if p.pixels.nonEmpty =>
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < p.pixels.length) {
+              val v = p.pixels(i) & 0xff
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            Iterator.single(Row(r.getLong(idIdx), p.width, p.height, p.channels,
+              p.pixels.length.toLong, sum, mn, mx,
+              p.pixels(0) & 0xff, p.pixels(p.pixels.length - 1) & 0xff))
+          case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL GIF raster decode — full LZW
     * ([[graft.codec.MediaHeaders.gifFrames]], general variable-width
     * decoder). One row per (blob, frame) with the frame's color-index
@@ -384,15 +461,16 @@ object Multimodal {
       (math.max(1L, w.toLong * maxH / h).toInt, maxH)
 
   /** REAL image resize — executes the bounded-box thumbnail plan for
-    * the rasters the engine can genuinely decode (PNG truecolor):
+    * the rasters the engine genuinely decodes (PNG truecolor and
+    * baseline JPEG, via the unified [[rgbRaster]] dispatch):
     * [[resizeDimsScalar]] picks the aspect-preserving output box, then
     * nearest-neighbor sampling in exact integer arithmetic — output
     * pixel (ox, oy) reads source (ox·w div outW, oy·h div outH) — so an
     * arithmetic oracle replays every sampled byte. Returns the REAL
     * thumbnail bytes (row-major RGB) plus the same integer fingerprint
     * shape as [[pngPixelStats]]; undecodable blobs produce no row.
-    * [[resizeStub]] remains only for formats whose pixel decode needs a
-    * codec library (JPEG's DCT). */
+    * [[resizeStub]] remains only for blobs outside the decodable
+    * scope. */
   def resizePixels(df: DataFrame, idCol: String, blobCol: String,
                    maxW: Int, maxH: Int): DataFrame = {
     require(maxW >= 1 && maxH >= 1, s"bad bounds: ${maxW}x$maxH")
@@ -413,22 +491,22 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
-        graft.codec.MediaHeaders.pngPixels(blob) match {
-          case Some(p) =>
-            val (ow, oh) = resizeDimsScalar(p.width, p.height, maxW, maxH)
+        rgbRaster(blob) match {
+          case Some((pw, ph, rgb)) =>
+            val (ow, oh) = resizeDimsScalar(pw, ph, maxW, maxH)
             val thumb = new Array[Byte](ow * oh * 3)
             var sum = 0L
             var oy = 0
             while (oy < oh) {
-              val sy = oy * p.height / oh
+              val sy = oy * ph / oh
               var ox = 0
               while (ox < ow) {
-                val sx = ox * p.width / ow
-                val si = (sy * p.width + sx) * 3
+                val sx = ox * pw / ow
+                val si = (sy * pw + sx) * 3
                 val di = (oy * ow + ox) * 3
                 var c = 0
                 while (c < 3) {
-                  val v = p.rgb(si + c) & 0xff
+                  val v = rgb(si + c) & 0xff
                   thumb(di + c) = v.toByte
                   sum += v
                   c += 1
@@ -437,7 +515,7 @@ object Multimodal {
               }
               oy += 1
             }
-            Iterator.single(Row(r.getLong(idIdx), p.width, p.height, ow, oh,
+            Iterator.single(Row(r.getLong(idIdx), pw, ph, ow, oh,
               thumb.length.toLong, sum, thumb(0) & 0xff,
               thumb(thumb.length - 1) & 0xff, thumb))
           case None => Iterator.empty
@@ -448,7 +526,8 @@ object Multimodal {
   }
 
   /** Perceptual difference hash (dHash) over REAL decoded pixels — the
-    * image-dedup fingerprint: decode (PNG truecolor), reduce each
+    * image-dedup fingerprint: decode (PNG truecolor or baseline JPEG,
+    * via [[rgbRaster]]), reduce each
     * pixel to an integer gray (div-3 mean of the channels), resample
     * to a 9×8 grid with the same nearest-neighbor integer sampling as
     * [[resizePixels]], then hash bit (y·8 + x) = [gray(x+1, y) >
@@ -470,13 +549,13 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
-        graft.codec.MediaHeaders.pngPixels(blob) match {
-          case Some(p) =>
+        rgbRaster(blob) match {
+          case Some((pw, ph, rgb)) =>
             def gray(gx: Int, gy: Int): Int = {
-              val sx = gx * p.width / 9
-              val sy = gy * p.height / 8
-              val si = (sy * p.width + sx) * 3
-              ((p.rgb(si) & 0xff) + (p.rgb(si + 1) & 0xff) + (p.rgb(si + 2) & 0xff)) / 3
+              val sx = gx * pw / 9
+              val sy = gy * ph / 8
+              val si = (sy * pw + sx) * 3
+              ((rgb(si) & 0xff) + (rgb(si + 1) & 0xff) + (rgb(si + 2) & 0xff)) / 3
             }
             var hashv = 0L
             var gy = 0
@@ -641,12 +720,12 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
-        graft.codec.MediaHeaders.pngPixels(blob) match {
-          case Some(p) =>
+        rgbRaster(blob) match {
+          case Some((_, _, rgb)) =>
             val hist = new Array[Long](bins)
             var i = 0
-            while (i + 2 < p.rgb.length) {
-              val g = ((p.rgb(i) & 0xff) + (p.rgb(i + 1) & 0xff) + (p.rgb(i + 2) & 0xff)) / 3
+            while (i + 2 < rgb.length) {
+              val g = ((rgb(i) & 0xff) + (rgb(i + 1) & 0xff) + (rgb(i + 2) & 0xff)) / 3
               hist(g / width) += 1L
               i += 3
             }

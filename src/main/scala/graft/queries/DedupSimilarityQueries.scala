@@ -2642,6 +2642,178 @@ object DedupSimilarityQueries {
           .orderBy("query_id", "rank")
     },
 
+    // ── REAL baseline-JPEG pixel decode — the last pixel gap closed in
+    //    pure JVM arithmetic: the fixture is a COMPLETE DQT/SOF0/DHT/SOS
+    //    stream whose entropy data is genuinely Huffman-coded (flat
+    //    canonical tables, decodable by any baseline decoder — the spec
+    //    pins it against javax.imageio), and the engine decodes it with
+    //    its own Huffman + dequant + fixed-point Loeffler IDCT. The
+    //    fixtures choose QUANTIZED COEFFICIENTS in the frequency domain
+    //    (DC-only blocks), which makes the decode exact seed arithmetic:
+    //    every 8×8 block lands on clamp(((dc·q + 4) >> 3) + 128), the
+    //    closed form DuckDB replays per block — any Huffman, predictor,
+    //    dequant, IDCT, or cropping bug breaks the hash. ──
+    QueryDef.sql(
+      "mm_jpeg_pixels",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 21 AS BIGINT) AS w,
+        |                  CAST(1 + doc_id % 17 AS BIGINT) AS h,
+        |                  CAST(1 + doc_id % 16 AS BIGINT) AS q FROM documents),
+        |bx_ AS (SELECT doc_id, w, h, q, unnest(range(0, (w + 7) // 8)) AS bx FROM d),
+        |by_ AS (SELECT doc_id, w, h, q, bx, unnest(range(0, (h + 7) // 8)) AS by FROM bx_),
+        |v AS (SELECT doc_id, w, h, bx, by,
+        |        least(8, w - bx * 8) * least(8, h - by * 8) AS cnt,
+        |        greatest(0, least(255,
+        |          ((((doc_id * 31 + bx * 7 + by * 13 + 3) % 256) - 128) * q + 4 + 8192) // 8
+        |            - 1024 + 128)) AS px
+        |      FROM by_)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, CAST(w * h AS BIGINT) AS n_bytes,
+        |  CAST(sum(px * cnt) AS BIGINT) AS sum_pix,
+        |  CAST(min(px) AS INT) AS min_pix, CAST(max(px) AS INT) AS max_pix,
+        |  CAST(sum(CASE WHEN bx = 0 AND by = 0 THEN px ELSE 0 END) AS INT) AS first_pix,
+        |  CAST(sum(CASE WHEN bx = (w - 1) // 8 AND by = (h - 1) // 8 THEN px ELSE 0 END) AS INT)
+        |    AS last_pix
+        |FROM v GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 21).toInt; val h = (1 + id % 17).toInt
+            val q0 = (1 + id % 16).toInt
+            val qt = Array.tabulate(64)(i => if (i == 0) q0 else 16)
+            (id, graft.codec.MediaFixtures.jpegReal(w, h, Seq(qt),
+              (_, bx, by) => Array.tabulate(64)(i =>
+                if (i == 0) (((id * 31 + bx * 7 + by * 13 + 3) % 256) - 128).toInt else 0)))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.jpegPixelStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("channels"), col("n_bytes"), col("sum_pix"), col("min_pix"),
+            col("max_pix"), col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
+    // ── REAL 4:4:4 COLOR JPEG decode — three coefficient planes through
+    //    the same entropy/IDCT path, then the fixed-point JFIF YCbCr→RGB
+    //    matrix (16-bit scaled constants, +32768 rounding, >>16). The
+    //    oracle replays the full chain per block: closed-form Y/Cb/Cr
+    //    values, then the exact integer color conversion — a wrong
+    //    constant, rounding offset, or channel order breaks the hash. ──
+    QueryDef.sql(
+      "mm_jpeg_color", {
+        def shift16(t: String) = s"(($t + 32768 + 1073741824) // 65536 - 16384)"
+        def plane(c: Int, qv: String) =
+          s"""greatest(0, least(255,
+             |  ((((doc_id * 31 + bx * 7 + by * 13 + $c * 29 + 3) % 200) - 100) * $qv + 4 + 8192) // 8
+             |    - 1024 + 128))""".stripMargin
+        s"""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+           |                  CAST(1 + doc_id % 12 AS BIGINT) AS h,
+           |                  CAST(1 + doc_id % 10 AS BIGINT) AS qy,
+           |                  CAST(1 + doc_id % 6 AS BIGINT) AS qc FROM documents),
+           |bx_ AS (SELECT doc_id, w, h, qy, qc, unnest(range(0, (w + 7) // 8)) AS bx FROM d),
+           |by_ AS (SELECT doc_id, w, h, qy, qc, bx, unnest(range(0, (h + 7) // 8)) AS by FROM bx_),
+           |p AS (SELECT doc_id, w, h, bx, by,
+           |        least(8, w - bx * 8) * least(8, h - by * 8) AS cnt,
+           |        ${plane(0, "qy")} AS yv,
+           |        ${plane(1, "qc")} - 128 AS cb,
+           |        ${plane(2, "qc")} - 128 AS cr
+           |      FROM by_),
+           |rgb AS (SELECT doc_id, w, h, bx, by, cnt,
+           |        greatest(0, least(255, yv + ${shift16("91881 * cr")})) AS r,
+           |        greatest(0, least(255, yv + ${shift16("-22554 * cb - 46802 * cr")})) AS g,
+           |        greatest(0, least(255, yv + ${shift16("116130 * cb")})) AS b
+           |      FROM p)
+           |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           |  CAST(3 AS INT) AS channels, CAST(w * h * 3 AS BIGINT) AS n_bytes,
+           |  CAST(sum((r + g + b) * cnt) AS BIGINT) AS sum_pix,
+           |  CAST(min(least(r, g, b)) AS INT) AS min_pix,
+           |  CAST(max(greatest(r, g, b)) AS INT) AS max_pix,
+           |  CAST(sum(CASE WHEN bx = 0 AND by = 0 THEN r ELSE 0 END) AS INT) AS first_pix,
+           |  CAST(sum(CASE WHEN bx = (w - 1) // 8 AND by = (h - 1) // 8 THEN b ELSE 0 END) AS INT)
+           |    AS last_pix
+           |FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 16).toInt; val h = (1 + id % 12).toInt
+            val qy = (1 + id % 10).toInt; val qc = (1 + id % 6).toInt
+            def qt(q0: Int) = Array.tabulate(64)(i => if (i == 0) q0 else 16)
+            (id, graft.codec.MediaFixtures.jpegReal(w, h, Seq(qt(qy), qt(qc), qt(qc)),
+              (c, bx, by) => Array.tabulate(64)(i =>
+                if (i == 0) (((id * 31 + bx * 7 + by * 13 + c * 29 + 3) % 200) - 100).toInt
+                else 0)))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.jpegPixelStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("channels"), col("n_bytes"), col("sum_pix"), col("min_pix"),
+            col("max_pix"), col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
+    // ── CROSS-FORMAT perceptual dedup — the capstone the unified raster
+    //    decode exists for: the SAME logical image stored losslessly
+    //    (PNG, pixel = its block's closed-form value) and as a DC-only
+    //    baseline JPEG (which decodes to exactly those values) produces
+    //    IDENTICAL gray planes, so dHash pairs every (png, jpeg) twin at
+    //    hamming 0 through the pigeonhole machinery — no all-pairs, no
+    //    format-aware special case. The oracle computes one dhash per
+    //    doc from the shared closed form (it cannot even see the format)
+    //    and equality-joins. ──
+    QueryDef.sql(
+      "mm_crossformat_neardup", {
+        // decoded gray at raster (x, y) = the closed-form block value
+        def vAt(sx: String, sy: String): String =
+          s"""greatest(0, least(255,
+             |  ((((sb * 31 + (($sx) // 8) * 7 + (($sy) // 8) * 13 + 3) % 256) - 128) * q + 4 + 8192) // 8
+             |    - 1024 + 128))""".stripMargin
+        val g0 = vAt("(gx * w) // 9", "(gy * h) // 8")
+        val g1 = vAt("((gx + 1) * w) // 9", "(gy * h) // 8")
+        s"""WITH d AS (SELECT doc_id, doc_id // 2 AS sb FROM documents),
+           |m AS (SELECT doc_id, sb, CAST(1 + sb % 24 AS BIGINT) AS w,
+           |             CAST(1 + sb % 18 AS BIGINT) AS h,
+           |             CAST(1 + sb % 16 AS BIGINT) AS q FROM d),
+           |u AS (SELECT doc_id, sb, w, h, q, unnest(range(0, 8)) AS gy FROM m),
+           |v AS (SELECT doc_id, sb, w, h, q, gy, unnest(range(0, 8)) AS gx FROM u),
+           |b AS (SELECT doc_id, gy, gx,
+           |        CASE WHEN $g1 > $g0 THEN
+           |          CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+           |               ELSE (CAST(1 AS BIGINT) << CAST(gy * 8 + gx AS INTEGER)) END
+           |        ELSE 0 END AS term
+           |      FROM v),
+           |dh AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS dhash FROM b GROUP BY doc_id)
+           |SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+           |FROM dh a JOIN dh c ON a.doc_id < c.doc_id AND a.dhash = c.dhash
+           |ORDER BY id_a, id_b""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val sb = id / 2
+            val w = (1 + sb % 24).toInt; val h = (1 + sb % 18).toInt
+            val q0 = (1 + sb % 16).toInt
+            def dc(bx: Int, by: Int): Int = (((sb * 31 + bx * 7 + by * 13 + 3) % 256) - 128).toInt
+            def v(bx: Int, by: Int): Int =
+              math.max(0, math.min(255, ((dc(bx, by) * q0 + 4) >> 3) + 128))
+            val blob =
+              if (id % 2 == 0)
+                graft.codec.MediaFixtures.pngReal(w, h, (x, y, _) => v(x / 8, y / 8),
+                  filterOf = y => ((id + y) % 5).toInt)
+              else {
+                val qt = Array.tabulate(64)(i => if (i == 0) q0 else 16)
+                graft.codec.MediaFixtures.jpegReal(w, h, Seq(qt),
+                  (_, bx, by) => Array.tabulate(64)(i => if (i == 0) dc(bx, by) else 0))
+              }
+            (id, blob)
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.imageNearDupPairs(blobs, "doc_id", "blob", maxHamming = 0)
+          .orderBy("id_a", "id_b")
+    },
+
     // ── binaryFile ARRIVAL path: the same real containers, but arriving
     //    as individual FILES through Spark's binaryFile source (how raw
     //    media actually lands at scale — an object-store prefix of

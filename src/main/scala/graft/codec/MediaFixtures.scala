@@ -179,16 +179,28 @@ object MediaFixtures {
     * categories at 4 bits; EOB, ZRL and every (run 0–15, size 1–10)
     * symbol at 8 bits) — spec-legal, driven through the general
     * table-building machinery on both sides, and free of any table
-    * literals. `restartEvery` > 0 inserts DRI/RSTn markers. */
+    * literals. `restartEvery` > 0 inserts DRI/RSTn markers.
+    * `sampling` sets per-component (H, V) factors (default all 1×1);
+    * e.g. `Seq((2,2),(1,1),(1,1))` emits genuine 4:2:0 with the
+    * four-luma-then-chroma MCU interleave, `coefOf`'s (bx, by) always
+    * indexing the COMPONENT's own block grid. */
   def jpegReal(w: Int, h: Int, qtables: Seq[Array[Int]],
                coefOf: (Int, Int, Int) => Array[Int],
-               restartEvery: Int = 0): Array[Byte] = {
+               restartEvery: Int = 0,
+               sampling: Seq[(Int, Int)] = Nil): Array[Byte] = {
     require(w >= 1 && h >= 1, s"bad dims: ${w}x$h")
     require(qtables.nonEmpty && qtables.length <= 3 && qtables.length != 2,
       s"1 or 3 components, got ${qtables.length}")
     qtables.foreach(q => require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
       "quant entries must be 1..255"))
     val nc = qtables.length
+    val samp = if (sampling.isEmpty) Seq.fill(nc)((1, 1)) else sampling
+    require(samp.length == nc, s"sampling must have $nc entries")
+    samp.foreach { case (sx, sy) =>
+      require(sx >= 1 && sx <= 2 && sy >= 1 && sy <= 2, s"sampling 1..2 only: ($sx,$sy)")
+    }
+    require(samp.forall(s => s._1 <= samp.head._1 && s._2 <= samp.head._2),
+      "component 0 must carry the max sampling factors")
     val out = new ByteArrayOutputStream()
     out.write(Array[Byte](0xff.toByte, 0xd8.toByte), 0, 2) // SOI
     qtables.zipWithIndex.foreach { case (q, tq) =>
@@ -196,7 +208,8 @@ object MediaFixtures {
     }
     if (restartEvery > 0) marker(out, 0xdd, be16(restartEvery))
     val sof = Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](nc.toByte) ++
-      (0 until nc).flatMap(ci => Seq((ci + 1).toByte, 0x11.toByte, ci.toByte))
+      (0 until nc).flatMap(ci => Seq((ci + 1).toByte,
+        ((samp(ci)._1 << 4) | samp(ci)._2).toByte, ci.toByte))
     marker(out, 0xc0, sof)
     // flat canonical Huffman tables: DC cats 0..11 at 4 bits (code = cat),
     // AC symbols [EOB, ZRL, (r,s)…] at 8 bits (code = list index)
@@ -232,9 +245,38 @@ object MediaFixtures {
     def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
     def putMagnitude(v: Int, cat: Int): Unit =
       if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
-    val mcusX = (w + 7) / 8
-    val mcusY = (h + 7) / 8
+    // single-component scans are non-interleaved (MCU = 1 block, ratio 1)
+    val hMax = if (nc == 1) 1 else samp.head._1
+    val vMax = if (nc == 1) 1 else samp.head._2
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     val pred = new Array[Int](nc)
+    def encodeBlock(ci: Int, bx: Int, by: Int): Unit = {
+      val zz = coefOf(ci, bx, by)
+      require(zz.length == 64, s"coef block must be 64, got ${zz.length}")
+      val diff = zz(0) - pred(ci)
+      pred(ci) = zz(0)
+      require(math.abs(diff) <= 2047, s"DC diff out of range: $diff")
+      val dcCat = category(diff)
+      putBits(dcCat, 4)
+      putMagnitude(diff, dcCat)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val v = zz(k)
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { putBits(acIndex(0xf0), 8); run -= 16 }
+          val s = category(v)
+          require(s >= 1 && s <= 10, s"AC coefficient out of range: $v")
+          putBits(acIndex((run << 4) | s), 8)
+          putMagnitude(v, s)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putBits(acIndex(0x00), 8) // EOB
+    }
     var rstIdx = 0
     var mcu = 0
     val total = mcusX * mcusY
@@ -245,34 +287,20 @@ object MediaFixtures {
         rstIdx = (rstIdx + 1) % 8
         java.util.Arrays.fill(pred, 0)
       }
-      val bx = mcu % mcusX
-      val by = mcu / mcusX
+      val mcuX = mcu % mcusX
+      val mcuY = mcu / mcusX
       var ci = 0
       while (ci < nc) {
-        val zz = coefOf(ci, bx, by)
-        require(zz.length == 64, s"coef block must be 64, got ${zz.length}")
-        val diff = zz(0) - pred(ci)
-        pred(ci) = zz(0)
-        require(math.abs(diff) <= 2047, s"DC diff out of range: $diff")
-        val dcCat = category(diff)
-        putBits(dcCat, 4)
-        putMagnitude(diff, dcCat)
-        var k = 1
-        var run = 0
-        while (k < 64) {
-          val v = zz(k)
-          if (v == 0) run += 1
-          else {
-            while (run >= 16) { putBits(acIndex(0xf0), 8); run -= 16 }
-            val s = category(v)
-            require(s >= 1 && s <= 10, s"AC coefficient out of range: $v")
-            putBits(acIndex((run << 4) | s), 8)
-            putMagnitude(v, s)
-            run = 0
+        val (csh, csv) = if (nc == 1) (1, 1) else samp(ci)
+        var byi = 0
+        while (byi < csv) {
+          var bxi = 0
+          while (bxi < csh) {
+            encodeBlock(ci, mcuX * csh + bxi, mcuY * csv + byi)
+            bxi += 1
           }
-          k += 1
+          byi += 1
         }
-        if (run > 0) putBits(acIndex(0x00), 8) // EOB
         ci += 1
       }
       mcu += 1

@@ -222,10 +222,14 @@ object MediaHeaders {
     * Annex A semantics) in plain JVM arithmetic; no codec library.
     *
     * Scope: sequential baseline/extended DCT (SOF0/SOF1), 8-bit, one
-    * interleaved scan, all sampling factors 1×1 (grayscale or 4:4:4
-    * color; subsampled chroma needs a codec's upsampling filter and
-    * returns None, as do progressive/arithmetic/hierarchical frames),
-    * restart markers honored. Color output is JFIF YCbCr→RGB in the
+    * interleaved scan, sampling factors 1 or 2 per axis with luma at
+    * the max — grayscale, 4:4:4, 4:2:2, 4:4:0 and 4:2:0 (the dominant
+    * photo layout); chroma upsampling is BOX REPLICATION (each chroma
+    * sample covers its 2×1/1×2/2×2 pixel box exactly — T.81 mandates
+    * no filter, and replication is the integer-exact contract the
+    * oracles replay; smoothing filters are a codec library's cosmetic
+    * choice). Progressive/arithmetic/hierarchical frames return None.
+    * Restart markers honored. Color output is JFIF YCbCr→RGB in the
     * standard 16-bit fixed-point form. Deterministic by construction:
     * every step is integer arithmetic, so a DC-only block decodes to
     * exactly `clamp(((dc·q + 4) >> 3) + 128)` — the closed form the
@@ -301,10 +305,17 @@ object MediaHeaders {
           if (w <= 0 || h <= 0 || (nc != 1 && nc != 3) || len < 8 + 3 * nc) return None
           val comps = (0 until nc).map { c =>
             val o = at + 8 + 3 * c
-            val samp = u8(b, o + 1)
-            if (samp != 0x11) return None // 4:4:4 / grayscale only
-            JpegComp(u8(b, o), u8(b, o + 2))
+            val sh = u8(b, o + 1) >> 4
+            val sv = u8(b, o + 1) & 15
+            // 1 or 2 per axis covers 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 —
+            // the layouts real corpora carry; exotic factors are a
+            // codec library's job
+            if (sh < 1 || sh > 2 || sv < 1 || sv > 2) return None
+            JpegComp(u8(b, o), u8(b, o + 2), sh, sv)
           }.toArray
+          // chroma must not outsample luma (we upsample, never decimate)
+          if (nc == 3 && comps.exists(c => c.sh > comps(0).sh || c.sv > comps(0).sv))
+            return None
           if (frame != null) return None // one frame only
           frame = JpegFrame(w, h, comps)
           i = at + len
@@ -335,7 +346,7 @@ object MediaHeaders {
     None
   }
 
-  private final case class JpegComp(id: Int, tq: Int)
+  private final case class JpegComp(id: Int, tq: Int, sh: Int, sv: Int)
   private final case class JpegFrame(w: Int, h: Int, comps: Array[JpegComp])
 
   /** Canonical Huffman decode tables per ITU T.81 Annex C/F: mincode /
@@ -554,8 +565,16 @@ object MediaHeaders {
     val w = frame.w; val h = frame.h
     val nc = frame.comps.length
     if (w.toLong * h * nc > (64L << 20)) return None
-    val mcusX = (w + 7) / 8
-    val mcusY = (h + 7) / 8
+    // a single-component scan is non-interleaved: its MCU is one block
+    // regardless of the declared factors (T.81 A.2.2), so the effective
+    // sampling ratio is 1; interleaved 3-component scans use the real
+    // factors with luma = max (guarded at SOF)
+    val sh = Array.tabulate(nc)(i => if (nc == 1) 1 else frame.comps(i).sh)
+    val sv = Array.tabulate(nc)(i => if (nc == 1) 1 else frame.comps(i).sv)
+    val hMax = sh.max
+    val vMax = sv.max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     val totalMcus = mcusX.toLong * mcusY
     if (totalMcus > Int.MaxValue) return None
     // per-component decode context
@@ -589,7 +608,8 @@ object MediaHeaders {
     }
     segments += cur.toByteArray
     // decode MCUs
-    val planes = Array.fill(nc)(new Array[Byte](mcusX * 8 * mcusY * 8))
+    val strides = Array.tabulate(nc)(i => mcusX * sh(i) * 8)
+    val planes = Array.tabulate(nc)(i => new Array[Byte](strides(i) * mcusY * sv(i) * 8))
     val pred = new Array[Int](nc)
     val coefZZ = new Array[Int](64)
     val coefNat = new Array[Long](64)
@@ -598,6 +618,38 @@ object MediaHeaders {
     var reader = new BitReader(segments(seg))
     var mcu = 0
     val perSeg = if (restartInterval > 0) restartInterval else Int.MaxValue
+    // decode one entropy-coded block of component ci into `samples`
+    def decodeBlock(ci: Int): Boolean = {
+      java.util.Arrays.fill(coefZZ, 0)
+      val t = huffDecode(reader, dct(ci))
+      if (t < 0 || t > 15) return false
+      val diffBits = reader.receive(t)
+      if (diffBits < 0) return false
+      pred(ci) += extend(diffBits, t)
+      coefZZ(0) = pred(ci)
+      var k = 1
+      var eob = false
+      while (!eob && k < 64) {
+        val rs = huffDecode(reader, act(ci))
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 else eob = true
+        } else {
+          k += r
+          if (k > 63) return false
+          val vb = reader.receive(s)
+          if (vb < 0) return false
+          coefZZ(k) = extend(vb, s)
+          k += 1
+        }
+      }
+      val q = qt(ci)
+      var z = 0
+      while (z < 64) { coefNat(ZigzagNat(z)) = coefZZ(z).toLong * q(z); z += 1 }
+      idct8x8(coefNat, samples)
+      true
+    }
     while (mcu < totalMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % perSeg == 0) {
         seg += 1
@@ -605,60 +657,44 @@ object MediaHeaders {
         reader = new BitReader(segments(seg))
         java.util.Arrays.fill(pred, 0)
       }
-      val bx = (mcu % mcusX) * 8
-      val by = (mcu / mcusX) * 8
+      val mcuX = (mcu % mcusX).toInt
+      val mcuY = (mcu / mcusX).toInt
       var ci = 0
       while (ci < nc) {
-        java.util.Arrays.fill(coefZZ, 0)
-        val t = huffDecode(reader, dct(ci))
-        if (t < 0 || t > 15) return None
-        val diffBits = reader.receive(t)
-        if (diffBits < 0) return None
-        pred(ci) += extend(diffBits, t)
-        coefZZ(0) = pred(ci)
-        var k = 1
-        var eob = false
-        while (!eob && k < 64) {
-          val rs = huffDecode(reader, act(ci))
-          if (rs < 0) return None
-          val r = rs >> 4; val s = rs & 15
-          if (s == 0) {
-            if (r == 15) k += 16 else eob = true
-          } else {
-            k += r
-            if (k > 63) return None
-            val vb = reader.receive(s)
-            if (vb < 0) return None
-            coefZZ(k) = extend(vb, s)
-            k += 1
+        // the component's sh(ci)×sv(ci) blocks, raster order in the MCU
+        var byi = 0
+        while (byi < sv(ci)) {
+          var bxi = 0
+          while (bxi < sh(ci)) {
+            if (!decodeBlock(ci)) return None
+            val plane = planes(ci)
+            val stride = strides(ci)
+            val bx = (mcuX * sh(ci) + bxi) * 8
+            val by = (mcuY * sv(ci) + byi) * 8
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                plane((by + yy) * stride + bx + xx) = samples(yy * 8 + xx).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            bxi += 1
           }
-        }
-        val q = qt(ci)
-        var z = 0
-        while (z < 64) { coefNat(ZigzagNat(z)) = coefZZ(z).toLong * q(z); z += 1 }
-        idct8x8(coefNat, samples)
-        val plane = planes(ci)
-        val stride = mcusX * 8
-        var yy = 0
-        while (yy < 8) {
-          var xx = 0
-          while (xx < 8) {
-            plane((by + yy) * stride + bx + xx) = samples(yy * 8 + xx).toByte
-            xx += 1
-          }
-          yy += 1
+          byi += 1
         }
         ci += 1
       }
       mcu += 1
     }
-    // crop + color-convert
-    val stride = mcusX * 8
+    // crop + upsample (box replication — each chroma sample covers its
+    // hMax/sh × vMax/sv pixel box exactly) + color-convert
     if (nc == 1) {
       val out = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
-        System.arraycopy(planes(0), y * stride, out, y * w, w)
+        System.arraycopy(planes(0), y * strides(0), out, y * w, w)
         y += 1
       }
       Some(JpegRaster(w, h, 1, out))
@@ -668,9 +704,9 @@ object MediaHeaders {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val yv = planes(0)(y * stride + x) & 0xff
-          val cb = (planes(1)(y * stride + x) & 0xff) - 128
-          val cr = (planes(2)(y * stride + x) & 0xff) - 128
+          val yv = planes(0)(y * strides(0) + x) & 0xff
+          val cb = (planes(1)((y * sv(1) / vMax) * strides(1) + x * sh(1) / hMax) & 0xff) - 128
+          val cr = (planes(2)((y * sv(2) / vMax) * strides(2) + x * sh(2) / hMax) & 0xff) - 128
           val o = (y * w + x) * 3
           out(o) = clamp255(yv + (((91881 * cr) + 32768) >> 16)).toByte
           out(o + 1) = clamp255(yv + (((-22554 * cb - 46802 * cr) + 32768) >> 16)).toByte

@@ -2753,6 +2753,68 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── REAL 4:2:0 JPEG decode — the dominant photo layout: genuine
+    //    four-luma-then-chroma MCU interleave from the fixture encoder,
+    //    decoded through the generalized MCU geometry with
+    //    box-replication chroma upsampling (the integer-exact contract;
+    //    T.81 mandates no filter). The oracle replays the whole chain
+    //    PER PIXEL: luma block on the pixel grid, chroma block on the
+    //    half-resolution grid, then the fixed-point color matrix — a
+    //    wrong MCU order, plane stride, replication box, or crop breaks
+    //    the hash. ──
+    QueryDef.sql(
+      "mm_jpeg_420", {
+        def shift16(t: String) = s"(($t + 32768 + 1073741824) // 65536 - 16384)"
+        def planeAt(c: Int, qv: String, bx: String, by: String) =
+          s"""greatest(0, least(255,
+             |  ((((doc_id * 31 + ($bx) * 7 + ($by) * 13 + $c * 29 + 3) % 200) - 100) * $qv + 4 + 8192) // 8
+             |    - 1024 + 128))""".stripMargin
+        s"""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 20 AS BIGINT) AS w,
+           |                  CAST(1 + doc_id % 14 AS BIGINT) AS h,
+           |                  CAST(1 + doc_id % 10 AS BIGINT) AS qy,
+           |                  CAST(1 + doc_id % 6 AS BIGINT) AS qc FROM documents),
+           |u AS (SELECT doc_id, w, h, qy, qc, unnest(range(0, w)) AS x FROM d),
+           |v AS (SELECT doc_id, w, h, qy, qc, x, unnest(range(0, h)) AS y FROM u),
+           |p AS (SELECT doc_id, w, h, x, y,
+           |        ${planeAt(0, "qy", "x // 8", "y // 8")} AS yv,
+           |        ${planeAt(1, "qc", "x // 16", "y // 16")} - 128 AS cb,
+           |        ${planeAt(2, "qc", "x // 16", "y // 16")} - 128 AS cr
+           |      FROM v),
+           |rgb AS (SELECT doc_id, w, h, x, y,
+           |        greatest(0, least(255, yv + ${shift16("91881 * cr")})) AS r,
+           |        greatest(0, least(255, yv + ${shift16("-22554 * cb - 46802 * cr")})) AS g,
+           |        greatest(0, least(255, yv + ${shift16("116130 * cb")})) AS b
+           |      FROM p)
+           |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           |  CAST(3 AS INT) AS channels, CAST(w * h * 3 AS BIGINT) AS n_bytes,
+           |  CAST(sum(r + g + b) AS BIGINT) AS sum_pix,
+           |  CAST(min(least(r, g, b)) AS INT) AS min_pix,
+           |  CAST(max(greatest(r, g, b)) AS INT) AS max_pix,
+           |  CAST(sum(CASE WHEN x = 0 AND y = 0 THEN r ELSE 0 END) AS INT) AS first_pix,
+           |  CAST(sum(CASE WHEN x = w - 1 AND y = h - 1 THEN b ELSE 0 END) AS INT) AS last_pix
+           |FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 20).toInt; val h = (1 + id % 14).toInt
+            val qy = (1 + id % 10).toInt; val qc = (1 + id % 6).toInt
+            def qt(q0: Int) = Array.tabulate(64)(i => if (i == 0) q0 else 16)
+            (id, graft.codec.MediaFixtures.jpegReal(w, h, Seq(qt(qy), qt(qc), qt(qc)),
+              (c, bx, by) => Array.tabulate(64)(i =>
+                if (i == 0) (((id * 31 + bx * 7 + by * 13 + c * 29 + 3) % 200) - 100).toInt
+                else 0),
+              sampling = Seq((2, 2), (1, 1), (1, 1))))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.jpegPixelStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("channels"), col("n_bytes"), col("sum_pix"), col("min_pix"),
+            col("max_pix"), col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
     // ── CROSS-FORMAT perceptual dedup — the capstone the unified raster
     //    decode exists for: the SAME logical image stored losslessly
     //    (PNG, pixel = its block's closed-form value) and as a DC-only

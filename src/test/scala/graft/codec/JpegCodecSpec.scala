@@ -118,6 +118,77 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:0: four-luma MCU interleave decodes; uniform chroma agrees with ImageIO within ±1") {
+    // w, h > 16 → multiple MCUs per axis plus edge cropping
+    val w = 21; val h = 19
+    def dcY(bx: Int, by: Int): Int = ((bx * 7 + by * 13 + 3) % 200) - 100
+    val qs = Seq(q(5), q(8), q(8))
+    // uniform chroma: ANY conformant upsampling filter of a constant
+    // plane is the constant, so ImageIO must agree byte-for-byte
+    val blob = MediaFixtures.jpegReal(w, h, qs,
+      (c, bx, by) => Array.tabulate(64)(i =>
+        if (i != 0) 0 else if (c == 0) dcY(bx, by) else if (c == 1) 40 else -25),
+      sampling = Seq((2, 2), (1, 1), (1, 1)))
+    val meta = MediaHeaders.parse(blob).get
+    assert(meta.width.contains(w) && meta.height.contains(h) && meta.channels.contains(3))
+    val p = MediaHeaders.jpegPixels(blob).get
+    assert(p.channels == 3)
+    val img = imageIoGray(blob).get
+    val cb = clamp(((40 * 8 + 4) >> 3) + 128) - 128
+    val cr = clamp(((-25 * 8 + 4) >> 3) + 128) - 128
+    for (y <- 0 until h; x <- 0 until w) {
+      val yv = clamp(((dcY(x / 8, y / 8) * 5 + 4) >> 3) + 128)
+      val er = clamp(yv + ((91881 * cr + 32768) >> 16))
+      val eg = clamp(yv + ((-22554 * cb - 46802 * cr + 32768) >> 16))
+      val eb = clamp(yv + ((116130 * cb + 32768) >> 16))
+      val o = (y * w + x) * 3
+      assert((p.pixels(o) & 0xff) == er && (p.pixels(o + 1) & 0xff) == eg
+        && (p.pixels(o + 2) & 0xff) == eb, s"closed-form mismatch at ($x,$y)")
+      val rgb = img.getRGB(x, y)
+      assert(math.abs(((rgb >> 16) & 0xff) - er) <= 1
+        && math.abs(((rgb >> 8) & 0xff) - eg) <= 1
+        && math.abs((rgb & 0xff) - eb) <= 1, s"ImageIO disagrees at ($x,$y)")
+    }
+  }
+
+  test("4:2:0 varying chroma: box-replication contract is exact on the 2x2 pixel boxes") {
+    val w = 20; val h = 14
+    def dc(c: Int, bx: Int, by: Int): Int = ((bx * 7 + by * 13 + c * 29 + 3) % 200) - 100
+    val blob = MediaFixtures.jpegReal(w, h, Seq(q(5), q(8), q(8)),
+      (c, bx, by) => Array.tabulate(64)(i => if (i == 0) dc(c, bx, by) else 0),
+      sampling = Seq((2, 2), (1, 1), (1, 1)))
+    val p = MediaHeaders.jpegPixels(blob).get
+    for (y <- 0 until h; x <- 0 until w) {
+      // chroma block index on the chroma grid: pixel/2 then /8
+      val yv = clamp(((dc(0, x / 8, y / 8) * 5 + 4) >> 3) + 128)
+      val cb = clamp(((dc(1, x / 16, y / 16) * 8 + 4) >> 3) + 128) - 128
+      val cr = clamp(((dc(2, x / 16, y / 16) * 8 + 4) >> 3) + 128) - 128
+      val er = clamp(yv + ((91881 * cr + 32768) >> 16))
+      val eg = clamp(yv + ((-22554 * cb - 46802 * cr + 32768) >> 16))
+      val eb = clamp(yv + ((116130 * cb + 32768) >> 16))
+      val o = (y * w + x) * 3
+      assert((p.pixels(o) & 0xff) == er && (p.pixels(o + 1) & 0xff) == eg
+        && (p.pixels(o + 2) & 0xff) == eb, s"replication contract broken at ($x,$y)")
+    }
+  }
+
+  test("4:2:2: horizontal-only subsampling replicates chroma across x pairs") {
+    val w = 19; val h = 10
+    def dc(c: Int, bx: Int, by: Int): Int = ((bx * 11 + by * 3 + c * 17 + 5) % 200) - 100
+    val blob = MediaFixtures.jpegReal(w, h, Seq(q(4), q(6), q(6)),
+      (c, bx, by) => Array.tabulate(64)(i => if (i == 0) dc(c, bx, by) else 0),
+      sampling = Seq((2, 1), (1, 1), (1, 1)))
+    val p = MediaHeaders.jpegPixels(blob).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val yv = clamp(((dc(0, x / 8, y / 8) * 4 + 4) >> 3) + 128)
+      val cb = clamp(((dc(1, x / 16, y / 8) * 6 + 4) >> 3) + 128) - 128
+      val cr = clamp(((dc(2, x / 16, y / 8) * 6 + 4) >> 3) + 128) - 128
+      val er = clamp(yv + ((91881 * cr + 32768) >> 16))
+      val o = (y * w + x) * 3
+      assert((p.pixels(o) & 0xff) == er, s"4:2:2 mismatch at ($x,$y)")
+    }
+  }
+
   test("out-of-scope and malformed streams return None, never throw") {
     val good = MediaFixtures.jpegReal(16, 16, Seq(q(5)),
       (_, bx, by) => Array.tabulate(64)(i => if (i == 0) bx + by else 0))

@@ -78,9 +78,33 @@ object MediaFixtures {
     * any oracle contract (only the decoded pixels are), so Deflater's
     * exact output encoding is free to vary. */
   def pngReal(w: Int, h: Int, pix: (Int, Int, Int) => Int,
-              filterOf: Int => Int = _ => 0): Array[Byte] = {
+              filterOf: Int => Int = _ => 0): Array[Byte] =
+    pngEncode(w, h, bpp = 3, colorType = 2, plte = null,
+      (x, y, c) => pix(x, y, c), filterOf)
+
+  /** Fully REAL 8-bit GRAYSCALE PNG (color type 0): same genuine
+    * deflate + filter machinery, one sample per pixel. */
+  def pngRealGray(w: Int, h: Int, pix: (Int, Int) => Int,
+                  filterOf: Int => Int = _ => 0): Array[Byte] =
+    pngEncode(w, h, bpp = 1, colorType = 0, plte = null,
+      (x, y, _) => pix(x, y), filterOf)
+
+  /** Fully REAL 8-bit PALETTE PNG (color type 3): a genuine PLTE chunk
+    * (`palette` = 3·n RGB bytes) and index samples `idx(x, y)` through
+    * the same deflate + filter machinery. */
+  def pngRealIndexed(w: Int, h: Int, palette: Array[Byte], idx: (Int, Int) => Int,
+                     filterOf: Int => Int = _ => 0): Array[Byte] = {
+    require(palette.length > 0 && palette.length % 3 == 0 && palette.length <= 768,
+      s"bad palette: ${palette.length} bytes")
+    pngEncode(w, h, bpp = 1, colorType = 3, plte = palette,
+      (x, y, _) => { val v = idx(x, y); require(v * 3 < palette.length); v },
+      filterOf)
+  }
+
+  private def pngEncode(w: Int, h: Int, bpp: Int, colorType: Int,
+                        plte: Array[Byte], pix: (Int, Int, Int) => Int,
+                        filterOf: Int => Int): Array[Byte] = {
     require(w >= 1 && h >= 1, s"bad dims: ${w}x$h")
-    val bpp = 3
     val stride = w * bpp
     val raw = new Array[Byte](h * (1 + stride))
     val prior = new Array[Int](stride) // previous row, unfiltered
@@ -122,7 +146,8 @@ object MediaFixtures {
     defl.end()
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
-    chunk(out, "IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0))
+    chunk(out, "IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0))
+    if (plte != null) chunk(out, "PLTE", plte)
     chunk(out, "IDAT", comp.toByteArray)
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
@@ -338,7 +363,8 @@ object MediaFixtures {
     * [[MediaHeaders.gifFrames]], whose dictionary machinery gets its
     * real-stream exercise from spec fixtures with growing dictionaries.
     */
-  def gifReal(w: Int, h: Int, frames: Int, pix: (Int, Int, Int) => Int): Array[Byte] = {
+  def gifReal(w: Int, h: Int, frames: Int, pix: (Int, Int, Int) => Int,
+              interlaced: Boolean = false): Array[Byte] = {
     require(w >= 1 && h >= 1 && frames >= 1, s"bad geometry: ${w}x$h x$frames")
     val out = new ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
@@ -353,20 +379,24 @@ object MediaFixtures {
       out.write(Array[Byte](0x2c, 0, 0, 0, 0), 0, 5)
       out.write(le16(w), 0, 2)
       out.write(le16(h), 0, 2)
-      out.write(0) // no local color table, not interlaced
+      out.write(if (interlaced) 0x40 else 0) // no local color table
       out.write(8) // LZW min code size
-      // pack 9-bit codes LSB-first: CLEAR px CLEAR px … EOI
+      // pack 9-bit codes LSB-first: CLEAR px CLEAR px … EOI; an
+      // interlaced frame transmits its rows in the spec's 4-pass order
       val bits = new ByteArrayOutputStream()
       var acc = 0L; var nbits = 0
       def put(code: Int): Unit = {
         acc |= code.toLong << nbits; nbits += codeWidth
         while (nbits >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
       }
-      var y = 0
-      while (y < h) {
+      val rowOrder =
+        if (interlaced) MediaHeaders.interlaceOrder(h) else Array.tabulate(h)(identity)
+      var k = 0
+      while (k < h) {
+        val y = rowOrder(k)
         var x = 0
         while (x < w) { put(clear); put(pix(x, y, f) & 0xff); x += 1 }
-        y += 1
+        k += 1
       }
       put(eoi)
       if (nbits > 0) bits.write((acc & 0xff).toInt)

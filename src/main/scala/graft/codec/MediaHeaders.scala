@@ -97,25 +97,38 @@ object MediaHeaders {
     * pixel, exactly the unfiltered scanline bytes. */
   final case class PngRaster(width: Int, height: Int, rgb: Array[Byte])
 
-  /** FULL pixel decode for 8-bit truecolor non-interlaced PNGs — zlib
-    * inflate (java.util.zip, in every JVM) plus the five scanline
-    * filters inverted per the spec; no codec library involved. Returns
-    * None for any other PNG flavor (palette, alpha, 16-bit, interlaced
-    * — a real codec's job), for truncated/corrupt zlib streams, for a
-    * stream that inflates to the wrong length, and for rasters over
-    * 64 MiB (a hostile IHDR must not allocate unbounded memory). */
+  /** FULL pixel decode for 8-bit non-interlaced PNGs of color type 0
+    * (grayscale), 2 (truecolor) or 3 (palette, via the PLTE lookup) —
+    * zlib inflate (java.util.zip, in every JVM) plus the five scanline
+    * filters inverted per the spec; no codec library involved. The
+    * output is always the expanded RGB raster (gray replicated,
+    * palette entries resolved), so every downstream raster operator
+    * sees one shape. Returns None for the remaining flavors (alpha,
+    * 16-bit, sub-byte palette depths, Adam7 — a real codec's job), for
+    * truncated/corrupt zlib streams, for a stream that inflates to the
+    * wrong length, for palette indexes past the PLTE, and for rasters
+    * over 64 MiB (a hostile IHDR must not allocate unbounded memory).
+    */
   def pngPixels(b: Array[Byte]): Option[PngRaster] = {
     if (!isPng(b) || b.length < 33 || tag(b, 12) != "IHDR") return None
     val w = be32(b, 16); val h = be32(b, 20)
     if (w <= 0 || h <= 0) return None
-    // 8-bit truecolor (color 2), deflate, adaptive filters, no interlace
-    if (u8(b, 24) != 8 || u8(b, 25) != 2 || u8(b, 26) != 0 ||
-      u8(b, 27) != 0 || u8(b, 28) != 0) return None
-    val stride = w * 3
+    // 8-bit depth, deflate, adaptive filters, no interlace
+    if (u8(b, 24) != 8 || u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0)
+      return None
+    val colorType = u8(b, 25)
+    val bpp = colorType match {
+      case 0 | 3 => 1 // grayscale / palette indexes
+      case 2 => 3 // truecolor
+      case _ => return None // alpha variants: a real codec's job
+    }
+    val stride = w * bpp
     val rawLen = h * (stride + 1)
-    if (rawLen > (64L << 20)) return None
-    // concatenate IDAT chunk data (the zlib stream may span chunks)
+    if (w * h * 3L > (64L << 20) || rawLen > (64L << 20)) return None
+    // concatenate IDAT chunk data (the zlib stream may span chunks);
+    // grab PLTE on the same walk
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var i = 8
     var done = false
     while (!done && i + 8 <= b.length) {
@@ -124,9 +137,13 @@ object MediaHeaders {
       if (typ == "IEND") done = true
       else if (typ == "IDAT" && len > 0 && i + 8 + len <= b.length)
         idat.write(b, i + 8, len.toInt)
+      else if (typ == "PLTE" && len > 0 && len % 3 == 0 && len <= 768 &&
+        i + 8 + len <= b.length)
+        palette = java.util.Arrays.copyOfRange(b, i + 8, (i + 8 + len).toInt)
       i = math.min(i.toLong + 12L + math.max(0L, len), b.length.toLong).toInt
     }
     if (idat.size() == 0) return None
+    if (colorType == 3 && palette == null) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
@@ -143,7 +160,6 @@ object MediaHeaders {
     } finally inf.end()
     // invert the per-row filter (spec 9.2); all arithmetic mod 256
     val out = new Array[Byte]((h * stride).toInt)
-    val bpp = 3
     var y = 0
     while (y < h) {
       val ft = raw(y.toInt * (stride.toInt + 1)) & 0xff
@@ -170,7 +186,31 @@ object MediaHeaders {
       }
       y += 1
     }
-    Some(PngRaster(w.toInt, h.toInt, out))
+    // expand to the uniform RGB shape
+    colorType match {
+      case 2 => Some(PngRaster(w.toInt, h.toInt, out))
+      case 0 =>
+        val rgb = new Array[Byte](out.length * 3)
+        var j = 0
+        while (j < out.length) {
+          rgb(3 * j) = out(j); rgb(3 * j + 1) = out(j); rgb(3 * j + 2) = out(j)
+          j += 1
+        }
+        Some(PngRaster(w.toInt, h.toInt, rgb))
+      case _ => // palette
+        val n = palette.length / 3
+        val rgb = new Array[Byte](out.length * 3)
+        var j = 0
+        while (j < out.length) {
+          val idx = out(j) & 0xff
+          if (idx >= n) return None // index past the PLTE: malformed
+          rgb(3 * j) = palette(3 * idx)
+          rgb(3 * j + 1) = palette(3 * idx + 1)
+          rgb(3 * j + 2) = palette(3 * idx + 2)
+          j += 1
+        }
+        Some(PngRaster(w.toInt, h.toInt, rgb))
+    }
   }
 
   // ── JPEG ────────────────────────────────────────────────────────────
@@ -779,7 +819,8 @@ object MediaHeaders {
     * growth, CLEAR/EOI handling, the k-omega-k self-referencing case) in
     * plain byte arithmetic; no codec library. Frames must be full-size
     * at origin (the fixtures' shape; partial-update animation is a real
-    * codec's compositing job). Returns None for interlaced or
+    * codec's compositing job). Interlaced frames are deinterlaced via
+    * the spec's four-pass row order. Returns None for
     * local-color-table frames, malformed streams, or out-of-range
     * codes; decoding stops cleanly at EOI or stream end. */
   def gifFrames(b: Array[Byte]): Option[GifRaster] = {
@@ -802,7 +843,7 @@ object MediaHeaders {
           val ifl = u8(b, i + 9)
           if (le16(b, i + 1) != 0 || le16(b, i + 3) != 0 || iw != w || ih != h)
             return None // partial-update frame: compositing out of scope
-          if ((ifl & 0x40) != 0) return None // interlaced
+          val interlaced = (ifl & 0x40) != 0
           i += 10
           if ((ifl & 0x80) != 0) i += 3 * (1 << ((ifl & 7) + 1)) // local table
           if (i >= b.length) return None
@@ -817,14 +858,40 @@ object MediaHeaders {
             i += 1 + n
           }
           i += 1 // terminator
-          frames += (lzwDecode(data.toByteArray, mcs, iw * ih) match {
+          val decoded = lzwDecode(data.toByteArray, mcs, iw * ih) match {
             case Some(px) => px
             case None => return None
-          })
+          }
+          frames += (if (interlaced) deinterlace(decoded, iw, ih) else decoded)
         case _ => return None
       }
     }
     if (frames.isEmpty) None else Some(GifRaster(w, h, frames.toSeq))
+  }
+
+  /** GIF interlace row order (spec appendix E): pass 1 every 8th row
+    * from 0, pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4
+    * every 2nd from 1. Transmitted row k lands on raster row
+    * `order(k)`. */
+  private[codec] def interlaceOrder(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var k = 0
+    for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+      var r = start
+      while (r < h) { out(k) = r; k += 1; r += step }
+    }
+    out
+  }
+
+  private def deinterlace(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val order = interlaceOrder(h)
+    val out = new Array[Byte](px.length)
+    var k = 0
+    while (k < h) {
+      System.arraycopy(px, k * w, out, order(k) * w, w)
+      k += 1
+    }
+    out
   }
 
   /** General GIF-flavor LZW: codes packed LSB-first, width grows from

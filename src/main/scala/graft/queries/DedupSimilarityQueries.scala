@@ -2137,6 +2137,50 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── PALETTE-PNG pixel decode: a genuine 256-entry PLTE chunk and
+    //    index scanlines through the same zlib + five-filter machinery,
+    //    then the palette lookup — the icon/web-graphic flavor. The
+    //    oracle recomputes every RESOLVED RGB byte from the seed
+    //    arithmetic of palette and indexes; a wrong PLTE offset, index
+    //    interpretation, or filter bug breaks the hash. ──
+    QueryDef.sql(
+      "mm_png_palette",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 19 AS BIGINT) AS w,
+        |                  CAST(1 + doc_id % 13 AS BIGINT) AS h FROM documents),
+        |u AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |v AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM u),
+        |e AS (SELECT doc_id, w, h,
+        |        (doc_id + x * 5 + y * 11 + 3) % 256 AS idx,
+        |        unnest(range(0, 3)) AS c FROM v),
+        |p AS (SELECT doc_id, w, h,
+        |        (doc_id * 7 + idx * 31 + c * 11) % 256 AS px FROM e)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(px) AS BIGINT) AS sum_pix,
+        |  CAST(min(px) AS INT) AS min_pix, CAST(max(px) AS INT) AS max_pix,
+        |  CAST((doc_id * 7 + ((doc_id + 3) % 256) * 31) % 256 AS INT) AS first_pix,
+        |  CAST((doc_id * 7 + ((doc_id + (w - 1) * 5 + (h - 1) * 11 + 3) % 256) * 31 + 22) % 256 AS INT)
+        |    AS last_pix
+        |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 19).toInt; val h = (1 + id % 13).toInt
+            val plte = Array.tabulate(768)(i =>
+              ((id * 7 + (i / 3) * 31 + (i % 3) * 11) % 256).toByte)
+            (id, graft.codec.MediaFixtures.pngRealIndexed(w, h, plte,
+              (x, y) => ((id + x * 5 + y * 11 + 3) % 256).toInt,
+              filterOf = y => ((id + y) % 5).toInt))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.pngPixelStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("n_bytes"), col("sum_pix"), col("min_pix"), col("max_pix"),
+            col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
     // ── REAL GIF raster decode: genuine LZW streams (the fixture
     //    encoder uses the spec's CLEAR-reset facility; the decoder is a
     //    full general variable-width LZW, spec-pinned against an
@@ -2177,6 +2221,44 @@ object DedupSimilarityQueries {
             col("height"), col("n_px"), col("sum_idx"), col("min_idx"),
             col("max_idx"), col("first_idx"), col("last_idx"))
           .orderBy("doc_id", "frame_idx")
+    },
+
+    // ── INTERLACED GIF decode: the fixture transmits rows in the
+    //    spec's four-pass order (flag 0x40 set), the decoder must
+    //    restore raster order — the oracle is raster-order arithmetic
+    //    and CANNOT see the flag, so only a correct deinterlacer
+    //    matches. Dims cycle through every pass-boundary case. ──
+    QueryDef.sql(
+      "mm_gif_interlaced",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 12 AS BIGINT) AS w,
+        |                  CAST(1 + doc_id % 9 AS BIGINT) AS h FROM documents),
+        |u AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |v AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM u),
+        |p AS (SELECT doc_id, w, h, x, y,
+        |        (doc_id * 31 + x * 7 + y * 13 + 5) % 256 AS px FROM v)
+        |SELECT doc_id, CAST(0 AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(sum(px) AS BIGINT) AS sum_idx,
+        |  CAST(min(px) AS INT) AS min_idx, CAST(max(px) AS INT) AS max_idx,
+        |  CAST((doc_id * 31 + 5) % 256 AS INT) AS first_idx,
+        |  CAST((doc_id * 31 + (w - 1) * 7 + (h - 1) * 13 + 5) % 256 AS INT) AS last_idx
+        |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 12).toInt; val h = (1 + id % 9).toInt
+            (id, graft.codec.MediaFixtures.gifReal(w, h, 1,
+              (x, y, _) => graft.codec.MediaFixtures.pixel(id, x, y, 0),
+              interlaced = true))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.gifRasterStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("frame_idx"), col("width"),
+            col("height"), col("n_px"), col("sum_idx"), col("min_idx"),
+            col("max_idx"), col("first_idx"), col("last_idx"))
+          .orderBy("doc_id")
     },
 
     // ── REAL thumbnail resize — the execution of mm_resize_plan for

@@ -131,6 +131,65 @@ class MediaHeadersSpec extends SparkSpec {
       MediaHeaders.pngPixels(corrupt).get.rgb.length == 13 * 10 * 3) // a bit flip may survive zlib but never crashes
   }
 
+  test("pngPixels: grayscale and palette color types decode; ImageIO agrees byte-for-byte") {
+    def gray(x: Int, y: Int): Int = (x * 7 + y * 13 + 5) % 256
+    val gblob = MediaFixtures.pngRealGray(11, 9, gray, filterOf = y => y % 5)
+    val gr = MediaHeaders.pngPixels(gblob).get
+    assert(gr.rgb.length == 11 * 9 * 3)
+    val gimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gblob))
+    for (y <- 0 until 9; x <- 0 until 11) {
+      val o = (y * 11 + x) * 3
+      assert((gr.rgb(o) & 0xff) == gray(x, y) && gr.rgb(o) == gr.rgb(o + 1)
+        && gr.rgb(o + 1) == gr.rgb(o + 2))
+      assert(gimg.getRaster.getSample(x, y, 0) == gray(x, y), s"ImageIO gray ($x,$y)")
+    }
+    // palette: 256-entry PLTE, every index used somewhere
+    val plte = Array.tabulate(768)(i => ((i / 3) * 31 + (i % 3) * 11 + 7).toByte)
+    def idx(x: Int, y: Int): Int = (x * 5 + y * 11 + 3) % 256
+    val pblob = MediaFixtures.pngRealIndexed(14, 8, plte, idx, filterOf = y => y % 5)
+    val pr = MediaHeaders.pngPixels(pblob).get
+    val pimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pblob))
+    for (y <- 0 until 8; x <- 0 until 14; c <- 0 until 3) {
+      val expect = plte(3 * idx(x, y) + c) & 0xff
+      assert((pr.rgb((y * 14 + x) * 3 + c) & 0xff) == expect, s"palette ($x,$y,$c)")
+      val rgb = pimg.getRGB(x, y)
+      val ch = c match { case 0 => (rgb >> 16) & 0xff; case 1 => (rgb >> 8) & 0xff; case _ => rgb & 0xff }
+      assert(ch == expect, s"ImageIO palette ($x,$y,$c)")
+    }
+    // a short palette with in-range indexes decodes…
+    val shortPlte = Array.tabulate(30)(i => i.toByte) // 10 entries
+    val ok = MediaFixtures.pngRealIndexed(4, 4, shortPlte, (x, y) => (x + y) % 10)
+    assert(MediaHeaders.pngPixels(ok).isDefined)
+    // …but an index PAST the palette must refuse, not read out of bounds.
+    // Build the malformed blob by hand: 10-entry PLTE, index byte 200.
+    val refuse = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+      def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(be32(data.length), 0, 4)
+        val t = typ.getBytes("US-ASCII")
+        val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+        out.write(t, 0, 4); out.write(data, 0, data.length)
+        out.write(be32(crc.getValue.toInt), 0, 4)
+      }
+      chunk("IHDR", be32(2) ++ be32(1) ++ Array[Byte](8, 3, 0, 0, 0))
+      chunk("PLTE", shortPlte)
+      val raw = Array[Byte](0, 200.toByte, 200.toByte) // filter 0 + two index bytes
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      chunk("IDAT", comp.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    assert(MediaHeaders.pngPixels(refuse).isEmpty)
+  }
+
   test("gifFrames: fixture LZW decodes; a REAL growing-dictionary stream decodes too") {
     def pix(x: Int, y: Int, f: Int): Int = (x * 3 + y * 5 + f * 17 + 2) % 256
     val blob = MediaFixtures.gifReal(9, 7, 3, pix)
@@ -188,6 +247,24 @@ class MediaHeadersSpec extends SparkSpec {
     val rep = Array.fill(64)(5)
     val repDecoded = MediaHeaders.lzwDecode(lzwEncode(rep, mcs), mcs, rep.length).get
     assert(repDecoded.map(_ & 0xff).toSeq == rep.toSeq)
+  }
+
+  test("gifFrames: interlaced frames deinterlace to the raster-order twin at every height") {
+    def pix(x: Int, y: Int, f: Int): Int = (x * 3 + y * 5 + f * 17 + 2) % 256
+    // every height 1..20 exercises all pass-boundary cases (h=1 only
+    // pass 1; h=2 adds pass 4; h=3..4 pass 3; h=5+ all four)
+    for (h <- 1 to 20) {
+      val plain = MediaHeaders.gifFrames(MediaFixtures.gifReal(7, h, 2, pix)).get
+      val inter = MediaHeaders.gifFrames(
+        MediaFixtures.gifReal(7, h, 2, pix, interlaced = true)).get
+      for (f <- 0 until 2)
+        assert(plain.frames(f).sameElements(inter.frames(f)), s"h=$h frame $f")
+    }
+    // the permutation really is a permutation at every height
+    for (h <- 1 to 40) {
+      val o = MediaHeaders.interlaceOrder(h)
+      assert(o.sorted.sameElements(Array.tabulate(h)(identity)), s"order h=$h")
+    }
   }
 
   test("unrecognized and truncated blobs parse to None") {

@@ -78,9 +78,10 @@ object MediaFixtures {
     * any oracle contract (only the decoded pixels are), so Deflater's
     * exact output encoding is free to vary. */
   def pngReal(w: Int, h: Int, pix: (Int, Int, Int) => Int,
-              filterOf: Int => Int = _ => 0): Array[Byte] =
+              filterOf: Int => Int = _ => 0,
+              interlaced: Boolean = false): Array[Byte] =
     pngEncode(w, h, bpp = 3, colorType = 2, plte = null,
-      (x, y, c) => pix(x, y, c), filterOf)
+      (x, y, c) => pix(x, y, c), filterOf, interlaced)
 
   /** Fully REAL 8-bit GRAYSCALE PNG (color type 0): same genuine
     * deflate + filter machinery, one sample per pixel. */
@@ -103,40 +104,57 @@ object MediaFixtures {
 
   private def pngEncode(w: Int, h: Int, bpp: Int, colorType: Int,
                         plte: Array[Byte], pix: (Int, Int, Int) => Int,
-                        filterOf: Int => Int): Array[Byte] = {
+                        filterOf: Int => Int,
+                        interlaced: Boolean = false): Array[Byte] = {
     require(w >= 1 && h >= 1, s"bad dims: ${w}x$h")
-    val stride = w * bpp
-    val raw = new Array[Byte](h * (1 + stride))
-    val prior = new Array[Int](stride) // previous row, unfiltered
-    val cur = new Array[Int](stride)
-    var o = 0
-    var y = 0
-    while (y < h) {
-      var i = 0
-      while (i < stride) { cur(i) = pix(i / bpp, y, i % bpp) & 0xff; i += 1 }
-      val ft = filterOf(y)
-      require(ft >= 0 && ft <= 4, s"bad filter $ft")
-      raw(o) = ft.toByte; o += 1
-      i = 0
-      while (i < stride) {
-        val a = if (i >= bpp) cur(i - bpp) else 0
-        val b = prior(i)
-        val cc = if (i >= bpp) prior(i - bpp) else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) / 2
-          case _ => // Paeth
-            val p = a + b - cc
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - cc)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+    // each pass is filtered independently against its own prior row;
+    // the non-interlaced image is the single full pass
+    val passes =
+      if (interlaced) MediaHeaders.Adam7.filter { case (x0, y0, _, _) => w > x0 && h > y0 }
+        .map { case (x0, y0, dx, dy) =>
+          (x0, y0, dx, dy, (w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
         }
-        raw(o) = ((cur(i) - pred) & 0xff).toByte; o += 1
-        i += 1
+      else Seq((0, 0, 1, 1, w, h))
+    val raw = new Array[Byte](passes.map { case (_, _, _, _, pw, ph) => ph * (1 + pw * bpp) }.sum)
+    var o = 0
+    var tRow = 0 // transmitted-scanline index, drives the filter cycle
+    for ((x0, y0, dx, dy, pw, ph) <- passes) {
+      val stride = pw * bpp
+      val prior = new Array[Int](stride) // previous pass row, unfiltered
+      val cur = new Array[Int](stride)
+      java.util.Arrays.fill(prior, 0)
+      var j = 0
+      while (j < ph) {
+        var i = 0
+        while (i < stride) {
+          cur(i) = pix(x0 + (i / bpp) * dx, y0 + j * dy, i % bpp) & 0xff
+          i += 1
+        }
+        val ft = filterOf(tRow)
+        require(ft >= 0 && ft <= 4, s"bad filter $ft")
+        raw(o) = ft.toByte; o += 1
+        i = 0
+        while (i < stride) {
+          val a = if (i >= bpp) cur(i - bpp) else 0
+          val b = if (j > 0) prior(i) else 0
+          val cc = if (i >= bpp && j > 0) prior(i - bpp) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case _ => // Paeth
+              val p = a + b - cc
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - cc)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else cc
+          }
+          raw(o) = ((cur(i) - pred) & 0xff).toByte; o += 1
+          i += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, stride)
+        tRow += 1
+        j += 1
       }
-      System.arraycopy(cur, 0, prior, 0, stride)
-      y += 1
     }
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
@@ -146,7 +164,8 @@ object MediaFixtures {
     defl.end()
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
-    chunk(out, "IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0))
+    chunk(out, "IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](8, colorType.toByte, 0, 0, if (interlaced) 1 else 0))
     if (plte != null) chunk(out, "PLTE", plte)
     chunk(out, "IDAT", comp.toByteArray)
     chunk(out, "IEND", Array.emptyByteArray)

@@ -97,14 +97,20 @@ object MediaHeaders {
     * pixel, exactly the unfiltered scanline bytes. */
   final case class PngRaster(width: Int, height: Int, rgb: Array[Byte])
 
+  /** Adam7 pass grids (x0, y0, dx, dy), transmission order (spec 8.2). */
+  private[codec] val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** FULL pixel decode for 8-bit non-interlaced PNGs of color type 0
     * (grayscale), 2 (truecolor) or 3 (palette, via the PLTE lookup) —
     * zlib inflate (java.util.zip, in every JVM) plus the five scanline
     * filters inverted per the spec; no codec library involved. The
     * output is always the expanded RGB raster (gray replicated,
     * palette entries resolved), so every downstream raster operator
-    * sees one shape. Returns None for the remaining flavors (alpha,
-    * 16-bit, sub-byte palette depths, Adam7 — a real codec's job), for
+    * sees one shape. Adam7-interlaced images decode through per-pass
+    * unfiltering + grid scatter. Returns None for the remaining
+    * flavors (alpha, 16-bit, sub-byte palette depths), for
     * truncated/corrupt zlib streams, for a stream that inflates to the
     * wrong length, for palette indexes past the PLTE, and for rasters
     * over 64 MiB (a hostile IHDR must not allocate unbounded memory).
@@ -113,17 +119,26 @@ object MediaHeaders {
     if (!isPng(b) || b.length < 33 || tag(b, 12) != "IHDR") return None
     val w = be32(b, 16); val h = be32(b, 20)
     if (w <= 0 || h <= 0) return None
-    // 8-bit depth, deflate, adaptive filters, no interlace
-    if (u8(b, 24) != 8 || u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) != 0)
+    // 8-bit depth, deflate, adaptive filters; interlace 0 (none) or
+    // 1 (Adam7)
+    if (u8(b, 24) != 8 || u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) > 1)
       return None
+    val interlaced = u8(b, 28) == 1
     val colorType = u8(b, 25)
     val bpp = colorType match {
       case 0 | 3 => 1 // grayscale / palette indexes
       case 2 => 3 // truecolor
       case _ => return None // alpha variants: a real codec's job
     }
-    val stride = w * bpp
-    val rawLen = h * (stride + 1)
+    // each pass (the whole image for non-interlaced) carries ph
+    // scanlines of 1 + pw·bpp bytes
+    val passes =
+      if (interlaced) Adam7.filter { case (x0, y0, dx, dy) => w > x0 && h > y0 }
+        .map { case (x0, y0, dx, dy) =>
+          (x0, y0, dx, dy, ((w - x0 + dx - 1) / dx).toInt, ((h - y0 + dy - 1) / dy).toInt)
+        }
+      else Seq((0, 0, 1, 1, w.toInt, h.toInt))
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) => ph.toLong * (1 + pw.toLong * bpp) }.sum
     if (w * h * 3L > (64L << 20) || rawLen > (64L << 20)) return None
     // concatenate IDAT chunk data (the zlib stream may span chunks);
     // grab PLTE on the same walk
@@ -158,33 +173,57 @@ object MediaHeaders {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // invert the per-row filter (spec 9.2); all arithmetic mod 256
-    val out = new Array[Byte]((h * stride).toInt)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y.toInt * (stride.toInt + 1)) & 0xff
-      if (ft > 4) return None
-      val ri = y.toInt * (stride.toInt + 1) + 1
-      val oi = y.toInt * stride.toInt
-      var x = 0
-      while (x < stride) {
-        val a = if (x >= bpp) out(oi + x - bpp) & 0xff else 0
-        val up = if (y > 0) out(oi - stride.toInt + x) & 0xff else 0
-        val c = if (x >= bpp && y > 0) out(oi - stride.toInt + x - bpp) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => up
-          case 3 => (a + up) / 2
-          case _ =>
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+    // invert the per-row filter (spec 9.2) PASS BY PASS — each Adam7
+    // pass filters independently against its own previous scanline,
+    // then scatters onto its (x0 + i·dx, y0 + j·dy) grid; the
+    // non-interlaced image is the single full pass. All mod-256.
+    val out = new Array[Byte]((h * w * bpp).toInt)
+    var off = 0
+    for ((x0, y0, dx, dy, pw, ph) <- passes) {
+      val pstride = pw * bpp
+      val pass = new Array[Byte](ph * pstride)
+      var y = 0
+      while (y < ph) {
+        val ft = raw(off) & 0xff
+        if (ft > 4) return None
+        val ri = off + 1
+        val oi = y * pstride
+        var x = 0
+        while (x < pstride) {
+          val a = if (x >= bpp) pass(oi + x - bpp) & 0xff else 0
+          val up = if (y > 0) pass(oi - pstride + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) pass(oi - pstride + x - bpp) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) / 2
+            case _ =>
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+          }
+          pass(oi + x) = (((raw(ri + x) & 0xff) + pred) & 0xff).toByte
+          x += 1
         }
-        out(oi + x) = (((raw(ri + x) & 0xff) + pred) & 0xff).toByte
-        x += 1
+        off += 1 + pstride
+        y += 1
       }
-      y += 1
+      if (dx == 1 && dy == 1) System.arraycopy(pass, 0, out, 0, pass.length)
+      else {
+        var j = 0
+        while (j < ph) {
+          var px = 0
+          while (px < pw) {
+            val srcI = (j * pw + px) * bpp
+            val dstI = ((y0 + j * dy) * w.toInt + (x0 + px * dx)) * bpp
+            var c = 0
+            while (c < bpp) { out(dstI + c) = pass(srcI + c); c += 1 }
+            px += 1
+          }
+          j += 1
+        }
+      }
     }
     // expand to the uniform RGB shape
     colorType match {

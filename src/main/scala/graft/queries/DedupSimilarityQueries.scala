@@ -2137,6 +2137,46 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── ADAM7-INTERLACED PNG decode: the fixture transmits seven
+    //    independently-filtered passes (IHDR interlace = 1), the decoder
+    //    must unfilter each pass against its own prior row and scatter
+    //    onto the pass grids. The oracle is mm_png_pixels' raster
+    //    arithmetic — it cannot see the interlace flag, so only a
+    //    correct Adam7 reassembly matches. ──
+    QueryDef.sql(
+      "mm_png_adam7",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 24 AS BIGINT) AS w,
+        |                  CAST(1 + doc_id % 18 AS BIGINT) AS h FROM documents),
+        |u AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |v AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM u),
+        |e AS (SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c FROM v),
+        |p AS (SELECT doc_id, w, h,
+        |        (doc_id * 31 + x * 7 + y * 13 + c * 11 + 5) % 256 AS px
+        |      FROM e)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(px) AS BIGINT) AS sum_pix,
+        |  CAST(min(px) AS INT) AS min_pix, CAST(max(px) AS INT) AS max_pix,
+        |  CAST((doc_id * 31 + 5) % 256 AS INT) AS first_pix,
+        |  CAST((doc_id * 31 + (w - 1) * 7 + (h - 1) * 13 + 22 + 5) % 256 AS INT) AS last_pix
+        |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 24).toInt; val h = (1 + id % 18).toInt
+            (id, graft.codec.MediaFixtures.pngReal(w, h,
+              (x, y, c) => graft.codec.MediaFixtures.pixel(id, x, y, c),
+              filterOf = y => ((id + y) % 5).toInt, interlaced = true))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.pngPixelStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("n_bytes"), col("sum_pix"), col("min_pix"), col("max_pix"),
+            col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
     // ── PALETTE-PNG pixel decode: a genuine 256-entry PLTE chunk and
     //    index scanlines through the same zlib + five-filter machinery,
     //    then the palette lookup — the icon/web-graphic flavor. The

@@ -61,6 +61,25 @@ object MediaDecodeProbe {
         graft.operators.Multimodal.gifRasterStats(gifBlobs, "doc_id", "blob").count()
       }
 
+      // JPEG: entropy decode + IDCT is the expensive decode — fixtures
+      // carry AC coefficients so the Huffman loop and the full (not
+      // constant-column) IDCT path are both exercised
+      val jpegBlobs = spark.createDataset(repIds).repartition(32)
+        .mapPartitions(_.map { id =>
+          val w = (1 + id % 21).toInt; val h = (1 + id % 17).toInt
+          val qt = Array.tabulate(64)(i => if (i == 0) (1 + id % 16).toInt else 16)
+          (id, graft.codec.MediaFixtures.jpegReal(w, h, Seq(qt),
+            (_, bx, by) => Array.tabulate(64) { i =>
+              if (i == 0) (((id * 31 + bx * 7 + by * 13 + 3) % 256) - 128).toInt
+              else if (i < 16) ((((id + bx + by + i) * 37) % 15) - 7).toInt
+              else 0
+            }))
+        }).toDF("doc_id", "blob").localCheckpoint()
+      val jpegBytes = jpegBlobs.agg(sum(length(col("blob")))).head.getLong(0)
+      timed(s"jpeg decode x$rep", repIds.size, jpegBytes) {
+        graft.operators.Multimodal.jpegPixelStats(jpegBlobs, "doc_id", "blob").count()
+      }
+
       val wavBlobs = spark.createDataset(repIds).repartition(32)
         .mapPartitions(_.map(id => (id, graft.codec.MediaFixtures.build(3 + 4 * (id % 1000)))))
         .toDF("doc_id", "blob").localCheckpoint()

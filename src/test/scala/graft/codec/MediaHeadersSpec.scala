@@ -249,6 +249,27 @@ class MediaHeadersSpec extends SparkSpec {
     assert(repDecoded.map(_ & 0xff).toSeq == rep.toSeq)
   }
 
+  test("pngPixels: Adam7 interlaced decodes equal to the sequential twin at every size") {
+    def pix(x: Int, y: Int, c: Int): Int = (x * 7 + y * 13 + c * 11 + 5) % 256
+    // sizes crossing every pass-existence boundary (1..9) plus larger
+    for ((w, h) <- Seq((1, 1), (2, 3), (4, 4), (5, 8), (8, 5), (9, 9), (13, 10), (17, 11))) {
+      val plain = MediaHeaders.pngPixels(
+        MediaFixtures.pngReal(w, h, pix, filterOf = y => y % 5)).get
+      val adam = MediaHeaders.pngPixels(
+        MediaFixtures.pngReal(w, h, pix, filterOf = y => y % 5, interlaced = true)).get
+      assert(adam.width == w && adam.height == h)
+      assert(plain.rgb.sameElements(adam.rgb), s"Adam7 mismatch at ${w}x$h")
+    }
+    // ImageIO agrees on an interlaced truecolor image (lossless, exact)
+    val blob = MediaFixtures.pngReal(13, 10, pix, filterOf = y => y % 5, interlaced = true)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    for (y <- 0 until 10; x <- 0 until 13) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == pix(x, y, 0) && ((rgb >> 8) & 0xff) == pix(x, y, 1)
+        && (rgb & 0xff) == pix(x, y, 2), s"ImageIO Adam7 ($x,$y)")
+    }
+  }
+
   test("gifFrames: interlaced frames deinterlace to the raster-order twin at every height") {
     def pix(x: Int, y: Int, f: Int): Int = (x * 3 + y * 5 + f * 17 + 2) % 256
     // every height 1..20 exercises all pass-boundary cases (h=1 only

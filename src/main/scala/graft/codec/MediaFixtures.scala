@@ -105,39 +105,89 @@ object MediaFixtures {
   private def pngEncode(w: Int, h: Int, bpp: Int, colorType: Int,
                         plte: Array[Byte], pix: (Int, Int, Int) => Int,
                         filterOf: Int => Int,
-                        interlaced: Boolean = false): Array[Byte] = {
+                        interlaced: Boolean = false): Array[Byte] =
+    pngEncodeEx(w, h, colorType, depth = 8, plte, pix, filterOf, interlaced)
+
+  /** Fully REAL PNG over the COMPLETE legal IHDR matrix: any color
+    * type (0 gray / 2 truecolor / 3 palette / 4 gray+alpha / 6 RGBA)
+    * at any legal depth (1/2/4/8/16 where the spec allows), sequential
+    * or Adam7-interlaced. `sample(x, y, ch)` returns the raw sample
+    * value at the declared depth (0..2^depth-1); sub-byte samples pack
+    * MSB-first, 16-bit samples write big-endian, and each Adam7 pass
+    * filters independently in transmission order. */
+  def pngRealEx(w: Int, h: Int, colorType: Int, depth: Int, plte: Array[Byte],
+                sample: (Int, Int, Int) => Int,
+                filterOf: Int => Int = _ => 0,
+                interlaced: Boolean = false): Array[Byte] =
+    pngEncodeEx(w, h, colorType, depth, plte, sample, filterOf, interlaced)
+
+  private def pngEncodeEx(w: Int, h: Int, colorType: Int, depth: Int,
+                          plte: Array[Byte], sample: (Int, Int, Int) => Int,
+                          filterOf: Int => Int,
+                          interlaced: Boolean): Array[Byte] = {
     require(w >= 1 && h >= 1, s"bad dims: ${w}x$h")
-    // each pass is filtered independently against its own prior row;
-    // the non-interlaced image is the single full pass
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => throw new IllegalArgumentException(s"bad color type $colorType")
+    }
+    val depthOk = colorType match {
+      case 0 => Seq(1, 2, 4, 8, 16).contains(depth)
+      case 3 => Seq(1, 2, 4, 8).contains(depth)
+      case _ => depth == 8 || depth == 16
+    }
+    require(depthOk, s"illegal depth $depth for color type $colorType")
+    require((colorType == 3) == (plte != null), "PLTE iff palette color type")
+    val bitsPerPx = channels * depth
+    val fbpp = math.max(1, bitsPerPx / 8)
+    def scanBytes(pw: Int): Int = (pw * bitsPerPx + 7) / 8
     val passes =
       if (interlaced) MediaHeaders.Adam7.filter { case (x0, y0, _, _) => w > x0 && h > y0 }
         .map { case (x0, y0, dx, dy) =>
           (x0, y0, dx, dy, (w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
         }
       else Seq((0, 0, 1, 1, w, h))
-    val raw = new Array[Byte](passes.map { case (_, _, _, _, pw, ph) => ph * (1 + pw * bpp) }.sum)
+    val raw = new Array[Byte](passes.map { case (_, _, _, _, pw, ph) => ph * (1 + scanBytes(pw)) }.sum)
     var o = 0
     var tRow = 0 // transmitted-scanline index, drives the filter cycle
     for ((x0, y0, dx, dy, pw, ph) <- passes) {
-      val stride = pw * bpp
-      val prior = new Array[Int](stride) // previous pass row, unfiltered
-      val cur = new Array[Int](stride)
-      java.util.Arrays.fill(prior, 0)
+      val sb = scanBytes(pw)
+      val prior = new Array[Int](sb)
+      val cur = new Array[Int](sb)
       var j = 0
       while (j < ph) {
+        java.util.Arrays.fill(cur, 0)
         var i = 0
-        while (i < stride) {
-          cur(i) = pix(x0 + (i / bpp) * dx, y0 + j * dy, i % bpp) & 0xff
+        while (i < pw) {
+          val sx = x0 + i * dx; val sy = y0 + j * dy
+          if (depth == 8) {
+            var ch = 0
+            while (ch < channels) {
+              cur(i * channels + ch) = sample(sx, sy, ch) & 0xff
+              ch += 1
+            }
+          } else if (depth == 16) {
+            var ch = 0
+            while (ch < channels) {
+              val v = sample(sx, sy, ch) & 0xffff
+              cur((i * channels + ch) * 2) = v >> 8
+              cur((i * channels + ch) * 2 + 1) = v & 0xff
+              ch += 1
+            }
+          } else {
+            val v = sample(sx, sy, 0) & ((1 << depth) - 1)
+            val bitPos = i * depth
+            cur(bitPos >> 3) |= v << (8 - depth - (bitPos & 7))
+          }
           i += 1
         }
         val ft = filterOf(tRow)
         require(ft >= 0 && ft <= 4, s"bad filter $ft")
         raw(o) = ft.toByte; o += 1
         i = 0
-        while (i < stride) {
-          val a = if (i >= bpp) cur(i - bpp) else 0
+        while (i < sb) {
+          val a = if (i >= fbpp) cur(i - fbpp) else 0
           val b = if (j > 0) prior(i) else 0
-          val cc = if (i >= bpp && j > 0) prior(i - bpp) else 0
+          val cc = if (i >= fbpp && j > 0) prior(i - fbpp) else 0
           val pred = ft match {
             case 0 => 0
             case 1 => a
@@ -151,7 +201,7 @@ object MediaFixtures {
           raw(o) = ((cur(i) - pred) & 0xff).toByte; o += 1
           i += 1
         }
-        System.arraycopy(cur, 0, prior, 0, stride)
+        System.arraycopy(cur, 0, prior, 0, sb)
         tRow += 1
         j += 1
       }
@@ -165,7 +215,7 @@ object MediaFixtures {
     val out = new ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
     chunk(out, "IHDR", be32(w) ++ be32(h) ++
-      Array[Byte](8, colorType.toByte, 0, 0, if (interlaced) 1 else 0))
+      Array[Byte](depth.toByte, colorType.toByte, 0, 0, if (interlaced) 1 else 0))
     if (plte != null) chunk(out, "PLTE", plte)
     chunk(out, "IDAT", comp.toByteArray)
     chunk(out, "IEND", Array.emptyByteArray)

@@ -102,43 +102,56 @@ object MediaHeaders {
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-  /** FULL pixel decode for 8-bit non-interlaced PNGs of color type 0
-    * (grayscale), 2 (truecolor) or 3 (palette, via the PLTE lookup) —
-    * zlib inflate (java.util.zip, in every JVM) plus the five scanline
-    * filters inverted per the spec; no codec library involved. The
-    * output is always the expanded RGB raster (gray replicated,
-    * palette entries resolved), so every downstream raster operator
-    * sees one shape. Adam7-interlaced images decode through per-pass
-    * unfiltering + grid scatter. Returns None for the remaining
-    * flavors (alpha, 16-bit, sub-byte palette depths), for
-    * truncated/corrupt zlib streams, for a stream that inflates to the
-    * wrong length, for palette indexes past the PLTE, and for rasters
-    * over 64 MiB (a hostile IHDR must not allocate unbounded memory).
-    */
+  /** COMPLETE PNG pixel decode — every legal IHDR combination
+    * (spec 11.2.2): grayscale 1/2/4/8/16-bit, truecolor 8/16,
+    * palette 1/2/4/8 via the PLTE lookup, gray+alpha and RGBA 8/16,
+    * each sequential or Adam7-interlaced — zlib inflate
+    * (java.util.zip, in every JVM) plus the five scanline filters
+    * inverted per the spec; no codec library involved. The output is
+    * always the expanded 8-bit RGB raster (gray replicated, palette
+    * resolved, 16-bit projected to the most-significant byte, alpha
+    * parsed-then-dropped), so every downstream raster operator sees
+    * one shape. Adam7 decodes through per-pass unfiltering + grid
+    * scatter. Returns None for truncated/corrupt zlib streams, for a
+    * stream that inflates to the wrong length, for palette indexes
+    * past the PLTE, and for rasters over 64 MiB (a hostile IHDR must
+    * not allocate unbounded memory). */
   def pngPixels(b: Array[Byte]): Option[PngRaster] = {
     if (!isPng(b) || b.length < 33 || tag(b, 12) != "IHDR") return None
     val w = be32(b, 16); val h = be32(b, 20)
     if (w <= 0 || h <= 0) return None
-    // 8-bit depth, deflate, adaptive filters; interlace 0 (none) or
-    // 1 (Adam7)
-    if (u8(b, 24) != 8 || u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) > 1)
-      return None
+    // deflate, adaptive filters; interlace 0 (none) or 1 (Adam7)
+    if (u8(b, 26) != 0 || u8(b, 27) != 0 || u8(b, 28) > 1) return None
     val interlaced = u8(b, 28) == 1
     val colorType = u8(b, 25)
-    val bpp = colorType match {
-      case 0 | 3 => 1 // grayscale / palette indexes
+    val depth = u8(b, 24)
+    val channels = colorType match {
+      case 0 => 1 // grayscale
       case 2 => 3 // truecolor
-      case _ => return None // alpha variants: a real codec's job
+      case 3 => 1 // palette indexes
+      case 4 => 2 // grayscale + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => return None
     }
+    // legal depth set per color type (PNG spec 11.2.2)
+    val depthOk = colorType match {
+      case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+      case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+      case _ => depth == 8 || depth == 16
+    }
+    if (!depthOk) return None
+    val bitsPerPx = channels * depth
+    val fbpp = math.max(1, bitsPerPx / 8) // filter byte distance (spec 9.2)
+    def scanBytes(pw: Int): Int = (pw * bitsPerPx + 7) / 8
     // each pass (the whole image for non-interlaced) carries ph
-    // scanlines of 1 + pw·bpp bytes
+    // scanlines of 1 + scanBytes(pw) bytes
     val passes =
       if (interlaced) Adam7.filter { case (x0, y0, dx, dy) => w > x0 && h > y0 }
         .map { case (x0, y0, dx, dy) =>
           (x0, y0, dx, dy, ((w - x0 + dx - 1) / dx).toInt, ((h - y0 + dy - 1) / dy).toInt)
         }
       else Seq((0, 0, 1, 1, w.toInt, h.toInt))
-    val rawLen = passes.map { case (_, _, _, _, pw, ph) => ph.toLong * (1 + pw.toLong * bpp) }.sum
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) => ph.toLong * (1 + scanBytes(pw)) }.sum
     if (w * h * 3L > (64L << 20) || rawLen > (64L << 20)) return None
     // concatenate IDAT chunk data (the zlib stream may span chunks);
     // grab PLTE on the same walk
@@ -174,25 +187,31 @@ object MediaHeaders {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
     // invert the per-row filter (spec 9.2) PASS BY PASS — each Adam7
-    // pass filters independently against its own previous scanline,
-    // then scatters onto its (x0 + i·dx, y0 + j·dy) grid; the
-    // non-interlaced image is the single full pass. All mod-256.
-    val out = new Array[Byte]((h * w * bpp).toInt)
+    // pass filters independently against its own previous scanline —
+    // then extract pixels straight to the RGB output at the pass-grid
+    // positions. Filtering is byte-level at distance fbpp regardless
+    // of depth; sample extraction handles 8-bit, 16-bit (the
+    // most-significant byte IS the exact 8-bit projection), and
+    // sub-byte packed samples (MSB-first, gray scaled by the exact
+    // 255/(2^d−1) multiplier, palette indexes looked up raw). Alpha
+    // channels are parsed (they participate in filtering) and dropped.
+    val out = new Array[Byte]((h * w * 3).toInt)
+    val pn = if (palette != null) palette.length / 3 else 0
     var off = 0
     for ((x0, y0, dx, dy, pw, ph) <- passes) {
-      val pstride = pw * bpp
-      val pass = new Array[Byte](ph * pstride)
+      val sb = scanBytes(pw)
+      val pass = new Array[Byte](ph * sb)
       var y = 0
       while (y < ph) {
         val ft = raw(off) & 0xff
         if (ft > 4) return None
         val ri = off + 1
-        val oi = y * pstride
+        val oi = y * sb
         var x = 0
-        while (x < pstride) {
-          val a = if (x >= bpp) pass(oi + x - bpp) & 0xff else 0
-          val up = if (y > 0) pass(oi - pstride + x) & 0xff else 0
-          val c = if (x >= bpp && y > 0) pass(oi - pstride + x - bpp) & 0xff else 0
+        while (x < sb) {
+          val a = if (x >= fbpp) pass(oi + x - fbpp) & 0xff else 0
+          val up = if (y > 0) pass(oi - sb + x) & 0xff else 0
+          val c = if (x >= fbpp && y > 0) pass(oi - sb + x - fbpp) & 0xff else 0
           val pred = ft match {
             case 0 => 0
             case 1 => a
@@ -206,50 +225,60 @@ object MediaHeaders {
           pass(oi + x) = (((raw(ri + x) & 0xff) + pred) & 0xff).toByte
           x += 1
         }
-        off += 1 + pstride
+        off += 1 + sb
         y += 1
       }
-      if (dx == 1 && dy == 1) System.arraycopy(pass, 0, out, 0, pass.length)
-      else {
-        var j = 0
-        while (j < ph) {
-          var px = 0
-          while (px < pw) {
-            val srcI = (j * pw + px) * bpp
-            val dstI = ((y0 + j * dy) * w.toInt + (x0 + px * dx)) * bpp
-            var c = 0
-            while (c < bpp) { out(dstI + c) = pass(srcI + c); c += 1 }
-            px += 1
+      var j = 0
+      while (j < ph) {
+        val rowOff = j * sb
+        var px = 0
+        while (px < pw) {
+          var r = 0; var g = 0; var bl = 0
+          if (depth == 8) {
+            val base = rowOff + px * channels
+            colorType match {
+              case 0 | 4 =>
+                val v = pass(base) & 0xff; r = v; g = v; bl = v
+              case 2 | 6 =>
+                r = pass(base) & 0xff; g = pass(base + 1) & 0xff; bl = pass(base + 2) & 0xff
+              case _ =>
+                val idx = pass(base) & 0xff
+                if (idx >= pn) return None // index past the PLTE
+                r = palette(3 * idx) & 0xff
+                g = palette(3 * idx + 1) & 0xff
+                bl = palette(3 * idx + 2) & 0xff
+            }
+          } else if (depth == 16) {
+            val base = rowOff + px * channels * 2
+            colorType match {
+              case 0 | 4 =>
+                val v = pass(base) & 0xff; r = v; g = v; bl = v
+              case _ =>
+                r = pass(base) & 0xff; g = pass(base + 2) & 0xff; bl = pass(base + 4) & 0xff
+            }
+          } else {
+            // sub-byte single-channel samples, MSB-first in each byte
+            val bitPos = px * depth
+            val shift = 8 - depth - (bitPos & 7)
+            val v = ((pass(rowOff + (bitPos >> 3)) & 0xff) >> shift) & ((1 << depth) - 1)
+            if (colorType == 3) {
+              if (v >= pn) return None
+              r = palette(3 * v) & 0xff
+              g = palette(3 * v + 1) & 0xff
+              bl = palette(3 * v + 2) & 0xff
+            } else {
+              val scaled = v * 255 / ((1 << depth) - 1) // exact: 255, 85, 17
+              r = scaled; g = scaled; bl = scaled
+            }
           }
-          j += 1
+          val dstI = ((y0 + j * dy) * w.toInt + (x0 + px * dx)) * 3
+          out(dstI) = r.toByte; out(dstI + 1) = g.toByte; out(dstI + 2) = bl.toByte
+          px += 1
         }
+        j += 1
       }
     }
-    // expand to the uniform RGB shape
-    colorType match {
-      case 2 => Some(PngRaster(w.toInt, h.toInt, out))
-      case 0 =>
-        val rgb = new Array[Byte](out.length * 3)
-        var j = 0
-        while (j < out.length) {
-          rgb(3 * j) = out(j); rgb(3 * j + 1) = out(j); rgb(3 * j + 2) = out(j)
-          j += 1
-        }
-        Some(PngRaster(w.toInt, h.toInt, rgb))
-      case _ => // palette
-        val n = palette.length / 3
-        val rgb = new Array[Byte](out.length * 3)
-        var j = 0
-        while (j < out.length) {
-          val idx = out(j) & 0xff
-          if (idx >= n) return None // index past the PLTE: malformed
-          rgb(3 * j) = palette(3 * idx)
-          rgb(3 * j + 1) = palette(3 * idx + 1)
-          rgb(3 * j + 2) = palette(3 * idx + 2)
-          j += 1
-        }
-        Some(PngRaster(w.toInt, h.toInt, rgb))
-    }
+    Some(PngRaster(w.toInt, h.toInt, out))
   }
 
   // ── JPEG ────────────────────────────────────────────────────────────

@@ -270,6 +270,60 @@ class MediaHeadersSpec extends SparkSpec {
     }
   }
 
+  test("pngPixels: the COMPLETE legal IHDR matrix decodes; ImageIO agrees byte-for-byte") {
+    val plte = Array.tabulate(768)(i => ((i / 3) * 31 + (i % 3) * 11 + 7).toByte)
+    def sample(depth: Int)(x: Int, y: Int, ch: Int): Int =
+      (x * 7 + y * 13 + ch * 11 + 5) % (1 << depth)
+    val matrix = Seq(
+      (0, 1), (0, 2), (0, 4), (0, 8), (0, 16), // grayscale
+      (2, 8), (2, 16), // truecolor
+      (3, 1), (3, 2), (3, 4), (3, 8), // palette
+      (4, 8), (4, 16), // gray + alpha
+      (6, 8), (6, 16)) // RGBA
+    for ((ct, depth) <- matrix; interlaced <- Seq(false, true)) {
+      val label = s"ct=$ct depth=$depth adam7=$interlaced"
+      val w = 13; val h = 10
+      val usePlte = if (ct == 3) plte else null
+      val blob = MediaFixtures.pngRealEx(w, h, ct, depth, usePlte, sample(depth),
+        filterOf = y => y % 5, interlaced = interlaced)
+      val r = MediaHeaders.pngPixels(blob).getOrElse(fail(s"decode failed: $label"))
+      assert(r.width == w && r.height == h && r.rgb.length == w * h * 3, label)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      assert(img != null, s"ImageIO refused: $label")
+      for (y <- 0 until h; x <- 0 until w) {
+        // the expected RGB from the declared expansion contract
+        def s8(ch: Int): Int = depth match {
+          case 16 => sample(16)(x, y, ch) >> 8
+          case 8 => sample(8)(x, y, ch)
+          case d => sample(d)(x, y, ch) * 255 / ((1 << d) - 1)
+        }
+        val (er, eg, eb) = ct match {
+          case 0 | 4 => (s8(0), s8(0), s8(0))
+          case 2 | 6 => (s8(0), s8(1), s8(2))
+          case _ =>
+            val idx = sample(depth)(x, y, 0)
+            (plte(3 * idx) & 0xff, plte(3 * idx + 1) & 0xff, plte(3 * idx + 2) & 0xff)
+        }
+        val o = (y * w + x) * 3
+        assert((r.rgb(o) & 0xff) == er && (r.rgb(o + 1) & 0xff) == eg
+          && (r.rgb(o + 2) & 0xff) == eb, s"$label pixel ($x,$y)")
+        // ImageIO cross-check on RAW samples (getRGB would run the
+        // gray→sRGB colorspace transform); palette images go through
+        // getRGB, whose IndexColorModel returns the PLTE entry as-is
+        if (ct == 3) {
+          val rgb = img.getRGB(x, y)
+          assert(((rgb >> 16) & 0xff) == er && ((rgb >> 8) & 0xff) == eg
+            && (rgb & 0xff) == eb, s"ImageIO $label pixel ($x,$y)")
+        } else {
+          val bands = if (ct == 0 || ct == 4) 1 else 3
+          for (band <- 0 until bands)
+            assert(img.getRaster.getSample(x, y, band) == sample(depth)(x, y, band),
+              s"ImageIO $label pixel ($x,$y) band $band")
+        }
+      }
+    }
+  }
+
   test("gifFrames: interlaced frames deinterlace to the raster-order twin at every height") {
     def pix(x: Int, y: Int, f: Int): Int = (x * 3 + y * 5 + f * 17 + 2) % 256
     // every height 1..20 exercises all pass-boundary cases (h=1 only

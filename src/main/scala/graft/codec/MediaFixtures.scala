@@ -254,6 +254,58 @@ object MediaFixtures {
     out.write(payload, 0, payload.length)
   }
 
+  /** MSB-first bit packer with JPEG 0xFF → 0xFF00 byte stuffing; the
+    * shared entropy-data sink of the baseline and progressive
+    * encoders. `flushPad` pads the tail byte with 1-bits (T.81 F.1.2.3). */
+  private final class JpegBitSink(out: ByteArrayOutputStream) {
+    private var acc = 0L
+    private var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      require(len >= 1 && len <= 24)
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val byte = ((acc >> (nbits - 8)) & 0xff).toInt
+        out.write(byte)
+        if (byte == 0xff) out.write(0x00)
+        nbits -= 8
+      }
+    }
+    def flushPad(): Unit = if (nbits > 0) {
+      val byte = (((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xff).toInt
+      out.write(byte)
+      if (byte == 0xff) out.write(0x00)
+      nbits = 0; acc = 0L
+    }
+  }
+
+  private def jpegCategory(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Magnitude bits per T.81 F.1.2.1: positives as-is, negatives in
+    * cat-bit one's complement. */
+  private def putJpegMagnitude(bits: JpegBitSink, v: Int, cat: Int): Unit =
+    if (cat > 0) bits.putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
+
+  /** Flat canonical AC symbols of the baseline encoder: EOB, ZRL and
+    * every (run 0–15, size 1–10) at 8 bits. */
+  private val JpegAcSymsBase: Array[Int] =
+    Array(0x00, 0xf0) ++ (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s)
+
+  /** The progressive encoder additionally needs the EOBn run-length
+    * symbols (r 1–14, size 0) for its end-of-band runs. */
+  private val JpegAcSymsProg: Array[Int] = JpegAcSymsBase ++ (1 to 14).map(_ << 4)
+
+  /** Emit the generated flat canonical DHT pair (DC categories 0–11 at
+    * 4 bits, the given AC symbol list at 8 bits) and return the AC
+    * symbol → code-index map (canonical code = list index). */
+  private def emitJpegHuffTables(out: ByteArrayOutputStream,
+                                 acSyms: Array[Int]): Map[Int, Int] = {
+    val dcBits = Array.tabulate(16)(l => if (l == 3) 12 else 0)
+    val acBits = Array.tabulate(16)(l => if (l == 7) acSyms.length else 0)
+    marker(out, 0xc4, (0x00.toByte +: (dcBits.map(_.toByte) ++ (0 to 11).map(_.toByte))).toArray)
+    marker(out, 0xc4, (0x10.toByte +: (acBits.map(_.toByte) ++ acSyms.map(_.toByte))).toArray)
+    acSyms.zipWithIndex.toMap
+  }
+
   /** Fully REAL baseline JPEG: a complete DQT/SOF0/DHT/SOS stream whose
     * entropy data is genuinely Huffman-coded — decodable by ANY baseline
     * decoder (including the JDK's own `javax.imageio`, which the spec
@@ -305,40 +357,16 @@ object MediaFixtures {
       (0 until nc).flatMap(ci => Seq((ci + 1).toByte,
         ((samp(ci)._1 << 4) | samp(ci)._2).toByte, ci.toByte))
     marker(out, 0xc0, sof)
-    // flat canonical Huffman tables: DC cats 0..11 at 4 bits (code = cat),
-    // AC symbols [EOB, ZRL, (r,s)…] at 8 bits (code = list index)
-    val acSyms: Array[Int] =
-      Array(0x00, 0xf0) ++ (for (r <- 0 until 16; s <- 1 to 10) yield (r << 4) | s)
-    val dcBits = Array.tabulate(16)(l => if (l == 3) 12 else 0)
-    val acBits = Array.tabulate(16)(l => if (l == 7) acSyms.length else 0)
-    marker(out, 0xc4, (0x00.toByte +: (dcBits.map(_.toByte) ++ (0 to 11).map(_.toByte))).toArray)
-    marker(out, 0xc4, (0x10.toByte +: (acBits.map(_.toByte) ++ acSyms.map(_.toByte))).toArray)
+    val acIndex = emitJpegHuffTables(out, JpegAcSymsBase)
     val sos = Array[Byte](nc.toByte) ++
       (0 until nc).flatMap(ci => Seq((ci + 1).toByte, 0x00.toByte)) ++
       Array[Byte](0, 63, 0)
     marker(out, 0xda, sos)
-    val acIndex: Map[Int, Int] = acSyms.zipWithIndex.toMap
-    // entropy data: MSB-first bit packing with 0xFF → 0xFF00 stuffing
-    var acc = 0L; var nbits = 0
-    def putBits(code: Int, len: Int): Unit = {
-      require(len >= 1 && len <= 24)
-      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
-      while (nbits >= 8) {
-        val byte = ((acc >> (nbits - 8)) & 0xff).toInt
-        out.write(byte)
-        if (byte == 0xff) out.write(0x00)
-        nbits -= 8
-      }
-    }
-    def flushPad(): Unit = if (nbits > 0) {
-      val byte = (((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xff).toInt
-      out.write(byte)
-      if (byte == 0xff) out.write(0x00)
-      nbits = 0; acc = 0L
-    }
-    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
-    def putMagnitude(v: Int, cat: Int): Unit =
-      if (cat > 0) putBits(if (v < 0) v + (1 << cat) - 1 else v, cat)
+    val bits = new JpegBitSink(out)
+    def putBits(code: Int, len: Int): Unit = bits.putBits(code, len)
+    def flushPad(): Unit = bits.flushPad()
+    def category(v: Int): Int = jpegCategory(v)
+    def putMagnitude(v: Int, cat: Int): Unit = putJpegMagnitude(bits, v, cat)
     // single-component scans are non-interleaved (MCU = 1 block, ratio 1)
     val hMax = if (nc == 1) 1 else samp.head._1
     val vMax = if (nc == 1) 1 else samp.head._2
@@ -400,6 +428,261 @@ object MediaFixtures {
       mcu += 1
     }
     flushPad()
+    out.write(Array[Byte](0xff.toByte, 0xd9.toByte), 0, 2) // EOI
+    out.toByteArray
+  }
+
+  /** Fully REAL progressive JPEG (SOF2, T.81 Annex G) over the same
+    * quantized-coefficient interface as [[jpegReal]] — decodable by any
+    * progressive decoder (the spec pins it against `javax.imageio` and
+    * against the baseline twin, which must decode byte-identically
+    * since both paths reconstruct the same coefficients exactly).
+    *
+    * Scan script: one DC first scan (interleaved when 3 components) at
+    * successive-approximation bit `dcAl`, then DC refinement scans down
+    * to bit 0; per component, one AC first scan per spectral band at
+    * bit `acAl`, then AC refinement scans down to bit 0. AC scans are
+    * non-interleaved (T.81 mandates single-component AC scans) and use
+    * genuine EOB runs; refinement scans use the G.1.2.3 correction-bit
+    * buffering. `bands` must be ascending, disjoint, within 1..63 —
+    * bands never listed are simply never transmitted (their
+    * coefficients decode as zero), which is itself spec-legal.
+    * `coefOf` must be pure: each scan re-reads the blocks. */
+  def jpegProgressive(w: Int, h: Int, qtables: Seq[Array[Int]],
+                      coefOf: (Int, Int, Int) => Array[Int],
+                      restartEvery: Int = 0,
+                      sampling: Seq[(Int, Int)] = Nil,
+                      dcAl: Int = 1, acAl: Int = 1,
+                      bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"bad dims: ${w}x$h")
+    require(qtables.nonEmpty && qtables.length <= 3 && qtables.length != 2,
+      s"1 or 3 components, got ${qtables.length}")
+    qtables.foreach(q => require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
+      "quant entries must be 1..255"))
+    require(dcAl >= 0 && dcAl <= 10 && acAl >= 0 && acAl <= 10, "Al out of range")
+    bands.foldLeft(0) { case (prev, (ss, se)) =>
+      require(ss > prev && ss >= 1 && se >= ss && se <= 63, s"bad band ($ss,$se)")
+      se
+    }
+    val nc = qtables.length
+    val samp = if (sampling.isEmpty) Seq.fill(nc)((1, 1)) else sampling
+    require(samp.length == nc, s"sampling must have $nc entries")
+    samp.foreach { case (sx, sy) =>
+      require(sx >= 1 && sx <= 2 && sy >= 1 && sy <= 2, s"sampling 1..2 only: ($sx,$sy)")
+    }
+    require(samp.forall(s => s._1 <= samp.head._1 && s._2 <= samp.head._2),
+      "component 0 must carry the max sampling factors")
+    val hMax = if (nc == 1) 1 else samp.head._1
+    val vMax = if (nc == 1) 1 else samp.head._2
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    def shOf(ci: Int) = if (nc == 1) 1 else samp(ci)._1
+    def svOf(ci: Int) = if (nc == 1) 1 else samp(ci)._2
+    // cache every block once: the padded MCU grid (DC scans cover it;
+    // AC scans address the non-interleaved sub-grid)
+    val wb = Array.tabulate(nc)(ci => mcusX * shOf(ci))
+    val hb = Array.tabulate(nc)(ci => mcusY * svOf(ci))
+    val wbNI = Array.tabulate(nc)(ci => ((w * shOf(ci) + hMax - 1) / hMax + 7) / 8)
+    val hbNI = Array.tabulate(nc)(ci => ((h * svOf(ci) + vMax - 1) / vMax + 7) / 8)
+    val blocks = Array.tabulate(nc) { ci =>
+      Array.tabulate(hb(ci) * wb(ci)) { i =>
+        val zz = coefOf(ci, i % wb(ci), i / wb(ci))
+        require(zz.length == 64, s"coef block must be 64, got ${zz.length}")
+        require(math.abs(zz(0)) <= 2047, s"DC out of range: ${zz(0)}")
+        zz.iterator.drop(1).foreach(v =>
+          require(math.abs(v) <= 1023, s"AC coefficient out of range: $v"))
+        zz
+      }
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(Array[Byte](0xff.toByte, 0xd8.toByte), 0, 2) // SOI
+    qtables.zipWithIndex.foreach { case (q, tq) =>
+      marker(out, 0xdb, (tq.toByte +: q.map(_.toByte)).toArray)
+    }
+    if (restartEvery > 0) marker(out, 0xdd, be16(restartEvery))
+    val sof = Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](nc.toByte) ++
+      (0 until nc).flatMap(ci => Seq((ci + 1).toByte,
+        ((samp(ci)._1 << 4) | samp(ci)._2).toByte, ci.toByte))
+    marker(out, 0xc2, sof)
+    val acIndex = emitJpegHuffTables(out, JpegAcSymsProg)
+    def sosHeader(cis: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit =
+      marker(out, 0xda, Array[Byte](cis.length.toByte) ++
+        cis.flatMap(ci => Seq((ci + 1).toByte, 0x00.toByte)) ++
+        Array[Byte](ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+    // ── DC scans: one MCU-interleaved pass per approximation bit ──
+    def dcScan(al: Int, first: Boolean): Unit = {
+      sosHeader(0 until nc, 0, 0, if (first) 0 else al + 1, al)
+      val bits = new JpegBitSink(out)
+      val pred = new Array[Int](nc)
+      var rstIdx = 0
+      var mcu = 0
+      val total = mcusX * mcusY
+      while (mcu < total) {
+        if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+          bits.flushPad()
+          out.write(Array[Byte](0xff.toByte, (0xd0 | rstIdx).toByte), 0, 2)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mcuX = mcu % mcusX
+        val mcuY = mcu / mcusX
+        var ci = 0
+        while (ci < nc) {
+          var byi = 0
+          while (byi < svOf(ci)) {
+            var bxi = 0
+            while (bxi < shOf(ci)) {
+              val dc = blocks(ci)((mcuY * svOf(ci) + byi) * wb(ci) +
+                mcuX * shOf(ci) + bxi)(0)
+              if (first) {
+                // the DC point transform is an ARITHMETIC shift (G.1.2.1)
+                val pt = dc >> al
+                val diff = pt - pred(ci)
+                pred(ci) = pt
+                val cat = jpegCategory(diff)
+                require(cat <= 11, s"DC diff out of table range: $diff")
+                bits.putBits(cat, 4)
+                putJpegMagnitude(bits, diff, cat)
+              } else bits.putBits((dc >> al) & 1, 1) // refinement: raw bit
+              bxi += 1
+            }
+            byi += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      bits.flushPad()
+    }
+    dcScan(dcAl, first = true)
+    var al = dcAl - 1
+    while (al >= 0) { dcScan(al, first = false); al -= 1 }
+    // ── AC scans: non-interleaved, per component per band ──
+    def acFirstScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sosHeader(Seq(ci), ss, se, 0, al)
+      val bits = new JpegBitSink(out)
+      var eobrun = 0
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+        bits.putBits(acIndex(nb << 4), 8)
+        if (nb > 0) bits.putBits(eobrun & ((1 << nb) - 1), nb)
+        eobrun = 0
+      }
+      var rstIdx = 0
+      val cols = wbNI(ci); val total = cols * hbNI(ci)
+      var u = 0
+      while (u < total) {
+        if (restartEvery > 0 && u > 0 && u % restartEvery == 0) {
+          emitEobrun(); bits.flushPad()
+          out.write(Array[Byte](0xff.toByte, (0xd0 | rstIdx).toByte), 0, 2)
+          rstIdx = (rstIdx + 1) % 8
+        }
+        val zz = blocks(ci)((u / cols) * wb(ci) + u % cols)
+        var r = 0
+        var k = ss
+        while (k <= se) {
+          val v = zz(k)
+          val mag = math.abs(v) >> al // AC point transform: magnitude shift
+          if (mag == 0) r += 1
+          else {
+            emitEobrun()
+            while (r > 15) { bits.putBits(acIndex(0xf0), 8); r -= 16 }
+            val s = jpegCategory(mag)
+            bits.putBits(acIndex((r << 4) | s), 8)
+            putJpegMagnitude(bits, if (v < 0) -mag else mag, s)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) {
+          eobrun += 1
+          if (eobrun == 0x7fff) emitEobrun()
+        }
+        u += 1
+      }
+      emitEobrun()
+      bits.flushPad()
+    }
+    // the G.1.2.3 encoder: correction bits buffer behind the symbol (or
+    // EOBn) they belong to; `prevBits` rides the pending EOB run,
+    // `curBits` the current block's crossed-nonzero history
+    def acRefineScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sosHeader(Seq(ci), ss, se, al + 1, al)
+      val bits = new JpegBitSink(out)
+      var eobrun = 0
+      val prevBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val curBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+        bits.putBits(acIndex(nb << 4), 8)
+        if (nb > 0) bits.putBits(eobrun & ((1 << nb) - 1), nb)
+        prevBits.foreach(bit => bits.putBits(bit, 1))
+        prevBits.clear()
+        eobrun = 0
+      }
+      def emitCur(): Unit = { curBits.foreach(bit => bits.putBits(bit, 1)); curBits.clear() }
+      var rstIdx = 0
+      val cols = wbNI(ci); val total = cols * hbNI(ci)
+      var u = 0
+      while (u < total) {
+        if (restartEvery > 0 && u > 0 && u % restartEvery == 0) {
+          emitEobrun(); bits.flushPad()
+          out.write(Array[Byte](0xff.toByte, (0xd0 | rstIdx).toByte), 0, 2)
+          rstIdx = (rstIdx + 1) % 8
+        }
+        val zz = blocks(ci)((u / cols) * wb(ci) + u % cols)
+        // index of the last newly-significant coefficient: ZRLs beyond
+        // it fold into the EOB run instead
+        var eobPos = ss - 1
+        var k = ss
+        while (k <= se) {
+          if ((math.abs(zz(k)) >> al) == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        k = ss
+        while (k <= se) {
+          val mag = math.abs(zz(k)) >> al
+          if (mag == 0) r += 1
+          else {
+            while (r > 15 && k <= eobPos) {
+              emitEobrun()
+              bits.putBits(acIndex(0xf0), 8)
+              r -= 16
+              emitCur()
+            }
+            if (mag > 1) curBits += (mag & 1) // already significant: one bit
+            else {
+              emitEobrun()
+              bits.putBits(acIndex((r << 4) | 1), 8)
+              bits.putBits(if (zz(k) >= 0) 1 else 0, 1)
+              emitCur()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || curBits.nonEmpty) {
+          eobrun += 1
+          prevBits ++= curBits
+          curBits.clear()
+          if (eobrun == 0x7fff || prevBits.length > 900) emitEobrun()
+        }
+        u += 1
+      }
+      emitEobrun()
+      bits.flushPad()
+    }
+    var ci = 0
+    while (ci < nc) {
+      bands.foreach { case (ss, se) => acFirstScan(ci, ss, se, acAl) }
+      var aal = acAl - 1
+      while (aal >= 0) {
+        bands.foreach { case (ss, se) => acRefineScan(ci, ss, se, aal) }
+        aal -= 1
+      }
+      ci += 1
+    }
     out.write(Array[Byte](0xff.toByte, 0xd9.toByte), 0, 2) // EOI
     out.toByteArray
   }

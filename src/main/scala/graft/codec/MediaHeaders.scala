@@ -329,14 +329,17 @@ object MediaHeaders {
     * Loeffler–Ligtenberg–Moshytz 8-point factorization, ITU T.81
     * Annex A semantics) in plain JVM arithmetic; no codec library.
     *
-    * Scope: sequential baseline/extended DCT (SOF0/SOF1), 8-bit, one
-    * interleaved scan, sampling factors 1 or 2 per axis with luma at
-    * the max — grayscale, 4:4:4, 4:2:2, 4:4:0 and 4:2:0 (the dominant
-    * photo layout); chroma upsampling is BOX REPLICATION (each chroma
+    * Scope: sequential baseline/extended DCT (SOF0/SOF1) AND
+    * progressive DCT (SOF2, ITU T.81 Annex G: spectral selection,
+    * successive approximation with DC/AC refinement scans, EOB runs,
+    * interleaved DC / non-interleaved AC scan geometry), 8-bit,
+    * sampling factors 1 or 2 per axis with luma at the max —
+    * grayscale, 4:4:4, 4:2:2, 4:4:0 and 4:2:0 (the dominant photo
+    * layout); chroma upsampling is BOX REPLICATION (each chroma
     * sample covers its 2×1/1×2/2×2 pixel box exactly — T.81 mandates
     * no filter, and replication is the integer-exact contract the
     * oracles replay; smoothing filters are a codec library's cosmetic
-    * choice). Progressive/arithmetic/hierarchical frames return None.
+    * choice). Arithmetic/lossless/hierarchical frames return None.
     * Restart markers honored. Color output is JFIF YCbCr→RGB in the
     * standard 16-bit fixed-point form. Deterministic by construction:
     * every step is integer arithmetic, so a DC-only block decodes to
@@ -352,8 +355,11 @@ object MediaHeaders {
     val huffAc = new Array[HuffTable](4)
     var restartInterval = 0
     var frame: JpegFrame = null
+    var prog: ProgJpegState = null
     var i = 2
-    while (i + 4 <= b.length) {
+    // i + 2: EOI is a bare 2-byte marker, legal at the very buffer end —
+    // a progressive frame's raster only exists once it arrives
+    while (i + 2 <= b.length) {
       if (u8(b, i) != 0xff) return None
       var m = u8(b, i + 1)
       var j = i + 1
@@ -362,7 +368,9 @@ object MediaHeaders {
       m match {
         case 0x01 | 0xd0 | 0xd1 | 0xd2 | 0xd3 | 0xd4 | 0xd5 | 0xd6 | 0xd7 =>
           i = at
-        case 0xd9 => return None // EOI before SOS
+        case 0xd9 => // EOI: a progressive frame finishes here
+          return if (prog != null && prog.scans > 0) finishProgressive(prog, quant)
+          else None
         case 0xdb => // DQT: one or more tables
           if (at + 2 > b.length) return None
           val len = be16(b, at)
@@ -403,7 +411,7 @@ object MediaHeaders {
           if (at + 4 > b.length) return None
           restartInterval = be16(b, at + 2)
           i = at + be16(b, at)
-        case 0xc0 | 0xc1 => // baseline / extended sequential DCT
+        case 0xc0 | 0xc1 | 0xc2 => // sequential (SOF0/1) / progressive (SOF2) DCT
           if (at + 2 > b.length) return None
           val len = be16(b, at)
           if (at + len > b.length || len < 8) return None
@@ -425,16 +433,16 @@ object MediaHeaders {
           if (nc == 3 && comps.exists(c => c.sh > comps(0).sh || c.sv > comps(0).sv))
             return None
           if (frame != null) return None // one frame only
-          frame = JpegFrame(w, h, comps)
+          frame = JpegFrame(w, h, comps, progressive = m == 0xc2)
           i = at + len
-        case sof if sof >= 0xc2 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
-          return None // progressive / arithmetic / lossless: codec territory
-        case 0xda => // SOS: scan header then entropy data to the end
+        case sof if sof >= 0xc3 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
+          return None // arithmetic / lossless / hierarchical: codec territory
+        case 0xda => // SOS: scan header, then entropy data
           if (frame == null || at + 2 > b.length) return None
           val len = be16(b, at)
           if (at + len > b.length) return None
           val ns = u8(b, at + 2)
-          if (ns != frame.comps.length || len < 6 + 2 * ns) return None
+          if (ns < 1 || ns > frame.comps.length || len < 6 + 2 * ns) return None
           val scanSel = (0 until ns).map { c =>
             val o = at + 3 + 2 * c
             val id = u8(b, o)
@@ -442,8 +450,23 @@ object MediaHeaders {
             if (ci < 0) return None
             (ci, u8(b, o + 1) >> 4, u8(b, o + 1) & 15)
           }
-          return decodeScan(b, at + len, frame, scanSel, quant, huffDc, huffAc,
-            restartInterval)
+          if (!frame.progressive) {
+            if (ns != frame.comps.length) return None // baseline: one full scan
+            return decodeScan(b, at + len, frame, scanSel, quant, huffDc, huffAc,
+              restartInterval)
+          }
+          // progressive: accumulate this scan's coefficient bits, then
+          // resume the marker walk at whatever marker ended the scan
+          if (prog == null) {
+            prog = ProgJpegState.create(frame).getOrElse(return None)
+          }
+          val o = at + 3 + 2 * ns
+          val ss = u8(b, o); val se = u8(b, o + 1)
+          val ah = u8(b, o + 2) >> 4; val al = u8(b, o + 2) & 15
+          val end = progressiveScan(b, at + len, prog, scanSel, ss, se, ah, al,
+            huffDc, huffAc, restartInterval)
+          if (end < 0) return None
+          i = end
         case _ =>
           if (at + 2 > b.length) return None
           val len = be16(b, at)
@@ -455,7 +478,8 @@ object MediaHeaders {
   }
 
   private final case class JpegComp(id: Int, tq: Int, sh: Int, sv: Int)
-  private final case class JpegFrame(w: Int, h: Int, comps: Array[JpegComp])
+  private final case class JpegFrame(w: Int, h: Int, comps: Array[JpegComp],
+                                     progressive: Boolean = false)
 
   /** Canonical Huffman decode tables per ITU T.81 Annex C/F: mincode /
     * maxcode / valptr per code length, symbols in huffval order. */
@@ -698,23 +722,7 @@ object MediaHeaders {
       act(ci) = huffAc(ta)
     }
     // segment the entropy data at restart markers, unstuffing 0xFF00
-    val segments = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    val cur = new java.io.ByteArrayOutputStream()
-    var p = scanStart
-    var done = false
-    while (!done && p < b.length) {
-      val v = u8(b, p)
-      if (v != 0xff) { cur.write(v); p += 1 }
-      else if (p + 1 >= b.length) done = true
-      else {
-        val m = u8(b, p + 1)
-        if (m == 0x00) { cur.write(0xff); p += 2 }
-        else if (m >= 0xd0 && m <= 0xd7) {
-          segments += cur.toByteArray; cur.reset(); p += 2
-        } else done = true // EOI or any other marker ends the scan
-      }
-    }
-    segments += cur.toByteArray
+    val (segments, _) = entropySegments(b, scanStart)
     // decode MCUs
     val strides = Array.tabulate(nc)(i => mcusX * sh(i) * 8)
     val planes = Array.tabulate(nc)(i => new Array[Byte](strides(i) * mcusY * sv(i) * 8))
@@ -796,8 +804,15 @@ object MediaHeaders {
       }
       mcu += 1
     }
-    // crop + upsample (box replication — each chroma sample covers its
-    // hMax/sh × vMax/sv pixel box exactly) + color-convert
+    assembleJpeg(w, h, nc, planes, strides, sh, sv, hMax, vMax)
+  }
+
+  /** Crop + upsample (box replication — each chroma sample covers its
+    * hMax/sh × vMax/sv pixel box exactly) + color-convert: the shared
+    * finisher for sequential and progressive decode. */
+  private def assembleJpeg(w: Int, h: Int, nc: Int, planes: Array[Array[Byte]],
+                           strides: Array[Int], sh: Array[Int], sv: Array[Int],
+                           hMax: Int, vMax: Int): Option[JpegRaster] = {
     if (nc == 1) {
       val out = new Array[Byte](w * h)
       var y = 0
@@ -825,6 +840,318 @@ object MediaHeaders {
       }
       Some(JpegRaster(w, h, 3, out))
     }
+  }
+
+  /** Unstuff (0xFF00 → 0xFF) and split the entropy-coded data starting
+    * at `start` into restart-interval segments; returns the segments
+    * plus the offset of the marker that ended the scan (the 0xFF
+    * position, or the buffer end). */
+  private def entropySegments(b: Array[Byte], start: Int): (Seq[Array[Byte]], Int) = {
+    val segments = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val cur = new java.io.ByteArrayOutputStream()
+    var p = start
+    var done = false
+    while (!done && p < b.length) {
+      val v = u8(b, p)
+      if (v != 0xff) { cur.write(v); p += 1 }
+      else if (p + 1 >= b.length) done = true
+      else {
+        val m = u8(b, p + 1)
+        if (m == 0x00) { cur.write(0xff); p += 2 }
+        else if (m >= 0xd0 && m <= 0xd7) {
+          segments += cur.toByteArray; cur.reset(); p += 2
+        } else done = true // EOI or any other marker ends the scan
+      }
+    }
+    segments += cur.toByteArray
+    (segments.toSeq, p)
+  }
+
+  /** Accumulated DCT coefficients of a progressive frame: per
+    * component, the MCU-padded block grid with one zigzag-order 64-int
+    * block per cell, filled in by successive scans and dequantized +
+    * IDCTed only once EOI arrives. */
+  private final class ProgJpegState(val frame: JpegFrame) {
+    val nc: Int = frame.comps.length
+    // a single-component frame has no interleave, so its declared
+    // factors are irrelevant (same contract as the sequential path)
+    val sh: Array[Int] = Array.tabulate(nc)(i => if (nc == 1) 1 else frame.comps(i).sh)
+    val sv: Array[Int] = Array.tabulate(nc)(i => if (nc == 1) 1 else frame.comps(i).sv)
+    val hMax: Int = sh.max
+    val vMax: Int = sv.max
+    val mcusX: Int = (frame.w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY: Int = (frame.h + 8 * vMax - 1) / (8 * vMax)
+    // storage grid: padded to MCU boundaries (interleaved DC scans
+    // cover the padding blocks; non-interleaved scans leave them 0)
+    val wb: Array[Int] = Array.tabulate(nc)(i => mcusX * sh(i))
+    val hb: Array[Int] = Array.tabulate(nc)(i => mcusY * sv(i))
+    // non-interleaved scan grid: blocks covering the component's own
+    // samples, NOT padded to MCU multiples (T.81 A.2.2)
+    val wbNI: Array[Int] =
+      Array.tabulate(nc)(i => ((frame.w * sh(i) + hMax - 1) / hMax + 7) / 8)
+    val hbNI: Array[Int] =
+      Array.tabulate(nc)(i => ((frame.h * sv(i) + vMax - 1) / vMax + 7) / 8)
+    val coefs: Array[Array[Int]] =
+      Array.tabulate(nc)(i => new Array[Int](wb(i) * hb(i) * 64))
+    var scans: Int = 0
+  }
+
+  private object ProgJpegState {
+    def create(frame: JpegFrame): Option[ProgJpegState] = {
+      val nc = frame.comps.length
+      if (frame.w.toLong * frame.h * nc > (64L << 20)) return None
+      val st = new ProgJpegState(frame)
+      // hostile SOF must not allocate unbounded coefficient memory
+      val cells = (0 until nc).map(i => st.wb(i).toLong * st.hb(i) * 64).sum
+      if (cells > (32L << 20)) None else Some(st)
+    }
+  }
+
+  /** One progressive scan (T.81 Annex G): DC first/refine (interleaved
+    * or single-component), AC first/refine (single-component, spectral
+    * band Ss..Se, successive-approximation bit Al, EOB runs, refinement
+    * correction bits). Mutates `st.coefs`; returns the offset of the
+    * marker that ended the scan, or -1 on any malformed input. */
+  private def progressiveScan(b: Array[Byte], scanStart: Int, st: ProgJpegState,
+                              scanSel: Seq[(Int, Int, Int)],
+                              ss: Int, se: Int, ah: Int, al: Int,
+                              huffDc: Array[HuffTable], huffAc: Array[HuffTable],
+                              restartInterval: Int): Int = {
+    val ns = scanSel.length
+    val isDc = ss == 0
+    val refine = ah > 0
+    if (isDc) { if (se != 0) return -1 }
+    else if (ns != 1 || se < ss || se > 63) return -1
+    if (al > 13 || ah > 14) return -1
+    if (scanSel.map(_._1).distinct.length != ns) return -1
+    // resolve tables up front: DC first needs a DC table, AC scans an
+    // AC table; DC refinement is raw bits and needs neither
+    val dct = new Array[HuffTable](st.nc)
+    val act = new Array[HuffTable](st.nc)
+    scanSel.foreach { case (ci, td, ta) =>
+      if (isDc && !refine) {
+        if (td > 3 || huffDc(td) == null) return -1
+        dct(ci) = huffDc(td)
+      }
+      if (!isDc) {
+        if (ta > 3 || huffAc(ta) == null) return -1
+        act(ci) = huffAc(ta)
+      }
+    }
+    val (segments, endPos) = entropySegments(b, scanStart)
+    var seg = 0
+    var reader = new BitReader(segments(seg))
+    val pred = new Array[Int](st.nc)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -1 << al
+    // ── per-block decoders ──
+    def dcFirst(ci: Int, off: Int): Boolean = {
+      val t = huffDecode(reader, dct(ci))
+      if (t < 0 || t > 15) return false
+      val diffBits = reader.receive(t)
+      if (diffBits < 0) return false
+      pred(ci) += extend(diffBits, t)
+      st.coefs(ci)(off) = pred(ci) << al
+      true
+    }
+    def dcRefine(ci: Int, off: Int): Boolean = {
+      val bit = reader.bit()
+      if (bit < 0) return false
+      if (bit == 1) st.coefs(ci)(off) |= p1
+      true
+    }
+    def acFirst(ci: Int, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      val c = st.coefs(ci)
+      var k = ss
+      while (k <= se) {
+        val rs = huffDecode(reader, act(ci))
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 15
+        if (s != 0) {
+          k += r
+          if (k > se) return false
+          val v = reader.receive(s)
+          if (v < 0) return false
+          c(off + k) = extend(v, s) << al
+          k += 1
+        } else if (r == 15) k += 16 // ZRL: sixteen zero coefficients
+        else {
+          eobrun = (1 << r) - 1 // this block is the run's first member
+          if (r > 0) {
+            val e = reader.receive(r)
+            if (e < 0) return false
+            eobrun += e
+          }
+          return true
+        }
+      }
+      true
+    }
+    // the G.1.2.3 correction-bit algorithm: newly significant
+    // coefficients arrive as ±2^Al; every already-nonzero coefficient
+    // crossed on the way (and the whole band once the EOB run starts)
+    // consumes one correction bit
+    def acRefine(ci: Int, off: Int): Boolean = {
+      val c = st.coefs(ci)
+      def correct(idx: Int): Boolean = {
+        val bit = reader.bit()
+        if (bit < 0) return false
+        if (bit == 1 && (c(idx) & p1) == 0)
+          c(idx) += (if (c(idx) >= 0) p1 else m1)
+        true
+      }
+      var k = ss
+      if (eobrun == 0) {
+        var outer = true
+        while (outer && k <= se) {
+          val rs = huffDecode(reader, act(ci))
+          if (rs < 0) return false
+          var r = rs >> 4
+          val s = rs & 15
+          var newVal = 0
+          if (s != 0) {
+            if (s != 1) return false // new coefficients are always ±1 here
+            val bit = reader.bit()
+            if (bit < 0) return false
+            newVal = if (bit == 1) p1 else m1
+          } else if (r != 15) {
+            eobrun = 1 << r
+            if (r > 0) {
+              val e = reader.receive(r)
+              if (e < 0) return false
+              eobrun += e
+            }
+            outer = false // rest of the band is EOB-run territory
+          }
+          if (outer) {
+            // advance past r zero-history coefficients, correcting the
+            // nonzero ones crossed on the way
+            var advancing = true
+            while (advancing && k <= se) {
+              if (c(off + k) != 0) {
+                if (!correct(off + k)) return false
+                k += 1
+              } else if (r == 0) advancing = false // landed on the target
+              else { r -= 1; k += 1 }
+            }
+            if (newVal != 0) {
+              if (k > se) return false
+              c(off + k) = newVal
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          if (c(off + k) != 0 && !correct(off + k)) return false
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    def decodeUnit(ci: Int, off: Int): Boolean =
+      if (isDc) { if (refine) dcRefine(ci, off) else dcFirst(ci, off) }
+      else { if (refine) acRefine(ci, off) else acFirst(ci, off) }
+    // ── unit loop: MCUs when interleaved, component blocks when not ──
+    val perSeg = if (restartInterval > 0) restartInterval else Int.MaxValue
+    def atRestart(unit: Int): Boolean = {
+      if (restartInterval > 0 && unit > 0 && unit % perSeg == 0) {
+        seg += 1
+        if (seg >= segments.length) return false
+        reader = new BitReader(segments(seg))
+        java.util.Arrays.fill(pred, 0)
+        eobrun = 0
+      }
+      true
+    }
+    if (ns == 1) {
+      val ci = scanSel.head._1
+      val cols = st.wbNI(ci); val total = cols * st.hbNI(ci)
+      var u = 0
+      while (u < total) {
+        if (!atRestart(u)) return -1
+        val off = ((u / cols) * st.wb(ci) + u % cols) * 64
+        if (!decodeUnit(ci, off)) return -1
+        u += 1
+      }
+    } else {
+      val total = st.mcusX * st.mcusY
+      var mcu = 0
+      while (mcu < total) {
+        if (!atRestart(mcu)) return -1
+        val mcuX = mcu % st.mcusX
+        val mcuY = mcu / st.mcusX
+        scanSel.foreach { case (ci, _, _) =>
+          var byi = 0
+          while (byi < st.sv(ci)) {
+            var bxi = 0
+            while (bxi < st.sh(ci)) {
+              val off = ((mcuY * st.sv(ci) + byi) * st.wb(ci) +
+                mcuX * st.sh(ci) + bxi) * 64
+              if (!decodeUnit(ci, off)) return -1
+              bxi += 1
+            }
+            byi += 1
+          }
+        }
+        mcu += 1
+      }
+    }
+    st.scans += 1
+    endPos
+  }
+
+  /** Dequantize + IDCT every accumulated block, then run the shared
+    * crop/upsample/color finisher. */
+  private def finishProgressive(st: ProgJpegState,
+                                quant: Array[Array[Int]]): Option[JpegRaster] = {
+    val frame = st.frame
+    val nc = st.nc
+    val qt = new Array[Array[Int]](nc)
+    var ci = 0
+    while (ci < nc) {
+      val tq = frame.comps(ci).tq
+      if (tq > 3 || quant(tq) == null) return None
+      qt(ci) = quant(tq)
+      ci += 1
+    }
+    val strides = Array.tabulate(nc)(i => st.wb(i) * 8)
+    val planes = Array.tabulate(nc)(i => new Array[Byte](strides(i) * st.hb(i) * 8))
+    val coefNat = new Array[Long](64)
+    val samples = new Array[Int](64)
+    ci = 0
+    while (ci < nc) {
+      val c = st.coefs(ci)
+      val q = qt(ci)
+      val plane = planes(ci)
+      val stride = strides(ci)
+      var blk = 0
+      val nBlks = st.wb(ci) * st.hb(ci)
+      while (blk < nBlks) {
+        val off = blk * 64
+        var z = 0
+        while (z < 64) { coefNat(ZigzagNat(z)) = c(off + z).toLong * q(z); z += 1 }
+        idct8x8(coefNat, samples)
+        val bx = (blk % st.wb(ci)) * 8
+        val by = (blk / st.wb(ci)) * 8
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            plane((by + yy) * stride + bx + xx) = samples(yy * 8 + xx).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        blk += 1
+      }
+      ci += 1
+    }
+    assembleJpeg(frame.w, frame.h, nc, planes, strides, st.sh, st.sv, st.hMax, st.vMax)
   }
 
   @inline private def clamp255(v: Int): Int =

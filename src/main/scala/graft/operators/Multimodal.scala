@@ -338,7 +338,8 @@ object Multimodal {
 
   /** Unified RGB raster decode for the still-image formats the engine
     * genuinely decodes end-to-end: PNG truecolor (zlib + filters) and
-    * baseline JPEG (Huffman + fixed-point IDCT — grayscale expands
+    * JPEG, sequential or progressive (Huffman + fixed-point IDCT —
+    * grayscale expands
     * gray→RGB so every caller sees one shape). Returns (w, h, rgb
     * row-major 3-byte pixels); None for GIF (index rasters with frame
     * semantics keep their own operators) and anything undecodable. */
@@ -361,16 +362,17 @@ object Multimodal {
         }
     }
 
-  /** REAL baseline-JPEG pixel decode — Huffman entropy decode,
-    * dequantization, and the fixed-point Loeffler IDCT
+  /** REAL JPEG pixel decode — Huffman entropy decode, dequantization,
+    * and the fixed-point Loeffler IDCT
     * ([[graft.codec.MediaHeaders.jpegPixels]]; pure JVM arithmetic, no
-    * codec library). One row per decodable blob with the raster's
-    * exact integer fingerprint over the decoded plane (grayscale: luma
-    * bytes; color: interleaved RGB after the fixed-point JFIF
-    * YCbCr→RGB). DC-only fixtures make every step closed-form seed
-    * arithmetic, which is what the DuckDB oracle replays; non-baseline
-    * / subsampled / corrupt blobs produce NO row. Decode rides the
-    * scan. */
+    * codec library), covering sequential (SOF0/1, incl. 4:2:0/4:2:2
+    * subsampling) and progressive (SOF2) frames. One row per decodable
+    * blob with the raster's exact integer fingerprint over the decoded
+    * plane (grayscale: luma bytes; color: interleaved RGB after the
+    * fixed-point JFIF YCbCr→RGB). DC-only fixtures make every step
+    * closed-form seed arithmetic, which is what the DuckDB oracle
+    * replays; arithmetic/lossless/corrupt blobs produce NO row. Decode
+    * rides the scan. */
   def jpegPixelStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

@@ -2937,6 +2937,77 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── PROGRESSIVE JPEG decode (SOF2, T.81 Annex G) — the same
+    //    seed-derived FULL-AC coefficients encoded twice per doc,
+    //    baseline and progressive (doc-varied successive-approximation
+    //    depths, band scripts, restart intervals, grayscale/4:4:4/4:2:0),
+    //    both decoded by the engine's own multi-scan coefficient
+    //    accumulator. Progressive transmission is a lossless reordering
+    //    of the same quantized coefficients, so the two rasters must
+    //    agree EXACTLY; the query joins the two fingerprint sets and
+    //    emits the agreement verdict, with dims/byte-counts replayed by
+    //    the oracle from the seed. A failed progressive decode drops its
+    //    row (count mismatch); a single diverging pixel statistic flips
+    //    twin_match. Decode rides the scan; the join is doc-keyed. ──
+    QueryDef.sql(
+      "mm_jpeg_progressive",
+      """SELECT doc_id, CAST(1 + doc_id % 24 AS INT) AS width,
+        |  CAST(1 + doc_id % 18 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+        |  CAST((1 + doc_id % 24) * (1 + doc_id % 18) *
+        |       (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END) AS BIGINT) AS n_bytes,
+        |  CAST(1 AS INT) AS twin_match
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        def blobsOf(progressive: Boolean) =
+          Tables.documents(s, d).select(col("doc_id")).as[Long]
+            .mapPartitions(_.map { id =>
+              val w = (1 + id % 24).toInt; val h = (1 + id % 18).toInt
+              val nc = if (id % 2 == 0) 1 else 3
+              val qy = (1 + id % 8).toInt; val qc = (1 + id % 5).toInt
+              def qt(q0: Int) = Array.tabulate(64)(i => if (i == 0) q0 else 16)
+              val qs = if (nc == 1) Seq(qt(qy)) else Seq(qt(qy), qt(qc), qt(qc))
+              val samp: Seq[(Int, Int)] =
+                if (nc == 3 && id % 4 == 1) Seq((2, 2), (1, 1), (1, 1)) else Nil
+              def coef(c: Int, bx: Int, by: Int): Array[Int] = Array.tabulate(64) { i =>
+                if (i == 0) (((id * 31 + bx * 7 + by * 13 + c * 29 + 3) % 200) - 100).toInt
+                else if (i < 20) ((bx + 2 * by + c + i) * 37) % 15 - 7
+                else if (i % 11 == 0) ((bx * 3 + by + c + i) * 17) % 9 - 4
+                else 0
+              }
+              val rst = if (id % 5 == 0) 2 else 0
+              val blob =
+                if (progressive)
+                  graft.codec.MediaFixtures.jpegProgressive(w, h, qs, coef,
+                    restartEvery = rst, sampling = samp,
+                    dcAl = (id % 3).toInt, acAl = (id % 2).toInt,
+                    bands = if (id % 2 == 0) Seq((1, 5), (6, 63))
+                            else Seq((1, 2), (3, 20), (21, 63)))
+                else
+                  graft.codec.MediaFixtures.jpegReal(w, h, qs, coef,
+                    restartEvery = rst, sampling = samp)
+              (id, blob)
+            })
+            .toDF("doc_id", "blob")
+        val base = Multimodal.jpegPixelStats(blobsOf(false), "doc_id", "blob").alias("b")
+        val prog = Multimodal.jpegPixelStats(blobsOf(true), "doc_id", "blob").alias("p")
+        base.join(prog, col("b.media_id") === col("p.media_id"))
+          .select(col("b.media_id").as("doc_id"),
+            col("b.width"), col("b.height"), col("b.channels"), col("b.n_bytes"),
+            when(col("p.width") === col("b.width") &&
+              col("p.height") === col("b.height") &&
+              col("p.channels") === col("b.channels") &&
+              col("p.n_bytes") === col("b.n_bytes") &&
+              col("p.sum_pix") === col("b.sum_pix") &&
+              col("p.min_pix") === col("b.min_pix") &&
+              col("p.max_pix") === col("b.max_pix") &&
+              col("p.first_pix") === col("b.first_pix") &&
+              col("p.last_pix") === col("b.last_pix"), 1).otherwise(0)
+              .cast("int").as("twin_match"))
+          .orderBy("doc_id")
+    },
+
     // ── CROSS-FORMAT perceptual dedup — the capstone the unified raster
     //    decode exists for: the SAME logical image stored losslessly
     //    (PNG, pixel = its block's closed-form value) and as a DC-only

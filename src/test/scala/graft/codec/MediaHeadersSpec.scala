@@ -355,10 +355,15 @@ class MediaHeadersSpec extends SparkSpec {
     // the full decoders face the same arbitrary bytes the header parsers
     // do — fuzz them with decodable fixtures in the pool so bit flips
     // land INSIDE real zlib/LZW/PCM streams, not just headers
+    def jq = Array.tabulate(64)(i => if (i == 0) 5 else 16)
+    def jcoef(c: Int, bx: Int, by: Int): Array[Int] =
+      Array.tabulate(64)(i => if (i == 0) bx * 7 + by - 20 else if (i < 6) i - 3 else 0)
     val fixtures = Seq(png1x1, apngHead, jpegMin, gifAnim, wavPcm,
       MediaFixtures.pngReal(6, 5, (x, y, c) => (x + y + c) % 256, y => y % 5),
       MediaFixtures.gifReal(5, 4, 2, (x, y, f) => (x * 2 + y + f) % 256),
-      MediaFixtures.wav(2, 8000, 9, (i, c) => i * 1000 - 4000 + c))
+      MediaFixtures.wav(2, 8000, 9, (i, c) => i * 1000 - 4000 + c),
+      MediaFixtures.jpegReal(10, 9, Seq(jq), jcoef),
+      MediaFixtures.jpegProgressive(10, 9, Seq(jq), jcoef, dcAl = 2))
     for (_ <- 0 until 2000) {
       val b = rnd.nextInt(4) match {
         case 0 => Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte) // pure noise
@@ -376,6 +381,7 @@ class MediaHeadersSpec extends SparkSpec {
       MediaHeaders.pngPixels(b)
       MediaHeaders.gifFrames(b)
       MediaHeaders.wavPcm16(b)
+      MediaHeaders.jpegPixels(b)
     }
   }
 

@@ -527,6 +527,118 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Media TRANSCODE, image side — the full read-transform-WRITE loop:
+    * decode any raster the engine reads (PNG full matrix or JPEG
+    * sequential/progressive via [[rgbRaster]]), resize into the
+    * aspect-preserving `maxW`×`maxH` box with the same exact integer
+    * nearest-neighbor kernel as [[resizePixels]], then EMIT a real
+    * truecolor PNG ([[graft.codec.MediaWriters.pngRgb]]) any decoder
+    * can open. Output is one row per decodable blob: source dims, out
+    * dims, and the written container bytes. The written file's PIXELS
+    * are the deterministic contract (IDAT bytes depend on the zlib
+    * build): queries round-trip the png column through
+    * [[pngPixelStats]] so the oracle pins decode + resize + encode +
+    * re-decode end-to-end. Per-row work riding the scan — the 100 TB
+    * posture is purely more executors. */
+  def transcodePng(df: DataFrame, idCol: String, blobCol: String,
+                   maxW: Int, maxH: Int): DataFrame = {
+    require(maxW >= 1 && maxH >= 1, s"bad bounds: ${maxW}x$maxH")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("src_w", IntegerType, nullable = false),
+      StructField("src_h", IntegerType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("png", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        rgbRaster(blob) match {
+          case Some((pw, ph, rgb)) =>
+            val (ow, oh) = resizeDimsScalar(pw, ph, maxW, maxH)
+            val thumb = new Array[Byte](ow * oh * 3)
+            var oy = 0
+            while (oy < oh) {
+              val sy = oy * ph / oh
+              var ox = 0
+              while (ox < ow) {
+                val si = (sy * pw + ox * pw / ow) * 3
+                val di = (oy * ow + ox) * 3
+                thumb(di) = rgb(si); thumb(di + 1) = rgb(si + 1)
+                thumb(di + 2) = rgb(si + 2)
+                ox += 1
+              }
+              oy += 1
+            }
+            Iterator.single(Row(r.getLong(idIdx), pw, ph, ow, oh,
+              graft.codec.MediaWriters.pngRgb(ow, oh, thumb)))
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Media TRANSCODE, audio side: decode in-blob 16-bit PCM
+    * ([[graft.codec.MediaHeaders.wavPcm16]]), linear-interpolate every
+    * channel to `targetRate` with EXACTLY the integer arithmetic of
+    * [[resamplePcm]] (the two agree sample-for-sample by construction),
+    * and EMIT a canonical RIFF/WAV at the new rate
+    * ([[graft.codec.MediaWriters.wavPcm16]] — byte-deterministic, PCM
+    * is uncompressed). Queries re-decode the written container and
+    * fingerprint it, pinning decode + resample + encode + re-decode
+    * against the same arithmetic oracle as the in-memory resample.
+    * Non-PCM blobs produce no row. */
+  def transcodeWav(df: DataFrame, idCol: String, blobCol: String,
+                   targetRate: Int): DataFrame = {
+    require(targetRate >= 1, s"bad target rate: $targetRate")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("in_rate", IntegerType, nullable = false),
+      StructField("n_in", LongType, nullable = false),
+      StructField("wav", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.wavPcm16(blob) match {
+          case Some(p) if p.channels > 0 =>
+            val frames = p.samples.length / p.channels
+            val nOut = (frames.toLong * targetRate / p.sampleRate).toInt
+            if (nOut <= 0) Iterator.empty
+            else {
+              val res = new Array[Short](nOut * p.channels)
+              var j = 0
+              while (j < nOut) {
+                val posNum = j.toLong * p.sampleRate
+                val k = (posNum / targetRate).toInt
+                val frac = (posNum % targetRate).toInt
+                val k1 = math.min(k + 1, frames - 1)
+                var c = 0
+                while (c < p.channels) {
+                  val s0 = p.samples(k * p.channels + c).toInt
+                  val s1 = p.samples(k1 * p.channels + c).toInt
+                  res(j * p.channels + c) =
+                    (s0 + (((s1 - s0).toLong * frac) / targetRate).toInt).toShort
+                  c += 1
+                }
+                j += 1
+              }
+              Iterator.single(Row(r.getLong(idIdx), p.sampleRate, frames.toLong,
+                graft.codec.MediaWriters.wavPcm16(targetRate, p.channels, res)))
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Perceptual difference hash (dHash) over REAL decoded pixels — the
     * image-dedup fingerprint: decode (PNG truecolor or baseline JPEG,
     * via [[rgbRaster]]), reduce each

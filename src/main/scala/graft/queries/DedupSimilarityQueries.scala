@@ -2353,6 +2353,140 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── Image TRANSCODE round trip — the engine WRITES media now: mixed
+    //    sources (even docs a filtered PNG, odd docs a DC-only grayscale
+    //    JPEG) decode through the unified raster path, resize into the
+    //    8×6 box, and are re-ENCODED as real truecolor PNGs
+    //    (MediaWriters.pngRgb: deflate + CRC32 chunks), which the query
+    //    then re-decodes with the engine's own PNG decoder and
+    //    fingerprints. The oracle replays source arithmetic + resize
+    //    sampling per parity — it never sees a compressed byte, so only
+    //    a correct decode→resize→encode→re-decode chain matches. Wrong
+    //    CRC or a malformed chunk drops the row (count mismatch). ──
+    QueryDef.sql(
+      "mm_transcode_png",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 24 AS BIGINT) AS w,
+        |                  CAST(1 + doc_id % 18 AS BIGINT) AS h,
+        |                  CAST(1 + doc_id % 16 AS BIGINT) AS q FROM documents),
+        |r AS (SELECT doc_id, w, h, q,
+        |    CASE WHEN w <= 8 AND h <= 6 THEN w
+        |         WHEN w * 6 >= h * 8 THEN 8
+        |         ELSE greatest((w * 6) // h, 1) END AS ow,
+        |    CASE WHEN w <= 8 AND h <= 6 THEN h
+        |         WHEN w * 6 >= h * 8 THEN greatest((h * 8) // w, 1)
+        |         ELSE 6 END AS oh
+        |  FROM d),
+        |u AS (SELECT doc_id, w, h, q, ow, oh, unnest(range(0, ow)) AS ox FROM r),
+        |v AS (SELECT doc_id, w, h, q, ow, oh, ox, unnest(range(0, oh)) AS oy FROM u),
+        |e AS (SELECT doc_id, w, h, q, ow, oh, ox, oy,
+        |        (ox * w) // ow AS sx, (oy * h) // oh AS sy,
+        |        unnest(range(0, 3)) AS c
+        |      FROM v),
+        |p AS (SELECT doc_id, ow, oh, ox, oy, c,
+        |        CASE WHEN doc_id % 2 = 0
+        |          THEN (doc_id * 31 + sx * 7 + sy * 13 + c * 11 + 5) % 256
+        |          ELSE greatest(0, least(255,
+        |            ((((doc_id * 31 + (sx // 8) * 7 + (sy // 8) * 13 + 3) % 256) - 128)
+        |              * q + 4 + 8192) // 8 - 1024 + 128)) END AS px
+        |      FROM e)
+        |SELECT doc_id, CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+        |  CAST(ow * oh * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(px) AS BIGINT) AS sum_pix,
+        |  CAST(min(px) AS INT) AS min_pix, CAST(max(px) AS INT) AS max_pix,
+        |  CAST(sum(CASE WHEN ox = 0 AND oy = 0 AND c = 0 THEN px ELSE 0 END) AS INT)
+        |    AS first_pix,
+        |  CAST(sum(CASE WHEN ox = ow - 1 AND oy = oh - 1 AND c = 2 THEN px ELSE 0 END) AS INT)
+        |    AS last_pix
+        |FROM p GROUP BY doc_id, ow, oh ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 24).toInt; val h = (1 + id % 18).toInt
+            val blob =
+              if (id % 2 == 0)
+                graft.codec.MediaFixtures.pngReal(w, h,
+                  (x, y, c) => graft.codec.MediaFixtures.pixel(id, x, y, c),
+                  filterOf = y => ((id + y) % 5).toInt)
+              else {
+                val q0 = (1 + id % 16).toInt
+                val qt = Array.tabulate(64)(i => if (i == 0) q0 else 16)
+                graft.codec.MediaFixtures.jpegReal(w, h, Seq(qt),
+                  (_, bx, by) => Array.tabulate(64)(i =>
+                    if (i == 0) (((id * 31 + bx * 7 + by * 13 + 3) % 256) - 128).toInt
+                    else 0))
+              }
+            (id, blob)
+          })
+          .toDF("doc_id", "blob")
+        val thumbs = Multimodal.transcodePng(blobs, "doc_id", "blob", maxW = 8, maxH = 6)
+        Multimodal.pngPixelStats(thumbs, "media_id", "png")
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("n_bytes"), col("sum_pix"), col("min_pix"), col("max_pix"),
+            col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
+    // ── Audio TRANSCODE round trip — resample-and-REWRITE: WAV fixtures
+    //    at doc-varied rates decode, linear-interpolate to 16 kHz with
+    //    the exact resamplePcm arithmetic, and are re-encoded as
+    //    canonical RIFF/WAV files (MediaWriters.wavPcm16), which the
+    //    query re-decodes and fingerprints through resamplePcm at the
+    //    SAME 16 kHz (identity passthrough: k = j, frac = 0). The oracle
+    //    is the interpolation arithmetic with in_rate = the rewritten
+    //    file's 16 kHz — any header field, byte order, interleave or
+    //    length bug in the writer breaks the re-decode or the hash. ──
+    QueryDef.sql(
+      "mm_transcode_wav",
+      """WITH f AS (SELECT doc_id,
+        |    CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS rate,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS nch,
+        |    CAST(1 + doc_id % 50 AS BIGINT) AS ns
+        |  FROM documents),
+        |cc AS (SELECT doc_id, rate, ns, unnest(range(0, nch)) AS c FROM f),
+        |o AS (SELECT doc_id, rate, ns, c, (ns * 16000) // rate AS n_out,
+        |        unnest(range(0, (ns * 16000) // rate)) AS j
+        |      FROM cc),
+        |v AS (SELECT doc_id, rate, ns, c, n_out, j,
+        |        (j * rate) // 16000 AS k,
+        |        least((j * rate) // 16000 + 1, ns - 1) AS k1,
+        |        (j * rate) % 16000 AS frac
+        |      FROM o),
+        |s AS (SELECT doc_id, c, n_out, j, frac,
+        |        ((doc_id * 31 + k * 7 + c * 13 + 11) % 65536) - 32768 AS s0,
+        |        ((doc_id * 31 + k1 * 7 + c * 13 + 11) % 65536) - 32768 AS s1
+        |      FROM v),
+        |r AS (SELECT doc_id, c, n_out, j,
+        |        s0 + ((s1 - s0) * frac) // 16000 AS v
+        |      FROM s)
+        |SELECT doc_id, CAST(c AS INT) AS channel, CAST(16000 AS INT) AS in_rate,
+        |  CAST(16000 AS INT) AS out_rate,
+        |  CAST(n_out AS BIGINT) AS n_in, CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(v) AS BIGINT) AS sum_out,
+        |  CAST(min(v) AS INT) AS min_out, CAST(max(v) AS INT) AS max_out,
+        |  CAST(sum(CASE WHEN j = 0 THEN v ELSE 0 END) AS INT) AS first_out,
+        |  CAST(sum(CASE WHEN j = n_out - 1 THEN v ELSE 0 END) AS INT) AS last_out
+        |FROM r GROUP BY doc_id, c, n_out
+        |ORDER BY doc_id, channel""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val rate = (8000 * (1 + id % 5)).toInt
+            val nch = (1 + id % 2).toInt
+            val ns = (1 + id % 50).toInt
+            (id, graft.codec.MediaFixtures.wav(nch, rate, ns,
+              (k, c) => (((id * 31 + k * 7 + c * 13 + 11) % 65536) - 32768).toInt))
+          })
+          .toDF("doc_id", "blob")
+        val rewritten = Multimodal.transcodeWav(blobs, "doc_id", "blob", targetRate = 16000)
+        Multimodal.resamplePcm(rewritten, "media_id", "wav", targetRate = 16000)
+          .select(col("media_id").as("doc_id"), col("channel"), col("in_rate"),
+            col("out_rate"), col("n_in"), col("n_out"), col("sum_out"),
+            col("min_out"), col("max_out"), col("first_out"), col("last_out"))
+          .orderBy("doc_id", "channel")
+    },
+
     // ── Perceptual image fingerprint (dHash) over REAL decoded pixels:
     //    PNG decode → integer gray → 9×8 nearest-neighbor grid → 64
     //    horizontal-gradient sign bits as one LONG. The fixture builds

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.codec.{MediaFixtures, MediaHeaders}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Pins the media TRANSCODE operators: the written containers must
+  * decode (engine decoder AND an independent reference computation)
+  * to exactly the transform the operator claims, and undecodable
+  * blobs must drop instead of producing rows. */
+class TranscodeSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("blob", BinaryType, nullable = true)))
+
+  private def df(rows: Seq[Row]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+  test("transcodePng: PNG and JPEG sources emit real PNGs holding the resized pixels") {
+    val w = 20; val h = 14
+    def pix(x: Int, y: Int, c: Int): Int = (x * 7 + y * 13 + c * 29 + 5) % 256
+    val png = MediaFixtures.pngReal(w, h, pix, filterOf = y => y % 5)
+    def dc(bx: Int, by: Int): Int = (bx * 9 + by * 17) % 200 - 100
+    val qt = Array.tabulate(64)(i => if (i == 0) 6 else 16)
+    val jpeg = MediaFixtures.jpegReal(w, h, Seq(qt),
+      (_, bx, by) => Array.tabulate(64)(i => if (i == 0) dc(bx, by) else 0))
+    val out = Multimodal.transcodePng(
+      df(Seq(Row(1L, png), Row(2L, jpeg), Row(3L, "not media".getBytes))),
+      "media_id", "blob", maxW = 8, maxH = 6)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "garbage row must drop")
+    for ((id, srcPix) <- Seq(
+      1L -> ((x: Int, y: Int, c: Int) => pix(x, y, c)),
+      2L -> ((x: Int, y: Int, c: Int) =>
+        math.max(0, math.min(255, ((dc(x / 8, y / 8) * 6 + 4) >> 3) + 128))))) {
+      val r = out(id)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      val ow = r.getInt(3); val oh = r.getInt(4)
+      assert(ow == 8 && oh == 5) // 20x14 into 8x6: w-bound, oh = 14*8/20
+      val p = MediaHeaders.pngPixels(r.getAs[Array[Byte]](5))
+        .getOrElse(fail(s"written PNG undecodable for $id"))
+      assert(p.width == ow && p.height == oh)
+      for (oy <- 0 until oh; ox <- 0 until ow; c <- 0 until 3) {
+        val expect = srcPix(ox * w / ow, oy * h / oh, c)
+        assert((p.rgb((oy * ow + ox) * 3 + c) & 0xff) == expect, s"id=$id ($ox,$oy,$c)")
+      }
+    }
+  }
+
+  test("transcodeWav: the rewritten file carries the resampled stream at the new rate") {
+    val rate = 8000; val n = 20; val ch = 2; val target = 16000
+    def s(k: Int, c: Int): Int = k * 1000 - 9000 + c * 3
+    val wav = MediaFixtures.wav(ch, rate, n, s)
+    val out = Multimodal.transcodeWav(
+      df(Seq(Row(7L, wav), Row(8L, "noise".getBytes))),
+      "media_id", "blob", targetRate = target).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 7L)
+    assert(out(0).getInt(1) == rate && out(0).getLong(2) == n.toLong)
+    val p = MediaHeaders.wavPcm16(out(0).getAs[Array[Byte]](3)).get
+    assert(p.sampleRate == target && p.channels == ch)
+    val frames = p.samples.length / ch
+    assert(frames == n * target / rate)
+    // independent reference: the resamplePcm interpolation formula
+    for (j <- 0 until frames; c <- 0 until ch) {
+      val posNum = j.toLong * rate
+      val k = (posNum / target).toInt
+      val k1 = math.min(k + 1, n - 1)
+      val frac = (posNum % target).toInt
+      val expect = s(k, c) + (((s(k1, c) - s(k, c)).toLong * frac) / target).toInt
+      assert(p.samples(j * ch + c) == expect.toShort, s"($j,$c)")
+    }
+  }
+}

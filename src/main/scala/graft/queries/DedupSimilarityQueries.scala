@@ -2487,6 +2487,117 @@ object DedupSimilarityQueries {
           .orderBy("doc_id", "channel")
     },
 
+    // ── Multimodal CORPUS BUILD capstone — pipeline_corpus_build's
+    //    sibling for media: one declarative plan composing arrival
+    //    (mixed containers: PNG / DC-only JPEG twins sharing a base
+    //    seed, plus WAV audio), metadata validation gates riding the
+    //    parsed decodeMeta columns (image area, audio rate/length),
+    //    CROSS-FORMAT perceptual dedup (dHash groupBy keep-min: each
+    //    (png, jpeg) twin collapses to one kept doc with no
+    //    format-aware special case), and a unified keep-manifest. Every
+    //    stage reuses an operator with its own oracle-pinned query;
+    //    this pins their COMPOSITION. The oracle replays formats, dims,
+    //    gates and the dHash closed form from seed arithmetic — blind
+    //    to containers and to which format carried each image. ──
+    QueryDef.sql(
+      "mm_corpus_build", {
+        def vAt(sx: String, sy: String): String =
+          s"""greatest(0, least(255,
+             |  ((((sb * 31 + (($sx) // 8) * 7 + (($sy) // 8) * 13 + 3) % 256) - 128) * q + 4 + 8192) // 8
+             |    - 1024 + 128))""".stripMargin
+        val g0 = vAt("(gx * w) // 9", "(gy * h) // 8")
+        val g1 = vAt("((gx + 1) * w) // 9", "(gy * h) // 8")
+        s"""WITH cls AS (SELECT doc_id, doc_id % 3 AS k, doc_id // 3 AS sb FROM documents),
+           |im AS (SELECT doc_id, sb, CAST(1 + sb % 24 AS BIGINT) AS w,
+           |              CAST(1 + sb % 18 AS BIGINT) AS h,
+           |              CAST(1 + sb % 16 AS BIGINT) AS q
+           |       FROM cls WHERE k < 2),
+           |imk AS (SELECT * FROM im WHERE w * h >= 16),
+           |u AS (SELECT doc_id, sb, w, h, q, unnest(range(0, 8)) AS gy FROM imk),
+           |v AS (SELECT doc_id, sb, w, h, q, gy, unnest(range(0, 8)) AS gx FROM u),
+           |b AS (SELECT doc_id, gy, gx,
+           |        CASE WHEN $g1 > $g0 THEN
+           |          CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+           |               ELSE (CAST(1 AS BIGINT) << CAST(gy * 8 + gx AS INTEGER)) END
+           |        ELSE 0 END AS term
+           |      FROM v),
+           |dh AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS dhash FROM b GROUP BY doc_id),
+           |g AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+           |             CAST(count(*) AS BIGINT) AS group_size
+           |      FROM dh GROUP BY dhash),
+           |gi AS (SELECT 'image' AS kind, g.doc_id, g.group_size,
+           |              CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+           |              CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_frames
+           |       FROM g JOIN imk m ON g.doc_id = m.doc_id),
+           |au AS (SELECT doc_id, CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS rate,
+           |              CAST(1 + doc_id % 50 AS BIGINT) AS ns
+           |       FROM cls WHERE k = 2),
+           |ga AS (SELECT 'audio' AS kind, doc_id, CAST(1 AS BIGINT) AS group_size,
+           |              CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           |              CAST(rate AS INT) AS sample_rate, ns AS n_frames
+           |       FROM au WHERE ns >= 10 AND rate >= 16000)
+           |SELECT * FROM gi UNION ALL SELECT * FROM ga ORDER BY doc_id""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val k = (id % 3).toInt
+            if (k == 2) {
+              val rate = (8000 * (1 + id % 5)).toInt
+              val nch = (1 + id % 2).toInt
+              val ns = (1 + id % 50).toInt
+              (id, graft.codec.MediaFixtures.wav(nch, rate, ns,
+                (i, c) => graft.codec.MediaFixtures.pcmSample(id, i, c)))
+            } else {
+              val sb = id / 3
+              val w = (1 + sb % 24).toInt; val h = (1 + sb % 18).toInt
+              val q0 = (1 + sb % 16).toInt
+              def dc(bx: Int, by: Int): Int = (((sb * 31 + bx * 7 + by * 13 + 3) % 256) - 128).toInt
+              def v(bx: Int, by: Int): Int =
+                math.max(0, math.min(255, ((dc(bx, by) * q0 + 4) >> 3) + 128))
+              val blob =
+                if (k == 0)
+                  graft.codec.MediaFixtures.pngReal(w, h, (x, y, _) => v(x / 8, y / 8),
+                    filterOf = y => ((id + y) % 5).toInt)
+                else {
+                  val qt = Array.tabulate(64)(i => if (i == 0) q0 else 16)
+                  graft.codec.MediaFixtures.jpegReal(w, h, Seq(qt),
+                    (_, bx, by) => Array.tabulate(64)(i => if (i == 0) dc(bx, by) else 0))
+                }
+              (id, blob)
+            }
+          })
+          .toDF("doc_id", "blob")
+        val meta = Multimodal.decodeMeta(blobs, "doc_id", "blob")
+        // validation gates ride the PARSED metadata columns
+        val imgKept = meta
+          .filter(col("format").isin("png", "jpeg") &&
+            col("width").cast("long") * col("height") >= 16)
+          .select(col("media_id"), col("width"), col("height"))
+        val imgBlobs = blobs.join(imgKept, col("doc_id") === imgKept("media_id"))
+          .select(col("doc_id"), col("blob"))
+        // cross-format perceptual dedup: keep the smallest doc per dhash
+        val groups = Multimodal.dHash64(imgBlobs, "doc_id", "blob")
+          .groupBy(col("dhash"))
+          .agg(min(col("media_id")).cast("long").as("doc_id"),
+            count(lit(1)).cast("long").as("group_size"))
+        val images = groups
+          .join(imgKept, groups("doc_id") === imgKept("media_id"))
+          .select(lit("image").as("kind"), groups("doc_id"), col("group_size"),
+            col("width"), col("height"),
+            lit(null).cast("int").as("sample_rate"),
+            lit(null).cast("long").as("n_frames"))
+        val audio = meta
+          .filter(col("format") === "wav" &&
+            col("n_frames") >= 10 && col("sample_rate") >= 16000)
+          .select(lit("audio").as("kind"), col("media_id").as("doc_id"),
+            lit(1L).as("group_size"),
+            lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+            col("sample_rate"), col("n_frames").cast("long").as("n_frames"))
+        images.unionByName(audio).orderBy("doc_id")
+    },
+
     // ── Perceptual image fingerprint (dHash) over REAL decoded pixels:
     //    PNG decode → integer gray → 9×8 nearest-neighbor grid → 64
     //    horizontal-gradient sign bits as one LONG. The fixture builds

@@ -527,6 +527,44 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Container-independent audio identity key: md5 over (sample_rate,
+    * channels, decoded PCM samples as LE bytes) — the audio analog of
+    * the image dHash for dedup purposes, computed from the DECODED
+    * stream so two containers carrying the same audio share a key even
+    * when container trivia (chunk padding, header ordering) differ.
+    * Exact-content identity, not perceptual: byte-identical PCM only.
+    * One row per decodable 16-bit-PCM blob; everything else drops. */
+  def pcmKey(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("pcm_key", StringType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.wavPcm16(blob) match {
+          case Some(p) if p.channels > 0 =>
+            md.reset()
+            val hdr = java.nio.ByteBuffer.allocate(8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              .putInt(p.sampleRate).putInt(p.channels).array()
+            md.update(hdr)
+            val data = java.nio.ByteBuffer.allocate(p.samples.length * 2)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            p.samples.foreach(data.putShort)
+            md.update(data.array())
+            val hex = md.digest().map(b => f"${b & 0xff}%02x").mkString
+            Iterator.single(Row(r.getLong(idIdx), hex))
+          case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Media TRANSCODE, image side — the full read-transform-WRITE loop:
     * decode any raster the engine reads (PNG full matrix or JPEG
     * sequential/progressive via [[rgbRaster]]), resize into the

@@ -312,6 +312,87 @@ object EngineQueries {
           .orderBy("batch_id")
     },
 
+    // ── Streaming MULTIMODAL ingest: mm_corpus_build's arrival-mode
+    //    twin — one attached stream (MemoryStream → foreachBatch) runs
+    //    each micro-batch of raw container blobs through decode-metadata
+    //    gates, cross-FORMAT image dedup (dHash) + container-independent
+    //    audio identity (PCM digest), and cross-batch admission against
+    //    the durable key ledger. Batch 1 carries the three cross-batch
+    //    proofs: JPEG re-uploads of batch-0 PNGs (fresh ids — the ledger
+    //    must reject across both batch AND format), batch-0 audio
+    //    rewritten through the OTHER container builder (identity
+    //    survives the container change), and genuinely novel images
+    //    (admitted). rows-only: streams + engine ledgers, no SQL oracle;
+    //    StreamingMediaSpec pins the per-row semantics, the pin spec the
+    //    aggregate shape. ──
+    QueryDef.rowsOnly("engine_stream_media") {
+      (s, d) =>
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        def imgParams(sb: Long) =
+          ((1 + sb % 24).toInt, (1 + sb % 18).toInt, (1 + sb % 16).toInt)
+        def dcOf(sb: Long)(bx: Int, by: Int): Int =
+          (((sb * 31 + bx * 7 + by * 13 + 3) % 256) - 128).toInt
+        def pngOf(sb: Long, filterSeed: Long): Array[Byte] = {
+          val (w, h, q0) = imgParams(sb)
+          def v(bx: Int, by: Int): Int =
+            math.max(0, math.min(255, ((dcOf(sb)(bx, by) * q0 + 4) >> 3) + 128))
+          graft.codec.MediaFixtures.pngReal(w, h, (x, y, _) => v(x / 8, y / 8),
+            filterOf = y => ((filterSeed + y) % 5).toInt)
+        }
+        def jpegOf(sb: Long): Array[Byte] = {
+          val (w, h, q0) = imgParams(sb)
+          graft.codec.MediaFixtures.jpegReal(w, h,
+            Seq(Array.tabulate(64)(i => if (i == 0) q0 else 16)),
+            (_, bx, by) => Array.tabulate(64)(i => if (i == 0) dcOf(sb)(bx, by) else 0))
+        }
+        def audioParams(id: Long) =
+          ((8000 * (1 + id % 5)).toInt, (1 + id % 2).toInt, (1 + id % 50).toInt)
+        def blobFor(id: Long): Array[Byte] = (id % 3) match {
+          case 0 => pngOf(id / 3, id)
+          case 1 => jpegOf(id / 3)
+          case _ =>
+            val (rate, nch, ns) = audioParams(id)
+            graft.codec.MediaFixtures.wav(nch, rate, ns,
+              (i, c) => graft.codec.MediaFixtures.pcmSample(id, i, c))
+        }
+        val ids = graft.Tables.documents(s, d).filter(col("doc_id") < 240)
+          .select(col("doc_id")).as[Long].collect().toSeq.sorted
+        val ledgerDir = java.nio.file.Files.createTempDirectory("graft-smedia-l").toString
+        val outDir = java.nio.file.Files.createTempDirectory("graft-smedia-o").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft-smedia-k").toString
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Byte])]
+        val q = graft.streaming.StreamingMedia.attach(
+          mem.toDF().toDF("media_id", "blob"), "media_id", "blob",
+          ledgerDir, outDir, ckptDir)
+        // batch 1: only re-uploads of rows that PASSED batch 0's gates
+        // (a gated row's key never reached the ledger, so re-uploading
+        // it would test nothing)
+        val reupImg = ids.filter(id => id % 3 == 0 && {
+          val (w, h, _) = imgParams(id / 3); w.toLong * h >= 16
+        }).take(20).map(id => (100000L + id, jpegOf(id / 3)))
+        val reupAud = ids.filter(id => id % 3 == 2 && {
+          val (rate, _, ns) = audioParams(id); ns >= 10 && rate >= 16000
+        }).take(20).map { id =>
+          val (rate, nch, ns) = audioParams(id)
+          (200000L + id, graft.codec.MediaWriters.wavPcm16(rate, nch,
+            Array.tabulate[Short](ns * nch)(j =>
+              graft.codec.MediaFixtures.pcmSample(id, j / nch, j % nch).toShort)))
+        }
+        val fresh = (0 until 20).map(i => (300000L + i, pngOf(777000L + i, i)))
+        try {
+          mem.addData(ids.map(id => (id, blobFor(id))))
+          q.processAllAvailable()
+          mem.addData(reupImg ++ reupAud ++ fresh)
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(outDir)
+          .groupBy(col("batch").cast("long").as("batch"), col("kind"))
+          .agg(count(lit(1)).cast("long").as("n_admitted"),
+            sum(col("batch_copies")).cast("long").as("n_copies"))
+          .orderBy("batch", "kind")
+    },
+
     // ── ORC source/sink round trip: the corpus slice written to ORC and
     //    read back through Spark's native ORC reader, then content-
     //    aggregated. NOT rows-only: the oracle computes the same

@@ -87,6 +87,17 @@ object MediaDecodeProbe {
       timed(s"pcm resample x$rep", repIds.size, wavBytes) {
         graft.operators.Multimodal.resamplePcm(wavBlobs, "doc_id", "blob", 16000).count()
       }
+
+      // write side: decode + resize + PNG re-encode (deflate dominates),
+      // and decode + resample + WAV rewrite — the transcode stages
+      timed(s"png transcode x$rep", repIds.size, pngBytes) {
+        graft.operators.Multimodal.transcodePng(pngBlobs, "doc_id", "blob", 8, 6)
+          .agg(sum(length(col("png")))).head.getLong(0)
+      }
+      timed(s"wav transcode x$rep", repIds.size, wavBytes) {
+        graft.operators.Multimodal.transcodeWav(wavBlobs, "doc_id", "blob", 16000)
+          .agg(sum(length(col("wav")))).head.getLong(0)
+      }
     }
     spark.stop()
   }

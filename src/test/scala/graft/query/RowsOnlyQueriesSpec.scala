@@ -29,8 +29,27 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "text_classifier_train", "engine_stream_validate",
       "engine_jsonl_quarantine", "engine_stream_drift",
       "engine_stream_corpus", "text_score_percentiles_approx",
-      "text_heavyhitters_sketch"),
+      "text_heavyhitters_sketch", "engine_stream_media"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("engine_stream_media: twins collapse in batch 0, batch 1 rejects every re-upload") {
+    val df = run("engine_stream_media")
+    assert(df.columns.toSeq == Seq("batch", "kind", "n_admitted", "n_copies"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    // batch 0 admits both kinds; the PNG/JPEG twin pairs mean the image
+    // copy count strictly exceeds the admitted count
+    val img0 = rows((0L, "image"))
+    assert(img0.getLong(2) > 0 && img0.getLong(3) > img0.getLong(2),
+      "cross-format twins must collapse (copies > admitted)")
+    assert(rows.contains((0L, "audio")) && rows((0L, "audio")).getLong(2) > 0)
+    // batch 1: ONLY the novel images are admitted — every image and
+    // audio re-upload is rejected by the cross-batch ledger, so no
+    // batch-1 audio row exists at all
+    assert(!rows.contains((1L, "audio")),
+      "a rewritten-container audio re-upload slipped past the ledger")
+    val img1 = rows((1L, "image"))
+    assert(img1.getLong(2) >= 1 && img1.getLong(2) <= 20)
   }
 
   test("text_score_percentiles_approx: sketch quantiles sit at exact ranks for small groups") {

@@ -27,6 +27,52 @@ object Sharding {
   def shardId(key: Column, nShards: Int): Column =
     (conv(substring(md5(key), 1, 8), 16, 10).cast("long") % nShards).cast("int")
 
+  /** WebDataset-style TAR shard packing — the distribution layer for
+    * multimodal training data: each shard's (member id, payload blob)
+    * rows become ONE deterministic USTAR archive
+    * ([[graft.codec.TarCodec]]: no compression, zero mtimes, so shard
+    * bytes are a pure function of the members — oracle-safe, unlike
+    * deflate), members named `<id zero-padded to 12>.bin` and ordered
+    * by id inside the archive. One shuffle on the shard id; per-group
+    * state is one shard's members (bounded by the caller's shard
+    * sizing), assembled in a single typed mapGroups. Output: (shard,
+    * tar, n_members, n_tar_bytes). */
+  def packTarShards(df: DataFrame, shardCol: String, idCol: String,
+                    blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("int"), col(idCol).cast("long"), col(blobCol))
+      .as[(Int, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val members = it.map { case (_, id, b) => (id, b) }.toSeq.sortBy(_._1)
+          .map { case (id, b) => (f"$id%012d.bin", b) }
+        val tar = graft.codec.TarCodec.write(members)
+        (shard, tar, members.size.toLong, tar.length.toLong)
+      }
+      .toDF("shard", "tar", "n_members", "n_tar_bytes")
+  }
+
+  /** The inverse: explode tar shards back to (shard, member_id, blob)
+    * rows — the trainer-side read path, and the round-trip proof the
+    * packing queries hash-check. Unparseable archives and members whose
+    * names do not follow the packer's `<id>.bin` convention are
+    * dropped. */
+  def readTarMembers(df: DataFrame, shardCol: String, tarCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("int"), col(tarCol))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (shard, tar) =>
+        graft.codec.TarCodec.parse(tar).getOrElse(Seq.empty).flatMap {
+          case (name, payload) if name.endsWith(".bin") =>
+            name.stripSuffix(".bin").toLongOption.map(id => (shard, id, payload))
+          case _ => None
+        }
+      }
+      .toDF("shard", "member_id", "blob")
+  }
+
   /** Deterministic per-epoch shuffle key: md5 over (seed, key). A pure
     * function of its inputs — the same (seed, key) orders identically on
     * any engine, any run; a new seed is a fresh epoch-wide permutation. */

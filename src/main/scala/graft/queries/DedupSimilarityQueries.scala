@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sharding, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Dedup / similarity / multimodal operators bound to the driver corpus
@@ -2596,6 +2596,85 @@ object DedupSimilarityQueries {
             lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
             col("sample_rate"), col("n_frames").cast("long").as("n_frames"))
         images.unionByName(audio).orderBy("doc_id")
+    },
+
+    // ── TAR SHARD round trip — the WebDataset-style distribution layer:
+    //    every doc's WAV payload packs into its shard's USTAR archive
+    //    (one shuffle on the shard id, one archive per group), the
+    //    archives are PARSED BACK by the engine's own tar reader, and
+    //    the recovered members decode through audioFeatures. The oracle
+    //    replays shard assignment + every decoded sample from seed
+    //    arithmetic — a wrong member boundary, padding, name, or
+    //    misrouted member breaks the hash. ──
+    QueryDef.sql(
+      "mm_tar_shards",
+      """WITH f AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS rate,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS nch,
+        |    CAST(1 + doc_id % 50 AS BIGINT) AS ns
+        |  FROM documents),
+        |cc AS (SELECT doc_id, shard, rate, ns, unnest(range(0, nch)) AS c FROM f),
+        |o AS (SELECT doc_id, shard, rate, ns, c, unnest(range(0, ns)) AS i FROM cc),
+        |v AS (SELECT doc_id, shard, rate, ns, c, i,
+        |        ((doc_id * 31 + i * 7 + c * 13 + 11) % 65536) - 32768 AS s
+        |      FROM o)
+        |SELECT CAST(shard AS INT) AS shard, doc_id AS member_id,
+        |  CAST(c AS INT) AS channel, ns AS n_samples,
+        |  CAST(sum(s) AS BIGINT) AS sum_s,
+        |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(s)) AS INT) AS peak
+        |FROM v GROUP BY doc_id, shard, c, ns
+        |ORDER BY member_id, channel""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val rate = (8000 * (1 + id % 5)).toInt
+            val nch = (1 + id % 2).toInt
+            val ns = (1 + id % 50).toInt
+            (id, (id % 8).toInt, graft.codec.MediaFixtures.wav(nch, rate, ns,
+              (i, c) => graft.codec.MediaFixtures.pcmSample(id, i, c)))
+          })
+          .toDF("doc_id", "shard", "blob")
+        val tars = Sharding.packTarShards(blobs, "shard", "doc_id", "blob")
+        val members = Sharding.readTarMembers(tars, "shard", "tar")
+        val feats = Multimodal.audioFeatures(members, "member_id", "blob")
+        feats.join(members.select(col("shard"), col("member_id")),
+            feats("media_id") === members("member_id"))
+          .select(col("shard"), col("media_id").as("member_id"), col("channel"),
+            col("n_samples"), col("sum_s"), col("sum_sq"), col("peak"))
+          .orderBy("member_id", "channel")
+    },
+
+    // ── TAR WRITER byte layout — tar is the one container whose WRITTEN
+    //    bytes are oracle-safe (no compression, zero mtimes): per shard,
+    //    the exact archive size is pure arithmetic — Σ members (512-byte
+    //    header + payload padded to 512) + the 1024-byte terminator,
+    //    with payload = the WAV fixture's 44 + ns·nch·2 bytes. A single
+    //    padding or terminator bug shifts every size. ──
+    QueryDef.sql(
+      "mm_tar_shard_sizes",
+      """WITH f AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    44 + (1 + doc_id % 50) * (1 + doc_id % 2) * 2 AS wav_bytes
+        |  FROM documents)
+        |SELECT CAST(shard AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(512 + ((wav_bytes + 511) // 512) * 512) + 1024 AS BIGINT) AS n_tar_bytes
+        |FROM f GROUP BY shard ORDER BY shard""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val rate = (8000 * (1 + id % 5)).toInt
+            val nch = (1 + id % 2).toInt
+            val ns = (1 + id % 50).toInt
+            (id, (id % 8).toInt, graft.codec.MediaFixtures.wav(nch, rate, ns,
+              (i, c) => graft.codec.MediaFixtures.pcmSample(id, i, c)))
+          })
+          .toDF("doc_id", "shard", "blob")
+        Sharding.packTarShards(blobs, "shard", "doc_id", "blob")
+          .select(col("shard"), col("n_members"), col("n_tar_bytes"))
+          .orderBy("shard")
     },
 
     // ── Perceptual image fingerprint (dHash) over REAL decoded pixels:

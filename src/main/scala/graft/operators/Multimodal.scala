@@ -620,6 +620,68 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Training-time image AUGMENTATION — the deterministic geometric
+    * family (horizontal flip, vertical flip, 90° clockwise rotation,
+    * center crop to the half box): decode any readable raster
+    * ([[rgbRaster]]), apply each variant as a pure integer index
+    * permutation (no interpolation, no floats — every output byte IS a
+    * source byte, so an arithmetic oracle replays the full set), and
+    * emit each variant as a real PNG through the write path. One row
+    * per (blob, variant) incl. `orig`; undecodable blobs produce no
+    * rows. Per-row work riding the scan; augmentation multiplies the
+    * corpus ×5 map-side with no shuffle. */
+  def augmentPng(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("variant", StringType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("png", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        rgbRaster(blob) match {
+          case Some((w, h, rgb)) =>
+            val id = r.getLong(idIdx)
+            // each variant maps output (ox, oy) to one source pixel
+            def build(ow: Int, oh: Int)(src: (Int, Int) => (Int, Int)): Array[Byte] = {
+              val out = new Array[Byte](ow * oh * 3)
+              var oy = 0
+              while (oy < oh) {
+                var ox = 0
+                while (ox < ow) {
+                  val (sx, sy) = src(ox, oy)
+                  val si = (sy * w + sx) * 3
+                  val di = (oy * ow + ox) * 3
+                  out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+                  ox += 1
+                }
+                oy += 1
+              }
+              out
+            }
+            val cw = (w + 1) / 2; val ch = (h + 1) / 2
+            val cx = w / 4; val cy = h / 4
+            Iterator(
+              ("orig", w, h, rgb),
+              ("hflip", w, h, build(w, h)((ox, oy) => (w - 1 - ox, oy))),
+              ("vflip", w, h, build(w, h)((ox, oy) => (ox, h - 1 - oy))),
+              // 90° clockwise: output column ox reads source row h-1-ox
+              ("rot90", h, w, build(h, w)((ox, oy) => (oy, h - 1 - ox))),
+              ("crop", cw, ch, build(cw, ch)((ox, oy) => (cx + ox, cy + oy)))
+            ).map { case (variant, ow, oh, px) =>
+              Row(id, variant, ow, oh, graft.codec.MediaWriters.pngRgb(ow, oh, px))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Media TRANSCODE, audio side: decode in-blob 16-bit PCM
     * ([[graft.codec.MediaHeaders.wavPcm16]]), linear-interpolate every
     * channel to `targetRate` with EXACTLY the integer arithmetic of

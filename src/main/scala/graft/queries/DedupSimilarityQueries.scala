@@ -2598,6 +2598,73 @@ object DedupSimilarityQueries {
         images.unionByName(audio).orderBy("doc_id")
     },
 
+    // ── Training-time image AUGMENTATION — hflip / vflip / rot90 /
+    //    center-crop as pure integer index permutations over really
+    //    decoded pixels, each variant re-emitted as a real PNG and
+    //    RE-DECODED for its fingerprint (so the write path sits inside
+    //    the checked loop). The oracle replays every variant's source
+    //    mapping per output pixel — no interpolation anywhere, every
+    //    output byte IS a source byte, which is what makes the full
+    //    augmentation family exactly replayable in SQL. ──
+    QueryDef.sql(
+      "mm_augment",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 24 AS BIGINT) AS w,
+        |                  CAST(1 + doc_id % 18 AS BIGINT) AS h FROM documents),
+        |vr AS (SELECT doc_id, w, h,
+        |         unnest(['orig','hflip','vflip','rot90','crop']) AS variant FROM d),
+        |dims AS (SELECT doc_id, w, h, variant,
+        |    CASE variant WHEN 'rot90' THEN h WHEN 'crop' THEN (w + 1) // 2 ELSE w END AS ow,
+        |    CASE variant WHEN 'rot90' THEN w WHEN 'crop' THEN (h + 1) // 2 ELSE h END AS oh
+        |  FROM vr),
+        |u AS (SELECT *, unnest(range(0, ow)) AS ox FROM dims),
+        |v2 AS (SELECT *, unnest(range(0, oh)) AS oy FROM u),
+        |e AS (SELECT doc_id, variant, w, h, ow, oh, ox, oy,
+        |    CASE variant WHEN 'hflip' THEN w - 1 - ox WHEN 'rot90' THEN oy
+        |         WHEN 'crop' THEN w // 4 + ox ELSE ox END AS sx,
+        |    CASE variant WHEN 'vflip' THEN h - 1 - oy WHEN 'rot90' THEN h - 1 - ox
+        |         WHEN 'crop' THEN h // 4 + oy ELSE oy END AS sy,
+        |    unnest(range(0, 3)) AS c
+        |  FROM v2),
+        |p AS (SELECT doc_id, variant, ow, oh, ox, oy, c,
+        |        (doc_id * 31 + sx * 7 + sy * 13 + c * 11 + 5) % 256 AS px
+        |      FROM e)
+        |SELECT doc_id, variant, CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+        |  CAST(ow * oh * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(px) AS BIGINT) AS sum_pix,
+        |  CAST(min(px) AS INT) AS min_pix, CAST(max(px) AS INT) AS max_pix,
+        |  CAST(sum(CASE WHEN ox = 0 AND oy = 0 AND c = 0 THEN px ELSE 0 END) AS INT)
+        |    AS first_pix,
+        |  CAST(sum(CASE WHEN ox = ow - 1 AND oy = oh - 1 AND c = 2 THEN px ELSE 0 END) AS INT)
+        |    AS last_pix
+        |FROM p GROUP BY doc_id, variant, ow, oh
+        |ORDER BY doc_id, variant""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 24).toInt; val h = (1 + id % 18).toInt
+            (id, graft.codec.MediaFixtures.pngReal(w, h,
+              (x, y, c) => graft.codec.MediaFixtures.pixel(id, x, y, c),
+              filterOf = y => ((id + y) % 5).toInt))
+          })
+          .toDF("doc_id", "blob")
+        val vidx = when(col("variant") === "orig", 0)
+          .when(col("variant") === "hflip", 1)
+          .when(col("variant") === "vflip", 2)
+          .when(col("variant") === "rot90", 3)
+          .otherwise(4)
+        val keyed = Multimodal.augmentPng(blobs, "doc_id", "blob")
+          .select((col("media_id") * 5 + vidx).cast("long").as("vid"), col("png"))
+        Multimodal.pngPixelStats(keyed, "vid", "png")
+          .select(expr("media_id div 5").cast("long").as("doc_id"),
+            element_at(
+              array(lit("orig"), lit("hflip"), lit("vflip"), lit("rot90"), lit("crop")),
+              (pmod(col("media_id"), lit(5)) + 1).cast("int")).as("variant"),
+            col("width"), col("height"), col("n_bytes"), col("sum_pix"),
+            col("min_pix"), col("max_pix"), col("first_pix"), col("last_pix"))
+          .orderBy("doc_id", "variant")
+    },
+
     // ── TAR SHARD round trip — the WebDataset-style distribution layer:
     //    every doc's WAV payload packs into its shard's USTAR archive
     //    (one shuffle on the shard id, one archive per group), the

@@ -89,13 +89,26 @@ object MediaDecodeProbe {
       }
 
       // write side: decode + resize + PNG re-encode (deflate dominates),
-      // and decode + resample + WAV rewrite — the transcode stages
+      // and decode + resample + WAV rewrite — the transcode stages.
+      // timed() unpersists every block after each stage, so these build
+      // their OWN checkpointed inputs rather than reusing the earlier
+      // stages' (reuse across the unpersist boundary = lost blocks)
+      val pngBlobs2 = spark.createDataset(repIds).repartition(32)
+        .mapPartitions(_.map { id =>
+          val sb = id % 100
+          val w = (1 + sb % 24).toInt; val h = (1 + sb % 18).toInt
+          (id, graft.codec.MediaFixtures.pngReal(w, h,
+            (x, y, c) => graft.codec.MediaFixtures.pixel(sb, x, y, c)))
+        }).toDF("doc_id", "blob").localCheckpoint()
       timed(s"png transcode x$rep", repIds.size, pngBytes) {
-        graft.operators.Multimodal.transcodePng(pngBlobs, "doc_id", "blob", 8, 6)
+        graft.operators.Multimodal.transcodePng(pngBlobs2, "doc_id", "blob", 8, 6)
           .agg(sum(length(col("png")))).head.getLong(0)
       }
+      val wavBlobs2 = spark.createDataset(repIds).repartition(32)
+        .mapPartitions(_.map(id => (id, graft.codec.MediaFixtures.build(3 + 4 * (id % 1000)))))
+        .toDF("doc_id", "blob").localCheckpoint()
       timed(s"wav transcode x$rep", repIds.size, wavBytes) {
-        graft.operators.Multimodal.transcodeWav(wavBlobs, "doc_id", "blob", 16000)
+        graft.operators.Multimodal.transcodeWav(wavBlobs2, "doc_id", "blob", 16000)
           .agg(sum(length(col("wav")))).head.getLong(0)
       }
     }

@@ -49,6 +49,31 @@ class TranscodeSpec extends SparkSpec {
     }
   }
 
+  test("augmentPng: every variant is the exact index permutation, written as decodable PNG") {
+    val w = 7; val h = 4 // asymmetric + odd dims exercise the crop floors
+    def pix(x: Int, y: Int, c: Int): Int = (x * 41 + y * 17 + c * 5 + 9) % 256
+    val png = MediaFixtures.pngReal(w, h, pix, filterOf = y => (y + 2) % 5)
+    val out = Multimodal.augmentPng(df(Seq(Row(5L, png), Row(6L, "junk".getBytes))),
+      "media_id", "blob")
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(out.keySet == Set("orig", "hflip", "vflip", "rot90", "crop"))
+    val expect: Map[String, (Int, Int, (Int, Int, Int) => Int)] = Map(
+      "orig" -> ((w, h, pix)),
+      "hflip" -> ((w, h, (x, y, c) => pix(w - 1 - x, y, c))),
+      "vflip" -> ((w, h, (x, y, c) => pix(x, h - 1 - y, c))),
+      "rot90" -> ((h, w, (x, y, c) => pix(y, h - 1 - x, c))),
+      "crop" -> (((w + 1) / 2, (h + 1) / 2, (x, y, c) => pix(w / 4 + x, h / 4 + y, c))))
+    expect.foreach { case (variant, (ow, oh, f)) =>
+      val r = out(variant)
+      assert(r.getInt(2) == ow && r.getInt(3) == oh, variant)
+      val p = MediaHeaders.pngPixels(r.getAs[Array[Byte]](4))
+        .getOrElse(fail(s"$variant PNG undecodable"))
+      assert(p.width == ow && p.height == oh)
+      for (y <- 0 until oh; x <- 0 until ow; c <- 0 until 3)
+        assert((p.rgb((y * ow + x) * 3 + c) & 0xff) == f(x, y, c), s"$variant ($x,$y,$c)")
+    }
+  }
+
   test("transcodeWav: the rewritten file carries the resampled stream at the new rate") {
     val rate = 8000; val n = 20; val ch = 2; val target = 16000
     def s(k: Int, c: Int): Int = k * 1000 - 9000 + c * 3

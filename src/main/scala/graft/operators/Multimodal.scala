@@ -620,6 +620,79 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Fixed-point 16-sample cosine table (Q10: round(cos(2πj/16)·1024))
+    * shared verbatim by [[spectralFeatures]] and its SQL oracle — both
+    * engines index the SAME literal constants, which is what makes the
+    * spectral transform exactly integer-replayable. sin(x) = cos(x−π/2)
+    * ⇒ the sine table is this one rotated by 12. */
+  val Dft16CosQ10: Array[Long] = Array(
+    1024L, 946L, 724L, 392L, 0L, -392L, -724L, -946L,
+    -1024L, -946L, -724L, -392L, 0L, 392L, 724L, 946L)
+
+  /** Spectral curation features over REAL decoded PCM — the band-energy
+    * lens an audio pipeline gates on (speech concentrates low bins,
+    * hiss is flat, tones spike one bin): non-overlapping 16-sample
+    * frames, per frequency bin k the exact-integer 16-point DFT power
+    *
+    *   re = Σ s[i]·cos(2πik/16), im = Σ s[i]·sin(2πik/16)  (Q10 table)
+    *   power = (re² + im²) >> 20                            (Q0 again)
+    *
+    * summed over frames per (media, channel, bin) — every step integer
+    * arithmetic over the shared [[Dft16CosQ10]] literals, so the DuckDB
+    * oracle replays each frame bit-for-bit. Bins 0..8 (DC..Nyquist;
+    * the upper half mirrors). Tail samples short of a frame are
+    * dropped. Per-row work riding the scan, no shuffle. */
+  def spectralFeatures(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
+      StructField("bin", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("sum_power", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.wavPcm16(blob) match {
+          case Some(p) if p.channels > 0 =>
+            val frames = p.samples.length / p.channels / 16
+            if (frames == 0) Iterator.empty
+            else {
+              val id = r.getLong(idIdx)
+              (0 until p.channels).iterator.flatMap { c =>
+                val power = new Array[Long](9)
+                var f = 0
+                while (f < frames) {
+                  var k = 0
+                  while (k <= 8) {
+                    var re = 0L
+                    var im = 0L
+                    var i = 0
+                    while (i < 16) {
+                      val s = p.samples(((f * 16 + i) * p.channels) + c).toLong
+                      val j = (i * k) & 15
+                      re += s * Dft16CosQ10(j)
+                      im += s * Dft16CosQ10((j + 12) & 15)
+                      i += 1
+                    }
+                    power(k) += (re * re + im * im) >> 20
+                    k += 1
+                  }
+                  f += 1
+                }
+                (0 to 8).iterator.map(k =>
+                  Row(id, c, k, frames.toLong, power(k)))
+              }
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Training-time image AUGMENTATION — the deterministic geometric
     * family (horizontal flip, vertical flip, 90° clockwise rotation,
     * center crop to the half box): decode any readable raster

@@ -2665,6 +2665,60 @@ object DedupSimilarityQueries {
           .orderBy("doc_id", "variant")
     },
 
+    // ── Spectral audio features — exact-integer 16-point DFT band
+    //    energies over decoded PCM (the speech/hiss/tone curation lens):
+    //    both engines index the SAME Q10 cosine literals
+    //    (Multimodal.Dft16CosQ10), so re/im/power replay bit-for-bit —
+    //    per frame: re = Σ s·cos, im = Σ s·sin (sin = the table rotated
+    //    by 12), power = (re² + im²) // 2^20, summed per (doc, channel,
+    //    bin 0..8). A single wrong table entry, frame boundary, or
+    //    rounding step breaks the hash. ──
+    QueryDef.sql(
+      "mm_audio_spectral",
+      """WITH ct AS (SELECT unnest(range(0, 16)) AS j,
+        |  unnest([1024, 946, 724, 392, 0, -392, -724, -946,
+        |          -1024, -946, -724, -392, 0, 392, 724, 946]) AS v),
+        |f AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS nch,
+        |    CAST(1 + doc_id % 50 AS BIGINT) AS ns
+        |  FROM documents WHERE 1 + doc_id % 50 >= 16),
+        |cc AS (SELECT doc_id, ns, ns // 16 AS n_frames, unnest(range(0, nch)) AS c FROM f),
+        |fr AS (SELECT doc_id, c, n_frames, unnest(range(0, n_frames)) AS fi FROM cc),
+        |kk AS (SELECT doc_id, c, n_frames, fi, unnest(range(0, 9)) AS k FROM fr),
+        |ii AS (SELECT doc_id, c, n_frames, fi, k, unnest(range(0, 16)) AS i FROM kk),
+        |t AS (SELECT doc_id, c, n_frames, fi, k, i,
+        |        ((doc_id * 31 + (fi * 16 + i) * 7 + c * 13 + 11) % 65536) - 32768 AS s,
+        |        (i * k) % 16 AS j1, ((i * k) % 16 + 12) % 16 AS j2
+        |      FROM ii),
+        |ri AS (SELECT doc_id, c, n_frames, fi, k,
+        |        sum(t.s * c1.v) AS re, sum(t.s * c2.v) AS im
+        |      FROM t JOIN ct c1 ON t.j1 = c1.j JOIN ct c2 ON t.j2 = c2.j
+        |      GROUP BY doc_id, c, n_frames, fi, k),
+        |pw AS (SELECT doc_id, c, n_frames, k,
+        |        (re * re + im * im) // 1048576 AS p
+        |      FROM ri)
+        |SELECT doc_id, CAST(c AS INT) AS channel, CAST(k AS INT) AS bin,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(sum(p) AS BIGINT) AS sum_power
+        |FROM pw GROUP BY doc_id, c, k, n_frames
+        |ORDER BY doc_id, channel, bin""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val rate = (8000 * (1 + id % 5)).toInt
+            val nch = (1 + id % 2).toInt
+            val ns = (1 + id % 50).toInt
+            (id, graft.codec.MediaFixtures.wav(nch, rate, ns,
+              (i, c) => graft.codec.MediaFixtures.pcmSample(id, i, c)))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.spectralFeatures(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("channel"), col("bin"),
+            col("n_frames"), col("sum_power"))
+          .orderBy("doc_id", "channel", "bin")
+    },
+
     // ── TAR SHARD round trip — the WebDataset-style distribution layer:
     //    every doc's WAV payload packs into its shard's USTAR archive
     //    (one shuffle on the shard id, one archive per group), the

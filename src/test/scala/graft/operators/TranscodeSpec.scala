@@ -74,6 +74,43 @@ class TranscodeSpec extends SparkSpec {
     }
   }
 
+  test("spectralFeatures: DC closed form exact, a pure tone lands in its bin, frames drop tails") {
+    // frame 0 = the Q10 cosine table itself at k=2 (a pure bin-2 tone),
+    // frame 1 = constant 100 (pure DC); 5 tail samples must drop
+    def s(i: Int, c: Int): Int =
+      if (i < 16) Multimodal.Dft16CosQ10((2 * i) & 15).toInt
+      else if (i < 32) 100
+      else 7777
+    val wav = MediaFixtures.wav(1, 8000, 37, s)
+    val rows = Multimodal.spectralFeatures(
+      df(Seq(Row(9L, wav))), "media_id", "blob")
+      .collect().map(r => r.getInt(2) -> r).toMap
+    assert(rows.size == 9 && rows.values.forall(_.getLong(3) == 2L), "37 samples = 2 frames")
+    // DC: power = ((Σs)·1024)² >> 20 = (Σs)² exactly, per frame
+    val sum0 = (0 until 16).map(i => s(i, 0)).sum.toLong
+    val sum1 = 16L * 100
+    assert(rows(0).getLong(4) == sum0 * sum0 + sum1 * sum1, "DC closed form")
+    // the tone frame dominates bin 2: power(2) > 4x any other non-DC bin
+    val byBin = (1 to 8).map(k => k -> rows(k).getLong(4)).toMap
+    assert((1 to 8).filter(_ != 2).forall(k => byBin(2) > 4 * byBin(k)),
+      s"tone must concentrate in bin 2: $byBin")
+    // independent double-precision DFT agrees within quantization error
+    for (k <- 0 to 8) {
+      var exact = 0.0
+      for (f <- 0 until 2) {
+        var re = 0.0; var im = 0.0
+        for (i <- 0 until 16) {
+          val ang = 2 * math.Pi * i * k / 16
+          re += s(f * 16 + i, 0) * math.cos(ang)
+          im -= s(f * 16 + i, 0) * math.sin(ang)
+        }
+        exact += re * re + im * im
+      }
+      val got = rows(k).getLong(4).toDouble
+      assert(math.abs(got - exact) <= 0.02 * exact + 2000, s"bin $k: $got vs $exact")
+    }
+  }
+
   test("transcodeWav: the rewritten file carries the resampled stream at the new rate") {
     val rate = 8000; val n = 20; val ch = 2; val target = 16000
     def s(k: Int, c: Int): Int = k * 1000 - 9000 + c * 3

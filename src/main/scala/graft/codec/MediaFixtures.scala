@@ -306,6 +306,37 @@ object MediaFixtures {
     acSyms.zipWithIndex.toMap
   }
 
+  /** Splice a REAL EXIF APP1 segment (TIFF header + one-entry IFD0
+    * carrying orientation tag 0x0112, either byte order) into a JPEG
+    * right after SOI — what a camera writes, built byte-for-byte so
+    * [[MediaHeaders.exifOrientation]]'s IFD walk is exercised against
+    * genuine TIFF structure in both endiannesses. */
+  def jpegWithExif(jpeg: Array[Byte], orientation: Int,
+                   littleEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"bad orientation: $orientation")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "not a JPEG")
+    def w16(v: Int): Array[Byte] =
+      if (littleEndian) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def w32(v: Long): Array[Byte] =
+      if (littleEndian) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      else Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val tiff =
+      (if (littleEndian) "II".getBytes("US-ASCII") else "MM".getBytes("US-ASCII")) ++
+        w16(42) ++ w32(8L) ++ // IFD0 at offset 8
+        w16(1) ++ // one entry
+        w16(0x0112) ++ w16(3) ++ w32(1L) ++ (w16(orientation) ++ Array[Byte](0, 0)) ++
+        w32(0L) // no next IFD
+    val seg = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val len = seg.length + 2
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ seg
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
+
   /** Fully REAL baseline JPEG: a complete DQT/SOF0/DHT/SOS stream whose
     * entropy data is genuinely Huffman-coded — decodable by ANY baseline
     * decoder (including the JDK's own `javax.imageio`, which the spec

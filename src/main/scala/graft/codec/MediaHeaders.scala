@@ -320,6 +320,72 @@ object MediaHeaders {
     None
   }
 
+  /** EXIF orientation (tag 0x0112) from a JPEG's APP1 segment — a real
+    * TIFF IFD walk: "Exif\0\0" preamble, byte-order mark (II little /
+    * MM big endian), magic 42, IFD0 offset, then the 12-byte entry
+    * scan for the SHORT orientation tag. Returns 1..8 per the EXIF
+    * table (1 = upright … 6 = needs 90° CW … 8 = needs 270° CW);
+    * None when there is no APP1, no Exif preamble, a malformed TIFF,
+    * or no orientation entry. Bounds-checked, never throws, stops at
+    * SOS (EXIF must precede the entropy data). */
+  def exifOrientation(b: Array[Byte]): Option[Int] = {
+    if (!isJpeg(b)) return None
+    var i = 2
+    while (i + 4 <= b.length) {
+      if (u8(b, i) != 0xff) return None
+      val m = u8(b, i + 1)
+      val at = i + 2
+      m match {
+        case 0x01 | 0xd0 | 0xd1 | 0xd2 | 0xd3 | 0xd4 | 0xd5 | 0xd6 | 0xd7 =>
+          i = at
+        case 0xd9 | 0xda => return None // end / entropy data: no EXIF ahead
+        case 0xe1 =>
+          if (at + 2 > b.length) return None
+          val len = be16(b, at)
+          if (len < 2 || at + len > b.length) return None
+          val p = at + 2
+          if (len >= 10 && b(p) == 'E' && b(p + 1) == 'x' && b(p + 2) == 'i' &&
+            b(p + 3) == 'f' && b(p + 4) == 0 && b(p + 5) == 0) {
+            val tiff = p + 6
+            val end = at + len
+            if (tiff + 8 <= end) {
+              val little =
+                if (b(tiff) == 'I' && b(tiff + 1) == 'I') Some(true)
+                else if (b(tiff) == 'M' && b(tiff + 1) == 'M') Some(false)
+                else None
+              little.foreach { le =>
+                def r16(o: Int): Int = if (le) le16(b, o) else be16(b, o)
+                def r32(o: Int): Long = if (le) le32(b, o) else be32(b, o)
+                if (r16(tiff + 2) == 42) {
+                  val ifd = r32(tiff + 4)
+                  if (ifd >= 8 && tiff + ifd + 2 <= end) {
+                    val base = (tiff + ifd).toInt
+                    val n = r16(base)
+                    var e = 0
+                    while (e < n && base + 2 + 12 * (e + 1) <= end) {
+                      val o = base + 2 + 12 * e
+                      if (r16(o) == 0x0112 && r16(o + 2) == 3 && r32(o + 4) == 1L) {
+                        val v = r16(o + 8)
+                        if (v >= 1 && v <= 8) return Some(v)
+                      }
+                      e += 1
+                    }
+                  }
+                }
+              }
+            }
+          }
+          i = at + len
+        case _ =>
+          if (at + 2 > b.length) return None
+          val len = be16(b, at)
+          if (len < 2) return None
+          i = at + len
+      }
+    }
+    None
+  }
+
   /** Decoded baseline-JPEG raster: `channels` = 1 (grayscale, w·h
     * luma bytes) or 3 (RGB from YCbCr, w·h·3 bytes, row-major). */
   final case class JpegRaster(width: Int, height: Int, channels: Int, pixels: Array[Byte])

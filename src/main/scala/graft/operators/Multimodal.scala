@@ -620,6 +620,66 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** EXIF AUTO-ORIENT — normalize camera rotations before any visual
+    * dedup/embedding stage (a 90°-rotated duplicate defeats dHash;
+    * normalizing first restores the pair): parse the APP1 TIFF
+    * orientation ([[graft.codec.MediaHeaders.exifOrientation]], default
+    * 1 when absent), decode the raster, apply the EXIF display fix as a
+    * pure integer index permutation (1 identity, 2 hflip, 3 rot180,
+    * 4 vflip, 5 transpose, 6 rot90 CW, 7 transverse, 8 rot270 CW — the
+    * jhead/libvips mapping), and emit the upright raster as a real PNG.
+    * One row per decodable blob with the parsed orientation carried as
+    * proof of the parse; per-row, rides the scan. */
+  def exifAutoOrient(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("orientation", IntegerType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("png", BinaryType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        rgbRaster(blob) match {
+          case Some((w, h, rgb)) =>
+            val o = graft.codec.MediaHeaders.exifOrientation(blob).getOrElse(1)
+            val swap = o >= 5
+            val ow = if (swap) h else w
+            val oh = if (swap) w else h
+            val out = new Array[Byte](ow * oh * 3)
+            var oy = 0
+            while (oy < oh) {
+              var ox = 0
+              while (ox < ow) {
+                val (sx, sy) = o match {
+                  case 2 => (w - 1 - ox, oy)
+                  case 3 => (w - 1 - ox, h - 1 - oy)
+                  case 4 => (ox, h - 1 - oy)
+                  case 5 => (oy, ox)
+                  case 6 => (oy, h - 1 - ox)
+                  case 7 => (w - 1 - oy, h - 1 - ox)
+                  case 8 => (w - 1 - oy, ox)
+                  case _ => (ox, oy)
+                }
+                val si = (sy * w + sx) * 3
+                val di = (oy * ow + ox) * 3
+                out(di) = rgb(si); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si + 2)
+                ox += 1
+              }
+              oy += 1
+            }
+            Iterator.single(Row(r.getLong(idIdx), o, ow, oh,
+              graft.codec.MediaWriters.pngRgb(ow, oh, out)))
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Fixed-point 16-sample cosine table (Q10: round(cos(2πj/16)·1024))
     * shared verbatim by [[spectralFeatures]] and its SQL oracle — both
     * engines index the SAME literal constants, which is what makes the

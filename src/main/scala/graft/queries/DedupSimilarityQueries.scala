@@ -2665,6 +2665,77 @@ object DedupSimilarityQueries {
           .orderBy("doc_id", "variant")
     },
 
+    // ── EXIF AUTO-ORIENT — real camera metadata driving a real pixel
+    //    fix: every doc's JPEG carries a genuine APP1/TIFF IFD
+    //    (endianness alternating per doc) whose orientation tag 1..8
+    //    the engine parses and corrects as an index permutation, then
+    //    re-emits upright as PNG and re-decodes. The oracle replays the
+    //    TIFF value from arithmetic (it cannot parse), the display-fix
+    //    mapping per orientation, and the decoded gray closed form —
+    //    a wrong IFD offset, endianness branch, or inverse mapping
+    //    breaks the hash. ──
+    QueryDef.sql(
+      "mm_exif_orient", {
+        val vAt =
+          """greatest(0, least(255,
+            |  ((((doc_id * 31 + (sx // 8) * 7 + (sy // 8) * 13 + 3) % 256) - 128) * q + 4 + 8192) // 8
+            |    - 1024 + 128))""".stripMargin
+        s"""WITH d AS (SELECT doc_id, CAST(1 + doc_id % 24 AS BIGINT) AS w,
+           |                  CAST(1 + doc_id % 18 AS BIGINT) AS h,
+           |                  CAST(1 + doc_id % 16 AS BIGINT) AS q,
+           |                  CAST(1 + doc_id % 8 AS INT) AS o FROM documents),
+           |dims AS (SELECT doc_id, w, h, q, o,
+           |    CASE WHEN o >= 5 THEN h ELSE w END AS ow,
+           |    CASE WHEN o >= 5 THEN w ELSE h END AS oh
+           |  FROM d),
+           |u AS (SELECT *, unnest(range(0, ow)) AS ox FROM dims),
+           |v2 AS (SELECT *, unnest(range(0, oh)) AS oy FROM u),
+           |e AS (SELECT doc_id, q, o, ow, oh, ox, oy,
+           |    CASE o WHEN 2 THEN w - 1 - ox WHEN 3 THEN w - 1 - ox
+           |           WHEN 5 THEN oy WHEN 6 THEN oy
+           |           WHEN 7 THEN w - 1 - oy WHEN 8 THEN w - 1 - oy
+           |           ELSE ox END AS sx,
+           |    CASE o WHEN 3 THEN h - 1 - oy WHEN 4 THEN h - 1 - oy
+           |           WHEN 5 THEN ox WHEN 6 THEN h - 1 - ox
+           |           WHEN 7 THEN h - 1 - ox WHEN 8 THEN ox
+           |           ELSE oy END AS sy
+           |  FROM v2),
+           |p AS (SELECT doc_id, o, ow, oh, ox, oy, $vAt AS px FROM e)
+           |SELECT doc_id, CAST(o AS INT) AS orientation,
+           |  CAST(ow AS INT) AS width, CAST(oh AS INT) AS height,
+           |  CAST(ow * oh * 3 AS BIGINT) AS n_bytes,
+           |  CAST(sum(px) * 3 AS BIGINT) AS sum_pix,
+           |  CAST(min(px) AS INT) AS min_pix, CAST(max(px) AS INT) AS max_pix,
+           |  CAST(sum(CASE WHEN ox = 0 AND oy = 0 THEN px ELSE 0 END) AS INT) AS first_pix,
+           |  CAST(sum(CASE WHEN ox = ow - 1 AND oy = oh - 1 THEN px ELSE 0 END) AS INT)
+           |    AS last_pix
+           |FROM p GROUP BY doc_id, o, ow, oh ORDER BY doc_id""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 24).toInt; val h = (1 + id % 18).toInt
+            val q0 = (1 + id % 16).toInt
+            val jpeg = graft.codec.MediaFixtures.jpegReal(w, h,
+              Seq(Array.tabulate(64)(i => if (i == 0) q0 else 16)),
+              (_, bx, by) => Array.tabulate(64)(i =>
+                if (i == 0) (((id * 31 + bx * 7 + by * 13 + 3) % 256) - 128).toInt else 0))
+            (id, graft.codec.MediaFixtures.jpegWithExif(jpeg,
+              orientation = (1 + id % 8).toInt, littleEndian = id % 2 == 0))
+          })
+          .toDF("doc_id", "blob")
+        val oriented = Multimodal.exifAutoOrient(blobs, "doc_id", "blob")
+        val stats = Multimodal.pngPixelStats(
+          oriented.select(col("media_id"), col("png")), "media_id", "png")
+        stats.join(oriented.select(col("media_id").as("oid"), col("orientation")),
+            stats("media_id") === col("oid"))
+          .select(col("media_id").as("doc_id"), col("orientation"),
+            col("width"), col("height"), col("n_bytes"), col("sum_pix"),
+            col("min_pix"), col("max_pix"), col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
     // ── Spectral audio features — exact-integer 16-point DFT band
     //    energies over decoded PCM (the speech/hiss/tone curation lens):
     //    both engines index the SAME Q10 cosine literals

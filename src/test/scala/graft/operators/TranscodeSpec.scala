@@ -74,6 +74,52 @@ class TranscodeSpec extends SparkSpec {
     }
   }
 
+  test("exifAutoOrient: all 8 orientations, both endiannesses, full parse+fix chain") {
+    for (o <- 1 to 8; le <- Seq(true, false)) {
+      // gray DC-only JPEG (block-constant closed form), spliced EXIF
+      val q0 = 7
+      def dc(bx: Int, by: Int): Int = (bx * 11 + by * 23) % 200 - 100
+      def v(bx: Int, by: Int): Int =
+        math.max(0, math.min(255, ((dc(bx, by) * q0 + 4) >> 3) + 128))
+      val jw = 20; val jh = 12
+      val jpeg = MediaFixtures.jpegWithExif(
+        MediaFixtures.jpegReal(jw, jh,
+          Seq(Array.tabulate(64)(i => if (i == 0) q0 else 16)),
+          (_, bx, by) => Array.tabulate(64)(i => if (i == 0) dc(bx, by) else 0)),
+        orientation = o, littleEndian = le)
+      assert(MediaHeaders.exifOrientation(jpeg).contains(o), s"parse o=$o le=$le")
+      val out = Multimodal.exifAutoOrient(df(Seq(Row(1L, jpeg))), "media_id", "blob")
+        .collect()
+      assert(out.length == 1 && out(0).getInt(1) == o)
+      val swap = o >= 5
+      val ow = if (swap) jh else jw
+      val oh = if (swap) jw else jh
+      assert(out(0).getInt(2) == ow && out(0).getInt(3) == oh, s"dims o=$o")
+      val p = MediaHeaders.pngPixels(out(0).getAs[Array[Byte]](4)).get
+      // reference: apply the documented display-fix mapping directly
+      for (oy <- 0 until oh; ox <- 0 until ow) {
+        val (sx, sy) = o match {
+          case 2 => (jw - 1 - ox, oy)
+          case 3 => (jw - 1 - ox, jh - 1 - oy)
+          case 4 => (ox, jh - 1 - oy)
+          case 5 => (oy, ox)
+          case 6 => (oy, jh - 1 - ox)
+          case 7 => (jw - 1 - oy, jh - 1 - ox)
+          case 8 => (jw - 1 - oy, ox)
+          case _ => (ox, oy)
+        }
+        val expect = v(sx / 8, sy / 8)
+        assert((p.rgb((oy * ow + ox) * 3) & 0xff) == expect, s"o=$o le=$le ($ox,$oy)")
+      }
+    }
+    // no APP1 → orientation defaults to 1 (identity)
+    val plain = MediaFixtures.jpegReal(9, 5, Seq(Array.tabulate(64)(i => if (i == 0) 5 else 16)),
+      (_, bx, by) => Array.tabulate(64)(i => if (i == 0) bx + by else 0))
+    assert(MediaHeaders.exifOrientation(plain).isEmpty)
+    val r = Multimodal.exifAutoOrient(df(Seq(Row(2L, plain))), "media_id", "blob").collect()
+    assert(r.length == 1 && r(0).getInt(1) == 1 && r(0).getInt(2) == 9)
+  }
+
   test("spectralFeatures: DC closed form exact, a pure tone lands in its bin, frames drop tails") {
     // frame 0 = the Q10 cosine table itself at k=2 (a pure bin-2 tone),
     // frame 1 = constant 100 (pure DC); 5 tail samples must drop

@@ -2736,6 +2736,75 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── ROTATION-NORMALIZED near-dup — the claim mm_exif_orient exists
+    //    for, proven end-to-end: each doc pair shares one logical image,
+    //    the even doc stored upright, the odd doc stored ROTATED 90° CW
+    //    with a real EXIF orientation-8 segment declaring it (the
+    //    rot270 display fix un-does it). Upright dims are multiples of
+    //    8, so the rotation is an exact block transpose and the rotated
+    //    image stays DC-only-encodable. Raw dHash would miss every pair
+    //    (gradients rotate); auto-orient FIRST, then the standard
+    //    pigeonhole pairing — and every (even, odd) twin lands at
+    //    hamming 0. The oracle computes one dhash per doc from the
+    //    shared UPRIGHT closed form: it cannot even see the rotation,
+    //    so only a correct EXIF parse + inverse mapping matches. ──
+    QueryDef.sql(
+      "mm_rotated_neardup", {
+        def vAt(sx: String, sy: String): String =
+          s"""greatest(0, least(255,
+             |  ((((sb * 31 + (($sx) // 8) * 7 + (($sy) // 8) * 13 + 3) % 256) - 128) * q + 4 + 8192) // 8
+             |    - 1024 + 128))""".stripMargin
+        val g0 = vAt("(gx * w) // 9", "(gy * h) // 8")
+        val g1 = vAt("((gx + 1) * w) // 9", "(gy * h) // 8")
+        s"""WITH d AS (SELECT doc_id, doc_id // 2 AS sb FROM documents),
+           |m AS (SELECT doc_id, sb, CAST(8 * (1 + sb % 3) AS BIGINT) AS w,
+           |             CAST(8 * (1 + sb % 2) AS BIGINT) AS h,
+           |             CAST(1 + sb % 16 AS BIGINT) AS q FROM d),
+           |u AS (SELECT doc_id, sb, w, h, q, unnest(range(0, 8)) AS gy FROM m),
+           |v AS (SELECT doc_id, sb, w, h, q, gy, unnest(range(0, 8)) AS gx FROM u),
+           |b AS (SELECT doc_id, gy, gx,
+           |        CASE WHEN $g1 > $g0 THEN
+           |          CASE WHEN gy * 8 + gx = 63 THEN (-9223372036854775807 - 1)
+           |               ELSE (CAST(1 AS BIGINT) << CAST(gy * 8 + gx AS INTEGER)) END
+           |        ELSE 0 END AS term
+           |      FROM v),
+           |dh AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS dhash FROM b GROUP BY doc_id)
+           |SELECT a.doc_id AS id_a, c.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+           |FROM dh a JOIN dh c ON a.doc_id < c.doc_id AND a.dhash = c.dhash
+           |ORDER BY id_a, id_b""".stripMargin
+      }) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val sb = id / 2
+            val wB = (1 + sb % 3).toInt; val hB = (1 + sb % 2).toInt // blocks
+            val q0 = (1 + sb % 16).toInt
+            def dc(bx: Int, by: Int): Int = (((sb * 31 + bx * 7 + by * 13 + 3) % 256) - 128).toInt
+            val qt = Array.tabulate(64)(i => if (i == 0) q0 else 16)
+            val blob =
+              if (id % 2 == 0)
+                graft.codec.MediaFixtures.jpegReal(wB * 8, hB * 8, Seq(qt),
+                  (_, bx, by) => Array.tabulate(64)(i => if (i == 0) dc(bx, by) else 0))
+              else {
+                // stored = upright rotated 90° CW at block level:
+                // stored block (BX, BY) = upright block (BY, hB-1-BX),
+                // stored dims (hB·8, wB·8); orientation 8 restores it
+                val rotated = graft.codec.MediaFixtures.jpegReal(hB * 8, wB * 8, Seq(qt),
+                  (_, bx, by) => Array.tabulate(64)(i =>
+                    if (i == 0) dc(by, hB - 1 - bx) else 0))
+                graft.codec.MediaFixtures.jpegWithExif(rotated,
+                  orientation = 8, littleEndian = sb % 2 == 0)
+              }
+            (id, blob)
+          })
+          .toDF("doc_id", "blob")
+        val upright = Multimodal.exifAutoOrient(blobs, "doc_id", "blob")
+          .select(col("media_id"), col("png"))
+        Multimodal.imageNearDupPairs(upright, "media_id", "png", maxHamming = 0)
+          .orderBy("id_a", "id_b")
+    },
+
     // ── Spectral audio features — exact-integer 16-point DFT band
     //    energies over decoded PCM (the speech/hiss/tone curation lens):
     //    both engines index the SAME Q10 cosine literals

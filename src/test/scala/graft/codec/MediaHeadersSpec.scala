@@ -363,7 +363,11 @@ class MediaHeadersSpec extends SparkSpec {
       MediaFixtures.gifReal(5, 4, 2, (x, y, f) => (x * 2 + y + f) % 256),
       MediaFixtures.wav(2, 8000, 9, (i, c) => i * 1000 - 4000 + c),
       MediaFixtures.jpegReal(10, 9, Seq(jq), jcoef),
-      MediaFixtures.jpegProgressive(10, 9, Seq(jq), jcoef, dcAl = 2))
+      MediaFixtures.jpegProgressive(10, 9, Seq(jq), jcoef, dcAl = 2),
+      MediaFixtures.jpegWithExif(MediaFixtures.jpegReal(10, 9, Seq(jq), jcoef),
+        orientation = 6, littleEndian = true),
+      MediaFixtures.jpegWithExif(MediaFixtures.jpegReal(10, 9, Seq(jq), jcoef),
+        orientation = 3, littleEndian = false))
     for (_ <- 0 until 2000) {
       val b = rnd.nextInt(4) match {
         case 0 => Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte) // pure noise
@@ -382,6 +386,7 @@ class MediaHeadersSpec extends SparkSpec {
       MediaHeaders.gifFrames(b)
       MediaHeaders.wavPcm16(b)
       MediaHeaders.jpegPixels(b)
+      MediaHeaders.exifOrientation(b)
     }
   }
 

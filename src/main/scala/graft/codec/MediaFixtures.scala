@@ -797,6 +797,72 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Real-world-shaped GIF: per-frame LOCAL 256-entry color tables
+    * (`tableOf(frame, index)` → packed 0xRRGGBB) over a deliberately
+    * misleading global table (all-zero — a decoder that resolves
+    * through the global table instead of the frame's local one
+    * produces black frames and fails the oracle), plus an optional
+    * Graphic Control Extension declaring `transparentIdx` before every
+    * frame. Pixel indexes from `pix(x, y, frame)` via the same real
+    * LZW encoding as [[gifReal]]. */
+  def gifRealPalette(w: Int, h: Int, frames: Int, pix: (Int, Int, Int) => Int,
+                     tableOf: (Int, Int) => Int,
+                     transparentIdx: Option[Int] = None): Array[Byte] = {
+    require(w >= 1 && h >= 1 && frames >= 1, s"bad geometry: ${w}x$h x$frames")
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    out.write(le16(w), 0, 2)
+    out.write(le16(h), 0, 2)
+    out.write(0xf7) // global table present (all zeros — local must win)
+    out.write(0); out.write(0)
+    var z = 0
+    while (z < 768) { out.write(0); z += 1 }
+    val clear = 256; val eoi = 257; val codeWidth = 9
+    (0 until frames).foreach { f =>
+      transparentIdx.foreach { t =>
+        out.write(Array[Byte](0x21, 0xf9.toByte, 4, 0x01, 0, 0), 0, 6)
+        out.write(t & 0xff)
+        out.write(0) // terminator
+      }
+      out.write(Array[Byte](0x2c, 0, 0, 0, 0), 0, 5)
+      out.write(le16(w), 0, 2)
+      out.write(le16(h), 0, 2)
+      out.write(0x87) // local color table, 256 entries
+      var ci = 0
+      while (ci < 256) {
+        val v = tableOf(f, ci)
+        out.write((v >> 16) & 0xff); out.write((v >> 8) & 0xff); out.write(v & 0xff)
+        ci += 1
+      }
+      out.write(8) // LZW min code size
+      val bits = new ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      def put(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += codeWidth
+        while (nbits >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+      }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { put(clear); put(pix(x, y, f) & 0xff); x += 1 }
+        y += 1
+      }
+      put(eoi)
+      if (nbits > 0) bits.write((acc & 0xff).toInt)
+      val data = bits.toByteArray
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out.write(n)
+        out.write(data, off, n)
+        off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   // ── WAV: RIFF/WAVE + fmt (PCM) + data (real 16-bit samples) ─────────
 
   /** Zero-filled samples — the header-fixture form the parser fuzz uses. */

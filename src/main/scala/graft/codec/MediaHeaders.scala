@@ -1281,8 +1281,9 @@ object MediaHeaders {
     * plain byte arithmetic; no codec library. Frames must be full-size
     * at origin (the fixtures' shape; partial-update animation is a real
     * codec's compositing job). Interlaced frames are deinterlaced via
-    * the spec's four-pass row order. Returns None for
-    * local-color-table frames, malformed streams, or out-of-range
+    * the spec's four-pass row order. Local color tables are skipped
+    * (the raster is color INDEXES; see [[gifFramesRgb]] for table
+    * resolution). Returns None for malformed streams or out-of-range
     * codes; decoding stops cleanly at EOI or stream end. */
   def gifFrames(b: Array[Byte]): Option[GifRaster] = {
     if (!isGif(b) || b.length < 13) return None
@@ -1328,6 +1329,101 @@ object MediaHeaders {
       }
     }
     if (frames.isEmpty) None else Some(GifRaster(w, h, frames.toSeq))
+  }
+
+  /** GIF frames with color tables RESOLVED: per frame the row-major
+    * RGB bytes (3 per pixel) plus the count of transparent pixels. */
+  final case class GifRgbRaster(width: Int, height: Int,
+                                frames: Seq[Array[Byte]], transparent: Seq[Int])
+
+  /** [[gifFrames]] plus the parts a real-world GIF needs resolved: the
+    * ACTIVE color table per frame (local when the image descriptor
+    * carries one, else the global table — a frame with neither is
+    * malformed), and the Graphic Control Extension's transparency
+    * (label 0xf9: when the packed transparency flag is set, pixels of
+    * the declared index are counted per frame; GCE state applies to
+    * the next image only, per spec). Out-of-table indexes → None. */
+  def gifFramesRgb(b: Array[Byte]): Option[GifRgbRaster] = {
+    if (!isGif(b) || b.length < 13) return None
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > (64L << 20)) return None
+    val flags = u8(b, 10)
+    var i = 13
+    var global: Array[Byte] = null
+    if ((flags & 0x80) != 0) {
+      val n = 3 * (1 << ((flags & 7) + 1))
+      if (i + n > b.length) return None
+      global = java.util.Arrays.copyOfRange(b, i, i + n)
+      i += n
+    }
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val transCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var transIdx = -1 // pending GCE transparency, next image only
+    while (i < b.length && u8(b, i) != 0x3b) {
+      u8(b, i) match {
+        case 0x21 =>
+          if (i + 2 > b.length) return None
+          val label = u8(b, i + 1)
+          if (label == 0xf9 && i + 7 <= b.length && u8(b, i + 2) >= 4) {
+            val packed = u8(b, i + 3)
+            transIdx = if ((packed & 1) != 0) u8(b, i + 6) else -1
+          }
+          i += 2
+          while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+          i += 1
+        case 0x2c =>
+          if (i + 10 > b.length) return None
+          val iw = le16(b, i + 5); val ih = le16(b, i + 7)
+          val ifl = u8(b, i + 9)
+          if (le16(b, i + 1) != 0 || le16(b, i + 3) != 0 || iw != w || ih != h)
+            return None
+          val interlaced = (ifl & 0x40) != 0
+          i += 10
+          var table = global
+          if ((ifl & 0x80) != 0) {
+            val n = 3 * (1 << ((ifl & 7) + 1))
+            if (i + n > b.length) return None
+            table = java.util.Arrays.copyOfRange(b, i, i + n)
+            i += n
+          }
+          if (table == null) return None // no active color table
+          if (i >= b.length) return None
+          val mcs = u8(b, i); i += 1
+          if (mcs < 2 || mcs > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && u8(b, i) != 0) {
+            val n = u8(b, i)
+            if (i + 1 + n > b.length) return None
+            data.write(b, i + 1, n)
+            i += 1 + n
+          }
+          i += 1
+          val idx0 = lzwDecode(data.toByteArray, mcs, iw * ih) match {
+            case Some(px) => px
+            case None => return None
+          }
+          val idx = if (interlaced) deinterlace(idx0, iw, ih) else idx0
+          val nColors = table.length / 3
+          val rgb = new Array[Byte](iw * ih * 3)
+          var nTrans = 0
+          var p = 0
+          while (p < idx.length) {
+            val ci = idx(p) & 0xff
+            if (ci >= nColors) return None
+            if (ci == transIdx) nTrans += 1
+            rgb(3 * p) = table(3 * ci)
+            rgb(3 * p + 1) = table(3 * ci + 1)
+            rgb(3 * p + 2) = table(3 * ci + 2)
+            p += 1
+          }
+          frames += rgb
+          transCounts += nTrans
+          transIdx = -1 // GCE consumed by this image
+        case _ => return None
+      }
+    }
+    if (frames.isEmpty) None
+    else Some(GifRgbRaster(w, h, frames.toSeq, transCounts.toSeq))
   }
 
   /** GIF interlace row order (spec appendix E): pass 1 every 8th row

@@ -620,6 +620,52 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** REAL-WORLD GIF decode — color tables RESOLVED: per frame, indexes
+    * look up the ACTIVE table (local when the frame carries one, else
+    * global — [[graft.codec.MediaHeaders.gifFramesRgb]]) and Graphic
+    * Control Extension transparency is honored (transparent pixels
+    * counted per frame). One row per (blob, frame) with the resolved
+    * RGB fingerprint; blobs without an applicable table, or with
+    * out-of-table indexes, produce no rows. */
+  def gifRgbStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_transparent", LongType, nullable = false),
+      StructField("sum_rgb", LongType, nullable = false),
+      StructField("min_rgb", IntegerType, nullable = false),
+      StructField("max_rgb", IntegerType, nullable = false),
+      StructField("first_rgb", IntegerType, nullable = false),
+      StructField("last_rgb", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.gifFramesRgb(blob) match {
+          case Some(g) =>
+            g.frames.iterator.zipWithIndex.map { case (rgb, f) =>
+              var sum = 0L; var mn = 255; var mx = 0
+              var i = 0
+              while (i < rgb.length) {
+                val v = rgb(i) & 0xff
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                i += 1
+              }
+              Row(r.getLong(idIdx), f, g.width, g.height,
+                g.transparent(f).toLong, sum, mn, mx,
+                rgb(0) & 0xff, rgb(rgb.length - 1) & 0xff)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** EXIF AUTO-ORIENT — normalize camera rotations before any visual
     * dedup/embedding stage (a 90°-rotated duplicate defeats dHash;
     * normalizing first restores the pair): parse the APP1 TIFF

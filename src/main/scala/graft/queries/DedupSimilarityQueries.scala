@@ -2736,6 +2736,65 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── REAL-WORLD GIF decode: per-frame LOCAL color tables over a
+    //    deliberately misleading all-zero global table (resolving
+    //    through the wrong table → black frames → hash break), plus GCE
+    //    transparency counted per frame. The oracle replays index
+    //    arithmetic, each frame's table arithmetic, and the transparent
+    //    count — a wrong table offset, frame/table pairing, or GCE
+    //    consume-once rule breaks it. ──
+    QueryDef.sql(
+      "mm_gif_palette",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 12 AS BIGINT) AS w,
+        |                  CAST(1 + doc_id % 9 AS BIGINT) AS h,
+        |                  CAST(1 + doc_id % 3 AS BIGINT) AS nf,
+        |                  CASE WHEN doc_id % 3 = 0 THEN doc_id % 251 END AS tidx
+        |           FROM documents),
+        |fr AS (SELECT doc_id, w, h, tidx, unnest(range(0, nf)) AS f FROM d),
+        |u AS (SELECT doc_id, w, h, tidx, f, unnest(range(0, w)) AS x FROM fr),
+        |v AS (SELECT doc_id, w, h, tidx, f, x, unnest(range(0, h)) AS y FROM u),
+        |ix AS (SELECT doc_id, w, h, tidx, f, x, y,
+        |        (doc_id * 31 + x * 7 + y * 13 + f * 29 + 5) % 256 AS ci
+        |      FROM v),
+        |p AS (SELECT doc_id, w, h, tidx, f, x, y, ci,
+        |        (doc_id + f * 11 + ci * 3 + 1) % 256 AS r,
+        |        (doc_id * 5 + f * 7 + ci * 9 + 2) % 256 AS g,
+        |        (doc_id * 9 + f * 3 + ci * 7 + 3) % 256 AS bb
+        |      FROM ix)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum(CASE WHEN ci = tidx THEN 1 ELSE 0 END) AS BIGINT) AS n_transparent,
+        |  CAST(sum(r + g + bb) AS BIGINT) AS sum_rgb,
+        |  CAST(min(least(r, g, bb)) AS INT) AS min_rgb,
+        |  CAST(max(greatest(r, g, bb)) AS INT) AS max_rgb,
+        |  CAST(sum(CASE WHEN x = 0 AND y = 0 THEN r ELSE 0 END) AS INT) AS first_rgb,
+        |  CAST(sum(CASE WHEN x = w - 1 AND y = h - 1 THEN bb ELSE 0 END) AS INT) AS last_rgb
+        |FROM p GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 12).toInt; val h = (1 + id % 9).toInt
+            val nf = (1 + id % 3).toInt
+            (id, graft.codec.MediaFixtures.gifRealPalette(w, h, nf,
+              (x, y, f) => ((id * 31 + x * 7 + y * 13 + f * 29 + 5) % 256).toInt,
+              tableOf = (f, ci) => {
+                val r = ((id + f * 11 + ci * 3 + 1) % 256).toInt
+                val g = ((id * 5 + f * 7 + ci * 9 + 2) % 256).toInt
+                val b = ((id * 9 + f * 3 + ci * 7 + 3) % 256).toInt
+                (r << 16) | (g << 8) | b
+              },
+              transparentIdx = if (id % 3 == 0) Some((id % 251).toInt) else None))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.gifRgbStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("frame_idx"), col("width"),
+            col("height"), col("n_transparent"), col("sum_rgb"), col("min_rgb"),
+            col("max_rgb"), col("first_rgb"), col("last_rgb"))
+          .orderBy("doc_id", "frame_idx")
+    },
+
     // ── ROTATION-NORMALIZED near-dup — the claim mm_exif_orient exists
     //    for, proven end-to-end: each doc pair shares one logical image,
     //    the even doc stored upright, the odd doc stored ROTATED 90° CW

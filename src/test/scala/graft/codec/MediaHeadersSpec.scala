@@ -342,6 +342,48 @@ class MediaHeadersSpec extends SparkSpec {
     }
   }
 
+  test("gifFramesRgb: local table wins over global, GCE is consume-once, global is the fallback") {
+    def pix(x: Int, y: Int, f: Int): Int = (x * 3 + y * 5 + f * 7) % 256
+    def table(f: Int, ci: Int): Int = {
+      val r = (f * 11 + ci * 3 + 1) % 256
+      val g = (f * 7 + ci * 9 + 2) % 256
+      val b = (f * 3 + ci * 7 + 3) % 256
+      (r << 16) | (g << 8) | b
+    }
+    // two frames, local tables, transparency on index 9 for BOTH frames
+    // (the fixture writes a GCE before each frame)
+    val blob = MediaFixtures.gifRealPalette(6, 4, 2, pix, table, transparentIdx = Some(9))
+    val g = MediaHeaders.gifFramesRgb(blob).getOrElse(fail("decode failed"))
+    assert(g.width == 6 && g.height == 4 && g.frames.length == 2)
+    for (f <- 0 until 2; y <- 0 until 4; x <- 0 until 6) {
+      val v = table(f, pix(x, y, f))
+      val p = (y * 6 + x) * 3
+      assert((g.frames(f)(p) & 0xff) == ((v >> 16) & 0xff), s"r f=$f ($x,$y)")
+      assert((g.frames(f)(p + 1) & 0xff) == ((v >> 8) & 0xff), s"g f=$f")
+      assert((g.frames(f)(p + 2) & 0xff) == (v & 0xff), s"b f=$f")
+    }
+    for (f <- 0 until 2) {
+      val expected = (for (y <- 0 until 4; x <- 0 until 6 if pix(x, y, f) == 9) yield 1).sum
+      assert(g.transparent(f) == expected, s"transparent count f=$f")
+    }
+    // global-table fallback: gifReal has a global grayscale identity
+    // table and no local ones — rgb = index replicated
+    val plain = MediaFixtures.gifReal(5, 3, 1, (x, y, f) => (x + y * 4 + f) % 256)
+    val pg = MediaHeaders.gifFramesRgb(plain).getOrElse(fail("global fallback failed"))
+    assert(pg.transparent == Seq(0)) // no GCE anywhere
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val ci = (x + y * 4) % 256
+      val p = (y * 5 + x) * 3
+      assert((pg.frames(0)(p) & 0xff) == ci && (pg.frames(0)(p + 1) & 0xff) == ci &&
+        (pg.frames(0)(p + 2) & 0xff) == ci)
+    }
+    // index raster unchanged by the RGB path
+    val idx = MediaHeaders.gifFrames(blob).get
+    assert(idx.frames(0).zipWithIndex.forall { case (b, i) =>
+      (b & 0xff) == pix(i % 6, i / 6, 0)
+    })
+  }
+
   test("unrecognized and truncated blobs parse to None") {
     assert(MediaHeaders.parse("hello world".getBytes("UTF-8")).isEmpty)
     assert(MediaHeaders.parse(Array.emptyByteArray).isEmpty)
@@ -367,7 +409,9 @@ class MediaHeadersSpec extends SparkSpec {
       MediaFixtures.jpegWithExif(MediaFixtures.jpegReal(10, 9, Seq(jq), jcoef),
         orientation = 6, littleEndian = true),
       MediaFixtures.jpegWithExif(MediaFixtures.jpegReal(10, 9, Seq(jq), jcoef),
-        orientation = 3, littleEndian = false))
+        orientation = 3, littleEndian = false),
+      MediaFixtures.gifRealPalette(5, 4, 2, (x, y, f) => (x + y + f) % 256,
+        (f, ci) => (ci << 16) | (f << 8) | 7, transparentIdx = Some(3)))
     for (_ <- 0 until 2000) {
       val b = rnd.nextInt(4) match {
         case 0 => Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte) // pure noise
@@ -387,6 +431,7 @@ class MediaHeadersSpec extends SparkSpec {
       MediaHeaders.wavPcm16(b)
       MediaHeaders.jpegPixels(b)
       MediaHeaders.exifOrientation(b)
+      MediaHeaders.gifFramesRgb(b)
     }
   }
 

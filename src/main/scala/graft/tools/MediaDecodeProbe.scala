@@ -111,6 +111,42 @@ object MediaDecodeProbe {
         graft.operators.Multimodal.transcodeWav(wavBlobs2, "doc_id", "blob", 16000)
           .agg(sum(length(col("wav")))).head.getLong(0)
       }
+
+      // composed capstone at replication: decode-meta gates → dHash →
+      // keep-min groupBy → dims join-back (the mm_corpus_build plan,
+      // image side). The groupBy is the one real shuffle — the stage
+      // that must stay O(corpus) at 100 TB. Twin pairs share sb so the
+      // dedup actually collapses rows, not just hashes them.
+      val cbBlobs = spark.createDataset(repIds).repartition(32)
+        .mapPartitions(_.map { id =>
+          val sb = id / 2
+          val w = (1 + sb % 24).toInt; val h = (1 + sb % 18).toInt
+          val q0 = (1 + sb % 16).toInt
+          def dc(bx: Int, by: Int): Int = (((sb * 31 + bx * 7 + by * 13 + 3) % 256) - 128).toInt
+          def v(bx: Int, by: Int): Int =
+            math.max(0, math.min(255, ((dc(bx, by) * q0 + 4) >> 3) + 128))
+          val blob =
+            if (id % 2 == 0)
+              graft.codec.MediaFixtures.pngReal(w, h, (x, y, _) => v(x / 8, y / 8),
+                filterOf = y => ((id + y) % 5).toInt)
+            else {
+              val qt = Array.tabulate(64)(i => if (i == 0) q0 else 16)
+              graft.codec.MediaFixtures.jpegReal(w, h, Seq(qt),
+                (_, bx, by) => Array.tabulate(64)(i => if (i == 0) dc(bx, by) else 0))
+            }
+          (id, blob)
+        }).toDF("doc_id", "blob").localCheckpoint()
+      val cbBytes = cbBlobs.agg(sum(length(col("blob")))).head.getLong(0)
+      timed(s"mm corpus build x$rep", repIds.size, cbBytes) {
+        val meta = graft.operators.Multimodal.decodeMeta(cbBlobs, "doc_id", "blob")
+        val kept = meta.filter(col("format").isin("png", "jpeg") &&
+          col("width").cast("long") * col("height") >= 16)
+          .select(col("media_id"), col("width"), col("height"))
+        val groups = graft.operators.Multimodal.dHash64(cbBlobs, "doc_id", "blob")
+          .groupBy(col("dhash"))
+          .agg(min(col("media_id")).as("doc_id"), count(lit(1)).as("group_size"))
+        groups.join(kept, groups("doc_id") === kept("media_id")).count()
+      }
     }
     spark.stop()
   }

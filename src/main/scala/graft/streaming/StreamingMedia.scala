@@ -90,13 +90,36 @@ object StreamingMedia {
     manifest
   }
 
+  /** Pack a batch's ADMITTED blobs into WebDataset-style tar shards —
+    * the durable training-ready output of the streaming ingest: the
+    * manifest's admitted ids semi-join back to the batch blobs, shards
+    * assign by id (deterministic, content-stable across replays), one
+    * USTAR archive per (batch, shard) via
+    * [[graft.operators.Sharding.packTarShards]], stored as parquet rows
+    * (shard, tar, n_members, n_tar_bytes) partitioned by batch — the
+    * same own-partition-overwrite replay idempotence as every ledger,
+    * and since tar bytes are deterministic a replayed batch rewrites
+    * byte-identical shards. */
+  def writeShards(batch: DataFrame, manifest: DataFrame, batchId: Long,
+                  idCol: String, blobCol: String, shardDir: String,
+                  nShards: Int = 4): Unit = {
+    val admitted = batch
+      .join(broadcast(manifest.select(col("media_id").as(idCol))), Seq(idCol), "left_semi")
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
+    graft.operators.Sharding.packTarShards(admitted, "shard", idCol, blobCol)
+      .withColumn("batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$shardDir/tars")
+  }
+
   /** Convenience wiring: the admitted manifest of every micro-batch
     * lands in `outDir` (same batch-partitioned idempotent shape as the
-    * ledger). */
+    * ledger); with `shardDir` set, the admitted BLOBS additionally land
+    * as per-batch tar shards via [[writeShards]]. */
   def attach(media: DataFrame, idCol: String, blobCol: String,
              ledgerDir: String, outDir: String, checkpointDir: String,
              minImageArea: Long = 16, minAudioFrames: Long = 10,
-             minAudioRate: Int = 16000): StreamingQuery =
+             minAudioRate: Int = 16000, shardDir: Option[String] = None,
+             nShards: Int = 4): StreamingQuery =
     media.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -104,6 +127,7 @@ object StreamingMedia {
           minImageArea, minAudioFrames, minAudioRate)
         m.withColumn("batch", lit(batchId))
           .write.mode("overwrite").partitionBy("batch").parquet(outDir)
+        shardDir.foreach(sd => writeShards(batch, m, batchId, idCol, blobCol, sd, nShards))
         m.unpersist(blocking = false)
         ()
       }

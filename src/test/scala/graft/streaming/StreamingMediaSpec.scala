@@ -72,4 +72,35 @@ class StreamingMediaSpec extends SparkSpec {
     assert(led.count() == 4L, "2 keys per batch, replay overwrote its own partition")
     assert(led.filter(org.apache.spark.sql.functions.col("batch") === 1L).count() == 2L)
   }
+
+  test("writeShards: admitted blobs land as deterministic per-batch tar shards") {
+    import org.apache.spark.sql.functions.col
+    val ledger = tmpDir("graft-smedia-l2")
+    val shards = tmpDir("graft-smedia-sh")
+    val batch = df(Seq(
+      Row(1L, pngA),
+      Row(2L, jpegA), // within-batch dup of 1 — must NOT be sharded
+      Row(4L, MediaFixtures.wav(1, 16000, 20, (i, _) => audioSamples(20)(i))),
+      Row(5L, MediaFixtures.wav(1, 16000, 5, (i, _) => i)))) // gated out
+    val m = StreamingMedia.processBatch(batch, 0L, "media_id", "blob", ledger)
+    StreamingMedia.writeShards(batch, m, 0L, "media_id", "blob", shards, nShards = 2)
+    m.unpersist(false)
+    val tars = spark.read.parquet(s"$shards/tars").collect()
+      .map(r => r.getAs[Int]("shard") -> r.getAs[Array[Byte]]("tar")).toMap
+    // admitted = {1, 4}: id 1 → shard 1, id 4 → shard 0
+    assert(tars.keySet == Set(0, 1))
+    val members0 = graft.codec.TarCodec.parse(tars(0)).get
+    val members1 = graft.codec.TarCodec.parse(tars(1)).get
+    assert(members0.map(_._1) == Seq("000000000004.bin"))
+    assert(members1.map(_._1) == Seq("000000000001.bin"))
+    assert(java.util.Arrays.equals(members1.head._2, pngA), "shard carries the original blob")
+    // replay: byte-identical shards (tar is deterministic, overwrite own partition)
+    val m2 = StreamingMedia.processBatch(batch, 0L, "media_id", "blob", ledger)
+    StreamingMedia.writeShards(batch, m2, 0L, "media_id", "blob", shards, nShards = 2)
+    m2.unpersist(false)
+    val again = spark.read.parquet(s"$shards/tars")
+    assert(again.count() == 2)
+    val t1 = again.filter(col("shard") === 1).head.getAs[Array[Byte]]("tar")
+    assert(java.util.Arrays.equals(t1, tars(1)), "replayed shard must be byte-identical")
+  }
 }

@@ -29,6 +29,34 @@ object TextOps {
     trim(regexp_replace(lower(nfc), "\\s+", " "))
   }
 
+  /** HTML → text extraction — the first stage of a web-corpus pipeline,
+    * a real step up from [[normalize]]'s bare tag strip: (1) drop
+    * script/style ELEMENTS with their contents (a tag strip alone
+    * leaks JavaScript and CSS into the corpus — the classic C4/CCNet
+    * contamination), (2) drop comments, (3) block boundaries (`<br>`,
+    * `</p>`) become newlines so paragraphs survive for
+    * [[graft.operators.Dedup.paragraphDedup]], (4) strip remaining
+    * tags to spaces, (5) decode the named entities
+    * (&lt; &gt; &quot; &#39; &nbsp; and — LAST, or it double-decodes —
+    * &amp;), (6) collapse space runs, tidy newline spacing, trim.
+    * Pure per-row expression chain riding the scan; every pattern is
+    * RE2-compatible (no backreferences/lookaround), so the DuckDB
+    * oracle replays the chain verbatim. */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment, "(?i)<br[^>]*>|</p[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    val spaces = regexp_replace(entities, "[ \\t]+", " ")
+    val tidy = regexp_replace(regexp_replace(spaces, "(?: ?\\n ?)+", "\n"),
+      "^\\n+|\\n+$", "")
+    trim(tidy)
+  }
+
   /** BPE-ish subword count heuristic: words + punctuation clusters counted
     * separately (regexp token classes). */
   def bpeishTokenCount(text: Column): Column =

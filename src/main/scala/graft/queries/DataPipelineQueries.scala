@@ -143,6 +143,58 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── HTML → text extraction — the web-corpus entry stage, a real
+    //    step beyond the bare tag strip: script/style ELEMENTS drop
+    //    with their contents (the classic JS/CSS contamination a tag
+    //    strip leaks), comments drop, <br>/</p> become newlines so
+    //    paragraphs survive for paragraph dedup, remaining tags strip,
+    //    named entities decode (&amp; LAST or it double-decodes),
+    //    whitespace tidies. Both engines build the SAME HTML wrapper
+    //    around each doc (title + style + script + heading + entity
+    //    suffix) and run the SAME RE2-compatible chain — a pattern
+    //    drift, flag difference, or entity-order bug breaks the md5. ──
+    QueryDef.sql(
+      "text_html_extract",
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>t</title><style>p { color: red; }</style>' ||
+        |    '<script>if (1 < 2) { go(); }</script></head><body><!-- note -->' ||
+        |    '<h1>Doc ' || doc_id || '</h1><p>' || coalesce(text, '') || '</p><br>' ||
+        |    '<p>A &amp; B &lt;x&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>' AS html
+        |  FROM documents),
+        |c1 AS (SELECT doc_id,
+        |    regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+        |c2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(t, '(?i)<br[^>]*>|</p[^>]*>', chr(10), 'g') AS t FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM c3),
+        |c5 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM c5),
+        |c7 AS (SELECT doc_id, regexp_replace(regexp_replace(t, '(?: ?\n ?)+', chr(10), 'g'),
+        |                                     '^\n+|\n+$', '', 'g') AS t FROM c6),
+        |clean AS (SELECT doc_id, trim(t) AS t FROM c7)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |  CAST(1 + length(t) - length(replace(t, chr(10), '')) AS BIGINT) AS n_lines,
+        |  md5(t) AS clean_md5
+        |FROM clean ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val html = concat(
+          lit("<html><head><title>t</title><style>p { color: red; }</style>" +
+            "<script>if (1 < 2) { go(); }</script></head><body><!-- note --><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), coalesce(col("text"), lit("")),
+          lit("</p><br><p>A &amp; B &lt;x&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.htmlExtract(html).as("t"))
+          .select(col("doc_id"),
+            length(col("t")).cast("long").as("n_chars"),
+            (lit(1) + length(col("t")) - length(regexp_replace(col("t"), "\n", "")))
+              .cast("long").as("n_lines"),
+            md5(col("t").cast("binary")).as("clean_md5"))
+          .orderBy("doc_id")
+    },
+
     // ── Token-window chunking with overlap (the RAG/embedding-pipeline
     //    granularity): windows of 32 tokens advancing by 24, so
     //    consecutive chunks share 8 tokens of context. Chunk count is

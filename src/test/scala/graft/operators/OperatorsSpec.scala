@@ -1291,6 +1291,33 @@ class OperatorsSpec extends SparkSpec {
       "all three Café spellings share one content hash with keep-first id 1")
   }
 
+  test("htmlExtract: script/style contents drop, paragraphs survive, entities decode in safe order") {
+    val cases = Seq(
+      // the contamination a tag strip leaks: script BODY must vanish,
+      // including comparison operators that look like tags
+      (1L, "<p>keep</p><script>if (a < b) { drop(); }</script><p>also</p>",
+        "keep\nalso"),
+      (2L, "<style>p > a { color: red }</style>before<br>after", "before\nafter"),
+      // comments drop; inline tags become spaces, not newlines
+      (3L, "one<!-- no --> two <b>three</b> four", "one two three four"),
+      // entity order: &amp;lt; is an ESCAPED &lt; and must decode to
+      // the four chars '&lt;', never double-decode to '<'
+      (4L, "A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;",
+        "A & B <tag> \"q\" 's' end &lt;"),
+      // block structure: paragraph boundaries become single newlines
+      // whatever the spacing around them
+      (5L, "<p>p1</p>  <p>p2</p><br>   <br>p3", "p1\np2\np3"),
+      (6L, "", ""))
+    val out = cases.map { case (id, html, _) => (id, html) }.toDF("doc_id", "html")
+      .select(col("doc_id"), TextOps.htmlExtract(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, expect) =>
+      assert(out(id) == expect, s"case $id: got '${out(id)}'")
+    }
+    // paragraphs survive for paragraph-level dedup downstream
+    assert(out(5L).split("\n").toSeq == Seq("p1", "p2", "p3"))
+  }
+
   test("duplicateClusters path selection: driver union-find iff long ids within the limit") {
     assert(Dedup.clustersPathName(isLongIds = true, nEdges = 4_000_000L,
       driverEdgeLimit = 4_000_000L) == "driver-union-find")

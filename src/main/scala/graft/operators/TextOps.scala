@@ -1180,6 +1180,14 @@ object TextOps {
   def urlDomains(text: Column): Column =
     regexp_extract_all(lower(text), lit("https?://([a-z0-9.-]+)"), lit(1))
 
+  /** Link targets of an HTML document: every href/src attribute value —
+    * the link graph a plain-text URL scan cannot see once tags are
+    * stripped (the href URL never appears in the extracted text).
+    * Markup-level sibling of [[urlDomains]]; feed each absolute target
+    * back through it for the domain. RE2-simple by the same doctrine. */
+  def htmlLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)(?:href|src)=\"([^\"]*)\""), lit(1))
+
   /** Suffix-aware blocklist membership: `d` is blocked when it equals a
     * blocklist entry or is a subdomain of one (`ads.tracker.net` matches
     * `tracker.net` — the semantics real blocklists assume). The list

@@ -195,6 +195,34 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── HTML link graph — href/src targets a plain-text URL scan never
+    //    sees (the URL lives in the ATTRIBUTE; the extracted text keeps
+    //    only the anchor words): per-doc links from seed-built markup
+    //    (two absolute targets + one relative that must be excluded by
+    //    the domain parse), rolled up per domain — the provenance /
+    //    per-domain-cap statistic of a web-corpus pipeline. ──
+    QueryDef.sql(
+      "text_html_links",
+      """WITH l AS (
+        |  SELECT 'd' || (doc_id % 50) || '.example.com' AS domain FROM documents
+        |  UNION ALL
+        |  SELECT 'img' || (doc_id % 20) || '.cdn.net' FROM documents)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_refs
+        |FROM l GROUP BY domain ORDER BY domain""".stripMargin) {
+      (s, d) =>
+        val html = concat(
+          lit("<p>read <a href=\"https://d"), pmod(col("doc_id"), lit(50)).cast("string"),
+          lit(".example.com/p"), col("doc_id").cast("string"),
+          lit("\">here</a><img src=\"https://img"), pmod(col("doc_id"), lit(20)).cast("string"),
+          lit(".cdn.net/x.png\"><a href=\"/local/page\">rel</a></p>"))
+        Tables.documents(s, d)
+          .select(explode(TextOps.htmlLinks(html)).as("link"))
+          .select(explode(TextOps.urlDomains(col("link"))).as("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).cast("long").as("n_refs"))
+          .orderBy("domain")
+    },
+
     // ── Token-window chunking with overlap (the RAG/embedding-pipeline
     //    granularity): windows of 32 tokens advancing by 24, so
     //    consecutive chunks share 8 tokens of context. Chunk count is

@@ -223,6 +223,84 @@ object DataPipelineQueries {
           .orderBy("domain")
     },
 
+    // ── WEB-CORPUS capstone — the full funnel from RAW MARKUP: HTML
+    //    extraction (script/style/comment drop, entities, block
+    //    newlines) → quality gates on the EXTRACTED text → exact dedup
+    //    keep-min → per-domain cap (3 docs/domain through the bounded
+    //    heap, never a hot rank window). pipeline_corpus_build's
+    //    sibling with the entry stage the web actually arrives in; the
+    //    shell deliberately omits doc ids so extraction output — and
+    //    therefore dedup — depends on the text alone. The oracle
+    //    replays the 11-step extraction chain, the gates, the dedup,
+    //    the domain arithmetic, and the md5-ordered cap. ──
+    QueryDef.sql(
+      "pipeline_web_corpus",
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><style>p { x }</style><script>let a = 1 < 2;</script></head>' ||
+        |    '<body><!-- c --><p>' || coalesce(text, '') ||
+        |    '</p><br><p>A &amp; B&nbsp;tail</p></body></html>' AS html
+        |  FROM documents),
+        |c1 AS (SELECT doc_id,
+        |    regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+        |c2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(t, '(?i)<br[^>]*>|</p[^>]*>', chr(10), 'g') AS t FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM c3),
+        |c5 AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM c5),
+        |c7 AS (SELECT doc_id, regexp_replace(regexp_replace(t, '(?: ?\n ?)+', chr(10), 'g'),
+        |                                     '^\n+|\n+$', '', 'g') AS t FROM c6),
+        |clean AS (SELECT doc_id, trim(t) AS t FROM c7),
+        |toks AS (SELECT doc_id, t,
+        |    list_filter(string_split(trim(t), ' '), w -> w <> '') AS ws FROM clean),
+        |feat AS (SELECT doc_id, t, len(ws) AS n_tokens,
+        |    len(list_filter(ws, w -> w IN ('the','a','of','and'))) AS n_en,
+        |    round(CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |      / nullif(len(ws), 0), 4) AS sr
+        |  FROM toks),
+        |kept AS (SELECT doc_id, t, n_tokens FROM feat
+        |         WHERE n_en >= 2 AND n_tokens >= 5 AND sr <= 0.5),
+        |dd AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |              CAST(count(*) AS BIGINT) AS group_size,
+        |              CAST(min(n_tokens) AS BIGINT) AS n_tokens
+        |       FROM kept GROUP BY md5(t)),
+        |dom AS (SELECT doc_id, group_size, n_tokens,
+        |               'd' || (doc_id % 50) || '.example.com' AS domain FROM dd)
+        |SELECT domain, doc_id, group_size, n_tokens FROM dom
+        |QUALIFY row_number() OVER (PARTITION BY domain
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3
+        |ORDER BY domain, doc_id""".stripMargin) {
+      (s, d) =>
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val clean = TextOps.htmlExtract(concat(
+          lit("<html><head><style>p { x }</style><script>let a = 1 < 2;</script></head>" +
+            "<body><!-- c --><p>"),
+          coalesce(col("text"), lit("")),
+          lit("</p><br><p>A &amp; B&nbsp;tail</p></body></html>")))
+        val (n, _, sr) = TextOps.qualityMetrics(col("ws"), stops)
+        val gated = Tables.documents(s, d)
+          .select(col("doc_id"), clean.as("clean"))
+          .select(col("doc_id"), col("clean"), TextOps.tokens(col("clean")).as("ws"))
+          .select(col("doc_id"), col("clean"), n.as("n_tokens"),
+            TextOps.langIdEn(col("ws"), Seq("the", "a", "of", "and"), minHits = 2).as("plang"),
+            sr.as("sr"))
+          .filter(col("plang") === "en" && col("n_tokens") >= 5 && col("sr") <= 0.5)
+        val dedup = gated
+          .groupBy(md5(col("clean").cast("binary")).as("h"))
+          .agg(min("doc_id").cast("long").as("doc_id"),
+            count(lit(1)).cast("long").as("group_size"),
+            min("n_tokens").cast("long").as("n_tokens"))
+        val dom = dedup.select(col("doc_id"), col("group_size"), col("n_tokens"),
+          concat(lit("d"), pmod(col("doc_id"), lit(50)).cast("string"),
+            lit(".example.com")).as("domain"))
+        val capped = Sharding.samplePerGroup(dom, "domain", "doc_id", 3)
+        dom.join(capped, Seq("domain", "doc_id"), "left_semi")
+          .select(col("domain"), col("doc_id"), col("group_size"), col("n_tokens"))
+          .orderBy("domain", "doc_id")
+    },
+
     // ── Token-window chunking with overlap (the RAG/embedding-pipeline
     //    granularity): windows of 32 tokens advancing by 24, so
     //    consecutive chunks share 8 tokens of context. Chunk count is

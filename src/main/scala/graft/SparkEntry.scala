@@ -15,7 +15,8 @@ object SparkEntry {
     RelationalQueries.defs ++
       graft.queries.DataPipelineQueries.defs ++
       graft.queries.DedupSimilarityQueries.defs ++
-      graft.queries.EngineQueries.defs
+      graft.queries.EngineQueries.defs ++
+      graft.queries.WebQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -73,6 +73,57 @@ object Sharding {
       .toDF("shard", "member_id", "blob")
   }
 
+  /** WARC shard packing — the container web corpora ARRIVE in (and the
+    * form a crawl-exchange layer ships them back out in): each shard's
+    * (member id, target URI, payload) rows become ONE deterministic
+    * WARC/1.0 file ([[graft.codec.WarcCodec]]: fixed header order,
+    * epoch `WARC-Date`, no compression — bytes are a pure function of
+    * the records, oracle-safe like tar), records ordered by id with
+    * `WARC-Record-ID <urn:graft:<id zero-padded to 12>>`. One shuffle
+    * on the shard id; per-group state is one shard's records. Output:
+    * (shard, warc, n_records, n_warc_bytes). */
+  def packWarcShards(df: DataFrame, shardCol: String, idCol: String,
+                     uriCol: String, blobCol: String,
+                     warcType: String = "response",
+                     contentType: String = "text/html"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("int"), col(idCol).cast("long"),
+        col(uriCol).cast("string"), col(blobCol))
+      .as[(Int, Long, String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val recs = it.map { case (_, id, uri, b) => (id, uri, b) }.toSeq.sortBy(_._1)
+          .map { case (id, uri, b) =>
+            graft.codec.WarcRecord(warcType, f"urn:graft:$id%012d",
+              Option(uri), contentType, b)
+          }
+        val warc = graft.codec.WarcCodec.write(recs)
+        (shard, warc, recs.size.toLong, warc.length.toLong)
+      }
+      .toDF("shard", "warc", "n_records", "n_warc_bytes")
+  }
+
+  /** The inverse: explode WARC shards back to (shard, member_id,
+    * target_uri, payload) rows — the extraction-side read path.
+    * Unparseable files and records whose ids do not follow the packer's
+    * `urn:graft:<id>` convention are dropped. */
+  def readWarcRecords(df: DataFrame, shardCol: String, warcCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("int"), col(warcCol))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (shard, warc) =>
+        graft.codec.WarcCodec.parse(warc).getOrElse(Seq.empty).flatMap { r =>
+          if (r.recordId.startsWith("urn:graft:"))
+            r.recordId.stripPrefix("urn:graft:").toLongOption
+              .map(id => (shard, id, r.targetUri.orNull, r.payload))
+          else None
+        }
+      }
+      .toDF("shard", "member_id", "target_uri", "blob")
+  }
+
   /** Deterministic per-epoch shuffle key: md5 over (seed, key). A pure
     * function of its inputs — the same (seed, key) orders identically on
     * any engine, any run; a new seed is a fresh epoch-wide permutation. */

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Sharding, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus acquisition layer — the stages BEFORE a training-data
+  * pipeline's clean-text entry point: the WARC container crawls arrive
+  * in ([[graft.codec.WarcCodec]]), URL canonicalization, robots
+  * evaluation, and crawl-frontier scheduling. Sits in front of the
+  * HTML-extraction stage (`text_html_extract`) the way the tar layer
+  * sits after sharding.
+  *
+  * Scale notes: WARC pack/read shuffles once on the shard id (bytes per
+  * record ride the shuffle exactly once); everything else is per-row
+  * expressions plus hash-groupBy aggregations — no pairwise blowup.
+  */
+object WebQueries {
+
+  /** One-record-per-doc HTML shell shared by the WARC queries — kept
+    * deliberately small; the extraction-chain torture shell lives in
+    * `text_html_extract`. */
+  private def shellSql =
+    "'<html><head><script>let i = 1 < 2;</script></head><body><h1>Doc ' || doc_id || " +
+      "'</h1><p>' || coalesce(text, '') || '</p><br><p>A &amp; B&nbsp;end</p></body></html>'"
+
+  private def shellCol = concat(
+    lit("<html><head><script>let i = 1 < 2;</script></head><body><h1>Doc "),
+    col("doc_id").cast("string"),
+    lit("</h1><p>"), coalesce(col("text"), lit("")),
+    lit("</p><br><p>A &amp; B&nbsp;end</p></body></html>"))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── WARC WRITER byte layout — WARC is, like tar, a container whose
+    //    WRITTEN bytes are oracle-safe (no compression, fixed header
+    //    order, epoch WARC-Date): the oracle REBUILDS every record
+    //    byte-for-byte by string concatenation — version line, six
+    //    headers with CRLF framing, payload, terminator — and compares
+    //    md5 + length of the bytes the engine's writer produced. A
+    //    drifted header order, date, separator, or Content-Length
+    //    arithmetic breaks every row's hash. ──
+    QueryDef.sql(
+      "web_warc_build",
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS nl),
+         |h AS (SELECT doc_id, $shellSql AS html FROM documents),
+         |r AS (SELECT doc_id,
+         |    'WARC/1.0' || nl ||
+         |    'WARC-Type: response' || nl ||
+         |    'WARC-Record-ID: <urn:graft:' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' || nl ||
+         |    'WARC-Date: 1970-01-01T00:00:00Z' || nl ||
+         |    'WARC-Target-URI: https://d' || (doc_id % 50) || '.example.com/p' || doc_id || nl ||
+         |    'Content-Type: text/html' || nl ||
+         |    'Content-Length: ' || CAST(length(html) AS VARCHAR) || nl ||
+         |    nl || html || nl || nl AS rec
+         |  FROM h, c)
+         |SELECT doc_id, CAST(length(rec) AS BIGINT) AS n_bytes, md5(rec) AS rec_md5
+         |FROM r ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), shellCol.as("html")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, html) =>
+            (id, graft.codec.WarcCodec.write(Seq(graft.codec.WarcRecord(
+              "response", f"urn:graft:$id%012d",
+              Some(s"https://d${id % 50}.example.com/p$id"),
+              "text/html", html.getBytes("UTF-8")))))
+          })
+          .toDF("doc_id", "warc")
+          .select(col("doc_id"), length(col("warc")).cast("long").as("n_bytes"),
+            md5(col("warc")).as("rec_md5"))
+          .orderBy("doc_id")
+    },
+
+    // ── WARC shard round trip → HTML extraction — the crawl-side twin
+    //    of mm_tar_shards: every doc's HTML response packs into its
+    //    shard's WARC file (one shuffle on the shard id), the files are
+    //    PARSED BACK by the engine's own reader, the recovered payloads
+    //    run the 11-step extraction chain, and the target URI recovered
+    //    from the record header feeds the domain parse. The oracle
+    //    replays shard assignment, the shell, the extraction, and the
+    //    URI arithmetic — a member misroute, payload corruption, or
+    //    header loss breaks the hash. ──
+    QueryDef.sql(
+      "web_warc_extract",
+      s"""WITH h AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, $shellSql AS html
+         |  FROM documents),
+         |c1 AS (SELECT doc_id, shard,
+         |    regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+         |c2 AS (SELECT doc_id, shard, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM c1),
+         |c3 AS (SELECT doc_id, shard, regexp_replace(t, '(?i)<br[^>]*>|</p[^>]*>', chr(10), 'g') AS t FROM c2),
+         |c4 AS (SELECT doc_id, shard, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM c3),
+         |c5 AS (SELECT doc_id, shard,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM c4),
+         |c6 AS (SELECT doc_id, shard, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM c5),
+         |c7 AS (SELECT doc_id, shard, regexp_replace(regexp_replace(t, '(?: ?\n ?)+', chr(10), 'g'),
+         |                                            '^\n+|\n+$$', '', 'g') AS t FROM c6),
+         |clean AS (SELECT doc_id, shard, trim(t) AS t FROM c7)
+         |SELECT shard, doc_id AS member_id,
+         |  'd' || (doc_id % 50) || '.example.com' AS domain,
+         |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS clean_md5
+         |FROM clean ORDER BY member_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), shellCol.as("html")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, html) =>
+            (id, (id % 8).toInt, s"https://d${id % 50}.example.com/p$id",
+              html.getBytes("UTF-8"))
+          })
+          .toDF("doc_id", "shard", "uri", "blob")
+        val warcs = Sharding.packWarcShards(blobs, "shard", "doc_id", "uri", "blob")
+        val members = Sharding.readWarcRecords(warcs, "shard", "warc")
+        members
+          .select(col("shard"), col("member_id"),
+            explode(TextOps.urlDomains(col("target_uri"))).as("domain"),
+            TextOps.htmlExtract(col("blob").cast("string")).as("t"))
+          .select(col("shard"), col("member_id"), col("domain"),
+            length(col("t")).cast("long").as("n_chars"),
+            md5(col("t").cast("binary")).as("clean_md5"))
+          .orderBy("member_id")
+    },
+  )
+}

@@ -1,0 +1,108 @@
+package graft.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the WARC/1.0 container: exact inverse round trip, byte
+  * determinism with a full byte-level golden (the writer's bytes are
+  * oracle-safe, so the golden IS the contract the SQL oracles replay),
+  * content-length framing protecting payloads that contain CRLFCRLF,
+  * parser tolerance (header order, case, WARC/1.1, unknown headers),
+  * and never-throw rejection of structural violations. */
+class WarcCodecSpec extends AnyFunSuite {
+
+  private def rec(id: Long, body: String) = WarcRecord(
+    "response", f"urn:graft:$id%012d",
+    Some(s"https://d${id % 50}.example.com/p$id"), "text/html",
+    body.getBytes("UTF-8"))
+
+  test("write/parse is an exact inverse; bytes are deterministic") {
+    val records = Seq(rec(0, ""), rec(1, "<p>hi</p>"), rec(512, "x" * 1500))
+    val warc = WarcCodec.write(records)
+    assert(java.util.Arrays.equals(warc, WarcCodec.write(records)), "determinism")
+    val back = WarcCodec.parse(warc).getOrElse(fail("parse failed"))
+    assert(back.size == records.size)
+    back.zip(records).foreach { case (a, b) =>
+      assert(a.warcType == b.warcType)
+      assert(a.recordId == b.recordId)
+      assert(a.targetUri == b.targetUri)
+      assert(a.contentType == b.contentType)
+      assert(java.util.Arrays.equals(a.payload, b.payload))
+    }
+    assert(WarcCodec.parse(WarcCodec.write(Nil)).contains(Seq.empty))
+  }
+
+  test("byte-level golden: the exact serialized form the SQL oracles rebuild") {
+    val warc = WarcCodec.write(Seq(WarcRecord(
+      "conversion", "urn:graft:000000000007", Some("https://x.org/a"),
+      "text/plain", "hello".getBytes("UTF-8"))))
+    val expected =
+      "WARC/1.0\r\n" +
+        "WARC-Type: conversion\r\n" +
+        "WARC-Record-ID: <urn:graft:000000000007>\r\n" +
+        "WARC-Date: 1970-01-01T00:00:00Z\r\n" +
+        "WARC-Target-URI: https://x.org/a\r\n" +
+        "Content-Type: text/plain\r\n" +
+        "Content-Length: 5\r\n" +
+        "\r\n" +
+        "hello\r\n\r\n"
+    assert(new String(warc, "UTF-8") == expected)
+  }
+
+  test("content-length framing protects payloads containing CRLFCRLF") {
+    val tricky = "a\r\n\r\nWARC/1.0\r\n\r\nb".getBytes("UTF-8")
+    val records = Seq(
+      WarcRecord("response", "urn:graft:000000000001", None, "application/octet-stream", tricky),
+      rec(2, "tail"))
+    val back = WarcCodec.parse(WarcCodec.write(records)).getOrElse(fail("parse"))
+    assert(back.size == 2)
+    assert(java.util.Arrays.equals(back(0).payload, tricky))
+    assert(back(1).recordId == "urn:graft:000000000002")
+  }
+
+  test("parser tolerates header order, case, WARC/1.1, unknown headers") {
+    val hand = ("WARC/1.1\r\n" +
+      "content-length: 3\r\n" +
+      "X-Custom: whatever\r\n" +
+      "warc-target-uri: https://y.net/\r\n" +
+      "CONTENT-TYPE: text/plain\r\n" +
+      "WARC-Date: 2025-03-01T12:00:00Z\r\n" +
+      "Warc-Record-Id: <urn:other:42>\r\n" +
+      "WARC-Type: request\r\n" +
+      "\r\n" +
+      "abc\r\n\r\n").getBytes("UTF-8")
+    val back = WarcCodec.parse(hand).getOrElse(fail("tolerant parse failed"))
+    assert(back.size == 1)
+    val r = back.head
+    assert(r.warcType == "request")
+    assert(r.recordId == "urn:other:42")
+    assert(r.targetUri.contains("https://y.net/"))
+    assert(r.contentType == "text/plain")
+    assert(new String(r.payload, "UTF-8") == "abc")
+  }
+
+  test("structural violations return None, never throw") {
+    val good = WarcCodec.write(Seq(rec(1, "body")))
+    assert(WarcCodec.parse("HTTP/1.0\r\n\r\n".getBytes).isEmpty, "wrong version line")
+    assert(WarcCodec.parse(good.dropRight(1)).isEmpty, "missing terminator byte")
+    assert(WarcCodec.parse(good.take(20)).isEmpty, "unterminated header block")
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:graft:000000000001>\r\n\r\nxx\r\n\r\n").getBytes("UTF-8")
+    assert(WarcCodec.parse(noLen).isEmpty, "absent content-length")
+    val badLen = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:graft:000000000001>\r\n" +
+      "Content-Length: 2x\r\n\r\nxx\r\n\r\n").getBytes("UTF-8")
+    assert(WarcCodec.parse(badLen).isEmpty, "malformed content-length")
+    // payload shorter than declared: terminator check runs off real data
+    val lied = new String(good, "UTF-8").replace("Content-Length: 4", "Content-Length: 9")
+    assert(WarcCodec.parse(lied.getBytes("UTF-8")).isEmpty, "overlong declared length")
+    assert(WarcCodec.parse(("WARC/1.0\r\nnocolon\r\n\r\n\r\n\r\n").getBytes).isEmpty,
+      "header line without separator")
+  }
+
+  test("writer rejects CRLF-bearing header values") {
+    intercept[IllegalArgumentException] {
+      WarcCodec.write(Seq(WarcRecord("response", "urn:graft:1", Some("https://a\r\nX: b"),
+        "text/html", Array.emptyByteArray)))
+    }
+  }
+}

@@ -122,5 +122,69 @@ object WebQueries {
             md5(col("t").cast("binary")).as("clean_md5"))
           .orderBy("member_id")
     },
+    // ── WET derivation — the full crawl→text round trip: response WARC
+    //    shards parse back, payloads run the extraction chain, and the
+    //    RESULTS re-pack as `conversion` (WET) records — the layer
+    //    extracted-text corpora actually ship as. The oracle rebuilds
+    //    each conversion record's bytes from the replayed extraction
+    //    and pins the ENTIRE shard file: md5 over the id-ordered record
+    //    concatenation (string_agg ORDER BY) — one member out of order,
+    //    one length drifted, and the whole-file hash breaks. ──
+    QueryDef.sql(
+      "web_warc_wet",
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS nl),
+         |h AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, $shellSql AS html
+         |  FROM documents),
+         |c1 AS (SELECT doc_id, shard,
+         |    regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+         |c2 AS (SELECT doc_id, shard, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM c1),
+         |c3 AS (SELECT doc_id, shard, regexp_replace(t, '(?i)<br[^>]*>|</p[^>]*>', chr(10), 'g') AS t FROM c2),
+         |c4 AS (SELECT doc_id, shard, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM c3),
+         |c5 AS (SELECT doc_id, shard,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+         |      '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM c4),
+         |c6 AS (SELECT doc_id, shard, regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM c5),
+         |c7 AS (SELECT doc_id, shard, regexp_replace(regexp_replace(t, '(?: ?\n ?)+', chr(10), 'g'),
+         |                                            '^\n+|\n+$$', '', 'g') AS t FROM c6),
+         |clean AS (SELECT doc_id, shard, trim(t) AS t FROM c7),
+         |r AS (SELECT doc_id, shard,
+         |    'WARC/1.0' || nl ||
+         |    'WARC-Type: conversion' || nl ||
+         |    'WARC-Record-ID: <urn:graft:' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' || nl ||
+         |    'WARC-Date: 1970-01-01T00:00:00Z' || nl ||
+         |    'WARC-Target-URI: https://d' || (doc_id % 50) || '.example.com/p' || doc_id || nl ||
+         |    'Content-Type: text/plain' || nl ||
+         |    'Content-Length: ' || CAST(length(t) AS VARCHAR) || nl ||
+         |    nl || t || nl || nl AS rec
+         |  FROM clean, c)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(sum(length(rec)) AS BIGINT) AS n_bytes,
+         |  md5(string_agg(rec, '' ORDER BY doc_id)) AS wet_md5
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), shellCol.as("html")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, html) =>
+            (id, (id % 8).toInt, s"https://d${id % 50}.example.com/p$id",
+              html.getBytes("UTF-8"))
+          })
+          .toDF("doc_id", "shard", "uri", "blob")
+        val members = Sharding.readWarcRecords(
+          Sharding.packWarcShards(blobs, "shard", "doc_id", "uri", "blob"),
+          "shard", "warc")
+        val extracted = members.select(col("shard"), col("member_id").as("doc_id"),
+          col("target_uri"),
+          TextOps.htmlExtract(col("blob").cast("string")).as("t"))
+        val wet = Sharding.packWarcShards(
+          extracted.select(col("shard"), col("doc_id"), col("target_uri").as("uri"),
+            col("t").cast("binary").as("blob")),
+          "shard", "doc_id", "uri", "blob",
+          warcType = "conversion", contentType = "text/plain")
+        wet.select(col("shard"), col("n_records"),
+            col("n_warc_bytes").as("n_bytes"), md5(col("warc")).as("wet_md5"))
+          .orderBy("shard")
+    },
   )
 }

@@ -124,6 +124,48 @@ object Sharding {
       .toDF("shard", "member_id", "target_uri", "blob")
   }
 
+  /** ZIP shard packing — the third container beside tar and WARC:
+    * STORED entries with zeroed DOS times ([[graft.codec.ZipCodec]]),
+    * so archive bytes are a pure function of the members and every size
+    * is oracle arithmetic (30+46+2·nameLen+payload per member, +22).
+    * Same shuffle shape as [[packTarShards]]; members named
+    * `<id zero-padded to 12>.bin`, id-ordered. Output: (shard, zip,
+    * n_members, n_zip_bytes). */
+  def packZipShards(df: DataFrame, shardCol: String, idCol: String,
+                    blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("int"), col(idCol).cast("long"), col(blobCol))
+      .as[(Int, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val members = it.map { case (_, id, b) => (id, b) }.toSeq.sortBy(_._1)
+          .map { case (id, b) => (f"$id%012d.bin", b) }
+        val zip = graft.codec.ZipCodec.write(members)
+        (shard, zip, members.size.toLong, zip.length.toLong)
+      }
+      .toDF("shard", "zip", "n_members", "n_zip_bytes")
+  }
+
+  /** The inverse: explode zip shards back to (shard, member_id, blob)
+    * rows; the parser also reads DEFLATE entries, so foreign archives
+    * arrive through the same path. Unparseable archives and members
+    * outside the packer's `<id>.bin` convention are dropped. */
+  def readZipMembers(df: DataFrame, shardCol: String, zipCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("int"), col(zipCol))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (shard, zip) =>
+        graft.codec.ZipCodec.parse(zip).getOrElse(Seq.empty).flatMap {
+          case (name, payload) if name.endsWith(".bin") =>
+            name.stripSuffix(".bin").toLongOption.map(id => (shard, id, payload))
+          case _ => None
+        }
+      }
+      .toDF("shard", "member_id", "blob")
+  }
+
   /** Deterministic per-epoch shuffle key: md5 over (seed, key). A pure
     * function of its inputs — the same (seed, key) orders identically on
     * any engine, any run; a new seed is a fresh epoch-wide permutation. */

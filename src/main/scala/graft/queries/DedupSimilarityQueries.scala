@@ -2997,6 +2997,50 @@ object DedupSimilarityQueries {
           .orderBy("shard")
     },
 
+    // ── ZIP SHARD round trip + byte layout — the third deterministic
+    //    container beside tar and WARC: STORED entries, zeroed DOS
+    //    times, so the archive size is pure arithmetic (30-byte local
+    //    header + 46-byte central entry + 2·16-byte name + payload per
+    //    member, 22-byte EOCD) AND the payloads round-trip through the
+    //    engine's own central-directory parser with CRC verification.
+    //    One query pins both: exact shard byte sizes from the packer,
+    //    md5 over the id-ordered payload concatenation from the
+    //    reader — a header field, CRC, offset, or member-order bug
+    //    breaks one of the two. ──
+    QueryDef.sql(
+      "mm_zip_shards",
+      """WITH f AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        |    'doc:' || doc_id || ':' || coalesce(text, '') AS payload
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(sum(30 + 46 + 32 + length(payload)) + 22 AS BIGINT) AS n_zip_bytes,
+        |  md5(string_agg(payload, '' ORDER BY doc_id)) AS members_md5
+        |FROM f GROUP BY shard ORDER BY shard""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("doc:"), col("doc_id").cast("string"), lit(":"),
+              coalesce(col("text"), lit(""))).as("payload"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, p) =>
+            (id, (id % 8).toInt, p.getBytes("UTF-8"))
+          })
+          .toDF("doc_id", "shard", "blob")
+        val zips = Sharding.packZipShards(blobs, "shard", "doc_id", "blob")
+        val members = Sharding.readZipMembers(zips, "shard", "zip")
+        val agg = members
+          .groupBy(col("shard"))
+          .agg(
+            md5(array_join(
+              transform(array_sort(collect_list(struct(col("member_id"), col("blob").cast("string").as("s")))),
+                x => x("s")), "").cast("binary")).as("members_md5"))
+        zips.select(col("shard"), col("n_members"), col("n_zip_bytes"))
+          .join(agg, Seq("shard"))
+          .select(col("shard"), col("n_members"), col("n_zip_bytes"), col("members_md5"))
+          .orderBy("shard")
+    },
+
     // ── Perceptual image fingerprint (dHash) over REAL decoded pixels:
     //    PNG decode → integer gray → 9×8 nearest-neighbor grid → 64
     //    horizontal-gradient sign bits as one LONG. The fixture builds

@@ -1180,6 +1180,36 @@ object TextOps {
   def urlDomains(text: Column): Column =
     regexp_extract_all(lower(text), lit("https?://([a-z0-9.-]+)"), lit(1))
 
+  /** URL canonicalization — the frontier/seen-set identity a crawl
+    * dedups on (RFC 3986 §6 normalization, the engine-portable subset):
+    * scheme and host lowercase (path stays case-sensitive), fragment
+    * dropped, default port stripped (`:80` http / `:443` https), empty
+    * path normalized to `/`, query parameters SORTED byte-wise with
+    * empty and `utm_*` tracking parameters dropped, `?` dropped when no
+    * parameter survives. Percent-encoding is left untouched (decoding
+    * unreserved octets needs a char-level pass; documented gap).
+    * Per-row expression chain — one regexp split into (scheme,
+    * authority, path, query) plus array ops, no shuffle, and every
+    * piece stays in the Java∩RE2 regex subset so a SQL oracle replays
+    * it verbatim. Non-URLs (no `scheme://`) return NULL so callers can
+    * filter. */
+  def urlCanonicalize(url: Column): Column = {
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+    val scheme = lower(regexp_extract(url, pat, 1))
+    val host0 = lower(regexp_extract(url, pat, 2))
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val path0 = regexp_extract(url, pat, 3)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = array_join(
+      array_sort(filter(split(regexp_extract(url, pat, 4), "&"),
+        x => x =!= "" && !x.startsWith("utm_"))), "&")
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
   /** Link targets of an HTML document: every href/src attribute value —
     * the link graph a plain-text URL scan cannot see once tags are
     * stripped (the href URL never appears in the extracted text).

@@ -186,5 +186,61 @@ object WebQueries {
             col("n_warc_bytes").as("n_bytes"), md5(col("warc")).as("wet_md5"))
           .orderBy("shard")
     },
+    // ── URL canonicalization — the frontier identity: four messy
+    //    variants per doc (upper-cased scheme/host, explicit default
+    //    ports, unsorted query params, utm_* tracking params, fragments,
+    //    an empty path) collapse under RFC 3986 normalization. Three
+    //    variants share one per-doc canonical; the fourth collapses
+    //    ACROSS docs onto its domain's canonical — the seen-set dedup a
+    //    crawl frontier actually performs. The oracle replays the same
+    //    regexp split + CASE port strip + list sort in DuckDB; a rule
+    //    drift in either engine splits a group and changes the counts. ──
+    QueryDef.sql(
+      "web_url_canonical",
+      """WITH v AS (
+        |  SELECT 'HTTP://D' || (doc_id % 50) || '.Example.COM:80/Path/p' || doc_id ||
+        |         '?b=2&a=1&utm_source=x#frag' AS url FROM documents
+        |  UNION ALL SELECT 'http://d' || (doc_id % 50) || '.example.com/Path/p' || doc_id ||
+        |         '?a=1&b=2' FROM documents
+        |  UNION ALL SELECT 'http://d' || (doc_id % 50) || '.example.com:80/Path/p' || doc_id ||
+        |         '?utm_campaign=z&b=2&a=1#other' FROM documents
+        |  UNION ALL SELECT 'https://H' || (doc_id % 50) || '.example.net:443?z=1&utm_x=1'
+        |    FROM documents),
+        |p AS (SELECT url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1)) AS sch,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2)) AS hp,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS pa,
+        |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS qq
+        |  FROM v),
+        |n AS (SELECT
+        |    sch || '://' ||
+        |    (CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+        |          WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+        |          ELSE hp END) ||
+        |    (CASE WHEN pa = '' THEN '/' ELSE pa END) ||
+        |    (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canonical
+        |  FROM (SELECT sch, hp, pa,
+        |          array_to_string(list_sort(list_filter(string_split(qq, '&'),
+        |            x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS q2
+        |        FROM p))
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_variants
+        |FROM n GROUP BY canonical ORDER BY canonical""".stripMargin) {
+      (s, d) =>
+        val m = pmod(col("doc_id"), lit(50)).cast("string")
+        val id = col("doc_id").cast("string")
+        val variants = array(
+          concat(lit("HTTP://D"), m, lit(".Example.COM:80/Path/p"), id,
+            lit("?b=2&a=1&utm_source=x#frag")),
+          concat(lit("http://d"), m, lit(".example.com/Path/p"), id, lit("?a=1&b=2")),
+          concat(lit("http://d"), m, lit(".example.com:80/Path/p"), id,
+            lit("?utm_campaign=z&b=2&a=1#other")),
+          concat(lit("https://H"), m, lit(".example.net:443?z=1&utm_x=1")))
+        Tables.documents(s, d)
+          .select(explode(variants).as("url"))
+          .select(TextOps.urlCanonicalize(col("url")).as("canonical"))
+          .groupBy("canonical")
+          .agg(count(lit(1)).cast("long").as("n_variants"))
+          .orderBy("canonical")
+    },
   )
 }

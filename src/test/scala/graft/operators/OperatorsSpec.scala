@@ -9,6 +9,30 @@ class OperatorsSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("urlCanonicalize: RFC 3986 normalization edges the fixture query skips") {
+    val cases = Seq(
+      // non-default port survives; path case preserved
+      "https://A.example.org:8443/KeepCase?b=1&a=2" ->
+        "https://a.example.org:8443/KeepCase?a=2&b=1",
+      // :443 only strips for https, :80 only for http
+      "http://x.org:443/p" -> "http://x.org:443/p",
+      "https://x.org:80/p" -> "https://x.org:80/p",
+      // utm-only query loses its '?'; fragment-only URL keeps bare path
+      "http://x.org/p?utm_a=1&utm_b=2#top" -> "http://x.org/p",
+      // empty path + no query normalizes to '/'
+      "HTTPS://X.ORG" -> "https://x.org/",
+      // unknown scheme: ports untouched, still lowercased
+      "FTP://Files.org:21/a" -> "ftp://files.org:21/a")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.urlCanonicalize(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+    val nonUrl = Seq("not a url", "relative/path", "").toDF("url")
+      .select(TextOps.urlCanonicalize(col("url")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(nonUrl.forall(_.isEmpty), "non-URLs must canonicalize to NULL")
+  }
+
   test("shingles: windows, guard below n, char shingles") {
     val df = docs((0L, "a b c d"), (1L, "a b"), (2L, ""))
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robots Exclusion Protocol (RFC 9309) — the crawl-side admission gate
+  * in front of the frontier: parse each domain's robots.txt into
+  * (agent, allow, prefix) rules, then evaluate URLs with the standard
+  * precedence (most-specific agent group; longest-prefix rule wins;
+  * Allow wins length ties; no match ⇒ allowed).
+  *
+  * Scope: prefix rules only — RFC 9309's `*`/`$` wildcards are NOT
+  * interpreted (a rule containing them still participates as a literal
+  * prefix, which for `$`-anchored rules is conservative-allow). The
+  * parser is line-stateful (group semantics cannot be a per-row regexp):
+  * it runs inside a `flatMap` over domains — one row in, a handful of
+  * rule rows out, embarrassingly parallel.
+  *
+  * Evaluation is relational end-to-end: a domain equi-join from URLs to
+  * the selected agent group's rules with a `startsWith` predicate, then
+  * ONE bounded aggregation computing the winning rule via the integer
+  * rank `2·len(prefix) + (allow ? 1 : 0)` — longest first, Allow on
+  * ties — with no window function. At 100 TB the rules side is tiny
+  * relative to the corpus (a few rules per domain) and joins on the
+  * same domain key the URL table is naturally clustered by; AQE
+  * broadcasts it when it fits. */
+object Robots {
+
+  final case class Rule(agent: String, allow: Boolean, prefix: String)
+
+  /** Line-stateful robots.txt parse. Comments (`#` to end of line)
+    * strip first; field names are case-insensitive; consecutive
+    * `User-agent` lines share one group; a `User-agent` line AFTER a
+    * rule line starts a new group; empty-valued Allow/Disallow lines
+    * are no-ops for matching (RFC 9309 §2.2.2) but still close the
+    * group; unknown fields (Crawl-delay, Sitemap) are ignored without
+    * disturbing group state. Agent names compare case-insensitively. */
+  def parse(txt: String): Seq[Rule] = {
+    val out = Seq.newBuilder[Rule]
+    var agents = List.empty[String]
+    var lastWasRule = false
+    txt.split("\r\n|\n|\r", -1).foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val sep = line.indexOf(':')
+      if (line.nonEmpty && sep > 0) {
+        val field = line.substring(0, sep).trim.toLowerCase
+        val value = line.substring(sep + 1).trim
+        field match {
+          case "user-agent" =>
+            if (lastWasRule) agents = List(value.toLowerCase)
+            else agents = value.toLowerCase :: agents
+            lastWasRule = false
+          case "allow" | "disallow" =>
+            if (agents.nonEmpty && value.nonEmpty)
+              agents.foreach(a => out += Rule(a, field == "allow", value))
+            lastWasRule = true
+          case _ => () // crawl-delay, sitemap, unknown: no group effect
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Explode a (domain, robots.txt) frame into (domain, agent, allow,
+    * prefix) rule rows via the stateful parser. */
+  def rulesFrame(df: DataFrame, domainCol: String, txtCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(domainCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (domain, txt) =>
+        parse(Option(txt).getOrElse("")).map(r => (domain, r.agent, r.allow, r.prefix))
+      }
+      .toDF("domain", "agent", "allow", "prefix")
+  }
+
+  /** Evaluate `urls` (domain, path + carried columns) against `rules`
+    * (domain, agent, allow, prefix) for one crawler identity: per
+    * domain the group is the exact agent match when present, else the
+    * `*` group; per URL the verdict is the longest matching prefix with
+    * Allow winning ties, default allowed. Output: the input columns
+    * plus `allowed`. */
+  def evaluate(urls: DataFrame, rules: DataFrame, agent: String,
+               domainCol: String = "domain", pathCol: String = "path"): DataFrame = {
+    val a = agent.toLowerCase
+    // which group does each domain use for this agent?
+    val groupOf = rules.groupBy(col("domain").as("_gd"))
+      .agg(max(when(col("agent") === a, lit(a)).otherwise(lit("*"))).as("_use"))
+    val selected = rules
+      .join(groupOf, rules("domain") === col("_gd") && rules("agent") === col("_use"))
+      .select(rules("domain").as("_rd"), col("allow").as("_allow"),
+        length(col("prefix")).as("_plen"), col("prefix").as("_prefix"))
+    val rank = when(col("_allow"), col("_plen") * 2 + 1).otherwise(col("_plen") * 2)
+    urls
+      .join(selected,
+        urls(domainCol) === col("_rd") && urls(pathCol).startsWith(col("_prefix")),
+        "left_outer")
+      .groupBy(urls.columns.map(urls(_)): _*)
+      .agg(max(rank).as("_best"))
+      .withColumn("allowed", col("_best").isNull || col("_best") % 2 === 1)
+      .drop("_best")
+  }
+}

@@ -242,5 +242,70 @@ object WebQueries {
           .agg(count(lit(1)).cast("long").as("n_variants"))
           .orderBy("canonical")
     },
+    // ── robots.txt admission gate — seed-arithmetic-fixture doctrine:
+    //    the engine BUILDS each domain's robots.txt text, runs the
+    //    stateful REP parser (group state machine: shared agent lines,
+    //    group reset after rules), and evaluates four URL shapes per
+    //    doc for agent `graftbot` with longest-prefix / Allow-tie /
+    //    default-allow precedence. The oracle never parses: it
+    //    reconstructs the rules ARITHMETICALLY from the same seed and
+    //    replays evaluation as an integer-rank max — so a parser
+    //    mis-parse (a group leak, a comment swallow, an empty-value
+    //    rule) changes verdicts and breaks the hash. Domains where the
+    //    graftbot group exists flip /private/ok from allowed (the *
+    //    group's longest-match Allow) to blocked — the agent-selection
+    //    divergence the fixture is built around. ──
+    QueryDef.sql(
+      "web_robots_gate",
+      """WITH m AS (SELECT DISTINCT doc_id % 50 AS m FROM documents),
+        |rules AS (
+        |  SELECT m, '*' AS agent, false AS al, '/private' AS pfx FROM m
+        |  UNION ALL SELECT m, '*', true, '/private/ok' FROM m
+        |  UNION ALL SELECT m, '*', false, '/Path' FROM m WHERE m % 3 = 0
+        |  UNION ALL SELECT m, 'graftbot', true, '/' FROM m WHERE m % 5 = 0
+        |  UNION ALL SELECT m, 'graftbot', false, '/private' FROM m WHERE m % 5 = 0),
+        |grp AS (SELECT m, CASE WHEN bool_or(agent = 'graftbot') THEN 'graftbot' ELSE '*' END AS ua
+        |        FROM rules GROUP BY m),
+        |sel AS (SELECT r.m, r.al, r.pfx FROM rules r JOIN grp g ON r.m = g.m AND r.agent = g.ua),
+        |urls AS (
+        |  SELECT doc_id, doc_id % 50 AS m, 0 AS k, '/Path/p' || doc_id AS path FROM documents
+        |  UNION ALL SELECT doc_id, doc_id % 50, 1, '/private/ok/x' || doc_id FROM documents
+        |  UNION ALL SELECT doc_id, doc_id % 50, 2, '/private/x' || doc_id FROM documents
+        |  UNION ALL SELECT doc_id, doc_id % 50, 3, '/about' FROM documents),
+        |j AS (SELECT u.doc_id, u.k, u.m,
+        |        max(CASE WHEN s.al THEN length(s.pfx) * 2 + 1 ELSE length(s.pfx) * 2 END) AS best
+        |      FROM urls u LEFT JOIN sel s ON u.m = s.m AND starts_with(u.path, s.pfx)
+        |      GROUP BY u.doc_id, u.k, u.m)
+        |SELECT doc_id, CAST(k AS INT) AS k, 'd' || m || '.example.com' AS domain,
+        |  (best IS NULL OR best % 2 = 1) AS allowed
+        |FROM j ORDER BY doc_id, k""".stripMargin) {
+      (s, d) =>
+        val mC = pmod(col("doc_id"), lit(50))
+        val robots = Tables.documents(s, d)
+          .select(mC.cast("long").as("m")).distinct()
+          .select(
+            concat(lit("d"), col("m").cast("string"), lit(".example.com")).as("domain"),
+            concat(
+              lit("# robots for d"), col("m").cast("string"),
+              lit("\nUser-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+              when(col("m") % 3 === 0, lit("Disallow: /Path\n")).otherwise(lit("")),
+              when(col("m") % 5 === 0,
+                lit("\nUser-agent: graftbot\nAllow: /\nDisallow: /private\n"))
+                .otherwise(lit(""))).as("txt"))
+        val rules = graft.operators.Robots.rulesFrame(robots, "domain", "txt")
+        val id = col("doc_id").cast("string")
+        val urls = Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("d"), mC.cast("string"), lit(".example.com")).as("domain"),
+            explode(array(
+              struct(lit(0).as("k"), concat(lit("/Path/p"), id).as("path")),
+              struct(lit(1).as("k"), concat(lit("/private/ok/x"), id).as("path")),
+              struct(lit(2).as("k"), concat(lit("/private/x"), id).as("path")),
+              struct(lit(3).as("k"), lit("/about").as("path")))).as("u"))
+          .select(col("doc_id"), col("u.k").as("k"), col("domain"), col("u.path").as("path"))
+        graft.operators.Robots.evaluate(urls, rules, "graftbot")
+          .select(col("doc_id"), col("k").cast("int").as("k"), col("domain"), col("allowed"))
+          .orderBy("doc_id", "k")
+    },
   )
 }

@@ -186,6 +186,57 @@ object WebQueries {
             col("n_warc_bytes").as("n_bytes"), md5(col("warc")).as("wet_md5"))
           .orderBy("shard")
     },
+    // ── HTTP response framing — the layer INSIDE a crawl archive's
+    //    response records: the engine serializes each doc's HTML as a
+    //    chunked HTTP/1.1 response (per-doc chunk size 7+id%13) and
+    //    parses it back through the tolerant decoder. The raw bytes are
+    //    compression-free, so the oracle rebuilds the ENTIRE response —
+    //    status line, headers, every `<lowercase hex>CRLF<data>CRLF`
+    //    chunk frame, terminal chunk — by string concatenation
+    //    (`lower(to_hex(..))` matches `Integer.toHexString`) and pins
+    //    md5 of both the raw framing and the de-chunked body; a drifted
+    //    chunk boundary, hex case, or missed terminal frame breaks
+    //    every row. ──
+    QueryDef.sql(
+      "web_http_parse",
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS nl),
+         |h AS (SELECT doc_id, $shellSql AS html, CAST(7 + doc_id % 13 AS INT) AS k
+         |  FROM documents),
+         |r AS (SELECT doc_id, html, k,
+         |    'HTTP/1.1 200 OK' || nl ||
+         |    'Content-Type: text/html; charset=utf-8' || nl ||
+         |    'Server: graft' || nl ||
+         |    'Transfer-Encoding: chunked' || nl || nl ||
+         |    array_to_string(list_transform(range(CAST(ceil(length(html) / (k * 1.0)) AS BIGINT)),
+         |      i -> lower(to_hex(length(substr(html, CAST(1 + i * k AS BIGINT), k)))) || nl ||
+         |           substr(html, CAST(1 + i * k AS BIGINT), k) || nl), '') ||
+         |    '0' || nl || nl AS raw
+         |  FROM h, c)
+         |SELECT doc_id, CAST(200 AS INT) AS status,
+         |  'text/html; charset=utf-8' AS ctype,
+         |  CAST(ceil(length(html) / (k * 1.0)) AS BIGINT) AS n_chunks,
+         |  CAST(length(html) AS BIGINT) AS body_len, md5(html) AS body_md5,
+         |  CAST(length(raw) AS BIGINT) AS raw_len, md5(raw) AS raw_md5
+         |FROM r ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), shellCol.as("html")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, html) =>
+            val raw = graft.codec.HttpCodec.writeChunked(200, "OK",
+              Seq("Content-Type" -> "text/html; charset=utf-8", "Server" -> "graft"),
+              html.getBytes("UTF-8"), (7 + id % 13).toInt)
+            val r = graft.codec.HttpCodec.parse(raw)
+              .getOrElse(sys.error(s"own response failed to parse: doc $id"))
+            (id, r.status, r.header("content-type").getOrElse(""),
+              r.nChunks.toLong, r.body, raw)
+          })
+          .toDF("doc_id", "status", "ctype", "n_chunks", "body", "raw")
+          .select(col("doc_id"), col("status"), col("ctype"), col("n_chunks"),
+            length(col("body")).cast("long").as("body_len"), md5(col("body")).as("body_md5"),
+            length(col("raw")).cast("long").as("raw_len"), md5(col("raw")).as("raw_md5"))
+          .orderBy("doc_id")
+    },
     // ── URL canonicalization — the frontier identity: four messy
     //    variants per doc (upper-cased scheme/host, explicit default
     //    ports, unsorted query params, utm_* tracking params, fragments,

@@ -1,0 +1,101 @@
+package graft.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the HTTP/1.x response framing: exact inverse round trips for
+  * both Content-Length and chunked bodies, a byte-level golden for the
+  * chunked serializer (its bytes are oracle-safe — the SQL oracles
+  * rebuild the hex-size framing with `to_hex`), framing precedence,
+  * parser tolerances servers actually exercise (chunk extensions,
+  * trailers, HTTP/1.0, header case), and never-throw rejection of
+  * structural violations. Hand-written raw responses guard against the
+  * symmetric writer+parser bug a pure round trip can't see. */
+class HttpCodecSpec extends AnyFunSuite {
+
+  test("content-length write/parse is an exact inverse") {
+    val body = "hello \r\n\r\n world".getBytes("UTF-8")
+    val raw = HttpCodec.write(200, "OK", Seq("Content-Type" -> "text/html"), body)
+    val r = HttpCodec.parse(raw).getOrElse(fail("parse"))
+    assert(r.status == 200 && !r.chunked && r.nChunks == 0)
+    assert(r.header("content-type").contains("text/html"))
+    assert(r.header("content-length").contains(body.length.toString))
+    assert(java.util.Arrays.equals(r.body, body))
+  }
+
+  test("chunked write/parse is an exact inverse across chunk sizes") {
+    val body = ("abcdefghij" * 37 + "k").getBytes("UTF-8") // 371 bytes
+    for (cs <- Seq(1, 7, 16, 370, 371, 5000)) {
+      val raw = HttpCodec.writeChunked(200, "OK", Seq("Content-Type" -> "text/plain"), body, cs)
+      val r = HttpCodec.parse(raw).getOrElse(fail(s"parse cs=$cs"))
+      assert(r.chunked, s"cs=$cs")
+      assert(r.nChunks == (body.length + cs - 1) / cs, s"cs=$cs")
+      assert(java.util.Arrays.equals(r.body, body), s"cs=$cs")
+    }
+    // empty body: just the terminal chunk
+    val raw0 = HttpCodec.writeChunked(204, "No Content", Nil, Array.emptyByteArray, 8)
+    val r0 = HttpCodec.parse(raw0).getOrElse(fail("empty"))
+    assert(r0.chunked && r0.nChunks == 0 && r0.body.isEmpty)
+  }
+
+  test("byte-level golden: the chunked form the SQL oracles rebuild") {
+    val raw = HttpCodec.writeChunked(200, "OK", Seq("Content-Type" -> "text/html"),
+      "0123456789abcdefXYZ".getBytes("UTF-8"), 16)
+    val expected =
+      "HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\n" +
+        "\r\n" +
+        "10\r\n0123456789abcdef\r\n" + // 16 = 0x10, lowercase unpadded hex
+        "3\r\nXYZ\r\n" +
+        "0\r\n\r\n"
+    assert(new String(raw, "UTF-8") == expected)
+  }
+
+  test("hand-written responses: extensions, trailers, 1.0, case, precedence") {
+    // chunk extension + trailer header after the 0 chunk
+    val ext = ("HTTP/1.1 200 OK\r\nX-A: 1\r\n\r\n" +
+      "5;name=val\r\nhello\r\n0\r\nX-Trailer: t\r\n\r\n").getBytes("UTF-8")
+    // header block has no Transfer-Encoding → close-delimited... add it:
+    val ext2 = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5;name=val\r\nhello\r\n0\r\nX-Trailer: t\r\n\r\n").getBytes("UTF-8")
+    val r2 = HttpCodec.parse(ext2).getOrElse(fail("ext2"))
+    assert(new String(r2.body, "UTF-8") == "hello" && r2.nChunks == 1)
+    // without chunked TE the same bytes are a close-delimited body
+    val r1 = HttpCodec.parse(ext).getOrElse(fail("ext"))
+    assert(!r1.chunked && new String(r1.body, "UTF-8").startsWith("5;name=val"))
+    // HTTP/1.0, case-insensitive names, chunked wins over Content-Length
+    val mixed = ("HTTP/1.0 404 Not Found\r\ncontent-length: 999\r\n" +
+      "TRANSFER-ENCODING: Chunked\r\n\r\n" +
+      "2\r\nno\r\n0\r\n\r\n").getBytes("UTF-8")
+    val r3 = HttpCodec.parse(mixed).getOrElse(fail("mixed"))
+    assert(r3.status == 404 && r3.chunked && new String(r3.body, "UTF-8") == "no")
+    // close-delimited: no framing headers at all
+    val close = "HTTP/1.1 200 OK\r\nX: y\r\n\r\nrest of stream".getBytes("UTF-8")
+    val r4 = HttpCodec.parse(close).getOrElse(fail("close"))
+    assert(new String(r4.body, "UTF-8") == "rest of stream")
+  }
+
+  test("never-throw rejection of structural violations") {
+    val bad = Seq(
+      "",                                               // empty
+      "HTTP/2 200\r\n\r\n",                             // unsupported version
+      "HTTP/1.1 20 OK\r\n\r\n",                         // 2-digit status
+      "HTTP/1.1 abc OK\r\n\r\n",                        // non-numeric status
+      "HTTP/1.1 200 OK\r\nNoColonHere\r\n\r\n",         // malformed header
+      "HTTP/1.1 200 OK\r\nContent-Length: 10\r\n\r\nabc", // truncated body
+      "HTTP/1.1 200 OK\r\nContent-Length: -1\r\n\r\n",  // negative length
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nab\r\n0\r\n\r\n", // bad hex
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n5\r\nab\r\n0\r\n\r\n",  // chunk overrun
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n2\r\nabX\r\n0\r\n\r\n", // missing CRLF
+      "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n2\r\nab\r\n",           // no 0 chunk
+      "HTTP/1.1 200 OK\r\nContent-Length: 99999999999999999999\r\n\r\n")            // overflow
+    bad.foreach { s =>
+      assert(HttpCodec.parse(s.getBytes("UTF-8")).isEmpty, s"should reject: $s")
+    }
+    // fuzz: random prefixes of a valid response must never throw
+    val good = HttpCodec.writeChunked(200, "OK", Seq("A" -> "b"), ("x" * 100).getBytes, 7)
+    (0 until good.length).foreach { n =>
+      HttpCodec.parse(java.util.Arrays.copyOfRange(good, 0, n)) // must not throw
+    }
+  }
+}

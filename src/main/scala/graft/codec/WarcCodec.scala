@@ -66,8 +66,18 @@ object WarcCodec {
   }
 
   /** Parse a WARC file back to its records; None on any malformation. */
-  def parse(b: Array[Byte]): Option[Seq[WarcRecord]] = {
-    val records = Seq.newBuilder[WarcRecord]
+  def parse(b: Array[Byte]): Option[Seq[WarcRecord]] =
+    parseIndexed(b).map(_.map(_._1))
+
+  /** [[parse]] plus each record's byte position: `(record, offset,
+    * length)` where `offset` is the record's first byte (its `WARC/`
+    * version line) and `length` spans headers, payload, and the CRLFCRLF
+    * terminator — the (offset, length) pair a CDX-style lookup index
+    * stores so a reader can fetch ONE record from a multi-GB archive
+    * with a ranged read instead of a scan. Offsets tile the file
+    * exactly: record k+1 starts at offset k + length k. */
+  def parseIndexed(b: Array[Byte]): Option[Seq[(WarcRecord, Long, Long)]] = {
+    val records = Seq.newBuilder[(WarcRecord, Long, Long)]
     var p = 0
     while (p < b.length) {
       // locate the header block terminator CRLFCRLF
@@ -112,8 +122,9 @@ object WarcCodec {
       val dataEnd = dataStart + clen.toInt
       if (!(b(dataEnd) == '\r' && b(dataEnd + 1) == '\n' &&
             b(dataEnd + 2) == '\r' && b(dataEnd + 3) == '\n')) return None
-      records += WarcRecord(wtype, rid, target, ctype,
-        java.util.Arrays.copyOfRange(b, dataStart, dataEnd))
+      records += ((WarcRecord(wtype, rid, target, ctype,
+        java.util.Arrays.copyOfRange(b, dataStart, dataEnd)),
+        p.toLong, (dataEnd + 4 - p).toLong))
       p = dataEnd + 4
     }
     Some(records.result())

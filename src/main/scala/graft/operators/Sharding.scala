@@ -124,6 +124,37 @@ object Sharding {
       .toDF("shard", "member_id", "target_uri", "blob")
   }
 
+  /** CDX-style lookup index over WARC shards: one row per record with
+    * its byte position — `(shard, member_id, target_uri, offset,
+    * rec_len, digest)` — the structure that turns a multi-GB archive
+    * into a randomly-addressable store (fetch ONE record by ranged read
+    * at `offset..offset+rec_len`). The payload MD5 rides along as the
+    * revisit-dedup key and is computed HERE, executor-side, so the
+    * index frame never carries payload bytes — at 100 TB the archives
+    * stay in place and only the bytes-per-record index rows shuffle.
+    * Sort the result by a SURT key ([[TextOps.urlSurt]]) to get the
+    * prefix-scannable CDX ordering. */
+  def warcIndex(df: DataFrame, shardCol: String, warcCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("int"), col(warcCol))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (shard, warc) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        graft.codec.WarcCodec.parseIndexed(warc).getOrElse(Seq.empty).flatMap {
+          case (r, off, len) =>
+            if (r.recordId.startsWith("urn:graft:"))
+              r.recordId.stripPrefix("urn:graft:").toLongOption.map { id =>
+                md.reset()
+                val digest = md.digest(r.payload).map(b => f"$b%02x").mkString
+                (shard, id, r.targetUri.orNull, off, len, digest)
+              }
+            else None
+        }
+      }
+      .toDF("shard", "member_id", "target_uri", "offset", "rec_len", "digest")
+  }
+
   /** ZIP shard packing — the third container beside tar and WARC:
     * STORED entries with zeroed DOS times ([[graft.codec.ZipCodec]]),
     * so archive bytes are a pure function of the members and every size

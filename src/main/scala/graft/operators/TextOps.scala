@@ -1210,6 +1210,38 @@ object TextOps {
         when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the sort order
+    * crawl-archive lookup indexes (CDX) are keyed by: the host's labels
+    * REVERSED and comma-joined, so every URL under one registrable
+    * domain is one contiguous key range (`com,example,d7)/p1` …) and a
+    * domain lookup is a prefix scan over a sorted index instead of a
+    * full-index host parse. Transform subset: scheme dropped, host
+    * lowercased and label-reversed, default port stripped (`:80` http /
+    * `:443` https) with other ports kept as `host:port)`, empty path
+    * normalized to `/`, fragment dropped, query kept verbatim (CDX
+    * canonicalizers additionally sort/strip params — that belongs to
+    * [[urlCanonicalize]], applied BEFORE keying when wanted). Pure
+    * per-row expression chain in the Java∩RE2 regex subset; non-URLs
+    * return NULL. */
+  def urlSurt(url: Column): Column = {
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+    val scheme = lower(regexp_extract(url, pat, 1))
+    val hostPort0 = lower(regexp_extract(url, pat, 2))
+    val hostPort = when(scheme === "http", regexp_replace(hostPort0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort0, ":443$", ""))
+      .otherwise(hostPort0)
+    val hpPat = "^([^:]*)(:[0-9]+)?$"
+    val host = regexp_extract(hostPort, hpPat, 1)
+    val port = regexp_extract(hostPort, hpPat, 2)
+    val path0 = regexp_extract(url, pat, 3)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(url, pat, 4)
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(concat(
+        array_join(reverse(split(host, "\\.")), ","), port, lit(")"), path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
   /** Link targets of an HTML document: every href/src attribute value —
     * the link graph a plain-text URL scan cannot see once tags are
     * stripped (the href URL never appears in the extracted text).

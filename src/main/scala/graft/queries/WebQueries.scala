@@ -237,6 +237,52 @@ object WebQueries {
             length(col("raw")).cast("long").as("raw_len"), md5(col("raw")).as("raw_md5"))
           .orderBy("doc_id")
     },
+    // ── CDX index — the lookup structure OVER the archives: the engine
+    //    packs response WARC shards, walks them back with the indexed
+    //    parser, and emits one row per record with its exact byte
+    //    position (offset, length), payload digest, and SURT sort key
+    //    (host labels reversed — the ordering that makes a domain
+    //    lookup a prefix scan). The oracle never parses: WarcCodec
+    //    bytes are deterministic, so it rebuilds every record string,
+    //    takes offsets as the per-shard running sum of record lengths
+    //    in member order, and the SURT key arithmetically from the
+    //    seed. One byte of header drift anywhere in a shard shifts
+    //    every later offset and breaks the hash. ──
+    QueryDef.sql(
+      "web_surt_cdx",
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS nl),
+         |h AS (SELECT doc_id, doc_id % 50 AS m, CAST(doc_id % 8 AS INT) AS shard,
+         |    $shellSql AS html FROM documents),
+         |r AS (SELECT doc_id, m, shard, html,
+         |    'WARC/1.0' || nl ||
+         |    'WARC-Type: response' || nl ||
+         |    'WARC-Record-ID: <urn:graft:' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' || nl ||
+         |    'WARC-Date: 1970-01-01T00:00:00Z' || nl ||
+         |    'WARC-Target-URI: https://d' || m || '.example.com/p' || doc_id || nl ||
+         |    'Content-Type: text/html' || nl ||
+         |    'Content-Length: ' || CAST(length(html) AS VARCHAR) || nl ||
+         |    nl || html || nl || nl AS rec
+         |  FROM h, c)
+         |SELECT 'com,example,d' || m || ')/p' || doc_id AS surt, shard,
+         |  CAST(coalesce(sum(length(rec)) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+         |  CAST(length(rec) AS BIGINT) AS rec_len, md5(html) AS digest
+         |FROM r ORDER BY surt""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), shellCol.as("html")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, html) =>
+            (id, (id % 8).toInt, s"https://d${id % 50}.example.com/p$id",
+              html.getBytes("UTF-8"))
+          })
+          .toDF("doc_id", "shard", "uri", "blob")
+        val warcs = Sharding.packWarcShards(blobs, "shard", "doc_id", "uri", "blob")
+        Sharding.warcIndex(warcs, "shard", "warc")
+          .select(TextOps.urlSurt(col("target_uri")).as("surt"),
+            col("shard"), col("offset"), col("rec_len"), col("digest"))
+          .orderBy("surt")
+    },
     // ── URL canonicalization — the frontier identity: four messy
     //    variants per doc (upper-cased scheme/host, explicit default
     //    ports, unsorted query params, utm_* tracking params, fragments,

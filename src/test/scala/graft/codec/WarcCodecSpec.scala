@@ -31,6 +31,26 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(WarcCodec.parse(WarcCodec.write(Nil)).contains(Seq.empty))
   }
 
+  test("parseIndexed: offsets tile the file; each slice re-parses alone") {
+    val records = Seq(rec(0, "a"), rec(1, "<p>hi</p>"), rec(2, "x" * 700))
+    val warc = WarcCodec.write(records)
+    val idx = WarcCodec.parseIndexed(warc).getOrElse(fail("parseIndexed"))
+    assert(idx.size == 3)
+    // offsets tile: record k+1 starts where record k ends; total = file size
+    assert(idx.head._2 == 0L)
+    idx.sliding(2).foreach { case Seq((_, o1, l1), (_, o2, _)) => assert(o1 + l1 == o2) }
+    assert(idx.last._2 + idx.last._3 == warc.length.toLong)
+    idx.zip(records).foreach { case ((r, off, len), orig) =>
+      // the ranged read a CDX lookup performs: slice → single-record parse
+      val slice = java.util.Arrays.copyOfRange(warc, off.toInt, (off + len).toInt)
+      assert(new String(slice, 0, 5, "UTF-8") == "WARC/")
+      val alone = WarcCodec.parse(slice).getOrElse(fail("slice parse"))
+      assert(alone.size == 1 && alone.head.recordId == orig.recordId)
+      assert(java.util.Arrays.equals(alone.head.payload, orig.payload))
+      assert(java.util.Arrays.equals(r.payload, orig.payload))
+    }
+  }
+
   test("byte-level golden: the exact serialized form the SQL oracles rebuild") {
     val warc = WarcCodec.write(Seq(WarcRecord(
       "conversion", "urn:graft:000000000007", Some("https://x.org/a"),

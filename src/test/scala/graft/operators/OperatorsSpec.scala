@@ -33,6 +33,33 @@ class OperatorsSpec extends SparkSpec {
     assert(nonUrl.forall(_.isEmpty), "non-URLs must canonicalize to NULL")
   }
 
+  test("urlSurt: host reversal, ports, path/query/fragment handling") {
+    val cases = Seq(
+      "https://d7.example.com/p123?b=1" -> "com,example,d7)/p123?b=1",
+      // non-default port kept as host:port); default ports stripped
+      "http://A.B.org:8080/x" -> "org,b,a:8080)/x",
+      "http://x.example.net:80/y" -> "net,example,x)/y",
+      "HTTPS://WWW.Example.COM:443" -> "com,example,www)/",
+      // fragment dropped; single-label host has nothing to reverse
+      "http://localhost/a#frag" -> "localhost)/a",
+      // :443 is NOT default for http — kept
+      "http://x.org:443/p" -> "org,x:443)/p")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.urlSurt(col("url")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+    val nonUrl = Seq("not a url", "").toDF("url")
+      .select(TextOps.urlSurt(col("url")).as("s"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(nonUrl.forall(_.isEmpty), "non-URLs must key to NULL")
+    // SURT groups a domain's URLs contiguously where plain URL order scatters them
+    val urls = Seq("https://b.example.com/1", "https://a.example.com/1",
+      "https://b.example.com/2").toDF("url")
+    val sorted = urls.select(TextOps.urlSurt(col("url")).as("s"))
+      .orderBy("s").collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("com,example,a)/1", "com,example,b)/1", "com,example,b)/2"))
+  }
+
   test("shingles: windows, guard below n, char shingles") {
     val df = docs((0L, "a b c d"), (1L, "a b"), (2L, ""))
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))

@@ -237,6 +237,77 @@ object WebQueries {
             length(col("raw")).cast("long").as("raw_len"), md5(col("raw")).as("raw_md5"))
           .orderBy("doc_id")
     },
+    // ── WARC × HTTP composition — the shape real crawl archives ship:
+    //    each WARC response record's payload is the FULL HTTP response
+    //    (status line, headers, chunked framing), `Content-Type:
+    //    application/http; msgtype=response`. The engine frames each
+    //    doc's HTML as a chunked HTTP response, packs the responses
+    //    into WARC shards, walks the shards back through the indexed
+    //    WARC parser (rec_len + payload digest pin the OUTER layer),
+    //    and de-chunks the payloads through the HTTP parser (status /
+    //    chunk count / body pin the INNER layer). The oracle rebuilds
+    //    both framings by string concatenation — a drift in either
+    //    layer's arithmetic (chunk boundaries, Content-Length of the
+    //    raw response, WARC header bytes) breaks every row. ──
+    QueryDef.sql(
+      "web_warc_http",
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS nl),
+         |h AS (SELECT doc_id, doc_id % 50 AS m, CAST(doc_id % 8 AS INT) AS shard,
+         |    $shellSql AS html, CAST(7 + doc_id % 13 AS INT) AS k FROM documents),
+         |p AS (SELECT doc_id, m, shard, html, k,
+         |    'HTTP/1.1 200 OK' || nl ||
+         |    'Content-Type: text/html; charset=utf-8' || nl ||
+         |    'Transfer-Encoding: chunked' || nl || nl ||
+         |    array_to_string(list_transform(range(CAST(ceil(length(html) / (k * 1.0)) AS BIGINT)),
+         |      i -> lower(to_hex(length(substr(html, CAST(1 + i * k AS BIGINT), k)))) || nl ||
+         |           substr(html, CAST(1 + i * k AS BIGINT), k) || nl), '') ||
+         |    '0' || nl || nl AS raw
+         |  FROM h, c),
+         |r AS (SELECT doc_id, shard, html, k, raw,
+         |    'WARC/1.0' || nl ||
+         |    'WARC-Type: response' || nl ||
+         |    'WARC-Record-ID: <urn:graft:' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' || nl ||
+         |    'WARC-Date: 1970-01-01T00:00:00Z' || nl ||
+         |    'WARC-Target-URI: https://d' || m || '.example.com/p' || doc_id || nl ||
+         |    'Content-Type: application/http; msgtype=response' || nl ||
+         |    'Content-Length: ' || CAST(length(raw) AS VARCHAR) || nl ||
+         |    nl || raw || nl || nl AS rec
+         |  FROM p, c)
+         |SELECT doc_id, CAST(200 AS INT) AS status,
+         |  CAST(ceil(length(html) / (k * 1.0)) AS BIGINT) AS n_chunks,
+         |  CAST(length(html) AS BIGINT) AS body_len, md5(html) AS body_md5,
+         |  CAST(length(rec) AS BIGINT) AS rec_len, md5(raw) AS raw_md5
+         |FROM r ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), shellCol.as("html")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, html) =>
+            val raw = graft.codec.HttpCodec.writeChunked(200, "OK",
+              Seq("Content-Type" -> "text/html; charset=utf-8"),
+              html.getBytes("UTF-8"), (7 + id % 13).toInt)
+            (id, (id % 8).toInt, s"https://d${id % 50}.example.com/p$id", raw)
+          })
+          .toDF("doc_id", "shard", "uri", "blob")
+        val warcs = Sharding.packWarcShards(blobs, "shard", "doc_id", "uri", "blob",
+          contentType = "application/http; msgtype=response")
+        val outer = Sharding.warcIndex(warcs, "shard", "warc")
+          .select(col("member_id").as("doc_id"), col("rec_len"),
+            col("digest").as("raw_md5"))
+        val inner = Sharding.readWarcRecords(warcs, "shard", "warc")
+          .select(col("member_id").as("doc_id"), col("blob")).as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, raw) =>
+            val r = graft.codec.HttpCodec.parse(raw)
+              .getOrElse(sys.error(s"http payload failed to parse: doc $id"))
+            (id, r.status, r.nChunks.toLong, r.body)
+          })
+          .toDF("doc_id", "status", "n_chunks", "body")
+        inner.join(outer, Seq("doc_id"))
+          .select(col("doc_id"), col("status"), col("n_chunks"),
+            length(col("body")).cast("long").as("body_len"),
+            md5(col("body")).as("body_md5"), col("rec_len"), col("raw_md5"))
+          .orderBy("doc_id")
+    },
     // ── CDX index — the lookup structure OVER the archives: the engine
     //    packs response WARC shards, walks them back with the indexed
     //    parser, and emits one row per record with its exact byte

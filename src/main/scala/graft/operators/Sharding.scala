@@ -124,6 +124,33 @@ object Sharding {
       .toDF("shard", "member_id", "target_uri", "blob")
   }
 
+  /** [[packWarcShards]] with PER-RECORD type and content-type columns —
+    * the shape a deduplicating crawl writer needs: `response` records
+    * (full payload) and `revisit` records (empty payload, pointing at
+    * an earlier identical capture) interleave in one archive, in member
+    * order. Same single shuffle on the shard id. */
+  def packWarcShardsMixed(df: DataFrame, shardCol: String, idCol: String,
+                          uriCol: String, blobCol: String,
+                          typeCol: String, ctypeCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("int"), col(idCol).cast("long"),
+        col(uriCol).cast("string"), col(blobCol),
+        col(typeCol).cast("string"), col(ctypeCol).cast("string"))
+      .as[(Int, Long, String, Array[Byte], String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val recs = it.map { case (_, id, uri, b, t, ct) => (id, uri, b, t, ct) }
+          .toSeq.sortBy(_._1)
+          .map { case (id, uri, b, t, ct) =>
+            graft.codec.WarcRecord(t, f"urn:graft:$id%012d", Option(uri), ct, b)
+          }
+        val warc = graft.codec.WarcCodec.write(recs)
+        (shard, warc, recs.size.toLong, warc.length.toLong)
+      }
+      .toDF("shard", "warc", "n_records", "n_warc_bytes")
+  }
+
   /** CDX-style lookup index over WARC shards: one row per record with
     * its byte position — `(shard, member_id, target_uri, offset,
     * rec_len, digest)` — the structure that turns a multi-GB archive
@@ -147,12 +174,12 @@ object Sharding {
               r.recordId.stripPrefix("urn:graft:").toLongOption.map { id =>
                 md.reset()
                 val digest = md.digest(r.payload).map(b => f"$b%02x").mkString
-                (shard, id, r.targetUri.orNull, off, len, digest)
+                (shard, id, r.targetUri.orNull, r.warcType, off, len, digest)
               }
             else None
         }
       }
-      .toDF("shard", "member_id", "target_uri", "offset", "rec_len", "digest")
+      .toDF("shard", "member_id", "target_uri", "warc_type", "offset", "rec_len", "digest")
   }
 
   /** ZIP shard packing — the third container beside tar and WARC:

@@ -354,6 +354,71 @@ object WebQueries {
             col("shard"), col("offset"), col("rec_len"), col("digest"))
           .orderBy("surt")
     },
+    // ── Revisit dedup — the STORAGE-layer dedup crawls run between
+    //    snapshots: snapshot 2 re-fetches every URI but only docs with
+    //    `doc_id % 7 = 0` changed; the engine joins snapshot-2 payloads
+    //    against snapshot-1's digest index on the URI (the previous
+    //    crawl's CDX digest column — bytes per record, never payloads),
+    //    writes changed docs as full `response` records and unchanged
+    //    ones as empty-payload `revisit` records into ONE mixed-type
+    //    archive per shard. The oracle replays the change seed and
+    //    rebuilds every record of the mixed archive — a misclassified
+    //    row flips a record's type, length, and payload at once, and
+    //    the whole-file md5 (string_agg in member order) breaks. ──
+    QueryDef.sql(
+      "web_revisit",
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS nl),
+         |h AS (SELECT doc_id, doc_id % 50 AS m, CAST(doc_id % 8 AS INT) AS shard,
+         |    $shellSql AS html, doc_id % 7 = 0 AS chg FROM documents),
+         |h2 AS (SELECT doc_id, m, shard, chg,
+         |    CASE WHEN chg THEN html || '<!-- rev2 -->' ELSE html END AS html2 FROM h),
+         |r AS (SELECT doc_id, shard, chg,
+         |    'WARC/1.0' || nl ||
+         |    'WARC-Type: ' || CASE WHEN chg THEN 'response' ELSE 'revisit' END || nl ||
+         |    'WARC-Record-ID: <urn:graft:' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' || nl ||
+         |    'WARC-Date: 1970-01-01T00:00:00Z' || nl ||
+         |    'WARC-Target-URI: https://d' || m || '.example.com/p' || doc_id || nl ||
+         |    'Content-Type: ' || CASE WHEN chg THEN 'text/html' ELSE 'message/http' END || nl ||
+         |    'Content-Length: ' || CASE WHEN chg THEN CAST(length(html2) AS VARCHAR) ELSE '0' END || nl ||
+         |    nl || CASE WHEN chg THEN html2 ELSE '' END || nl || nl AS rec
+         |  FROM h2, c)
+         |SELECT shard,
+         |  CAST(sum(CASE WHEN chg THEN 1 ELSE 0 END) AS BIGINT) AS n_response,
+         |  CAST(sum(CASE WHEN chg THEN 0 ELSE 1 END) AS BIGINT) AS n_revisit,
+         |  CAST(sum(length(rec)) AS BIGINT) AS n_bytes,
+         |  md5(string_agg(rec, '' ORDER BY doc_id)) AS file_md5
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin) {
+      (s, d) =>
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), shellCol.as("html"),
+            concat(lit("https://d"), pmod(col("doc_id"), lit(50)).cast("string"),
+              lit(".example.com/p"), col("doc_id").cast("string")).as("uri"))
+        // snapshot 1's digest index — at 100 TB this is the previous
+        // crawl's CDX digest column, never its payloads
+        val prior = base.select(col("uri"),
+          md5(col("html").cast("binary")).as("digest1"))
+        val snap2 = base.select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).cast("int").as("shard"), col("uri"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("html"), lit("<!-- rev2 -->"))).otherwise(col("html"))
+            .as("html2"))
+        val joined = snap2.join(prior, Seq("uri"))
+          .withColumn("rev", md5(col("html2").cast("binary")) === col("digest1"))
+        val recs = joined.select(col("shard"), col("doc_id"), col("uri"),
+          when(col("rev"), lit(Array.emptyByteArray))
+            .otherwise(col("html2").cast("binary")).as("blob"),
+          when(col("rev"), lit("revisit")).otherwise(lit("response")).as("wtype"),
+          when(col("rev"), lit("message/http")).otherwise(lit("text/html")).as("ctype"))
+        val counts = joined.groupBy("shard").agg(
+          sum(when(col("rev"), 0L).otherwise(1L)).as("n_response"),
+          sum(when(col("rev"), 1L).otherwise(0L)).as("n_revisit"))
+        Sharding.packWarcShardsMixed(recs, "shard", "doc_id", "uri", "blob",
+            "wtype", "ctype")
+          .join(counts, Seq("shard"))
+          .select(col("shard"), col("n_response"), col("n_revisit"),
+            col("n_warc_bytes").as("n_bytes"), md5(col("warc")).as("file_md5"))
+          .orderBy("shard")
+    },
     // ── URL canonicalization — the frontier identity: four messy
     //    variants per doc (upper-cased scheme/host, explicit default
     //    ports, unsorted query params, utm_* tracking params, fragments,

@@ -60,6 +60,32 @@ class OperatorsSpec extends SparkSpec {
     assert(sorted == Seq("com,example,a)/1", "com,example,b)/1", "com,example,b)/2"))
   }
 
+  test("packWarcShardsMixed + warcIndex: types survive; offsets address records") {
+    val rows = Seq(
+      (0, 1L, "https://a.org/1", "full".getBytes("UTF-8"), "response", "text/html"),
+      (0, 2L, "https://a.org/2", Array.emptyByteArray, "revisit", "message/http"),
+      (1, 3L, "https://b.org/3", "x".getBytes("UTF-8"), "response", "text/html"))
+      .toDF("shard", "id", "uri", "blob", "wtype", "ctype")
+    val warcs = Sharding.packWarcShardsMixed(rows, "shard", "id", "uri", "blob",
+      "wtype", "ctype")
+    val idx = Sharding.warcIndex(warcs, "shard", "warc")
+      .orderBy("member_id")
+      .collect().map(r => (r.getLong(1), r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(idx.map(t => t._1 -> t._2).toSeq ==
+      Seq(1L -> "response", 2L -> "revisit", 3L -> "response"))
+    // the revisit record carries no payload: its digest is md5 of empty
+    val d2 = Sharding.warcIndex(warcs, "shard", "warc")
+      .where(col("member_id") === 2L).select("digest").head.getString(0)
+    assert(d2 == "d41d8cd98f00b204e9800998ecf8427e")
+    // ranged read via (offset, rec_len) recovers exactly one record
+    val shard0 = warcs.where(col("shard") === 0).select("warc").head.getAs[Array[Byte]](0)
+    val (o, l) = (idx(1)._3, idx(1)._4)
+    val one = graft.codec.WarcCodec.parse(
+      java.util.Arrays.copyOfRange(shard0, o.toInt, (o + l).toInt))
+      .getOrElse(fail("slice"))
+    assert(one.size == 1 && one.head.warcType == "revisit" && one.head.payload.isEmpty)
+  }
+
   test("shingles: windows, guard below n, char shingles") {
     val df = docs((0L, "a b c d"), (1L, "a b"), (2L, ""))
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))

@@ -1242,6 +1242,19 @@ object TextOps {
         when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
+  /** Values of every `<tag>…</tag>` element, in document order — the
+    * flat-XML extractor sitemap/feed ingestion needs (a sitemap is a
+    * list of `<loc>`/`<lastmod>` leaves; nothing nests inside them).
+    * Leaf elements only: the `[^<]*` body stops at any markup, so a
+    * container element yields the empty string rather than swallowed
+    * children. RE2-simple per the oracle doctrine; `tag` must be a
+    * plain XML name (it is embedded in the pattern verbatim). */
+  def xmlTagValues(xml: Column, tag: String): Column = {
+    require(tag.nonEmpty && tag.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"tag must be a plain XML name: '$tag'")
+    regexp_extract_all(xml, lit(s"<$tag>([^<]*)</$tag>"), lit(1))
+  }
+
   /** Link targets of an HTML document: every href/src attribute value —
     * the link graph a plain-text URL scan cannot see once tags are
     * stripped (the href URL never appears in the extracted text).

@@ -475,6 +475,95 @@ object WebQueries {
           .agg(count(lit(1)).cast("long").as("n_variants"))
           .orderBy("canonical")
     },
+    // ── Sitemap round trip — the crawl's OTHER frontier source beside
+    //    extracted links: the engine assembles each domain's sitemap
+    //    XML (one <url> entry per doc, doc-id order — a real groupBy +
+    //    ordered collect, the per-domain assembly shape) and parses it
+    //    back through the flat-XML leaf extractor. The oracle never
+    //    sees XML: it recomputes every per-domain aggregate — URL-list
+    //    md5 in document order, lastmod range, priority mass — directly
+    //    from the seed, so a lost entry, a reordered entry, or an
+    //    extractor that swallows neighboring tags breaks the hash. ──
+    QueryDef.sql(
+      "web_sitemap",
+      """WITH e AS (SELECT doc_id, doc_id % 50 AS m,
+        |    'https://d' || (doc_id % 50) || '.example.com/p' || doc_id AS loc,
+        |    '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+        |    doc_id % 9 + 1 AS pri FROM documents)
+        |SELECT 'd' || m || '.example.com' AS domain,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  md5(string_agg(loc, chr(10) ORDER BY doc_id)) AS locs_md5,
+        |  min(lastmod) AS min_lastmod, max(lastmod) AS max_lastmod,
+        |  CAST(sum(pri) AS BIGINT) AS pri_decis
+        |FROM e GROUP BY m ORDER BY domain""".stripMargin) {
+      (s, d) =>
+        val m = pmod(col("doc_id"), lit(50)).cast("string")
+        val id = col("doc_id").cast("string")
+        val entry = concat(
+          lit("<url><loc>https://d"), m, lit(".example.com/p"), id,
+          lit("</loc><lastmod>2026-01-"),
+          lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0"),
+          lit("</lastmod><priority>0."),
+          (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
+          lit("</priority></url>"))
+        val sitemaps = Tables.documents(s, d)
+          .select(m.as("m"), struct(col("doc_id"), entry.as("e")).as("de"))
+          .groupBy("m")
+          .agg(concat(
+            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+            array_join(transform(array_sort(collect_list(col("de"))),
+              x => x.getField("e")), ""),
+            lit("</urlset>")).as("xml"))
+        val parsed = sitemaps.select(
+          concat(lit("d"), col("m"), lit(".example.com")).as("domain"),
+          TextOps.xmlTagValues(col("xml"), "loc").as("locs"),
+          TextOps.xmlTagValues(col("xml"), "lastmod").as("mods"),
+          TextOps.xmlTagValues(col("xml"), "priority").as("pris"))
+        parsed.select(col("domain"),
+            size(col("locs")).cast("long").as("n_urls"),
+            md5(array_join(col("locs"), "\n").cast("binary")).as("locs_md5"),
+            array_min(col("mods")).as("min_lastmod"),
+            array_max(col("mods")).as("max_lastmod"),
+            aggregate(transform(col("pris"),
+                p => substring(p, 3, 1).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("pri_decis"))
+          .orderBy("domain")
+    },
+    // ── Politeness scheduler — the frontier's LAST stage: per-host
+    //    fetch slots. Each host serializes its fetches (priority
+    //    descending, id ascending as the tiebreak) with its own
+    //    crawl-delay (the robots Crawl-delay seed, (1+m%5)·250 ms), so
+    //    slot k fires at k·delay. Unlike a per-domain CAP (a bounded
+    //    heap — the e9 doctrine), a schedule needs EVERY rank: the rank
+    //    IS the output, so the per-host window is the honest shape. The
+    //    window partition is one host's frontier slice — bounded in
+    //    practice by the upstream per-domain cap (pipeline_web_corpus),
+    //    and at 100 TB further sliced by scheduling epoch before
+    //    ranking. The oracle replays the same window. ──
+    QueryDef.sql(
+      "web_fetch_schedule",
+      """WITH u AS (SELECT doc_id, doc_id % 50 AS m, doc_id % 9 + 1 AS pri
+        |  FROM documents)
+        |SELECT doc_id, 'd' || m || '.example.com' AS domain,
+        |  CAST(row_number() OVER (PARTITION BY m ORDER BY pri DESC, doc_id) - 1
+        |    AS BIGINT) AS slot,
+        |  CAST((row_number() OVER (PARTITION BY m ORDER BY pri DESC, doc_id) - 1)
+        |    * (1 + m % 5) * 250 AS BIGINT) AS sched_ms
+        |FROM u ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("m").orderBy(desc("pri"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(50)).as("m"),
+            (pmod(col("doc_id"), lit(9)) + 1).as("pri"))
+          .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+          .select(col("doc_id"),
+            concat(lit("d"), col("m").cast("string"), lit(".example.com")).as("domain"),
+            col("slot"),
+            (col("slot") * (pmod(col("m"), lit(5)) + 1) * 250).cast("long").as("sched_ms"))
+          .orderBy("doc_id")
+    },
     // ── robots.txt admission gate — seed-arithmetic-fixture doctrine:
     //    the engine BUILDS each domain's robots.txt text, runs the
     //    stateful REP parser (group state machine: shared agent lines,

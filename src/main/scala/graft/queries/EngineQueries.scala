@@ -312,6 +312,62 @@ object EngineQueries {
           .orderBy("batch_id")
     },
 
+    // ── Streaming CRAWL admission: the web-acquisition stages run
+    //    arrival-mode — one attached stream (MemoryStream → foreachBatch)
+    //    runs each micro-batch of fetched pages through URL
+    //    canonicalization (the frontier identity), the robots gate
+    //    (domains with m % 3 = 0 disallow /Path), within-batch dedup,
+    //    and cross-batch admission against the durable seen-set ledger;
+    //    admitted pages land as per-batch WARC response shards. Batch 0
+    //    carries a messy spelling of every URL plus 30 same-canonical
+    //    respellings (within-batch duplicates); batch 1 carries a THIRD
+    //    spelling of 40 batch-0 URLs (the ledger must reject every
+    //    allowed one), 25 fresh paths (admitted), and 5 non-URLs
+    //    (invalid). rows-only: streams + engine ledgers, no SQL oracle;
+    //    StreamingCrawlSpec pins the per-row semantics, the pin spec
+    //    recomputes every aggregate from the seed. ──
+    QueryDef.rowsOnly("engine_stream_web") {
+      (s, d) =>
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        val docs = graft.Tables.documents(s, d).filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long].collect().toSeq.sorted
+        def urlA(id: Long) =
+          s"HTTP://D${id % 50}.Example.COM:80/Path/p$id?b=2&a=1&utm_source=x#frag"
+        def urlB(id: Long) = s"http://d${id % 50}.example.com/Path/p$id?a=1&b=2"
+        def urlC(id: Long) =
+          s"http://d${id % 50}.example.com:80/Path/p$id?utm_campaign=z&b=2&a=1#o"
+        def urlF(id: Long) = s"https://d${id % 50}.example.com/fresh/p$id"
+        def blob(id: Long) = s"<html>p$id</html>".getBytes("UTF-8")
+        val rules = graft.operators.Robots.rulesFrame(
+          docs.map(_ % 50).distinct.map { m =>
+            (s"d$m.example.com", "User-agent: *\nDisallow: /private\n" +
+              (if (m % 3 == 0) "Disallow: /Path\n" else ""))
+          }.toDF("domain", "txt"), "domain", "txt")
+        val ledgerDir = java.nio.file.Files.createTempDirectory("graft-scrawl-l").toString
+        val outDir = java.nio.file.Files.createTempDirectory("graft-scrawl-o").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft-scrawl-k").toString
+        val shardDir = java.nio.file.Files.createTempDirectory("graft-scrawl-s").toString
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Array[Byte])]
+        val q = graft.streaming.StreamingCrawl.attach(
+          mem.toDF().toDF("id", "url", "blob"), "id", "url", "blob",
+          rules, "graftbot", ledgerDir, outDir, ckptDir, Some(shardDir))
+        try {
+          mem.addData(docs.map(id => (id, urlA(id), blob(id))) ++
+            docs.take(30).map(id => (1000000L + id, urlB(id), blob(id))))
+          q.processAllAvailable()
+          mem.addData(docs.take(40).map(id => (2000000L + id, urlC(id), blob(id))) ++
+            docs.take(25).map(id => (3000000L + id, urlF(id), blob(id))) ++
+            (0 until 5).map(i => (4000000L + i, s"no scheme $i", Array.emptyByteArray)))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(outDir)
+          .groupBy(col("batch").cast("long").as("batch"), col("outcome"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            countDistinct(col("domain")).cast("long").as("n_domains"))
+          .orderBy("batch", "outcome")
+    },
+
     // ── Streaming MULTIMODAL ingest: mm_corpus_build's arrival-mode
     //    twin — one attached stream (MemoryStream → foreachBatch) runs
     //    each micro-batch of raw container blobs through decode-metadata

@@ -1,0 +1,124 @@
+package graft.streaming
+
+import graft.operators.{Robots, Sharding, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous crawl admission — the streaming face of the web-corpus
+  * acquisition stages: per micro-batch of fetched pages `(id, url,
+  * blob)`,
+  *
+  *   (1) CANONICALIZE the URL ([[TextOps.urlCanonicalize]]) — the
+  *       frontier identity; non-URLs are `invalid`,
+  *   (2) GATE through robots ([[Robots.evaluate]] on the canonical
+  *       host + path against the static rules frame) — disallowed
+  *       pages are `robots_blocked`,
+  *   (3) DEDUP on the canonical URL within the batch (smallest arrival
+  *       id wins) and across batches against the PERSISTENT seen-set
+  *       ledger — a re-fetch whose canonical form any earlier batch
+  *       admitted is `duplicate`, however differently its raw URL was
+  *       spelled (ports, params, fragments),
+  *   (4) ADMIT the rest: canonical keys append to the ledger and the
+  *       pages pack into per-batch WARC response shards — byte-
+  *       identical on replay, because [[graft.codec.WarcCodec]] bytes
+  *       are a pure function of the members.
+  *
+  * State shape at 100 TB/day: identical to [[StreamingMedia]] — the
+  * streaming state store stays EMPTY; frontier memory is one durable
+  * `seen/` parquet table under `ledgerDir`, batch-partitioned and
+  * written with dynamic partition overwrite, so a replayed micro-batch
+  * overwrites its own partition (idempotent) and the cross-batch check
+  * reads only `batch < batchId`, never a half-written own attempt.
+  * Per-batch work is per-row expressions (canonicalize, host/path
+  * split) plus the rules join and one key anti-join against the
+  * ledger — URL-sized rows; page bytes ride only the admitted-shard
+  * shuffle. */
+object StreamingCrawl {
+
+  /** One micro-batch step: returns one OUTCOME row per arrival —
+    * `(id, url, canonical, domain, outcome)` with outcome ∈ `invalid |
+    * robots_blocked | duplicate | admitted` — appends admitted
+    * canonicals to `ledgerDir/seen` under `batch=<batchId>`, and (with
+    * `shardDir` set) packs admitted pages into WARC shards under
+    * `shardDir/warcs`. Usable directly on static frames (spec-pinned)
+    * or via [[attach]]. The returned frame is localCheckpoint'ed; the
+    * caller unpersists it when the batch is done. */
+  def processBatch(batch: DataFrame, batchId: Long, idCol: String, urlCol: String,
+                   blobCol: String, rules: DataFrame, agent: String,
+                   ledgerDir: String, shardDir: Option[String] = None,
+                   nShards: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import spark.implicits._
+    val hostPath = "^[a-z][a-z0-9+.-]*://([^/?#]*)([^?#]*).*$"
+    val b = batch
+      .withColumn("canonical", TextOps.urlCanonicalize(col(urlCol)))
+      .withColumn("domain", regexp_extract(col("canonical"), hostPath, 1))
+      .withColumn("path", regexp_extract(col("canonical"), hostPath, 2))
+      .localCheckpoint()
+    def outcome(df: DataFrame, o: String) =
+      df.select(col(idCol), col(urlCol), col("canonical"), col("domain"),
+        lit(o).as("outcome"))
+    val invalid = outcome(b.filter(col("canonical").isNull), "invalid")
+    val valid = b.filter(col("canonical").isNotNull)
+    // robots verdicts on a slim (id, domain, path) frame; join back by id
+    val verdicts = Robots.evaluate(
+      valid.select(col(idCol), col("domain"), col("path")), rules, agent)
+      .select(col(idCol), col("allowed"))
+    val judged = valid.join(verdicts, Seq(idCol)).localCheckpoint()
+    val blocked = outcome(judged.filter(!col("allowed")), "robots_blocked")
+    val allowed = judged.filter(col("allowed"))
+    // within-batch: smallest arrival id per canonical wins
+    val winnerIds = allowed.groupBy("canonical")
+      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+    val winners = allowed.join(broadcast(winnerIds), Seq(idCol), "left_semi")
+    val batchDups = allowed.join(broadcast(winnerIds), Seq(idCol), "left_anti")
+    // cross-batch: the stored seen-set rejects canonicals any earlier
+    // batch admitted
+    val prior = StreamingDedup.readBatchedOr(spark, s"$ledgerDir/seen",
+      belowBatch = Some(batchId),
+      empty = Seq.empty[(String, Long)].toDF("canonical", idCol))
+      .select("canonical").distinct()
+    val admitted = winners.join(prior, Seq("canonical"), "left_anti").localCheckpoint()
+    val crossDups = winners.join(prior, Seq("canonical"), "left_semi")
+    // append the admitted keys (idempotent per batch: own-partition overwrite)
+    admitted.select(col("canonical"), col(idCol)).withColumn("batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$ledgerDir/seen")
+    // admitted pages land as WARC response shards, byte-identical on replay
+    shardDir.foreach { sd =>
+      Sharding.packWarcShards(
+        admitted.withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int")),
+        "shard", idCol, "canonical", blobCol)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch").parquet(s"$sd/warcs")
+    }
+    val out = invalid
+      .unionByName(blocked)
+      .unionByName(outcome(batchDups.unionByName(crossDups), "duplicate"))
+      .unionByName(outcome(admitted, "admitted"))
+      .localCheckpoint()
+    Seq(b, judged, admitted).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Convenience wiring: every micro-batch's outcome rows land in
+    * `outDir` (batch-partitioned, idempotent), admitted keys in
+    * `ledgerDir/seen`, admitted pages as WARC shards when `shardDir`
+    * is set. */
+  def attach(pages: DataFrame, idCol: String, urlCol: String, blobCol: String,
+             rules: DataFrame, agent: String, ledgerDir: String, outDir: String,
+             checkpointDir: String, shardDir: Option[String] = None,
+             nShards: Int = 4): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val o = processBatch(batch, batchId, idCol, urlCol, blobCol, rules, agent,
+          ledgerDir, shardDir, nShards)
+        o.withColumn("batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch").parquet(outDir)
+        o.unpersist(blocking = false)
+        ()
+      }
+      .start()
+}

@@ -29,7 +29,7 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "text_classifier_train", "engine_stream_validate",
       "engine_jsonl_quarantine", "engine_stream_drift",
       "engine_stream_corpus", "text_score_percentiles_approx",
-      "text_heavyhitters_sketch", "engine_stream_media"),
+      "text_heavyhitters_sketch", "engine_stream_media", "engine_stream_web"),
       "a new rows-only query was registered without a pin in this spec")
   }
 
@@ -50,6 +50,36 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "a rewritten-container audio re-upload slipped past the ledger")
     val img1 = rows((1L, "image"))
     assert(img1.getLong(2) >= 1 && img1.getLong(2) <= 20)
+  }
+
+  test("engine_stream_web: every aggregate recomputes from the seed") {
+    val df = run("engine_stream_web")
+    assert(df.columns.toSeq == Seq("batch", "outcome", "n", "n_domains"))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // replay the fixture arithmetic: ids < 400, m = id % 50, domains
+    // with m % 3 = 0 disallow /Path
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ids = graft.Tables.documents(spark, sf).filter(col("doc_id") < 400)
+      .select(col("doc_id")).as[Long].collect().toSeq.sorted
+    def blocked(id: Long) = (id % 50) % 3 == 0
+    def doms(s: Seq[Long]) = s.map(_ % 50).distinct.size.toLong
+    val (b30, a30) = (ids.take(30).filter(blocked), ids.take(30).filterNot(blocked))
+    val (blk, adm) = (ids.filter(blocked), ids.filterNot(blocked))
+    assert(got((0L, "admitted")) == (adm.size.toLong, doms(adm)))
+    assert(got((0L, "robots_blocked")) == ((blk.size + b30.size).toLong, doms(blk)))
+    assert(got((0L, "duplicate")) == (a30.size.toLong, doms(a30)))
+    assert(!got.contains((0L, "invalid")))
+    val (b40, a40) = (ids.take(40).filter(blocked), ids.take(40).filterNot(blocked))
+    val f25 = ids.take(25)
+    assert(got((1L, "robots_blocked")) == (b40.size.toLong, doms(b40)),
+      "batch-1 respellings of blocked URLs must re-block")
+    assert(got((1L, "duplicate")) == (a40.size.toLong, doms(a40)),
+      "the seen ledger must reject every allowed respelling")
+    assert(got((1L, "admitted")) == (f25.size.toLong, doms(f25)),
+      "fresh paths must all admit")
+    assert(got((1L, "invalid")) == (5L, 0L))
   }
 
   test("text_score_percentiles_approx: sketch quantiles sit at exact ranks for small groups") {

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Robots
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Pins the streaming crawl admission vertical: canonical-URL frontier
+  * identity (differently-spelled re-fetches collapse), robots gating,
+  * within-batch and cross-batch dedup, replay idempotence of the seen
+  * ledger, and byte-identical WARC shard replay. */
+class StreamingCrawlSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("url", StringType, nullable = true),
+    StructField("blob", BinaryType, nullable = true)))
+
+  private def df(rows: Seq[Row]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+  private def page(s: String) = s.getBytes("UTF-8")
+
+  private def rules = {
+    import spark.implicits._
+    Robots.rulesFrame(
+      Seq(("a.org", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+        .toDF("domain", "txt"), "domain", "txt")
+  }
+
+  private def outcomes(m: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    m.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+
+  test("canonicalize, robots gate, batch + ledger dedup, replay idempotence") {
+    val ledger = tmpDir("graft-scrawl-ledger")
+    val shards = tmpDir("graft-scrawl-shards")
+    val batch0 = df(Seq(
+      Row(1L, "HTTP://A.ORG:80/x?b=2&a=1#frag", page("one")),
+      Row(2L, "http://a.org/x?a=1&b=2", page("one again")), // same canonical as 1
+      Row(3L, "http://a.org/private/secret", page("blocked")),
+      Row(4L, "http://a.org/private/ok/fine", page("allowed by Allow")),
+      Row(5L, "not a url at all", page("junk")),
+      Row(6L, "http://a.org/y", page("two"))))
+    val m0 = StreamingCrawl.processBatch(batch0, 0L, "id", "url", "blob",
+      rules, "graftbot", ledger, Some(shards))
+    val o0 = outcomes(m0)
+    m0.unpersist(false)
+    assert(o0 == Map(1L -> "admitted", 2L -> "duplicate", 3L -> "robots_blocked",
+      4L -> "admitted", 5L -> "invalid", 6L -> "admitted"))
+
+    // batch 1: a re-fetch of 1's canonical spelled a THIRD way, plus a
+    // fresh page; the ledger must reject the former only
+    val batch1 = df(Seq(
+      Row(11L, "http://a.org:80/x?b=2&a=1&utm_source=z", page("one re-fetched")),
+      Row(12L, "http://a.org/z", page("three"))))
+    val m1 = StreamingCrawl.processBatch(batch1, 1L, "id", "url", "blob",
+      rules, "graftbot", ledger, Some(shards))
+    val o1 = outcomes(m1)
+    m1.unpersist(false)
+    assert(o1 == Map(11L -> "duplicate", 12L -> "admitted"))
+
+    // replay batch 1 (failure recovery): same outcomes, ledger does not
+    // double-admit, and the WARC shard bytes are byte-identical
+    val before = spark.read.parquet(s"$shards/warcs").filter(col("batch") === 1)
+      .select("shard", "warc").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val m1r = StreamingCrawl.processBatch(batch1, 1L, "id", "url", "blob",
+      rules, "graftbot", ledger, Some(shards))
+    assert(outcomes(m1r) == o1, "replayed batch must reproduce its outcomes")
+    m1r.unpersist(false)
+    val after = spark.read.parquet(s"$shards/warcs").filter(col("batch") === 1)
+      .select("shard", "warc").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(after == before, "replayed WARC shards must be byte-identical")
+    val seen = spark.read.parquet(s"$ledger/seen")
+    assert(seen.count() == seen.select("canonical").distinct().count(),
+      "replay must not double-admit a canonical")
+
+    // the admitted pages are really in the archives: parse every shard
+    // back and check payload identity for arrival 6
+    val all = spark.read.parquet(s"$shards/warcs").select("warc").collect()
+      .flatMap(r => graft.codec.WarcCodec.parse(r.getAs[Array[Byte]](0)).get)
+    val by = all.map(r => r.recordId -> new String(r.payload, "UTF-8")).toMap
+    assert(by("urn:graft:000000000006") == "two")
+    assert(by.keySet == Set(1L, 4L, 6L, 12L).map(i => f"urn:graft:$i%012d"),
+      "exactly the four admitted pages are archived")
+  }
+
+  test("attach: MemoryStream wiring lands batch-partitioned outcomes") {
+    val ledger = tmpDir("graft-scrawl-l2")
+    val out = tmpDir("graft-scrawl-o2")
+    val ckpt = tmpDir("graft-scrawl-k2")
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Array[Byte])]
+    val q = StreamingCrawl.attach(mem.toDF().toDF("id", "url", "blob"),
+      "id", "url", "blob", rules, "graftbot", ledger, out, ckpt)
+    try {
+      mem.addData(Seq((1L, "http://a.org/p1", page("p1"))))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, "HTTP://A.ORG/p1", page("p1 again")),
+        (3L, "http://a.org/p2", page("p2"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select(col("id"), col("outcome"), col("batch").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "admitted", 0L), (2L, "duplicate", 1L),
+      (3L, "admitted", 1L)))
+  }
+}

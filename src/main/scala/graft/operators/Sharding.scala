@@ -182,6 +182,63 @@ object Sharding {
       .toDF("shard", "member_id", "target_uri", "warc_type", "offset", "rec_len", "digest")
   }
 
+  /** `.warc.gz` shard packing — the form crawl archives actually ship:
+    * each record serializes alone ([[graft.codec.WarcCodec]]) and
+    * gzips as its OWN member ([[graft.codec.GzipCodec]]), members
+    * concatenated, so compressed (offset, length) pairs still address
+    * single records. Same single shuffle on the shard id. Compressed
+    * bytes are NOT oracle-safe (deflate is a zlib implementation
+    * detail) — queries pin the DECODED content the reader recovers. */
+  def packWarcGzShards(df: DataFrame, shardCol: String, idCol: String,
+                       uriCol: String, blobCol: String,
+                       warcType: String = "response",
+                       contentType: String = "text/html"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("int"), col(idCol).cast("long"),
+        col(uriCol).cast("string"), col(blobCol))
+      .as[(Int, Long, String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val out = new java.io.ByteArrayOutputStream()
+        var n = 0L
+        it.toSeq.sortBy(_._2).foreach { case (_, id, uri, b) =>
+          val rec = graft.codec.WarcCodec.write(Seq(graft.codec.WarcRecord(
+            warcType, f"urn:graft:$id%012d", Option(uri), contentType, b)))
+          val gz = graft.codec.GzipCodec.gzipMember(rec)
+          out.write(gz, 0, gz.length)
+          n += 1
+        }
+        val bytes = out.toByteArray
+        (shard, bytes, n, bytes.length.toLong)
+      }
+      .toDF("shard", "warcgz", "n_records", "n_gz_bytes")
+  }
+
+  /** The inverse: walk each shard's gzip members, inflate, parse each
+    * as a single-record WARC file — `(shard, member_id, target_uri,
+    * rec_len, blob)` where `rec_len` is the DECOMPRESSED record length
+    * (deterministic, unlike the compressed member size). Unparseable
+    * members and foreign record ids are dropped. */
+  def readWarcGzRecords(df: DataFrame, shardCol: String, warcGzCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("int"), col(warcGzCol))
+      .as[(Int, Array[Byte])]
+      .flatMap { case (shard, gz) =>
+        graft.codec.GzipCodec.gunzipAll(gz).getOrElse(Seq.empty).flatMap {
+          case (rec, _, _) =>
+            graft.codec.WarcCodec.parse(rec).getOrElse(Seq.empty).flatMap { r =>
+              if (r.recordId.startsWith("urn:graft:"))
+                r.recordId.stripPrefix("urn:graft:").toLongOption
+                  .map(id => (shard, id, r.targetUri.orNull, rec.length.toLong, r.payload))
+              else None
+            }
+        }
+      }
+      .toDF("shard", "member_id", "target_uri", "rec_len", "blob")
+  }
+
   /** ZIP shard packing — the third container beside tar and WARC:
     * STORED entries with zeroed DOS times ([[graft.codec.ZipCodec]]),
     * so archive bytes are a pure function of the members and every size

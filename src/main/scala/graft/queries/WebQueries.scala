@@ -308,6 +308,54 @@ object WebQueries {
             md5(col("body")).as("body_md5"), col("rec_len"), col("raw_md5"))
           .orderBy("doc_id")
     },
+    // ── Compressed archives — the `.warc.gz` form crawls actually
+    //    ship: each record gzips as its OWN member (members
+    //    concatenate, so compressed offsets still address records).
+    //    Deflate output is a zlib implementation detail, so unlike
+    //    every other container here the archive BYTES are not
+    //    oracle-safe; the pin is the full round trip instead — the
+    //    engine packs, walks the members back (inflate + CRC32 +
+    //    ISIZE), parses each as a WARC record, and the oracle
+    //    recomputes the recovered content: per-doc payload md5 and the
+    //    DECOMPRESSED record length (deterministic WarcCodec
+    //    arithmetic). A drifted member boundary, bad CRC, or lost
+    //    record drops or corrupts a row. ──
+    QueryDef.sql(
+      "web_warc_gz",
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS nl),
+         |h AS (SELECT doc_id, doc_id % 50 AS m, $shellSql AS html FROM documents),
+         |r AS (SELECT doc_id, m, html,
+         |    length('WARC/1.0' || nl ||
+         |    'WARC-Type: response' || nl ||
+         |    'WARC-Record-ID: <urn:graft:' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' || nl ||
+         |    'WARC-Date: 1970-01-01T00:00:00Z' || nl ||
+         |    'WARC-Target-URI: https://d' || m || '.example.com/p' || doc_id || nl ||
+         |    'Content-Type: text/html' || nl ||
+         |    'Content-Length: ' || CAST(length(html) AS VARCHAR) || nl ||
+         |    nl || html || nl || nl) AS rec_len
+         |  FROM h, c)
+         |SELECT doc_id, 'd' || m || '.example.com' AS domain,
+         |  CAST(rec_len AS BIGINT) AS rec_len,
+         |  CAST(length(html) AS BIGINT) AS n_bytes, md5(html) AS payload_md5
+         |FROM r ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), shellCol.as("html")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, html) =>
+            (id, (id % 8).toInt, s"https://d${id % 50}.example.com/p$id",
+              html.getBytes("UTF-8"))
+          })
+          .toDF("doc_id", "shard", "uri", "blob")
+        val gz = Sharding.packWarcGzShards(blobs, "shard", "doc_id", "uri", "blob")
+        Sharding.readWarcGzRecords(gz, "shard", "warcgz")
+          .select(col("member_id").as("doc_id"),
+            explode(TextOps.urlDomains(col("target_uri"))).as("domain"),
+            col("rec_len"),
+            length(col("blob")).cast("long").as("n_bytes"),
+            md5(col("blob")).as("payload_md5"))
+          .orderBy("doc_id")
+    },
     // ── CDX index — the lookup structure OVER the archives: the engine
     //    packs response WARC shards, walks them back with the indexed
     //    parser, and emits one row per record with its exact byte
@@ -474,6 +522,63 @@ object WebQueries {
           .groupBy("canonical")
           .agg(count(lit(1)).cast("long").as("n_variants"))
           .orderBy("canonical")
+    },
+    // ── Redirect resolution — the hop between fetch and frontier
+    //    identity: the seed builds a redirect edge per doc whose id ends
+    //    in 0 (→ id+1) or 1 (→ id+2) — two-hop chains — plus a 7↔8
+    //    two-cycle every 100 ids; the engine resolves every URL through
+    //    maxHops=4 successive left joins and classifies targets that
+    //    STILL redirect as loops. The oracle replays the identical walk
+    //    as four LEFT JOINs against the same arithmetic edge CTE — an
+    //    off-by-one in hop counting, a pass-through row advancing, or a
+    //    loop escaping the probe breaks the hash. ──
+    QueryDef.sql(
+      "web_redirects",
+      """WITH e AS (SELECT doc_id AS src,
+        |    CASE WHEN doc_id % 100 = 7 THEN doc_id + 1
+        |         WHEN doc_id % 100 = 8 THEN doc_id - 1
+        |         WHEN doc_id % 10 = 0 THEN doc_id + 1
+        |         WHEN doc_id % 10 = 1 THEN doc_id + 2 END AS dst
+        |  FROM documents
+        |  WHERE doc_id % 100 IN (7, 8) OR doc_id % 10 IN (0, 1)),
+        |u AS (SELECT doc_id, doc_id AS t FROM documents),
+        |h1 AS (SELECT u.doc_id, coalesce(e.dst, u.t) AS t,
+        |    CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS h
+        |  FROM u LEFT JOIN e ON u.t = e.src),
+        |h2 AS (SELECT h1.doc_id, coalesce(e.dst, h1.t) AS t,
+        |    h1.h + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS h
+        |  FROM h1 LEFT JOIN e ON h1.t = e.src),
+        |h3 AS (SELECT h2.doc_id, coalesce(e.dst, h2.t) AS t,
+        |    h2.h + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS h
+        |  FROM h2 LEFT JOIN e ON h2.t = e.src),
+        |h4 AS (SELECT h3.doc_id, coalesce(e.dst, h3.t) AS t,
+        |    h3.h + CASE WHEN e.dst IS NULL THEN 0 ELSE 1 END AS h
+        |  FROM h3 LEFT JOIN e ON h3.t = e.src),
+        |p AS (SELECT h4.doc_id, h4.t, h4.h, e.src IS NOT NULL AS looping
+        |  FROM h4 LEFT JOIN e ON h4.t = e.src)
+        |SELECT doc_id,
+        |  'https://d' || (t % 50) || '.example.com/p' || t AS final_url,
+        |  CAST(h AS BIGINT) AS n_hops,
+        |  CASE WHEN looping THEN 'redirect_loop' ELSE 'resolved' END AS status
+        |FROM p ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        def url(idc: org.apache.spark.sql.Column) = concat(
+          lit("https://d"), pmod(idc, lit(50)).cast("string"),
+          lit(".example.com/p"), idc.cast("string"))
+        val m100 = pmod(col("doc_id"), lit(100))
+        val m10 = pmod(col("doc_id"), lit(10))
+        val dstId = when(m100 === 7, col("doc_id") + 1)
+          .when(m100 === 8, col("doc_id") - 1)
+          .when(m10 === 0, col("doc_id") + 1)
+          .when(m10 === 1, col("doc_id") + 2)
+        val docs = Tables.documents(s, d)
+        val edges = docs
+          .select(url(col("doc_id")).as("src"), url(dstId).as("dst"))
+          .filter(col("dst").isNotNull)
+        val urls = docs.select(col("doc_id"), url(col("doc_id")).as("url"))
+        graft.operators.Redirects.resolve(urls, "url", edges, "src", "dst", 4)
+          .select(col("doc_id"), col("final_url"), col("n_hops"), col("status"))
+          .orderBy("doc_id")
     },
     // ── Sitemap round trip — the crawl's OTHER frontier source beside
     //    extracted links: the engine assembles each domain's sitemap

@@ -60,6 +60,26 @@ class OperatorsSpec extends SparkSpec {
     assert(sorted == Seq("com,example,a)/1", "com,example,b)/1", "com,example,b)/2"))
   }
 
+  test("redirects: chains, pass-through, cycles, over-bound truncation") {
+    val edges = Seq("a" -> "b", "b" -> "c", // 2-hop chain
+      "x" -> "y", "y" -> "x", // 2-cycle
+      "l1" -> "l2", "l2" -> "l3", "l3" -> "l4", "l4" -> "l5", "l5" -> "l6")
+      .toDF("src", "dst")
+    val urls = Seq("a", "b", "c", "x", "plain", "l1").toDF("url")
+    val got = Redirects.resolve(urls, "url", edges, "src", "dst", 4)
+      .select("url", "final_url", "n_hops", "status")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got("a") == (("c", 2L, "resolved")))
+    assert(got("b") == (("c", 1L, "resolved")))
+    assert(got("c") == (("c", 0L, "resolved")))
+    assert(got("plain") == (("plain", 0L, "resolved")))
+    // 2-cycle: four hops land back on x, target still redirects
+    assert(got("x") == (("x", 4L, "redirect_loop")))
+    // 5-hop chain truncates at 4 with the loop/over-bound status
+    assert(got("l1") == (("l5", 4L, "redirect_loop")))
+  }
+
   test("packWarcShardsMixed + warcIndex: types survive; offsets address records") {
     val rows = Seq(
       (0, 1L, "https://a.org/1", "full".getBytes("UTF-8"), "response", "text/html"),

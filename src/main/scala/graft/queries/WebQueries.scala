@@ -669,6 +669,83 @@ object WebQueries {
             (col("slot") * (pmod(col("m"), lit(5)) + 1) * 250).cast("long").as("sched_ms"))
           .orderBy("doc_id")
     },
+    // ── Crawl-funnel capstone — the acquisition stages COMPOSED: a
+    //    4-spellings-per-doc frontier (two path families × two messy
+    //    spellings each) canonicalizes, dedups on the canonical form
+    //    (4 → 2 per doc), gates through the REAL robots parser (the
+    //    web_robots_gate corpus: `*` group with /private + Allow
+    //    /private/ok, m%3=0 adds Disallow /Path, m%5=0 domains have a
+    //    graftbot group that flips BOTH verdicts: Allow / admits /Path,
+    //    Disallow /private blocks /private/ok), and schedules survivors
+    //    into per-host politeness slots. The oracle replays everything
+    //    ARITHMETICALLY from the seed — frontier/unique counts, the
+    //    m%3 × m%5 verdict matrix, makespan = (n_allowed−1)·delay — so
+    //    a drift in ANY stage (a canonicalization rule splitting a
+    //    group, an agent-selection leak, a slot off-by-one) lands in
+    //    some domain's row. ──
+    QueryDef.sql(
+      "pipeline_crawl",
+      """WITH d AS (SELECT doc_id, doc_id % 50 AS m FROM documents),
+        |g AS (SELECT m, count(*) AS n_docs FROM d GROUP BY m),
+        |verd AS (SELECT m, n_docs,
+        |    CASE WHEN m % 3 <> 0 OR m % 5 = 0 THEN 1 ELSE 0 END AS fam0,
+        |    CASE WHEN m % 5 <> 0 THEN 1 ELSE 0 END AS fam1
+        |  FROM g)
+        |SELECT 'd' || m || '.example.com' AS domain,
+        |  CAST(n_docs * 4 AS BIGINT) AS n_frontier,
+        |  CAST(n_docs * 2 AS BIGINT) AS n_unique,
+        |  CAST(n_docs * (fam0 + fam1) AS BIGINT) AS n_allowed,
+        |  CAST((n_docs * (fam0 + fam1) - 1) * (1 + m % 5) * 250 AS BIGINT) AS makespan_ms
+        |FROM verd ORDER BY domain""".stripMargin) {
+      (s, d) =>
+        val m = pmod(col("doc_id"), lit(50)).cast("string")
+        val id = col("doc_id").cast("string")
+        val variants = array(
+          concat(lit("HTTP://D"), m, lit(".Example.COM:80/Path/p"), id,
+            lit("?b=2&a=1&utm_x=1#f")),
+          concat(lit("http://d"), m, lit(".example.com/Path/p"), id, lit("?a=1&b=2")),
+          concat(lit("https://D"), m, lit(".example.com:443/private/ok/x"), id),
+          concat(lit("https://d"), m, lit(".example.com/private/ok/x"), id))
+        val canon = Tables.documents(s, d)
+          .select(explode(variants).as("url"))
+          .select(TextOps.urlCanonicalize(col("url")).as("canonical"))
+          .withColumn("domain",
+            regexp_extract(col("canonical"), "^https?://([^/?#]*)", 1))
+        val nFrontier = canon.groupBy("domain")
+          .agg(count(lit(1)).cast("long").as("n_frontier"))
+        val unique = canon.groupBy("domain", "canonical").agg(count(lit(1)).as("_n"))
+          .withColumn("path",
+            regexp_extract(col("canonical"), "^https?://[^/?#]*([^?#]*)", 1))
+        val nUnique = unique.groupBy("domain")
+          .agg(count(lit(1)).cast("long").as("n_unique"))
+        // the REAL robots corpus: same builder as web_robots_gate
+        val mL = pmod(col("doc_id"), lit(50))
+        val robots = Tables.documents(s, d)
+          .select(mL.cast("long").as("m")).distinct()
+          .select(
+            concat(lit("d"), col("m").cast("string"), lit(".example.com")).as("domain"),
+            concat(
+              lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+              when(col("m") % 3 === 0, lit("Disallow: /Path\n")).otherwise(lit("")),
+              when(col("m") % 5 === 0,
+                lit("\nUser-agent: graftbot\nAllow: /\nDisallow: /private\n"))
+                .otherwise(lit(""))).as("txt"))
+        val rules = graft.operators.Robots.rulesFrame(robots, "domain", "txt")
+        val gated = graft.operators.Robots
+          .evaluate(unique.select("domain", "canonical", "path"), rules, "graftbot")
+          .filter(col("allowed"))
+        // politeness slots over the admitted frontier; makespan per host
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("domain").orderBy("canonical")
+        val sched = gated
+          .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+          .withColumn("_m", regexp_extract(col("domain"), "^d([0-9]+)\\.", 1).cast("long"))
+          .groupBy("domain")
+          .agg(count(lit(1)).cast("long").as("n_allowed"),
+            max(col("slot") * (pmod(col("_m"), lit(5)) + 1) * 250).as("makespan_ms"))
+        nFrontier.join(nUnique, Seq("domain")).join(sched, Seq("domain"))
+          .orderBy("domain")
+    },
     // ── robots.txt admission gate — seed-arithmetic-fixture doctrine:
     //    the engine BUILDS each domain's robots.txt text, runs the
     //    stateful REP parser (group state machine: shared agent lines,

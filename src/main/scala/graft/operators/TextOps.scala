@@ -1263,6 +1263,23 @@ object TextOps {
   def htmlLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)(?:href|src)=\"([^\"]*)\""), lit(1))
 
+  /** `(target, text)` pairs of every `<a href="…">…</a>` element — the
+    * anchor-TEXT signal ([[htmlLinks]] recovers only the targets):
+    * what the web calls a page is training/ranking signal for the
+    * TARGET document, so it must be extracted before tags strip (the
+    * target vanishes) and attributed to the target, not the source.
+    * Two same-pattern `regexp_extract_all` passes (group 1 = href,
+    * group 2 = the leaf text, `[^<]*` so nested markup yields empty
+    * rather than swallowed tags) zip positionally — both Java regex
+    * and RE2 return matches in document order, so the zip is
+    * engine-portable. Per-row projection, rides the scan. */
+  def htmlAnchors(html: Column): Column = {
+    val pat = "(?is)<a [^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    arrays_zip(
+      regexp_extract_all(html, lit(pat), lit(1)).as("target"),
+      regexp_extract_all(html, lit(pat), lit(2)).as("text"))
+  }
+
   /** Suffix-aware blocklist membership: `d` is blocked when it equals a
     * blocklist entry or is a subdomain of one (`ads.tracker.net` matches
     * `tracker.net` — the semantics real blocklists assume). The list

@@ -635,6 +635,87 @@ object WebQueries {
               lit(0L), (acc, x) => acc + x).as("pri_decis"))
           .orderBy("domain")
     },
+    // ── Anchor-text rollup — the signal htmlLinks loses: what the web
+    //    CALLS a page belongs to the TARGET document (ranking/training
+    //    signal), and it only exists at markup level — after tag strip
+    //    the target is gone and the words have lost their attribution.
+    //    The engine extracts (href, leaf text) pairs from seed-built
+    //    markup (an img src and a nested-markup anchor must NOT
+    //    contribute) and rolls them up per target domain. The oracle
+    //    rebuilds both anchor families arithmetically — a pair
+    //    misalignment between the two zipped extraction passes
+    //    scrambles text attribution and breaks the counts. ──
+    QueryDef.sql(
+      "web_anchor_text",
+      """WITH a AS (
+        |  SELECT 'd' || ((doc_id + 1) % 50) || '.example.com' AS domain,
+        |    'next ' || (doc_id + 1) AS text FROM documents
+        |  UNION ALL
+        |  SELECT 'd' || ((doc_id * 7 + 3) % 50) || '.example.com',
+        |    'ref ' || doc_id FROM documents)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_anchors,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_texts,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM a GROUP BY domain ORDER BY domain""".stripMargin) {
+      (s, d) =>
+        val id = col("doc_id")
+        val html = concat(
+          lit("<p><a href=\"https://d"), pmod(id + 1, lit(50)).cast("string"),
+          lit(".example.com/p"), (id + 1).cast("string"),
+          lit("\">next "), (id + 1).cast("string"), lit("</a>"),
+          lit("<img src=\"https://img.example.com/"), id.cast("string"),
+          lit(".png\"><a class=\"z\" href=\"https://d"),
+          pmod(id * 7 + 3, lit(50)).cast("string"),
+          lit(".example.com/q"), id.cast("string"),
+          lit("\">ref "), id.cast("string"), lit("</a>"),
+          lit("<a href=\"https://x.example.com/n\"><b>nested</b></a></p>"))
+        Tables.documents(s, d)
+          .select(explode(TextOps.htmlAnchors(html)).as("a"))
+          .select(regexp_extract(col("a.target"), "^https?://([^/]*)", 1).as("domain"),
+            col("a.text").as("text"))
+          .groupBy("domain")
+          .agg(count(lit(1)).cast("long").as("n_anchors"),
+            countDistinct(col("text")).cast("long").as("n_texts"),
+            sum(length(col("text"))).cast("long").as("sum_text_len"))
+          .orderBy("domain")
+    },
+    // ── Incremental recrawl planner — what keeps a 100 TB crawl
+    //    incremental instead of full: the sitemap's lastmod (page
+    //    changed on day id%28+1) joins the crawl ledger's last-fetch
+    //    date (fetched on day id%14+1) on the URL, and only pages
+    //    modified AFTER their last fetch re-enter the frontier.
+    //    Zero-padded ISO dates compare as strings in both engines. The
+    //    oracle replays the day arithmetic and pins the stale set by
+    //    id-sum, not just count. ──
+    QueryDef.sql(
+      "web_recrawl_plan",
+      """WITH u AS (SELECT doc_id, doc_id % 50 AS m,
+        |    '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+        |    '2026-01-' || lpad(CAST(doc_id % 14 + 1 AS VARCHAR), 2, '0') AS last_fetch
+        |  FROM documents)
+        |SELECT 'd' || m || '.example.com' AS domain,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(sum(CASE WHEN lastmod > last_fetch THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+        |  CAST(sum(CASE WHEN lastmod > last_fetch THEN doc_id ELSE 0 END) AS BIGINT) AS stale_id_sum
+        |FROM u GROUP BY m ORDER BY domain""".stripMargin) {
+      (s, d) =>
+        val id = col("doc_id")
+        val url = concat(lit("https://d"), pmod(id, lit(50)).cast("string"),
+          lit(".example.com/p"), id.cast("string"))
+        val sitemap = Tables.documents(s, d).select(id.as("doc_id"), url.as("url"),
+          concat(lit("2026-01-"),
+            lpad((pmod(id, lit(28)) + 1).cast("string"), 2, "0")).as("lastmod"))
+        val ledger = Tables.documents(s, d).select(url.as("url"),
+          concat(lit("2026-01-"),
+            lpad((pmod(id, lit(14)) + 1).cast("string"), 2, "0")).as("last_fetch"))
+        sitemap.join(ledger, Seq("url"))
+          .withColumn("stale", col("lastmod") > col("last_fetch"))
+          .groupBy(regexp_extract(col("url"), "^https?://([^/]*)", 1).as("domain"))
+          .agg(count(lit(1)).cast("long").as("n_urls"),
+            sum(when(col("stale"), 1L).otherwise(0L)).as("n_stale"),
+            sum(when(col("stale"), col("doc_id")).otherwise(0L)).as("stale_id_sum"))
+          .orderBy("domain")
+    },
     // ── Politeness scheduler — the frontier's LAST stage: per-host
     //    fetch slots. Each host serializes its fetches (priority
     //    descending, id ascending as the tiebreak) with its own

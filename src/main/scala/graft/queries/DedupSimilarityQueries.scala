@@ -747,6 +747,45 @@ object DedupSimilarityQueries {
           .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // ── Prefix-filtering similarity join — the EXACT-threshold
+    //    all-pairs complement to LSH (AllPairs/PPJoin family): every
+    //    pair with token-set Jaccard ≥ 0.9, guaranteed, no band
+    //    tuning, no probabilistic recall. Representatives first (exact
+    //    dedup over the set fingerprint — identical sets pair
+    //    quadratically and are exact dedup's job), then the rare-first
+    //    prefix join + exact verify. The oracle brute-force-verifies
+    //    candidates from ANY shared token (a strict superset of prefix
+    //    candidates) — so a prefix that misses a true pair (theorem
+    //    violated by an implementation bug) shows up as a missing row,
+    //    and permille values pin the exact-arithmetic verify. ──
+    QueryDef.sql(
+      "dedup_prefix_join",
+      s"""WITH t AS (SELECT doc_id, list_sort(list_distinct($DuckToks)) AS ts
+         |  FROM documents),
+         |reps AS (SELECT min(doc_id) AS sid, any_value(ts) AS ts FROM t
+         |  GROUP BY md5(array_to_string(ts, ' '))),
+         |e AS (SELECT sid, unnest(ts) AS tok FROM reps),
+         |cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+         |  FROM e a JOIN e b ON a.tok = b.tok AND a.sid < b.sid),
+         |v AS (SELECT id_a, id_b,
+         |    len(list_intersect(ra.ts, rb.ts)) AS i,
+         |    len(ra.ts) + len(rb.ts) - len(list_intersect(ra.ts, rb.ts)) AS u
+         |  FROM cand JOIN reps ra ON id_a = ra.sid JOIN reps rb ON id_b = rb.sid)
+         |SELECT id_a, id_b, CAST(i * 1000 // u AS BIGINT) AS jac_permille
+         |FROM v WHERE i * 1000 >= 900 * u ORDER BY id_a, id_b""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val sets = Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_sort(array_distinct(TextOps.tokens(col("text")))).as("ts"))
+        val reps = sets
+          .groupBy(md5(concat_ws(" ", col("ts")).cast("binary")).as("_fp"))
+          .agg(min(col("doc_id")).as("id"), first(col("ts")).as("ts"))
+          .select("id", "ts")
+        Dedup.prefixFilterPairs(reps, "id", "ts", 900)
+          .orderBy("id_a", "id_b")
+    },
+
     // ── Jaccard histogram over the LSH candidate pairs: the lexical
     //    twin of sim_threshold_sweep — the curve that calibrates
     //    minJaccard before a dedup run commits to a cutoff. One pass,

@@ -60,6 +60,37 @@ class OperatorsSpec extends SparkSpec {
     assert(sorted == Seq("com,example,a)/1", "com,example,b)/1", "com,example,b)/2"))
   }
 
+  test("prefixFilterPairs ≡ brute force at the exact threshold") {
+    // 60 deterministic sets over a 26-token vocab, sizes 3..12 — small
+    // enough to brute-force, varied enough to exercise the length
+    // filter, the rare-first prefix, and pairs straddling θ
+    val sets: Seq[(Long, Seq[String])] = (0 until 60).map { i =>
+      val n = 3 + i % 10
+      (i.toLong, (0 until n).map(j => s"w${(i * (j + 1) + i / 7) % 26}").distinct)
+    }
+    def jacPermille(a: Seq[String], b: Seq[String]): Long = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      val i = sa.intersect(sb).size.toLong
+      val u = sa.union(sb).size.toLong
+      if (u == 0) 0L else i * 1000 / u
+    }
+    for (theta <- Seq(500, 700, 900, 1000)) {
+      val expected = (for {
+        (ia, ta) <- sets; (ib, tb) <- sets if ia < ib
+        j = jacPermille(ta, tb) if j >= theta
+      } yield (ia, ib) -> j).toMap
+      val got = Dedup.prefixFilterPairs(
+        sets.toDF("id", "toks"), "id", "toks", theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"theta=$theta")
+    }
+    // empty sets pair with nothing
+    val withEmpty = sets :+ (999L, Seq.empty[String])
+    val g = Dedup.prefixFilterPairs(withEmpty.toDF("id", "toks"), "id", "toks", 500)
+      .filter(col("id_a") === 999L || col("id_b") === 999L).count()
+    assert(g == 0L)
+  }
+
   test("htmlAnchors: target/text pairs align; non-anchors and nested markup excluded") {
     val html = """<p><a href="https://a.org/1">first</a> filler
       |<img src="https://img.org/x.png">

@@ -591,6 +591,68 @@ object RelationalQueries {
           .orderBy("user_id", "session_start")
     },
 
+    // ── H12 ROLLUP subtotals: revenue by (nation, year) with per-nation
+    //    subtotals and the grand total in ONE pass — the multi-level
+    //    report shape that otherwise costs three scans+unions. The
+    //    grouping_id bit pattern (first rollup column = high bit, same
+    //    convention in Spark and DuckDB) disambiguates real NULL keys
+    //    from subtotal rows; subtotal keys surface as 'ALL'. ──
+    QueryDef.sql(
+      "h12_rollup_revenue",
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+        |  CAST(GROUPING(n_name) * 2 + GROUPING(year(o_orderdate)) AS INT) AS gid,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, year(o_orderdate))
+        |ORDER BY gid, nation, yr""".stripMargin) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(QueryDef.broadcastIfSmall(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), year(col("o_orderdate")).as("y"))
+          .agg(grouping_id().cast("int").as("gid"),
+            round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+            coalesce(col("y").cast("string"), lit("ALL")).as("yr"),
+            col("gid"), col("revenue"), col("n_orders"))
+          .orderBy("gid", "nation", "yr")
+    },
+
+    // ── H13 event-flow transition matrix: what users do NEXT — per-user
+    //    (lag over ts, event_id) pairs rolled up to (from → to) counts,
+    //    split by the ntile(4) phase of each user's history (early
+    //    sessions behave differently from late ones; ntile is the
+    //    equal-depth phase split). Session starts surface as
+    //    from = 'START'. Exercises lag + ntile with identical tie order
+    //    in both engines. ──
+    QueryDef.sql(
+      "h13_event_flow",
+      """SELECT phase, from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS phase,
+        |    coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |             'START') AS from_type,
+        |    event_type AS to_type
+        |  FROM events)
+        |GROUP BY phase, from_type, to_type
+        |ORDER BY phase, from_type, to_type""".stripMargin) {
+      (s, d) =>
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(ntile(4).over(byUser).as("phase"),
+            coalesce(lag("event_type", 1).over(byUser), lit("START")).as("from_type"),
+            col("event_type").as("to_type"))
+          .groupBy("phase", "from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("phase", "from_type", "to_type")
+    },
+
     // ── G2/G5/G10 scalar-function surface: base64, md5, printable check,
     //    enum mapping (encoding.go:45-51, 123-162; txn_type_enum.go). ──
     QueryDef.sql(

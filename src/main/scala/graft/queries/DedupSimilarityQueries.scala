@@ -786,6 +786,59 @@ object DedupSimilarityQueries {
           .orderBy("id_a", "id_b")
     },
 
+    // ── Prefix join → union-find → canonical keep: the exact-threshold
+    //    dedup END-TO-END (what a J ≥ 0.9 near-dup pass actually ships:
+    //    survivors + how much each absorbed). The oracle computes TRUE
+    //    undirected connected components by UNROLLED min-label
+    //    propagation (24 generated rounds over the symmetrized edge
+    //    list — the BPE unrolled-iteration doctrine; a recursive
+    //    closure is quadratic×degree on near-clique dedup graphs and a
+    //    monotone-chain shortcut is only valid on cliques). 24 rounds
+    //    cover any plausible dedup-graph diameter, and an unconverged
+    //    oracle fails LOUDLY as a hash mismatch, never silently. ──
+    QueryDef.sql(
+      "dedup_prefix_clusters",
+      s"""WITH t AS (SELECT doc_id, list_sort(list_distinct($DuckToks)) AS ts
+         |  FROM documents),
+         |reps AS (SELECT min(doc_id) AS sid, any_value(ts) AS ts FROM t
+         |  GROUP BY md5(array_to_string(ts, ' '))),
+         |ex AS (SELECT sid, unnest(ts) AS tok FROM reps),
+         |cand AS (SELECT DISTINCT a.sid AS ia, b.sid AS ib
+         |  FROM ex a JOIN ex b ON a.tok = b.tok AND a.sid < b.sid),
+         |e AS (SELECT ia, ib FROM cand JOIN reps ra ON ia = ra.sid JOIN reps rb ON ib = rb.sid
+         |  WHERE len(list_intersect(ra.ts, rb.ts)) * 1000 >=
+         |        900 * (len(ra.ts) + len(rb.ts) - len(list_intersect(ra.ts, rb.ts)))),
+         |ud AS MATERIALIZED (SELECT ia AS a, ib AS b FROM e UNION ALL SELECT ib, ia FROM e),
+         |l0 AS MATERIALIZED (SELECT sid AS node, sid AS l FROM reps),
+         |${(0 until 24).map(t =>
+            // MATERIALIZED is load-bearing: each round reads the previous
+            // one twice; inlined CTEs would expand to 2^24 base scans
+            s"l${t + 1} AS MATERIALIZED (SELECT c.node, least(c.l, coalesce(min(n.l), c.l)) AS l\n" +
+            s"  FROM l$t c LEFT JOIN ud ON c.node = ud.a LEFT JOIN l$t n ON ud.b = n.node\n" +
+            s"  GROUP BY c.node, c.l)").mkString(",\n")},
+         |sizes AS (SELECT l AS cluster, count(*) AS n FROM l24 GROUP BY l)
+         |SELECT f.node AS doc_id, CAST(s.n AS BIGINT) AS n_members
+         |FROM l24 f JOIN sizes s ON f.l = s.cluster
+         |WHERE f.node = f.l
+         |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val sets = Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_sort(array_distinct(TextOps.tokens(col("text")))).as("ts"))
+        val reps = sets
+          .groupBy(md5(concat_ws(" ", col("ts")).cast("binary")).as("_fp"))
+          .agg(min(col("doc_id")).as("id"), first(col("ts")).as("ts"))
+          .select("id", "ts")
+        val pairs = Dedup.prefixFilterPairs(reps, "id", "ts", 900)
+        val clusters = Dedup.duplicateClusters(pairs, aCol = "id_a", bCol = "id_b")
+        val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("_n"))
+        Dedup.keepCanonical(reps, "id", clusters)
+          .join(sizes, col("id") === col("cluster"), "left_outer")
+          .select(col("id").as("doc_id"),
+            coalesce(col("_n"), lit(1L)).cast("long").as("n_members"))
+          .orderBy("doc_id")
+    },
+
     // ── Jaccard histogram over the LSH candidate pairs: the lexical
     //    twin of sim_threshold_sweep — the curve that calibrates
     //    minJaccard before a dedup run commits to a cutoff. One pass,

@@ -467,6 +467,57 @@ object WebQueries {
             col("n_warc_bytes").as("n_bytes"), md5(col("warc")).as("file_md5"))
           .orderBy("shard")
     },
+    // ── CDX lookup — the SERVE side of the index web_surt_cdx builds:
+    //    a domain query is a keyset-paged PREFIX SCAN over the
+    //    surt-sorted index ("everything under d7.example.com, first
+    //    page of 20, after token") returning the (offset, rec_len)
+    //    pairs a reader needs for ranged record fetches. Deterministic
+    //    paging because surt keys are unique and both engines sort the
+    //    same byte strings; the oracle replays the index arithmetic,
+    //    the prefix predicate, and the LIMIT. Pins that SURT actually
+    //    delivers its promise — the domain's records ARE one
+    //    contiguous key range. ──
+    QueryDef.sql(
+      "web_cdx_lookup",
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS nl),
+         |h AS (SELECT doc_id, doc_id % 50 AS m, CAST(doc_id % 8 AS INT) AS shard,
+         |    $shellSql AS html FROM documents),
+         |r AS (SELECT doc_id, m, shard, html,
+         |    'WARC/1.0' || nl ||
+         |    'WARC-Type: response' || nl ||
+         |    'WARC-Record-ID: <urn:graft:' || lpad(CAST(doc_id AS VARCHAR), 12, '0') || '>' || nl ||
+         |    'WARC-Date: 1970-01-01T00:00:00Z' || nl ||
+         |    'WARC-Target-URI: https://d' || m || '.example.com/p' || doc_id || nl ||
+         |    'Content-Type: text/html' || nl ||
+         |    'Content-Length: ' || CAST(length(html) AS VARCHAR) || nl ||
+         |    nl || html || nl || nl AS rec
+         |  FROM h, c),
+         |cdx AS (SELECT 'com,example,d' || m || ')/p' || doc_id AS surt, shard,
+         |    coalesce(sum(length(rec)) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+         |    length(rec) AS rec_len
+         |  FROM r)
+         |SELECT surt, shard, CAST(off AS BIGINT) AS offset,
+         |  CAST(rec_len AS BIGINT) AS rec_len
+         |FROM cdx
+         |WHERE surt > 'com,example,d7)/p' AND surt < 'com,example,d7)/q'
+         |ORDER BY surt LIMIT 20""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), shellCol.as("html")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, html) =>
+            (id, (id % 8).toInt, s"https://d${id % 50}.example.com/p$id",
+              html.getBytes("UTF-8"))
+          })
+          .toDF("doc_id", "shard", "uri", "blob")
+        val warcs = Sharding.packWarcShards(blobs, "shard", "doc_id", "uri", "blob")
+        Sharding.warcIndex(warcs, "shard", "warc")
+          .select(TextOps.urlSurt(col("target_uri")).as("surt"),
+            col("shard"), col("offset"), col("rec_len"))
+          .filter(col("surt") > "com,example,d7)/p" && col("surt") < "com,example,d7)/q")
+          .orderBy("surt").limit(20)
+    },
     // ── URL canonicalization — the frontier identity: four messy
     //    variants per doc (upper-cased scheme/host, explicit default
     //    ports, unsorted query params, utm_* tracking params, fragments,

@@ -46,9 +46,12 @@ object Bench {
     // r09 artifact billed one query 8× its profiled warm cost this way).
     // Dropping every persistent RDD + cached plan between runs is therefore
     // pure hygiene: no cross-query cache exists by construction.
+    // `blocking = true` so the blocks are actually GONE before the next
+    // timed run starts (the r10 artifact still inflated the cluster-family
+    // trio 3-6× with async cleanup racing the next query's allocation).
     def clearLeakedBlocks(): Unit = {
       try {
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
       } catch { case _: Throwable => () }
     }
@@ -80,6 +83,14 @@ object Bench {
         case (None, Some(b))    => -b
         case (None, None)       => -0.001
       }
+      // One explicit GC between queries, OUTSIDE the timed window: the
+      // ContextCleaner frees a finished query's broadcast blocks and
+      // shuffle files only when their references are collected, so
+      // without this the 285-query sweep accumulates dead shuffle state
+      // until a collection lands INSIDE some later query's timing (the
+      // mechanism behind every round's 3-6× artifact line). The cost
+      // bills to wall clock, never to the reported per-query minima.
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

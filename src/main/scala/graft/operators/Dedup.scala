@@ -877,7 +877,15 @@ object Dedup {
     // materialize once (callers feed post-exact-dedup REPRESENTATIVES,
     // a frame far smaller than the corpus; without this the tokenize +
     // df join recomputes per consumer and dominates the runtime)
-    val sets = df.select(col(idCol).cast("long").as("sid"),
+    // ids key the candidate join through `a.sid < b.sid`, so a null
+    // (either a null input id or a non-numeric id the cast swallowed)
+    // would DROP that set from the output silently — raise instead
+    // (Coalesce short-circuits: the error expression never runs on the
+    // non-null path)
+    val sets = df.select(
+      coalesce(col(idCol).cast("long"), raise_error(concat(
+        lit(s"prefixFilterPairs: id column '$idCol' must be numeric and non-null; got "),
+        coalesce(col(idCol).cast("string"), lit("null"))))).as("sid"),
       array_sort(array_distinct(col(tokensCol))).as("ts"))
       .localCheckpoint()
     val toks = sets.select(col("sid"), explode(col("ts")).as("tok"))

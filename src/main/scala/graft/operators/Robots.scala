@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * precedence (most-specific agent group; longest-prefix rule wins;
   * Allow wins length ties; no match ⇒ allowed).
   *
-  * Scope: prefix rules only — RFC 9309's `*`/`$` wildcards are NOT
-  * interpreted (a rule containing them still participates as a literal
-  * prefix, which for `$`-anchored rules is conservative-allow). The
-  * parser is line-stateful (group semantics cannot be a per-row regexp):
-  * it runs inside a `flatMap` over domains — one row in, a handful of
-  * rule rows out, embarrassingly parallel.
+  * RFC 9309 `*`/`$` wildcards ARE interpreted (§2.2.3): `*` matches
+  * any character run, a trailing `$` anchors the pattern at the path's
+  * end, and precedence still ranks by the raw pattern's octet length.
+  * Patterns without wildcards compile to `^literal` — byte-identical
+  * to the old startsWith semantics — so wildcard support changes no
+  * plain-prefix verdict. The parser is line-stateful (group semantics
+  * cannot be a per-row regexp): it runs inside a `flatMap` over
+  * domains — one row in, a handful of rule rows out, embarrassingly
+  * parallel.
   *
   * Evaluation is relational end-to-end: a domain equi-join from URLs to
   * the selected agent group's rules with a `startsWith` predicate, then
@@ -77,12 +80,28 @@ object Robots {
       .toDF("domain", "agent", "allow", "prefix")
   }
 
+  /** Compile one RFC 9309 path pattern to the Java regex that decides
+    * whether a path matches it: regex metacharacters escape to
+    * literals, `*` becomes `.*`, and a TRAILING `$` (the only position
+    * where RFC 9309 gives it meaning) becomes the end anchor. Always
+    * start-anchored — a wildcard-free pattern is exactly startsWith. */
+  private[operators] def patternRegex(pattern: org.apache.spark.sql.Column) = {
+    val anchored = pattern.endsWith("$")
+    val body = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val escaped = regexp_replace(body, "[.^$+?()\\[\\]{}|\\\\]", "\\\\$0")
+    concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
   /** Evaluate `urls` (domain, path + carried columns) against `rules`
     * (domain, agent, allow, prefix) for one crawler identity: per
     * domain the group is the exact agent match when present, else the
-    * `*` group; per URL the verdict is the longest matching prefix with
-    * Allow winning ties, default allowed. Output: the input columns
-    * plus `allowed`. */
+    * `*` group; per URL the verdict is the longest matching pattern
+    * (raw octet length, wildcards interpreted) with Allow winning
+    * ties, default allowed. Output: the input columns plus `allowed`.
+    * The per-pair regex match is confined to the tiny selected-rules
+    * side of the join — URL bytes never re-shuffle for it. */
   def evaluate(urls: DataFrame, rules: DataFrame, agent: String,
                domainCol: String = "domain", pathCol: String = "path"): DataFrame = {
     val a = agent.toLowerCase
@@ -92,11 +111,11 @@ object Robots {
     val selected = rules
       .join(groupOf, rules("domain") === col("_gd") && rules("agent") === col("_use"))
       .select(rules("domain").as("_rd"), col("allow").as("_allow"),
-        length(col("prefix")).as("_plen"), col("prefix").as("_prefix"))
+        length(col("prefix")).as("_plen"), patternRegex(col("prefix")).as("_pre"))
     val rank = when(col("_allow"), col("_plen") * 2 + 1).otherwise(col("_plen") * 2)
     urls
       .join(selected,
-        urls(domainCol) === col("_rd") && urls(pathCol).startsWith(col("_prefix")),
+        urls(domainCol) === col("_rd") && regexp_like(urls(pathCol), col("_pre")),
         "left_outer")
       .groupBy(urls.columns.map(urls(_)): _*)
       .agg(max(rank).as("_best"))

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.ingest.MetaLog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-partitioned durable ledger with ATOMIC compaction — the shared
+  * storage shape under the streaming verticals' cross-batch memory (the
+  * crawl seen-set, the heavy-hitters cell deltas): per micro-batch one
+  * `batch=<id>` parquet partition (dynamic overwrite ⇒ replay
+  * idempotent), periodically folded into a BASE snapshot.
+  *
+  * The old fold rewrote the live directory in place (localCheckpoint the
+  * read, static-overwrite the same path) — a crash between the
+  * overwrite's delete and its commit lost the only copy, and a batch
+  * committed mid-rewrite was deleted with it. This is the MetaLog
+  * pointer pattern instead (the [[graft.ingest.VectorIndex]] compaction
+  * shape): the compacted rows land in a fresh SIBLING dir
+  * `<root>/base/g<uuid>`, then ONE atomic MetaLog append flips the
+  * pointer `(baseDir, horizon)`, then absorbed partitions delete. Every
+  * window is safe: crash before the append leaves an orphan dir the next
+  * compaction sweeps (the pointer still names the old state); crash
+  * after it leaves absorbed partitions on disk that the horizon filter
+  * already excludes; a batch committed DURING compaction writes
+  * `batch ≥ belowBatch`, which the compactor neither reads nor deletes.
+  *
+  * Readers resolve `pointer.base ∪ live partitions in [horizon,
+  * belowBatch)` — no lock, no stop-the-stream. The one retained
+  * contract (same as every replayable ledger here): `belowBatch` must
+  * sit at or below the stream's replayable horizon, because a replayed
+  * batch whose rows were absorbed would re-derive them against a base
+  * that already contains them. Compaction itself is single-maintainer
+  * (concurrent compactors could sweep each other's uncommitted dirs —
+  * the [[graft.ingest.VectorIndex.vacuum]] contract). */
+object BatchLedger {
+
+  private def parsePointer(v: String): (String, Long) = {
+    val i = v.lastIndexOf(' ')
+    (v.substring(0, i), v.substring(i + 1).toLong)
+  }
+
+  /** Current (relative base dir, horizon): batches `< horizon` live in
+    * the base, partitions `≥ horizon` are authoritative on disk. */
+  def pointer(rootDir: String, key: String): Option[(String, Long)] =
+    new MetaLog(rootDir).state().get(key).map(parsePointer)
+
+  private def hadoopFs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = hadoopFs(spark, path)
+    fs.exists(p)
+  }
+
+  private def tryRead(spark: SparkSession, path: String): Option[DataFrame] =
+    if (!exists(spark, path)) None
+    else scala.util.Try(spark.read.parquet(path)).toOption // all-absorbed dir: only _SUCCESS left
+
+  /** base ∪ live partitions with `horizon ≤ batch < belowBatch`; `empty`
+    * when neither exists. Base rows surface with `batch = -1` so callers
+    * keep one schema whether a row came from the snapshot or a live
+    * partition (they only touch the data columns). */
+  def read(spark: SparkSession, rootDir: String, sub: String, key: String,
+           belowBatch: Option[Long], empty: => DataFrame): DataFrame = {
+    val ptr = pointer(rootDir, key)
+    val horizon = ptr.map(_._2).getOrElse(Long.MinValue)
+    val base = ptr.flatMap { case (rel, _) => tryRead(spark, s"$rootDir/$rel") }
+      .map(_.withColumn("batch", lit(-1L)))
+    val live = tryRead(spark, s"$rootDir/$sub").map { df =>
+      // partition columns read back INT; normalize so the union with the
+      // base's literal -1L resolves to one type
+      val norm = df.withColumn("batch", col("batch").cast("long"))
+      belowBatch.foldLeft(norm.filter(col("batch") >= horizon)) {
+        (d, b) => d.filter(col("batch") < b)
+      }
+    }
+    (base, live) match {
+      case (Some(b), Some(l)) => l.unionByName(b.select(l.columns.map(col): _*))
+      case (Some(b), None)    => b
+      case (None, Some(l))    => l
+      case (None, None)       => empty
+    }
+  }
+
+  /** Fold the current base plus live partitions with `horizon ≤ batch <
+    * belowBatch` through `absorb` into a new base generation and commit
+    * it atomically; then sweep the absorbed partitions and every base
+    * dir the new pointer does not reference (which also collects any
+    * orphan a crashed earlier attempt left). `absorb` is where a ledger
+    * states its merge algebra: identity for disjoint-key ledgers (crawl
+    * canonicals admit once), an aggregating fold for delta ledgers
+    * (heavy-hitters cells sum). Returns the new base dir. */
+  def compact(spark: SparkSession, rootDir: String, sub: String, key: String,
+              belowBatch: Long, absorb: DataFrame => DataFrame = identity): String = {
+    val cur = pointer(rootDir, key)
+    val horizon = cur.map(_._2).getOrElse(Long.MinValue)
+    require(belowBatch > horizon,
+      s"belowBatch $belowBatch must exceed the committed horizon $horizon")
+    val base = cur.flatMap { case (rel, _) => tryRead(spark, s"$rootDir/$rel") }
+    val live = tryRead(spark, s"$rootDir/$sub").map(
+      _.filter(col("batch").cast("long") >= horizon &&
+        col("batch").cast("long") < belowBatch).drop("batch"))
+    val union = (base.toSeq ++ live.toSeq).reduceOption(_ unionByName _)
+      .getOrElse(throw new IllegalStateException(
+        s"nothing to compact under $rootDir ($sub, $key)"))
+    val rel = s"base/g${java.util.UUID.randomUUID().toString.take(8)}"
+    absorb(union).write.mode("errorifexists").parquet(s"$rootDir/$rel")
+    new MetaLog(rootDir).append(Seq(key -> s"$rel $belowBatch")) // the commit point
+    // post-commit sweep; a crash here only leaves dirs the pointer ignores
+    val (fs, liveP) = hadoopFs(spark, s"$rootDir/$sub")
+    if (fs.exists(liveP)) fs.listStatus(liveP).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch=")) {
+        val b = scala.util.Try(n.stripPrefix("batch=").toLong).getOrElse(Long.MaxValue)
+        if (b >= horizon && b < belowBatch) fs.delete(st.getPath, true)
+      }
+    }
+    val (bfs, baseP) = hadoopFs(spark, s"$rootDir/base")
+    if (bfs.exists(baseP)) bfs.listStatus(baseP).foreach { st =>
+      if (s"base/${st.getPath.getName}" != rel) bfs.delete(st.getPath, true)
+    }
+    s"$rootDir/$rel"
+  }
+}

@@ -69,14 +69,19 @@ object StreamingCrawl {
     val judged = valid.join(verdicts, Seq(idCol)).localCheckpoint()
     val blocked = outcome(judged.filter(!col("allowed")), "robots_blocked")
     val allowed = judged.filter(col("allowed"))
-    // within-batch: smallest arrival id per canonical wins
+    // within-batch: smallest arrival id per canonical wins. winnerIds is
+    // one row per distinct canonical in the batch — usually tiny, but a
+    // backfill batch can be arbitrarily large, so the broadcast takes the
+    // same bounded-row-count gate as prefixFilterPairs / Graph.pageRank
+    // (shuffle-join fallback past it) instead of a forced broadcast.
     val winnerIds = allowed.groupBy("canonical")
-      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
-    val winners = allowed.join(broadcast(winnerIds), Seq(idCol), "left_semi")
-    val batchDups = allowed.join(broadcast(winnerIds), Seq(idCol), "left_anti")
-    // cross-batch: the stored seen-set rejects canonicals any earlier
-    // batch admitted
-    val prior = StreamingDedup.readBatchedOr(spark, s"$ledgerDir/seen",
+      .agg(min(col(idCol)).as(idCol)).select(col(idCol)).localCheckpoint()
+    val winGate = if (winnerIds.count() <= 2000000L) broadcast(winnerIds) else winnerIds
+    val winners = allowed.join(winGate, Seq(idCol), "left_semi")
+    val batchDups = allowed.join(winGate, Seq(idCol), "left_anti")
+    // cross-batch: the stored seen-set (compacted base ∪ live batch
+    // partitions) rejects canonicals any earlier batch admitted
+    val prior = BatchLedger.read(spark, ledgerDir, "seen", SeenPointerKey,
       belowBatch = Some(batchId),
       empty = Seq.empty[(String, Long)].toDF("canonical", idCol))
       .select("canonical").distinct()
@@ -98,35 +103,29 @@ object StreamingCrawl {
       .unionByName(outcome(batchDups.unionByName(crossDups), "duplicate"))
       .unionByName(outcome(admitted, "admitted"))
       .localCheckpoint()
-    Seq(b, judged, admitted).foreach(_.unpersist(blocking = false))
+    Seq(b, judged, winnerIds, admitted).foreach(_.unpersist(blocking = false))
     out
   }
 
-  /** Fold every `seen/` partition with `batch < belowBatch` into the
-    * single base partition `batch=-1` — the small-file compaction a
-    * 100 TB/day crawl needs (thousands of per-batch partitions
-    * otherwise). Unlike [[StreamingHeavyHitters.compact]] (a
-    * sketch-sized frame it may collect), the seen ledger is
-    * CORPUS-sized, so this is a fully distributed rewrite: canonicals
+  private[streaming] val SeenPointerKey = "crawl.seen.base"
+
+  /** Fold every `seen/` partition with `batch < belowBatch` into a new
+    * BASE snapshot committed by an atomic [[BatchLedger]] pointer swap —
+    * the small-file compaction a 100 TB/day crawl needs (thousands of
+    * per-batch partitions otherwise), now crash-safe and runnable
+    * against a LIVE stream: the compacted rows land in a sibling dir,
+    * one MetaLog append flips the pointer, and only then do absorbed
+    * partitions delete — a batch committed mid-compact writes
+    * `batch ≥ belowBatch` and is never touched. The seen ledger is
+    * CORPUS-sized, so the fold stays fully distributed, and canonicals
     * are disjoint across batches by construction (a key admits once),
-    * so absorption is a pure batch-column remap, no aggregation. The
-    * same two preconditions as every ledger compaction here: the
-    * stream must be STOPPED (full-directory static overwrite), and
-    * `belowBatch` must sit at or below the replayable horizon — a
-    * replayed batch whose keys were absorbed would find its own keys
-    * in the base and flip its admissions to duplicates. */
-  def compact(spark: SparkSession, ledgerDir: String, belowBatch: Long): Unit = {
-    val path = s"$ledgerDir/seen"
-    val re = spark.read.parquet(path)
-      .withColumn("batch",
-        when(col("batch") < belowBatch, lit(-1L)).otherwise(col("batch").cast("long")))
-      // materialize before overwriting the directory being read (at
-      // cluster scale: write to a sibling dir and rename instead)
-      .localCheckpoint()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    re.write.mode("overwrite").partitionBy("batch").parquet(path)
-    re.unpersist(blocking = false)
-  }
+    * so absorption is the identity union, no aggregation. The one
+    * retained precondition: `belowBatch` must sit at or below the
+    * replayable horizon — a replayed batch whose keys were absorbed
+    * would find its own keys in the base and flip its admissions to
+    * duplicates. */
+  def compact(spark: SparkSession, ledgerDir: String, belowBatch: Long): Unit =
+    BatchLedger.compact(spark, ledgerDir, "seen", SeenPointerKey, belowBatch)
 
   /** Convenience wiring: every micro-batch's outcome rows land in
     * `outDir` (batch-partitioned, idempotent), admitted keys in

@@ -14,13 +14,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * corpus-sized vocabulary ever existing.
   *
   * The ledger is |batches|·(d·w) rows of longs; `compact` union-sums it
-  * back to one `batch=-1` base partition when |batches| matters —
-  * correct because cells are a commutative monoid. Compaction is a FULL
-  * directory rewrite (absorbed partitions must actually disappear), so
-  * it must run with the stream QUIESCED: a micro-batch partition
-  * committed between compact's read and its rewrite would be deleted
-  * (undercount). Stop the query, compact, restart — the same
-  * stop-the-world contract a ledger checkpoint carries.
+  * into a BASE snapshot committed by an atomic [[BatchLedger]] pointer
+  * swap — correct because cells are a commutative monoid. A batch
+  * committed mid-compact writes `batch ≥ belowBatch` and is neither
+  * read nor deleted by the compactor; the one precondition is the
+  * replayable-horizon contract (a replayed batch whose delta was
+  * absorbed would re-add it: undercount becomes overcount).
   */
 object StreamingHeavyHitters {
 
@@ -43,7 +42,7 @@ object StreamingHeavyHitters {
     delta.withColumn("batch", lit(batchId))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$indexDir/cells")
 
-    val cells = StreamingDedup.readBatchedOr(spark, s"$indexDir/cells",
+    val cells = BatchLedger.read(spark, indexDir, "cells", CellsPointerKey,
       belowBatch = Some(batchId + 1),
       empty = Seq.empty[(Int, Int, Long)].toDF("r", "b", "c"))
       .groupBy("r", "b").agg(sum("c").as("c"))
@@ -51,32 +50,20 @@ object StreamingHeavyHitters {
       .withColumn("batch_id", lit(batchId))
   }
 
+  private[streaming] val CellsPointerKey = "hh.cells.base"
+
   /** Union-sum deltas with `batch < belowBatch` (plus any existing
-    * base) into one `batch=-1` base partition, keeping newer deltas
-    * intact — a FULL directory rewrite, not a dynamic overwrite, so
-    * absorbed partitions actually disappear. Two preconditions: the
-    * stream must be STOPPED (see class doc — a partition committed
-    * between the read below and the rewrite would be deleted), and
-    * `belowBatch` must sit at or below the stream's replayable horizon:
-    * a replayed batch whose delta was absorbed would re-add its
-    * partition and double-count (the same horizon contract every
-    * ledger compaction here carries). */
+    * base) into a new base snapshot committed atomically via
+    * [[BatchLedger.compact]], keeping newer deltas intact. Cells are a
+    * commutative monoid, so absorption is one groupBy-sum — a
+    * sketch-sized frame, coalesced to one file. The only precondition
+    * is the horizon contract: `belowBatch` at or below the stream's
+    * replayable horizon (a replayed batch whose delta was absorbed
+    * would re-add its partition and double-count). */
   def compact(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-              belowBatch: Long): Unit = {
-    import spark.implicits._
-    val path = s"$indexDir/cells"
-    val all = spark.read.parquet(path)
-      .select(col("r"), col("b"), col("c").cast("long"), col("batch").cast("long"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
-    val (absorb, keep) = all.partition(_._4 < belowBatch) // base batch=-1 absorbs too
-    val base = absorb.groupBy(t => (t._1, t._2))
-      .map { case ((r, b), ts) => (r, b, ts.map(_._3).sum, -1L) }.toSeq
-    (base ++ keep).toDF("r", "b", "c", "batch")
-      .coalesce(1).write.mode("overwrite")
-      // static, not dynamic: absorbed partitions must actually disappear
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("batch").parquet(path)
-  }
+              belowBatch: Long): Unit =
+    BatchLedger.compact(spark, indexDir, "cells", CellsPointerKey, belowBatch,
+      absorb = _.groupBy("r", "b").agg(sum("c").as("c")).coalesce(1))
 
   /** Convenience wiring: per-batch probe estimates land in `outDir`. */
   def attach(docs: DataFrame, textCol: String,

@@ -62,4 +62,40 @@ class RobotsSpec extends SparkSpec {
       ("b.org", "/q") -> true,
       ("d.org", "/anything") -> true))
   }
+
+  test("evaluate: RFC 9309 wildcards — '*' runs, trailing '$' anchor, metachar escape") {
+    val rules = Seq(
+      ("w.org", "*", false, "/*.php"),     // any .php anywhere under /
+      ("w.org", "*", true, "/pub/*.php"),  // longer pattern wins for /pub
+      ("x.org", "*", false, "/dl$"),       // exactly /dl, nothing longer
+      ("y.org", "*", false, "/a+b(c)"),    // regex metachars are literals
+      ("z.org", "*", false, "/fish*.php$") // star then anchor
+    ).toDF("domain", "agent", "allow", "prefix")
+    val urls = Seq(
+      ("w.org", "/index.php"),       // /*.php -> blocked
+      ("w.org", "/a/b/site.php"),    // '*' spans slashes -> blocked
+      ("w.org", "/index.html"),      // no match -> allowed
+      ("w.org", "/pub/x.php"),       // Allow /pub/*.php (len 11) beats /*.php (6)
+      ("x.org", "/dl"),              // '$' anchors: exact -> blocked
+      ("x.org", "/dl/file"),         // longer than anchor -> allowed
+      ("y.org", "/a+b(c)/z"),        // literal metachars match -> blocked
+      ("y.org", "/aab(c)"),          // '+' is NOT a regex quantifier -> allowed
+      ("z.org", "/fishheads/sea.php"), // star run then anchored suffix -> blocked
+      ("z.org", "/fish.php?p=1")     // query chars after .php: anchor fails -> allowed
+    ).toDF("domain", "path")
+    val got = Robots.evaluate(urls, rules, "anybot")
+      .select("domain", "path", "allowed").as[(String, String, Boolean)]
+      .collect().map { case (d, p, al) => (d, p) -> al }.toMap
+    assert(got == Map(
+      ("w.org", "/index.php") -> false,
+      ("w.org", "/a/b/site.php") -> false,
+      ("w.org", "/index.html") -> true,
+      ("w.org", "/pub/x.php") -> true,
+      ("x.org", "/dl") -> false,
+      ("x.org", "/dl/file") -> true,
+      ("y.org", "/a+b(c)/z") -> false,
+      ("y.org", "/aab(c)") -> true,
+      ("z.org", "/fishheads/sea.php") -> false,
+      ("z.org", "/fish.php?p=1") -> true))
+  }
 }

@@ -97,10 +97,13 @@ class StreamingCrawlSpec extends SparkSpec {
       1L, "id", "url", "blob", rules, "graftbot", ledger)
     m1.unpersist(false)
     StreamingCrawl.compact(spark, ledger, belowBatch = 1L)
-    val seen = spark.read.parquet(s"$ledger/seen")
-    val parts = seen.select(col("batch").cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSet
-    assert(parts == Set(-1L, 1L), "batch 0 folds into the base; batch 1 intact")
+    val ptr = BatchLedger.pointer(ledger, StreamingCrawl.SeenPointerKey)
+    assert(ptr.exists(_._2 == 1L), s"pointer must commit horizon 1: $ptr")
+    val liveParts = new java.io.File(s"$ledger/seen").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(liveParts == Set("batch=1"), s"batch 0 absorbed, batch 1 intact: $liveParts")
+    val seen = BatchLedger.read(spark, ledger, "seen",
+      StreamingCrawl.SeenPointerKey, None, empty = spark.emptyDataFrame)
     assert(seen.count() == 3, "compaction must not lose or duplicate keys")
     // admission against the compacted ledger: every earlier canonical
     // still rejects, a fresh one still admits
@@ -110,6 +113,52 @@ class StreamingCrawlSpec extends SparkSpec {
     assert(outcomes(m2) == Map(11L -> "duplicate", 12L -> "duplicate",
       13L -> "admitted"))
     m2.unpersist(false)
+    // second-generation compaction absorbs the old base + batches 1-2
+    StreamingCrawl.compact(spark, ledger, belowBatch = 3L)
+    assert(BatchLedger.pointer(ledger, StreamingCrawl.SeenPointerKey)
+      .exists(_._2 == 3L))
+    assert(new java.io.File(s"$ledger/base").listFiles().count(_.isDirectory) == 1,
+      "the superseded base generation must be swept")
+    val m3 = StreamingCrawl.processBatch(df(Seq(b(21L, "p9"), b(22L, "pA"))),
+      3L, "id", "url", "blob", rules, "graftbot", ledger)
+    assert(outcomes(m3) == Map(21L -> "duplicate", 22L -> "admitted"))
+    m3.unpersist(false)
+  }
+
+  test("compact is crash-safe and live: mid-compact batch survives, orphan base swept") {
+    val ledger = tmpDir("graft-scrawl-lx")
+    def b(id: Long, path: String) = Row(id, s"http://a.org/$path", page(path))
+    StreamingCrawl.processBatch(df(Seq(b(1L, "q0"))), 0L,
+      "id", "url", "blob", rules, "graftbot", ledger).unpersist(false)
+    // a crashed earlier compaction attempt: base dir written, pointer
+    // NEVER committed — must be invisible to reads and swept by the next
+    // successful compaction
+    import spark.implicits._
+    Seq(("http://a.org/ghost", 99L)).toDF("canonical", "id")
+      .write.parquet(s"$ledger/base/gdeadbeef")
+    val mG = StreamingCrawl.processBatch(df(Seq(b(2L, "ghost"))), 1L,
+      "id", "url", "blob", rules, "graftbot", ledger)
+    assert(outcomes(mG) == Map(2L -> "admitted"),
+      "an uncommitted base generation must not shadow admissions")
+    mG.unpersist(false)
+    // the mid-compact arrival: batch 2 commits while the compactor (which
+    // absorbs only batch < 2) runs — its partition must survive the sweep
+    StreamingCrawl.processBatch(df(Seq(b(3L, "q2"))), 2L,
+      "id", "url", "blob", rules, "graftbot", ledger).unpersist(false)
+    StreamingCrawl.compact(spark, ledger, belowBatch = 2L)
+    val liveParts = new java.io.File(s"$ledger/seen").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(liveParts == Set("batch=2"), s"the in-flight batch survives: $liveParts")
+    val baseDirs = new java.io.File(s"$ledger/base").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!baseDirs.contains("gdeadbeef") && baseDirs.size == 1,
+      s"orphan swept, one committed generation: $baseDirs")
+    // ledger contents: exactly the three admitted canonicals, ghost's
+    // uncommitted row gone with its orphan dir
+    val seen = BatchLedger.read(spark, ledger, "seen",
+      StreamingCrawl.SeenPointerKey, None, empty = spark.emptyDataFrame)
+    assert(seen.select("canonical").as[String].collect().sorted.toSeq ==
+      Seq("http://a.org/ghost", "http://a.org/q0", "http://a.org/q2"))
   }
 
   test("attach: MemoryStream wiring lands batch-partitioned outcomes") {

@@ -49,14 +49,19 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       .groupBy("r", "b").agg(sum("c").as("c")).orderBy("r", "b").collect().toSeq
     assert(ledger2 === ledger, "replay must not double-count")
 
-    // compact batches < 2 into the base; estimates identical, fewer partitions
+    // compact batches < 2 into the base; estimates identical, absorbed
+    // delta partitions really gone, base committed via the pointer
     StreamingHeavyHitters.compact(spark, idx, belowBatch = 2L)
-    val ledger3 = spark.read.parquet(s"$idx/cells")
+    val ptr = BatchLedger.pointer(idx, StreamingHeavyHitters.CellsPointerKey)
+    assert(ptr.exists(_._2 == 2L), s"pointer must commit horizon 2: $ptr")
+    val ledger3 = BatchLedger.read(spark, idx, "cells",
+      StreamingHeavyHitters.CellsPointerKey, None,
+      empty = spark.emptyDataFrame)
       .groupBy("r", "b").agg(sum("c").as("c")).orderBy("r", "b").collect().toSeq
     assert(ledger3 === ledger, "compaction must preserve the cell sums")
-    val batches = spark.read.parquet(s"$idx/cells")
-      .select("batch").distinct().collect().map(_.getAs[Number](0).longValue()).toSet
-    assert(batches === Set(-1L), s"deltas must be absorbed: $batches")
+    val liveDirs = new java.io.File(s"$idx/cells").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(liveDirs.isEmpty, s"absorbed delta partitions must be swept: $liveDirs")
 
     // a batch after compaction keeps accumulating on top of the base
     val e2 = estMap(StreamingHeavyHitters.processBatch(

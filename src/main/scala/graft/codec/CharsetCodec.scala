@@ -1,0 +1,171 @@
+package graft.codec
+
+/** Charset sniff + transcode — the missing front gate between a crawl's
+  * raw HTTP payload bytes and every text operator behind it
+  * ([[graft.operators.TextOps.htmlExtract]] onward): real crawls are
+  * 15-25% legacy-encoded, and feeding windows-1252 bytes to a UTF-8
+  * reader silently mangles exactly the characters (curly quotes, euro,
+  * dashes) that dedup shingles and quality gates then diverge on.
+  *
+  * Detection precedence (the WHATWG encoding-sniff order, trimmed to
+  * the charsets that dominate web corpora):
+  *   1. BOM — `EF BB BF` ⇒ utf-8, `FF FE` ⇒ utf-16le, `FE FF` ⇒
+  *      utf-16be (the BOM strips; it is a signature, not content);
+  *   2. `<meta … charset=…>` in the first 1024 bytes, read through the
+  *      ASCII-compatible latin-1 lens (alias table below);
+  *   3. strict UTF-8 validation of the whole payload (RFC 3629 ranges:
+  *      no overlongs, no surrogates, max U+10FFFF) ⇒ utf-8;
+  *   4. else single-byte: any byte in 0x80-0x9F (C1 controls no text
+  *      uses, but windows-1252's printable block) ⇒ windows-1252,
+  *      otherwise iso-8859-1.
+  *
+  * The windows-1252 high block is the fixed 32-entry literal table from
+  * the Unicode mapping file (CP1252.TXT); the five undefined cells pass
+  * through as their C1 code points — byte-for-byte what `java.nio`'s
+  * decoder does, cross-checked in CharsetCodecSpec so a table typo
+  * cannot hide behind a symmetric encode bug. */
+object CharsetCodec {
+
+  /** windows-1252 bytes 0x80-0x9F → Unicode (CP1252.TXT). */
+  private[codec] val Cp1252High: Array[Char] = Array(
+    0x20AC, 0x0081, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+    0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x008D, 0x017D, 0x008F,
+    0x0090, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+    0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x009D, 0x017E, 0x0178
+  ).map(_.toChar)
+
+  private val Cp1252Rev: Map[Char, Byte] =
+    Cp1252High.zipWithIndex.map { case (c, i) => c -> (0x80 + i).toByte }.toMap
+
+  /** Strict RFC 3629 validity: continuation counts, overlong rejection
+    * (C0/C1 bare, E0 needs A0-BF, F0 needs 90-BF), surrogate rejection
+    * (ED then 80-9F only), ceiling F4 8F. */
+  def isValidUtf8(b: Array[Byte], from: Int = 0): Boolean = {
+    var i = from
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) i += 1
+      else if (c < 0xC2) return false // bare continuation or overlong lead
+      else {
+        val (need, lo, hi) = c match {
+          case x if x <= 0xDF => (1, 0x80, 0xBF)
+          case 0xE0           => (2, 0xA0, 0xBF)
+          case 0xED           => (2, 0x80, 0x9F)
+          case x if x <= 0xEF => (2, 0x80, 0xBF)
+          case 0xF0           => (3, 0x90, 0xBF)
+          case x if x <= 0xF3 => (3, 0x80, 0xBF)
+          case 0xF4           => (3, 0x80, 0x8F)
+          case _              => return false
+        }
+        if (i + need >= n) return false // truncated sequence
+        val f = b(i + 1) & 0xFF
+        if (f < lo || f > hi) return false
+        var j = 2
+        while (j <= need) {
+          val x = b(i + j) & 0xFF
+          if (x < 0x80 || x > 0xBF) return false
+          j += 1
+        }
+        i += need + 1
+      }
+    }
+    true
+  }
+
+  /** Normalize a declared charset label to one of the supported
+    * canonical names; None ⇒ unknown (fall through to the heuristic). */
+  private[codec] def normalizeLabel(raw: String): Option[String] =
+    raw.trim.toLowerCase.stripPrefix("\"").stripSuffix("\"") match {
+      case "utf-8" | "utf8"                                       => Some("utf-8")
+      case "iso-8859-1" | "iso8859-1" | "iso_8859-1" | "latin-1" |
+           "latin1" | "l1" | "us-ascii" | "ascii"                 => Some("iso-8859-1")
+      case "windows-1252" | "cp1252" | "cp-1252" | "x-cp1252"     => Some("windows-1252")
+      case "utf-16" | "utf-16le" | "utf16"                        => Some("utf-16le")
+      case "utf-16be"                                             => Some("utf-16be")
+      case _                                                      => None
+    }
+
+  private val MetaCharset =
+    "(?is)<meta[^>]{0,512}?charset\\s*=\\s*['\"]?\\s*([a-z0-9_:\\-]+)".r
+
+  /** Declared charset from a `<meta charset=…>` / `<meta http-equiv
+    * content="…; charset=…">` in the first 1024 bytes (both spellings
+    * end in `charset=`, one pattern covers them). */
+  private[codec] def metaLabel(b: Array[Byte]): Option[String] = {
+    val head = new String(b, 0, math.min(b.length, 1024), "ISO-8859-1")
+    MetaCharset.findFirstMatchIn(head).flatMap(m => normalizeLabel(m.group(1)))
+  }
+
+  /** Detected charset label for a payload (sniff only, no decode). */
+  def sniff(b: Array[Byte]): String =
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte) "utf-8"
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) "utf-16le"
+    else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) "utf-16be"
+    else metaLabel(b).getOrElse {
+      if (isValidUtf8(b)) "utf-8"
+      else if (b.exists(x => (x & 0xFF) >= 0x80 && (x & 0xFF) <= 0x9F)) "windows-1252"
+      else "iso-8859-1"
+    }
+
+  private def decodeSingleByte(b: Array[Byte], cp1252: Boolean): String = {
+    val sb = new java.lang.StringBuilder(b.length)
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xFF
+      sb.append(
+        if (cp1252 && x >= 0x80 && x <= 0x9F) Cp1252High(x - 0x80) else x.toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Sniff + decode: (canonical charset label, text). A BOM strips; a
+    * declared-but-wrong utf-8 decodes with U+FFFD replacement (the
+    * declaration wins, as in browsers — a heuristic override would make
+    * the gate non-deterministic across payload truncations). */
+  def decode(b: Array[Byte]): (String, String) = {
+    val hasUtf8Bom = b.length >= 3 &&
+      b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte
+    val cs = sniff(b)
+    val text = cs match {
+      case "utf-8" =>
+        new String(b, if (hasUtf8Bom) 3 else 0,
+          b.length - (if (hasUtf8Bom) 3 else 0), "UTF-8")
+      case "utf-16le" =>
+        val skip = if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) 2 else 0
+        new String(b, skip, b.length - skip, "UTF-16LE")
+      case "utf-16be" =>
+        val skip = if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) 2 else 0
+        new String(b, skip, b.length - skip, "UTF-16BE")
+      case "windows-1252" => decodeSingleByte(b, cp1252 = true)
+      case _              => decodeSingleByte(b, cp1252 = false)
+    }
+    (cs, text)
+  }
+
+  /** Encode for fixture building and transcode round trips. utf-16
+    * variants prepend their BOM (the signature [[sniff]] keys on);
+    * single-byte charsets throw on an unencodable character rather than
+    * substitute — a fixture that silently lost a character would pin
+    * the wrong oracle. */
+  def encode(s: String, charset: String): Array[Byte] = charset match {
+    case "utf-8" => s.getBytes("UTF-8")
+    case "utf-16le" =>
+      Array(0xFF.toByte, 0xFE.toByte) ++ s.getBytes("UTF-16LE")
+    case "utf-16be" =>
+      Array(0xFE.toByte, 0xFF.toByte) ++ s.getBytes("UTF-16BE")
+    case "iso-8859-1" =>
+      s.map { c =>
+        require(c <= 0xFF, f"U+${c.toInt}%04X not in iso-8859-1")
+        c.toByte
+      }.toArray
+    case "windows-1252" =>
+      s.map { c =>
+        if (c <= 0x7F || (c >= 0xA0 && c <= 0xFF)) c.toByte
+        else Cp1252Rev.getOrElse(c,
+          throw new IllegalArgumentException(f"U+${c.toInt}%04X not in windows-1252"))
+      }.toArray
+    case other => throw new IllegalArgumentException(s"unsupported charset: $other")
+  }
+}

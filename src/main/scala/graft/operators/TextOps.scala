@@ -57,6 +57,34 @@ object TextOps {
     trim(tidy)
   }
 
+  /** Charset front gate — sniff + decode each raw payload
+    * ([[graft.codec.CharsetCodec]]: BOM > meta tag > strict UTF-8
+    * validity > 0x80-0x9F heuristic) and append `(charsetOut, textOut)`
+    * to the frame; sits between the HTTP payload bytes and
+    * [[htmlExtract]] in the web funnel, so legacy-encoded pages
+    * (windows-1252, latin-1, utf-16) reach the text operators as
+    * correct Unicode instead of mojibake. Pure per-row decode over
+    * `mapPartitions` (the multimodal-decode shape — payload decode
+    * necessarily leaves codegen); no shuffle, null blobs decode as
+    * empty. */
+  def decodeCharset(df: org.apache.spark.sql.DataFrame, blobCol: String,
+                    charsetOut: String = "charset",
+                    textOut: String = "text"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val spark = df.sparkSession
+    val outSchema = df.schema
+      .add(StructField(charsetOut, StringType, nullable = false))
+      .add(StructField(textOut, StringType, nullable = false))
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions(_.map { r =>
+      val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+      val (cs, text) = graft.codec.CharsetCodec.decode(blob)
+      Row.fromSeq(r.toSeq :+ cs :+ text)
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** BPE-ish subword count heuristic: words + punctuation clusters counted
     * separately (regexp token classes). */
   def bpeishTokenCount(text: Column): Column =

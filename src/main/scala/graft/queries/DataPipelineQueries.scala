@@ -223,22 +223,27 @@ object DataPipelineQueries {
           .orderBy("domain")
     },
 
-    // ── WEB-CORPUS capstone — the full funnel from RAW MARKUP: HTML
-    //    extraction (script/style/comment drop, entities, block
-    //    newlines) → quality gates on the EXTRACTED text → exact dedup
-    //    keep-min → per-domain cap (3 docs/domain through the bounded
-    //    heap, never a hot rank window). pipeline_corpus_build's
-    //    sibling with the entry stage the web actually arrives in; the
-    //    shell deliberately omits doc ids so extraction output — and
-    //    therefore dedup — depends on the text alone. The oracle
-    //    replays the 11-step extraction chain, the gates, the dedup,
-    //    the domain arithmetic, and the md5-ordered cap. ──
+    // ── WEB-CORPUS capstone — the full funnel from RAW BYTES: charset
+    //    sniff + decode (even docs arrive as REAL windows-1252 bytes —
+    //    the em-dash/euro tail encodes to 0x97/0x80 — odd docs as
+    //    utf-8; the gate must label both and hand identical Unicode
+    //    downstream) → HTML extraction (script/style/comment drop,
+    //    entities, block newlines) → quality gates on the EXTRACTED
+    //    text → exact dedup keep-min → per-domain cap (3 docs/domain
+    //    through the bounded heap, never a hot rank window).
+    //    pipeline_corpus_build's sibling with the entry stage the web
+    //    actually arrives in; the shell deliberately omits doc ids so
+    //    extraction output — and therefore dedup — depends on the text
+    //    alone. The oracle never sees bytes: it replays the decoded
+    //    shell, the 11-step extraction chain, the gates, the dedup,
+    //    the domain arithmetic, and the md5-ordered cap — a mojibake'd
+    //    euro in any even doc lands in that group's hash. ──
     QueryDef.sql(
       "pipeline_web_corpus",
       """WITH h AS (SELECT doc_id,
         |    '<html><head><style>p { x }</style><script>let a = 1 < 2;</script></head>' ||
         |    '<body><!-- c --><p>' || coalesce(text, '') ||
-        |    '</p><br><p>A &amp; B&nbsp;tail</p></body></html>' AS html
+        |    '</p><br><p>A &amp; B&nbsp;tail — €1</p></body></html>' AS html
         |  FROM documents),
         |c1 AS (SELECT doc_id,
         |    regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
@@ -273,14 +278,25 @@ object DataPipelineQueries {
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3
         |ORDER BY domain, doc_id""".stripMargin) {
       (s, d) =>
+        import s.implicits._
         val stops = Seq("the", "a", "of", "and", "to", "in", "is")
-        val clean = TextOps.htmlExtract(concat(
-          lit("<html><head><style>p { x }</style><script>let a = 1 < 2;</script></head>" +
-            "<body><!-- c --><p>"),
-          coalesce(col("text"), lit("")),
-          lit("</p><br><p>A &amp; B&nbsp;tail</p></body></html>")))
+        // the wire form: even docs encode to windows-1252 (the tail's
+        // em-dash/euro become single 0x97/0x80 bytes — genuinely
+        // non-UTF-8 payloads), odd docs to utf-8
+        val payloads = Tables.documents(s, d)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val shell =
+              "<html><head><style>p { x }</style><script>let a = 1 < 2;</script></head>" +
+                s"<body><!-- c --><p>$text</p><br><p>A &amp; B&nbsp;tail — €1</p></body></html>"
+            (id, graft.codec.CharsetCodec.encode(shell,
+              if (id % 2 == 0) "windows-1252" else "utf-8"))
+          })
+          .toDF("doc_id", "payload")
+        val clean = TextOps.htmlExtract(col("html"))
         val (n, _, sr) = TextOps.qualityMetrics(col("ws"), stops)
-        val gated = Tables.documents(s, d)
+        val gated = TextOps.decodeCharset(payloads, "payload", "charset", "html")
           .select(col("doc_id"), clean.as("clean"))
           .select(col("doc_id"), col("clean"), TextOps.tokens(col("clean")).as("ws"))
           .select(col("doc_id"), col("clean"), n.as("n_tokens"),

@@ -801,6 +801,53 @@ object WebQueries {
             (col("slot") * (pmod(col("m"), lit(5)) + 1) * 250).cast("long").as("sched_ms"))
           .orderBy("doc_id")
     },
+    // ── Charset front gate — the decode stage between raw HTTP payload
+    //    bytes and every text operator: per doc the fixture ENCODES a
+    //    known string into one of four charsets chosen by doc_id % 4
+    //    (plain utf-8, BOM'd utf-16le, heuristic-detected windows-1252
+    //    via its 0x80-0x9F block, meta-declared iso-8859-1), and the
+    //    engine's sniff (BOM > meta > strict UTF-8 validity > C1
+    //    heuristic) + decode must recover BOTH the label and the exact
+    //    text. Seed-arithmetic doctrine: the oracle never touches
+    //    bytes — it rebuilds the expected decoded string per doc and
+    //    hashes it, so one mis-decoded byte anywhere (a cp1252 table
+    //    cell, a BOM not stripped, a meta alias missed) breaks that
+    //    row's hash. ──
+    QueryDef.sql(
+      "web_charset_decode",
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |    WHEN 2 THEN 'windows-1252' ELSE 'iso-8859-1' END AS charset,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5
+        |FROM (SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' café déjà — €ok'
+        |    WHEN 1 THEN 'Doc ' || doc_id || ' unicode ∑ check ✓'
+        |    WHEN 2 THEN 'Doc ' || doc_id || ' price €9 – “quoted”'
+        |    ELSE '<meta charset="iso-8859-1">Doc ' || doc_id || ' résumé ñandú'
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (cs, text) = (id % 4) match {
+              case 0 => ("utf-8", s"Doc $id café déjà — €ok")
+              case 1 => ("utf-16le", s"Doc $id unicode ∑ check ✓")
+              case 2 => ("windows-1252", s"Doc $id price €9 – “quoted”")
+              case _ => ("iso-8859-1", s"""<meta charset="iso-8859-1">Doc $id résumé ñandú""")
+            }
+            (id, graft.codec.CharsetCodec.encode(text, cs))
+          })
+          .toDF("doc_id", "payload")
+        TextOps.decodeCharset(payloads, "payload", "charset", "t")
+          .select(col("doc_id"), col("charset"),
+            length(col("t")).cast("long").as("n_chars"),
+            md5(col("t").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+    },
+
     // ── Crawl-funnel capstone — the acquisition stages COMPOSED: a
     //    4-spellings-per-doc frontier (two path families × two messy
     //    spellings each) canonicalizes, dedups on the canonical form

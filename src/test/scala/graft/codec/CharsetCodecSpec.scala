@@ -1,0 +1,114 @@
+package graft.codec
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the charset front gate: the windows-1252 table against
+  * java.nio's independent decoder (a table typo cannot hide behind a
+  * symmetric encode bug), the WHATWG sniff precedence (BOM > meta >
+  * UTF-8 validity > 0x80-0x9F heuristic), strict RFC 3629 validation
+  * edges, encode/decode round trips, and the frame-level operator. */
+class CharsetCodecSpec extends SparkSpec {
+
+  test("single-byte decode matches java.nio for all 256 bytes (cp1252 + latin-1)") {
+    // the five cells CP1252.TXT leaves undefined: WHATWG (and this
+    // decoder) pass them through as their C1 controls; java.nio yields
+    // U+FFFD — pin our choice explicitly, cross-check java on the rest
+    val undefinedCells = Set(0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    (0 until 256).foreach { x =>
+      val b = Array(x.toByte)
+      if (undefinedCells(x))
+        assert(CharsetCodec.decode(Array(0x93.toByte) ++ b)._2.drop(1) == x.toChar.toString,
+          f"undefined cp1252 cell $x%02x passes through as C1")
+      else
+        assert(CharsetCodec.decode(Array(0x93.toByte) ++ b)._2.drop(1) ==
+          new String(b, "windows-1252"), f"cp1252 byte $x%02x")
+      // latin-1 path: prefix byte 0xA0 avoids the cp1252 heuristic only
+      // when x itself is outside 0x80-0x9F
+      if (x < 0x80 || x > 0x9F)
+        assert(CharsetCodec.decode(Array(0xE9.toByte) ++ b)._2.drop(1) ==
+          new String(b, "ISO-8859-1"), f"latin-1 byte $x%02x")
+    }
+  }
+
+  test("sniff precedence: BOM > meta > utf-8 validity > high-byte heuristic") {
+    assert(CharsetCodec.decode("\uFEFFhi".getBytes("UTF-8")) == ("utf-8", "hi"))
+    assert(CharsetCodec.decode(CharsetCodec.encode("héllo ✓", "utf-16le")) ==
+      ("utf-16le", "héllo ✓"))
+    assert(CharsetCodec.decode(CharsetCodec.encode("héllo ✓", "utf-16be")) ==
+      ("utf-16be", "héllo ✓"))
+    // meta declaration wins over byte heuristics
+    val metaLatin = CharsetCodec.encode(
+      "<html><head><meta charset=\"iso-8859-1\"></head><body>résumé</body></html>",
+      "iso-8859-1")
+    assert(CharsetCodec.decode(metaLatin) ==
+      ("iso-8859-1",
+        "<html><head><meta charset=\"iso-8859-1\"></head><body>résumé</body></html>"))
+    val httpEquiv = CharsetCodec.encode(
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1252\">€",
+      "windows-1252")
+    assert(CharsetCodec.decode(httpEquiv)._1 == "windows-1252")
+    // unknown label falls through to the heuristic (valid utf-8 here)
+    assert(CharsetCodec.decode("<meta charset=\"klingon\">café".getBytes("UTF-8")) ==
+      ("utf-8", "<meta charset=\"klingon\">café"))
+    // valid multi-byte utf-8, no declaration
+    assert(CharsetCodec.decode("déjà — €".getBytes("UTF-8")) == ("utf-8", "déjà — €"))
+    // invalid utf-8 with a 0x80-0x9F byte: windows-1252
+    assert(CharsetCodec.decode(Array('a'.toByte, 0x80.toByte)) == ("windows-1252", "a€"))
+    // invalid utf-8, high bytes only outside the C1 block: latin-1
+    assert(CharsetCodec.decode(Array('a'.toByte, 0xE9.toByte)) == ("iso-8859-1", "aé"))
+    assert(CharsetCodec.decode(Array.emptyByteArray) == ("utf-8", ""))
+  }
+
+  test("strict utf-8 validation: overlongs, surrogates, ceiling, truncation") {
+    def v(xs: Int*) = CharsetCodec.isValidUtf8(xs.map(_.toByte).toArray)
+    assert(v('a', 0xC3, 0xA9))                 // é
+    assert(v(0xE2, 0x82, 0xAC))                // €
+    assert(v(0xF0, 0x9F, 0x98, 0x80))          // astral
+    assert(!v(0xC0, 0xAF), "overlong 2-byte")
+    assert(!v(0xC1, 0xBF), "overlong 2-byte")
+    assert(!v(0xE0, 0x80, 0xAF), "overlong 3-byte")
+    assert(!v(0xED, 0xA0, 0x80), "surrogate")
+    assert(v(0xED, 0x9F, 0xBF), "U+D7FF ok")
+    assert(!v(0xF0, 0x8F, 0xBF, 0xBF), "overlong 4-byte")
+    assert(!v(0xF4, 0x90, 0x80, 0x80), "above U+10FFFF")
+    assert(v(0xF4, 0x8F, 0xBF, 0xBF), "U+10FFFF ok")
+    assert(!v(0xE2, 0x82), "truncated")
+    assert(!v(0x80), "bare continuation")
+    assert(!v(0xF5, 0x80, 0x80, 0x80), "lead above F4")
+  }
+
+  test("encode round trips + unencodable raises") {
+    val s1252 = "price €9 – “quoted” naïve"
+    assert(CharsetCodec.decode(CharsetCodec.encode(s1252, "windows-1252")) ==
+      ("windows-1252", s1252))
+    val slat = "plain ASCII café ñ" // no 0x80-0x9F bytes: heuristic says cp1252? no — latin-1
+    assert(CharsetCodec.decode(CharsetCodec.encode(slat, "iso-8859-1"))._2 == slat)
+    intercept[IllegalArgumentException] {
+      CharsetCodec.encode("snowman ☃", "windows-1252")
+    }
+    intercept[IllegalArgumentException] {
+      CharsetCodec.encode("euro €", "iso-8859-1")
+    }
+  }
+
+  test("frame operator: mixed-encoding payloads decode to one text column") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, CharsetCodec.encode("utf-8 déjà ✓", "utf-8")),
+      (1L, CharsetCodec.encode("utf-16 ∑", "utf-16le")),
+      (2L, CharsetCodec.encode("cp1252 € “q”", "windows-1252")),
+      (3L, CharsetCodec.encode("<meta charset=latin-1>résumé", "iso-8859-1")),
+      (4L, null))
+    val got = graft.operators.TextOps
+      .decodeCharset(rows.toDF("id", "blob"), "blob", "cs", "t")
+      .select("id", "cs", "t").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "utf-8", "utf-8 déjà ✓"),
+      (1L, "utf-16le", "utf-16 ∑"),
+      (2L, "windows-1252", "cp1252 € “q”"),
+      (3L, "iso-8859-1", "<meta charset=latin-1>résumé"),
+      (4L, "utf-8", "")))
+  }
+}

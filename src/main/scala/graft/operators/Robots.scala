@@ -31,15 +31,39 @@ object Robots {
 
   final case class Rule(agent: String, allow: Boolean, prefix: String)
 
+  /** Everything one robots.txt declares: path rules, per-agent-group
+    * crawl delays (milliseconds, exact integer arithmetic on the
+    * decimal-seconds value), and the file-global sitemap URLs. */
+  final case class Directives(rules: Seq[Rule], delays: Seq[(String, Long)],
+                              sitemaps: Seq[String])
+
+  /** "1.5" / "10" / "0.25" → exact milliseconds (frac digits past 3
+    * truncate — sub-ms politeness is noise); None on a malformed value. */
+  private[operators] def delayMs(v: String): Option[Long] = {
+    val parts = v.split("\\.", -1)
+    def digits(s: String) = s.nonEmpty && s.forall(_.isDigit)
+    parts match {
+      case Array(i) if digits(i)               => Some(i.toLong * 1000L)
+      case Array(i, f) if digits(i) && digits(f) =>
+        Some(i.toLong * 1000L + (f + "000").take(3).toLong)
+      case _ => None
+    }
+  }
+
   /** Line-stateful robots.txt parse. Comments (`#` to end of line)
     * strip first; field names are case-insensitive; consecutive
     * `User-agent` lines share one group; a `User-agent` line AFTER a
     * rule line starts a new group; empty-valued Allow/Disallow lines
     * are no-ops for matching (RFC 9309 §2.2.2) but still close the
-    * group; unknown fields (Crawl-delay, Sitemap) are ignored without
-    * disturbing group state. Agent names compare case-insensitively. */
-  def parse(txt: String): Seq[Rule] = {
-    val out = Seq.newBuilder[Rule]
+    * group. `Crawl-delay` attaches to the CURRENT agent group without
+    * disturbing group state (same no-effect contract the rule parser
+    * always had, so the two extractions agree on group boundaries);
+    * `Sitemap` is file-global per the sitemaps protocol. Agent names
+    * compare case-insensitively. */
+  def parseAll(txt: String): Directives = {
+    val rules = Seq.newBuilder[Rule]
+    val delays = Seq.newBuilder[(String, Long)]
+    val sitemaps = Seq.newBuilder[String]
     var agents = List.empty[String]
     var lastWasRule = false
     txt.split("\r\n|\n|\r", -1).foreach { raw =>
@@ -58,14 +82,22 @@ object Robots {
             lastWasRule = false
           case "allow" | "disallow" =>
             if (agents.nonEmpty && value.nonEmpty)
-              agents.foreach(a => out += Rule(a, field == "allow", value))
+              agents.foreach(a => rules += Rule(a, field == "allow", value))
             lastWasRule = true
-          case _ => () // crawl-delay, sitemap, unknown: no group effect
+          case "crawl-delay" =>
+            if (agents.nonEmpty)
+              delayMs(value).foreach(ms => agents.foreach(a => delays += (a -> ms)))
+          case "sitemap" =>
+            if (value.nonEmpty) sitemaps += value
+          case _ => () // unknown fields: no group effect
         }
       }
     }
-    out.result()
+    Directives(rules.result(), delays.result(), sitemaps.result())
   }
+
+  /** Path rules only (the original surface; see [[parseAll]]). */
+  def parse(txt: String): Seq[Rule] = parseAll(txt).rules
 
   /** Explode a (domain, robots.txt) frame into (domain, agent, allow,
     * prefix) rule rows via the stateful parser. */
@@ -78,6 +110,50 @@ object Robots {
         parse(Option(txt).getOrElse("")).map(r => (domain, r.agent, r.allow, r.prefix))
       }
       .toDF("domain", "agent", "allow", "prefix")
+  }
+
+  /** Explode a (domain, robots.txt) frame into per-agent crawl-delay
+    * rows `(domain, agent, delay_ms)` — the politeness source
+    * [[graft.queries.WebQueries]]' fetch scheduler consumes (previously
+    * the delay arrived as an external seed while the parser threw the
+    * directive away). */
+  def delaysFrame(df: DataFrame, domainCol: String, txtCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(domainCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (domain, txt) =>
+        parseAll(Option(txt).getOrElse("")).delays.map { case (a, ms) => (domain, a, ms) }
+      }
+      .toDF("domain", "agent", "delay_ms")
+  }
+
+  /** Explode a (domain, robots.txt) frame into `(domain, sitemap)` rows
+    * — the in-band sitemap discovery channel feeding the frontier. */
+  def sitemapsFrame(df: DataFrame, domainCol: String, txtCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(domainCol).cast("string"), col(txtCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (domain, txt) =>
+        parseAll(Option(txt).getOrElse("")).sitemaps.map(sm => (domain, sm))
+      }
+      .toDF("domain", "sitemap")
+  }
+
+  /** Resolve one crawler identity's delay per domain with the same
+    * precedence as [[evaluate]]'s group selection — the exact agent's
+    * delay when declared, else the `*` group's, else `defaultMs`.
+    * Repeated declarations in a group resolve to the MAX (conservative
+    * politeness). Output: `(domain, delay_ms)`, one row per domain in
+    * `delays`. */
+  def selectDelay(delays: DataFrame, agent: String, defaultMs: Long): DataFrame = {
+    val a = agent.toLowerCase
+    delays.groupBy("domain")
+      .agg(max(when(col("agent") === a, col("delay_ms"))).as("_exact"),
+        max(when(col("agent") === "*", col("delay_ms"))).as("_star"))
+      .select(col("domain"),
+        coalesce(col("_exact"), col("_star"), lit(defaultMs)).as("delay_ms"))
   }
 
   /** Compile one RFC 9309 path pattern to the Java regex that decides

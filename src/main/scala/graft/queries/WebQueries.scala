@@ -925,6 +925,120 @@ object WebQueries {
         nFrontier.join(nUnique, Seq("domain")).join(sched, Seq("domain"))
           .orderBy("domain")
     },
+    // ── robots.txt DIRECTIVES wired to their consumers — Crawl-delay
+    //    parses per agent group (group-state machine shared with the
+    //    rule parser; fractional seconds → exact ms) and feeds the
+    //    per-host politeness schedule DIRECTLY, replacing the external
+    //    delay seed; Sitemap lines parse file-global and their count
+    //    rides each row. Fixture: every domain's `*` group declares an
+    //    integer delay, every 4th domain adds a graftbot group with a
+    //    FRACTIONAL delay that must win agent selection, and domains
+    //    carry 1-3 sitemap URLs. The oracle replays delay selection,
+    //    ms arithmetic, sitemap counts, and the schedule window from
+    //    the seed — a group leak, a truncated fraction, or a sitemap
+    //    attached to the wrong scope lands in some row. ──
+    QueryDef.sql(
+      "web_robots_directives",
+      """WITH u AS (SELECT doc_id, doc_id % 50 AS m, doc_id % 9 + 1 AS pri FROM documents),
+        |d AS (SELECT m,
+        |        CASE WHEN m % 4 = 0 THEN 500 * (1 + m % 3)
+        |             ELSE 1000 * (1 + m % 5) END AS delay_ms,
+        |        m % 3 + 1 AS n_sitemaps
+        |      FROM (SELECT DISTINCT doc_id % 50 AS m FROM documents))
+        |SELECT u.doc_id, 'd' || u.m || '.example.com' AS domain,
+        |  CAST(d.delay_ms AS BIGINT) AS delay_ms,
+        |  CAST(d.n_sitemaps AS BIGINT) AS n_sitemaps,
+        |  CAST(row_number() OVER (PARTITION BY u.m ORDER BY u.pri DESC, u.doc_id) - 1
+        |    AS BIGINT) AS slot,
+        |  CAST((row_number() OVER (PARTITION BY u.m ORDER BY u.pri DESC, u.doc_id) - 1)
+        |    * d.delay_ms AS BIGINT) AS sched_ms
+        |FROM u JOIN d ON u.m = d.m
+        |ORDER BY u.doc_id""".stripMargin) {
+      (s, d) =>
+        val mS = col("m").cast("string")
+        val frac = when(pmod(col("m"), lit(3)) === 0, lit("0.5"))
+          .when(pmod(col("m"), lit(3)) === 1, lit("1.0")).otherwise(lit("1.5"))
+        def smLine(j: Int) = concat(lit(s"Sitemap: https://d"), mS,
+          lit(s".example.com/sm$j.xml\n"))
+        val robots = Tables.documents(s, d)
+          .select(pmod(col("doc_id"), lit(50)).cast("long").as("m")).distinct()
+          .select(col("m"),
+            concat(lit("d"), mS, lit(".example.com")).as("domain"),
+            concat(
+              lit("User-agent: *\nCrawl-delay: "),
+              (pmod(col("m"), lit(5)) + 1).cast("string"),
+              lit("\nDisallow: /private\n"),
+              when(pmod(col("m"), lit(4)) === 0,
+                concat(lit("User-agent: graftbot\nCrawl-delay: "), frac,
+                  lit("\nAllow: /\n"))).otherwise(lit("")),
+              smLine(0),
+              when(pmod(col("m"), lit(3)) >= 1, smLine(1)).otherwise(lit("")),
+              when(pmod(col("m"), lit(3)) >= 2, smLine(2)).otherwise(lit("")))
+              .as("txt"))
+        val delays = graft.operators.Robots
+          .selectDelay(graft.operators.Robots.delaysFrame(robots, "domain", "txt"),
+            "graftbot", defaultMs = 60000L)
+        val nSm = graft.operators.Robots.sitemapsFrame(robots, "domain", "txt")
+          .groupBy("domain").agg(count(lit(1)).cast("long").as("n_sitemaps"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("m").orderBy(desc("pri"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(50)).as("m"),
+            (pmod(col("doc_id"), lit(9)) + 1).as("pri"))
+          .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+          .withColumn("domain",
+            concat(lit("d"), col("m").cast("string"), lit(".example.com")))
+          .join(delays, Seq("domain"))
+          .join(nSm, Seq("domain"))
+          .select(col("doc_id"), col("domain"),
+            col("delay_ms").cast("long").as("delay_ms"), col("n_sitemaps"),
+            col("slot"), (col("slot") * col("delay_ms")).cast("long").as("sched_ms"))
+          .orderBy("doc_id")
+    },
+
+    // ── robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the evaluator's
+    //    `*`/`$` interpretation proven end-to-end: every domain blocks
+    //    `/*.php` but allows the LONGER `/pub/*.php`, and even domains
+    //    anchor `Disallow: /dl$` (exactly /dl, nothing beneath it).
+    //    The oracle replays the verdict matrix arithmetically from the
+    //    seed — a literal-prefix regression (the pre-fix behavior: a
+    //    '*' pattern matching nothing), a broken anchor, or a
+    //    length-precedence drift each flips a known (k, m) cell. ──
+    QueryDef.sql(
+      "web_robots_wildcards",
+      """WITH urls AS (
+        |  SELECT doc_id, doc_id % 50 AS m, k
+        |  FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) t(k))
+        |SELECT doc_id, CAST(k AS INT) AS k, 'd' || m || '.example.com' AS domain,
+        |  CASE WHEN k = 0 THEN false WHEN k = 1 THEN true
+        |       WHEN k = 2 THEN NOT (m % 2 = 0) ELSE true END AS allowed
+        |FROM urls ORDER BY doc_id, k""".stripMargin) {
+      (s, d) =>
+        val mC = pmod(col("doc_id"), lit(50))
+        val robots = Tables.documents(s, d)
+          .select(mC.cast("long").as("m")).distinct()
+          .select(
+            concat(lit("d"), col("m").cast("string"), lit(".example.com")).as("domain"),
+            concat(
+              lit("User-agent: *\nDisallow: /*.php\nAllow: /pub/*.php\n"),
+              when(col("m") % 2 === 0, lit("Disallow: /dl$\n")).otherwise(lit("")))
+              .as("txt"))
+        val rules = graft.operators.Robots.rulesFrame(robots, "domain", "txt")
+        val id = col("doc_id").cast("string")
+        val urls = Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("d"), mC.cast("string"), lit(".example.com")).as("domain"),
+            explode(array(
+              struct(lit(0).as("k"), concat(lit("/Path/p"), id, lit(".php")).as("path")),
+              struct(lit(1).as("k"), concat(lit("/pub/x"), id, lit(".php")).as("path")),
+              struct(lit(2).as("k"), lit("/dl").as("path")),
+              struct(lit(3).as("k"), concat(lit("/dl/x"), id).as("path")))).as("u"))
+          .select(col("doc_id"), col("u.k").as("k"), col("domain"), col("u.path").as("path"))
+        graft.operators.Robots.evaluate(urls, rules, "graftbot")
+          .select(col("doc_id"), col("k").cast("int").as("k"), col("domain"), col("allowed"))
+          .orderBy("doc_id", "k")
+    },
+
     // ── robots.txt admission gate — seed-arithmetic-fixture doctrine:
     //    the engine BUILDS each domain's robots.txt text, runs the
     //    stateful REP parser (group state machine: shared agent lines,

@@ -18,11 +18,15 @@ class RobotsSpec extends SparkSpec {
         "ALLOW: /private/ok\n" +
         "Disallow:\n" +              // empty value: no-op rule, closes group
         "User-agent: *\r" +          // after rules: NEW group, not appended
-        "Crawl-delay: 10\n" +        // unknown field must not disturb state
+        "Crawl-delay: 10\n" +        // directive: captured, no group effect
         "Disallow: /tmp\n" +
         "Sitemap: https://x.org/s.xml\n" +
         "notacolonline\n" +
         "Allow: /tmp/keep\n"
+    val all = Robots.parseAll(txt)
+    assert(all.delays == Seq("*" -> 10000L),
+      "Crawl-delay attaches to the current group without closing it")
+    assert(all.sitemaps == Seq("https://x.org/s.xml"), "Sitemap is file-global")
     val rules = Robots.parse(txt)
     assert(rules.toSet == Set(
       Robots.Rule("googlebot", false, "/private"),
@@ -61,6 +65,32 @@ class RobotsSpec extends SparkSpec {
       ("b.org", "/p/deep") -> true,
       ("b.org", "/q") -> true,
       ("d.org", "/anything") -> true))
+  }
+
+  test("directives: fractional-second delays, group scope, selection precedence") {
+    assert(Robots.delayMs("2") == Some(2000L))
+    assert(Robots.delayMs("0.5") == Some(500L))
+    assert(Robots.delayMs("1.25") == Some(1250L))
+    assert(Robots.delayMs("1.2599") == Some(1259L), "frac truncates past ms")
+    assert(Robots.delayMs("0.5s") == None)
+    assert(Robots.delayMs("") == None)
+    assert(Robots.delayMs(".5") == None, "bare fraction is malformed")
+    val txt =
+      "User-agent: a\nUser-agent: b\nCrawl-delay: 3\nDisallow: /x\n" +
+        "User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: 1.5\n" + // repeated: both kept
+        "Sitemap: https://s.org/a.xml\nSitemap: https://s.org/b.xml\n"
+    val all = Robots.parseAll(txt)
+    assert(all.delays == Seq("b" -> 3000L, "a" -> 3000L, "*" -> 500L, "*" -> 1500L))
+    assert(all.sitemaps == Seq("https://s.org/a.xml", "https://s.org/b.xml"))
+    // frame selection: exact agent beats *, max wins within a group,
+    // missing domain falls to the default
+    import spark.implicits._
+    val delays = Seq(
+      ("d1", "a", 3000L), ("d1", "*", 500L), ("d1", "*", 1500L),
+      ("d2", "*", 2000L)).toDF("domain", "agent", "delay_ms")
+    val got = Robots.selectDelay(delays, "A", defaultMs = 9999L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("d1" -> 3000L, "d2" -> 2000L))
   }
 
   test("evaluate: RFC 9309 wildcards — '*' runs, trailing '$' anchor, metachar escape") {

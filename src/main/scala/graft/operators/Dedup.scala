@@ -869,6 +869,61 @@ object Dedup {
     *
     * Output: `(id_a, id_b, jac_permille)` with id_a < id_b and
     * jac_permille = ⌊1000·|∩|/|∪|⌋ exact integer arithmetic. */
+  /** (sid, ts) → the prefix rows `(sid, n, pos, tok)` under a GIVEN
+    * global token ordering `dfs = (tok, df)`: per set, tokens sort
+    * rare-first by (df, tok) — a token absent from `dfs` takes df = 0,
+    * sorting before every known token (rarest), which keeps the order a
+    * consistent TOTAL order over the union when a new batch probes a
+    * FROZEN corpus ordering ([[incrementalPrefixPairs]]) — and the
+    * first `n − ⌈θ·n⌉ + 1` tokens explode with their 0-based position
+    * for the PPJoin positional filter. */
+  private[operators] def prefixFrame(sets: DataFrame, dfs: DataFrame,
+                                     thetaPermille: Int): DataFrame = {
+    val toks = sets.select(col("sid"), explode(col("ts")).as("tok"))
+    val ordered = toks
+      .join(dfs, Seq("tok"), "left_outer")
+      .select(col("sid"), col("tok"), coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy("sid")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
+        x => x.getField("tok")).as("ot"))
+      .withColumn("n", size(col("ot")))
+      .withColumn("p", { // n − ⌈θ·n/1000⌉ + 1, exact long arithmetic
+        val tn = col("n").cast("long") * thetaPermille + 999L
+        col("n") - ((tn - tn % 1000L) / 1000L).cast("long") + 1
+      })
+    ordered.select(col("sid"), col("n"),
+      posexplode(slice(col("ot"), lit(1), greatest(col("p"), lit(0)).cast("int"))))
+      .toDF("sid", "n", "pos", "tok")
+  }
+
+  /** The PPJoin candidate filters shared by the one-shot and
+    * incremental paths: length (J ≥ θ needs θ·max ≤ 1000·min) and the
+    * per-shared-token positional cap (overlap ≤ min(n_a − pa, n_b − pb)
+    * must reach ⌈θ(n_a+n_b)/(1000+θ)⌉). */
+  private def ppjoinFilters(cands: DataFrame, thetaPermille: Int): DataFrame =
+    cands
+      .filter(greatest(col("a.n"), col("b.n")).cast("long") * thetaPermille <=
+        least(col("a.n"), col("b.n")).cast("long") * 1000)
+      .filter(least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")).cast("long") *
+        (1000L + thetaPermille) >=
+        (col("a.n") + col("b.n")).cast("long") * thetaPermille)
+
+  /** Exact verify + permille rendering over candidate `(id_a, id_b)`
+    * rows, with token sets looked up from `lookup = (sid, ts)`. */
+  private def verifyPairs(cands: DataFrame, lookup: DataFrame, thetaPermille: Int,
+                          gate: DataFrame => DataFrame): DataFrame = {
+    val verify = cands
+      .join(gate(lookup.select(col("sid").as("id_a"), col("ts").as("ts_a"))), Seq("id_a"))
+      .join(gate(lookup.select(col("sid").as("id_b"), col("ts").as("ts_b"))), Seq("id_b"))
+      .withColumn("_i", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("_u",
+        (size(col("ts_a")) + size(col("ts_b"))).cast("long") - col("_i"))
+      .filter(col("_i") * 1000 >= col("_u") * thetaPermille)
+    verify.select(col("id_a"), col("id_b"),
+      (((col("_i") * 1000) - (col("_i") * 1000) % col("_u")) / col("_u"))
+        .cast("long").as("jac_permille"))
+  }
+
   def prefixFilterPairs(df: DataFrame, idCol: String, tokensCol: String,
                         thetaPermille: Int): DataFrame = {
     require(thetaPermille >= 1 && thetaPermille <= 1000,
@@ -890,23 +945,10 @@ object Dedup {
       .localCheckpoint()
     val toks = sets.select(col("sid"), explode(col("ts")).as("tok"))
     val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // rare-first ordering per set; prefix = first n - ceil(θ·n) + 1 tokens
-    val ordered = toks.join(dfs, Seq("tok"))
-      .groupBy("sid")
-      .agg(transform(array_sort(collect_list(struct(col("df"), col("tok")))),
-        x => x.getField("tok")).as("ot"))
-      .withColumn("n", size(col("ot")))
-      .withColumn("p", { // n − ⌈θ·n/1000⌉ + 1, exact long arithmetic
-        val tn = col("n").cast("long") * thetaPermille + 999L
-        col("n") - ((tn - tn % 1000L) / 1000L).cast("long") + 1
-      })
     // both sides of the candidate self-join read this frame; one row per
     // prefix token (a small multiple of the representative count), with
     // its 0-based position for the positional filter below
-    val prefix = ordered.select(col("sid"), col("n"),
-      posexplode(slice(col("ot"), lit(1), greatest(col("p"), lit(0)).cast("int"))))
-      .toDF("sid", "n", "pos", "tok")
-      .localCheckpoint()
+    val prefix = prefixFrame(sets, dfs, thetaPermille).localCheckpoint()
     // size gate off the materialized frame: under ~2M representatives
     // the set/prefix frames broadcast, so the candidate flood (the only
     // big frame in the plan) never shuffles for its joins — only the
@@ -914,30 +956,94 @@ object Dedup {
     // the plain shuffle and the plan stays correct.
     val gate = if (sets.count() <= 2000000L) (f: DataFrame) => broadcast(f)
                else (f: DataFrame) => f
-    val cands = prefix.as("a").join(gate(prefix.as("b")),
-        col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid"))
-      // length filter: J ≥ θ needs θ·max(|a|,|b|) ≤ 1000·min(|a|,|b|)
-      .filter(greatest(col("a.n"), col("b.n")).cast("long") * thetaPermille <=
-        least(col("a.n"), col("b.n")).cast("long") * 1000)
-      // PPJoin positional filter: a token shared at (0-based) positions
-      // pa, pb caps the possible overlap at min(n_a − pa, n_b − pb);
-      // J ≥ θ needs overlap ≥ ⌈θ(n_a+n_b)/(1000+θ)⌉. Applied per shared
-      // token and OR'd by the distinct — a safe (weaker-than-classic)
-      // prune that cuts the distinct's input ~6× on prefix-heavy
-      // corpora, where the join flood, not the verify, is the bill.
-      .filter(least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")).cast("long") *
-        (1000L + thetaPermille) >=
-        (col("a.n") + col("b.n")).cast("long") * thetaPermille)
+    // PPJoin candidate join: length filter, then the per-shared-token
+    // positional cap OR'd by the distinct — a safe (weaker-than-classic)
+    // prune that cuts the distinct's input ~6× on prefix-heavy corpora,
+    // where the join flood, not the verify, is the bill.
+    val cands = ppjoinFilters(
+      prefix.as("a").join(gate(prefix.as("b")),
+        col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid")),
+      thetaPermille)
       .select(col("a.sid").as("id_a"), col("b.sid").as("id_b")).distinct()
-    val verify = cands
-      .join(gate(sets.select(col("sid").as("id_a"), col("ts").as("ts_a"))), Seq("id_a"))
-      .join(gate(sets.select(col("sid").as("id_b"), col("ts").as("ts_b"))), Seq("id_b"))
-      .withColumn("_i", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
-      .withColumn("_u",
-        (size(col("ts_a")) + size(col("ts_b"))).cast("long") - col("_i"))
-      .filter(col("_i") * 1000 >= col("_u") * thetaPermille)
-    verify.select(col("id_a"), col("id_b"),
-      (((col("_i") * 1000) - (col("_i") * 1000) % col("_u")) / col("_u"))
-        .cast("long").as("jac_permille"))
+    verifyPairs(cands, sets, thetaPermille, gate)
+  }
+
+  /** Persist the exact-threshold join's reusable parts — the frozen
+    * global token ordering `dfs/`, the corpus token sets `sets/`, and
+    * the corpus prefix rows `prefix/` (plus `meta/` pinning θ) — so an
+    * arriving batch probes a STORED index instead of re-tokenizing and
+    * re-ordering the corpus per run (the [[bandIndex]] /
+    * incrementalLshPairs arrival-path precedent, closing the one dedup
+    * family that lacked it). Rebuild refreshes the df ordering;
+    * staleness costs prefix-length efficiency only, never recall,
+    * because ANY fixed total order satisfies the prefix theorem. */
+  def prefixIndexBuild(df: DataFrame, idCol: String, tokensCol: String,
+                       thetaPermille: Int, dir: String): Unit = {
+    require(thetaPermille >= 1 && thetaPermille <= 1000,
+      s"thetaPermille in [1,1000] (got $thetaPermille)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = df.select(
+      coalesce(col(idCol).cast("long"), raise_error(
+        lit(s"prefixIndexBuild: id column '$idCol' must be numeric and non-null"))).as("sid"),
+      array_sort(array_distinct(col(tokensCol))).as("ts"))
+      .localCheckpoint()
+    sets.write.mode("overwrite").parquet(s"$dir/sets")
+    val dfs = sets.select(col("sid"), explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    dfs.write.mode("overwrite").parquet(s"$dir/dfs")
+    prefixFrame(sets, dfs, thetaPermille)
+      .write.mode("overwrite").parquet(s"$dir/prefix")
+    Seq(Tuple1(thetaPermille.toLong)).toDF("theta_permille")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    sets.unpersist(blocking = false)
+    dfs.unpersist(blocking = false)
+  }
+
+  /** Exact-threshold pairs INVOLVING a new batch against a stored
+    * prefix index: batch-vs-corpus candidates probe the stored prefix
+    * rows, batch-vs-batch candidates self-join the batch's own prefix
+    * rows (both under the index's FROZEN token ordering — unseen batch
+    * tokens take df 0 and sort first, so the order stays a total order
+    * over the union and the prefix theorem holds exactly; see
+    * [[prefixFrame]]). Together with the pairs the index's corpus
+    * already produced, the union is EXACTLY
+    * `prefixFilterPairs(corpus ∪ batch)` (ids must be disjoint across
+    * the two — spec-pinned). Output: `(id_a, id_b, jac_permille)`,
+    * id_a < id_b. */
+  def incrementalPrefixPairs(batch: DataFrame, idCol: String, tokensCol: String,
+                             dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val theta = spark.read.parquet(s"$dir/meta")
+      .head().getLong(0).toInt
+    val bsets = batch.select(
+      coalesce(col(idCol).cast("long"), raise_error(
+        lit(s"incrementalPrefixPairs: id column '$idCol' must be numeric and non-null"))).as("sid"),
+      array_sort(array_distinct(col(tokensCol))).as("ts"))
+      .localCheckpoint()
+    val dfs = spark.read.parquet(s"$dir/dfs")
+    val bprefix = prefixFrame(bsets, dfs, theta).localCheckpoint()
+    val cprefix = spark.read.parquet(s"$dir/prefix")
+    val csets = spark.read.parquet(s"$dir/sets")
+    // the batch side is the small one — gate ITS broadcast, so the
+    // corpus-sized stored frames never move for the candidate joins
+    val gate = if (bsets.count() <= 2000000L) (f: DataFrame) => broadcast(f)
+               else (f: DataFrame) => f
+    val cross = ppjoinFilters(
+      cprefix.as("a").join(gate(bprefix.as("b")),
+        col("a.tok") === col("b.tok") && col("a.sid") =!= col("b.sid")),
+      theta)
+      .select(least(col("a.sid"), col("b.sid")).as("id_a"),
+        greatest(col("a.sid"), col("b.sid")).as("id_b"))
+    val within = ppjoinFilters(
+      bprefix.as("a").join(gate(bprefix.as("b")),
+        col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid")),
+      theta)
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+    val cands = cross.unionByName(within).distinct()
+    // the verify lookup spans the CORPUS sets — never broadcast it; the
+    // candidate frame is the small side and AQE broadcasts that
+    verifyPairs(cands, csets.unionByName(bsets), theta, identity)
   }
 }

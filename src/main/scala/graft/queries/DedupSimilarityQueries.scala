@@ -786,6 +786,56 @@ object DedupSimilarityQueries {
           .orderBy("id_a", "id_b")
     },
 
+    // ── INCREMENTAL exact-threshold join — the arrival path the PPJoin
+    //    family lacked: the corpus (doc_id % 5 ≠ 0) builds a STORED
+    //    prefix index (frozen df ordering + prefix rows + token sets),
+    //    and the batch (doc_id % 5 = 0) probes it WITHOUT re-tokenizing
+    //    the corpus — batch-vs-corpus candidates against the stored
+    //    prefix rows, batch-vs-batch against its own, both under the
+    //    frozen total order (unseen tokens sort rarest-first, so the
+    //    prefix theorem holds exactly; spec pins corpus-pairs ∪ probe ≡
+    //    one-shot on the union). The oracle brute-force-verifies from
+    //    ANY shared token between a batch rep and anything — a strict
+    //    superset of prefix candidates — so a stale-ordering recall
+    //    loss anywhere breaks the row set. ──
+    QueryDef.sql(
+      "dedup_prefix_incremental",
+      s"""WITH tc AS (SELECT doc_id, list_sort(list_distinct($DuckToks)) AS ts
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |rc AS (SELECT min(doc_id) AS sid, any_value(ts) AS ts FROM tc
+         |  GROUP BY md5(array_to_string(ts, ' '))),
+         |tb AS (SELECT doc_id, list_sort(list_distinct($DuckToks)) AS ts
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |rb AS (SELECT min(doc_id) AS sid, any_value(ts) AS ts FROM tb
+         |  GROUP BY md5(array_to_string(ts, ' '))),
+         |allr AS (SELECT sid, ts FROM rc UNION ALL SELECT sid, ts FROM rb),
+         |eb AS (SELECT sid, unnest(ts) AS tok FROM rb),
+         |ea AS (SELECT sid, unnest(ts) AS tok FROM allr),
+         |cand AS (SELECT DISTINCT least(a.sid, b.sid) AS id_a,
+         |                greatest(a.sid, b.sid) AS id_b
+         |  FROM eb a JOIN ea b ON a.tok = b.tok AND a.sid <> b.sid),
+         |v AS (SELECT id_a, id_b,
+         |    len(list_intersect(ra.ts, rz.ts)) AS i,
+         |    len(ra.ts) + len(rz.ts) - len(list_intersect(ra.ts, rz.ts)) AS u
+         |  FROM cand JOIN allr ra ON id_a = ra.sid JOIN allr rz ON id_b = rz.sid)
+         |SELECT id_a, id_b, CAST(i * 1000 // u AS BIGINT) AS jac_permille
+         |FROM v WHERE i * 1000 >= 900 * u ORDER BY id_a, id_b""".stripMargin) {
+      (s, d) =>
+        def reps(dd: org.apache.spark.sql.DataFrame) = dd
+          .select(col("doc_id"),
+            array_sort(array_distinct(TextOps.tokens(col("text")))).as("ts"))
+          .groupBy(md5(concat_ws(" ", col("ts")).cast("binary")).as("_fp"))
+          .agg(min(col("doc_id")).as("id"), first(col("ts")).as("ts"))
+          .select("id", "ts")
+        val docs = Tables.documents(s, d)
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-ppidx").toString
+        Dedup.prefixIndexBuild(
+          reps(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)), "id", "ts", 900, idxDir)
+        Dedup.incrementalPrefixPairs(
+          reps(docs.filter(pmod(col("doc_id"), lit(5)) === 0)), "id", "ts", idxDir)
+          .orderBy("id_a", "id_b")
+    },
+
     // ── Prefix join → union-find → canonical keep: the exact-threshold
     //    dedup END-TO-END (what a J ≥ 0.9 near-dup pass actually ships:
     //    survivors + how much each absorbed). The oracle computes TRUE

@@ -91,6 +91,39 @@ class OperatorsSpec extends SparkSpec {
     assert(g == 0L)
   }
 
+  test("incrementalPrefixPairs: corpus one-shot ∪ batch probe ≡ one-shot on the union") {
+    // same generator family as the one-shot spec, split 45 corpus / 15
+    // batch (disjoint ids); batch sets include tokens the corpus never
+    // saw (w90+) so the frozen-ordering fallback path (df=0 sorts
+    // first) is exercised, plus an exact duplicate of a corpus set
+    val corpus: Seq[(Long, Seq[String])] = (0 until 45).map { i =>
+      val n = 3 + i % 10
+      (i.toLong, (0 until n).map(j => s"w${(i * (j + 1) + i / 7) % 26}").distinct)
+    }
+    val batch: Seq[(Long, Seq[String])] = ((45 until 59).map { i =>
+      val n = 3 + i % 10
+      (100L + i, (0 until n).map(j =>
+        s"w${(i * (j + 1) + i / 7) % (if (i % 3 == 0) 96 else 26)}").distinct)
+    }) :+ (200L, corpus(7)._2)
+    for (theta <- Seq(600, 900)) {
+      val dir = tmpDir(s"graft-ppidx-$theta")
+      Dedup.prefixIndexBuild(corpus.toDF("id", "toks"), "id", "toks", theta, dir)
+      val inc = Dedup.incrementalPrefixPairs(batch.toDF("id", "toks"), "id", "toks", dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val corpusOnly = Dedup.prefixFilterPairs(
+        corpus.toDF("id", "toks"), "id", "toks", theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val oneShot = Dedup.prefixFilterPairs(
+        (corpus ++ batch).toDF("id", "toks"), "id", "toks", theta)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(corpusOnly.keySet.intersect(inc.keySet).isEmpty,
+        "incremental must emit only pairs involving the batch")
+      assert(corpusOnly ++ inc == oneShot, s"theta=$theta")
+      // the planted duplicate is found across the index boundary
+      if (theta <= 1000) assert(inc.get((7L, 200L)).contains(1000L))
+    }
+  }
+
   test("htmlAnchors: target/text pairs align; non-anchors and nested markup excluded") {
     val html = """<p><a href="https://a.org/1">first</a> filler
       |<img src="https://img.org/x.png">

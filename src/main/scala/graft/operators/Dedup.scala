@@ -925,9 +925,10 @@ object Dedup {
   }
 
   def prefixFilterPairs(df: DataFrame, idCol: String, tokensCol: String,
-                        thetaPermille: Int): DataFrame = {
+                        thetaPermille: Int, hotDf: Long = 65536L): DataFrame = {
     require(thetaPermille >= 1 && thetaPermille <= 1000,
       s"thetaPermille in [1,1000] (got $thetaPermille)")
+    require(hotDf >= 2, s"hotDf must be >= 2 (got $hotDf)")
     // sets feeds the df table, the prefix build, AND both verify sides —
     // materialize once (callers feed post-exact-dedup REPRESENTATIVES,
     // a frame far smaller than the corpus; without this the tokenize +
@@ -956,15 +957,40 @@ object Dedup {
     // the plain shuffle and the plan stays correct.
     val gate = if (sets.count() <= 2000000L) (f: DataFrame) => broadcast(f)
                else (f: DataFrame) => f
+    // HOT-TOKEN guard: once the broadcast gate flips to shuffle joins, a
+    // prefix token shared by k sets puts all k² candidate pairs in ONE
+    // task — the unsplittable hot key the gram family guards with
+    // exactRunCoverage's hotDf split. Same split here: tokens whose
+    // PREFIX df reaches `hotDf` route through a 32-way SALTED self-join
+    // (the a-side replicates over the salt, the b-side keys on
+    // sid % 32), bounding the hottest task at k²/32 while producing
+    // each unordered pair exactly once (x<y meets at salt y % 32); cold
+    // tokens keep the plain join, every key < hotDf rows by
+    // construction. The hot-token LIST is bounded by rows/hotDf and
+    // broadcasts. Default hotDf clears every key the cold join handles
+    // comfortably; the spec pins output invariance across hotDf.
+    val hotToks = prefix.groupBy("tok").agg(count(lit(1)).as("_pdf"))
+      .filter(col("_pdf") >= hotDf).select("tok")
+    val hotP = prefix.join(broadcast(hotToks), Seq("tok"), "left_semi")
+    val coldP = prefix.join(broadcast(hotToks), Seq("tok"), "left_anti")
     // PPJoin candidate join: length filter, then the per-shared-token
     // positional cap OR'd by the distinct — a safe (weaker-than-classic)
     // prune that cuts the distinct's input ~6× on prefix-heavy corpora,
     // where the join flood, not the verify, is the bill.
-    val cands = ppjoinFilters(
-      prefix.as("a").join(gate(prefix.as("b")),
+    val coldCands = ppjoinFilters(
+      coldP.as("a").join(gate(coldP.as("b")),
         col("a.tok") === col("b.tok") && col("a.sid") < col("b.sid")),
       thetaPermille)
-      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b")).distinct()
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+    val salts = 32
+    val hotCands = ppjoinFilters(
+      hotP.withColumn("_s", explode(sequence(lit(0), lit(salts - 1)))).as("a")
+        .join(hotP.withColumn("_s", pmod(col("sid"), lit(salts)).cast("int")).as("b"),
+          col("a.tok") === col("b.tok") && col("a._s") === col("b._s") &&
+            col("a.sid") < col("b.sid")),
+      thetaPermille)
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+    val cands = coldCands.unionByName(hotCands).distinct()
     verifyPairs(cands, sets, thetaPermille, gate)
   }
 

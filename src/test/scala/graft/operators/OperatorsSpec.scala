@@ -91,6 +91,23 @@ class OperatorsSpec extends SparkSpec {
     assert(g == 0L)
   }
 
+  test("prefixFilterPairs: output invariant across hotDf (salted hot path ≡ plain)") {
+    // hotDf=2 forces EVERY prefix token through the salted hot join,
+    // hotDf=5 splits the corpus across both paths, default leaves all
+    // cold — the three plans must emit identical pairs
+    val sets: Seq[(Long, Seq[String])] = (0 until 60).map { i =>
+      val n = 3 + i % 10
+      (i.toLong, (0 until n).map(j => s"w${(i * (j + 1) + i / 7) % 26}").distinct)
+    }
+    def run(hotDf: Long) = Dedup.prefixFilterPairs(
+      sets.toDF("id", "toks"), "id", "toks", 700, hotDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val base = run(65536L)
+    assert(base.nonEmpty, "fixture must produce pairs")
+    assert(run(2L) == base, "all-hot plan diverged")
+    assert(run(5L) == base, "mixed plan diverged")
+  }
+
   test("incrementalPrefixPairs: corpus one-shot ∪ batch probe ≡ one-shot on the union") {
     // same generator family as the one-shot spec, split 45 corpus / 15
     // batch (disjoint ids); batch sets include tokens the corpus never

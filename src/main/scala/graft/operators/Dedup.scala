@@ -924,8 +924,13 @@ object Dedup {
         .cast("long").as("jac_permille"))
   }
 
+  // hotDf default measured by PrefixSkewProbe on the ×10-replicated
+  // corpus: 65536 left every rep token cold (maxTask/p95 2.6, 101 s);
+  // 4096 flattened it (1.01, 45 s, identical pairs) and holds par on
+  // the unreplicated corpus; 1024 over-salts (moderate-df tokens pay
+  // the 32× a-side replication without the df² mass to amortize it).
   def prefixFilterPairs(df: DataFrame, idCol: String, tokensCol: String,
-                        thetaPermille: Int, hotDf: Long = 65536L): DataFrame = {
+                        thetaPermille: Int, hotDf: Long = 4096L): DataFrame = {
     require(thetaPermille >= 1 && thetaPermille <= 1000,
       s"thetaPermille in [1,1000] (got $thetaPermille)")
     require(hotDf >= 2, s"hotDf must be >= 2 (got $hotDf)")
@@ -1014,17 +1019,50 @@ object Dedup {
         lit(s"prefixIndexBuild: id column '$idCol' must be numeric and non-null"))).as("sid"),
       array_sort(array_distinct(col(tokensCol))).as("ts"))
       .localCheckpoint()
-    sets.write.mode("overwrite").parquet(s"$dir/sets")
+    // sets/prefix are batch-partitioned (base = batch=-1) so later
+    // arrivals APPEND as their own partitions with dynamic overwrite —
+    // a replayed append rewrites only its own partition (idempotent,
+    // the StreamingDedup ledger shape)
+    sets.withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/sets")
     val dfs = sets.select(col("sid"), explode(col("ts")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .localCheckpoint()
     dfs.write.mode("overwrite").parquet(s"$dir/dfs")
-    prefixFrame(sets, dfs, thetaPermille)
-      .write.mode("overwrite").parquet(s"$dir/prefix")
+    prefixFrame(sets, dfs, thetaPermille).withColumn("batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/prefix")
     Seq(Tuple1(thetaPermille.toLong)).toDF("theta_permille")
       .write.mode("overwrite").parquet(s"$dir/meta")
     sets.unpersist(blocking = false)
     dfs.unpersist(blocking = false)
+  }
+
+  /** Fold a PROBED batch into the stored index as its own partition —
+    * the continuous-arrival step after [[incrementalPrefixPairs]]: the
+    * batch's sets and prefix rows (computed under the index's FROZEN
+    * ordering, so every future probe stays exact) land under
+    * `batch=<batchId>` with dynamic partition overwrite — a replayed
+    * append rewrites only itself. The df table deliberately does NOT
+    * update (it is the frozen order's definition); a periodic
+    * [[prefixIndexBuild]] rebuild refreshes it for prefix-length
+    * efficiency. Single-writer per index, the ledger contract. */
+  def prefixIndexAppend(batch: DataFrame, idCol: String, tokensCol: String,
+                        dir: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId)")
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val theta = spark.read.parquet(s"$dir/meta").head().getLong(0).toInt
+    val dfs = spark.read.parquet(s"$dir/dfs")
+    val bsets = batch.select(
+      coalesce(col(idCol).cast("long"), raise_error(
+        lit(s"prefixIndexAppend: id column '$idCol' must be numeric and non-null"))).as("sid"),
+      array_sort(array_distinct(col(tokensCol))).as("ts"))
+      .localCheckpoint()
+    bsets.withColumn("batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/sets")
+    prefixFrame(bsets, dfs, theta).withColumn("batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/prefix")
+    bsets.unpersist(blocking = false)
   }
 
   /** Exact-threshold pairs INVOLVING a new batch against a stored
@@ -1050,8 +1088,8 @@ object Dedup {
       .localCheckpoint()
     val dfs = spark.read.parquet(s"$dir/dfs")
     val bprefix = prefixFrame(bsets, dfs, theta).localCheckpoint()
-    val cprefix = spark.read.parquet(s"$dir/prefix")
-    val csets = spark.read.parquet(s"$dir/sets")
+    val cprefix = spark.read.parquet(s"$dir/prefix").drop("batch")
+    val csets = spark.read.parquet(s"$dir/sets").drop("batch")
     // the batch side is the small one — gate ITS broadcast, so the
     // corpus-sized stored frames never move for the candidate joins
     val gate = if (bsets.count() <= 2000000L) (f: DataFrame) => broadcast(f)

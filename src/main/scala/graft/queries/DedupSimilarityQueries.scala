@@ -4790,6 +4790,97 @@ object DedupSimilarityQueries {
           .orderBy("query_id")
     },
 
+    // ── JL dimension TUNING CURVE — recall@10 at dOut ∈ {16, 32, 48}
+    //    against one shared exact-cosine ground truth: the sweep that
+    //    turns sim_rp_recall's honest-but-weak single reading (~0.1-0.2
+    //    at dOut=16 on this corpus) into an actionable knob — the
+    //    ε ≈ √(ln n / k) distortion envelope predicts recall rising
+    //    steeply with k, and the curve shows where the IO-savings/
+    //    recall trade clears a pipeline's bar. Oracle rebuilds all
+    //    three sign matrices with its own md5 and replays the
+    //    quantized-long scoring per rung. ──
+    QueryDef.sql(
+      "sim_rp_recall_curve", {
+        def rung(k: Int) =
+          s"""sg$k AS (SELECT i, j, CASE WHEN substring(md5('rp' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7') THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+             |      FROM (SELECT unnest(range(0, 64)) AS i), (SELECT unnest(range(0, $k)) AS j)),
+             |pr$k AS (SELECT u0.vec_id, sg$k.j, CAST(sum(CAST(round(CAST(u0.xi AS DOUBLE) * sg$k.sgn * 4294967296.0) AS BIGINT)) AS BIGINT) AS pq
+             |       FROM u0 JOIN sg$k ON sg$k.i = u0.i GROUP BY 1, 2),
+             |pj$k AS (SELECT vec_id, j, CAST(pq AS DOUBLE) / 4294967296.0 / sqrt(CAST($k AS DOUBLE)) AS y FROM pr$k),
+             |pd$k AS (SELECT a.qid, b.vec_id,
+             |        CAST(sum(CAST(round(a.y * b.y * 4294967296.0) AS BIGINT)) AS BIGINT) AS dq,
+             |        CAST(sum(CAST(round(a.y * a.y * 4294967296.0) AS BIGINT)) AS BIGINT) AS naq,
+             |        CAST(sum(CAST(round(b.y * b.y * 4294967296.0) AS BIGINT)) AS BIGINT) AS nbq
+             |       FROM (SELECT vec_id AS qid, j, y FROM pj$k WHERE vec_id < 4) a
+             |       JOIN (SELECT vec_id, j, y FROM pj$k WHERE vec_id > 8) b ON a.j = b.j
+             |       GROUP BY 1, 2),
+             |rpk$k AS (SELECT qid, vec_id FROM (
+             |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+             |            ORDER BY round((CAST(dq AS DOUBLE) / 4294967296.0) / sqrt((CAST(naq AS DOUBLE) / 4294967296.0) * (CAST(nbq AS DOUBLE) / 4294967296.0)), 4) DESC, vec_id) AS rn
+             |          FROM pd$k WHERE naq > 0 AND nbq > 0) WHERE rn <= 10)""".stripMargin
+        def recall(k: Int) =
+          s"""SELECT CAST($k AS BIGINT) AS d_out, e.qid AS query_id, CAST(10 AS BIGINT) AS k,
+             |  CAST(count(i.vec_id) AS BIGINT) AS n_overlap,
+             |  round(count(i.vec_id) / 10.0, 4) AS recall
+             |FROM exact e LEFT JOIN rpk$k i ON i.qid = e.qid AND i.vec_id = e.vec_id
+             |GROUP BY e.qid""".stripMargin
+        s"""WITH u0 AS (SELECT vec_id, unnest(range(0, len(embedding))) AS i, unnest(embedding) AS xi FROM embeddings),
+           |ub AS (SELECT q.vec_id AS qid, v.vec_id, unnest(v.embedding) AS x, unnest(q.embedding) AS y
+           |       FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id > 8) v,
+           |            (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 4) q),
+           |sb AS (SELECT qid, vec_id,
+           |        sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+           |        sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS na,
+           |        sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS nb
+           |       FROM ub GROUP BY 1, 2),
+           |exact AS (SELECT qid, vec_id FROM (
+           |            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+           |              ORDER BY round(dot / sqrt(na * nb), 4) DESC, vec_id) AS rn
+           |            FROM sb WHERE na * nb > 0) WHERE rn <= 10),
+           |${Seq(16, 32, 48).map(rung).mkString(",\n")}
+           |${Seq(16, 32, 48).map(recall).mkString("\nUNION ALL\n")}
+           |ORDER BY d_out, query_id""".stripMargin
+      }) {
+      (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        val exact = emb.filter(col("vec_id") > 8)
+          .crossJoin(broadcast(emb.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("qid"), col("embedding").as("_qe"))))
+          .select(col("qid"), col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("_qe")), 4).as("_cos"))
+          .filter(col("_cos").isNotNull)
+          .groupBy("qid")
+          .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+            struct((-col("_cos")).as("nc"), col("vec_id")), 10).as("_top"))
+          .select(col("qid"), explode(col("_top")).as("_t"))
+          .select(col("qid"), col("_t.vec_id").as("vec_id"))
+          .localCheckpoint()
+        val curves = Seq(16, 32, 48).map { dout =>
+          val proj = Similarity.randomProject(emb, "vec_id", "embedding", dOut = dout)
+          val rpTop = proj.filter(col("vec_id") > 8)
+            .crossJoin(broadcast(proj.filter(col("vec_id") < 4)
+              .select(col("vec_id").as("qid"), col("proj").as("_q"))))
+            .select(col("qid"), col("vec_id"),
+              Similarity.quantCosine(col("_q"), col("proj")).as("_s"),
+              Similarity.quantDot(col("_q"), col("_q")).as("_na"),
+              Similarity.quantDot(col("proj"), col("proj")).as("_nb"))
+            .filter(col("_na") > 0 && col("_nb") > 0)
+            .groupBy("qid")
+            .agg(graft.expressions.BoundedCollect.boundedSortedCollect(
+              struct((-col("_s")).as("ns"), col("vec_id")), 10).as("_top"))
+            .select(col("qid"), explode(col("_top")).as("_t"))
+            .select(col("qid"), col("_t.vec_id").as("rp_hit"))
+          exact.join(rpTop,
+              exact("qid") === rpTop("qid") && exact("vec_id") === rpTop("rp_hit"),
+              "left_outer")
+            .groupBy(exact("qid").as("query_id"))
+            .agg(count(col("rp_hit")).as("_n"))
+            .select(lit(dout.toLong).as("d_out"), col("query_id"), lit(10L).as("k"),
+              col("_n").as("n_overlap"), round(col("_n") / 10.0, 4).as("recall"))
+        }
+        curves.reduce(_ unionByName _).orderBy("d_out", "query_id")
+    },
+
     // ── Deterministic distributed k-means (Lloyd's, 4 clusters, 3
     //    iterations) over the embedding corpus — content-deterministic
     //    residue-class seeding, quantized-long distances with the

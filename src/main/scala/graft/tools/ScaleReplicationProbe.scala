@@ -190,6 +190,69 @@ object ScaleReplicationProbe {
           graft.operators.Dedup.lshCandidatePairs(canon, "doc_id", "text",
             shingleN = 3, k = 8, bands = 4)).count()
       }
+
+      // 5. exact-threshold PPJoin (round-10 heavyweight): salted text
+      //    makes every replica a DISTINCT set one token off its family,
+      //    so within-family candidate mass grows ~N² — the documented
+      //    adversarial case; the length/positional filters and the
+      //    hot-token salted join are the guards under test.
+      def prefixReps(rep: Int) = {
+        val d0 = docsTimes(rep, saltText = true)
+        val sets = d0.select(col("doc_id"), array_sort(array_distinct(
+          graft.operators.TextOps.tokens(col("text")))).as("ts"))
+        sets.groupBy(md5(concat_ws(" ", col("ts")).cast("binary")).as("_fp"))
+          .agg(min(col("doc_id")).as("id"), first(col("ts")).as("ts"))
+          .select("id", "ts")
+      }
+      timed(s"prefix_join x$rep") {
+        graft.operators.Dedup.prefixFilterPairs(prefixReps(rep), "id", "ts", 900).count()
+      }
+
+      // 5b. the end-to-end exact-threshold dedup (join → union-find →
+      //     canonical keep) — pair mass feeds clustering, so this is
+      //     where a candidate flood would compound.
+      timed(s"prefix_clusters x$rep") {
+        val pairs = graft.operators.Dedup.prefixFilterPairs(prefixReps(rep), "id", "ts", 900)
+        graft.operators.Dedup.duplicateClusters(pairs, aCol = "id_a", bCol = "id_b").count()
+      }
+
+      // 6. web-corpus funnel from RAW BYTES (charset gate → extraction →
+      //    quality gates → exact dedup → per-domain cap): per-row decode
+      //    and regex dominate and scale linearly; the only exchanges are
+      //    the dedup groupBy and the cap.
+      timed(s"web_corpus x$rep") {
+        import spark.implicits._
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        val payloads = docsTimes(rep, saltText = true)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val shell =
+              "<html><head><style>p { x }</style><script>let a = 1 < 2;</script></head>" +
+                s"<body><!-- c --><p>$text</p><br><p>A &amp; B&nbsp;tail — €1</p></body></html>"
+            (id, graft.codec.CharsetCodec.encode(shell,
+              if (id % 2 == 0) "windows-1252" else "utf-8"))
+          })
+          .toDF("doc_id", "payload")
+        val ws = graft.operators.TextOps.tokens(col("clean"))
+        val (n, _, sr) = graft.operators.TextOps.qualityMetrics(ws, stops)
+        val gated = graft.operators.TextOps
+          .decodeCharset(payloads, "payload", "charset", "html")
+          .select(col("doc_id"),
+            graft.operators.TextOps.htmlExtract(col("html")).as("clean"))
+          .select(col("doc_id"), col("clean"), n.as("n_tokens"),
+            graft.operators.TextOps.langIdEn(ws, Seq("the", "a", "of", "and"), 2).as("plang"),
+            sr.as("sr"))
+          .filter(col("plang") === "en" && col("n_tokens") >= 5 && col("sr") <= 0.5)
+        val dedup = gated.groupBy(md5(col("clean").cast("binary")).as("h"))
+          .agg(min("doc_id").cast("long").as("doc_id"),
+            count(lit(1)).cast("long").as("group_size"))
+        val dom = dedup.select(col("doc_id"), col("group_size"),
+          concat(lit("d"), pmod(col("doc_id"), lit(50)).cast("string"),
+            lit(".example.com")).as("domain"))
+        dom.join(graft.operators.Sharding.samplePerGroup(dom, "domain", "doc_id", 3),
+          Seq("domain", "doc_id"), "left_semi").count()
+      }
     }
     spark.stop()
   }

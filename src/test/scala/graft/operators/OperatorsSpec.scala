@@ -141,6 +141,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("prefixIndexAppend: successive batches accumulate; replay idempotent") {
+    def gen(ids: Range, off: Long, vocab: Int) = ids.map { i =>
+      val n = 3 + i % 10
+      (off + i, (0 until n).map(j => s"w${(i * (j + 1) + i / 7) % vocab}").distinct)
+    }
+    val corpus = gen(0 until 40, 0L, 26)
+    val b1 = gen(40 until 50, 100L, 30) // some unseen tokens
+    val b2 = gen(50 until 60, 200L, 26)
+    val dir = tmpDir("graft-ppidx-app")
+    val theta = 600
+    Dedup.prefixIndexBuild(corpus.toDF("id", "toks"), "id", "toks", theta, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p1 = pairs(Dedup.incrementalPrefixPairs(b1.toDF("id", "toks"), "id", "toks", dir))
+    Dedup.prefixIndexAppend(b1.toDF("id", "toks"), "id", "toks", dir, batchId = 0L)
+    // replayed append must not duplicate the batch's rows (own-partition
+    // overwrite): a doubled sets row would double b2's verify pairs
+    Dedup.prefixIndexAppend(b1.toDF("id", "toks"), "id", "toks", dir, batchId = 0L)
+    val p2 = pairs(Dedup.incrementalPrefixPairs(b2.toDF("id", "toks"), "id", "toks", dir))
+    val base = pairs(Dedup.prefixFilterPairs(corpus.toDF("id", "toks"), "id", "toks", theta))
+    val oneShot = pairs(Dedup.prefixFilterPairs(
+      (corpus ++ b1 ++ b2).toDF("id", "toks"), "id", "toks", theta))
+    assert(base ++ p1 ++ p2 == oneShot,
+      "build + probe/append/probe must tile the one-shot pair set")
+  }
+
   test("htmlAnchors: target/text pairs align; non-anchors and nested markup excluded") {
     val html = """<p><a href="https://a.org/1">first</a> filler
       |<img src="https://img.org/x.png">

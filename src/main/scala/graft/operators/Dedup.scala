@@ -1077,8 +1077,9 @@ object Dedup {
     * the two — spec-pinned). Output: `(id_a, id_b, jac_permille)`,
     * id_a < id_b. */
   def incrementalPrefixPairs(batch: DataFrame, idCol: String, tokensCol: String,
-                             dir: String): DataFrame = {
+                             dir: String, belowBatch: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
+    import spark.implicits._
     val theta = spark.read.parquet(s"$dir/meta")
       .head().getLong(0).toInt
     val bsets = batch.select(
@@ -1086,10 +1087,21 @@ object Dedup {
         lit(s"incrementalPrefixPairs: id column '$idCol' must be numeric and non-null"))).as("sid"),
       array_sort(array_distinct(col(tokensCol))).as("ts"))
       .localCheckpoint()
-    val dfs = spark.read.parquet(s"$dir/dfs")
+    // schema-safe reads: an index built from an EMPTY seed (the
+    // streaming cold start) has partitioned dirs with no files — fall
+    // back to typed empty frames; `belowBatch` prunes partitions ≥ the
+    // replaying batch so a replay never probes its own previous attempt
+    def readOr(sub: String, empty: => DataFrame) =
+      scala.util.Try(spark.read.parquet(s"$dir/$sub")).toOption.map { df0 =>
+        val norm = df0.withColumn("batch", col("batch").cast("long"))
+        belowBatch.foldLeft(norm)((d, b) => d.filter(col("batch") < b)).drop("batch")
+      }.getOrElse(empty)
+    val dfs = scala.util.Try(spark.read.parquet(s"$dir/dfs")).toOption
+      .getOrElse(Seq.empty[(String, Long)].toDF("tok", "df"))
     val bprefix = prefixFrame(bsets, dfs, theta).localCheckpoint()
-    val cprefix = spark.read.parquet(s"$dir/prefix").drop("batch")
-    val csets = spark.read.parquet(s"$dir/sets").drop("batch")
+    val cprefix = readOr("prefix",
+      Seq.empty[(Long, Int, Int, String)].toDF("sid", "n", "pos", "tok"))
+    val csets = readOr("sets", Seq.empty[(Long, Seq[String])].toDF("sid", "ts"))
     // the batch side is the small one — gate ITS broadcast, so the
     // corpus-sized stored frames never move for the candidate joins
     val gate = if (bsets.count() <= 2000000L) (f: DataFrame) => broadcast(f)

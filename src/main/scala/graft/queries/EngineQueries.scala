@@ -368,6 +368,47 @@ object EngineQueries {
           .orderBy("batch", "outcome")
     },
 
+    // ── Streaming EXACT-threshold dedup: the arrival-mode face of the
+    //    stored prefix index (probe under the frozen ordering → fold
+    //    survivors in), with an ARITHMETIC fixture: set(id, fam) =
+    //    {g<fam>_0..9, u<id>}, so same-family sets have J = 10/12 =
+    //    833‰ ≥ θ=800 and cross-family sets share nothing. Seed stores
+    //    families 0-19; batch 0 (ids 100-179, fam = id % 40) collapses
+    //    each family to its smallest id and drops families the seed
+    //    holds → survivors are exactly ids 100-119 (fams 20-39);
+    //    batch 1 (ids 200-299, fam = id % 50) must lose every family
+    //    0-39 to seed-or-batch-0 SURVIVORS and admit the ten new fams
+    //    40-49 → ids 240-249. rows-only: streams + engine index, no
+    //    SQL oracle; StreamingPrefixDedupSpec pins the semantics, the
+    //    pin spec these exact aggregates. ──
+    QueryDef.rowsOnly("engine_stream_prefix") {
+      (s, d) =>
+        import s.implicits._
+        implicit val sqlCtx = s.sqlContext
+        def toks(id: Long, fam: Long): Seq[String] =
+          (0 until 10).map(k => s"g${fam}_$k") :+ s"u$id"
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-spfx-i").toString
+        val outDir = java.nio.file.Files.createTempDirectory("graft-spfx-o").toString
+        val ckptDir = java.nio.file.Files.createTempDirectory("graft-spfx-k").toString
+        graft.operators.Dedup.prefixIndexBuild(
+          (0L until 20L).map(f => (f, toks(f, f))).toDF("id", "toks"),
+          "id", "toks", 800, idxDir)
+        val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[String])]
+        val q = graft.streaming.StreamingPrefixDedup.attach(
+          mem.toDF().toDF("id", "toks"), "id", "toks", idxDir, outDir, ckptDir)
+        try {
+          mem.addData((100L until 180L).map(id => (id, toks(id, id % 40))))
+          q.processAllAvailable()
+          mem.addData((200L until 300L).map(id => (id, toks(id, id % 50))))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.read.parquet(outDir)
+          .groupBy(col("batch").cast("long").as("batch"))
+          .agg(count(lit(1)).cast("long").as("n_survivors"),
+            sum("id").cast("long").as("survivor_id_sum"))
+          .orderBy("batch")
+    },
+
     // ── Streaming MULTIMODAL ingest: mm_corpus_build's arrival-mode
     //    twin — one attached stream (MemoryStream → foreachBatch) runs
     //    each micro-batch of raw container blobs through decode-metadata

@@ -29,8 +29,19 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "text_classifier_train", "engine_stream_validate",
       "engine_jsonl_quarantine", "engine_stream_drift",
       "engine_stream_corpus", "text_score_percentiles_approx",
-      "text_heavyhitters_sketch", "engine_stream_media", "engine_stream_web"),
+      "text_heavyhitters_sketch", "engine_stream_media", "engine_stream_web",
+      "engine_stream_prefix"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("engine_stream_prefix: the arithmetic fixture's exact survivor sets") {
+    val df = run("engine_stream_prefix")
+    assert(df.columns.toSeq == Seq("batch", "n_survivors", "survivor_id_sum"))
+    val got = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch 0: fams 20-39 survive as ids 100-119 (sum 2190); batch 1:
+    // new fams 40-49 survive as ids 240-249 (sum 2445) — every other
+    // family must lose to the seed or a stored batch-0 survivor
+    assert(got == Map(0L -> (20L, 2190L), 1L -> (10L, 2445L)))
   }
 
   test("engine_stream_media: twins collapse in batch 0, batch 1 rejects every re-upload") {

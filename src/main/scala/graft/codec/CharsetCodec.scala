@@ -97,12 +97,23 @@ object CharsetCodec {
     MetaCharset.findFirstMatchIn(head).flatMap(m => normalizeLabel(m.group(1)))
   }
 
-  /** Detected charset label for a payload (sniff only, no decode). */
-  def sniff(b: Array[Byte]): String =
+  private val CtCharset = "(?i)charset\\s*=\\s*['\"]?\\s*([a-z0-9_:\\-]+)".r
+
+  /** The charset parameter of an HTTP `Content-Type` header value
+    * (`text/html; charset=windows-1252`), normalized — the
+    * TRANSPORT-layer declaration, which WHATWG ranks above the in-body
+    * meta tag but below a BOM. */
+  def contentTypeLabel(contentType: String): Option[String] =
+    CtCharset.findFirstMatchIn(contentType).flatMap(m => normalizeLabel(m.group(1)))
+
+  /** Detected charset label for a payload (sniff only, no decode).
+    * `hint` is a transport-layer declaration (already normalized, e.g.
+    * via [[contentTypeLabel]]): BOM > hint > meta > heuristic. */
+  def sniff(b: Array[Byte], hint: Option[String] = None): String =
     if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte) "utf-8"
     else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) "utf-16le"
     else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) "utf-16be"
-    else metaLabel(b).getOrElse {
+    else hint.orElse(metaLabel(b)).getOrElse {
       if (isValidUtf8(b)) "utf-8"
       else if (b.exists(x => (x & 0xFF) >= 0x80 && (x & 0xFF) <= 0x9F)) "windows-1252"
       else "iso-8859-1"
@@ -123,11 +134,12 @@ object CharsetCodec {
   /** Sniff + decode: (canonical charset label, text). A BOM strips; a
     * declared-but-wrong utf-8 decodes with U+FFFD replacement (the
     * declaration wins, as in browsers — a heuristic override would make
-    * the gate non-deterministic across payload truncations). */
-  def decode(b: Array[Byte]): (String, String) = {
+    * the gate non-deterministic across payload truncations). `hint` is
+    * the transport-layer declaration (see [[sniff]]). */
+  def decode(b: Array[Byte], hint: Option[String] = None): (String, String) = {
     val hasUtf8Bom = b.length >= 3 &&
       b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte
-    val cs = sniff(b)
+    val cs = sniff(b, hint)
     val text = cs match {
       case "utf-8" =>
         new String(b, if (hasUtf8Bom) 3 else 0,

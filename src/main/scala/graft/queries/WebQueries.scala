@@ -848,6 +848,55 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // ── Transcode-to-UTF-8 normalization — what a crawl actually DOES
+    //    with the charset gate's output: re-encode every payload as
+    //    utf-8 and account the byte delta (the storage planning number
+    //    for normalizing a mixed-encoding archive). Every byte count
+    //    is arithmetic the oracle replays: the wire size is charset
+    //    geometry (1 byte/char for the single-byte pages, 2 + 2·chars
+    //    for BOM'd utf-16le BMP text, octet_length for utf-8) and the
+    //    normalized size is octet_length of the SAME text — so a
+    //    transcoding bug that substitutes or drops one character moves
+    //    two integers and a hash. ──
+    QueryDef.sql(
+      "web_transcode",
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |    WHEN 2 THEN 'windows-1252' ELSE 'iso-8859-1' END AS charset,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN strlen(t)
+        |    WHEN 1 THEN 2 + 2 * length(t) ELSE length(t) END AS BIGINT) AS n_bytes_wire,
+        |  CAST(strlen(t) AS BIGINT) AS n_bytes_utf8,
+        |  md5(t) AS utf8_md5
+        |FROM (SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' café déjà — €ok'
+        |    WHEN 1 THEN 'Doc ' || doc_id || ' unicode ∑ check ✓'
+        |    WHEN 2 THEN 'Doc ' || doc_id || ' price €9 – “quoted”'
+        |    ELSE '<meta charset="iso-8859-1">Doc ' || doc_id || ' résumé ñandú'
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (cs, text) = (id % 4) match {
+              case 0 => ("utf-8", s"Doc $id café déjà — €ok")
+              case 1 => ("utf-16le", s"Doc $id unicode ∑ check ✓")
+              case 2 => ("windows-1252", s"Doc $id price €9 – “quoted”")
+              case _ => ("iso-8859-1", s"""<meta charset="iso-8859-1">Doc $id résumé ñandú""")
+            }
+            (id, graft.codec.CharsetCodec.encode(text, cs))
+          })
+          .toDF("doc_id", "payload")
+        TextOps.decodeCharset(payloads, "payload", "charset", "t")
+          .select(col("doc_id"), col("charset"),
+            length(col("payload")).cast("long").as("n_bytes_wire"),
+            length(col("t").cast("binary")).cast("long").as("n_bytes_utf8"),
+            md5(col("t").cast("binary")).as("utf8_md5"))
+          .orderBy("doc_id")
+    },
+
     // ── Crawl-funnel capstone — the acquisition stages COMPOSED: a
     //    4-spellings-per-doc frontier (two path families × two messy
     //    spellings each) canonicalizes, dedups on the canonical form
@@ -994,6 +1043,117 @@ object WebQueries {
             col("delay_ms").cast("long").as("delay_ms"), col("n_sitemaps"),
             col("slot"), (col("slot") * col("delay_ms")).cast("long").as("sched_ms"))
           .orderBy("doc_id")
+    },
+
+    // ── WARC × HTTP × CHARSET — the full wire stack a crawl decodes
+    //    through: each doc's HTTP response (Content-Type charset param
+    //    + body encoded in that charset) packs into WARC shards, parses
+    //    back (WarcCodec → HttpCodec), and the body decodes with the
+    //    TRANSPORT-layer hint at WHATWG precedence (BOM > header > meta
+    //    > heuristic). The k=0 rows are the load-bearing case: a pure-
+    //    ASCII body the byte heuristic would call utf-8, labeled
+    //    windows-1252 by the header — only the hint channel produces
+    //    that label, so a precedence bug flips a third of the rows. ──
+    QueryDef.sql(
+      "web_warc_charset",
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'windows-1252'
+        |    WHEN 1 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset,
+        |  CAST(200 AS INT) AS status, md5(t) AS text_md5
+        |FROM (SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' plain wire'
+        |    WHEN 1 THEN 'Doc ' || doc_id || ' résumé café'
+        |    ELSE 'Doc ' || doc_id || ' déjà ✓'
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (ct, cs, text) = (id % 3) match {
+              case 0 => ("text/html; charset=windows-1252", "windows-1252",
+                s"Doc $id plain wire")
+              case 1 => ("text/html; charset=ISO-8859-1", "iso-8859-1",
+                s"Doc $id résumé café")
+              case _ => ("text/html", "utf-8", s"Doc $id déjà ✓")
+            }
+            val http = graft.codec.HttpCodec.write(200, "OK",
+              Seq("Content-Type" -> ct),
+              graft.codec.CharsetCodec.encode(text, cs))
+            (id, (id % 8).toInt, s"https://d${id % 50}.example.com/p$id", http)
+          })
+          .toDF("doc_id", "shard", "uri", "blob")
+        val members = Sharding.readWarcRecords(
+          Sharding.packWarcShards(blobs, "shard", "doc_id", "uri", "blob",
+            contentType = "application/http; msgtype=response"),
+          "shard", "warc")
+        val decoded = members.select(col("member_id"), col("blob"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, http) =>
+            val resp = graft.codec.HttpCodec.parse(http).getOrElse(
+              throw new IllegalStateException(s"unparseable HTTP for member $id"))
+            val hint = resp.header("Content-Type")
+              .flatMap(graft.codec.CharsetCodec.contentTypeLabel)
+            val (cs, text) = graft.codec.CharsetCodec.decode(resp.body, hint)
+            (id, cs, resp.status, text)
+          })
+          .toDF("doc_id", "charset", "status", "t")
+        decoded.select(col("doc_id"), col("charset"), col("status").cast("int").as("status"),
+          md5(col("t").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+    },
+
+    // ── Frontier seeding from IN-BAND sitemap discovery — the loop the
+    //    directives close: sitemap URLs parsed out of each domain's
+    //    robots.txt (the real discovery channel) anti-join the crawl's
+    //    seen-ledger, and only the NEW ones enter the frontier. Fixture:
+    //    domains carry 1-3 sitemap URLs (m % 3 + 1), the ledger already
+    //    holds every domain's sm0 plus sm1 for m % 2 = 0 — so the new
+    //    set per domain is exactly the arithmetic the oracle replays
+    //    (a scope leak, a canonicalization drift, or an anti-join bug
+    //    each shifts some domain's count or id-sum). ──
+    QueryDef.sql(
+      "web_frontier_seed",
+      """WITH m AS (SELECT DISTINCT doc_id % 50 AS m FROM documents),
+        |d AS (SELECT m, m % 3 + 1 AS n_disc,
+        |        CASE WHEN m % 3 >= 1 AND NOT (m % 2 = 0) THEN 1 ELSE 0 END
+        |          + CASE WHEN m % 3 >= 2 THEN 1 ELSE 0 END AS n_new
+        |      FROM m)
+        |SELECT 'd' || m || '.example.com' AS domain,
+        |  CAST(n_disc AS BIGINT) AS n_discovered,
+        |  CAST(n_new AS BIGINT) AS n_new
+        |FROM d ORDER BY domain""".stripMargin) {
+      (s, d) =>
+        val mS = col("m").cast("string")
+        def smUrl(j: Int) = concat(lit("https://d"), mS, lit(s".example.com/sm$j.xml"))
+        def smLine(j: Int) = concat(lit("Sitemap: "), smUrl(j), lit("\n"))
+        val doms = Tables.documents(s, d)
+          .select(pmod(col("doc_id"), lit(50)).cast("long").as("m")).distinct()
+        val robots = doms.select(col("m"),
+          concat(lit("d"), mS, lit(".example.com")).as("domain"),
+          concat(lit("User-agent: *\nDisallow: /private\n"),
+            smLine(0),
+            when(pmod(col("m"), lit(3)) >= 1, smLine(1)).otherwise(lit("")),
+            when(pmod(col("m"), lit(3)) >= 2, smLine(2)).otherwise(lit("")))
+            .as("txt"))
+        val discovered = graft.operators.Robots.sitemapsFrame(robots, "domain", "txt")
+          .withColumn("canonical", TextOps.urlCanonicalize(col("sitemap")))
+        // the crawl's seen-ledger: sm0 everywhere, sm1 for even m
+        val seen = doms.select(explode(array(
+            smUrl(0),
+            when(pmod(col("m"), lit(2)) === 0, smUrl(1)))).as("url"))
+          .filter(col("url").isNotNull)
+          .select(TextOps.urlCanonicalize(col("url")).as("canonical"))
+        val fresh = discovered.join(seen, Seq("canonical"), "left_anti")
+        discovered.groupBy("domain")
+          .agg(count(lit(1)).cast("long").as("n_discovered"))
+          .join(fresh.groupBy("domain")
+            .agg(count(lit(1)).cast("long").as("_n")), Seq("domain"), "left_outer")
+          .select(col("domain"), col("n_discovered"),
+            coalesce(col("_n"), lit(0L)).as("n_new"))
+          .orderBy("domain")
     },
 
     // ── robots.txt WILDCARD rules (RFC 9309 §2.2.3) — the evaluator's

@@ -60,6 +60,25 @@ class CharsetCodecSpec extends SparkSpec {
     assert(CharsetCodec.decode(Array.emptyByteArray) == ("utf-8", ""))
   }
 
+  test("transport-layer hint: BOM > Content-Type charset > meta > heuristic") {
+    assert(CharsetCodec.contentTypeLabel("text/html; charset=windows-1252") ==
+      Some("windows-1252"))
+    assert(CharsetCodec.contentTypeLabel("text/html; charset=\"ISO-8859-1\"") ==
+      Some("iso-8859-1"))
+    assert(CharsetCodec.contentTypeLabel("text/html") == None)
+    assert(CharsetCodec.contentTypeLabel("text/html; charset=klingon") == None)
+    // hint relabels a pure-ASCII body the heuristic would call utf-8
+    assert(CharsetCodec.decode("plain ascii".getBytes("UTF-8"),
+      Some("windows-1252")) == ("windows-1252", "plain ascii"))
+    // hint outranks an in-body meta declaration
+    val conflicted = CharsetCodec.encode("<meta charset=utf-8>résumé", "iso-8859-1")
+    assert(CharsetCodec.decode(conflicted, Some("iso-8859-1")) ==
+      ("iso-8859-1", "<meta charset=utf-8>résumé"))
+    // a BOM outranks the hint
+    assert(CharsetCodec.decode("\uFEFFhi".getBytes("UTF-8"),
+      Some("windows-1252")) == ("utf-8", "hi"))
+  }
+
   test("strict utf-8 validation: overlongs, surrogates, ceiling, truncation") {
     def v(xs: Int*) = CharsetCodec.isValidUtf8(xs.map(_.toByte).toArray)
     assert(v('a', 0xC3, 0xA9))                 // é

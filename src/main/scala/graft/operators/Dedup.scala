@@ -1037,6 +1037,23 @@ object Dedup {
     dfs.unpersist(blocking = false)
   }
 
+  private def pointerKey(sub: String) = s"ppidx.$sub.base"
+
+  /** Fold live `sets/` + `prefix/` partitions with `batch < belowBatch`
+    * into compacted base snapshots via [[graft.streaming.BatchLedger]]'s
+    * atomic pointer swap — the small-files story for a continuously
+    * appended dedup index (thousands of per-batch partitions
+    * otherwise). Identity absorb: sids are disjoint across batches by
+    * the append contract. Same rules as every ledger compaction:
+    * single maintainer, `belowBatch` at or below the replayable
+    * horizon. The df table and meta are never partitioned and never
+    * compact. */
+  def prefixIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, belowBatch: Long): Unit = {
+    graft.streaming.BatchLedger.compact(spark, dir, "sets", pointerKey("sets"), belowBatch)
+    graft.streaming.BatchLedger.compact(spark, dir, "prefix", pointerKey("prefix"), belowBatch)
+  }
+
   /** Fold a PROBED batch into the stored index as its own partition —
     * the continuous-arrival step after [[incrementalPrefixPairs]]: the
     * batch's sets and prefix rows (computed under the index's FROZEN
@@ -1087,15 +1104,13 @@ object Dedup {
         lit(s"incrementalPrefixPairs: id column '$idCol' must be numeric and non-null"))).as("sid"),
       array_sort(array_distinct(col(tokensCol))).as("ts"))
       .localCheckpoint()
-    // schema-safe reads: an index built from an EMPTY seed (the
-    // streaming cold start) has partitioned dirs with no files — fall
-    // back to typed empty frames; `belowBatch` prunes partitions ≥ the
-    // replaying batch so a replay never probes its own previous attempt
+    // ledger reads through BatchLedger: compacted base ∪ live batch
+    // partitions, schema-safe on the empty-seed cold start; `belowBatch`
+    // prunes partitions ≥ the replaying batch so a replay never probes
+    // its own previous attempt
     def readOr(sub: String, empty: => DataFrame) =
-      scala.util.Try(spark.read.parquet(s"$dir/$sub")).toOption.map { df0 =>
-        val norm = df0.withColumn("batch", col("batch").cast("long"))
-        belowBatch.foldLeft(norm)((d, b) => d.filter(col("batch") < b)).drop("batch")
-      }.getOrElse(empty)
+      graft.streaming.BatchLedger.read(spark, dir, sub, pointerKey(sub),
+        belowBatch, empty).drop("batch")
     val dfs = scala.util.Try(spark.read.parquet(s"$dir/dfs")).toOption
       .getOrElse(Seq.empty[(String, Long)].toDF("tok", "df"))
     val bprefix = prefixFrame(bsets, dfs, theta).localCheckpoint()

@@ -105,7 +105,11 @@ object BatchLedger {
     val union = (base.toSeq ++ live.toSeq).reduceOption(_ unionByName _)
       .getOrElse(throw new IllegalStateException(
         s"nothing to compact under $rootDir ($sub, $key)"))
-    val rel = s"base/g${java.util.UUID.randomUUID().toString.take(8)}"
+    // base generations are namespaced PER SUB-LEDGER: several ledgers
+    // can share one rootDir (the prefix index keeps sets + prefix side
+    // by side), and the orphan sweep below must never collect a sibling
+    // ledger's committed generation
+    val rel = s"base/$sub/g${java.util.UUID.randomUUID().toString.take(8)}"
     absorb(union).write.mode("errorifexists").parquet(s"$rootDir/$rel")
     new MetaLog(rootDir).append(Seq(key -> s"$rel $belowBatch")) // the commit point
     // post-commit sweep; a crash here only leaves dirs the pointer ignores
@@ -117,9 +121,9 @@ object BatchLedger {
         if (b >= horizon && b < belowBatch) fs.delete(st.getPath, true)
       }
     }
-    val (bfs, baseP) = hadoopFs(spark, s"$rootDir/base")
+    val (bfs, baseP) = hadoopFs(spark, s"$rootDir/base/$sub")
     if (bfs.exists(baseP)) bfs.listStatus(baseP).foreach { st =>
-      if (s"base/${st.getPath.getName}" != rel) bfs.delete(st.getPath, true)
+      if (s"base/$sub/${st.getPath.getName}" != rel) bfs.delete(st.getPath, true)
     }
     s"$rootDir/$rel"
   }

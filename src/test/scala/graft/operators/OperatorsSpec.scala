@@ -165,6 +165,25 @@ class OperatorsSpec extends SparkSpec {
       (corpus ++ b1 ++ b2).toDF("id", "toks"), "id", "toks", theta))
     assert(base ++ p1 ++ p2 == oneShot,
       "build + probe/append/probe must tile the one-shot pair set")
+    // compaction folds the build partition + batch 0 into a base
+    // generation behind the pointer; probing and appending afterwards
+    // must behave identically
+    Dedup.prefixIndexAppend(b2.toDF("id", "toks"), "id", "toks", dir, batchId = 1L)
+    Dedup.prefixIndexCompact(spark, dir, belowBatch = 2L)
+    val liveParts = new java.io.File(s"$dir/sets").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(liveParts.isEmpty, s"absorbed index partitions must be swept: $liveParts")
+    val b3 = gen(60 until 66, 300L, 26)
+    val p3 = pairs(Dedup.incrementalPrefixPairs(b3.toDF("id", "toks"), "id", "toks", dir))
+    val all3 = pairs(Dedup.prefixFilterPairs(
+      (corpus ++ b1 ++ b2 ++ b3).toDF("id", "toks"), "id", "toks", theta))
+    assert(oneShot ++ p3 == all3,
+      "a probe against the compacted index must still tile the one-shot set")
+    Dedup.prefixIndexAppend(b3.toDF("id", "toks"), "id", "toks", dir, batchId = 2L)
+    val stored = graft.streaming.BatchLedger.read(spark, dir, "sets",
+      "ppidx.sets.base", None, empty = spark.emptyDataFrame)
+    assert(stored.count() == (corpus.size + b1.size + b2.size + b3.size),
+      "post-compaction appends land beside the base")
   }
 
   test("htmlAnchors: target/text pairs align; non-anchors and nested markup excluded") {

@@ -117,7 +117,7 @@ class StreamingCrawlSpec extends SparkSpec {
     StreamingCrawl.compact(spark, ledger, belowBatch = 3L)
     assert(BatchLedger.pointer(ledger, StreamingCrawl.SeenPointerKey)
       .exists(_._2 == 3L))
-    assert(new java.io.File(s"$ledger/base").listFiles().count(_.isDirectory) == 1,
+    assert(new java.io.File(s"$ledger/base/seen").listFiles().count(_.isDirectory) == 1,
       "the superseded base generation must be swept")
     val m3 = StreamingCrawl.processBatch(df(Seq(b(21L, "p9"), b(22L, "pA"))),
       3L, "id", "url", "blob", rules, "graftbot", ledger)
@@ -135,7 +135,7 @@ class StreamingCrawlSpec extends SparkSpec {
     // successful compaction
     import spark.implicits._
     Seq(("http://a.org/ghost", 99L)).toDF("canonical", "id")
-      .write.parquet(s"$ledger/base/gdeadbeef")
+      .write.parquet(s"$ledger/base/seen/gdeadbeef")
     val mG = StreamingCrawl.processBatch(df(Seq(b(2L, "ghost"))), 1L,
       "id", "url", "blob", rules, "graftbot", ledger)
     assert(outcomes(mG) == Map(2L -> "admitted"),
@@ -149,7 +149,7 @@ class StreamingCrawlSpec extends SparkSpec {
     val liveParts = new java.io.File(s"$ledger/seen").listFiles()
       .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
     assert(liveParts == Set("batch=2"), s"the in-flight batch survives: $liveParts")
-    val baseDirs = new java.io.File(s"$ledger/base").listFiles()
+    val baseDirs = new java.io.File(s"$ledger/base/seen").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(!baseDirs.contains("gdeadbeef") && baseDirs.size == 1,
       s"orphan swept, one committed generation: $baseDirs")

@@ -137,23 +137,58 @@ object CharsetCodec {
     * the gate non-deterministic across payload truncations). `hint` is
     * the transport-layer declaration (see [[sniff]]). */
   def decode(b: Array[Byte], hint: Option[String] = None): (String, String) = {
-    val hasUtf8Bom = b.length >= 3 &&
-      b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte
     val cs = sniff(b, hint)
-    val text = cs match {
-      case "utf-8" =>
-        new String(b, if (hasUtf8Bom) 3 else 0,
-          b.length - (if (hasUtf8Bom) 3 else 0), "UTF-8")
-      case "utf-16le" =>
-        val skip = if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) 2 else 0
-        new String(b, skip, b.length - skip, "UTF-16LE")
-      case "utf-16be" =>
-        val skip = if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) 2 else 0
-        new String(b, skip, b.length - skip, "UTF-16BE")
-      case "windows-1252" => decodeSingleByte(b, cp1252 = true)
-      case _              => decodeSingleByte(b, cp1252 = false)
+    (cs, decodeAs(b, cs))
+  }
+
+  /** Decode under a FORCED label (no sniff) — the piece [[decode]]
+    * composes with [[sniff]], public for fixture building and for
+    * callers that already know the wire charset. A matching BOM
+    * strips. */
+  def decodeAs(b: Array[Byte], charset: String): String = charset match {
+    case "utf-8" =>
+      val skip = if (b.length >= 3 && b(0) == 0xEF.toByte &&
+        b(1) == 0xBB.toByte && b(2) == 0xBF.toByte) 3 else 0
+      new String(b, skip, b.length - skip, "UTF-8")
+    case "utf-16le" =>
+      val skip = if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) 2 else 0
+      new String(b, skip, b.length - skip, "UTF-16LE")
+    case "utf-16be" =>
+      val skip = if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) 2 else 0
+      new String(b, skip, b.length - skip, "UTF-16BE")
+    case "windows-1252" => decodeSingleByte(b, cp1252 = true)
+    case _              => decodeSingleByte(b, cp1252 = false)
+  }
+
+  /** Repair the classic mojibake: UTF-8 bytes that were once DECODED as
+    * windows-1252/latin-1 and re-saved ("café" → "cafÃ©", "—" → "â€”").
+    * The inverse is deterministic: if every char maps back to a single
+    * byte under the cp1252 reverse table (chars ≤ 0xFF plus the 27
+    * high-block mappings) AND those bytes form STRICTLY VALID UTF-8
+    * with at least one multi-byte sequence, the text was mojibake with
+    * probability ~1 (a real cp1252 sentence virtually never forms valid
+    * multi-byte UTF-8 — lead bytes are accented capitals like Ã/Â/â
+    * followed by exactly the right continuation punctuation). One
+    * round of the inverse; genuinely clean text (ASCII, or accented
+    * text that is NOT valid UTF-8 as bytes) passes through untouched.
+    * Returns (repaired text, was-repaired). */
+  def fixMojibake(s: String): (String, Boolean) = {
+    if (s.isEmpty || s.forall(_ < 0x80)) return (s, false)
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val b =
+        if (c <= 0x7F || (c >= 0xA0 && c <= 0xFF)) c.toByte
+        else Cp1252Rev.getOrElse(c,
+          if (c <= 0x9F) c.toByte // C1 pass-through (undefined cp1252 cells)
+          else return (s, false)) // not single-byte-expressible: not mojibake
+      bytes(i) = b
+      i += 1
     }
-    (cs, text)
+    if (!isValidUtf8(bytes)) return (s, false)
+    if (!bytes.exists(b => (b & 0xFF) >= 0xC2)) return (s, false) // no multi-byte
+    (new String(bytes, "UTF-8"), true)
   }
 
   /** Encode for fixture building and transcode round trips. utf-16

@@ -85,6 +85,32 @@ object TextOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Mojibake repair stage ([[graft.codec.CharsetCodec.fixMojibake]]):
+    * texts that are UTF-8-read-as-cp1252 ("cafÃ©", "â€”") invert back
+    * to the intended Unicode; clean text — including genuinely
+    * accented text — passes through untouched, and the flag column
+    * records what was repaired (the corpus-hygiene statistic). Pure
+    * per-row repair over `mapPartitions`, no shuffle. */
+  def repairMojibake(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     outCol: String = "text_fixed",
+                     flagCol: String = "was_mojibake"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, StringType, StructField}
+    val spark = df.sparkSession
+    val outSchema = df.schema
+      .add(StructField(outCol, StringType, nullable = true))
+      .add(StructField(flagCol, BooleanType, nullable = false))
+    val idx = df.schema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions(_.map { r =>
+      val (fixed, was) = Option(r.getAs[String](idx)) match {
+        case Some(t) => graft.codec.CharsetCodec.fixMojibake(t)
+        case None    => (null, false)
+      }
+      Row.fromSeq(r.toSeq :+ fixed :+ was)
+    })
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** BPE-ish subword count heuristic: words + punctuation clusters counted
     * separately (regexp token classes). */
   def bpeishTokenCount(text: Column): Column =

@@ -317,6 +317,72 @@ object DataPipelineQueries {
           .orderBy("domain", "doc_id")
     },
 
+    // ── Multi-pattern blocklist gate — ONE Aho-Corasick pass counts
+    //    every filter-list phrase per document (the wordlist/canary
+    //    gate; the naive form is |patterns| regex scans per row). The
+    //    oracle counts each pattern independently by replace-length
+    //    arithmetic — exact because the patterns are BORDER-FREE (no
+    //    proper prefix = suffix), so occurrences cannot self-overlap
+    //    and non-overlapping greedy counting equals the automaton's
+    //    all-end-positions count (overlap semantics themselves are
+    //    spec-pinned with bordered patterns). ──
+    QueryDef.sql(
+      "text_blocklist",
+      """WITH p AS (SELECT * FROM (VALUES ('vector'), ('stream'), ('data'),
+        |                                 ('query'), ('join the')) t(pat)),
+        |h AS (SELECT doc_id, pat,
+        |        CAST((length(text) - length(replace(text, pat, ''))) // length(pat)
+        |          AS BIGINT) AS n_hits
+        |      FROM documents, p WHERE text IS NOT NULL)
+        |SELECT doc_id, pat AS pattern, n_hits FROM h WHERE n_hits > 0
+        |ORDER BY doc_id, pattern""".stripMargin) {
+      (s, d) =>
+        graft.operators.MultiPattern.blocklistHits(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d)), "doc_id", "text",
+          Seq("vector", "stream", "data", "query", "join the"))
+          .orderBy("doc_id", "pattern")
+    },
+
+    // ── Mojibake repair — the ftfy-class hygiene pass a real corpus
+    //    needs after mixed-pipeline ingestion: text that is UTF-8 read
+    //    as cp1252 ("cafÃ©", "â€”") inverts deterministically (chars →
+    //    cp1252 bytes; if they form STRICT multi-byte UTF-8, decode).
+    //    The fixture builds the corruption ENGINE-side (decodeAs of the
+    //    true text's utf-8 bytes under the wrong label) for k=0 rows,
+    //    leaves genuinely accented text (k=1, NOT valid UTF-8 as bytes)
+    //    and ASCII (k=2) untouched — the oracle knows only the INTENDED
+    //    text and the flag arithmetic, so an over-eager repair (mangling
+    //    clean accents) or a missed one breaks that row. ──
+    QueryDef.sql(
+      "text_fix_mojibake",
+      """SELECT doc_id, doc_id % 3 = 0 AS was_mojibake,
+        |  md5(CASE doc_id % 3
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' café — “ok” résumé'
+        |    WHEN 1 THEN 'Doc ' || doc_id || ' café naïve'
+        |    ELSE 'Doc ' || doc_id || ' plain ascii'
+        |  END) AS fixed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val corrupted = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val t = (id % 3) match {
+              case 0 =>
+                val orig = s"Doc $id café — “ok” résumé"
+                graft.codec.CharsetCodec.decodeAs(orig.getBytes("UTF-8"), "windows-1252")
+              case 1 => s"Doc $id café naïve"
+              case _ => s"Doc $id plain ascii"
+            }
+            (id, t)
+          })
+          .toDF("doc_id", "text")
+        TextOps.repairMojibake(corrupted, "text")
+          .select(col("doc_id"), col("was_mojibake"),
+            md5(col("text_fixed").cast("binary")).as("fixed_md5"))
+          .orderBy("doc_id")
+    },
+
     // ── Token-window chunking with overlap (the RAG/embedding-pipeline
     //    granularity): windows of 32 tokens advancing by 24, so
     //    consecutive chunks share 8 tokens of context. Chunk count is

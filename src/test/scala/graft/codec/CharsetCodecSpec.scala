@@ -97,6 +97,26 @@ class CharsetCodecSpec extends SparkSpec {
     assert(!v(0xF5, 0x80, 0x80, 0x80), "lead above F4")
   }
 
+  test("fixMojibake: inverts utf-8-as-cp1252, leaves clean text alone") {
+    def moji(s: String) = CharsetCodec.decodeAs(s.getBytes("UTF-8"), "windows-1252")
+    // the classic corruptions invert exactly
+    Seq("café", "déjà — “quoted” €9", "naïve résumé", "touché ✓").foreach { orig =>
+      val (fixed, was) = CharsetCodec.fixMojibake(moji(orig))
+      assert(was && fixed == orig, s"'$orig' (moji '${moji(orig)}')")
+    }
+    // clean text passes through: ASCII, genuine accents, genuine cp1252
+    // punctuation — none of these form valid multi-byte utf-8 as bytes
+    Seq("plain ascii", "café naïve", "price — “quoted”", "").foreach { s =>
+      assert(CharsetCodec.fixMojibake(s) == (s, false), s"'$s'")
+    }
+    // text with chars outside the single-byte repertoire is never touched
+    assert(CharsetCodec.fixMojibake("汉字 Ã©") == ("汉字 Ã©", false))
+    // double-corruption repairs ONE layer per call (deterministic depth)
+    val (once, w1) = CharsetCodec.fixMojibake(moji(moji("café")))
+    assert(w1 && once == moji("café"))
+    assert(CharsetCodec.fixMojibake(once) == ("café", true))
+  }
+
   test("encode round trips + unencodable raises") {
     val s1252 = "price €9 – “quoted” naïve"
     assert(CharsetCodec.decode(CharsetCodec.encode(s1252, "windows-1252")) ==

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the Aho-Corasick semantics: dictionary-suffix outputs (the
+  * classic ushers case), ALL-end-positions counting for
+  * self-overlapping patterns, substring (not word) matching, and the
+  * frame operator's hits-only contract. */
+class MultiPatternSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def counts(pats: Seq[String], text: String): Map[String, Long] = {
+    val ac = new MultiPattern.Automaton(pats.toIndexedSeq)
+    pats.zip(ac.countHits(text)).toMap.filter(_._2 > 0)
+  }
+
+  test("dictionary-suffix outputs: the ushers classic") {
+    assert(counts(Seq("he", "she", "his", "hers"), "ushers") ==
+      Map("he" -> 1L, "she" -> 1L, "hers" -> 1L))
+    assert(counts(Seq("he", "she", "his", "hers"), "his sheer hers he") ==
+      Map("his" -> 1L, "she" -> 1L, "he" -> 3L, "hers" -> 1L))
+  }
+
+  test("all end positions count: self-overlapping and nested patterns") {
+    assert(counts(Seq("aa"), "aaaa") == Map("aa" -> 3L))
+    assert(counts(Seq("aba", "ba"), "ababa") == Map("aba" -> 2L, "ba" -> 2L))
+    assert(counts(Seq("the", "join the"), "join the dots, the fast way") ==
+      Map("the" -> 2L, "join the" -> 1L))
+    assert(counts(Seq("x"), "") == Map.empty)
+    // brute-force cross-check on a generated text over a tiny alphabet
+    val text = (0 until 400).map(i => "ab" (i * 7 % 2)).mkString
+    val pats = Seq("ab", "ba", "aab", "abab", "b")
+    val brute = pats.map { p =>
+      p -> (0 to text.length - p.length).count(i => text.startsWith(p, i)).toLong
+    }.filter(_._2 > 0).toMap
+    assert(counts(pats, text) == brute)
+  }
+
+  test("construction contract: empty or duplicate patterns rejected") {
+    intercept[IllegalArgumentException] {
+      new MultiPattern.Automaton(IndexedSeq("a", ""))
+    }
+    intercept[IllegalArgumentException] {
+      new MultiPattern.Automaton(IndexedSeq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      new MultiPattern.Automaton(IndexedSeq.empty)
+    }
+  }
+
+  test("frame operator: hits-only rows, null text, id passthrough") {
+    val docs = Seq(
+      (1L, "the vector stream"),
+      (2L, "nothing here"),
+      (3L, null.asInstanceOf[String])).toDF("doc", "text")
+    val got = MultiPattern.blocklistHits(docs, "doc", "text",
+      Seq("vector", "stream", "absent"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "vector", 1L), (1L, "stream", 1L)))
+  }
+}

@@ -88,6 +88,48 @@ object MultiPattern {
       }
       counts
     }
+
+    /** Leftmost-longest non-overlapping redaction: scan once, collect
+      * every match, then greedily take the earliest-starting match
+      * (longest on a start tie), skip past it, repeat — the standard
+      * lexer disambiguation, so "join the" masks as one unit rather
+      * than leaving "join " around a masked "the". Masked spans are
+      * replaced character-for-character with `mask` (length-preserving,
+      * so downstream offsets survive). Returns (redacted, spans
+      * masked). */
+    def redact(text: String, mask: Char = '#'): (String, Int) = {
+      // matches as (start, end) from the end-position scan
+      val ms = mutable.ArrayBuffer[(Int, Int)]()
+      var state = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (state != 0 && !children(state).contains(c)) state = fail(state)
+        state = children(state).getOrElse(c, 0)
+        val out = outIdx(state)
+        var j = 0
+        while (j < out.length) {
+          val len = patterns(out(j)).length
+          ms += ((i - len + 1, i + 1))
+          j += 1
+        }
+        i += 1
+      }
+      if (ms.isEmpty) return (text, 0)
+      val sorted = ms.sortBy { case (s, e) => (s, -e) }
+      val sb = new java.lang.StringBuilder(text)
+      var taken = 0
+      var cursor = 0 // first position not yet covered
+      sorted.foreach { case (s, e) =>
+        if (s >= cursor) {
+          var k = s
+          while (k < e) { sb.setCharAt(k, mask); k += 1 }
+          cursor = e
+          taken += 1
+        }
+      }
+      (sb.toString, taken)
+    }
   }
 
   /** One row per (doc, pattern) with at least one occurrence:
@@ -109,6 +151,32 @@ object MultiPattern {
         val counts = ac.countHits(t)
         (0 until pats.size).iterator.collect {
           case pi if counts(pi) > 0 => Row(r.get(idIdx), pats(pi), counts(pi))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Length-preserving leftmost-longest redaction over the frame:
+    * appends `(outCol, nCol)` — the masked text and how many spans were
+    * masked. The drop-or-mask half of the blocklist gate. */
+  def redactBlocklist(df: DataFrame, textCol: String, patterns: Seq[String],
+                      outCol: String = "text_redacted",
+                      nCol: String = "n_redacted"): DataFrame = {
+    val spark = df.sparkSession
+    val pats = patterns.toIndexedSeq
+    val outSchema = df.schema
+      .add(StructField(outCol, StringType, nullable = true))
+      .add(StructField(nCol, LongType, nullable = false))
+    val tIdx = df.schema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      val ac = new Automaton(pats)
+      rows.map { r =>
+        Option(r.getAs[String](tIdx)) match {
+          case Some(t) =>
+            val (red, n) = ac.redact(t)
+            Row.fromSeq(r.toSeq :+ red :+ n.toLong)
+          case None => Row.fromSeq(r.toSeq :+ null :+ 0L)
         }
       }
     }

@@ -343,6 +343,38 @@ object DataPipelineQueries {
           .orderBy("doc_id", "pattern")
     },
 
+    // ── Blocklist REDACTION — the mask half of the gate: one automaton
+    //    pass masks every filter-list phrase leftmost-longest with
+    //    length-preserving '#'s. The fixture's patterns are pairwise
+    //    NON-INTERACTING (no suffix-prefix overlap, none a substring of
+    //    another, all border-free), so leftmost-longest equals masking
+    //    every occurrence independently and the oracle replays it as a
+    //    chained same-length replace (order-irrelevant by
+    //    construction); the interacting cases ("join the" vs "the",
+    //    overlapping starts) are spec-pinned instead. ──
+    QueryDef.sql(
+      "text_redact_blocklist",
+      """SELECT doc_id,
+        |  CAST((length(t) - length(replace(t, 'vector', ''))) // 6
+        |     + (length(t) - length(replace(t, 'stream', ''))) // 6
+        |     + (length(t) - length(replace(t, 'data', ''))) // 4
+        |     + (length(t) - length(replace(t, 'query', ''))) // 5
+        |     + (length(t) - length(replace(t, 'join the', ''))) // 8 AS BIGINT) AS n_redacted,
+        |  md5(replace(replace(replace(replace(replace(t,
+        |    'vector', '######'), 'stream', '######'), 'data', '####'),
+        |    'query', '#####'), 'join the', '########')) AS redacted_md5
+        |FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        graft.operators.MultiPattern.redactBlocklist(
+          QueryDef.fanOutIfNarrow(Tables.documents(s, d))
+            .select(col("doc_id"), coalesce(col("text"), lit("")).as("t")),
+          "t", Seq("vector", "stream", "data", "query", "join the"))
+          .select(col("doc_id"), col("n_redacted"),
+            md5(col("text_redacted").cast("binary")).as("redacted_md5"))
+          .orderBy("doc_id")
+    },
+
     // ── Mojibake repair — the ftfy-class hygiene pass a real corpus
     //    needs after mixed-pipeline ingestion: text that is UTF-8 read
     //    as cp1252 ("cafÃ©", "â€”") inverts deterministically (chars →

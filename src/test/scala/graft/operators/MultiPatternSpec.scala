@@ -36,6 +36,20 @@ class MultiPatternSpec extends SparkSpec {
     assert(counts(pats, text) == brute)
   }
 
+  test("redact: leftmost-longest, non-overlapping, length-preserving") {
+    val ac = new MultiPattern.Automaton(IndexedSeq("join the", "the", "he"))
+    // longest wins at a shared start; inner matches are consumed
+    assert(ac.redact("join the dots") == ("######## dots", 1))
+    // leftmost wins across overlapping alternatives
+    assert(ac.redact("the he") == ("### ##", 2))
+    // overlapping matches of one pattern take the earliest
+    val ac2 = new MultiPattern.Automaton(IndexedSeq("aba"))
+    assert(ac2.redact("ababa") == ("###ba", 1))
+    // length and untouched text preserved
+    val ac3 = new MultiPattern.Automaton(IndexedSeq("xyz"))
+    assert(ac3.redact("no hits here") == ("no hits here", 0))
+  }
+
   test("construction contract: empty or duplicate patterns rejected") {
     intercept[IllegalArgumentException] {
       new MultiPattern.Automaton(IndexedSeq("a", ""))

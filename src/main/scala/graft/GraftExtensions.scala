@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_nfc(s)")
         NfcNormalize(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_fix_mojibake"),
+      info(classOf[FixMojibakeExpr], "graft_fix_mojibake",
+        "graft_fix_mojibake(s) - repair utf-8-read-as-cp1252 mojibake, clean text unchanged"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_fix_mojibake(s)")
+        FixMojibakeExpr(args(0))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_deflate_len"),
       info(classOf[DeflateLength], "graft_deflate_len",
         "graft_deflate_len(s) - deflate-compressed byte length of a string"),

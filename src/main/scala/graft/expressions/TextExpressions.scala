@@ -123,6 +123,48 @@ object TextNormImpl {
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
     else UTF8String.fromString(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
+
+  def fixMojibake(t: UTF8String): UTF8String = {
+    // ASCII fast path on the raw bytes — no String materialization for
+    // the overwhelmingly common clean row
+    val n = t.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) { if ((t.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) t
+    else {
+      val (fixed, was) = graft.codec.CharsetCodec.fixMojibake(t.toString)
+      if (was) UTF8String.fromString(fixed) else t
+    }
+  }
+}
+
+/** Mojibake repair as a native expression ([[TextNormImpl.fixMojibake]]
+  * → [[graft.codec.CharsetCodec.fixMojibake]]): UTF-8-read-as-cp1252
+  * text inverts deterministically, clean text passes through — with an
+  * ASCII fast path on the raw UTF8String bytes so the common clean row
+  * never materializes a java String. Codegen'd static call, which
+  * keeps the repair inside the scan's whole-stage pipeline (the
+  * mapPartitions form broke the row batch). */
+case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_fix_mojibake"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got $t")
+  }
+
+  override def nullSafeEval(t: Any): Any =
+    TextNormImpl.fixMojibake(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expressions.TextNormImpl.fixMojibake($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): FixMojibakeExpr =
+    copy(child = newChild)
 }
 
 /** Deflate-compressed byte length of a string — the compression-ratio

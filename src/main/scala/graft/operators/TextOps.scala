@@ -94,21 +94,11 @@ object TextOps {
   def repairMojibake(df: org.apache.spark.sql.DataFrame, textCol: String,
                      outCol: String = "text_fixed",
                      flagCol: String = "was_mojibake"): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{BooleanType, StringType, StructField}
-    val spark = df.sparkSession
-    val outSchema = df.schema
-      .add(StructField(outCol, StringType, nullable = true))
-      .add(StructField(flagCol, BooleanType, nullable = false))
-    val idx = df.schema.fieldIndex(textCol)
-    val rdd = df.rdd.mapPartitions(_.map { r =>
-      val (fixed, was) = Option(r.getAs[String](idx)) match {
-        case Some(t) => graft.codec.CharsetCodec.fixMojibake(t)
-        case None    => (null, false)
-      }
-      Row.fromSeq(r.toSeq :+ fixed :+ was)
-    })
-    spark.createDataFrame(rdd, outSchema)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val fixed = Bridge.column(
+      graft.expressions.FixMojibakeExpr(Bridge.expression(col(textCol))))
+    df.withColumn(outCol, fixed)
+      .withColumn(flagCol, coalesce(col(outCol) =!= col(textCol), lit(false)))
   }
 
   /** BPE-ish subword count heuristic: words + punctuation clusters counted

@@ -38,6 +38,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(4) > 0 && row.getLong(4) < 24, "repetitive text deflates")
   }
 
+  test("graft_fix_mojibake resolves in SQL: corrupt inverts, clean passes") {
+    val moji = graft.codec.CharsetCodec.decodeAs("café ✓".getBytes("UTF-8"), "windows-1252")
+    val row = session.sql(
+      s"""SELECT graft_fix_mojibake('$moji') AS fixed,
+         |  graft_fix_mojibake('plain café') AS clean,
+         |  graft_fix_mojibake(CAST(NULL AS STRING)) AS n
+         |""".stripMargin).collect().head
+    assert(row.getString(0) == "café ✓")
+    assert(row.getString(1) == "plain café")
+    assert(row.isNullAt(2))
+  }
+
   test("graft_hll_bucket_rho resolves in SQL and matches the Scala surface") {
     val row = session.sql(
       "SELECT graft_hll_bucket_rho('doc-body-42').bucket AS b, " +

@@ -133,11 +133,18 @@ object MultiPattern {
   }
 
   /** One row per (doc, pattern) with at least one occurrence:
-    * `(idCol, pattern, n_hits)`. */
+    * `(idCol, pattern, n_hits)`. `foldCase` lowercases both sides
+    * (Locale.ROOT) — how real filter lists are meant: mixed-case
+    * evasion still hits; the emitted `pattern` column carries the
+    * FOLDED form (the match key — two spellings folding together merge
+    * into one automaton entry). */
   def blocklistHits(df: DataFrame, idCol: String, textCol: String,
-                    patterns: Seq[String]): DataFrame = {
+                    patterns: Seq[String], foldCase: Boolean = false): DataFrame = {
     val spark = df.sparkSession
-    val pats = patterns.toIndexedSeq
+    val original = patterns.toIndexedSeq
+    val pats =
+      if (foldCase) original.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+      else original
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("pattern", StringType, nullable = false),
@@ -147,7 +154,8 @@ object MultiPattern {
     val rdd = df.rdd.mapPartitions { rows =>
       val ac = new Automaton(pats) // once per partition
       rows.flatMap { r =>
-        val t = Option(r.getAs[String](tIdx)).getOrElse("")
+        val raw = Option(r.getAs[String](tIdx)).getOrElse("")
+        val t = if (foldCase) raw.toLowerCase(java.util.Locale.ROOT) else raw
         val counts = ac.countHits(t)
         (0 until pats.size).iterator.collect {
           case pi if counts(pi) > 0 => Row(r.get(idIdx), pats(pi), counts(pi))

@@ -71,5 +71,14 @@ class MultiPatternSpec extends SparkSpec {
       Seq("vector", "stream", "absent"))
       .as[(Long, String, Long)].collect().toSet
     assert(got == Set((1L, "vector", 1L), (1L, "stream", 1L)))
+    // case folding: mixed-case evasion hits, emitted pattern is folded,
+    // spellings that fold together merge into one entry
+    val evasive = Seq((9L, "VeCtOr soup Vector")).toDF("doc", "text")
+    val folded = MultiPattern.blocklistHits(evasive, "doc", "text",
+      Seq("Vector", "VECTOR"), foldCase = true)
+      .as[(Long, String, Long)].collect().toSet
+    assert(folded == Set((9L, "vector", 2L)))
+    assert(MultiPattern.blocklistHits(evasive, "doc", "text",
+      Seq("Vector")).count() == 1, "unfolded matching stays exact-case")
   }
 }

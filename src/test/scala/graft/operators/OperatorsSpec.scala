@@ -108,6 +108,19 @@ class OperatorsSpec extends SparkSpec {
     assert(run(5L) == base, "mixed plan diverged")
   }
 
+  test("prefixFilterPairs plan posture: gated broadcast, salt key on the hot path") {
+    val sets: Seq[(Long, Seq[String])] = (0 until 40).map { i =>
+      (i.toLong, (0 until (3 + i % 8)).map(j => s"w${(i * (j + 1)) % 20}").distinct)
+    }
+    val df = Dedup.prefixFilterPairs(sets.toDF("id", "toks"), "id", "toks", 700, hotDf = 2)
+    df.collect() // finalize AQE so the executed plan is the real one
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "under the 2M gate the candidate/verify joins must broadcast")
+    assert(plan.contains("_s#"),
+      "with every token hot, the candidate join must key on the salt")
+  }
+
   test("incrementalPrefixPairs: corpus one-shot ∪ batch probe ≡ one-shot on the union") {
     // same generator family as the one-shot spec, split 45 corpus / 15
     // batch (disjoint ids); batch sets include tokens the corpus never

@@ -131,6 +131,27 @@ class CharsetCodecSpec extends SparkSpec {
     }
   }
 
+  test("degenerate payloads: BOM-only, odd utf-16, 1-byte, meta past the window") {
+    // a bare BOM is an empty utf-8 document, not an error
+    assert(CharsetCodec.decode(Array(0xEF, 0xBB, 0xBF).map(_.toByte)) == ("utf-8", ""))
+    // utf-16le BOM + odd trailing byte: java's decoder yields U+FFFD for
+    // the dangling half — deterministic, never a crash
+    val odd = Array(0xFF, 0xFE, 0x41, 0x00, 0x42).map(_.toByte)
+    val (cs, t) = CharsetCodec.decode(odd)
+    assert(cs == "utf-16le" && t.startsWith("A") && t.length == 2)
+    // single bytes hit every heuristic branch without range errors
+    assert(CharsetCodec.decode(Array('a'.toByte)) == ("utf-8", "a"))
+    assert(CharsetCodec.decode(Array(0x93.toByte))._1 == "windows-1252")
+    assert(CharsetCodec.decode(Array(0xE9.toByte))._1 == "iso-8859-1")
+    // a meta declaration past the 1024-byte sniff window is not seen:
+    // the body is valid utf-8, so the validity branch wins
+    val farMeta = ("x" * 1200 + "<meta charset=\"iso-8859-1\">café").getBytes("UTF-8")
+    assert(CharsetCodec.decode(farMeta)._1 == "utf-8")
+    // ...but inside the window it is
+    val nearMeta = ("x" * 100 + "<meta charset=\"iso-8859-1\">caf").getBytes("UTF-8")
+    assert(CharsetCodec.decode(nearMeta)._1 == "iso-8859-1")
+  }
+
   test("frame operator: mixed-encoding payloads decode to one text column") {
     import spark.implicits._
     val rows = Seq(

@@ -50,6 +50,17 @@ class MultiPatternSpec extends SparkSpec {
     assert(ac3.redact("no hits here") == ("no hits here", 0))
   }
 
+  test("degenerate inputs: pattern longer than text, text = pattern, unicode") {
+    val ac = new MultiPattern.Automaton(IndexedSeq("abcdef"))
+    assert(ac.countHits("abc").forall(_ == 0L))
+    assert(ac.redact("abc") == ("abc", 0))
+    assert(ac.countHits("abcdef").toSeq == Seq(1L))
+    assert(ac.redact("abcdef") == ("######", 1))
+    val uni = new MultiPattern.Automaton(IndexedSeq("café", "汉字"))
+    assert(uni.countHits("un café aux 汉字 et café").toSeq == Seq(2L, 1L))
+    assert(uni.redact("café!") == ("####!", 1))
+  }
+
   test("construction contract: empty or duplicate patterns rejected") {
     intercept[IllegalArgumentException] {
       new MultiPattern.Automaton(IndexedSeq("a", ""))

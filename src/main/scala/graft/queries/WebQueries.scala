@@ -848,6 +848,50 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // ── Corpus charset PROFILE — the mix statistic that motivates the
+    //    gate (real crawls run 15-25% legacy): per detected charset,
+    //    page count, wire-byte mass, and the normalized-utf-8 byte mass
+    //    the archive becomes — rolled up from the same four-way fixture
+    //    by one partial-agg groupBy (5 output rows at any corpus size).
+    //    Wire sizes are charset geometry the oracle replays. ──
+    QueryDef.sql(
+      "web_charset_profile",
+      """WITH t AS (SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |    WHEN 2 THEN 'windows-1252' ELSE 'iso-8859-1' END AS charset,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' café déjà — €ok'
+        |    WHEN 1 THEN 'Doc ' || doc_id || ' unicode ∑ check ✓'
+        |    WHEN 2 THEN 'Doc ' || doc_id || ' price €9 – “quoted”'
+        |    ELSE '<meta charset="iso-8859-1">Doc ' || doc_id || ' résumé ñandú'
+        |  END AS txt FROM documents)
+        |SELECT charset, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(CASE doc_id % 4 WHEN 0 THEN strlen(txt)
+        |    WHEN 1 THEN 2 + 2 * length(txt) ELSE length(txt) END) AS BIGINT) AS wire_bytes,
+        |  CAST(sum(strlen(txt)) AS BIGINT) AS utf8_bytes
+        |FROM t GROUP BY charset ORDER BY charset""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (cs, text) = (id % 4) match {
+              case 0 => ("utf-8", s"Doc $id café déjà — €ok")
+              case 1 => ("utf-16le", s"Doc $id unicode ∑ check ✓")
+              case 2 => ("windows-1252", s"Doc $id price €9 – “quoted”")
+              case _ => ("iso-8859-1", s"""<meta charset="iso-8859-1">Doc $id résumé ñandú""")
+            }
+            (id, graft.codec.CharsetCodec.encode(text, cs))
+          })
+          .toDF("doc_id", "payload")
+        TextOps.decodeCharset(payloads, "payload", "charset", "t")
+          .groupBy("charset")
+          .agg(count(lit(1)).cast("long").as("n_pages"),
+            sum(length(col("payload"))).cast("long").as("wire_bytes"),
+            sum(length(col("t").cast("binary"))).cast("long").as("utf8_bytes"))
+          .orderBy("charset")
+    },
+
     // ── Transcode-to-UTF-8 normalization — what a crawl actually DOES
     //    with the charset gate's output: re-encode every payload as
     //    utf-8 and account the byte delta (the storage planning number

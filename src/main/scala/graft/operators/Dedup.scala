@@ -1007,13 +1007,34 @@ object Dedup {
     * incrementalLshPairs arrival-path precedent, closing the one dedup
     * family that lacked it). Rebuild refreshes the df ordering;
     * staleness costs prefix-length efficiency only, never recall,
-    * because ANY fixed total order satisfies the prefix theorem. */
+    * because ANY fixed total order satisfies the prefix theorem.
+    *
+    * Rebuild over an EXISTING index is destructive and offline (quiesce
+    * the appender first): it deletes the live `sets/`/`prefix/`
+    * partitions AND the compacted base generations, then clears the
+    * [[graft.streaming.BatchLedger]] pointers. Without all three, a
+    * rebuild after appends/compaction serves stale state — dynamic
+    * partition overwrite (session-global in the append paths) would
+    * only replace `batch=-1`, leaving old `batch=N` partitions to
+    * duplicate sids, and a committed pointer would keep resolving the
+    * OLD base while excluding the rebuilt `batch=-1` rows (live filter
+    * is `batch ≥ horizon > −1`). Spec-pinned: rebuild-after-append and
+    * rebuild-after-compact both serve exactly the rebuilt corpus. */
   def prefixIndexBuild(df: DataFrame, idCol: String, tokensCol: String,
                        thetaPermille: Int, dir: String): Unit = {
     require(thetaPermille >= 1 && thetaPermille <= 1000,
       s"thetaPermille in [1,1000] (got $thetaPermille)")
     val spark = df.sparkSession
     import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(s"$dir/sets", s"$dir/prefix", s"$dir/base/sets", s"$dir/base/prefix")
+      .foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    graft.streaming.BatchLedger.resetPointer(dir, pointerKey("sets"))
+    graft.streaming.BatchLedger.resetPointer(dir, pointerKey("prefix"))
     val sets = df.select(
       coalesce(col(idCol).cast("long"), raise_error(
         lit(s"prefixIndexBuild: id column '$idCol' must be numeric and non-null"))).as("sid"),
@@ -1024,13 +1045,15 @@ object Dedup {
     // a replayed append rewrites only its own partition (idempotent,
     // the StreamingDedup ledger shape)
     sets.withColumn("batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/sets")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("batch").parquet(s"$dir/sets")
     val dfs = sets.select(col("sid"), explode(col("ts")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .localCheckpoint()
     dfs.write.mode("overwrite").parquet(s"$dir/dfs")
     prefixFrame(sets, dfs, thetaPermille).withColumn("batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/prefix")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("batch").parquet(s"$dir/prefix")
     Seq(Tuple1(thetaPermille.toLong)).toDF("theta_permille")
       .write.mode("overwrite").parquet(s"$dir/meta")
     sets.unpersist(blocking = false)

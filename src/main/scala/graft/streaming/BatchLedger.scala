@@ -39,10 +39,22 @@ object BatchLedger {
     (v.substring(0, i), v.substring(i + 1).toLong)
   }
 
+  /** Sentinel pointer value meaning "no base, no horizon" — MetaLog has
+    * no key deletion (set-only KV), so a rebuild that must UNDO a
+    * committed compaction appends this instead. */
+  private val Cleared = "-"
+
   /** Current (relative base dir, horizon): batches `< horizon` live in
     * the base, partitions `≥ horizon` are authoritative on disk. */
   def pointer(rootDir: String, key: String): Option[(String, Long)] =
-    new MetaLog(rootDir).state().get(key).map(parsePointer)
+    new MetaLog(rootDir).state().get(key).filterNot(_ == Cleared).map(parsePointer)
+
+  /** Atomically clear the pointer: readers fall back to live partitions
+    * only (horizon −∞, no base) — the rebuild-from-scratch commit point.
+    * No-op (no append) when the pointer is already absent/cleared. */
+  def resetPointer(rootDir: String, key: String): Unit =
+    if (pointer(rootDir, key).isDefined)
+      new MetaLog(rootDir).append(Seq(key -> Cleared))
 
   private def hadoopFs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -54,9 +66,20 @@ object BatchLedger {
     fs.exists(p)
   }
 
+  /** Read a parquet dir that may legitimately be absent or hollow.
+    * ONLY the two benign shapes map to `None`: the dir does not exist,
+    * or schema inference finds no data files (an all-absorbed live dir
+    * holding just `_SUCCESS` — Spark raises `AnalysisException` there).
+    * Anything else — a corrupt footer, a permission error, a transient
+    * FS/object-store failure on a COMMITTED base dir — propagates:
+    * swallowing it would silently serve empty ledger state (a crawl
+    * seen-set that re-admits everything, a heavy-hitters fold that
+    * undercounts), which is a correctness loss, not a robustness win. */
   private def tryRead(spark: SparkSession, path: String): Option[DataFrame] =
     if (!exists(spark, path)) None
-    else scala.util.Try(spark.read.parquet(path)).toOption // all-absorbed dir: only _SUCCESS left
+    else
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** base ∪ live partitions with `horizon ≤ batch < belowBatch`; `empty`
     * when neither exists. Base rows surface with `batch = -1` so callers
@@ -118,7 +141,11 @@ object BatchLedger {
       val n = st.getPath.getName
       if (n.startsWith("batch=")) {
         val b = scala.util.Try(n.stripPrefix("batch=").toLong).getOrElse(Long.MaxValue)
-        if (b >= horizon && b < belowBatch) fs.delete(st.getPath, true)
+        // anything under the NEW horizon is by definition absorbed (this
+        // compaction) or stale (below the old horizon — left by a prior
+        // crash-after-commit, invisible to readers but otherwise
+        // accumulating forever); sweep it all
+        if (b < belowBatch) fs.delete(st.getPath, true)
       }
     }
     val (bfs, baseP) = hadoopFs(spark, s"$rootDir/base/$sub")

@@ -199,6 +199,54 @@ class OperatorsSpec extends SparkSpec {
       "post-compaction appends land beside the base")
   }
 
+  test("prefixIndexBuild: rebuild after append and after compact serves only the rebuilt corpus") {
+    def gen(ids: Range, off: Long, vocab: Int) = ids.map { i =>
+      val n = 3 + i % 10
+      (off + i, (0 until n).map(j => s"w${(i * (j + 1) + i / 7) % vocab}").distinct)
+    }
+    val corpus = gen(0 until 30, 0L, 26)
+    val b1 = gen(30 until 40, 100L, 30)
+    val b2 = gen(40 until 50, 200L, 26)
+    val dir = tmpDir("graft-ppidx-rebuild")
+    val theta = 600
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def storedSids = graft.streaming.BatchLedger.read(spark, dir, "sets",
+      "ppidx.sets.base", None, empty = spark.emptyDataFrame)
+      .select("sid").collect().map(_.getLong(0)).toSeq
+    // rebuild-after-append: the pre-rebuild batch partitions must not
+    // survive as duplicates under the session-global dynamic overwrite
+    Dedup.prefixIndexBuild(corpus.toDF("id", "toks"), "id", "toks", theta, dir)
+    Dedup.prefixIndexAppend(b1.toDF("id", "toks"), "id", "toks", dir, batchId = 0L)
+    val rebuilt1 = corpus ++ b1
+    Dedup.prefixIndexBuild(rebuilt1.toDF("id", "toks"), "id", "toks", theta, dir)
+    assert(storedSids.sorted == rebuilt1.map(_._1).sorted,
+      "after rebuild the stored sets are exactly the rebuilt corpus, no stale batch rows")
+    val p2 = pairs(Dedup.incrementalPrefixPairs(b2.toDF("id", "toks"), "id", "toks", dir))
+    val oneShot1 = pairs(Dedup.prefixFilterPairs(rebuilt1.toDF("id", "toks"), "id", "toks", theta))
+    val oneShotAll = pairs(Dedup.prefixFilterPairs(
+      (rebuilt1 ++ b2).toDF("id", "toks"), "id", "toks", theta))
+    assert(oneShot1 ++ p2 == oneShotAll, "probe against the rebuilt index tiles the one-shot set")
+    // rebuild-after-compact: the committed pointer must not keep
+    // resolving the old base (which would exclude the rebuilt batch=-1
+    // rows behind a horizon > -1)
+    Dedup.prefixIndexAppend(b2.toDF("id", "toks"), "id", "toks", dir, batchId = 1L)
+    Dedup.prefixIndexCompact(spark, dir, belowBatch = 2L)
+    assert(graft.streaming.BatchLedger.pointer(dir, "ppidx.sets.base").isDefined)
+    val rebuilt2 = corpus ++ b2 // b1 dropped: rebuild also FORGETS
+    Dedup.prefixIndexBuild(rebuilt2.toDF("id", "toks"), "id", "toks", theta, dir)
+    assert(graft.streaming.BatchLedger.pointer(dir, "ppidx.sets.base").isEmpty,
+      "rebuild must clear the compaction pointer")
+    assert(storedSids.sorted == rebuilt2.map(_._1).sorted,
+      "after rebuild-over-compaction the stored sets are exactly the rebuilt corpus")
+    val p1 = pairs(Dedup.incrementalPrefixPairs(b1.toDF("id", "toks"), "id", "toks", dir))
+    val oneShot2 = pairs(Dedup.prefixFilterPairs(rebuilt2.toDF("id", "toks"), "id", "toks", theta))
+    val oneShotAll2 = pairs(Dedup.prefixFilterPairs(
+      (rebuilt2 ++ b1).toDF("id", "toks"), "id", "toks", theta))
+    assert(oneShot2 ++ p1 == oneShotAll2,
+      "probe against the post-compaction rebuild tiles the one-shot set")
+  }
+
   test("htmlAnchors: target/text pairs align; non-anchors and nested markup excluded") {
     val html = """<p><a href="https://a.org/1">first</a> filler
       |<img src="https://img.org/x.png">

@@ -55,11 +55,14 @@ object Robots {
     * `User-agent` lines share one group; a `User-agent` line AFTER a
     * rule line starts a new group; empty-valued Allow/Disallow lines
     * are no-ops for matching (RFC 9309 §2.2.2) but still close the
-    * group. `Crawl-delay` attaches to the CURRENT agent group without
-    * disturbing group state (same no-effect contract the rule parser
-    * always had, so the two extractions agree on group boundaries);
-    * `Sitemap` is file-global per the sitemaps protocol. Agent names
-    * compare case-insensitively. */
+    * group. `Crawl-delay` attaches to the CURRENT agent group and —
+    * like every other non-`User-agent` line inside a group — CLOSES it
+    * (RFC 9309 §2.2.1: a start-group line after any rule line starts a
+    * new group), so the delay and path-rule extractions agree on group
+    * boundaries: in `User-agent: a / Crawl-delay: 1 / User-agent: b /
+    * Disallow: /x` the delay belongs to `a` alone and the Disallow to
+    * `b` alone. `Sitemap` is file-global per the sitemaps protocol.
+    * Agent names compare case-insensitively. */
   def parseAll(txt: String): Directives = {
     val rules = Seq.newBuilder[Rule]
     val delays = Seq.newBuilder[(String, Long)]
@@ -87,6 +90,7 @@ object Robots {
           case "crawl-delay" =>
             if (agents.nonEmpty)
               delayMs(value).foreach(ms => agents.foreach(a => delays += (a -> ms)))
+            lastWasRule = true
           case "sitemap" =>
             if (value.nonEmpty) sitemaps += value
           case _ => () // unknown fields: no group effect
@@ -156,28 +160,20 @@ object Robots {
         coalesce(col("_exact"), col("_star"), lit(defaultMs)).as("delay_ms"))
   }
 
-  /** Compile one RFC 9309 path pattern to the Java regex that decides
-    * whether a path matches it: regex metacharacters escape to
-    * literals, `*` becomes `.*`, and a TRAILING `$` (the only position
-    * where RFC 9309 gives it meaning) becomes the end anchor. Always
-    * start-anchored — a wildcard-free pattern is exactly startsWith. */
-  private[operators] def patternRegex(pattern: org.apache.spark.sql.Column) = {
-    val anchored = pattern.endsWith("$")
-    val body = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
-      .otherwise(pattern)
-    val escaped = regexp_replace(body, "[.^$+?()\\[\\]{}|\\\\]", "\\\\$0")
-    concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
-      when(anchored, lit("$")).otherwise(lit("")))
-  }
-
   /** Evaluate `urls` (domain, path + carried columns) against `rules`
     * (domain, agent, allow, prefix) for one crawler identity: per
     * domain the group is the exact agent match when present, else the
     * `*` group; per URL the verdict is the longest matching pattern
-    * (raw octet length, wildcards interpreted) with Allow winning
-    * ties, default allowed. Output: the input columns plus `allowed`.
-    * The per-pair regex match is confined to the tiny selected-rules
-    * side of the join — URL bytes never re-shuffle for it. */
+    * (RFC 9309 octet length — `octet_length`, so multi-byte patterns
+    * rank by their wire size, not their char count — wildcards
+    * interpreted) with Allow winning ties, default allowed. Output:
+    * the input columns plus `allowed`. The per-pair pattern match is
+    * [[graft.expressions.RobotsMatchExpr]] — a linear greedy segment
+    * walk, NOT a compiled regex: patterns are untrusted robots.txt
+    * content, and `*`→`.*` regexes backtrack explosively on hostile
+    * star runs like `*a*a*a*a` after a slash (one domain's file
+    * slowing the whole join). The match is confined to the tiny selected-rules side of
+    * the join — URL bytes never re-shuffle for it. */
   def evaluate(urls: DataFrame, rules: DataFrame, agent: String,
                domainCol: String = "domain", pathCol: String = "path"): DataFrame = {
     val a = agent.toLowerCase
@@ -187,12 +183,13 @@ object Robots {
     val selected = rules
       .join(groupOf, rules("domain") === col("_gd") && rules("agent") === col("_use"))
       .select(rules("domain").as("_rd"), col("allow").as("_allow"),
-        length(col("prefix")).as("_plen"), patternRegex(col("prefix")).as("_pre"))
+        octet_length(col("prefix")).as("_plen"), col("prefix").as("_pre"))
     val rank = when(col("_allow"), col("_plen") * 2 + 1).otherwise(col("_plen") * 2)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val matches = Bridge.column(graft.expressions.RobotsMatchExpr(
+      Bridge.expression(urls(pathCol)), Bridge.expression(col("_pre"))))
     urls
-      .join(selected,
-        urls(domainCol) === col("_rd") && regexp_like(urls(pathCol), col("_pre")),
-        "left_outer")
+      .join(selected, urls(domainCol) === col("_rd") && matches, "left_outer")
       .groupBy(urls.columns.map(urls(_)): _*)
       .agg(max(rank).as("_best"))
       .withColumn("allowed", col("_best").isNull || col("_best") % 2 === 1)

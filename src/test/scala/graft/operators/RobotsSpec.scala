@@ -18,14 +18,14 @@ class RobotsSpec extends SparkSpec {
         "ALLOW: /private/ok\n" +
         "Disallow:\n" +              // empty value: no-op rule, closes group
         "User-agent: *\r" +          // after rules: NEW group, not appended
-        "Crawl-delay: 10\n" +        // directive: captured, no group effect
+        "Crawl-delay: 10\n" +        // directive: captured, closes the group
         "Disallow: /tmp\n" +
         "Sitemap: https://x.org/s.xml\n" +
         "notacolonline\n" +
         "Allow: /tmp/keep\n"
     val all = Robots.parseAll(txt)
     assert(all.delays == Seq("*" -> 10000L),
-      "Crawl-delay attaches to the current group without closing it")
+      "Crawl-delay attaches to the current group")
     assert(all.sitemaps == Seq("https://x.org/s.xml"), "Sitemap is file-global")
     val rules = Robots.parse(txt)
     assert(rules.toSet == Set(
@@ -93,6 +93,18 @@ class RobotsSpec extends SparkSpec {
     assert(got == Map("d1" -> 3000L, "d2" -> 2000L))
   }
 
+  test("Crawl-delay closes its group: delay and rule extraction agree on boundaries") {
+    // Without the group-close, the second User-agent line would MERGE
+    // into the first group for path rules (both a and b sharing the
+    // Disallow) while the delay was recorded for a alone — the two
+    // extractions disagreeing about where the group ends.
+    val all = Robots.parseAll(
+      "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n")
+    assert(all.delays == Seq("a" -> 1000L), "the delay belongs to a alone")
+    assert(all.rules == Seq(Robots.Rule("b", false, "/x")),
+      "the Disallow belongs to b alone — a's group closed at the Crawl-delay")
+  }
+
   test("evaluate: RFC 9309 wildcards — '*' runs, trailing '$' anchor, metachar escape") {
     val rules = Seq(
       ("w.org", "*", false, "/*.php"),     // any .php anywhere under /
@@ -127,5 +139,34 @@ class RobotsSpec extends SparkSpec {
       ("y.org", "/aab(c)") -> true,
       ("z.org", "/fishheads/sea.php") -> false,
       ("z.org", "/fish.php?p=1") -> true))
+  }
+
+  test("evaluate: precedence ranks by RFC 9309 octet length; hostile star runs stay linear") {
+    // "/ωω" is 3 chars but 5 octets; "*ta" is 3 chars and 3 octets. On
+    // a path matching both, char-length ranking ties (Allow would win);
+    // octet ranking puts the Disallow first — the RFC's rule.
+    val rules = Seq(
+      ("m.org", "*", false, "/ωω"),
+      ("m.org", "*", true, "*ta"),
+      // the backtracking bomb the regex compile choked on: many stars
+      // against a long non-matching path — the greedy walk is one pass
+      ("h.org", "*", false, "/*a*a*a*a*a*a*a*a*a*a*a*ZZZ")
+    ).toDF("domain", "agent", "allow", "prefix")
+    val longMiss = "/" + ("ab" * 4000) // never reaches ZZZ
+    val urls = Seq(
+      ("m.org", "/ωωta"),
+      ("h.org", longMiss),
+      ("h.org", "/" + ("xa" * 11) + "ZZZ")
+    ).toDF("domain", "path")
+    val t0 = System.nanoTime()
+    val got = Robots.evaluate(urls, rules, "anybot")
+      .select("domain", "path", "allowed").as[(String, String, Boolean)]
+      .collect().map { case (d, p, al) => (d, p) -> al }.toMap
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(got == Map(
+      ("m.org", "/ωωta") -> false,
+      ("h.org", longMiss) -> true,
+      ("h.org", "/" + ("xa" * 11) + "ZZZ") -> false))
+    assert(elapsedMs < 30000L, s"hostile pattern must not explode (took ${elapsedMs}ms)")
   }
 }

@@ -11,13 +11,35 @@ package graft.codec
   * the charsets that dominate web corpora):
   *   1. BOM — `EF BB BF` ⇒ utf-8, `FF FE` ⇒ utf-16le, `FE FF` ⇒
   *      utf-16be (the BOM strips; it is a signature, not content);
-  *   2. `<meta … charset=…>` in the first 1024 bytes, read through the
-  *      ASCII-compatible latin-1 lens (alias table below);
+  *   2. a DECLARED label — transport `Content-Type` hint, else
+  *      `<meta … charset=…>` in the first 1024 bytes read through the
+  *      ASCII-compatible latin-1 lens. A label the alias table
+  *      recognizes wins; a label it does NOT recognize is the
+  *      `unknown` verdict (quarantine route) — NOT a silent fall
+  *      through to the Latin heuristic, which is exactly how legacy
+  *      CJK pages used to decode as windows-1252 soup;
   *   3. strict UTF-8 validation of the whole payload (RFC 3629 ranges:
   *      no overlongs, no surrogates, max U+10FFFF) ⇒ utf-8;
-  *   4. else single-byte: any byte in 0x80-0x9F (C1 controls no text
-  *      uses, but windows-1252's printable block) ⇒ windows-1252,
-  *      otherwise iso-8859-1.
+  *   4. else single-byte vs multi-byte triage: when ≥ 25% of the bytes
+  *      are high (0x80-0xFF) on a payload of at least 16 bytes, the
+  *      page cannot plausibly be Latin text (accents run a few
+  *      percent; double-byte CJK runs ≥ 50%) and WHICH double-byte
+  *      charset it is cannot be told apart reliably from bare bytes —
+  *      `unknown`, quarantine. Below the density bar (or too short
+  *      for density to be a statistic): any byte in 0x80-0x9F (C1
+  *      controls no text uses, but windows-1252's printable block) ⇒
+  *      windows-1252, otherwise iso-8859-1.
+  *
+  * Legacy CJK — shift_jis (JDK windows-31j, the MS932 superset real
+  * pages use, per WHATWG), gbk (superset of gb2312), euc-kr, big5,
+  * euc-jp — decode through the JDK's charset tables under a STRICT
+  * decoder (malformed/unmappable ⇒ REPORT): a declared-CJK payload
+  * whose bytes do not validate yields the `unknown` verdict rather
+  * than replacement-character soup, because unlike the single-byte
+  * charsets there is no total deterministic byte→char story to fall
+  * back on. `unknown` pages keep their raw bytes and an empty text —
+  * the quarantine contract ([[graft.sources.TextSources.writeQuarantine]]
+  * is the sink shape).
   *
   * The windows-1252 high block is the fixed 32-entry literal table from
   * the Unicode mapping file (CP1252.TXT); the five undefined cells pass
@@ -73,8 +95,22 @@ object CharsetCodec {
     true
   }
 
+  /** Canonical label → JDK charset name for the legacy CJK family.
+    * shift_jis resolves to windows-31j (MS932): real shift_jis pages
+    * use the Microsoft superset (wave dash, circled digits, NEC rows),
+    * which is also the mapping WHATWG assigns the label family. */
+  private[codec] val CjkJdk: Map[String, String] = Map(
+    "shift_jis" -> "windows-31j",
+    "gbk"       -> "GBK",
+    "euc-kr"    -> "EUC-KR",
+    "big5"      -> "Big5",
+    "euc-jp"    -> "EUC-JP")
+
   /** Normalize a declared charset label to one of the supported
-    * canonical names; None ⇒ unknown (fall through to the heuristic). */
+    * canonical names; None ⇒ unrecognized (the caller decides between
+    * the heuristic — no label at all — and the `unknown` verdict — a
+    * label nothing here understands). CJK alias rows follow the WHATWG
+    * encoding-label registry. */
   private[codec] def normalizeLabel(raw: String): Option[String] =
     raw.trim.toLowerCase.stripPrefix("\"").stripSuffix("\"") match {
       case "utf-8" | "utf8"                                       => Some("utf-8")
@@ -83,40 +119,84 @@ object CharsetCodec {
       case "windows-1252" | "cp1252" | "cp-1252" | "x-cp1252"     => Some("windows-1252")
       case "utf-16" | "utf-16le" | "utf16"                        => Some("utf-16le")
       case "utf-16be"                                             => Some("utf-16be")
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms_kanji" |
+           "ms932" | "cp932" | "windows-31j" | "csshiftjis"       => Some("shift_jis")
+      case "gbk" | "gb2312" | "gb_2312" | "gb-2312" | "gb_2312-80" |
+           "x-gbk" | "chinese" | "csgb2312" | "csiso58gb231280" |
+           "iso-ir-58"                                            => Some("gbk")
+      case "euc-kr" | "euckr" | "korean" | "ksc_5601" | "ksc5601" |
+           "ks_c_5601-1987" | "ks_c_5601-1989" | "csksc56011987" |
+           "cseuckr"                                              => Some("euc-kr")
+      case "big5" | "big-5" | "x-x-big5" | "cn-big5" | "csbig5"   => Some("big5")
+      case "euc-jp" | "eucjp" | "x-euc-jp" |
+           "cseucpkdfmtjapanese"                                  => Some("euc-jp")
       case _                                                      => None
     }
 
   private val MetaCharset =
     "(?is)<meta[^>]{0,512}?charset\\s*=\\s*['\"]?\\s*([a-z0-9_:\\-]+)".r
 
-  /** Declared charset from a `<meta charset=…>` / `<meta http-equiv
+  /** RAW declared charset from a `<meta charset=…>` / `<meta http-equiv
     * content="…; charset=…">` in the first 1024 bytes (both spellings
-    * end in `charset=`, one pattern covers them). */
-  private[codec] def metaLabel(b: Array[Byte]): Option[String] = {
+    * end in `charset=`, one pattern covers them) — unnormalized, so the
+    * sniff can tell "no declaration" from "a declaration nothing here
+    * understands". */
+  private[codec] def metaLabelRaw(b: Array[Byte]): Option[String] = {
     val head = new String(b, 0, math.min(b.length, 1024), "ISO-8859-1")
-    MetaCharset.findFirstMatchIn(head).flatMap(m => normalizeLabel(m.group(1)))
+    MetaCharset.findFirstMatchIn(head).map(_.group(1))
   }
+
+  /** Normalized meta declaration (None = absent or unrecognized). */
+  private[codec] def metaLabel(b: Array[Byte]): Option[String] =
+    metaLabelRaw(b).flatMap(normalizeLabel)
 
   private val CtCharset = "(?i)charset\\s*=\\s*['\"]?\\s*([a-z0-9_:\\-]+)".r
 
   /** The charset parameter of an HTTP `Content-Type` header value
     * (`text/html; charset=windows-1252`), normalized — the
     * TRANSPORT-layer declaration, which WHATWG ranks above the in-body
-    * meta tag but below a BOM. */
+    * meta tag but below a BOM. None = absent OR unrecognized; callers
+    * that must route unrecognized declarations to the `unknown`
+    * verdict pass [[contentTypeLabelRaw]] as the sniff hint instead. */
   def contentTypeLabel(contentType: String): Option[String] =
-    CtCharset.findFirstMatchIn(contentType).flatMap(m => normalizeLabel(m.group(1)))
+    contentTypeLabelRaw(contentType).flatMap(normalizeLabel)
+
+  /** The raw charset parameter, unnormalized (None = absent). */
+  def contentTypeLabelRaw(contentType: String): Option[String] =
+    CtCharset.findFirstMatchIn(contentType).map(_.group(1))
 
   /** Detected charset label for a payload (sniff only, no decode).
-    * `hint` is a transport-layer declaration (already normalized, e.g.
-    * via [[contentTypeLabel]]): BOM > hint > meta > heuristic. */
+    * `hint` is a transport-layer declaration — raw or already
+    * canonical, both normalize here: BOM > hint > meta > heuristic.
+    * Verdicts beyond the decodable labels: a DECLARED label the alias
+    * table does not recognize is honored as "we cannot decode this" —
+    * `unknown` — unless the bytes independently validate as strict
+    * UTF-8 (garbage labels on genuine UTF-8 pages are common; the
+    * validation, not the label, earns the utf-8 verdict). With no
+    * declaration at all, a non-UTF-8 payload whose high-byte density
+    * reaches 25% is multi-byte legacy text of SOME kind (Latin accents
+    * run a few percent) that bare bytes cannot attribute to one CJK
+    * charset — `unknown` — while sparse high bytes take the
+    * windows-1252 / latin-1 split as before. */
   def sniff(b: Array[Byte], hint: Option[String] = None): String =
     if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte) "utf-8"
     else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) "utf-16le"
     else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) "utf-16be"
-    else hint.orElse(metaLabel(b)).getOrElse {
-      if (isValidUtf8(b)) "utf-8"
-      else if (b.exists(x => (x & 0xFF) >= 0x80 && (x & 0xFF) <= 0x9F)) "windows-1252"
-      else "iso-8859-1"
+    else hint.orElse(metaLabelRaw(b)) match {
+      case Some(raw) => normalizeLabel(raw).getOrElse(
+        if (isValidUtf8(b)) "utf-8" else "unknown")
+      case None =>
+        if (isValidUtf8(b)) "utf-8"
+        else {
+          // density triage needs enough bytes to be a statistic — under
+          // 16 the Latin split is the only defensible guess
+          var hi = 0
+          var i = 0
+          while (i < b.length) { if ((b(i) & 0xFF) >= 0x80) hi += 1; i += 1 }
+          if (b.length >= 16 && 4L * hi >= b.length) "unknown"
+          else if (b.exists(x => (x & 0xFF) >= 0x80 && (x & 0xFF) <= 0x9F)) "windows-1252"
+          else "iso-8859-1"
+        }
     }
 
   private def decodeSingleByte(b: Array[Byte], cp1252: Boolean): String = {
@@ -131,14 +211,36 @@ object CharsetCodec {
     sb.toString
   }
 
+  /** Strict JDK decode for a CJK label: None when any byte sequence is
+    * malformed or unmappable (REPORT, not REPLACE) — the validation
+    * step that turns a wrong CJK declaration into the `unknown`
+    * verdict instead of replacement-character soup. Decoders are
+    * per-call: `CharsetDecoder` is stateful and not thread-safe. */
+  private def strictCjkDecode(b: Array[Byte], canonical: String): Option[String] = {
+    val dec = java.nio.charset.Charset.forName(CjkJdk(canonical)).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
   /** Sniff + decode: (canonical charset label, text). A BOM strips; a
     * declared-but-wrong utf-8 decodes with U+FFFD replacement (the
     * declaration wins, as in browsers — a heuristic override would make
-    * the gate non-deterministic across payload truncations). `hint` is
-    * the transport-layer declaration (see [[sniff]]). */
+    * the gate non-deterministic across payload truncations). A
+    * declared-CJK payload decodes STRICTLY: bytes that fail the JDK
+    * table's validation yield `("unknown", "")` — the quarantine
+    * verdict — because no deterministic fallback exists for a broken
+    * double-byte stream. `("unknown", "")` is also the verdict for
+    * unrecognized-label and dense-high-byte unlabeled payloads (see
+    * [[sniff]]); callers keep the raw bytes for the quarantine sink.
+    * `hint` is the transport-layer declaration (see [[sniff]]). */
   def decode(b: Array[Byte], hint: Option[String] = None): (String, String) = {
     val cs = sniff(b, hint)
-    (cs, decodeAs(b, cs))
+    if (cs == "unknown") ("unknown", "")
+    else if (CjkJdk.contains(cs))
+      strictCjkDecode(b, cs).map((cs, _)).getOrElse(("unknown", ""))
+    else (cs, decodeAs(b, cs))
   }
 
   /** Decode under a FORCED label (no sniff) — the piece [[decode]]
@@ -157,6 +259,10 @@ object CharsetCodec {
       val skip = if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) 2 else 0
       new String(b, skip, b.length - skip, "UTF-16BE")
     case "windows-1252" => decodeSingleByte(b, cp1252 = true)
+    case cjk if CjkJdk.contains(cjk) =>
+      // FORCED decode is total: U+FFFD replacement (the sniffing
+      // [[decode]] quarantines invalid CJK instead of calling this)
+      new String(b, java.nio.charset.Charset.forName(CjkJdk(cjk)))
     case _              => decodeSingleByte(b, cp1252 = false)
   }
 
@@ -213,6 +319,19 @@ object CharsetCodec {
         else Cp1252Rev.getOrElse(c,
           throw new IllegalArgumentException(f"U+${c.toInt}%04X not in windows-1252"))
       }.toArray
+    case cjk if CjkJdk.contains(cjk) =>
+      val enc = java.nio.charset.Charset.forName(CjkJdk(cjk)).newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try {
+        val bb = enc.encode(java.nio.CharBuffer.wrap(s))
+        val out = new Array[Byte](bb.remaining())
+        bb.get(out)
+        out
+      } catch {
+        case e: java.nio.charset.CharacterCodingException =>
+          throw new IllegalArgumentException(s"text not encodable in $cjk", e)
+      }
     case other => throw new IllegalArgumentException(s"unsupported charset: $other")
   }
 }

@@ -803,28 +803,39 @@ object WebQueries {
     },
     // ── Charset front gate — the decode stage between raw HTTP payload
     //    bytes and every text operator: per doc the fixture ENCODES a
-    //    known string into one of four charsets chosen by doc_id % 4
+    //    known string into one of eight shapes chosen by doc_id % 8
     //    (plain utf-8, BOM'd utf-16le, heuristic-detected windows-1252
-    //    via its 0x80-0x9F block, meta-declared iso-8859-1), and the
-    //    engine's sniff (BOM > meta > strict UTF-8 validity > C1
-    //    heuristic) + decode must recover BOTH the label and the exact
-    //    text. Seed-arithmetic doctrine: the oracle never touches
-    //    bytes — it rebuilds the expected decoded string per doc and
-    //    hashes it, so one mis-decoded byte anywhere (a cp1252 table
-    //    cell, a BOM not stripped, a meta alias missed) breaks that
-    //    row's hash. ──
+    //    via its 0x80-0x9F block, meta-declared iso-8859-1, and the
+    //    legacy-CJK family: meta-declared shift_jis / gb2312 / euc-kr,
+    //    plus UNLABELED big5 bytes whose high-byte density routes them
+    //    to the `unknown` quarantine verdict — empty text, the raw
+    //    bytes kept for the quarantine sink). The engine's sniff (BOM >
+    //    declared label — with unrecognized labels and dense unlabeled
+    //    multi-byte payloads quarantining — > strict UTF-8 validity >
+    //    C1 heuristic) + strict decode must recover BOTH the label and
+    //    the exact text. Seed-arithmetic doctrine: the oracle never
+    //    touches bytes — it rebuilds the expected decoded string per
+    //    doc and hashes it, so one mis-decoded byte anywhere (a cp1252
+    //    table cell, a BOM not stripped, a meta alias missed, a CJK
+    //    table divergence) breaks that row's hash. ──
     QueryDef.sql(
       "web_charset_decode",
       """SELECT doc_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
-        |    WHEN 2 THEN 'windows-1252' ELSE 'iso-8859-1' END AS charset,
+        |  CASE doc_id % 8 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'iso-8859-1'
+        |    WHEN 4 THEN 'shift_jis' WHEN 5 THEN 'gbk' WHEN 6 THEN 'euc-kr'
+        |    ELSE 'unknown' END AS charset,
         |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5
         |FROM (SELECT doc_id,
-        |  CASE doc_id % 4
+        |  CASE doc_id % 8
         |    WHEN 0 THEN 'Doc ' || doc_id || ' café déjà — €ok'
         |    WHEN 1 THEN 'Doc ' || doc_id || ' unicode ∑ check ✓'
         |    WHEN 2 THEN 'Doc ' || doc_id || ' price €9 – “quoted”'
-        |    ELSE '<meta charset="iso-8859-1">Doc ' || doc_id || ' résumé ñandú'
+        |    WHEN 3 THEN '<meta charset="iso-8859-1">Doc ' || doc_id || ' résumé ñandú'
+        |    WHEN 4 THEN '<meta charset=shift_jis>Doc ' || doc_id || ' 日本語テスト'
+        |    WHEN 5 THEN '<meta charset=gb2312>Doc ' || doc_id || ' 中文测试文档'
+        |    WHEN 6 THEN '<meta charset=euc-kr>Doc ' || doc_id || ' 한국어문서'
+        |    ELSE ''
         |  END AS t FROM documents)
         |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
@@ -832,11 +843,17 @@ object WebQueries {
         val payloads = Tables.documents(s, d)
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
-            val (cs, text) = (id % 4) match {
+            val (cs, text) = (id % 8) match {
               case 0 => ("utf-8", s"Doc $id café déjà — €ok")
               case 1 => ("utf-16le", s"Doc $id unicode ∑ check ✓")
               case 2 => ("windows-1252", s"Doc $id price €9 – “quoted”")
-              case _ => ("iso-8859-1", s"""<meta charset="iso-8859-1">Doc $id résumé ñandú""")
+              case 3 => ("iso-8859-1", s"""<meta charset="iso-8859-1">Doc $id résumé ñandú""")
+              case 4 => ("shift_jis", s"<meta charset=shift_jis>Doc $id 日本語テスト")
+              case 5 => ("gbk", s"<meta charset=gb2312>Doc $id 中文测试文档")
+              case 6 => ("euc-kr", s"<meta charset=euc-kr>Doc $id 한국어문서")
+              // UNLABELED big5: the gate cannot and must not guess the
+              // charset — density triage sends it to quarantine
+              case _ => ("big5", s"Doc $id 繁體中文測試文件編碼處理")
             }
             (id, graft.codec.CharsetCodec.encode(text, cs))
           })
@@ -849,37 +866,54 @@ object WebQueries {
     },
 
     // ── Corpus charset PROFILE — the mix statistic that motivates the
-    //    gate (real crawls run 15-25% legacy): per detected charset,
-    //    page count, wire-byte mass, and the normalized-utf-8 byte mass
-    //    the archive becomes — rolled up from the same four-way fixture
-    //    by one partial-agg groupBy (5 output rows at any corpus size).
-    //    Wire sizes are charset geometry the oracle replays. ──
+    //    gate (real crawls run 15-25% legacy, ~10-15% of it CJK): per
+    //    detected charset, page count, wire-byte mass, and the
+    //    normalized-utf-8 byte mass the archive becomes — rolled up
+    //    from the same eight-way fixture by one partial-agg groupBy
+    //    (8 output rows at any corpus size, including the quarantined
+    //    `unknown` bucket whose utf-8 mass is zero by construction).
+    //    Wire sizes are charset geometry the oracle replays: 2 bytes
+    //    per CJK char in the double-byte charsets, so wire =
+    //    char-length + CJK-char-count. ──
     QueryDef.sql(
       "web_charset_profile",
-      """WITH t AS (SELECT doc_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
-        |    WHEN 2 THEN 'windows-1252' ELSE 'iso-8859-1' END AS charset,
-        |  CASE doc_id % 4
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS m,
+        |  CASE doc_id % 8 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'iso-8859-1'
+        |    WHEN 4 THEN 'shift_jis' WHEN 5 THEN 'gbk' WHEN 6 THEN 'euc-kr'
+        |    ELSE 'unknown' END AS charset,
+        |  CASE doc_id % 8
         |    WHEN 0 THEN 'Doc ' || doc_id || ' café déjà — €ok'
         |    WHEN 1 THEN 'Doc ' || doc_id || ' unicode ∑ check ✓'
         |    WHEN 2 THEN 'Doc ' || doc_id || ' price €9 – “quoted”'
-        |    ELSE '<meta charset="iso-8859-1">Doc ' || doc_id || ' résumé ñandú'
+        |    WHEN 3 THEN '<meta charset="iso-8859-1">Doc ' || doc_id || ' résumé ñandú'
+        |    WHEN 4 THEN '<meta charset=shift_jis>Doc ' || doc_id || ' 日本語テスト'
+        |    WHEN 5 THEN '<meta charset=gb2312>Doc ' || doc_id || ' 中文测试文档'
+        |    WHEN 6 THEN '<meta charset=euc-kr>Doc ' || doc_id || ' 한국어문서'
+        |    ELSE 'Doc ' || doc_id || ' 繁體中文測試文件編碼處理'
         |  END AS txt FROM documents)
         |SELECT charset, CAST(count(*) AS BIGINT) AS n_pages,
-        |  CAST(sum(CASE doc_id % 4 WHEN 0 THEN strlen(txt)
-        |    WHEN 1 THEN 2 + 2 * length(txt) ELSE length(txt) END) AS BIGINT) AS wire_bytes,
-        |  CAST(sum(strlen(txt)) AS BIGINT) AS utf8_bytes
+        |  CAST(sum(CASE m WHEN 0 THEN strlen(txt)
+        |    WHEN 1 THEN 2 + 2 * length(txt)
+        |    WHEN 4 THEN length(txt) + 6 WHEN 5 THEN length(txt) + 6
+        |    WHEN 6 THEN length(txt) + 5 WHEN 7 THEN length(txt) + 12
+        |    ELSE length(txt) END) AS BIGINT) AS wire_bytes,
+        |  CAST(sum(CASE WHEN m = 7 THEN 0 ELSE strlen(txt) END) AS BIGINT) AS utf8_bytes
         |FROM t GROUP BY charset ORDER BY charset""".stripMargin) {
       (s, d) =>
         import s.implicits._
         val payloads = Tables.documents(s, d)
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
-            val (cs, text) = (id % 4) match {
+            val (cs, text) = (id % 8) match {
               case 0 => ("utf-8", s"Doc $id café déjà — €ok")
               case 1 => ("utf-16le", s"Doc $id unicode ∑ check ✓")
               case 2 => ("windows-1252", s"Doc $id price €9 – “quoted”")
-              case _ => ("iso-8859-1", s"""<meta charset="iso-8859-1">Doc $id résumé ñandú""")
+              case 3 => ("iso-8859-1", s"""<meta charset="iso-8859-1">Doc $id résumé ñandú""")
+              case 4 => ("shift_jis", s"<meta charset=shift_jis>Doc $id 日本語テスト")
+              case 5 => ("gbk", s"<meta charset=gb2312>Doc $id 中文测试文档")
+              case 6 => ("euc-kr", s"<meta charset=euc-kr>Doc $id 한국어문서")
+              case _ => ("big5", s"Doc $id 繁體中文測試文件編碼處理")
             }
             (id, graft.codec.CharsetCodec.encode(text, cs))
           })

@@ -64,4 +64,19 @@ object TextSources {
     * audit trail survives the job. */
   def writeQuarantine(corrupt: DataFrame, dir: String): Unit =
     corrupt.select(col("line")).write.mode("overwrite").text(dir)
+
+  /** Binary-payload quarantine — the charset gate's `unknown` verdict
+    * sink ([[graft.codec.CharsetCodec.decode]]: unrecognized label,
+    * dense unlabeled multi-byte bytes, or a declared-CJK payload that
+    * fails strict validation). The RAW bytes persist with their id so
+    * a later decode pass (a new charset table, a better detector) can
+    * re-enter them; parquet, not text, because the payloads are by
+    * definition not text yet. Splits the decoded frame on the verdict
+    * column: (clean rows, quarantined raw rows written to `dir`). */
+  def splitCharsetQuarantine(decoded: DataFrame, dir: String,
+                             charsetCol: String = "charset"): DataFrame = {
+    decoded.filter(col(charsetCol) === "unknown")
+      .write.mode("overwrite").parquet(dir)
+    decoded.filter(col(charsetCol) =!= "unknown")
+  }
 }

@@ -117,6 +117,54 @@ class CharsetCodecSpec extends SparkSpec {
     assert(CharsetCodec.fixMojibake(once) == ("café", true))
   }
 
+  test("CJK legacy charsets: labeled round trips, density quarantine, strict validation") {
+    val samples = Seq(
+      "shift_jis" -> "日本語のテスト文書です。東京都渋谷区",
+      "gbk"       -> "中文测试文档汉字编码与处理",
+      "euc-kr"    -> "한국어 테스트 문서 인코딩",
+      "big5"      -> "繁體中文測試文件編碼",
+      "euc-jp"    -> "日本語のテキスト処理")
+    samples.foreach { case (cs, text) =>
+      val b = CharsetCodec.encode(text, cs)
+      // a transport hint (raw OR canonical spelling) decodes exactly
+      assert(CharsetCodec.decode(b, Some(cs)) == ((cs, text)), s"$cs hint")
+      // the old failure mode, pinned dead: unlabeled CJK bytes must
+      // NEVER take the windows-1252 / latin-1 labels — their high-byte
+      // density routes them to the unknown/quarantine verdict
+      val (sniffed, _) = CharsetCodec.decode(b)
+      assert(sniffed == "unknown",
+        s"unlabeled $cs bytes must quarantine, not decode as $sniffed")
+    }
+    // WHATWG label aliases normalize
+    assert(CharsetCodec.decode(CharsetCodec.encode("漢字", "shift_jis"),
+      Some("x-sjis"))._1 == "shift_jis")
+    assert(CharsetCodec.decode(CharsetCodec.encode("汉字", "gbk"),
+      Some("GB2312"))._1 == "gbk")
+    assert(CharsetCodec.decode(CharsetCodec.encode("한글", "euc-kr"),
+      Some("ks_c_5601-1987"))._1 == "euc-kr")
+    // a meta declaration carries the label too
+    val metaSjis = "<meta charset=shift_jis>日本語ページ"
+    val mb = CharsetCodec.encode(metaSjis, "shift_jis")
+    assert(CharsetCodec.decode(mb) == (("shift_jis", metaSjis)))
+    // a DECLARED CJK label whose bytes fail strict validation is the
+    // unknown verdict, not replacement-character soup
+    assert(CharsetCodec.decode(Array(0x82.toByte), Some("shift_jis")) ==
+      (("unknown", "")), "truncated lead byte")
+    val cp1252Bytes = CharsetCodec.encode("price €9 – “quoted” here", "windows-1252")
+    assert(CharsetCodec.decode(cp1252Bytes, Some("gbk"))._1 == "unknown",
+      "cp1252 text mislabeled gbk fails validation")
+    // an unrecognized label: utf-8 when the bytes independently
+    // validate (garbage labels on real utf-8 are common), else unknown
+    assert(CharsetCodec.decode("café utf-8 body text".getBytes("UTF-8"),
+      Some("koi8-r"))._1 == "utf-8")
+    assert(CharsetCodec.decode(cp1252Bytes, Some("koi8-r"))._1 == "unknown")
+    // forced decodeAs stays total (U+FFFD replacement)
+    val forced = CharsetCodec.decodeAs(Array(0x82.toByte), "shift_jis")
+    assert(forced == "�")
+    // unencodable text raises under the fixture doctrine
+    intercept[IllegalArgumentException] { CharsetCodec.encode("한글", "shift_jis") }
+  }
+
   test("encode round trips + unencodable raises") {
     val s1252 = "price €9 – “quoted” naïve"
     assert(CharsetCodec.decode(CharsetCodec.encode(s1252, "windows-1252")) ==

@@ -43,4 +43,24 @@ class TextSourcesSpec extends SparkSpec {
     val back = spark.read.text(qdir).collect().map(_.getString(0)).toSet
     assert(back == Set(",missing-key", "garbage-only-one-column-xyz,"))
   }
+
+  test("charset quarantine: unknown-verdict payloads persist raw, clean rows flow on") {
+    import graft.codec.CharsetCodec
+    val rows = Seq(
+      (1L, CharsetCodec.encode("clean utf-8 déjà", "utf-8")),
+      (2L, CharsetCodec.encode("日本語のテスト文書です。東京都渋谷区", "shift_jis")), // unlabeled → unknown
+      (3L, CharsetCodec.encode("price €9 here – fine", "windows-1252")))
+      .toDF("doc_id", "payload")
+    val decoded = graft.operators.TextOps.decodeCharset(rows, "payload")
+    val qdir = tmpDir("charset-quar")
+    val clean = TextSources.splitCharsetQuarantine(decoded, qdir)
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val quarantined = spark.read.parquet(qdir)
+    assert(quarantined.count() == 1)
+    val r = quarantined.head()
+    assert(r.getAs[Long]("doc_id") == 2L, "id rides along for re-entry")
+    assert(r.getAs[Array[Byte]]("payload").toSeq ==
+      CharsetCodec.encode("日本語のテスト文書です。東京都渋谷区", "shift_jis").toSeq,
+      "raw bytes survive byte-identical for a later decode pass")
+  }
 }

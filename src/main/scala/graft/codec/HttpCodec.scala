@@ -3,16 +3,27 @@ package graft.codec
 import java.io.ByteArrayOutputStream
 
 /** One parsed HTTP/1.x response: status code, headers in arrival order
-  * (names lower-cased), and the de-framed body bytes. `chunked` records
-  * whether the body arrived under `Transfer-Encoding: chunked`, and
-  * `nChunks` how many non-empty chunks carried it (0 for a
-  * Content-Length or close-delimited body). */
+  * (names lower-cased), and the de-framed, content-DECODED body bytes.
+  * `chunked` records whether the body arrived under `Transfer-Encoding:
+  * chunked`, and `nChunks` how many non-empty chunks carried it (0 for
+  * a Content-Length or close-delimited body). `contentCoding` is the
+  * `Content-Encoding` token that was applied — "identity" when none;
+  * "gzip"/"deflate" mean `body` holds the DECODED payload (real HTTP
+  * responses are overwhelmingly gzip-coded, and handing coded bytes to
+  * the charset gate would mojibake-classify every one); any OTHER
+  * token (br, compress, multi-coding lists) means `body` is still
+  * coded — callers route those to quarantine rather than decode text
+  * from compressed bytes. `wireBodyBytes` is the framed body size
+  * before content-decoding (== body.length under identity) — the
+  * wire-vs-decoded accounting the transcode queries report. */
 final case class HttpResponse(
     status: Int,
     headers: Seq[(String, String)],
     body: Array[Byte],
     chunked: Boolean,
-    nChunks: Int) {
+    nChunks: Int,
+    contentCoding: String = "identity",
+    wireBodyBytes: Int = -1) {
   def header(name: String): Option[String] = {
     val n = name.toLowerCase
     headers.collectFirst { case (k, v) if k == n => v }
@@ -93,10 +104,68 @@ object HttpCodec {
     out.toByteArray
   }
 
+  /** Undo one `Content-Encoding` layer on the framed body. gzip /
+    * x-gzip decode through [[GzipCodec.gunzipMember]] (one member that
+    * must consume the whole framed body — CRC+ISIZE checked); deflate
+    * tries the RFC 9110 zlib wrapper first and falls back to a raw
+    * deflate stream (the historically common server bug browsers also
+    * tolerate). A declared gzip/deflate body that fails to decode is a
+    * structural violation → None, same never-throw contract as the
+    * framing layer. An empty framed body passes through empty (204/304
+    * shapes that still carry the header). Unrecognized tokens return
+    * the body UNCHANGED with the token recorded — the caller's
+    * quarantine signal. */
+  private def contentDecode(headers: Seq[(String, String)], framed: Array[Byte])
+      : Option[(String, Array[Byte])] = {
+    val coding = headers.collectFirst { case ("content-encoding", v) => v }
+      .map(_.trim.toLowerCase).filter(_.nonEmpty).getOrElse("identity")
+    coding match {
+      case "identity" => Some(("identity", framed))
+      case _ if framed.isEmpty => Some((coding, framed))
+      case "gzip" | "x-gzip" =>
+        GzipCodec.gunzipMember(framed, 0) match {
+          case Some((data, consumed)) if consumed == framed.length =>
+            Some(("gzip", data))
+          case _ => None
+        }
+      case "deflate" =>
+        inflate(framed, zlibWrapped = true)
+          .orElse(inflate(framed, zlibWrapped = false))
+          .map(("deflate", _))
+      case other => Some((other, framed))
+    }
+  }
+
+  private def inflate(b: Array[Byte], zlibWrapped: Boolean): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(!zlibWrapped)
+    inf.setInput(b)
+    val out = new ByteArrayOutputStream(b.length * 2 + 64)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val n = try inf.inflate(buf)
+        catch { case _: java.util.zip.DataFormatException => return None }
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) return None // truncated
+      }
+      // trailing garbage after the stream is a malformed body, except
+      // the zlib Adler-32 trailer the Inflater already consumed
+      if (inf.getRemaining != 0) None else Some(out.toByteArray)
+    } finally inf.end()
+  }
+
+  private def finish(status: Int, headers: Seq[(String, String)],
+                     framed: Array[Byte], chunked: Boolean,
+                     nChunks: Int): Option[HttpResponse] =
+    contentDecode(headers, framed).map { case (coding, body) =>
+      HttpResponse(status, headers, body, chunked, nChunks, coding, framed.length)
+    }
+
   /** Parse a raw HTTP response. Body framing precedence per RFC 9112
     * §6: `Transfer-Encoding: chunked` wins over `Content-Length`;
     * with neither, the body is the rest of the buffer
-    * (close-delimited). */
+    * (close-delimited). After de-framing, one `Content-Encoding`
+    * layer decodes (see [[HttpResponse.contentCoding]]). */
   def parse(b: Array[Byte]): Option[HttpResponse] = {
     // header block ends at CRLFCRLF
     var hEnd = -1
@@ -164,7 +233,7 @@ object HttpCodec {
             q = t + 2
           }
           if (q + 1 >= b.length) return None
-          return Some(HttpResponse(status, headers.result(), body.toByteArray, chunked = true, n))
+          return finish(status, headers.result(), body.toByteArray, chunked = true, n)
         }
         if (cs + size + 2 > b.length) return None
         body.write(b, cs, size.toInt)
@@ -175,12 +244,12 @@ object HttpCodec {
       None // unreachable
     } else if (clen >= 0) {
       if (clen > Int.MaxValue.toLong || dataStart + clen > b.length) return None
-      Some(HttpResponse(status, headers.result(),
+      finish(status, headers.result(),
         java.util.Arrays.copyOfRange(b, dataStart, dataStart + clen.toInt),
-        chunked = false, 0))
+        chunked = false, 0)
     } else {
-      Some(HttpResponse(status, headers.result(),
-        java.util.Arrays.copyOfRange(b, dataStart, b.length), chunked = false, 0))
+      finish(status, headers.result(),
+        java.util.Arrays.copyOfRange(b, dataStart, b.length), chunked = false, 0)
     }
   }
 }

@@ -280,9 +280,16 @@ object DataPipelineQueries {
       (s, d) =>
         import s.implicits._
         val stops = Seq("the", "a", "of", "and", "to", "in", "is")
-        // the wire form: even docs encode to windows-1252 (the tail's
-        // em-dash/euro become single 0x97/0x80 bytes — genuinely
-        // non-UTF-8 payloads), odd docs to utf-8
+        // the wire form, one layer deeper than the charset bytes: every
+        // doc ships as a full HTTP response (even docs' bodies encode
+        // to windows-1252 — the tail's em-dash/euro become single
+        // 0x97/0x80 bytes, genuinely non-UTF-8 — odd docs to utf-8),
+        // and every THIRD doc's body is additionally gzip-coded with
+        // `Content-Encoding: gzip`, so the funnel exercises de-frame →
+        // content-decode → charset gate in sequence: a missing gunzip
+        // hands the charset gate compressed bytes and mojibakes the
+        // group hash. The oracle never sees bytes; it replays the
+        // decoded text, so it is UNCHANGED by the transport layer.
         val payloads = Tables.documents(s, d)
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
           .as[(Long, String)]
@@ -290,8 +297,22 @@ object DataPipelineQueries {
             val shell =
               "<html><head><style>p { x }</style><script>let a = 1 < 2;</script></head>" +
                 s"<body><!-- c --><p>$text</p><br><p>A &amp; B&nbsp;tail — €1</p></body></html>"
-            (id, graft.codec.CharsetCodec.encode(shell,
-              if (id % 2 == 0) "windows-1252" else "utf-8"))
+            val encoded = graft.codec.CharsetCodec.encode(shell,
+              if (id % 2 == 0) "windows-1252" else "utf-8")
+            val wire =
+              if (id % 3 == 0) graft.codec.HttpCodec.write(200, "OK",
+                Seq("Content-Type" -> "text/html", "Content-Encoding" -> "gzip"),
+                graft.codec.GzipCodec.gzipMember(encoded))
+              else graft.codec.HttpCodec.write(200, "OK",
+                Seq("Content-Type" -> "text/html"), encoded)
+            (id, wire)
+          })
+          .toDF("doc_id", "wire")
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, wire) =>
+            val r = graft.codec.HttpCodec.parse(wire)
+              .getOrElse(sys.error(s"own wire response failed to parse: doc $id"))
+            (id, r.body)
           })
           .toDF("doc_id", "payload")
         val clean = TextOps.htmlExtract(col("html"))

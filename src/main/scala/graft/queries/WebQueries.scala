@@ -237,6 +237,61 @@ object WebQueries {
             length(col("raw")).cast("long").as("raw_len"), md5(col("raw")).as("raw_md5"))
           .orderBy("doc_id")
     },
+    // ── Content-Encoding through the funnel — real responses are
+    //    overwhelmingly gzip-coded, so the de-framed body is NOT yet
+    //    text: one content-decode layer sits between framing and the
+    //    charset gate. Three wire shapes per doc (gzip under
+    //    Content-Length, gzip under CHUNKED framing — the layers must
+    //    compose, de-frame first then content-decode — and zlib
+    //    deflate), all built with the engine's own gzip writer.
+    //    Compressed bytes are never oracle-safe (the GzipCodec
+    //    doctrine), so the oracle pins what survives decoding: the
+    //    applied coding token, the framing flag, and the DECODED
+    //    body's length + md5 — a missing decode hands the hash
+    //    compressed bytes and breaks every third row. ──
+    QueryDef.sql(
+      "web_http_gzip",
+      s"""WITH h AS (SELECT doc_id, $shellSql AS html FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 2 THEN 'deflate' ELSE 'gzip' END AS coding,
+         |  (doc_id % 3 = 1) AS chunked,
+         |  CAST(length(html) AS BIGINT) AS body_len, md5(html) AS body_md5
+         |FROM h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), shellCol.as("html")).as[(Long, String)]
+          .mapPartitions(_.map { case (id, html) =>
+            val bytes = html.getBytes("UTF-8")
+            val hdrs = Seq("Content-Type" -> "text/html")
+            val wire = (id % 3) match {
+              case 0 => graft.codec.HttpCodec.write(200, "OK",
+                hdrs :+ ("Content-Encoding" -> "gzip"),
+                graft.codec.GzipCodec.gzipMember(bytes))
+              case 1 => graft.codec.HttpCodec.writeChunked(200, "OK",
+                hdrs :+ ("Content-Encoding" -> "gzip"),
+                graft.codec.GzipCodec.gzipMember(bytes), 64)
+              case _ =>
+                val dfl = new java.util.zip.Deflater(
+                  java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+                dfl.setInput(bytes); dfl.finish()
+                val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+                val buf = new Array[Byte](8192)
+                while (!dfl.finished()) { val n = dfl.deflate(buf); out.write(buf, 0, n) }
+                dfl.end()
+                graft.codec.HttpCodec.write(200, "OK",
+                  hdrs :+ ("Content-Encoding" -> "deflate"), out.toByteArray)
+            }
+            val r = graft.codec.HttpCodec.parse(wire)
+              .getOrElse(sys.error(s"own coded response failed to parse: doc $id"))
+            (id, r.contentCoding, r.chunked, r.body)
+          })
+          .toDF("doc_id", "coding", "chunked", "body")
+          .select(col("doc_id"), col("coding"), col("chunked"),
+            length(col("body")).cast("long").as("body_len"),
+            md5(col("body")).as("body_md5"))
+          .orderBy("doc_id")
+    },
     // ── WARC × HTTP composition — the shape real crawl archives ship:
     //    each WARC response record's payload is the FULL HTTP response
     //    (status line, headers, chunked framing), `Content-Type:

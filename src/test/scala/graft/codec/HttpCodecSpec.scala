@@ -98,4 +98,54 @@ class HttpCodecSpec extends AnyFunSuite {
       HttpCodec.parse(java.util.Arrays.copyOfRange(good, 0, n)) // must not throw
     }
   }
+
+  test("Content-Encoding: gzip/deflate bodies content-decode after de-framing") {
+    val payload = ("The quick brown fox. " * 40).getBytes("UTF-8")
+    // gzip under Content-Length framing
+    val gz = GzipCodec.gzipMember(payload)
+    val raw = HttpCodec.write(200, "OK",
+      Seq("Content-Type" -> "text/html", "Content-Encoding" -> "gzip"), gz)
+    val r = HttpCodec.parse(raw).getOrElse(fail("gzip parse"))
+    assert(java.util.Arrays.equals(r.body, payload), "body is the DECODED payload")
+    assert(r.contentCoding == "gzip" && r.wireBodyBytes == gz.length)
+    assert(r.wireBodyBytes < payload.length, "accounting sees the coded wire size")
+    // the same gzip body under CHUNKED framing: layers compose —
+    // de-frame first, then content-decode
+    val rawC = HttpCodec.writeChunked(200, "OK",
+      Seq("Content-Encoding" -> "x-gzip"), gz, 64)
+    val rc = HttpCodec.parse(rawC).getOrElse(fail("chunked gzip parse"))
+    assert(rc.chunked && java.util.Arrays.equals(rc.body, payload))
+    assert(rc.contentCoding == "gzip")
+    // deflate: zlib-wrapped and raw stream both decode (browser tolerance)
+    def deflate(nowrap: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(payload); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      d.end(); out.toByteArray
+    }
+    for (nowrap <- Seq(false, true)) {
+      val rawD = HttpCodec.write(200, "OK",
+        Seq("Content-Encoding" -> "deflate"), deflate(nowrap))
+      val rd = HttpCodec.parse(rawD).getOrElse(fail(s"deflate nowrap=$nowrap"))
+      assert(java.util.Arrays.equals(rd.body, payload), s"nowrap=$nowrap")
+      assert(rd.contentCoding == "deflate")
+    }
+    // a declared-gzip body that does not gunzip is structural → None
+    val broken = gz.clone(); broken(12) = (broken(12) ^ 0x55).toByte
+    assert(HttpCodec.parse(HttpCodec.write(200, "OK",
+      Seq("Content-Encoding" -> "gzip"), broken)).isEmpty)
+    // an unrecognized coding passes the body through CODED, token kept
+    val rb = HttpCodec.parse(HttpCodec.write(200, "OK",
+      Seq("Content-Encoding" -> "br"), payload)).getOrElse(fail("br"))
+    assert(rb.contentCoding == "br" && java.util.Arrays.equals(rb.body, payload))
+    // empty coded body (204-ish shape) stays empty rather than failing
+    val re = HttpCodec.parse(HttpCodec.write(204, "No Content",
+      Seq("Content-Encoding" -> "gzip"), Array.emptyByteArray)).getOrElse(fail("empty"))
+    assert(re.body.isEmpty && re.wireBodyBytes == 0)
+    // identity rows keep the old accounting
+    val ri = HttpCodec.parse(HttpCodec.write(200, "OK", Nil, payload)).getOrElse(fail("id"))
+    assert(ri.contentCoding == "identity" && ri.wireBodyBytes == payload.length)
+  }
 }

@@ -81,5 +81,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_hll_bucket_rho(key)")
         HllBucketRho(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_blocklist_counts"),
+      info(classOf[BlocklistCountsExpr], "graft_blocklist_counts",
+        "graft_blocklist_counts(text, array('p1', ...)[, fold_case]) - per-pattern " +
+          "Aho-Corasick occurrence counts, aligned with the literal pattern array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2 || args.length == 3,
+          "graft_blocklist_counts(text, patterns[, fold_case])")
+        val fold = if (args.length == 3) literalBoolean(args(2), "fold_case") else false
+        val pats = literalPatterns(args(1), "graft_blocklist_counts")
+        BlocklistCountsExpr(args(0),
+          if (fold) pats.map(_.toLowerCase(java.util.Locale.ROOT)).distinct else pats,
+          fold)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_redact_blocklist"),
+      info(classOf[RedactBlocklistExpr], "graft_redact_blocklist",
+        "graft_redact_blocklist(text, array('p1', ...)) - leftmost-longest " +
+          "length-preserving redaction: struct(red, n)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_redact_blocklist(text, patterns)")
+        RedactBlocklistExpr(args(0), literalPatterns(args(1), "graft_redact_blocklist"))
+      }))
+  }
+
+  /** The pattern list must be a compile-time literal — the automaton
+    * builds once per plan, not per row. Accepts both the `array('a',
+    * 'b')` form (CreateArray of literals) and a pre-folded array
+    * literal. */
+  private def literalPatterns(e: Expression, fn: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+      items.map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn: patterns must be string literals, got $other")
+      }
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        arr: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+      arr.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$fn: patterns must be a literal string array, got $other")
+  }
+
+  private def literalBoolean(e: Expression, what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(b: java.lang.Boolean, _) => b
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
   }
 }

@@ -137,57 +137,46 @@ object MultiPattern {
     * (Locale.ROOT) — how real filter lists are meant: mixed-case
     * evasion still hits; the emitted `pattern` column carries the
     * FOLDED form (the match key — two spellings folding together merge
-    * into one automaton entry). */
+    * into one automaton entry).
+    *
+    * Columnar: the per-row kernel is
+    * [[graft.expressions.BlocklistCountsExpr]] (codegen'd, automaton
+    * as a reference object), the counts array posexplodes, and the
+    * position maps back to its pattern through a literal array — the
+    * whole shape stays inside whole-stage codegen instead of the
+    * row-deserializing `df.rdd.mapPartitions` hop it replaced
+    * (plan-asserted in the spec: no ExistingRDD scan). */
   def blocklistHits(df: DataFrame, idCol: String, textCol: String,
                     patterns: Seq[String], foldCase: Boolean = false): DataFrame = {
-    val spark = df.sparkSession
+    import org.apache.spark.sql.graftbridge.Bridge
     val original = patterns.toIndexedSeq
     val pats =
       if (foldCase) original.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
       else original
-    val outSchema = StructType(Seq(
-      df.schema(idCol),
-      StructField("pattern", StringType, nullable = false),
-      StructField("n_hits", LongType, nullable = false)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val tIdx = df.schema.fieldIndex(textCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      val ac = new Automaton(pats) // once per partition
-      rows.flatMap { r =>
-        val raw = Option(r.getAs[String](tIdx)).getOrElse("")
-        val t = if (foldCase) raw.toLowerCase(java.util.Locale.ROOT) else raw
-        val counts = ac.countHits(t)
-        (0 until pats.size).iterator.collect {
-          case pi if counts(pi) > 0 => Row(r.get(idIdx), pats(pi), counts(pi))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val counts = Bridge.column(graft.expressions.BlocklistCountsExpr(
+      Bridge.expression(coalesce(col(textCol).cast("string"), lit(""))),
+      pats, foldCase))
+    df.select(col(idCol), posexplode(counts).as(Seq("_pos", "n_hits")))
+      .filter(col("n_hits") > 0)
+      .select(col(idCol),
+        element_at(typedLit(pats), col("_pos").cast("int") + 1).as("pattern"),
+        col("n_hits"))
   }
 
   /** Length-preserving leftmost-longest redaction over the frame:
     * appends `(outCol, nCol)` — the masked text and how many spans were
-    * masked. The drop-or-mask half of the blocklist gate. */
+    * masked. The drop-or-mask half of the blocklist gate. Columnar via
+    * [[graft.expressions.RedactBlocklistExpr]] (null text → null out,
+    * 0 spans — the previous row-level contract). */
   def redactBlocklist(df: DataFrame, textCol: String, patterns: Seq[String],
                       outCol: String = "text_redacted",
                       nCol: String = "n_redacted"): DataFrame = {
-    val spark = df.sparkSession
-    val pats = patterns.toIndexedSeq
-    val outSchema = df.schema
-      .add(StructField(outCol, StringType, nullable = true))
-      .add(StructField(nCol, LongType, nullable = false))
-    val tIdx = df.schema.fieldIndex(textCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      val ac = new Automaton(pats)
-      rows.map { r =>
-        Option(r.getAs[String](tIdx)) match {
-          case Some(t) =>
-            val (red, n) = ac.redact(t)
-            Row.fromSeq(r.toSeq :+ red :+ n.toLong)
-          case None => Row.fromSeq(r.toSeq :+ null :+ 0L)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val r = Bridge.column(graft.expressions.RedactBlocklistExpr(
+      Bridge.expression(col(textCol).cast("string")), patterns.toIndexedSeq))
+    df.withColumn("_red", r)
+      .withColumn(outCol, col("_red.red"))
+      .withColumn(nCol, coalesce(col("_red.n"), lit(0L)))
+      .drop("_red")
   }
 }

@@ -92,4 +92,41 @@ class MultiPatternSpec extends SparkSpec {
     assert(MultiPattern.blocklistHits(evasive, "doc", "text",
       Seq("Vector")).count() == 1, "unfolded matching stays exact-case")
   }
+
+  test("columnar posture: no RDD scan in either operator's plan; redact null contract") {
+    val docs = Seq((1L, "vector here"), (2L, null.asInstanceOf[String]))
+      .toDF("doc", "text")
+    val hits = MultiPattern.blocklistHits(docs, "doc", "text", Seq("vector", "here"))
+    hits.collect()
+    val hitsPlan = hits.queryExecution.executedPlan.toString
+    assert(!hitsPlan.contains("ExistingRDD"),
+      s"blocklistHits must stay columnar, plan was:\n$hitsPlan")
+    assert(hitsPlan.contains("graft_blocklist_counts"), "the codegen'd kernel is in the plan")
+    val red = MultiPattern.redactBlocklist(docs, "text", Seq("vector"))
+    val rows = red.select("doc", "text_redacted", "n_redacted")
+      .as[(Long, Option[String], Long)].collect().toSet
+    assert(rows == Set((1L, Some("###### here"), 1L), (2L, None, 0L)),
+      "null text keeps the (null out, 0 spans) contract")
+    assert(!red.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "redactBlocklist must stay columnar")
+  }
+
+  test("SQL surface: graft_blocklist_counts / graft_redact_blocklist literal forms") {
+    org.apache.spark.sql.graftbridge.Bridge.attachFunctions(
+      spark, new graft.GraftExtensions().apply)
+    val got = spark.sql(
+      "SELECT graft_blocklist_counts('Vector vector soup', array('vector', 'soup'), true) AS c")
+      .head.getSeq[Long](0)
+    assert(got == Seq(2L, 1L))
+    val red = spark.sql(
+      "SELECT graft_redact_blocklist('mask the vector now', array('vector')) AS r")
+      .select("r.red", "r.n").head
+    assert(red.getString(0) == "mask the ###### now" && red.getLong(1) == 1L)
+    // non-literal pattern arrays are a loud error, not a silent rebuild per row
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_blocklist_counts(c, array(c)) FROM (SELECT 'x' AS c)")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
 }

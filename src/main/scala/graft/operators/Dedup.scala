@@ -1083,9 +1083,10 @@ object Dedup {
     * ordering, so every future probe stays exact) land under
     * `batch=<batchId>` with dynamic partition overwrite — a replayed
     * append rewrites only itself. The df table deliberately does NOT
-    * update (it is the frozen order's definition); a periodic
-    * [[prefixIndexBuild]] rebuild refreshes it for prefix-length
-    * efficiency. Single-writer per index, the ledger contract. */
+    * update (it is the frozen order's definition); [[prefixIndexDrift]]
+    * measures when the frozen ordering's candidate mass has drifted
+    * enough that a [[prefixIndexBuild]] rebuild pays for itself.
+    * Single-writer per index, the ledger contract. */
   def prefixIndexAppend(batch: DataFrame, idCol: String, tokensCol: String,
                         dir: String, batchId: Long): Unit = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId)")
@@ -1103,6 +1104,52 @@ object Dedup {
     prefixFrame(bsets, dfs, theta).withColumn("batch", lit(batchId))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/prefix")
     bsets.unpersist(blocking = false)
+  }
+
+  /** Staleness telemetry for a stored prefix index — the measured
+    * rebuild trigger the scaladoc's "periodic rebuild" previously
+    * lacked. The frozen ordering is recall-exact forever (any total
+    * order satisfies the prefix theorem), and the prefix ROW count is
+    * even ordering-independent (p = n − ⌈θn/1000⌉ + 1 per set); what
+    * drifts is WHICH tokens occupy the prefixes: as vocabulary shifts,
+    * once-rare tokens that the frozen order still ranks rare become
+    * common, land in many prefixes, and bloat the candidate join. The
+    * metric is therefore the CANDIDATE MASS the probe join actually
+    * pays — Σ over tokens of C(cnt, 2) where cnt is the number of
+    * stored sets whose prefix holds that token — for the stored
+    * ordering vs a fresh-df recomputation over the same sets.
+    * One row: `(stored_sets, stored_candidate_mass,
+    * fresh_candidate_mass, drift_permille)` with drift 1000 ⇒ the
+    * orderings agree; probe-measured guidance (PrefixDriftProbe,
+    * PLANS.md): rebuild at drift ≥ ~1500, where the stored probe's
+    * candidate join pays ≥ 1.5× the fresh plan's. Cost: one pass over
+    * the stored sets + prefixes — run it at maintenance cadence, not
+    * per batch. */
+  def prefixIndexDrift(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    import spark.implicits._
+    val theta = spark.read.parquet(s"$dir/meta").head().getLong(0).toInt
+    def readOr(sub: String, empty: => DataFrame) =
+      graft.streaming.BatchLedger.read(spark, dir, sub, pointerKey(sub),
+        None, empty).drop("batch")
+    val sets = readOr("sets", Seq.empty[(Long, Seq[String])].toDF("sid", "ts"))
+      .localCheckpoint()
+    val stored = readOr("prefix",
+      Seq.empty[(Long, Int, Int, String)].toDF("sid", "n", "pos", "tok"))
+    val freshDfs = sets.select(col("sid"), explode(col("ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val fresh = prefixFrame(sets, freshDfs, theta)
+    def mass(prefix: DataFrame): Long = prefix
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("m"))
+      .head().getLong(0) / 2 // c(c−1) is even; halve exactly on the driver
+    val sm = mass(stored)
+    val fm = mass(fresh)
+    val n = sets.count()
+    sets.unpersist(blocking = false)
+    val drift = if (fm == 0L) 1000L else sm * 1000L / fm
+    Seq((n, sm, fm, drift)).toDF(
+      "stored_sets", "stored_candidate_mass", "fresh_candidate_mass", "drift_permille")
   }
 
   /** Exact-threshold pairs INVOLVING a new batch against a stored

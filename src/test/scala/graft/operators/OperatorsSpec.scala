@@ -199,6 +199,39 @@ class OperatorsSpec extends SparkSpec {
       "post-compaction appends land beside the base")
   }
 
+  test("prefixIndexDrift: fresh index reads 1000; vocabulary shift raises it; rebuild resets") {
+    // corpus vocabulary: r0-r9 moderately common (df 3), u5 rare
+    // (df 1), p/q/s unique fillers. The corpus prefixes are the
+    // unique fillers — zero candidate mass either way.
+    val corpus: Seq[(Long, Seq[String])] = (0 until 30).map { i =>
+      (i.toLong, Seq(s"p$i", s"q$i", s"r${i % 10}") ++
+        (if (i == 29) Seq("u5") else Seq(s"s$i")))
+    }
+    val dir = tmpDir("graft-ppidx-drift")
+    Dedup.prefixIndexBuild(corpus.toDF("id", "toks"), "id", "toks", 600, dir)
+    def drift() = Dedup.prefixIndexDrift(spark, dir).head()
+    val d0 = drift()
+    assert(d0.getAs[Long]("drift_permille") == 1000L,
+      s"fresh index must read 1000, got $d0")
+    // batches make the once-rare u5 ubiquitous alongside the r tokens
+    // the corpus made moderately common: the FROZEN order still ranks
+    // u5 (df 1) rarest and puts it in all 40 prefixes — C(40,2)
+    // candidate mass — while a FRESH ordering ranks u5 (df 41) last
+    // and spreads the prefixes across the ten r tokens instead
+    val batch: Seq[(Long, Seq[String])] = (0 until 40).map { i =>
+      (100L + i, Seq("u5", s"r${i % 10}", s"r${(i + 3) % 10}"))
+    }
+    Dedup.prefixIndexAppend(batch.toDF("id", "toks"), "id", "toks", dir, batchId = 0L)
+    val d1 = drift()
+    assert(d1.getAs[Long]("drift_permille") > 1000L,
+      s"shifted vocabulary must raise drift, got $d1")
+    assert(d1.getAs[Long]("stored_candidate_mass") >
+      d1.getAs[Long]("fresh_candidate_mass"))
+    // rebuild refreshes the ordering: drift returns to parity
+    Dedup.prefixIndexBuild((corpus ++ batch).toDF("id", "toks"), "id", "toks", 600, dir)
+    assert(drift().getAs[Long]("drift_permille") == 1000L, "rebuild resets drift")
+  }
+
   test("prefixIndexBuild: rebuild after append and after compact serves only the rebuilt corpus") {
     def gen(ids: Range, off: Long, vocab: Int) = ids.map { i =>
       val n = 3 + i % 10

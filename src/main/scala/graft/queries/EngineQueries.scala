@@ -339,11 +339,15 @@ object EngineQueries {
           s"http://d${id % 50}.example.com:80/Path/p$id?utm_campaign=z&b=2&a=1#o"
         def urlF(id: Long) = s"https://d${id % 50}.example.com/fresh/p$id"
         def blob(id: Long) = s"<html>p$id</html>".getBytes("UTF-8")
-        val rules = graft.operators.Robots.rulesFrame(
-          docs.map(_ % 50).distinct.map { m =>
-            (s"d$m.example.com", "User-agent: *\nDisallow: /private\n" +
-              (if (m % 3 == 0) "Disallow: /Path\n" else ""))
-          }.toDF("domain", "txt"), "domain", "txt")
+        val robotsTxt = docs.map(_ % 50).distinct.map { m =>
+          (s"d$m.example.com", "User-agent: *\nDisallow: /private\n" +
+            s"Crawl-delay: ${1 + m % 5}\n" +
+            (if (m % 3 == 0) "Disallow: /Path\n" else ""))
+        }.toDF("domain", "txt")
+        val rules = graft.operators.Robots.rulesFrame(robotsTxt, "domain", "txt")
+        val delays = graft.operators.Robots.selectDelay(
+          graft.operators.Robots.delaysFrame(robotsTxt, "domain", "txt"),
+          "graftbot", defaultMs = 60000L)
         val ledgerDir = java.nio.file.Files.createTempDirectory("graft-scrawl-l").toString
         val outDir = java.nio.file.Files.createTempDirectory("graft-scrawl-o").toString
         val ckptDir = java.nio.file.Files.createTempDirectory("graft-scrawl-k").toString
@@ -351,7 +355,8 @@ object EngineQueries {
         val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Array[Byte])]
         val q = graft.streaming.StreamingCrawl.attach(
           mem.toDF().toDF("id", "url", "blob"), "id", "url", "blob",
-          rules, "graftbot", ledgerDir, outDir, ckptDir, Some(shardDir))
+          rules, "graftbot", ledgerDir, outDir, ckptDir, Some(shardDir),
+          delays = Some(delays))
         try {
           mem.addData(docs.map(id => (id, urlA(id), blob(id))) ++
             docs.take(30).map(id => (1000000L + id, urlB(id), blob(id))))
@@ -364,7 +369,13 @@ object EngineQueries {
         s.read.parquet(outDir)
           .groupBy(col("batch").cast("long").as("batch"), col("outcome"))
           .agg(count(lit(1)).cast("long").as("n"),
-            countDistinct(col("domain")).cast("long").as("n_domains"))
+            countDistinct(col("domain")).cast("long").as("n_domains"),
+            // politeness surfaced: admitted rows carry per-host
+            // robots-derived dispatch times on the logical clock;
+            // batch 1's max exceeds batch 0's for re-fetched hosts
+            // because the hosts ledger carries the reserved horizon
+            coalesce(max(col("fetch_at_ms")), lit(-1L)).cast("long").as("max_fetch_ms"),
+            coalesce(max(col("delay_ms")), lit(-1L)).cast("long").as("max_delay_ms"))
           .orderBy("batch", "outcome")
     },
 

@@ -37,17 +37,33 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamingCrawl {
 
   /** One micro-batch step: returns one OUTCOME row per arrival —
-    * `(id, url, canonical, domain, outcome)` with outcome ∈ `invalid |
-    * robots_blocked | duplicate | admitted` — appends admitted
-    * canonicals to `ledgerDir/seen` under `batch=<batchId>`, and (with
-    * `shardDir` set) packs admitted pages into WARC shards under
-    * `shardDir/warcs`. Usable directly on static frames (spec-pinned)
-    * or via [[attach]]. The returned frame is localCheckpoint'ed; the
-    * caller unpersists it when the batch is done. */
+    * `(id, url, canonical, domain, outcome, delay_ms, fetch_at_ms)`
+    * with outcome ∈ `invalid | robots_blocked | duplicate | admitted`
+    * — appends admitted canonicals to `ledgerDir/seen` under
+    * `batch=<batchId>`, and (with `shardDir` set) packs admitted pages
+    * into WARC shards under `shardDir/warcs`. Usable directly on
+    * static frames (spec-pinned) or via [[attach]]. The returned frame
+    * is localCheckpoint'ed; the caller unpersists it when the batch is
+    * done.
+    *
+    * POLITENESS (with `delays` set — the [[Robots.selectDelay]] output
+    * `(domain, delay_ms)`): admitted fetches get a per-host dispatch
+    * time on a logical millisecond clock. Within the batch, a host's
+    * admissions take slots in arrival-id order at its crawl-delay
+    * spacing; ACROSS batches a durable per-host horizon ledger
+    * (`hosts/`, delta rows summed through [[BatchLedger]]) carries how
+    * much schedule each host has already reserved, so a host fetched
+    * heavily in batch N does not restart at zero in batch N+1 —
+    * previously the batch query `web_fetch_schedule` had to pace
+    * fetches out-of-band. Deterministic (no wall clock) and replay-
+    * idempotent: the horizon delta is the batch's own partition, and
+    * reads exclude `batch ≥ batchId`. Without `delays`, both columns
+    * are null and no hosts ledger is touched. */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String, urlCol: String,
                    blobCol: String, rules: DataFrame, agent: String,
                    ledgerDir: String, shardDir: Option[String] = None,
-                   nShards: Int = 4): DataFrame = {
+                   nShards: Int = 4, delays: Option[DataFrame] = None,
+                   defaultDelayMs: Long = 1000L): DataFrame = {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     import spark.implicits._
@@ -57,9 +73,10 @@ object StreamingCrawl {
       .withColumn("domain", regexp_extract(col("canonical"), hostPath, 1))
       .withColumn("path", regexp_extract(col("canonical"), hostPath, 2))
       .localCheckpoint()
+    val nullMs = lit(null).cast("long")
     def outcome(df: DataFrame, o: String) =
       df.select(col(idCol), col(urlCol), col("canonical"), col("domain"),
-        lit(o).as("outcome"))
+        lit(o).as("outcome"), nullMs.as("delay_ms"), nullMs.as("fetch_at_ms"))
     val invalid = outcome(b.filter(col("canonical").isNull), "invalid")
     val valid = b.filter(col("canonical").isNotNull)
     // robots verdicts on a slim (id, domain, path) frame; join back by id
@@ -98,16 +115,48 @@ object StreamingCrawl {
         .withColumn("batch", lit(batchId))
         .write.mode("overwrite").partitionBy("batch").parquet(s"$sd/warcs")
     }
+    // politeness: per-host dispatch times on the logical clock
+    val (admittedOut, schedCp) = delays match {
+      case None => (outcome(admitted, "admitted"), None)
+      case Some(dl) =>
+        import org.apache.spark.sql.expressions.Window
+        val dlSel = dl.select(col("domain").as("_dd"), col("delay_ms").as("_delay"))
+        val prior = BatchLedger.read(spark, ledgerDir, "hosts", HostsPointerKey,
+          belowBatch = Some(batchId),
+          empty = Seq.empty[(String, Long)].toDF("domain", "reserved_ms"))
+          .groupBy("domain").agg(sum("reserved_ms").as("_base"))
+        val sched = admitted
+          .join(dlSel, col("domain") === col("_dd"), "left_outer")
+          .withColumn("_delay", coalesce(col("_delay"), lit(defaultDelayMs)))
+          .join(prior, Seq("domain"), "left_outer")
+          .withColumn("_base", coalesce(col("_base"), lit(0L)))
+          .withColumn("_slot",
+            (row_number().over(Window.partitionBy("domain").orderBy(col(idCol))) - 1)
+              .cast("long"))
+          .localCheckpoint()
+        // advance each host's horizon by this batch's reservation —
+        // the batch's OWN delta partition, so replay overwrites itself
+        sched.groupBy("domain")
+          .agg((count(lit(1)) * first(col("_delay"))).cast("long").as("reserved_ms"))
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch").parquet(s"$ledgerDir/hosts")
+        (sched.select(col(idCol), col(urlCol), col("canonical"), col("domain"),
+          lit("admitted").as("outcome"), col("_delay").as("delay_ms"),
+          (col("_base") + col("_slot") * col("_delay")).as("fetch_at_ms")),
+          Some(sched))
+    }
     val out = invalid
       .unionByName(blocked)
       .unionByName(outcome(batchDups.unionByName(crossDups), "duplicate"))
-      .unionByName(outcome(admitted, "admitted"))
-      .localCheckpoint()
-    Seq(b, judged, winnerIds, admitted).foreach(_.unpersist(blocking = false))
+      .unionByName(admittedOut)
+      .localCheckpoint() // eager: safe to drop the upstream checkpoints below
+    (Seq(b, judged, winnerIds, admitted) ++ schedCp)
+      .foreach(_.unpersist(blocking = false))
     out
   }
 
   private[streaming] val SeenPointerKey = "crawl.seen.base"
+  private[streaming] val HostsPointerKey = "crawl.hosts.base"
 
   /** Fold every `seen/` partition with `batch < belowBatch` into a new
     * BASE snapshot committed by an atomic [[BatchLedger]] pointer swap —
@@ -124,8 +173,18 @@ object StreamingCrawl {
     * replayable horizon — a replayed batch whose keys were absorbed
     * would find its own keys in the base and flip its admissions to
     * duplicates. */
-  def compact(spark: SparkSession, ledgerDir: String, belowBatch: Long): Unit =
+  def compact(spark: SparkSession, ledgerDir: String, belowBatch: Long): Unit = {
     BatchLedger.compact(spark, ledgerDir, "seen", SeenPointerKey, belowBatch)
+    // the politeness horizon ledger (present only when processBatch ran
+    // with delays): DELTA rows, so absorption SUMS per host — the
+    // heavy-hitters fold shape, not the identity union
+    val hosts = new org.apache.hadoop.fs.Path(s"$ledgerDir/hosts")
+    val fs = hosts.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hosts) || BatchLedger.pointer(ledgerDir, HostsPointerKey).isDefined)
+      BatchLedger.compact(spark, ledgerDir, "hosts", HostsPointerKey, belowBatch,
+        absorb = df => df.groupBy("domain")
+          .agg(sum("reserved_ms").cast("long").as("reserved_ms")))
+  }
 
   /** Convenience wiring: every micro-batch's outcome rows land in
     * `outDir` (batch-partitioned, idempotent), admitted keys in
@@ -134,12 +193,13 @@ object StreamingCrawl {
   def attach(pages: DataFrame, idCol: String, urlCol: String, blobCol: String,
              rules: DataFrame, agent: String, ledgerDir: String, outDir: String,
              checkpointDir: String, shardDir: Option[String] = None,
-             nShards: Int = 4): StreamingQuery =
+             nShards: Int = 4, delays: Option[DataFrame] = None,
+             defaultDelayMs: Long = 1000L): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val o = processBatch(batch, batchId, idCol, urlCol, blobCol, rules, agent,
-          ledgerDir, shardDir, nShards)
+          ledgerDir, shardDir, nShards, delays, defaultDelayMs)
         o.withColumn("batch", lit(batchId))
           .write.mode("overwrite").partitionBy("batch").parquet(outDir)
         o.unpersist(blocking = false)

@@ -161,6 +161,61 @@ class StreamingCrawlSpec extends SparkSpec {
       Seq("http://a.org/ghost", "http://a.org/q0", "http://a.org/q2"))
   }
 
+  test("politeness: per-host pacing from robots delays carries across batches and replay") {
+    import spark.implicits._
+    val ledger = tmpDir("graft-scrawl-pol")
+    val polRules = Robots.rulesFrame(
+      Seq(("a.org", "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+        ("b.org", "User-agent: *\nDisallow: /none\n")).toDF("domain", "txt"),
+      "domain", "txt")
+    val delays = Robots.selectDelay(
+      Robots.delaysFrame(
+        Seq(("a.org", "User-agent: *\nCrawl-delay: 2\n")).toDF("domain", "txt"),
+        "domain", "txt"),
+      "graftbot", defaultMs = 500L)
+    def fetchAts(m: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
+      m.filter(col("outcome") === "admitted")
+        .select(col("id"), col("domain"), col("fetch_at_ms"))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val b0 = df(Seq(
+      Row(1L, "http://a.org/x1", page("1")),
+      Row(2L, "http://a.org/x2", page("2")),
+      Row(3L, "http://a.org/x3", page("3")),
+      Row(4L, "http://b.org/y1", page("4"))))
+    val m0 = StreamingCrawl.processBatch(b0, 0L, "id", "url", "blob",
+      polRules, "graftbot", ledger, delays = Some(delays), defaultDelayMs = 500L)
+    val f0 = fetchAts(m0)
+    m0.unpersist(false)
+    // a.org spaces its three admissions at its 2s crawl-delay in
+    // arrival order; b.org (no declared delay) takes the default
+    assert(f0 == Map(
+      1L -> ("a.org", 0L), 2L -> ("a.org", 2000L), 3L -> ("a.org", 4000L),
+      4L -> ("b.org", 0L)))
+    // batch 1: a.org's horizon carries — it reserved 3 slots (6s), so
+    // its next fetch starts at 6000, not 0
+    val b1 = df(Seq(
+      Row(11L, "http://a.org/x4", page("5")),
+      Row(12L, "http://b.org/y2", page("6"))))
+    val m1 = StreamingCrawl.processBatch(b1, 1L, "id", "url", "blob",
+      polRules, "graftbot", ledger, delays = Some(delays), defaultDelayMs = 500L)
+    val f1 = fetchAts(m1)
+    m1.unpersist(false)
+    assert(f1 == Map(11L -> ("a.org", 6000L), 12L -> ("b.org", 500L)))
+    // replay of batch 1 reads the same horizon (own delta excluded)
+    val m1r = StreamingCrawl.processBatch(b1, 1L, "id", "url", "blob",
+      polRules, "graftbot", ledger, delays = Some(delays), defaultDelayMs = 500L)
+    assert(fetchAts(m1r) == f1, "replay must reproduce the schedule")
+    m1r.unpersist(false)
+    // compaction folds horizon deltas by SUM; a later batch still sees 8s
+    StreamingCrawl.compact(spark, ledger, belowBatch = 2L)
+    val b2 = df(Seq(Row(21L, "http://a.org/x5", page("7"))))
+    val m2 = StreamingCrawl.processBatch(b2, 2L, "id", "url", "blob",
+      polRules, "graftbot", ledger, delays = Some(delays), defaultDelayMs = 500L)
+    assert(fetchAts(m2) == Map(21L -> ("a.org", 8000L)),
+      "compacted horizons must sum, not union")
+    m2.unpersist(false)
+  }
+
   test("attach: MemoryStream wiring lands batch-partitioned outcomes") {
     val ledger = tmpDir("graft-scrawl-l2")
     val out = tmpDir("graft-scrawl-o2")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing fingerprint set (Schleimer et al. 2003) as ONE codegen'd
@@ -121,6 +121,58 @@ object WinnowImpl {
     new GenericArrayData(out)
   }
 
+  /** Winnowed minimizer (pos, gram) pairs for [[CharMinimizers]]:
+    * leftmost window-min per complete window, distinct positions,
+    * ascending. Returns null when numChars < k. */
+  def minimizers(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val offs = new Array[Int](bytes.length + 1)
+    var chars = 0
+    var b = 0
+    while (b < bytes.length) {
+      offs(chars) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      chars += 1
+    }
+    offs(chars) = bytes.length
+    if (chars < k) return null
+    val n = chars - k + 1
+    val md = md5.get()
+    val digests = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      digests(i) = md.digest()
+      i += 1
+    }
+    val maxPos = math.max(n - w, 0)
+    val picked = new java.util.TreeSet[Integer]()
+    var p = 0
+    while (p <= maxPos) {
+      var bestAt = p
+      var q = p + 1
+      val end = math.min(p + w, n)
+      while (q < end) {
+        if (unsignedLess(digests(q), digests(bestAt))) bestAt = q
+        q += 1
+      }
+      picked.add(bestAt)
+      p += 1
+    }
+    val out = new Array[AnyRef](picked.size)
+    val it = picked.iterator()
+    var o = 0
+    while (it.hasNext) {
+      val at = it.next().intValue()
+      val gram = UTF8String.fromBytes(bytes, offs(at), offs(at + k) - offs(at))
+      out(o) = org.apache.spark.sql.catalyst.InternalRow(
+        Integer.valueOf(at + 1), gram)
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -143,6 +195,50 @@ object WinnowImpl {
     }
     new String(cs)
   }
+}
+
+/** Winnowed char-gram MINIMIZERS with their positions — the anchor set
+  * of character-granularity exact-substring dedup
+  * ([[graft.operators.TextOps.charRunCoverageAnchored]]). Same
+  * window-min selection as [[WinnowFingerprint]] (md5 over k-char
+  * grams, leftmost min per w-window, complete windows only), but emits
+  * `array<struct<pos int, g string>>` — the 1-based char position and
+  * the ACTUAL k-char substring of each selected minimizer, so the
+  * downstream join keys on content (no hash-collision false anchors)
+  * and the span-union fold gets real offsets. Selection is
+  * content-determined, so the same substring winnows identically in
+  * every document containing it — the winnowing guarantee: any shared
+  * run of ≥ k + w − 1 chars shares at least one minimizer. Null when
+  * the text has no k-gram. */
+case class CharMinimizers(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"k >= 2, w >= 1 (got k=$k w=$w)")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("g", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_char_minimizers"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    WinnowImpl.minimizers(text.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val r = ctx.freshName("mins")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expressions.WinnowImpl.minimizers($in, $k, $w);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharMinimizers =
+    copy(child = newChild)
 }
 
 object WinnowExpressions {

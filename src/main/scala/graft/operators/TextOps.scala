@@ -681,6 +681,155 @@ object TextOps {
         concat_ws(" ", col("kept")).as("clean_text"))
   }
 
+  /** CHARACTER-granularity exact-substring cross-document coverage —
+    * the tier [[exactRunCoverage]]'s token n-grams provably miss:
+    * duplicates perturbed by whitespace/punctuation INSIDE tokens
+    * ("fox jumps" vs "fox,jumps") share no token n-gram yet share long
+    * character runs — the Lee et al. 2022 suffix-array observation,
+    * here via the same span-union identity at char offsets: a char
+    * position sits inside a cross-doc exact run of ≥ k chars IFF some
+    * char k-gram covering it occurs in another document. Returns one
+    * row per doc with ≥ k chars: (doc, n_chars, covered_chars,
+    * covered_frac, max_run).
+    *
+    * Scale shape: identical to [[exactRunCoverage]] — partial-agg
+    * groupBy on the gram (min≠max doc test, constant state), hot/cold
+    * df-threshold split so stop-gram keys never skew the join-back,
+    * in-row sorted span-union fold — but the explode is ONE ROW PER
+    * CHAR POSITION (~5× the token form). This all-positions variant is
+    * the EXACT instrument the oracle can replay; at 100 TB run
+    * [[charRunCoverageAnchored]], whose winnowed minimizer anchors cut
+    * the exploded volume by ~w× with a deterministic ≥ k+w−1
+    * detection guarantee. */
+  def charRunCoverage(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                      k: Int, hotDf: Long = 65536L): org.apache.spark.sql.DataFrame = {
+    val base = charBase(df, idCol, textCol, k)
+    val pos = base.select(col("doc"),
+      posexplode(transform(sequence(lit(1L), col("n_chars") - (k - 1)),
+        p => col("t").substr(p.cast("int"), lit(k)))).as(Seq("pos", "g")))
+    charCoverageFold(base, crossDocPositions(pos, hotDf), k)
+  }
+
+  /** [[charRunCoverage]]'s scale path: the per-position explode is
+    * replaced by winnowed MINIMIZER anchors
+    * ([[graft.expressions.CharMinimizers]] — leftmost md5-min k-gram
+    * per w-window, content-determined so the same substring anchors
+    * identically in every document). Volume drops ~w×; the guarantee
+    * (Schleimer et al. winnowing): every cross-doc run of ≥ k + w − 1
+    * chars shares at least one anchor, and with w ≤ k consecutive
+    * in-run anchors sit ≤ w ≤ k apart, so the span-union fold merges
+    * them into one region. Coverage is a LOWER BOUND of the exact
+    * operator's (≤ w−1 chars of slack at each region edge, runs in
+    * [k, k+w−1) may be missed entirely) — spec-pinned against
+    * [[charRunCoverage]] on the same corpus. */
+  def charRunCoverageAnchored(df: org.apache.spark.sql.DataFrame, idCol: String,
+                              textCol: String, k: Int, w: Int,
+                              hotDf: Long = 65536L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val base = charBase(df, idCol, textCol, k)
+    val mins = Bridge.column(graft.expressions.CharMinimizers(
+      Bridge.expression(col("t")), k, w))
+    val pos = base.select(col("doc"), explode(mins).as("m"))
+      .select(col("doc"), (col("m.pos") - 1).cast("int").as("pos"), col("m.g"))
+    charCoverageFold(base, crossDocPositions(pos, hotDf), k)
+  }
+
+  /** The CUT at character granularity (keep-first: the smallest doc id
+    * keeps its text; later docs lose every char span some earlier doc
+    * already contains) — [[exactRunDedupText]]'s sibling for the
+    * sub-token duplication it cannot see. Returns (doc, n_chars,
+    * n_kept, clean_text) per doc with ≥ k chars; the kept characters
+    * re-join WITHOUT separators (char offsets, not tokens). Same scale
+    * shape as [[charRunCoverage]]; reassembly is the shared hash-based
+    * array_except span-union, document-bounded. */
+  def charRunDedupText(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                       k: Int, hotDf: Long = 65536L): org.apache.spark.sql.DataFrame = {
+    val base = charBase(df, idCol, textCol, k)
+    val pos = base.select(col("doc"),
+      posexplode(transform(sequence(lit(1L), col("n_chars") - (k - 1)),
+        p => col("t").substr(p.cast("int"), lit(k)))).as(Seq("pos", "g")))
+    val stats = pos.groupBy("g")
+      .agg(min("doc").as("_mind"), count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > 1)
+    val hot = stats.filter(col("_cnt") >= hotDf).select(col("g"), col("_mind").as("_hmind"))
+    val cold = stats.filter(col("_cnt") < hotDf).select("g", "_mind")
+    val posH = pos.join(broadcast(hot), Seq("g"), "left_outer")
+    val removePos = posH.filter(col("_hmind") < col("doc")).select("doc", "pos")
+      .unionByName(posH.filter(col("_hmind").isNull).join(cold, Seq("g"))
+        .filter(col("_mind") < col("doc")).select("doc", "pos"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(col("pos").cast("long") + 1)).as("rs"))
+    val covered = array_distinct(flatten(transform(col("rs"),
+      s => sequence(s, s + (k - 1)))))
+    base.join(removePos, Seq("doc"), "left_outer")
+      .select(col("doc"), col("t"), col("n_chars"),
+        when(col("rs").isNull, array().cast("array<long>")).otherwise(covered).as("cov"))
+      .select(col("doc"), col("n_chars"),
+        transform(array_except(sequence(lit(1L), col("n_chars")), col("cov")),
+          p => col("t").substr(p.cast("int"), lit(1))).as("kept"))
+      .select(col("doc"), col("n_chars"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws("", col("kept")).as("clean_text"))
+  }
+
+  private def charBase(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, k: Int) =
+    df.select(col(idCol).as("doc"),
+        coalesce(col(textCol).cast("string"), lit("")).as("t"))
+      .select(col("doc"), col("t"), length(col("t")).cast("long").as("n_chars"))
+      .filter(col("n_chars") >= k)
+
+  /** Positions whose gram occurs in ANOTHER document, via the shared
+    * hot/cold df-threshold split (see [[exactRunCoverage]]). `pos` is
+    * 0-based here (posexplode convention); the fold is
+    * translation-invariant. */
+  private def crossDocPositions(pos: org.apache.spark.sql.DataFrame,
+                                hotDf: Long): org.apache.spark.sql.DataFrame = {
+    val stats = pos.groupBy("g")
+      .agg(min("doc").as("_mind"), max("doc").as("_maxd"), count(lit(1)).as("_cnt"))
+      .filter(col("_mind") =!= col("_maxd"))
+    val hot = stats.filter(col("_cnt") >= hotDf).select(col("g"), lit(1).as("_hot"))
+    val cold = stats.filter(col("_cnt") < hotDf).select("g")
+    val posH = pos.join(broadcast(hot), Seq("g"), "left_outer")
+    posH.filter(col("_hot") === 1).select("doc", "pos")
+      .unionByName(posH.filter(col("_hot").isNull).join(cold, Seq("g")).select("doc", "pos"))
+  }
+
+  /** Per-doc span-union fold over covered 0-based gram-start positions
+    * with span length `k`: (covered char count, longest merged region),
+    * left-joined back onto `base` so uncovered docs report zero. */
+  private def charCoverageFold(base: org.apache.spark.sql.DataFrame,
+                               coveredPos: org.apache.spark.sql.DataFrame,
+                               k: Int): org.apache.spark.sql.DataFrame = {
+    val L = k.toLong
+    val folded = coveredPos
+      .groupBy("doc")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+      .select(col("doc"), aggregate(
+        slice(col("ps"), lit(2), greatest(size(col("ps")) - 1, lit(0))),
+        struct(element_at(col("ps"), 1).as("prev"),
+          element_at(col("ps"), 1).as("cs"),
+          lit(L).as("best"), lit(L).as("covered")),
+        (acc, p) => {
+          val gap = p - acc.getField("prev")
+          val merge = gap <= L
+          struct(p.as("prev"),
+            when(merge, acc.getField("cs")).otherwise(p).as("cs"),
+            greatest(acc.getField("best"),
+              when(merge, p + lit(L) - acc.getField("cs")).otherwise(lit(L))).as("best"),
+            (acc.getField("covered") + when(merge, gap).otherwise(lit(L))).as("covered"))
+        }).as("f"))
+      .select(col("doc"), col("f.covered").as("covered_tokens"),
+        col("f.best").as("max_run"))
+    base.select(col("doc"), col("n_chars"))
+      .join(folded, Seq("doc"), "left_outer")
+      .select(col("doc"), col("n_chars"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_chars"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_chars"), 4)
+          .as("covered_frac"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
   /** BM25-shaped relevance top-k over the corpus for a literal term set
     * — the retrieval query a data pipeline runs to pull topical slices.
     * Classic Robertson weighting with ONE deliberate deviation: the idf

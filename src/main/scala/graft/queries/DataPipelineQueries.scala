@@ -2004,6 +2004,86 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── CHARACTER-granularity exact-run coverage — the tier token
+    //    n-grams provably miss: duplicates perturbed by whitespace or
+    //    punctuation INSIDE tokens share no token n-gram but share
+    //    long char runs (the Lee et al. 2022 suffix-array shape, via
+    //    the span-union identity at char offsets: position covered ⇔
+    //    some 20-char gram through it occurs in another doc). The
+    //    oracle replays the union with the same gaps-and-islands
+    //    windows over shared-gram char positions. The all-positions
+    //    explode is the EXACT instrument the oracle can replay; the
+    //    winnowed-minimizer variant (charRunCoverageAnchored, ~w× less
+    //    volume, ≥ k+w−1 detection guarantee) is the 100 TB path,
+    //    spec-pinned as a bounded lower envelope of this one. ──
+    QueryDef.sql(
+      "text_char_runs",
+      """WITH b AS (SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n_chars
+        |           FROM documents WHERE text IS NOT NULL AND length(text) >= 20),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, CAST(n_chars AS INT) - 18)) AS pos,
+        |        unnest([substr(t, j, 20) for j in range(1, CAST(n_chars AS INT) - 18)]) AS gram
+        |      FROM b),
+        |s AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |sp AS (SELECT g.doc_id, g.pos FROM g JOIN s USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20 THEN 0 ELSE 1 END AS brk
+        |        FROM sp),
+        |grp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM isl),
+        |iv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e FROM grp GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS covered_chars,
+        |               CAST(max(e - s + 1) AS BIGINT) AS max_run
+        |        FROM iv GROUP BY 1)
+        |SELECT b.doc_id AS doc, b.n_chars,
+        |  CAST(coalesce(covered_chars, 0) AS BIGINT) AS covered_chars,
+        |  round(CAST(coalesce(covered_chars, 0) AS DOUBLE) / n_chars, 4) AS covered_frac,
+        |  CAST(coalesce(max_run, 0) AS BIGINT) AS max_run
+        |FROM b LEFT JOIN cov ON cov.doc_id = b.doc_id
+        |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.charRunCoverage(Tables.documents(s, d), "doc_id", "text", k = 20)
+          .orderBy("doc")
+    },
+
+    // ── The char-granularity CUT (keep-first): spans of ≥ 20 chars
+    //    already present in an EARLIER doc are removed and the kept
+    //    characters re-join WITHOUT separators (char offsets, not
+    //    tokens) — what substring dedup actually excises from the
+    //    whitespace/punctuation-perturbed copies the token cut leaves
+    //    intact. Oracle: per-char anti-join against the covered union,
+    //    string_agg in position order. ──
+    QueryDef.sql(
+      "text_char_dedup",
+      """WITH b AS (SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n_chars
+        |           FROM documents WHERE text IS NOT NULL AND length(text) >= 20),
+        |g AS (SELECT doc_id,
+        |        unnest(range(1, CAST(n_chars AS INT) - 18)) AS pos,
+        |        unnest([substr(t, j, 20) for j in range(1, CAST(n_chars AS INT) - 18)]) AS gram
+        |      FROM b),
+        |m AS (SELECT gram, min(doc_id) AS mind FROM g GROUP BY gram),
+        |rp AS (SELECT g.doc_id, g.pos FROM g JOIN m USING (gram) WHERE m.mind < g.doc_id),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p FROM rp, (SELECT unnest(range(0, 20)) AS o) oo),
+        |tok AS (SELECT doc_id, unnest(range(1, CAST(n_chars AS INT) + 1)) AS p,
+        |          unnest([substr(t, j, 1) for j in range(1, CAST(n_chars AS INT) + 1)]) AS w
+        |        FROM b),
+        |kept AS (SELECT tok.doc_id, tok.p, tok.w FROM tok
+        |         LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.p = tok.p
+        |         WHERE cov.p IS NULL),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(w, '' ORDER BY p) AS clean_text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id AS doc, b.n_chars,
+        |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id
+        |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.charRunDedupText(Tables.documents(s, d), "doc_id", "text", k = 20)
+          .orderBy("doc")
+    },
+
     // ── Fixed-budget per-source sample: at most 20 docs per source, the
     //    first 20 of each group in md5-of-key order (deterministic,
     //    engine-reproducible). Spark runs it through the bounded-collect

@@ -1451,6 +1451,75 @@ class OperatorsSpec extends SparkSpec {
     assert(out(11L) == ((5L, 5L)) && out(12L) == ((5L, 5L)))
   }
 
+  test("charRunCoverage: matches brute force; catches the sub-token duplicates token grams miss") {
+    // docs 1/2: the SAME sentence, but doc 2 perturbs whitespace and
+    // punctuation INSIDE the token stream — token n-grams share nothing
+    // (every token neighborhood differs), char runs share long spans
+    val s1 = "the quick brown fox jumps over the lazy dog while the cat watches quietly"
+    val s2 = "the quick brown fox,jumps over the lazy dog while the cat  watches quietly"
+    val docs = Seq((1L, s1), (2L, s2), (3L, "completely unrelated content here xyz"))
+      .toDF("doc_id", "text")
+    val k = 12
+    // brute force: a char position (1-based) of doc d is covered iff
+    // some k-substring of d containing it occurs in another doc
+    val texts = Map(1L -> s1, 2L -> s2, 3L -> "completely unrelated content here xyz")
+    def brute(d: Long): (Long, Long) = {
+      val t = texts(d)
+      val others = texts.filter(_._1 != d).values.toSeq
+      val covered = Array.fill(t.length)(false)
+      for (p <- 0 to t.length - k) {
+        val g = t.substring(p, p + k)
+        if (others.exists(_.contains(g))) (p until p + k).foreach(covered(_) = true)
+      }
+      // longest maximal covered region
+      var best = 0; var cur = 0
+      covered.foreach { c => if (c) { cur += 1; best = math.max(best, cur) } else cur = 0 }
+      (covered.count(identity).toLong, best.toLong)
+    }
+    val got = TextOps.charRunCoverage(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    texts.keys.foreach { d =>
+      assert(got(d) == brute(d), s"doc $d: got ${got(d)}, brute ${brute(d)}")
+    }
+    assert(got(1L)._1 > 40L, "the perturbed duplicates share most of their chars")
+    assert(got(3L) == ((0L, 0L)))
+    // the token operator PROVABLY misses these: every token 3-gram of
+    // doc 2 differs from doc 1's ("fox,jumps" is one token; the double
+    // space shifts nothing but the punctuation badge breaks neighborhoods)
+    val tok = TextOps.exactRunCoverage(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L)._1 > tok.getOrElse(1L, 0L),
+      s"char tier must catch what token grams (covered ${tok.get(1L)}) miss")
+  }
+
+  test("charRunDedupText: keep-first char cut; anchored coverage is a bounded lower envelope") {
+    val shared = "this exact boilerplate disclaimer footer appears everywhere verbatim"
+    val docs = Seq(
+      (1L, s"original article one. $shared"),
+      (2L, s"$shared plus fresh tail content two"),
+      (3L, "nothing shared at all in this document body")).toDF("doc_id", "text")
+    val k = 16
+    val cut = TextOps.charRunDedupText(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(cut(1L)._2 == s"original article one. $shared", "first owner keeps its text")
+    assert(!cut(2L)._2.contains("boilerplate") && cut(2L)._2.endsWith("content two"),
+      s"later doc loses the shared run, keeps its fresh tail: '${cut(2L)._2}'")
+    assert(cut(3L)._2 == "nothing shared at all in this document body")
+    // anchored variant: a lower envelope of the exact operator with the
+    // winnowing guarantee — the (longer than k+w-1) shared run is found
+    val w = 8
+    val exact = TextOps.charRunCoverage(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val anch = TextOps.charRunCoverageAnchored(docs, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    docs.collect().map(_.getLong(0)).foreach { d =>
+      assert(anch(d) <= exact(d), s"doc $d: anchored must never exceed exact")
+    }
+    assert(anch(1L) >= exact(1L) - (k + w).toLong && anch(1L) > 0,
+      s"the ${shared.length}-char run (>= k+w-1) must anchor within edge slack: " +
+        s"anchored ${anch(1L)}, exact ${exact(1L)}")
+  }
+
   test("exactRunDedupText: keep-first removal, earlier doc intact, overlaps merge") {
     val docs = Seq(
       (1L, "x1 x2 x3 a b c d e f g"),          // earliest owner of the run: keeps all

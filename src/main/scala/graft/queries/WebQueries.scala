@@ -1227,8 +1227,11 @@ object WebQueries {
           .mapPartitions(_.map { case (id, http) =>
             val resp = graft.codec.HttpCodec.parse(http).getOrElse(
               throw new IllegalStateException(s"unparseable HTTP for member $id"))
+            // RAW label, not the normalized Option: an unrecognized
+            // transport declaration must reach the sniff (→ unknown
+            // verdict) instead of silently falling to the heuristic
             val hint = resp.header("Content-Type")
-              .flatMap(graft.codec.CharsetCodec.contentTypeLabel)
+              .flatMap(graft.codec.CharsetCodec.contentTypeLabelRaw)
             val (cs, text) = graft.codec.CharsetCodec.decode(resp.body, hint)
             (id, cs, resp.status, text)
           })

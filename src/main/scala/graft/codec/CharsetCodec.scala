@@ -95,16 +95,37 @@ object CharsetCodec {
     true
   }
 
-  /** Canonical label → JDK charset name for the legacy CJK family.
-    * shift_jis resolves to windows-31j (MS932): real shift_jis pages
-    * use the Microsoft superset (wave dash, circled digits, NEC rows),
-    * which is also the mapping WHATWG assigns the label family. */
-  private[codec] val CjkJdk: Map[String, String] = Map(
+  /** Canonical label → JDK charset name for the legacy charsets decoded
+    * through the JDK's tables under strict decoders: the CJK
+    * double-byte family (shift_jis resolves to windows-31j/MS932 —
+    * real shift_jis pages use the Microsoft superset, which is also
+    * the mapping WHATWG assigns the label family) plus the non-Latin-1
+    * SINGLE-byte family (Cyrillic, Greek, Turkish, Central European,
+    * Arabic, Hebrew, Thai — the next ~8% of the legacy web after CJK;
+    * single-byte pages with these labels previously fell to the
+    * unknown verdict). Strictness still applies: charsets with
+    * unmapped cells (koi8, the iso-8859 holes) REPORT and quarantine
+    * rather than substitute. */
+  private[codec] val LegacyJdk: Map[String, String] = Map(
     "shift_jis" -> "windows-31j",
     "gbk"       -> "GBK",
     "euc-kr"    -> "EUC-KR",
     "big5"      -> "Big5",
-    "euc-jp"    -> "EUC-JP")
+    "euc-jp"    -> "EUC-JP",
+    "windows-1250" -> "windows-1250",
+    "windows-1251" -> "windows-1251",
+    "windows-1253" -> "windows-1253",
+    "windows-1254" -> "windows-1254", // also the iso-8859-9/latin5 label family, per WHATWG (strict superset)
+    "windows-1255" -> "windows-1255",
+    "windows-1256" -> "windows-1256",
+    "windows-1257" -> "windows-1257",
+    "iso-8859-2"   -> "ISO-8859-2",
+    "iso-8859-5"   -> "ISO-8859-5",
+    "iso-8859-7"   -> "ISO-8859-7",
+    "iso-8859-15"  -> "ISO-8859-15",
+    "koi8-r"       -> "KOI8-R",
+    "koi8-u"       -> "KOI8-U",
+    "windows-874"  -> "x-windows-874")
 
   /** Normalize a declared charset label to one of the supported
     * canonical names; None ⇒ unrecognized (the caller decides between
@@ -130,6 +151,27 @@ object CharsetCodec {
       case "big5" | "big-5" | "x-x-big5" | "cn-big5" | "csbig5"   => Some("big5")
       case "euc-jp" | "eucjp" | "x-euc-jp" |
            "cseucpkdfmtjapanese"                                  => Some("euc-jp")
+      case "windows-1250" | "cp1250" | "x-cp1250"                 => Some("windows-1250")
+      case "windows-1251" | "cp1251" | "x-cp1251"                 => Some("windows-1251")
+      case "windows-1253" | "cp1253" | "x-cp1253"                 => Some("windows-1253")
+      case "windows-1254" | "cp1254" | "x-cp1254" | "iso-8859-9" |
+           "iso8859-9" | "iso_8859-9" | "latin5" | "l5"           => Some("windows-1254")
+      case "windows-1255" | "cp1255" | "x-cp1255"                 => Some("windows-1255")
+      case "windows-1256" | "cp1256" | "x-cp1256"                 => Some("windows-1256")
+      case "windows-1257" | "cp1257" | "x-cp1257"                 => Some("windows-1257")
+      case "iso-8859-2" | "iso8859-2" | "iso_8859-2" | "latin2" |
+           "l2" | "csisolatin2" | "iso-ir-101"                    => Some("iso-8859-2")
+      case "iso-8859-5" | "iso8859-5" | "iso_8859-5" | "cyrillic" |
+           "csisolatincyrillic" | "iso-ir-144"                    => Some("iso-8859-5")
+      case "iso-8859-7" | "iso8859-7" | "iso_8859-7" | "greek" |
+           "greek8" | "elot_928" | "ecma-118" | "csisolatingreek" |
+           "iso-ir-126" | "sun_eu_greek"                          => Some("iso-8859-7")
+      case "iso-8859-15" | "iso8859-15" | "iso_8859-15" |
+           "latin-9" | "l9" | "csisolatin9"                       => Some("iso-8859-15")
+      case "koi8-r" | "koi8" | "koi8_r" | "cskoi8r" | "koi"       => Some("koi8-r")
+      case "koi8-u" | "koi8-ru"                                   => Some("koi8-u")
+      case "windows-874" | "dos-874" | "tis-620" | "iso-8859-11" |
+           "iso8859-11"                                           => Some("windows-874")
       case _                                                      => None
     }
 
@@ -216,8 +258,8 @@ object CharsetCodec {
     * step that turns a wrong CJK declaration into the `unknown`
     * verdict instead of replacement-character soup. Decoders are
     * per-call: `CharsetDecoder` is stateful and not thread-safe. */
-  private def strictCjkDecode(b: Array[Byte], canonical: String): Option[String] = {
-    val dec = java.nio.charset.Charset.forName(CjkJdk(canonical)).newDecoder()
+  private def strictLegacyDecode(b: Array[Byte], canonical: String): Option[String] = {
+    val dec = java.nio.charset.Charset.forName(LegacyJdk(canonical)).newDecoder()
       .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
     try Some(dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
@@ -238,8 +280,8 @@ object CharsetCodec {
   def decode(b: Array[Byte], hint: Option[String] = None): (String, String) = {
     val cs = sniff(b, hint)
     if (cs == "unknown") ("unknown", "")
-    else if (CjkJdk.contains(cs))
-      strictCjkDecode(b, cs).map((cs, _)).getOrElse(("unknown", ""))
+    else if (LegacyJdk.contains(cs))
+      strictLegacyDecode(b, cs).map((cs, _)).getOrElse(("unknown", ""))
     else (cs, decodeAs(b, cs))
   }
 
@@ -259,10 +301,10 @@ object CharsetCodec {
       val skip = if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) 2 else 0
       new String(b, skip, b.length - skip, "UTF-16BE")
     case "windows-1252" => decodeSingleByte(b, cp1252 = true)
-    case cjk if CjkJdk.contains(cjk) =>
+    case cjk if LegacyJdk.contains(cjk) =>
       // FORCED decode is total: U+FFFD replacement (the sniffing
       // [[decode]] quarantines invalid CJK instead of calling this)
-      new String(b, java.nio.charset.Charset.forName(CjkJdk(cjk)))
+      new String(b, java.nio.charset.Charset.forName(LegacyJdk(cjk)))
     case _              => decodeSingleByte(b, cp1252 = false)
   }
 
@@ -319,8 +361,8 @@ object CharsetCodec {
         else Cp1252Rev.getOrElse(c,
           throw new IllegalArgumentException(f"U+${c.toInt}%04X not in windows-1252"))
       }.toArray
-    case cjk if CjkJdk.contains(cjk) =>
-      val enc = java.nio.charset.Charset.forName(CjkJdk(cjk)).newEncoder()
+    case cjk if LegacyJdk.contains(cjk) =>
+      val enc = java.nio.charset.Charset.forName(LegacyJdk(cjk)).newEncoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
       try {

@@ -156,13 +156,44 @@ class CharsetCodecSpec extends SparkSpec {
     // an unrecognized label: utf-8 when the bytes independently
     // validate (garbage labels on real utf-8 are common), else unknown
     assert(CharsetCodec.decode("café utf-8 body text".getBytes("UTF-8"),
-      Some("koi8-r"))._1 == "utf-8")
-    assert(CharsetCodec.decode(cp1252Bytes, Some("koi8-r"))._1 == "unknown")
+      Some("x-mac-cyrillic"))._1 == "utf-8")
+    assert(CharsetCodec.decode(cp1252Bytes, Some("x-mac-cyrillic"))._1 == "unknown")
     // forced decodeAs stays total (U+FFFD replacement)
     val forced = CharsetCodec.decodeAs(Array(0x82.toByte), "shift_jis")
     assert(forced == "�")
     // unencodable text raises under the fixture doctrine
     intercept[IllegalArgumentException] { CharsetCodec.encode("한글", "shift_jis") }
+  }
+
+  test("single-byte legacy family: Cyrillic/Greek/Turkish/CE labels decode exactly") {
+    val samples = Seq(
+      "windows-1251" -> "Русский текст для проверки кодировки",
+      "koi8-r"       -> "Советская кодировка работает",
+      "iso-8859-7"   -> "Ελληνικό κείμενο δοκιμής",
+      "windows-1254" -> "Türkçe metin: ğüşıöç ĞÜŞİÖÇ",
+      "iso-8859-2"   -> "Příliš žluťoučký kůň úpěl ódy",
+      "windows-1256" -> "نص عربي للاختبار",
+      "iso-8859-15"  -> "prix 9€ œuvre straße")
+    samples.foreach { case (cs, text) =>
+      val b = CharsetCodec.encode(text, cs)
+      assert(CharsetCodec.decode(b, Some(cs)) == ((cs, text)), s"$cs hint round trip")
+      // unlabeled, these are dense high-byte non-UTF-8 payloads: the
+      // density triage quarantines rather than mislabeling Latin
+      if (b.count(x => (x & 0xFF) >= 0x80) * 4 >= b.length)
+        assert(CharsetCodec.decode(b)._1 == "unknown", s"$cs unlabeled")
+    }
+    // aliases from the WHATWG registry normalize
+    assert(CharsetCodec.decode(CharsetCodec.encode("кто", "windows-1251"),
+      Some("cp1251"))._1 == "windows-1251")
+    assert(CharsetCodec.decode(CharsetCodec.encode("abc", "iso-8859-2"),
+      Some("latin2"))._1 == "iso-8859-2")
+    assert(CharsetCodec.decode(CharsetCodec.encode("ได", "windows-874"),
+      Some("tis-620"))._1 == "windows-874")
+    // strictness holds for the single-byte family too: KOI8-R is total,
+    // but a charset with unmapped cells REPORTs into the unknown verdict
+    assert(CharsetCodec.decode(Array(0xAA.toByte, 0x20, 0x41, 0x42, 0x43).map(_.toByte),
+      Some("windows-1253"))._1 == "unknown",
+      "0xAA is unmapped in windows-1253: strict decode quarantines")
   }
 
   test("encode round trips + unencodable raises") {

@@ -65,9 +65,12 @@ class RowsOnlyQueriesSpec extends SparkSpec {
 
   test("engine_stream_web: every aggregate recomputes from the seed") {
     val df = run("engine_stream_web")
-    assert(df.columns.toSeq == Seq("batch", "outcome", "n", "n_domains"))
-    val got = df.collect()
-      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(df.columns.toSeq == Seq("batch", "outcome", "n", "n_domains",
+      "max_fetch_ms", "max_delay_ms"))
+    val full = df.collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val got = full.view.mapValues(v => (v._1, v._2)).toMap
     // replay the fixture arithmetic: ids < 400, m = id % 50, domains
     // with m % 3 = 0 disallow /Path
     import org.apache.spark.sql.functions.col
@@ -91,6 +94,21 @@ class RowsOnlyQueriesSpec extends SparkSpec {
     assert(got((1L, "admitted")) == (f25.size.toLong, doms(f25)),
       "fresh paths must all admit")
     assert(got((1L, "invalid")) == (5L, 0L))
+    // politeness replay: robots declare Crawl-delay 1 + m%5 seconds;
+    // per batch a host's admissions take slots at that spacing, and
+    // batch 1 starts from the horizon batch 0 reserved (cnt0 · delay)
+    def delayOf(m: Long) = (1L + m % 5) * 1000L
+    val c0 = adm.groupBy(_ % 50).view.mapValues(_.size.toLong).toMap
+    val c1 = f25.groupBy(_ % 50).view.mapValues(_.size.toLong).toMap
+    val max0 = c0.map { case (m, c) => (c - 1) * delayOf(m) }.max
+    val max1 = c1.map { case (m, c) => (c0.getOrElse(m, 0L) + c - 1) * delayOf(m) }.max
+    assert(full((0L, "admitted"))._3 == max0, s"batch-0 schedule horizon")
+    assert(full((1L, "admitted"))._3 == max1,
+      "batch-1 schedule must start from the reserved horizon, not zero")
+    assert(full((0L, "admitted"))._4 == c0.keys.map(delayOf).max)
+    assert(full((1L, "admitted"))._4 == c1.keys.map(delayOf).max)
+    // non-admitted outcomes carry no schedule (the -1 sentinel)
+    assert(full((0L, "robots_blocked"))._3 == -1L && full((1L, "duplicate"))._3 == -1L)
   }
 
   test("text_score_percentiles_approx: sketch quantiles sit at exact ranks for small groups") {

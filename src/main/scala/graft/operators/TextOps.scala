@@ -58,31 +58,30 @@ object TextOps {
   }
 
   /** Charset front gate — sniff + decode each raw payload
-    * ([[graft.codec.CharsetCodec]]: BOM > meta tag > strict UTF-8
-    * validity > 0x80-0x9F heuristic) and append `(charsetOut, textOut)`
+    * ([[graft.codec.CharsetCodec]]: BOM > declared label > strict
+    * UTF-8 validity > density triage > 0x80-0x9F heuristic, with the
+    * legacy CJK/single-byte families decoded strictly and the
+    * `unknown` quarantine verdict) and append `(charsetOut, textOut)`
     * to the frame; sits between the HTTP payload bytes and
-    * [[htmlExtract]] in the web funnel, so legacy-encoded pages
-    * (windows-1252, latin-1, utf-16) reach the text operators as
-    * correct Unicode instead of mojibake. Pure per-row decode over
-    * `mapPartitions` (the multimodal-decode shape — payload decode
-    * necessarily leaves codegen); no shuffle, null blobs decode as
-    * empty. */
+    * [[htmlExtract]] in the web funnel, so legacy-encoded pages reach
+    * the text operators as correct Unicode instead of mojibake.
+    * Columnar: one codegen'd
+    * [[graft.expressions.CharsetDecodeExpr]] struct per row — the
+    * stage that touches EVERY crawled document stays inside
+    * whole-stage codegen (plan-asserted) instead of the
+    * row-deserializing RDD hop it shipped as. No shuffle; null blobs
+    * decode as empty utf-8 (the original contract). */
   def decodeCharset(df: org.apache.spark.sql.DataFrame, blobCol: String,
                     charsetOut: String = "charset",
                     textOut: String = "text"): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StringType, StructField}
-    val spark = df.sparkSession
-    val outSchema = df.schema
-      .add(StructField(charsetOut, StringType, nullable = false))
-      .add(StructField(textOut, StringType, nullable = false))
-    val blobIdx = df.schema.fieldIndex(blobCol)
-    val rdd = df.rdd.mapPartitions(_.map { r =>
-      val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
-      val (cs, text) = graft.codec.CharsetCodec.decode(blob)
-      Row.fromSeq(r.toSeq :+ cs :+ text)
-    })
-    spark.createDataFrame(rdd, outSchema)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val d = Bridge.column(graft.expressions.CharsetDecodeExpr(
+      Bridge.expression(coalesce(col(blobCol),
+        typedLit(Array.emptyByteArray)))))
+    df.withColumn("_dec", d)
+      .withColumn(charsetOut, col("_dec.charset"))
+      .withColumn(textOut, col("_dec.text"))
+      .drop("_dec")
   }
 
   /** Mojibake repair stage ([[graft.codec.CharsetCodec.fixMojibake]]):

@@ -239,8 +239,9 @@ class CharsetCodecSpec extends SparkSpec {
       (2L, CharsetCodec.encode("cp1252 € “q”", "windows-1252")),
       (3L, CharsetCodec.encode("<meta charset=latin-1>résumé", "iso-8859-1")),
       (4L, null))
-    val got = graft.operators.TextOps
+    val decoded = graft.operators.TextOps
       .decodeCharset(rows.toDF("id", "blob"), "blob", "cs", "t")
+    val got = decoded
       .select("id", "cs", "t").as[(Long, String, String)]
       .collect().sortBy(_._1).toSeq
     assert(got == Seq(
@@ -249,5 +250,13 @@ class CharsetCodecSpec extends SparkSpec {
       (2L, "windows-1252", "cp1252 € “q”"),
       (3L, "iso-8859-1", "<meta charset=latin-1>résumé"),
       (4L, "utf-8", "")))
+    // columnar posture: the gate runs over EVERY crawled document and
+    // must stay inside the columnar pipeline, not an RDD hop (on this
+    // tiny local relation Catalyst may even constant-fold the whole
+    // decode at plan time — LocalTableScan — which is the strongest
+    // form of "not an RDD hop")
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      s"decodeCharset must stay columnar, plan was:\n$plan")
   }
 }

@@ -81,6 +81,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_hll_bucket_rho(key)")
         HllBucketRho(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_charset_decode"),
+      info(classOf[CharsetDecodeExpr], "graft_charset_decode",
+        "graft_charset_decode(blob) - charset sniff + strict decode: " +
+          "struct(charset, text); 'unknown' = quarantine verdict"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_charset_decode(blob)")
+        CharsetDecodeExpr(args(0))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_blocklist_counts"),
       info(classOf[BlocklistCountsExpr], "graft_blocklist_counts",
         "graft_blocklist_counts(text, array('p1', ...)[, fold_case]) - per-pattern " +

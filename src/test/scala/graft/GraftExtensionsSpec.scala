@@ -50,6 +50,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.isNullAt(2))
   }
 
+  test("graft_charset_decode resolves in SQL: label + text, unknown verdict") {
+    val r = session.sql(
+      "SELECT graft_charset_decode(CAST('plain ascii' AS BINARY)) AS d")
+      .select("d.charset", "d.text").head
+    assert(r.getString(0) == "utf-8" && r.getString(1) == "plain ascii")
+    // a dense non-UTF-8 payload without a label quarantines in SQL too
+    import spark.implicits._
+    val sjis = graft.codec.CharsetCodec.encode("日本語のテスト文書です。東京都渋谷区", "shift_jis")
+    val v = Seq(Tuple1(sjis)).toDF("b").createOrReplaceTempView("sjis_v")
+    val r2 = session.sql("SELECT graft_charset_decode(b) AS d FROM sjis_v")
+      .select("d.charset").head
+    assert(r2.getString(0) == "unknown")
+  }
+
   test("graft_hll_bucket_rho resolves in SQL and matches the Scala surface") {
     val row = session.sql(
       "SELECT graft_hll_bucket_rho('doc-body-42').bucket AS b, " +

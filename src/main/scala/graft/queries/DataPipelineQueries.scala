@@ -2084,6 +2084,29 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
+    // ── The ANCHORED char-run variant in the registry (rows-only: no
+    //    SQL engine replays winnowing) — per exact-coverage decile, the
+    //    exact vs anchored covered-char mass and the envelope check the
+    //    spec pins (anchored ≤ exact on every doc, by construction).
+    //    Deterministic: minimizer selection is md5-content-determined. ──
+    QueryDef.rowsOnly("dedup_char_anchored") {
+      (s, d) =>
+        val exact = TextOps.charRunCoverage(Tables.documents(s, d), "doc_id", "text", k = 20)
+          .select(col("doc"), col("covered_chars").as("exact_cov"),
+            col("covered_frac").as("ef"))
+        val anch = TextOps.charRunCoverageAnchored(
+          Tables.documents(s, d), "doc_id", "text", k = 20, w = 4)
+          .select(col("doc"), col("covered_chars").as("anch_cov"))
+        exact.join(anch, Seq("doc"))
+          .groupBy(floor(col("ef") * 10).cast("long").as("decile"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("exact_cov").cast("long").as("exact_covered"),
+            sum("anch_cov").cast("long").as("anchored_covered"),
+            sum(when(col("anch_cov") > col("exact_cov"), 1L).otherwise(0L))
+              .cast("long").as("envelope_violations"))
+          .orderBy("decile")
+    },
+
     // ── Fixed-budget per-source sample: at most 20 docs per source, the
     //    first 20 of each group in md5-of-key order (deterministic,
     //    engine-reproducible). Spark runs it through the bounded-collect

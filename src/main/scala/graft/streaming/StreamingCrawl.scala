@@ -46,6 +46,17 @@ object StreamingCrawl {
     * is localCheckpoint'ed; the caller unpersists it when the batch is
     * done.
     *
+    * REDIRECTS (with `statusCol` set): rows whose HTTP status is 3xx
+    * are the `redirect` outcome — a redirect response is not content,
+    * so it never reaches robots, dedup, the seen ledger, or the WARC
+    * shards; its `Location` target (from `locationCol`, when given)
+    * surfaces CANONICALIZED in the `redirect_to` column — the feed
+    * the frontier loop enqueues next (the batch-side
+    * [[graft.operators.Redirects.resolve]] is the offline analogue).
+    * Relative/invalid targets canonicalize to null and still carry
+    * the `redirect` outcome. Re-fetching a redirect source never
+    * reads `duplicate` — the source URL was never admitted.
+    *
     * POLITENESS (with `delays` set — the [[Robots.selectDelay]] output
     * `(domain, delay_ms)`): admitted fetches get a per-host dispatch
     * time on a logical millisecond clock. Within the batch, a host's
@@ -63,7 +74,9 @@ object StreamingCrawl {
                    blobCol: String, rules: DataFrame, agent: String,
                    ledgerDir: String, shardDir: Option[String] = None,
                    nShards: Int = 4, delays: Option[DataFrame] = None,
-                   defaultDelayMs: Long = 1000L): DataFrame = {
+                   defaultDelayMs: Long = 1000L,
+                   statusCol: Option[String] = None,
+                   locationCol: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     import spark.implicits._
@@ -74,11 +87,25 @@ object StreamingCrawl {
       .withColumn("path", regexp_extract(col("canonical"), hostPath, 2))
       .localCheckpoint()
     val nullMs = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
     def outcome(df: DataFrame, o: String) =
       df.select(col(idCol), col(urlCol), col("canonical"), col("domain"),
-        lit(o).as("outcome"), nullMs.as("delay_ms"), nullMs.as("fetch_at_ms"))
+        lit(o).as("outcome"), nullMs.as("delay_ms"), nullMs.as("fetch_at_ms"),
+        nullS.as("redirect_to"))
     val invalid = outcome(b.filter(col("canonical").isNull), "invalid")
-    val valid = b.filter(col("canonical").isNotNull)
+    val valid0 = b.filter(col("canonical").isNotNull)
+    // 3xx responses: not content — outcome rows carrying the canonical
+    // target for the frontier loop, excluded from everything below
+    val isRedirect = statusCol
+      .map(sc => col(sc).isNotNull && col(sc) >= 300 && col(sc) <= 399)
+      .getOrElse(lit(false))
+    val redirected = valid0.filter(isRedirect)
+      .select(col(idCol), col(urlCol), col("canonical"), col("domain"),
+        lit("redirect").as("outcome"), nullMs.as("delay_ms"),
+        nullMs.as("fetch_at_ms"),
+        locationCol.map(lc => TextOps.urlCanonicalize(col(lc)))
+          .getOrElse(nullS).as("redirect_to"))
+    val valid = valid0.filter(!isRedirect)
     // robots verdicts on a slim (id, domain, path) frame; join back by id
     val verdicts = Robots.evaluate(
       valid.select(col(idCol), col("domain"), col("path")), rules, agent)
@@ -142,10 +169,12 @@ object StreamingCrawl {
           .write.mode("overwrite").partitionBy("batch").parquet(s"$ledgerDir/hosts")
         (sched.select(col(idCol), col(urlCol), col("canonical"), col("domain"),
           lit("admitted").as("outcome"), col("_delay").as("delay_ms"),
-          (col("_base") + col("_slot") * col("_delay")).as("fetch_at_ms")),
+          (col("_base") + col("_slot") * col("_delay")).as("fetch_at_ms"),
+          nullS.as("redirect_to")),
           Some(sched))
     }
     val out = invalid
+      .unionByName(redirected)
       .unionByName(blocked)
       .unionByName(outcome(batchDups.unionByName(crossDups), "duplicate"))
       .unionByName(admittedOut)
@@ -194,12 +223,15 @@ object StreamingCrawl {
              rules: DataFrame, agent: String, ledgerDir: String, outDir: String,
              checkpointDir: String, shardDir: Option[String] = None,
              nShards: Int = 4, delays: Option[DataFrame] = None,
-             defaultDelayMs: Long = 1000L): StreamingQuery =
+             defaultDelayMs: Long = 1000L,
+             statusCol: Option[String] = None,
+             locationCol: Option[String] = None): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val o = processBatch(batch, batchId, idCol, urlCol, blobCol, rules, agent,
-          ledgerDir, shardDir, nShards, delays, defaultDelayMs)
+          ledgerDir, shardDir, nShards, delays, defaultDelayMs,
+          statusCol, locationCol)
         o.withColumn("batch", lit(batchId))
           .write.mode("overwrite").partitionBy("batch").parquet(outDir)
         o.unpersist(blocking = false)

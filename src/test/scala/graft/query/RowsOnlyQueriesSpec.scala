@@ -30,8 +30,21 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "engine_jsonl_quarantine", "engine_stream_drift",
       "engine_stream_corpus", "text_score_percentiles_approx",
       "text_heavyhitters_sketch", "engine_stream_media", "engine_stream_web",
-      "engine_stream_prefix"),
+      "engine_stream_prefix", "dedup_char_anchored"),
       "a new rows-only query was registered without a pin in this spec")
+  }
+
+  test("dedup_char_anchored: a strict lower envelope of the exact char-run coverage") {
+    val df = run("dedup_char_anchored")
+    assert(df.columns.toSeq == Seq("decile", "n_docs", "exact_covered",
+      "anchored_covered", "envelope_violations"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(4) == 0L),
+      "anchored coverage exceeded exact on some doc — the winnowing envelope broke")
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(2)))
+    val (e, a) = (rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(a * 10 >= e * 5, s"anchored mass $a should stay a usable fraction of exact $e")
   }
 
   test("engine_stream_prefix: the arithmetic fixture's exact survivor sets") {

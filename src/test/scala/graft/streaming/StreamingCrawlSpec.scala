@@ -216,6 +216,45 @@ class StreamingCrawlSpec extends SparkSpec {
     m2.unpersist(false)
   }
 
+  test("redirects: 3xx rows never admit, targets canonicalize for the frontier") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    val ledger = tmpDir("graft-scrawl-redir")
+    val schema2 = schema
+      .add(StructField("status", IntegerType, nullable = true))
+      .add(StructField("location", StringType, nullable = true))
+    def df2(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema2)
+    val b0 = df2(Seq(
+      Row(1L, "http://a.org/old", page("moved"), 301,
+        "HTTP://A.ORG:80/new?b=2&a=1#frag"), // target canonicalizes
+      Row(2L, "http://a.org/tmp", page("tmp"), 302, null), // no Location
+      Row(3L, "http://a.org/page", page("content"), 200, null),
+      Row(4L, "http://a.org/private/x", page("blocked"), 200, null)))
+    val m0 = StreamingCrawl.processBatch(b0, 0L, "id", "url", "blob",
+      rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    val rows = m0.collect().map(r =>
+      r.getLong(0) -> ((r.getString(4), Option(r.getString(7))))).toMap
+    m0.unpersist(false)
+    assert(rows(1L) == (("redirect", Some("http://a.org/new?a=1&b=2"))),
+      "the Location target canonicalizes for the frontier")
+    assert(rows(2L) == (("redirect", None)), "a missing Location still classifies")
+    assert(rows(3L)._1 == "admitted" && rows(4L)._1 == "robots_blocked")
+    // redirect sources never touched the seen ledger: a re-fetch is
+    // still a redirect, and the TARGET fetched later admits normally
+    val b1 = df2(Seq(
+      Row(11L, "http://a.org/old", page("moved again"), 301, "http://a.org/new?a=1&b=2"),
+      Row(12L, "http://a.org/new?a=1&b=2", page("the target"), 200, null)))
+    val m1 = StreamingCrawl.processBatch(b1, 1L, "id", "url", "blob",
+      rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    val r1 = m1.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    m1.unpersist(false)
+    assert(r1 == Map(11L -> "redirect", 12L -> "admitted"),
+      "re-fetched redirect stays redirect (never duplicate); the target admits")
+  }
+
   test("attach: MemoryStream wiring lands batch-partitioned outcomes") {
     val ledger = tmpDir("graft-scrawl-l2")
     val out = tmpDir("graft-scrawl-o2")

@@ -741,6 +741,76 @@ object WebQueries {
               lit(0L), (acc, x) => acc + x).as("pri_decis"))
           .orderBy("domain")
     },
+    // ── Sitemap INDEX files — the nesting layer large sites actually
+    //    publish (sitemaps.org: a <sitemapindex> of <sitemap><loc>
+    //    children, each a urlset): the engine parses the INDEX with
+    //    the same leaf extractor, follows every child loc (the fetch
+    //    step a crawler does — here the child builds deterministically
+    //    from its identity), parses each child urlset, and rolls up
+    //    per domain: child count, total URLs, the URL list hash in
+    //    (child, position) order, and the index-level freshest
+    //    lastmod. The oracle replays both layers arithmetically —
+    //    a child dropped by the index parse or a URL dropped by the
+    //    child parse moves two integers and the hash. ──
+    QueryDef.sql(
+      "web_sitemap_index",
+      """WITH m AS (SELECT DISTINCT doc_id % 50 AS m FROM documents),
+        |sm AS (SELECT m, unnest(range(0, 1 + m % 3)) AS j FROM m),
+        |urls AS (SELECT m, j, unnest(range(0, 2 + (m + j) % 4)) AS i FROM sm),
+        |u AS (SELECT m, j, i,
+        |        'https://d' || m || '.example.com/c' || j || '/p' || i AS loc FROM urls),
+        |lm AS (SELECT m, CAST(count(*) AS BIGINT) AS n_sitemaps,
+        |         max('2026-02-' || lpad(CAST((m + j) % 28 + 1 AS VARCHAR), 2, '0')) AS max_lastmod
+        |       FROM sm GROUP BY m)
+        |SELECT 'd' || u.m || '.example.com' AS domain, lm.n_sitemaps,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  md5(string_agg(loc, chr(10) ORDER BY j, i)) AS locs_md5,
+        |  lm.max_lastmod
+        |FROM u JOIN lm ON u.m = lm.m
+        |GROUP BY 1, lm.n_sitemaps, lm.max_lastmod ORDER BY domain""".stripMargin) {
+      (s, d) =>
+        val mS = col("m").cast("string")
+        val doms = Tables.documents(s, d)
+          .select(pmod(col("doc_id"), lit(50)).cast("long").as("m")).distinct()
+        val idx = doms.select(col("m"), concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          array_join(transform(sequence(lit(0L), pmod(col("m"), lit(3))),
+            j => concat(lit("<sitemap><loc>https://d"), mS,
+              lit(".example.com/sm_"), j.cast("string"),
+              lit(".xml</loc><lastmod>2026-02-"),
+              lpad((pmod(col("m") + j, lit(28)) + 1).cast("string"), 2, "0"),
+              lit("</lastmod></sitemap>"))), ""),
+          lit("</sitemapindex>")).as("xml"))
+        val perDomain = idx.select(col("m"),
+          size(TextOps.xmlTagValues(col("xml"), "loc")).cast("long").as("n_sitemaps"),
+          array_max(TextOps.xmlTagValues(col("xml"), "lastmod")).as("max_lastmod"))
+        // follow every child loc the INDEX parse surfaced
+        val kids = idx.select(col("m"),
+            explode(TextOps.xmlTagValues(col("xml"), "loc")).as("smloc"))
+          .withColumn("j", regexp_extract(col("smloc"), "/sm_(\\d+)\\.xml$", 1).cast("long"))
+        val childXml = kids.select(col("m"), col("j"), concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          array_join(transform(
+            sequence(lit(0L), pmod(col("m") + col("j"), lit(4)) + 1),
+            i => concat(lit("<url><loc>https://d"), mS, lit(".example.com/c"),
+              col("j").cast("string"), lit("/p"), i.cast("string"),
+              lit("</loc></url>"))), ""),
+          lit("</urlset>")).as("xml"))
+        val childUrls = childXml.select(col("m"), col("j"),
+          posexplode(TextOps.xmlTagValues(col("xml"), "loc")).as(Seq("i", "loc")))
+        childUrls
+          .groupBy("m")
+          .agg(count(lit(1)).cast("long").as("n_urls"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("j"), col("i"), col("loc")))),
+              x => x.getField("loc")), "\n").cast("binary")).as("locs_md5"))
+          .join(perDomain, Seq("m"))
+          .select(concat(lit("d"), mS, lit(".example.com")).as("domain"),
+            col("n_sitemaps"), col("n_urls"), col("locs_md5"), col("max_lastmod"))
+          .orderBy("domain")
+    },
     // ── Anchor-text rollup — the signal htmlLinks loses: what the web
     //    CALLS a page belongs to the TARGET document (ranking/training
     //    signal), and it only exists at markup level — after tag strip

@@ -211,7 +211,11 @@ object WinnowImpl {
   * run of ≥ k + w − 1 chars shares at least one minimizer. Null when
   * the text has no k-gram. */
 case class CharMinimizers(child: Expression, k: Int, w: Int) extends UnaryExpression {
-  require(k >= 2 && w >= 1, s"k >= 2, w >= 1 (got k=$k w=$w)")
+  // w <= k is the merge precondition of charRunCoverageAnchored: consecutive
+  // in-run anchors sit <= k apart only then, so the span-union fold keeps one
+  // region per shared run. With w > k a single run can split into disjoint
+  // regions and under-report coverage beyond the documented w-1 edge slack.
+  require(k >= 2 && w >= 1 && w <= k, s"k >= 2, 1 <= w <= k (got k=$k w=$w)")
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("pos", IntegerType, nullable = false),

@@ -72,11 +72,23 @@ object TextSources {
     * a later decode pass (a new charset table, a better detector) can
     * re-enter them; parquet, not text, because the payloads are by
     * definition not text yet. Splits the decoded frame on the verdict
-    * column: (clean rows, quarantined raw rows written to `dir`). */
+    * column: (clean rows, quarantined raw rows written to `dir`).
+    *
+    * The sink ACCUMULATES across invocations (the audit trail is the
+    * point): with a non-empty `runId` each run overwrites only its own
+    * `run=<id>` partition (replay-idempotent — a retried batch lands on
+    * the same partition); with the default empty id the write appends,
+    * so a retried batch may duplicate raw rows — callers with replay
+    * semantics should pass the batch/run id. Callers should also cache
+    * or checkpoint `decoded` before splitting, otherwise the decode
+    * lineage evaluates twice (once for the sink, once for the returned
+    * clean frame). */
   def splitCharsetQuarantine(decoded: DataFrame, dir: String,
-                             charsetCol: String = "charset"): DataFrame = {
-    decoded.filter(col(charsetCol) === "unknown")
-      .write.mode("overwrite").parquet(dir)
+                             charsetCol: String = "charset",
+                             runId: String = ""): DataFrame = {
+    val bad = decoded.filter(col(charsetCol) === "unknown")
+    if (runId.nonEmpty) bad.write.mode("overwrite").parquet(s"$dir/run=$runId")
+    else bad.write.mode("append").parquet(dir)
     decoded.filter(col(charsetCol) =!= "unknown")
   }
 }

@@ -63,4 +63,22 @@ class TextSourcesSpec extends SparkSpec {
       CharsetCodec.encode("日本語のテスト文書です。東京都渋谷区", "shift_jis").toSeq,
       "raw bytes survive byte-identical for a later decode pass")
   }
+
+  test("charset quarantine sink ACCUMULATES: per-run overwrite is replay-idempotent, runs add up") {
+    import graft.codec.CharsetCodec
+    // Unlabeled dense single-byte Cyrillic: every single-byte charset decodes
+    // every byte, so no content detector can single one out — stays unknown.
+    def frame(id: Long) = Seq((id, CharsetCodec.encode("данные и ещё данные плюс текст", "koi8-r")))
+      .toDF("doc_id", "payload") // 30 bytes, clears the 16-byte density floor
+    val qdir = tmpDir("charset-quar-runs")
+    val d1 = graft.operators.TextOps.decodeCharset(frame(1L), "payload")
+    TextSources.splitCharsetQuarantine(d1, qdir, runId = "b1")
+    TextSources.splitCharsetQuarantine(d1, qdir, runId = "b1") // replay: same run, no duplicate
+    val d2 = graft.operators.TextOps.decodeCharset(frame(2L), "payload")
+    TextSources.splitCharsetQuarantine(d2, qdir, runId = "b2") // second run accumulates
+    val back = spark.read.parquet(qdir)
+    assert(d1.filter(col("charset") === "unknown").count() == 1L)
+    assert(back.count() == 2L,
+      "replayed run overwrote its own partition; distinct runs accumulated")
+  }
 }

@@ -23,12 +23,14 @@ package graft.codec
   *   4. else single-byte vs multi-byte triage: when ≥ 25% of the bytes
   *      are high (0x80-0xFF) on a payload of at least 16 bytes, the
   *      page cannot plausibly be Latin text (accents run a few
-  *      percent; double-byte CJK runs ≥ 50%) and WHICH double-byte
-  *      charset it is cannot be told apart reliably from bare bytes —
-  *      `unknown`, quarantine. Below the density bar (or too short
-  *      for density to be a statistic): any byte in 0x80-0x9F (C1
-  *      controls no text uses, but windows-1252's printable block) ⇒
-  *      windows-1252, otherwise iso-8859-1.
+  *      percent; double-byte CJK runs ≥ 50%) — content detection
+  *      ([[detectMultiByte]]: strict-decode sweep + language-signal
+  *      plausibility, accept iff exactly one family passes) recovers
+  *      the unambiguous CJK pages; the rest is `unknown`, quarantine.
+  *      Below the density bar (or too short for density to be a
+  *      statistic): any byte in 0x80-0x9F (C1 controls no text uses,
+  *      but windows-1252's printable block) ⇒ windows-1252, otherwise
+  *      iso-8859-1.
   *
   * Legacy CJK — shift_jis (JDK windows-31j, the MS932 superset real
   * pages use, per WHATWG), gbk (superset of gb2312), euc-kr, big5,
@@ -175,6 +177,123 @@ object CharsetCodec {
       case _                                                      => None
     }
 
+  // ── Content-based multi-byte detection ────────────────────────────
+  //
+  // The recovery pass for payloads with NO usable declaration (or a
+  // declared CJK label whose bytes fail strict validation): strict-
+  // decode the payload under every multi-byte family and accept iff
+  // EXACTLY ONE candidate both validates and reads as plausible text
+  // of that family's script. Strict validity alone is NOT a detector —
+  // two measured false-positive channels force the plausibility gate:
+  //   * KOI8-R Cyrillic bytes live in 0xC0-0xDF, which shift_jis reads
+  //     as a run of VALID single-byte half-width katakana — a naive
+  //     exactly-one-validates sweep would decode Russian pages as kana
+  //     soup (pinned in CharsetCodecSpec);
+  //   * the EUC-style families (gbk / euc-kr / euc-jp / big5) are
+  //     mutually byte-compatible over their 0xA1-0xFE × trail grids,
+  //     so foreign bytes decode into random-looking Han "soup" that a
+  //     script-range check alone calls plausible Chinese.
+  // The gate therefore demands the LANGUAGE's own signal, not just the
+  // script's: real Japanese is kana-dominated, real Korean is Hangul-
+  // syllable-dominated, and real Chinese concentrates on a small head
+  // of high-frequency characters (the top-~130 cover >40% of running
+  // text per the public Modern-Chinese frequency lists, while Han soup
+  // from cross-decoding hits that head at ~0.5%). All thresholds are
+  // integer arithmetic — deterministic across JVMs.
+  private[codec] val MultiByteFamilies: Seq[String] =
+    Seq("shift_jis", "euc-jp", "gbk", "big5", "euc-kr")
+
+  /** Highest-frequency simplified-Chinese characters (public corpus
+    * frequency lists); membership, not order, is what the detector
+    * uses, so any standard top-~130 head works. */
+  private val ZhTopSimplified: Set[Char] =
+    ("的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年得就那要下以生会自着去之过家学对可她里后小么心多天而能" +
+     "好都然没日于起还发成事只作当想看文无开手十用主行方又如前所本见经头面公同三已老从动两长知民样现分将外但身些与高意进" +
+     "此法把被电").toSet
+
+  /** Traditional-Chinese twin of [[ZhTopSimplified]]. */
+  private val ZhTopTraditional: Set[Char] =
+    ("的一是不了人我在有他這中大來上國個到說們為子和你地出道也時年得就那要下以生會自著去之過家學對可她裡後小麼心多天而能" +
+     "好都然沒日於起還發成事只作當想看文無開手十用主行方又如前所本見經頭面公同三已老從動兩長知民樣現分將外但身些與高意進" +
+     "此法把被電").toSet
+
+  private def isHan(c: Char): Boolean =
+    (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF)
+  private def isKana(c: Char): Boolean =
+    (c >= 0x3041 && c <= 0x3096) || (c >= 0x30A1 && c <= 0x30FA) || c == 0x30FC
+  private def isHangulSyl(c: Char): Boolean = c >= 0xAC00 && c <= 0xD7A3
+  private def isJamo(c: Char): Boolean =
+    (c >= 0x1100 && c <= 0x11FF) || (c >= 0x3131 && c <= 0x318E)
+  private def isHalfKana(c: Char): Boolean = c >= 0xFF61 && c <= 0xFF9F
+  private def isCjkPunct(c: Char): Boolean =
+    (c >= 0x3000 && c <= 0x303F) || (c >= 0xFF00 && c <= 0xFFEF) ||
+    (c >= 0x2010 && c <= 0x2027) || (c >= 0x2030 && c <= 0x205E) ||
+    (c >= 0x25A0 && c <= 0x25FF) || (c >= 0x2500 && c <= 0x257F)
+
+  /** Does strictly-decoded `t` read as plausible text of `family`'s
+    * language? Every non-ASCII char must sit in the family's allowed
+    * blocks (native scripts + CJK punctuation/width forms — one char
+    * of Cyrillic-via-GBK or the like rejects), at least 8 non-ASCII
+    * chars must exist (below that no statistic is defensible), and the
+    * language signal must hold: kana ≥ 25% of non-ASCII for Japanese,
+    * Hangul syllables ≥ 60% for Korean (syllables, not bare jamo —
+    * EUC-JP kana mis-decoded through EUC-KR lands in the jamo rows),
+    * and for Chinese ≥ 8 Han chars of which ≥ 10% are top-frequency
+    * (simplified head for gbk, traditional for big5). */
+  private def plausibleScript(family: String, t: String): Boolean = {
+    var nonAscii = 0; var kana = 0; var hangul = 0; var han = 0; var topHit = 0
+    val top = family match {
+      case "gbk" => ZhTopSimplified
+      case "big5" => ZhTopTraditional
+      case _ => null
+    }
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c >= 0x80) {
+        nonAscii += 1
+        val h = isHan(c); val k = isKana(c); val hs = isHangulSyl(c)
+        val ok = family match {
+          case "shift_jis" | "euc-jp" => h || k || isHalfKana(c) || isCjkPunct(c)
+          case "euc-kr"               => h || hs || isJamo(c) || isCjkPunct(c)
+          case _                      => h || isCjkPunct(c)
+        }
+        if (!ok) return false
+        if (h) { han += 1; if (top != null && top.contains(c)) topHit += 1 }
+        if (k) kana += 1
+        if (hs) hangul += 1
+      }
+      i += 1
+    }
+    if (nonAscii < 8) false
+    else family match {
+      case "shift_jis" | "euc-jp" => 4 * kana >= nonAscii
+      case "euc-kr"               => 5 * hangul >= 3 * nonAscii
+      case _                      => han >= 8 && 10 * topHit >= han
+    }
+  }
+
+  /** Content-based charset detection: Some(family) iff exactly one
+    * multi-byte family strictly validates AND passes the plausibility
+    * gate; ties and misses stay None — there is deliberately no
+    * best-effort channel, because the caller's alternative (`unknown`
+    * + raw-byte quarantine) is recoverable and a wrong charset is
+    * not. */
+  def detectMultiByte(b: Array[Byte]): Option[String] = {
+    var found: String = null
+    val it = MultiByteFamilies.iterator
+    while (it.hasNext) {
+      val cs = it.next()
+      strictLegacyDecode(b, cs) match {
+        case Some(t) if plausibleScript(cs, t) =>
+          if (found != null) return None // ambiguous: quarantine honestly
+          found = cs
+        case _ =>
+      }
+    }
+    Option(found)
+  }
+
   private val MetaCharset =
     "(?is)<meta[^>]{0,512}?charset\\s*=\\s*['\"]?\\s*([a-z0-9_:\\-]+)".r
 
@@ -209,36 +328,53 @@ object CharsetCodec {
 
   /** Detected charset label for a payload (sniff only, no decode).
     * `hint` is a transport-layer declaration — raw or already
-    * canonical, both normalize here: BOM > hint > meta > heuristic.
-    * Verdicts beyond the decodable labels: a DECLARED label the alias
-    * table does not recognize is honored as "we cannot decode this" —
-    * `unknown` — unless the bytes independently validate as strict
-    * UTF-8 (garbage labels on genuine UTF-8 pages are common; the
-    * validation, not the label, earns the utf-8 verdict). With no
-    * declaration at all, a non-UTF-8 payload whose high-byte density
-    * reaches 25% is multi-byte legacy text of SOME kind (Latin accents
-    * run a few percent) that bare bytes cannot attribute to one CJK
-    * charset — `unknown` — while sparse high bytes take the
-    * windows-1252 / latin-1 split as before. */
+    * canonical, both normalize here: BOM > hint > meta > heuristic,
+    * where an unrecognized transport label falls through to a
+    * recognized meta declaration rather than shadowing it (an invalid
+    * label is no label, per WHATWG). Verdicts beyond the recognized
+    * labels: bytes that validate as strict UTF-8 earn utf-8 (garbage
+    * labels on genuine UTF-8 pages are common); otherwise content
+    * detection ([[detectMultiByte]]) gets one shot — both when every
+    * declared label was unrecognized and when there was no declaration
+    * but the high-byte density reaches 25% on ≥ 16 bytes (multi-byte
+    * legacy text of SOME kind). Detection accepts only an UNAMBIGUOUS,
+    * script-plausible family; everything else keeps the `unknown`
+    * quarantine verdict. Sparse high bytes with no declaration take
+    * the windows-1252 / latin-1 split as before. */
   def sniff(b: Array[Byte], hint: Option[String] = None): String =
     if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte) "utf-8"
     else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) "utf-16le"
     else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) "utf-16be"
-    else hint.orElse(metaLabelRaw(b)) match {
-      case Some(raw) => normalizeLabel(raw).getOrElse(
-        if (isValidUtf8(b)) "utf-8" else "unknown")
-      case None =>
-        if (isValidUtf8(b)) "utf-8"
-        else {
-          // density triage needs enough bytes to be a statistic — under
-          // 16 the Latin split is the only defensible guess
-          var hi = 0
-          var i = 0
-          while (i < b.length) { if ((b(i) & 0xFF) >= 0x80) hi += 1; i += 1 }
-          if (b.length >= 16 && 4L * hi >= b.length) "unknown"
-          else if (b.exists(x => (x & 0xFF) >= 0x80 && (x & 0xFF) <= 0x9F)) "windows-1252"
-          else "iso-8859-1"
-        }
+    else {
+      val meta = metaLabelRaw(b)
+      // transport label outranks meta, but an UNRECOGNIZED transport
+      // label falls through to a recognized meta declaration (WHATWG:
+      // an invalid label is no label) instead of shadowing it
+      hint.flatMap(normalizeLabel).orElse(meta.flatMap(normalizeLabel)) match {
+        case Some(cs) => cs
+        case None =>
+          if (isValidUtf8(b)) "utf-8"
+          else if (hint.isDefined || meta.isDefined)
+            // a declaration existed but nothing recognized it and the
+            // bytes are not UTF-8: content detection is the last
+            // chance before quarantine
+            detectMultiByte(b).getOrElse("unknown")
+          else {
+            // density triage needs enough bytes to be a statistic — under
+            // 16 the Latin split is the only defensible guess
+            var hi = 0
+            var i = 0
+            while (i < b.length) { if ((b(i) & 0xFF) >= 0x80) hi += 1; i += 1 }
+            if (b.length >= 16 && 4L * hi >= b.length)
+              // dense multi-byte payload with no declaration at all:
+              // the detection sweep recovers the unambiguous CJK pages
+              // (the bulk of the old quarantine bucket); ambiguous or
+              // implausible payloads keep the unknown verdict
+              detectMultiByte(b).getOrElse("unknown")
+            else if (b.exists(x => (x & 0xFF) >= 0x80 && (x & 0xFF) <= 0x9F)) "windows-1252"
+            else "iso-8859-1"
+          }
+      }
     }
 
   private def decodeSingleByte(b: Array[Byte], cp1252: Boolean): String = {
@@ -281,7 +417,19 @@ object CharsetCodec {
     val cs = sniff(b, hint)
     if (cs == "unknown") ("unknown", "")
     else if (LegacyJdk.contains(cs))
-      strictLegacyDecode(b, cs).map((cs, _)).getOrElse(("unknown", ""))
+      strictLegacyDecode(b, cs) match {
+        case Some(t) => (cs, t)
+        case None =>
+          // declared legacy label whose bytes fail strict validation:
+          // mislabeled pages (gb2312-labeled big5, sjis-labeled euc-jp)
+          // are common enough that detection gets one shot before the
+          // quarantine verdict — same exactly-one-plausible bar as the
+          // unlabeled path, so no new false-positive channel opens
+          detectMultiByte(b) match {
+            case Some(d) => (d, strictLegacyDecode(b, d).get)
+            case None    => ("unknown", "")
+          }
+      }
     else (cs, decodeAs(b, cs))
   }
 

@@ -10,10 +10,14 @@ import java.io.ByteArrayOutputStream
   * `Content-Encoding` token that was applied — "identity" when none;
   * "gzip"/"deflate" mean `body` holds the DECODED payload (real HTTP
   * responses are overwhelmingly gzip-coded, and handing coded bytes to
-  * the charset gate would mojibake-classify every one); any OTHER
-  * token (br, compress, multi-coding lists) means `body` is still
-  * coded — callers route those to quarantine rather than decode text
-  * from compressed bytes. `wireBodyBytes` is the framed body size
+  * the charset gate would mojibake-classify every one); "br" means
+  * decoded when the optional brotli runtime backs commons-compress on
+  * this classpath ([[HttpCodec.brotliAvailable]]) and still-coded
+  * otherwise; any OTHER token (compress, multi-coding lists — and br
+  * without its runtime) means `body` is still coded — callers route
+  * those to quarantine or count them as dropped mass rather than
+  * decode text from compressed bytes. `wireBodyBytes` is the framed
+  * body size
   * before content-decoding (== body.length under identity) — the
   * wire-vs-decoded accounting the transcode queries report. */
 final case class HttpResponse(
@@ -105,11 +109,18 @@ object HttpCodec {
   }
 
   /** Undo one `Content-Encoding` layer on the framed body. gzip /
-    * x-gzip decode through [[GzipCodec.gunzipMember]] (one member that
-    * must consume the whole framed body — CRC+ISIZE checked); deflate
-    * tries the RFC 9110 zlib wrapper first and falls back to a raw
-    * deflate stream (the historically common server bug browsers also
-    * tolerate). A declared gzip/deflate body that fails to decode is a
+    * x-gzip decode through [[GzipCodec.gunzipMember]] — looped over
+    * SUCCESSIVE members until the framed body is consumed, because a
+    * gzip body is legally a series of concatenated members (RFC 1952
+    * §2.2; flush-per-chunk servers emit several and browsers decode
+    * them all), each member CRC+ISIZE checked; deflate tries the
+    * RFC 9110 zlib wrapper first and falls back to a raw deflate
+    * stream (the historically common server bug browsers also
+    * tolerate); br decodes through commons-compress when the brotli
+    * runtime is on the classpath ([[brotliAvailable]]) and otherwise
+    * passes through coded with the token recorded, so callers can
+    * count the dropped-brotli mass instead of losing it silently. A
+    * declared gzip/deflate/decodable-br body that fails to decode is a
     * structural violation → None, same never-throw contract as the
     * framing layer. An empty framed body passes through empty (204/304
     * shapes that still carry the header). Unrecognized tokens return
@@ -123,18 +134,48 @@ object HttpCodec {
       case "identity" => Some(("identity", framed))
       case _ if framed.isEmpty => Some((coding, framed))
       case "gzip" | "x-gzip" =>
-        GzipCodec.gunzipMember(framed, 0) match {
-          case Some((data, consumed)) if consumed == framed.length =>
-            Some(("gzip", data))
-          case _ => None
+        val out = new ByteArrayOutputStream(framed.length * 3 + 64)
+        var off = 0
+        while (off < framed.length) {
+          GzipCodec.gunzipMember(framed, off) match {
+            case Some((data, consumed)) =>
+              out.write(data, 0, data.length)
+              off += consumed
+            case None => return None // mid-body garbage or truncated member
+          }
         }
+        Some(("gzip", out.toByteArray))
       case "deflate" =>
         inflate(framed, zlibWrapped = true)
           .orElse(inflate(framed, zlibWrapped = false))
           .map(("deflate", _))
+      case "br" if brotliAvailable =>
+        brotliDecode(framed).map(("br", _))
       case other => Some((other, framed))
     }
   }
+
+  /** Whether a brotli decoder backs commons-compress on this
+    * classpath (the `org.brotli.dec` runtime is optional); checked
+    * once — when absent, `br` bodies pass through coded with the
+    * token recorded and the funnel counts them as dropped mass. */
+  val brotliAvailable: Boolean =
+    try org.apache.commons.compress.compressors.brotli.BrotliUtils
+      .isBrotliCompressionAvailable
+    catch { case _: Throwable => false }
+
+  private def brotliDecode(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new org.apache.commons.compress.compressors.brotli.BrotliCompressorInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val out = new ByteArrayOutputStream(b.length * 3 + 64)
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toByteArray)
+      } finally in.close()
+    } catch { case _: Exception => None } // malformed brotli: structural violation
 
   private def inflate(b: Array[Byte], zlibWrapped: Boolean): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater(!zlibWrapped)

@@ -292,6 +292,86 @@ object WebQueries {
             md5(col("body")).as("body_md5"))
           .orderBy("doc_id")
     },
+    // ── Content-coding FUNNEL accounting — what the wire entry KEEPS
+    //    vs what it DROPS, per Content-Encoding token: identity / gzip
+    //    / deflate bodies decode and pass the charset gate; `br`
+    //    bodies (modern crawls run 30-40% brotli) decode only when the
+    //    optional brotli runtime backs commons-compress — on this
+    //    classpath it does not, so the parser passes them through
+    //    CODED with the token recorded, the funnel drops them AT THE
+    //    TOKEN (compressed bytes must never reach the charset gate —
+    //    short gzip blobs even pass the density bar and mojibake as
+    //    Latin), and THIS query surfaces the dropped mass per token
+    //    instead of letting it vanish: the observability contract
+    //    VERDICT r12 asked for. The br fixture
+    //    bodies are gzip members under a br label — deterministic
+    //    stand-ins for undecodable coded bytes (real brotli cannot be
+    //    built here: no encoder exists even when the decoder does).
+    //    Oracle: pure seed arithmetic — counts and recovered char mass
+    //    replay from the templates; compressed byte sizes never enter
+    //    (never oracle-safe). ──
+    QueryDef.sql(
+      "web_http_coding_funnel",
+      """WITH t AS (SELECT doc_id, doc_id % 4 AS m,
+        |    'Page ' || doc_id || ' the quick data fee is ' || (doc_id % 97) AS txt
+        |  FROM documents)
+        |SELECT CASE m WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+        |    WHEN 2 THEN 'deflate' ELSE 'br' END AS coding,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(CASE WHEN m = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_recovered,
+        |  CAST(sum(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN m = 3 THEN 0 ELSE length(txt) END) AS BIGINT) AS recovered_chars
+        |FROM t GROUP BY 1 ORDER BY coding""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val wire = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val txt = s"Page $id the quick data fee is ${id % 97}"
+            val bytes = txt.getBytes("UTF-8")
+            val hdrs = Seq("Content-Type" -> "text/html")
+            val raw = (id % 4) match {
+              case 0 => graft.codec.HttpCodec.write(200, "OK", hdrs, bytes)
+              case 1 => graft.codec.HttpCodec.write(200, "OK",
+                hdrs :+ ("Content-Encoding" -> "gzip"),
+                graft.codec.GzipCodec.gzipMember(bytes))
+              case 2 =>
+                val dfl = new java.util.zip.Deflater(
+                  java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+                dfl.setInput(bytes); dfl.finish()
+                val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+                val buf = new Array[Byte](8192)
+                while (!dfl.finished()) { val n = dfl.deflate(buf); out.write(buf, 0, n) }
+                dfl.end()
+                graft.codec.HttpCodec.write(200, "OK",
+                  hdrs :+ ("Content-Encoding" -> "deflate"), out.toByteArray)
+              case _ => graft.codec.HttpCodec.write(200, "OK",
+                hdrs :+ ("Content-Encoding" -> "br"),
+                graft.codec.GzipCodec.gzipMember(bytes))
+            }
+            val r = graft.codec.HttpCodec.parse(raw)
+              .getOrElse(sys.error(s"own coded response failed to parse: doc $id"))
+            (id, r.contentCoding, r.body)
+          })
+          .toDF("doc_id", "coding", "payload")
+        // a body the parser could not content-decode is DROPPED at the
+        // coding token, BEFORE the charset gate — compressed bytes must
+        // never reach text sniffing (short gzip blobs can even pass the
+        // density bar and mojibake as Latin); the decodable set is what
+        // this classpath's parser actually decodes
+        val decodable = Seq("identity", "gzip", "deflate") ++
+          (if (graft.codec.HttpCodec.brotliAvailable) Seq("br") else Nil)
+        val kept = col("coding").isin(decodable: _*)
+        TextOps.decodeCharset(wire, "payload", "charset", "t")
+          .groupBy("coding")
+          .agg(count(lit(1)).cast("long").as("n_pages"),
+            sum(when(kept && col("charset") =!= "unknown", 1L).otherwise(0L)).as("n_recovered"),
+            sum(when(!kept || col("charset") === "unknown", 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(kept && col("charset") =!= "unknown", length(col("t")))
+              .otherwise(0L)).cast("long").as("recovered_chars"))
+          .orderBy("coding")
+    },
+
     // ── WARC × HTTP composition — the shape real crawl archives ship:
     //    each WARC response record's payload is the FULL HTTP response
     //    (status line, headers, chunked framing), `Content-Type:
@@ -928,31 +1008,36 @@ object WebQueries {
     },
     // ── Charset front gate — the decode stage between raw HTTP payload
     //    bytes and every text operator: per doc the fixture ENCODES a
-    //    known string into one of eight shapes chosen by doc_id % 8
+    //    known string into one of TWELVE shapes chosen by doc_id % 12
     //    (plain utf-8, BOM'd utf-16le, heuristic-detected windows-1252
-    //    via its 0x80-0x9F block, meta-declared iso-8859-1, and the
-    //    legacy-CJK family: meta-declared shift_jis / gb2312 / euc-kr,
-    //    plus UNLABELED big5 bytes whose high-byte density routes them
-    //    to the `unknown` quarantine verdict — empty text, the raw
-    //    bytes kept for the quarantine sink). The engine's sniff (BOM >
-    //    declared label — with unrecognized labels and dense unlabeled
-    //    multi-byte payloads quarantining — > strict UTF-8 validity >
-    //    C1 heuristic) + strict decode must recover BOTH the label and
-    //    the exact text. Seed-arithmetic doctrine: the oracle never
-    //    touches bytes — it rebuilds the expected decoded string per
-    //    doc and hashes it, so one mis-decoded byte anywhere (a cp1252
-    //    table cell, a BOM not stripped, a meta alias missed, a CJK
-    //    table divergence) breaks that row's hash. ──
+    //    via its 0x80-0x9F block, meta-declared iso-8859-1, the
+    //    meta-declared legacy-CJK family shift_jis / gb2312 / euc-kr,
+    //    and five UNLABELED rows exercising content detection: big5 /
+    //    shift_jis / euc-kr / euc-jp bytes each strictly validate and
+    //    read script-plausible in exactly ONE family and so RECOVER
+    //    their charset and exact text with no declaration at all,
+    //    while dense KOI8-R Cyrillic — valid half-width-katakana
+    //    shift_jis byte-wise, the measured false-positive channel —
+    //    stays quarantined as `unknown`: empty text, raw bytes kept).
+    //    The engine's sniff (BOM > declared label > strict UTF-8
+    //    validity > content detection > C1 heuristic) + strict decode
+    //    must recover BOTH the label and the exact text. Seed-
+    //    arithmetic doctrine: the oracle never touches bytes — it
+    //    rebuilds the expected decoded string per doc and hashes it,
+    //    so one mis-decoded byte anywhere (a cp1252 table cell, a BOM
+    //    not stripped, a meta alias missed, a CJK table divergence, a
+    //    detection threshold drift) breaks that row's hash. ──
     QueryDef.sql(
       "web_charset_decode",
       """SELECT doc_id,
-        |  CASE doc_id % 8 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |  CASE doc_id % 12 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
         |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'iso-8859-1'
         |    WHEN 4 THEN 'shift_jis' WHEN 5 THEN 'gbk' WHEN 6 THEN 'euc-kr'
-        |    ELSE 'unknown' END AS charset,
+        |    WHEN 7 THEN 'big5' WHEN 8 THEN 'shift_jis' WHEN 9 THEN 'euc-kr'
+        |    WHEN 10 THEN 'unknown' ELSE 'euc-jp' END AS charset,
         |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5
         |FROM (SELECT doc_id,
-        |  CASE doc_id % 8
+        |  CASE doc_id % 12
         |    WHEN 0 THEN 'Doc ' || doc_id || ' café déjà — €ok'
         |    WHEN 1 THEN 'Doc ' || doc_id || ' unicode ∑ check ✓'
         |    WHEN 2 THEN 'Doc ' || doc_id || ' price €9 – “quoted”'
@@ -960,7 +1045,11 @@ object WebQueries {
         |    WHEN 4 THEN '<meta charset=shift_jis>Doc ' || doc_id || ' 日本語テスト'
         |    WHEN 5 THEN '<meta charset=gb2312>Doc ' || doc_id || ' 中文测试文档'
         |    WHEN 6 THEN '<meta charset=euc-kr>Doc ' || doc_id || ' 한국어문서'
-        |    ELSE ''
+        |    WHEN 7 THEN 'Doc ' || doc_id || ' 繁體中文測試文件編碼處理'
+        |    WHEN 8 THEN 'Doc ' || doc_id || ' 日本語のテスト文書です'
+        |    WHEN 9 THEN 'Doc ' || doc_id || ' 한국어문서입니다'
+        |    WHEN 10 THEN ''
+        |    ELSE 'Doc ' || doc_id || ' これは日本語の文書です'
         |  END AS t FROM documents)
         |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
@@ -968,7 +1057,7 @@ object WebQueries {
         val payloads = Tables.documents(s, d)
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
-            val (cs, text) = (id % 8) match {
+            val (cs, text) = (id % 12) match {
               case 0 => ("utf-8", s"Doc $id café déjà — €ok")
               case 1 => ("utf-16le", s"Doc $id unicode ∑ check ✓")
               case 2 => ("windows-1252", s"Doc $id price €9 – “quoted”")
@@ -976,9 +1065,14 @@ object WebQueries {
               case 4 => ("shift_jis", s"<meta charset=shift_jis>Doc $id 日本語テスト")
               case 5 => ("gbk", s"<meta charset=gb2312>Doc $id 中文测试文档")
               case 6 => ("euc-kr", s"<meta charset=euc-kr>Doc $id 한국어문서")
-              // UNLABELED big5: the gate cannot and must not guess the
-              // charset — density triage sends it to quarantine
-              case _ => ("big5", s"Doc $id 繁體中文測試文件編碼處理")
+              // UNLABELED rows: 7-9 and 11 content-detect (exactly one
+              // plausible family each); 10 is the pinned-dead false-
+              // positive channel (KOI8-R = byte-valid shift_jis kana)
+              case 7 => ("big5", s"Doc $id 繁體中文測試文件編碼處理")
+              case 8 => ("shift_jis", s"Doc $id 日本語のテスト文書です")
+              case 9 => ("euc-kr", s"Doc $id 한국어문서입니다")
+              case 10 => ("koi8-r", s"Doc $id русский текст без метки")
+              case _ => ("euc-jp", s"Doc $id これは日本語の文書です")
             }
             (id, graft.codec.CharsetCodec.encode(text, cs))
           })
@@ -1040,20 +1134,23 @@ object WebQueries {
     //    gate (real crawls run 15-25% legacy, ~10-15% of it CJK): per
     //    detected charset, page count, wire-byte mass, and the
     //    normalized-utf-8 byte mass the archive becomes — rolled up
-    //    from the same eight-way fixture by one partial-agg groupBy
-    //    (8 output rows at any corpus size, including the quarantined
-    //    `unknown` bucket whose utf-8 mass is zero by construction).
+    //    from the same twelve-way fixture by one partial-agg groupBy
+    //    (10 output rows at any corpus size: the four unlabeled
+    //    content-DETECTED rows fold into their true charsets — the
+    //    recovered mass the detector buys — and the quarantined
+    //    `unknown` bucket keeps utf-8 mass zero by construction).
     //    Wire sizes are charset geometry the oracle replays: 2 bytes
     //    per CJK char in the double-byte charsets, so wire =
     //    char-length + CJK-char-count. ──
     QueryDef.sql(
       "web_charset_profile",
-      """WITH t AS (SELECT doc_id, doc_id % 8 AS m,
-        |  CASE doc_id % 8 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+      """WITH t AS (SELECT doc_id, doc_id % 12 AS m,
+        |  CASE doc_id % 12 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
         |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'iso-8859-1'
         |    WHEN 4 THEN 'shift_jis' WHEN 5 THEN 'gbk' WHEN 6 THEN 'euc-kr'
-        |    ELSE 'unknown' END AS charset,
-        |  CASE doc_id % 8
+        |    WHEN 7 THEN 'big5' WHEN 8 THEN 'shift_jis' WHEN 9 THEN 'euc-kr'
+        |    WHEN 10 THEN 'unknown' ELSE 'euc-jp' END AS charset,
+        |  CASE doc_id % 12
         |    WHEN 0 THEN 'Doc ' || doc_id || ' café déjà — €ok'
         |    WHEN 1 THEN 'Doc ' || doc_id || ' unicode ∑ check ✓'
         |    WHEN 2 THEN 'Doc ' || doc_id || ' price €9 – “quoted”'
@@ -1061,22 +1158,28 @@ object WebQueries {
         |    WHEN 4 THEN '<meta charset=shift_jis>Doc ' || doc_id || ' 日本語テスト'
         |    WHEN 5 THEN '<meta charset=gb2312>Doc ' || doc_id || ' 中文测试文档'
         |    WHEN 6 THEN '<meta charset=euc-kr>Doc ' || doc_id || ' 한국어문서'
-        |    ELSE 'Doc ' || doc_id || ' 繁體中文測試文件編碼處理'
+        |    WHEN 7 THEN 'Doc ' || doc_id || ' 繁體中文測試文件編碼處理'
+        |    WHEN 8 THEN 'Doc ' || doc_id || ' 日本語のテスト文書です'
+        |    WHEN 9 THEN 'Doc ' || doc_id || ' 한국어문서입니다'
+        |    WHEN 10 THEN 'Doc ' || doc_id || ' русский текст без метки'
+        |    ELSE 'Doc ' || doc_id || ' これは日本語の文書です'
         |  END AS txt FROM documents)
         |SELECT charset, CAST(count(*) AS BIGINT) AS n_pages,
         |  CAST(sum(CASE m WHEN 0 THEN strlen(txt)
         |    WHEN 1 THEN 2 + 2 * length(txt)
         |    WHEN 4 THEN length(txt) + 6 WHEN 5 THEN length(txt) + 6
         |    WHEN 6 THEN length(txt) + 5 WHEN 7 THEN length(txt) + 12
+        |    WHEN 8 THEN length(txt) + 11 WHEN 9 THEN length(txt) + 8
+        |    WHEN 11 THEN length(txt) + 11
         |    ELSE length(txt) END) AS BIGINT) AS wire_bytes,
-        |  CAST(sum(CASE WHEN m = 7 THEN 0 ELSE strlen(txt) END) AS BIGINT) AS utf8_bytes
+        |  CAST(sum(CASE WHEN m = 10 THEN 0 ELSE strlen(txt) END) AS BIGINT) AS utf8_bytes
         |FROM t GROUP BY charset ORDER BY charset""".stripMargin) {
       (s, d) =>
         import s.implicits._
         val payloads = Tables.documents(s, d)
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
-            val (cs, text) = (id % 8) match {
+            val (cs, text) = (id % 12) match {
               case 0 => ("utf-8", s"Doc $id café déjà — €ok")
               case 1 => ("utf-16le", s"Doc $id unicode ∑ check ✓")
               case 2 => ("windows-1252", s"Doc $id price €9 – “quoted”")
@@ -1084,7 +1187,11 @@ object WebQueries {
               case 4 => ("shift_jis", s"<meta charset=shift_jis>Doc $id 日本語テスト")
               case 5 => ("gbk", s"<meta charset=gb2312>Doc $id 中文测试文档")
               case 6 => ("euc-kr", s"<meta charset=euc-kr>Doc $id 한국어문서")
-              case _ => ("big5", s"Doc $id 繁體中文測試文件編碼處理")
+              case 7 => ("big5", s"Doc $id 繁體中文測試文件編碼處理")
+              case 8 => ("shift_jis", s"Doc $id 日本語のテスト文書です")
+              case 9 => ("euc-kr", s"Doc $id 한국어문서입니다")
+              case 10 => ("koi8-r", s"Doc $id русский текст без метки")
+              case _ => ("euc-jp", s"Doc $id これは日本語の文書です")
             }
             (id, graft.codec.CharsetCodec.encode(text, cs))
           })

@@ -55,13 +55,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_charset_decode(CAST('plain ascii' AS BINARY)) AS d")
       .select("d.charset", "d.text").head
     assert(r.getString(0) == "utf-8" && r.getString(1) == "plain ascii")
-    // a dense non-UTF-8 payload without a label quarantines in SQL too
+    // unlabeled dense CJK bytes CONTENT-DETECT in SQL too; a dense
+    // single-byte payload (no attributable signal) still quarantines
     import spark.implicits._
     val sjis = graft.codec.CharsetCodec.encode("日本語のテスト文書です。東京都渋谷区", "shift_jis")
-    val v = Seq(Tuple1(sjis)).toDF("b").createOrReplaceTempView("sjis_v")
-    val r2 = session.sql("SELECT graft_charset_decode(b) AS d FROM sjis_v")
-      .select("d.charset").head
-    assert(r2.getString(0) == "unknown")
+    val koi8 = graft.codec.CharsetCodec.encode("русская страница без разметки совсем", "koi8-r")
+    Seq((sjis, koi8)).toDF("sj", "ru").createOrReplaceTempView("cs_v")
+    val r2 = session.sql(
+      "SELECT graft_charset_decode(sj).charset AS a, graft_charset_decode(ru).charset AS b FROM cs_v").head
+    assert(r2.getString(0) == "shift_jis")
+    assert(r2.getString(1) == "unknown")
   }
 
   test("graft_hll_bucket_rho resolves in SQL and matches the Scala surface") {

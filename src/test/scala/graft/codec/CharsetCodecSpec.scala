@@ -128,12 +128,13 @@ class CharsetCodecSpec extends SparkSpec {
       val b = CharsetCodec.encode(text, cs)
       // a transport hint (raw OR canonical spelling) decodes exactly
       assert(CharsetCodec.decode(b, Some(cs)) == ((cs, text)), s"$cs hint")
-      // the old failure mode, pinned dead: unlabeled CJK bytes must
-      // NEVER take the windows-1252 / latin-1 labels — their high-byte
-      // density routes them to the unknown/quarantine verdict
-      val (sniffed, _) = CharsetCodec.decode(b)
-      assert(sniffed == "unknown",
-        s"unlabeled $cs bytes must quarantine, not decode as $sniffed")
+      // the old failure mode stays dead — unlabeled CJK bytes never
+      // take the windows-1252 / latin-1 labels — and content detection
+      // now RECOVERS them: each sample validates and reads plausible
+      // in exactly one family, so the verdict is the true charset and
+      // the exact text, not the quarantine
+      assert(CharsetCodec.decode(b) == ((cs, text)),
+        s"unlabeled $cs bytes must content-detect to $cs")
     }
     // WHATWG label aliases normalize
     assert(CharsetCodec.decode(CharsetCodec.encode("漢字", "shift_jis"),
@@ -163,6 +164,59 @@ class CharsetCodecSpec extends SparkSpec {
     assert(forced == "�")
     // unencodable text raises under the fixture doctrine
     intercept[IllegalArgumentException] { CharsetCodec.encode("한글", "shift_jis") }
+  }
+
+  test("content detection: language-signal gate blocks every measured false-positive channel") {
+    // The KOI8-R channel: Cyrillic bytes 0xC0-0xDF are VALID shift_jis
+    // (a run of single-byte half-width katakana), so a naive
+    // exactly-one-validates sweep would decode Russian as kana soup.
+    // The kana-dominance rule (full-width kana >= 25% of non-ASCII)
+    // rejects it: half-width kana are allowed but carry no signal.
+    val ru = CharsetCodec.encode("данные и ещё данные плюс текст про погоду", "koi8-r")
+    assert(CharsetCodec.detectMultiByte(ru).isEmpty, "koi8-r must not detect as shift_jis")
+    assert(CharsetCodec.decode(ru)._1 == "unknown")
+    // The Thai channel: cp874 bytes form valid euc-jp pairs landing in
+    // kana/symbol rows — same rule kills it.
+    assert(CharsetCodec.decode(
+      CharsetCodec.encode("เอกสารทดสอบภาษาไทยที่นี่และที่นั่น", "windows-874"))._1 == "unknown")
+    // The Han-soup channel: EUC-KR Hangul decoded as GBK is a valid
+    // all-Han string, but random Han hits the top-frequency head at
+    // ~0.5%, far under the >= 10% bar real Chinese clears.
+    val ko = CharsetCodec.encode("한국어 테스트 문서 인코딩 확인", "euc-kr")
+    assert(CharsetCodec.detectMultiByte(ko).contains("euc-kr"))
+    // AMBIGUITY quarantines: these GBK bytes read as plausible Chinese
+    // under BOTH gbk (top-simplified head) and big5 (the pivot chars
+    // decode into top-traditional) — exactly-one means neither wins.
+    val amb = CharsetCodec.encode("的一是不琌璶瓣產", "gbk")
+    assert(CharsetCodec.detectMultiByte(amb).isEmpty, "two plausible families must tie out")
+    assert(CharsetCodec.decode(amb)._1 == "unknown")
+    // Too short to judge: 7 non-ASCII chars stays below the statistic
+    // floor even when one family would validate.
+    assert(CharsetCodec.detectMultiByte(CharsetCodec.encode("日本語のテスト", "shift_jis")).isEmpty)
+  }
+
+  test("label precedence: invalid transport label falls through to meta; mislabels rescue") {
+    // garbage Content-Type charset must not shadow a recognized meta
+    // declaration (WHATWG: an invalid label is no label)
+    val metaRu = "<meta charset=windows-1251>Русская страница с текстом"
+    val mb = CharsetCodec.encode(metaRu, "windows-1251")
+    assert(CharsetCodec.decode(mb, Some("x-user-defined")) == (("windows-1251", metaRu)),
+      "invalid transport label + valid meta label must decode via meta")
+    // both labels garbage + non-UTF-8 bytes: detection gets the last
+    // shot (kana-dominant shift_jis recovers)
+    val ja = "日本語のテスト文書です。東京都渋谷区"
+    assert(CharsetCodec.decode(CharsetCodec.encode(ja, "shift_jis"),
+      Some("x-user-defined")) == (("shift_jis", ja)))
+    // a declared CJK label whose bytes fail strict validation but
+    // content-detect uniquely as ANOTHER family decodes as the
+    // detected one (mislabeled legacy pages are common). Shift-JIS
+    // kana text carries 0x82/0x83 lead bytes, which can never be an
+    // EUC-KR lead (EUC leads are 0xA1-0xFE), so the declared decode
+    // fails strict by construction and the rescue path must fire.
+    val sjText = "日本語のテスト文書です。東京都渋谷区"
+    val sjBytes = CharsetCodec.encode(sjText, "shift_jis")
+    assert(CharsetCodec.decode(sjBytes, Some("euc-kr")) == (("shift_jis", sjText)),
+      "euc-kr-labeled shift_jis page rescues to shift_jis")
   }
 
   test("single-byte legacy family: Cyrillic/Greek/Turkish/CE labels decode exactly") {

@@ -136,10 +136,19 @@ class HttpCodecSpec extends AnyFunSuite {
     val broken = gz.clone(); broken(12) = (broken(12) ^ 0x55).toByte
     assert(HttpCodec.parse(HttpCodec.write(200, "OK",
       Seq("Content-Encoding" -> "gzip"), broken)).isEmpty)
-    // an unrecognized coding passes the body through CODED, token kept
-    val rb = HttpCodec.parse(HttpCodec.write(200, "OK",
-      Seq("Content-Encoding" -> "br"), payload)).getOrElse(fail("br"))
-    assert(rb.contentCoding == "br" && java.util.Arrays.equals(rb.body, payload))
+    // br without the optional brotli runtime passes the body through
+    // CODED with the token kept — the observable-drop contract (with
+    // the runtime present these bytes would be malformed → None, so
+    // the assertion branches on availability)
+    if (!HttpCodec.brotliAvailable) {
+      val rb = HttpCodec.parse(HttpCodec.write(200, "OK",
+        Seq("Content-Encoding" -> "br"), payload)).getOrElse(fail("br"))
+      assert(rb.contentCoding == "br" && java.util.Arrays.equals(rb.body, payload))
+    } else {
+      assert(HttpCodec.parse(HttpCodec.write(200, "OK",
+        Seq("Content-Encoding" -> "br"), payload)).isEmpty,
+        "non-brotli bytes under a decodable br coding are structural")
+    }
     // empty coded body (204-ish shape) stays empty rather than failing
     val re = HttpCodec.parse(HttpCodec.write(204, "No Content",
       Seq("Content-Encoding" -> "gzip"), Array.emptyByteArray)).getOrElse(fail("empty"))
@@ -147,5 +156,36 @@ class HttpCodecSpec extends AnyFunSuite {
     // identity rows keep the old accounting
     val ri = HttpCodec.parse(HttpCodec.write(200, "OK", Nil, payload)).getOrElse(fail("id"))
     assert(ri.contentCoding == "identity" && ri.wireBodyBytes == payload.length)
+  }
+
+  test("multi-member gzip bodies decode: RFC 1952 concatenated members are one stream") {
+    // flush-per-chunk servers emit one gzip MEMBER per flush; the
+    // concatenation is a legal gzip stream browsers decode in full
+    val parts = Seq("first flush of data. ", "second, longer flush of data here. ",
+      "and a final trailing flush.").map(_.getBytes("UTF-8"))
+    val concat = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach { p => val m = GzipCodec.gzipMember(p); out.write(m, 0, m.length) }
+      out.toByteArray
+    }
+    val whole = parts.reduce(_ ++ _)
+    for ((raw, tag) <- Seq(
+      HttpCodec.write(200, "OK", Seq("Content-Encoding" -> "gzip"), concat) -> "content-length",
+      HttpCodec.writeChunked(200, "OK", Seq("Content-Encoding" -> "gzip"), concat, 48) -> "chunked")) {
+      val r = HttpCodec.parse(raw).getOrElse(fail(s"$tag multi-member parse"))
+      assert(java.util.Arrays.equals(r.body, whole), s"$tag: members concatenate in order")
+      assert(r.contentCoding == "gzip" && r.wireBodyBytes == concat.length)
+    }
+    // garbage BETWEEN members is still structural: the second offset
+    // does not start a valid member → None, not a silent truncation
+    val m1 = GzipCodec.gzipMember(parts.head)
+    val poisoned = m1 ++ Array[Byte](0x00, 0x11, 0x22) ++ GzipCodec.gzipMember(parts(1))
+    assert(HttpCodec.parse(HttpCodec.write(200, "OK",
+      Seq("Content-Encoding" -> "gzip"), poisoned)).isEmpty)
+    // a truncated second member is structural too
+    val m2 = GzipCodec.gzipMember(parts(1))
+    val truncated = m1 ++ m2.take(m2.length - 3)
+    assert(HttpCodec.parse(HttpCodec.write(200, "OK",
+      Seq("Content-Encoding" -> "gzip"), truncated)).isEmpty)
   }
 }

@@ -46,9 +46,12 @@ class TextSourcesSpec extends SparkSpec {
 
   test("charset quarantine: unknown-verdict payloads persist raw, clean rows flow on") {
     import graft.codec.CharsetCodec
+    // unlabeled dense Cyrillic: single-byte bytes carry no signal any
+    // multi-byte detector can single out → unknown (unlabeled CJK now
+    // content-detects instead of quarantining — CharsetCodecSpec)
     val rows = Seq(
       (1L, CharsetCodec.encode("clean utf-8 déjà", "utf-8")),
-      (2L, CharsetCodec.encode("日本語のテスト文書です。東京都渋谷区", "shift_jis")), // unlabeled → unknown
+      (2L, CharsetCodec.encode("русская страница без разметки совсем", "koi8-r")),
       (3L, CharsetCodec.encode("price €9 here – fine", "windows-1252")))
       .toDF("doc_id", "payload")
     val decoded = graft.operators.TextOps.decodeCharset(rows, "payload")
@@ -60,7 +63,7 @@ class TextSourcesSpec extends SparkSpec {
     val r = quarantined.head()
     assert(r.getAs[Long]("doc_id") == 2L, "id rides along for re-entry")
     assert(r.getAs[Array[Byte]]("payload").toSeq ==
-      CharsetCodec.encode("日本語のテスト文書です。東京都渋谷区", "shift_jis").toSeq,
+      CharsetCodec.encode("русская страница без разметки совсем", "koi8-r").toSeq,
       "raw bytes survive byte-identical for a later decode pass")
   }
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * parsing: dimensions, frame counts, audio geometry, no decompression).
   * Blobs whose magic number matches none of those (including this repo's
   * synthetic text-byte fixtures) fall back to a clearly-marked
-  * deterministic stub (`stubDecode`), preserving the fixture contract the
+  * deterministic stub (`MediaMetaImpl`), preserving the fixture contract the
   * DuckDB oracles pin. Payload decoding is REAL wherever no external
   * codec library is needed — which is now ALL FOUR container formats:
   * 16-bit PCM WAV decodes and resamples end-to-end ([[resamplePcm]]),
@@ -56,56 +56,31 @@ object Multimodal {
   private def expr_substr(blob: org.apache.spark.sql.Column) =
     substring(blob, 1, 4)
 
-  /** STUB decoder for blobs that are NOT a recognized media container:
-    * deterministically derives (width, height, n_frames) from the blob
-    * bytes, so synthetic fixtures (text bytes) stay oracle-reproducible.
-    */
-  private def stubDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    val len = bytes.length
-    val b0 = if (len > 0) bytes(0) & 0xff else 0
-    val b1 = if (len > 1) bytes(1) & 0xff else 0
-    (16 + (b0 % 64) * 16, 16 + (b1 % 64) * 16, 1 + len % 30)
-  }
-
-  /** Decode stage: one decoder init per PARTITION (the batch shape that
-    * matters with a real codec lib), one struct row out per blob. Real
-    * header parsing for PNG/JPEG/GIF/WAV; deterministic stub for
-    * everything else (format column null marks the stub path).
+  /** Decode stage: the META parse is a pure bytes→struct header read —
+    * real parsing for PNG/JPEG/GIF/WAV, deterministic stub for
+    * everything else (format column null marks the stub path) — so it
+    * runs as ONE codegen'd expression
+    * ([[graft.expressions.MediaMetaExpr]]): no RDD hop, no per-row
+    * deserialization, whole-stage codegen intact for the stage EVERY
+    * blob passes through. The heavy raster/PCM payload decoders below
+    * keep the per-partition `mapPartitions` batch shape, where codec
+    * work dominates serde and a real codec library would initialize
+    * per partition.
     *
     * `sniff = false` forces the stub for EVERY blob: the stub-pinned
     * oracle queries feed text bytes as blobs, and nothing stops a text
     * document from beginning with a container magic ("GIF89a",
     * "RIFF…WAVE" are plain ASCII) — sniffing there would silently move
     * such a row onto the real-parse path and diverge from the stub
-    * arithmetic the oracle computes. */
+    * arithmetic the oracle computes. NULL blobs read as empty media
+    * (decoders never see a null pointer), unchanged. */
   def decodeMeta(df: DataFrame, idCol: String, blobCol: String,
                  sniff: Boolean = true): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(
-      StructField("media_id", LongType, nullable = false) +: MediaMetaSchema.fields.toSeq)
-    val idIdx = df.schema.fieldIndex(idCol)
-    val blobIdx = df.schema.fieldIndex(blobCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      // decoder/codec context would be created HERE, once per partition
-      rows.map { r =>
-        val id = r.getLong(idIdx)
-        // NULL blob ≡ empty media (decoders never see a null pointer)
-        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
-        val sig = blob.take(4).map("%02x".format(_)).mkString
-        (if (sniff) graft.codec.MediaHeaders.parse(blob) else None) match {
-          case Some(m) =>
-            Row(id, blob.length.toLong, sig,
-              m.width.map(Int.box).orNull, m.height.map(Int.box).orNull,
-              m.nFrames.map(Int.box).orNull, m.format,
-              m.bitDepth.map(Int.box).orNull, m.channels.map(Int.box).orNull,
-              m.sampleRate.map(Int.box).orNull, m.durationMs.map(Long.box).orNull)
-          case None =>
-            val (w, h, f) = stubDecode(blob)
-            Row(id, blob.length.toLong, sig, w, h, f, null, null, null, null, null)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val meta = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.MediaMetaExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(blobCol)), sniff))
+    df.select(col(idCol).cast("long").as("media_id"), meta.as("m"))
+      .select(col("media_id"), col("m.*"))
   }
 
   /** Frame-sampling stage: every `stride`-th frame index up to n_frames —

@@ -464,4 +464,30 @@ class MediaHeadersSpec extends SparkSpec {
     assert(t.getAs[Int]("width") == 16 + ((bytes(0) & 0xff) % 64) * 16)
     assert(t.getAs[Int]("n_frames") == 1 + bytes.length % 30)
   }
+
+  test("decodeMeta is columnar: no RDD hop in the gating stage, null blobs read empty") {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = true)))
+    // parallelize (NOT a local relation) so constant folding cannot
+    // collapse the plan to LocalTableScan and mask a real RDD hop
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, png1x1), Row(2L, null)), 2), schema)
+    val out = Multimodal.decodeMeta(df, "media_id", "blob")
+    val plan = out.queryExecution.executedPlan.toString
+    // exactly ONE ExistingRDD — the parallelize SOURCE scanning
+    // (media_id, blob); the old shape re-materialized through a SECOND
+    // ExistingRDD scanning the meta columns (byte_len, width, ...)
+    assert("ExistingRDD".r.findAllIn(plan).size == 1,
+      s"meta gate must be an expression over the source, not a second RDD hop:\n$plan")
+    assert(plan.contains("graft_media_meta") || plan.contains("MediaMeta"),
+      s"expression visible in plan:\n$plan")
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[String]("format") == "png")
+    // NULL blob ≡ empty media: byte_len 0, stub dims of the empty blob
+    val n = rows(2L)
+    assert(n.getAs[Long]("byte_len") == 0L && n.isNullAt(n.fieldIndex("format")))
+    assert(n.getAs[Int]("width") == 16 && n.getAs[Int]("height") == 16 &&
+      n.getAs[Int]("n_frames") == 1)
+  }
 }

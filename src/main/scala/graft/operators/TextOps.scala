@@ -1402,6 +1402,64 @@ object TextOps {
         when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
 
+  /** Resolve a (possibly relative) reference against an absolute base
+    * URL — the `Location:` header case: RFC 9110 allows relative
+    * redirect targets and real servers emit them constantly, so a
+    * frontier that canonicalizes the raw header drops every one. The
+    * RFC 3986 §5 subset that covers redirect practice, as pure column
+    * ops (Java∩RE2 regex only, SQL-replayable like
+    * [[urlCanonicalize]]):
+    *   - absolute ref (`scheme:`…) → the ref;
+    *   - protocol-relative `//host/…` → base scheme + ref;
+    *   - absolute path `/…` → base origin + ref;
+    *   - query-only `?…` → base origin + base path + ref;
+    *   - relative path → base origin + base path DIRECTORY + ref,
+    *     then dot-segment removal (`/./` and `seg/../` folded, a
+    *     bounded 4-deep fixed point — deeper nesting than any real
+    *     Location header);
+    *   - empty ref → the base (minus fragment, which the downstream
+    *     canonicalize drops anyway).
+    * NULL when the base has no `scheme://` and the ref is not itself
+    * absolute (nothing to resolve against). Fragments ride along and
+    * die in [[urlCanonicalize]]. */
+  def urlResolve(base: Column, ref: Column): Column = {
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*).*$"
+    val scheme = lower(regexp_extract(base, pat, 1))
+    val hostport = regexp_extract(base, pat, 2)
+    val bpath0 = regexp_extract(base, pat, 3)
+    val bpath = when(bpath0 === "", lit("/")).otherwise(bpath0)
+    val origin = concat(scheme, lit("://"), hostport)
+    // the base path's directory: strip the last segment, keep the slash
+    val dir0 = regexp_replace(bpath, "[^/]*$", "")
+    val dir = when(dir0 === "", lit("/")).otherwise(dir0)
+    // a NULL ref stays NULL (no target is not an empty reference —
+    // RFC 3986 maps only the EMPTY string to the base); null propagates
+    // through every branch below because no when() condition fires
+    val r = ref
+    val hasScheme = r.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    // merge (RFC 3986 §5.3) and fold dot-segments on the PATH alone —
+    // never on the full URL, where `/seg/../` patterns could eat the
+    // host through `//`. Four passes bound the fold (deeper `../`
+    // nesting than any real Location header); excess leading `..`
+    // clamps to root, the browser behavior the RFC specifies. All
+    // patterns stay in the Java∩RE2 subset (no lookaround).
+    val mergedPath =
+      when(r.startsWith("/"), r).otherwise(concat(dir, r))
+    val foldedPath = (1 to 4).foldLeft(mergedPath) { (p, _) =>
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        p, "/\\./", "/"), "/\\.$", "/"),
+        "/[^/]+/\\.\\./", "/"), "/[^/]+/\\.\\.$", "/"),
+        "^/\\.\\.(/|$)", "/")
+    }
+    val resolved =
+      when(hasScheme, r)
+        .when(r.startsWith("//"), concat(scheme, lit(":"), r))
+        .when(r.startsWith("?"), concat(origin, bpath, r))
+        .when(r === "", base)
+        .otherwise(concat(origin, foldedPath))
+    when(scheme === "" && !hasScheme, lit(null).cast("string")).otherwise(resolved)
+  }
+
   /** SURT key (Sort-friendly URI Reordering Transform) — the sort order
     * crawl-archive lookup indexes (CDX) are keyed by: the host's labels
     * REVERSED and comma-joined, so every URL under one registrable

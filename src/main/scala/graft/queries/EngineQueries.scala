@@ -379,6 +379,61 @@ object EngineQueries {
           .orderBy("batch", "outcome")
     },
 
+    // ── Streaming REDIRECT loop: the frontier feed crawls discover
+    //    through 3xx chains — batch 0 fetches 300 seeds of which every
+    //    third answers 301 with a RELATIVE Location (../hop1/…, the
+    //    RFC 9110 reality), [[StreamingCrawl.redirectFrontier]] turns
+    //    the 100 resolved+canonicalized targets into batch 1's
+    //    frontier, batch 1 fetches them (100 redirect-DISCOVERED
+    //    admissions) while 50 sources re-answer the same 301 — and the
+    //    next frontier is EMPTY: every re-discovered target is in the
+    //    seen ledger, so a redirect target is fetched exactly once
+    //    across batches. rows-only: streams + engine ledgers, no SQL
+    //    oracle; StreamingCrawlSpec pins the per-row semantics,
+    //    RowsOnlyQueriesSpec replays these exact counts. ──
+    QueryDef.rowsOnly("engine_stream_redirects") {
+      (s, d) =>
+        import s.implicits._
+        val docs = graft.Tables.documents(s, d).filter(col("doc_id") < 300)
+          .select(col("doc_id")).as[Long].collect().toSeq.sorted
+        def srcU(id: Long) = s"http://d${id % 50}.example.com/r0/p$id"
+        def blob(id: Long) = s"<html>p$id</html>".getBytes("UTF-8")
+        val rules = graft.operators.Robots.rulesFrame(
+          docs.map(_ % 50).distinct.map(m =>
+            (s"d$m.example.com", "User-agent: *\nDisallow:\n")).toDF("domain", "txt"),
+          "domain", "txt")
+        val ledgerDir = java.nio.file.Files.createTempDirectory("graft-sredir-l").toString
+        val b0 = docs.map { id =>
+          if (id % 3 == 0) (id, srcU(id), blob(id), 301, s"../hop1/p$id")
+          else (id, srcU(id), blob(id), 200, null: String)
+        }.toDF("id", "url", "blob", "status", "location")
+        val m0 = graft.streaming.StreamingCrawl.processBatch(b0, 0L, "id", "url",
+          "blob", rules, "graftbot", ledgerDir,
+          statusCol = Some("status"), locationCol = Some("location"))
+        val f0 = graft.streaming.StreamingCrawl
+          .redirectFrontier(m0, ledgerDir, 0L).localCheckpoint()
+        val targets = f0.select("url").as[String].collect().sorted
+        val b1 = (targets.zipWithIndex.toSeq.map { case (u, i) =>
+            (500000L + i, u, blob(i.toLong), 200, null: String) } ++
+          docs.filter(_ % 6 == 0).map(id =>
+            (600000L + id, srcU(id), blob(id), 301, s"../hop1/p$id")))
+          .toDF("id", "url", "blob", "status", "location")
+        val m1 = graft.streaming.StreamingCrawl.processBatch(b1, 1L, "id", "url",
+          "blob", rules, "graftbot", ledgerDir,
+          statusCol = Some("status"), locationCol = Some("location"))
+        val f1 = graft.streaming.StreamingCrawl.redirectFrontier(m1, ledgerDir, 1L,
+          hops = Some(f0.select(col("url"), col("hop"))))
+        // driver-sized result (a handful of outcome classes per batch):
+        // materialize, then drop the batch checkpoints
+        def oc(bid: Long, m: org.apache.spark.sql.DataFrame) = m
+          .groupBy("outcome").agg(count(lit(1)).as("n")).collect()
+          .map(r => (bid, r.getString(0), r.getLong(1)))
+        val rows = (oc(0L, m0) ++ oc(1L, m1)).toSeq ++
+          Seq((0L, "frontier", f0.count()), (1L, "frontier", f1.count()))
+        Seq(m0, f0, m1).foreach(_.unpersist(false))
+        rows.toDF("batch", "kind", "n").orderBy("batch", "kind")
+    },
+
     // ── Streaming EXACT-threshold dedup: the arrival-mode face of the
     //    stored prefix index (probe under the frozen ordering → fold
     //    survivors in), with an ARITHMETIC fixture: set(id, fam) =

@@ -49,13 +49,16 @@ object StreamingCrawl {
     * REDIRECTS (with `statusCol` set): rows whose HTTP status is 3xx
     * are the `redirect` outcome — a redirect response is not content,
     * so it never reaches robots, dedup, the seen ledger, or the WARC
-    * shards; its `Location` target (from `locationCol`, when given)
-    * surfaces CANONICALIZED in the `redirect_to` column — the feed
-    * the frontier loop enqueues next (the batch-side
-    * [[graft.operators.Redirects.resolve]] is the offline analogue).
-    * Relative/invalid targets canonicalize to null and still carry
-    * the `redirect` outcome. Re-fetching a redirect source never
-    * reads `duplicate` — the source URL was never admitted.
+    * shards; its `Location` target (from `locationCol`, when given) —
+    * RESOLVED against the request URL when relative
+    * ([[TextOps.urlResolve]], the RFC 9110 reality) — surfaces
+    * CANONICALIZED in the `redirect_to` column, which
+    * [[redirectFrontier]] turns into the next batch's frontier feed
+    * (the batch-side [[graft.operators.Redirects.resolve]] is the
+    * offline analogue). Only genuinely unparseable targets
+    * canonicalize to null and still carry the `redirect` outcome.
+    * Re-fetching a redirect source never reads `duplicate` — the
+    * source URL was never admitted.
     *
     * POLITENESS (with `delays` set — the [[Robots.selectDelay]] output
     * `(domain, delay_ms)`): admitted fetches get a per-host dispatch
@@ -103,7 +106,12 @@ object StreamingCrawl {
       .select(col(idCol), col(urlCol), col("canonical"), col("domain"),
         lit("redirect").as("outcome"), nullMs.as("delay_ms"),
         nullMs.as("fetch_at_ms"),
-        locationCol.map(lc => TextOps.urlCanonicalize(col(lc)))
+        // Location is legally RELATIVE (RFC 9110) and often is in
+        // practice: resolve it against the request's canonical URL
+        // before canonicalizing, so only genuinely unparseable targets
+        // null out
+        locationCol.map(lc => TextOps.urlCanonicalize(
+            TextOps.urlResolve(col("canonical"), col(lc))))
           .getOrElse(nullS).as("redirect_to"))
     val valid = valid0.filter(!isRedirect)
     // robots verdicts on a slim (id, domain, path) frame; join back by id
@@ -186,6 +194,44 @@ object StreamingCrawl {
 
   private[streaming] val SeenPointerKey = "crawl.seen.base"
   private[streaming] val HostsPointerKey = "crawl.hosts.base"
+
+  /** Close the redirect loop: turn a processed batch's `redirect`
+    * outcome rows into the NEXT batch's frontier feed — `(url, hop)`
+    * rows, already canonical — the way `web_frontier_seed` closes the
+    * loop for sitemap discoveries. Targets are deduped within the
+    * batch, anti-joined against the seen ledger INCLUDING this batch's
+    * own admissions (a target some batch already fetched never
+    * re-enters), and hop-capped: `hops` carries the chain depth that
+    * produced each SOURCE url (absent source ⇒ depth 0, a directly-
+    * seeded fetch), targets inherit depth+1, and depth > `maxHops`
+    * drops the tail — the [[graft.operators.Redirects.resolve]]
+    * maxHops doctrine, unrolled across micro-batches because a chain
+    * reveals one hop per fetch round. Two batches can both discover a
+    * not-yet-fetched target and double-enqueue it — self-healing, the
+    * second fetch reads `duplicate` — so no frontier ledger is needed
+    * beyond the seen set. */
+  def redirectFrontier(outcomes: DataFrame, ledgerDir: String, batchId: Long,
+                       hops: Option[DataFrame] = None,
+                       maxHops: Int = 5): DataFrame = {
+    val spark = outcomes.sparkSession
+    import spark.implicits._
+    val targets0 = outcomes
+      .filter(col("outcome") === "redirect" && col("redirect_to").isNotNull)
+      .select(col("canonical").as("src"), col("redirect_to"))
+    val withHop = hops match {
+      case Some(h) => targets0
+        .join(h.select(col("url").as("src"), col("hop").as("_h")), Seq("src"), "left_outer")
+        .withColumn("hop", coalesce(col("_h"), lit(0)) + 1)
+      case None => targets0.withColumn("hop", lit(1))
+    }
+    val capped = withHop.filter(col("hop") <= maxHops)
+      .groupBy(col("redirect_to").as("url")).agg(min("hop").cast("int").as("hop"))
+    val seen = BatchLedger.read(spark, ledgerDir, "seen", SeenPointerKey,
+      belowBatch = Some(batchId + 1),
+      empty = Seq.empty[(String, Long)].toDF("canonical", "id"))
+      .select(col("canonical").as("url")).distinct()
+    capped.join(seen, Seq("url"), "left_anti")
+  }
 
   /** Fold every `seen/` partition with `batch < belowBatch` into a new
     * BASE snapshot committed by an atomic [[BatchLedger]] pointer swap —

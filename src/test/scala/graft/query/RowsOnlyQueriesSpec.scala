@@ -30,7 +30,7 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "engine_jsonl_quarantine", "engine_stream_drift",
       "engine_stream_corpus", "text_score_percentiles_approx",
       "text_heavyhitters_sketch", "engine_stream_media", "engine_stream_web",
-      "engine_stream_prefix", "dedup_char_anchored"),
+      "engine_stream_prefix", "engine_stream_redirects", "dedup_char_anchored"),
       "a new rows-only query was registered without a pin in this spec")
   }
 
@@ -74,6 +74,21 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "a rewritten-container audio re-upload slipped past the ledger")
     val img1 = rows((1L, "image"))
     assert(img1.getLong(2) >= 1 && img1.getLong(2) <= 20)
+  }
+
+  test("engine_stream_redirects: targets discovered once, fetched once, frontier drains") {
+    val df = run("engine_stream_redirects")
+    assert(df.columns.toSeq == Seq("batch", "kind", "n"))
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // 300 seeds: ids ≡ 0 (mod 3) — 100 of them — answer 301 with a
+    // relative Location; the rest admit. The frontier carries exactly
+    // the 100 resolved targets. Batch 1 fetches all 100 (admitted via
+    // redirect discovery) while the 50 ids ≡ 0 (mod 6) re-answer 301;
+    // every re-discovered target is now in the seen ledger → frontier
+    // drains to zero: fetched exactly once.
+    assert(got == Map(
+      (0L, "admitted") -> 200L, (0L, "redirect") -> 100L, (0L, "frontier") -> 100L,
+      (1L, "admitted") -> 100L, (1L, "redirect") -> 50L, (1L, "frontier") -> 0L))
   }
 
   test("engine_stream_web: every aggregate recomputes from the seed") {

@@ -255,6 +255,63 @@ class StreamingCrawlSpec extends SparkSpec {
       "re-fetched redirect stays redirect (never duplicate); the target admits")
   }
 
+  test("redirect frontier loop: relative Locations resolve, targets fetch exactly once, hops cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    val ledger = tmpDir("graft-scrawl-floop")
+    val schema2 = schema
+      .add(StructField("status", IntegerType, nullable = true))
+      .add(StructField("location", StringType, nullable = true))
+    def df2(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema2)
+    val b0 = df2(Seq(
+      Row(1L, "http://a.org/old/index.html", page("m"), 301, "/new/page"), // absolute path
+      Row(2L, "http://a.org/x/y/z", page("m"), 301, "../up"),              // dot-segment
+      Row(3L, "http://a.org/dir/cur", page("m"), 301, "next?b=2&a=1")))    // sibling + query
+    val m0 = StreamingCrawl.processBatch(b0, 0L, "id", "url", "blob",
+      rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    val tgt = m0.collect().map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(tgt(1L) == "http://a.org/new/page", "absolute-path Location resolves")
+    assert(tgt(2L) == "http://a.org/x/up", "../ folds against the request directory")
+    assert(tgt(3L) == "http://a.org/dir/next?a=1&b=2",
+      "sibling reference resolves; query canonicalizes")
+    // frontier feed: all three targets, hop 1 (sources were seed fetches)
+    val f0 = StreamingCrawl.redirectFrontier(m0, ledger, 0L)
+    m0.unpersist(false)
+    assert(f0.collect().map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("http://a.org/new/page" -> 1, "http://a.org/x/up" -> 1,
+        "http://a.org/dir/next?a=1&b=2" -> 1))
+    // batch 1 FETCHES the first target (admits) while another source
+    // re-discovers it: the next frontier must not re-enqueue a target
+    // the seen ledger now holds — fetched exactly once across batches
+    val b1 = df2(Seq(
+      Row(11L, "http://a.org/new/page", page("target content"), 200, null),
+      Row(12L, "http://a.org/another", page("m"), 301, "/new/page")))
+    val m1 = StreamingCrawl.processBatch(b1, 1L, "id", "url", "blob",
+      rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    val r1 = m1.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(r1 == Map(11L -> "admitted", 12L -> "redirect"))
+    val f1 = StreamingCrawl.redirectFrontier(m1, ledger, 1L,
+      hops = Some(f0.select(col("url"), col("hop"))))
+    m1.unpersist(false)
+    assert(f1.count() == 0,
+      "an admitted target never re-enters the frontier: fetched exactly once")
+    // hop cap: a source already at maxHops depth stops its chain; the
+    // other sources (depth 0) still feed through
+    val mAgain = StreamingCrawl.processBatch(b0, 2L, "id", "url", "blob",
+      rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    val deep = Seq(("http://a.org/old/index.html", 5)).toDF("url", "hop")
+    val fCap = StreamingCrawl.redirectFrontier(mAgain, ledger, 2L,
+      hops = Some(deep), maxHops = 5)
+    mAgain.unpersist(false)
+    assert(fCap.collect().map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("http://a.org/x/up" -> 1, "http://a.org/dir/next?a=1&b=2" -> 1),
+      "a chain at maxHops drops its tail; fresh chains keep flowing")
+  }
+
   test("attach: MemoryStream wiring lands batch-partitioned outcomes") {
     val ledger = tmpDir("graft-scrawl-l2")
     val out = tmpDir("graft-scrawl-o2")

@@ -48,3 +48,50 @@ object CharsetDecodeImpl {
       UTF8String.fromString(cs), UTF8String.fromString(text)))
   }
 }
+
+/** Conditional gzip-to-text: bytes that start with the gzip magic
+  * (`1F 8B`) gunzip — ALL concatenated members, RFC 1952 §2.2 — and
+  * read as UTF-8; anything else reads as UTF-8 directly. NULL for
+  * declared-gzip bytes that fail to decode (truncated member, bad
+  * CRC), the never-throw contract. The sitemap fetch shape:
+  * sitemaps.org allows `sitemap.xml.gz`, and large sites ship it, so
+  * the parse front end must decode by CONTENT, not by URL suffix. */
+case class GzipTextExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_gunzip_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires binary, got $t")
+  }
+
+  override def nullSafeEval(b: Any): Any =
+    GzipTextImpl.decode(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("txt")
+      s"""
+         |UTF8String $r = graft.expressions.GzipTextImpl.decode($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GzipTextExpr =
+    copy(child = newChild)
+}
+
+object GzipTextImpl {
+  def decode(b: Array[Byte]): UTF8String =
+    if (b.length >= 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte)
+      graft.codec.GzipCodec.gunzipAll(b) match {
+        case Some(members) =>
+          val out = new java.io.ByteArrayOutputStream(b.length * 3 + 64)
+          members.foreach { case (data, _, _) => out.write(data, 0, data.length) }
+          UTF8String.fromBytes(out.toByteArray)
+        case None => null
+      }
+    else UTF8String.fromBytes(b)
+}

@@ -1505,6 +1505,20 @@ object TextOps {
     regexp_extract_all(xml, lit(s"<$tag>([^<]*)</$tag>"), lit(1))
   }
 
+  /** Sitemap BYTES → XML text, decoding gzip by CONTENT when present:
+    * sitemaps.org allows `sitemap.xml.gz` and large sites ship it, so
+    * the fetch layer hands bytes, and the parse front end sniffs the
+    * gzip magic rather than trusting a URL suffix (a `.xml` URL
+    * serving gzip bytes is common misconfiguration). Plain bytes read
+    * as UTF-8; gzip members concatenate
+    * ([[graft.expressions.GzipTextExpr]], codegen'd); malformed
+    * declared-gzip yields NULL so callers can quarantine. Compose as
+    * `xmlTagValues(sitemapText(bytes), tag)`. */
+  def sitemapText(bytes: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.GzipTextExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(bytes)))
+
   /** Link targets of an HTML document: every href/src attribute value —
     * the link graph a plain-text URL scan cannot see once tags are
     * stripped (the href URL never appears in the extracted text).

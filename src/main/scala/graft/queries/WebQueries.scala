@@ -769,7 +769,9 @@ object WebQueries {
     // ── Sitemap round trip — the crawl's OTHER frontier source beside
     //    extracted links: the engine assembles each domain's sitemap
     //    XML (one <url> entry per doc, doc-id order — a real groupBy +
-    //    ordered collect, the per-domain assembly shape) and parses it
+    //    ordered collect, the per-domain assembly shape), serves a
+    //    third of the domains COMPRESSED (.xml.gz — the parse enters
+    //    from bytes and gunzips by content), and parses it
     //    back through the flat-XML leaf extractor. The oracle never
     //    sees XML: it recomputes every per-domain aggregate — URL-list
     //    md5 in document order, lastmod range, priority mass — directly
@@ -797,6 +799,7 @@ object WebQueries {
           lit("</lastmod><priority>0."),
           (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
           lit("</priority></url>"))
+        import s.implicits._
         val sitemaps = Tables.documents(s, d)
           .select(m.as("m"), struct(col("doc_id"), entry.as("e")).as("de"))
           .groupBy("m")
@@ -806,11 +809,20 @@ object WebQueries {
             array_join(transform(array_sort(collect_list(col("de"))),
               x => x.getField("e")), ""),
             lit("</urlset>")).as("xml"))
-        val parsed = sitemaps.select(
+        // a third of the domains publish `sitemap.xml.gz` (sitemaps.org
+        // allows it): the parse enters from BYTES and must gunzip by
+        // content before extraction — the oracle pins the DECODED parse
+        // and never sees the wire form
+        val wired = sitemaps.as[(String, String)].map { case (m0, xml) =>
+          val b = xml.getBytes("UTF-8")
+          (m0, if (m0.toLong % 3 == 0) graft.codec.GzipCodec.gzipMember(b) else b)
+        }.toDF("m", "xmlb")
+        val xmlC = TextOps.sitemapText(col("xmlb"))
+        val parsed = wired.select(
           concat(lit("d"), col("m"), lit(".example.com")).as("domain"),
-          TextOps.xmlTagValues(col("xml"), "loc").as("locs"),
-          TextOps.xmlTagValues(col("xml"), "lastmod").as("mods"),
-          TextOps.xmlTagValues(col("xml"), "priority").as("pris"))
+          TextOps.xmlTagValues(xmlC, "loc").as("locs"),
+          TextOps.xmlTagValues(xmlC, "lastmod").as("mods"),
+          TextOps.xmlTagValues(xmlC, "priority").as("pris"))
         parsed.select(col("domain"),
             size(col("locs")).cast("long").as("n_urls"),
             md5(array_join(col("locs"), "\n").cast("binary")).as("locs_md5"),
@@ -852,13 +864,18 @@ object WebQueries {
         val mS = col("m").cast("string")
         val doms = Tables.documents(s, d)
           .select(pmod(col("doc_id"), lit(50)).cast("long").as("m")).distinct()
+        import s.implicits._
         val idx = doms.select(col("m"), concat(
           lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
             "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
           array_join(transform(sequence(lit(0L), pmod(col("m"), lit(3))),
             j => concat(lit("<sitemap><loc>https://d"), mS,
               lit(".example.com/sm_"), j.cast("string"),
-              lit(".xml</loc><lastmod>2026-02-"),
+              // every third child ships COMPRESSED (sitemaps.org allows
+              // .xml.gz; large sites use it for exactly these children)
+              when(pmod(col("m") + j, lit(3)) === 0, lit(".xml.gz"))
+                .otherwise(lit(".xml")),
+              lit("</loc><lastmod>2026-02-"),
               lpad((pmod(col("m") + j, lit(28)) + 1).cast("string"), 2, "0"),
               lit("</lastmod></sitemap>"))), ""),
           lit("</sitemapindex>")).as("xml"))
@@ -868,7 +885,8 @@ object WebQueries {
         // follow every child loc the INDEX parse surfaced
         val kids = idx.select(col("m"),
             explode(TextOps.xmlTagValues(col("xml"), "loc")).as("smloc"))
-          .withColumn("j", regexp_extract(col("smloc"), "/sm_(\\d+)\\.xml$", 1).cast("long"))
+          .withColumn("j",
+            regexp_extract(col("smloc"), "/sm_(\\d+)\\.xml(\\.gz)?$", 1).cast("long"))
         val childXml = kids.select(col("m"), col("j"), concat(
           lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
             "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
@@ -878,8 +896,15 @@ object WebQueries {
               col("j").cast("string"), lit("/p"), i.cast("string"),
               lit("</loc></url>"))), ""),
           lit("</urlset>")).as("xml"))
-        val childUrls = childXml.select(col("m"), col("j"),
-          posexplode(TextOps.xmlTagValues(col("xml"), "loc")).as(Seq("i", "loc")))
+        // the fetch returns BYTES: the .xml.gz children arrive gzipped
+        // and the parse gunzips by content before leaf extraction
+        val childBytes = childXml.as[(Long, Long, String)].map { case (m0, j, xml) =>
+          val b = xml.getBytes("UTF-8")
+          (m0, j, if ((m0 + j) % 3 == 0) graft.codec.GzipCodec.gzipMember(b) else b)
+        }.toDF("m", "j", "xmlb")
+        val childUrls = childBytes.select(col("m"), col("j"),
+          posexplode(TextOps.xmlTagValues(
+            TextOps.sitemapText(col("xmlb")), "loc")).as(Seq("i", "loc")))
         childUrls
           .groupBy("m")
           .agg(count(lit(1)).cast("long").as("n_urls"),

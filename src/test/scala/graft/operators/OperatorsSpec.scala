@@ -33,6 +33,59 @@ class OperatorsSpec extends SparkSpec {
     assert(nonUrl.forall(_.isEmpty), "non-URLs must canonicalize to NULL")
   }
 
+  test("urlResolve: RFC 3986 reference resolution over columns") {
+    val base = "https://h.org/a/b/c?q=1"
+    val cases = Seq(
+      // absolute ref wins outright; protocol-relative takes base scheme
+      "http://other.org/x" -> Some("http://other.org/x"),
+      "//cdn.org/lib.js" -> Some("https://cdn.org/lib.js"),
+      // absolute path replaces; root-excess ../ clamps (browser behavior)
+      "/root/doc" -> Some("https://h.org/root/doc"),
+      "/../up" -> Some("https://h.org/up"),
+      // sibling merges against the base DIRECTORY; dots fold
+      "sib" -> Some("https://h.org/a/b/sib"),
+      "./here" -> Some("https://h.org/a/b/here"),
+      "../up2" -> Some("https://h.org/a/up2"),
+      "../../top" -> Some("https://h.org/top"),
+      // query-only keeps the base path; empty ref is the base
+      "?z=9" -> Some("https://h.org/a/b/c?z=9"),
+      "" -> Some(base))
+    val got = cases.map(_._1).toDF("r")
+      .select(TextOps.urlResolve(lit(base), col("r")).as("u"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == cases.map(_._2), s"got=$got")
+    // a NULL ref (missing Location) stays NULL — not the base
+    val n = Seq(Tuple1(Option.empty[String])).toDF("r")
+      .select(TextOps.urlResolve(lit(base), col("r")).as("u")).head
+    assert(n.isNullAt(0))
+    // a relative ref against an unparseable base has nothing to resolve
+    val bad = Seq("x/y").toDF("r")
+      .select(TextOps.urlResolve(lit("no scheme here"), col("r")).as("u")).head
+    assert(bad.isNullAt(0))
+  }
+
+  test("sitemapText: gzip-by-content decode in front of the leaf extractor") {
+    val xml = "<?xml version=\"1.0\"?><urlset><url><loc>https://a.org/p1</loc></url>" +
+      "<url><loc>https://a.org/p2</loc></url></urlset>"
+    val plain = xml.getBytes("UTF-8")
+    val gz = graft.codec.GzipCodec.gzipMember(plain)
+    // two-member concatenation is legal RFC 1952 and must concatenate
+    val half = xml.length / 2
+    val twoMember = graft.codec.GzipCodec.gzipMember(xml.substring(0, half).getBytes("UTF-8")) ++
+      graft.codec.GzipCodec.gzipMember(xml.substring(half).getBytes("UTF-8"))
+    val truncated = gz.take(gz.length - 3)
+    val rows = Seq(1 -> plain, 2 -> gz, 3 -> twoMember, 4 -> truncated)
+      .toDF("id", "b")
+      .select(col("id"), TextOps.xmlTagValues(
+        TextOps.sitemapText(col("b")), "loc").as("locs"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[String](1))).toMap
+    val want = Seq("https://a.org/p1", "https://a.org/p2")
+    assert(rows(1).get == want, "plain bytes read straight through")
+    assert(rows(2).get == want, "gzip bytes decode by magic, not URL suffix")
+    assert(rows(3).get == want, "concatenated members decode as one stream")
+    assert(rows(4).isEmpty, "truncated gzip nulls out for quarantine, never throws")
+  }
+
   test("urlSurt: host reversal, ports, path/query/fragment handling") {
     val cases = Seq(
       "https://d7.example.com/p123?b=1" -> "com,example,d7)/p123?b=1",

@@ -2084,11 +2084,14 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
-    // ── The ANCHORED char-run variant in the registry (rows-only: no
-    //    SQL engine replays winnowing) — per exact-coverage decile, the
-    //    exact vs anchored covered-char mass and the envelope check the
-    //    spec pins (anchored ≤ exact on every doc, by construction).
-    //    Deterministic: minimizer selection is md5-content-determined. ──
+    // ── The ANCHORED char-run ENVELOPE instrument (rows-only by
+    //    design: it bundles exact + anchored in one frame) — per
+    //    exact-coverage decile, the exact vs anchored covered-char
+    //    mass and the envelope check the spec pins (anchored ≤ exact
+    //    on every doc, by construction). The anchored path itself is
+    //    hash-pinned in text_char_anchored, whose oracle replays the
+    //    winnowing in SQL. Deterministic: minimizer selection is
+    //    md5-content-determined. ──
     QueryDef.rowsOnly("dedup_char_anchored") {
       (s, d) =>
         val exact = TextOps.charRunCoverage(Tables.documents(s, d), "doc_id", "text", k = 20)
@@ -2105,6 +2108,64 @@ object DataPipelineQueries {
             sum(when(col("anch_cov") > col("exact_cov"), 1L).otherwise(0L))
               .cast("long").as("envelope_violations"))
           .orderBy("decile")
+    },
+
+    // ── The anchored char-run path ORACLE-PINNED (the r12 verdict ask):
+    //    DuckDB replays the winnowing itself — per doc, md5 over every
+    //    char 20-gram, leftmost-min per 4-window (hex-string min IS the
+    //    unsigned digest-byte order; the min-position join replays the
+    //    leftmost tie-break exactly), valid window starts only
+    //    (i−1 ≤ max(n−w, 0), the text_winnow_fingerprint frame), then
+    //    the cross-doc test over the ANCHOR set (content-determined
+    //    anchoring: a shared run anchors identically in every doc) and
+    //    the same gaps-and-islands span union as text_char_runs. One
+    //    drifted anchor anywhere moves covered_chars and the hash.
+    //    dedup_char_anchored stays as the exact-vs-anchored ENVELOPE
+    //    instrument; this row pins the anchored production path
+    //    byte-for-byte. ──
+    QueryDef.sql(
+      "text_char_anchored",
+      """WITH b AS (SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n_chars
+        |           FROM documents WHERE text IS NOT NULL AND length(text) >= 20),
+        |g AS (SELECT doc_id, CAST(n_chars AS INT) - 19 AS n,
+        |        unnest(range(1, CAST(n_chars AS INT) - 18)) AS i,
+        |        unnest([md5(substr(t, j, 20)) for j in range(1, CAST(n_chars AS INT) - 18)]) AS h,
+        |        unnest([substr(t, j, 20) for j in range(1, CAST(n_chars AS INT) - 18)]) AS gram
+        |      FROM b),
+        |wm AS (SELECT doc_id, i, n,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |       FROM g),
+        |wv AS (SELECT doc_id, i, wmin FROM wm WHERE i - 1 <= greatest(n - 4, 0)),
+        |anch0 AS (SELECT wv.doc_id, wv.i AS wstart, min(g.i) AS j
+        |          FROM wv JOIN g ON g.doc_id = wv.doc_id
+        |            AND g.i BETWEEN wv.i AND wv.i + 3 AND g.h = wv.wmin
+        |          GROUP BY wv.doc_id, wv.i),
+        |a AS (SELECT DISTINCT doc_id, j FROM anch0),
+        |ag AS (SELECT a.doc_id, a.j, g.gram FROM a
+        |       JOIN g ON g.doc_id = a.doc_id AND g.i = a.j),
+        |s AS (SELECT gram FROM ag GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |sp AS (SELECT ag.doc_id, ag.j AS pos FROM ag JOIN s USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20 THEN 0 ELSE 1 END AS brk
+        |        FROM sp),
+        |grp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM isl),
+        |iv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e FROM grp GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS covered_chars,
+        |               CAST(max(e - s + 1) AS BIGINT) AS max_run
+        |        FROM iv GROUP BY 1)
+        |SELECT b.doc_id AS doc, b.n_chars,
+        |  CAST(coalesce(covered_chars, 0) AS BIGINT) AS covered_chars,
+        |  round(CAST(coalesce(covered_chars, 0) AS DOUBLE) / n_chars, 4) AS covered_frac,
+        |  CAST(coalesce(max_run, 0) AS BIGINT) AS max_run
+        |FROM b LEFT JOIN cov ON cov.doc_id = b.doc_id
+        |ORDER BY doc""".stripMargin) {
+      (s, d) =>
+        TextOps.charRunCoverageAnchored(Tables.documents(s, d), "doc_id", "text",
+          k = 20, w = 4)
+          .orderBy("doc")
     },
 
     // ── Fixed-budget per-source sample: at most 20 docs per source, the

@@ -89,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_charset_decode(blob)")
         CharsetDecodeExpr(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_gunzip_text"),
+      info(classOf[GzipTextExpr], "graft_gunzip_text",
+        "graft_gunzip_text(blob) - gunzip-by-content to UTF-8 text: gzip magic decodes " +
+          "all concatenated members, plain bytes read as UTF-8, malformed gzip -> NULL"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_gunzip_text(blob)")
+        GzipTextExpr(args(0))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_blocklist_counts"),
       info(classOf[BlocklistCountsExpr], "graft_blocklist_counts",
         "graft_blocklist_counts(text, array('p1', ...)[, fold_case]) - per-pattern " +

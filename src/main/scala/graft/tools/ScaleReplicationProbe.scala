@@ -27,13 +27,18 @@ import org.apache.spark.sql.functions._
   *   BoundedCollect caps + dropped-id accumulator are the designed
   *   guard, and the probe records what they drop).
   *
-  * Usage: runMain graft.tools.ScaleReplicationProbe [sfDir] [reps]
-  *   (reps comma-separated, default "1,10,32")
+  * Usage: runMain graft.tools.ScaleReplicationProbe [sfDir] [reps] [only]
+  *   (reps comma-separated, default "1,10,32"; `only` = comma-separated
+  *   label PREFIXES to run — everything else skips, for re-measuring a
+  *   subset without paying the prefix-join ×32 bodies)
   */
 object ScaleReplicationProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).getOrElse("1,10,32").split(",").map(_.trim.toInt).toSeq
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(label: String): Boolean = only.forall(_.exists(label.startsWith))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -66,6 +71,7 @@ object ScaleReplicationProbe {
     // the timed body (unpersisting a localCheckpoint invalidates it - the
     // lineage is gone, the second run would die on missing blocks)
     def timed(label: String, clearBetween: Boolean = true)(body: => Long): Unit = {
+      if (!want(label)) return
       body // warm (codegen/JIT; fresh frames every call, so no cache reuse)
       if (clearBetween) clearBlocks()
       shufW = 0; maxTask = 0; durs.clear()
@@ -122,10 +128,17 @@ object ScaleReplicationProbe {
           "doc_id", "n_tokens", keyCol = "text", nShards = 8, seqLen = 256).count()
       }
 
-      // 2. exact-run dedup (duplicated grams: df grows xN, hot path live)
+      // 2. exact-run dedup (duplicated grams: df grows xN, hot path live).
+      //    SUM the computed columns, never count(): the operator ends in
+      //    a left-outer join against a unique-key aggregate, which
+      //    count() lets Catalyst ELIMINATE — the whole gram pipeline
+      //    optimized away and the row measured fixture-checkpoint cost
+      //    only (caught in round 13: shufW identical to the fixture at
+      //    every replication; the Bench count-pruning gotcha, join form)
       timed(s"exact_run_dedup x$rep") {
         graft.operators.TextOps.exactRunDedupText(
-          docsTimes(rep, saltText = false), "doc_id", "text", n = 5).count()
+            docsTimes(rep, saltText = false), "doc_id", "text", n = 5)
+          .agg(sum(col("n_kept") + length(col("clean_text")))).head.getLong(0)
       }
 
       // 2b. hotDf A/B — measured OUTCOME (kept as the record): timings
@@ -137,12 +150,13 @@ object ScaleReplicationProbe {
       //     straddle the two thresholds.
       timed(s"exact_run_dedup x$rep hotDf=4k") {
         graft.operators.TextOps.exactRunDedupText(
-          docsTimes(rep, saltText = false), "doc_id", "text", n = 5,
-          hotDf = 4096L).count()
+            docsTimes(rep, saltText = false), "doc_id", "text", n = 5,
+            hotDf = 4096L)
+          .agg(sum(col("n_kept") + length(col("clean_text")))).head.getLong(0)
       }
 
       // 3. stored-IVF serve: publish once per size, time ONLY the serve
-      locally {
+      if (want("ivf_stored_serve")) locally {
         val emb = graft.Tables.embeddings(spark, sfDir)
         val perturbed = emb.crossJoin(spark.range(rep).select(col("id").as("_rep")))
           .select((col("vec_id") + col("_rep") * 10000000L).as("vec_id"),
@@ -165,7 +179,7 @@ object ScaleReplicationProbe {
 
       // 4. duplicate clustering (families xN → per-bucket pairs xN²;
       //    caps + accumulator are the guard under test)
-      locally {
+      if (want("dedup_clusters")) locally {
         val dropped = spark.sparkContext.longAccumulator(s"dropped-x$rep")
         timed(s"dedup_clusters x$rep") {
           val pairs = graft.operators.Dedup.lshCandidatePairs(
@@ -222,7 +236,7 @@ object ScaleReplicationProbe {
       //     pays per arrival — probe under the frozen ordering. Wall
       //     should track the batch's candidate/pair mass, not corpus
       //     size (that is the point of storing the index).
-      locally {
+      if (want("prefix_incremental")) locally {
         val allP = prefixReps(rep).localCheckpoint()
         val bP = allP.filter(pmod(col("id"), lit(20)) === 0).localCheckpoint()
         val cP = allP.filter(pmod(col("id"), lit(20)) =!= 0).localCheckpoint()
@@ -284,6 +298,54 @@ object ScaleReplicationProbe {
             lit(".example.com")).as("domain"))
         dom.join(graft.operators.Sharding.samplePerGroup(dom, "domain", "doc_id", 3),
           Seq("domain", "doc_id"), "left_semi").count()
+      }
+
+      // 7. CHAR-granularity dedup tier (round-12 arrival): the exact
+      //    all-positions explode is one row per char — the shape that
+      //    needs measured ×N rows before anyone trusts it at 100 TB —
+      //    and the anchored variant is the production path (winnowed
+      //    minimizer anchors, ~w× less volume, lower-envelope
+      //    guarantee). Unmodified text under fresh ids, the exact-run
+      //    semantics: gram df grows ×N, cross-doc mass dominated by
+      //    the replica families.
+      //    (sum-forced like exact_run_dedup above — the same prunable
+      //    unique-key outer-join tail)
+      timed(s"char_runs_exact x$rep") {
+        graft.operators.TextOps.charRunCoverage(
+            docsTimes(rep, saltText = false), "doc_id", "text", k = 20)
+          .agg(sum(col("covered_chars") + col("max_run"))).head.getLong(0)
+      }
+      timed(s"char_runs_anchored_w4 x$rep") {
+        graft.operators.TextOps.charRunCoverageAnchored(
+            docsTimes(rep, saltText = false), "doc_id", "text", k = 20, w = 4)
+          .agg(sum(col("covered_chars") + col("max_run"))).head.getLong(0)
+      }
+      timed(s"char_runs_anchored_w8 x$rep") {
+        graft.operators.TextOps.charRunCoverageAnchored(
+            docsTimes(rep, saltText = false), "doc_id", "text", k = 20, w = 8)
+          .agg(sum(col("covered_chars") + col("max_run"))).head.getLong(0)
+      }
+      timed(s"char_cut x$rep") {
+        graft.operators.TextOps.charRunDedupText(
+            docsTimes(rep, saltText = false), "doc_id", "text", k = 20)
+          .agg(sum(col("n_kept") + length(col("clean_text")))).head.getLong(0)
+      }
+      // the volume ratio the anchored tier buys: rows entering the
+      // cross-doc stats/join stage (exact = every gram position,
+      // anchored = selected minimizers)
+      if (want("char_")) locally {
+        import org.apache.spark.sql.graftbridge.Bridge
+        val d0 = docsTimes(rep, saltText = false)
+        def volume(minsOf: Option[Int]): Long = minsOf match {
+          case None => d0.select(sum(greatest(length(col("text")) - 19, lit(0))))
+            .head.getLong(0)
+          case Some(w) =>
+            val m = Bridge.column(graft.expressions.CharMinimizers(
+              Bridge.expression(coalesce(col("text").cast("string"), lit(""))), 20, w))
+            d0.select(sum(when(m.isNull, 0).otherwise(size(m)))).head.getLong(0)
+        }
+        val (e, a4, a8) = (volume(None), volume(Some(4)), volume(Some(8)))
+        println(f"[scale-probe]   char tier volume x$rep: exact $e%d  anchored_w4 $a4%d (${e.toDouble / a4}%.2fx less)  anchored_w8 $a8%d (${e.toDouble / a8}%.2fx less)")
       }
     }
     spark.stop()

@@ -67,6 +67,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r2.getString(1) == "unknown")
   }
 
+  test("graft_gunzip_text resolves in SQL: gzip decodes by magic, plain passes, broken nulls") {
+    import spark.implicits._
+    val xml = "<loc>https://a.org/p1</loc>"
+    val gz = graft.codec.GzipCodec.gzipMember(xml.getBytes("UTF-8"))
+    Seq((xml.getBytes("UTF-8"), gz, gz.take(gz.length - 3)))
+      .toDF("p", "g", "bad").createOrReplaceTempView("gz_v")
+    val r = session.sql(
+      "SELECT graft_gunzip_text(p) AS a, graft_gunzip_text(g) AS b, graft_gunzip_text(bad) AS c FROM gz_v").head
+    assert(r.getString(0) == xml && r.getString(1) == xml)
+    assert(r.isNullAt(2))
+  }
+
   test("graft_hll_bucket_rho resolves in SQL and matches the Scala surface") {
     val row = session.sql(
       "SELECT graft_hll_bucket_rho('doc-body-42').bucket AS b, " +

@@ -766,6 +766,54 @@ object WebQueries {
           .select(col("doc_id"), col("final_url"), col("n_hops"), col("status"))
           .orderBy("doc_id")
     },
+    // ── Location-header reference RESOLUTION — the step between a 3xx
+    //    response and the frontier: RFC 9110 allows RELATIVE Location
+    //    values and real servers emit every form below, so the engine
+    //    resolves against the request URL (RFC 3986 §5, TextOps
+    //    .urlResolve as pure column ops) and canonicalizes. Six shapes
+    //    by doc_id % 6: absolute (wins outright), protocol-relative
+    //    (base scheme), absolute-path (base origin), sibling-with-query
+    //    (merges against the base DIRECTORY, base query dropped per the
+    //    RFC, target query sorted by the canonicalizer), ../ traversal
+    //    (dot-segment fold), query-only (base path kept, base query
+    //    REPLACED per the RFC). Seed-arithmetic oracle: DuckDB CONSTRUCTS each
+    //    expected resolved URL directly from the id — one wrong merge
+    //    rule, fold, or sort anywhere breaks that row's hash. ──
+    QueryDef.sql(
+      "web_redirect_resolve",
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'https://ext' || (doc_id % 50) || '.org/x' || doc_id
+        |    WHEN 1 THEN 'https://cdn' || (doc_id % 50) || '.example.net/lib' || doc_id || '.js'
+        |    WHEN 2 THEN 'https://d' || (doc_id % 50) || '.example.com/r/p' || doc_id
+        |    WHEN 3 THEN 'https://d' || (doc_id % 50) || '.example.com/a' || (doc_id % 7) || '/b/next' || doc_id || '?a=1&b=2'
+        |    WHEN 4 THEN 'https://d' || (doc_id % 50) || '.example.com/a' || (doc_id % 7) || '/up/t' || doc_id
+        |    ELSE 'https://d' || (doc_id % 50) || '.example.com/a' || (doc_id % 7) || '/b/c?page=' || doc_id
+        |  END AS resolved
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val id = col("doc_id")
+        val mS = pmod(id, lit(50)).cast("string")
+        val kS = pmod(id, lit(7)).cast("string")
+        val base = concat(lit("https://d"), mS, lit(".example.com/a"), kS,
+          lit("/b/c?z=1"))
+        val ref = when(pmod(id, lit(6)) === 0,
+            concat(lit("https://ext"), mS, lit(".org/x"), id.cast("string")))
+          .when(pmod(id, lit(6)) === 1,
+            concat(lit("//cdn"), mS, lit(".example.net/lib"), id.cast("string"), lit(".js")))
+          .when(pmod(id, lit(6)) === 2,
+            concat(lit("/r/p"), id.cast("string")))
+          .when(pmod(id, lit(6)) === 3,
+            concat(lit("next"), id.cast("string"), lit("?b=2&a=1")))
+          .when(pmod(id, lit(6)) === 4,
+            concat(lit("../up/t"), id.cast("string")))
+          .otherwise(concat(lit("?page="), id.cast("string")))
+        Tables.documents(s, d)
+          .select(id.as("doc_id"),
+            TextOps.urlCanonicalize(TextOps.urlResolve(base, ref)).as("resolved"))
+          .orderBy("doc_id")
+    },
+
     // ── Sitemap round trip — the crawl's OTHER frontier source beside
     //    extracted links: the engine assembles each domain's sitemap
     //    XML (one <url> entry per doc, doc-id order — a real groupBy +

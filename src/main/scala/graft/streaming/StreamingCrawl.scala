@@ -264,14 +264,21 @@ object StreamingCrawl {
   /** Convenience wiring: every micro-batch's outcome rows land in
     * `outDir` (batch-partitioned, idempotent), admitted keys in
     * `ledgerDir/seen`, admitted pages as WARC shards when `shardDir`
-    * is set. */
+    * is set, and — with `frontierDir` set — each batch's
+    * [[redirectFrontier]] rows land under `frontierDir/batch=<id>`
+    * (own-partition overwrite, replay idempotent) with hop depths
+    * carried from every EARLIER frontier partition, so the fetcher
+    * driving the stream reads its next wave from the latest partition
+    * and the hop cap holds across the whole unrolled chain. */
   def attach(pages: DataFrame, idCol: String, urlCol: String, blobCol: String,
              rules: DataFrame, agent: String, ledgerDir: String, outDir: String,
              checkpointDir: String, shardDir: Option[String] = None,
              nShards: Int = 4, delays: Option[DataFrame] = None,
              defaultDelayMs: Long = 1000L,
              statusCol: Option[String] = None,
-             locationCol: Option[String] = None): StreamingQuery =
+             locationCol: Option[String] = None,
+             frontierDir: Option[String] = None,
+             maxHops: Int = 5): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -280,6 +287,19 @@ object StreamingCrawl {
           statusCol, locationCol)
         o.withColumn("batch", lit(batchId))
           .write.mode("overwrite").partitionBy("batch").parquet(outDir)
+        frontierDir.foreach { fd =>
+          val spark = o.sparkSession
+          val hops =
+            try {
+              val prior = spark.read.parquet(fd)
+                .filter(col("batch") < batchId)
+                .groupBy("url").agg(min("hop").cast("int").as("hop"))
+              if (prior.isEmpty) None else Some(prior)
+            } catch { case _: org.apache.spark.sql.AnalysisException => None }
+          redirectFrontier(o, ledgerDir, batchId, hops, maxHops)
+            .withColumn("batch", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch").parquet(fd)
+        }
         o.unpersist(blocking = false)
         ()
       }

@@ -313,4 +313,57 @@ class CharsetCodecSpec extends SparkSpec {
     assert(!plan.contains("ExistingRDD"),
       s"decodeCharset must stay columnar, plan was:\n$plan")
   }
+
+  test("content detection property: never attributes bytes to the WRONG family (seeded fuzz)") {
+    // The detector's contract is asymmetric: missing a page (stays
+    // unknown, quarantined, recoverable) is acceptable; decoding it as
+    // a DIFFERENT charset (silent mojibake in the corpus) is not. Fuzz
+    // script-realistic texts under a fixed seed: for multi-byte
+    // sources the verdict must be the true family or None; for
+    // single-byte sources it must always be None.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def pick(alphabet: String, n: Int, spaceEvery: Int): String =
+      (0 until n).map { i =>
+        if (spaceEvery > 0 && i % spaceEvery == spaceEvery - 1) ' '
+        else alphabet(rnd.nextInt(alphabet.length))
+      }.mkString
+    val hira = (0x3042 to 0x3093).map(_.toChar).mkString
+    val kata = (0x30A2 to 0x30F3).map(_.toChar).mkString
+    val hanCommon = "日本語文書東京都渋谷区天気晴気温度予定連絡中文測試文件編碼處理程序简体书写较长测试文档北京市海淀区安排通知大家"
+    val hangul = (0 until 80).map(i => (0xAC00 + i * 137).toChar).mkString
+    val cyr = ('а' to 'я').mkString + "ёЁАБВГДЕЖЗ"
+    val greek = ('α' to 'ω').mkString + "ΑΒΓΔΕΖΗΘ"
+    val thai = (0x0E01 to 0x0E2E).map(_.toChar).mkString
+    val arabic = (0x0621 to 0x063A).map(_.toChar).mkString
+    // ja: kana-dominant with Han sprinkled (the real mix)
+    def jaText() = pick(hira + kata + hira, 40, 9) + pick(hanCommon, 8, 0)
+    def zhText() = pick(hanCommon, 40, 11)
+    def koText() = pick(hangul, 40, 7)
+    for (trial <- 1 to 40) {
+      val cases = Seq(
+        ("shift_jis", jaText()), ("euc-jp", jaText()),
+        ("gbk", zhText()), ("big5", "繁體中文測試文件編碼處理" + pick("繁體中文測試文件編碼處理", 20, 0)),
+        ("euc-kr", koText()))
+      cases.foreach { case (cs, text) =>
+        val b = try CharsetCodec.encode(text, cs)
+        catch { case _: IllegalArgumentException => Array.emptyByteArray } // unencodable draw: skip
+        if (b.nonEmpty) {
+          val got = CharsetCodec.detectMultiByte(b)
+          assert(got.isEmpty || got.contains(cs),
+            s"trial $trial: $cs bytes detected as $got — wrong-family attribution")
+        }
+      }
+      Seq(("koi8-r", cyr), ("windows-1251", cyr), ("iso-8859-7", greek),
+        ("windows-874", thai), ("windows-1256", arabic)).foreach { case (cs, alpha) =>
+        val text = pick(alpha, 40, 8)
+        val b = try CharsetCodec.encode(text, cs)
+        catch { case _: IllegalArgumentException => Array.emptyByteArray }
+        if (b.nonEmpty) {
+          val got = CharsetCodec.detectMultiByte(b)
+          assert(got.isEmpty,
+            s"trial $trial: single-byte $cs bytes detected as $got — a false-positive channel")
+        }
+      }
+    }
+  }
 }

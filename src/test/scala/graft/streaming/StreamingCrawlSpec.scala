@@ -334,4 +334,45 @@ class StreamingCrawlSpec extends SparkSpec {
     assert(got == Set((1L, "admitted", 0L), (2L, "duplicate", 1L),
       (3L, "admitted", 1L)))
   }
+
+  test("attach with frontierDir: per-batch frontier partitions, hop carry, drain on fetch") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    implicit val sqlCtx = spark.sqlContext
+    val ledger = tmpDir("graft-scrawl-l3")
+    val out = tmpDir("graft-scrawl-o3")
+    val ckpt = tmpDir("graft-scrawl-k3")
+    val frontier = tmpDir("graft-scrawl-f3")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Array[Byte], Option[Int], Option[String])]
+    val q = StreamingCrawl.attach(
+      mem.toDF().toDF("id", "url", "blob", "status", "location"),
+      "id", "url", "blob", rules, "graftbot", ledger, out, ckpt,
+      statusCol = Some("status"), locationCol = Some("location"),
+      frontierDir = Some(frontier), maxHops = 2)
+    try {
+      // batch 0: one 301 with a RELATIVE target, one plain fetch
+      mem.addData(Seq(
+        (1L, "http://a.org/old/x", page("m"), Some(301), Some("../hop/y")),
+        (2L, "http://a.org/p1", page("p1"), Some(200), None)))
+      q.processAllAvailable()
+      val f0 = spark.read.parquet(frontier).filter(col("batch").cast("long") === 0L)
+        .select("url", "hop").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(f0 == Map("http://a.org/hop/y" -> 1), "relative target resolved into the frontier")
+      // batch 1: the fetcher follows the frontier — target admits; it
+      // ALSO answers 301 onward (hop 2, still within maxHops = 2)
+      mem.addData(Seq(
+        (11L, "http://a.org/hop/y", page("m"), Some(301), Some("/hop/z"))))
+      q.processAllAvailable()
+      val f1 = spark.read.parquet(frontier).filter(col("batch").cast("long") === 1L)
+        .select("url", "hop").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(f1 == Map("http://a.org/hop/z" -> 2), "hop depth carried from the prior frontier")
+      // batch 2: z answers 301 again — hop 3 exceeds maxHops, chain stops
+      mem.addData(Seq(
+        (21L, "http://a.org/hop/z", page("m"), Some(301), Some("/hop/w"))))
+      q.processAllAvailable()
+      val f2 = spark.read.parquet(frontier).filter(col("batch").cast("long") === 2L)
+      assert(f2.count() == 0, "the hop cap stops the unrolled chain")
+    } finally q.stop()
+  }
 }

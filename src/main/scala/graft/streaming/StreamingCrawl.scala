@@ -38,7 +38,8 @@ object StreamingCrawl {
 
   /** One micro-batch step: returns one OUTCOME row per arrival —
     * `(id, url, canonical, domain, outcome, delay_ms, fetch_at_ms)`
-    * with outcome ∈ `invalid | robots_blocked | duplicate | admitted`
+    * with outcome ∈ `invalid | not_modified | redirect | robots_blocked
+    * | duplicate | admitted`
     * — appends admitted canonicals to `ledgerDir/seen` under
     * `batch=<batchId>`, and (with `shardDir` set) packs admitted pages
     * into WARC shards under `shardDir/warcs`. Usable directly on
@@ -47,7 +48,10 @@ object StreamingCrawl {
     * done.
     *
     * REDIRECTS (with `statusCol` set): rows whose HTTP status is 3xx
-    * are the `redirect` outcome — a redirect response is not content,
+    * — except 304 Not Modified, which is the `not_modified` outcome
+    * (the conditional-fetch confirmation: no content, no Location, no
+    * frontier feed, and NOT `duplicate` — a healthy revisit is not
+    * waste) — are the `redirect` outcome — a redirect response is not content,
     * so it never reaches robots, dedup, the seen ledger, or the WARC
     * shards; its `Location` target (from `locationCol`, when given) —
     * RESOLVED against the request URL when relative
@@ -97,10 +101,21 @@ object StreamingCrawl {
         nullS.as("redirect_to"))
     val invalid = outcome(b.filter(col("canonical").isNull), "invalid")
     val valid0 = b.filter(col("canonical").isNotNull)
-    // 3xx responses: not content — outcome rows carrying the canonical
-    // target for the frontier loop, excluded from everything below
+    // 304 Not Modified is 3xx but NOT a redirect: it is the
+    // conditional-fetch confirmation that the ledger's stored copy is
+    // current — no content, no Location, no frontier feed, and no
+    // dedup/admission either (the URL already admitted when its
+    // content first arrived; re-reading `duplicate` would miscount a
+    // healthy revisit as waste)
+    val isNotModified = statusCol
+      .map(sc => col(sc).isNotNull && col(sc) === 304).getOrElse(lit(false))
+    val notModified = outcome(valid0.filter(isNotModified), "not_modified")
+    // Location-bearing 3xx responses: not content — outcome rows
+    // carrying the canonical target for the frontier loop, excluded
+    // from everything below
     val isRedirect = statusCol
-      .map(sc => col(sc).isNotNull && col(sc) >= 300 && col(sc) <= 399)
+      .map(sc => col(sc).isNotNull && col(sc) >= 300 && col(sc) <= 399 &&
+        col(sc) =!= 304)
       .getOrElse(lit(false))
     val redirected = valid0.filter(isRedirect)
       .select(col(idCol), col(urlCol), col("canonical"), col("domain"),
@@ -113,7 +128,7 @@ object StreamingCrawl {
         locationCol.map(lc => TextOps.urlCanonicalize(
             TextOps.urlResolve(col("canonical"), col(lc))))
           .getOrElse(nullS).as("redirect_to"))
-    val valid = valid0.filter(!isRedirect)
+    val valid = valid0.filter(!isRedirect && !isNotModified)
     // robots verdicts on a slim (id, domain, path) frame; join back by id
     val verdicts = Robots.evaluate(
       valid.select(col(idCol), col("domain"), col("path")), rules, agent)
@@ -182,6 +197,7 @@ object StreamingCrawl {
           Some(sched))
     }
     val out = invalid
+      .unionByName(notModified)
       .unionByName(redirected)
       .unionByName(blocked)
       .unionByName(outcome(batchDups.unionByName(crossDups), "duplicate"))
@@ -209,10 +225,17 @@ object StreamingCrawl {
     * reveals one hop per fetch round. Two batches can both discover a
     * not-yet-fetched target and double-enqueue it — self-healing, the
     * second fetch reads `duplicate` — so no frontier ledger is needed
-    * beyond the seen set. */
+    * beyond the seen set. With `rules` set (the [[Robots.rulesFrame]]
+    * shape + the crawler's `agent`), targets the robots rules disallow
+    * are filtered BEFORE they enter the frontier — the polite-crawler
+    * contract: robots gating at admission catches fetched-but-
+    * forbidden pages after the fact, the frontier filter avoids
+    * fetching them at all. */
   def redirectFrontier(outcomes: DataFrame, ledgerDir: String, batchId: Long,
                        hops: Option[DataFrame] = None,
-                       maxHops: Int = 5): DataFrame = {
+                       maxHops: Int = 5,
+                       rules: Option[DataFrame] = None,
+                       agent: String = "*"): DataFrame = {
     val spark = outcomes.sparkSession
     import spark.implicits._
     val targets0 = outcomes
@@ -226,11 +249,21 @@ object StreamingCrawl {
     }
     val capped = withHop.filter(col("hop") <= maxHops)
       .groupBy(col("redirect_to").as("url")).agg(min("hop").cast("int").as("hop"))
+    val polite = rules match {
+      case None => capped
+      case Some(r) =>
+        val hostPath = "^[a-z][a-z0-9+.-]*://([^/?#]*)([^?#]*).*$"
+        val slim = capped.select(col("url"), col("hop"),
+          regexp_extract(col("url"), hostPath, 1).as("domain"),
+          regexp_extract(col("url"), hostPath, 2).as("path"))
+        Robots.evaluate(slim, r, agent)
+          .filter(col("allowed")).select("url", "hop")
+    }
     val seen = BatchLedger.read(spark, ledgerDir, "seen", SeenPointerKey,
       belowBatch = Some(batchId + 1),
       empty = Seq.empty[(String, Long)].toDF("canonical", "id"))
       .select(col("canonical").as("url")).distinct()
-    capped.join(seen, Seq("url"), "left_anti")
+    polite.join(seen, Seq("url"), "left_anti")
   }
 
   /** Fold every `seen/` partition with `batch < belowBatch` into a new
@@ -296,7 +329,10 @@ object StreamingCrawl {
                 .groupBy("url").agg(min("hop").cast("int").as("hop"))
               if (prior.isEmpty) None else Some(prior)
             } catch { case _: org.apache.spark.sql.AnalysisException => None }
-          redirectFrontier(o, ledgerDir, batchId, hops, maxHops)
+          // the attach path always has the rules frame: filter
+          // disallowed targets BEFORE they enter the frontier
+          redirectFrontier(o, ledgerDir, batchId, hops, maxHops,
+            rules = Some(rules), agent = agent)
             .withColumn("batch", lit(batchId))
             .write.mode("overwrite").partitionBy("batch").parquet(fd)
         }

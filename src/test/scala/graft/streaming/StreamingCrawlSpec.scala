@@ -335,6 +335,61 @@ class StreamingCrawlSpec extends SparkSpec {
       (3L, "admitted", 1L)))
   }
 
+  test("304 Not Modified classifies as not_modified: no redirect, no duplicate, no frontier") {
+    import org.apache.spark.sql.types.IntegerType
+    val ledger = tmpDir("graft-scrawl-304")
+    val schema2 = schema
+      .add(StructField("status", IntegerType, nullable = true))
+      .add(StructField("location", StringType, nullable = true))
+    def df2(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema2)
+    // batch 0 admits the page; batch 1 revisits conditionally and the
+    // server answers 304 — a healthy revisit, not waste
+    val m0 = StreamingCrawl.processBatch(
+      df2(Seq(Row(1L, "http://a.org/page", page("v1"), 200, null))),
+      0L, "id", "url", "blob", rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    assert(outcomes(m0) == Map(1L -> "admitted")); m0.unpersist(false)
+    val m1 = StreamingCrawl.processBatch(
+      df2(Seq(Row(11L, "http://a.org/page", page(""), 304, null),
+        Row(12L, "http://a.org/page", page("refetch"), 200, null))),
+      1L, "id", "url", "blob", rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    val r1 = m1.collect().map(r => r.getLong(0) -> ((r.getString(4), Option(r.getString(7))))).toMap
+    assert(r1(11L) == (("not_modified", None)),
+      "304 is the conditional-fetch confirmation, never redirect or duplicate")
+    assert(r1(12L)._1 == "duplicate", "an unconditional re-fetch still reads duplicate")
+    // 304 rows never feed the frontier
+    assert(StreamingCrawl.redirectFrontier(m1, ledger, 1L).count() == 0)
+    m1.unpersist(false)
+  }
+
+  test("redirect frontier is robots-polite: disallowed targets never enter") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    val ledger = tmpDir("graft-scrawl-polite")
+    val schema2 = schema
+      .add(StructField("status", IntegerType, nullable = true))
+      .add(StructField("location", StringType, nullable = true))
+    def df2(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema2)
+    // a.org disallows /private (the shared `rules` fixture); one 301
+    // points into it, one to an allowed path, one to an UNKNOWN domain
+    // (no rules → default allowed)
+    val m0 = StreamingCrawl.processBatch(df2(Seq(
+      Row(1L, "http://a.org/x", page("m"), 301, "/private/secret"),
+      Row(2L, "http://a.org/y", page("m"), 301, "/public/ok"),
+      Row(3L, "http://a.org/z", page("m"), 301, "http://other.net/p"))),
+      0L, "id", "url", "blob", rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    val f = StreamingCrawl.redirectFrontier(m0, ledger, 0L, rules = Some(rules),
+      agent = "graftbot")
+    val got = f.select("url").as[String].collect().toSet
+    m0.unpersist(false)
+    assert(got == Set("http://a.org/public/ok", "http://other.net/p"),
+      "the disallowed target is filtered before any fetch; unknown domains default allowed")
+  }
+
   test("attach with frontierDir: per-batch frontier partitions, hop carry, drain on fetch") {
     import spark.implicits._
     import org.apache.spark.sql.types.IntegerType

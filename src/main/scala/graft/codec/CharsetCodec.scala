@@ -279,19 +279,26 @@ object CharsetCodec {
     * best-effort channel, because the caller's alternative (`unknown`
     * + raw-byte quarantine) is recoverable and a wrong charset is
     * not. */
-  def detectMultiByte(b: Array[Byte]): Option[String] = {
-    var found: String = null
+  def detectMultiByte(b: Array[Byte]): Option[String] =
+    detectMultiByteDecoded(b).map(_._1)
+
+  /** [[detectMultiByte]] keeping the winner's DECODED text, so the
+    * charset-gate hot path pays the 5-family sweep once and never
+    * re-decodes the winning family. */
+  private[codec] def detectMultiByteDecoded(b: Array[Byte]): Option[(String, String)] = {
+    var foundCs: String = null
+    var foundText: String = null
     val it = MultiByteFamilies.iterator
     while (it.hasNext) {
       val cs = it.next()
       strictLegacyDecode(b, cs) match {
         case Some(t) if plausibleScript(cs, t) =>
-          if (found != null) return None // ambiguous: quarantine honestly
-          found = cs
+          if (foundCs != null) return None // ambiguous: quarantine honestly
+          foundCs = cs; foundText = t
         case _ =>
       }
     }
-    Option(found)
+    if (foundCs == null) None else Some((foundCs, foundText))
   }
 
   private val MetaCharset =
@@ -342,23 +349,36 @@ object CharsetCodec {
     * quarantine verdict. Sparse high bytes with no declaration take
     * the windows-1252 / latin-1 split as before. */
   def sniff(b: Array[Byte], hint: Option[String] = None): String =
-    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte) "utf-8"
-    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) "utf-16le"
-    else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) "utf-16be"
+    sniffDetected(b, hint)._1
+
+  /** [[sniff]] carrying the detection sweep's DECODED text when the
+    * verdict came from [[detectMultiByteDecoded]], so [[decode]] never
+    * re-decodes a payload the sweep already decoded (the sweep itself
+    * is 5 strict decodes — paying a 6th for the winner on every
+    * recovered page would tax the gate's hot path). */
+  private def sniffDetected(b: Array[Byte], hint: Option[String]): (String, Option[String]) =
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte)
+      ("utf-8", None)
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) ("utf-16le", None)
+    else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) ("utf-16be", None)
     else {
       val meta = metaLabelRaw(b)
+      def detected: (String, Option[String]) = detectMultiByteDecoded(b) match {
+        case Some((cs, t)) => (cs, Some(t))
+        case None          => ("unknown", None)
+      }
       // transport label outranks meta, but an UNRECOGNIZED transport
       // label falls through to a recognized meta declaration (WHATWG:
       // an invalid label is no label) instead of shadowing it
       hint.flatMap(normalizeLabel).orElse(meta.flatMap(normalizeLabel)) match {
-        case Some(cs) => cs
+        case Some(cs) => (cs, None)
         case None =>
-          if (isValidUtf8(b)) "utf-8"
+          if (isValidUtf8(b)) ("utf-8", None)
           else if (hint.isDefined || meta.isDefined)
             // a declaration existed but nothing recognized it and the
             // bytes are not UTF-8: content detection is the last
             // chance before quarantine
-            detectMultiByte(b).getOrElse("unknown")
+            detected
           else {
             // density triage needs enough bytes to be a statistic — under
             // 16 the Latin split is the only defensible guess
@@ -370,9 +390,10 @@ object CharsetCodec {
               // the detection sweep recovers the unambiguous CJK pages
               // (the bulk of the old quarantine bucket); ambiguous or
               // implausible payloads keep the unknown verdict
-              detectMultiByte(b).getOrElse("unknown")
-            else if (b.exists(x => (x & 0xFF) >= 0x80 && (x & 0xFF) <= 0x9F)) "windows-1252"
-            else "iso-8859-1"
+              detected
+            else if (b.exists(x => (x & 0xFF) >= 0x80 && (x & 0xFF) <= 0x9F))
+              ("windows-1252", None)
+            else ("iso-8859-1", None)
           }
       }
     }
@@ -406,30 +427,25 @@ object CharsetCodec {
     * declared-but-wrong utf-8 decodes with U+FFFD replacement (the
     * declaration wins, as in browsers — a heuristic override would make
     * the gate non-deterministic across payload truncations). A
-    * declared-CJK payload decodes STRICTLY: bytes that fail the JDK
-    * table's validation yield `("unknown", "")` — the quarantine
-    * verdict — because no deterministic fallback exists for a broken
-    * double-byte stream. `("unknown", "")` is also the verdict for
-    * unrecognized-label and dense-high-byte unlabeled payloads (see
-    * [[sniff]]); callers keep the raw bytes for the quarantine sink.
-    * `hint` is the transport-layer declaration (see [[sniff]]). */
+    * declared-legacy payload decodes STRICTLY; when its bytes fail the
+    * JDK table's validation, content detection
+    * ([[detectMultiByteDecoded]]) gets ONE shot — mislabeled pages
+    * (gb2312-labeled big5, euc-kr-labeled shift_jis) are common, and
+    * the exactly-one-plausible bar opens no new false-positive
+    * channel — before the `("unknown", "")` quarantine verdict.
+    * `("unknown", "")` is also the verdict when detection cannot
+    * attribute unrecognized-label or dense-high-byte unlabeled
+    * payloads (see [[sniff]]); callers keep the raw bytes for the
+    * quarantine sink. `hint` is the transport-layer declaration (see
+    * [[sniff]]). */
   def decode(b: Array[Byte], hint: Option[String] = None): (String, String) = {
-    val cs = sniff(b, hint)
+    val (cs, detectedText) = sniffDetected(b, hint)
     if (cs == "unknown") ("unknown", "")
     else if (LegacyJdk.contains(cs))
-      strictLegacyDecode(b, cs) match {
-        case Some(t) => (cs, t)
-        case None =>
-          // declared legacy label whose bytes fail strict validation:
-          // mislabeled pages (gb2312-labeled big5, sjis-labeled euc-jp)
-          // are common enough that detection gets one shot before the
-          // quarantine verdict — same exactly-one-plausible bar as the
-          // unlabeled path, so no new false-positive channel opens
-          detectMultiByte(b) match {
-            case Some(d) => (d, strictLegacyDecode(b, d).get)
-            case None    => ("unknown", "")
-          }
-      }
+      detectedText.map((cs, _)) // the sweep already decoded this payload
+        .orElse(strictLegacyDecode(b, cs).map((cs, _)))
+        .orElse(detectMultiByteDecoded(b)) // declared-legacy strict fail: mislabel rescue
+        .getOrElse(("unknown", ""))
     else (cs, decodeAs(b, cs))
   }
 

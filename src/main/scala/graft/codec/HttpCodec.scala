@@ -134,17 +134,15 @@ object HttpCodec {
       case "identity" => Some(("identity", framed))
       case _ if framed.isEmpty => Some((coding, framed))
       case "gzip" | "x-gzip" =>
-        val out = new ByteArrayOutputStream(framed.length * 3 + 64)
-        var off = 0
-        while (off < framed.length) {
-          GzipCodec.gunzipMember(framed, off) match {
-            case Some((data, consumed)) =>
-              out.write(data, 0, data.length)
-              off += consumed
-            case None => return None // mid-body garbage or truncated member
-          }
+        // gunzipAll owns the member-iteration strictness (successive
+        // members, full consumption, None on mid-body garbage or a
+        // truncated member) — one implementation, shared with the
+        // sitemap gunzip-by-content path
+        GzipCodec.gunzipAll(framed).map { members =>
+          val out = new ByteArrayOutputStream(sizeHint(framed.length))
+          members.foreach { case (data, _, _) => out.write(data, 0, data.length) }
+          ("gzip", out.toByteArray)
         }
-        Some(("gzip", out.toByteArray))
       case "deflate" =>
         inflate(framed, zlibWrapped = true)
           .orElse(inflate(framed, zlibWrapped = false))
@@ -169,7 +167,7 @@ object HttpCodec {
       val in = new org.apache.commons.compress.compressors.brotli.BrotliCompressorInputStream(
         new java.io.ByteArrayInputStream(b))
       try {
-        val out = new ByteArrayOutputStream(b.length * 3 + 64)
+        val out = new ByteArrayOutputStream(sizeHint(b.length))
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
@@ -177,10 +175,16 @@ object HttpCodec {
       } finally in.close()
     } catch { case _: Exception => None } // malformed brotli: structural violation
 
+  /** Initial decode-buffer capacity: ~3× the coded size, clamped so
+    * the int arithmetic cannot go negative on payloads past ~715 MB
+    * (a negative capacity throws out of the never-throw contract). */
+  private[graft] def sizeHint(codedLen: Int): Int =
+    math.min(codedLen.toLong * 3 + 64, Int.MaxValue - 8L).toInt
+
   private def inflate(b: Array[Byte], zlibWrapped: Boolean): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater(!zlibWrapped)
     inf.setInput(b)
-    val out = new ByteArrayOutputStream(b.length * 2 + 64)
+    val out = new ByteArrayOutputStream(sizeHint(b.length))
     val buf = new Array[Byte](8192)
     try {
       while (!inf.finished()) {

@@ -88,7 +88,7 @@ object GzipTextImpl {
     if (b.length >= 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte)
       graft.codec.GzipCodec.gunzipAll(b) match {
         case Some(members) =>
-          val out = new java.io.ByteArrayOutputStream(b.length * 3 + 64)
+          val out = new java.io.ByteArrayOutputStream(graft.codec.HttpCodec.sizeHint(b.length))
           members.foreach { case (data, _, _) => out.write(data, 0, data.length) }
           UTF8String.fromBytes(out.toByteArray)
         case None => null

@@ -79,7 +79,15 @@ object Multimodal {
     val meta = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.expressions.MediaMetaExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(col(blobCol)), sniff))
-    df.select(col(idCol).cast("long").as("media_id"), meta.as("m"))
+    // the id contract stays LOUD (the pre-expression shape threw on a
+    // null id): a null or non-numeric id raises instead of silently
+    // becoming a null media_id that downstream joins drop
+    val idc = col(idCol).cast("long")
+    val mediaId = when(idc.isNull,
+        raise_error(concat(lit(s"decodeMeta: null or non-numeric $idCol: "),
+          coalesce(col(idCol).cast("string"), lit("null")))))
+      .otherwise(idc)
+    df.select(mediaId.as("media_id"), meta.as("m"))
       .select(col("media_id"), col("m.*"))
   }
 

@@ -1413,10 +1413,14 @@ object TextOps {
     *   - protocol-relative `//host/…` → base scheme + ref;
     *   - absolute path `/…` → base origin + ref;
     *   - query-only `?…` → base origin + base path + ref;
+    *   - fragment-only `#…` → the base resource (full path AND query)
+    *     + the new fragment;
     *   - relative path → base origin + base path DIRECTORY + ref,
     *     then dot-segment removal (`/./` and `seg/../` folded, a
     *     bounded 4-deep fixed point — deeper nesting than any real
-    *     Location header);
+    *     Location header) applied to the PATH portion only: a
+    *     path-valued query parameter (`?return=/a/../b`) rides
+    *     through untouched;
     *   - empty ref → the base (minus fragment, which the downstream
     *     canonicalize drops anyway).
     * NULL when the base has no `scheme://` and the ref is not itself
@@ -1437,14 +1441,19 @@ object TextOps {
     // through every branch below because no when() condition fires
     val r = ref
     val hasScheme = r.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
-    // merge (RFC 3986 §5.3) and fold dot-segments on the PATH alone —
+    // merge (RFC 3986 §5.3), then fold dot-segments on the PATH alone —
     // never on the full URL, where `/seg/../` patterns could eat the
-    // host through `//`. Four passes bound the fold (deeper `../`
-    // nesting than any real Location header); excess leading `..`
-    // clamps to root, the browser behavior the RFC specifies. All
-    // patterns stay in the Java∩RE2 subset (no lookaround).
-    val mergedPath =
+    // host through `//`, and never on the ref's query/fragment suffix,
+    // where path-valued parameters (`?return=/a/../b`, the common
+    // redirect-param shape) must ride through untouched. Four passes
+    // bound the fold (deeper `../` nesting than any real Location
+    // header); excess leading `..` clamps to root, the browser
+    // behavior the RFC specifies. All patterns stay in the Java∩RE2
+    // subset (no lookaround).
+    val merged =
       when(r.startsWith("/"), r).otherwise(concat(dir, r))
+    val mergedPath = regexp_extract(merged, "^([^?#]*)", 1)
+    val mergedSuffix = regexp_replace(merged, "^[^?#]*", "")
     val foldedPath = (1 to 4).foldLeft(mergedPath) { (p, _) =>
       regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         p, "/\\./", "/"), "/\\.$", "/"),
@@ -1455,8 +1464,11 @@ object TextOps {
       when(hasScheme, r)
         .when(r.startsWith("//"), concat(scheme, lit(":"), r))
         .when(r.startsWith("?"), concat(origin, bpath, r))
+        // fragment-only ref: the base resource, new fragment (RFC
+        // 3986 §5.3 keeps the full base path AND query)
+        .when(r.startsWith("#"), concat(base, r))
         .when(r === "", base)
-        .otherwise(concat(origin, foldedPath))
+        .otherwise(concat(origin, foldedPath, mergedSuffix))
     when(scheme === "" && !hasScheme, lit(null).cast("string")).otherwise(resolved)
   }
 

@@ -322,13 +322,13 @@ object StreamingCrawl {
           .write.mode("overwrite").partitionBy("batch").parquet(outDir)
         frontierDir.foreach { fd =>
           val spark = o.sparkSession
+          // an empty prior frame joins as a no-op, so no isEmpty
+          // action (one extra per-batch job) is spent deciding None
           val hops =
-            try {
-              val prior = spark.read.parquet(fd)
-                .filter(col("batch") < batchId)
-                .groupBy("url").agg(min("hop").cast("int").as("hop"))
-              if (prior.isEmpty) None else Some(prior)
-            } catch { case _: org.apache.spark.sql.AnalysisException => None }
+            try Some(spark.read.parquet(fd)
+              .filter(col("batch") < batchId)
+              .groupBy("url").agg(min("hop").cast("int").as("hop")))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
           // the attach path always has the rules frame: filter
           // disallowed targets BEFORE they enter the frontier
           redirectFrontier(o, ledgerDir, batchId, hops, maxHops,

@@ -484,6 +484,16 @@ class MediaHeadersSpec extends SparkSpec {
       s"expression visible in plan:\n$plan")
     val rows = out.collect().map(r => r.getLong(0) -> r).toMap
     assert(rows(1L).getAs[String]("format") == "png")
+    // the id contract stays LOUD: a null id raises, never a silent
+    // null media_id that downstream joins would drop
+    val nullIdSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = true),
+      StructField("blob", BinaryType, nullable = true)))
+    val badDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(null, png1x1)), 1), nullIdSchema)
+    intercept[Exception] {
+      Multimodal.decodeMeta(badDf, "media_id", "blob").collect()
+    }
     // NULL blob ≡ empty media: byte_len 0, stub dims of the empty blob
     val n = rows(2L)
     assert(n.getAs[Long]("byte_len") == 0L && n.isNullAt(n.fieldIndex("format")))

@@ -49,7 +49,12 @@ class OperatorsSpec extends SparkSpec {
       "../../top" -> Some("https://h.org/top"),
       // query-only keeps the base path; empty ref is the base
       "?z=9" -> Some("https://h.org/a/b/c?z=9"),
-      "" -> Some(base))
+      "" -> Some(base),
+      // fragment-only keeps the FULL base resource (path and query)
+      "#sec" -> Some(base + "#sec"),
+      // path-valued query params ride through the dot-fold untouched
+      "next?return=/a/../b" -> Some("https://h.org/a/b/next?return=/a/../b"),
+      "../up?p=/./x" -> Some("https://h.org/a/up?p=/./x"))
     val got = cases.map(_._1).toDF("r")
       .select(TextOps.urlResolve(lit(base), col("r")).as("u"))
       .collect().map(r => Option(r.getString(0))).toSeq

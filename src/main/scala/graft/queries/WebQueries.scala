@@ -1164,27 +1164,32 @@ object WebQueries {
     },
 
     // ── Single-byte legacy charsets beyond Latin-1 — the Cyrillic /
-    //    Greek / Turkish / Central-European / Arabic slice of the
-    //    legacy web (~8% after CJK): meta-declared pages decode
+    //    Greek / Turkish / Central-European / Hebrew / Thai slice of
+    //    the legacy web (~8% after CJK): meta-declared pages decode
     //    through the JDK tables under the same strict doctrine as the
-    //    CJK family. Same seed-arithmetic pin: the oracle rebuilds
+    //    CJK family — seven-way since round 13 (windows-1255 Hebrew +
+    //    Thai via the tis-620 alias of windows-874 join the matrix).
+    //    Same seed-arithmetic pin: the oracle rebuilds
     //    the expected decoded text per doc and hashes it — one
-    //    drifted table cell or a dropped alias breaks a fifth of the
+    //    drifted table cell or a dropped alias breaks a seventh of the
     //    rows. ──
     QueryDef.sql(
       "web_charset_legacy",
       """SELECT doc_id,
-        |  CASE doc_id % 5 WHEN 0 THEN 'windows-1251' WHEN 1 THEN 'koi8-r'
+        |  CASE doc_id % 7 WHEN 0 THEN 'windows-1251' WHEN 1 THEN 'koi8-r'
         |    WHEN 2 THEN 'iso-8859-7' WHEN 3 THEN 'windows-1254'
-        |    ELSE 'iso-8859-2' END AS charset,
+        |    WHEN 4 THEN 'iso-8859-2' WHEN 5 THEN 'windows-1255'
+        |    ELSE 'windows-874' END AS charset,
         |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5
         |FROM (SELECT doc_id,
-        |  CASE doc_id % 5
+        |  CASE doc_id % 7
         |    WHEN 0 THEN '<meta charset=windows-1251>Док ' || doc_id || ' русский текст'
         |    WHEN 1 THEN '<meta charset=koi8-r>Док ' || doc_id || ' советский стандарт'
         |    WHEN 2 THEN '<meta charset=greek>Σελ ' || doc_id || ' ελληνικό κείμενο'
         |    WHEN 3 THEN '<meta charset=latin5>Sayfa ' || doc_id || ' Türkçe ğüşıöç'
-        |    ELSE '<meta charset=latin2>Str ' || doc_id || ' žluťoučký kůň'
+        |    WHEN 4 THEN '<meta charset=latin2>Str ' || doc_id || ' žluťoučký kůň'
+        |    WHEN 5 THEN '<meta charset=windows-1255>דף ' || doc_id || ' מסמך בדיקה בעברית כאן'
+        |    ELSE '<meta charset=tis-620>หน้า ' || doc_id || ' เอกสารทดสอบภาษาไทย'
         |  END AS t FROM documents)
         |ORDER BY doc_id""".stripMargin) {
       (s, d) =>
@@ -1192,12 +1197,15 @@ object WebQueries {
         val payloads = Tables.documents(s, d)
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
-            val (cs, text) = (id % 5) match {
+            val (cs, text) = (id % 7) match {
               case 0 => ("windows-1251", s"<meta charset=windows-1251>Док $id русский текст")
               case 1 => ("koi8-r", s"<meta charset=koi8-r>Док $id советский стандарт")
               case 2 => ("iso-8859-7", s"<meta charset=greek>Σελ $id ελληνικό κείμενο")
               case 3 => ("windows-1254", s"<meta charset=latin5>Sayfa $id Türkçe ğüşıöç")
-              case _ => ("iso-8859-2", s"<meta charset=latin2>Str $id žluťoučký kůň")
+              case 4 => ("iso-8859-2", s"<meta charset=latin2>Str $id žluťoučký kůň")
+              case 5 => ("windows-1255", s"<meta charset=windows-1255>דף $id מסמך בדיקה בעברית כאן")
+              // tis-620 is a WHATWG alias of the windows-874 family
+              case _ => ("windows-874", s"<meta charset=tis-620>หน้า $id เอกสารทดสอบภาษาไทย")
             }
             (id, graft.codec.CharsetCodec.encode(text, cs))
           })

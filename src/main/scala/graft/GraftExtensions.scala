@@ -97,6 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_gunzip_text(blob)")
         GzipTextExpr(args(0))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_url_pct_normalize"),
+      info(classOf[UrlPctNormalize], "graft_url_pct_normalize",
+        "graft_url_pct_normalize(url) - RFC 3986 percent normalization: unreserved " +
+          "escapes decode, reserved escapes uppercase, malformed % copies literally"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_url_pct_normalize(url)")
+        UrlPctNormalize(args(0))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_blocklist_counts"),
       info(classOf[BlocklistCountsExpr], "graft_blocklist_counts",
         "graft_blocklist_counts(text, array('p1', ...)[, fold_case]) - per-pattern " +

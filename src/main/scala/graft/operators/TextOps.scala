@@ -1378,8 +1378,12 @@ object TextOps {
     * dropped, default port stripped (`:80` http / `:443` https), empty
     * path normalized to `/`, query parameters SORTED byte-wise with
     * empty and `utm_*` tracking parameters dropped, `?` dropped when no
-    * parameter survives. Percent-encoding is left untouched (decoding
-    * unreserved octets needs a char-level pass; documented gap).
+    * parameter survives. Percent-encoding is left untouched HERE so
+    * this stays a pure Java∩RE2 column chain its SQL oracles replay
+    * verbatim; compose [[urlPctNormalize]] in FRONT
+    * (`urlCanonicalize(urlPctNormalize(url))`) to fold `%41`-style
+    * unreserved escapes and uppercase the reserved ones (RFC 3986
+    * §6.2.2 — the gap this note used to document).
     * Per-row expression chain — one regexp split into (scheme,
     * authority, path, query) plus array ops, no shuffle, and every
     * piece stays in the Java∩RE2 regex subset so a SQL oracle replays
@@ -1401,6 +1405,17 @@ object TextOps {
       .otherwise(concat(scheme, lit("://"), host, path,
         when(q === "", lit("")).otherwise(concat(lit("?"), q))))
   }
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization as a codegen'd
+    * char-level pass ([[graft.expressions.UrlPctNormalize]]):
+    * unreserved escapes (`%41` → `A`, `%7E` → `~`) decode, reserved
+    * escapes keep their meaning with UPPERCASED hex (`%2f` → `%2F`),
+    * malformed `%` copies literally. Compose in front of
+    * [[urlCanonicalize]] for the full normalization. */
+  def urlPctNormalize(url: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.UrlPctNormalize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(url)))
 
   /** Resolve a (possibly relative) reference against an absolute base
     * URL — the `Location:` header case: RFC 9110 allows relative

@@ -715,6 +715,35 @@ object WebQueries {
           .agg(count(lit(1)).cast("long").as("n_variants"))
           .orderBy("canonical")
     },
+    // ── Percent-encoding normalization — the char-level half of
+    //    frontier identity the regex canonicalizer documents away:
+    //    "%41" and "A" spell one URL, and a crawl that treats them as
+    //    two keys re-fetches pages and splits dedup families. Each doc
+    //    spells its URL with an unreserved escape in the path (%41 →
+    //    A, %7e → ~ — case-insensitive hex), a RESERVED escape in the
+    //    query that must survive with UPPERCASED hex (%2f → %2F), and
+    //    a lone malformed % that copies literally; the engine runs
+    //    urlPctNormalize → urlCanonicalize and the oracle CONSTRUCTS
+    //    the expected canonical from the seed — one mis-decoded
+    //    escape, a dropped tilde, or a hex case drift breaks the
+    //    hash. ──
+    QueryDef.sql(
+      "web_url_pct",
+      """SELECT doc_id,
+        |  'https://d' || (doc_id % 50) || '.example.com/pAth~' || doc_id ||
+        |    '/x%25y/m%zq?a=%2Fv' || doc_id || '&b=2' AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val m = pmod(col("doc_id"), lit(50)).cast("string")
+        val id = col("doc_id").cast("string")
+        val url = concat(
+          lit("HTTPS://d"), m, lit(".example.com/p%41th%7e"), id,
+          lit("/x%25y/m%zq?b=2&a=%2fv"), id, lit("#frag"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextOps.urlCanonicalize(TextOps.urlPctNormalize(url)).as("canonical"))
+          .orderBy("doc_id")
+    },
     // ── Redirect resolution — the hop between fetch and frontier
     //    identity: the seed builds a redirect edge per doc whose id ends
     //    in 0 (→ id+1) or 1 (→ id+2) — two-hop chains — plus a 7↔8

@@ -89,7 +89,10 @@ object StreamingCrawl {
     import spark.implicits._
     val hostPath = "^[a-z][a-z0-9+.-]*://([^/?#]*)([^?#]*).*$"
     val b = batch
-      .withColumn("canonical", TextOps.urlCanonicalize(col(urlCol)))
+      // percent-normalize BEFORE canonicalizing: "%41" and "A"
+      // spellings of one URL must share a frontier identity
+      .withColumn("canonical",
+        TextOps.urlCanonicalize(TextOps.urlPctNormalize(col(urlCol))))
       .withColumn("domain", regexp_extract(col("canonical"), hostPath, 1))
       .withColumn("path", regexp_extract(col("canonical"), hostPath, 2))
       .localCheckpoint()
@@ -125,8 +128,8 @@ object StreamingCrawl {
         // practice: resolve it against the request's canonical URL
         // before canonicalizing, so only genuinely unparseable targets
         // null out
-        locationCol.map(lc => TextOps.urlCanonicalize(
-            TextOps.urlResolve(col("canonical"), col(lc))))
+        locationCol.map(lc => TextOps.urlCanonicalize(TextOps.urlPctNormalize(
+            TextOps.urlResolve(col("canonical"), col(lc)))))
           .getOrElse(nullS).as("redirect_to"))
     val valid = valid0.filter(!isRedirect && !isNotModified)
     // robots verdicts on a slim (id, domain, path) frame; join back by id

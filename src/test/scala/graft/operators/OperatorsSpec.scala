@@ -69,6 +69,29 @@ class OperatorsSpec extends SparkSpec {
     assert(bad.isNullAt(0))
   }
 
+  test("urlPctNormalize: RFC 3986 6.2.2 escape normalization matrix") {
+    val cases = Seq(
+      // unreserved escapes decode, hex case-insensitively
+      "/p%41th/%7e%2D%5F%2e" -> "/pAth/~-_.",
+      // reserved escapes keep their meaning, hex UPPERCASES
+      "?q=%2fa%3db%26c" -> "?q=%2Fa%3Db%26c",
+      // a non-ASCII octet is never unreserved: uppercased, not decoded
+      "/caf%c3%a9" -> "/caf%C3%A9",
+      // malformed % copies literally (tolerant read)
+      "/m%zq/100%" -> "/m%zq/100%",
+      // no escapes: identity
+      "/plain/path?a=1" -> "/plain/path?a=1")
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.urlPctNormalize(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got=$got")
+    // composed with canonicalize: two spellings share one frontier key
+    val pair = Seq("https://a.org/p%41th?x=%2fv", "https://a.org/pAth?x=%2Fv").toDF("u")
+      .select(TextOps.urlCanonicalize(TextOps.urlPctNormalize(col("u"))).as("c"))
+      .collect().map(_.getString(0)).toSet
+    assert(pair == Set("https://a.org/pAth?x=%2Fv"))
+  }
+
   test("sitemapText: gzip-by-content decode in front of the leaf extractor") {
     val xml = "<?xml version=\"1.0\"?><urlset><url><loc>https://a.org/p1</loc></url>" +
       "<url><loc>https://a.org/p2</loc></url></urlset>"

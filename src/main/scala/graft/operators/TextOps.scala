@@ -1571,6 +1571,102 @@ object TextOps {
       regexp_extract_all(html, lit(pat), lit(2)).as("text"))
   }
 
+  /** Block-level main-content extraction — the jusText/Boilerpipe move
+    * [[htmlExtract]] cannot make: a bare tag strip keeps nav bars,
+    * related-links lists, and footers, which then poison dedup and
+    * quality stats. Here the page (script/style elements and comments
+    * already dropped) splits into BLOCKS at block-level tag boundaries,
+    * and each block carries its visible text plus its anchor-text
+    * length, so the classifier can gate on the two public-literature
+    * signals: block length (short fragments are chrome) and LINK
+    * DENSITY (anchor chars / text chars — nav and link lists are
+    * mostly anchor text; article prose is not). Returns an array of
+    * `(txt, alen)` structs — one per non-empty block, document order.
+    * Pure per-row expression chain (split + transform + filter, no
+    * explode, no shuffle) riding the scan at any corpus size; every
+    * pattern is RE2-compatible so the DuckDB oracle replays it
+    * verbatim (NULL-guard: DuckDB's regexp_extract_all yields NULL on
+    * zero matches where Spark yields [], hence alen is computed, not
+    * recomputed downstream). */
+  def contentBlocks(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val blockPat = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|" +
+      "header|footer|nav|aside|blockquote|pre|br)[^>]*>"
+    val blocks = split(noComment, blockPat)
+    val enriched = transform(blocks, b => {
+      def toText(c: Column) =
+        trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+      val anchorJoined = array_join(
+        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " ")
+      val txt = toText(b)
+      struct(txt.as("txt"),
+        length(toText(anchorJoined)).cast("long").as("alen"))
+    })
+    filter(enriched, s => length(s.getField("txt")) > 0)
+  }
+
+  /** Content-block classifier over [[contentBlocks]]: a block is MAIN
+    * CONTENT when it is long enough to be prose (`minChars`) and its
+    * link density stays under `maxLinkDensity` — the thresholds the
+    * boilerplate-removal literature converged on (jusText's
+    * length-and-link-density core, sans the language-specific stopword
+    * tier, which [[qualityMetrics]] consumers can layer on). Returns the
+    * kept blocks joined by newlines — the page's article text, with
+    * nav/related/footer chrome gone. */
+  def mainContent(html: Column, minChars: Int = 25,
+                  maxLinkDensity: Double = 0.33): Column = {
+    val kept = filter(contentBlocks(html), s =>
+      length(s.getField("txt")) >= minChars &&
+        s.getField("alen").cast("double") <=
+          lit(maxLinkDensity) * length(s.getField("txt")).cast("double"))
+    array_join(transform(kept, _.getField("txt")), "\n")
+  }
+
+  /** The C4 cleaning rule set (Raffel et al. 2020 §2.2) as one
+    * per-document projection — the named filter family beside the
+    * Gopher gates: line tier keeps only lines that (a) are non-blank,
+    * (b) carry at least `minWordsPerLine` words, (c) end in a terminal
+    * punctuation mark (. ! ? or closing quote), and (d) do not mention
+    * "javascript" (the lost-interactivity banner); document tier then
+    * drops any page whose RAW text contains "lorem ipsum" (template
+    * placeholder) or a curly brace (code), and any page whose KEPT
+    * lines carry fewer than `minSentences` sentence terminators.
+    * Returns (id, n_lines, n_kept, n_sentences, verdict, clean_text)
+    * with verdict ∈ {kept, lorem_ipsum, curly_brace,
+    * too_few_sentences} in C4's gate order. Corpus-frequency
+    * boilerplate-line removal and three-sentence-span dedup — the rest
+    * of the C4 pass — are [[graft.operators.Dedup.lineDedupCorpus]] and
+    * [[graft.operators.Dedup.paragraphDedup]]; this operator is the
+    * per-row half, a pure expression chain with no shuffle, and every
+    * predicate has an exact DuckDB twin. */
+  def c4Filter(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+               minWordsPerLine: Int = 3, minSentences: Int = 5): org.apache.spark.sql.DataFrame = {
+    val raw = coalesce(col(textCol), lit(""))
+    val keptArr = filter(split(raw, "\n"), l => {
+      val t = trim(l)
+      (t =!= "") &&
+        (size(split(t, "\\s+")) >= minWordsPerLine) &&
+        t.rlike("[.!?\"]$") &&
+        !lower(t).contains("javascript")
+    })
+    val clean = array_join(keptArr, "\n")
+    df.select(col(idCol),
+        col(textCol),
+        size(split(raw, "\n")).cast("long").as("n_lines"),
+        size(keptArr).cast("long").as("n_kept"),
+        clean.as("clean_text"))
+      .withColumn("n_sentences",
+        (size(split(col("clean_text"), "[.!?]")) - 1).cast("long"))
+      .withColumn("verdict",
+        when(lower(col(textCol)).contains("lorem ipsum"), "lorem_ipsum")
+          .when(col(textCol).contains("{"), "curly_brace")
+          .when(col("n_sentences") < minSentences, "too_few_sentences")
+          .otherwise("kept"))
+      .drop(textCol)
+  }
+
   /** Suffix-aware blocklist membership: `d` is blocked when it equals a
     * blocklist entry or is a subdomain of one (`ads.tracker.net` matches
     * `tracker.net` — the semantics real blocklists assume). The list

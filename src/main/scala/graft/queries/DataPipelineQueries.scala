@@ -195,6 +195,68 @@ object DataPipelineQueries {
           .orderBy("doc_id")
     },
 
+    // ── C4 rule set (Raffel et al. 2020 §2.2) — the NAMED per-row
+    //    filter family beside the Gopher gates: line tier (non-blank,
+    //    ≥3 words, terminal punctuation, no "javascript" banner), then
+    //    doc tier (lorem-ipsum placeholder, curly-brace code, <5
+    //    sentences over the KEPT lines) in C4's gate order. Both
+    //    engines synthesize the SAME multi-line page (headline fragment
+    //    that always fails the line tier, a body line, and mod-keyed
+    //    banner/placeholder/code/extra-sentence lines) and replay the
+    //    SAME predicate chain — a word-count, terminal-punct, gate-order
+    //    or sentence-count drift breaks verdicts and md5s. Corpus-
+    //    frequency line removal and span dedup — the cross-doc half of
+    //    the C4 pass — are text_boilerplate_lines / text_para_dedup. ──
+    QueryDef.sql(
+      "text_c4_filters",
+      """WITH raw AS (SELECT doc_id,
+        |  'Headline ' || doc_id || chr(10) ||
+        |  substr(coalesce(text, ''), 1, 120) || ' ends here.' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Please enable JavaScript to continue.' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'One more ends here. Another follows! Shall we? Yes.' ELSE '' END AS t
+        |  FROM documents),
+        |f AS (SELECT doc_id, t,
+        |  list_filter(string_split(t, chr(10)), l ->
+        |    trim(l) <> '' AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |    AND regexp_matches(trim(l), '[.!?"]$')
+        |    AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+        |  FROM raw),
+        |c AS (SELECT doc_id, t, kept, array_to_string(kept, chr(10)) AS clean FROM f),
+        |v AS (SELECT doc_id, t, kept, clean,
+        |  CAST(len(regexp_split_to_array(clean, '[.!?]')) - 1 AS BIGINT) AS n_sentences FROM c)
+        |SELECT doc_id,
+        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  n_sentences,
+        |  CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+        |       WHEN contains(t, '{') THEN 'curly_brace'
+        |       WHEN n_sentences < 5 THEN 'too_few_sentences'
+        |       ELSE 'kept' END AS verdict,
+        |  md5(clean) AS clean_md5
+        |FROM v ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val raw = concat(
+          lit("Headline "), col("doc_id").cast("string"), lit("\n"),
+          substring(coalesce(col("text"), lit("")), 1, 120), lit(" ends here."),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            "\nPlease enable JavaScript to continue.").otherwise(""),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            "\nLorem ipsum dolor sit amet.").otherwise(""),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            "\nfunction f() { return 1; }").otherwise(""),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            "\nOne more ends here. Another follows! Shall we? Yes.").otherwise(""))
+        TextOps.c4Filter(
+            Tables.documents(s, d).select(col("doc_id"), raw.as("t")),
+            "doc_id", "t")
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            col("n_sentences"), col("verdict"),
+            md5(col("clean_text").cast("binary")).as("clean_md5"))
+          .orderBy("doc_id")
+    },
+
     // ── HTML link graph — href/src targets a plain-text URL scan never
     //    sees (the URL lives in the ATTRIBUTE; the extracted text keeps
     //    only the anchor words): per-doc links from seed-built markup

@@ -1739,5 +1739,73 @@ object WebQueries {
           .select(col("doc_id"), col("k").cast("int").as("k"), col("domain"), col("allowed"))
           .orderBy("doc_id", "k")
     },
+
+    // ── Block-level MAIN-CONTENT extraction (jusText/Boilerpipe core)
+    //    — the classifier a bare tag strip cannot be: both engines
+    //    build the SAME realistic page (nav bar, heading, article div
+    //    with a long body paragraph and a too-short note, related-links
+    //    list, mod-keyed blockquote WITH an inline link that must
+    //    survive, copyright footer whose link density fails it), split
+    //    it into blocks at block-tag boundaries, compute per-block
+    //    visible-text and anchor-text lengths, and keep blocks that are
+    //    long enough (≥25 chars) AND under the 0.33 link-density bar —
+    //    so the nav (density ≈ 1) and footer (0.46) drop while the
+    //    linked blockquote (0.08) stays: the gate is the DENSITY, not
+    //    the mere presence of a link. md5 over the reassembled article
+    //    text pins block order, splitting, and both length computations. ──
+    QueryDef.sql(
+      "web_main_content",
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>d</title><style>.x{color:red}</style></head><body>' ||
+        |  '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' ||
+        |  '<h1>Doc ' || doc_id || '</h1>' ||
+        |  '<div class="post"><p>' || coalesce(text, '') || '</p><p>Short note.</p></div>' ||
+        |  '<ul><li><a href="/r/1">Related one</a></li><li><a href="/r/2">Related two</a></li></ul>' ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '<blockquote>A quoted passage long enough to pass the chars bar with <a href="/cite">one link</a> inside it stays content.</blockquote>' ELSE '' END ||
+        |  '<footer>Copyright 2026 <a href="/legal">legal</a> <a href="/privacy">privacy</a></footer></body></html>' AS html
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+        |c2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM c1),
+        |b AS (SELECT doc_id, regexp_split_to_array(t,
+        |  '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|br)[^>]*>') AS blocks FROM c2),
+        |e AS (SELECT doc_id, list_transform(blocks, x -> struct_pack(
+        |    txt := trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+        |    alen := CAST(length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT))) AS bs FROM b),
+        |ne AS (SELECT doc_id, list_filter(bs, s -> length(s.txt) > 0) AS bs FROM e),
+        |k AS (SELECT doc_id, bs,
+        |  list_filter(bs, s -> length(s.txt) >= 25 AND CAST(s.alen AS DOUBLE) <= 0.33 * length(s.txt)) AS keep FROM ne),
+        |m AS (SELECT doc_id, bs, keep, array_to_string(list_transform(keep, s -> s.txt), chr(10)) AS main FROM k)
+        |SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_blocks, CAST(len(keep) AS BIGINT) AS n_content,
+        |  CAST(length(main) AS BIGINT) AS main_len, md5(main) AS main_md5
+        |FROM m ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val page = concat(
+          lit("<html><head><title>d</title><style>.x{color:red}</style></head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav>" +
+            "<h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><div class=\"post\"><p>"), coalesce(col("text"), lit("")),
+          lit("</p><p>Short note.</p></div>" +
+            "<ul><li><a href=\"/r/1\">Related one</a></li><li><a href=\"/r/2\">Related two</a></li></ul>"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            "<blockquote>A quoted passage long enough to pass the chars bar with " +
+              "<a href=\"/cite\">one link</a> inside it stays content.</blockquote>").otherwise(""),
+          lit("<footer>Copyright 2026 <a href=\"/legal\">legal</a> <a href=\"/privacy\">privacy</a></footer></body></html>"))
+        val keepBlock = (s2: org.apache.spark.sql.Column) =>
+          length(s2.getField("txt")) >= 25 &&
+            s2.getField("alen").cast("double") <=
+              lit(0.33) * length(s2.getField("txt")).cast("double")
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.contentBlocks(page).as("bs"))
+          .withColumn("keep", filter(col("bs"), keepBlock))
+          .withColumn("main",
+            array_join(transform(col("keep"), _.getField("txt")), "\n"))
+          .select(col("doc_id"),
+            size(col("bs")).cast("long").as("n_blocks"),
+            size(col("keep")).cast("long").as("n_content"),
+            length(col("main")).cast("long").as("main_len"),
+            md5(col("main").cast("binary")).as("main_md5"))
+          .orderBy("doc_id")
+    },
   )
 }

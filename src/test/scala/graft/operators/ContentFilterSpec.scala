@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the two per-row content filters added beside the Gopher gates:
+  * the C4 rule set (line tier + doc tier, gate order) and the
+  * jusText/Boilerpipe block-level main-content classifier (length +
+  * link density). Every case is hand-computed. */
+class ContentFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c4(rows: (Long, String)*) =
+    TextOps.c4Filter(rows.toDF("doc_id", "t"), "doc_id", "t")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getString(5), r.getString(3)))
+
+  test("c4Filter line tier: word count, terminal punct, javascript banner") {
+    val Array(r) = c4(
+      1L -> Seq(
+        "Headline only",                              // 2 words → drop
+        "",                                           // blank → drop
+        "the quick brown fox runs.",                  // kept
+        "no terminal punctuation here",               // no [.!?\"] → drop
+        "Please enable JavaScript to continue.",      // banner → drop
+        "He said \"stop\"",                           // ends in quote → kept
+        "Across five words it goes!").mkString("\n")  // kept
+    ).map(r => (r._2, r._3, r._6))
+    assert(r._1 == 7L)                                // n_lines counts all
+    assert(r._2 == 3L)                                // three survivors
+    assert(r._3 ==
+      "the quick brown fox runs.\nHe said \"stop\"\nAcross five words it goes!")
+  }
+
+  test("c4Filter doc tier: gate order lorem > curly > sentences, raw-text gates") {
+    val five = "One two three ok. Two more here! Three now? Four again. Five done."
+    val out = c4(
+      // lorem ipsum wins even when a curly brace is also present
+      1L -> s"Lorem ipsum dolor sit amet { code }.\n$five",
+      // curly brace in a line the LINE tier drops still fails the DOC
+      2L -> s"function f() { return 1 }\n$five",
+      // five sentences over kept lines → kept
+      3L -> five,
+      // four sentences → too_few_sentences
+      4L -> "One two three ok. Two more! Three? Four done.",
+      // sentence count is over KEPT lines: terminators on dropped lines
+      // (two-word line) do not rescue the doc
+      5L -> "a. b.\nOnly four in here. Two! Three? Four done.")
+      .map(r => (r._1, r._5))
+    assert(out.toSeq == Seq(
+      (1L, "lorem_ipsum"), (2L, "curly_brace"), (3L, "kept"),
+      (4L, "too_few_sentences"), (5L, "too_few_sentences")))
+  }
+
+  test("c4Filter: null text behaves as empty") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("Real line with five words here. A! B? C. D.")))
+      .toDF("doc_id", "t")
+    val got = TextOps.c4Filter(df, "doc_id", "t").orderBy("doc_id")
+      .select("n_kept", "verdict").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((0L, "too_few_sentences"), (1L, "kept")))
+  }
+
+  private val page =
+    "<html><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<p>This paragraph is the real article body and is comfortably long.</p>" +
+      "<p>Tiny.</p>" +
+      "<blockquote>A long quoted passage keeps its <a href=\"/c\">single link</a> because density stays low.</blockquote>" +
+      "<footer>Copyright <a href=\"/l\">legal terms</a> <a href=\"/p\">privacy page</a></footer>" +
+      "</body></html>"
+
+  test("contentBlocks: per-block text and anchor-length bookkeeping") {
+    val rows = Seq(page).toDF("html")
+      .select(explode(TextOps.contentBlocks(col("html"))).as("b"))
+      .select(col("b.txt"), col("b.alen")).as[(String, Long)].collect()
+    val byTxt = rows.toMap
+    assert(byTxt("Home About") == "Home About".length.toLong)    // pure nav: density 1
+    assert(byTxt("Tiny.") == 0L)
+    assert(byTxt.keys.exists(_.startsWith("A long quoted passage")))
+    assert(byTxt("A long quoted passage keeps its single link because density stays low.") ==
+      "single link".length.toLong)
+    // footer: two anchors joined by a space
+    assert(byTxt.keys.exists(_.startsWith("Copyright")))
+    assert(byTxt("Copyright legal terms privacy page") ==
+      "legal terms privacy page".length.toLong)
+  }
+
+  test("mainContent: length bar and link-density bar, not link presence") {
+    val got = Seq(page).toDF("html")
+      .select(TextOps.mainContent(col("html")).as("m")).as[String].head()
+    assert(got ==
+      "This paragraph is the real article body and is comfortably long.\n" +
+        "A long quoted passage keeps its single link because density stays low.")
+    // nav (density 1.0) and footer (24/34 ≈ 0.7) fail the density bar;
+    // "Tiny." fails the length bar; the linked blockquote (11/71) passes.
+  }
+
+  test("mainContent: script/style contents and comments never leak into blocks") {
+    val html = "<body><script>var hidden = 'long enough to pass every bar if it leaked';</script>" +
+      "<!-- a comment long enough to pass the length bar easily -->" +
+      "<p>Only this visible paragraph survives into the article text.</p></body>"
+    val got = Seq(html).toDF("html")
+      .select(TextOps.mainContent(col("html")).as("m")).as[String].head()
+    assert(got == "Only this visible paragraph survives into the article text.")
+  }
+}

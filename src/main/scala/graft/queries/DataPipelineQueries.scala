@@ -400,6 +400,136 @@ object DataPipelineQueries {
           .orderBy("domain", "doc_id")
     },
 
+    // ── ARTICLE-CORPUS capstone — the modern web recipe end-to-end,
+    //    composing the round's two named filters into the funnel:
+    //    charset-encoded BYTES (even docs real windows-1252 — the
+    //    article paragraph itself carries an em-dash and a euro that
+    //    encode to 0x97/0x80, so a decode bug lands in the KEPT text
+    //    and breaks group hashes — odd docs utf-8) → charset gate →
+    //    block-level MAIN-CONTENT extraction (nav/related/footer
+    //    chrome drops by link density; the h1 carrying the doc id
+    //    drops by length, so the surviving text is ID-FREE and dedup
+    //    depends on content alone) → C4 rules over the extracted
+    //    blocks (the mod-3 "enable JavaScript" paragraph SURVIVES the
+    //    density bar — it is long and link-free — and only the C4
+    //    line tier removes it: the two filters catch different
+    //    boilerplate, which is why real recipes run both) → exact
+    //    dedup keep-min — REAL dup mass at every SF: every tenth doc
+    //    is a syndicated MIRROR carrying one shared wire story with no
+    //    per-doc paragraphs, so the whole slice collapses to a single
+    //    keep-min group (group_size = |slice|) while per-doc pages
+    //    stay unique — → per-domain cap of 3 via the bounded heap.
+    //    Gate interplay pinned: lorem > curly > sentence verdicts on
+    //    mod-7/mod-11 paragraphs that PASS main-content extraction.
+    //    Plan: per-row stages ride the scan; one shuffle for the dedup
+    //    groupBy, one for the bounded-heap cap — no window over a hot
+    //    domain, no explode. The oracle never sees bytes: it replays
+    //    the decoded page, both filter chains, the dedup, and the
+    //    md5-ordered cap. ──
+    QueryDef.sql(
+      "pipeline_article_corpus",
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>d</title><style>.x{color:red}</style></head><body>' ||
+        |  '<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>' ||
+        |  '<h1>Doc ' || doc_id || '</h1>' ||
+        |  '<div class="post">' ||
+        |  CASE WHEN doc_id % 10 = 9 THEN '<p>The shared syndicated wire story repeats verbatim across mirrors. It has five sentences to pass the gate. Three now follows here! Shall it pass? Yes indeed it does.</p>'
+        |  ELSE '<p>' || coalesce(text, '') || ' ' || chr(8212) || ' ' || chr(8364) || '1 ends here.</p>' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '<p>Please enable JavaScript to view the comments on this page.</p>' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '<p>One more thought ends here. Another follows! Shall we? Yes indeed.</p>' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '<p>Lorem ipsum dolor sit amet consectetur adipiscing elit sed do.</p>' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '<p>Widget config uses braces { color: red } inline for styling now.</p>' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '<blockquote>A quoted passage long enough to pass the chars bar with <a href="/cite">one link</a> inside it stays content.</blockquote>' ELSE '' END
+        |  END ||
+        |  '</div><ul><li><a href="/r/1">Related one</a></li><li><a href="/r/2">Related two</a></li></ul>' ||
+        |  '<footer>Copyright 2026 <a href="/legal">legal</a> <a href="/privacy">privacy</a></footer></body></html>' AS html
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+        |c2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM c1),
+        |b AS (SELECT doc_id, regexp_split_to_array(t,
+        |  '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|br)[^>]*>') AS blocks FROM c2),
+        |e AS (SELECT doc_id, list_transform(blocks, x -> struct_pack(
+        |    txt := trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+        |    alen := CAST(length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT))) AS bs FROM b),
+        |ne AS (SELECT doc_id, list_filter(bs, s -> length(s.txt) > 0) AS bs FROM e),
+        |k AS (SELECT doc_id,
+        |  list_filter(bs, s -> length(s.txt) >= 25 AND CAST(s.alen AS DOUBLE) <= 0.33 * length(s.txt)) AS keep FROM ne),
+        |m AS (SELECT doc_id, array_to_string(list_transform(keep, s -> s.txt), chr(10)) AS main FROM k),
+        |f AS (SELECT doc_id, main,
+        |  list_filter(string_split(main, chr(10)), l ->
+        |    trim(l) <> '' AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+        |    AND regexp_matches(trim(l), '[.!?"]$')
+        |    AND NOT contains(lower(trim(l)), 'javascript')) AS keptl
+        |  FROM m),
+        |c AS (SELECT doc_id, main, keptl, array_to_string(keptl, chr(10)) AS clean FROM f),
+        |v AS (SELECT doc_id, main, keptl, clean,
+        |  CAST(len(regexp_split_to_array(clean, '[.!?]')) - 1 AS BIGINT) AS n_sentences FROM c),
+        |vv AS (SELECT doc_id, clean, n_sentences, CAST(len(keptl) AS BIGINT) AS n_kept,
+        |  CASE WHEN contains(lower(main), 'lorem ipsum') THEN 'lorem_ipsum'
+        |       WHEN contains(main, '{') THEN 'curly_brace'
+        |       WHEN n_sentences < 5 THEN 'too_few_sentences'
+        |       ELSE 'kept' END AS verdict FROM v),
+        |dd AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |              CAST(count(*) AS BIGINT) AS group_size,
+        |              CAST(min(n_kept) AS BIGINT) AS n_kept,
+        |              CAST(min(n_sentences) AS BIGINT) AS n_sentences
+        |       FROM vv WHERE verdict = 'kept' GROUP BY md5(clean)),
+        |dom AS (SELECT doc_id, group_size, n_kept, n_sentences,
+        |               'd' || (doc_id % 50) || '.example.com' AS domain FROM dd)
+        |SELECT domain, doc_id, group_size, n_kept, n_sentences FROM dom
+        |QUALIFY row_number() OVER (PARTITION BY domain
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3
+        |ORDER BY domain, doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = Tables.documents(s, d)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) =>
+            val page =
+              "<html><head><title>d</title><style>.x{color:red}</style></head><body>" +
+                "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a></nav>" +
+                s"<h1>Doc $id</h1>" +
+                "<div class=\"post\">" +
+                (if (id % 10 == 9)
+                  "<p>The shared syndicated wire story repeats verbatim across mirrors. " +
+                    "It has five sentences to pass the gate. Three now follows here! " +
+                    "Shall it pass? Yes indeed it does.</p>"
+                else
+                  "<p>" + text + " — €1 ends here.</p>" +
+                    (if (id % 3 == 0) "<p>Please enable JavaScript to view the comments on this page.</p>" else "") +
+                    (if (id % 2 == 0) "<p>One more thought ends here. Another follows! Shall we? Yes indeed.</p>" else "") +
+                    (if (id % 7 == 0) "<p>Lorem ipsum dolor sit amet consectetur adipiscing elit sed do.</p>" else "") +
+                    (if (id % 11 == 0) "<p>Widget config uses braces { color: red } inline for styling now.</p>" else "") +
+                    (if (id % 4 == 0) "<blockquote>A quoted passage long enough to pass the chars bar with <a href=\"/cite\">one link</a> inside it stays content.</blockquote>" else "")) +
+                "</div><ul><li><a href=\"/r/1\">Related one</a></li><li><a href=\"/r/2\">Related two</a></li></ul>" +
+                "<footer>Copyright 2026 <a href=\"/legal\">legal</a> <a href=\"/privacy\">privacy</a></footer></body></html>"
+            (id, graft.codec.CharsetCodec.encode(page,
+              if (id % 2 == 0) "windows-1252" else "utf-8"))
+          })
+          .toDF("doc_id", "raw")
+        val decoded = TextOps.decodeCharset(payloads, "raw", "charset", "html")
+        val main = decoded.select(col("doc_id"),
+          TextOps.mainContent(col("html")).as("t"))
+        val kept = TextOps.c4Filter(main, "doc_id", "t")
+          .filter(col("verdict") === "kept")
+        val dd = kept
+          .groupBy(md5(col("clean_text").cast("binary")).as("h"))
+          .agg(min("doc_id").cast("long").as("doc_id"),
+            count(lit(1)).cast("long").as("group_size"),
+            min("n_kept").cast("long").as("n_kept"),
+            min("n_sentences").cast("long").as("n_sentences"))
+        val dom = dd.select(col("doc_id"), col("group_size"), col("n_kept"),
+          col("n_sentences"),
+          concat(lit("d"), pmod(col("doc_id"), lit(50)).cast("string"),
+            lit(".example.com")).as("domain"))
+        val capped = Sharding.samplePerGroup(dom, "domain", "doc_id", 3)
+        dom.join(capped, Seq("domain", "doc_id"), "left_semi")
+          .select(col("domain"), col("doc_id"), col("group_size"),
+            col("n_kept"), col("n_sentences"))
+          .orderBy("domain", "doc_id")
+    },
+
     // ── Multi-pattern blocklist gate — ONE Aho-Corasick pass counts
     //    every filter-list phrase per document (the wordlist/canary
     //    gate; the naive form is |patterns| regex scans per row). The

@@ -1598,8 +1598,12 @@ object TextOps {
     val enriched = transform(blocks, b => {
       def toText(c: Column) =
         trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+      // `<a(?:\s[^>]*)?>` — NOT `<a[^>]*>`, which also matches <abbr>,
+      // <audio …>, <address> … and then lazily swallows everything to
+      // the next literal </a>, inflating the anchor length of any
+      // block that uses those tags.
       val anchorJoined = array_join(
-        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " ")
+        regexp_extract_all(b, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)), " ")
       val txt = toText(b)
       struct(txt.as("txt"),
         length(toText(anchorJoined)).cast("long").as("alen"))
@@ -1644,7 +1648,10 @@ object TextOps {
   def c4Filter(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                minWordsPerLine: Int = 3, minSentences: Int = 5): org.apache.spark.sql.DataFrame = {
     val raw = coalesce(col(textCol), lit(""))
-    val keptArr = filter(split(raw, "\n"), l => {
+    // Split on `\r?\n`, not bare `\n`: a CRLF document would otherwise
+    // leave `\r` on every line end and the terminal-punctuation check
+    // would drop ALL of its lines. Reassembly normalizes to LF.
+    val keptArr = filter(split(raw, "\r?\n"), l => {
       val t = trim(l)
       (t =!= "") &&
         (size(split(t, "\\s+")) >= minWordsPerLine) &&
@@ -1654,7 +1661,7 @@ object TextOps {
     val clean = array_join(keptArr, "\n")
     df.select(col(idCol),
         col(textCol),
-        size(split(raw, "\n")).cast("long").as("n_lines"),
+        size(split(raw, "\r?\n")).cast("long").as("n_lines"),
         size(keptArr).cast("long").as("n_kept"),
         clean.as("clean_text"))
       .withColumn("n_sentences",

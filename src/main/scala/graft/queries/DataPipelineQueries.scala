@@ -218,7 +218,7 @@ object DataPipelineQueries {
         |  CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'One more ends here. Another follows! Shall we? Yes.' ELSE '' END AS t
         |  FROM documents),
         |f AS (SELECT doc_id, t,
-        |  list_filter(string_split(t, chr(10)), l ->
+        |  list_filter(regexp_split_to_array(t, '\r?\n'), l ->
         |    trim(l) <> '' AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
         |    AND regexp_matches(trim(l), '[.!?"]$')
         |    AND NOT contains(lower(trim(l)), 'javascript')) AS kept
@@ -227,7 +227,7 @@ object DataPipelineQueries {
         |v AS (SELECT doc_id, t, kept, clean,
         |  CAST(len(regexp_split_to_array(clean, '[.!?]')) - 1 AS BIGINT) AS n_sentences FROM c)
         |SELECT doc_id,
-        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(regexp_split_to_array(t, '\r?\n')) AS BIGINT) AS n_lines,
         |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  n_sentences,
         |  CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
@@ -450,13 +450,13 @@ object DataPipelineQueries {
         |  '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|br)[^>]*>') AS blocks FROM c2),
         |e AS (SELECT doc_id, list_transform(blocks, x -> struct_pack(
         |    txt := trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
-        |    alen := CAST(length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(x, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT))) AS bs FROM b),
+        |    alen := CAST(length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(x, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT))) AS bs FROM b),
         |ne AS (SELECT doc_id, list_filter(bs, s -> length(s.txt) > 0) AS bs FROM e),
         |k AS (SELECT doc_id,
         |  list_filter(bs, s -> length(s.txt) >= 25 AND CAST(s.alen AS DOUBLE) <= 0.33 * length(s.txt)) AS keep FROM ne),
         |m AS (SELECT doc_id, array_to_string(list_transform(keep, s -> s.txt), chr(10)) AS main FROM k),
         |f AS (SELECT doc_id, main,
-        |  list_filter(string_split(main, chr(10)), l ->
+        |  list_filter(regexp_split_to_array(main, '\r?\n'), l ->
         |    trim(l) <> '' AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
         |    AND regexp_matches(trim(l), '[.!?"]$')
         |    AND NOT contains(lower(trim(l)), 'javascript')) AS keptl

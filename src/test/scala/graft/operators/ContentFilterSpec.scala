@@ -54,6 +54,14 @@ class ContentFilterSpec extends SparkSpec {
       (4L, "too_few_sentences"), (5L, "too_few_sentences")))
   }
 
+  test("c4Filter: CRLF line endings survive the terminal-punct check") {
+    val Array(r) = c4(
+      1L -> "First line ends well.\r\nSecond line also ends! Third? Fourth. Fifth done.")
+    assert(r._2 == 2L && r._3 == 2L)       // both CRLF lines counted and kept
+    assert(r._5 == "kept")                 // 5 sentences over kept lines
+    assert(!r._6.contains("\r"))           // reassembly normalizes to LF
+  }
+
   test("c4Filter: null text behaves as empty") {
     val df = Seq((1L, Option.empty[String]), (2L, Some("Real line with five words here. A! B? C. D.")))
       .toDF("doc_id", "t")
@@ -95,6 +103,18 @@ class ContentFilterSpec extends SparkSpec {
         "A long quoted passage keeps its single link because density stays low.")
     // nav (density 1.0) and footer (24/34 ≈ 0.7) fail the density bar;
     // "Tiny." fails the length bar; the linked blockquote (11/71) passes.
+  }
+
+  test("contentBlocks: <abbr>/<audio> are not anchors — only real <a> elements count") {
+    // A naive <a[^>]*> pattern matches <abbr> and lazily swallows text
+    // to the NEXT </a>, inflating anchor length past the density bar.
+    val html = "<p>The <abbr>HTML</abbr> specification text here is long enough " +
+      "to pass every bar and the <a href=\"/x\">tiny link</a> stays small.</p>"
+    val Array((txt, alen)) = Seq(html).toDF("html")
+      .select(explode(TextOps.contentBlocks(col("html"))).as("b"))
+      .select(col("b.txt"), col("b.alen")).as[(String, Long)].collect()
+    assert(txt.startsWith("The HTML specification"))
+    assert(alen == "tiny link".length.toLong)
   }
 
   test("mainContent: script/style contents and comments never leak into blocks") {

@@ -1611,20 +1611,44 @@ object TextOps {
     filter(enriched, s => length(s.getField("txt")) > 0)
   }
 
-  /** Content-block classifier over [[contentBlocks]]: a block is MAIN
-    * CONTENT when it is long enough to be prose (`minChars`) and its
-    * link density stays under `maxLinkDensity` — the thresholds the
-    * boilerplate-removal literature converged on (jusText's
-    * length-and-link-density core, sans the language-specific stopword
-    * tier, which [[qualityMetrics]] consumers can layer on). Returns the
-    * kept blocks joined by newlines — the page's article text, with
+  /** The keep predicate of the content-block classifier, shared by
+    * [[mainContent]] and the fixture queries so the gate logic exists
+    * once: a block is MAIN CONTENT when it is long enough to be prose
+    * (`minChars`), its link density stays under `maxLinkDensity`, and —
+    * when a stopword list is supplied — its STOPWORD DENSITY clears
+    * `minStopFrac` (jusText's third signal: a block of numbers, symbol
+    * runs, or tag soup can be long and link-free yet carry no function
+    * words; real prose in any covered language cannot). The block text
+    * is already whitespace-collapsed and trimmed, so a bare
+    * space-split yields clean word tokens. */
+  def contentKeep(block: Column, minChars: Int = 25,
+                  maxLinkDensity: Double = 0.33,
+                  stopwords: Seq[String] = Nil,
+                  minStopFrac: Double = 0.0): Column = {
+    val txt = block.getField("txt")
+    val base = length(txt) >= minChars &&
+      block.getField("alen").cast("double") <=
+        lit(maxLinkDensity) * length(txt).cast("double")
+    if (stopwords.isEmpty) base
+    else {
+      val ws = split(lower(txt), " ")
+      val frac = size(filter(ws, w => w.isin(stopwords: _*))).cast("double") /
+        size(ws).cast("double")
+      base && frac >= lit(minStopFrac)
+    }
+  }
+
+  /** Content-block classifier over [[contentBlocks]]: keeps the blocks
+    * [[contentKeep]] accepts (length + link density, plus the optional
+    * jusText stopword tier when `stopwords` is non-empty) and returns
+    * them joined by newlines — the page's article text, with
     * nav/related/footer chrome gone. */
   def mainContent(html: Column, minChars: Int = 25,
-                  maxLinkDensity: Double = 0.33): Column = {
-    val kept = filter(contentBlocks(html), s =>
-      length(s.getField("txt")) >= minChars &&
-        s.getField("alen").cast("double") <=
-          lit(maxLinkDensity) * length(s.getField("txt")).cast("double"))
+                  maxLinkDensity: Double = 0.33,
+                  stopwords: Seq[String] = Nil,
+                  minStopFrac: Double = 0.0): Column = {
+    val kept = filter(contentBlocks(html),
+      contentKeep(_, minChars, maxLinkDensity, stopwords, minStopFrac))
     array_join(transform(kept, _.getField("txt")), "\n")
   }
 

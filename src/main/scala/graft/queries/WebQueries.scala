@@ -1791,10 +1791,7 @@ object WebQueries {
             "<blockquote>A quoted passage long enough to pass the chars bar with " +
               "<a href=\"/cite\">one link</a> inside it stays content.</blockquote>").otherwise(""),
           lit("<footer>Copyright 2026 <a href=\"/legal\">legal</a> <a href=\"/privacy\">privacy</a></footer></body></html>"))
-        val keepBlock = (s2: org.apache.spark.sql.Column) =>
-          length(s2.getField("txt")) >= 25 &&
-            s2.getField("alen").cast("double") <=
-              lit(0.33) * length(s2.getField("txt")).cast("double")
+        val keepBlock = (s2: org.apache.spark.sql.Column) => TextOps.contentKeep(s2)
         Tables.documents(s, d)
           .select(col("doc_id"), TextOps.contentBlocks(page).as("bs"))
           .withColumn("keep", filter(col("bs"), keepBlock))
@@ -1803,6 +1800,64 @@ object WebQueries {
           .select(col("doc_id"),
             size(col("bs")).cast("long").as("n_blocks"),
             size(col("keep")).cast("long").as("n_content"),
+            length(col("main")).cast("long").as("main_len"),
+            md5(col("main").cast("binary")).as("main_md5"))
+          .orderBy("doc_id")
+    },
+
+    // ── The jusText STOPWORD tier — the third public signal, and the
+    //    one the length/density core cannot fake: the fixture's number
+    //    table is LONG and LINK-FREE (it passes both base bars) and
+    //    only its zero function-word density drops it, while the prose
+    //    paragraph clears the 0.05 stopword bar through its own words.
+    //    One stopword-poor template text drops its prose too — the
+    //    deterministic borderline both engines must agree on. Outputs
+    //    the base-vs-lang keep counts so the tier's marginal effect is
+    //    pinned per document, not just in aggregate. ──
+    QueryDef.sql(
+      "web_main_content_lang",
+      """WITH h AS (SELECT doc_id,
+        |  '<html><body><nav><a href="/">Home</a> <a href="/about">About</a></nav>' ||
+        |  '<p>' || coalesce(text, '') || ' and the story goes on to the end.</p>' ||
+        |  '<div>' || array_to_string(list_transform(range(0,20), i -> CAST((doc_id*7 + i*13) % 1000 AS VARCHAR)), ' ') || '</div>' ||
+        |  '<footer>Copyright <a href="/l">legal</a></footer></body></html>' AS html
+        |  FROM documents),
+        |b AS (SELECT doc_id, regexp_split_to_array(html,
+        |  '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|br)[^>]*>') AS blocks FROM h),
+        |e AS (SELECT doc_id, list_transform(blocks, x -> struct_pack(
+        |    txt := trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+        |    alen := CAST(length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(x, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT))) AS bs FROM b),
+        |ne AS (SELECT doc_id, list_filter(bs, s -> length(s.txt) > 0) AS bs FROM e),
+        |k AS (SELECT doc_id, bs,
+        |  list_filter(bs, s -> length(s.txt) >= 25 AND CAST(s.alen AS DOUBLE) <= 0.33 * length(s.txt)) AS base,
+        |  list_filter(bs, s -> length(s.txt) >= 25 AND CAST(s.alen AS DOUBLE) <= 0.33 * length(s.txt)
+        |    AND CAST(len(list_filter(string_split(lower(s.txt), ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / len(string_split(lower(s.txt), ' ')) >= 0.05) AS keep FROM ne),
+        |m AS (SELECT doc_id, base, keep,
+        |  coalesce(array_to_string(list_transform(keep, s -> s.txt), chr(10)), '') AS main FROM k)
+        |SELECT doc_id, CAST(len(base) AS BIGINT) AS n_base, CAST(len(keep) AS BIGINT) AS n_lang,
+        |  CAST(length(main) AS BIGINT) AS main_len, md5(main) AS main_md5
+        |FROM m ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val nums = concat_ws(" ",
+          (0 until 20).map(i =>
+            pmod(col("doc_id") * 7 + lit(i * 13), lit(1000)).cast("string")): _*)
+        val page = concat(
+          lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav><p>"),
+          coalesce(col("text"), lit("")),
+          lit(" and the story goes on to the end.</p><div>"), nums,
+          lit("</div><footer>Copyright <a href=\"/l\">legal</a></footer></body></html>"))
+        val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.contentBlocks(page).as("bs"))
+          .withColumn("base", filter(col("bs"), b => TextOps.contentKeep(b)))
+          .withColumn("keep", filter(col("bs"),
+            b => TextOps.contentKeep(b, stopwords = stops, minStopFrac = 0.05)))
+          .withColumn("main",
+            array_join(transform(col("keep"), _.getField("txt")), "\n"))
+          .select(col("doc_id"),
+            size(col("base")).cast("long").as("n_base"),
+            size(col("keep")).cast("long").as("n_lang"),
             length(col("main")).cast("long").as("main_len"),
             md5(col("main").cast("binary")).as("main_md5"))
           .orderBy("doc_id")

@@ -117,6 +117,19 @@ class ContentFilterSpec extends SparkSpec {
     assert(alen == "tiny link".length.toLong)
   }
 
+  test("mainContent: stopword tier drops long link-free non-prose, keeps prose") {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val html = "<body><p>The quick brown fox jumps over the lazy dog in a long sentence.</p>" +
+      "<div>408 512 998 3 14 15 926 535 897 93 238 462 643 383 279 502</div></body>"
+    val base = Seq(html).toDF("html")
+      .select(TextOps.mainContent(col("html")).as("m")).as[String].head()
+    assert(base.contains("408 512") && base.contains("quick brown"))
+    val lang = Seq(html).toDF("html")
+      .select(TextOps.mainContent(col("html"), stopwords = stops, minStopFrac = 0.05)
+        .as("m")).as[String].head()
+    assert(lang == "The quick brown fox jumps over the lazy dog in a long sentence.")
+  }
+
   test("mainContent: script/style contents and comments never leak into blocks") {
     val html = "<body><script>var hidden = 'long enough to pass every bar if it leaked';</script>" +
       "<!-- a comment long enough to pass the length bar easily -->" +

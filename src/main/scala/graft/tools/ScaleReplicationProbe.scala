@@ -128,6 +128,56 @@ object ScaleReplicationProbe {
           "doc_id", "n_tokens", keyCol = "text", nShards = 8, seqLen = 256).count()
       }
 
+      // 1b. article funnel (charset decode → block main-content → C4 →
+      //     exact dedup → domain cap, the pipeline_article_corpus shape):
+      //     replica-salted text (novel pages, the growth path) EXCEPT
+      //     every tenth page, a byte-identical syndicated mirror shared
+      //     across replicas — its dedup group grows ×N, so the keep-min
+      //     groupBy carries real duplicate mass, not only unique hashes.
+      //     Per-row stages (decode, block split, C4) ride the scan; the
+      //     two shuffles are the dedup groupBy and the bounded-heap cap.
+      //     SUM over the capped output — a count() would let Catalyst
+      //     skip nothing here (semi join), but the sum keeps the guard
+      //     uniform with the other bodies.
+      timed(s"article_funnel x$rep") {
+        import spark.implicits._
+        val base = graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+          .crossJoin(spark.range(rep).select(col("id").as("_rep")))
+          .select((col("doc_id") + col("_rep") * 10000000L).as("doc_id"),
+            concat_ws(" ", concat(lit("rep"), col("_rep")), col("text")).as("text"))
+          .repartition(32)
+        val pages = base.as[(Long, String)].mapPartitions(_.map { case (id, text) =>
+          val page =
+            if (id % 10 == 9)
+              "<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+                "<div class=\"post\"><p>The shared syndicated wire story repeats verbatim across mirrors. " +
+                "It has five sentences to pass the gate. Three now follows here! " +
+                "Shall it pass? Yes indeed it does.</p></div>" +
+                "<footer>Copyright <a href=\"/l\">legal</a> <a href=\"/p\">privacy</a></footer></body></html>"
+            else
+              "<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+                s"<h1>Doc $id</h1><div class=\"post\"><p>" + text + " — €1 ends here.</p>" +
+                "<p>One more thought ends here. Another follows! Shall we? Yes indeed.</p></div>" +
+                "<footer>Copyright <a href=\"/l\">legal</a> <a href=\"/p\">privacy</a></footer></body></html>"
+          (id, graft.codec.CharsetCodec.encode(page,
+            if (id % 2 == 0) "windows-1252" else "utf-8"))
+        }).toDF("doc_id", "raw").localCheckpoint()
+        val decoded = graft.operators.TextOps.decodeCharset(pages, "raw", "charset", "html")
+        val main = decoded.select(col("doc_id"),
+          graft.operators.TextOps.mainContent(col("html")).as("t"))
+        val kept = graft.operators.TextOps.c4Filter(main, "doc_id", "t")
+          .filter(col("verdict") === "kept")
+        val dd = kept.groupBy(md5(col("clean_text").cast("binary")).as("h"))
+          .agg(min("doc_id").cast("long").as("doc_id"),
+            count(lit(1)).cast("long").as("group_size"))
+        val dom = dd.select(col("doc_id"), col("group_size"),
+          pmod(col("doc_id"), lit(50)).cast("string").as("domain"))
+        val capped = graft.operators.Sharding.samplePerGroup(dom, "domain", "doc_id", 3)
+        dom.join(capped, Seq("domain", "doc_id"), "left_semi")
+          .agg(sum(col("group_size") + col("doc_id"))).head.getLong(0)
+      }
+
       // 2. exact-run dedup (duplicated grams: df grows xN, hot path live).
       //    SUM the computed columns, never count(): the operator ends in
       //    a left-outer join against a unique-key aggregate, which

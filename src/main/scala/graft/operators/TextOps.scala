@@ -1638,6 +1638,34 @@ object TextOps {
     }
   }
 
+  /** Language-dispatched [[contentKeep]] — full jusText: the stopword
+    * tier only means anything with the RIGHT language's function
+    * words, so the set is chosen per row by the document's language
+    * (label or langid output). `sets` is an ordered (lang → stopwords)
+    * list compiled into a CASE chain; a language with no entry (CJK —
+    * no space-delimited function words) falls through to length +
+    * link density only, which is the published jusText posture for
+    * those scripts. Stays a pure per-row predicate: the lambda
+    * captures the outer `lang` column, so the dispatch rides the same
+    * scan as the block split. */
+  def contentKeepByLang(block: Column, lang: Column,
+                        sets: Seq[(String, Seq[String])],
+                        minChars: Int = 25, maxLinkDensity: Double = 0.33,
+                        minStopFrac: Double = 0.0): Column = {
+    val txt = block.getField("txt")
+    val base = length(txt) >= minChars &&
+      block.getField("alen").cast("double") <=
+        lit(maxLinkDensity) * length(txt).cast("double")
+    val ws = split(lower(txt), " ")
+    def frac(sw: Seq[String]) =
+      size(filter(ws, w => w.isin(sw: _*))).cast("double") /
+        size(ws).cast("double")
+    val tier = sets.foldRight(lit(true)) { case ((lg, sw), els) =>
+      when(lang === lg, frac(sw) >= lit(minStopFrac)).otherwise(els)
+    }
+    base && tier
+  }
+
   /** Content-block classifier over [[contentBlocks]]: keeps the blocks
     * [[contentKeep]] accepts (length + link density, plus the optional
     * jusText stopword tier when `stopwords` is non-empty) and returns

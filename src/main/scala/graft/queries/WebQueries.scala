@@ -1862,5 +1862,85 @@ object WebQueries {
             md5(col("main").cast("binary")).as("main_md5"))
           .orderBy("doc_id")
     },
+
+    // ── Language-DISPATCHED extraction (full jusText): the stopword
+    //    tier is only meaningful with the right language's function
+    //    words, so the set is a per-row CASE on the doc's language —
+    //    en/fr/es/de each judge their own prose tail, zh (no
+    //    space-delimited function words) falls through to length +
+    //    density and KEEPS the number table the Latin rows drop: the
+    //    per-language n_lang difference IS the dispatch, pinned per
+    //    doc. fr/de drop stopword-diluted prose on the longest docs —
+    //    the deterministic borderline showing the 0.05 bar needs
+    //    per-language calibration, which is the operator's point. ──
+    QueryDef.sql(
+      "web_main_content_i18n",
+      """WITH h AS (SELECT doc_id, coalesce(lang, '') AS lang,
+        |  '<html><body><nav><a href="/">Home</a> <a href="/about">About</a></nav>' ||
+        |  '<p>' || coalesce(text, '') ||
+        |  CASE coalesce(lang, '')
+        |    WHEN 'fr' THEN ' et le recit continue de la meme facon jusqu a la fin.'
+        |    WHEN 'es' THEN ' y el relato sigue en la misma forma hasta el final de hoy.'
+        |    WHEN 'de' THEN ' und die geschichte geht in der gleichen form bis zu dem ende.'
+        |    WHEN 'en' THEN ' and the story goes on to the end of it all in time.'
+        |    ELSE ' 故事继续到最后一页了吧。' END || '</p>' ||
+        |  '<div>' || array_to_string(list_transform(range(0,20), i -> CAST((doc_id*7 + i*13) % 1000 AS VARCHAR)), ' ') || '</div>' ||
+        |  '<footer>Copyright <a href="/l">legal</a></footer></body></html>' AS html
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang, regexp_split_to_array(html,
+        |  '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|aside|blockquote|pre|br)[^>]*>') AS blocks FROM h),
+        |e AS (SELECT doc_id, lang, list_transform(blocks, x -> struct_pack(
+        |    txt := trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+        |    alen := CAST(length(trim(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(x, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1), ' '), ''), '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS BIGINT))) AS bs FROM b),
+        |ne AS (SELECT doc_id, lang, list_filter(bs, s -> length(s.txt) > 0) AS bs FROM e),
+        |k AS (SELECT doc_id, lang, bs,
+        |  list_filter(bs, s -> length(s.txt) >= 25 AND CAST(s.alen AS DOUBLE) <= 0.33 * length(s.txt)) AS base,
+        |  list_filter(bs, s -> length(s.txt) >= 25 AND CAST(s.alen AS DOUBLE) <= 0.33 * length(s.txt)
+        |    AND CASE lang
+        |      WHEN 'en' THEN CAST(len(list_filter(string_split(lower(s.txt), ' '), w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(lower(s.txt), ' ')) >= 0.05
+        |      WHEN 'fr' THEN CAST(len(list_filter(string_split(lower(s.txt), ' '), w -> w IN ('le','la','les','de','des','et','en','un','une','est'))) AS DOUBLE) / len(string_split(lower(s.txt), ' ')) >= 0.05
+        |      WHEN 'es' THEN CAST(len(list_filter(string_split(lower(s.txt), ' '), w -> w IN ('el','la','los','de','y','en','un','una','es','que'))) AS DOUBLE) / len(string_split(lower(s.txt), ' ')) >= 0.05
+        |      WHEN 'de' THEN CAST(len(list_filter(string_split(lower(s.txt), ' '), w -> w IN ('der','die','das','und','in','den','von','zu','ist','mit'))) AS DOUBLE) / len(string_split(lower(s.txt), ' ')) >= 0.05
+        |      ELSE true END) AS keep FROM ne),
+        |m AS (SELECT doc_id, lang, base, keep,
+        |  coalesce(array_to_string(list_transform(keep, s -> s.txt), chr(10)), '') AS main FROM k)
+        |SELECT doc_id, lang, CAST(len(base) AS BIGINT) AS n_base, CAST(len(keep) AS BIGINT) AS n_lang,
+        |  md5(main) AS main_md5
+        |FROM m ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val sets: Seq[(String, Seq[String])] = Seq(
+          "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+          "fr" -> Seq("le", "la", "les", "de", "des", "et", "en", "un", "une", "est"),
+          "es" -> Seq("el", "la", "los", "de", "y", "en", "un", "una", "es", "que"),
+          "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "ist", "mit"))
+        val lang = coalesce(col("lang"), lit(""))
+        val nums = concat_ws(" ",
+          (0 until 20).map(i =>
+            pmod(col("doc_id") * 7 + lit(i * 13), lit(1000)).cast("string")): _*)
+        val tail = // CASE chain mirrors the oracle
+          when(lang === "fr", " et le recit continue de la meme facon jusqu a la fin.")
+            .when(lang === "es", " y el relato sigue en la misma forma hasta el final de hoy.")
+            .when(lang === "de", " und die geschichte geht in der gleichen form bis zu dem ende.")
+            .when(lang === "en", " and the story goes on to the end of it all in time.")
+            .otherwise(" 故事继续到最后一页了吧。")
+        val page = concat(
+          lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav><p>"),
+          coalesce(col("text"), lit("")), tail,
+          lit("</p><div>"), nums,
+          lit("</div><footer>Copyright <a href=\"/l\">legal</a></footer></body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), lang.as("lang"),
+            TextOps.contentBlocks(page).as("bs"))
+          .withColumn("base", filter(col("bs"), b => TextOps.contentKeep(b)))
+          .withColumn("keep", filter(col("bs"),
+            b => TextOps.contentKeepByLang(b, col("lang"), sets, minStopFrac = 0.05)))
+          .withColumn("main",
+            array_join(transform(col("keep"), _.getField("txt")), "\n"))
+          .select(col("doc_id"), col("lang"),
+            size(col("base")).cast("long").as("n_base"),
+            size(col("keep")).cast("long").as("n_lang"),
+            md5(col("main").cast("binary")).as("main_md5"))
+          .orderBy("doc_id")
+    },
   )
 }

@@ -130,6 +130,27 @@ class ContentFilterSpec extends SparkSpec {
     assert(lang == "The quick brown fox jumps over the lazy dog in a long sentence.")
   }
 
+  test("contentKeepByLang: per-row language dispatch, unlisted language skips the tier") {
+    val sets = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+      "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "ist", "mit"))
+    val prose = "<p>Die Geschichte geht weiter und weiter in der gleichen Form bis zu dem Ende.</p>"
+    val numbers = "<div>408 512 998 3 14 15 926 535 897 93 238 462 643 383 279 502</div>"
+    val html = "<body>" + prose + numbers + "</body>"
+    def keptWith(lg: String) =
+      Seq((lg, html)).toDF("lang", "html")
+        .select(filter(TextOps.contentBlocks(col("html")),
+          b => TextOps.contentKeepByLang(b, col("lang"), sets, minStopFrac = 0.05)).as("k"))
+        .select(transform(col("k"), _.getField("txt")).as("t"))
+        .as[Seq[String]].head()
+    // de: German prose passes its own set; the number run fails the tier
+    assert(keptWith("de") == Seq("Die Geschichte geht weiter und weiter in der gleichen Form bis zu dem Ende."))
+    // unlisted language (zh): tier skipped entirely — both blocks stay
+    assert(keptWith("zh").toSet == Set(
+      "Die Geschichte geht weiter und weiter in der gleichen Form bis zu dem Ende.",
+      "408 512 998 3 14 15 926 535 897 93 238 462 643 383 279 502"))
+  }
+
   test("mainContent: script/style contents and comments never leak into blocks") {
     val html = "<body><script>var hidden = 'long enough to pass every bar if it leaked';</script>" +
       "<!-- a comment long enough to pass the length bar easily -->" +

@@ -1726,6 +1726,33 @@ object TextOps {
       .drop(textCol)
   }
 
+  /** Document-metadata sidecar — the provenance record a corpus keeps
+    * NEXT TO the extracted text (title for display/dedup heuristics,
+    * canonical URL for revisit collapse, og:title for social-mirror
+    * detection, the html lang attribute as the langid prior):
+    * `(title, lang_attr, meta_desc, og_title, canonical)`, empty
+    * strings when absent. Meta/link attributes extract in TWO steps —
+    * grab the whole tag by its identifying attribute, then the value
+    * attribute from the tag — so both attribute orders
+    * (`name= … content=` and `content= … name=`) resolve; a one-step
+    * pattern silently loses the flipped order, which real generators
+    * emit. Double-quoted attributes only (the overwhelmingly dominant
+    * serialization); single-quoted pages yield empty fields, never
+    * wrong ones. Pure per-row projection, RE2-compatible patterns. */
+  def htmlMeta(html: Column): Column = {
+    def tagAttr(tagPat: String, attr: String) =
+      regexp_extract(regexp_extract(html, tagPat, 0),
+        "(?is)\\s" + attr + "=\"([^\"]*)\"", 1)
+    struct(
+      trim(regexp_replace(
+        regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1),
+        "\\s+", " ")).as("title"),
+      regexp_extract(html, "(?is)<html[^>]*\\slang=\"([^\"]*)\"", 1).as("lang_attr"),
+      tagAttr("(?is)<meta[^>]*\\sname=\"description\"[^>]*>", "content").as("meta_desc"),
+      tagAttr("(?is)<meta[^>]*\\sproperty=\"og:title\"[^>]*>", "content").as("og_title"),
+      tagAttr("(?is)<link[^>]*\\srel=\"canonical\"[^>]*>", "href").as("canonical"))
+  }
+
   /** Suffix-aware blocklist membership: `d` is blocked when it equals a
     * blocklist entry or is a subdomain of one (`ads.tracker.net` matches
     * `tracker.net` — the semantics real blocklists assume). The list

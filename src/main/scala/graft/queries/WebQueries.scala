@@ -1942,5 +1942,59 @@ object WebQueries {
             md5(col("main").cast("binary")).as("main_md5"))
           .orderBy("doc_id")
     },
+
+    // ── Document-METADATA sidecar — the provenance record kept next to
+    //    the extracted text (title, canonical URL for revisit collapse,
+    //    og:title for social mirrors, html lang as the langid prior).
+    //    The fixture exercises the failure modes that break naive
+    //    one-step patterns: mod-3 docs have NO description (must yield
+    //    '' not a neighboring attribute), mod-4 docs FLIP the attribute
+    //    order (content= before name= — the two-step tag-then-attribute
+    //    extraction resolves it; a name=.*content= pattern loses the
+    //    whole field), mod-5 docs drop the canonical link, og:title on
+    //    even docs only. ──
+    QueryDef.sql(
+      "web_doc_metadata",
+      """WITH h AS (SELECT doc_id,
+        |  '<html lang="' || coalesce(lang, '') || '"><head><title>Doc ' || doc_id || ' — site news</title>' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ''
+        |       WHEN doc_id % 4 = 0 THEN '<meta content="Summary for doc ' || doc_id || '." name="description">'
+        |       ELSE '<meta name="description" content="Summary for doc ' || doc_id || '.">' END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '<meta property="og:title" content="OG Doc ' || doc_id || '">' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '' ELSE '<link rel="canonical" href="https://example.com/d/' || doc_id || '">' END ||
+        |  '</head><body><p>x</p></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), '\s+', ' ', 'g')) AS title,
+        |  regexp_extract(html, '(?is)<html[^>]*\slang="([^"]*)"', 1) AS lang_attr,
+        |  regexp_extract(regexp_extract(html, '(?is)<meta[^>]*\sname="description"[^>]*>', 0), '(?is)\scontent="([^"]*)"', 1) AS meta_desc,
+        |  regexp_extract(regexp_extract(html, '(?is)<meta[^>]*\sproperty="og:title"[^>]*>', 0), '(?is)\scontent="([^"]*)"', 1) AS og_title,
+        |  regexp_extract(regexp_extract(html, '(?is)<link[^>]*\srel="canonical"[^>]*>', 0), '(?is)\shref="([^"]*)"', 1) AS canonical
+        |FROM h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val id = col("doc_id").cast("string")
+        val page = concat(
+          lit("<html lang=\""), coalesce(col("lang"), lit("")),
+          lit("\"><head><title>Doc "), id, lit(" — site news</title>"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "")
+            .when(pmod(col("doc_id"), lit(4)) === 0,
+              concat(lit("<meta content=\"Summary for doc "), id,
+                lit(".\" name=\"description\">")))
+            .otherwise(concat(lit("<meta name=\"description\" content=\"Summary for doc "),
+              id, lit(".\">"))),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("<meta property=\"og:title\" content=\"OG Doc "), id, lit("\">")))
+            .otherwise(""),
+          when(pmod(col("doc_id"), lit(5)) === 0, "")
+            .otherwise(concat(lit("<link rel=\"canonical\" href=\"https://example.com/d/"),
+              id, lit("\">"))),
+          lit("</head><body><p>x</p></body></html>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.htmlMeta(page).as("m"))
+          .select(col("doc_id"), col("m.title").as("title"),
+            col("m.lang_attr").as("lang_attr"), col("m.meta_desc").as("meta_desc"),
+            col("m.og_title").as("og_title"), col("m.canonical").as("canonical"))
+          .orderBy("doc_id")
+    },
   )
 }

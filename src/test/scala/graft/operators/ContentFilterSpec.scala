@@ -151,6 +151,27 @@ class ContentFilterSpec extends SparkSpec {
       "408 512 998 3 14 15 926 535 897 93 238 462 643 383 279 502"))
   }
 
+  test("htmlMeta: two-step attribute extraction, flipped order, absent fields") {
+    val cases = Seq(
+      // canonical form
+      "<html lang=\"de\"><head><title> Spaced   Title </title>" +
+        "<meta name=\"description\" content=\"Desc one.\">" +
+        "<link rel=\"canonical\" href=\"https://x.org/a\"></head></html>" ->
+        ("Spaced Title", "de", "Desc one.", "", "https://x.org/a"),
+      // flipped attribute order still resolves; og:title present
+      "<head><meta content=\"Flipped.\" name=\"description\">" +
+        "<meta property=\"og:title\" content=\"OG\"></head>" ->
+        ("", "", "Flipped.", "OG", ""),
+      // absent everything -> empty strings, never neighbors' values
+      "<head><meta name=\"keywords\" content=\"not this\"></head>" ->
+        ("", "", "", "", ""))
+    val got = cases.map(_._1).toDF("html")
+      .select(TextOps.htmlMeta(col("html")).as("m"))
+      .select("m.title", "m.lang_attr", "m.meta_desc", "m.og_title", "m.canonical")
+      .as[(String, String, String, String, String)].collect().toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("mainContent: script/style contents and comments never leak into blocks") {
     val html = "<body><script>var hidden = 'long enough to pass every bar if it leaked';</script>" +
       "<!-- a comment long enough to pass the length bar easily -->" +

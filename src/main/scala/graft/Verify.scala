@@ -7,8 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // Optional third arg: comma-separated query names — the local
-    // fast-iteration path (the driver always passes two args).
+    // fast-iteration path (the driver always passes two args). Unknown
+    // names fail LOUDLY: a typo would otherwise run zero queries, and
+    // the downstream compare's "0 compared, 0 problems" reads as a
+    // pass for a query that never ran.
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1653,9 +1653,6 @@ object TextOps {
                         minChars: Int = 25, maxLinkDensity: Double = 0.33,
                         minStopFrac: Double = 0.0): Column = {
     val txt = block.getField("txt")
-    val base = length(txt) >= minChars &&
-      block.getField("alen").cast("double") <=
-        lit(maxLinkDensity) * length(txt).cast("double")
     val ws = split(lower(txt), " ")
     def frac(sw: Seq[String]) =
       size(filter(ws, w => w.isin(sw: _*))).cast("double") /
@@ -1663,7 +1660,7 @@ object TextOps {
     val tier = sets.foldRight(lit(true)) { case ((lg, sw), els) =>
       when(lang === lg, frac(sw) >= lit(minStopFrac)).otherwise(els)
     }
-    base && tier
+    contentKeep(block, minChars, maxLinkDensity) && tier
   }
 
   /** Content-block classifier over [[contentBlocks]]: keeps the blocks
@@ -1705,9 +1702,12 @@ object TextOps {
     // would drop ALL of its lines. Reassembly normalizes to LF.
     val keptArr = filter(split(raw, "\r?\n"), l => {
       val t = trim(l)
+      // \z, not $: Java's $ also matches before a trailing \r or
+      // U+2028/U+2029 (a bare-CR line survives \r?\n splitting), while
+      // the oracle's RE2 $ is end-of-string only — \z matches RE2.
       (t =!= "") &&
         (size(split(t, "\\s+")) >= minWordsPerLine) &&
-        t.rlike("[.!?\"]$") &&
+        t.rlike("[.!?\"]\\z") &&
         !lower(t).contains("javascript")
     })
     val clean = array_join(keptArr, "\n")

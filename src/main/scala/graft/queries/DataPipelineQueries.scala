@@ -223,7 +223,7 @@ object DataPipelineQueries {
         |    AND regexp_matches(trim(l), '[.!?"]$')
         |    AND NOT contains(lower(trim(l)), 'javascript')) AS kept
         |  FROM raw),
-        |c AS (SELECT doc_id, t, kept, array_to_string(kept, chr(10)) AS clean FROM f),
+        |c AS (SELECT doc_id, t, kept, coalesce(array_to_string(kept, chr(10)), '') AS clean FROM f),
         |v AS (SELECT doc_id, t, kept, clean,
         |  CAST(len(regexp_split_to_array(clean, '[.!?]')) - 1 AS BIGINT) AS n_sentences FROM c)
         |SELECT doc_id,
@@ -454,14 +454,14 @@ object DataPipelineQueries {
         |ne AS (SELECT doc_id, list_filter(bs, s -> length(s.txt) > 0) AS bs FROM e),
         |k AS (SELECT doc_id,
         |  list_filter(bs, s -> length(s.txt) >= 25 AND CAST(s.alen AS DOUBLE) <= 0.33 * length(s.txt)) AS keep FROM ne),
-        |m AS (SELECT doc_id, array_to_string(list_transform(keep, s -> s.txt), chr(10)) AS main FROM k),
+        |m AS (SELECT doc_id, coalesce(array_to_string(list_transform(keep, s -> s.txt), chr(10)), '') AS main FROM k),
         |f AS (SELECT doc_id, main,
         |  list_filter(regexp_split_to_array(main, '\r?\n'), l ->
         |    trim(l) <> '' AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
         |    AND regexp_matches(trim(l), '[.!?"]$')
         |    AND NOT contains(lower(trim(l)), 'javascript')) AS keptl
         |  FROM m),
-        |c AS (SELECT doc_id, main, keptl, array_to_string(keptl, chr(10)) AS clean FROM f),
+        |c AS (SELECT doc_id, main, keptl, coalesce(array_to_string(keptl, chr(10)), '') AS clean FROM f),
         |v AS (SELECT doc_id, main, keptl, clean,
         |  CAST(len(regexp_split_to_array(clean, '[.!?]')) - 1 AS BIGINT) AS n_sentences FROM c),
         |vv AS (SELECT doc_id, clean, n_sentences, CAST(len(keptl) AS BIGINT) AS n_kept,

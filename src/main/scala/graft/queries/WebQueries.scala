@@ -1774,7 +1774,7 @@ object WebQueries {
         |ne AS (SELECT doc_id, list_filter(bs, s -> length(s.txt) > 0) AS bs FROM e),
         |k AS (SELECT doc_id, bs,
         |  list_filter(bs, s -> length(s.txt) >= 25 AND CAST(s.alen AS DOUBLE) <= 0.33 * length(s.txt)) AS keep FROM ne),
-        |m AS (SELECT doc_id, bs, keep, array_to_string(list_transform(keep, s -> s.txt), chr(10)) AS main FROM k)
+        |m AS (SELECT doc_id, bs, keep, coalesce(array_to_string(list_transform(keep, s -> s.txt), chr(10)), '') AS main FROM k)
         |SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_blocks, CAST(len(keep) AS BIGINT) AS n_content,
         |  CAST(length(main) AS BIGINT) AS main_len, md5(main) AS main_md5
         |FROM m ORDER BY doc_id""".stripMargin) {

@@ -60,6 +60,11 @@ class ContentFilterSpec extends SparkSpec {
     assert(r._2 == 2L && r._3 == 2L)       // both CRLF lines counted and kept
     assert(r._5 == "kept")                 // 5 sentences over kept lines
     assert(!r._6.contains("\r"))           // reassembly normalizes to LF
+    // A bare-CR line ("line.\r\r\n" → token "line.\r") must NOT pass the
+    // terminal-punct anchor: Java's $ would match before the trailing \r
+    // where the oracle's RE2 $ would not — the operator uses \z.
+    val Array(r2) = c4(1L -> "Ends with bare CR here.\r\r\nAnd the clean closing line stays kept.")
+    assert(r2._3 == 1L && r2._6 == "And the clean closing line stays kept.")
   }
 
   test("c4Filter: null text behaves as empty") {

@@ -1996,5 +1996,53 @@ object WebQueries {
             col("m.og_title").as("og_title"), col("m.canonical").as("canonical"))
           .orderBy("doc_id")
     },
+
+    // ── Canonical-URL collapse — the metadata sidecar driving revisit
+    //    dedup: mirrors/tracking-param variants fetched under DIFFERENT
+    //    URLs declare the same <link rel=canonical>, and the collapse
+    //    key is canonical-if-declared, else the fetch URL (a missing
+    //    declaration must NOT collapse with anything — mod-5 docs pin
+    //    that). doc_id%200 keys the shared canonical, so groups grow
+    //    with SF (~2.5 members at sf0.001, 25 at sf0.1) while the
+    //    fetch URLs stay unique. Keep-min groupBy — one partial-agg
+    //    shuffle, the exact-dedup shape. ──
+    QueryDef.sql(
+      "web_canonical_collapse",
+      """WITH h AS (SELECT doc_id,
+        |  'https://m' || (doc_id % 7) || '.example.com/fetch/' || doc_id AS fetch_url,
+        |  '<html><head><title>d</title>' ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ''
+        |       ELSE '<link rel="canonical" href="https://example.com/d/' || (doc_id % 200) || '">' END ||
+        |  '</head><body><p>x</p></body></html>' AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id, fetch_url,
+        |  regexp_extract(regexp_extract(html, '(?is)<link[^>]*\srel="canonical"[^>]*>', 0), '(?is)\shref="([^"]*)"', 1) AS canonical
+        |  FROM h),
+        |k AS (SELECT doc_id,
+        |  CASE WHEN canonical = '' THEN fetch_url ELSE canonical END AS ckey FROM x)
+        |SELECT ckey, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM k GROUP BY ckey ORDER BY ckey""".stripMargin) {
+      (s, d) =>
+        val id = col("doc_id").cast("string")
+        val page = concat(
+          lit("<html><head><title>d</title>"),
+          when(pmod(col("doc_id"), lit(5)) === 0, "")
+            .otherwise(concat(lit("<link rel=\"canonical\" href=\"https://example.com/d/"),
+              pmod(col("doc_id"), lit(200)).cast("string"), lit("\">"))),
+          lit("</head><body><p>x</p></body></html>"))
+        val fetchUrl = concat(lit("https://m"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.com/fetch/"), id)
+        Tables.documents(s, d)
+          .select(col("doc_id"), fetchUrl.as("fetch_url"),
+            TextOps.htmlMeta(page).getField("canonical").as("canonical"))
+          .select(col("doc_id"),
+            when(col("canonical") === "", col("fetch_url"))
+              .otherwise(col("canonical")).as("ckey"))
+          .groupBy("ckey")
+          .agg(min("doc_id").cast("long").as("keeper_id"),
+            count(lit(1)).cast("long").as("n_dups"))
+          .orderBy("ckey")
+    },
   )
 }

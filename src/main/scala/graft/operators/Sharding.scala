@@ -405,6 +405,33 @@ object Sharding {
       .select(col(groupCol), col(s"_t.$keyCol").as(keyCol))
   }
 
+  /** [[samplePerGroup]] carrying small payload columns THROUGH the heap,
+    * for callers that would otherwise semi-join the sampled keys back to
+    * the input to recover them. The join-back form evaluates the input
+    * pipeline TWICE — column pruning narrows the key-only branch, the
+    * two aggregate subtrees stop being identical, and exchange reuse
+    * never fires — so a capstone paying a full extraction funnel on
+    * each side costs 2× (caught by plan audit: two `Scan parquet` +
+    * two aggregate chains under one semi join). Here the payload rides
+    * the heap entry instead: one funnel, one partial-agg shuffle, no
+    * join. Selection is UNCHANGED — the heap orders by the struct
+    * lexicographically and `(md5(key), key)` is unique, so fields after
+    * the key never influence which rows survive. Payload discipline:
+    * small fixed-width columns only (counts, ids) — each group holds
+    * `n` full entries in executor memory at every partial-agg stage;
+    * for fat payloads (text, arrays) keep the semi-join form. */
+  def samplePerGroupRows(df: DataFrame, groupCol: String, keyCol: String,
+                         n: Int, payload: Seq[String]): DataFrame = {
+    require(n > 0, "need a positive per-group budget")
+    val fields = (keyCol +: payload).map(col)
+    df.select(col(groupCol) +: md5(col(keyCol).cast("string")).as("_h") +: fields: _*)
+      .groupBy(groupCol)
+      .agg(graft.expressions.BoundedCollect
+        .boundedSortedCollect(struct(col("_h") +: fields: _*), n).as("_top"))
+      .select(col(groupCol), explode(col("_top")).as("_t"))
+      .select(col(groupCol) +: (keyCol +: payload).map(c => col(s"_t.$c").as(c)): _*)
+  }
+
   /** Per-group score threshold at the (1 − frac) quantile — the
     * calibration half of "keep the top `frac` of each group by score"
     * (per-language quality gating, the filter stage after a classifier

@@ -394,8 +394,8 @@ object DataPipelineQueries {
         val dom = dedup.select(col("doc_id"), col("group_size"), col("n_tokens"),
           concat(lit("d"), pmod(col("doc_id"), lit(50)).cast("string"),
             lit(".example.com")).as("domain"))
-        val capped = Sharding.samplePerGroup(dom, "domain", "doc_id", 3)
-        dom.join(capped, Seq("domain", "doc_id"), "left_semi")
+        Sharding.samplePerGroupRows(dom, "domain", "doc_id", 3,
+            Seq("group_size", "n_tokens"))
           .select(col("domain"), col("doc_id"), col("group_size"), col("n_tokens"))
           .orderBy("domain", "doc_id")
     },
@@ -523,8 +523,8 @@ object DataPipelineQueries {
           col("n_sentences"),
           concat(lit("d"), pmod(col("doc_id"), lit(50)).cast("string"),
             lit(".example.com")).as("domain"))
-        val capped = Sharding.samplePerGroup(dom, "domain", "doc_id", 3)
-        dom.join(capped, Seq("domain", "doc_id"), "left_semi")
+        Sharding.samplePerGroupRows(dom, "domain", "doc_id", 3,
+            Seq("group_size", "n_kept", "n_sentences"))
           .select(col("domain"), col("doc_id"), col("group_size"),
             col("n_kept"), col("n_sentences"))
           .orderBy("domain", "doc_id")

@@ -135,9 +135,10 @@ object ScaleReplicationProbe {
       //     across replicas — its dedup group grows ×N, so the keep-min
       //     groupBy carries real duplicate mass, not only unique hashes.
       //     Per-row stages (decode, block split, C4) ride the scan; the
-      //     two shuffles are the dedup groupBy and the bounded-heap cap.
-      //     SUM over the capped output — a count() would let Catalyst
-      //     skip nothing here (semi join), but the sum keeps the guard
+      //     two shuffles are the dedup groupBy and the bounded-heap cap
+      //     (payload-through-the-heap form — the earlier semi-join-back
+      //     evaluated the whole funnel twice; see samplePerGroupRows).
+      //     SUM over the capped output keeps the anti-pruning guard
       //     uniform with the other bodies.
       timed(s"article_funnel x$rep") {
         import spark.implicits._
@@ -173,8 +174,8 @@ object ScaleReplicationProbe {
             count(lit(1)).cast("long").as("group_size"))
         val dom = dd.select(col("doc_id"), col("group_size"),
           pmod(col("doc_id"), lit(50)).cast("string").as("domain"))
-        val capped = graft.operators.Sharding.samplePerGroup(dom, "domain", "doc_id", 3)
-        dom.join(capped, Seq("domain", "doc_id"), "left_semi")
+        graft.operators.Sharding.samplePerGroupRows(dom, "domain", "doc_id", 3,
+            Seq("group_size"))
           .agg(sum(col("group_size") + col("doc_id"))).head.getLong(0)
       }
 
@@ -346,8 +347,8 @@ object ScaleReplicationProbe {
         val dom = dedup.select(col("doc_id"), col("group_size"),
           concat(lit("d"), pmod(col("doc_id"), lit(50)).cast("string"),
             lit(".example.com")).as("domain"))
-        dom.join(graft.operators.Sharding.samplePerGroup(dom, "domain", "doc_id", 3),
-          Seq("domain", "doc_id"), "left_semi").count()
+        graft.operators.Sharding.samplePerGroupRows(dom, "domain", "doc_id", 3,
+          Seq("group_size")).count()
       }
 
       // 7. CHAR-granularity dedup tier (round-12 arrival): the exact

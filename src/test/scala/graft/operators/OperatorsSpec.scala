@@ -1657,6 +1657,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Window"), "bounded-collect heap, not a per-group window sort")
   }
 
+  test("samplePerGroupRows: identical selection to samplePerGroup, payload intact, no join") {
+    val df = (0 until 500).map(i => (i.toLong, s"src${i % 3}", i * 7L, s"t$i"))
+      .toDF("doc_id", "source", "weight", "tag")
+    val keys = Sharding.samplePerGroup(df, "source", "doc_id", n = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rows = Sharding.samplePerGroupRows(df, "source", "doc_id", n = 10,
+      payload = Seq("weight", "tag"))
+    val got = rows.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // trailing payload fields never influence which keys survive
+    assert(got.map(r => (r._1, r._2)).toSet == keys)
+    // payload columns carry the ORIGINAL row's values through the heap
+    assert(got.forall { case (_, id, w, t) => w == id * 7L && t == s"t$id" })
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "payload rides the heap entry — no join-back, no window")
+  }
+
   test("semanticContamination: exact eval copy flags, orthogonal doesn't, max wins") {
     val corpus = Seq(
       (100L, Seq(1f, 0f, 0f, 0f)),  // identical to eval vec → 1.0

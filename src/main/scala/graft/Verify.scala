@@ -57,7 +57,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // A filtered run writes a manifest restricted to the SELECTED names:
+    // the full manifest would pair fresh SQL with stale parquet dirs left
+    // in a reused outDir by earlier runs, and the downstream compare
+    // would report those stale outputs as if they were current.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

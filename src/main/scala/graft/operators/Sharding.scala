@@ -416,7 +416,13 @@ object Sharding {
     * the heap entry instead: one funnel, one partial-agg shuffle, no
     * join. Selection is UNCHANGED — the heap orders by the struct
     * lexicographically and `(md5(key), key)` is unique, so fields after
-    * the key never influence which rows survive. Payload discipline:
+    * the key never influence which rows survive — PROVIDED keys are
+    * distinct per group: duplicate `(group, key)` rows with different
+    * payloads tie through the key and fall to payload comparison, so
+    * which duplicate's payload survives is payload-ordered (still
+    * deterministic, and the selected key multiset still matches
+    * [[samplePerGroup]]); dedup on `(group, key)` upstream when
+    * duplicates are possible. Payload discipline:
     * small fixed-width columns only (counts, ids) — each group holds
     * `n` full entries in executor memory at every partial-agg stage;
     * for fat payloads (text, arrays) keep the semi-join form. */

@@ -1592,8 +1592,13 @@ object TextOps {
     val noScript = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
     val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    // the tag NAME is anchored — `(?:\s[^>]*)?/?>` after it — so <link>
+    // does not split via `li`, nor <picture>/<param>/<path>/<progress>
+    // via `p`, <track> via `tr`: an inline <picture> inside a paragraph
+    // must not fragment the prose below the minChars bar. RE2-compatible
+    // (no lookahead), mirrored verbatim in the oracle fixtures.
     val blockPat = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|" +
-      "header|footer|nav|aside|blockquote|pre|br)[^>]*>"
+      "header|footer|nav|aside|blockquote|pre|br)(?:\\s[^>]*)?/?>"
     val blocks = split(noComment, blockPat)
     val enriched = transform(blocks, b => {
       def toText(c: Column) =

@@ -146,17 +146,37 @@ object StreamingCrawl {
     // (shuffle-join fallback past it) instead of a forced broadcast.
     val winnerIds = allowed.groupBy("canonical")
       .agg(min(col(idCol)).as(idCol)).select(col(idCol)).localCheckpoint()
-    val winGate = if (winnerIds.count() <= 2000000L) broadcast(winnerIds) else winnerIds
+    val batchSmall = winnerIds.count() <= 2000000L
+    val winGate = if (batchSmall) broadcast(winnerIds) else winnerIds
     val winners = allowed.join(winGate, Seq(idCol), "left_semi")
     val batchDups = allowed.join(winGate, Seq(idCol), "left_anti")
     // cross-batch: the stored seen-set (compacted base ∪ live batch
-    // partitions) rejects canonicals any earlier batch admitted
+    // partitions) rejects canonicals any earlier batch admitted. Ledger
+    // canonicals are UNIQUE by construction (a key admits once), so no
+    // distinct — and the CORPUS-sized ledger must never shuffle per
+    // batch: `winners.join(prior, left_anti)` can only build on its
+    // RIGHT (the ledger), forcing sort-merge — a full shuffle+sort of
+    // every seen canonical, every batch, forever. Exploit the batch's
+    // smallness instead: broadcast the batch's winner keys INTO the
+    // ledger scan (left_semi builds right ⇒ the ledger streams map-side,
+    // zero ledger shuffle); the hit set is ≤ the batch's winners, so it
+    // broadcasts back into the anti/semi pair against the batch.
     val prior = BatchLedger.read(spark, ledgerDir, "seen", SeenPointerKey,
       belowBatch = Some(batchId),
       empty = Seq.empty[(String, Long)].toDF("canonical", idCol))
-      .select("canonical").distinct()
-    val admitted = winners.join(prior, Seq("canonical"), "left_anti").localCheckpoint()
-    val crossDups = winners.join(prior, Seq("canonical"), "left_semi")
+      .select("canonical")
+    val (admitted, crossDups, ledgerCp) = if (batchSmall) {
+      val hits = prior.join(broadcast(winners.select("canonical")),
+        Seq("canonical"), "left_semi").localCheckpoint()
+      (winners.join(broadcast(hits), Seq("canonical"), "left_anti").localCheckpoint(),
+        winners.join(broadcast(hits), Seq("canonical"), "left_semi"),
+        Seq(hits))
+    } else {
+      // a backfill batch past the broadcast gate: big-big, SMJ is the floor
+      (winners.join(prior, Seq("canonical"), "left_anti").localCheckpoint(),
+        winners.join(prior, Seq("canonical"), "left_semi"),
+        Seq.empty[DataFrame])
+    }
     // append the admitted keys (idempotent per batch: own-partition overwrite)
     admitted.select(col("canonical"), col(idCol)).withColumn("batch", lit(batchId))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$ledgerDir/seen")
@@ -170,18 +190,29 @@ object StreamingCrawl {
     }
     // politeness: per-host dispatch times on the logical clock
     val (admittedOut, schedCp) = delays match {
-      case None => (outcome(admitted, "admitted"), None)
+      case None => (outcome(admitted, "admitted"), Seq.empty[DataFrame])
       case Some(dl) =>
         import org.apache.spark.sql.expressions.Window
         val dlSel = dl.select(col("domain").as("_dd"), col("delay_ms").as("_delay"))
-        val prior = BatchLedger.read(spark, ledgerDir, "hosts", HostsPointerKey,
+        // same ledger discipline as the seen-set: the horizon ledger is
+        // host-corpus-sized, so semi-join it down to THIS batch's
+        // domains map-side (batch domains broadcast) and sum only the
+        // small hit set — never a per-batch groupBy over every host
+        // ever crawled. Past the gate, the full-fold shape is the floor.
+        val priorDeltas = BatchLedger.read(spark, ledgerDir, "hosts", HostsPointerKey,
           belowBatch = Some(batchId),
           empty = Seq.empty[(String, Long)].toDF("domain", "reserved_ms"))
+        val prior = (if (batchSmall)
+          priorDeltas.join(broadcast(admitted.select("domain").distinct()),
+            Seq("domain"), "left_semi")
+        else priorDeltas)
           .groupBy("domain").agg(sum("reserved_ms").as("_base"))
+          .localCheckpoint()
+        val priorGate = if (batchSmall) broadcast(prior) else prior
         val sched = admitted
           .join(dlSel, col("domain") === col("_dd"), "left_outer")
           .withColumn("_delay", coalesce(col("_delay"), lit(defaultDelayMs)))
-          .join(prior, Seq("domain"), "left_outer")
+          .join(priorGate, Seq("domain"), "left_outer")
           .withColumn("_base", coalesce(col("_base"), lit(0L)))
           .withColumn("_slot",
             (row_number().over(Window.partitionBy("domain").orderBy(col(idCol))) - 1)
@@ -197,7 +228,7 @@ object StreamingCrawl {
           lit("admitted").as("outcome"), col("_delay").as("delay_ms"),
           (col("_base") + col("_slot") * col("_delay")).as("fetch_at_ms"),
           nullS.as("redirect_to")),
-          Some(sched))
+          Seq(sched, prior))
     }
     val out = invalid
       .unionByName(notModified)
@@ -206,13 +237,14 @@ object StreamingCrawl {
       .unionByName(outcome(batchDups.unionByName(crossDups), "duplicate"))
       .unionByName(admittedOut)
       .localCheckpoint() // eager: safe to drop the upstream checkpoints below
-    (Seq(b, judged, winnerIds, admitted) ++ schedCp)
+    (Seq(b, judged, winnerIds, admitted) ++ ledgerCp ++ schedCp)
       .foreach(_.unpersist(blocking = false))
     out
   }
 
   private[streaming] val SeenPointerKey = "crawl.seen.base"
   private[streaming] val HostsPointerKey = "crawl.hosts.base"
+  private[streaming] val HopsPointerKey = "crawl.hops.base"
 
   /** Close the redirect loop: turn a processed batch's `redirect`
     * outcome rows into the NEXT batch's frontier feed — `(url, hop)`
@@ -244,10 +276,23 @@ object StreamingCrawl {
     val targets0 = outcomes
       .filter(col("outcome") === "redirect" && col("redirect_to").isNotNull)
       .select(col("canonical").as("src"), col("redirect_to"))
+      .localCheckpoint()
+    val batchSmall = targets0.count() <= 2000000L
     val withHop = hops match {
-      case Some(h) => targets0
-        .join(h.select(col("url").as("src"), col("hop").as("_h")), Seq("src"), "left_outer")
-        .withColumn("hop", coalesce(col("_h"), lit(0)) + 1)
+      // the hop state is DISCOVERY-corpus-sized over a crawl's lifetime
+      // (every target ever enqueued), so the batch's source urls
+      // broadcast INTO its scan (left_semi builds right ⇒ zero hop-state
+      // shuffle) and only the batch-sized hit set min-folds and joins
+      // back. Works unchanged for small static hop frames (specs).
+      case Some(h) =>
+        val hSlim = h.select(col("url").as("src"), col("hop").as("_h"))
+        val perSrc = if (batchSmall) {
+          hSlim.join(broadcast(targets0.select("src").distinct()), Seq("src"), "left_semi")
+            .groupBy("src").agg(min("_h").as("_h")).localCheckpoint()
+        } else hSlim.groupBy("src").agg(min("_h").as("_h"))
+        val gate = if (batchSmall) broadcast(perSrc) else perSrc
+        targets0.join(gate, Seq("src"), "left_outer")
+          .withColumn("hop", coalesce(col("_h"), lit(0)) + 1)
       case None => targets0.withColumn("hop", lit(1))
     }
     val capped = withHop.filter(col("hop") <= maxHops)
@@ -262,11 +307,19 @@ object StreamingCrawl {
         Robots.evaluate(slim, r, agent)
           .filter(col("allowed")).select("url", "hop")
     }
+    // the seen ledger read takes the processBatch shape: batch keys
+    // broadcast into the ledger scan, small hit set broadcasts back —
+    // ledger canonicals are unique by construction, so no distinct
     val seen = BatchLedger.read(spark, ledgerDir, "seen", SeenPointerKey,
       belowBatch = Some(batchId + 1),
       empty = Seq.empty[(String, Long)].toDF("canonical", "id"))
-      .select(col("canonical").as("url")).distinct()
-    polite.join(seen, Seq("url"), "left_anti")
+      .select(col("canonical").as("url"))
+    if (batchSmall) {
+      val pol = polite.localCheckpoint()
+      val hits = seen.join(broadcast(pol.select("url")), Seq("url"), "left_semi")
+        .localCheckpoint()
+      pol.join(broadcast(hits), Seq("url"), "left_anti")
+    } else polite.join(seen, Seq("url"), "left_anti")
   }
 
   /** Fold every `seen/` partition with `batch < belowBatch` into a new
@@ -295,6 +348,13 @@ object StreamingCrawl {
       BatchLedger.compact(spark, ledgerDir, "hosts", HostsPointerKey, belowBatch,
         absorb = df => df.groupBy("domain")
           .agg(sum("reserved_ms").cast("long").as("reserved_ms")))
+    // the frontier hop-depth ledger (present only when [[attach]] ran
+    // with frontierDir): min-per-url fold — a url's depth is the
+    // SHALLOWEST chain that ever discovered it
+    val hops = new org.apache.hadoop.fs.Path(s"$ledgerDir/hops")
+    if (fs.exists(hops) || BatchLedger.pointer(ledgerDir, HopsPointerKey).isDefined)
+      BatchLedger.compact(spark, ledgerDir, "hops", HopsPointerKey, belowBatch,
+        absorb = df => df.groupBy("url").agg(min("hop").cast("int").as("hop")))
   }
 
   /** Convenience wiring: every micro-batch's outcome rows land in
@@ -303,9 +363,11 @@ object StreamingCrawl {
     * is set, and — with `frontierDir` set — each batch's
     * [[redirectFrontier]] rows land under `frontierDir/batch=<id>`
     * (own-partition overwrite, replay idempotent) with hop depths
-    * carried from every EARLIER frontier partition, so the fetcher
-    * driving the stream reads its next wave from the latest partition
-    * and the hop cap holds across the whole unrolled chain. */
+    * carried through a durable `hops/` [[BatchLedger]] (min-per-url,
+    * folded by [[compact]]), so the fetcher driving the stream reads
+    * its next wave from the latest partition and the hop cap holds
+    * across the whole unrolled chain without ever replaying the full
+    * frontier history per batch. */
   def attach(pages: DataFrame, idCol: String, urlCol: String, blobCol: String,
              rules: DataFrame, agent: String, ledgerDir: String, outDir: String,
              checkpointDir: String, shardDir: Option[String] = None,
@@ -325,19 +387,27 @@ object StreamingCrawl {
           .write.mode("overwrite").partitionBy("batch").parquet(outDir)
         frontierDir.foreach { fd =>
           val spark = o.sparkSession
-          // an empty prior frame joins as a no-op, so no isEmpty
-          // action (one extra per-batch job) is spent deciding None
-          val hops =
-            try Some(spark.read.parquet(fd)
-              .filter(col("batch") < batchId)
-              .groupBy("url").agg(min("hop").cast("int").as("hop")))
-            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          import spark.implicits._
+          // hop state reads from the COMPACTED hops ledger (base ∪ live
+          // deltas since the horizon), not a replay of every prior
+          // frontier partition — the replay grew linearly with stream
+          // age; the ledger is bounded by compaction. An empty ledger
+          // joins as a no-op, so no isEmpty action is spent deciding.
+          val hops = BatchLedger.read(spark, ledgerDir, "hops", HopsPointerKey,
+            belowBatch = Some(batchId),
+            empty = Seq.empty[(String, Int)].toDF("url", "hop"))
           // the attach path always has the rules frame: filter
           // disallowed targets BEFORE they enter the frontier
-          redirectFrontier(o, ledgerDir, batchId, hops, maxHops,
-            rules = Some(rules), agent = agent)
-            .withColumn("batch", lit(batchId))
+          val front = redirectFrontier(o, ledgerDir, batchId, Some(hops), maxHops,
+            rules = Some(rules), agent = agent).localCheckpoint()
+          front.withColumn("batch", lit(batchId))
             .write.mode("overwrite").partitionBy("batch").parquet(fd)
+          // ... and each batch's discoveries append to the hops ledger
+          // as the batch's OWN delta partition (replay overwrites itself)
+          front.select(col("url"), col("hop").cast("int").as("hop"))
+            .withColumn("batch", lit(batchId))
+            .write.mode("overwrite").partitionBy("batch").parquet(s"$ledgerDir/hops")
+          front.unpersist(blocking = false)
         }
         o.unpersist(blocking = false)
         ()

@@ -122,6 +122,33 @@ class ContentFilterSpec extends SparkSpec {
     assert(alen == "tiny link".length.toLong)
   }
 
+  test("contentBlocks: tag-name boundary — <picture>/<progress>/<link>/<track> do not split") {
+    // An unanchored `</?(?:p|li|tr|…)[^>]*>` pattern also matches any tag
+    // whose NAME merely starts with a listed one — <picture>/<param>/
+    // <progress> via `p`, <link> via `li`, <track> via `tr` — so an
+    // inline <picture> inside a paragraph fragments the prose into
+    // pieces that each fail the length bar. The anchored pattern splits
+    // at real block tags only.
+    val html = "<p>This paragraph keeps an inline <picture>pic</picture> element " +
+      "and a <progress>half</progress> meter <link rel=\"x\"> <track kind=\"y\"> " +
+      "without fragmenting into pieces below the bar.</p>"
+    val rows = Seq(html).toDF("html")
+      .select(explode(TextOps.contentBlocks(col("html"))).as("b"))
+      .select(col("b.txt")).as[String].collect()
+    assert(rows.length == 1, s"one prose block expected, got ${rows.toSeq}")
+    assert(rows.head == "This paragraph keeps an inline pic element and a half " +
+      "meter without fragmenting into pieces below the bar.")
+    // while real block tags — including attribute-bearing and
+    // self-closed spellings — still split
+    val html2 = "<div class=\"a\">First block is long enough to pass.</div>" +
+      "<br/>Second block also long enough to pass the bar."
+    val rows2 = Seq(html2).toDF("html")
+      .select(explode(TextOps.contentBlocks(col("html"))).as("b"))
+      .select(col("b.txt")).as[String].collect()
+    assert(rows2.toSeq == Seq("First block is long enough to pass.",
+      "Second block also long enough to pass the bar."))
+  }
+
   test("mainContent: stopword tier drops long link-free non-prose, keeps prose") {
     val stops = Seq("the", "a", "of", "and", "to", "in", "is")
     val html = "<body><p>The quick brown fox jumps over the lazy dog in a long sentence.</p>" +

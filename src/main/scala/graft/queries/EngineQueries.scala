@@ -434,6 +434,64 @@ object EngineQueries {
         rows.toDF("batch", "kind", "n").orderBy("batch", "kind")
     },
 
+    // ── Streaming LINK-DISCOVERY loop: the frontier feed crawls grow
+    //    from — batch 0 fetches 200 seed pages (10 per domain, 20
+    //    domains), each linking two own-page targets plus the domain's
+    //    /common hub; [[StreamingCrawl.linkFrontier]] resolves,
+    //    canonicalizes, robots-gates, budget-caps and seen-drains them
+    //    into a 420-target frontier (2×200 + 20 hubs). Batch 1 fetches
+    //    the 20 hubs, each linking BACK to an already-fetched seed
+    //    (drained by the seen ledger — fetched exactly once) and one
+    //    fresh /deep target, which enters at hop 2 via the hop carry.
+    //    rows-only: streams + engine ledgers, no SQL oracle;
+    //    StreamingCrawlSpec pins per-row semantics, RowsOnlyQueriesSpec
+    //    replays these exact counts. ──
+    QueryDef.rowsOnly("engine_stream_links") {
+      (s, d) =>
+        import s.implicits._
+        val docs = graft.Tables.documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id")).as[Long].collect().toSeq.sorted
+        def dom(id: Long) = s"d${id % 20}.example.com"
+        def seedU(id: Long) = s"http://${dom(id)}/s$id"
+        val rules = graft.operators.Robots.rulesFrame(
+          docs.map(_ % 20).distinct.map(m =>
+            (s"d$m.example.com", "User-agent: *\nDisallow:\n")).toDF("domain", "txt"),
+          "domain", "txt")
+        val ledgerDir = java.nio.file.Files.createTempDirectory("graft-slink-l").toString
+        def seedHtml(id: Long) =
+          s"""<a href="/s${id}a">a</a><a href="s${id}b">b</a><a href="/common">c</a>"""
+        val b0 = docs.map(id => (id, seedU(id), seedHtml(id).getBytes("UTF-8")))
+          .toDF("id", "url", "blob")
+        val m0 = graft.streaming.StreamingCrawl.processBatch(b0, 0L, "id", "url",
+          "blob", rules, "graftbot", ledgerDir)
+        val pages0 = docs.map(id => (seedU(id), seedHtml(id))).toDF("url", "html")
+        val f0 = graft.streaming.StreamingCrawl.linkFrontier(pages0, "url", "html",
+          ledgerDir, 0L, maxHops = 3, rules = Some(rules), agent = "graftbot")
+          .localCheckpoint()
+        // batch 1: fetch each domain's /common hub; it links back to an
+        // already-fetched seed and forward to one fresh /deep page
+        val hubs = docs.map(_ % 20).distinct.sorted
+        def hubHtml(m: Long) = s"""<a href="/s$m">back</a><a href="/deep$m">on</a>"""
+        val b1 = hubs.map(m => (1000L + m, s"http://d$m.example.com/common",
+          hubHtml(m).getBytes("UTF-8"))).toDF("id", "url", "blob")
+        val m1 = graft.streaming.StreamingCrawl.processBatch(b1, 1L, "id", "url",
+          "blob", rules, "graftbot", ledgerDir)
+        val pages1 = hubs.map(m => (s"http://d$m.example.com/common", hubHtml(m)))
+          .toDF("url", "html")
+        val f1 = graft.streaming.StreamingCrawl.linkFrontier(pages1, "url", "html",
+          ledgerDir, 1L, hops = Some(f0.select(col("url"), col("hop"))),
+          maxHops = 3, rules = Some(rules), agent = "graftbot")
+        def oc(bid: Long, m: org.apache.spark.sql.DataFrame) = m
+          .groupBy("outcome").agg(count(lit(1)).as("n")).collect()
+          .map(r => (bid, r.getString(0), r.getLong(1)))
+        val hop2 = f1.filter(col("hop") === 2).count()
+        val rows = (oc(0L, m0) ++ oc(1L, m1)).toSeq ++
+          Seq((0L, "frontier", f0.count()), (1L, "frontier", f1.count()),
+            (1L, "frontier_hop2", hop2))
+        Seq(m0, f0, m1).foreach(_.unpersist(false))
+        rows.toDF("batch", "kind", "n").orderBy("batch", "kind")
+    },
+
     // ── Streaming EXACT-threshold dedup: the arrival-mode face of the
     //    stored prefix index (probe under the frozen ordering → fold
     //    survivors in), with an ARITHMETIC fixture: set(id, fam) =

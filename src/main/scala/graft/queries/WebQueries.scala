@@ -1647,6 +1647,58 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // ── Frontier discovery from ANCHOR LINKS — how most of the web is
+    //    actually found (sitemaps and redirects only seed and patch the
+    //    link graph): every page's href/src targets resolve against
+    //    the page URL (relative paths, dot-segments, messy queries),
+    //    canonicalize into frontier identity, dedup across discovering
+    //    pages (n_sources is the in-degree signal), and cap at a
+    //    per-host BUDGET in md5 order via the bounded heap — the cap
+    //    is what keeps a link farm from amplifying itself into the
+    //    frontier. The oracle replays every stage arithmetically from
+    //    the seed, including the budget cut (row_number over md5(url)
+    //    replays the heap's deterministic membership exactly). ──
+    QueryDef.sql(
+      "web_frontier_links",
+      """WITH d AS (SELECT doc_id, doc_id % 20 AS m FROM documents),
+        |links AS (
+        |  SELECT 'd' || m || '.example.com' AS domain,
+        |    'http://d' || m || '.example.com/p' || doc_id || '/a' AS url FROM d
+        |  UNION ALL
+        |  SELECT 'd' || m || '.example.com',
+        |    'http://d' || m || '.example.com/shared' FROM d
+        |  UNION ALL
+        |  SELECT 'd' || m || '.example.com',
+        |    'http://d' || m || '.example.com/q?a=1&b=2' FROM d
+        |  UNION ALL
+        |  SELECT 'x' || m || '.example.org',
+        |    'http://x' || m || '.example.org/ext' FROM d),
+        |g AS (SELECT domain, url, CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM links GROUP BY 1, 2),
+        |r AS (SELECT domain, url, n_sources,
+        |  row_number() OVER (PARTITION BY domain ORDER BY md5(url), url) AS rn FROM g)
+        |SELECT domain, url, n_sources FROM r WHERE rn <= 5
+        |ORDER BY domain, url""".stripMargin) {
+      (s, d) =>
+        val pages = Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 20).as("m"))
+          .select(col("doc_id"),
+            concat(lit("http://d"), col("m"), lit(".example.com/hub"), col("doc_id"))
+              .as("url"),
+            concat(
+              concat(lit("<a href=\"p"), col("doc_id"), lit("/a\">rel</a>")),
+              lit("<a href=\"/shared\">s</a>"),
+              lit("<a href=\"/q?b=2&a=1\">messy</a>"),
+              lit("<a href=\"mailto:x@example.com\">drop</a>"),
+              lit("<a href=\"#frag\">drop</a>"),
+              concat(lit("<a href=\"http://x"), col("m"),
+                lit(".example.org/ext\">e</a>"))).as("html"))
+        graft.streaming.StreamingCrawl
+          .discoverLinks(pages, "url", "html", perHostBudget = 5)
+          .select(col("domain"), col("url"), col("n_sources"))
+          .orderBy("domain", "url")
+    },
+
     // ── Frontier seeding from IN-BAND sitemap discovery — the loop the
     //    directives close: sitemap URLs parsed out of each domain's
     //    robots.txt (the real discovery channel) anti-join the crawl's

@@ -322,6 +322,115 @@ object StreamingCrawl {
     } else polite.join(seen, Seq("url"), "left_anti")
   }
 
+  /** Anchor-link RESOLUTION — the pure per-row core of the discovery
+    * channel, shared by [[linkFrontier]] and the batch fixture queries:
+    * every href/src target of every page ([[TextOps.htmlLinks]]),
+    * minus the non-fetchable schemes (javascript/mailto/data/tel) and
+    * bare fragments, RESOLVED against the page's canonical URL
+    * (RFC 3986 — most real links are relative), percent-normalized and
+    * canonicalized into frontier identity. One explode per page — link
+    * fan-out is real data growth, not an implementation artifact — and
+    * everything after it is per-row expressions riding the scan.
+    * Returns `(src, url)` pairs: unparseable targets and self-links
+    * drop. */
+  def resolveLinks(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame =
+    pages
+      .select(col(urlCol).as("src"),
+        explode(TextOps.htmlLinks(col(htmlCol))).as("raw"))
+      .filter(length(col("raw")) > 0 &&
+        !col("raw").rlike("(?i)^(javascript|mailto|data|tel):") &&
+        !col("raw").startsWith("#"))
+      // STAGED, not composed: urlCanonicalize references its argument
+      // ~6 times, so a single composed tree would inline (and evaluate)
+      // the whole resolve chain at every reference — CollapseProject
+      // deliberately leaves non-cheap multiply-referenced aliases in
+      // their own projection, so each stage runs once per row
+      .select(col("src"), TextOps.urlResolve(col("src"), col("raw")).as("_res"))
+      .select(col("src"), TextOps.urlPctNormalize(col("_res")).as("_pct"))
+      .select(col("src"), TextOps.urlCanonicalize(col("_pct")).as("url"))
+      .filter(col("url").isNotNull && col("url") =!= col("src"))
+
+  /** [[resolveLinks]] + dedup + per-host BUDGET — the static face of
+    * link discovery (spec/oracle-pinned; [[linkFrontier]] is the
+    * ledger-aware streaming face): one row per distinct target with
+    * its host and how many pages discovered it, capped at
+    * `perHostBudget` targets per host in md5 order via the bounded
+    * heap ([[Sharding.samplePerGroupRows]] — O(budget) state per
+    * group, map-side partials, no window sort over a hot host). A
+    * crawl that follows every link of a link farm without a per-host
+    * budget IS the link farm's amplifier — the cap is what makes the
+    * channel safe to run at 100 TB. */
+  def discoverLinks(pages: DataFrame, urlCol: String, htmlCol: String,
+                    perHostBudget: Int = 100): DataFrame = {
+    val hostPat = "^[a-z][a-z0-9+.-]*://([^/?#]*).*$"
+    val uniq = resolveLinks(pages, urlCol, htmlCol)
+      .groupBy("url").agg(count(lit(1)).as("n_sources"))
+      .withColumn("domain", regexp_extract(col("url"), hostPat, 1))
+    Sharding.samplePerGroupRows(uniq, "domain", "url", perHostBudget, Seq("n_sources"))
+  }
+
+  /** Close the LINK loop: admitted pages' anchor targets become the
+    * next batch's frontier feed, alongside [[redirectFrontier]]'s
+    * redirect targets — link graphs are how most of the web is
+    * actually discovered; sitemaps and redirects only seed and patch
+    * it. Same doctrine end to end: targets inherit their discovering
+    * page's hop depth + 1 (min over sources, absent ⇒ seed depth 0)
+    * and cap at `maxHops`; robots-disallowed targets are filtered
+    * BEFORE they enter the frontier (fetch-then-discard is the
+    * impolite shape); the per-host budget bounds link-farm fan-out;
+    * and the corpus-sized seen ledger is read with the batch keys
+    * broadcast INTO its scan — zero ledger shuffle per batch — with
+    * the big-big sort-merge floor past the 2M gate. Double-enqueues
+    * across batches self-heal as `duplicate` at admission, so no
+    * frontier ledger exists beyond the seen set. */
+  def linkFrontier(pages: DataFrame, urlCol: String, htmlCol: String,
+                   ledgerDir: String, batchId: Long,
+                   hops: Option[DataFrame] = None, maxHops: Int = 5,
+                   rules: Option[DataFrame] = None, agent: String = "*",
+                   perHostBudget: Int = 100): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val pairs = resolveLinks(pages, urlCol, htmlCol).localCheckpoint()
+    val batchSmall = pairs.count() <= 2000000L
+    // hop inheritance BEFORE target dedup, so a target discovered by a
+    // depth-0 seed and a depth-4 chain enters at depth 1, not 5
+    val withHop = hops match {
+      case Some(h) =>
+        val hSlim = h.select(col("url").as("src"), col("hop").as("_h"))
+        val perSrc = if (batchSmall) {
+          hSlim.join(broadcast(pairs.select("src").distinct()), Seq("src"), "left_semi")
+            .groupBy("src").agg(min("_h").as("_h")).localCheckpoint()
+        } else hSlim.groupBy("src").agg(min("_h").as("_h"))
+        val gate = if (batchSmall) broadcast(perSrc) else perSrc
+        pairs.join(gate, Seq("src"), "left_outer")
+          .withColumn("hop", coalesce(col("_h"), lit(0)) + 1)
+      case None => pairs.withColumn("hop", lit(1))
+    }
+    val hostPat = "^[a-z][a-z0-9+.-]*://([^/?#]*)([^?#]*).*$"
+    val capped = withHop.filter(col("hop") <= maxHops)
+      .groupBy("url").agg(min("hop").cast("int").as("hop"))
+      .withColumn("domain", regexp_extract(col("url"), hostPat, 1))
+    val polite = rules match {
+      case None => capped
+      case Some(r) =>
+        Robots.evaluate(
+          capped.withColumn("path", regexp_extract(col("url"), hostPat, 2)), r, agent)
+          .filter(col("allowed")).select("url", "hop", "domain")
+    }
+    val budgeted = Sharding.samplePerGroupRows(polite, "domain", "url",
+      perHostBudget, Seq("hop")).select("url", "hop")
+    val seen = BatchLedger.read(spark, ledgerDir, "seen", SeenPointerKey,
+      belowBatch = Some(batchId + 1),
+      empty = Seq.empty[(String, Long)].toDF("canonical", "id"))
+      .select(col("canonical").as("url"))
+    if (batchSmall) {
+      val bud = budgeted.localCheckpoint()
+      val hits = seen.join(broadcast(bud.select("url")), Seq("url"), "left_semi")
+        .localCheckpoint()
+      bud.join(broadcast(hits), Seq("url"), "left_anti")
+    } else budgeted.join(seen, Seq("url"), "left_anti")
+  }
+
   /** Fold every `seen/` partition with `batch < belowBatch` into a new
     * BASE snapshot committed by an atomic [[BatchLedger]] pointer swap —
     * the small-file compaction a 100 TB/day crawl needs (thousands of
@@ -376,7 +485,9 @@ object StreamingCrawl {
              statusCol: Option[String] = None,
              locationCol: Option[String] = None,
              frontierDir: Option[String] = None,
-             maxHops: Int = 5): StreamingQuery =
+             maxHops: Int = 5,
+             discoverLinks: Boolean = false,
+             perHostBudget: Int = 100): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -398,8 +509,25 @@ object StreamingCrawl {
             empty = Seq.empty[(String, Int)].toDF("url", "hop"))
           // the attach path always has the rules frame: filter
           // disallowed targets BEFORE they enter the frontier
-          val front = redirectFrontier(o, ledgerDir, batchId, Some(hops), maxHops,
-            rules = Some(rules), agent = agent).localCheckpoint()
+          val redir = redirectFrontier(o, ledgerDir, batchId, Some(hops), maxHops,
+            rules = Some(rules), agent = agent)
+          // link discovery (opt-in): admitted pages' bytes decode
+          // through the charset gate, anchor targets feed the same
+          // frontier — a target found by both channels enters once at
+          // its shallower depth
+          val front = (if (!discoverLinks) redir else {
+            val adm = o.filter(col("outcome") === "admitted")
+              .select(col(idCol), col("canonical"))
+            val admPages = batch.join(broadcast(adm), Seq(idCol))
+            val html = graft.operators.TextOps
+              .decodeCharset(admPages, blobCol, "_cs", "_html")
+              .filter(col("_cs") =!= "unknown")
+            val links = linkFrontier(html, "canonical", "_html", ledgerDir,
+              batchId, Some(hops), maxHops, rules = Some(rules),
+              agent = agent, perHostBudget = perHostBudget)
+            redir.unionByName(links)
+              .groupBy("url").agg(min("hop").cast("int").as("hop"))
+          }).localCheckpoint()
           front.withColumn("batch", lit(batchId))
             .write.mode("overwrite").partitionBy("batch").parquet(fd)
           // ... and each batch's discoveries append to the hops ledger

@@ -30,10 +30,14 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "engine_jsonl_quarantine", "engine_stream_drift",
       "engine_stream_corpus", "text_score_percentiles_approx",
       "text_heavyhitters_sketch", "engine_stream_media", "engine_stream_web",
-      "engine_stream_prefix", "engine_stream_redirects", "dedup_char_anchored"),
+      "engine_stream_prefix", "engine_stream_redirects", "engine_stream_links"),
       "a new rows-only query was registered without a pin in this spec")
   }
 
+  // dedup_char_anchored graduated to a full DuckDB oracle in round 14
+  // (the decile report replays both coverage chains in SQL) but keeps
+  // its envelope pin here as cheap fast-fail on the INVARIANT the hash
+  // cannot express: anchored ≤ exact on every doc, by construction.
   test("dedup_char_anchored: a strict lower envelope of the exact char-run coverage") {
     val df = run("dedup_char_anchored")
     assert(df.columns.toSeq == Seq("decile", "n_docs", "exact_covered",
@@ -74,6 +78,20 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "a rewritten-container audio re-upload slipped past the ledger")
     val img1 = rows((1L, "image"))
     assert(img1.getLong(2) >= 1 && img1.getLong(2) <= 20)
+  }
+
+  test("engine_stream_links: anchor targets budget-gate in, seen links drain, hops carry") {
+    val df = run("engine_stream_links")
+    assert(df.columns.toSeq == Seq("batch", "kind", "n"))
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch 0: 200 seeds admit; 2 own targets per seed + 20 domain hubs
+    // = 420 frontier rows. batch 1: the 20 hubs admit; each links one
+    // already-fetched seed (drained by the seen ledger) and one fresh
+    // /deep page, which enters at hop 2 via the hop carry.
+    assert(got == Map(
+      (0L, "admitted") -> 200L, (0L, "frontier") -> 420L,
+      (1L, "admitted") -> 20L, (1L, "frontier") -> 20L,
+      (1L, "frontier_hop2") -> 20L), s"got $got")
   }
 
   test("engine_stream_redirects: targets discovered once, fetched once, frontier drains") {

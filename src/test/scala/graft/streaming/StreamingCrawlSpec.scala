@@ -438,4 +438,104 @@ class StreamingCrawlSpec extends SparkSpec {
       assert(f2.count() == 0, "the hop cap stops the unrolled chain after compaction")
     } finally q.stop()
   }
+  test("discoverLinks: schemes filter, relative resolution, dedup, per-host budget") {
+    import spark.implicits._
+    val pages = Seq(
+      ("http://a.org/dir/index.html",
+        """<a href="/top">t</a><a href="sub/page?b=2&a=1#f">s</a>""" +
+        """<a href="mailto:x@y.org">m</a><a href="javascript:void(0)">j</a>""" +
+        """<a href="#frag">f</a><a href="http://b.org/abs">abs</a>""" +
+        """<img src="/top">dup-target</img><a href="http://a.org/dir/index.html">self</a>"""),
+      ("http://a.org/other",
+        """<a href="/top">same target from a second page</a>"""))
+      .toDF("url", "html")
+    val got = StreamingCrawl.discoverLinks(pages, "url", "html")
+      .orderBy("url").collect()
+      .map(r => (r.getString(1), r.getAs[Long]("n_sources"), r.getString(0))).toSeq
+    assert(got == Seq(
+      ("http://a.org/dir/sub/page?a=1&b=2", 1L, "a.org"),
+      ("http://a.org/top", 3L, "a.org"), // two pages + one src attr
+      ("http://b.org/abs", 1L, "b.org")),
+      s"got $got")
+    // the per-host budget drops targets in md5 order, host-locally
+    val fan = Seq(("http://c.org/hub",
+      (1 to 9).map(i => s"""<a href="/p$i">x</a>""").mkString +
+        """<a href="http://d.org/lone">y</a>""")).toDF("url", "html")
+    val capped = StreamingCrawl.discoverLinks(fan, "url", "html", perHostBudget = 3)
+      .select("domain", "url").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(capped.count(_._1 == "c.org") == 3, "budget caps the hub's fan-out")
+    assert(capped.count(_._1 == "d.org") == 1, "other hosts keep their targets")
+    val expect3 = (1 to 9).map(i => s"http://c.org/p$i")
+      .sortBy(u => { val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(u.getBytes("UTF-8")).map("%02x".format(_)).mkString })
+      .take(3).toSet
+    assert(capped.filter(_._1 == "c.org").map(_._2).toSet == expect3,
+      "membership is the first-n keys in md5 order — any engine replays it")
+  }
+
+  test("linkFrontier: hop inheritance, robots gate, seen-ledger drain, budget") {
+    import spark.implicits._
+    val ledger = tmpDir("graft-scrawl-lf")
+    // seed the seen ledger: /already was fetched in batch 0
+    Seq(("http://a.org/already", 1L)).toDF("canonical", "id")
+      .withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$ledger/seen")
+    val pages = Seq(
+      ("http://a.org/start",
+        """<a href="/fresh">n</a><a href="/already">seen</a>""" +
+        """<a href="/private/x">blocked</a><a href="/private/ok/y">allowed</a>"""))
+      .toDF("url", "html")
+    // the discovering page sits at hop 3; targets inherit 4
+    val hops = Seq(("http://a.org/start", 3)).toDF("url", "hop")
+    val got = StreamingCrawl.linkFrontier(pages, "url", "html", ledger, 1L,
+      hops = Some(hops), maxHops = 5, rules = Some(rules), agent = "graftbot")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("http://a.org/fresh" -> 4, "http://a.org/private/ok/y" -> 4),
+      s"got $got — seen target drained, robots-disallowed never entered, hops inherit")
+    // at maxHops the chain stops
+    val capped = StreamingCrawl.linkFrontier(pages, "url", "html", ledger, 1L,
+      hops = Some(Seq(("http://a.org/start", 5)).toDF("url", "hop")),
+      maxHops = 5, rules = Some(rules), agent = "graftbot")
+    assert(capped.count() == 0, "a page at maxHops discovers nothing")
+  }
+
+  test("attach with discoverLinks: anchor targets join the frontier and drain on fetch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ledger = tmpDir("graft-scrawl-l4")
+    val out = tmpDir("graft-scrawl-o4")
+    val ckpt = tmpDir("graft-scrawl-k4")
+    val frontier = tmpDir("graft-scrawl-f4")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Array[Byte])]
+    val q = StreamingCrawl.attach(mem.toDF().toDF("id", "url", "blob"),
+      "id", "url", "blob", rules, "graftbot", ledger, out, ckpt,
+      frontierDir = Some(frontier), maxHops = 3, discoverLinks = true)
+    try {
+      // batch 0: a seed page linking two targets (one robots-blocked)
+      mem.addData(Seq((1L, "http://a.org/seed",
+        page("""<a href="/l1">x</a><a href="/private/no">y</a>"""))))
+      q.processAllAvailable()
+      val f0 = spark.read.parquet(frontier).filter(col("batch").cast("long") === 0L)
+        .select("url", "hop").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(f0 == Map("http://a.org/l1" -> 1),
+        "anchor target enqueued at hop 1; disallowed target never entered")
+      // batch 1: the fetcher follows l1, which links onward to l2 — the
+      // hop ledger carries depth, l1 itself never re-enqueues
+      mem.addData(Seq((2L, "http://a.org/l1", page("""<a href="/l2">z</a>"""))))
+      q.processAllAvailable()
+      val f1 = spark.read.parquet(frontier).filter(col("batch").cast("long") === 1L)
+        .select("url", "hop").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(f1 == Map("http://a.org/l2" -> 2), s"got $f1 — depth carried through the hops ledger")
+      // batch 2: l2 links to depth 4 > maxHops 3 — chain stops; a page
+      // re-linking the already-fetched seed does not re-enqueue it
+      mem.addData(Seq((3L, "http://a.org/l2",
+        page("""<a href="/l3">w</a><a href="/seed">back</a>"""))))
+      q.processAllAvailable()
+      val f2 = spark.read.parquet(frontier).filter(col("batch").cast("long") === 2L)
+        .select("url", "hop").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(f2 == Map("http://a.org/l3" -> 3),
+        s"got $f2 — seed drained via the seen ledger; l3 is the last hop under the cap")
+    } finally q.stop()
+  }
 }

@@ -10,7 +10,14 @@ final case class WarcRecord(
     recordId: String,
     targetUri: Option[String],
     contentType: String,
-    payload: Array[Byte])
+    payload: Array[Byte],
+    /** Additional `WARC-*` headers beyond the fixed five — the revisit
+      * family's `WARC-Refers-To` / `WARC-Payload-Digest` /
+      * `WARC-Profile` live here. Written in the given order (after
+      * WARC-Target-URI, before Content-Type) so bytes stay a pure
+      * function of the record; the parser recovers them in file
+      * order. */
+    extras: Seq[(String, String)] = Nil)
 
 /** Deterministic WARC/1.0 (ISO 28500) writer + parser — the container
   * web corpora actually arrive in (crawl archives ship response records;
@@ -54,6 +61,9 @@ object WarcCodec {
       sb ++= "WARC-Record-ID: <" ++= clean(r.recordId, "WARC-Record-ID") ++= ">" ++= Crlf
       sb ++= "WARC-Date: " ++= FixedDate ++= Crlf
       r.targetUri.foreach(u => sb ++= "WARC-Target-URI: " ++= clean(u, "WARC-Target-URI") ++= Crlf)
+      r.extras.foreach { case (k, v) =>
+        sb ++= clean(k, "extra header name") ++= ": " ++= clean(v, "extra header value") ++= Crlf
+      }
       sb ++= "Content-Type: " ++= clean(r.contentType, "Content-Type") ++= Crlf
       sb ++= "Content-Length: " ++= r.payload.length.toString ++= Crlf
       sb ++= Crlf
@@ -97,6 +107,7 @@ object WarcCodec {
       var target: Option[String] = None
       var ctype = "application/octet-stream"
       var clen = -1L
+      val extras = Seq.newBuilder[(String, String)]
       lines.drop(1).foreach { line =>
         val sep = line.indexOf(':')
         if (sep <= 0) return None
@@ -113,7 +124,12 @@ object WarcCodec {
           case "content-length" =>
             if (value.isEmpty || !value.forall(_.isDigit)) return None
             clen = value.toLong
-          case _ => () // unknown/ignored header (WARC-Date among them)
+          case "warc-date" => () // fixed on write, ignored on read
+          case _ if name.startsWith("warc-") =>
+            // revisit-family and other extension headers survive the
+            // round trip with the writer's original capitalization
+            extras += ((line.substring(0, sep).trim, value))
+          case _ => () // unknown non-WARC header
         }
       }
       if (wtype == null || rid == null || clen < 0) return None
@@ -123,7 +139,7 @@ object WarcCodec {
       if (!(b(dataEnd) == '\r' && b(dataEnd + 1) == '\n' &&
             b(dataEnd + 2) == '\r' && b(dataEnd + 3) == '\n')) return None
       records += ((WarcRecord(wtype, rid, target, ctype,
-        java.util.Arrays.copyOfRange(b, dataStart, dataEnd)),
+        java.util.Arrays.copyOfRange(b, dataStart, dataEnd), extras.result()),
         p.toLong, (dataEnd + 4 - p).toLong))
       p = dataEnd + 4
     }

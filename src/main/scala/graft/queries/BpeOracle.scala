@@ -63,7 +63,8 @@ object BpeOracle {
     * word (`encodeSteps` unrolled min-rank steps) and reassemble per-doc
     * (doc, n_tokens, n_bpe, bpe_ratio). The ratio is one closing double
     * division of exact longs — bit-identical across engines. */
-  def tokenizeSql(n: Int, encodeSteps: Int, trainSrc: String = "documents"): String = {
+  def tokenizeSql(n: Int, encodeSteps: Int, trainSrc: String = "documents",
+                  finalSelect: Option[String] = None): String = {
     val mg = (1 to n)
       .map(i => s"SELECT CAST(${i - 1} AS BIGINT) AS rank, l, r FROM b$i")
       .mkString("\nUNION ALL ")
@@ -80,6 +81,21 @@ object BpeOracle {
        |$enc,
        |wl AS MATERIALIZED (SELECT w, CAST(len(syms) AS BIGINT) AS nb FROM e$encodeSteps),
        |tc AS MATERIALIZED (SELECT d0.doc_id AS doc, CAST(len(ws) AS BIGINT) AS n_tokens, coalesce(CAST(sum(wl.nb) AS BIGINT), 0) AS n_bpe FROM d0 LEFT JOIN (SELECT doc_id, unnest(ws) AS w FROM d0) t ON t.doc_id = d0.doc_id LEFT JOIN wl ON wl.w = t.w GROUP BY 1, 2)
-       |SELECT doc, n_tokens, n_bpe, CASE WHEN n_tokens = 0 THEN NULL ELSE CAST(n_bpe AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS bpe_ratio FROM tc ORDER BY doc""".stripMargin
+       |${finalSelect.getOrElse("SELECT doc, n_tokens, n_bpe, CASE WHEN n_tokens = 0 THEN NULL ELSE CAST(n_bpe AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS bpe_ratio FROM tc ORDER BY doc")}""".stripMargin
   }
+
+  /** [[tokenizeSql]] rolled up PER LANGUAGE — the tokenizer-equity
+    * ("fertility") report: pieces per word and pieces per 100 chars by
+    * the corpus `lang` column, over the same derived merges. */
+  def fertilitySql(n: Int, encodeSteps: Int): String =
+    tokenizeSql(n, encodeSteps, finalSelect = Some(
+      """, f AS (SELECT dd.lang, tc.n_tokens, tc.n_bpe,
+        |    CAST(coalesce(length(dd.text), 0) AS BIGINT) AS nc
+        |  FROM tc JOIN documents dd ON dd.doc_id = tc.doc)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_words,
+        |  CAST(sum(n_bpe) AS BIGINT) AS n_pieces,
+        |  round(CAST(sum(n_bpe) AS DOUBLE) / nullif(sum(n_tokens), 0), 4) AS fertility,
+        |  round(100.0 * sum(n_bpe) / nullif(sum(nc), 0), 4) AS pieces_per_100_chars
+        |FROM f GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin))
 }

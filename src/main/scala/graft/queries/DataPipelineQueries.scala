@@ -990,6 +990,33 @@ object DataPipelineQueries {
         .toDF("rank", "left", "right")
         .orderBy("rank")
     },
+    // ── Tokenizer FERTILITY by language — the tokenizer-equity report
+    //    training-data teams calibrate mixtures with: pieces per word
+    //    and pieces per 100 chars, per corpus language, under the SAME
+    //    derived merges as text_bpe_tokenize (a tokenizer trained on
+    //    one language's text fragments the others harder — the
+    //    fertility gap IS that measurement). Oracle: the generated
+    //    unrolled-iteration BPE derivation, rolled up per lang. ──
+    QueryDef.sql(
+      "text_bpe_fertility",
+      BpeOracle.fertilitySql(n = 30, encodeSteps = 12)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val enc = Bpe.encode(docs, "doc_id", "text", Bpe.train(docs, "text", nMerges = 30))
+      enc.join(docs.select(col("doc_id").as("doc"), col("lang"),
+          coalesce(length(col("text")), lit(0)).cast("long").as("_nc")), Seq("doc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("n_words"),
+          sum("n_bpe").cast("long").as("n_pieces"),
+          round(sum("n_bpe").cast("double") /
+            when(sum("n_tokens") === 0, lit(null)).otherwise(sum("n_tokens")), 4)
+            .as("fertility"),
+          round(lit(100.0) * sum("n_bpe") /
+            when(sum("_nc") === 0, lit(null)).otherwise(sum("_nc")), 4)
+            .as("pieces_per_100_chars"))
+        .orderBy(asc_nulls_last("lang"))
+    },
+
     // ── Stored-tokenizer deploy path: train on the FIRST corpus slice,
     //    persist the merge table, reload it, encode the WHOLE corpus
     //    under the stored ranks — the train-once/encode-many contract

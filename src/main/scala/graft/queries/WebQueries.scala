@@ -72,6 +72,69 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // ── WARC REVISIT deduplication — how production archives avoid
+    //    storing the same bytes twice (ISO 28500 revisit records,
+    //    identical-payload-digest profile): trios of docs share one
+    //    payload, so per digest the FIRST arrival packs as a full
+    //    response record and the two later arrivals pack as
+    //    payload-less revisit records carrying WARC-Refers-To /
+    //    WARC-Payload-Digest / WARC-Profile. The oracle rebuilds every
+    //    record byte-for-byte (both layouts), concatenates each
+    //    shard's records in arrival order, and compares counts, byte
+    //    sizes, the SAVED duplicate mass, and the file md5 — a drifted
+    //    extra-header order, digest spelling, or original-selection
+    //    rule breaks a shard's hash. ──
+    QueryDef.sql(
+      "web_warc_revisit",
+      s"""WITH c AS (SELECT chr(13) || chr(10) AS nl),
+         |d AS (SELECT doc_id, doc_id % 4 AS shard, doc_id // 3 AS g,
+         |    '<html><body><p>Group ' || (doc_id // 3) ||
+         |      ' shared content body</p></body></html>' AS html,
+         |    'https://d' || (doc_id % 50) || '.example.com/p' || doc_id AS uri
+         |  FROM documents),
+         |o AS (SELECT g, min(doc_id) AS orig FROM d GROUP BY g),
+         |r AS (SELECT d.doc_id, d.shard, length(d.html) AS plen,
+         |    d.doc_id <> o.orig AS is_rev,
+         |    'WARC/1.0' || nl ||
+         |    CASE WHEN d.doc_id = o.orig THEN 'WARC-Type: response' ELSE 'WARC-Type: revisit' END || nl ||
+         |    'WARC-Record-ID: <urn:graft:' || lpad(CAST(d.doc_id AS VARCHAR), 12, '0') || '>' || nl ||
+         |    'WARC-Date: 1970-01-01T00:00:00Z' || nl ||
+         |    'WARC-Target-URI: ' || d.uri || nl ||
+         |    CASE WHEN d.doc_id = o.orig THEN '' ELSE
+         |      'WARC-Refers-To: <urn:graft:' || lpad(CAST(o.orig AS VARCHAR), 12, '0') || '>' || nl ||
+         |      'WARC-Payload-Digest: md5:' || md5(d.html) || nl ||
+         |      'WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest' || nl
+         |    END ||
+         |    'Content-Type: text/html' || nl ||
+         |    'Content-Length: ' || CASE WHEN d.doc_id = o.orig
+         |      THEN CAST(length(d.html) AS VARCHAR) ELSE '0' END || nl ||
+         |    nl || CASE WHEN d.doc_id = o.orig THEN d.html ELSE '' END || nl || nl AS rec
+         |  FROM d JOIN o USING (g), c),
+         |sh AS (SELECT shard, string_agg(rec, '' ORDER BY doc_id) AS warc,
+         |    CAST(count(*) AS BIGINT) AS n_records,
+         |    CAST(sum(CASE WHEN is_rev THEN 0 ELSE 1 END) AS BIGINT) AS n_response,
+         |    CAST(sum(CASE WHEN is_rev THEN 1 ELSE 0 END) AS BIGINT) AS n_revisit,
+         |    CAST(sum(CASE WHEN is_rev THEN plen ELSE 0 END) AS BIGINT) AS n_saved_bytes
+         |  FROM r GROUP BY shard)
+         |SELECT shard, n_records, n_response, n_revisit,
+         |  CAST(length(warc) AS BIGINT) AS n_warc_bytes, n_saved_bytes,
+         |  md5(warc) AS warc_md5
+         |FROM sh ORDER BY shard""".stripMargin) {
+      (s, d) =>
+        val pages = Tables.documents(s, d)
+          .select(col("doc_id"),
+            pmod(col("doc_id"), lit(4)).cast("int").as("shard"),
+            concat(lit("<html><body><p>Group "), (col("doc_id") / 3).cast("long"),
+              lit(" shared content body</p></body></html>")).cast("binary").as("blob"),
+            concat(lit("https://d"), pmod(col("doc_id"), lit(50)),
+              lit(".example.com/p"), col("doc_id")).as("uri"))
+        Sharding.packWarcRevisitShards(pages, "shard", "doc_id", "uri", "blob")
+          .select(col("shard"), col("n_records"), col("n_response"),
+            col("n_revisit"), col("n_warc_bytes"), col("n_saved_bytes"),
+            md5(col("warc")).as("warc_md5"))
+          .orderBy("shard")
+    },
+
     // ── WARC shard round trip → HTML extraction — the crawl-side twin
     //    of mm_tar_shards: every doc's HTML response packs into its
     //    shard's WARC file (one shuffle on the shard id), the files are
@@ -1697,6 +1760,89 @@ object WebQueries {
           .discoverLinks(pages, "url", "html", perHostBudget = 5)
           .select(col("domain"), col("url"), col("n_sources"))
           .orderBy("domain", "url")
+    },
+
+    // ── PRIORITIZED frontier budget — when the crawl cannot afford
+    //    every discovered target, spend each host's budget on the
+    //    pages many others point at (the indegree crawl-ordering
+    //    heuristic) instead of the md5 lottery: /shared is linked by
+    //    every page of its domain, /q by every second page, own
+    //    p-targets by one — a budget of 2 must pick exactly
+    //    {shared, q} per domain, and the oracle replays the ranking
+    //    (n_sources DESC, url ASC = the heap's (-n, url) key) with a
+    //    window. ──
+    QueryDef.sql(
+      "web_frontier_priority",
+      """WITH d AS (SELECT doc_id, doc_id % 20 AS m FROM documents),
+        |links AS (
+        |  SELECT 'd' || m || '.example.com' AS domain,
+        |    'http://d' || m || '.example.com/p' || doc_id || '/a' AS url FROM d
+        |  UNION ALL
+        |  SELECT 'd' || m || '.example.com',
+        |    'http://d' || m || '.example.com/shared' FROM d
+        |  UNION ALL
+        |  SELECT 'd' || m || '.example.com',
+        |    'http://d' || m || '.example.com/q?a=1&b=2' FROM d WHERE doc_id % 2 = 0),
+        |g AS (SELECT domain, url, CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM links GROUP BY 1, 2),
+        |r AS (SELECT domain, url, n_sources,
+        |  row_number() OVER (PARTITION BY domain ORDER BY n_sources DESC, url) AS rn
+        |  FROM g)
+        |SELECT domain, url, n_sources FROM r WHERE rn <= 2
+        |ORDER BY domain, url""".stripMargin) {
+      (s, d) =>
+        val pages = Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 20).as("m"))
+          .select(col("doc_id"),
+            concat(lit("http://d"), col("m"), lit(".example.com/hub"), col("doc_id"))
+              .as("url"),
+            concat(
+              concat(lit("<a href=\"/p"), col("doc_id"), lit("/a\">rel</a>")),
+              lit("<a href=\"/shared\">s</a>"),
+              when(col("doc_id") % 2 === 0,
+                lit("<a href=\"/q?b=2&a=1\">messy</a>")).otherwise(lit(""))).as("html"))
+        graft.streaming.StreamingCrawl
+          .discoverLinksPrioritized(pages, "url", "html", perHostBudget = 2)
+          .select(col("domain"), col("url"), col("n_sources"))
+          .orderBy("domain", "url")
+    },
+
+    // ── Adaptive RECRAWL schedule — the policy side of conditional
+    //    fetching: per URL, the observed change history (six fetches,
+    //    changed on an arithmetic pattern that varies by doc) sizes
+    //    the next revisit interval inversely to the smoothed change
+    //    rate, clamped to [min, max] — frequently-changing pages come
+    //    due soon, static pages back off to the cap. One partial-agg
+    //    groupBy; the oracle replays the floor-division arithmetic
+    //    exactly. ──
+    QueryDef.sql(
+      "web_recrawl_schedule",
+      """WITH h AS (SELECT doc_id,
+        |    'http://d' || (doc_id % 50) || '.example.com/p' || doc_id AS url,
+        |    unnest(range(6)) AS seq FROM documents),
+        |c AS (SELECT url, seq * 3600000 AS ts,
+        |    CASE WHEN ((seq + 1) * (doc_id % 7 + 2)) % 3 = 0 THEN 1 ELSE 0 END AS ch
+        |  FROM h),
+        |g AS (SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(ch) AS BIGINT) AS n_changed,
+        |    CAST(max(ts) AS BIGINT) AS last_fetch FROM c GROUP BY url)
+        |SELECT url, n_obs, n_changed, last_fetch,
+        |  CAST(least(86400000, greatest(500,
+        |    1000 * n_obs * 2 // (n_changed * 2 + 1))) AS BIGINT) AS interval_ms,
+        |  CAST(last_fetch + least(86400000, greatest(500,
+        |    1000 * n_obs * 2 // (n_changed * 2 + 1))) AS BIGINT) AS next_due_ms
+        |FROM g ORDER BY url""".stripMargin) {
+      (s, d) =>
+        val history = Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(lit("http://d"), pmod(col("doc_id"), lit(50)),
+              lit(".example.com/p"), col("doc_id")).as("url"))
+          .withColumn("seq", explode(sequence(lit(0), lit(5))))
+          .select(col("url"), (col("seq") * 3600000L).as("ts"),
+            (((col("seq") + 1) * (pmod(col("doc_id"), lit(7)) + 2)) % 3 === 0)
+              .as("changed"))
+        graft.operators.Recrawl.schedule(history, "url", "ts", "changed")
+          .orderBy("url")
     },
 
     // ── Frontier seeding from IN-BAND sitemap discovery — the loop the

@@ -369,6 +369,35 @@ object StreamingCrawl {
     Sharding.samplePerGroupRows(uniq, "domain", "url", perHostBudget, Seq("n_sources"))
   }
 
+  /** [[discoverLinks]] with the per-host budget spent by PRIORITY
+    * instead of md5 lottery: within each host, targets rank by
+    * in-degree descending (ties by url ascending — deterministic),
+    * the classic indegree crawl-ordering heuristic — when a crawl
+    * cannot afford every discovered page, the ones many pages point
+    * at come first. Same bounded heap underneath (O(budget) state per
+    * host, map-side partials, no window sort): the heap key is
+    * `(-n_sources, url)` and keeps the smallest `budget` entries, so
+    * the hottest targets survive and a hub with millions of one-link
+    * leaf targets still costs O(budget) memory. */
+  def discoverLinksPrioritized(pages: DataFrame, urlCol: String, htmlCol: String,
+                               perHostBudget: Int = 100): DataFrame = {
+    require(perHostBudget > 0, "need a positive per-host budget")
+    val hostPat = "^[a-z][a-z0-9+.-]*://([^/?#]*).*$"
+    val uniq = resolveLinks(pages, urlCol, htmlCol)
+      .groupBy("url").agg(count(lit(1)).as("n_sources"))
+      .withColumn("domain", regexp_extract(col("url"), hostPat, 1))
+    uniq
+      .select(col("domain"), struct(
+        (-col("n_sources")).as("_nk"), col("url").as("url"),
+        col("n_sources").as("n_sources")).as("_e"))
+      .groupBy("domain")
+      .agg(graft.expressions.BoundedCollect
+        .boundedSortedCollect(col("_e"), perHostBudget).as("_top"))
+      .select(col("domain"), explode(col("_top")).as("_t"))
+      .select(col("domain"), col("_t.url").as("url"),
+        col("_t.n_sources").as("n_sources"))
+  }
+
   /** Close the LINK loop: admitted pages' anchor targets become the
     * next batch's frontier feed, alongside [[redirectFrontier]]'s
     * redirect targets — link graphs are how most of the web is

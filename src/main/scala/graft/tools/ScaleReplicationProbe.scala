@@ -351,6 +351,31 @@ object ScaleReplicationProbe {
           Seq("group_size")).count()
       }
 
+      // 6b. LINK DISCOVERY (round-14 arrival): explode every page's
+      //     anchors → native resolve/normalize/canonicalize chain →
+      //     target dedup with in-degree → per-host budget through the
+      //     bounded heap. Replica-unique targets grow the row count ×N
+      //     (the novel-content path) while each domain's /shared hub
+      //     grows its in-degree ×N (the dedup-mass path); at ×32 each
+      //     of the 50 hosts holds ~6k distinct targets against a
+      //     budget of 1000, so the heap's cap actually fires — the
+      //     link-farm guard measured doing its job, not idling.
+      if (want("link_")) timed(s"link_discovery x$rep") {
+        val pages = docsTimes(rep, saltText = false)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(50)).as("m"))
+          .select(
+            concat(lit("http://d"), col("m"), lit(".example.com/hub"), col("doc_id"))
+              .as("url"),
+            concat(
+              concat(lit("<a href=\"p"), col("doc_id"), lit("x/a\">u</a>")),
+              concat(lit("<a href=\"../p"), col("doc_id"), lit("y/b?b=2&a=1\">v</a>")),
+              lit("<a href=\"/shared\">s</a>"),
+              lit("<a href=\"mailto:x@y\">m</a>")).as("html"))
+        graft.streaming.StreamingCrawl
+          .discoverLinks(pages, "url", "html", perHostBudget = 1000)
+          .select(sum(length(col("url")) + col("n_sources"))).head.getLong(0)
+      }
+
       // 7. CHAR-granularity dedup tier (round-12 arrival): the exact
       //    all-positions explode is one row per char — the shape that
       //    needs measured ×N rows before anyone trusts it at 100 TB —

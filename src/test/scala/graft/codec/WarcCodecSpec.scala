@@ -125,4 +125,27 @@ class WarcCodecSpec extends AnyFunSuite {
         "text/html", Array.emptyByteArray)))
     }
   }
+  test("revisit records: extras round-trip, empty payload, refers-to resolves") {
+    val body = "<html>the original bytes</html>".getBytes("UTF-8")
+    val resp = WarcRecord("response", "urn:graft:000000000003",
+      Some("https://a.org/p3"), "text/html", body)
+    val rev = WarcRecord("revisit", "urn:graft:000000000007",
+      Some("https://a.org/p7"), "text/html", Array.emptyByteArray, Seq(
+        "WARC-Refers-To" -> "<urn:graft:000000000003>",
+        "WARC-Payload-Digest" -> "md5:0123456789abcdef0123456789abcdef",
+        "WARC-Profile" ->
+          "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
+    val bytes = WarcCodec.write(Seq(resp, rev))
+    val back = WarcCodec.parse(bytes).get
+    assert(back.size == 2)
+    assert(back(0).warcType == "response" && back(0).extras.isEmpty)
+    val r = back(1)
+    assert(r.warcType == "revisit" && r.payload.isEmpty)
+    assert(r.extras == rev.extras, "extension headers survive byte-exact, in order")
+    // the reference chain closes: a reader can fetch the original
+    val referred = r.extras.collectFirst { case ("WARC-Refers-To", v) => v }.get
+    assert(referred == "<" + back(0).recordId + ">")
+    // determinism: same records, same bytes
+    assert(java.util.Arrays.equals(bytes, WarcCodec.write(Seq(resp, rev))))
+  }
 }

@@ -2669,4 +2669,35 @@ class OperatorsSpec extends SparkSpec {
     // interleave property: z differing only in the low bit differ by x's low bit)
     assert(mortonRef(2, 0, 8) === 4L && mortonRef(0, 2, 8) === 8L)
   }
+  test("packWarcRevisitShards: first fetch stores bytes, later fetches store references") {
+    import spark.implicits._
+    // ids 1..6 over two distinct payloads; arrival order = id order, so
+    // 1 and 2 are the originals, 3-6 the revisits; shards split them
+    val rows = (1L to 6L).map { id =>
+      val payload = s"shared-content-${(id - 1) % 2}".getBytes("UTF-8")
+      (if (id % 2 == 0) 1 else 0, id, s"http://a.org/p$id", payload)
+    }.toDF("shard", "id", "uri", "blob")
+    val shards = graft.operators.Sharding
+      .packWarcRevisitShards(rows, "shard", "id", "uri", "blob")
+      .collect().map(r => r.getAs[Int]("shard") -> r).toMap
+    assert(shards(0).getAs[Long]("n_response") == 1L) // id 1
+    assert(shards(0).getAs[Long]("n_revisit") == 2L)  // ids 3, 5
+    assert(shards(1).getAs[Long]("n_response") == 1L) // id 2
+    assert(shards(1).getAs[Long]("n_revisit") == 2L)  // ids 4, 6
+    val all = shards.values.flatMap(r =>
+      graft.codec.WarcCodec.parse(r.getAs[Array[Byte]]("warc")).get).toSeq
+    val byId = all.map(w => w.recordId -> w).toMap
+    // every revisit's digest matches its original's payload md5, and the
+    // saved mass is exactly the duplicate payload bytes
+    all.filter(_.warcType == "revisit").foreach { w =>
+      val orig = byId(w.extras.collectFirst { case ("WARC-Refers-To", v) => v }
+        .get.stripPrefix("<").stripSuffix(">"))
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(orig.payload).map("%02x".format(_)).mkString
+      assert(w.extras.contains("WARC-Payload-Digest" -> s"md5:$dig"))
+      assert(w.payload.isEmpty)
+    }
+    val saved = shards.values.map(_.getAs[Long]("n_saved_bytes")).sum
+    assert(saved == 4L * "shared-content-0".getBytes("UTF-8").length)
+  }
 }

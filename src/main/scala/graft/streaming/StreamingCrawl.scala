@@ -42,7 +42,11 @@ object StreamingCrawl {
     * | duplicate | admitted`
     * — appends admitted canonicals to `ledgerDir/seen` under
     * `batch=<batchId>`, and (with `shardDir` set) packs admitted pages
-    * into WARC shards under `shardDir/warcs`. Usable directly on
+    * into WARC shards under `shardDir/warcs`; with `statusCol` also
+    * set, 304 confirmations pack as payload-less REVISIT records
+    * (server-not-modified profile, `WARC-Refers-To` resolved through
+    * the seen ledger) under `shardDir/revisits` — the auditable
+    * "verified current" trail an incremental archive keeps. Usable directly on
     * static frames (spec-pinned) or via [[attach]]. The returned frame
     * is localCheckpoint'ed; the caller unpersists it when the batch is
     * done.
@@ -161,10 +165,10 @@ object StreamingCrawl {
     // ledger scan (left_semi builds right ⇒ the ledger streams map-side,
     // zero ledger shuffle); the hit set is ≤ the batch's winners, so it
     // broadcasts back into the anti/semi pair against the batch.
-    val prior = BatchLedger.read(spark, ledgerDir, "seen", SeenPointerKey,
+    val priorFull = BatchLedger.read(spark, ledgerDir, "seen", SeenPointerKey,
       belowBatch = Some(batchId),
       empty = Seq.empty[(String, Long)].toDF("canonical", idCol))
-      .select("canonical")
+    val prior = priorFull.select("canonical")
     val (admitted, crossDups, ledgerCp) = if (batchSmall) {
       val hits = prior.join(broadcast(winners.select("canonical")),
         Seq("canonical"), "left_semi").localCheckpoint()
@@ -187,6 +191,50 @@ object StreamingCrawl {
         "shard", idCol, "canonical", blobCol)
         .withColumn("batch", lit(batchId))
         .write.mode("overwrite").partitionBy("batch").parquet(s"$sd/warcs")
+      // … and 304 confirmations land as payload-less REVISIT records
+      // (ISO 28500 server-not-modified profile) under `revisits/`: the
+      // archive keeps an auditable record that the stored copy was
+      // verified current — WARC-Refers-To resolves through the seen
+      // ledger to the record that holds the bytes. Same ledger
+      // discipline as the dedup: batch keys broadcast INTO the ledger
+      // scan, never a per-batch ledger shuffle (gated like everything
+      // else; a 304-heavy backfill batch takes the SMJ floor). A 304
+      // for a URL the ledger never admitted has nothing to refer to
+      // and is skipped — the outcome row still reports it.
+      if (statusCol.isDefined) {
+        val nmKeys = valid0.filter(isNotModified)
+          .select(col(idCol), col("canonical")).localCheckpoint()
+        val nmSmall = nmKeys.count() <= 2000000L
+        val origs0 = priorFull.select(col("canonical"), col(idCol).as("_orig"))
+        val origs =
+          if (nmSmall)
+            origs0.join(broadcast(nmKeys.select("canonical").distinct()),
+              Seq("canonical"), "left_semi").localCheckpoint()
+          else origs0
+        val origGate = if (nmSmall) broadcast(origs) else origs
+        val rev = nmKeys.join(origGate, Seq("canonical"))
+          .select(col(idCol).cast("long").as("_id"), col("canonical"),
+            col("_orig").cast("long"),
+            pmod(col(idCol), lit(nShards)).cast("int").as("shard"))
+        rev.as[(Long, String, Long, Int)]
+          .groupByKey(_._4)
+          .mapGroups { (shard, it) =>
+            val recs = it.toSeq.sortBy(_._1).map { case (id, uri, orig, _) =>
+              graft.codec.WarcRecord("revisit", f"urn:graft:$id%012d",
+                Option(uri), "text/html", Array.emptyByteArray, Seq(
+                  "WARC-Refers-To" -> f"<urn:graft:$orig%012d>",
+                  "WARC-Profile" ->
+                    "http://netpreserve.org/warc/1.0/revisit/server-not-modified"))
+            }
+            val warc = graft.codec.WarcCodec.write(recs)
+            (shard, warc, recs.size.toLong)
+          }
+          .toDF("shard", "warc", "n_records")
+          .withColumn("batch", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch").parquet(s"$sd/revisits")
+        (Seq(nmKeys) ++ (if (nmSmall) Seq(origs) else Nil))
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // politeness: per-host dispatch times on the logical clock
     val (admittedOut, schedCp) = delays match {

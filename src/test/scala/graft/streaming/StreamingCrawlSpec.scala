@@ -345,15 +345,16 @@ class StreamingCrawlSpec extends SparkSpec {
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema2)
     // batch 0 admits the page; batch 1 revisits conditionally and the
     // server answers 304 — a healthy revisit, not waste
+    val shards = tmpDir("graft-scrawl-304-sh")
     val m0 = StreamingCrawl.processBatch(
       df2(Seq(Row(1L, "http://a.org/page", page("v1"), 200, null))),
-      0L, "id", "url", "blob", rules, "graftbot", ledger,
+      0L, "id", "url", "blob", rules, "graftbot", ledger, Some(shards),
       statusCol = Some("status"), locationCol = Some("location"))
     assert(outcomes(m0) == Map(1L -> "admitted")); m0.unpersist(false)
     val m1 = StreamingCrawl.processBatch(
       df2(Seq(Row(11L, "http://a.org/page", page(""), 304, null),
         Row(12L, "http://a.org/page", page("refetch"), 200, null))),
-      1L, "id", "url", "blob", rules, "graftbot", ledger,
+      1L, "id", "url", "blob", rules, "graftbot", ledger, Some(shards),
       statusCol = Some("status"), locationCol = Some("location"))
     val r1 = m1.collect().map(r => r.getLong(0) -> ((r.getString(4), Option(r.getString(7))))).toMap
     assert(r1(11L) == (("not_modified", None)),
@@ -362,6 +363,30 @@ class StreamingCrawlSpec extends SparkSpec {
     // 304 rows never feed the frontier
     assert(StreamingCrawl.redirectFrontier(m1, ledger, 1L).count() == 0)
     m1.unpersist(false)
+    // … but they DO land in the archive as payload-less revisit records
+    // (server-not-modified profile) whose WARC-Refers-To resolves
+    // through the seen ledger to the record holding the bytes
+    val revs = spark.read.parquet(s"$shards/revisits")
+      .filter(col("batch").cast("long") === 1L).select("warc").collect()
+      .flatMap(r => graft.codec.WarcCodec.parse(r.getAs[Array[Byte]](0)).get)
+    assert(revs.length == 1, "one revisit for arrival 11; the duplicate stays policy-dropped")
+    val rv = revs.head
+    assert(rv.warcType == "revisit" && rv.recordId == "urn:graft:000000000011")
+    assert(rv.payload.isEmpty && rv.targetUri.contains("http://a.org/page"))
+    assert(rv.extras.contains("WARC-Refers-To" -> "<urn:graft:000000000001>"),
+      "the reference resolves to batch 0's admitted record")
+    assert(rv.extras.exists { case (k, v) =>
+      k == "WARC-Profile" && v.endsWith("server-not-modified") })
+    // replay idempotence: the revisit partition overwrites itself
+    val m1r = StreamingCrawl.processBatch(
+      df2(Seq(Row(11L, "http://a.org/page", page(""), 304, null),
+        Row(12L, "http://a.org/page", page("refetch"), 200, null))),
+      1L, "id", "url", "blob", rules, "graftbot", ledger, Some(shards),
+      statusCol = Some("status"), locationCol = Some("location"))
+    m1r.unpersist(false)
+    assert(spark.read.parquet(s"$shards/revisits")
+      .filter(col("batch").cast("long") === 1L)
+      .agg(sum("n_records")).head.getLong(0) == 1L)
   }
 
   test("redirect frontier is robots-polite: disallowed targets never enter") {

@@ -44,6 +44,10 @@ object WarcCodec {
 
   private val Crlf = "\r\n"
 
+  /** The headers the writer emits itself — extras must not shadow them. */
+  private val FixedHeaderNames =
+    Set("warc-type", "warc-record-id", "warc-date", "warc-target-uri")
+
   private def clean(s: String, what: String): String = {
     require(s.nonEmpty && !s.exists(c => c == '\r' || c == '\n'),
       s"$what must be non-empty and CRLF-free: '$s'")
@@ -62,6 +66,12 @@ object WarcCodec {
       sb ++= "WARC-Date: " ++= FixedDate ++= Crlf
       r.targetUri.foreach(u => sb ++= "WARC-Target-URI: " ++= clean(u, "WARC-Target-URI") ++= Crlf)
       r.extras.foreach { case (k, v) =>
+        // extras must be WARC extension headers that cannot shadow the
+        // fixed five: a smuggled Content-Length would move the payload
+        // boundary and void the PARSE of every record in the file
+        val kl = k.toLowerCase
+        require(kl.startsWith("warc-") && !FixedHeaderNames(kl),
+          s"extra header must be a non-fixed WARC-* extension header: '$k'")
         sb ++= clean(k, "extra header name") ++= ": " ++= clean(v, "extra header value") ++= Crlf
       }
       sb ++= "Content-Type: " ++= clean(r.contentType, "Content-Type") ++= Crlf

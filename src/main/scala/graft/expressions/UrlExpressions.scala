@@ -186,13 +186,36 @@ case class UrlResolve(left: Expression, right: Expression)
         s"$prettyName requires (string, string), got ($a, $b)")
     }
 
-  override def nullSafeEval(base: Any, ref: Any): Any =
-    UrlResolveImpl.resolve(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+  // NOT nullSafeEval: the old column chain resolved an ABSOLUTE ref
+  // even against a NULL base (nothing is needed from the base), and
+  // the default null-intolerant BinaryExpression would lose those
+  // targets. A NULL ref stays NULL (RFC 3986 maps only the EMPTY
+  // string to the base); a NULL base with a relative ref is NULL
+  // (nothing to resolve against) — both exactly the chain's algebra.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val r = right.eval(input)
+    if (r == null) null
+    else UrlResolveImpl.resolveNullable(
+      left.eval(input).asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (b, r) => s"""
-      ${ev.value} = graft.expressions.UrlResolveImpl.resolve($b, $r);
-      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        UTF8String ${ev.value} = null;
+        if (!${rightGen.isNull}) {
+          ${leftGen.code}
+          ${ev.value} = graft.expressions.UrlResolveImpl.resolveNullable(
+            ${leftGen.isNull} ? null : ${leftGen.value}, ${rightGen.value});
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): UrlResolve =
@@ -213,6 +236,15 @@ object UrlResolveImpl {
   private val UpSlash = Pattern.compile("/[^/]+/\\.\\./")
   private val UpEnd = Pattern.compile("/[^/]+/\\.\\.$")
   private val RootUp = Pattern.compile("^/\\.\\.(/|$)")
+
+  /** [[resolve]] tolerating a NULL base: an absolute ref needs nothing
+    * from the base (the column chain's `when(hasScheme, r)` fired before
+    * any base field was touched); anything else has no resolution
+    * context and is null. */
+  def resolveNullable(baseU: UTF8String, refU: UTF8String): UTF8String =
+    if (baseU != null) resolve(baseU, refU)
+    else if (RefScheme.matcher(refU.toString).find()) refU
+    else null
 
   def resolve(baseU: UTF8String, refU: UTF8String): UTF8String = {
     val base = baseU.toString

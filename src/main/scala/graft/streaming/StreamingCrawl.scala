@@ -326,6 +326,7 @@ object StreamingCrawl {
       .select(col("canonical").as("src"), col("redirect_to"))
       .localCheckpoint()
     val batchSmall = targets0.count() <= 2000000L
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame](targets0)
     val withHop = hops match {
       // the hop state is DISCOVERY-corpus-sized over a crawl's lifetime
       // (every target ever enqueued), so the batch's source urls
@@ -335,8 +336,9 @@ object StreamingCrawl {
       case Some(h) =>
         val hSlim = h.select(col("url").as("src"), col("hop").as("_h"))
         val perSrc = if (batchSmall) {
-          hSlim.join(broadcast(targets0.select("src").distinct()), Seq("src"), "left_semi")
+          val p = hSlim.join(broadcast(targets0.select("src").distinct()), Seq("src"), "left_semi")
             .groupBy("src").agg(min("_h").as("_h")).localCheckpoint()
+          cps += p; p
         } else hSlim.groupBy("src").agg(min("_h").as("_h"))
         val gate = if (batchSmall) broadcast(perSrc) else perSrc
         targets0.join(gate, Seq("src"), "left_outer")
@@ -362,12 +364,17 @@ object StreamingCrawl {
       belowBatch = Some(batchId + 1),
       empty = Seq.empty[(String, Long)].toDF("canonical", "id"))
       .select(col("canonical").as("url"))
-    if (batchSmall) {
+    // materialize the result, then drop this batch's checkpoint blocks
+    // (the caller unpersists the RETURNED frame when done)
+    val out = (if (batchSmall) {
       val pol = polite.localCheckpoint()
       val hits = seen.join(broadcast(pol.select("url")), Seq("url"), "left_semi")
         .localCheckpoint()
+      cps += pol; cps += hits
       pol.join(broadcast(hits), Seq("url"), "left_anti")
-    } else polite.join(seen, Seq("url"), "left_anti")
+    } else polite.join(seen, Seq("url"), "left_anti")).localCheckpoint()
+    cps.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Anchor-link RESOLUTION — the pure per-row core of the discovery
@@ -469,14 +476,16 @@ object StreamingCrawl {
     import spark.implicits._
     val pairs = resolveLinks(pages, urlCol, htmlCol).localCheckpoint()
     val batchSmall = pairs.count() <= 2000000L
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame](pairs)
     // hop inheritance BEFORE target dedup, so a target discovered by a
     // depth-0 seed and a depth-4 chain enters at depth 1, not 5
     val withHop = hops match {
       case Some(h) =>
         val hSlim = h.select(col("url").as("src"), col("hop").as("_h"))
         val perSrc = if (batchSmall) {
-          hSlim.join(broadcast(pairs.select("src").distinct()), Seq("src"), "left_semi")
+          val p = hSlim.join(broadcast(pairs.select("src").distinct()), Seq("src"), "left_semi")
             .groupBy("src").agg(min("_h").as("_h")).localCheckpoint()
+          cps += p; p
         } else hSlim.groupBy("src").agg(min("_h").as("_h"))
         val gate = if (batchSmall) broadcast(perSrc) else perSrc
         pairs.join(gate, Seq("src"), "left_outer")
@@ -494,18 +503,28 @@ object StreamingCrawl {
           capped.withColumn("path", regexp_extract(col("url"), hostPat, 2)), r, agent)
           .filter(col("allowed")).select("url", "hop", "domain")
     }
-    val budgeted = Sharding.samplePerGroupRows(polite, "domain", "url",
-      perHostBudget, Seq("hop")).select("url", "hop")
+    // drain the seen ledger BEFORE spending the budget: md5 order is
+    // stable, so already-crawled targets would otherwise win the same
+    // slots every batch and deterministically starve a host's fresh
+    // targets forever (a nav bar of seen links is enough)
     val seen = BatchLedger.read(spark, ledgerDir, "seen", SeenPointerKey,
       belowBatch = Some(batchId + 1),
       empty = Seq.empty[(String, Long)].toDF("canonical", "id"))
       .select(col("canonical").as("url"))
-    if (batchSmall) {
-      val bud = budgeted.localCheckpoint()
-      val hits = seen.join(broadcast(bud.select("url")), Seq("url"), "left_semi")
+    val fresh = if (batchSmall) {
+      val pol = polite.localCheckpoint()
+      val hits = seen.join(broadcast(pol.select("url")), Seq("url"), "left_semi")
         .localCheckpoint()
-      bud.join(broadcast(hits), Seq("url"), "left_anti")
-    } else budgeted.join(seen, Seq("url"), "left_anti")
+      cps += pol; cps += hits
+      pol.join(broadcast(hits), Seq("url"), "left_anti")
+    } else polite.join(seen, Seq("url"), "left_anti")
+    // materialize the result, then drop this batch's checkpoint blocks —
+    // a long-running stream must not accumulate them (the caller
+    // unpersists the RETURNED frame when done, the processBatch contract)
+    val out = Sharding.samplePerGroupRows(fresh, "domain", "url",
+      perHostBudget, Seq("hop")).select("url", "hop").localCheckpoint()
+    cps.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Fold every `seen/` partition with `batch < belowBatch` into a new
@@ -592,19 +611,25 @@ object StreamingCrawl {
           // through the charset gate, anchor targets feed the same
           // frontier — a target found by both channels enters once at
           // its shallower depth
-          val front = (if (!discoverLinks) redir else {
+          val (front, frontCps) = if (!discoverLinks) (redir, Seq(redir)) else {
             val adm = o.filter(col("outcome") === "admitted")
-              .select(col(idCol), col("canonical"))
-            val admPages = batch.join(broadcast(adm), Seq(idCol))
+              .select(col(idCol), col("canonical")).localCheckpoint()
+            // same 2M gate as every batch-side broadcast in this file:
+            // a backfill batch's admitted set can exceed what a driver
+            // can collect — past the gate the plain join is the floor
+            val admGate = if (adm.count() <= 2000000L) broadcast(adm) else adm
+            val admPages = batch.join(admGate, Seq(idCol))
             val html = graft.operators.TextOps
               .decodeCharset(admPages, blobCol, "_cs", "_html")
               .filter(col("_cs") =!= "unknown")
             val links = linkFrontier(html, "canonical", "_html", ledgerDir,
               batchId, Some(hops), maxHops, rules = Some(rules),
               agent = agent, perHostBudget = perHostBudget)
-            redir.unionByName(links)
+            (redir.unionByName(links)
               .groupBy("url").agg(min("hop").cast("int").as("hop"))
-          }).localCheckpoint()
+              .localCheckpoint(),
+              Seq(redir, links, adm))
+          }
           front.withColumn("batch", lit(batchId))
             .write.mode("overwrite").partitionBy("batch").parquet(fd)
           // ... and each batch's discoveries append to the hops ledger
@@ -612,7 +637,7 @@ object StreamingCrawl {
           front.select(col("url"), col("hop").cast("int").as("hop"))
             .withColumn("batch", lit(batchId))
             .write.mode("overwrite").partitionBy("batch").parquet(s"$ledgerDir/hops")
-          front.unpersist(blocking = false)
+          (frontCps :+ front).distinct.foreach(_.unpersist(blocking = false))
         }
         o.unpersist(blocking = false)
         ()

@@ -148,4 +148,23 @@ class WarcCodecSpec extends AnyFunSuite {
     // determinism: same records, same bytes
     assert(java.util.Arrays.equals(bytes, WarcCodec.write(Seq(resp, rev))))
   }
+  test("writer rejects extras that shadow fixed headers or are not WARC-*") {
+    def withExtras(extras: Seq[(String, String)]) = WarcRecord(
+      "revisit", "urn:graft:000000000001", Some("https://a.org/p"),
+      "text/html", Array.emptyByteArray, extras)
+    // a smuggled Content-Length would move the payload boundary and
+    // void the parse of every record in the file — fail at write time
+    intercept[IllegalArgumentException] {
+      WarcCodec.write(Seq(withExtras(Seq("Content-Length" -> "999"))))
+    }
+    intercept[IllegalArgumentException] {
+      WarcCodec.write(Seq(withExtras(Seq("WARC-Type" -> "response"))))
+    }
+    intercept[IllegalArgumentException] {
+      WarcCodec.write(Seq(withExtras(Seq("X-Custom" -> "v"))))
+    }
+    // a legitimate extension header still writes
+    assert(WarcCodec.parse(WarcCodec.write(Seq(withExtras(
+      Seq("WARC-Profile" -> "p"))))).get.head.extras == Seq("WARC-Profile" -> "p"))
+  }
 }

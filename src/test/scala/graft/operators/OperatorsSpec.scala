@@ -2700,4 +2700,17 @@ class OperatorsSpec extends SparkSpec {
     val saved = shards.values.map(_.getAs[Long]("n_saved_bytes")).sum
     assert(saved == 4L * "shared-content-0".getBytes("UTF-8").length)
   }
+  test("urlResolve: null base keeps an absolute ref, nulls a relative one (chain parity)") {
+    import spark.implicits._
+    val df = Seq(
+      (Option.empty[String], Some("http://x.org/abs")),
+      (Option.empty[String], Some("../rel")),
+      (Option.empty[String], Some("")),
+      (Some("http://a.org/d/"), Option.empty[String]))
+      .toDF("base", "ref")
+    val got = df.select(TextOps.urlResolve(col("base"), col("ref")).as("r"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(Some("http://x.org/abs"), None, None, None),
+      s"got $got — the old column chain resolved absolute refs without a base")
+  }
 }

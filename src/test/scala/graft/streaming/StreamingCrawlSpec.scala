@@ -524,6 +524,26 @@ class StreamingCrawlSpec extends SparkSpec {
     assert(capped.count() == 0, "a page at maxHops discovers nothing")
   }
 
+  test("linkFrontier: seen targets drain BEFORE the budget — no slot starvation") {
+    import spark.implicits._
+    val ledger = tmpDir("graft-scrawl-lf-budget")
+    // the seen url md5-sorts ahead of the fresh one, so a budget spent
+    // before the drain would hand it the host's only slot every batch
+    val candidates = Seq("http://a.org/seenpage", "http://a.org/freshpage")
+    def h(u: String) = { val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(u.getBytes("UTF-8")).map("%02x".format(_)).mkString }
+    val Seq(first, second) = candidates.sortBy(h)
+    Seq((first, 1L)).toDF("canonical", "id").withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$ledger/seen")
+    val pages = Seq(("http://a.org/hub",
+      candidates.map(u => s"""<a href="$u">x</a>""").mkString)).toDF("url", "html")
+    val got = StreamingCrawl.linkFrontier(pages, "url", "html", ledger, 1L,
+      perHostBudget = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(second),
+      s"the md5-first SEEN target must not consume the budget slot: got $got")
+  }
+
   test("attach with discoverLinks: anchor targets join the frontier and drain on fetch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -138,6 +138,13 @@ object UrlCanonImpl {
   def canonicalize(s: UTF8String): UTF8String = {
     val m = Url.matcher(s.toString)
     if (!m.find()) return null
+    // DELIBERATE divergence from the replaced Column chain: Spark's
+    // lower() falls back to default-locale String.toLowerCase for
+    // non-ASCII, so under a Turkish JVM locale a host containing a
+    // dotted capital I would lowercase differently there. Locale.ROOT
+    // is the correct behavior for host names (and matches the DuckDB
+    // oracle's locale-independent lower()); the parity fuzz spec pins
+    // the JVM-default-locale assumption it runs under.
     val scheme = m.group(1).toLowerCase(java.util.Locale.ROOT)
     var host = m.group(2).toLowerCase(java.util.Locale.ROOT)
     if (scheme == "http" && host.endsWith(":80")) host = host.dropRight(3)

@@ -154,4 +154,87 @@ object BatchLedger {
     }
     s"$rootDir/$rel"
   }
+
+  /** Row cap for batch-side broadcast admission — the pre-existing 2M
+    * gate every streaming vertical used. */
+  val MaxBroadcastRows: Long = 2000000L
+
+  /** BYTE cap for batch-side broadcast admission. The row cap alone was
+    * calibrated on 8-byte id frames; the ledger discipline also
+    * broadcasts URL/string-key frames, and 2M canonical URLs at 100+
+    * bytes each is hundreds of MB per broadcast, several times per
+    * micro-batch — memory pressure right at the gate boundary. 64 MiB
+    * of key payload (~640k 100-byte URLs) keeps every broadcast in the
+    * territory the row gate intended; past it the big-big sort-merge
+    * floor is the honest plan. */
+  val MaxBroadcastKeyBytes: Long = 64L << 20
+
+  /** Byte-aware broadcast admission gate: ONE aggregate pass over a
+    * (typically already-checkpointed) key frame counting rows and key
+    * payload bytes — `octet_length` for string/binary columns, a flat 8
+    * bytes for fixed-width ones. True iff BOTH `rows ≤ maxRows` and
+    * `bytes ≤ maxBytes`: an id-only frame passes at the full row cap
+    * (16 MB of longs), a long-URL frame trips the byte cap far earlier.
+    * This is the gate every `gatedProbe`/`gatedAntiSemi` caller should
+    * compute over the frame whose columns actually ride the broadcasts
+    * it guards (or a byte-superset of them). */
+  def broadcastable(keys: DataFrame, byteCols: Seq[String],
+                    maxRows: Long = MaxBroadcastRows,
+                    maxBytes: Long = MaxBroadcastKeyBytes): Boolean = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val widths = byteCols.map { c =>
+      keys.schema(c).dataType match {
+        case StringType | BinaryType => coalesce(octet_length(col(c)).cast("long"), lit(0L))
+        case _                       => lit(8L)
+      }
+    }
+    val row = keys.agg(count(lit(1)).as("n"),
+      sum(widths.reduceOption(_ + _).getOrElse(lit(0L))).as("b")).head()
+    val n = row.getLong(0)
+    val b = if (row.isNullAt(1)) 0L else row.getLong(1)
+    n <= maxRows && b <= maxBytes
+  }
+
+  /** The gated ledger-probe discipline, in one place — seven streaming
+    * sites hand-rolled this shape through rounds 13-14 and two of the
+    * round-14 self-review bugs (an ungated broadcast, a drain-order
+    * slip) were exactly that duplication biting.
+    *
+    * The invariant: CORPUS-sized ledger state must never shuffle per
+    * micro-batch. When the batch is small (`gate` — compute it with
+    * [[broadcastable]] over the batch keys), the batch's keys broadcast
+    * INTO the ledger scan (`left_semi` builds its RIGHT ⇒ the ledger
+    * streams map-side, zero ledger shuffle), the ≤batch-sized hit set
+    * is folded (`fold` states the ledger's merge algebra: identity for
+    * admit-once key sets, `groupBy.sum` for delta ledgers,
+    * `groupBy.min` for hop depths), checkpointed, and handed back
+    * broadcast-wrapped for the join against the batch. Past the gate —
+    * a backfill batch — the folded FULL ledger returns unwrapped and
+    * the big-big sort-merge join is the floor.
+    *
+    * `batchKeys` must be distinct or naturally unique (callers either
+    * `.distinct()` or pass keys a `groupBy` already deduped — no hidden
+    * distinct here, so no extra exchange on the already-unique sites).
+    * Returns `(probe side ready to join, checkpoints for the caller to
+    * unpersist when the batch is done)`. */
+  def gatedProbe(ledger: DataFrame, batchKeys: DataFrame, keyCols: Seq[String],
+                 gate: Boolean,
+                 fold: DataFrame => DataFrame = identity): (DataFrame, Seq[DataFrame]) =
+    if (gate) {
+      val hits = fold(ledger.join(broadcast(batchKeys), keyCols, "left_semi"))
+        .localCheckpoint()
+      (broadcast(hits), Seq(hits))
+    } else (fold(ledger), Seq.empty)
+
+  /** [[gatedProbe]] + the anti/semi pair against the batch — the
+    * admission shape itself: `anti` = batch rows whose keys the ledger
+    * has never seen (admit), `semi` = rows it has (duplicate). Both are
+    * LAZY — a caller using only one pays only for that one. */
+  def gatedAntiSemi(batch: DataFrame, ledger: DataFrame, batchKeys: DataFrame,
+                    keyCols: Seq[String], gate: Boolean)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val (probe, cps) = gatedProbe(ledger, batchKeys, keyCols, gate)
+    (batch.join(probe, keyCols, "left_anti"),
+      batch.join(probe, keyCols, "left_semi"), cps)
+  }
 }

@@ -143,14 +143,20 @@ object StreamingCrawl {
     val judged = valid.join(verdicts, Seq(idCol)).localCheckpoint()
     val blocked = outcome(judged.filter(!col("allowed")), "robots_blocked")
     val allowed = judged.filter(col("allowed"))
-    // within-batch: smallest arrival id per canonical wins. winnerIds is
+    // within-batch: smallest arrival id per canonical wins. winKeys is
     // one row per distinct canonical in the batch — usually tiny, but a
-    // backfill batch can be arbitrarily large, so the broadcast takes the
-    // same bounded-row-count gate as prefixFilterPairs / Graph.pageRank
-    // (shuffle-join fallback past it) instead of a forced broadcast.
-    val winnerIds = allowed.groupBy("canonical")
-      .agg(min(col(idCol)).as(idCol)).select(col(idCol)).localCheckpoint()
-    val batchSmall = winnerIds.count() <= 2000000L
+    // backfill batch can be arbitrarily large, so every batch-side
+    // broadcast below takes ONE shared admission gate. The gate is
+    // BYTE-aware ([[BatchLedger.broadcastable]]): the old 2M-row cap
+    // was calibrated on 8-byte id frames, but the ledger discipline
+    // broadcasts canonical-URL strings — winKeys carries exactly the
+    // (canonical, id) columns that ride those broadcasts, so its byte
+    // measure upper-bounds all of them (hits ⊆ winners ⊆ winKeys,
+    // domains ⊆ canonicals).
+    val winKeys = allowed.groupBy("canonical")
+      .agg(min(col(idCol)).as(idCol)).localCheckpoint()
+    val batchSmall = BatchLedger.broadcastable(winKeys, Seq("canonical", idCol))
+    val winnerIds = winKeys.select(col(idCol))
     val winGate = if (batchSmall) broadcast(winnerIds) else winnerIds
     val winners = allowed.join(winGate, Seq(idCol), "left_semi")
     val batchDups = allowed.join(winGate, Seq(idCol), "left_anti")
@@ -158,29 +164,16 @@ object StreamingCrawl {
     // partitions) rejects canonicals any earlier batch admitted. Ledger
     // canonicals are UNIQUE by construction (a key admits once), so no
     // distinct — and the CORPUS-sized ledger must never shuffle per
-    // batch: `winners.join(prior, left_anti)` can only build on its
-    // RIGHT (the ledger), forcing sort-merge — a full shuffle+sort of
-    // every seen canonical, every batch, forever. Exploit the batch's
-    // smallness instead: broadcast the batch's winner keys INTO the
-    // ledger scan (left_semi builds right ⇒ the ledger streams map-side,
-    // zero ledger shuffle); the hit set is ≤ the batch's winners, so it
-    // broadcasts back into the anti/semi pair against the batch.
+    // batch: [[BatchLedger.gatedAntiSemi]] is that discipline (batch
+    // keys broadcast INTO the ledger scan, hit set broadcasts back into
+    // the anti/semi pair; big-big SMJ floor past the gate).
     val priorFull = BatchLedger.read(spark, ledgerDir, "seen", SeenPointerKey,
       belowBatch = Some(batchId),
       empty = Seq.empty[(String, Long)].toDF("canonical", idCol))
     val prior = priorFull.select("canonical")
-    val (admitted, crossDups, ledgerCp) = if (batchSmall) {
-      val hits = prior.join(broadcast(winners.select("canonical")),
-        Seq("canonical"), "left_semi").localCheckpoint()
-      (winners.join(broadcast(hits), Seq("canonical"), "left_anti").localCheckpoint(),
-        winners.join(broadcast(hits), Seq("canonical"), "left_semi"),
-        Seq(hits))
-    } else {
-      // a backfill batch past the broadcast gate: big-big, SMJ is the floor
-      (winners.join(prior, Seq("canonical"), "left_anti").localCheckpoint(),
-        winners.join(prior, Seq("canonical"), "left_semi"),
-        Seq.empty[DataFrame])
-    }
+    val (admitted0, crossDups, ledgerCp) = BatchLedger.gatedAntiSemi(
+      winners, prior, winners.select("canonical"), Seq("canonical"), batchSmall)
+    val admitted = admitted0.localCheckpoint()
     // append the admitted keys (idempotent per batch: own-partition overwrite)
     admitted.select(col("canonical"), col(idCol)).withColumn("batch", lit(batchId))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$ledgerDir/seen")
@@ -196,22 +189,23 @@ object StreamingCrawl {
       // archive keeps an auditable record that the stored copy was
       // verified current — WARC-Refers-To resolves through the seen
       // ledger to the record that holds the bytes. Same ledger
-      // discipline as the dedup: batch keys broadcast INTO the ledger
-      // scan, never a per-batch ledger shuffle (gated like everything
-      // else; a 304-heavy backfill batch takes the SMJ floor). A 304
-      // for a URL the ledger never admitted has nothing to refer to
-      // and is skipped — the outcome row still reports it.
+      // discipline as the dedup ([[BatchLedger.gatedProbe]]): batch
+      // keys broadcast INTO the ledger scan, never a per-batch ledger
+      // shuffle (a 304-heavy backfill batch takes the SMJ floor). The
+      // referent set is the ledger BEFORE this batch PLUS this batch's
+      // own admissions (written just above) — a 304 whose canonical
+      // was admitted earlier in the SAME batch resolves to that
+      // in-batch record. Only a 304 for a URL NO batch ever admitted
+      // has nothing to refer to and is skipped — the outcome row
+      // still reports it.
       if (statusCol.isDefined) {
         val nmKeys = valid0.filter(isNotModified)
           .select(col(idCol), col("canonical")).localCheckpoint()
-        val nmSmall = nmKeys.count() <= 2000000L
+        val nmSmall = BatchLedger.broadcastable(nmKeys, Seq("canonical", idCol))
         val origs0 = priorFull.select(col("canonical"), col(idCol).as("_orig"))
-        val origs =
-          if (nmSmall)
-            origs0.join(broadcast(nmKeys.select("canonical").distinct()),
-              Seq("canonical"), "left_semi").localCheckpoint()
-          else origs0
-        val origGate = if (nmSmall) broadcast(origs) else origs
+          .unionByName(admitted.select(col("canonical"), col(idCol).as("_orig")))
+        val (origGate, origCps) = BatchLedger.gatedProbe(origs0,
+          nmKeys.select("canonical").distinct(), Seq("canonical"), nmSmall)
         val rev = nmKeys.join(origGate, Seq("canonical"))
           .select(col(idCol).cast("long").as("_id"), col("canonical"),
             col("_orig").cast("long"),
@@ -232,8 +226,7 @@ object StreamingCrawl {
           .toDF("shard", "warc", "n_records")
           .withColumn("batch", lit(batchId))
           .write.mode("overwrite").partitionBy("batch").parquet(s"$sd/revisits")
-        (Seq(nmKeys) ++ (if (nmSmall) Seq(origs) else Nil))
-          .foreach(_.unpersist(blocking = false))
+        (Seq(nmKeys) ++ origCps).foreach(_.unpersist(blocking = false))
       }
     }
     // politeness: per-host dispatch times on the logical clock
@@ -246,17 +239,15 @@ object StreamingCrawl {
         // host-corpus-sized, so semi-join it down to THIS batch's
         // domains map-side (batch domains broadcast) and sum only the
         // small hit set — never a per-batch groupBy over every host
-        // ever crawled. Past the gate, the full-fold shape is the floor.
+        // ever crawled. Past the gate, the full-fold shape is the floor
+        // (deliberately NOT checkpointed there: materializing a
+        // corpus-sized fold per batch is the waste the gate exists for).
         val priorDeltas = BatchLedger.read(spark, ledgerDir, "hosts", HostsPointerKey,
           belowBatch = Some(batchId),
           empty = Seq.empty[(String, Long)].toDF("domain", "reserved_ms"))
-        val prior = (if (batchSmall)
-          priorDeltas.join(broadcast(admitted.select("domain").distinct()),
-            Seq("domain"), "left_semi")
-        else priorDeltas)
-          .groupBy("domain").agg(sum("reserved_ms").as("_base"))
-          .localCheckpoint()
-        val priorGate = if (batchSmall) broadcast(prior) else prior
+        val (priorGate, hostCps) = BatchLedger.gatedProbe(priorDeltas,
+          admitted.select("domain").distinct(), Seq("domain"), batchSmall,
+          fold = _.groupBy("domain").agg(sum("reserved_ms").as("_base")))
         val sched = admitted
           .join(dlSel, col("domain") === col("_dd"), "left_outer")
           .withColumn("_delay", coalesce(col("_delay"), lit(defaultDelayMs)))
@@ -276,7 +267,7 @@ object StreamingCrawl {
           lit("admitted").as("outcome"), col("_delay").as("delay_ms"),
           (col("_base") + col("_slot") * col("_delay")).as("fetch_at_ms"),
           nullS.as("redirect_to")),
-          Seq(sched, prior))
+          Seq(sched) ++ hostCps)
     }
     val out = invalid
       .unionByName(notModified)
@@ -285,7 +276,7 @@ object StreamingCrawl {
       .unionByName(outcome(batchDups.unionByName(crossDups), "duplicate"))
       .unionByName(admittedOut)
       .localCheckpoint() // eager: safe to drop the upstream checkpoints below
-    (Seq(b, judged, winnerIds, admitted) ++ ledgerCp ++ schedCp)
+    (Seq(b, judged, winKeys, admitted) ++ ledgerCp ++ schedCp)
       .foreach(_.unpersist(blocking = false))
     out
   }
@@ -325,22 +316,22 @@ object StreamingCrawl {
       .filter(col("outcome") === "redirect" && col("redirect_to").isNotNull)
       .select(col("canonical").as("src"), col("redirect_to"))
       .localCheckpoint()
-    val batchSmall = targets0.count() <= 2000000L
+    // byte-aware gate over the URL strings the broadcasts below carry
+    val batchSmall = BatchLedger.broadcastable(targets0, Seq("src", "redirect_to"))
     val cps = scala.collection.mutable.ArrayBuffer[DataFrame](targets0)
     val withHop = hops match {
       // the hop state is DISCOVERY-corpus-sized over a crawl's lifetime
       // (every target ever enqueued), so the batch's source urls
       // broadcast INTO its scan (left_semi builds right ⇒ zero hop-state
       // shuffle) and only the batch-sized hit set min-folds and joins
-      // back. Works unchanged for small static hop frames (specs).
+      // back ([[BatchLedger.gatedProbe]]). Works unchanged for small
+      // static hop frames (specs).
       case Some(h) =>
         val hSlim = h.select(col("url").as("src"), col("hop").as("_h"))
-        val perSrc = if (batchSmall) {
-          val p = hSlim.join(broadcast(targets0.select("src").distinct()), Seq("src"), "left_semi")
-            .groupBy("src").agg(min("_h").as("_h")).localCheckpoint()
-          cps += p; p
-        } else hSlim.groupBy("src").agg(min("_h").as("_h"))
-        val gate = if (batchSmall) broadcast(perSrc) else perSrc
+        val (gate, hopCps) = BatchLedger.gatedProbe(hSlim,
+          targets0.select("src").distinct(), Seq("src"), batchSmall,
+          fold = _.groupBy("src").agg(min("_h").as("_h")))
+        cps ++= hopCps
         targets0.join(gate, Seq("src"), "left_outer")
           .withColumn("hop", coalesce(col("_h"), lit(0)) + 1)
       case None => targets0.withColumn("hop", lit(1))
@@ -366,13 +357,12 @@ object StreamingCrawl {
       .select(col("canonical").as("url"))
     // materialize the result, then drop this batch's checkpoint blocks
     // (the caller unpersists the RETURNED frame when done)
-    val out = (if (batchSmall) {
-      val pol = polite.localCheckpoint()
-      val hits = seen.join(broadcast(pol.select("url")), Seq("url"), "left_semi")
-        .localCheckpoint()
-      cps += pol; cps += hits
-      pol.join(broadcast(hits), Seq("url"), "left_anti")
-    } else polite.join(seen, Seq("url"), "left_anti")).localCheckpoint()
+    val pol = if (batchSmall) { val p = polite.localCheckpoint(); cps += p; p }
+              else polite
+    val (fresh, _, seenCps) = BatchLedger.gatedAntiSemi(
+      pol, seen, pol.select("url"), Seq("url"), batchSmall)
+    cps ++= seenCps
+    val out = fresh.localCheckpoint()
     cps.foreach(_.unpersist(blocking = false))
     out
   }
@@ -464,9 +454,19 @@ object StreamingCrawl {
     * impolite shape); the per-host budget bounds link-farm fan-out;
     * and the corpus-sized seen ledger is read with the batch keys
     * broadcast INTO its scan — zero ledger shuffle per batch — with
-    * the big-big sort-merge floor past the 2M gate. Double-enqueues
-    * across batches self-heal as `duplicate` at admission, so no
-    * frontier ledger exists beyond the seen set. */
+    * the big-big sort-merge floor past the admission gate.
+    * Double-enqueues across batches self-heal as `duplicate` at
+    * admission, so no frontier ledger exists beyond the seen set.
+    *
+    * Hop-depth approximation (deliberate): the hops ledger records only
+    * budget-surviving, seen-drained frontier rows, so a target the
+    * per-host budget DROPPED in one batch and a deeper chain
+    * rediscovered later enters the ledger at the deeper depth — depth
+    * is min over ENQUEUED discoveries, not all discoveries, which can
+    * slightly tighten the `maxHops` cap on hot hosts. Recording every
+    * discovery would grow the ledger by exactly the link-farm fan-out
+    * the budget exists to bound; the tighter cap is the cheaper
+    * error. */
   def linkFrontier(pages: DataFrame, urlCol: String, htmlCol: String,
                    ledgerDir: String, batchId: Long,
                    hops: Option[DataFrame] = None, maxHops: Int = 5,
@@ -475,19 +475,18 @@ object StreamingCrawl {
     val spark = pages.sparkSession
     import spark.implicits._
     val pairs = resolveLinks(pages, urlCol, htmlCol).localCheckpoint()
-    val batchSmall = pairs.count() <= 2000000L
+    // byte-aware gate over the URL strings the broadcasts below carry
+    val batchSmall = BatchLedger.broadcastable(pairs, Seq("src", "url"))
     val cps = scala.collection.mutable.ArrayBuffer[DataFrame](pairs)
     // hop inheritance BEFORE target dedup, so a target discovered by a
     // depth-0 seed and a depth-4 chain enters at depth 1, not 5
     val withHop = hops match {
       case Some(h) =>
         val hSlim = h.select(col("url").as("src"), col("hop").as("_h"))
-        val perSrc = if (batchSmall) {
-          val p = hSlim.join(broadcast(pairs.select("src").distinct()), Seq("src"), "left_semi")
-            .groupBy("src").agg(min("_h").as("_h")).localCheckpoint()
-          cps += p; p
-        } else hSlim.groupBy("src").agg(min("_h").as("_h"))
-        val gate = if (batchSmall) broadcast(perSrc) else perSrc
+        val (gate, hopCps) = BatchLedger.gatedProbe(hSlim,
+          pairs.select("src").distinct(), Seq("src"), batchSmall,
+          fold = _.groupBy("src").agg(min("_h").as("_h")))
+        cps ++= hopCps
         pairs.join(gate, Seq("src"), "left_outer")
           .withColumn("hop", coalesce(col("_h"), lit(0)) + 1)
       case None => pairs.withColumn("hop", lit(1))
@@ -511,13 +510,11 @@ object StreamingCrawl {
       belowBatch = Some(batchId + 1),
       empty = Seq.empty[(String, Long)].toDF("canonical", "id"))
       .select(col("canonical").as("url"))
-    val fresh = if (batchSmall) {
-      val pol = polite.localCheckpoint()
-      val hits = seen.join(broadcast(pol.select("url")), Seq("url"), "left_semi")
-        .localCheckpoint()
-      cps += pol; cps += hits
-      pol.join(broadcast(hits), Seq("url"), "left_anti")
-    } else polite.join(seen, Seq("url"), "left_anti")
+    val pol = if (batchSmall) { val p = polite.localCheckpoint(); cps += p; p }
+              else polite
+    val (fresh, _, seenCps) = BatchLedger.gatedAntiSemi(
+      pol, seen, pol.select("url"), Seq("url"), batchSmall)
+    cps ++= seenCps
     // materialize the result, then drop this batch's checkpoint blocks —
     // a long-running stream must not accumulate them (the caller
     // unpersists the RETURNED frame when done, the processBatch contract)
@@ -555,7 +552,8 @@ object StreamingCrawl {
           .agg(sum("reserved_ms").cast("long").as("reserved_ms")))
     // the frontier hop-depth ledger (present only when [[attach]] ran
     // with frontierDir): min-per-url fold — a url's depth is the
-    // SHALLOWEST chain that ever discovered it
+    // SHALLOWEST chain that ever ENQUEUED it (budget-dropped
+    // discoveries don't record; see the [[linkFrontier]] note)
     val hops = new org.apache.hadoop.fs.Path(s"$ledgerDir/hops")
     if (fs.exists(hops) || BatchLedger.pointer(ledgerDir, HopsPointerKey).isDefined)
       BatchLedger.compact(spark, ledgerDir, "hops", HopsPointerKey, belowBatch,
@@ -614,10 +612,13 @@ object StreamingCrawl {
           val (front, frontCps) = if (!discoverLinks) (redir, Seq(redir)) else {
             val adm = o.filter(col("outcome") === "admitted")
               .select(col(idCol), col("canonical")).localCheckpoint()
-            // same 2M gate as every batch-side broadcast in this file:
-            // a backfill batch's admitted set can exceed what a driver
-            // can collect — past the gate the plain join is the floor
-            val admGate = if (adm.count() <= 2000000L) broadcast(adm) else adm
+            // same byte-aware gate as every batch-side broadcast in
+            // this file: a backfill batch's admitted set can exceed
+            // what a driver can collect — past the gate the plain
+            // join is the floor
+            val admGate =
+              if (BatchLedger.broadcastable(adm, Seq(idCol, "canonical")))
+                broadcast(adm) else adm
             val admPages = batch.join(admGate, Seq(idCol))
             val html = graft.operators.TextOps
               .decodeCharset(admPages, blobCol, "_cs", "_html")

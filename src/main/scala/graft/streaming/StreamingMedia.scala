@@ -54,8 +54,14 @@ object StreamingMedia {
       .filter(col("format") === "wav" &&
         col("n_frames") >= minAudioFrames && col("sample_rate") >= minAudioRate)
       .select(col("media_id"), col("sample_rate"), col("n_frames"))
-    def blobsFor(ids: DataFrame) =
-      b.join(broadcast(ids.select(col("media_id").as(idCol))), Seq(idCol), "left_semi")
+    // id frames are batch-kept-sized — usually tiny, but a backfill
+    // batch can be arbitrarily large, so the id broadcasts take the
+    // row gate (8-byte ids; counts scan the checkpointed meta)
+    val blobGate = imgKept.count() + audKept.count() <= BatchLedger.MaxBroadcastRows
+    def blobsFor(ids: DataFrame) = {
+      val sel = ids.select(col("media_id").as(idCol))
+      b.join(if (blobGate) broadcast(sel) else sel, Seq(idCol), "left_semi")
+    }
     val keys = Multimodal.dHash64(blobsFor(imgKept), idCol, blobCol)
       .select(col("media_id"), concat(lit("img:"), col("dhash").cast("string")).as("key"))
       .unionByName(Multimodal.pcmKey(blobsFor(audKept), idCol, blobCol)
@@ -65,13 +71,23 @@ object StreamingMedia {
     val winners = keys.groupBy("key")
       .agg(min("media_id").as("media_id"),
         count(lit(1)).cast("long").as("batch_copies"))
-    // cross-batch: the stored ledger rejects keys any earlier batch admitted
+      .localCheckpoint()
+    // cross-batch: the stored ledger rejects keys any earlier batch
+    // admitted. The key ledger is CORPUS-sized, so admission takes the
+    // [[BatchLedger.gatedAntiSemi]] discipline: the batch's winner keys
+    // broadcast INTO the ledger scan (zero per-batch ledger shuffle —
+    // the old direct anti-join sort-merged the whole ledger every
+    // batch), with the big-big SMJ floor past the byte-aware gate.
+    // Ledger keys are unique by construction (a key admits once), so
+    // the old `.distinct()` on the ledger side was a spent shuffle.
     val prior = StreamingDedup.readBatchedOr(spark, s"$ledgerDir/keys",
       belowBatch = Some(batchId), {
         import spark.implicits._
         Seq.empty[(String, Long)].toDF("key", "media_id")
       })
-    val admitted = winners.join(prior.select("key").distinct(), Seq("key"), "left_anti")
+    val keyGate = BatchLedger.broadcastable(winners, Seq("key", "media_id"))
+    val (admitted, _, ledgerCps) = BatchLedger.gatedAntiSemi(
+      winners, prior.select("key"), winners.select("key"), Seq("key"), keyGate)
     // append the admitted keys (idempotent per batch: own-partition overwrite)
     admitted.select(col("key"), col("media_id")).withColumn("batch", lit(batchId))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$ledgerDir/keys")
@@ -86,7 +102,7 @@ object StreamingMedia {
           lit(null).cast("int").as("height"),
           col("sample_rate"), col("n_frames").cast("long").as("n_frames")))
       .localCheckpoint()
-    Seq(b, meta, keys).foreach(_.unpersist(blocking = false))
+    (Seq(b, meta, keys, winners) ++ ledgerCps).foreach(_.unpersist(blocking = false))
     manifest
   }
 
@@ -103,8 +119,10 @@ object StreamingMedia {
   def writeShards(batch: DataFrame, manifest: DataFrame, batchId: Long,
                   idCol: String, blobCol: String, shardDir: String,
                   nShards: Int = 4): Unit = {
+    val ids = manifest.select(col("media_id").as(idCol))
+    val idGate = manifest.count() <= BatchLedger.MaxBroadcastRows
     val admitted = batch
-      .join(broadcast(manifest.select(col("media_id").as(idCol))), Seq(idCol), "left_semi")
+      .join(if (idGate) broadcast(ids) else ids, Seq(idCol), "left_semi")
       .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
     graft.operators.Sharding.packTarShards(admitted, "shard", idCol, blobCol)
       .withColumn("batch", lit(batchId))

@@ -42,9 +42,14 @@ object StreamingPrefixDedup {
     // every pair involving this batch, against index state < batchId
     val pairs = Dedup.incrementalPrefixPairs(batch, idCol, tokensCol, indexDir,
       belowBatch = Some(batchId)).localCheckpoint()
-    // classify each pair end: in this batch, or stored?
-    val flags = broadcast(batch.select(col(idCol).cast("long").as("_fid"))
-      .withColumn("_in", lit(true)))
+    // classify each pair end: in this batch, or stored? The flag frame
+    // is batch-sized (8-byte ids) — usually tiny, but a backfill batch
+    // can be arbitrarily large, so the broadcast takes the same
+    // admission gate as every batch-side broadcast ([[BatchLedger]]);
+    // past it the shuffle join is the floor.
+    val ids = batch.select(col(idCol).cast("long").as("_fid"))
+      .withColumn("_in", lit(true)).localCheckpoint()
+    val flags = if (ids.count() <= BatchLedger.MaxBroadcastRows) broadcast(ids) else ids
     val tagged = pairs
       .join(flags.select(col("_fid").as("id_a"), col("_in").as("_a")), Seq("id_a"), "left_outer")
       .join(flags.select(col("_fid").as("id_b"), col("_in").as("_b")), Seq("id_b"), "left_outer")
@@ -63,7 +68,7 @@ object StreamingPrefixDedup {
       .localCheckpoint()
     // (3) fold survivors into the index (idempotent: own partition)
     Dedup.prefixIndexAppend(survivors, idCol, tokensCol, indexDir, batchId)
-    pairs.unpersist(blocking = false)
+    Seq(pairs, ids).foreach(_.unpersist(blocking = false))
     survivors
   }
 

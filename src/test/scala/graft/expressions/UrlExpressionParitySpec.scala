@@ -12,9 +12,25 @@ import org.apache.spark.sql.functions._
   * garbage, empty and null fields. The native impls claim parity BY
   * CONSTRUCTION (same cached Java regex, same UTF-8-byte sort); this
   * spec is the direct instrument for that claim, independent of the
-  * oracle suite (whose fixtures are clean by design). */
+  * oracle suite (whose fixtures are clean by design).
+  *
+  * Locale caveat: the native impl lowercases with Locale.ROOT, while
+  * the replaced chain's lower() falls back to DEFAULT-locale
+  * String.toLowerCase for non-ASCII — a deliberate divergence (hosts
+  * must lowercase locale-independently; Turkish dotted-I is the classic
+  * failure). Parity therefore holds only under a locale whose ASCII
+  * case mapping is standard, which the guard below pins: if this suite
+  * ever runs under tr/az (where 'I'.toLower ≠ 'i'), it fails loudly
+  * here instead of mysteriously in the fuzz comparison. */
 class UrlExpressionParitySpec extends SparkSpec {
   import spark.implicits._
+
+  test("jvm default locale upholds the parity assumption (ROOT-equal ASCII case)") {
+    val tag = java.util.Locale.getDefault.getLanguage
+    assert("ITLI".toLowerCase == "itli",
+      s"default locale '$tag' breaks ASCII case folding; the old-chain vs " +
+        "native comparison below is only meaningful under a ROOT-like locale")
+  }
 
   /** The pre-round-14 urlCanonicalize column chain, verbatim. */
   private def oldCanon(url: Column): Column = {

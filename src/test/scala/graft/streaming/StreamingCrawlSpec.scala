@@ -389,6 +389,34 @@ class StreamingCrawlSpec extends SparkSpec {
       .agg(sum("n_records")).head.getLong(0) == 1L)
   }
 
+  test("same-batch admit + 304: the revisit resolves to the in-batch record") {
+    // a merged/replayed feed can carry a page's 200 admission and a 304
+    // confirmation for the SAME canonical in one micro-batch — the
+    // referent set is the prior ledger PLUS this batch's own
+    // admissions, so the revisit record must point at the record
+    // admitted moments earlier, not silently skip
+    import org.apache.spark.sql.types.IntegerType
+    val ledger = tmpDir("graft-scrawl-304same")
+    val shards = tmpDir("graft-scrawl-304same-sh")
+    val schema2 = schema
+      .add(StructField("status", IntegerType, nullable = true))
+      .add(StructField("location", StringType, nullable = true))
+    def df2(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema2)
+    val m0 = StreamingCrawl.processBatch(
+      df2(Seq(Row(1L, "http://a.org/page", page("v1"), 200, null),
+        Row(2L, "HTTP://A.ORG/page", page(""), 304, null))),
+      0L, "id", "url", "blob", rules, "graftbot", ledger, Some(shards),
+      statusCol = Some("status"), locationCol = Some("location"))
+    assert(outcomes(m0) == Map(1L -> "admitted", 2L -> "not_modified"))
+    m0.unpersist(false)
+    val revs = spark.read.parquet(s"$shards/revisits").select("warc").collect()
+      .flatMap(r => graft.codec.WarcCodec.parse(r.getAs[Array[Byte]](0)).get)
+    assert(revs.length == 1)
+    assert(revs.head.extras.contains("WARC-Refers-To" -> "<urn:graft:000000000001>"),
+      "the 304 refers to the record its OWN batch admitted")
+  }
+
   test("redirect frontier is robots-polite: disallowed targets never enter") {
     import spark.implicits._
     import org.apache.spark.sql.types.IntegerType

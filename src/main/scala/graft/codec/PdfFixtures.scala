@@ -1,0 +1,298 @@
+package graft.codec
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+/** Deterministic PDF builders for the [[PdfCodec]] oracle and fuzz
+  * suites — the [[MediaFixtures]] doctrine applied to documents: every
+  * byte of the emitted file is a pure function of the inputs, and the
+  * TEXT the extractor must recover is seed arithmetic the DuckDB
+  * oracle replays blind to the compressed bytes.
+  *
+  * Shapes covered (each one a distinct wire feature the extractor
+  * claims): classic xref tables; xref STREAMS + object streams (the
+  * PDF 1.5 layout, with and without the PNG Up predictor);
+  * FlateDecode (plain name and one-element /Filter array), raw
+  * streams, indirect /Length; literal strings with octal/paren
+  * escapes, hex strings; Tj / ' / TJ-with-kerning / Td / T* layout;
+  * WinAnsiEncoding and Type0 fonts with a /ToUnicode CMap (bfchar +
+  * bfrange). */
+object PdfFixtures {
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Escape a WinAnsi text for a literal string; `octal` forces the
+    * high bytes through \ddd escapes (a wire feature to exercise). */
+  def lit(text: String, octal: Boolean = false): String = {
+    val sb = new StringBuilder
+    text.foreach { c =>
+      val b = PdfCodec.WinAnsi.indexOf(c) match {
+        case -1 => '?'.toInt
+        case i => i
+      }
+      if (c == '(' || c == ')' || c == '\\') sb.append('\\').append(c)
+      else if (b >= 127 || octal && b > 'z') sb.append(f"\\${b.toOctalString}%s")
+      else sb.append(b.toChar)
+    }
+    sb.toString
+  }
+
+  /** One page of content ops plus which font resource it uses. */
+  final case class Page(content: String, font: String = "/F1")
+
+  /** A font resource: WinAnsi Type1, or Type0 with a ToUnicode CMap
+    * built from `cidText`'s distinct chars (codes assigned in char
+    * order starting at 1; digits additionally covered by one bfrange
+    * so both CMap block forms are on the wire). */
+  sealed trait Font
+  case object WinAnsiType1 extends Font
+  final case class CidFont(cidText: String) extends Font
+
+  /** Map a text to its 2-byte CID hex string under [[CidFont]]'s
+    * code assignment (the content-stream side of the CMap). */
+  def cidHex(cidText: String, show: String): String = {
+    val codes = cidCodes(cidText)
+    show.map(c => f"${codes(c)}%04X").mkString
+  }
+
+  private def cidCodes(cidText: String): Map[Char, Int] = {
+    // digits ride the bfrange at 0x30..0x39; everything else gets
+    // sequential bfchar codes from 0x0100
+    val others = cidText.filterNot(_.isDigit).distinct.sorted
+    others.zipWithIndex.map { case (c, i) => c -> (0x0100 + i) }.toMap ++
+      (0 to 9).map(d => ('0' + d).toChar -> (0x30 + d))
+  }
+
+  private def toUnicodeCMap(cidText: String): String = {
+    val codes = cidCodes(cidText).toSeq.filterNot(_._1.isDigit).sortBy(_._2)
+    val chars = codes.map { case (c, code) =>
+      f"<$code%04X> <${c.toInt}%04X>"
+    }.mkString("\n")
+    s"""/CIDInit /ProcSet findresource begin
+       |12 dict begin
+       |begincmap
+       |1 begincodespacerange
+       |<0000> <FFFF>
+       |endcodespacerange
+       |${codes.size} beginbfchar
+       |$chars
+       |endbfchar
+       |1 beginbfrange
+       |<0030> <0039> <0030>
+       |endbfrange
+       |endcmap
+       |CMap defined
+       |end end""".stripMargin
+  }
+
+  /** Build a complete PDF. `compress` flate-encodes content streams;
+    * `filterArray` writes `/Filter [/FlateDecode]` instead of the bare
+    * name; `indirectLength` routes /Length through a separate integer
+    * object; `xrefStream` emits the PDF 1.5 layout — non-stream
+    * objects packed into ONE object stream, the xref itself a binary
+    * /Type /XRef stream (PNG Up predictor when `predictor`). */
+  def pdf(pages: Seq[Page], font: Font = WinAnsiType1,
+          compress: Boolean = true, filterArray: Boolean = false,
+          indirectLength: Boolean = false, xrefStream: Boolean = false,
+          predictor: Boolean = false): Array[Byte] = {
+    // object numbering: 1 catalog, 2 pages-root, then per page (page,
+    // contents[, length]), then font[, cmap][, objstm, xref]
+    var next = 3
+    def take(): Int = { val n = next; next += 1; n }
+    val pageNums = pages.map(_ => take())
+    val contentNums = pages.map(_ => take())
+    val lengthNums = if (indirectLength) pages.map(_ => take()) else Seq.empty
+    val fontNum = take()
+    val cmapNum = font match { case CidFont(_) => take(); case _ => -1 }
+
+    val filter = if (filterArray) "[ /FlateDecode ]" else "/FlateDecode"
+    def contentObj(i: Int): (String, Array[Byte]) = {
+      val raw = bytes(pages(i).content)
+      val data = if (compress) deflate(raw) else raw
+      val lenPart =
+        if (indirectLength) s"/Length ${lengthNums(i)} 0 R"
+        else s"/Length ${data.length}"
+      val filtPart = if (compress) s" /Filter $filter" else ""
+      (s"<< $lenPart$filtPart >>", data)
+    }
+
+    val fontBody = font match {
+      case WinAnsiType1 =>
+        s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+      case CidFont(_) =>
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /Graft /Encoding /Identity-H /ToUnicode $cmapNum 0 R >>"
+    }
+
+    // serialize every object body (streams as (dict, data))
+    val objs = scala.collection.mutable.LinkedHashMap[Int, Either[String, (String, Array[Byte])]]()
+    objs(1) = Left(s"<< /Type /Catalog /Pages 2 0 R >>")
+    objs(2) = Left(s"<< /Type /Pages /Kids [ ${pageNums.map(n => s"$n 0 R").mkString(" ")} ] /Count ${pages.length} >>")
+    pages.indices.foreach { i =>
+      objs(pageNums(i)) = Left(
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] " +
+          s"/Resources << /Font << ${pages(i).font} $fontNum 0 R >> >> " +
+          s"/Contents ${contentNums(i)} 0 R >>")
+      val (cd, data) = contentObj(i)
+      objs(contentNums(i)) = Right((cd, data))
+      if (indirectLength) objs(lengthNums(i)) = Left(s"${data.length}")
+    }
+    objs(fontNum) = Left(fontBody)
+    font match {
+      case CidFont(t) =>
+        val cm = bytes(toUnicodeCMap(t))
+        val cz = deflate(cm)
+        objs(cmapNum) = Right((s"<< /Length ${cz.length} /Filter /FlateDecode >>", cz))
+      case _ =>
+    }
+
+    val out = new ByteArrayOutputStream()
+    out.write(bytes("%PDF-1.5\n%âãÏÓ\n"))
+    val offsets = scala.collection.mutable.HashMap[Int, Int]()
+
+    def writeObj(num: Int, body: Either[String, (String, Array[Byte])]): Unit = {
+      offsets(num) = out.size
+      body match {
+        case Left(s) => out.write(bytes(s"$num 0 obj\n$s\nendobj\n"))
+        case Right((d, data)) =>
+          out.write(bytes(s"$num 0 obj\n$d\nstream\n"))
+          out.write(data)
+          out.write(bytes("\nendstream\nendobj\n"))
+      }
+    }
+
+    if (!xrefStream) {
+      objs.foreach { case (n, b) => writeObj(n, b) }
+      val xrefOff = out.size
+      val maxNum = objs.keys.max
+      out.write(bytes(s"xref\n0 ${maxNum + 1}\n"))
+      out.write(bytes(f"${0}%010d 65535 f \n"))
+      (1 to maxNum).foreach { n =>
+        val off = offsets.getOrElse(n, 0)
+        out.write(bytes(f"$off%010d 00000 n \n"))
+      }
+      out.write(bytes(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"))
+    } else {
+      // PDF 1.5: pack the NON-stream objects into one ObjStm; streams
+      // stay top-level; xref is a /Type /XRef stream
+      val objStmNum = take()
+      val xrefNum = take()
+      val packed = objs.collect { case (n, Left(s)) => (n, s) }.toSeq
+      val streams = objs.collect { case (n, Right(v)) => (n, v) }.toSeq
+      val bodyBuf = new StringBuilder
+      val headBuf = new StringBuilder
+      packed.foreach { case (n, s) =>
+        headBuf.append(s"$n ${bodyBuf.length} ")
+        bodyBuf.append(s).append('\n')
+      }
+      val stmPayload = bytes(headBuf.toString + bodyBuf.toString)
+      val first = headBuf.length
+      val zz = deflate(stmPayload)
+      // top-level streams first (content/cmap), then the objstm
+      streams.foreach { case (n, v) => writeObj(n, Right(v)) }
+      writeObj(objStmNum, Right((
+        s"<< /Type /ObjStm /N ${packed.length} /First $first /Length ${zz.length} /Filter /FlateDecode >>",
+        zz)))
+      // xref stream: W [1 2 2]; entries for 0..xrefNum
+      val xrefOff = out.size
+      val maxNum = xrefNum
+      val rowLen = 5
+      val rows = new ByteArrayOutputStream()
+      def row(t: Int, f2: Int, f3: Int): Array[Byte] =
+        Array(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+          ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+      val packedIdx = packed.zipWithIndex.map { case ((n, _), i) => n -> i }.toMap
+      (0 to maxNum).foreach { n =>
+        val r =
+          if (n == 0) row(0, 0, 65535)
+          else if (packedIdx.contains(n)) row(2, objStmNum, packedIdx(n))
+          else if (offsets.contains(n)) row(1, offsets(n), 0)
+          else if (n == xrefNum) row(1, xrefOff, 0)
+          else row(0, 0, 0)
+        rows.write(r)
+      }
+      val rawRows = rows.toByteArray
+      val (xd, parms) =
+        if (!predictor) (deflate(rawRows), "")
+        else {
+          // PNG Up predictor: filter byte 2 per row, deltas vs prior row
+          val nRows = rawRows.length / rowLen
+          val pred = new ByteArrayOutputStream()
+          var r = 0
+          while (r < nRows) {
+            pred.write(2)
+            var i = 0
+            while (i < rowLen) {
+              val cur = rawRows(r * rowLen + i) & 0xff
+              val up = if (r > 0) rawRows((r - 1) * rowLen + i) & 0xff else 0
+              pred.write((cur - up) & 0xff)
+              i += 1
+            }
+            r += 1
+          }
+          (deflate(pred.toByteArray),
+            s" /DecodeParms << /Predictor 12 /Columns $rowLen >>")
+        }
+      offsets(xrefNum) = xrefOff
+      out.write(bytes(
+        s"$xrefNum 0 obj\n<< /Type /XRef /Size ${maxNum + 1} /W [ 1 2 2 ] " +
+          s"/Root 1 0 R /Length ${xd.length} /Filter /FlateDecode$parms >>\nstream\n"))
+      out.write(xd)
+      out.write(bytes("\nendstream\nendobj\n"))
+      out.write(bytes(s"startxref\n$xrefOff\n%%EOF\n"))
+    }
+    out.toByteArray
+  }
+
+  /** The four-variant seed fixture the `web_pdf_extract` oracle
+    * replays: variant = id % 4 —
+    *   0: one page, Flate, literal string with octal + paren escapes
+    *      → "Doc <id> café résumé (ok)"
+    *   1: TWO pages, /Filter array + indirect /Length; TJ kerning
+    *      (−220/−150 space, −40 fuses) and the ' operator
+    *      → "Alpha beta gamma <id>\nkerned\nSecond\npage <id>"
+    *   2: one page, UNCOMPRESSED stream, hex string + T*
+    *      → "Hex row <id>\nnext line"
+    *   3: one page, PDF 1.5 xref stream + ObjStm + PNG predictor,
+    *      Type0 font with ToUnicode CMap → "Кириллица <id>"
+    */
+  def docPdf(id: Long): Array[Byte] = (id % 4) match {
+    case 0 =>
+      pdf(Seq(Page(
+        s"BT /F1 12 Tf 72 720 Td (${lit(s"Doc $id café résumé (ok)", octal = true)}) Tj ET")))
+    case 1 =>
+      pdf(Seq(
+        Page(s"BT /F1 11 Tf 50 700 Td [(Alpha) -220 (beta) -150 (gamma $id)] TJ " +
+          "0 -14 Td [(kern) -40 (ed)] TJ ET"),
+        Page(s"BT /F1 11 Tf 50 700 Td (Second) Tj (page $id) ' ET")),
+        filterArray = true, indirectLength = true)
+    case 2 =>
+      pdf(Seq(Page(
+        s"BT /F1 9 Tf 40 700 Td <48657820> Tj (row $id) Tj T* (next line) Tj ET")),
+        compress = false)
+    case _ =>
+      val text = s"Кириллица $id"
+      pdf(Seq(Page(s"BT /F2 10 Tf 60 710 Td <${cidHex(text, text)}> Tj ET", font = "/F2")),
+        font = CidFont(text), xrefStream = true, predictor = true)
+  }
+
+  /** The text [[docPdf]] must extract (pages joined with '\n') — the
+    * seed arithmetic the oracle rebuilds in SQL. */
+  def docText(id: Long): String = (id % 4) match {
+    case 0 => s"Doc $id café résumé (ok)"
+    case 1 => s"Alpha beta gamma $id\nkerned\nSecond\npage $id"
+    case 2 => s"Hex row $id\nnext line"
+    case _ => s"Кириллица $id"
+  }
+
+  def docPages(id: Long): Int = if (id % 4 == 1) 2 else 1
+}

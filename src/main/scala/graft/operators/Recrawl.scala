@@ -42,4 +42,94 @@ object Recrawl {
       .withColumn("interval_ms", interval.cast("long"))
       .withColumn("next_due_ms", (col("last_fetch") + col("interval_ms")).cast("long"))
   }
+
+  /** Sitemap `changefreq` → nominal cadence in ms (the sitemaps.org
+    * vocabulary). `always` means "as fast as politeness allows" (the
+    * scheduler's own floor); `never` maps to 4× the cap so the derived
+    * declared window pins the interval AT the cap. */
+  def freqMs(minMs: Long, maxMs: Long): Map[String, Long] = Map(
+    "always" -> minMs,
+    "hourly" -> 3600000L,
+    "daily" -> 86400000L,
+    "weekly" -> 604800000L,
+    "monthly" -> 2592000000L,
+    "yearly" -> 31536000000L,
+    "never" -> maxMs * 4)
+
+  /** [[schedule]] blended with DECLARED sitemap hints — the two
+    * signals a real recrawl planner holds: the site's `changefreq` /
+    * `priority` declaration bounds the interval, the observed change
+    * history adapts within that window.
+    *
+    * `hints` columns: `(url, changefreq, pri10)` — changefreq a
+    * sitemaps.org keyword (unknown/null ⇒ unhinted), pri10 the
+    * priority in integer TENTHS (0..10; null ⇒ 5, the sitemaps.org
+    * default) so the whole blend stays in exact integer arithmetic
+    * the oracle replays with floor division.
+    *
+    * Window per hinted URL, cadence c = freqMs(changefreq):
+    *   lo = max(minMs, min(maxMs, c / 4))
+    *   hi = max(lo, (min(maxMs, c * 4) * 10) / (pri10 + 5))
+    * — a page may come due 4× faster or 4× slower than declared
+    * (declarations lie, observations correct them), and priority
+    * scales the slack: priority 1.0 tightens the ceiling to ~2/3,
+    * priority 0.0 doubles it. `interval = clamp(adaptive, lo, hi)`;
+    * unhinted URLs keep the pure adaptive interval. Output adds the
+    * `changefreq` column (null ⇒ unhinted) to the [[schedule]] shape. */
+  def scheduleWithHints(history: DataFrame, urlCol: String, seqCol: String,
+                        changedCol: String, hints: DataFrame,
+                        baseMs: Long = 1000L, minMs: Long = 500L,
+                        maxMs: Long = 86400000L): DataFrame = {
+    val sched = schedule(history, urlCol, seqCol, changedCol, baseMs, minMs, maxMs)
+    val fm = freqMs(minMs, maxMs)
+    val h = hints.select(col("url"),
+      col("changefreq").cast("string").as("changefreq"),
+      coalesce(col("pri10").cast("long"), lit(5L)).as("_pri"))
+    val cadence = fm.foldLeft(lit(null).cast("long")) { case (acc, (k, v)) =>
+      when(col("changefreq") === k, lit(v)).otherwise(acc)
+    }
+    sched.join(h, Seq("url"), "left_outer")
+      .withColumn("_c", cadence)
+      // unknown keyword ⇒ unhinted: surface the null so the output says so
+      .withColumn("changefreq", when(col("_c").isNull, lit(null).cast("string"))
+        .otherwise(col("changefreq")))
+      .withColumn("_lo", when(col("_c").isNull, lit(minMs))
+        .otherwise(greatest(lit(minMs), least(lit(maxMs), floor(col("_c") / 4)))))
+      .withColumn("_hi", when(col("_c").isNull, lit(maxMs))
+        .otherwise(greatest(col("_lo"),
+          floor(least(lit(maxMs), col("_c") * 4) * 10 / (col("_pri") + 5)))))
+      .withColumn("interval_ms",
+        greatest(col("_lo"), least(col("_hi"), col("interval_ms"))).cast("long"))
+      .withColumn("next_due_ms", (col("last_fetch") + col("interval_ms")).cast("long"))
+      .drop("_c", "_lo", "_hi", "_pri")
+  }
+
+  /** The REQUEST side of conditional fetching — the piece that makes a
+    * revisit cheap: join the due slice of a [[schedule]] with the
+    * stored validator ledger (ETag / Last-Modified captured at
+    * admission, [[graft.streaming.StreamingCrawl]]'s `validators/`
+    * sub-ledger) and emit per due URL the If-None-Match /
+    * If-Modified-Since headers the fetcher should send. A URL with
+    * either validator plans a `conditional` request (the server can
+    * answer 304 and the archive keeps a revisit record instead of
+    * bytes); a URL with neither plans `unconditional` — still due,
+    * just not discountable.
+    *
+    * `validators` columns: `(url, etag, last_modified)`, both value
+    * columns nullable. Scale: the due slice is revisit-window-sized
+    * while the validator ledger is corpus-sized — the streaming loop
+    * reads the ledger through the gated-probe discipline
+    * ([[graft.streaming.BatchLedger.gatedProbe]]); this batch operator
+    * states the join declaratively and lets AQE pick the build side. */
+  def conditionalPlan(schedule: DataFrame, validators: DataFrame,
+                      nowMs: Long): DataFrame = {
+    val due = schedule.filter(col("next_due_ms") <= nowMs)
+    val v = validators.select(col("url"), col("etag"), col("last_modified"))
+    due.join(v, Seq("url"), "left_outer")
+      .select(col("url"), col("next_due_ms"),
+        when(col("etag").isNotNull || col("last_modified").isNotNull,
+          "conditional").otherwise("unconditional").as("mode"),
+        col("etag").as("if_none_match"),
+        col("last_modified").as("if_modified_since"))
+  }
 }

@@ -1807,41 +1807,130 @@ object WebQueries {
           .orderBy("domain", "url")
     },
 
-    // ── Adaptive RECRAWL schedule — the policy side of conditional
-    //    fetching: per URL, the observed change history (six fetches,
-    //    changed on an arithmetic pattern that varies by doc) sizes
-    //    the next revisit interval inversely to the smoothed change
-    //    rate, clamped to [min, max] — frequently-changing pages come
-    //    due soon, static pages back off to the cap. One partial-agg
-    //    groupBy; the oracle replays the floor-division arithmetic
-    //    exactly. ──
+    // ── Adaptive RECRAWL schedule, blended with DECLARED sitemap
+    //    hints — the two signals a real planner holds: the observed
+    //    change history (six fetches, changed on an arithmetic
+    //    pattern) sizes the interval inversely to the smoothed change
+    //    rate; where the site DECLARED a cadence (docs ≡ 0 mod 3 carry
+    //    changefreq by doc%5 — hourly/daily/weekly/always/never — and
+    //    priority doc%11 tenths), the declared window BOUNDS it:
+    //    lo = c/4, hi = (min(cap, 4c)·10)/(pri+5), observations adapt
+    //    within. Every branch is live in the fixture: hourly/daily
+    //    floors bind, weekly/never pin at the cap, `always` leaves the
+    //    adaptive value under a priority-scaled ceiling, and unhinted
+    //    docs keep the pure adaptive interval. Integer floor-division
+    //    arithmetic end to end — the oracle replays it exactly. ──
     QueryDef.sql(
       "web_recrawl_schedule",
       """WITH h AS (SELECT doc_id,
         |    'http://d' || (doc_id % 50) || '.example.com/p' || doc_id AS url,
         |    unnest(range(6)) AS seq FROM documents),
-        |c AS (SELECT url, seq * 3600000 AS ts,
+        |c AS (SELECT doc_id, url, seq * 3600000 AS ts,
         |    CASE WHEN ((seq + 1) * (doc_id % 7 + 2)) % 3 = 0 THEN 1 ELSE 0 END AS ch
         |  FROM h),
-        |g AS (SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+        |g AS (SELECT url, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_obs,
         |    CAST(sum(ch) AS BIGINT) AS n_changed,
-        |    CAST(max(ts) AS BIGINT) AS last_fetch FROM c GROUP BY url)
-        |SELECT url, n_obs, n_changed, last_fetch,
-        |  CAST(least(86400000, greatest(500,
-        |    1000 * n_obs * 2 // (n_changed * 2 + 1))) AS BIGINT) AS interval_ms,
-        |  CAST(last_fetch + least(86400000, greatest(500,
-        |    1000 * n_obs * 2 // (n_changed * 2 + 1))) AS BIGINT) AS next_due_ms
-        |FROM g ORDER BY url""".stripMargin) {
+        |    CAST(max(ts) AS BIGINT) AS last_fetch FROM c GROUP BY url),
+        |a AS (SELECT url, doc_id, n_obs, n_changed, last_fetch,
+        |    least(86400000, greatest(500,
+        |      1000 * n_obs * 2 // (n_changed * 2 + 1))) AS ai,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      CASE doc_id % 5 WHEN 0 THEN 'hourly' WHEN 1 THEN 'daily'
+        |        WHEN 2 THEN 'weekly' WHEN 3 THEN 'always' ELSE 'never' END
+        |    END AS changefreq,
+        |    doc_id % 11 AS pri FROM g),
+        |b AS (SELECT *, CASE changefreq WHEN 'always' THEN 500
+        |    WHEN 'hourly' THEN 3600000 WHEN 'daily' THEN 86400000
+        |    WHEN 'weekly' THEN 604800000 WHEN 'never' THEN 345600000000 END AS cd
+        |  FROM a),
+        |w AS (SELECT *,
+        |    CASE WHEN cd IS NULL THEN 500
+        |      ELSE greatest(500, least(86400000, cd // 4)) END AS lo
+        |  FROM b),
+        |x AS (SELECT *,
+        |    CASE WHEN cd IS NULL THEN 86400000
+        |      ELSE greatest(lo, least(86400000, cd * 4) * 10 // (pri + 5)) END AS hi
+        |  FROM w),
+        |f AS (SELECT url, n_obs, n_changed, last_fetch, changefreq,
+        |    greatest(lo, least(hi, ai)) AS iv FROM x)
+        |SELECT url, n_obs, n_changed, last_fetch, changefreq,
+        |  CAST(iv AS BIGINT) AS interval_ms,
+        |  CAST(last_fetch + iv AS BIGINT) AS next_due_ms
+        |FROM f ORDER BY url""".stripMargin) {
       (s, d) =>
+        val url = concat(lit("http://d"), pmod(col("doc_id"), lit(50)),
+          lit(".example.com/p"), col("doc_id"))
         val history = Tables.documents(s, d)
-          .select(col("doc_id"),
-            concat(lit("http://d"), pmod(col("doc_id"), lit(50)),
-              lit(".example.com/p"), col("doc_id")).as("url"))
+          .select(col("doc_id"), url.as("url"))
           .withColumn("seq", explode(sequence(lit(0), lit(5))))
           .select(col("url"), (col("seq") * 3600000L).as("ts"),
             (((col("seq") + 1) * (pmod(col("doc_id"), lit(7)) + 2)) % 3 === 0)
               .as("changed"))
-        graft.operators.Recrawl.schedule(history, "url", "ts", "changed")
+        val hints = Tables.documents(s, d)
+          .select(url.as("url"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              element_at(
+                array(lit("hourly"), lit("daily"), lit("weekly"),
+                  lit("always"), lit("never")),
+                (pmod(col("doc_id"), lit(5)) + 1).cast("int"))).as("changefreq"),
+            pmod(col("doc_id"), lit(11)).as("pri10"))
+        graft.operators.Recrawl
+          .scheduleWithHints(history, "url", "ts", "changed", hints)
+          .select(col("url"), col("n_obs"), col("n_changed"), col("last_fetch"),
+            col("changefreq"), col("interval_ms"), col("next_due_ms"))
+          .orderBy("url")
+    },
+
+    // ── CONDITIONAL-FETCH request plan — the client half of the 304
+    //    machinery, closing the loop the revisit records started: the
+    //    revisit schedule's DUE slice joins the validator ledger
+    //    (ETag / Last-Modified captured at admission) and emits the
+    //    If-None-Match / If-Modified-Since headers per URL — a URL
+    //    with either validator plans a `conditional` request the
+    //    server can answer 304; one with neither stays
+    //    `unconditional`. Fixture: the web_recrawl_schedule history
+    //    (so dueness discriminates on the smoothed change rate) plus
+    //    arithmetic validators — etag on doc % 3 != 0, last-modified
+    //    on even docs — and now = 18003000 ms cuts due at
+    //    interval ≤ 3000 (n_changed ≥ 2). The oracle replays history,
+    //    clamp arithmetic, due cut, and both validator branches. ──
+    QueryDef.sql(
+      "web_conditional_fetch",
+      """WITH h AS (SELECT doc_id,
+        |    'http://d' || (doc_id % 50) || '.example.com/p' || doc_id AS url,
+        |    unnest(range(6)) AS seq FROM documents),
+        |c AS (SELECT doc_id, url, seq * 3600000 AS ts,
+        |    CASE WHEN ((seq + 1) * (doc_id % 7 + 2)) % 3 = 0 THEN 1 ELSE 0 END AS ch
+        |  FROM h),
+        |g AS (SELECT url, min(doc_id) AS doc_id, count(*) AS n_obs,
+        |    sum(ch) AS n_changed, max(ts) AS last_fetch FROM c GROUP BY url),
+        |s AS (SELECT url, doc_id, last_fetch,
+        |    least(86400000, greatest(500, 1000 * n_obs * 2 // (n_changed * 2 + 1))) AS iv
+        |  FROM g)
+        |SELECT url, CAST(last_fetch + iv AS BIGINT) AS next_due_ms,
+        |  CASE WHEN doc_id % 3 != 0 OR doc_id % 2 = 0
+        |       THEN 'conditional' ELSE 'unconditional' END AS mode,
+        |  CASE WHEN doc_id % 3 != 0 THEN '"e-' || doc_id || '"' END AS if_none_match,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'lm-' || doc_id END AS if_modified_since
+        |FROM s WHERE last_fetch + iv <= 18003000
+        |ORDER BY url""".stripMargin) {
+      (s, d) =>
+        val url = concat(lit("http://d"), pmod(col("doc_id"), lit(50)),
+          lit(".example.com/p"), col("doc_id"))
+        val history = Tables.documents(s, d)
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("seq", explode(sequence(lit(0), lit(5))))
+          .select(col("url"), (col("seq") * 3600000L).as("ts"),
+            (((col("seq") + 1) * (pmod(col("doc_id"), lit(7)) + 2)) % 3 === 0)
+              .as("changed"))
+        val validators = Tables.documents(s, d)
+          .select(url.as("url"),
+            when(pmod(col("doc_id"), lit(3)) =!= 0,
+              concat(lit("\"e-"), col("doc_id"), lit("\""))).as("etag"),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              concat(lit("lm-"), col("doc_id"))).as("last_modified"))
+        val sched = graft.operators.Recrawl.schedule(history, "url", "ts", "changed")
+        graft.operators.Recrawl.conditionalPlan(sched, validators, nowMs = 18003000L)
           .orderBy("url")
     },
 
@@ -2308,6 +2397,111 @@ object WebQueries {
           .agg(min("doc_id").cast("long").as("keeper_id"),
             count(lit(1)).cast("long").as("n_dups"))
           .orderBy("ckey")
+    },
+
+    // ── PDF TEXT EXTRACTION — the document-format front gate: a real
+    //    crawl's payload mix is full of application/pdf, and until now
+    //    those blobs could only quarantine. [[graft.codec.PdfCodec]]
+    //    is a bounded ISO 32000-1 extractor (xref tables AND 1.5 xref
+    //    streams/ObjStm, FlateDecode via java.util.zip, BT/ET +
+    //    Tj/'/TJ text operators, WinAnsi + ToUnicode CMaps,
+    //    never-throw on hostile bytes). The fixture
+    //    ([[graft.codec.PdfFixtures.docPdf]]) wraps seed-arithmetic
+    //    text in four wire shapes — flate+octal escapes; two pages
+    //    with /Filter array, indirect /Length, TJ kerning and the '
+    //    operator; uncompressed+hex strings+T*; xref stream + object
+    //    stream + PNG predictor + Type0/ToUnicode — so the oracle
+    //    replays the expected text blind to the compressed bytes: the
+    //    PDF wrapping cancels exactly iff the extractor is correct.
+    //    Scale: pure per-row CPU on mapPartitions riding the scan
+    //    (the adjudicated heavy-decoder shape), no shuffle. ──
+    QueryDef.sql(
+      "web_pdf_extract",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS INT) AS n_pages,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5
+        |FROM (SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'Doc ' || doc_id || ' café résumé (ok)'
+        |    WHEN 1 THEN 'Alpha beta gamma ' || doc_id || chr(10) || 'kerned' ||
+        |      chr(10) || 'Second' || chr(10) || 'page ' || doc_id
+        |    WHEN 2 THEN 'Hex row ' || doc_id || chr(10) || 'next line'
+        |    ELSE 'Кириллица ' || doc_id
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.PdfFixtures.docPdf(id))))
+          .toDF("doc_id", "payload")
+        graft.operators.Pdf.extractText(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("n_pages"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"))
+          .orderBy("doc_id")
+    },
+
+    // ── PDF + HTML FUNNEL — PDFs entering the text funnel NEXT TO
+    //    html, with observable drops: even docs carry a PDF payload
+    //    (every tenth of them a truncated header-only stub that must
+    //    fail extraction, not vanish), odd docs an HTML shell; the
+    //    magic-byte router splits the stream, each arm extracts with
+    //    its own gate (PdfCodec / htmlExtract), and the funnel reports
+    //    per kind: arrivals, successful extractions, recovered token
+    //    mass. The oracle replays all three classes arithmetically —
+    //    even/odd split, the %10 corrupt class, and the per-variant
+    //    token counts of the recovered text. ──
+    QueryDef.sql(
+      "web_pdf_funnel",
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
+        |  CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 6 THEN 0 ELSE 1 END != 0 AS ok,
+        |  CASE WHEN doc_id % 2 = 1 THEN 6
+        |       WHEN doc_id % 10 = 6 THEN 0
+        |       ELSE 5 END AS toks
+        |  FROM documents)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY kind ORDER BY kind""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            val blob =
+              if (id % 2 == 1)
+                s"<html><body><p>Doc $id html body words here</p></body></html>"
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              else if (id % 10 == 6)
+                // truncated header-only stub: classifies as pdf at the
+                // router, fails extraction at the gate — the funnel
+                // must COUNT it, not vanish it
+                "%PDF-1.5\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+              else graft.codec.PdfFixtures.docPdf(id)
+            (id, blob)
+          })
+          .toDF("doc_id", "payload")
+          .withColumn("kind", graft.operators.Pdf.sniffKind(col("payload")))
+        val pdfArm = graft.operators.Pdf.extractText(
+          payloads.filter(col("kind") === "pdf"), "doc_id", "payload")
+          .select(col("doc_id"), lit("pdf").as("kind"),
+            col("pdf_ok").as("ok"), col("text"))
+        val htmlArm = payloads.filter(col("kind") === "html")
+          .select(col("doc_id"), lit("html").as("kind"), lit(true).as("ok"),
+            TextOps.htmlExtract(col("payload").cast("string")).as("text"))
+        pdfArm.unionByName(htmlArm)
+          .withColumn("toks",
+            when(col("ok") && length(col("text")) > 0,
+              size(split(col("text"), "\\s+"))).otherwise(lit(0)).cast("long"))
+          .groupBy("kind")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("ok"), 1).otherwise(0)).cast("long").as("n_ok"),
+            sum(col("toks")).cast("long").as("sum_tokens"))
+          .orderBy("kind")
     },
   )
 }

@@ -87,7 +87,8 @@ object StreamingCrawl {
                    nShards: Int = 4, delays: Option[DataFrame] = None,
                    defaultDelayMs: Long = 1000L,
                    statusCol: Option[String] = None,
-                   locationCol: Option[String] = None): DataFrame = {
+                   locationCol: Option[String] = None,
+                   validatorCols: Option[(String, String)] = None): DataFrame = {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     import spark.implicits._
@@ -177,6 +178,25 @@ object StreamingCrawl {
     // append the admitted keys (idempotent per batch: own-partition overwrite)
     admitted.select(col("canonical"), col(idCol)).withColumn("batch", lit(batchId))
       .write.mode("overwrite").partitionBy("batch").parquet(s"$ledgerDir/seen")
+    // … and (with `validatorCols` = (etagCol, lastModifiedCol)) capture
+    // the response validators at admission into the `validators/`
+    // ledger — the stored half of conditional fetching:
+    // [[graft.operators.Recrawl.conditionalPlan]] joins the revisit
+    // schedule against these to emit If-None-Match/If-Modified-Since
+    // request headers, which is what makes a 304 revisit possible at
+    // all. Keys are canonicals (admit once ⇒ disjoint across batches,
+    // identity fold at [[compact]]); rows with NEITHER validator are
+    // not stored — they could never earn a 304. Same replay shape as
+    // every ledger here: the batch's own partition, overwritten.
+    validatorCols.foreach { case (ec, lc) =>
+      admitted.select(col("canonical"),
+          col(ec).cast("string").as("etag"),
+          col(lc).cast("string").as("last_modified"))
+        .filter(col("etag").isNotNull || col("last_modified").isNotNull)
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$ledgerDir/validators")
+    }
     // admitted pages land as WARC response shards, byte-identical on replay
     shardDir.foreach { sd =>
       Sharding.packWarcShards(
@@ -284,6 +304,21 @@ object StreamingCrawl {
   private[streaming] val SeenPointerKey = "crawl.seen.base"
   private[streaming] val HostsPointerKey = "crawl.hosts.base"
   private[streaming] val HopsPointerKey = "crawl.hops.base"
+  private[streaming] val ValidatorsPointerKey = "crawl.validators.base"
+
+  /** Read the stored validator ledger as `(url, etag, last_modified)`
+    * — the frame [[graft.operators.Recrawl.conditionalPlan]] takes.
+    * `belowBatch` follows the usual replay contract (a replayed batch
+    * must not see its own half-written attempt). */
+  def validators(spark: SparkSession, ledgerDir: String,
+                 belowBatch: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    BatchLedger.read(spark, ledgerDir, "validators", ValidatorsPointerKey,
+      belowBatch,
+      empty = Seq.empty[(String, String, String)]
+        .toDF("canonical", "etag", "last_modified"))
+      .select(col("canonical").as("url"), col("etag"), col("last_modified"))
+  }
 
   /** Close the redirect loop: turn a processed batch's `redirect`
     * outcome rows into the NEXT batch's frontier feed — `(url, hop)`
@@ -558,6 +593,14 @@ object StreamingCrawl {
     if (fs.exists(hops) || BatchLedger.pointer(ledgerDir, HopsPointerKey).isDefined)
       BatchLedger.compact(spark, ledgerDir, "hops", HopsPointerKey, belowBatch,
         absorb = df => df.groupBy("url").agg(min("hop").cast("int").as("hop")))
+    // the conditional-fetch validator ledger (present only when
+    // processBatch ran with validatorCols): canonicals admit once, so
+    // keys are disjoint across batches — identity fold, like seen
+    val vals = new org.apache.hadoop.fs.Path(s"$ledgerDir/validators")
+    if (fs.exists(vals) ||
+      BatchLedger.pointer(ledgerDir, ValidatorsPointerKey).isDefined)
+      BatchLedger.compact(spark, ledgerDir, "validators", ValidatorsPointerKey,
+        belowBatch)
   }
 
   /** Convenience wiring: every micro-batch's outcome rows land in
@@ -581,13 +624,14 @@ object StreamingCrawl {
              frontierDir: Option[String] = None,
              maxHops: Int = 5,
              discoverLinks: Boolean = false,
-             perHostBudget: Int = 100): StreamingQuery =
+             perHostBudget: Int = 100,
+             validatorCols: Option[(String, String)] = None): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val o = processBatch(batch, batchId, idCol, urlCol, blobCol, rules, agent,
           ledgerDir, shardDir, nShards, delays, defaultDelayMs,
-          statusCol, locationCol)
+          statusCol, locationCol, validatorCols)
         o.withColumn("batch", lit(batchId))
           .write.mode("overwrite").partitionBy("batch").parquet(outDir)
         frontierDir.foreach { fd =>

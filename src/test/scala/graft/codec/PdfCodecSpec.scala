@@ -1,0 +1,142 @@
+package graft.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[PdfCodec]] against the [[PdfFixtures]] wire shapes, pinned text
+  * per variant, structural edge cases (broken xref → scan fallback,
+  * cyclic page tree, lying /Length), and the never-throw fuzz sweep —
+  * 1000 truncation/bit-flip/splice cases over all four variants (the
+  * [[MediaHeaders]] hostile-input doctrine). No Spark session: the
+  * codec is pure bytes → text. */
+class PdfCodecSpec extends AnyFunSuite {
+
+  private def extractText(id: Long): Option[(Int, String)] =
+    PdfCodec.extract(PdfFixtures.docPdf(id)).map(d => (d.nPages, d.text))
+
+  test("variant 0: flate + literal octal/paren escapes + WinAnsi") {
+    assert(extractText(0).contains((1, "Doc 0 café résumé (ok)")))
+    assert(extractText(4).contains((1, "Doc 4 café résumé (ok)")))
+  }
+
+  test("variant 1: two pages, filter array, indirect length, TJ kerning, quote op") {
+    assert(extractText(1).contains(
+      (2, "Alpha beta gamma 1\nkerned\nSecond\npage 1")))
+    // kern −40 fuses, −150/−220 space — the rule's both sides
+    assert(extractText(5).exists(_._2.contains("kerned")))
+    assert(extractText(5).exists(_._2.contains("Alpha beta gamma 5")))
+  }
+
+  test("variant 2: uncompressed stream, hex string, T*") {
+    assert(extractText(2).contains((1, "Hex row 2\nnext line")))
+  }
+
+  test("variant 3: xref stream + ObjStm + PNG predictor + ToUnicode CMap") {
+    assert(extractText(3).contains((1, "Кириллица 3")))
+    assert(extractText(7).contains((1, "Кириллица 7")))
+  }
+
+  test("xref stream layout without predictor also parses") {
+    val text = "Проверка 42"
+    val b = PdfFixtures.pdf(
+      Seq(PdfFixtures.Page(
+        s"BT /F2 10 Tf 60 710 Td <${PdfFixtures.cidHex(text, text)}> Tj ET",
+        font = "/F2")),
+      font = PdfFixtures.CidFont(text), xrefStream = true, predictor = false)
+    assert(PdfCodec.extract(b).map(_.text).contains(text))
+  }
+
+  test("broken startxref falls back to the object scan") {
+    val good = PdfFixtures.docPdf(0)
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sx = s.lastIndexOf("startxref")
+    val broken = (s.substring(0, sx) + "startxref\n999999999\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfCodec.extract(broken).map(_.text).contains("Doc 0 café résumé (ok)"),
+      "scan fallback must recover a document whose xref pointer is rotten")
+  }
+
+  test("xref table wiped entirely still recovers via scan") {
+    val good = PdfFixtures.docPdf(2) // uncompressed variant
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val cut = s.indexOf("xref")
+    val trunc = s.substring(0, cut)
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfCodec.extract(trunc).map(_.text).contains("Hex row 2\nnext line"),
+      "objects before the truncation point are all the text needs")
+  }
+
+  test("lying /Length: endstream search recovers the stream") {
+    val good = PdfFixtures.docPdf(2)
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // inflate the declared length of the content stream absurdly
+    val lied = s.replaceFirst("/Length (\\d+)", "/Length 999999")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfCodec.extract(lied).map(_.text).contains("Hex row 2\nnext line"))
+  }
+
+  test("cyclic page tree terminates") {
+    // hand-build: pages node whose kid is itself
+    val body =
+      """%PDF-1.4
+        |1 0 obj
+        |<< /Type /Catalog /Pages 2 0 R >>
+        |endobj
+        |2 0 obj
+        |<< /Type /Pages /Kids [ 2 0 R 2 0 R ] /Count 2 >>
+        |endobj
+        |trailer
+        |<< /Root 1 0 R >>
+        |""".stripMargin
+    val b = body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = PdfCodec.extract(b)
+    assert(d.isDefined && d.get.nPages == 0, "cycle must terminate, not recurse")
+  }
+
+  test("non-PDF and empty inputs return None") {
+    assert(PdfCodec.extract(Array.emptyByteArray).isEmpty)
+    assert(PdfCodec.extract("not a pdf at all".getBytes).isEmpty)
+    assert(PdfCodec.extract(MediaFixtures.png(4, 4)).isEmpty)
+    assert(PdfCodec.extract(null).isEmpty)
+  }
+
+  test("never-throw fuzz: 1000 truncation/bit-flip/splice cases") {
+    val rnd = new scala.util.Random(151515L)
+    val bases = (0L to 3L).map(PdfFixtures.docPdf)
+    var cases = 0
+    while (cases < 1000) {
+      val base = bases(rnd.nextInt(bases.length))
+      val mutated: Array[Byte] = rnd.nextInt(4) match {
+        case 0 => // truncate
+          java.util.Arrays.copyOf(base, rnd.nextInt(base.length + 1))
+        case 1 => // bit flip
+          val c = base.clone()
+          val i = rnd.nextInt(c.length)
+          c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+          c
+        case 2 => // splice a random window over another position
+          val c = base.clone()
+          val from = rnd.nextInt(c.length)
+          val to = rnd.nextInt(c.length)
+          val len = math.min(rnd.nextInt(64), c.length - math.max(from, to))
+          if (len > 0) System.arraycopy(base, from, c, to, len)
+          c
+        case _ => // random garbage tail after a valid prefix
+          val keep = rnd.nextInt(base.length + 1)
+          val tail = new Array[Byte](rnd.nextInt(256))
+          rnd.nextBytes(tail)
+          java.util.Arrays.copyOf(base, keep) ++ tail
+      }
+      // the only contract: never throw, never hang
+      PdfCodec.extract(mutated)
+      cases += 1
+    }
+    assert(cases == 1000)
+  }
+
+  test("deterministic: same input bytes, same output") {
+    val b = PdfFixtures.docPdf(9)
+    assert(PdfCodec.extract(b) == PdfCodec.extract(b.clone()))
+    // and the fixture itself is deterministic
+    assert(java.util.Arrays.equals(b, PdfFixtures.docPdf(9)))
+  }
+}

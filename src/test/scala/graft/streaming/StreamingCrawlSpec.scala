@@ -417,6 +417,69 @@ class StreamingCrawlSpec extends SparkSpec {
       "the 304 refers to the record its OWN batch admitted")
   }
 
+  test("validator ledger: admission stores ETag/Last-Modified; the plan and the 304 close the loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    val ledger = tmpDir("graft-scrawl-validators")
+    val shards = tmpDir("graft-scrawl-validators-sh")
+    val schema2 = schema
+      .add(StructField("status", IntegerType, nullable = true))
+      .add(StructField("location", StringType, nullable = true))
+      .add(StructField("etag", StringType, nullable = true))
+      .add(StructField("lm", StringType, nullable = true))
+    def df2(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema2)
+    // batch 0: two admissions — one carries an ETag + Last-Modified,
+    // one carries NOTHING (must not enter the validator ledger)
+    val m0 = StreamingCrawl.processBatch(
+      df2(Seq(
+        Row(1L, "http://a.org/page", page("v1"), 200, null, "\"e1\"", "lm1"),
+        Row(2L, "http://a.org/bare", page("v2"), 200, null, null, null))),
+      0L, "id", "url", "blob", rules, "graftbot", ledger, Some(shards),
+      statusCol = Some("status"), locationCol = Some("location"),
+      validatorCols = Some(("etag", "lm")))
+    assert(outcomes(m0) == Map(1L -> "admitted", 2L -> "admitted"))
+    m0.unpersist(false)
+    val stored = StreamingCrawl.validators(spark, ledger).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(stored == Set(("http://a.org/page", "\"e1\"", "lm1")),
+      "only validator-bearing admissions enter the ledger")
+    // the request plan: a due revisit of /page rides the stored
+    // validators; /bare (no validators) plans unconditional
+    val history = Seq(
+      ("http://a.org/page", 0L, true), ("http://a.org/page", 10000L, true),
+      ("http://a.org/bare", 0L, true), ("http://a.org/bare", 10000L, true))
+      .toDF("url", "ts", "changed")
+    val plan = graft.operators.Recrawl.conditionalPlan(
+      graft.operators.Recrawl.schedule(history, "url", "ts", "changed"),
+      StreamingCrawl.validators(spark, ledger), nowMs = 100000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(2), Option(r.getString(3)), Option(r.getString(4))))).toMap
+    assert(plan("http://a.org/page") ==
+      (("conditional", Some("\"e1\""), Some("lm1"))),
+      "the due revisit carries exactly the validators admission stored")
+    assert(plan("http://a.org/bare") == (("unconditional", None, None)))
+    // the conditional fetch happens; the server answers 304; the
+    // revisit record resolves against the admission that EARNED the
+    // validator (batch 0's record 1)
+    val m1 = StreamingCrawl.processBatch(
+      df2(Seq(Row(11L, "http://a.org/page", page(""), 304, null, null, null))),
+      1L, "id", "url", "blob", rules, "graftbot", ledger, Some(shards),
+      statusCol = Some("status"), locationCol = Some("location"),
+      validatorCols = Some(("etag", "lm")))
+    assert(outcomes(m1) == Map(11L -> "not_modified"))
+    m1.unpersist(false)
+    val revs = spark.read.parquet(s"$shards/revisits").select("warc").collect()
+      .flatMap(r => graft.codec.WarcCodec.parse(r.getAs[Array[Byte]](0)).get)
+    assert(revs.length == 1)
+    assert(revs.head.extras.contains("WARC-Refers-To" -> "<urn:graft:000000000001>"))
+    // compaction folds the validator ledger (disjoint keys, identity)
+    StreamingCrawl.compact(spark, ledger, belowBatch = 2L)
+    val afterCompact = StreamingCrawl.validators(spark, ledger).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(afterCompact == stored, "compaction preserves the validator set")
+  }
+
   test("redirect frontier is robots-polite: disallowed targets never enter") {
     import spark.implicits._
     import org.apache.spark.sql.types.IntegerType

@@ -1017,6 +1017,41 @@ object DataPipelineQueries {
         .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── UNIGRAM-LM tokenizer (SentencePiece-style) — the SECOND
+    //    tokenizer family next to BPE: a piece VOCABULARY trained by
+    //    hard-EM (seed substring counts → Viterbi-segment every word
+    //    under (pieces ASC, Σcount DESC) → re-count → prune; the
+    //    engine-portable integer variant of unigram-LM — soft-EM float
+    //    likelihoods can't hash across engines, see the operator's
+    //    scaladoc), then per-doc fertility under the trained pieces.
+    //    Oracle: the generated unrolled-EM derivation (UnigramOracle —
+    //    the BpeOracle precedent): every DP position, path-walk step,
+    //    and M-step re-count replayed as literal CTEs. ──
+    QueryDef.sql(
+      "text_unigram_tokenize",
+      UnigramOracle.tokenizeSql(nVocab = 24)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Unigram.encode(docs, "doc_id", "text",
+          graft.operators.Unigram.train(docs, "text", nVocab = 24))
+        .orderBy("doc")
+    },
+
+    // ── The trained unigram vocabulary itself — the stored artifact
+    //    (rank = (count DESC, piece ASC); singles never prune, they
+    //    are the fallback alphabet). The oracle re-derives the whole
+    //    EM chain and must land on the identical table. ──
+    QueryDef.sql(
+      "text_unigram_vocab",
+      UnigramOracle.vocabSql(nVocab = 24)) { (s, d) =>
+      import s.implicits._
+      val pieces = graft.operators.Unigram.train(
+        Tables.documents(s, d), "text", nVocab = 24)
+      pieces.zipWithIndex
+        .map { case ((p, c), i) => (i.toLong, p, c) }
+        .toDF("rank", "piece", "n")
+        .orderBy("rank")
+    },
+
     // ── Stored-tokenizer deploy path: train on the FIRST corpus slice,
     //    persist the merge table, reload it, encode the WHOLE corpus
     //    under the stored ranks — the train-once/encode-many contract

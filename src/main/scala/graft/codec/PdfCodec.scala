@@ -54,9 +54,23 @@ import scala.util.control.NonFatal
   */
 object PdfCodec {
 
-  final case class PdfDoc(version: String, nPages: Int, pages: Vector[String]) {
+  /** `info`: the document-information dictionary's text fields
+    * (Title/Author/Subject/Producer/Keywords when present) — PDF text
+    * strings decode as UTF-16BE when BOM-prefixed, PDFDocEncoding
+    * (≈ Latin-1 on the printable range) otherwise. */
+  final case class PdfDoc(version: String, nPages: Int, pages: Vector[String],
+                          info: Map[String, String] = Map.empty) {
     def text: String = pages.mkString("\n")
   }
+
+  /** Decode a PDF TEXT STRING (ISO 32000-1 §7.9.2.2): UTF-16BE with
+    * BOM, else PDFDocEncoding ≈ Latin-1. */
+  private def textString(bs: Array[Byte]): String =
+    if (bs.length >= 2 && (bs(0) & 0xff) == 0xFE && (bs(1) & 0xff) == 0xFF)
+      new String(bs, 2, bs.length - 2, StandardCharsets.UTF_16BE)
+    else new String(bs, StandardCharsets.ISO_8859_1)
+
+  private val InfoKeys = Seq("Title", "Author", "Subject", "Producer", "Keywords")
 
   private val MaxInput = 64 << 20
   private val MaxStreamOut = 32 << 20
@@ -575,9 +589,13 @@ object PdfCodec {
             while (i < count && lx.pos + 18 <= b.length) {
               val ent = new String(b, lx.pos, 18, StandardCharsets.ISO_8859_1)
               val o = ent.substring(0, 10); val ty = ent.charAt(17)
-              if (ty == 'n' && o.forall(_.isDigit))
+              // a 10-digit offset can overflow Int on hostile bytes —
+              // skip the entry (the scan fallback still recovers) rather
+              // than abort the whole xref walk
+              val off = scala.util.Try(o.trim.toInt).getOrElse(-1)
+              if (ty == 'n' && off >= 0)
                 // newer sections parsed first: first writer wins
-                offsets.getOrElseUpdate(start + i, Left(o.toInt))
+                offsets.getOrElseUpdate(start + i, Left(off))
               lx.pos += 18
               // entries are 20 bytes incl. EOL; tolerate 19/20
               while (lx.pos < b.length && isWs(b(lx.pos) & 0xff) &&
@@ -1012,6 +1030,13 @@ object PdfCodec {
     pagesRoot.foreach(collectPages(r, _, None, pages, mutable.HashSet[Int](), 0))
     if (pages.isEmpty && root.isEmpty) return None
     val texts = pages.map { case (p, res) => pageText(r, p, res) }.toVector
-    Some(PdfDoc(if (version.nonEmpty) version else "?", texts.length, texts))
+    val info: Map[String, String] = r.trailer.get("Info").flatMap(r.dictOf) match {
+      case Some(d) => InfoKeys.flatMap(k => d.get(k).flatMap(r.resolve(_)) match {
+        case Some(PStr(bs)) => Some(k -> textString(bs))
+        case _ => None
+      }).toMap
+      case None => Map.empty
+    }
+    Some(PdfDoc(if (version.nonEmpty) version else "?", texts.length, texts, info))
   }
 }

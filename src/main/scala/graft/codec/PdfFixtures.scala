@@ -104,9 +104,11 @@ object PdfFixtures {
   def pdf(pages: Seq[Page], font: Font = WinAnsiType1,
           compress: Boolean = true, filterArray: Boolean = false,
           indirectLength: Boolean = false, xrefStream: Boolean = false,
-          predictor: Boolean = false): Array[Byte] = {
+          predictor: Boolean = false,
+          info: Seq[(String, String)] = Seq.empty,
+          infoUtf16: Boolean = false): Array[Byte] = {
     // object numbering: 1 catalog, 2 pages-root, then per page (page,
-    // contents[, length]), then font[, cmap][, objstm, xref]
+    // contents[, length]), then font[, cmap][, info][, objstm, xref]
     var next = 3
     def take(): Int = { val n = next; next += 1; n }
     val pageNums = pages.map(_ => take())
@@ -114,6 +116,7 @@ object PdfFixtures {
     val lengthNums = if (indirectLength) pages.map(_ => take()) else Seq.empty
     val fontNum = take()
     val cmapNum = font match { case CidFont(_) => take(); case _ => -1 }
+    val infoNum = if (info.nonEmpty) take() else -1
 
     val filter = if (filterArray) "[ /FlateDecode ]" else "/FlateDecode"
     def contentObj(i: Int): (String, Array[Byte]) = {
@@ -154,6 +157,19 @@ object PdfFixtures {
         objs(cmapNum) = Right((s"<< /Length ${cz.length} /Filter /FlateDecode >>", cz))
       case _ =>
     }
+    if (info.nonEmpty) {
+      // UTF-16BE strings go on the wire as BOM-prefixed hex strings;
+      // Latin-1 as escaped literals — both §7.9.2.2 text-string forms
+      val fields = info.map { case (k, v) =>
+        if (infoUtf16) {
+          val hex = ("\uFEFF" + v).getBytes(StandardCharsets.UTF_16BE)
+            .map(b => f"${b & 0xff}%02X").mkString
+          s"/$k <$hex>"
+        } else s"/$k (${lit(v)})"
+      }.mkString(" ")
+      objs(infoNum) = Left(s"<< $fields >>")
+    }
+    val infoPart = if (info.nonEmpty) s" /Info $infoNum 0 R" else ""
 
     val out = new ByteArrayOutputStream()
     out.write(bytes("%PDF-1.5\n%âãÏÓ\n"))
@@ -180,7 +196,7 @@ object PdfFixtures {
         val off = offsets.getOrElse(n, 0)
         out.write(bytes(f"$off%010d 00000 n \n"))
       }
-      out.write(bytes(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n"))
+      out.write(bytes(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R$infoPart >>\nstartxref\n$xrefOff\n%%EOF\n"))
     } else {
       // PDF 1.5: pack the NON-stream objects into one ObjStm; streams
       // stay top-level; xref is a /Type /XRef stream
@@ -245,7 +261,7 @@ object PdfFixtures {
       offsets(xrefNum) = xrefOff
       out.write(bytes(
         s"$xrefNum 0 obj\n<< /Type /XRef /Size ${maxNum + 1} /W [ 1 2 2 ] " +
-          s"/Root 1 0 R /Length ${xd.length} /Filter /FlateDecode$parms >>\nstream\n"))
+          s"/Root 1 0 R$infoPart /Length ${xd.length} /Filter /FlateDecode$parms >>\nstream\n"))
       out.write(xd)
       out.write(bytes("\nendstream\nendobj\n"))
       out.write(bytes(s"startxref\n$xrefOff\n%%EOF\n"))
@@ -268,21 +284,34 @@ object PdfFixtures {
   def docPdf(id: Long): Array[Byte] = (id % 4) match {
     case 0 =>
       pdf(Seq(Page(
-        s"BT /F1 12 Tf 72 720 Td (${lit(s"Doc $id café résumé (ok)", octal = true)}) Tj ET")))
+        s"BT /F1 12 Tf 72 720 Td (${lit(s"Doc $id café résumé (ok)", octal = true)}) Tj ET")),
+        info = Seq("Title" -> s"Report $id café", "Author" -> "Graft Bot"))
     case 1 =>
       pdf(Seq(
         Page(s"BT /F1 11 Tf 50 700 Td [(Alpha) -220 (beta) -150 (gamma $id)] TJ " +
           "0 -14 Td [(kern) -40 (ed)] TJ ET"),
         Page(s"BT /F1 11 Tf 50 700 Td (Second) Tj (page $id) ' ET")),
-        filterArray = true, indirectLength = true)
+        filterArray = true, indirectLength = true) // no /Info: absent branch
     case 2 =>
       pdf(Seq(Page(
         s"BT /F1 9 Tf 40 700 Td <48657820> Tj (row $id) Tj T* (next line) Tj ET")),
-        compress = false)
+        compress = false,
+        info = Seq("Title" -> s"Hex sheet $id"))
     case _ =>
       val text = s"Кириллица $id"
       pdf(Seq(Page(s"BT /F2 10 Tf 60 710 Td <${cidHex(text, text)}> Tj ET", font = "/F2")),
-        font = CidFont(text), xrefStream = true, predictor = true)
+        font = CidFont(text), xrefStream = true, predictor = true,
+        info = Seq("Title" -> s"Документ $id", "Author" -> s"Автор $id"),
+        infoUtf16 = true)
+  }
+
+  /** The (title, author) [[docPdf]]'s /Info must yield — null strings
+    * for the absent branch; the oracle replays this arithmetic. */
+  def docInfo(id: Long): (Option[String], Option[String]) = (id % 4) match {
+    case 0 => (Some(s"Report $id café"), Some("Graft Bot"))
+    case 1 => (None, None)
+    case 2 => (Some(s"Hex sheet $id"), None)
+    case _ => (Some(s"Документ $id"), Some(s"Автор $id"))
   }
 
   /** The text [[docPdf]] must extract (pages joined with '\n') — the

@@ -45,6 +45,35 @@ object Pdf {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  private val metaSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("pdf_ok", BooleanType, nullable = false),
+    StructField("n_pages", IntegerType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("author", StringType, nullable = true)))
+
+  /** Document-information extraction: `(doc_id, pdf_ok, n_pages,
+    * title, author)` from the /Info dictionary (UTF-16BE-with-BOM and
+    * PDFDocEncoding text strings both decode) — the sidecar fields a
+    * corpus pipeline keys provenance and dedup heuristics on. Same
+    * mapPartitions posture as [[extractText]]. */
+  def extractMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        graft.codec.PdfCodec.extract(r.getAs[Array[Byte]](blobIdx)) match {
+          case Some(d) => Row(id, true, d.nPages,
+            d.info.get("Title").orNull, d.info.get("Author").orNull)
+          case None => Row(id, false, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, metaSchema)
+  }
+
   /** Magic-byte router for a mixed payload column: 'pdf' when the
     * first kilobyte carries the `%PDF-` header (the spec allows a
     * preamble), 'html' on an angle-bracket start, 'other' otherwise —

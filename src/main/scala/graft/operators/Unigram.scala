@@ -34,6 +34,26 @@ object Unigram {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Unigram")
 
+  /** UTF-8 byte order for piece tie-breaks — what DuckDB's varchar
+    * binary collation compares, NOT Java's UTF-16 compareTo (they
+    * diverge above the BMP; the array_sort lesson). ASCII corpora
+    * never notice; a CJK piece table would. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private def byCountThenPiece(a: (String, Long), b: (String, Long)): Boolean =
+    if (a._2 != b._2) a._2 > b._2 else utf8Less(a._1, b._1)
+
   /** Seed counts: every substring of every word up to `maxPieceLen`,
     * counted at every start position (overlaps included), weighted by
     * word frequency. */
@@ -117,7 +137,7 @@ object Unigram {
     val singles: Seq[String] = seed.keysIterator.filter(_.length == 1).toSeq.sorted
     def prune(c: collection.Map[String, Long]): Map[String, Long] = {
       val multi = c.iterator.filter { case (p, v) => p.length > 1 && v > 0 }.toSeq
-        .sortBy { case (p, v) => (-v, p) }.take(nVocab)
+        .sortWith(byCountThenPiece).take(nVocab)
       (singles.map(p => p -> c.getOrElse(p, 0L)) ++ multi).toMap
     }
     var vocab = prune(seed)
@@ -130,7 +150,7 @@ object Unigram {
       vocab = prune(u)
       r += 1
     }
-    vocab.toSeq.sortBy { case (p, v) => (-v, p) }
+    vocab.toSeq.sortWith(byCountThenPiece)
   }
 
   /** Distributed trainer: ONE corpus scan → (word, freq) groupBy →

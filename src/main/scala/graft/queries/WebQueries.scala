@@ -2443,6 +2443,39 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // ── PDF DOCUMENT METADATA — the /Info sidecar fields (title,
+    //    author) a corpus pipeline keys provenance and dedup
+    //    heuristics on: the same four-variant fixture carries a
+    //    Latin-1 literal Info, a hex UTF-16BE-with-BOM Info (Cyrillic
+    //    — §7.9.2.2's other text-string form), a title-only dict, and
+    //    NO Info at all (variant 1 — the absent branch must surface
+    //    nulls, not vanish). Oracle replays all four arithmetically. ──
+    QueryDef.sql(
+      "web_pdf_meta",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 1 END AS INT) AS n_pages,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'Report ' || doc_id || ' café'
+        |    WHEN 2 THEN 'Hex sheet ' || doc_id
+        |    WHEN 3 THEN 'Документ ' || doc_id
+        |  END AS title,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'Graft Bot'
+        |    WHEN 3 THEN 'Автор ' || doc_id
+        |  END AS author
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.PdfFixtures.docPdf(id))))
+          .toDF("doc_id", "payload")
+        graft.operators.Pdf.extractMeta(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("n_pages"), col("title"), col("author"))
+          .orderBy("doc_id")
+    },
+
     // ── PDF + HTML FUNNEL — PDFs entering the text funnel NEXT TO
     //    html, with observable drops: even docs carry a PDF payload
     //    (every tenth of them a truncated header-only stub that must

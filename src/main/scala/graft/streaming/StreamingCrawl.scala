@@ -573,7 +573,17 @@ object StreamingCrawl {
     * retained precondition: `belowBatch` must sit at or below the
     * replayable horizon — a replayed batch whose keys were absorbed
     * would find its own keys in the base and flip its admissions to
-    * duplicates. */
+    * duplicates.
+    *
+    * CADENCE (measured, `tools/LedgerCadenceProbe`, 48 batches ×2k
+    * rows, clean host): never-compacting reads 2.96 s/batch steady
+    * and climbing (every ledger read lists + scans all live
+    * partitions; seen is read 2-3× per batch), compact-every-8 reads
+    * 2.08 s/batch and is 32% cheaper END TO END including the folds.
+    * Each fold is a full base rewrite, so the recommendation is
+    * partition-count-driven: compact when a ledger's live partitions
+    * reach ~8-16 — every 8 batches early in a stream's life,
+    * stretching as the base grows and the fold cost dominates. */
   def compact(spark: SparkSession, ledgerDir: String, belowBatch: Long): Unit = {
     BatchLedger.compact(spark, ledgerDir, "seen", SeenPointerKey, belowBatch)
     // the politeness horizon ledger (present only when processBatch ran

@@ -376,6 +376,21 @@ object ScaleReplicationProbe {
           .select(sum(length(col("url")) + col("n_sources"))).head.getLong(0)
       }
 
+      // 6'. PDF front gate (round 15): build + extract per row — pure
+      //     CPU riding the scan (the adjudicated mapPartitions decoder
+      //     shape), so wall must grow sublinearly with ×N on idle
+      //     cores and the ONLY shuffle is the closing sum. Fresh ids
+      //     per replica so nothing dedups away.
+      if (want("pdf_")) timed(s"pdf_extract x$rep") {
+        import spark.implicits._
+        val blobs = docsTimes(rep, saltText = false)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.PdfFixtures.docPdf(id))))
+          .toDF("doc_id", "payload")
+        graft.operators.Pdf.extractText(blobs, "doc_id", "payload")
+          .agg(sum(length(col("text")))).head.getLong(0)
+      }
+
       // 7. CHAR-granularity dedup tier (round-12 arrival): the exact
       //    all-positions explode is one row per char — the shape that
       //    needs measured ×N rows before anyone trusts it at 100 TB —

@@ -133,6 +133,18 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(cases == 1000)
   }
 
+  test("/Info dictionary: literal, UTF-16BE hex, and absent branches") {
+    val d0 = PdfCodec.extract(PdfFixtures.docPdf(0)).get
+    assert(d0.info == Map("Title" -> "Report 0 café", "Author" -> "Graft Bot"))
+    val d1 = PdfCodec.extract(PdfFixtures.docPdf(1)).get
+    assert(d1.info.isEmpty, "no /Info must surface as empty, not fail")
+    val d2 = PdfCodec.extract(PdfFixtures.docPdf(2)).get
+    assert(d2.info == Map("Title" -> "Hex sheet 2"))
+    val d3 = PdfCodec.extract(PdfFixtures.docPdf(3)).get
+    assert(d3.info == Map("Title" -> "Документ 3", "Author" -> "Автор 3"),
+      "BOM-prefixed UTF-16BE text strings decode per §7.9.2.2")
+  }
+
   test("deterministic: same input bytes, same output") {
     val b = PdfFixtures.docPdf(9)
     assert(PdfCodec.extract(b) == PdfCodec.extract(b.clone()))

@@ -325,6 +325,42 @@ object PdfCodec {
     Some(out.toByteArray)
   }
 
+  /** ASCII85Decode (ISO 32000-1 §7.4.3): 5 chars '!'..'u' → 4 bytes
+    * base-85 big-endian, 'z' = four zero bytes between groups, optional
+    * `<~` prologue, `~` terminator, whitespace ignored; a partial final
+    * group of n chars pads with 'u' and emits n−1 bytes (n=1 invalid). */
+  private[codec] def ascii85(raw: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var gi = 0
+    var i = 0
+    var done = false
+    if (raw.length >= 2 && raw(0) == '<' && raw(1) == '~') i = 2
+    def flush(n: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < n) grp(k) else 84); k += 1 }
+      val bs = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bs, 0, math.max(0, n - 1))
+    }
+    while (i < raw.length && !done && out.size < MaxStreamOut) {
+      val c = raw(i) & 0xff
+      if (isWs(c)) ()
+      else if (c == '~') done = true
+      else if (c == 'z' && gi == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (c >= '!' && c <= 'u') {
+        grp(gi) = c - '!'
+        gi += 1
+        if (gi == 5) { flush(5); gi = 0 }
+      } else return None
+      i += 1
+    }
+    if (gi == 1) return None // a lone trailing char encodes nothing
+    if (gi >= 2) flush(gi)
+    Some(out.toByteArray)
+  }
+
   /** PNG predictors 10-15 (row filter byte + Sub/Up/Avg/Paeth) and
     * TIFF predictor 2 — xref streams almost always ride predictor 12
     * (Up). Same row algebra as the PNG decoder in [[MediaHeaders]]. */
@@ -510,6 +546,8 @@ object PdfCodec {
             }
           case "ASCIIHexDecode" | "AHx" =>
             data = asciiHex(data).getOrElse(return None)
+          case "ASCII85Decode" | "A85" =>
+            data = ascii85(data).getOrElse(return None)
           case _ => return None // unsupported filter: skip this stream
         }
         i += 1

@@ -47,6 +47,39 @@ object PdfFixtures {
     sb.toString
   }
 
+  /** ASCII85 encoder (ISO 32000-1 §7.4.3 wire form incl. the `z`
+    * shortcut and `~>` terminator) — the fixture side of the
+    * ASCII85Decode filter. */
+  def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= data.length) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (data(i + k) & 0xff); k += 1 }
+      if (v == 0L) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var j = 4
+        while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+        sb.appendAll(cs)
+      }
+      i += 4
+    }
+    val rem = data.length - i
+    if (rem > 0) {
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (k < rem) data(i + k) & 0xff else 0); k += 1 }
+      val cs = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+      sb.appendAll(cs.take(rem + 1))
+    }
+    sb.append("~>")
+    bytes(sb.toString)
+  }
+
   /** One page of content ops plus which font resource it uses. */
   final case class Page(content: String, font: String = "/F1")
 
@@ -106,7 +139,8 @@ object PdfFixtures {
           indirectLength: Boolean = false, xrefStream: Boolean = false,
           predictor: Boolean = false,
           info: Seq[(String, String)] = Seq.empty,
-          infoUtf16: Boolean = false): Array[Byte] = {
+          infoUtf16: Boolean = false,
+          a85: Boolean = false): Array[Byte] = {
     // object numbering: 1 catalog, 2 pages-root, then per page (page,
     // contents[, length]), then font[, cmap][, info][, objstm, xref]
     var next = 3
@@ -118,14 +152,20 @@ object PdfFixtures {
     val cmapNum = font match { case CidFont(_) => take(); case _ => -1 }
     val infoNum = if (info.nonEmpty) take() else -1
 
-    val filter = if (filterArray) "[ /FlateDecode ]" else "/FlateDecode"
+    val filter =
+      if (a85) "[ /ASCII85Decode /FlateDecode ]"
+      else if (filterArray) "[ /FlateDecode ]"
+      else "/FlateDecode"
     def contentObj(i: Int): (String, Array[Byte]) = {
       val raw = bytes(pages(i).content)
-      val data = if (compress) deflate(raw) else raw
+      val data =
+        if (a85) ascii85Encode(deflate(raw))
+        else if (compress) deflate(raw)
+        else raw
       val lenPart =
         if (indirectLength) s"/Length ${lengthNums(i)} 0 R"
         else s"/Length ${data.length}"
-      val filtPart = if (compress) s" /Filter $filter" else ""
+      val filtPart = if (compress || a85) s" /Filter $filter" else ""
       (s"<< $lenPart$filtPart >>", data)
     }
 

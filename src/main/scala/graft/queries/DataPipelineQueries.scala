@@ -1036,6 +1036,27 @@ object DataPipelineQueries {
         .orderBy("doc")
     },
 
+    // ── Unigram fertility by language — the tokenizer-equity report
+    //    under the SECOND tokenizer family (text_bpe_fertility's shape
+    //    under the unigram vocabulary): pieces per word per corpus
+    //    language; the fertility gap measures whom this tokenizer
+    //    fragments hardest, and comparing it against the BPE row is
+    //    exactly the report a tokenizer bake-off reads. ──
+    QueryDef.sql(
+      "text_unigram_fertility",
+      UnigramOracle.fertilitySql(nVocab = 24)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      graft.operators.Unigram.encode(docs, "doc_id", "text",
+          graft.operators.Unigram.train(docs, "text", nVocab = 24))
+        .join(docs.select(col("doc_id").as("doc"), col("lang")), Seq("doc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("n_words"),
+          sum("n_pieces").cast("long").as("n_pieces"),
+          (sum("n_pieces").cast("double") / sum("n_tokens")).as("fertility"))
+        .orderBy(asc_nulls_last("lang"))
+    },
+
     // ── The trained unigram vocabulary itself — the stored artifact
     //    (rank = (count DESC, piece ASC); singles never prune, they
     //    are the fallback alphabet). The oracle re-derives the whole

@@ -112,6 +112,24 @@ object UnigramOracle {
        |  CAST(n_pieces AS DOUBLE) / n_tokens AS fertility
        |FROM g ORDER BY doc""".stripMargin
 
+  /** Oracle for `text_unigram_fertility`: the [[tokenizeSql]] per-doc
+    * chain rolled up per corpus language — the tokenizer-equity report
+    * (`text_bpe_fertility`'s shape under the unigram vocabulary).
+    * Fertility is one closing double division of exact long sums. */
+  def fertilitySql(nVocab: Int, maxPieceLen: Int = 3, rounds: Int = 2,
+                   trainSrc: String = "documents"): String =
+    s"""WITH ${chain(nVocab, maxPieceLen, rounds, trainSrc)},
+       |wk AS MATERIALIZED (SELECT w, k FROM D${rounds + 1} WHERE j = len(w)),
+       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(k) AS BIGINT) AS n_pieces
+       |  FROM toks JOIN wk USING (w) GROUP BY doc_id)
+       |SELECT d.lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(g.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(g.n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(sum(g.n_pieces) AS DOUBLE) / sum(g.n_words) AS fertility
+       |FROM g JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY lang NULLS LAST""".stripMargin
+
   /** Oracle for `text_unigram_vocab`: the final piece table in
     * (count DESC, piece ASC) rank order — the stored artifact of the
     * train-once/encode-many contract. */

@@ -35,6 +35,21 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(extractText(7).contains((1, "Кириллица 7")))
   }
 
+  test("ASCII85 + Flate filter chain decodes (incl. z shortcut and partial group)") {
+    // direct round trip: zero quads take the 'z' shortcut, the tail is
+    // a partial group (n-1 bytes from n chars), '~>' terminates
+    val payload = Array[Byte](1, 2, 3, 4, 0, 0, 0, 0, 5, 6, 7, 8, 9, 10)
+    val enc = PdfFixtures.ascii85Encode(payload)
+    assert(new String(enc).contains("z"), "zero quad must take the shortcut")
+    assert(PdfCodec.ascii85(enc).map(_.toSeq).contains(payload.toSeq))
+    // a lone trailing char after full groups is invalid, never a crash
+    assert(PdfCodec.ascii85("!!!!!:~>".getBytes).isEmpty)
+    // ... and through a whole document: /Filter [/ASCII85Decode /FlateDecode]
+    val b = PdfFixtures.pdf(Seq(PdfFixtures.Page(
+      s"BT /F1 10 Tf 50 700 Td (Chained a85 doc) Tj ET")), a85 = true)
+    assert(PdfCodec.extract(b).map(_.text).contains("Chained a85 doc"))
+  }
+
   test("xref stream layout without predictor also parses") {
     val text = "Проверка 42"
     val b = PdfFixtures.pdf(

@@ -91,6 +91,32 @@ class GatedProbeSpec extends SparkSpec {
     urls.unpersist(blocking = true); ids.unpersist(blocking = true)
   }
 
+  test("randomized equivalence: 40 seeded cases, gate on ≡ gate off") {
+    // the gate must be a PLAN choice only — sweep random overlap
+    // shapes (disjoint, subset, superset, dup ledger rows, empty
+    // sides) through both branches and the sum fold
+    val rnd = new scala.util.Random(424242L)
+    for (i <- 1 to 40) {
+      val ledgerRows = Seq.fill(rnd.nextInt(40))(
+        (s"k${rnd.nextInt(12)}", rnd.nextInt(100).toLong))
+      val batchRows = Seq.fill(rnd.nextInt(20))(
+        (s"k${rnd.nextInt(16)}", rnd.nextInt(100).toLong))
+      val led = ledgerRows.toDF("k", "v")
+      val bat = batchRows.toDF("k", "payload")
+      val keys = bat.select("k").distinct()
+      def run(gate: Boolean) = {
+        val (anti, semi, cps) = BatchLedger.gatedAntiSemi(bat, led.select("k"), keys, Seq("k"), gate)
+        val (probe, cps2) = BatchLedger.gatedProbe(led, keys, Seq("k"), gate,
+          fold = _.groupBy("k").agg(sum("v").as("agg")))
+        val folded = bat.join(probe, Seq("k")).select("k", "agg")
+        val r = (rows(anti), rows(semi), rows(folded))
+        (cps ++ cps2).foreach(_.unpersist(blocking = true))
+        r
+      }
+      assert(run(gate = true) == run(gate = false), s"case $i diverged")
+    }
+  }
+
   test("gated branch plan broadcasts; ungated branch does not") {
     val (probeG, cpsG) = BatchLedger.gatedProbe(
       ledger.select("k"), batch.select("k").distinct(), Seq("k"), gate = true)

@@ -36,4 +36,43 @@ class RecrawlSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("interval_ms")).toMap
     assert(clamped("u_live") == 900L && clamped("u_static") == 2000L)
   }
+
+  test("scheduleWithHints: declared window bounds, priority tightens, unhinted untouched") {
+    import spark.implicits._
+    // one identical history per url (static: never changes → adaptive
+    // hits the cap) so the hint is the ONLY differentiator
+    val urls = Seq("u_hourly", "u_hi_pri", "u_lo_pri", "u_never",
+      "u_always", "u_unhinted", "u_unknown")
+    val history = urls.flatMap(u => (0 until 4).map(i => (u, i * 10L, false)))
+      .toDF("url", "ts", "changed")
+    val hints = Seq(
+      ("u_hourly", "hourly", 5L),
+      ("u_hi_pri", "always", 10L),
+      ("u_lo_pri", "always", 0L),
+      ("u_never", "never", 5L),
+      ("u_always", "always", 5L),
+      // unknown keyword must behave exactly like no hint at all
+      ("u_unknown", "fortnightly", 5L))
+      .toDF("url", "changefreq", "pri10")
+    val got = Recrawl.scheduleWithHints(history, "url", "ts", "changed", hints)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("interval_ms"), Option(r.getAs[String]("changefreq"))))).toMap
+    // static page, adaptive = 1000*8//1 = 8000; the hourly window's
+    // FLOOR binds: lo = 3600000/4 = 900000 (declared-hourly pages are
+    // not re-fetched every 8 seconds however static they look)
+    assert(got("u_hourly") == ((900000L, Some("hourly"))))
+    // `always` (c = minMs = 500): hi = 2000*10 // (pri+5); the adaptive
+    // cap clamps DOWN to it — priority 1.0 tightens, 0.0 loosens
+    assert(got("u_hi_pri") == ((1333L, Some("always"))))
+    assert(got("u_lo_pri") == ((4000L, Some("always"))))
+    assert(got("u_hi_pri")._1 < got("u_always")._1 &&
+      got("u_always")._1 < got("u_lo_pri")._1,
+      "higher priority must always mean a tighter ceiling")
+    // `never` pins lo = hi = cap
+    assert(got("u_never") == ((86400000L, Some("never"))))
+    // unhinted and unknown-keyword are byte-identical to plain schedule
+    assert(got("u_unhinted") == ((8000L, None)))
+    assert(got("u_unknown") == ((8000L, None)),
+      "an unknown changefreq keyword must read as unhinted, with a null column")
+  }
 }

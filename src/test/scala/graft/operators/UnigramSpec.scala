@@ -57,6 +57,53 @@ class UnigramSpec extends SparkSpec {
     assert(!vocab.contains("aba") && !vocab.contains("bab"))
   }
 
+  test("fuzz: Viterbi DP ≡ brute-force global argmin over all 2^(n-1) splits") {
+    // the DP's optimality claim, proven directly: enumerate EVERY
+    // segmentation of random ≤8-char words under random vocabularies
+    // and compare against the DP under the same objective
+    // (pieces ASC, Σcount DESC, earliest-split-vector ASC)
+    val rnd = new scala.util.Random(77177L)
+    def bruteBest(w: String, v: Map[String, Long], maxLen: Int): Option[Seq[String]] = {
+      val n = w.length
+      val cands = (0 until (1 << math.max(0, n - 1))).flatMap { mask =>
+        // split AFTER position i when bit i is set
+        val cuts = 0 +: (1 until n).filter(i => (mask & (1 << (i - 1))) != 0) :+ n
+        val pieces = cuts.sliding(2).map { case Seq(a, b) => w.substring(a, b) }.toSeq
+        val ok = pieces.forall(p =>
+          p.length <= maxLen && (v.contains(p) || p.length == 1))
+        if (!ok) None
+        else Some((pieces.length, -pieces.map(p => v.getOrElse(p, 0L)).sum, pieces))
+      }
+      if (cands.isEmpty) None
+      else Some(cands.minBy { case (k, negSum, _) => (k, negSum) }._3)
+    }
+    var checked = 0
+    for (_ <- 1 to 300) {
+      val n = 1 + rnd.nextInt(8)
+      val alpha = "abc"
+      val w = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+      val maxLen = 1 + rnd.nextInt(3)
+      // random vocab over substrings (singles always implicitly allowed
+      // at count 0 by the DP — mirror that in the brute force)
+      val subs = (for { i <- 0 until n; l <- 1 to math.min(maxLen, n - i) }
+        yield w.substring(i, i + l)).distinct
+      val v = subs.filter(_ => rnd.nextBoolean())
+        .map(p => p -> rnd.nextInt(50).toLong).toMap
+      val dp = Unigram.segment(w, v, maxLen)
+      val brute = bruteBest(w, v, maxLen)
+      // compare on the OBJECTIVE (k, sum): tie-break equivalence between
+      // the two formulations is subtle, but the objective value must
+      // agree exactly — and the DP must be a valid segmentation
+      assert(dp.mkString("") == w, s"DP must reassemble '$w': $dp")
+      val dpScore = (dp.length, dp.map(p => v.getOrElse(p, 0L)).sum)
+      val bScore = brute.map(b => (b.length, b.map(p => v.getOrElse(p, 0L)).sum))
+      assert(bScore.contains(dpScore),
+        s"w=$w maxLen=$maxLen vocab=$v dp=$dp (score $dpScore) brute=$brute (score $bScore)")
+      checked += 1
+    }
+    assert(checked == 300)
+  }
+
   test("train is deterministic under repartition") {
     val docs = Tables.docsFixture(spark)
     val a = Unigram.train(docs.repartition(7), "text", nVocab = 16)

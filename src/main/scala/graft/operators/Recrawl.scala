@@ -31,14 +31,28 @@ object Recrawl {
     * next_due_ms)`. */
   def schedule(history: DataFrame, urlCol: String, seqCol: String,
                changedCol: String, baseMs: Long = 1000L,
-               minMs: Long = 500L, maxMs: Long = 86400000L): DataFrame = {
+               minMs: Long = 500L, maxMs: Long = 86400000L): DataFrame =
+    scheduleFromAggregates(
+      history.groupBy(col(urlCol).as("url"))
+        .agg(count(lit(1)).cast("long").as("n_obs"),
+          sum(when(col(changedCol), 1L).otherwise(0L)).cast("long").as("n_changed"),
+          max(col(seqCol)).cast("long").as("last_fetch")),
+      baseMs, minMs, maxMs)
+
+  /** The interval arithmetic over PRE-AGGREGATED per-URL observation
+    * counts `(url, n_obs, n_changed, last_fetch)` — the entry point for
+    * ledger-backed planners ([[graft.streaming.StreamingCrawl
+    * .requestPlan]] folds its observations ledger straight into this
+    * shape: a 100 TB crawl cannot keep raw fetch HISTORY around, but
+    * per-URL counts are exactly what the smoothing needs and they sum
+    * associatively across batches). */
+  def scheduleFromAggregates(agg: DataFrame, baseMs: Long = 1000L,
+                             minMs: Long = 500L,
+                             maxMs: Long = 86400000L): DataFrame = {
     require(baseMs > 0 && minMs > 0 && maxMs >= minMs, "need sane interval bounds")
     val interval: Column = least(lit(maxMs), greatest(lit(minMs),
       floor(lit(baseMs) * col("n_obs") * 2 / (col("n_changed") * 2 + 1))))
-    history.groupBy(col(urlCol).as("url"))
-      .agg(count(lit(1)).cast("long").as("n_obs"),
-        sum(when(col(changedCol), 1L).otherwise(0L)).cast("long").as("n_changed"),
-        max(col(seqCol)).cast("long").as("last_fetch"))
+    agg
       .withColumn("interval_ms", interval.cast("long"))
       .withColumn("next_due_ms", (col("last_fetch") + col("interval_ms")).cast("long"))
   }

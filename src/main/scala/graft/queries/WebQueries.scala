@@ -1934,6 +1934,66 @@ object WebQueries {
           .orderBy("url")
     },
 
+    // ── LEDGER-BACKED request plan — the conditional-fetch loop run
+    //    end-to-end through the STREAMING machinery and still fully
+    //    oracle-checked (the engine_stream family is rows-only because
+    //    ledgers aren't SQL — but this fixture's arithmetic is): two
+    //    real processBatch steps against a fresh ledger set (batch 0
+    //    admits every url at t=1000 storing ETags on doc%3≠0; batch 1
+    //    re-fetches the even docs at t=3601000, reading `duplicate` —
+    //    an observation of NO change), then requestPlan folds the
+    //    observations ledger into the change-rate schedule and joins
+    //    the validator ledger into request headers. The oracle replays
+    //    the outcome classes, the per-parity observation counts, the
+    //    floor-division intervals, and both validator branches. ──
+    QueryDef.sql(
+      "web_crawl_plan_ledger",
+      """SELECT 'http://d' || (doc_id % 50) || '.example.com/u' || doc_id AS url,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3602333 ELSE 1666 END AS BIGINT)
+        |    AS next_due_ms,
+        |  CASE WHEN doc_id % 3 != 0 THEN 'conditional'
+        |       ELSE 'unconditional' END AS mode,
+        |  CASE WHEN doc_id % 3 != 0 THEN '"e-' || doc_id || '"' END AS if_none_match,
+        |  CAST(NULL AS VARCHAR) AS if_modified_since
+        |FROM documents WHERE doc_id < 2000 ORDER BY url""".stripMargin) {
+      (s, d) =>
+        val url = concat(lit("http://d"), pmod(col("doc_id"), lit(50)),
+          lit(".example.com/u"), col("doc_id"))
+        // 2000-doc slice: the fixture's cost is two full processBatch
+        // steps; the slice keeps the bench line honest while every
+        // ledger stage still fires (the 100 TB path is the operator)
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+          .select(col("doc_id"), url.as("url"))
+        val rules = docs
+          .select(concat(lit("d"), pmod(col("doc_id"), lit(50)),
+            lit(".example.com")).as("domain")).distinct()
+          .select(col("domain"), lit("*").as("agent"),
+            lit(true).as("allow"), lit("/").as("prefix"))
+        val nullS = lit(null).cast("string")
+        val blob = lit(Array.emptyByteArray)
+        val b0 = docs.select(col("doc_id").as("id"), col("url"),
+          blob.as("blob"), lit(200).as("status"), nullS.as("location"),
+          when(pmod(col("doc_id"), lit(3)) =!= 0,
+            concat(lit("\"e-"), col("doc_id"), lit("\""))).as("etag"),
+          nullS.as("lm"), lit(1000L).as("seq"))
+        val b1 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select((col("doc_id") + 10000000L).as("id"), col("url"),
+            blob.as("blob"), lit(200).as("status"), nullS.as("location"),
+            nullS.as("etag"), nullS.as("lm"), lit(3601000L).as("seq"))
+        val ledger = java.nio.file.Files
+          .createTempDirectory("graft-planledger").toString
+        Seq((b0, 0L), (b1, 1L)).foreach { case (b, i) =>
+          val m = graft.streaming.StreamingCrawl.processBatch(
+            b, i, "id", "url", "blob", rules, "graftbot", ledger,
+            statusCol = Some("status"), locationCol = Some("location"),
+            validatorCols = Some(("etag", "lm")), seqCol = Some("seq"))
+          m.count(); m.unpersist(blocking = false)
+        }
+        graft.streaming.StreamingCrawl
+          .requestPlan(s, ledger, nowMs = 3602333L)
+          .orderBy("url")
+    },
+
     // ── Frontier seeding from IN-BAND sitemap discovery — the loop the
     //    directives close: sitemap URLs parsed out of each domain's
     //    robots.txt (the real discovery channel) anti-join the crawl's

@@ -88,7 +88,8 @@ object StreamingCrawl {
                    defaultDelayMs: Long = 1000L,
                    statusCol: Option[String] = None,
                    locationCol: Option[String] = None,
-                   validatorCols: Option[(String, String)] = None): DataFrame = {
+                   validatorCols: Option[(String, String)] = None,
+                   seqCol: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     import spark.implicits._
@@ -296,6 +297,32 @@ object StreamingCrawl {
       .unionByName(outcome(batchDups.unionByName(crossDups), "duplicate"))
       .unionByName(admittedOut)
       .localCheckpoint() // eager: safe to drop the upstream checkpoints below
+    // … and (with `seqCol` — the fetcher's logical fetch time) each
+    // FETCH outcome records one observation delta into the
+    // `observations/` ledger: (canonical, n_obs=count, n_changed, max
+    // seq), pre-aggregated per canonical within the batch so ledger
+    // rows are O(distinct urls), never O(fetches) — the associative
+    // shape [[requestPlan]] sum-folds into the revisit schedule at
+    // 100 TB (raw fetch HISTORY is unboundable; these counts are
+    // exactly what the change-rate smoothing needs). `admitted` means
+    // the fetch observed NEW content; `not_modified` and `duplicate`
+    // are revisits that observed none. Non-fetch outcomes (invalid,
+    // redirect, robots_blocked) observe nothing. Same replay shape as
+    // every ledger: the batch's own partition, overwritten.
+    seqCol.foreach { sq =>
+      b.select(col(idCol), col("canonical"), col(sq).cast("long").as("_seq"))
+        .join(out.select(col(idCol), col("outcome")), Seq(idCol))
+        .filter(col("canonical").isNotNull &&
+          col("outcome").isin("admitted", "not_modified", "duplicate"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).cast("long").as("n_obs"),
+          sum(when(col("outcome") === "admitted", 1L).otherwise(0L))
+            .cast("long").as("n_changed"),
+          max(col("_seq")).cast("long").as("last_fetch"))
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$ledgerDir/observations")
+    }
     (Seq(b, judged, winKeys, admitted) ++ ledgerCp ++ schedCp)
       .foreach(_.unpersist(blocking = false))
     out
@@ -305,6 +332,35 @@ object StreamingCrawl {
   private[streaming] val HostsPointerKey = "crawl.hosts.base"
   private[streaming] val HopsPointerKey = "crawl.hops.base"
   private[streaming] val ValidatorsPointerKey = "crawl.validators.base"
+  private[streaming] val ObsPointerKey = "crawl.observations.base"
+
+  /** The LEDGER-BACKED request planner — the whole conditional-fetch
+    * loop from durable state alone: fold the observations ledger's
+    * per-URL deltas (sum counts, max last-fetch — associative, so
+    * compaction and this read share one algebra), run the
+    * [[graft.operators.Recrawl.scheduleFromAggregates]] change-rate
+    * smoothing, cut the due slice at `nowMs`, and join the stored
+    * validators into If-None-Match/If-Modified-Since request headers.
+    * One corpus-sized fold per PLANNING CYCLE (not per batch — batches
+    * only append deltas); compaction keeps the fold's input at one
+    * base plus the tail partitions. */
+  def requestPlan(spark: SparkSession, ledgerDir: String, nowMs: Long,
+                  baseMs: Long = 1000L, minMs: Long = 500L,
+                  maxMs: Long = 86400000L,
+                  belowBatch: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val obs = BatchLedger.read(spark, ledgerDir, "observations", ObsPointerKey,
+      belowBatch,
+      empty = Seq.empty[(String, Long, Long, Long)]
+        .toDF("canonical", "n_obs", "n_changed", "last_fetch"))
+      .groupBy(col("canonical").as("url"))
+      .agg(sum("n_obs").cast("long").as("n_obs"),
+        sum("n_changed").cast("long").as("n_changed"),
+        max("last_fetch").cast("long").as("last_fetch"))
+    graft.operators.Recrawl.conditionalPlan(
+      graft.operators.Recrawl.scheduleFromAggregates(obs, baseMs, minMs, maxMs),
+      validators(spark, ledgerDir, belowBatch), nowMs)
+  }
 
   /** Read the stored validator ledger as `(url, etag, last_modified)`
     * — the frame [[graft.operators.Recrawl.conditionalPlan]] takes.
@@ -611,6 +667,17 @@ object StreamingCrawl {
       BatchLedger.pointer(ledgerDir, ValidatorsPointerKey).isDefined)
       BatchLedger.compact(spark, ledgerDir, "validators", ValidatorsPointerKey,
         belowBatch)
+    // the fetch-observations ledger (present only when processBatch ran
+    // with seqCol): DELTA counts — sum-and-max fold, the same algebra
+    // requestPlan reads with, so compacting never changes a plan
+    val obs = new org.apache.hadoop.fs.Path(s"$ledgerDir/observations")
+    if (fs.exists(obs) || BatchLedger.pointer(ledgerDir, ObsPointerKey).isDefined)
+      BatchLedger.compact(spark, ledgerDir, "observations", ObsPointerKey,
+        belowBatch,
+        absorb = df => df.groupBy("canonical")
+          .agg(sum("n_obs").cast("long").as("n_obs"),
+            sum("n_changed").cast("long").as("n_changed"),
+            max("last_fetch").cast("long").as("last_fetch")))
   }
 
   /** Convenience wiring: every micro-batch's outcome rows land in
@@ -635,13 +702,14 @@ object StreamingCrawl {
              maxHops: Int = 5,
              discoverLinks: Boolean = false,
              perHostBudget: Int = 100,
-             validatorCols: Option[(String, String)] = None): StreamingQuery =
+             validatorCols: Option[(String, String)] = None,
+             seqCol: Option[String] = None): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val o = processBatch(batch, batchId, idCol, urlCol, blobCol, rules, agent,
           ledgerDir, shardDir, nShards, delays, defaultDelayMs,
-          statusCol, locationCol, validatorCols)
+          statusCol, locationCol, validatorCols, seqCol)
         o.withColumn("batch", lit(batchId))
           .write.mode("overwrite").partitionBy("batch").parquet(outDir)
         frontierDir.foreach { fd =>

@@ -480,6 +480,60 @@ class StreamingCrawlSpec extends SparkSpec {
     assert(afterCompact == stored, "compaction preserves the validator set")
   }
 
+  test("observations ledger + requestPlan: the whole loop from durable state") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val ledger = tmpDir("graft-scrawl-obs")
+    val schema2 = schema
+      .add(StructField("status", IntegerType, nullable = true))
+      .add(StructField("location", StringType, nullable = true))
+      .add(StructField("etag", StringType, nullable = true))
+      .add(StructField("lm", StringType, nullable = true))
+      .add(StructField("seq", LongType, nullable = true))
+    def df2(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema2)
+    def step(rows: Seq[Row], b: Long) = {
+      val m = StreamingCrawl.processBatch(df2(rows), b, "id", "url", "blob",
+        rules, "graftbot", ledger,
+        statusCol = Some("status"), locationCol = Some("location"),
+        validatorCols = Some(("etag", "lm")), seqCol = Some("seq"))
+      m.count(); m.unpersist(false)
+    }
+    // batch 0 at t=1000: /page admits (new content, etag stored);
+    // /static admits too
+    step(Seq(
+      Row(1L, "http://a.org/page", page("v1"), 200, null, "\"e1\"", null, 1000L),
+      Row(2L, "http://a.org/static", page("s1"), 200, null, null, null, 1000L)), 0L)
+    // batch 1 at t=11000: /page 304 (no change), /static re-fetch reads
+    // duplicate (no change), a redirect observes NOTHING
+    step(Seq(
+      Row(11L, "http://a.org/page", page(""), 304, null, null, null, 11000L),
+      Row(12L, "http://a.org/static", page("s1"), 200, null, null, null, 11000L),
+      Row(13L, "http://a.org/moved", page(""), 301, "http://a.org/page", null, null, 11000L)), 1L)
+    // folded observations: both urls (n_obs 2, n_changed 1, last 11000)
+    // → interval = 1000*4//3 = 1333, due at 12333
+    val plan = StreamingCrawl.requestPlan(spark, ledger, nowMs = 12333L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), Option(r.getString(3))))).toMap
+    assert(plan.keySet == Set("http://a.org/page", "http://a.org/static"),
+      "the redirect source never entered the observation ledger")
+    assert(plan("http://a.org/page") == ((12333L, "conditional", Some("\"e1\""))),
+      "the due revisit plans a conditional request on the stored ETag")
+    assert(plan("http://a.org/static") == ((12333L, "unconditional", None)))
+    // nothing due yet → empty plan
+    assert(StreamingCrawl.requestPlan(spark, ledger, nowMs = 12332L).count() == 0)
+    // replay idempotence: re-running batch 1 overwrites its own deltas
+    step(Seq(
+      Row(11L, "http://a.org/page", page(""), 304, null, null, null, 11000L),
+      Row(12L, "http://a.org/static", page("s1"), 200, null, null, null, 11000L),
+      Row(13L, "http://a.org/moved", page(""), 301, "http://a.org/page", null, null, 11000L)), 1L)
+    // … and compaction folds with the SAME algebra the read uses
+    StreamingCrawl.compact(spark, ledger, belowBatch = 2L)
+    val after = StreamingCrawl.requestPlan(spark, ledger, nowMs = 12333L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), Option(r.getString(3))))).toMap
+    assert(after == plan, "replay + compaction never change the plan")
+  }
+
   test("redirect frontier is robots-polite: disallowed targets never enter") {
     import spark.implicits._
     import org.apache.spark.sql.types.IntegerType

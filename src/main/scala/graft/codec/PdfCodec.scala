@@ -57,9 +57,17 @@ object PdfCodec {
   /** `info`: the document-information dictionary's text fields
     * (Title/Author/Subject/Producer/Keywords when present) — PDF text
     * strings decode as UTF-16BE when BOM-prefixed, PDFDocEncoding
-    * (≈ Latin-1 on the printable range) otherwise. */
+    * (≈ Latin-1 on the printable range) otherwise.
+    *
+    * `encrypted`: the trailer carries /Encrypt (ISO 32000-1 §7.6) —
+    * content streams and strings are RC4/AES ciphertext, so no text or
+    * /Info is recoverable without the security handler; the document
+    * still PARSES (xref, page tree) but must classify as encrypted,
+    * never as successfully-extracted-with-zero-text. Pages and info
+    * are empty when set. */
   final case class PdfDoc(version: String, nPages: Int, pages: Vector[String],
-                          info: Map[String, String] = Map.empty) {
+                          info: Map[String, String] = Map.empty,
+                          encrypted: Boolean = false) {
     def text: String = pages.mkString("\n")
   }
 
@@ -306,6 +314,72 @@ object PdfCodec {
     } finally inf.end()
   }
 
+  /** LZWDecode (ISO 32000-1 §7.4.4 — the TIFF flavor): 8-bit data,
+    * codes packed MSB-first (the opposite bit order of GIF's LZW in
+    * [[MediaHeaders.lzwDecode]]), CLEAR=256, EOD=257, first dictionary
+    * entry 258, code width grows 9→12 bits. With EarlyChange=1 (the
+    * default) the width bumps ONE CODE EARLY — when the next entry to
+    * be assigned is 2^width − 1 — because the encoder must widen
+    * before emitting the code that references that entry; with
+    * EarlyChange=0 it bumps at 2^width. Output length is not known in
+    * advance (unlike GIF's pixel count), so the buffer grows under the
+    * stream cap. Returns None on out-of-range codes or cap breach. */
+  private[codec] def lzwMsb(raw: Array[Byte], earlyChange: Int, cap: Int): Option[Array[Byte]] = {
+    val Clear = 256; val Eod = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    val out = new ByteArrayOutputStream(math.min(raw.length * 4 + 64, cap))
+    val early = if (earlyChange == 0) 0 else 1
+    var codeSize = 9
+    var nextCode = Eod + 1
+    var prev = -1
+    var acc = 0L; var nbits = 0; var di = 0
+    def emitChain(code: Int): Int = { // returns the chain's FIRST byte
+      var sp = 0
+      var c = code
+      while (c > Eod) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      out.write(c)
+      while (sp > 0) { sp -= 1; out.write(stack(sp)) }
+      c
+    }
+    var running = true
+    while (running) {
+      while (nbits < codeSize && di < raw.length) {
+        acc = (acc << 8) | (raw(di) & 0xffL); nbits += 8; di += 1
+      }
+      if (nbits < codeSize) running = false // stream end without EOD: accept
+      else {
+        val code = ((acc >> (nbits - codeSize)) & ((1L << codeSize) - 1)).toInt
+        nbits -= codeSize
+        acc &= (1L << nbits) - 1
+        if (code == Clear) { codeSize = 9; nextCode = Eod + 1; prev = -1 }
+        else if (code == Eod) running = false
+        else if (prev == -1) {
+          if (code >= Clear) return None // first code after clear must be a literal
+          emitChain(code); prev = code
+        } else if (code < nextCode && code != Clear && code != Eod) {
+          val first = emitChain(code)
+          if (nextCode < 4096) {
+            prefix(nextCode) = prev; suffix(nextCode) = first.toByte; nextCode += 1
+          }
+          prev = code
+        } else if (code == nextCode && nextCode < 4096) {
+          // k-omega-k: the entry being defined is itself emitted
+          prefix(nextCode) = prev
+          suffix(nextCode) = { var c = prev; while (c > Eod) c = prefix(c); c.toByte }
+          nextCode += 1
+          emitChain(nextCode - 1)
+          prev = code
+        } else return None // out-of-range code
+        if (prev != -1 && nextCode + early >= (1 << codeSize) && codeSize < 12)
+          codeSize += 1
+        if (out.size > cap) return None // bomb guard
+      }
+    }
+    Some(out.toByteArray)
+  }
+
   private def asciiHex(raw: Array[Byte]): Option[Array[Byte]] = {
     val out = new ByteArrayOutputStream()
     var hi = -1
@@ -505,6 +579,23 @@ object PdfCodec {
       -1
     }
 
+    /** /DecodeParms predictor pass shared by Flate and LZW (both
+      * filters take the same Predictor/Colors/BitsPerComponent/Columns
+      * parameters per §7.4.4.4). */
+    private def applyPredictor(data: Array[Byte], p: Option[PDict]): Option[Array[Byte]] =
+      p match {
+        case Some(d) =>
+          val pred = d.get("Predictor").flatMap(intOf).getOrElse(1)
+          if (pred <= 1) Some(data)
+          else {
+            val colors = d.get("Colors").flatMap(intOf).getOrElse(1)
+            val bpc = d.get("BitsPerComponent").flatMap(intOf).getOrElse(8)
+            val cols = d.get("Columns").flatMap(intOf).getOrElse(1)
+            unpredict(data, pred, colors, bpc, cols)
+          }
+        case None => Some(data)
+      }
+
     /** Decode a stream through its /Filter chain. */
     def decode(s: PStream): Option[Array[Byte]] = {
       val filters: Vector[String] = s.dict.get("Filter") match {
@@ -535,15 +626,11 @@ object PdfCodec {
         filters(i) match {
           case "FlateDecode" | "Fl" =>
             data = inflate(data, MaxStreamOut).getOrElse(return None)
-            p.foreach { d =>
-              val pred = d.get("Predictor").flatMap(intOf).getOrElse(1)
-              if (pred > 1) {
-                val colors = d.get("Colors").flatMap(intOf).getOrElse(1)
-                val bpc = d.get("BitsPerComponent").flatMap(intOf).getOrElse(8)
-                val cols = d.get("Columns").flatMap(intOf).getOrElse(1)
-                data = unpredict(data, pred, colors, bpc, cols).getOrElse(return None)
-              }
-            }
+            data = applyPredictor(data, p).getOrElse(return None)
+          case "LZWDecode" | "LZW" =>
+            val early = p.flatMap(_.get("EarlyChange")).flatMap(intOf).getOrElse(1)
+            data = lzwMsb(data, early, MaxStreamOut).getOrElse(return None)
+            data = applyPredictor(data, p).getOrElse(return None)
           case "ASCIIHexDecode" | "AHx" =>
             data = asciiHex(data).getOrElse(return None)
           case "ASCII85Decode" | "A85" =>
@@ -748,13 +835,41 @@ object PdfCodec {
         }
       }
       if (trailer.isEmpty) {
+        // recover trailer dicts from `trailer` keywords — later in the
+        // file = newer incremental update, so later keys win. This is
+        // what carries /Encrypt (and /Info) through the scan path: an
+        // encrypted PDF with a rotten xref must still classify as
+        // encrypted, not parse-ok-with-undecodable-streams.
+        var ti = 0
+        var scans = 0
+        while (ti + 7 <= b.length && scans < 64) {
+          if (b(ti) == 't' && new String(b, ti, 7, StandardCharsets.ISO_8859_1) == "trailer") {
+            scans += 1
+            new Lexer(b, ti + 7).obj(0) match {
+              case Some(d: PDict) => trailer = trailer ++ d.m
+              case _ =>
+            }
+            ti += 7
+          } else ti += 1
+        }
+      }
+      if (!trailer.contains("Root")) {
         // find a catalog for /Root
         val cat = offsets.keys.toVector.sorted.find(n2 => load(n2) match {
           case Some(d: PDict) => d.get("Type").contains(PName("Catalog"))
           case _ => false
         })
-        cat.foreach(n2 => trailer = Map("Root" -> PRef(n2, 0)))
+        cat.foreach(n2 => trailer = trailer + ("Root" -> PRef(n2, 0)))
       }
+    }
+
+    /** The trailer carries /Encrypt (a ref to the encryption dict, or
+      * the dict inline) when the document's strings and streams are
+      * ciphertext. PNull (an explicit removal in an incremental
+      * update) reads as not-encrypted. */
+    def isEncrypted: Boolean = trailer.get("Encrypt") match {
+      case None | Some(PNull) => false
+      case _ => true
     }
   }
 
@@ -1063,6 +1178,13 @@ object PdfCodec {
       r.scanObjects()
       root = r.trailer.get("Root").flatMap(r.dictOf)
     }
+    // /Encrypt gate BEFORE any content decode: streams and strings are
+    // ciphertext, so attempting extraction could only produce the
+    // success-with-empty-text lie. Both xref forms merge their dict
+    // into `trailer`; the scan fallback recovers trailer keywords.
+    if (r.isEncrypted)
+      return Some(PdfDoc(if (version.nonEmpty) version else "?", 0,
+        Vector.empty, Map.empty, encrypted = true))
     val pagesRoot = root.flatMap(_.get("Pages"))
     val pages = mutable.ArrayBuffer[(PDict, Option[PDict])]()
     pagesRoot.foreach(collectPages(r, _, None, pages, mutable.HashSet[Int](), 0))

@@ -80,6 +80,73 @@ object PdfFixtures {
     bytes(sb.toString)
   }
 
+  /** LZW encoder, PDF/TIFF flavor (ISO 32000-1 §7.4.4): 8-bit data,
+    * MSB-first bit packing, CLEAR=256 leads the stream, EOD=257 ends
+    * it, first table entry 258, width 9→12. With `earlyChange=1` (the
+    * PDF default) the width bumps immediately after ASSIGNING entry
+    * 2^width − 1 — one code earlier than the natural boundary — so the
+    * decoder (whose table runs one entry behind) widens in lockstep;
+    * with 0 it bumps after assigning 2^width. The fixture side of
+    * [[PdfCodec.lzwMsb]]. */
+  def lzwEncodeMsb(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val Clear = 256; val Eod = 257
+    val early = if (earlyChange == 0) 0 else 1
+    val dict = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    val out = new ByteArrayOutputStream()
+    var codeSize = 9
+    var acc = 0L; var nbits = 0
+    def emit(code: Int): Unit = {
+      acc = (acc << codeSize) | code; nbits += codeSize
+      while (nbits >= 8) { out.write(((acc >> (nbits - 8)) & 0xff).toInt); nbits -= 8 }
+      acc &= (1L << nbits) - 1
+    }
+    // The decoder is canonical: it adds one table entry per data code
+    // READ (except the first after a clear) and re-derives the width
+    // from its next-to-assign counter + EarlyChange AFTER each add —
+    // one emit LATER than the encoder's own dict assignment. An
+    // encoder that widens at assignment time diverges from the decoder
+    // exactly when the width boundary lands on the final data code
+    // before EOD, so the width bookkeeping here mirrors the decoder's
+    // timing, not the dict's.
+    var decNext = Eod + 1 // the decoder's next-to-assign counter
+    var afterClear = true
+    def emitData(code: Int): Unit = {
+      emit(code)
+      if (afterClear) afterClear = false
+      else if (decNext < 4096) {
+        decNext += 1
+        if (decNext + early >= (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+    }
+    emit(Clear)
+    if (data.nonEmpty) {
+      var w = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val k = data(i) & 0xff
+        val key = (w.toLong << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) w = hit.intValue()
+        else {
+          emitData(w)
+          // the decoder creates this entry when it reads the NEXT
+          // code, receiving the post-bookkeeping counter value
+          if (decNext < 4096) dict.put(key, decNext)
+          else { // decoder table full: clear and restart
+            emit(Clear); dict.clear(); codeSize = 9
+            decNext = Eod + 1; afterClear = true
+          }
+          w = k
+        }
+        i += 1
+      }
+      emitData(w)
+    }
+    emit(Eod)
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt) // pad final byte
+    out.toByteArray
+  }
+
   /** One page of content ops plus which font resource it uses. */
   final case class Page(content: String, font: String = "/F1")
 
@@ -140,9 +207,12 @@ object PdfFixtures {
           predictor: Boolean = false,
           info: Seq[(String, String)] = Seq.empty,
           infoUtf16: Boolean = false,
-          a85: Boolean = false): Array[Byte] = {
+          a85: Boolean = false,
+          lzw: Boolean = false, lzwEarly0: Boolean = false,
+          encrypt: Boolean = false): Array[Byte] = {
     // object numbering: 1 catalog, 2 pages-root, then per page (page,
-    // contents[, length]), then font[, cmap][, info][, objstm, xref]
+    // contents[, length]), then font[, cmap][, info][, encrypt]
+    // [, objstm, xref]
     var next = 3
     def take(): Int = { val n = next; next += 1; n }
     val pageNums = pages.map(_ => take())
@@ -151,21 +221,29 @@ object PdfFixtures {
     val fontNum = take()
     val cmapNum = font match { case CidFont(_) => take(); case _ => -1 }
     val infoNum = if (info.nonEmpty) take() else -1
+    val encryptNum = if (encrypt) take() else -1
 
     val filter =
-      if (a85) "[ /ASCII85Decode /FlateDecode ]"
+      if (lzw) "/LZWDecode"
+      else if (a85) "[ /ASCII85Decode /FlateDecode ]"
       else if (filterArray) "[ /FlateDecode ]"
       else "/FlateDecode"
     def contentObj(i: Int): (String, Array[Byte]) = {
       val raw = bytes(pages(i).content)
-      val data =
-        if (a85) ascii85Encode(deflate(raw))
+      val clear =
+        if (lzw) lzwEncodeMsb(raw, if (lzwEarly0) 0 else 1)
+        else if (a85) ascii85Encode(deflate(raw))
         else if (compress) deflate(raw)
         else raw
+      // an encrypted document's content streams are ciphertext: XOR
+      // stands in for RC4 — the extractor must never look (the
+      // /Encrypt gate fires first), so the garble proves it didn't
+      val data = if (encrypt) clear.map(b => (b ^ 0x5A).toByte) else clear
       val lenPart =
         if (indirectLength) s"/Length ${lengthNums(i)} 0 R"
         else s"/Length ${data.length}"
-      val filtPart = if (compress || a85) s" /Filter $filter" else ""
+      val parmsPart = if (lzw && lzwEarly0) " /DecodeParms << /EarlyChange 0 >>" else ""
+      val filtPart = if (compress || a85 || lzw) s" /Filter $filter$parmsPart" else ""
       (s"<< $lenPart$filtPart >>", data)
     }
 
@@ -209,7 +287,14 @@ object PdfFixtures {
       }.mkString(" ")
       objs(infoNum) = Left(s"<< $fields >>")
     }
-    val infoPart = if (info.nonEmpty) s" /Info $infoNum 0 R" else ""
+    if (encrypt)
+      // the standard security handler's dict shape (§7.6.3) — the
+      // extractor only needs /Encrypt's PRESENCE in the trailer
+      objs(encryptNum) = Left(
+        "<< /Filter /Standard /V 1 /R 2 /P -44 " +
+          s"/O <${"AB" * 32}> /U <${"CD" * 32}> >>")
+    val infoPart = (if (info.nonEmpty) s" /Info $infoNum 0 R" else "") +
+      (if (encrypt) s" /Encrypt $encryptNum 0 R" else "")
 
     val out = new ByteArrayOutputStream()
     out.write(bytes("%PDF-1.5\n%âãÏÓ\n"))
@@ -364,4 +449,27 @@ object PdfFixtures {
   }
 
   def docPages(id: Long): Int = if (id % 4 == 1) 2 else 1
+
+  /** An ENCRYPTED document (classic xref): trailer carries /Encrypt,
+    * content bytes are ciphertext-garbled — must classify as
+    * `encrypted`, never as ok-with-empty-text. */
+  def encryptedPdf(id: Long): Array[Byte] =
+    pdf(Seq(Page(s"BT /F1 12 Tf 72 720 Td (Secret $id) Tj ET")),
+      encrypt = true, info = Seq("Title" -> s"Locked $id"))
+
+  /** The PDF 1.5 form of the same: /Encrypt rides the xref STREAM's
+    * dict (xref streams are themselves never encrypted, so the gate
+    * must find the key there too). */
+  def encryptedPdfXrefStream(id: Long): Array[Byte] =
+    pdf(Seq(Page(s"BT /F1 12 Tf 72 720 Td (Secret $id) Tj ET")),
+      encrypt = true, xrefStream = true)
+
+  /** LZW-compressed content (older-generation PDFs): default
+    * EarlyChange=1 wire form. Text = [[lzwText]]. */
+  def lzwPdf(id: Long): Array[Byte] =
+    pdf(Seq(Page(s"BT /F1 10 Tf 60 700 Td (${lit(lzwText(id))}) Tj ET")),
+      lzw = true, info = Seq("Title" -> s"Legacy $id"))
+
+  /** The text [[lzwPdf]] must extract — 4 whitespace tokens. */
+  def lzwText(id: Long): String = s"LZW packed stream $id"
 }

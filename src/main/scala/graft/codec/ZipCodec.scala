@@ -5,13 +5,16 @@ import java.util.zip.{CRC32, Inflater}
 
 /** Deterministic ZIP (PKWARE APPNOTE) writer + parser — the third shard
   * container beside [[TarCodec]] and [[WarcCodec]]. The writer emits
-  * STORED (method 0) entries only, with zeroed DOS date/time and no
-  * extra fields or comments, so — like tar and WARC — the written bytes
-  * are a pure function of the members and every field is integer
+  * STORED (method 0) entries by default, with zeroed DOS date/time and
+  * no extra fields or comments, so — like tar and WARC — the written
+  * bytes are a pure function of the members and every field is integer
   * arithmetic an oracle can replay (local header 30 + name + payload,
   * central entry 46 + name, EOCD 22). Compression belongs to the
   * PAYLOAD layer (deflateLength, the PNG writer), not the container —
-  * same doctrine that keeps shard identity byte-stable.
+  * same doctrine that keeps shard identity byte-stable. (Opt-in
+  * DEFLATE members exist for OPC fixtures — a .docx is a zip whose
+  * members real writers always compress — still deterministic, just
+  * not field-replayable arithmetic.)
   *
   * The parser is the tolerant side: it walks the central directory (the
   * authoritative index — local headers alone cannot delimit streamed
@@ -30,8 +33,14 @@ object ZipCodec {
 
   /** Serialize members as STORED entries in the given order. Names must
     * be non-empty ASCII without wildcards on determinism: the archive
-    * bytes depend only on (name, payload) pairs. */
-  def write(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    * bytes depend only on (name, payload) pairs. Names in
+    * `deflateNames` write as DEFLATE (method 8) entries instead —
+    * `java.util.zip.Deflater` at default settings is deterministic for
+    * fixed input (the PdfFixtures precedent), and a fixture archive
+    * with a compressed member exercises the parser's foreign-DEFLATE
+    * read path end to end. */
+  def write(members: Seq[(String, Array[Byte])],
+            deflateNames: Set[String] = Set.empty): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val central = new ByteArrayOutputStream()
     var offset = 0L
@@ -41,24 +50,36 @@ object ZipCodec {
       require(payload.length.toLong <= 0xffffffffL, "zip64 not supported")
       val crc = new CRC32(); crc.update(payload)
       val c = crc.getValue
+      val method = if (deflateNames.contains(name)) 8 else 0
+      val stored: Array[Byte] =
+        if (method == 0) payload
+        else {
+          val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(payload); d.finish()
+          val z = new ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+          d.end()
+          z.toByteArray
+        }
       // local file header
       out.write(u32(0x04034b50L)); out.write(u16(20)); out.write(u16(0))
-      out.write(u16(0)) // method: stored
+      out.write(u16(method))
       out.write(u16(0)); out.write(u16(0)) // DOS time/date zeroed
-      out.write(u32(c)); out.write(u32(payload.length.toLong)); out.write(u32(payload.length.toLong))
+      out.write(u32(c)); out.write(u32(stored.length.toLong)); out.write(u32(payload.length.toLong))
       out.write(u16(nameB.length)); out.write(u16(0))
       out.write(nameB, 0, nameB.length)
-      out.write(payload, 0, payload.length)
+      out.write(stored, 0, stored.length)
       // central directory entry
       central.write(u32(0x02014b50L)); central.write(u16(20)); central.write(u16(20))
-      central.write(u16(0)); central.write(u16(0))
+      central.write(u16(0)); central.write(u16(method))
       central.write(u16(0)); central.write(u16(0)) // time/date
-      central.write(u32(c)); central.write(u32(payload.length.toLong)); central.write(u32(payload.length.toLong))
+      central.write(u32(c)); central.write(u32(stored.length.toLong)); central.write(u32(payload.length.toLong))
       central.write(u16(nameB.length)); central.write(u16(0)); central.write(u16(0))
       central.write(u16(0)); central.write(u16(0)); central.write(u32(0L)) // disk, attrs
       central.write(u32(offset))
       central.write(nameB, 0, nameB.length)
-      offset += 30L + nameB.length + payload.length
+      offset += 30L + nameB.length + stored.length
     }
     val cd = central.toByteArray
     out.write(cd, 0, cd.length)

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** DOCX front gate — office documents entering the text funnel next to
+  * PDF and HTML ([[graft.codec.DocxCodec]] does the byte work:
+  * [[graft.codec.ZipCodec]] container + WordprocessingML walk).
+  *
+  * Scale posture: identical to [[Pdf]] — pure per-row CPU riding the
+  * scan on mapPartitions (the adjudicated heavy-binary-decoder shape),
+  * no shuffle introduced, memory O(one document) per task under the
+  * codec's 64 MiB input / 32 MiB member caps. At 100 TB the stage
+  * parallelizes with the input splits and nothing else. */
+object Docx {
+
+  private val outSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("docx_ok", BooleanType, nullable = false),
+    StructField("verdict", StringType, nullable = false),
+    StructField("n_paras", IntegerType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("creator", StringType, nullable = true)))
+
+  /** Extract text + core-properties sidecar per blob: `(doc_id,
+    * docx_ok, verdict, n_paras, text, title, creator)` — one row per
+    * input row; undecodable blobs keep their row with `docx_ok =
+    * false`, `verdict = corrupt` and null fields (the drop-accounting
+    * doctrine). Paragraphs join with '\n' (the
+    * [[graft.codec.DocxCodec]] layout rules); absent
+    * `docProps/core.xml` surfaces null title/creator on an ok row. */
+  def extractText(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        graft.codec.DocxCodec.extract(r.getAs[Array[Byte]](blobIdx)) match {
+          case Some(d) => Row(id, true, "ok", d.nParas, d.text,
+            d.title.orNull, d.creator.orNull)
+          case None => Row(id, false, "corrupt", null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

@@ -19,15 +19,21 @@ object Pdf {
   private val outSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("pdf_ok", BooleanType, nullable = false),
+    StructField("verdict", StringType, nullable = false),
     StructField("n_pages", IntegerType, nullable = true),
     StructField("text", StringType, nullable = true)))
 
-  /** Extract text per blob: `(doc_id, pdf_ok, n_pages, text)` — one
-    * row per input row; undecodable blobs keep their row with
+  /** Extract text per blob: `(doc_id, pdf_ok, verdict, n_pages, text)`
+    * — one row per input row; undecodable blobs keep their row with
     * `pdf_ok = false` and null pages/text so funnel accounting stays
     * observable (the HttpCodec drop-accounting doctrine: a gate must
-    * say what it dropped, not vanish it). Page texts join with '\n'
-    * (the [[graft.codec.PdfCodec]] layout rules). */
+    * say what it dropped, not vanish it). `verdict` names the drop
+    * class: `ok` (text recovered), `encrypted` (the trailer carries
+    * /Encrypt — streams are ciphertext, and a success-with-empty-text
+    * row here would launder an unreadable document into a legitimate
+    * zero-token one), `corrupt` (not parseable as a PDF at all). Page
+    * texts join with '\n' (the [[graft.codec.PdfCodec]] layout
+    * rules). */
   def extractText(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
     val idIdx = df.schema.fieldIndex(idCol)
@@ -37,8 +43,9 @@ object Pdf {
         val id = r.getLong(idIdx)
         val blob = r.getAs[Array[Byte]](blobIdx)
         graft.codec.PdfCodec.extract(blob) match {
-          case Some(d) => Row(id, true, d.nPages, d.text)
-          case None => Row(id, false, null, null)
+          case Some(d) if d.encrypted => Row(id, false, "encrypted", null, null)
+          case Some(d) => Row(id, true, "ok", d.nPages, d.text)
+          case None => Row(id, false, "corrupt", null, null)
         }
       }
     }
@@ -48,14 +55,17 @@ object Pdf {
   private val metaSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("pdf_ok", BooleanType, nullable = false),
+    StructField("verdict", StringType, nullable = false),
     StructField("n_pages", IntegerType, nullable = true),
     StructField("title", StringType, nullable = true),
     StructField("author", StringType, nullable = true)))
 
-  /** Document-information extraction: `(doc_id, pdf_ok, n_pages,
-    * title, author)` from the /Info dictionary (UTF-16BE-with-BOM and
-    * PDFDocEncoding text strings both decode) — the sidecar fields a
-    * corpus pipeline keys provenance and dedup heuristics on. Same
+  /** Document-information extraction: `(doc_id, pdf_ok, verdict,
+    * n_pages, title, author)` from the /Info dictionary
+    * (UTF-16BE-with-BOM and PDFDocEncoding text strings both decode)
+    * — the sidecar fields a corpus pipeline keys provenance and dedup
+    * heuristics on. Encrypted documents surface `verdict=encrypted`
+    * with null fields (the /Info strings are ciphertext too). Same
     * mapPartitions posture as [[extractText]]. */
   def extractMeta(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -65,9 +75,10 @@ object Pdf {
       rows.map { r =>
         val id = r.getLong(idIdx)
         graft.codec.PdfCodec.extract(r.getAs[Array[Byte]](blobIdx)) match {
-          case Some(d) => Row(id, true, d.nPages,
+          case Some(d) if d.encrypted => Row(id, false, "encrypted", null, null, null)
+          case Some(d) => Row(id, true, "ok", d.nPages,
             d.info.get("Title").orNull, d.info.get("Author").orNull)
-          case None => Row(id, false, null, null, null)
+          case None => Row(id, false, "corrupt", null, null, null)
         }
       }
     }
@@ -76,11 +87,18 @@ object Pdf {
 
   /** Magic-byte router for a mixed payload column: 'pdf' when the
     * first kilobyte carries the `%PDF-` header (the spec allows a
-    * preamble), 'html' on an angle-bracket start, 'other' otherwise —
-    * codegen-friendly (pure Column ops, no UDF). */
+    * preamble), 'docx' on the ZIP local-header magic (`PK`)
+    * with the OPC `[Content_Types].xml` token in the sniff window (the
+    * first member of every real OOXML writer's archive), 'zip' on the
+    * magic alone (some other archive), 'html' on an angle-bracket
+    * start, 'other' otherwise — codegen-friendly (pure Column ops, no
+    * UDF). */
   def sniffKind(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val head = substring(blob, 1, 1024).cast("string")
+    val pkMagic = substring(blob, 1, 4) === lit(Array[Byte]('P', 'K', 3, 4))
     when(head.contains("%PDF-"), "pdf")
+      .when(pkMagic && head.contains("[Content_Types].xml"), "docx")
+      .when(pkMagic, "zip")
       .when(ltrim(head).startsWith("<"), "html")
       .otherwise("other")
   }

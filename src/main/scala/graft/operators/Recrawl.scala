@@ -89,7 +89,15 @@ object Recrawl {
     * scales the slack: priority 1.0 tightens the ceiling to ~2/3,
     * priority 0.0 doubles it. `interval = clamp(adaptive, lo, hi)`;
     * unhinted URLs keep the pure adaptive interval. Output adds the
-    * `changefreq` column (null ⇒ unhinted) to the [[schedule]] shape. */
+    * `changefreq` column (null ⇒ unhinted) to the [[schedule]] shape.
+    *
+    * Hints are UNTRUSTED sitemap data: `pri10` clamps to [0, 10]
+    * before entering the arithmetic (a hostile −5 would divide by
+    * zero, more-negative values would invert the ceiling, >10 would
+    * silently tighten past the documented priority-1.0 bound), and
+    * duplicate hint rows for one URL collapse deterministically —
+    * max pri10, lexicographically-first changefreq keyword — so one
+    * URL never schedules twice. */
   def scheduleWithHints(history: DataFrame, urlCol: String, seqCol: String,
                         changedCol: String, hints: DataFrame,
                         baseMs: Long = 1000L, minMs: Long = 500L,
@@ -98,7 +106,10 @@ object Recrawl {
     val fm = freqMs(minMs, maxMs)
     val h = hints.select(col("url"),
       col("changefreq").cast("string").as("changefreq"),
-      coalesce(col("pri10").cast("long"), lit(5L)).as("_pri"))
+      greatest(lit(0L), least(lit(10L),
+        coalesce(col("pri10").cast("long"), lit(5L)))).as("_pri"))
+      .groupBy("url")
+      .agg(min(col("changefreq")).as("changefreq"), max(col("_pri")).as("_pri"))
     val cadence = fm.foldLeft(lit(null).cast("long")) { case (acc, (k, v)) =>
       when(col("changefreq") === k, lit(v)).otherwise(acc)
     }

@@ -1710,6 +1710,72 @@ object TextOps {
       tagAttr("(?is)<link[^>]*\\srel=\"canonical\"[^>]*>", "href").as("canonical"))
   }
 
+  /** PAGE-level robots directives — the per-document half of the
+    * robots contract ([[Robots]] owns the site-level robots.txt):
+    * `<meta name="robots" content="noindex, nofollow">` and the
+    * `X-Robots-Tag` response header, folded into ONE
+    * `struct(noindex, nofollow)` verdict a crawl gates on (`noindex`
+    * bars corpus admission, `nofollow` bars the page's links from the
+    * frontier).
+    *
+    * Pinned semantics (mirrors the robots.txt precedence doctrine):
+    *   - meta names are matched case-insensitively in BOTH attribute
+    *     orders (the [[htmlMeta]] two-step doctrine); an
+    *     agent-specific meta (`name="<agent>"`) PREEMPTS the generic
+    *     `name="robots"` level entirely when present — declaring for
+    *     the specific crawler is the more specific rule;
+    *   - within the winning meta level, multiple tags UNION their
+    *     tokens (most-restrictive wins, the standard reading);
+    *   - header lines (multiple `X-Robots-Tag` instances arrive
+    *     newline-joined) apply when UNPREFIXED or prefixed with
+    *     `<agent>:`; an alien `otherbot:` prefix drops the line. (A
+    *     colon-bearing directive like `unavailable_after: <date>`
+    *     reads as an alien prefix and drops — it is not a supported
+    *     token anyway, and dropping beats mis-applying.)
+    *   - header and meta verdicts UNION (a page is noindex if EITHER
+    *     channel says so);
+    *   - tokens split on commas, trim, lowercase; `none` =
+    *     noindex + nofollow; `index`/`follow`/`all` are no-ops
+    *     (nothing un-restricts).
+    *
+    * The meta scan only needs the ASCII tag bytes, so callers may feed
+    * an ASCII-compatible lossy decode where the full charset gate
+    * would be overkill. Pure per-row Column expressions, no UDF. */
+  def pageRobots(html: Column, xRobotsTag: Column, agent: String): Column = {
+    require(agent.nonEmpty && agent.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"agent must be a plain token: '$agent'")
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    def metaTokens(name: String): Column = {
+      val tags = regexp_extract_all(html,
+        lit(s"(?is)<meta[^>]*\\sname=\"$name\"[^>]*>"), lit(0))
+      val contents = transform(tags,
+        t => regexp_extract(t, "(?is)\\scontent=\"([^\"]*)\"", 1))
+      filter(transform(split(lower(array_join(contents, ",")), ","), trim(_)),
+        _ =!= "")
+    }
+    val agentMeta = metaTokens(agentLc)
+    val genericMeta = metaTokens("robots")
+    val meta = when(size(agentMeta) > 0, agentMeta).otherwise(genericMeta)
+    val linePat = "^\\s*([A-Za-z0-9_.-]+)\\s*:(.*)$"
+    val hdrLines = split(coalesce(xRobotsTag, lit("")), "\n")
+    val applicable = transform(hdrLines, l => {
+      val pref = regexp_extract(l, linePat, 1)
+      val rest = regexp_extract(l, linePat, 2)
+      when(lower(pref) === lit(agentLc), rest)
+        .when(pref === "", l)
+        .otherwise(lit(""))
+    })
+    val hdrToks = filter(
+      transform(split(lower(array_join(applicable, ",")), ","), trim(_)),
+      _ =!= "")
+    val toks = concat(meta, hdrToks)
+    struct(
+      array_contains(toks, "noindex").||(array_contains(toks, "none"))
+        .as("noindex"),
+      array_contains(toks, "nofollow").||(array_contains(toks, "none"))
+        .as("nofollow"))
+  }
+
   /** Suffix-aware blocklist membership: `d` is blocked when it equals a
     * blocklist entry or is a subdomain of one (`ads.tracker.net` matches
     * `tracker.net` — the semantics real blocklists assume). The list

@@ -12,10 +12,14 @@ package graft.queries
   * nothing from Spark but the corpus itself.
   *
   * Bounds that make the unroll finite and exact: corpus words are ≤ 8
-  * chars (asserted against the testdata; a longer word would simply
-  * drop from BOTH sides' DP at position 8 — loud, because counts
-  * shift), pieces are ≤ `maxPieceLen` chars, and every count is an
-  * exact BIGINT (the integer-exactness doctrine — this is WHY the
+  * chars — ASSERTED in the seed CTE via DuckDB `error()`, because the
+  * bound is load-bearing ONLY on the oracle side: the Spark operator
+  * ([[graft.operators.Unigram.segment]]) segments words of any length,
+  * while this unroll has exactly `MaxWordLen` DP positions, so a
+  * longer token would silently truncate HERE and surface as an
+  * unexplained hash mismatch. The guard turns that into a loud oracle
+  * error instead. Pieces are ≤ `maxPieceLen` chars, and every count is
+  * an exact BIGINT (the integer-exactness doctrine — this is WHY the
   * trainer is hard-EM, see the operator's scaladoc). Every CTE is
   * MATERIALIZED (the BpeOracle inlining lesson: the chain references
   * each state repeatedly and DuckDB's default inlining re-evaluates
@@ -33,7 +37,11 @@ object UnigramOracle {
                     trainSrc: String): String = {
     val seed =
       s"""toks AS MATERIALIZED (SELECT doc_id, unnest($DuckToks) AS w FROM $trainSrc),
-         |w0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w),
+         |w0 AS MATERIALIZED (SELECT
+         |  CASE WHEN len(w) > $MaxWordLen
+         |       THEN error('unigram oracle: word exceeds MaxWordLen=$MaxWordLen — the unrolled DP cannot represent it (the Spark operator can; extend the unroll)')
+         |       ELSE w END AS w,
+         |  CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w),
          |subs AS MATERIALIZED (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM (
          |  SELECT f, substr(w, i, l) AS p
          |  FROM w0, range(1, ${MaxWordLen + 1}) t1(i), range(1, ${maxPieceLen + 1}) t2(l)

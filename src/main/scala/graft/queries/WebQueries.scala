@@ -1818,7 +1818,12 @@ object WebQueries {
     //    within. Every branch is live in the fixture: hourly/daily
     //    floors bind, weekly/never pin at the cap, `always` leaves the
     //    adaptive value under a priority-scaled ceiling, and unhinted
-    //    docs keep the pure adaptive interval. Integer floor-division
+    //    docs keep the pure adaptive interval. Hints are UNTRUSTED:
+    //    the fixture's raw pri10 = doc%23 − 6 spans −6..16 and the
+    //    operator's [0,10] clamp is what the oracle replays (a raw −5
+    //    would divide by zero); docs ≡ 0 mod 4 additionally carry a
+    //    DUPLICATE hint row at pri10−1 that the operator's
+    //    max-pri dedup must collapse. Integer floor-division
     //    arithmetic end to end — the oracle replays it exactly. ──
     QueryDef.sql(
       "web_recrawl_schedule",
@@ -1838,7 +1843,7 @@ object WebQueries {
         |      CASE doc_id % 5 WHEN 0 THEN 'hourly' WHEN 1 THEN 'daily'
         |        WHEN 2 THEN 'weekly' WHEN 3 THEN 'always' ELSE 'never' END
         |    END AS changefreq,
-        |    doc_id % 11 AS pri FROM g),
+        |    greatest(0, least(10, doc_id % 23 - 6)) AS pri FROM g),
         |b AS (SELECT *, CASE changefreq WHEN 'always' THEN 500
         |    WHEN 'hourly' THEN 3600000 WHEN 'daily' THEN 86400000
         |    WHEN 'weekly' THEN 604800000 WHEN 'never' THEN 345600000000 END AS cd
@@ -1866,14 +1871,21 @@ object WebQueries {
           .select(col("url"), (col("seq") * 3600000L).as("ts"),
             (((col("seq") + 1) * (pmod(col("doc_id"), lit(7)) + 2)) % 3 === 0)
               .as("changed"))
-        val hints = Tables.documents(s, d)
-          .select(url.as("url"),
+        val hintBase = Tables.documents(s, d)
+          .select(col("doc_id"), url.as("url"),
             when(pmod(col("doc_id"), lit(3)) === 0,
               element_at(
                 array(lit("hourly"), lit("daily"), lit("weekly"),
                   lit("always"), lit("never")),
                 (pmod(col("doc_id"), lit(5)) + 1).cast("int"))).as("changefreq"),
-            pmod(col("doc_id"), lit(11)).as("pri10"))
+            (pmod(col("doc_id"), lit(23)) - 6).as("pri10"))
+        // untrusted-input branches live: raw pri10 spans −6..16 (the
+        // operator clamps), and every fourth doc declares TWICE at a
+        // strictly lower priority (the max-pri dedup collapses it)
+        val hints = hintBase.drop("doc_id").unionByName(
+          hintBase.filter(pmod(col("doc_id"), lit(4)) === 0)
+            .select(col("url"), col("changefreq"),
+              (col("pri10") - 1).as("pri10")))
         graft.operators.Recrawl
           .scheduleWithHints(history, "url", "ts", "changed", hints)
           .select(col("url"), col("n_obs"), col("n_changed"), col("last_fetch"),
@@ -1991,6 +2003,77 @@ object WebQueries {
         }
         graft.streaming.StreamingCrawl
           .requestPlan(s, ledger, nowMs = 3602333L)
+          .orderBy("url")
+    },
+
+    // ── 301-ALIAS ledger, oracled end to end — permanent moves split
+    //    from temporary redirects and REWRITE future enqueues: batch 0
+    //    fetches every doc's /u page (id%4=1 answers 301 → an alias
+    //    records; id%4=2 answers 302 → nothing records, the source
+    //    stays live; the rest admit), then batch 1's hub pages link to
+    //    an aliased URL (must rewrite to its /m target before the seen
+    //    drain — never re-fetching the alias), a 302 source (enqueues
+    //    AS-IS: temporary moves keep the source live), and an admitted
+    //    URL (drains). The oracle replays the alias arithmetic, the
+    //    301/302 asymmetry, and the drain — a missed rewrite, a 302
+    //    mis-recorded as permanent, or a drain slip each shifts the
+    //    row set. Fixture sized by the id+3 guard so every linked URL
+    //    exists at every sf. ──
+    QueryDef.sql(
+      "web_redirect_alias",
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents WHERE doc_id < 2000),
+        |hubs AS (SELECT doc_id FROM documents, mx
+        |  WHERE doc_id < 2000 AND doc_id % 4 = 0 AND doc_id + 3 <= m),
+        |f AS (
+        |  SELECT 'http://d' || ((doc_id + 1) % 50) || '.example.com/m' || (doc_id + 1)
+        |    AS url FROM hubs
+        |  UNION ALL
+        |  SELECT 'http://d' || ((doc_id + 2) % 50) || '.example.com/u' || (doc_id + 2)
+        |    AS url FROM hubs)
+        |SELECT url, CAST(1 AS INT) AS hop FROM f ORDER BY url""".stripMargin) {
+      (s, d) =>
+        val m = pmod(col("doc_id"), lit(50))
+        val u = concat(lit("http://d"), m, lit(".example.com/u"), col("doc_id"))
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 2000)
+          .select(col("doc_id"), u.as("url"))
+        val maxId = docs.agg(max("doc_id")).head.getLong(0)
+        val rules = docs
+          .select(concat(lit("d"), m, lit(".example.com")).as("domain")).distinct()
+          .select(col("domain"), lit("*").as("agent"),
+            lit(true).as("allow"), lit("/").as("prefix"))
+        val nullS = lit(null).cast("string")
+        val b0 = docs.select(col("doc_id").as("id"), col("url"),
+          lit(Array.emptyByteArray).as("blob"),
+          when(pmod(col("doc_id"), lit(4)) === 1, 301)
+            .when(pmod(col("doc_id"), lit(4)) === 2, 302)
+            .otherwise(200).as("status"),
+          when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("/m"), col("doc_id")))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              concat(lit("/t"), col("doc_id"))).as("location"))
+        val ledger = java.nio.file.Files
+          .createTempDirectory("graft-aliasledger").toString
+        val m0 = graft.streaming.StreamingCrawl.processBatch(
+          b0, 0L, "id", "url", "blob", rules, "graftbot", ledger,
+          statusCol = Some("status"), locationCol = Some("location"))
+        m0.count(); m0.unpersist(blocking = false)
+        def absU(off: Int) = concat(lit("http://d"),
+          pmod(col("doc_id") + off, lit(50)),
+          lit(".example.com/u"), col("doc_id") + off)
+        val hubs = docs
+          .filter(pmod(col("doc_id"), lit(4)) === 0 &&
+            col("doc_id") + 3 <= maxId)
+          .select(
+            concat(lit("http://d"), m, lit(".example.com/h"), col("doc_id"))
+              .as("url"),
+            concat(
+              lit("<a href=\""), absU(1), lit("\">alias</a>"),
+              lit("<a href=\""), absU(2), lit("\">temp</a>"),
+              lit("<a href=\""), absU(3), lit("\">seen</a>")).as("html"))
+        graft.streaming.StreamingCrawl
+          .linkFrontier(hubs, "url", "html", ledger, 1L,
+            perHostBudget = 1000000)
+          .select(col("url"), col("hop"))
           .orderBy("url")
     },
 
@@ -2537,28 +2620,37 @@ object WebQueries {
     },
 
     // ── PDF + HTML FUNNEL — PDFs entering the text funnel NEXT TO
-    //    html, with observable drops: even docs carry a PDF payload
-    //    (every tenth of them a truncated header-only stub that must
-    //    fail extraction, not vanish), odd docs an HTML shell; the
+    //    html, with observable drops per VERDICT class: even docs
+    //    carry a PDF payload — every tenth (%10=6) a truncated
+    //    header-only stub that must fail extraction (`corrupt`), every
+    //    tenth (%10=2) an ENCRYPTED document whose trailer carries
+    //    /Encrypt (must classify `encrypted`, never launder into
+    //    ok-with-zero-tokens — the streams are ciphertext), every
+    //    tenth (%10=8) an LZWDecode-compressed legacy document that
+    //    must extract (`ok`, 4 tokens) — odd docs an HTML shell; the
     //    magic-byte router splits the stream, each arm extracts with
     //    its own gate (PdfCodec / htmlExtract), and the funnel reports
-    //    per kind: arrivals, successful extractions, recovered token
-    //    mass. The oracle replays all three classes arithmetically —
-    //    even/odd split, the %10 corrupt class, and the per-variant
+    //    per (kind, verdict): arrivals and recovered token mass. The
+    //    oracle replays every class arithmetically — even/odd split,
+    //    the %10 corrupt/encrypted/lzw classes, and the per-variant
     //    token counts of the recovered text. ──
     QueryDef.sql(
       "web_pdf_funnel",
       """WITH t AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
-        |  CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 6 THEN 0 ELSE 1 END != 0 AS ok,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'html' ELSE 'pdf' END AS kind,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'ok'
+        |       WHEN doc_id % 10 = 6 THEN 'corrupt'
+        |       WHEN doc_id % 10 = 2 THEN 'encrypted'
+        |       ELSE 'ok' END AS verdict,
         |  CASE WHEN doc_id % 2 = 1 THEN 6
         |       WHEN doc_id % 10 = 6 THEN 0
+        |       WHEN doc_id % 10 = 2 THEN 0
+        |       WHEN doc_id % 10 = 8 THEN 4
         |       ELSE 5 END AS toks
         |  FROM documents)
-        |SELECT kind, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |SELECT kind, verdict, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(toks) AS BIGINT) AS sum_tokens
-        |FROM t GROUP BY kind ORDER BY kind""".stripMargin) {
+        |FROM t GROUP BY kind, verdict ORDER BY kind, verdict""".stripMargin) {
       (s, d) =>
         import s.implicits._
         val payloads = QueryDef.fanOutIfNarrow(
@@ -2574,6 +2666,8 @@ object WebQueries {
                 // router, fails extraction at the gate — the funnel
                 // must COUNT it, not vanish it
                 "%PDF-1.5\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+              else if (id % 10 == 2) graft.codec.PdfFixtures.encryptedPdf(id)
+              else if (id % 10 == 8) graft.codec.PdfFixtures.lzwPdf(id)
               else graft.codec.PdfFixtures.docPdf(id)
             (id, blob)
           })
@@ -2582,19 +2676,182 @@ object WebQueries {
         val pdfArm = graft.operators.Pdf.extractText(
           payloads.filter(col("kind") === "pdf"), "doc_id", "payload")
           .select(col("doc_id"), lit("pdf").as("kind"),
-            col("pdf_ok").as("ok"), col("text"))
+            col("verdict"), col("pdf_ok").as("ok"), col("text"))
         val htmlArm = payloads.filter(col("kind") === "html")
-          .select(col("doc_id"), lit("html").as("kind"), lit(true).as("ok"),
+          .select(col("doc_id"), lit("html").as("kind"),
+            lit("ok").as("verdict"), lit(true).as("ok"),
             TextOps.htmlExtract(col("payload").cast("string")).as("text"))
         pdfArm.unionByName(htmlArm)
           .withColumn("toks",
             when(col("ok") && length(col("text")) > 0,
               size(split(col("text"), "\\s+"))).otherwise(lit(0)).cast("long"))
-          .groupBy("kind")
+          .groupBy("kind", "verdict")
           .agg(count(lit(1)).cast("long").as("n_docs"),
-            sum(when(col("ok"), 1).otherwise(0)).cast("long").as("n_ok"),
             sum(col("toks")).cast("long").as("sum_tokens"))
-          .orderBy("kind")
+          .orderBy("kind", "verdict")
+    },
+
+    // ── DOCX TEXT EXTRACTION — the office-format front gate:
+    //    `application/vnd…wordprocessingml.document` is a ZIP of XML,
+    //    so [[graft.codec.DocxCodec]] composes substrates the repo
+    //    already owns (ZipCodec container incl. foreign-DEFLATE
+    //    members, a WordprocessingML leaf walk with run concatenation,
+    //    tab/br substitution, entity decode) plus the Dublin Core
+    //    sidecar. The fixture ([[graft.codec.DocxFixtures.docDocx]])
+    //    wraps seed-arithmetic text in three wire shapes — single
+    //    run; two paragraphs with <w:tab/>, xml:space and &amp;;
+    //    a word split across runs with proofErr noise between — and
+    //    DEFLATE-compresses word/document.xml, so the oracle replays
+    //    the expected text blind to container AND compression: the
+    //    wrapping cancels exactly iff the extractor is right. Variant
+    //    keys on (id/3)%3 so it stays coprime with the mixed funnel's
+    //    id%3 router. Scale: per-row CPU on mapPartitions riding the
+    //    scan (the adjudicated heavy-decoder shape), no shuffle. ──
+    QueryDef.sql(
+      "web_docx_extract",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN (doc_id // 3) % 3 = 1 THEN 2 ELSE 1 END AS INT) AS n_paras,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Doc Props ' || doc_id
+        |    WHEN 2 THEN 'Split Doc ' || doc_id
+        |  END AS title,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Writer ' || (doc_id % 7)
+        |    WHEN 2 THEN 'Runs Writer'
+        |  END AS creator
+        |FROM (SELECT doc_id,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Docx body ' || doc_id || ' alpha'
+        |    WHEN 1 THEN 'Para one ' || doc_id || chr(10) || 'Tab' ||
+        |      chr(9) || 'here & done'
+        |    ELSE 'Split' || doc_id || ' joined'
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.DocxFixtures.docDocx(id))))
+          .toDF("doc_id", "payload")
+        graft.operators.Docx.extractText(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("n_paras"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"),
+            col("title"), col("creator"))
+          .orderBy("doc_id")
+    },
+
+    // ── MIXED-FORMAT FUNNEL — the document-format router end to end:
+    //    one payload stream carrying pdf (id%3=0, all four PdfFixtures
+    //    wire variants), html (id%3=1), and docx (id%3=2, every ninth
+    //    a PK-magic truncated stub that must classify docx at the
+    //    router and fail at the gate); [[graft.operators.Pdf.sniffKind]]
+    //    splits on magic bytes, each arm extracts with its own codec,
+    //    and the funnel reports (kind, verdict, arrivals, recovered
+    //    token mass). The oracle replays every class arithmetically —
+    //    the id%3 router, the pdf per-variant token counts, the docx
+    //    (id/3)%3 variants, and the %9 corrupt class. ──
+    QueryDef.sql(
+      "web_doc_mix_funnel",
+      """WITH t AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html' ELSE 'docx' END AS kind,
+        |  CASE WHEN doc_id % 3 = 2 AND doc_id % 9 = 5 THEN 'corrupt'
+        |       ELSE 'ok' END AS verdict,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |         CASE doc_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 8 WHEN 2 THEN 5 ELSE 2 END
+        |       WHEN doc_id % 3 = 1 THEN 6
+        |       WHEN doc_id % 9 = 5 THEN 0
+        |       ELSE CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 2 END
+        |       END AS toks
+        |  FROM documents)
+        |SELECT kind, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY kind, verdict ORDER BY kind, verdict""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            val blob =
+              if (id % 3 == 0) graft.codec.PdfFixtures.docPdf(id)
+              else if (id % 3 == 1)
+                s"<html><body><p>Doc $id html body words here</p></body></html>"
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              else if (id % 9 == 5) graft.codec.DocxFixtures.corruptDocx(id)
+              else graft.codec.DocxFixtures.docDocx(id)
+            (id, blob)
+          })
+          .toDF("doc_id", "payload")
+          .withColumn("kind", graft.operators.Pdf.sniffKind(col("payload")))
+        val pdfArm = graft.operators.Pdf.extractText(
+          payloads.filter(col("kind") === "pdf"), "doc_id", "payload")
+          .select(col("doc_id"), lit("pdf").as("kind"), col("verdict"),
+            col("pdf_ok").as("ok"), col("text"))
+        val docxArm = graft.operators.Docx.extractText(
+          payloads.filter(col("kind") === "docx"), "doc_id", "payload")
+          .select(col("doc_id"), lit("docx").as("kind"), col("verdict"),
+            col("docx_ok").as("ok"), col("text"))
+        val htmlArm = payloads.filter(col("kind") === "html")
+          .select(col("doc_id"), lit("html").as("kind"),
+            lit("ok").as("verdict"), lit(true).as("ok"),
+            TextOps.htmlExtract(col("payload").cast("string")).as("text"))
+        pdfArm.unionByName(docxArm).unionByName(htmlArm)
+          .withColumn("toks",
+            when(col("ok") && length(col("text")) > 0,
+              size(split(col("text"), "\\s+"))).otherwise(lit(0)).cast("long"))
+          .groupBy("kind", "verdict")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("toks")).cast("long").as("sum_tokens"))
+          .orderBy("kind", "verdict")
+    },
+
+    // ── PAGE-level ROBOTS directives — the per-document half of the
+    //    robots contract (robots.txt is site-level): <meta
+    //    name=robots> and the X-Robots-Tag header fold into one
+    //    (noindex, nofollow) verdict under the pinned precedence
+    //    doctrine. Every branch is live in the fixture: v0 generic
+    //    meta noindex; v1 FLIPPED attribute order (content= before
+    //    name=) plus an agent-PREFIXED header line that must apply;
+    //    v2 agent-specific meta `all` PREEMPTING a generic `noindex`
+    //    (union would read noindex — preemption is observable); v3
+    //    header-only, unprefixed applying vs alien `otherbot:` prefix
+    //    dropping; v4 two generic metas whose tokens UNION
+    //    (index,follow + nofollow). The oracle replays the verdict
+    //    table arithmetically. ──
+    QueryDef.sql(
+      "web_page_robots",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 IN (0, 1) THEN true
+        |       WHEN doc_id % 5 = 3 AND doc_id % 10 = 3 THEN true
+        |       ELSE false END AS noindex,
+        |  CASE WHEN doc_id % 5 IN (1, 4) THEN true ELSE false END AS nofollow
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val html = when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("<html><head><meta name=\"robots\" content=\"noindex\"></head><body>a</body></html>"))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            lit("<html><head><meta content=\"nofollow\" name=\"robots\"></head><body>b</body></html>"))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            lit("<html><head><meta name=\"graftbot\" content=\"all\">" +
+              "<meta name=\"robots\" content=\"noindex\"></head><body>c</body></html>"))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            lit("<html><head></head><body>d</body></html>"))
+          .otherwise(
+            lit("<html><head><meta name=\"robots\" content=\"index, follow\">" +
+              "<meta name=\"robots\" content=\"nofollow\"></head><body>e</body></html>"))
+        val header = when(pmod(col("doc_id"), lit(10)) === 3, lit("noindex, noarchive"))
+          .when(pmod(col("doc_id"), lit(10)) === 8, lit("otherbot: noindex, nofollow"))
+          .when(pmod(col("doc_id"), lit(5)) === 1, lit("graftbot: noindex"))
+          .otherwise(lit(null).cast("string"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.pageRobots(html, header, "graftbot").as("_v"))
+          .select(col("doc_id"),
+            col("_v").getField("noindex").as("noindex"),
+            col("_v").getField("nofollow").as("nofollow"))
+          .orderBy("doc_id")
     },
   )
 }

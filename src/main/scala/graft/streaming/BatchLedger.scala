@@ -215,8 +215,16 @@ object BatchLedger {
     * `batchKeys` must be distinct or naturally unique (callers either
     * `.distinct()` or pass keys a `groupBy` already deduped — no hidden
     * distinct here, so no extra exchange on the already-unique sites).
-    * Returns `(probe side ready to join, checkpoints for the caller to
-    * unpersist when the batch is done)`. */
+    *
+    * CONTRACT: `fold` must be ROW-NON-INCREASING — a merge algebra
+    * (identity / groupBy.sum / groupBy.min / groupBy.max over the hit
+    * set), never a join, explode, or generator. The gate admits a
+    * broadcast because |hits| ≤ |batchKeys| ≤ the byte-aware cap; an
+    * expanding fold would broadcast PAST the admission gate this
+    * helper exists to enforce, silently. Every in-repo fold is a
+    * shrink; new callers own keeping it that way. Returns `(probe side
+    * ready to join, checkpoints for the caller to unpersist when the
+    * batch is done)`. */
   def gatedProbe(ledger: DataFrame, batchKeys: DataFrame, keyCols: Seq[String],
                  gate: Boolean,
                  fold: DataFrame => DataFrame = identity): (DataFrame, Seq[DataFrame]) =

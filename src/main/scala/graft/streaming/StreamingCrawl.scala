@@ -89,7 +89,8 @@ object StreamingCrawl {
                    statusCol: Option[String] = None,
                    locationCol: Option[String] = None,
                    validatorCols: Option[(String, String)] = None,
-                   seqCol: Option[String] = None): DataFrame = {
+                   seqCol: Option[String] = None,
+                   directivesCol: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     import spark.implicits._
@@ -126,9 +127,18 @@ object StreamingCrawl {
       .map(sc => col(sc).isNotNull && col(sc) >= 300 && col(sc) <= 399 &&
         col(sc) =!= 304)
       .getOrElse(lit(false))
+    // 301/308 are PERMANENT (RFC 9110 §15.4.2/.9): the resource moved
+    // and future references should use the target — the outcome class
+    // splits and the alias ledger below records the mapping. 302/303/
+    // 307 (and bare 300) keep the source live: same frontier feed,
+    // no alias.
+    val isPermanent = statusCol
+      .map(sc => col(sc) === 301 || col(sc) === 308).getOrElse(lit(false))
     val redirected = valid0.filter(isRedirect)
       .select(col(idCol), col(urlCol), col("canonical"), col("domain"),
-        lit("redirect").as("outcome"), nullMs.as("delay_ms"),
+        when(isPermanent, "redirect_permanent").otherwise("redirect")
+          .as("outcome"),
+        nullMs.as("delay_ms"),
         nullMs.as("fetch_at_ms"),
         // Location is legally RELATIVE (RFC 9110) and often is in
         // practice: resolve it against the request's canonical URL
@@ -137,6 +147,29 @@ object StreamingCrawl {
         locationCol.map(lc => TextOps.urlCanonicalize(TextOps.urlPctNormalize(
             TextOps.urlResolve(col("canonical"), col(lc)))))
           .getOrElse(nullS).as("redirect_to"))
+    // ALIAS ledger: permanent redirects record (alias → target) so
+    // future enqueues of the old URL rewrite to the new one BEFORE the
+    // seen drain ([[applyAliases]], wired into both frontier channels)
+    // — the crawl stops re-fetching a moved URL just to re-learn its
+    // 301. Within a batch the smallest arrival id wins (the winners
+    // doctrine); across batches the NEWEST declaration wins, so rows
+    // carry `as_of` (= batchId) as a data column and the fold is
+    // max_by(target, as_of) — the same algebra [[compact]] absorbs
+    // with, so compaction never changes a rewrite. Self-aliases
+    // (canonical target = source, a redirect-to-self misconfiguration)
+    // are dropped: they could only rewrite a URL to itself.
+    if (statusCol.isDefined && locationCol.isDefined) {
+      redirected
+        .filter(col("outcome") === "redirect_permanent" &&
+          col("redirect_to").isNotNull &&
+          col("redirect_to") =!= col("canonical"))
+        .groupBy(col("canonical").as("alias"))
+        .agg(min_by(col("redirect_to"), col(idCol)).as("target"))
+        .withColumn("as_of", lit(batchId))
+        .withColumn("batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$ledgerDir/aliases")
+    }
     val valid = valid0.filter(!isRedirect && !isNotModified)
     // robots verdicts on a slim (id, domain, path) frame; join back by id
     val verdicts = Robots.evaluate(
@@ -144,7 +177,24 @@ object StreamingCrawl {
       .select(col(idCol), col("allowed"))
     val judged = valid.join(verdicts, Seq(idCol)).localCheckpoint()
     val blocked = outcome(judged.filter(!col("allowed")), "robots_blocked")
-    val allowed = judged.filter(col("allowed"))
+    val allowed0 = judged.filter(col("allowed"))
+    // PAGE-level noindex (with `directivesCol` — a struct(noindex,
+    // nofollow) the caller computed via [[graft.operators.TextOps
+    // .pageRobots]] from the page's meta tags + X-Robots-Tag header):
+    // the page was legally FETCHED (robots.txt allowed it) but asks to
+    // stay out of the corpus — an outcome row class, never a silent
+    // drop. Like robots_blocked it never enters the seen ledger, the
+    // WARC shards, or the observations loop (a page that opts out of
+    // the index opts out of the revisit economy with it; a later
+    // re-enqueue re-evaluates the directive, so a lifted noindex
+    // admits then). `nofollow` is the FRONTIER side's business —
+    // [[attach]] keeps nofollow pages' links out of [[linkFrontier]]
+    // while the page itself still admits here.
+    val noindexIs = directivesCol
+      .map(dc => coalesce(col(dc).getField("noindex"), lit(false)))
+      .getOrElse(lit(false))
+    val noindexed = outcome(allowed0.filter(noindexIs), "noindexed")
+    val allowed = allowed0.filter(!noindexIs)
     // within-batch: smallest arrival id per canonical wins. winKeys is
     // one row per distinct canonical in the batch — usually tiny, but a
     // backfill batch can be arbitrarily large, so every batch-side
@@ -294,6 +344,7 @@ object StreamingCrawl {
       .unionByName(notModified)
       .unionByName(redirected)
       .unionByName(blocked)
+      .unionByName(noindexed)
       .unionByName(outcome(batchDups.unionByName(crossDups), "duplicate"))
       .unionByName(admittedOut)
       .localCheckpoint() // eager: safe to drop the upstream checkpoints below
@@ -333,6 +384,38 @@ object StreamingCrawl {
   private[streaming] val HopsPointerKey = "crawl.hops.base"
   private[streaming] val ValidatorsPointerKey = "crawl.validators.base"
   private[streaming] val ObsPointerKey = "crawl.observations.base"
+  private[streaming] val AliasesPointerKey = "crawl.aliases.base"
+
+  /** Rewrite a frontier url column through the 301-alias ledger: a URL
+    * some earlier batch saw move permanently resolves DIRECTLY to its
+    * target before the seen drain — the enqueue either collapses into
+    * an already-admitted target (drained) or fetches the new location
+    * first try, instead of re-fetching the alias to re-learn its 301.
+    * ONE rewrite step per batch, deliberately not a transitive
+    * closure: a chain A→B→C laid down across batches resolves A→B
+    * here, and B (if itself aliased) was already being rewritten when
+    * it was enqueued — per-batch single-step is the bounded, replay-
+    * stable shape, and multi-hop chains self-heal over successive
+    * batches at worst. Newest declaration wins (max_by over `as_of`,
+    * the same algebra the ledger compacts with). Ledger discipline as
+    * everywhere: the batch's urls broadcast INTO the alias scan under
+    * `gate`; past it the join is the SMJ floor. */
+  private def applyAliases(urls: DataFrame, spark: SparkSession,
+                           ledgerDir: String, batchId: Long,
+                           gate: Boolean): (DataFrame, Seq[DataFrame]) = {
+    import spark.implicits._
+    val aliases = BatchLedger.read(spark, ledgerDir, "aliases", AliasesPointerKey,
+      belowBatch = Some(batchId + 1),
+      empty = Seq.empty[(String, String, Long)].toDF("alias", "target", "as_of"))
+      .select(col("alias").as("url"), col("target"), col("as_of"))
+    val (gateDf, cps) = BatchLedger.gatedProbe(aliases,
+      urls.select("url").distinct(), Seq("url"), gate,
+      fold = _.groupBy("url").agg(
+        max_by(col("target"), col("as_of")).as("_tgt")))
+    (urls.join(gateDf, Seq("url"), "left_outer")
+      .withColumn("url", coalesce(col("_tgt"), col("url")))
+      .drop("_tgt"), cps)
+  }
 
   /** The LEDGER-BACKED request planner — the whole conditional-fetch
     * loop from durable state alone: fold the observations ledger's
@@ -404,7 +487,8 @@ object StreamingCrawl {
     val spark = outcomes.sparkSession
     import spark.implicits._
     val targets0 = outcomes
-      .filter(col("outcome") === "redirect" && col("redirect_to").isNotNull)
+      .filter(col("outcome").isin("redirect", "redirect_permanent") &&
+        col("redirect_to").isNotNull)
       .select(col("canonical").as("src"), col("redirect_to"))
       .localCheckpoint()
     // byte-aware gate over the URL strings the broadcasts below carry
@@ -427,8 +511,15 @@ object StreamingCrawl {
           .withColumn("hop", coalesce(col("_h"), lit(0)) + 1)
       case None => targets0.withColumn("hop", lit(1))
     }
-    val capped = withHop.filter(col("hop") <= maxHops)
+    val capped0 = withHop.filter(col("hop") <= maxHops)
       .groupBy(col("redirect_to").as("url")).agg(min("hop").cast("int").as("hop"))
+    // rewrite enqueues through the 301-alias ledger, then re-collapse
+    // (two targets may rewrite to one); an alias that is itself the
+    // target of a fresh 301 this batch resolves one step here
+    val (aliased, aliasCps) = applyAliases(capped0, spark, ledgerDir,
+      batchId, batchSmall)
+    cps ++= aliasCps
+    val capped = aliased.groupBy("url").agg(min("hop").cast("int").as("hop"))
     val polite = rules match {
       case None => capped
       case Some(r) =>
@@ -583,8 +674,15 @@ object StreamingCrawl {
       case None => pairs.withColumn("hop", lit(1))
     }
     val hostPat = "^[a-z][a-z0-9+.-]*://([^/?#]*)([^?#]*).*$"
-    val capped = withHop.filter(col("hop") <= maxHops)
+    val capped0 = withHop.filter(col("hop") <= maxHops)
       .groupBy("url").agg(min("hop").cast("int").as("hop"))
+    // anchor targets pointing at a permanently-moved URL rewrite to
+    // its 301 target before the seen drain — stale links stop costing
+    // a refetch of the alias (the [[applyAliases]] contract)
+    val (aliasedL, aliasCpsL) = applyAliases(capped0, spark, ledgerDir,
+      batchId, batchSmall)
+    cps ++= aliasCpsL
+    val capped = aliasedL.groupBy("url").agg(min("hop").cast("int").as("hop"))
       .withColumn("domain", regexp_extract(col("url"), hostPat, 1))
     val polite = rules match {
       case None => capped
@@ -667,6 +765,22 @@ object StreamingCrawl {
       BatchLedger.pointer(ledgerDir, ValidatorsPointerKey).isDefined)
       BatchLedger.compact(spark, ledgerDir, "validators", ValidatorsPointerKey,
         belowBatch)
+    // the 301-alias ledger (present only when processBatch saw a
+    // permanent redirect): newest declaration wins — max_by over the
+    // as_of data column, the same algebra applyAliases reads with, so
+    // compacting never changes a rewrite. The existence check needs
+    // real `batch=` partitions, not just the dir: a batch with no
+    // permanent redirects still writes (an empty dynamic-overwrite
+    // leaves only _SUCCESS), and compacting a hollow ledger throws.
+    val aliases = new org.apache.hadoop.fs.Path(s"$ledgerDir/aliases")
+    if ((fs.exists(aliases) &&
+        fs.listStatus(aliases).exists(_.getPath.getName.startsWith("batch="))) ||
+      BatchLedger.pointer(ledgerDir, AliasesPointerKey).isDefined)
+      BatchLedger.compact(spark, ledgerDir, "aliases", AliasesPointerKey,
+        belowBatch,
+        absorb = df => df.groupBy("alias")
+          .agg(max_by(col("target"), col("as_of")).as("target"),
+            max("as_of").cast("long").as("as_of")))
     // the fetch-observations ledger (present only when processBatch ran
     // with seqCol): DELTA counts — sum-and-max fold, the same algebra
     // requestPlan reads with, so compacting never changes a plan
@@ -703,13 +817,26 @@ object StreamingCrawl {
              discoverLinks: Boolean = false,
              perHostBudget: Int = 100,
              validatorCols: Option[(String, String)] = None,
-             seqCol: Option[String] = None): StreamingQuery =
+             seqCol: Option[String] = None,
+             pageDirectives: Boolean = false,
+             xRobotsCol: Option[String] = None): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // PAGE-level robots (opt-in): meta tags read through an
+        // ASCII-compatible lossy decode (the tag bytes are ASCII in
+        // every charset the gate admits), the X-Robots-Tag header from
+        // its column when the fetcher captured one. noindex gates
+        // admission inside processBatch; nofollow gates the page's
+        // links out of the frontier below — the page itself admits.
+        val batch = if (!pageDirectives) batch0 else
+          batch0.withColumn("_dirs", graft.operators.TextOps.pageRobots(
+            col(blobCol).cast("string"),
+            xRobotsCol.map(col).getOrElse(lit(null).cast("string")), agent))
         val o = processBatch(batch, batchId, idCol, urlCol, blobCol, rules, agent,
           ledgerDir, shardDir, nShards, delays, defaultDelayMs,
-          statusCol, locationCol, validatorCols, seqCol)
+          statusCol, locationCol, validatorCols, seqCol,
+          directivesCol = if (pageDirectives) Some("_dirs") else None)
         o.withColumn("batch", lit(batchId))
           .write.mode("overwrite").partitionBy("batch").parquet(outDir)
         frontierDir.foreach { fd =>
@@ -732,7 +859,11 @@ object StreamingCrawl {
           // frontier — a target found by both channels enters once at
           // its shallower depth
           val (front, frontCps) = if (!discoverLinks) (redir, Seq(redir)) else {
-            val adm = o.filter(col("outcome") === "admitted")
+            // noindexed pages still feed the link channel: noindex
+            // bars the PAGE from the corpus, not its links — only
+            // nofollow (filtered below) bars those (the standard
+            // reading; `none` sets both)
+            val adm = o.filter(col("outcome").isin("admitted", "noindexed"))
               .select(col(idCol), col("canonical")).localCheckpoint()
             // same byte-aware gate as every batch-side broadcast in
             // this file: a backfill batch's admitted set can exceed
@@ -741,7 +872,13 @@ object StreamingCrawl {
             val admGate =
               if (BatchLedger.broadcastable(adm, Seq(idCol, "canonical")))
                 broadcast(adm) else adm
-            val admPages = batch.join(admGate, Seq(idCol))
+            val admPages0 = batch.join(admGate, Seq(idCol))
+            // nofollow: the page admitted (it is not noindex), but its
+            // anchor targets never reach the frontier — the per-page
+            // half of link politeness
+            val admPages = if (!pageDirectives) admPages0 else
+              admPages0.filter(!coalesce(
+                col("_dirs").getField("nofollow"), lit(false)))
             val html = graft.operators.TextOps
               .decodeCharset(admPages, blobCol, "_cs", "_html")
               .filter(col("_cs") =!= "unknown")

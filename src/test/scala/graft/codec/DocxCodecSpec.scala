@@ -1,0 +1,103 @@
+package graft.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[DocxCodec]] against the [[DocxFixtures]] wire shapes: pinned text
+  * per variant (runs-concatenate, tab/br substitution, entity decode,
+  * xml:space attribute tolerance), the foreign-DEFLATE container path,
+  * core-properties sidecar incl. the absent branch, structural
+  * rejections, and the never-throw fuzz sweep (the [[PdfCodecSpec]]
+  * doctrine). No Spark session: the codec is pure bytes → text. */
+class DocxCodecSpec extends AnyFunSuite {
+
+  test("variant 0: one paragraph, one run, core props") {
+    val d = DocxCodec.extract(DocxFixtures.docDocx(0)).get
+    assert(d.text == "Docx body 0 alpha" && d.nParas == 1)
+    assert(d.title.contains("Doc Props 0") && d.creator.contains("Writer 0"))
+  }
+
+  test("variant 1: two paragraphs, tab substitution, entity, xml:space, NO core.xml") {
+    val d = DocxCodec.extract(DocxFixtures.docDocx(3)).get
+    assert(d.text == "Para one 3\nTab\there & done", s"got '${d.text}'")
+    assert(d.nParas == 2)
+    assert(d.title.isEmpty && d.creator.isEmpty,
+      "absent docProps/core.xml must surface nulls, not fail the doc")
+  }
+
+  test("variant 2: word split across runs concatenates; proofErr noise contributes nothing") {
+    val d = DocxCodec.extract(DocxFixtures.docDocx(6)).get
+    assert(d.text == "Split6 joined" && d.nParas == 1)
+    assert(d.title.contains("Split Doc 6") && d.creator.contains("Runs Writer"))
+  }
+
+  test("w:br contributes a newline inside one paragraph") {
+    val b = DocxFixtures.docx(
+      "<w:p><w:r><w:t>above</w:t><w:br/><w:t>below</w:t></w:r></w:p>", None)
+    assert(DocxCodec.extract(b).map(_.text).contains("above\nbelow"))
+  }
+
+  test("numeric character references decode; unknown entities pass through") {
+    val b = DocxFixtures.docx(
+      "<w:p><w:r><w:t>caf&#233; &#x2014; &unknown; ok</w:t></w:r></w:p>", None)
+    assert(DocxCodec.extract(b).map(_.text).contains("café — &unknown; ok"))
+  }
+
+  test("document.xml member is DEFLATE on the wire (the foreign-compression path)") {
+    val raw = DocxFixtures.docDocx(1)
+    // the document body text must NOT appear verbatim in the archive
+    val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!s.contains("Para one 1"), "fixture must actually compress the member")
+    assert(s.contains("[Content_Types].xml"), "sniff token stays visible")
+  }
+
+  test("corrupt container and wrong members reject with None") {
+    assert(DocxCodec.extract(DocxFixtures.corruptDocx(5)).isEmpty)
+    assert(DocxCodec.extract(Array.emptyByteArray).isEmpty)
+    assert(DocxCodec.extract(null).isEmpty)
+    assert(DocxCodec.extract("PK not a zip really".getBytes).isEmpty)
+    // a valid zip with no word/document.xml is not a docx
+    val zipNoDoc = ZipCodec.write(Seq("readme.txt" -> "hi".getBytes))
+    assert(DocxCodec.extract(zipNoDoc).isEmpty)
+    // a PDF is not a docx
+    assert(DocxCodec.extract(PdfFixtures.docPdf(0)).isEmpty)
+  }
+
+  test("empty paragraphs are kept as empty lines") {
+    val b = DocxFixtures.docx(
+      "<w:p><w:r><w:t>first</w:t></w:r></w:p><w:p/>" +
+        "<w:p><w:r><w:t>third</w:t></w:r></w:p>", None)
+    assert(DocxCodec.extract(b).map(_.text).contains("first\n\nthird"))
+  }
+
+  test("never-throw fuzz: 600 truncation/bit-flip/garbage-tail cases") {
+    val rnd = new scala.util.Random(171717L)
+    val bases = Seq(DocxFixtures.docDocx(0), DocxFixtures.docDocx(3),
+      DocxFixtures.docDocx(6))
+    var cases = 0
+    while (cases < 600) {
+      val base = bases(rnd.nextInt(bases.length))
+      val mutated: Array[Byte] = rnd.nextInt(3) match {
+        case 0 => java.util.Arrays.copyOf(base, rnd.nextInt(base.length + 1))
+        case 1 =>
+          val c = base.clone()
+          val i = rnd.nextInt(c.length)
+          c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte
+          c
+        case _ =>
+          val keep = rnd.nextInt(base.length + 1)
+          val tail = new Array[Byte](rnd.nextInt(128))
+          rnd.nextBytes(tail)
+          java.util.Arrays.copyOf(base, keep) ++ tail
+      }
+      DocxCodec.extract(mutated) // contract: never throw, never hang
+      cases += 1
+    }
+    assert(cases == 600)
+  }
+
+  test("deterministic: same id, same archive bytes, same output") {
+    val b = DocxFixtures.docDocx(9)
+    assert(java.util.Arrays.equals(b, DocxFixtures.docDocx(9)))
+    assert(DocxCodec.extract(b) == DocxCodec.extract(b.clone()))
+  }
+}

@@ -116,7 +116,8 @@ class PdfCodecSpec extends AnyFunSuite {
 
   test("never-throw fuzz: 1000 truncation/bit-flip/splice cases") {
     val rnd = new scala.util.Random(151515L)
-    val bases = (0L to 3L).map(PdfFixtures.docPdf)
+    val bases = (0L to 3L).map(PdfFixtures.docPdf) ++
+      Seq(PdfFixtures.encryptedPdf(1), PdfFixtures.lzwPdf(2))
     var cases = 0
     while (cases < 1000) {
       val base = bases(rnd.nextInt(bases.length))
@@ -158,6 +159,67 @@ class PdfCodecSpec extends AnyFunSuite {
     val d3 = PdfCodec.extract(PdfFixtures.docPdf(3)).get
     assert(d3.info == Map("Title" -> "Документ 3", "Author" -> "Автор 3"),
       "BOM-prefixed UTF-16BE text strings decode per §7.9.2.2")
+  }
+
+  test("encrypted PDFs classify as encrypted, never ok-with-empty-text") {
+    // classic xref: /Encrypt in the trailer dict
+    val e1 = PdfCodec.extract(PdfFixtures.encryptedPdf(3)).get
+    assert(e1.encrypted && e1.nPages == 0 && e1.text.isEmpty && e1.info.isEmpty)
+    // PDF 1.5: /Encrypt in the xref STREAM's dict
+    val e2 = PdfCodec.extract(PdfFixtures.encryptedPdfXrefStream(3)).get
+    assert(e2.encrypted, "xref-stream trailer must carry /Encrypt too")
+    // rotten startxref: the scan fallback recovers the trailer keyword
+    val raw = PdfFixtures.encryptedPdf(9)
+    val s = new String(raw, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sx = s.lastIndexOf("startxref")
+    val broken = (s.substring(0, sx) + "startxref\n0\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val e3 = PdfCodec.extract(broken)
+    assert(e3.exists(_.encrypted),
+      "scan fallback must classify encrypted, not parse-ok-with-garbage-streams")
+    // a normal document never reads as encrypted
+    assert(PdfCodec.extract(PdfFixtures.docPdf(0)).exists(!_.encrypted))
+  }
+
+  test("LZWDecode: MSB-first EarlyChange=1 default and EarlyChange=0 via DecodeParms") {
+    assert(PdfCodec.extract(PdfFixtures.lzwPdf(7)).map(_.text)
+      .contains("LZW packed stream 7"))
+    val p0 = PdfFixtures.pdf(Seq(PdfFixtures.Page(
+      "BT /F1 10 Tf 60 700 Td (Early zero form) Tj ET")),
+      lzw = true, lzwEarly0 = true)
+    assert(PdfCodec.extract(p0).map(_.text).contains("Early zero form"))
+  }
+
+  test("LZW round trip crosses the 9->10->11 width boundaries on both EarlyChange forms") {
+    val rnd = new scala.util.Random(161616L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    for (trial <- 0 until 60; early <- Seq(0, 1)) {
+      val n = 1 + rnd.nextInt(6000) // enough emits to cross 511 and 1023
+      val sb = new StringBuilder
+      while (sb.length < n) {
+        sb.append(words(rnd.nextInt(words.length))).append(rnd.nextInt(100)).append(' ')
+      }
+      val data = sb.toString.take(n)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val enc = PdfFixtures.lzwEncodeMsb(data, early)
+      val dec = PdfCodec.lzwMsb(enc, early, 32 << 20)
+      assert(dec.exists(java.util.Arrays.equals(_, data)),
+        s"trial=$trial early=$early n=$n")
+    }
+    // incompressible bytes force dictionary churn toward the clear path
+    for (trial <- 0 until 10; early <- Seq(0, 1)) {
+      val data = new Array[Byte](1 + rnd.nextInt(20000))
+      rnd.nextBytes(data)
+      val enc = PdfFixtures.lzwEncodeMsb(data, early)
+      assert(PdfCodec.lzwMsb(enc, early, 32 << 20)
+        .exists(java.util.Arrays.equals(_, data)), s"bin trial=$trial early=$early")
+    }
+    // hostile: random bytes into the decoder never throw
+    for (_ <- 0 until 100) {
+      val junk = new Array[Byte](rnd.nextInt(512))
+      rnd.nextBytes(junk)
+      PdfCodec.lzwMsb(junk, 1, 1 << 20)
+    }
   }
 
   test("deterministic: same input bytes, same output") {

@@ -75,4 +75,33 @@ class RecrawlSpec extends SparkSpec {
     assert(got("u_unknown") == ((8000L, None)),
       "an unknown changefreq keyword must read as unhinted, with a null column")
   }
+
+  test("scheduleWithHints: hostile pri10 clamps to [0,10], duplicate hints collapse") {
+    import spark.implicits._
+    val urls = Seq("u_neg5", "u_neg9", "u_over", "u_dup")
+    val history = urls.flatMap(u => (0 until 4).map(i => (u, i * 10L, false)))
+      .toDF("url", "ts", "changed")
+    val hints = Seq(
+      // −5 would make (pri+5) = 0: division by zero → null hi
+      ("u_neg5", "always", -5L),
+      // more negative would flip the ceiling's sign
+      ("u_neg9", "always", -9L),
+      // > 10 would tighten past the documented priority-1.0 bound
+      ("u_over", "always", 99L),
+      // duplicate rows for one URL: max-pri wins, ONE output row
+      ("u_dup", "always", 3L),
+      ("u_dup", "always", 10L))
+      .toDF("url", "changefreq", "pri10")
+    val out = Recrawl.scheduleWithHints(history, "url", "ts", "changed", hints)
+    val rows = out.collect()
+    assert(rows.length == urls.length, "dup hints must not duplicate schedule rows")
+    val got = rows.map(r => r.getString(0) -> r.getAs[Long]("interval_ms")).toMap
+    // negatives clamp to 0 → the loosest ceiling (= pri10=0's 4000)
+    assert(got("u_neg5") == 4000L)
+    assert(got("u_neg9") == 4000L)
+    // >10 clamps to 10 → the tightest documented ceiling (= 1333)
+    assert(got("u_over") == 1333L)
+    // dedup keeps max pri10 = 10
+    assert(got("u_dup") == 1333L)
+  }
 }

@@ -99,14 +99,17 @@ class RowsOnlyQueriesSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("batch", "kind", "n"))
     val got = df.collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
     // 300 seeds: ids ≡ 0 (mod 3) — 100 of them — answer 301 with a
-    // relative Location; the rest admit. The frontier carries exactly
-    // the 100 resolved targets. Batch 1 fetches all 100 (admitted via
+    // relative Location (permanent → the split outcome class + alias
+    // ledger rows); the rest admit. The frontier carries exactly the
+    // 100 resolved targets. Batch 1 fetches all 100 (admitted via
     // redirect discovery) while the 50 ids ≡ 0 (mod 6) re-answer 301;
     // every re-discovered target is now in the seen ledger → frontier
     // drains to zero: fetched exactly once.
     assert(got == Map(
-      (0L, "admitted") -> 200L, (0L, "redirect") -> 100L, (0L, "frontier") -> 100L,
-      (1L, "admitted") -> 100L, (1L, "redirect") -> 50L, (1L, "frontier") -> 0L))
+      (0L, "admitted") -> 200L, (0L, "redirect_permanent") -> 100L,
+      (0L, "frontier") -> 100L,
+      (1L, "admitted") -> 100L, (1L, "redirect_permanent") -> 50L,
+      (1L, "frontier") -> 0L))
   }
 
   test("engine_stream_web: every aggregate recomputes from the seed") {

@@ -237,9 +237,10 @@ class StreamingCrawlSpec extends SparkSpec {
     val rows = m0.collect().map(r =>
       r.getLong(0) -> ((r.getString(4), Option(r.getString(7))))).toMap
     m0.unpersist(false)
-    assert(rows(1L) == (("redirect", Some("http://a.org/new?a=1&b=2"))),
-      "the Location target canonicalizes for the frontier")
-    assert(rows(2L) == (("redirect", None)), "a missing Location still classifies")
+    assert(rows(1L) == (("redirect_permanent", Some("http://a.org/new?a=1&b=2"))),
+      "301 splits to the permanent class; the Location target canonicalizes")
+    assert(rows(2L) == (("redirect", None)),
+      "302 stays temporary; a missing Location still classifies")
     assert(rows(3L)._1 == "admitted" && rows(4L)._1 == "robots_blocked")
     // redirect sources never touched the seen ledger: a re-fetch is
     // still a redirect, and the TARGET fetched later admits normally
@@ -251,8 +252,8 @@ class StreamingCrawlSpec extends SparkSpec {
       statusCol = Some("status"), locationCol = Some("location"))
     val r1 = m1.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
     m1.unpersist(false)
-    assert(r1 == Map(11L -> "redirect", 12L -> "admitted"),
-      "re-fetched redirect stays redirect (never duplicate); the target admits")
+    assert(r1 == Map(11L -> "redirect_permanent", 12L -> "admitted"),
+      "re-fetched redirect stays a redirect (never duplicate); the target admits")
   }
 
   test("redirect frontier loop: relative Locations resolve, targets fetch exactly once, hops cap") {
@@ -292,7 +293,7 @@ class StreamingCrawlSpec extends SparkSpec {
       rules, "graftbot", ledger,
       statusCol = Some("status"), locationCol = Some("location"))
     val r1 = m1.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
-    assert(r1 == Map(11L -> "admitted", 12L -> "redirect"))
+    assert(r1 == Map(11L -> "admitted", 12L -> "redirect_permanent"))
     val f1 = StreamingCrawl.redirectFrontier(m1, ledger, 1L,
       hops = Some(f0.select(col("url"), col("hop"))))
     m1.unpersist(false)
@@ -310,6 +311,67 @@ class StreamingCrawlSpec extends SparkSpec {
     assert(fCap.collect().map(r => r.getString(0) -> r.getInt(1)).toMap ==
       Map("http://a.org/x/up" -> 1, "http://a.org/dir/next?a=1&b=2" -> 1),
       "a chain at maxHops drops its tail; fresh chains keep flowing")
+  }
+
+  test("301 alias ledger: permanent moves rewrite future enqueues; 302 records nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.IntegerType
+    val ledger = tmpDir("graft-scrawl-alias")
+    val schema2 = schema
+      .add(StructField("status", IntegerType, nullable = true))
+      .add(StructField("location", StringType, nullable = true))
+    def df2(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema2)
+    // batch 0: a 301 (records an alias), a 302 (records nothing), a 200
+    val m0 = StreamingCrawl.processBatch(df2(Seq(
+      Row(1L, "http://a.org/moved", page("m"), 301, "/dest"),
+      Row(2L, "http://a.org/tmp", page("m"), 302, "/elsewhere"),
+      Row(3L, "http://a.org/dest", page("the destination"), 200, null))),
+      0L, "id", "url", "blob", rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    m0.count(); m0.unpersist(false)
+    val aliases = spark.read.parquet(s"$ledger/aliases")
+      .select("alias", "target").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(aliases == Map("http://a.org/moved" -> "http://a.org/dest"),
+      "exactly the permanent move records; the 302 stays live, unmapped")
+    // batch 1: a page LINKS to the moved URL — the frontier rewrites it
+    // to the (already-admitted) destination, which the seen ledger
+    // drains: the alias is never re-fetched, the 301 never re-learned
+    val m1 = StreamingCrawl.processBatch(df2(Seq(
+      Row(11L, "http://a.org/hub",
+        page("""<a href="/moved">stale</a><a href="/fresh">new</a>"""),
+        200, null))),
+      1L, "id", "url", "blob", rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    val f1 = StreamingCrawl.linkFrontier(
+      Seq(("http://a.org/hub",
+        """<a href="/moved">stale</a><a href="/fresh">new</a>"""))
+        .toDF("url", "html"),
+      "url", "html", ledger, 1L)
+    m1.unpersist(false)
+    assert(f1.select("url").as[String].collect().toSet == Set("http://a.org/fresh"),
+      "the stale link rewrote to the admitted destination and drained; only the fresh target enqueues")
+    // a NEWER 301 re-points the alias: max_by(as_of) wins on read...
+    val m2 = StreamingCrawl.processBatch(df2(Seq(
+      Row(21L, "http://a.org/moved", page("m"), 301, "/dest2"))),
+      2L, "id", "url", "blob", rules, "graftbot", ledger,
+      statusCol = Some("status"), locationCol = Some("location"))
+    m2.count(); m2.unpersist(false)
+    val f2 = StreamingCrawl.linkFrontier(
+      Seq(("http://a.org/hub2", """<a href="/moved">stale</a>"""))
+        .toDF("url", "html"),
+      "url", "html", ledger, 2L)
+    assert(f2.select("url").as[String].collect().toSet == Set("http://a.org/dest2"),
+      "the newest declaration wins the rewrite")
+    // ...and compaction folds with the SAME algebra: rewrite unchanged
+    StreamingCrawl.compact(spark, ledger, belowBatch = 3L)
+    val f3 = StreamingCrawl.linkFrontier(
+      Seq(("http://a.org/hub3", """<a href="/moved">stale</a>"""))
+        .toDF("url", "html"),
+      "url", "html", ledger, 3L)
+    assert(f3.select("url").as[String].collect().toSet == Set("http://a.org/dest2"),
+      "compaction never changes a rewrite")
   }
 
   test("attach: MemoryStream wiring lands batch-partitioned outcomes") {
@@ -726,6 +788,63 @@ class StreamingCrawlSpec extends SparkSpec {
         .select("url", "hop").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
       assert(f2 == Map("http://a.org/l3" -> 3),
         s"got $f2 — seed drained via the seen ledger; l3 is the last hop under the cap")
+    } finally q.stop()
+  }
+
+  test("page directives: noindex classifies (links still follow), nofollow bars links (page admits)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ledger = tmpDir("graft-scrawl-l5")
+    val out = tmpDir("graft-scrawl-o5")
+    val ckpt = tmpDir("graft-scrawl-k5")
+    val frontier = tmpDir("graft-scrawl-f5")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Array[Byte], String)]
+    val q = StreamingCrawl.attach(mem.toDF().toDF("id", "url", "blob", "xrt"),
+      "id", "url", "blob", rules, "graftbot", ledger, out, ckpt,
+      frontierDir = Some(frontier), maxHops = 3, discoverLinks = true,
+      pageDirectives = true, xRobotsCol = Some("xrt"))
+    try {
+      mem.addData(Seq(
+        // plain page: admits, its link enqueues
+        (1L, "http://a.org/seed", page("""<a href="/f1">x</a>"""), null),
+        // meta NOFOLLOW: the page itself ADMITS, its link never enters
+        (2L, "http://a.org/nf",
+          page("""<meta name="robots" content="nofollow"><a href="/nf1">y</a>"""),
+          null),
+        // meta NOINDEX: outcome class (not a silent drop, not admitted,
+        // no seen entry) — but its link STILL follows (noindex bars the
+        // page, not its links)
+        (3L, "http://a.org/ni",
+          page("""<meta name="robots" content="noindex"><a href="/ni1">z</a>"""),
+          null),
+        // header noindex, agent-prefixed: same class via the other channel
+        (4L, "http://a.org/nih", page("""plain body"""), "graftbot: noindex"),
+        // alien agent prefix: not ours — admits normally
+        (5L, "http://a.org/alien", page("""alien body"""), "otherbot: noindex")))
+      q.processAllAvailable()
+      val o0 = spark.read.parquet(out).filter(col("batch").cast("long") === 0L)
+        .select("id", "outcome").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(o0 == Map(1L -> "admitted", 2L -> "admitted", 3L -> "noindexed",
+        4L -> "noindexed", 5L -> "admitted"), s"got $o0")
+      val f0 = spark.read.parquet(frontier).filter(col("batch").cast("long") === 0L)
+        .select("url").as[String].collect().toSet
+      assert(f0 == Set("http://a.org/f1", "http://a.org/ni1"),
+        s"got $f0 — nofollow page's target barred; noindex page's target follows")
+      // noindexed pages never enter the seen ledger...
+      val seen = spark.read.parquet(s"$ledger/seen")
+        .select("canonical").as[String].collect().toSet
+      assert(!seen.exists(_.contains("/ni")) && seen.exists(_.endsWith("/seed")))
+      // ...so a re-fetch after the directive LIFTS admits cleanly
+      mem.addData(Seq(
+        (11L, "http://a.org/ni", page("""no directives anymore"""), null)))
+      q.processAllAvailable()
+      val o1 = spark.read.parquet(out).filter(col("batch").cast("long") === 1L)
+        .select("id", "outcome").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(o1 == Map(11L -> "admitted"),
+        s"got $o1 — a lifted noindex must admit on re-fetch")
     } finally q.stop()
   }
 }

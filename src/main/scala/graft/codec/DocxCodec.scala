@@ -110,21 +110,28 @@ object DocxCodec {
     None
   }
 
-  /** Walk one WordprocessingML body: paragraphs of concatenated
-    * `<w:t>` leaves with tab/br substitutions, under the layout rules
-    * in the object doc. Linear single pass, `MaxChars` cap. */
-  private[codec] def bodyParagraphs(xml: String): Vector[String] = {
+  /** Walk one WordprocessingML (`ns = "w"`) or DrawingML (`ns = "a"`,
+    * the PPTX text body) fragment: paragraphs of concatenated
+    * `<ns:t>` leaves with tab/br substitutions, under the layout rules
+    * in the object doc. The two vocabularies share the exact element
+    * shapes — `<ns:p>` paragraphs, `<ns:t>` leaves, self-closing
+    * `<ns:tab/>`/`<ns:br/>` — differing only in prefix. Linear single
+    * pass, `MaxChars` cap. */
+  private[codec] def bodyParagraphs(xml: String, ns: String = "w"): Vector[String] = {
+    val pOpen = "<" + ns + ":p"; val pClose = "</" + ns + ":p>"
+    val tOpen = "<" + ns + ":t"; val tClose = "</" + ns + ":t>"
+    val tabOpen = "<" + ns + ":tab"; val brOpen = "<" + ns + ":br"
     val paras = Vector.newBuilder[String]
     var nParas = 0
     var total = 0
     var i = 0
     val n = xml.length
     while (i < n && nParas < MaxParas) {
-      val pAt = xml.indexOf("<w:p", i)
+      val pAt = xml.indexOf(pOpen, i)
       if (pAt < 0) i = n
       else {
-        val afterP = pAt + 4
-        // must be <w:p> or <w:p attr…> — not <w:pPr>, <w:proofErr>…
+        val afterP = pAt + pOpen.length
+        // must be <ns:p> or <ns:p attr…> — not <w:pPr>, <w:proofErr>…
         val d = if (afterP < n) xml.charAt(afterP) else ' '
         if (d != '>' && d != ' ' && d != '/') i = afterP
         else if (d == '/' || (d == ' ' && {
@@ -135,7 +142,7 @@ object DocxCodec {
           nParas += 1
           i = math.max(afterP, xml.indexOf('>', afterP) + 1)
         } else {
-          val pEnd0 = xml.indexOf("</w:p>", afterP)
+          val pEnd0 = xml.indexOf(pClose, afterP)
           val pEnd = if (pEnd0 < 0) n else pEnd0
           val sb = new StringBuilder
           var j = xml.indexOf('>', afterP) + 1
@@ -143,28 +150,28 @@ object DocxCodec {
           while (j < pEnd && total < MaxChars) {
             val lt = xml.indexOf('<', j)
             if (lt < 0 || lt >= pEnd) j = pEnd
-            else if (xml.startsWith("<w:t", lt) && lt + 4 < n &&
-              (xml.charAt(lt + 4) == '>' || xml.charAt(lt + 4) == ' ')) {
+            else if (xml.startsWith(tOpen, lt) && lt + tOpen.length < n &&
+              (xml.charAt(lt + tOpen.length) == '>' || xml.charAt(lt + tOpen.length) == ' ')) {
               val gt = xml.indexOf('>', lt)
               if (gt < 0 || gt >= pEnd) j = pEnd
-              else if (xml.charAt(gt - 1) == '/') j = gt + 1 // empty <w:t/>
+              else if (xml.charAt(gt - 1) == '/') j = gt + 1 // empty <ns:t/>
               else {
-                val end = xml.indexOf("</w:t>", gt + 1)
+                val end = xml.indexOf(tClose, gt + 1)
                 if (end < 0 || end > pEnd) j = pEnd
                 else {
                   val body = unescapeXml(xml.substring(gt + 1, end))
                   val room = MaxChars - total
                   val cut = if (body.length > room) body.substring(0, room) else body
                   sb.append(cut); total += cut.length
-                  j = end + 6
+                  j = end + tClose.length
                 }
               }
-            } else if (xml.startsWith("<w:tab", lt) &&
-              (xml.startsWith("<w:tab/>", lt) || xml.startsWith("<w:tab ", lt))) {
+            } else if (xml.startsWith(tabOpen, lt) &&
+              (xml.startsWith(tabOpen + "/>", lt) || xml.startsWith(tabOpen + " ", lt))) {
               sb.append('\t'); total += 1
               val gt = xml.indexOf('>', lt); j = if (gt < 0) pEnd else gt + 1
-            } else if (xml.startsWith("<w:br", lt) &&
-              (xml.startsWith("<w:br/>", lt) || xml.startsWith("<w:br ", lt))) {
+            } else if (xml.startsWith(brOpen, lt) &&
+              (xml.startsWith(brOpen + "/>", lt) || xml.startsWith(brOpen + " ", lt))) {
               sb.append('\n'); total += 1
               val gt = xml.indexOf('>', lt); j = if (gt < 0) pEnd else gt + 1
             } else {
@@ -174,7 +181,7 @@ object DocxCodec {
           }
           paras += sb.toString
           nParas += 1
-          i = if (pEnd0 < 0) n else pEnd + 6
+          i = if (pEnd0 < 0) n else pEnd + pClose.length
         }
       }
     }
@@ -187,6 +194,52 @@ object DocxCodec {
   def extract(b: Array[Byte]): Option[DocxDoc] =
     try extractInner(b)
     catch { case NonFatal(_) => None }
+
+  /** A PPTX deck's recovered text: slides in numeric order, each a
+    * vector of paragraphs. `text` joins paragraphs with '\n' within a
+    * slide and slides with '\n' — one pinned flat form, like the PDF
+    * page joiner. */
+  final case class PptxDoc(nSlides: Int, slides: Vector[Vector[String]],
+                           title: Option[String], creator: Option[String]) {
+    def nParas: Int = slides.map(_.length).sum
+    def text: String = slides.map(_.mkString("\n")).mkString("\n")
+  }
+
+  private val SlideName = "^ppt/slides/slide([0-9]+)\\.xml$".r
+
+  /** PPTX (PresentationML) text extraction — the third office face on
+    * the same substrates: slides are `ppt/slides/slide<N>.xml` members
+    * whose text lives in DrawingML `<a:p>`/`<a:t>` (the SAME element
+    * shapes as WordprocessingML under the `a:` prefix, so the walk is
+    * [[bodyParagraphs]] with `ns = "a"`). Slides order NUMERICALLY by
+    * N — member order and lexicographic name order both lie (slide10
+    * sorts before slide2 lexicographically; real writers emit members
+    * in arbitrary order). Dublin Core sidecar as in [[extract]]. None
+    * when the bytes are not a readable OPC zip or carry no slides.
+    * Never throws. */
+  def extractPptx(b: Array[Byte]): Option[PptxDoc] =
+    try extractPptxInner(b)
+    catch { case NonFatal(_) => None }
+
+  private def extractPptxInner(b: Array[Byte]): Option[PptxDoc] = {
+    if (b == null || b.length < 22 || b.length > MaxInput) return None
+    if (!(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return None
+    val members = ZipCodec.parse(b).getOrElse(return None)
+    val slides = members.flatMap {
+      case (SlideName(n), payload) if payload.length <= MaxXml =>
+        Some((n.toInt, new String(payload, StandardCharsets.UTF_8)))
+      case _ => None
+    }.sortBy(_._1)
+    if (slides.isEmpty) return None
+    val core = members.collectFirst {
+      case (name, payload) if name == "docProps/core.xml" && payload.length <= MaxXml =>
+        new String(payload, StandardCharsets.UTF_8)
+    }
+    Some(PptxDoc(slides.length,
+      slides.map { case (_, xml) => bodyParagraphs(xml, ns = "a") }.toVector,
+      core.flatMap(firstTagValue(_, "dc:title")).filter(_.nonEmpty),
+      core.flatMap(firstTagValue(_, "dc:creator")).filter(_.nonEmpty)))
+  }
 
   private def extractInner(b: Array[Byte]): Option[DocxDoc] = {
     if (b == null || b.length < 22 || b.length > MaxInput) return None

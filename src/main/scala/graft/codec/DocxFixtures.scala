@@ -97,4 +97,148 @@ object DocxFixtures {
   def corruptDocx(id: Long): Array[Byte] =
     (Array[Byte]('P', 'K', 3, 4) ++
       bytes(s"[Content_Types].xml truncated $id")).take(40)
+
+  // ── PPTX (PresentationML) — the third office face ────────────────
+
+  private val PptxContentTypes =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+      |<Default Extension="xml" ContentType="application/xml"/>
+      |<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>
+      |</Types>""".stripMargin
+
+  private def slideXml(body: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+       |<p:sld xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main">
+       |<p:cSld><p:spTree><p:sp><p:txBody>$body</p:txBody></p:sp></p:spTree></p:cSld></p:sld>""".stripMargin
+
+  /** Build a minimal PPTX: content types, slides (written in the GIVEN
+    * member order under the given numbers — the codec must sort
+    * numerically, not trust wire order), optional core sidecar. Slide
+    * members ride DEFLATE like the docx fixture. */
+  def pptx(slides: Seq[(Int, String)],
+           coreProps: Option[(String, String)]): Array[Byte] = {
+    val members = Seq("[Content_Types].xml" -> bytes(PptxContentTypes)) ++
+      slides.map { case (n, body) =>
+        s"ppt/slides/slide$n.xml" -> bytes(slideXml(body))
+      } ++
+      coreProps.map { case (t, c) => "docProps/core.xml" -> bytes(core(t, c)) }
+    ZipCodec.write(members,
+      deflateNames = slides.map { case (n, _) => s"ppt/slides/slide$n.xml" }.toSet)
+  }
+
+  /** Seed PPTX fixture, variant v = (id / 3) % 3 (coprime with an
+    * id%3 router, the [[docDocx]] convention):
+    *   0: one slide, one run → "Deck body <id> intro"
+    *   1: TWO slides written WIRE-REVERSED (slide2's member precedes
+    *      slide1's) — numeric ordering is load-bearing; slide2 has two
+    *      paragraphs → "Deck <id> one\nTwo a <id>\nTwo b"; NO core
+    *   2: one slide, word split across runs + <a:br/> →
+    *      "Pptx<id> joined\nnext" */
+  def docPptx(id: Long): Array[Byte] = ((id / 3) % 3) match {
+    case 0 =>
+      pptx(Seq(1 -> s"<a:p><a:r><a:t>Deck body $id intro</a:t></a:r></a:p>"),
+        Some((s"Deck Props $id", s"Presenter ${id % 5}")))
+    case 1 =>
+      pptx(Seq(
+        2 -> (s"<a:p><a:r><a:t>Two a $id</a:t></a:r></a:p>" +
+          "<a:p><a:r><a:t>Two b</a:t></a:r></a:p>"),
+        1 -> s"<a:p><a:r><a:t>Deck $id one</a:t></a:r></a:p>"),
+        None)
+    case _ =>
+      pptx(Seq(1 ->
+        (s"<a:p><a:pPr/><a:r><a:t>Ppt</a:t></a:r>" +
+          s"<a:r><a:t>x$id joined</a:t></a:r><a:br/>" +
+          "<a:r><a:t>next</a:t></a:r></a:p>")),
+        Some((s"Split Deck $id", "Runs Presenter")))
+  }
+
+  /** The text [[docPptx]] must extract (slide paragraphs joined '\n',
+    * slides joined '\n'). */
+  def docPptxText(id: Long): String = ((id / 3) % 3) match {
+    case 0 => s"Deck body $id intro"
+    case 1 => s"Deck $id one\nTwo a $id\nTwo b"
+    case _ => s"Pptx$id joined\nnext"
+  }
+
+  def docPptxSlides(id: Long): Int = if ((id / 3) % 3 == 1) 2 else 1
+  def docPptxParas(id: Long): Int = if ((id / 3) % 3 == 1) 3 else 1
+
+  // ── XLSX (SpreadsheetML) — the fourth office face ─────────────────
+
+  private val XlsxContentTypes =
+    """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+      |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+      |<Default Extension="xml" ContentType="application/xml"/>
+      |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+      |</Types>""".stripMargin
+
+  private def sheetWrap(rows: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+       |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+       |<sheetData>$rows</sheetData></worksheet>""".stripMargin
+
+  private def sstWrap(sis: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+       |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">$sis</sst>""".stripMargin
+
+  /** Build a minimal XLSX: content types, optional shared strings,
+    * sheets under the given numbers in the GIVEN member order (the
+    * codec must sort numerically), optional core sidecar. Sheet and
+    * shared-string members ride DEFLATE like the other fixtures. */
+  def xlsx(sheets: Seq[(Int, String)], sharedSis: Option[String],
+           coreProps: Option[(String, String)]): Array[Byte] = {
+    val sheetMembers = sheets.map { case (n, rows) =>
+      s"xl/worksheets/sheet$n.xml" -> bytes(sheetWrap(rows))
+    }
+    val members = Seq("[Content_Types].xml" -> bytes(XlsxContentTypes)) ++
+      sharedSis.map(s => "xl/sharedStrings.xml" -> bytes(sstWrap(s))) ++
+      sheetMembers ++
+      coreProps.map { case (t, c) => "docProps/core.xml" -> bytes(core(t, c)) }
+    ZipCodec.write(members,
+      deflateNames = sheetMembers.map(_._1).toSet + "xl/sharedStrings.xml")
+  }
+
+  /** Seed XLSX fixture, variant v = (id / 3) % 3:
+    *   0: one sheet, 2×2 — shared string, raw numeric, and a REUSED
+    *      shared index → "Cell <id>\t42\nshared word\tshared word"
+    *   1: TWO sheets wire-reversed; inlineStr + t="str" formula text;
+    *      a RICH-RUN shared si (runs concatenate) →
+    *      "Inline <id> text\tS<id>\nRich run <id>"; NO core
+    *   2: escaped entity in a shared string, an empty <c/>, and an
+    *      out-of-range shared index (reads empty, never throws) →
+    *      "A & B <id>\t\t" */
+  def docXlsx(id: Long): Array[Byte] = ((id / 3) % 3) match {
+    case 0 =>
+      xlsx(
+        Seq(1 -> ("""<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>42</v></c></row>""" +
+          """<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="s"><v>1</v></c></row>""")),
+        Some(s"<si><t>Cell $id</t></si><si><t>shared word</t></si>"),
+        Some((s"Book Props $id", s"Analyst ${id % 4}")))
+    case 1 =>
+      xlsx(
+        Seq(
+          2 -> """<row r="1"><c r="A1" t="s"><v>0</v></c></row>""",
+          1 -> (s"""<row r="1"><c r="A1" t="inlineStr"><is><t>Inline $id text</t></is></c>""" +
+            s"""<c r="B1" t="str"><v>S$id</v></c></row>""")),
+        Some(s"<si><r><t>Rich</t></r><r><t> run $id</t></r></si>"),
+        None)
+    case _ =>
+      xlsx(
+        Seq(1 -> (s"""<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"/>""" +
+          """<c r="C1" t="s"><v>99</v></c></row>""")),
+        Some(s"<si><t>A &amp; B $id</t></si>"),
+        Some((s"Sheet Props $id", "Ledger Writer")))
+  }
+
+  /** The text [[docXlsx]] must extract (cells '\t', rows/sheets '\n'). */
+  def docXlsxText(id: Long): String = ((id / 3) % 3) match {
+    case 0 => s"Cell $id\t42\nshared word\tshared word"
+    case 1 => s"Inline $id text\tS$id\nRich run $id"
+    case _ => s"A & B $id\t\t"
+  }
+
+  def docXlsxSheets(id: Long): Int = if ((id / 3) % 3 == 1) 2 else 1
+  def docXlsxRows(id: Long): Int = if ((id / 3) % 3 == 2) 1 else 2
+  def docXlsxCells(id: Long): Int = if ((id / 3) % 3 == 0) 4 else 3
 }

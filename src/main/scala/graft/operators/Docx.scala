@@ -46,4 +46,67 @@ object Docx {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  private val pptxSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("pptx_ok", BooleanType, nullable = false),
+    StructField("verdict", StringType, nullable = false),
+    StructField("n_slides", IntegerType, nullable = true),
+    StructField("n_paras", IntegerType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("creator", StringType, nullable = true)))
+
+  /** PPTX twin of [[extractText]]: `(doc_id, pptx_ok, verdict,
+    * n_slides, n_paras, text, title, creator)` — slides in numeric
+    * order, paragraphs joined '\n' within a slide, slides joined '\n'
+    * (the [[graft.codec.DocxCodec.extractPptx]] layout rules). Same
+    * mapPartitions posture and drop accounting. */
+  def extractPptxText(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        graft.codec.DocxCodec.extractPptx(r.getAs[Array[Byte]](blobIdx)) match {
+          case Some(d) => Row(id, true, "ok", d.nSlides, d.nParas, d.text,
+            d.title.orNull, d.creator.orNull)
+          case None => Row(id, false, "corrupt", null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, pptxSchema)
+  }
+
+  private val xlsxSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("xlsx_ok", BooleanType, nullable = false),
+    StructField("verdict", StringType, nullable = false),
+    StructField("n_sheets", IntegerType, nullable = true),
+    StructField("n_rows", IntegerType, nullable = true),
+    StructField("n_cells", IntegerType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("title", StringType, nullable = true)))
+
+  /** XLSX twin: `(doc_id, xlsx_ok, verdict, n_sheets, n_rows, n_cells,
+    * text, title)` — cells '\t', rows and sheets '\n', shared-string
+    * indirection resolved (the [[graft.codec.XlsxCodec]] layout
+    * rules). Same mapPartitions posture and drop accounting. */
+  def extractXlsxText(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        graft.codec.XlsxCodec.extract(r.getAs[Array[Byte]](blobIdx)) match {
+          case Some(d) => Row(id, true, "ok", d.nSheets, d.nRows, d.nCells,
+            d.text, d.title.orNull)
+          case None => Row(id, false, "corrupt", null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, xlsxSchema)
+  }
 }

@@ -125,6 +125,69 @@ object Unigram {
     out.reverse.toSeq
   }
 
+  /** [[segment]] with the SentencePiece BYTE-FALLBACK contract: a
+    * character ABSENT from the piece table (an encode-time OOV —
+    * training always covers its own single chars, so this only fires
+    * on text the vocabulary never saw, e.g. CJK through a Latin
+    * tokenizer) contributes its UTF-8 bytes as pieces `<0xNN>` instead
+    * of one count-0 char piece — the encoder stays total (nothing is
+    * unrepresentable) and the piece count reflects the real modeling
+    * cost (3 pieces for a 3-byte char, not 1 free pseudo-piece).
+    *
+    * Pinned semantics: the DP stays UTF-16 code-unit indexed like the
+    * whole family; an OOV char weighs `len(UTF-8 bytes)` pieces at
+    * count 0 in the objective (so known cover is always preferred),
+    * and the path walk expands it to `<0xNN>` pieces in byte order.
+    * BMP contract: a non-BMP codepoint is two surrogates, each
+    * falling back independently (deterministic; the fixtures and the
+    * oracle arithmetic live in the BMP). */
+  def segmentByteFallback(w: String, counts: collection.Map[String, Long],
+                          maxPieceLen: Int): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    def byteLen(c: Char): Int =
+      String.valueOf(c).getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    val k = Array.fill(n + 1)(Int.MaxValue)
+    val s = Array.fill(n + 1)(0L)
+    val pi = Array.fill(n + 1)(-1)
+    k(0) = 0
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (k(i) != Int.MaxValue) {
+          val piece = w.substring(i, j)
+          val cw: Option[(Int, Long)] = counts.get(piece) match {
+            case Some(v) => Some((1, v))
+            // OOV single char: byte-fallback — one piece per UTF-8 byte
+            case None if j - i == 1 => Some((byteLen(w.charAt(i)), 0L))
+            case None => None
+          }
+          cw.foreach { case (w2, cv) =>
+            val nk = k(i) + w2
+            val ns = s(i) + cv
+            if (nk < k(j) || (nk == k(j) && ns > s(j)))
+              { k(j) = nk; s(j) = ns; pi(j) = i }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val out = mutable.ArrayBuffer.empty[String]
+    var cur = n
+    while (cur > 0) {
+      val p = pi(cur)
+      val piece = w.substring(p, cur)
+      if (cur - p == 1 && !counts.contains(piece))
+        piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .reverseIterator.foreach(b => out += f"<0x${b & 0xff}%02X>")
+      else out += piece
+      cur = p
+    }
+    out.reverse.toSeq
+  }
+
   /** Hard-EM over the word table: seed substring counts → `rounds` ×
     * (Viterbi-segment every word → re-count piece usage → keep all
     * single chars plus the top `nVocab` used multi-char pieces by
@@ -196,10 +259,12 @@ object Unigram {
     * (no fertility to report). Genuine per-word iterative DP — the
     * documented UDF exception, same as [[Bpe.encode]]. */
   def encode(df: DataFrame, idCol: String, textCol: String,
-             pieces: Seq[(String, Long)], maxPieceLen: Int = 3): DataFrame = {
+             pieces: Seq[(String, Long)], maxPieceLen: Int = 3,
+             byteFallback: Boolean = false): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(pieces.toMap)
     val nPieces = udf { (w: String) =>
-      segment(w, bc.value, maxPieceLen).length.toLong
+      (if (byteFallback) segmentByteFallback(w, bc.value, maxPieceLen)
+       else segment(w, bc.value, maxPieceLen)).length.toLong
     }
     df.select(col(idCol).as("doc"),
         explode(TextOps.tokens(col(textCol))).as("w"))

@@ -1057,6 +1057,30 @@ object DataPipelineQueries {
         .orderBy(asc_nulls_last("lang"))
     },
 
+    // ── Unigram BYTE-FALLBACK encode — OOV robustness for text the
+    //    vocabulary never saw (the SentencePiece contract: a character
+    //    with no piece cover encodes as its UTF-8 bytes, one <0xNN>
+    //    piece per byte, so the encoder is TOTAL and the piece count
+    //    reflects real modeling cost). Every doc's encode input
+    //    carries one appended OOV token `☃☃<doc_id%10>` (U+2603 never
+    //    occurs in the corpus): two 3-byte fallbacks + one covered
+    //    digit = exactly 7 pieces, 1 token — arithmetic the oracle
+    //    replays on top of the full unrolled-EM derivation; the
+    //    appended token also makes zero-token docs encodable, so the
+    //    fallback branch is live on every row. ──
+    QueryDef.sql(
+      "text_unigram_byte_fallback",
+      UnigramOracle.byteFallbackSql(nVocab = 24)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val withOov = docs.select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")), lit(" ☃☃"),
+          pmod(col("doc_id"), lit(10))).as("text"))
+      graft.operators.Unigram.encode(withOov, "doc_id", "text",
+          graft.operators.Unigram.train(docs, "text", nVocab = 24),
+          byteFallback = true)
+        .orderBy("doc")
+    },
+
     // ── The trained unigram vocabulary itself — the stored artifact
     //    (rank = (count DESC, piece ASC); singles never prune, they
     //    are the fallback alphabet). The oracle re-derives the whole

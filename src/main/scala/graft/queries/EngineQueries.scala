@@ -323,10 +323,53 @@ object EngineQueries {
     //    respellings (within-batch duplicates); batch 1 carries a THIRD
     //    spelling of 40 batch-0 URLs (the ledger must reject every
     //    allowed one), 25 fresh paths (admitted), and 5 non-URLs
-    //    (invalid). rows-only: streams + engine ledgers, no SQL oracle;
-    //    StreamingCrawlSpec pins the per-row semantics, the pin spec
-    //    recomputes every aggregate from the seed. ──
-    QueryDef.rowsOnly("engine_stream_web") {
+    //    (invalid). ORACLED since round 16 (the web_crawl_plan_ledger
+    //    graduation pattern): every output aggregate — outcome class
+    //    counts, distinct domains, and the POLITENESS maxima (per-host
+    //    slot × crawl-delay within a batch, the hosts-ledger horizon
+    //    carrying batch 0's reservations into batch 1's dispatch
+    //    times) — is exact integer arithmetic of the fixture, so the
+    //    DuckDB side replays canonicalization classes, the robots m%3
+    //    gate, within/cross-batch dedup, and the whole logical-clock
+    //    schedule blind to the engine. ──
+    QueryDef.sql(
+      "engine_stream_web",
+      """WITH ids AS (SELECT doc_id AS id, doc_id % 50 AS m
+        |  FROM documents WHERE doc_id < 400),
+        |arr AS (
+        |  SELECT 0 AS batch, id AS a, id, m, 'A' AS k FROM ids
+        |  UNION ALL SELECT 0, 1000000 + id, id, m, 'B' FROM ids WHERE id < 30
+        |  UNION ALL SELECT 1, 2000000 + id, id, m, 'C' FROM ids WHERE id < 40
+        |  UNION ALL SELECT 1, 3000000 + id, id, m, 'F' FROM ids WHERE id < 25),
+        |cls AS (SELECT batch, a, id, m, k,
+        |    CASE WHEN k IN ('A','B','C') AND m % 3 = 0 THEN 'robots_blocked'
+        |         WHEN k = 'B' OR k = 'C' THEN 'duplicate'
+        |         ELSE 'admitted' END AS outcome,
+        |    (1 + m % 5) * 1000 AS delay
+        |  FROM arr),
+        |adm AS (SELECT batch, a, m, delay,
+        |    row_number() OVER (PARTITION BY batch, m ORDER BY a) - 1 AS slot
+        |  FROM cls WHERE outcome = 'admitted'),
+        |res0 AS (SELECT m, count(*) * max(delay) AS reserved
+        |  FROM adm WHERE batch = 0 GROUP BY m),
+        |sched AS (SELECT adm.batch, adm.delay,
+        |    CASE WHEN adm.batch = 0 THEN adm.slot * adm.delay
+        |         ELSE coalesce(r.reserved, 0) + adm.slot * adm.delay END AS fetch_at
+        |  FROM adm LEFT JOIN res0 r ON adm.batch = 1 AND adm.m = r.m),
+        |agg AS (SELECT batch, outcome, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT m) AS BIGINT) AS n_domains
+        |  FROM cls GROUP BY batch, outcome),
+        |fa AS (SELECT batch, max(fetch_at) AS mf, max(delay) AS md
+        |  FROM sched GROUP BY batch)
+        |SELECT CAST(agg.batch AS BIGINT) AS batch, agg.outcome, agg.n, agg.n_domains,
+        |  CAST(CASE WHEN agg.outcome = 'admitted' THEN fa.mf ELSE -1 END AS BIGINT)
+        |    AS max_fetch_ms,
+        |  CAST(CASE WHEN agg.outcome = 'admitted' THEN fa.md ELSE -1 END AS BIGINT)
+        |    AS max_delay_ms
+        |FROM agg LEFT JOIN fa ON agg.batch = fa.batch
+        |UNION ALL
+        |SELECT 1, 'invalid', 5, 0, -1, -1
+        |ORDER BY batch, outcome""".stripMargin) {
       (s, d) =>
         import s.implicits._
         implicit val sqlCtx = s.sqlContext
@@ -388,10 +431,23 @@ object EngineQueries {
     //    admissions) while 50 sources re-answer the same 301 — and the
     //    next frontier is EMPTY: every re-discovered target is in the
     //    seen ledger, so a redirect target is fetched exactly once
-    //    across batches. rows-only: streams + engine ledgers, no SQL
-    //    oracle; StreamingCrawlSpec pins the per-row semantics,
-    //    RowsOnlyQueriesSpec replays these exact counts. ──
-    QueryDef.rowsOnly("engine_stream_redirects") {
+    //    across batches. ORACLED since round 16: every count is exact
+    //    fixture arithmetic — the m%3 redirect classes (permanent
+    //    since the 301/308 split), the resolved-target frontier, and
+    //    the batch-1 drain — replayed in SQL blind to the engine. ──
+    QueryDef.sql(
+      "engine_stream_redirects",
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
+        |c AS (
+        |  SELECT 0 AS batch, 'admitted' AS kind, count(*) AS n
+        |    FROM ids WHERE id % 3 != 0
+        |  UNION ALL SELECT 0, 'frontier', count(*) FROM ids WHERE id % 3 = 0
+        |  UNION ALL SELECT 0, 'redirect_permanent', count(*) FROM ids WHERE id % 3 = 0
+        |  UNION ALL SELECT 1, 'admitted', count(*) FROM ids WHERE id % 3 = 0
+        |  UNION ALL SELECT 1, 'frontier', 0
+        |  UNION ALL SELECT 1, 'redirect_permanent', count(*) FROM ids WHERE id % 6 = 0)
+        |SELECT CAST(batch AS BIGINT) AS batch, kind, CAST(n AS BIGINT) AS n
+        |FROM c ORDER BY batch, kind""".stripMargin) {
       (s, d) =>
         import s.implicits._
         val docs = graft.Tables.documents(s, d).filter(col("doc_id") < 300)
@@ -443,10 +499,24 @@ object EngineQueries {
     //    the 20 hubs, each linking BACK to an already-fetched seed
     //    (drained by the seen ledger — fetched exactly once) and one
     //    fresh /deep target, which enters at hop 2 via the hop carry.
-    //    rows-only: streams + engine ledgers, no SQL oracle;
-    //    StreamingCrawlSpec pins per-row semantics, RowsOnlyQueriesSpec
-    //    replays these exact counts. ──
-    QueryDef.rowsOnly("engine_stream_links") {
+    //    ORACLED since round 16: seed admissions, the 2·seeds + hubs
+    //    frontier, the hub admissions, and the hop-2 carry are all
+    //    exact fixture arithmetic replayed in SQL. ──
+    QueryDef.sql(
+      "engine_stream_links",
+      """WITH ids AS (SELECT doc_id AS id, doc_id % 20 AS m
+        |  FROM documents WHERE doc_id < 200),
+        |doms AS (SELECT DISTINCT m FROM ids),
+        |c AS (
+        |  SELECT 0 AS batch, 'admitted' AS kind,
+        |    (SELECT count(*) FROM ids) AS n
+        |  UNION ALL SELECT 0, 'frontier',
+        |    2 * (SELECT count(*) FROM ids) + (SELECT count(*) FROM doms)
+        |  UNION ALL SELECT 1, 'admitted', (SELECT count(*) FROM doms)
+        |  UNION ALL SELECT 1, 'frontier', (SELECT count(*) FROM doms)
+        |  UNION ALL SELECT 1, 'frontier_hop2', (SELECT count(*) FROM doms))
+        |SELECT CAST(batch AS BIGINT) AS batch, kind, CAST(n AS BIGINT) AS n
+        |FROM c ORDER BY batch, kind""".stripMargin) {
       (s, d) =>
         import s.implicits._
         val docs = graft.Tables.documents(s, d).filter(col("doc_id") < 200)

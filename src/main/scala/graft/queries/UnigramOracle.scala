@@ -138,6 +138,31 @@ object UnigramOracle {
        |FROM g JOIN documents d USING (doc_id)
        |GROUP BY d.lang ORDER BY lang NULLS LAST""".stripMargin
 
+  /** Oracle for `text_unigram_byte_fallback`: [[tokenizeSql]]'s chain,
+    * with every doc's encode input carrying ONE appended OOV token
+    * `☃☃<doc_id%10>` (U+2603 never occurs in the corpus — asserted by
+    * construction of the fixture, and any drift would hash-mismatch
+    * loudly). Under the byte-fallback contract its piece cost is EXACT
+    * integer arithmetic the oracle replays without running the DP on
+    * it: each ☃ is OOV → 3 UTF-8 bytes → 3 pieces, the digit is a
+    * covered (or 1-byte-fallback) single → 1 piece — 7 pieces, 1
+    * token, for every doc including the zero-token ones the plain
+    * tokenize oracle drops (hence the LEFT join from the doc table:
+    * the fallback token makes every doc encodable). */
+  def byteFallbackSql(nVocab: Int, maxPieceLen: Int = 3, rounds: Int = 2,
+                      trainSrc: String = "documents"): String =
+    s"""WITH ${chain(nVocab, maxPieceLen, rounds, trainSrc)},
+       |wk AS MATERIALIZED (SELECT w, k FROM D${rounds + 1} WHERE j = len(w)),
+       |t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(k) AS BIGINT) AS s
+       |  FROM toks JOIN wk USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id AS doc,
+       |  CAST(coalesce(t.n, 0) + 1 AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(t.s, 0) + 7 AS BIGINT) AS n_pieces,
+       |  CAST(coalesce(t.s, 0) + 7 AS DOUBLE) / (coalesce(t.n, 0) + 1)
+       |    AS fertility
+       |FROM $trainSrc d LEFT JOIN t USING (doc_id) ORDER BY doc""".stripMargin
+
   /** Oracle for `text_unigram_vocab`: the final piece table in
     * (count DESC, piece ASC) rank order — the stored artifact of the
     * train-once/encode-many contract. */

@@ -2743,6 +2743,94 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // ── PPTX TEXT EXTRACTION — the third office face on the same
+    //    substrates (ZipCodec container + the shared paragraph walk
+    //    under DrawingML's `a:` prefix + Dublin Core sidecar). The
+    //    fixture wire shapes: single run; TWO slides whose members are
+    //    written WIRE-REVERSED (slide2 before slide1 — the codec must
+    //    order slides numerically, not by member position or name
+    //    lexicographics); a word split across runs with an <a:br/>
+    //    line break. DEFLATE members, so the oracle replays text blind
+    //    to container and compression, like web_docx_extract. ──
+    QueryDef.sql(
+      "web_pptx_extract",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN (doc_id // 3) % 3 = 1 THEN 2 ELSE 1 END AS INT) AS n_slides,
+        |  CAST(CASE WHEN (doc_id // 3) % 3 = 1 THEN 3 ELSE 1 END AS INT) AS n_paras,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Deck Props ' || doc_id
+        |    WHEN 2 THEN 'Split Deck ' || doc_id
+        |  END AS title
+        |FROM (SELECT doc_id,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Deck body ' || doc_id || ' intro'
+        |    WHEN 1 THEN 'Deck ' || doc_id || ' one' || chr(10) ||
+        |      'Two a ' || doc_id || chr(10) || 'Two b'
+        |    ELSE 'Pptx' || doc_id || ' joined' || chr(10) || 'next'
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.DocxFixtures.docPptx(id))))
+          .toDF("doc_id", "payload")
+        graft.operators.Docx.extractPptxText(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("n_slides"), col("n_paras"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"),
+            col("title"))
+          .orderBy("doc_id")
+    },
+
+    // ── XLSX TEXT EXTRACTION — the fourth office face, and the one
+    //    with an INDIRECTION the others lack: string cells index into
+    //    the workbook's shared-strings table (the format's dedup of
+    //    repeated values), so a correct extraction proves container +
+    //    inflate + table parse + index resolution all compose. Wire
+    //    shapes: shared + raw-numeric + REUSED index; two sheets
+    //    wire-reversed with inlineStr, t="str" formula text, and a
+    //    rich-run <si> (runs concatenate); an escaped entity, an
+    //    empty <c/>, and an OUT-OF-RANGE shared index that must read
+    //    empty, never throw. Oracle replays cells/rows/sheets joined
+    //    under the pinned '\t'/'\n' rules, blind to compression. ──
+    QueryDef.sql(
+      "web_xlsx_extract",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN (doc_id // 3) % 3 = 1 THEN 2 ELSE 1 END AS INT) AS n_sheets,
+        |  CAST(CASE WHEN (doc_id // 3) % 3 = 2 THEN 1 ELSE 2 END AS INT) AS n_rows,
+        |  CAST(CASE WHEN (doc_id // 3) % 3 = 0 THEN 4 ELSE 3 END AS INT) AS n_cells,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Book Props ' || doc_id
+        |    WHEN 2 THEN 'Sheet Props ' || doc_id
+        |  END AS title
+        |FROM (SELECT doc_id,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Cell ' || doc_id || chr(9) || '42' || chr(10) ||
+        |      'shared word' || chr(9) || 'shared word'
+        |    WHEN 1 THEN 'Inline ' || doc_id || ' text' || chr(9) || 'S' ||
+        |      doc_id || chr(10) || 'Rich run ' || doc_id
+        |    ELSE 'A & B ' || doc_id || chr(9) || chr(9)
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.DocxFixtures.docXlsx(id))))
+          .toDF("doc_id", "payload")
+        graft.operators.Docx.extractXlsxText(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("n_sheets"), col("n_rows"), col("n_cells"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"),
+            col("title"))
+          .orderBy("doc_id")
+    },
+
     // ── MIXED-FORMAT FUNNEL — the document-format router end to end:
     //    one payload stream carrying pdf (id%3=0, all four PdfFixtures
     //    wire variants), html (id%3=1), and docx (id%3=2, every ninth

@@ -376,6 +376,68 @@ object ScaleReplicationProbe {
           .select(sum(length(col("url")) + col("n_sources"))).head.getLong(0)
       }
 
+      // 6''. politeness × frontier budget, COMPOSED (round 16): the
+      //     prioritized per-host budget heap feeding the politeness
+      //     dispatcher across two real processBatch steps, under a
+      //     SKEWED host mix (every even doc's hub sits on host 0 — at
+      //     ×32 the hot host discovers ~160k distinct targets against
+      //     a budget of 2000). The composition property under test:
+      //     the budget bounds every politeness window partition by
+      //     construction (slots = row_number per host over ADMITTED
+      //     rows ≤ budget), and the horizon ledger's per-batch read is
+      //     a gated probe over O(hosts) delta rows — so neither the
+      //     heap nor the ledger can interact quadratically however
+      //     skewed the discovery side gets. maxTask ≈ p95 holding at
+      //     ×32 is that argument measured.
+      if (want("polite_")) timed(s"polite_budget x$rep") {
+        import spark.implicits._
+        val pages = docsTimes(rep, saltText = false)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit(0L))
+              .otherwise(pmod(col("doc_id"), lit(50))).as("m"))
+          .select(
+            concat(lit("http://h"), col("m"), lit(".example.com/hub"),
+              col("doc_id")).as("url"),
+            concat(
+              concat(lit("<a href=\"p"), col("doc_id"), lit("a\">x</a>")),
+              concat(lit("<a href=\"p"), col("doc_id"), lit("b\">y</a>")),
+              lit("<a href=\"/top\">t</a>")).as("html"))
+        val frontier = graft.streaming.StreamingCrawl
+          .discoverLinksPrioritized(pages, "url", "html", perHostBudget = 2000)
+        val rules = graft.operators.Robots.rulesFrame(
+          (0 until 50).map(h =>
+            (s"h$h.example.com", s"User-agent: *\nDisallow:\nCrawl-delay: ${1 + h % 5}\n"))
+            .toDF("domain", "txt"), "domain", "txt")
+        val delays = graft.operators.Robots.selectDelay(
+          graft.operators.Robots.delaysFrame(
+            (0 until 50).map(h =>
+              (s"h$h.example.com", s"User-agent: *\nCrawl-delay: ${1 + h % 5}\n"))
+              .toDF("domain", "txt"), "domain", "txt"),
+          "graftbot", defaultMs = 1000L)
+        val ledger = java.nio.file.Files
+          .createTempDirectory("graft-polbudget").toString
+        val b0 = frontier
+          .select(monotonically_increasing_id().as("id"), col("url"),
+            lit(Array.emptyByteArray).as("blob"))
+          .localCheckpoint()
+        val m0 = graft.streaming.StreamingCrawl.processBatch(b0, 0L,
+          "id", "url", "blob", rules, "graftbot", ledger,
+          delays = Some(delays))
+        m0.count()
+        // batch 1: the same hosts fetch fresh paths — the horizon
+        // ledger must carry batch 0's reservations without refolding
+        // anything corpus-sized
+        val b1 = b0.select((col("id") + 1000000000L).as("id"),
+          concat(col("url"), lit("z")).as("url"), col("blob"))
+        val m1 = graft.streaming.StreamingCrawl.processBatch(b1, 1L,
+          "id", "url", "blob", rules, "graftbot", ledger,
+          delays = Some(delays))
+        val out = m1.agg(sum(coalesce(col("fetch_at_ms"), lit(0L))))
+          .head.getLong(0)
+        Seq(m0, m1, b0).foreach(_.unpersist(blocking = false))
+        out
+      }
+
       // 6'. PDF front gate (round 15): build + extract per row — pure
       //     CPU riding the scan (the adjudicated mapPartitions decoder
       //     shape), so wall must grow sublinearly with ×N on idle

@@ -95,6 +95,107 @@ class DocxCodecSpec extends AnyFunSuite {
     assert(cases == 600)
   }
 
+  test("pptx variant 0: one slide, one run, core props") {
+    val d = DocxCodec.extractPptx(DocxFixtures.docPptx(0)).get
+    assert(d.text == "Deck body 0 intro" && d.nSlides == 1 && d.nParas == 1)
+    assert(d.title.contains("Deck Props 0") && d.creator.contains("Presenter 0"))
+  }
+
+  test("pptx variant 1: slides order NUMERICALLY, not by wire position; no core") {
+    val d = DocxCodec.extractPptx(DocxFixtures.docPptx(3)).get
+    assert(d.text == "Deck 3 one\nTwo a 3\nTwo b", s"got '${d.text}'")
+    assert(d.nSlides == 2 && d.nParas == 3)
+    assert(d.title.isEmpty && d.creator.isEmpty)
+    // the numeric-vs-lexicographic trap: slide2 and slide10
+    val b = DocxFixtures.pptx(Seq(
+      10 -> "<a:p><a:r><a:t>ten</a:t></a:r></a:p>",
+      2 -> "<a:p><a:r><a:t>two</a:t></a:r></a:p>"), None)
+    assert(DocxCodec.extractPptx(b).map(_.text).contains("two\nten"),
+      "slide2 must precede slide10 (lexicographic name order lies)")
+  }
+
+  test("pptx variant 2: split runs concatenate, a:br breaks the line") {
+    val d = DocxCodec.extractPptx(DocxFixtures.docPptx(6)).get
+    assert(d.text == "Pptx6 joined\nnext" && d.nSlides == 1 && d.nParas == 1)
+  }
+
+  test("pptx rejections: a docx is not a pptx and vice versa; corrupt rejects") {
+    assert(DocxCodec.extractPptx(DocxFixtures.docDocx(0)).isEmpty,
+      "no ppt/slides members -> not a pptx")
+    assert(DocxCodec.extract(DocxFixtures.docPptx(0)).isEmpty,
+      "no word/document.xml -> not a docx")
+    assert(DocxCodec.extractPptx(DocxFixtures.corruptDocx(1)).isEmpty)
+    assert(DocxCodec.extractPptx(null).isEmpty)
+    // slideLayouts and notes members never read as slides
+    val b = DocxFixtures.pptx(Seq(1 -> "<a:p><a:r><a:t>real</a:t></a:r></a:p>"), None)
+    val spoofed = ZipCodec.write(
+      ZipCodec.parse(b).get :+
+        ("ppt/slideLayouts/slideLayout1.xml" ->
+          "<a:p><a:r><a:t>layout noise</a:t></a:r></a:p>".getBytes("UTF-8")))
+    assert(DocxCodec.extractPptx(spoofed).map(_.text).contains("real"),
+      "only ppt/slides/slideN.xml members are slides")
+  }
+
+  test("pptx never-throw fuzz: 300 truncation/bit-flip cases") {
+    val rnd = new scala.util.Random(181818L)
+    val bases = Seq(DocxFixtures.docPptx(0), DocxFixtures.docPptx(3),
+      DocxFixtures.docPptx(6))
+    for (_ <- 0 until 300) {
+      val base = bases(rnd.nextInt(bases.length))
+      val mutated = rnd.nextInt(2) match {
+        case 0 => java.util.Arrays.copyOf(base, rnd.nextInt(base.length + 1))
+        case _ =>
+          val c = base.clone()
+          c(rnd.nextInt(c.length)) = (c(rnd.nextInt(c.length)) ^ 0x40).toByte
+          c
+      }
+      DocxCodec.extractPptx(mutated) // contract: never throw, never hang
+    }
+  }
+
+  test("xlsx variant 0: shared strings resolve, raw numerics pass, reuse reads twice") {
+    val d = XlsxCodec.extract(DocxFixtures.docXlsx(0)).get
+    assert(d.text == "Cell 0\t42\nshared word\tshared word", s"got '${d.text}'")
+    assert(d.nSheets == 1 && d.nRows == 2 && d.nCells == 4)
+    assert(d.title.contains("Book Props 0") && d.creator.contains("Analyst 0"))
+  }
+
+  test("xlsx variant 1: sheets order numerically; inlineStr + str + rich-run si") {
+    val d = XlsxCodec.extract(DocxFixtures.docXlsx(3)).get
+    assert(d.text == "Inline 3 text\tS3\nRich run 3", s"got '${d.text}'")
+    assert(d.nSheets == 2 && d.nRows == 2 && d.nCells == 3)
+    assert(d.title.isEmpty)
+  }
+
+  test("xlsx variant 2: entity decode, empty cell, out-of-range shared index reads empty") {
+    val d = XlsxCodec.extract(DocxFixtures.docXlsx(6)).get
+    assert(d.text == "A & B 6\t\t", s"got '${d.text}'")
+    assert(d.nCells == 3)
+    assert(d.title.contains("Sheet Props 6"))
+  }
+
+  test("xlsx rejections + never-throw fuzz") {
+    assert(XlsxCodec.extract(DocxFixtures.docDocx(0)).isEmpty,
+      "no worksheets -> not an xlsx")
+    assert(XlsxCodec.extract(DocxFixtures.corruptDocx(1)).isEmpty)
+    assert(XlsxCodec.extract(null).isEmpty)
+    assert(XlsxCodec.extract(Array.emptyByteArray).isEmpty)
+    val rnd = new scala.util.Random(191919L)
+    val bases = Seq(DocxFixtures.docXlsx(0), DocxFixtures.docXlsx(3),
+      DocxFixtures.docXlsx(6))
+    for (_ <- 0 until 300) {
+      val base = bases(rnd.nextInt(bases.length))
+      val mutated = rnd.nextInt(2) match {
+        case 0 => java.util.Arrays.copyOf(base, rnd.nextInt(base.length + 1))
+        case _ =>
+          val c = base.clone()
+          c(rnd.nextInt(c.length)) = (c(rnd.nextInt(c.length)) ^ 0x11).toByte
+          c
+      }
+      XlsxCodec.extract(mutated) // contract: never throw, never hang
+    }
+  }
+
   test("deterministic: same id, same archive bytes, same output") {
     val b = DocxFixtures.docDocx(9)
     assert(java.util.Arrays.equals(b, DocxFixtures.docDocx(9)))

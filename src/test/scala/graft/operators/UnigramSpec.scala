@@ -43,6 +43,57 @@ class UnigramSpec extends SparkSpec {
     assert(Unigram.segment("", v, 3).isEmpty)
   }
 
+  test("segmentByteFallback: OOV chars expand to UTF-8 byte pieces") {
+    val v = Map("a" -> 1L, "b" -> 1L)
+    // U+732B 猫 is 3 UTF-8 bytes (E7 8C AB)
+    assert(Unigram.segmentByteFallback("猫", v, 3) ==
+      Seq("<0xE7>", "<0x8C>", "<0xAB>"))
+    assert(Unigram.segmentByteFallback("a猫b", v, 3) ==
+      Seq("a", "<0xE7>", "<0x8C>", "<0xAB>", "b"))
+    // a 2-byte char (é U+00E9 = C3 A9) costs 2 pieces
+    assert(Unigram.segmentByteFallback("é", v, 3) == Seq("<0xC3>", "<0xA9>"))
+    // a 1-byte OOV (ASCII the vocab never saw) costs 1 byte piece
+    assert(Unigram.segmentByteFallback("x", v, 3) == Seq("<0x78>"))
+    // covered text segments EXACTLY like the plain DP — fallback only
+    // fires on absent chars, never on count-0 presence
+    val v2 = Map("a" -> 1L, "b" -> 1L, "ab" -> 5L, "x" -> 0L)
+    assert(Unigram.segmentByteFallback("abx", v2, 3) ==
+      Unigram.segment("abx", v2, 3))
+    assert(Unigram.segmentByteFallback("", v, 3).isEmpty)
+  }
+
+  test("segmentByteFallback: byte cost enters the objective (known cover preferred)") {
+    // "猫x" with piece "猫x"?? impossible to store multi-char with OOV
+    // char unless trained — here vocab HAS the 2-char piece "猫x": one
+    // piece beats 3 fallback bytes + x
+    val v = Map("猫x" -> 1L, "x" -> 1L)
+    assert(Unigram.segmentByteFallback("猫x", v, 3) == Seq("猫x"))
+    // without it, the DP charges 3 pieces for the char — a covered
+    // 1-piece route through a longer piece must win at equal length
+    val words = Seq("猫猫", "猫a")
+    words.foreach { w =>
+      val got = Unigram.segmentByteFallback(w, Map("a" -> 1L), 3)
+      assert(got.length == w.count(_ == '猫') * 3 + w.count(_ == 'a'),
+        s"$w -> $got")
+    }
+  }
+
+  test("segmentByteFallback: CJK sentence through a Latin-trained vocabulary") {
+    // the CJK charset fixtures' word pool shape: a Japanese phrase the
+    // Latin vocab never saw — every char expands to its UTF-8 bytes,
+    // total pieces = total UTF-8 byte length
+    val latin = Unigram.trainPieces(Seq(("the", 5L), ("cat", 3L)), nVocab = 8)
+    val phrase = "日本語テキスト"
+    val got = Unigram.segmentByteFallback(phrase, latin.toMap, 3)
+    val expectBytes = phrase.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(got.length == expectBytes.length, s"got $got")
+    assert(got == expectBytes.map(b => f"<0x${b & 0xff}%02X>").toSeq)
+    // ...and a mixed sentence only falls back where cover is absent
+    val mixed = Unigram.segmentByteFallback("the猫", latin.toMap, 3)
+    assert(mixed.take(1) != Seq("<0x74>"), "covered prefix must not fall back")
+    assert(mixed.count(_.startsWith("<0x")) == 3)
+  }
+
   test("trainPieces: EM promotes the piece the segmentations actually use") {
     // corpus: "abab"×10, "ab"×5 — seed counts make "ab" dominant;
     // after a round, "abab"... wait maxPieceLen=3 caps pieces at 3

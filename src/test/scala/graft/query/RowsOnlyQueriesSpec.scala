@@ -29,8 +29,8 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "text_classifier_train", "engine_stream_validate",
       "engine_jsonl_quarantine", "engine_stream_drift",
       "engine_stream_corpus", "text_score_percentiles_approx",
-      "text_heavyhitters_sketch", "engine_stream_media", "engine_stream_web",
-      "engine_stream_prefix", "engine_stream_redirects", "engine_stream_links"),
+      "text_heavyhitters_sketch", "engine_stream_media",
+      "engine_stream_prefix"),
       "a new rows-only query was registered without a pin in this spec")
   }
 
@@ -94,6 +94,10 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       (1L, "frontier_hop2") -> 20L), s"got $got")
   }
 
+  // engine_stream_redirects and engine_stream_links graduated to full
+  // DuckDB oracles in round 16 (outcome/frontier counts are exact
+  // fixture arithmetic); their recompute pins stay as cheap fast-fail,
+  // the dedup_char_anchored precedent.
   test("engine_stream_redirects: targets discovered once, fetched once, frontier drains") {
     val df = run("engine_stream_redirects")
     assert(df.columns.toSeq == Seq("batch", "kind", "n"))
@@ -112,6 +116,10 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       (1L, "frontier") -> 0L))
   }
 
+  // engine_stream_web graduated to a full DuckDB oracle in round 16
+  // (the web_crawl_plan_ledger pattern: the whole outcome/dedup/
+  // politeness arithmetic replayed in SQL) but keeps this recompute
+  // pin as cheap fast-fail, the dedup_char_anchored precedent.
   test("engine_stream_web: every aggregate recomputes from the seed") {
     val df = run("engine_stream_web")
     assert(df.columns.toSeq == Seq("batch", "outcome", "n", "n_domains",

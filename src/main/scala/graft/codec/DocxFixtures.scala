@@ -241,4 +241,84 @@ object DocxFixtures {
   def docXlsxSheets(id: Long): Int = if ((id / 3) % 3 == 1) 2 else 1
   def docXlsxRows(id: Long): Int = if ((id / 3) % 3 == 2) 1 else 2
   def docXlsxCells(id: Long): Int = if ((id / 3) % 3 == 0) 4 else 3
+
+  // ── EPUB (OCF) — books ────────────────────────────────────────────
+
+  /** Build a minimal EPUB: STORED `mimetype` first (the OCF rule),
+    * container.xml naming `opfPath`, the package document with the
+    * given manifest items `(id, href, mediaType)` and spine idrefs,
+    * and the content files at their FULL member paths (DEFLATE). */
+  def epub(opfPath: String, manifest: Seq[(String, String, String)],
+           spine: Seq[String], files: Seq[(String, String)],
+           props: Option[(String, String)]): Array[Byte] = {
+    val container =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+         |<rootfiles><rootfile full-path="$opfPath" media-type="application/oebps-package+xml"/></rootfiles>
+         |</container>""".stripMargin
+    val meta = props.map { case (t, c) =>
+      s"<dc:title>$t</dc:title><dc:creator>$c</dc:creator>"
+    }.getOrElse("")
+    val opf =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<package xmlns="http://www.idpf.org/2007/opf" xmlns:dc="http://purl.org/dc/elements/1.1/" version="3.0">
+         |<metadata>$meta</metadata>
+         |<manifest>${manifest.map { case (i, h, m) =>
+              s"""<item id="$i" href="$h" media-type="$m"/>"""
+            }.mkString}</manifest>
+         |<spine>${spine.map(i => s"""<itemref idref="$i"/>""").mkString}</spine>
+         |</package>""".stripMargin
+    val members =
+      Seq("mimetype" -> bytes("application/epub+zip"),
+        "META-INF/container.xml" -> bytes(container),
+        opfPath -> bytes(opf)) ++
+        files.map { case (p, c) => p -> bytes(c) }
+    ZipCodec.write(members,
+      deflateNames = files.map(_._1).toSet ++ Set(opfPath, "META-INF/container.xml"))
+  }
+
+  private def xhtml(body: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<html xmlns="http://www.w3.org/1999/xhtml">
+       |<body>$body</body></html>""".stripMargin
+
+  /** Seed EPUB fixture, variant v = (id / 3) % 3:
+    *   0: one chapter → "Book <id> opening line"
+    *   1: TWO chapters whose member AND manifest order is REVERSED vs
+    *      the spine (reading order is the spine's, nothing else's),
+    *      plus a css manifest item that must skip; NO metadata
+    *   2: nested package dir with a `../` chapter href (the common
+    *      OEBPS/ops layout) → "Deep link <id> works" */
+  def docEpub(id: Long): Array[Byte] = ((id / 3) % 3) match {
+    case 0 =>
+      epub("OEBPS/content.opf",
+        Seq(("ch1", "ch1.xhtml", "application/xhtml+xml")),
+        Seq("ch1"),
+        Seq("OEBPS/ch1.xhtml" -> xhtml(s"<p>Book $id opening line</p>")),
+        Some((s"Book Props $id", s"Author ${id % 6}")))
+    case 1 =>
+      epub("OEBPS/content.opf",
+        Seq(("style", "style.css", "text/css"),
+          ("chB", "b.xhtml", "application/xhtml+xml"),
+          ("chA", "a.xhtml", "application/xhtml+xml")),
+        Seq("chA", "chB"),
+        Seq("OEBPS/b.xhtml" -> xhtml(s"<p>Chapter two $id</p>"),
+          "OEBPS/style.css" -> "p { margin: 0 }",
+          "OEBPS/a.xhtml" -> xhtml(s"<p>Chapter one $id</p>")),
+        None)
+    case _ =>
+      epub("OEBPS/ops/content.opf",
+        Seq(("ch", "../text/ch.xhtml", "application/xhtml+xml")),
+        Seq("ch"),
+        Seq("OEBPS/text/ch.xhtml" -> xhtml(s"<p>Deep link $id works</p>")),
+        Some((s"Deep Props $id", "Nested Author")))
+  }
+
+  /** The per-chapter text [[docEpub]]'s spine yields after the query
+    * layer's htmlExtract — seed arithmetic the oracle replays. */
+  def docEpubChapterTexts(id: Long): Seq[String] = ((id / 3) % 3) match {
+    case 0 => Seq(s"Book $id opening line")
+    case 1 => Seq(s"Chapter one $id", s"Chapter two $id")
+    case _ => Seq(s"Deep link $id works")
+  }
 }

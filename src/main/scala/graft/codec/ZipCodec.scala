@@ -95,6 +95,38 @@ object ZipCodec {
   private def rd32(b: Array[Byte], p: Int): Long =
     (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) | ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
 
+  /** Member NAMES only, via the central directory — the cheap
+    * classification read: an OPC router needs to know whether
+    * `word/document.xml` or `ppt/slides/…` exists, which costs a
+    * directory walk and ZERO payload decompression/CRC work (the full
+    * [[parse]] inflates and checksums every member). Same structural
+    * validation on the directory itself; None on malformation. */
+  def memberNames(b: Array[Byte]): Option[Seq[String]] = {
+    if (b == null || b.length < 22) return None
+    var e = b.length - 22
+    while (e >= 0 && rd32(b, e) != 0x06054b50L) e -= 1
+    if (e < 0) return None
+    val n = rd16(b, e + 10)
+    if (rd16(b, e + 8) != n) return None
+    val cdSize = rd32(b, e + 12)
+    val cdOff = rd32(b, e + 16)
+    if (cdOff + cdSize > e) return None
+    val names = Seq.newBuilder[String]
+    var p = cdOff.toInt
+    var i = 0
+    while (i < n) {
+      if (p + 46 > b.length || rd32(b, p) != 0x02014b50L) return None
+      val nameLen = rd16(b, p + 28)
+      val extraLen = rd16(b, p + 30)
+      val commentLen = rd16(b, p + 32)
+      if (p + 46 + nameLen > b.length) return None
+      names += new String(b, p + 46, nameLen, "UTF-8")
+      p += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    Some(names.result())
+  }
+
   /** Parse an archive back to its members via the central directory;
     * STORED and DEFLATE entries supported; None on any malformation. */
   def parse(b: Array[Byte]): Option[Seq[(String, Array[Byte])]] = {

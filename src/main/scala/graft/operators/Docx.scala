@@ -109,4 +109,31 @@ object Docx {
     }
     spark.createDataFrame(rdd, xlsxSchema)
   }
+
+  private val SlideRe = "^ppt/slides/slide[0-9]+\\.xml$".r
+  private val SheetRe = "^xl/worksheets/sheet[0-9]+\\.xml$".r
+
+  /** Content-aware OPC classifier — the router [[Pdf.sniffKind]]'s
+    * magic bytes cannot be: real writers DEFLATE-compress
+    * `[Content_Types].xml`, so the docx/pptx/xlsx distinction is not
+    * in the first kilobyte — it is in the central directory's member
+    * NAMES, which [[graft.codec.ZipCodec.memberNames]] reads with zero
+    * payload decompression. `docx` | `pptx` | `xlsx` by the main-part
+    * name, `zip` for a readable archive that is none of them,
+    * `unreadable` for PK-magic bytes without a walkable directory
+    * (truncated downloads — a funnel class, not a silent drop), and
+    * `other` for non-PK bytes. */
+  def sniffOoxml(blob: Array[Byte]): String = {
+    if (blob == null || blob.length < 4 ||
+      !(blob(0) == 'P' && blob(1) == 'K' && blob(2) == 3 && blob(3) == 4))
+      return "other"
+    graft.codec.ZipCodec.memberNames(blob) match {
+      case None => "unreadable"
+      case Some(names) =>
+        if (names.contains("word/document.xml")) "docx"
+        else if (names.exists(n => SlideRe.pattern.matcher(n).matches())) "pptx"
+        else if (names.exists(n => SheetRe.pattern.matcher(n).matches())) "xlsx"
+        else "zip"
+    }
+  }
 }

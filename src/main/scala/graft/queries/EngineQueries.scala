@@ -176,7 +176,44 @@ object EngineQueries {
     //    durable cumulative ledger (batch-partitioned parquet state,
     //    replay-idempotent; spec-pinned in StreamingValidationSpec).
     //    rows-only: the ledger is the engine's own state. ──
-    QueryDef.rowsOnly("engine_stream_validate") {
+    QueryDef.sql(
+      "engine_stream_validate",
+      // ORACLED since round 16 — and unlike the arithmetic-fixture
+      // graduations this one is DATA-driven: DuckDB recomputes every
+      // check's violation count from the documents table itself (null
+      // ≡ violation for Expect, count − count(DISTINCT) for Unique)
+      // per parity batch, plus the cumulative ledger fold — so the
+      // whole durable-validation vertical (per-batch report + ledger
+      // cumulative) hash-matches at every sf whatever the data holds.
+      """WITH b AS (SELECT doc_id % 2 AS batch_id, doc_id, text, n_chars
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |per AS (SELECT batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |  CAST(sum(CASE WHEN coalesce(length(text) > 0, false) THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS v_text,
+        |  CAST(sum(CASE WHEN coalesce(n_chars = length(text), false) THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS v_chars,
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v_uni
+        | FROM b GROUP BY batch_id),
+        |checks AS (
+        |  SELECT batch_id, 'doc_id_not_null' AS check_name, n_rows,
+        |    v_null AS n_violations FROM per
+        |  UNION ALL SELECT batch_id, 'text_nonempty', n_rows, v_text FROM per
+        |  UNION ALL SELECT batch_id, 'chars_consistent', n_rows, v_chars FROM per
+        |  UNION ALL SELECT batch_id, 'doc_id_unique', n_rows, v_uni FROM per),
+        |cum AS (SELECT c.batch_id, c.check_name, c.n_rows, c.n_violations,
+        |  sum(c2.n_rows) AS cum_rows, sum(c2.n_violations) AS cum_violations
+        | FROM checks c JOIN checks c2
+        |   ON c2.check_name = c.check_name AND c2.batch_id <= c.batch_id
+        | GROUP BY c.batch_id, c.check_name, c.n_rows, c.n_violations)
+        |SELECT CAST(batch_id AS BIGINT) AS batch_id, check_name,
+        |  'documents' AS tbl, n_rows, n_violations,
+        |  n_violations = 0 AS pass,
+        |  CAST(cum_rows AS BIGINT) AS cum_rows,
+        |  CAST(cum_violations AS BIGINT) AS cum_violations,
+        |  cum_violations = 0 AS cum_pass
+        |FROM cum ORDER BY batch_id, check_name""".stripMargin) {
       (s, d) =>
         import graft.operators.Validation.{Expect, Unique}
         val docs = graft.Tables.documents(s, d)
@@ -575,7 +612,23 @@ object EngineQueries {
     //    40-49 → ids 240-249. rows-only: streams + engine index, no
     //    SQL oracle; StreamingPrefixDedupSpec pins the semantics, the
     //    pin spec these exact aggregates. ──
-    QueryDef.rowsOnly("engine_stream_prefix") {
+    QueryDef.sql(
+      "engine_stream_prefix",
+      // ORACLED since round 16: the survivor sets are exact generator
+      // arithmetic — batch 0's families ≥ 20 are absent from the seed
+      // index (fams 0-19), so their min-id within-batch winners (ids
+      // 100-119) survive; batch 1's families ≥ 40 are absent from seed
+      // AND stored batch-0 survivors, so ids 240-249 survive — the
+      // whole stored-prefix-index + incremental-probe discipline
+      // replayed blind to the engine.
+      """WITH b0 AS (SELECT r AS id, r % 40 AS fam FROM range(100, 180) t(r)),
+        |w0 AS (SELECT fam, min(id) AS id FROM b0 WHERE fam >= 20 GROUP BY fam),
+        |b1 AS (SELECT r AS id, r % 50 AS fam FROM range(200, 300) t(r)),
+        |w1 AS (SELECT fam, min(id) AS id FROM b1 WHERE fam >= 40 GROUP BY fam),
+        |c AS (SELECT 0 AS batch, count(*) AS n, sum(id) AS s FROM w0
+        |  UNION ALL SELECT 1, count(*), sum(id) FROM w1)
+        |SELECT CAST(batch AS BIGINT) AS batch, CAST(n AS BIGINT) AS n_survivors,
+        |  CAST(s AS BIGINT) AS survivor_id_sum FROM c ORDER BY batch""".stripMargin) {
       (s, d) =>
         import s.implicits._
         implicit val sqlCtx = s.sqlContext

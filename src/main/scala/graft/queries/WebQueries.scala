@@ -2896,6 +2896,150 @@ object WebQueries {
           .orderBy("kind", "verdict")
     },
 
+    // ── EPUB CHAPTER EXTRACTION — books are a first-class corpus
+    //    source, and an EPUB's reading order lives behind TWO
+    //    indirections (container.xml → package document → manifest
+    //    join → spine): the codec returns spine chapters in READING
+    //    order and the markup→text step runs through the SAME
+    //    htmlExtract column every crawled page uses — one extraction
+    //    doctrine for the whole corpus. Wire shapes: single chapter;
+    //    member AND manifest order REVERSED vs the spine (reading
+    //    order is the spine's, nothing else's) with a css item that
+    //    must skip; a nested package dir whose chapter href climbs
+    //    `../`. Per-CHAPTER output rows, so a reading-order slip is a
+    //    hash mismatch, not an averaged-away detail. ──
+    QueryDef.sql(
+      "web_epub_extract",
+      """SELECT doc_id, idx,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Book Props ' || doc_id
+        |    WHEN 2 THEN 'Deep Props ' || doc_id
+        |  END AS title
+        |FROM (
+        |  SELECT doc_id, 0 AS idx,
+        |    CASE (doc_id // 3) % 3
+        |      WHEN 0 THEN 'Book ' || doc_id || ' opening line'
+        |      WHEN 1 THEN 'Chapter one ' || doc_id
+        |      ELSE 'Deep link ' || doc_id || ' works'
+        |    END AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'Chapter two ' || doc_id
+        |  FROM documents WHERE (doc_id // 3) % 3 = 1)
+        |ORDER BY doc_id, idx""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.DocxFixtures.docEpub(id))))
+          .toDF("doc_id", "payload")
+        graft.operators.Epub.chapters(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("chapter_idx").as("idx"),
+            TextOps.htmlExtract(col("xhtml")).as("_t"), col("title"))
+          .select(col("doc_id"), col("idx"),
+            length(col("_t")).cast("long").as("n_chars"),
+            md5(col("_t").cast("binary")).as("text_md5"),
+            col("title"))
+          .orderBy("doc_id", "idx")
+    },
+
+    // ── OFFICE-FORMAT FUNNEL — the full document router across all
+    //    six payload classes one corpus stream carries: pdf, html,
+    //    docx, pptx, xlsx, and a PK-magic stub with no walkable
+    //    central directory (a truncated download — must classify
+    //    `opc`/`corrupt`, never vanish). Routing is two-stage like a
+    //    real pipeline: magic bytes split pdf/html/PK, then the OPC
+    //    classifier reads the central directory's member NAMES (zero
+    //    payload decompression — real writers DEFLATE
+    //    [Content_Types].xml, so first-KB tokens cannot distinguish
+    //    the office faces). Every office variant cycles live under the
+    //    (id/3)%3 keying; the oracle replays the id%6 router and each
+    //    format's per-variant token arithmetic. ──
+    QueryDef.sql(
+      "web_office_funnel",
+      """WITH t AS (SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
+        |    WHEN 2 THEN 'docx' WHEN 3 THEN 'pptx' WHEN 4 THEN 'xlsx'
+        |    ELSE 'opc' END AS kind,
+        |  CASE WHEN doc_id % 6 = 5 THEN 'corrupt' ELSE 'ok' END AS verdict,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 5
+        |    WHEN 1 THEN 6
+        |    WHEN 2 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 2 END
+        |    WHEN 3 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 3 END
+        |    WHEN 4 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 7 WHEN 1 THEN 7 ELSE 4 END
+        |    ELSE 0 END AS toks
+        |  FROM documents)
+        |SELECT kind, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY kind, verdict ORDER BY kind, verdict""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map { id =>
+            val fx = graft.codec.DocxFixtures
+            val blob = (id % 6) match {
+              case 0 => graft.codec.PdfFixtures.docPdf(id)
+              case 1 => s"<html><body><p>Doc $id html body words here</p></body></html>"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              case 2 => fx.docDocx(id)
+              case 3 => fx.docPptx(id)
+              case 4 => fx.docXlsx(id)
+              case _ => fx.corruptDocx(id)
+            }
+            (id, blob)
+          })
+          .toDF("doc_id", "payload")
+        // stage 1: magic bytes (codegen'd Column ops)
+        val routed = payloads
+          .withColumn("k1", graft.operators.Pdf.sniffKind(col("payload")))
+        // stage 2: OPC content classification by central-directory
+        // names, only for the PK-routed slice (docx/zip from sniffKind)
+        val isOpc = col("k1").isin("docx", "zip")
+        val opcSlice = routed.filter(isOpc)
+          .as[(Long, Array[Byte], String)]
+          .mapPartitions(_.map { case (id, blob, _) =>
+            (id, blob, graft.operators.Docx.sniffOoxml(blob))
+          })
+          .toDF("doc_id", "payload", "kind")
+        val pdfArm = graft.operators.Pdf.extractText(
+          routed.filter(col("k1") === "pdf"), "doc_id", "payload")
+          .select(col("doc_id"), lit("pdf").as("kind"), col("verdict"), col("text"))
+        val htmlArm = routed.filter(col("k1") === "html")
+          .select(col("doc_id"), lit("html").as("kind"),
+            lit("ok").as("verdict"),
+            TextOps.htmlExtract(col("payload").cast("string")).as("text"))
+        val docxArm = graft.operators.Docx.extractText(
+          opcSlice.filter(col("kind") === "docx"), "doc_id", "payload")
+          .select(col("doc_id"), lit("docx").as("kind"), col("verdict"), col("text"))
+        val pptxArm = graft.operators.Docx.extractPptxText(
+          opcSlice.filter(col("kind") === "pptx"), "doc_id", "payload")
+          .select(col("doc_id"), lit("pptx").as("kind"), col("verdict"), col("text"))
+        val xlsxArm = graft.operators.Docx.extractXlsxText(
+          opcSlice.filter(col("kind") === "xlsx"), "doc_id", "payload")
+          .select(col("doc_id"), lit("xlsx").as("kind"), col("verdict"), col("text"))
+        val corruptArm = opcSlice
+          .filter(!col("kind").isin("docx", "pptx", "xlsx"))
+          .select(col("doc_id"), lit("opc").as("kind"),
+            lit("corrupt").as("verdict"), lit(null).cast("string").as("text"))
+        pdfArm.unionByName(htmlArm).unionByName(docxArm)
+          .unionByName(pptxArm).unionByName(xlsxArm).unionByName(corruptArm)
+          .withColumn("toks",
+            // split-then-drop-empties, NOT trim-then-split: Spark's
+            // trim strips only spaces, and the xlsx face legitimately
+            // ends rows in '\t' (empty trailing cells are layout)
+            when(col("verdict") === "ok" && length(col("text")) > 0,
+              size(filter(split(col("text"), "\\s+"), _ =!= "")))
+              .otherwise(lit(0)).cast("long"))
+          .groupBy("kind", "verdict")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("toks")).cast("long").as("sum_tokens"))
+          .orderBy("kind", "verdict")
+    },
+
     // ── PAGE-level ROBOTS directives — the per-document half of the
     //    robots contract (robots.txt is site-level): <meta
     //    name=robots> and the X-Robots-Tag header fold into one

@@ -196,6 +196,58 @@ class DocxCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("memberNames walks the directory without payload work; sniffOoxml classifies") {
+    val names = ZipCodec.memberNames(DocxFixtures.docDocx(0)).get
+    assert(names.head == "[Content_Types].xml" && names.contains("word/document.xml"))
+    assert(ZipCodec.memberNames(DocxFixtures.corruptDocx(1)).isEmpty,
+      "no central directory -> None")
+    import graft.operators.Docx.sniffOoxml
+    assert(sniffOoxml(DocxFixtures.docDocx(2)) == "docx")
+    assert(sniffOoxml(DocxFixtures.docPptx(3)) == "pptx")
+    assert(sniffOoxml(DocxFixtures.docXlsx(4)) == "xlsx")
+    assert(sniffOoxml(DocxFixtures.corruptDocx(5)) == "unreadable")
+    assert(sniffOoxml(ZipCodec.write(Seq("readme.txt" -> "hi".getBytes))) == "zip")
+    assert(sniffOoxml(PdfFixtures.docPdf(0)) == "other")
+    assert(sniffOoxml(null) == "other")
+  }
+
+  test("epub: spine defines reading order, not member or manifest order; css skips") {
+    val d0 = EpubCodec.chapters(DocxFixtures.docEpub(0)).get
+    assert(d0.nChapters == 1 && d0.chapters.head._1 == "OEBPS/ch1.xhtml")
+    assert(d0.chapters.head._2.contains("Book 0 opening line"))
+    assert(d0.title.contains("Book Props 0") && d0.creator.contains("Author 0"))
+    val d1 = EpubCodec.chapters(DocxFixtures.docEpub(3)).get
+    assert(d1.nChapters == 2)
+    assert(d1.chapters(0)._2.contains("Chapter one 3") &&
+      d1.chapters(1)._2.contains("Chapter two 3"),
+      "spine order must win over member and manifest order")
+    assert(d1.title.isEmpty)
+  }
+
+  test("epub: nested package dir resolves ../ hrefs; rejections never throw") {
+    val d2 = EpubCodec.chapters(DocxFixtures.docEpub(6)).get
+    assert(d2.nChapters == 1 && d2.chapters.head._1 == "OEBPS/text/ch.xhtml")
+    assert(d2.chapters.head._2.contains("Deep link 6 works"))
+    assert(EpubCodec.chapters(DocxFixtures.docDocx(0)).isEmpty,
+      "no container.xml -> not an epub")
+    assert(EpubCodec.chapters(DocxFixtures.corruptDocx(1)).isEmpty)
+    assert(EpubCodec.chapters(null).isEmpty)
+    val rnd = new scala.util.Random(202020L)
+    val bases = Seq(DocxFixtures.docEpub(0), DocxFixtures.docEpub(3),
+      DocxFixtures.docEpub(6))
+    for (_ <- 0 until 300) {
+      val base = bases(rnd.nextInt(bases.length))
+      val mutated = rnd.nextInt(2) match {
+        case 0 => java.util.Arrays.copyOf(base, rnd.nextInt(base.length + 1))
+        case _ =>
+          val c = base.clone()
+          c(rnd.nextInt(c.length)) = (c(rnd.nextInt(c.length)) ^ 0x22).toByte
+          c
+      }
+      EpubCodec.chapters(mutated) // contract: never throw, never hang
+    }
+  }
+
   test("deterministic: same id, same archive bytes, same output") {
     val b = DocxFixtures.docDocx(9)
     assert(java.util.Arrays.equals(b, DocxFixtures.docDocx(9)))

@@ -26,11 +26,10 @@ class RowsOnlyQueriesSpec extends SparkSpec {
       "engine_ingest_e2e", "engine_snapshot_read", "engine_stream_enrich",
       "text_compression_gate",
       "text_vocab_approx", "engine_snapshot_diff",
-      "text_classifier_train", "engine_stream_validate",
+      "text_classifier_train",
       "engine_jsonl_quarantine", "engine_stream_drift",
       "engine_stream_corpus", "text_score_percentiles_approx",
-      "text_heavyhitters_sketch", "engine_stream_media",
-      "engine_stream_prefix"),
+      "text_heavyhitters_sketch", "engine_stream_media"),
       "a new rows-only query was registered without a pin in this spec")
   }
 
@@ -51,6 +50,9 @@ class RowsOnlyQueriesSpec extends SparkSpec {
     assert(a * 10 >= e * 5, s"anchored mass $a should stay a usable fraction of exact $e")
   }
 
+  // engine_stream_prefix graduated to a full DuckDB oracle in round 16
+  // (survivor sets are exact generator arithmetic); recompute pin
+  // stays as fast-fail, the house precedent.
   test("engine_stream_prefix: the arithmetic fixture's exact survivor sets") {
     val df = run("engine_stream_prefix")
     assert(df.columns.toSeq == Seq("batch", "n_survivors", "survivor_id_sum"))
@@ -290,6 +292,9 @@ class RowsOnlyQueriesSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  // engine_stream_validate graduated to a DATA-driven DuckDB oracle in
+  // round 16 (violation counts recomputed from the documents table
+  // itself); recompute pin stays as fast-fail, the house precedent.
   test("engine_stream_validate: two batches x four checks, cumulative = sum of batches") {
     val df = run("engine_stream_validate")
     assert(df.columns.toSeq == Seq("batch_id", "check_name", "tbl", "n_rows",

@@ -93,7 +93,17 @@ object EngineQueries {
     // make the pinning visible to the driver: batch 0 (pinned before the
     // commit) resolves only phase-1 refs, batch 1 resolves the rest.
     // rows-only: engine tables + streaming, no SQL oracle.
-    QueryDef.rowsOnly("engine_stream_enrich") {
+    QueryDef.sql(
+      "engine_stream_enrich",
+      // ORACLED since round 16: the four counts are exact fixture
+      // arithmetic whose WHOLE point is snapshot isolation — batch 0
+      // references rounds {0,2,5,7} while rounds 4-7 commit MID-batch,
+      // so exactly {0,2} enrich (a broken snapshot would read 4
+      // enriched and hash-mismatch here); the re-sent refs {5,7}
+      // enrich in batch 1 against the next snapshot.
+      """SELECT CAST(0 AS BIGINT) AS batch_id, CAST(4 AS BIGINT) AS n_refs,
+        |  CAST(2 AS BIGINT) AS n_enriched, CAST(2 AS BIGINT) AS hi_round
+        |UNION ALL SELECT 1, 2, 2, 7 ORDER BY batch_id""".stripMargin) {
       (s, _) =>
         import s.implicits._
         implicit val sqlCtx = s.sqlContext
@@ -769,7 +779,18 @@ object EngineQueries {
     //    TextSources — every line accounted for (good + corrupt = total),
     //    ids and languages surviving the round-trip intact. rows-only:
     //    the fixture file is the engine's own. ──
-    QueryDef.rowsOnly("engine_jsonl_quarantine") {
+    QueryDef.sql(
+      "engine_jsonl_quarantine",
+      // ORACLED since round 16, DATA-driven: every well-formed line
+      // round-trips (to_json escapes embedded newlines/quotes, the
+      // quarantine reader recovers the row), so the good-side counts
+      // recompute from the documents table itself and the corrupt side
+      // is exactly the three injected non-JSON lines.
+      """SELECT CAST(count(*) AS BIGINT) AS n_good,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(3 AS BIGINT) AS n_corrupt
+        |FROM documents WHERE doc_id < 100""".stripMargin) {
       (s, d) =>
         import s.implicits._
         val docs = graft.Tables.documents(s, d).filter(col("doc_id") < 100)

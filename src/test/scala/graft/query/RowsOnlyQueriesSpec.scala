@@ -23,11 +23,11 @@ class RowsOnlyQueriesSpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet -- oracled
     assert(rowsOnly == Set(
       "corpus_length_percentiles_approx",
-      "engine_ingest_e2e", "engine_snapshot_read", "engine_stream_enrich",
+      "engine_ingest_e2e", "engine_snapshot_read",
       "text_compression_gate",
       "text_vocab_approx", "engine_snapshot_diff",
       "text_classifier_train",
-      "engine_jsonl_quarantine", "engine_stream_drift",
+      "engine_stream_drift",
       "engine_stream_corpus", "text_score_percentiles_approx",
       "text_heavyhitters_sketch", "engine_stream_media"),
       "a new rows-only query was registered without a pin in this spec")
@@ -307,6 +307,10 @@ class RowsOnlyQueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(7) >= r.getLong(4) || r.getLong(0) == 0L))
   }
 
+  // engine_jsonl_quarantine and engine_stream_enrich graduated to
+  // DuckDB oracles in round 16 (the quarantine side is DATA-driven;
+  // the enrich side's constants ARE the snapshot-isolation proof);
+  // recompute pins stay as fast-fail, the house precedent.
   test("engine_jsonl_quarantine: every line accounted for, ids and langs intact") {
     val df = run("engine_jsonl_quarantine")
     assert(df.columns.toSeq == Seq("n_good", "sum_ids", "n_langs", "n_corrupt"))

@@ -404,6 +404,17 @@ object StreamingCrawl {
                            ledgerDir: String, batchId: Long,
                            gate: Boolean): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
+    // short-circuit: a crawl that never saw a 301 has no alias ledger,
+    // and the probe below costs two small Spark jobs per frontier call
+    // — an existence check (real batch= partitions or a committed
+    // pointer, the compact() discrimination) keeps the common
+    // no-permanent-redirects batch at zero overhead
+    val dir = new org.apache.hadoop.fs.Path(s"$ledgerDir/aliases")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasAliases = (fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch="))) ||
+      BatchLedger.pointer(ledgerDir, AliasesPointerKey).isDefined
+    if (!hasAliases) return (urls, Seq.empty)
     val aliases = BatchLedger.read(spark, ledgerDir, "aliases", AliasesPointerKey,
       belowBatch = Some(batchId + 1),
       empty = Seq.empty[(String, String, Long)].toDF("alias", "target", "as_of"))

@@ -88,16 +88,18 @@ object DocxCodec {
   }
 
   /** First `<tag>`/`<tag attr…>` leaf value in `xml`, unescaped —
-    * enough for the Dublin Core sidecar fields (they never repeat). */
-  private def firstTagValue(xml: String, tag: String): Option[String] = {
+    * enough for the Dublin Core sidecar fields (they never repeat).
+    * Shared by the DOCX/PPTX/XLSX/EPUB sidecar reads so the SAME
+    * core.xml yields the same metadata through every face. */
+  private[codec] def firstTagValue(xml: String, tag: String): Option[String] = {
     var from = 0
     while (from < xml.length) {
       val at = xml.indexOf("<" + tag, from)
       if (at < 0) return None
       val afterName = at + 1 + tag.length
       if (afterName < xml.length &&
-        (xml.charAt(afterName) == '>' || xml.charAt(afterName) == ' ' ||
-          xml.charAt(afterName) == '\t' || xml.charAt(afterName) == '/')) {
+        (xml.charAt(afterName) == '>' || xml.charAt(afterName) == '/' ||
+          Character.isWhitespace(xml.charAt(afterName)))) {
         val close = xml.indexOf('>', afterName)
         if (close < 0) return None
         if (xml.charAt(close - 1) == '/') return Some("") // self-closing
@@ -132,9 +134,12 @@ object DocxCodec {
       else {
         val afterP = pAt + pOpen.length
         // must be <ns:p> or <ns:p attr…> — not <w:pPr>, <w:proofErr>…
+        // (any whitespace delimits: pretty-printers emit newline- and
+        // tab-separated attributes, and skipping the paragraph would
+        // be silent content loss under an 'ok' verdict)
         val d = if (afterP < n) xml.charAt(afterP) else ' '
-        if (d != '>' && d != ' ' && d != '/') i = afterP
-        else if (d == '/' || (d == ' ' && {
+        if (d != '>' && d != '/' && !Character.isWhitespace(d)) i = afterP
+        else if (d == '/' || (Character.isWhitespace(d) && {
           val gt = xml.indexOf('>', afterP); gt > 0 && xml.charAt(gt - 1) == '/'
         })) {
           // self-closing paragraph: an empty line
@@ -151,7 +156,9 @@ object DocxCodec {
             val lt = xml.indexOf('<', j)
             if (lt < 0 || lt >= pEnd) j = pEnd
             else if (xml.startsWith(tOpen, lt) && lt + tOpen.length < n &&
-              (xml.charAt(lt + tOpen.length) == '>' || xml.charAt(lt + tOpen.length) == ' ')) {
+              (xml.charAt(lt + tOpen.length) == '>' ||
+                Character.isWhitespace(xml.charAt(lt + tOpen.length)) ||
+                xml.charAt(lt + tOpen.length) == '/')) {
               val gt = xml.indexOf('>', lt)
               if (gt < 0 || gt >= pEnd) j = pEnd
               else if (xml.charAt(gt - 1) == '/') j = gt + 1 // empty <ns:t/>
@@ -166,12 +173,14 @@ object DocxCodec {
                   j = end + tClose.length
                 }
               }
-            } else if (xml.startsWith(tabOpen, lt) &&
-              (xml.startsWith(tabOpen + "/>", lt) || xml.startsWith(tabOpen + " ", lt))) {
+            } else if (xml.startsWith(tabOpen, lt) && lt + tabOpen.length < n &&
+              (xml.charAt(lt + tabOpen.length) == '/' ||
+                Character.isWhitespace(xml.charAt(lt + tabOpen.length)))) {
               sb.append('\t'); total += 1
               val gt = xml.indexOf('>', lt); j = if (gt < 0) pEnd else gt + 1
-            } else if (xml.startsWith(brOpen, lt) &&
-              (xml.startsWith(brOpen + "/>", lt) || xml.startsWith(brOpen + " ", lt))) {
+            } else if (xml.startsWith(brOpen, lt) && lt + brOpen.length < n &&
+              (xml.charAt(lt + brOpen.length) == '/' ||
+                Character.isWhitespace(xml.charAt(lt + brOpen.length)))) {
               sb.append('\n'); total += 1
               val gt = xml.indexOf('>', lt); j = if (gt < 0) pEnd else gt + 1
             } else {
@@ -205,7 +214,10 @@ object DocxCodec {
     def text: String = slides.map(_.mkString("\n")).mkString("\n")
   }
 
-  private val SlideName = "^ppt/slides/slide([0-9]+)\\.xml$".r
+  // {1,9}: a member number that cannot fit an Int SKIPS that member
+  // (partial recovery) instead of throwing through toInt and rejecting
+  // the whole otherwise-readable document
+  private val SlideName = "^ppt/slides/slide([0-9]{1,9})\\.xml$".r
 
   /** PPTX (PresentationML) text extraction — the third office face on
     * the same substrates: slides are `ppt/slides/slide<N>.xml` members

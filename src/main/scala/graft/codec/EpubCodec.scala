@@ -101,11 +101,10 @@ object EpubCodec {
       } yield (path, xhtml)
     }
     if (chs.isEmpty) return None
-    def dc(tag: String): Option[String] = {
-      val m = ("(?is)<" + tag + "[^>]*>([\\s\\S]*?)</" + tag + ">").r
-        .findFirstMatchIn(opf)
-      m.map(x => DocxCodec.unescapeXml(x.group(1)).trim).filter(_.nonEmpty)
-    }
+    // the shared sidecar parser (attribute-tolerant), trimmed — OPF
+    // metadata is routinely pretty-printed
+    def dc(tag: String): Option[String] =
+      DocxCodec.firstTagValue(opf, tag).map(_.trim).filter(_.nonEmpty)
     Some(EpubDoc(chs.length, chs, dc("dc:title"), dc("dc:creator")))
   }
 }

@@ -836,21 +836,35 @@ object PdfCodec {
       }
       if (trailer.isEmpty) {
         // recover trailer dicts from `trailer` keywords — later in the
-        // file = newer incremental update, so later keys win. This is
-        // what carries /Encrypt (and /Info) through the scan path: an
-        // encrypted PDF with a rotten xref must still classify as
-        // encrypted, not parse-ok-with-undecodable-streams.
-        var ti = 0
+        // file = newer incremental update, so the scan walks BACKWARD
+        // from the end and earlier-processed (= newer) keys win (the
+        // loadXrefSection convention). Newest-first also makes the
+        // 64-occurrence cap safe: real trailers live at the file end,
+        // so a long update history (or the word `trailer` inside
+        // uncompressed content bytes) can never starve the
+        // authoritative newest dict the way a capped forward scan
+        // could. This is what carries /Encrypt (and /Info) through
+        // the scan path: an encrypted PDF with a rotten xref must
+        // still classify as encrypted, not
+        // parse-ok-with-undecodable-streams.
+        // ... and it STOPS at the first dict that parses: the newest
+        // trailer is authoritative, and merging older (or worse,
+        // content-byte) dicts underneath it would let a stray
+        // `trailer << /Encrypt … >>` inside an uncompressed stream
+        // inject keys the real trailer never carried. /Root recovery
+        // for trailer-less files stays with the catalog fallback
+        // below.
+        var ti = b.length - 7
         var scans = 0
-        while (ti + 7 <= b.length && scans < 64) {
+        while (ti >= 0 && scans < 64 && trailer.isEmpty) {
           if (b(ti) == 't' && new String(b, ti, 7, StandardCharsets.ISO_8859_1) == "trailer") {
             scans += 1
             new Lexer(b, ti + 7).obj(0) match {
-              case Some(d: PDict) => trailer = trailer ++ d.m
+              case Some(d: PDict) => trailer = d.m
               case _ =>
             }
-            ti += 7
-          } else ti += 1
+          }
+          ti -= 1
         }
       }
       if (!trailer.contains("Root")) {

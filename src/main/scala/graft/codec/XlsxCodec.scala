@@ -45,7 +45,8 @@ object XlsxCodec {
   private val MaxStrings = 1000000
   private val MaxCells = 4000000
 
-  private val SheetName = "^xl/worksheets/sheet([0-9]+)\\.xml$".r
+  private val SheetName = "^xl/worksheets/sheet([0-9]{1,9})\\.xml$".r
+  private val CellTypeRe = """(?s)\st="([^"]*)"""".r
 
   /** All `<t>` leaf values inside `xml[from, to)`, concatenated and
     * unescaped — the body shared by `<si>` and `<is>` blocks. */
@@ -57,7 +58,7 @@ object XlsxCodec {
       if (lt < 0 || lt >= to) i = to
       else {
         val d = if (lt + 2 < xml.length) xml.charAt(lt + 2) else ' '
-        if (d != '>' && d != ' ' && d != '/') i = lt + 2
+        if (d != '>' && d != '/' && !Character.isWhitespace(d)) i = lt + 2
         else {
           val gt = xml.indexOf('>', lt)
           if (gt < 0 || gt >= to) i = to
@@ -76,24 +77,38 @@ object XlsxCodec {
     sb.toString
   }
 
-  /** The shared-strings table in index order: one entry per `<si>`. */
+  /** The shared-strings table in index order: one entry per `<si>` —
+    * including SELF-CLOSING `<si/>` (an empty string entry some
+    * writers emit): missing it would silently shift every subsequent
+    * index onto the wrong text, the worst failure a lookup table
+    * has. Tag-name delimiting accepts any whitespace, not just the
+    * plain space. */
   private[codec] def sharedStrings(xml: String): Vector[String] = {
     val out = Vector.newBuilder[String]
     var n = 0
     var i = 0
     while (i < xml.length && n < MaxStrings) {
-      val si = xml.indexOf("<si>", i)
-      val siAttr = xml.indexOf("<si ", i)
-      val at = if (si < 0) siAttr else if (siAttr < 0) si else math.min(si, siAttr)
+      val at = xml.indexOf("<si", i)
       if (at < 0) i = xml.length
       else {
-        val gt = xml.indexOf('>', at)
-        val end = xml.indexOf("</si>", at)
-        if (gt < 0 || end < 0) i = xml.length
+        val d = if (at + 3 < xml.length) xml.charAt(at + 3) else ' '
+        if (d != '>' && d != '/' && !Character.isWhitespace(d)) i = at + 3
         else {
-          out += tLeaves(xml, gt + 1, end)
-          n += 1
-          i = end + 5
+          val gt = xml.indexOf('>', at)
+          if (gt < 0) i = xml.length
+          else if (xml.charAt(gt - 1) == '/') { // <si/> — an EMPTY entry
+            out += ""
+            n += 1
+            i = gt + 1
+          } else {
+            val end = xml.indexOf("</si>", gt)
+            if (end < 0) i = xml.length
+            else {
+              out += tLeaves(xml, gt + 1, end)
+              n += 1
+              i = end + 5
+            }
+          }
         }
       }
     }
@@ -110,7 +125,7 @@ object XlsxCodec {
       if (rAt < 0) i = xml.length
       else {
         val d = if (rAt + 4 < xml.length) xml.charAt(rAt + 4) else ' '
-        if (d != '>' && d != ' ' && d != '/') i = rAt + 4
+        if (d != '>' && d != '/' && !Character.isWhitespace(d)) i = rAt + 4
         else {
           val gt = xml.indexOf('>', rAt)
           if (gt < 0) i = xml.length
@@ -125,19 +140,16 @@ object XlsxCodec {
               if (cAt < 0 || cAt >= rEnd) j = rEnd
               else {
                 val cd = if (cAt + 2 < xml.length) xml.charAt(cAt + 2) else ' '
-                if (cd != '>' && cd != ' ' && cd != '/') j = cAt + 2
+                if (cd != '>' && cd != '/' && !Character.isWhitespace(cd)) j = cAt + 2
                 else {
                   val cgt = xml.indexOf('>', cAt)
                   if (cgt < 0 || cgt >= rEnd) j = rEnd
                   else {
                     val attrs = xml.substring(cAt, cgt)
-                    val tIdx = attrs.indexOf(" t=\"")
-                    val kind =
-                      if (tIdx < 0) ""
-                      else {
-                        val q = attrs.indexOf('"', tIdx + 4)
-                        if (q < 0) "" else attrs.substring(tIdx + 4, q)
-                      }
+                    // \s-delimited, not space-delimited: writers emit
+                    // tab/newline-separated attributes
+                    val kind = CellTypeRe.findFirstMatchIn(attrs)
+                      .map(_.group(1)).getOrElse("")
                     if (xml.charAt(cgt - 1) == '/') { // empty <c/>
                       cellsB += ""
                       cells += 1
@@ -207,10 +219,10 @@ object XlsxCodec {
       case (name, payload) if name == "docProps/core.xml" && payload.length <= MaxXml =>
         new String(payload, StandardCharsets.UTF_8)
     }
-    def first(tag: String) = core.flatMap { c =>
-      val m = ("<" + tag + ">([\\s\\S]*?)</" + tag + ">").r.findFirstMatchIn(c)
-      m.map(x => DocxCodec.unescapeXml(x.group(1))).filter(_.nonEmpty)
-    }
+    // the shared sidecar parser: the same core.xml must yield the same
+    // metadata through every OPC face
+    def first(tag: String) =
+      core.flatMap(DocxCodec.firstTagValue(_, tag)).filter(_.nonEmpty)
     Some(XlsxDoc(parsed.length, parsed.map(_.length).sum,
       parsed.map(_.map(_.length).sum).sum, parsed,
       first("dc:title"), first("dc:creator")))

@@ -1728,10 +1728,13 @@ object TextOps {
     *     tokens (most-restrictive wins, the standard reading);
     *   - header lines (multiple `X-Robots-Tag` instances arrive
     *     newline-joined) apply when UNPREFIXED or prefixed with
-    *     `<agent>:`; an alien `otherbot:` prefix drops the line. (A
-    *     colon-bearing directive like `unavailable_after: <date>`
-    *     reads as an alien prefix and drops — it is not a supported
-    *     token anyway, and dropping beats mis-applying.)
+    *     `<agent>:`; an alien `otherbot:` prefix drops the line. A
+    *     leading colon-PARAMETERIZED directive (`max-snippet: 20,
+    *     noindex` / `unavailable_after: <date>, noindex`) is NOT an
+    *     agent prefix — the token before the colon is checked against
+    *     the known directive names first, so directives sharing such
+    *     a line still apply (dropping them would invert the
+    *     most-restrictive-wins union);
     *   - header and meta verdicts UNION (a page is noindex if EITHER
     *     channel says so);
     *   - tokens split on commas, trim, lowercase; `none` =
@@ -1757,11 +1760,19 @@ object TextOps {
     val genericMeta = metaTokens("robots")
     val meta = when(size(agentMeta) > 0, agentMeta).otherwise(genericMeta)
     val linePat = "^\\s*([A-Za-z0-9_.-]+)\\s*:(.*)$"
+    // REP directive names that legally take a colon parameter or could
+    // lead a line: a prefix matching one of these is a DIRECTIVE, not
+    // an agent name
+    val knownDirectives = Seq("noindex", "nofollow", "none", "all", "index",
+      "follow", "noarchive", "nosnippet", "notranslate", "noimageindex",
+      "max-snippet", "max-image-preview", "max-video-preview",
+      "unavailable_after")
     val hdrLines = split(coalesce(xRobotsTag, lit("")), "\n")
     val applicable = transform(hdrLines, l => {
-      val pref = regexp_extract(l, linePat, 1)
+      val pref = lower(regexp_extract(l, linePat, 1))
       val rest = regexp_extract(l, linePat, 2)
-      when(lower(pref) === lit(agentLc), rest)
+      when(pref.isin(knownDirectives: _*), l) // directive, not a prefix
+        .when(pref === lit(agentLc), rest)
         .when(pref === "", l)
         .otherwise(lit(""))
     })

@@ -248,6 +248,30 @@ class DocxCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("xlsx: self-closing <si/> keeps the shared-string index aligned") {
+    // an empty <si/> entry between two real ones: missing it would
+    // shift every later index onto the wrong text — the worst failure
+    // a lookup table has (wrong VALUES under an ok verdict)
+    assert(XlsxCodec.sharedStrings(
+      "<sst><si><t>alpha</t></si><si/><si><t>beta</t></si></sst>") ==
+      Vector("alpha", "", "beta"))
+    assert(XlsxCodec.sharedStrings(
+      "<sst><si x=\"1\"/><si><t>only</t></si></sst>") == Vector("", "only"))
+  }
+
+  test("whitespace-delimited attributes: pretty-printed OOXML keeps its content") {
+    // newline/tab-separated attributes (pretty-printers, some writers):
+    // a space-only delimiter check silently drops the paragraph
+    val d = DocxCodec.bodyParagraphs(
+      "<w:p\n  w:rsidR=\"0\">" +
+        "<w:r><w:t\txml:space=\"preserve\">kept text</w:t></w:r></w:p>")
+    assert(d == Vector("kept text"), s"got $d")
+    val rows = XlsxCodec.sheetRows(
+      "<sheetData><row\n r=\"1\"><c\n\tr=\"A1\"\n\tt=\"s\"><v>0</v></c></row></sheetData>",
+      Vector("resolved"))
+    assert(rows == Vector(Vector("resolved")), s"got $rows")
+  }
+
   test("deterministic: same id, same archive bytes, same output") {
     val b = DocxFixtures.docDocx(9)
     assert(java.util.Arrays.equals(b, DocxFixtures.docDocx(9)))

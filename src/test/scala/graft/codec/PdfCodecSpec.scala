@@ -181,6 +181,25 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(PdfCodec.extract(PdfFixtures.docPdf(0)).exists(!_.encrypted))
   }
 
+  test("scan-fallback trailer recovery is newest-first and content-byte-proof") {
+    // a stray `trailer << /Encrypt … >>` inside an UNCOMPRESSED content
+    // stream must not classify the document encrypted: the backward
+    // scan stops at the newest trailer that parses (the real one at
+    // EOF), never merging content bytes underneath it
+    val good = PdfFixtures.pdf(Seq(PdfFixtures.Page(
+      "BT /F1 9 Tf 40 700 Td (trailer << /Encrypt 5 0 R >> decoy) Tj ET")),
+      compress = false)
+    val s = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val sx = s.lastIndexOf("startxref")
+    val broken = (s.substring(0, sx) + "startxref\n0\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val d = PdfCodec.extract(broken)
+    assert(d.exists(!_.encrypted),
+      "a decoy trailer in content bytes must not read as /Encrypt")
+    assert(d.exists(_.text.contains("decoy")),
+      "the scan fallback still recovers the page text")
+  }
+
   test("LZWDecode: MSB-first EarlyChange=1 default and EarlyChange=0 via DecodeParms") {
     assert(PdfCodec.extract(PdfFixtures.lzwPdf(7)).map(_.text)
       .contains("LZW packed stream 7"))

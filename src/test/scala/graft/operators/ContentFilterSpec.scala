@@ -212,4 +212,23 @@ class ContentFilterSpec extends SparkSpec {
       .select(TextOps.mainContent(col("html")).as("m")).as[String].head()
     assert(got == "Only this visible paragraph survives into the article text.")
   }
+
+  test("pageRobots: a colon-parameterized directive is not an agent prefix") {
+    import spark.implicits._
+    def verdict(html: String, hdr: String): (Boolean, Boolean) =
+      Seq((html, hdr)).toDF("html", "hdr")
+        .select(TextOps.pageRobots(col("html"), col("hdr"), "graftbot").as("v"))
+        .select(col("v.noindex"), col("v.nofollow"))
+        .as[(Boolean, Boolean)].head()
+    // the trap: a line-leading parameterized directive would read as an
+    // alien agent prefix and drop the CO-LOCATED noindex with it —
+    // inverting most-restrictive-wins
+    assert(verdict("<html></html>", "max-snippet: 20, noindex") == ((true, false)))
+    assert(verdict("<html></html>",
+      "unavailable_after: 25 Jun 2026 15:00:00 PST, nofollow") == ((false, true)))
+    // a genuinely alien agent prefix still drops its whole line
+    assert(verdict("<html></html>", "otherbot: noindex, nofollow") == ((false, false)))
+    // ... and our own prefix still applies
+    assert(verdict("<html></html>", "graftbot: none") == ((true, true)))
+  }
 }

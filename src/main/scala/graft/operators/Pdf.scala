@@ -90,15 +90,17 @@ object Pdf {
     * preamble), 'docx' on the ZIP local-header magic (`PK`)
     * with the OPC `[Content_Types].xml` token in the sniff window (the
     * first member of every real OOXML writer's archive), 'zip' on the
-    * magic alone (some other archive), 'html' on an angle-bracket
-    * start, 'other' otherwise — codegen-friendly (pure Column ops, no
-    * UDF). */
+    * magic alone (some other archive), 'rtf' on the `{\rtf` opener
+    * (RTF is plain bytes — the magic IS text), 'html' on an
+    * angle-bracket start, 'other' otherwise — codegen-friendly (pure
+    * Column ops, no UDF). */
   def sniffKind(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val head = substring(blob, 1, 1024).cast("string")
     val pkMagic = substring(blob, 1, 4) === lit(Array[Byte]('P', 'K', 3, 4))
     when(head.contains("%PDF-"), "pdf")
       .when(pkMagic && head.contains("[Content_Types].xml"), "docx")
       .when(pkMagic, "zip")
+      .when(head.startsWith("{\\rtf"), "rtf")
       .when(ltrim(head).startsWith("<"), "html")
       .otherwise("other")
   }

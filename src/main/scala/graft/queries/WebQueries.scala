@@ -2944,6 +2944,57 @@ object WebQueries {
           .orderBy("doc_id", "idx")
     },
 
+    // ── RTF TEXT EXTRACTION — the legacy word-processor face:
+    //    [[graft.codec.RtfCodec]] is a from-scratch tokenizer over the
+    //    public RTF grammar (groups, control words, destinations, hex
+    //    and unicode escapes with fallback skip, the {\info} sidecar).
+    //    The fixture ([[graft.codec.RtfFixtures.docRtf]]) wraps
+    //    seed-arithmetic text in three wire shapes — font table +
+    //    formatting chain; two paragraphs with \tab, a cp1252 hex
+    //    escape and a unicode-with-fallback; starred-destination noise
+    //    with a word split across a formatting group and an \emdash —
+    //    so the oracle replays the expected text blind to the RTF
+    //    wrapping: escapes and destination skipping cancel exactly iff
+    //    the tokenizer is right. Variant keys on (id/3)%3, coprime
+    //    with the mixed funnel's router. Scale: per-row CPU on
+    //    mapPartitions riding the scan (the adjudicated heavy-decoder
+    //    shape), no shuffle. ──
+    QueryDef.sql(
+      "web_rtf_extract",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN (doc_id // 3) % 3 = 1 THEN 2 ELSE 1 END AS INT) AS n_paras,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Rtf Props ' || doc_id
+        |    WHEN 2 THEN 'Split Rtf ' || doc_id
+        |  END AS title,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Writer ' || (doc_id % 7)
+        |    WHEN 2 THEN 'Runs Writer'
+        |  END AS author
+        |FROM (SELECT doc_id,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Rtf body ' || doc_id || ' alpha'
+        |    WHEN 1 THEN 'Para one ' || doc_id || chr(10) || 'Tab' ||
+        |      chr(9) || 'caf' || chr(233) || ' plus ' || chr(8364) || 'done'
+        |    ELSE 'Split' || doc_id || ' joined' || chr(8212) || 'end'
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.RtfFixtures.docRtf(id))))
+          .toDF("doc_id", "payload")
+        graft.operators.Rtf.extractText(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("n_paras"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"),
+            col("title"), col("author"))
+          .orderBy("doc_id")
+    },
+
     // ── OFFICE-FORMAT FUNNEL — the full document router across all
     //    six payload classes one corpus stream carries: pdf, html,
     //    docx, pptx, xlsx, and a PK-magic stub with no walkable

@@ -100,6 +100,9 @@ object Pdf {
     when(head.contains("%PDF-"), "pdf")
       .when(pkMagic && head.contains("[Content_Types].xml"), "docx")
       .when(pkMagic, "zip")
+      .when(substring(blob, 1, 8) === lit(Array[Byte](0xD0.toByte, 0xCF.toByte,
+        0x11.toByte, 0xE0.toByte, 0xA1.toByte, 0xB1.toByte, 0x1A.toByte,
+        0xE1.toByte)), "ole2")
       .when(head.startsWith("{\\rtf"), "rtf")
       .when(ltrim(head).startsWith("<"), "html")
       .otherwise("other")

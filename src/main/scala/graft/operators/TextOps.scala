@@ -1439,6 +1439,24 @@ object TextOps {
         org.apache.spark.sql.graftbridge.Bridge.expression(base),
         org.apache.spark.sql.graftbridge.Bridge.expression(ref)))
 
+  /** Internationalized hostname → ASCII-compatible (DNS wire) form:
+    * per-label RFC 3492 Punycode under `xn--`, lowercased, pre-encoded
+    * labels passing through — so the raw-UTF-8 and pre-encoded
+    * spellings of one IDN host converge on ONE ledger key (the
+    * [[graft.expressions.HostIdnEncode]] pinned semantics; null on
+    * structural failure). Codegen'd expression, rides the scan. */
+  def hostIdnEncode(host: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.HostIdnEncode(
+        org.apache.spark.sql.graftbridge.Bridge.expression(host)))
+
+  /** Display-form twin of [[hostIdnEncode]]: `xn--` labels decode back
+    * to Unicode; null when a label fails to decode. */
+  def hostIdnDecode(host: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.HostIdnDecode(
+        org.apache.spark.sql.graftbridge.Bridge.expression(host)))
+
   /** SURT key (Sort-friendly URI Reordering Transform) — the sort order
     * crawl-archive lookup indexes (CDX) are keyed by: the host's labels
     * REVERSED and comma-joined, so every URL under one registrable
@@ -1785,6 +1803,103 @@ object TextOps {
         .as("noindex"),
       array_contains(toks, "nofollow").||(array_contains(toks, "none"))
         .as("nofollow"))
+  }
+
+  /** HTML meta-refresh redirect — the third redirect channel beside
+    * the 3xx `Location:` header and `<link rel=canonical>`: real
+    * pages ship `<meta http-equiv="refresh" content="0; url=/next">`
+    * and a crawler that ignores it keeps indexing the husk. Returns
+    * `struct(has_refresh, delay_s, target)` under pinned semantics:
+    *
+    *   - the tag is matched case-insensitively in BOTH attribute
+    *     orders (the [[htmlMeta]] two-step doctrine), double-quoted
+    *     attributes only;
+    *   - `content` = `N [; url=TARGET]`: the leading integer is the
+    *     delay (null when absent/malformed — real pages write junk),
+    *     `url=` is case-insensitive with optional whitespace, the
+    *     target may be wrapped in single or double quotes (both
+    *     tolerated, stripped);
+    *   - the target resolves against the page URL through
+    *     [[urlResolve]] (relative targets are the common case);
+    *     a delay-only refresh (`content="300"` self-reload) has
+    *     has_refresh = true and null target — it is a reload hint,
+    *     not a redirect;
+    *   - callers treating refresh as a redirect edge should gate on
+    *     a small delay (the crawl convention: instant-refresh pages
+    *     are redirects, long timers are content) — the struct carries
+    *     the delay so the policy stays caller-side.
+    *
+    * Pure per-row Column expressions, no UDF, rides the scan. */
+  def metaRefresh(html: Column, pageUrl: Column): Column = {
+    val tag = regexp_extract(html,
+      "(?is)<meta[^>]*\\shttp-equiv=\"refresh\"[^>]*>", 0)
+    val content = regexp_extract(tag, "(?is)\\scontent=\"([^\"]*)\"", 1)
+    val delay = when(content.rlike("^\\s*[0-9]"),
+      regexp_extract(content, "^\\s*([0-9]+)", 1).cast("int"))
+    val rawTarget = trim(regexp_extract(content,
+      "(?is)^[^;]*;\\s*url\\s*=\\s*(.*)$", 1))
+    val unquoted = regexp_replace(rawTarget, "^['\"]|['\"]$", "")
+    struct(
+      (tag =!= "").as("has_refresh"),
+      delay.as("delay_s"),
+      when(length(unquoted) > 0, urlResolve(pageUrl, unquoted)).as("target"))
+  }
+
+  /** Feed format of a fetched XML payload: `atom` (root `<feed`),
+    * `rss` (root `<rss` or a bare `<channel`), else `none`. The cheap
+    * router in front of [[feedEntries]]. */
+  def feedKind(xml: Column): Column =
+    when(xml.rlike("(?is)<feed[\\s>]"), "atom")
+      .when(xml.rlike("(?is)<rss[\\s>]|<channel[\\s>]"), "rss")
+      .otherwise("none")
+
+  /** RSS 2.0 / Atom entry extraction — feeds are the crawl's change
+    * notification channel (sitemaps declare, feeds announce): each
+    * entry yields `struct(title, url, published)` with the link
+    * RESOLVED against the feed URL ([[urlResolve]] — relative links
+    * are common in hand-rolled RSS). Pinned semantics:
+    *
+    *   - RSS items are `<item>…</item>` blocks: `<link>` leaf text,
+    *     `<title>` leaf, `<pubDate>` leaf;
+    *   - Atom entries are `<entry>…</entry>` blocks: the FIRST
+    *     `<link>` tag's `href` (real feeds list rel=alternate first;
+    *     both attribute orders via the [[htmlMeta]] two-step
+    *     doctrine), `<title>` leaf, `<updated>` leaf;
+    *   - `published` is returned as the RAW string — timestamp
+    *     parsing (RFC 822 vs ISO 8601 vs junk) is caller policy, and
+    *     a codec that guesses wrong silently corrupts recency
+    *     signals;
+    *   - an entry with no link yields a null url (never the feed URL
+    *     itself — [[urlResolve]]'s empty-ref-returns-base rule would
+    *     launder linkless entries into self-links).
+    *
+    * Pure per-row Column expressions, no UDF; one feed document in,
+    * one array out — callers explode. */
+  def feedEntries(xml: Column, feedUrl: Column): Column = {
+    def leaf(item: Column, tag: String): Column =
+      regexp_extract(item, s"(?is)<$tag[^>]*>(.*?)</$tag>", 1)
+    val items = regexp_extract_all(xml,
+      lit("(?is)<item[\\s>].*?</item>"), lit(0))
+    val entries = regexp_extract_all(xml,
+      lit("(?is)<entry[\\s>].*?</entry>"), lit(0))
+    val rssStructs = transform(items, it => struct(
+      leaf(it, "title").as("title"),
+      leaf(it, "link").as("link"),
+      leaf(it, "pubDate").as("published")))
+    val atomStructs = transform(entries, it => struct(
+      leaf(it, "title").as("title"),
+      regexp_extract(regexp_extract(it, "(?is)<link[^>]*>", 0),
+        "(?is)\\shref=\"([^\"]*)\"", 1).as("link"),
+      leaf(it, "updated").as("published")))
+    val kind = feedKind(xml)
+    val raw = when(kind === "atom", atomStructs)
+      .when(kind === "rss", rssStructs)
+      .otherwise(slice(rssStructs, 1, 0)) // typed empty array
+    transform(raw, e => struct(
+      e.getField("title").as("title"),
+      when(length(e.getField("link")) > 0,
+        urlResolve(feedUrl, e.getField("link"))).as("url"),
+      e.getField("published").as("published")))
   }
 
   /** Suffix-aware blocklist membership: `d` is blocked when it equals a

@@ -2995,31 +2995,83 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // ── LEGACY .DOC TEXT EXTRACTION — the Word-binary face:
+    //    [[graft.codec.CfbCodec]] parses the OLE2 compound container
+    //    from scratch (header/DIFAT/FAT/directory/miniFAT, both the
+    //    mini-stream and FAT read paths), and [[graft.codec.DocCodec]]
+    //    walks FIB → table-stream Clx → piece table, assembling
+    //    cp1252 and UTF-16LE pieces in CP order. The fixture
+    //    ([[graft.codec.DocFixtures.docDoc]]) exercises the mini path
+    //    with sidecar, the FAT path with a unicode piece, and
+    //    reversed-file-order pieces with a Prc to skip and field
+    //    markers to drop — the oracle replays the expected text blind
+    //    to container, FIB and piece indirection: it cancels exactly
+    //    iff the whole chain is right. Variant keys on (id/3)%3.
+    //    Scale: per-row CPU on mapPartitions riding the scan. ──
+    QueryDef.sql(
+      "web_doc_extract",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN (doc_id // 3) % 3 = 1 THEN 2 ELSE 1 END AS INT) AS n_paras,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Doc Props ' || doc_id
+        |    WHEN 2 THEN 'Split Doc ' || doc_id
+        |  END AS title,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Writer ' || (doc_id % 7)
+        |    WHEN 2 THEN 'Runs Writer'
+        |  END AS author
+        |FROM (SELECT doc_id,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Doc body ' || doc_id || ' alpha'
+        |    WHEN 1 THEN 'Para one ' || doc_id || chr(10) || 'Tab' ||
+        |      chr(9) || 'here ' || chr(8364) || ' done'
+        |    ELSE 'Split' || doc_id || ' joined'
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.DocFixtures.docDoc(id))))
+          .toDF("doc_id", "payload")
+        graft.operators.Doc.extractText(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("n_paras"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"),
+            col("title"), col("author"))
+          .orderBy("doc_id")
+    },
+
     // ── OFFICE-FORMAT FUNNEL — the full document router across all
-    //    six payload classes one corpus stream carries: pdf, html,
-    //    docx, pptx, xlsx, and a PK-magic stub with no walkable
-    //    central directory (a truncated download — must classify
-    //    `opc`/`corrupt`, never vanish). Routing is two-stage like a
-    //    real pipeline: magic bytes split pdf/html/PK, then the OPC
-    //    classifier reads the central directory's member NAMES (zero
-    //    payload decompression — real writers DEFLATE
-    //    [Content_Types].xml, so first-KB tokens cannot distinguish
-    //    the office faces). Every office variant cycles live under the
-    //    (id/3)%3 keying; the oracle replays the id%6 router and each
-    //    format's per-variant token arithmetic. ──
+    //    EIGHT payload classes one corpus stream carries: pdf, html,
+    //    docx, pptx, xlsx, a PK-magic stub with no walkable central
+    //    directory (a truncated download — must classify
+    //    `opc`/`corrupt`, never vanish), rtf, and legacy OLE2 .doc.
+    //    Routing is two-stage like a real pipeline: magic bytes split
+    //    pdf/html/PK/rtf/ole2, then the OPC classifier reads the
+    //    central directory's member NAMES (zero payload decompression
+    //    — real writers DEFLATE [Content_Types].xml, so first-KB
+    //    tokens cannot distinguish the office faces). Every format
+    //    variant cycles live under the (id/3)%3 keying; the oracle
+    //    replays the id%8 router and each format's per-variant token
+    //    arithmetic. ──
     QueryDef.sql(
       "web_office_funnel",
       """WITH t AS (SELECT doc_id,
-        |  CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
+        |  CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
         |    WHEN 2 THEN 'docx' WHEN 3 THEN 'pptx' WHEN 4 THEN 'xlsx'
-        |    ELSE 'opc' END AS kind,
-        |  CASE WHEN doc_id % 6 = 5 THEN 'corrupt' ELSE 'ok' END AS verdict,
-        |  CASE doc_id % 6
+        |    WHEN 5 THEN 'opc' WHEN 6 THEN 'rtf' ELSE 'doc' END AS kind,
+        |  CASE WHEN doc_id % 8 = 5 THEN 'corrupt' ELSE 'ok' END AS verdict,
+        |  CASE doc_id % 8
         |    WHEN 0 THEN 5
         |    WHEN 1 THEN 6
         |    WHEN 2 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 2 END
         |    WHEN 3 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 3 END
         |    WHEN 4 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 7 WHEN 1 THEN 7 ELSE 4 END
+        |    WHEN 6 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 2 END
+        |    WHEN 7 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 2 END
         |    ELSE 0 END AS toks
         |  FROM documents)
         |SELECT kind, verdict, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3032,14 +3084,16 @@ object WebQueries {
           .as[Long]
           .mapPartitions(_.map { id =>
             val fx = graft.codec.DocxFixtures
-            val blob = (id % 6) match {
+            val blob = (id % 8) match {
               case 0 => graft.codec.PdfFixtures.docPdf(id)
               case 1 => s"<html><body><p>Doc $id html body words here</p></body></html>"
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)
               case 2 => fx.docDocx(id)
               case 3 => fx.docPptx(id)
               case 4 => fx.docXlsx(id)
-              case _ => fx.corruptDocx(id)
+              case 5 => fx.corruptDocx(id)
+              case 6 => graft.codec.RtfFixtures.docRtf(id)
+              case _ => graft.codec.DocFixtures.docDoc(id)
             }
             (id, blob)
           })
@@ -3076,8 +3130,15 @@ object WebQueries {
           .filter(!col("kind").isin("docx", "pptx", "xlsx"))
           .select(col("doc_id"), lit("opc").as("kind"),
             lit("corrupt").as("verdict"), lit(null).cast("string").as("text"))
+        val rtfArm = graft.operators.Rtf.extractText(
+          routed.filter(col("k1") === "rtf"), "doc_id", "payload")
+          .select(col("doc_id"), lit("rtf").as("kind"), col("verdict"), col("text"))
+        val docArm = graft.operators.Doc.extractText(
+          routed.filter(col("k1") === "ole2"), "doc_id", "payload")
+          .select(col("doc_id"), lit("doc").as("kind"), col("verdict"), col("text"))
         pdfArm.unionByName(htmlArm).unionByName(docxArm)
           .unionByName(pptxArm).unionByName(xlsxArm).unionByName(corruptArm)
+          .unionByName(rtfArm).unionByName(docArm)
           .withColumn("toks",
             // split-then-drop-empties, NOT trim-then-split: Spark's
             // trim strips only spaces, and the xlsx face legitimately
@@ -3134,6 +3195,221 @@ object WebQueries {
           .select(col("doc_id"),
             col("_v").getField("noindex").as("noindex"),
             col("_v").getField("nofollow").as("nofollow"))
+          .orderBy("doc_id")
+    },
+
+    // ── META-REFRESH redirects — the third redirect channel beside
+    //    the 3xx Location header and rel=canonical:
+    //    [[TextOps.metaRefresh]] under its pinned semantics. Every
+    //    branch is live: v0 relative target resolved against the page
+    //    URL; v1 FLIPPED attribute order with an absolute target and
+    //    uppercase `URL=`; v2 delay-only self-reload (has_refresh but
+    //    NO redirect edge); v3 no refresh tag; v4 whitespace +
+    //    single-quoted target. `is_redirect` applies the crawl
+    //    convention (delay ≤ 5 and a target). The oracle replays the
+    //    delay/target table arithmetically — resolution included,
+    //    since the fixture URLs are seed arithmetic. ──
+    QueryDef.sql(
+      "web_meta_refresh",
+      """SELECT doc_id,
+        |  (doc_id % 5) <> 3 AS has_refresh,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 300
+        |    WHEN 4 THEN 1 END AS INT) AS delay_s,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'http://h' || (doc_id % 50) || '.example/r/' || doc_id
+        |    WHEN 1 THEN 'https://other.example/x' || doc_id
+        |    WHEN 4 THEN 'http://h' || (doc_id % 50) || '.example/q/' || doc_id
+        |  END AS target,
+        |  doc_id % 5 IN (0, 1, 4) AS is_redirect
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val idS = col("doc_id").cast("string")
+        val hostS = pmod(col("doc_id"), lit(50)).cast("string")
+        val pageUrl = concat(lit("http://h"), hostS, lit(".example/p/"), idS)
+        val html = when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("<html><head><meta http-equiv=\"refresh\" content=\"0; url=/r/"),
+            idS, lit("\"></head><body>a</body></html>")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("<html><head><meta content=\"3;URL=https://other.example/x"),
+              idS, lit("\" http-equiv=\"refresh\"></head><body>b</body></html>")))
+          .when(pmod(col("doc_id"), lit(5)) === 2,
+            lit("<html><head><meta http-equiv=\"refresh\" content=\"300\"></head><body>c</body></html>"))
+          .when(pmod(col("doc_id"), lit(5)) === 3,
+            lit("<html><head><title>plain</title></head><body>d</body></html>"))
+          .otherwise(
+            concat(lit("<html><head><meta http-equiv=\"refresh\" content=\"1; url = '/q/"),
+              idS, lit("'\"></head><body>e</body></html>")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.metaRefresh(html, pageUrl).as("_v"))
+          .select(col("doc_id"),
+            col("_v").getField("has_refresh").as("has_refresh"),
+            col("_v").getField("delay_s").as("delay_s"),
+            col("_v").getField("target").as("target"),
+            (col("_v").getField("has_refresh") &&
+              col("_v").getField("delay_s") <= 5 &&
+              col("_v").getField("target").isNotNull).as("is_redirect"))
+          .orderBy("doc_id")
+    },
+
+    // ── FEED DISCOVERY — RSS/Atom are the crawl's change-notification
+    //    channel: [[TextOps.feedEntries]] under its pinned semantics.
+    //    Every branch is live: RSS with RELATIVE links (resolution
+    //    against the feed URL) plus a LINKLESS item (null url — never
+    //    laundered into a self-link); Atom with rel-first and
+    //    href-first link attribute orders and one relative href. The
+    //    oracle replays the entry table arithmetically — titles,
+    //    resolved urls, raw published strings. ──
+    QueryDef.sql(
+      "web_feed_discover",
+      """WITH ks AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(k))
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+        |  CAST(k AS INT) AS entry_idx,
+        |  'Entry ' || doc_id || ' ' || k AS title,
+        |  CASE WHEN doc_id % 2 = 0 AND k = 3 THEN NULL
+        |    ELSE 'http://h' || (doc_id % 50) || '.example/a/' || doc_id ||
+        |      '/' || k END AS entry_url,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'Day ' || (k + 1)
+        |    ELSE '2026-08-0' || (k + 1) || 'T00:00:00Z' END AS published
+        |FROM documents, ks
+        |WHERE k <= CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END
+        |ORDER BY doc_id, entry_idx""".stripMargin) {
+      (s, d) =>
+        val idS = col("doc_id").cast("string")
+        val hostS = pmod(col("doc_id"), lit(50)).cast("string")
+        val base = concat(lit("http://h"), hostS, lit(".example"))
+        val feedUrl = concat(base, lit("/feed/"), idS)
+        def rssItem(k: Int) = concat(
+          lit("<item><title>Entry "), idS, lit(s" $k</title><link>/a/"),
+          idS, lit(s"/$k</link><pubDate>Day ${k + 1}</pubDate></item>"))
+        val rssXml = concat(
+          lit("<rss version=\"2.0\"><channel><title>C</title>"),
+          rssItem(0), rssItem(1), rssItem(2),
+          lit("<item><title>Entry "), idS,
+          lit(" 3</title><pubDate>Day 4</pubDate></item></channel></rss>"))
+        val atomXml = concat(
+          lit("<feed xmlns=\"http://www.w3.org/2005/Atom\">"),
+          lit("<entry><title>Entry "), idS,
+          lit(" 0</title><link rel=\"alternate\" href=\""), base,
+          lit("/a/"), idS,
+          lit("/0\"/><updated>2026-08-01T00:00:00Z</updated></entry>"),
+          lit("<entry><title>Entry "), idS,
+          lit(" 1</title><link href=\""), base, lit("/a/"), idS,
+          lit("/1\" rel=\"alternate\"/><updated>2026-08-02T00:00:00Z</updated></entry>"),
+          lit("<entry><title>Entry "), idS,
+          lit(" 2</title><link href=\"/a/"), idS,
+          lit("/2\"/><updated>2026-08-03T00:00:00Z</updated></entry></feed>"))
+        val xml = when(pmod(col("doc_id"), lit(2)) === 0, rssXml)
+          .otherwise(atomXml)
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.feedKind(xml).as("kind"),
+            TextOps.feedEntries(xml, feedUrl).as("_es"))
+          .select(col("doc_id"), col("kind"),
+            posexplode(col("_es")).as(Seq("entry_idx", "_e")))
+          .select(col("doc_id"), col("kind"), col("entry_idx"),
+            col("_e").getField("title").as("title"),
+            col("_e").getField("url").as("entry_url"),
+            col("_e").getField("published").as("published"))
+          .orderBy("doc_id", "entry_idx")
+    },
+
+    // ── IDN HOSTS — internationalized hostnames reach a crawl in TWO
+    //    spellings (raw UTF-8 in hrefs, pre-encoded xn-- in hrefs and
+    //    DNS) and both must converge on ONE ledger key:
+    //    [[TextOps.hostIdnEncode]] (from-scratch RFC 3492 Punycode,
+    //    codegen'd). The fixture alternates spellings by id%2 while
+    //    the label cycles by id%6 — the oracle's ACE constant depends
+    //    ONLY on id%6, which IS the convergence proof; the constants
+    //    themselves are independently pinned in IdnSpec against the
+    //    RFC 3492 §7.1 vectors and a second implementation.
+    //    `display_host` routes back through [[TextOps.hostIdnDecode]]
+    //    (decode is live in-query, not just in the spec). ──
+    QueryDef.sql(
+      "web_idn_hosts",
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'xn--bcher-kva.example'
+        |    WHEN 1 THEN 'xn--mnchen-3ya.example'
+        |    WHEN 2 THEN 'xn--r8jz45g.example'
+        |    WHEN 3 THEN 'xn--80akhbyknj4f.example'
+        |    WHEN 4 THEN 'xn--and-6ma2c.example'
+        |    ELSE 'plain.example' END AS ace_host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'bücher.example'
+        |    WHEN 1 THEN 'münchen.example'
+        |    WHEN 2 THEN '例え.example'
+        |    WHEN 3 THEN 'испытание.example'
+        |    WHEN 4 THEN 'ñandú.example'
+        |    ELSE 'plain.example' END AS display_host
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val k = pmod(col("doc_id"), lit(6))
+        val raw = when(k === 0, lit("bücher")).when(k === 1, lit("münchen"))
+          .when(k === 2, lit("例え")).when(k === 3, lit("испытание"))
+          .when(k === 4, lit("ñandú")).otherwise(lit("plain"))
+        val pre = when(k === 0, lit("xn--bcher-kva"))
+          .when(k === 1, lit("xn--mnchen-3ya"))
+          .when(k === 2, lit("xn--r8jz45g"))
+          .when(k === 3, lit("xn--80akhbyknj4f"))
+          .when(k === 4, lit("xn--and-6ma2c")).otherwise(lit("plain"))
+        val spelled = concat(
+          when(pmod(col("doc_id"), lit(2)) === 1, pre).otherwise(raw),
+          lit(".example"))
+        val ace = TextOps.hostIdnEncode(spelled)
+        Tables.documents(s, d)
+          .select(col("doc_id"), ace.as("ace_host"),
+            TextOps.hostIdnDecode(ace).as("display_host"))
+          .orderBy("doc_id")
+    },
+
+    // ── HTTP 206 RANGE REASSEMBLY — resumed downloads arrive as byte
+    //    slices that may be shuffled, torn, or double-fetched:
+    //    [[graft.operators.HttpRanges.reassemble]] sorts parts and
+    //    walks them once (`aggregate` fold) tracking the expected
+    //    offset. Every branch is live: v0 complete in 8-byte chunks;
+    //    v1 complete at a DIFFERENT chunking (5) — chunk geometry is
+    //    data, not schema; v2 drops chunk 1 (gap — body must stay
+    //    null, never a plausible-length corruption); v3 double-fetches
+    //    chunk 1 (overlap). The oracle replays chunk-count arithmetic
+    //    and the md5 of the seed text for the complete classes. ──
+    QueryDef.sql(
+      "web_range_reassembly",
+      """WITH t AS (SELECT doc_id,
+        |  'Range doc ' || doc_id || ' payload body' AS t FROM documents)
+        |SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 2 THEN 'gap' WHEN 3 THEN 'overlap'
+        |    ELSE 'complete' END AS verdict,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 1 THEN ceil(length(t) / 5.0)
+        |    WHEN 2 THEN ceil(length(t) / 8.0) - 1
+        |    WHEN 3 THEN ceil(length(t) / 8.0) + 1
+        |    ELSE ceil(length(t) / 8.0) END AS INT) AS n_parts,
+        |  CAST(length(t) AS BIGINT) AS total_len,
+        |  CASE WHEN doc_id % 4 <= 1 THEN md5(t) END AS body_md5
+        |FROM t ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        val idS = col("doc_id").cast("string")
+        val t = concat(lit("Range doc "), idS, lit(" payload body"))
+        val v = pmod(col("doc_id"), lit(4))
+        val c = when(v === 1, lit(5)).otherwise(lit(8))
+        val len = length(t)
+        val lastK = floor((len - lit(1)).cast("double") / c).cast("int")
+        val ks0 = sequence(lit(0), lastK)
+        val ks = when(v === 2, array_remove(ks0, 1))
+          .when(v === 3, concat(ks0, array(lit(1))))
+          .otherwise(ks0)
+        val parts = Tables.documents(s, d)
+          .select(col("doc_id"), t.as("_t"), c.as("_c"), len.as("_len"),
+            explode(ks).as("k"))
+          .select(col("doc_id"),
+            (col("k") * col("_c")).cast("long").as("part_start"),
+            least(col("_len"), (col("k") + 1) * col("_c")).cast("long").as("part_end"),
+            col("_len").cast("long").as("total_len"),
+            col("_t").substr(col("k") * col("_c") + 1, col("_c")).as("part"))
+        graft.operators.HttpRanges.reassembleDigest(
+          parts, "doc_id", "part_start", "part_end", "total_len", "part")
+          .select(col("doc_id"), col("verdict"), col("n_parts"),
+            col("total_len"), col("body_md5"))
           .orderBy("doc_id")
     },
   )

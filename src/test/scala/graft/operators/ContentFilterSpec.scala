@@ -231,4 +231,58 @@ class ContentFilterSpec extends SparkSpec {
     // ... and our own prefix still applies
     assert(verdict("<html></html>", "graftbot: none") == ((true, true)))
   }
+
+  test("metaRefresh: attribute orders, quote stripping, delay-only, resolution") {
+    def mr(html: String): (Boolean, Option[Int], Option[String]) =
+      Seq((html, "http://h.example/p/1")).toDF("html", "u")
+        .select(TextOps.metaRefresh(col("html"), col("u")).as("v"))
+        .select(col("v.has_refresh"), col("v.delay_s"), col("v.target"))
+        .as[(Boolean, Option[Int], Option[String])].head()
+    assert(mr("<meta http-equiv=\"refresh\" content=\"0; url=/next\">") ==
+      ((true, Some(0), Some("http://h.example/next"))))
+    // flipped attribute order + uppercase URL= + absolute target
+    assert(mr("<meta content=\"3;URL=https://o.example/x\" http-equiv=\"refresh\">") ==
+      ((true, Some(3), Some("https://o.example/x"))))
+    // single-quoted target with spaces around '='
+    assert(mr("<meta http-equiv=\"refresh\" content=\"1; url = '/q/2'\">") ==
+      ((true, Some(1), Some("http://h.example/q/2"))))
+    // delay-only self-reload: a refresh, not a redirect
+    assert(mr("<meta http-equiv=\"refresh\" content=\"300\">") ==
+      ((true, Some(300), None)))
+    // junk content: has_refresh true, nothing else
+    assert(mr("<meta http-equiv=\"refresh\" content=\"soon\">") ==
+      ((true, None, None)))
+    // no refresh tag at all
+    assert(mr("<meta name=\"robots\" content=\"0; url=/trap\">") ==
+      ((false, None, None)))
+  }
+
+  test("feedEntries: rss relative links, atom href orders, linkless entry") {
+    def fe(xml: String): Seq[(String, Option[String], String)] =
+      Seq((xml, "http://h.example/feed.xml")).toDF("xml", "u")
+        .select(explode(TextOps.feedEntries(col("xml"), col("u"))).as("e"))
+        .select(col("e.title"), col("e.url"), col("e.published"))
+        .as[(String, Option[String], String)].collect().toSeq
+    val rss = "<rss version=\"2.0\"><channel>" +
+      "<item><title>A</title><link>/a/1</link><pubDate>D1</pubDate></item>" +
+      "<item><title>B</title><pubDate>D2</pubDate></item>" + // linkless
+      "</channel></rss>"
+    assert(fe(rss) == Seq(
+      ("A", Some("http://h.example/a/1"), "D1"),
+      ("B", None, "D2")))
+    val atom = "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+      "<entry><title>C</title><link rel=\"alternate\" href=\"http://o.example/c\"/>" +
+      "<updated>T1</updated></entry>" +
+      "<entry><title>D</title><link href=\"/d\" rel=\"alternate\"/>" +
+      "<updated>T2</updated></entry></feed>"
+    assert(fe(atom) == Seq(
+      ("C", Some("http://o.example/c"), "T1"),
+      ("D", Some("http://h.example/d"), "T2")))
+    // not a feed: empty
+    assert(fe("<html><body>nope</body></html>").isEmpty)
+    // kinds route
+    val kinds = Seq(rss, atom, "<html/>").toDF("xml")
+      .select(TextOps.feedKind(col("xml"))).as[String].collect().toSeq
+    assert(kinds == Seq("rss", "atom", "none"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Dedup, Sharding, Similarity, Sketches, TextOps}
+import graft.operators.{Bpe, Dedup, Sharding, Similarity, Sketches, TextOps, WordPiece}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings`
@@ -990,6 +990,49 @@ object DataPipelineQueries {
         .toDF("rank", "left", "right")
         .orderBy("rank")
     },
+    // ── Learned WORDPIECE tokenizer — the third tokenizer family
+    //    beside BPE (count argmax) and unigram-LM (EM pruning): merges
+    //    maximize the likelihood ratio count(ab)/(count(a)*count(b))
+    //    under the pinned fixed-point score key (c*10^24 div ca*cb,
+    //    exact integer arithmetic both engines — BigInt here, HUGEINT
+    //    in the oracle), encoding is greedy longest-match with ##
+    //    continuations and whole-word [UNK]. The oracle is GENERATED
+    //    unrolled-iteration SQL (the BpeOracle doctrine) and re-derives
+    //    training AND encoding independently; its guard column asserts
+    //    the 8-char word bound the encode unroll depends on (the
+    //    UnigramOracle ADVICE lesson). ──
+    QueryDef.sql(
+      "text_wordpiece_tokenize",
+      WordPieceOracle.tokenizeSql(n = 20, encodeSteps = 8)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = WordPiece.train(docs, "text", nMerges = 20)
+      val voc = WordPiece.vocab(
+        docs.select(explode(filter(split(trim(col("text")), " "), _ =!= "")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+        merges)
+      val maxWord = docs
+        .select(explode_outer(
+          filter(split(trim(col("text")), " "), _ =!= "")).as("w"))
+        .agg(max(length(col("w"))).as("m"))
+      WordPiece.encode(docs, "doc_id", "text", voc)
+        .withColumnRenamed("doc_id", "doc")
+        .crossJoin(broadcast(maxWord))
+        .withColumn("guard_ok", when(coalesce(col("m"), lit(0)) <= 8, lit(0)))
+        .drop("m")
+        .orderBy("doc")
+    },
+    QueryDef.sql(
+      "text_wordpiece_merges",
+      WordPieceOracle.mergesSql(n = 20)) { (s, d) =>
+      val s2 = s
+      import s2.implicits._
+      WordPiece.train(Tables.documents(s, d), "text", nMerges = 20)
+        .zipWithIndex.map { case ((l, r, m), i) => (i.toLong, l, r, m) }
+        .toDF("rank", "left", "right", "piece")
+        .orderBy("rank")
+    },
+
     // ── Tokenizer FERTILITY by language — the tokenizer-equity report
     //    training-data teams calibrate mixtures with: pieces per word
     //    and pieces per 100 chars, per corpus language, under the SAME

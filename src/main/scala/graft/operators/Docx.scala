@@ -110,6 +110,35 @@ object Docx {
     spark.createDataFrame(rdd, xlsxSchema)
   }
 
+  private val odtSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("odt_ok", BooleanType, nullable = false),
+    StructField("verdict", StringType, nullable = false),
+    StructField("n_paras", IntegerType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("creator", StringType, nullable = true)))
+
+  /** ODT twin of [[extractText]] ([[graft.codec.OdtCodec]] layout
+    * rules: mixed-content paragraph folding). Same mapPartitions
+    * posture and drop accounting. */
+  def extractOdtText(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        graft.codec.OdtCodec.extract(r.getAs[Array[Byte]](blobIdx)) match {
+          case Some(d) => Row(id, true, "ok", d.nParas, d.text,
+            d.title.orNull, d.creator.orNull)
+          case None => Row(id, false, "corrupt", null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, odtSchema)
+  }
+
   private val SlideRe = "^ppt/slides/slide[0-9]+\\.xml$".r
   private val SheetRe = "^xl/worksheets/sheet[0-9]+\\.xml$".r
 
@@ -133,6 +162,8 @@ object Docx {
         if (names.contains("word/document.xml")) "docx"
         else if (names.exists(n => SlideRe.pattern.matcher(n).matches())) "pptx"
         else if (names.exists(n => SheetRe.pattern.matcher(n).matches())) "xlsx"
+        else if (names.contains("META-INF/container.xml")) "epub"
+        else if (names.contains("content.xml")) "odt"
         else "zip"
     }
   }

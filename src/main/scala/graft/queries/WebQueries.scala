@@ -3044,27 +3044,75 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // ── ODT TEXT EXTRACTION — the OpenDocument face:
+    //    [[graft.codec.OdtCodec]] folds ODF's MIXED-content paragraphs
+    //    (raw text interleaved with spans/bookmarks/fields) under
+    //    pinned rules — tab/line-break substitution, run-length
+    //    `<text:s text:c="N"/>` spaces, entity decode — on the shared
+    //    ZipCodec container. Fixture wire shapes: span-wrapped
+    //    paragraph; tab + run-length spaces + entity; a word split
+    //    across spans with bookmark noise and a line break. The
+    //    oracle replays the text blind to container and compression. ──
+    QueryDef.sql(
+      "web_odt_extract",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN (doc_id // 3) % 3 = 1 THEN 2 ELSE 1 END AS INT) AS n_paras,
+        |  CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS text_md5,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Odt Props ' || doc_id
+        |    WHEN 2 THEN 'Split Odt ' || doc_id
+        |  END AS title,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Writer ' || (doc_id % 7)
+        |    WHEN 2 THEN 'Spans Writer'
+        |  END AS creator
+        |FROM (SELECT doc_id,
+        |  CASE (doc_id // 3) % 3
+        |    WHEN 0 THEN 'Odt body ' || doc_id || ' alpha'
+        |    WHEN 1 THEN 'Para one ' || doc_id || chr(10) || 'Tab' ||
+        |      chr(9) || 'here  & done'
+        |    ELSE 'Split' || doc_id || ' joined' || chr(10) || 'next'
+        |  END AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val payloads = QueryDef.fanOutIfNarrow(
+          Tables.documents(s, d).select(col("doc_id")))
+          .as[Long]
+          .mapPartitions(_.map(id => (id, graft.codec.OdtFixtures.docOdt(id))))
+          .toDF("doc_id", "payload")
+        graft.operators.Docx.extractOdtText(payloads, "doc_id", "payload")
+          .select(col("doc_id"), col("n_paras"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text").cast("binary")).as("text_md5"),
+            col("title"), col("creator"))
+          .orderBy("doc_id")
+    },
+
     // ── OFFICE-FORMAT FUNNEL — the full document router across all
-    //    EIGHT payload classes one corpus stream carries: pdf, html,
+    //    NINE payload classes one corpus stream carries: pdf, html,
     //    docx, pptx, xlsx, a PK-magic stub with no walkable central
     //    directory (a truncated download — must classify
-    //    `opc`/`corrupt`, never vanish), rtf, and legacy OLE2 .doc.
+    //    `opc`/`corrupt`, never vanish), rtf, legacy OLE2 .doc, and
+    //    ODT (whose STORED mimetype member means first-KB tokens say
+    //    only "zip" — the content-aware stage names it).
     //    Routing is two-stage like a real pipeline: magic bytes split
     //    pdf/html/PK/rtf/ole2, then the OPC classifier reads the
     //    central directory's member NAMES (zero payload decompression
     //    — real writers DEFLATE [Content_Types].xml, so first-KB
     //    tokens cannot distinguish the office faces). Every format
     //    variant cycles live under the (id/3)%3 keying; the oracle
-    //    replays the id%8 router and each format's per-variant token
+    //    replays the id%9 router and each format's per-variant token
     //    arithmetic. ──
     QueryDef.sql(
       "web_office_funnel",
       """WITH t AS (SELECT doc_id,
-        |  CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
+        |  CASE doc_id % 9 WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
         |    WHEN 2 THEN 'docx' WHEN 3 THEN 'pptx' WHEN 4 THEN 'xlsx'
-        |    WHEN 5 THEN 'opc' WHEN 6 THEN 'rtf' ELSE 'doc' END AS kind,
-        |  CASE WHEN doc_id % 8 = 5 THEN 'corrupt' ELSE 'ok' END AS verdict,
-        |  CASE doc_id % 8
+        |    WHEN 5 THEN 'opc' WHEN 6 THEN 'rtf' WHEN 7 THEN 'doc'
+        |    ELSE 'odt' END AS kind,
+        |  CASE WHEN doc_id % 9 = 5 THEN 'corrupt' ELSE 'ok' END AS verdict,
+        |  CASE doc_id % 9
         |    WHEN 0 THEN 5
         |    WHEN 1 THEN 6
         |    WHEN 2 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 2 END
@@ -3072,6 +3120,7 @@ object WebQueries {
         |    WHEN 4 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 7 WHEN 1 THEN 7 ELSE 4 END
         |    WHEN 6 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 2 END
         |    WHEN 7 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 2 END
+        |    WHEN 8 THEN CASE (doc_id // 3) % 3 WHEN 0 THEN 4 WHEN 1 THEN 7 ELSE 3 END
         |    ELSE 0 END AS toks
         |  FROM documents)
         |SELECT kind, verdict, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3084,7 +3133,7 @@ object WebQueries {
           .as[Long]
           .mapPartitions(_.map { id =>
             val fx = graft.codec.DocxFixtures
-            val blob = (id % 8) match {
+            val blob = (id % 9) match {
               case 0 => graft.codec.PdfFixtures.docPdf(id)
               case 1 => s"<html><body><p>Doc $id html body words here</p></body></html>"
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -3093,7 +3142,8 @@ object WebQueries {
               case 4 => fx.docXlsx(id)
               case 5 => fx.corruptDocx(id)
               case 6 => graft.codec.RtfFixtures.docRtf(id)
-              case _ => graft.codec.DocFixtures.docDoc(id)
+              case 7 => graft.codec.DocFixtures.docDoc(id)
+              case _ => graft.codec.OdtFixtures.docOdt(id)
             }
             (id, blob)
           })
@@ -3126,8 +3176,11 @@ object WebQueries {
         val xlsxArm = graft.operators.Docx.extractXlsxText(
           opcSlice.filter(col("kind") === "xlsx"), "doc_id", "payload")
           .select(col("doc_id"), lit("xlsx").as("kind"), col("verdict"), col("text"))
+        val odtArm = graft.operators.Docx.extractOdtText(
+          opcSlice.filter(col("kind") === "odt"), "doc_id", "payload")
+          .select(col("doc_id"), lit("odt").as("kind"), col("verdict"), col("text"))
         val corruptArm = opcSlice
-          .filter(!col("kind").isin("docx", "pptx", "xlsx"))
+          .filter(!col("kind").isin("docx", "pptx", "xlsx", "odt"))
           .select(col("doc_id"), lit("opc").as("kind"),
             lit("corrupt").as("verdict"), lit(null).cast("string").as("text"))
         val rtfArm = graft.operators.Rtf.extractText(
@@ -3138,7 +3191,7 @@ object WebQueries {
           .select(col("doc_id"), lit("doc").as("kind"), col("verdict"), col("text"))
         pdfArm.unionByName(htmlArm).unionByName(docxArm)
           .unionByName(pptxArm).unionByName(xlsxArm).unionByName(corruptArm)
-          .unionByName(rtfArm).unionByName(docArm)
+          .unionByName(rtfArm).unionByName(docArm).unionByName(odtArm)
           .withColumn("toks",
             // split-then-drop-empties, NOT trim-then-split: Spark's
             // trim strips only spaces, and the xlsx face legitimately

@@ -70,6 +70,30 @@ object Recrawl {
     "yearly" -> 31536000000L,
     "never" -> maxMs * 4)
 
+  /** Recrawl hints derived from a FEED — the announcement channel's
+    * contribution to the planner: a feed that lists many entries
+    * publishes fast, and a page's POSITION in the feed is its
+    * freshness. Pinned mapping (documented, not guessed — wrong pins
+    * are observable as schedule shifts, never crashes):
+    *
+    *   - cadence from the feed's entry count: ≥ 4 entries → `hourly`,
+    *     exactly 3 → `daily`, fewer → `weekly`;
+    *   - priority from position: `pri10 = max(0, 10 − 2·entry_idx)`
+    *     (the freshest announcement schedules tightest).
+    *
+    * Output is the `(url, changefreq, pri10)` shape
+    * [[scheduleWithHints]] consumes; hints for URLs outside the fetch
+    * history drop in its left join (a feed announcing a page we never
+    * fetched is frontier input, not recrawl input). */
+  def hintsFromFeedEntries(entries: org.apache.spark.sql.DataFrame,
+                           urlCol: String, idxCol: String,
+                           nEntriesCol: String): org.apache.spark.sql.DataFrame =
+    entries.select(col(urlCol).as("url"),
+      when(col(nEntriesCol) >= 4, "hourly")
+        .when(col(nEntriesCol) === 3, "daily")
+        .otherwise("weekly").as("changefreq"),
+      greatest(lit(0L), lit(10L) - col(idxCol).cast("long") * 2).as("pri10"))
+
   /** [[schedule]] blended with DECLARED sitemap hints — the two
     * signals a real recrawl planner holds: the site's `changefreq` /
     * `priority` declaration bounds the interval, the observed change

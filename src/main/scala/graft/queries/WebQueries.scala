@@ -3366,6 +3366,83 @@ object WebQueries {
           .orderBy("doc_id", "entry_idx")
     },
 
+    // ── FEED → RECRAWL composition — the announcement channel feeds
+    //    the planner: each page's feed declares it at position id%2
+    //    among (id%4)+2 entries, [[Recrawl.hintsFromFeedEntries]]
+    //    maps entry count to cadence (≥4 hourly, 3 daily, else
+    //    weekly) and position to priority (10 − 2·idx), and
+    //    [[Recrawl.scheduleWithHints]] blends that with the SAME
+    //    observed-change history web_recrawl_schedule pins — feed
+    //    parsing, hint derivation and the schedule blend verified as
+    //    one chain. Side entries announce pages outside the fetch
+    //    history and must drop in the blend's left join. The oracle
+    //    replays the whole integer arithmetic. ──
+    QueryDef.sql(
+      "web_feed_recrawl",
+      """WITH h AS (SELECT doc_id,
+        |    'http://d' || (doc_id % 50) || '.example.com/p' || doc_id AS url,
+        |    unnest(range(6)) AS seq FROM documents),
+        |c AS (SELECT doc_id, url, seq * 3600000 AS ts,
+        |    CASE WHEN ((seq + 1) * (doc_id % 7 + 2)) % 3 = 0 THEN 1 ELSE 0 END AS ch
+        |  FROM h),
+        |g AS (SELECT url, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(sum(ch) AS BIGINT) AS n_changed,
+        |    CAST(max(ts) AS BIGINT) AS last_fetch FROM c GROUP BY url),
+        |a AS (SELECT url, doc_id, n_obs, n_changed, last_fetch,
+        |    least(86400000, greatest(500,
+        |      1000 * n_obs * 2 // (n_changed * 2 + 1))) AS ai,
+        |    CASE WHEN (doc_id % 4) + 2 >= 4 THEN 'hourly'
+        |      WHEN doc_id % 4 = 1 THEN 'daily' ELSE 'weekly' END AS changefreq,
+        |    10 - 2 * (doc_id % 2) AS pri FROM g),
+        |b AS (SELECT *, CAST(CASE changefreq WHEN 'hourly' THEN 3600000
+        |    WHEN 'daily' THEN 86400000 ELSE 604800000 END AS BIGINT) AS cd
+        |  FROM a),
+        |w AS (SELECT *, greatest(500, least(86400000, cd // 4)) AS lo FROM b),
+        |x AS (SELECT *, greatest(lo,
+        |    least(86400000, cd * 4) * 10 // (pri + 5)) AS hi FROM w),
+        |f AS (SELECT url, n_obs, n_changed, last_fetch, changefreq,
+        |    greatest(lo, least(hi, ai)) AS iv FROM x)
+        |SELECT url, n_obs, n_changed, changefreq,
+        |  CAST(iv AS BIGINT) AS interval_ms,
+        |  CAST(last_fetch + iv AS BIGINT) AS next_due_ms
+        |FROM f ORDER BY url""".stripMargin) {
+      (s, d) =>
+        val pageUrl = concat(lit("http://d"), pmod(col("doc_id"), lit(50)),
+          lit(".example.com/p"), col("doc_id"))
+        val history = Tables.documents(s, d)
+          .select(col("doc_id"), pageUrl.as("url"))
+          .withColumn("seq", explode(sequence(lit(0), lit(5))))
+          .select(col("url"), (col("seq") * 3600000L).as("ts"),
+            (((col("seq") + 1) * (pmod(col("doc_id"), lit(7)) + 2)) % 3 === 0)
+              .as("changed"))
+        // one RSS feed per page: the page at position id%2 among
+        // (id%4)+2 entries, the rest side pages outside the history
+        val nEntries = (pmod(col("doc_id"), lit(4)) + 2).cast("int")
+        val pageIdx = pmod(col("doc_id"), lit(2)).cast("int")
+        val feedUrl = concat(lit("http://d"), pmod(col("doc_id"), lit(50)),
+          lit(".example.com/feed"), col("doc_id"), lit(".xml"))
+        val items = transform(sequence(lit(0), nEntries - 1), k =>
+          concat(lit("<item><title>E</title><link>"),
+            when(k === pageIdx, pageUrl)
+              .otherwise(concat(lit("/side/"), col("doc_id"), lit("/"), k)),
+            lit("</link><pubDate>D"), k, lit("</pubDate></item>")))
+        val xml = concat(lit("<rss version=\"2.0\"><channel>"),
+          array_join(items, ""), lit("</channel></rss>"))
+        val entries = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.feedEntries(xml, feedUrl).as("_es"))
+          .select(col("doc_id"), size(col("_es")).as("n_entries"),
+            posexplode(col("_es")).as(Seq("entry_idx", "_e")))
+          .select(col("_e").getField("url").as("url"),
+            col("entry_idx"), col("n_entries"))
+        val hints = graft.operators.Recrawl.hintsFromFeedEntries(
+          entries, "url", "entry_idx", "n_entries")
+        graft.operators.Recrawl
+          .scheduleWithHints(history, "url", "ts", "changed", hints)
+          .select(col("url"), col("n_obs"), col("n_changed"),
+            col("changefreq"), col("interval_ms"), col("next_due_ms"))
+          .orderBy("url")
+    },
+
     // ── IDN HOSTS — internationalized hostnames reach a crawl in TWO
     //    spellings (raw UTF-8 in hrefs, pre-encoded xn-- in hrefs and
     //    DNS) and both must converge on ONE ledger key:

@@ -3492,6 +3492,101 @@ object WebQueries {
           .orderBy("doc_id")
     },
 
+    // ── DISCOVERY-CHANNEL FUNNEL — the four ways a URL enters a real
+    //    frontier, extracted by four different operators and unified
+    //    with provenance: page links ([[TextOps.htmlLinks]] resolved
+    //    against the page), sitemap `<loc>` entries
+    //    ([[TextOps.xmlTagValues]]), feed announcements
+    //    ([[TextOps.feedEntries]]), and instant meta-refresh targets
+    //    ([[TextOps.metaRefresh]], delay-gated). The fixture makes
+    //    overlaps REAL: every page's `/l/…` target is announced by
+    //    both links and its feed, `/shared` by both links and the
+    //    host sitemap — the `multi` row counts URLs two or more
+    //    channels agree on (the corroboration signal frontier
+    //    prioritizers use). The oracle replays candidates and
+    //    distinct counts arithmetically. ──
+    QueryDef.sql(
+      "web_discovery_channels",
+      """WITH d AS (SELECT doc_id, doc_id % 50 AS h FROM documents),
+        |cand AS (
+        |  SELECT 'links' AS channel,
+        |    'http://h' || h || '.example/l/' || doc_id || '/1' AS url FROM d
+        |  UNION ALL SELECT 'links', 'http://h' || h || '.example/shared' FROM d
+        |  UNION ALL SELECT 'sitemap',
+        |    'http://h' || h || '.example/s/' || doc_id || '/1' FROM d
+        |  UNION ALL SELECT 'sitemap', 'http://h' || h || '.example/shared' FROM d
+        |  UNION ALL SELECT 'feed',
+        |    'http://h' || h || '.example/l/' || doc_id || '/1' FROM d
+        |  UNION ALL SELECT 'feed',
+        |    'http://h' || h || '.example/f/' || doc_id || '/1' FROM d
+        |  UNION ALL SELECT 'refresh',
+        |    'http://h' || h || '.example/next/' || doc_id FROM d
+        |    WHERE doc_id % 2 = 0),
+        |per AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(count(DISTINCT url) AS BIGINT) AS n_unique
+        |  FROM cand GROUP BY 1),
+        |multi AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT url FROM cand GROUP BY url
+        |  HAVING count(DISTINCT channel) >= 2))
+        |SELECT channel, n_candidates, n_unique FROM per
+        |UNION ALL SELECT 'multi', n, n FROM multi
+        |ORDER BY channel""".stripMargin) {
+      (s, d) =>
+        val idS = col("doc_id").cast("string")
+        val hS = pmod(col("doc_id"), lit(50)).cast("string")
+        val base = concat(lit("http://h"), hS, lit(".example"))
+        val pageUrl = concat(base, lit("/p/"), idS)
+        val html = concat(
+          lit("<html><head>"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("<meta http-equiv=\"refresh\" content=\"0; url=/next/"),
+              idS, lit("\">"))).otherwise(lit("")),
+          lit("</head><body><a href=\"/l/"), idS,
+          lit("/1\">x</a><a href=\"/shared\">s</a></body></html>"))
+        val sitemapXml = concat(
+          lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+          lit("<url><loc>"), base, lit("/s/"), idS, lit("/1</loc></url>"),
+          lit("<url><loc>"), base, lit("/shared</loc></url></urlset>"))
+        val feedXml = concat(
+          lit("<rss version=\"2.0\"><channel>"),
+          lit("<item><title>a</title><link>"), base, lit("/l/"), idS,
+          lit("/1</link><pubDate>D1</pubDate></item>"),
+          lit("<item><title>b</title><link>"), base, lit("/f/"), idS,
+          lit("/1</link><pubDate>D2</pubDate></item></channel></rss>"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), pageUrl.as("_pu"), html.as("_html"),
+            sitemapXml.as("_sm"), feedXml.as("_feed"))
+        val linksArm = docs.select(explode(TextOps.htmlLinks(col("_html"))).as("_t"),
+          col("_pu"))
+          .select(lit("links").as("channel"),
+            TextOps.urlResolve(col("_pu"), col("_t")).as("url"))
+        val sitemapArm = docs
+          .select(explode(TextOps.xmlTagValues(col("_sm"), "loc")).as("url"))
+          .select(lit("sitemap").as("channel"), col("url"))
+        val feedArm = docs
+          .select(explode(TextOps.feedEntries(col("_feed"), col("_pu"))).as("_e"))
+          .select(lit("feed").as("channel"), col("_e").getField("url").as("url"))
+        val refreshArm = docs
+          .select(TextOps.metaRefresh(col("_html"), col("_pu")).as("_r"))
+          .filter(col("_r").getField("has_refresh") &&
+            col("_r").getField("delay_s") <= 5 &&
+            col("_r").getField("target").isNotNull)
+          .select(lit("refresh").as("channel"),
+            col("_r").getField("target").as("url"))
+        val cand = linksArm.unionByName(sitemapArm)
+          .unionByName(feedArm).unionByName(refreshArm)
+        val per = cand.groupBy("channel")
+          .agg(count(lit(1)).cast("long").as("n_candidates"),
+            countDistinct(col("url")).cast("long").as("n_unique"))
+        val multi = cand.groupBy("url")
+          .agg(countDistinct(col("channel")).as("_nc"))
+          .filter(col("_nc") >= 2)
+          .agg(count(lit(1)).cast("long").as("n"))
+          .select(lit("multi").as("channel"), col("n").as("n_candidates"),
+            col("n").as("n_unique"))
+        per.unionByName(multi).orderBy("channel")
+    },
+
     // ── HTTP 206 RANGE REASSEMBLY — resumed downloads arrive as byte
     //    slices that may be shuffled, torn, or double-fetched:
     //    [[graft.operators.HttpRanges.reassemble]] sorts parts and

@@ -903,6 +903,59 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Real BMP (BITMAPINFOHEADER, BI_RGB): 24-bit BGR, 32-bit BGRA
+    * (deterministic junk alpha the decoder must drop) or 8-bit
+    * palette (`palette(i) = (i, 2i, 3i) mod 256`, indexes from
+    * `idx`), rows 4-byte padded, bottom-up unless `topDown`. */
+  def bmpReal(w: Int, h: Int, pix: (Int, Int, Int) => Int, bpp: Int,
+              topDown: Boolean, idx: (Int, Int) => Int = (_, _) => 0): Array[Byte] = {
+    require(bpp == 8 || bpp == 24 || bpp == 32)
+    val rowBytes = ((w * bpp / 8) + 3) & ~3
+    val nPal = if (bpp == 8) 256 else 0
+    val dataOff = 14 + 40 + nPal * 4
+    val size = dataOff + rowBytes * h
+    val out = new java.io.ByteArrayOutputStream(size)
+    out.write('B'); out.write('M')
+    out.write(le32(size)); out.write(le32(0)); out.write(le32(dataOff))
+    out.write(le32(40)); out.write(le32(w))
+    out.write(le32(if (topDown) -h else h))
+    out.write(le16(1)); out.write(le16(bpp))
+    out.write(le32(0)) // BI_RGB
+    out.write(le32(rowBytes * h)); out.write(le32(2835)); out.write(le32(2835))
+    out.write(le32(if (nPal > 0) 256 else 0)); out.write(le32(0))
+    if (nPal > 0) {
+      var i = 0
+      while (i < 256) { // stored BGRA: (3i, 2i, i, 0)
+        out.write((3 * i) % 256); out.write((2 * i) % 256); out.write(i); out.write(0)
+        i += 1
+      }
+    }
+    val row = new Array[Byte](rowBytes)
+    val ys = if (topDown) 0 until h else (h - 1) to 0 by -1
+    ys.foreach { y =>
+      java.util.Arrays.fill(row, 0.toByte)
+      var x = 0
+      while (x < w) {
+        bpp match {
+          case 24 =>
+            row(x * 3) = pix(x, y, 2).toByte // B
+            row(x * 3 + 1) = pix(x, y, 1).toByte
+            row(x * 3 + 2) = pix(x, y, 0).toByte
+          case 32 =>
+            row(x * 4) = pix(x, y, 2).toByte
+            row(x * 4 + 1) = pix(x, y, 1).toByte
+            row(x * 4 + 2) = pix(x, y, 0).toByte
+            row(x * 4 + 3) = ((x * 5 + y * 3) % 256).toByte // junk alpha
+          case _ =>
+            row(x) = idx(x, y).toByte
+        }
+        x += 1
+      }
+      out.write(row)
+    }
+    out.toByteArray
+  }
+
   // ── byte writers ────────────────────────────────────────────────────
 
   private def be32(v: Int): Array[Byte] =

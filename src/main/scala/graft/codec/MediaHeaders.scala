@@ -1600,4 +1600,74 @@ object MediaHeaders {
     }
     Some(WavPcm(channels, rate, out))
   }
+
+  /** BMP magic: 'BM' + a plausible DIB header size. */
+  def isBmp(b: Array[Byte]): Boolean =
+    b != null && b.length >= 26 && b(0) == 'B' && b(1) == 'M'
+
+  /** BMP pixel decode — the uncompressed-raster face of the decoder
+    * family (BI_RGB only; RLE and bitfields reject): 24-bit BGR,
+    * 32-bit BGRA (alpha parsed-then-dropped) and 8-bit palette, each
+    * bottom-up (positive height, the Windows default) or top-down
+    * (negative height). Any BITMAPINFOHEADER-or-later DIB size (40,
+    * 108, 124 — V4/V5 headers extend, never relocate, the core
+    * fields) is accepted; rows are 4-byte padded per the format. The
+    * output is the same expanded row-major 8-bit RGB raster every
+    * other decoder emits ([[PngRaster]]), so downstream raster
+    * operators see one shape. Returns None for truncated pixel data,
+    * palette indexes past the table, and rasters over the 64 MiB
+    * allocation cap (hostile headers must not allocate unbounded). */
+  def bmpPixels(b: Array[Byte]): Option[PngRaster] = {
+    if (!isBmp(b) || b.length < 54) return None
+    val dataOff = le32(b, 10)
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER: not supported
+    val w = le32(b, 18).toInt
+    val hRaw = le32(b, 22).toInt
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val planes = le16(b, 26)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h <= 0 || planes != 1 || compression != 0) return None
+    if (!(bpp == 8 || bpp == 24 || bpp == 32)) return None
+    if (w.toLong * h * 3 > (64L << 20)) return None
+    val clrUsed = le32(b, 46).toInt
+    val nPal = if (bpp == 8) (if (clrUsed > 0) clrUsed else 256) else 0
+    if (nPal > 256) return None
+    val palOff = 14 + dibSize.toInt
+    if (bpp == 8 && palOff + nPal * 4 > b.length) return None
+    val rowBytes = ((w * bpp / 8) + 3) & ~3
+    if (dataOff < 0 || dataOff + rowBytes.toLong * h > b.length) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val ro = dataOff.toInt + srcRow * rowBytes
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        bpp match {
+          case 24 =>
+            out(o) = b(ro + x * 3 + 2) // R (stored BGR)
+            out(o + 1) = b(ro + x * 3 + 1)
+            out(o + 2) = b(ro + x * 3)
+          case 32 =>
+            out(o) = b(ro + x * 4 + 2)
+            out(o + 1) = b(ro + x * 4 + 1)
+            out(o + 2) = b(ro + x * 4)
+          case _ =>
+            val idx = b(ro + x) & 0xff
+            if (idx >= nPal) return None
+            val po = palOff + idx * 4 // stored BGRA quads
+            out(o) = b(po + 2)
+            out(o + 1) = b(po + 1)
+            out(o + 2) = b(po)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(PngRaster(w, h, out))
+  }
 }

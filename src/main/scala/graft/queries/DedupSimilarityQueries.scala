@@ -2279,6 +2279,65 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── REAL BMP pixel decode: BI_RGB fixtures across the format's
+    //    live branches — 24-bit BGR bottom-up (the Windows default),
+    //    32-bit BGRA top-down (deterministic junk alpha the decoder
+    //    must DROP), 8-bit palette (BGRA quads resolved), 24-bit
+    //    top-down — with 4-byte row padding in every width. The
+    //    decoder emits the same expanded RGB raster as PNG/JPEG, and
+    //    the oracle recomputes every decoded byte from seed arithmetic
+    //    without seeing storage order, padding, or the palette
+    //    indirection: a wrong bottom-up flip or palette miss shifts
+    //    first/last/sum observably. ──
+    QueryDef.sql(
+      "mm_bmp_pixels",
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS v,
+        |    CAST(1 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 18 AS BIGINT) AS h FROM documents),
+        |u AS (SELECT doc_id, v, w, h, unnest(range(0, w)) AS x FROM d),
+        |q AS (SELECT doc_id, v, w, h, x, unnest(range(0, h)) AS y FROM u),
+        |e AS (SELECT doc_id, v, w, h, x, y, unnest(range(0, 3)) AS c FROM q),
+        |p AS (SELECT doc_id, v, w, h, x, y, c,
+        |    CASE WHEN v = 2 THEN
+        |      CASE c WHEN 0 THEN (doc_id * 31 + x * 7 + y * 13 + 5) % 256
+        |        WHEN 1 THEN (2 * ((doc_id * 31 + x * 7 + y * 13 + 5) % 256)) % 256
+        |        ELSE (3 * ((doc_id * 31 + x * 7 + y * 13 + 5) % 256)) % 256 END
+        |    ELSE (doc_id * 31 + x * 7 + y * 13 + c * 11 + 5) % 256 END AS px
+        |  FROM e)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(px) AS BIGINT) AS sum_pix,
+        |  CAST(min(px) AS INT) AS min_pix, CAST(max(px) AS INT) AS max_pix,
+        |  CAST(max(CASE WHEN x = 0 AND y = 0 AND c = 0 THEN px END) AS INT) AS first_pix,
+        |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 AND c = 2 THEN px END) AS INT) AS last_pix
+        |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 24).toInt; val h = (1 + id % 18).toInt
+            val fx = graft.codec.MediaFixtures
+            val blob = (id % 4) match {
+              case 0 => fx.bmpReal(w, h, (x, y, c) => fx.pixel(id, x, y, c),
+                bpp = 24, topDown = false)
+              case 1 => fx.bmpReal(w, h, (x, y, c) => fx.pixel(id, x, y, c),
+                bpp = 32, topDown = true)
+              case 2 => fx.bmpReal(w, h, (_, _, _) => 0, bpp = 8,
+                topDown = false,
+                idx = (x, y) => ((id * 31 + x * 7 + y * 13 + 5) % 256).toInt)
+              case _ => fx.bmpReal(w, h, (x, y, c) => fx.pixel(id, x, y, c),
+                bpp = 24, topDown = true)
+            }
+            (id, blob)
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.bmpPixelStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("n_bytes"), col("sum_pix"), col("min_pix"), col("max_pix"),
+            col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
     // ── ADAM7-INTERLACED PNG decode: the fixture transmits seven
     //    independently-filtered passes (IHDR interlace = 1), the decoder
     //    must unfilter each pass against its own prior row and scatter

@@ -500,4 +500,51 @@ class MediaHeadersSpec extends SparkSpec {
     assert(n.getAs[Int]("width") == 16 && n.getAs[Int]("height") == 16 &&
       n.getAs[Int]("n_frames") == 1)
   }
+
+  test("bmpPixels: 24-bit bottom-up round-trips the fixture arithmetic") {
+    val b = MediaFixtures.bmpReal(5, 3, (x, y, c) => MediaFixtures.pixel(9L, x, y, c),
+      bpp = 24, topDown = false)
+    val r = MediaHeaders.bmpPixels(b).get
+    assert(r.width == 5 && r.height == 3)
+    for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3)
+      assert((r.rgb((y * 5 + x) * 3 + c) & 0xff) == MediaFixtures.pixel(9L, x, y, c),
+        s"($x,$y,$c)")
+  }
+
+  test("bmpPixels: 32-bit top-down drops alpha; bottom-up flip is observable") {
+    val td = MediaHeaders.bmpPixels(MediaFixtures.bmpReal(4, 2,
+      (x, y, c) => MediaFixtures.pixel(3L, x, y, c), bpp = 32, topDown = true)).get
+    for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3)
+      assert((td.rgb((y * 4 + x) * 3 + c) & 0xff) == MediaFixtures.pixel(3L, x, y, c))
+    // same pixels stored bottom-up decode to the SAME raster
+    val bu = MediaHeaders.bmpPixels(MediaFixtures.bmpReal(4, 2,
+      (x, y, c) => MediaFixtures.pixel(3L, x, y, c), bpp = 24, topDown = false)).get
+    assert(java.util.Arrays.equals(td.rgb, bu.rgb))
+  }
+
+  test("bmpPixels: 8-bit palette resolves BGRA quads to RGB") {
+    val b = MediaFixtures.bmpReal(3, 2, (_, _, _) => 0, bpp = 8,
+      topDown = false, idx = (x, y) => (x * 7 + y * 13 + 5) % 256)
+    val r = MediaHeaders.bmpPixels(b).get
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val i = (x * 7 + y * 13 + 5) % 256
+      val o = (y * 3 + x) * 3
+      assert((r.rgb(o) & 0xff) == i)
+      assert((r.rgb(o + 1) & 0xff) == (2 * i) % 256)
+      assert((r.rgb(o + 2) & 0xff) == (3 * i) % 256)
+    }
+  }
+
+  test("bmpPixels: rejections — RLE, core header, truncation, huge dims") {
+    val ok = MediaFixtures.bmpReal(4, 4, (x, y, c) => 1, bpp = 24, topDown = false)
+    assert(MediaHeaders.bmpPixels(ok).nonEmpty)
+    val rle = ok.clone(); rle(30) = 1 // compression = BI_RLE8
+    assert(MediaHeaders.bmpPixels(rle).isEmpty)
+    assert(MediaHeaders.bmpPixels(java.util.Arrays.copyOfRange(ok, 0, 60)).isEmpty)
+    val huge = ok.clone()
+    huge(18) = -1; huge(19) = -1; huge(20) = -1; huge(21) = 0x7f // width ~2^31
+    assert(MediaHeaders.bmpPixels(huge).isEmpty)
+    assert(MediaHeaders.bmpPixels(null).isEmpty)
+    assert(MediaHeaders.bmpPixels("BMnope".getBytes).isEmpty)
+  }
 }

@@ -956,6 +956,100 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  /** Real baseline TIFF: 8-bit gray or RGB strips in EITHER byte
+    * order, optionally LZW-compressed (MSB-first via
+    * [[PdfFixtures.lzwEncodeMsb]] — the TIFF flavor) and horizontal-
+    * predictor differenced; `whiteIsZero` writes photometric 0 (the
+    * decoder must invert). Strip layout: header, strip data, IFD,
+    * external value arrays — tags ascending per the spec. */
+  def tiffReal(w: Int, h: Int, pix: (Int, Int, Int) => Int, rgb: Boolean,
+               littleEndian: Boolean, lzw: Boolean, predictor2: Boolean,
+               rowsPerStrip: Int, whiteIsZero: Boolean = false): Array[Byte] = {
+    val spp = if (rgb) 3 else 1
+    val rowSize = w * spp
+    val rps = math.max(1, math.min(rowsPerStrip, h))
+    val nStrips = (h + rps - 1) / rps
+    // raw raster, row-major
+    val raster = new Array[Byte](rowSize * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until spp)
+      raster(y * rowSize + x * spp + c) = pix(x, y, c).toByte
+    // per-strip payloads (predictor then compression)
+    val strips = (0 until nStrips).map { k =>
+      val rows = math.min(rps, h - k * rps)
+      val d = java.util.Arrays.copyOfRange(raster, k * rps * rowSize,
+        k * rps * rowSize + rows * rowSize)
+      if (predictor2) {
+        for (y <- 0 until rows; x <- (w - 1) until 0 by -1; s <- 0 until spp) {
+          val o = y * rowSize + x * spp + s
+          d(o) = (d(o) - d(o - spp)).toByte
+        }
+      }
+      if (lzw) PdfFixtures.lzwEncodeMsb(d) else d
+    }
+    val stripOffsets = strips.scanLeft(8)((acc, s) => acc + s.length).init
+    val ifdOff = 8 + strips.map(_.length).sum
+
+    def p16(v: Int): Array[Byte] =
+      if (littleEndian) le16(v) else be16(v)
+    def p32(v: Int): Array[Byte] =
+      if (littleEndian) le32(v) else be32(v)
+
+    final case class Entry(tag: Int, typ: Int, count: Int, inline: Array[Byte],
+                           external: Array[Byte])
+    def shortEntry(tag: Int, v: Int) =
+      Entry(tag, 3, 1, p16(v) ++ Array[Byte](0, 0), Array.emptyByteArray)
+    def longEntry(tag: Int, v: Int) =
+      Entry(tag, 4, 1, p32(v), Array.emptyByteArray)
+    def longArrayEntry(tag: Int, vs: Seq[Int], extOff: Int) =
+      if (vs.length == 1) longEntry(tag, vs.head)
+      else Entry(tag, 4, vs.length, p32(extOff),
+        vs.flatMap(p32).toArray)
+
+    // two passes: external arrays land after the IFD, offsets known
+    // once the entry count is fixed
+    val photometric = if (rgb) 2 else if (whiteIsZero) 0 else 1
+    val tags0 = Seq(256, 257, 258, 259, 262, 273, 277, 278, 279) ++
+      (if (predictor2) Seq(317) else Nil)
+    val nEntries = tags0.length
+    val ifdSize = 2 + nEntries * 12 + 4
+    var extOff = ifdOff + ifdSize
+    def takeExt(n: Int): Int = { val o = extOff; extOff += n; o }
+    val entries = tags0.map {
+      case 256 => longEntry(256, w)
+      case 257 => longEntry(257, h)
+      case 258 =>
+        if (spp == 1) shortEntry(258, 8)
+        else Entry(258, 3, 3, p32(takeExt(6)),
+          p16(8) ++ p16(8) ++ p16(8))
+      case 259 => shortEntry(259, if (lzw) 5 else 1)
+      case 262 => shortEntry(262, photometric)
+      case 273 =>
+        if (nStrips == 1) longEntry(273, stripOffsets.head)
+        else longArrayEntry(273, stripOffsets, takeExt(4 * nStrips))
+      case 277 => shortEntry(277, spp)
+      case 278 => longEntry(278, rps)
+      case 279 =>
+        if (nStrips == 1) longEntry(279, strips.head.length)
+        else longArrayEntry(279, strips.map(_.length), takeExt(4 * nStrips))
+      case 317 => shortEntry(317, 2)
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(if (littleEndian) 'I' else 'M')
+    out.write(if (littleEndian) 'I' else 'M')
+    out.write(p16(42))
+    out.write(p32(ifdOff))
+    strips.foreach(out.write)
+    out.write(p16(nEntries))
+    entries.foreach { en =>
+      out.write(p16(en.tag)); out.write(p16(en.typ)); out.write(p32(en.count))
+      out.write(en.inline)
+    }
+    out.write(p32(0)) // no next IFD
+    entries.foreach(en => out.write(en.external))
+    out.toByteArray
+  }
+
   // ── byte writers ────────────────────────────────────────────────────
 
   private def be32(v: Int): Array[Byte] =

@@ -1601,6 +1601,150 @@ object MediaHeaders {
     Some(WavPcm(channels, rate, out))
   }
 
+  /** TIFF magic: `II*\0` (little-endian) or `MM\0*` (big-endian). */
+  def isTiff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+  /** TIFF pixel decode — baseline TIFF 6.0 for the shapes archives
+    * actually hold: 8-bit grayscale (photometric 0 or 1) and 8-bit
+    * RGB, strips (any RowsPerStrip split), uncompressed or LZW
+    * (compression 5 — MSB-first codes, the [[PdfCodec]] decoder; TIFF
+    * always runs EarlyChange = 1) with the horizontal-differencing
+    * predictor (317 = 2), BOTH byte orders (`II`/`MM`). Output is the
+    * family's expanded row-major 8-bit RGB raster (photometric 0 —
+    * WhiteIsZero — inverts, gray replicates). Returns None for tiles,
+    * other bit depths/compressions, short strips, and rasters over
+    * the 64 MiB cap — a funnel class, never a crash. */
+  def tiffPixels(b: Array[Byte]): Option[PngRaster] = {
+    if (!isTiff(b)) return None
+    val le = b(0) == 'I'
+    def r16(o: Int): Int =
+      if (o + 2 > b.length) -1
+      else if (le) (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      else ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    def r32(o: Int): Long =
+      if (o + 4 > b.length) -1L
+      else if (le) (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+      else ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    val ifd = r32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = r16(ifd.toInt)
+    if (n <= 0 || n > 512) return None
+    // tag → (type, count, entry offset of the value/offset field)
+    val entries = scala.collection.mutable.Map[Int, (Int, Long, Int)]()
+    var e = 0
+    while (e < n) {
+      val eo = ifd.toInt + 2 + e * 12
+      if (eo + 12 > b.length) return None
+      entries(r16(eo)) = (r16(eo + 2), r32(eo + 4), eo + 8)
+      e += 1
+    }
+    def typeSize(t: Int): Int = t match {
+      case 1 => 1; case 3 => 2; case 4 => 4; case _ => 0
+    }
+    def values(tag: Int): Option[Array[Long]] = entries.get(tag).flatMap {
+      case (t, cnt, vo) =>
+        val ts = typeSize(t)
+        if (ts == 0 || cnt < 0 || cnt > 65536) return None
+        val total = ts * cnt
+        val base = if (total <= 4) vo.toLong else r32(vo)
+        if (base < 0 || base + total > b.length) return None
+        val out = new Array[Long](cnt.toInt)
+        var i = 0
+        while (i < cnt) {
+          out(i) = ts match {
+            case 1 => (b(base.toInt + i) & 0xFF).toLong
+            case 2 => r16(base.toInt + i * 2).toLong
+            case _ => r32(base.toInt + i * 4)
+          }
+          i += 1
+        }
+        Some(out)
+    }
+    def first(tag: Int, default: Long = -1L): Long =
+      values(tag).flatMap(_.headOption).getOrElse(default)
+
+    val w = first(256).toInt
+    val h = first(257).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > (64L << 20)) return None
+    val spp = first(277, 1L).toInt
+    if (spp != 1 && spp != 3) return None
+    val bpsOk = values(258) match {
+      case Some(a) => a.length == spp && a.forall(_ == 8L)
+      case None => false // bps defaults to 1-bit: out of scope
+    }
+    if (!bpsOk) return None
+    val comp = first(259, 1L).toInt
+    if (comp != 1 && comp != 5) return None
+    val photo = first(262).toInt
+    if (!(photo == 0 || photo == 1 || photo == 2)) return None
+    if ((photo == 2) != (spp == 3)) return None
+    val pred = first(317, 1L).toInt
+    if (pred != 1 && pred != 2) return None
+    if (entries.contains(322)) return None // tiled: out of scope
+    val rps0 = first(278, h.toLong)
+    val rps = if (rps0 <= 0 || rps0 > h) h else rps0.toInt
+    val offsets = values(273).getOrElse(return None)
+    val counts = values(279).getOrElse(return None)
+    val nStrips = (h + rps - 1) / rps
+    if (offsets.length != nStrips || counts.length != nStrips) return None
+
+    val rowSize = w * spp
+    val raster = new Array[Byte](rowSize * h)
+    var strip = 0
+    while (strip < nStrips) {
+      val rows = math.min(rps, h - strip * rps)
+      val need = rows * rowSize
+      val so = offsets(strip)
+      val sc = counts(strip)
+      if (so < 0 || sc < 0 || so + sc > b.length) return None
+      val raw = java.util.Arrays.copyOfRange(b, so.toInt, (so + sc).toInt)
+      val data =
+        if (comp == 1) raw
+        else PdfCodec.lzwMsb(raw, 1, need + rowSize).getOrElse(return None)
+      if (data.length < need) return None
+      if (pred == 2) {
+        var y = 0
+        while (y < rows) {
+          var x = 1
+          while (x < w) {
+            var s = 0
+            while (s < spp) {
+              val o = y * rowSize + x * spp + s
+              data(o) = (data(o) + data(o - spp)).toByte
+              s += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+      }
+      System.arraycopy(data, 0, raster, strip * rps * rowSize, need)
+      strip += 1
+    }
+
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    val np = w * h
+    while (i < np) {
+      if (spp == 3) {
+        out(i * 3) = raster(i * 3)
+        out(i * 3 + 1) = raster(i * 3 + 1)
+        out(i * 3 + 2) = raster(i * 3 + 2)
+      } else {
+        val v0 = raster(i) & 0xFF
+        val v = if (photo == 0) 255 - v0 else v0
+        out(i * 3) = v.toByte; out(i * 3 + 1) = v.toByte; out(i * 3 + 2) = v.toByte
+      }
+      i += 1
+    }
+    Some(PngRaster(w, h, out))
+  }
+
   /** BMP magic: 'BM' + a plausible DIB header size. */
   def isBmp(b: Array[Byte]): Boolean =
     b != null && b.length >= 26 && b(0) == 'B' && b(1) == 'M'

@@ -358,6 +358,46 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** TIFF twin of [[pngPixelStats]]
+    * ([[graft.codec.MediaHeaders.tiffPixels]]: baseline 8-bit
+    * gray/RGB, both byte orders, strips, LZW + predictor — same
+    * expanded-RGB raster shape, same per-raster stats). */
+  def tiffPixelStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sum_pix", LongType, nullable = false),
+      StructField("min_pix", IntegerType, nullable = false),
+      StructField("max_pix", IntegerType, nullable = false),
+      StructField("first_pix", IntegerType, nullable = false),
+      StructField("last_pix", IntegerType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val blob = Option(r.getAs[Array[Byte]](blobIdx)).getOrElse(Array.emptyByteArray)
+        graft.codec.MediaHeaders.tiffPixels(blob) match {
+          case Some(p) if p.rgb.nonEmpty =>
+            var sum = 0L; var mn = 255; var mx = 0
+            var i = 0
+            while (i < p.rgb.length) {
+              val v = p.rgb(i) & 0xff
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            Iterator.single(Row(r.getLong(idIdx), p.width, p.height,
+              p.rgb.length.toLong, sum, mn, mx,
+              p.rgb(0) & 0xff, p.rgb(p.rgb.length - 1) & 0xff))
+          case _ => Iterator.empty
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Unified RGB raster decode for the still-image formats the engine
     * genuinely decodes end-to-end: PNG truecolor (zlib + filters) and
     * JPEG, sequential or progressive (Huffman + fixed-point IDCT —

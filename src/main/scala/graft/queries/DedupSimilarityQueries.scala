@@ -2338,6 +2338,68 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── REAL TIFF pixel decode: baseline TIFF across its live
+    //    branches — RGB and grayscale strips in BOTH byte orders, any
+    //    RowsPerStrip split, LZW compression (MSB-first codes — the
+    //    decoder shared with PDF's LZWDecode) with the horizontal
+    //    predictor, and photometric 0 (WhiteIsZero — the decoder must
+    //    INVERT). The oracle recomputes decoded bytes from seed
+    //    arithmetic blind to endianness, strip geometry, compression
+    //    and predictor: any one of them wrong shifts sum/first/last
+    //    observably. ──
+    QueryDef.sql(
+      "mm_tiff_pixels",
+      """WITH d AS (SELECT doc_id, doc_id % 6 AS v,
+        |    CAST(1 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 18 AS BIGINT) AS h FROM documents),
+        |u AS (SELECT doc_id, v, w, h, unnest(range(0, w)) AS x FROM d),
+        |q AS (SELECT doc_id, v, w, h, x, unnest(range(0, h)) AS y FROM u),
+        |e AS (SELECT doc_id, v, w, h, x, y, unnest(range(0, 3)) AS c FROM q),
+        |p AS (SELECT doc_id, v, w, h, x, y, c,
+        |    CASE WHEN v = 3 THEN (doc_id * 31 + x * 7 + y * 13 + 5) % 256
+        |      WHEN v = 4 THEN 255 - ((doc_id * 31 + x * 7 + y * 13 + 5) % 256)
+        |      ELSE (doc_id * 31 + x * 7 + y * 13 + c * 11 + 5) % 256 END AS px
+        |  FROM e)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h * 3 AS BIGINT) AS n_bytes,
+        |  CAST(sum(px) AS BIGINT) AS sum_pix,
+        |  CAST(min(px) AS INT) AS min_pix, CAST(max(px) AS INT) AS max_pix,
+        |  CAST(max(CASE WHEN x = 0 AND y = 0 AND c = 0 THEN px END) AS INT) AS first_pix,
+        |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 AND c = 2 THEN px END) AS INT) AS last_pix
+        |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 24).toInt; val h = (1 + id % 18).toInt
+            val fx = graft.codec.MediaFixtures
+            def px(x: Int, y: Int, c: Int) = fx.pixel(id, x, y, c)
+            def g(x: Int, y: Int, c: Int) = fx.pixel(id, x, y, 0)
+            val blob = (id % 6) match {
+              case 0 => fx.tiffReal(w, h, px, rgb = true, littleEndian = true,
+                lzw = false, predictor2 = false, rowsPerStrip = h)
+              case 1 => fx.tiffReal(w, h, px, rgb = true, littleEndian = false,
+                lzw = false, predictor2 = false, rowsPerStrip = 3)
+              case 2 => fx.tiffReal(w, h, px, rgb = true, littleEndian = true,
+                lzw = true, predictor2 = true, rowsPerStrip = 4)
+              case 3 => fx.tiffReal(w, h, g, rgb = false, littleEndian = false,
+                lzw = false, predictor2 = false, rowsPerStrip = h)
+              case 4 => fx.tiffReal(w, h, g, rgb = false, littleEndian = true,
+                lzw = true, predictor2 = true, rowsPerStrip = 2,
+                whiteIsZero = true)
+              case _ => fx.tiffReal(w, h, px, rgb = true, littleEndian = false,
+                lzw = true, predictor2 = false, rowsPerStrip = h)
+            }
+            (id, blob)
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.tiffPixelStats(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("width"), col("height"),
+            col("n_bytes"), col("sum_pix"), col("min_pix"), col("max_pix"),
+            col("first_pix"), col("last_pix"))
+          .orderBy("doc_id")
+    },
+
     // ── ADAM7-INTERLACED PNG decode: the fixture transmits seven
     //    independently-filtered passes (IHDR interlace = 1), the decoder
     //    must unfilter each pass against its own prior row and scatter

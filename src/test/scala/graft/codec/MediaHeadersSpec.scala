@@ -547,4 +547,51 @@ class MediaHeadersSpec extends SparkSpec {
     assert(MediaHeaders.bmpPixels(null).isEmpty)
     assert(MediaHeaders.bmpPixels("BMnope".getBytes).isEmpty)
   }
+
+  test("tiffPixels: RGB round-trips in both byte orders, any strip split") {
+    for (le <- Seq(true, false); rps <- Seq(1, 3, 16)) {
+      val b = MediaFixtures.tiffReal(5, 4, (x, y, c) => MediaFixtures.pixel(11L, x, y, c),
+        rgb = true, littleEndian = le, lzw = false, predictor2 = false,
+        rowsPerStrip = rps)
+      val r = MediaHeaders.tiffPixels(b).get
+      assert(r.width == 5 && r.height == 4)
+      for (y <- 0 until 4; x <- 0 until 5; c <- 0 until 3)
+        assert((r.rgb((y * 5 + x) * 3 + c) & 0xff) == MediaFixtures.pixel(11L, x, y, c),
+          s"le=$le rps=$rps ($x,$y,$c)")
+    }
+  }
+
+  test("tiffPixels: LZW strips with the horizontal predictor invert exactly") {
+    val b = MediaFixtures.tiffReal(7, 5, (x, y, c) => MediaFixtures.pixel(4L, x, y, c),
+      rgb = true, littleEndian = true, lzw = true, predictor2 = true,
+      rowsPerStrip = 2)
+    val r = MediaHeaders.tiffPixels(b).get
+    for (y <- 0 until 5; x <- 0 until 7; c <- 0 until 3)
+      assert((r.rgb((y * 7 + x) * 3 + c) & 0xff) == MediaFixtures.pixel(4L, x, y, c))
+  }
+
+  test("tiffPixels: grayscale replicates; WhiteIsZero inverts") {
+    val black = MediaHeaders.tiffPixels(MediaFixtures.tiffReal(4, 3,
+      (x, y, _) => MediaFixtures.pixel(6L, x, y, 0), rgb = false,
+      littleEndian = false, lzw = false, predictor2 = false,
+      rowsPerStrip = 3)).get
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3)
+      assert((black.rgb((y * 4 + x) * 3 + c) & 0xff) == MediaFixtures.pixel(6L, x, y, 0))
+    val white = MediaHeaders.tiffPixels(MediaFixtures.tiffReal(4, 3,
+      (x, y, _) => MediaFixtures.pixel(6L, x, y, 0), rgb = false,
+      littleEndian = true, lzw = true, predictor2 = true,
+      rowsPerStrip = 2, whiteIsZero = true)).get
+    for (y <- 0 until 3; x <- 0 until 4; c <- 0 until 3)
+      assert((white.rgb((y * 4 + x) * 3 + c) & 0xff) ==
+        255 - MediaFixtures.pixel(6L, x, y, 0))
+  }
+
+  test("tiffPixels: rejections — tiles, bad depth, short strip, truncation") {
+    val ok = MediaFixtures.tiffReal(4, 4, (_, _, _) => 7, rgb = true,
+      littleEndian = true, lzw = false, predictor2 = false, rowsPerStrip = 4)
+    assert(MediaHeaders.tiffPixels(ok).nonEmpty)
+    assert(MediaHeaders.tiffPixels(java.util.Arrays.copyOfRange(ok, 0, 20)).isEmpty)
+    assert(MediaHeaders.tiffPixels(null).isEmpty)
+    assert(MediaHeaders.tiffPixels("II*junkjunk".getBytes).isEmpty)
+  }
 }

@@ -2338,6 +2338,50 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── DECODER PARITY — the same seed raster wrapped as a real PNG
+    //    (zlib + filters), a real BMP (bottom-up BGR + padding) and a
+    //    real TIFF (big-endian LZW + predictor strips) must decode to
+    //    the IDENTICAL expanded-RGB raster: the three container
+    //    machineries cancel against each other, not just against the
+    //    oracle. `all_equal` is byte-array equality Spark-side; the
+    //    oracle's constant `true` IS the parity claim, and sum_pix
+    //    pins which raster they all agreed on. ──
+    QueryDef.sql(
+      "mm_decoder_parity",
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(1 + doc_id % 18 AS BIGINT) AS h FROM documents),
+        |u AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |q AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM u),
+        |e AS (SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c FROM q),
+        |p AS (SELECT doc_id, w, h,
+        |    (doc_id * 31 + x * 7 + y * 13 + c * 11 + 5) % 256 AS px FROM e)
+        |SELECT doc_id, true AS all_equal,
+        |  CAST(sum(px) AS BIGINT) AS sum_pix
+        |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val w = (1 + id % 24).toInt; val h = (1 + id % 18).toInt
+            val fx = graft.codec.MediaFixtures
+            def px(x: Int, y: Int, c: Int) = fx.pixel(id, x, y, c)
+            val png = graft.codec.MediaHeaders.pngPixels(
+              fx.pngReal(w, h, px, filterOf = y => ((id + y) % 5).toInt)).get
+            val bmp = graft.codec.MediaHeaders.bmpPixels(
+              fx.bmpReal(w, h, px, bpp = 24, topDown = false)).get
+            val tif = graft.codec.MediaHeaders.tiffPixels(
+              fx.tiffReal(w, h, px, rgb = true, littleEndian = false,
+                lzw = true, predictor2 = true, rowsPerStrip = 3)).get
+            val eq = java.util.Arrays.equals(png.rgb, bmp.rgb) &&
+              java.util.Arrays.equals(bmp.rgb, tif.rgb)
+            var sum = 0L
+            png.rgb.foreach(v => sum += (v & 0xff))
+            (id, eq, sum)
+          })
+          .toDF("doc_id", "all_equal", "sum_pix")
+          .orderBy("doc_id")
+    },
+
     // ── REAL TIFF pixel decode: baseline TIFF across its live
     //    branches — RGB and grayscale strips in BOTH byte orders, any
     //    RowsPerStrip split, LZW compression (MSB-first codes — the

@@ -1022,6 +1022,38 @@ object DataPipelineQueries {
         .drop("m")
         .orderBy("doc")
     },
+    // ── WordPiece FERTILITY by language — the tokenizer-equity report
+    //    under the third family's vocab, plus the UNK-word rate only
+    //    WordPiece can express (BPE/unigram encodes are total). Same
+    //    derived vocab as text_wordpiece_tokenize; oracle is the
+    //    generated derivation rolled up per lang. ──
+    QueryDef.sql(
+      "text_wordpiece_fertility",
+      WordPieceOracle.fertilitySql(n = 20, encodeSteps = 8)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = WordPiece.train(docs, "text", nMerges = 20)
+      val voc = WordPiece.vocab(
+        docs.select(explode(filter(split(trim(col("text")), " "), _ =!= "")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+        merges)
+      WordPiece.encode(docs, "doc_id", "text", voc)
+        .withColumnRenamed("doc_id", "doc")
+        .join(docs.select(col("doc_id").as("doc"), col("lang"),
+          coalesce(length(col("text")), lit(0)).cast("long").as("_nc")), Seq("doc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tokens").cast("long").as("n_words"),
+          sum("n_pieces").cast("long").as("n_pieces"),
+          sum("n_unk_words").cast("long").as("n_unk_words"),
+          round(sum("n_pieces").cast("double") /
+            when(sum("n_tokens") === 0, lit(null)).otherwise(sum("n_tokens")), 4)
+            .as("fertility"),
+          round(lit(100.0) * sum("n_pieces") /
+            when(sum("_nc") === 0, lit(null)).otherwise(sum("_nc")), 4)
+            .as("pieces_per_100_chars"))
+        .orderBy(asc_nulls_last("lang"))
+    },
     QueryDef.sql(
       "text_wordpiece_merges",
       WordPieceOracle.mergesSql(n = 20)) { (s, d) =>

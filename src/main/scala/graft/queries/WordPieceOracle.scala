@@ -62,7 +62,31 @@ object WordPieceOracle {
     * encode every corpus word (`encodeSteps` unrolled longest-match
     * steps), reassemble per doc: (doc, n_tokens, n_pieces,
     * n_unk_words). */
-  def tokenizeSql(n: Int, encodeSteps: Int): String = {
+  def tokenizeSql(n: Int, encodeSteps: Int): String =
+    tokenizeSqlWith(n, encodeSteps,
+      """SELECT doc, n_tokens, n_pieces, n_unk_words, (SELECT ok FROM gw) AS guard_ok
+        |FROM tc ORDER BY doc""".stripMargin)
+
+  /** [[tokenizeSql]] rolled up PER LANGUAGE — the tokenizer-equity
+    * ("fertility") report over the same derived vocab (the
+    * [[BpeOracle.fertilitySql]] shape): pieces per word and pieces
+    * per 100 chars by the corpus `lang` column, plus the UNK-word
+    * rate the other tokenizer families cannot even express. */
+  def fertilitySql(n: Int, encodeSteps: Int): String =
+    tokenizeSqlWith(n, encodeSteps,
+      """, f AS (SELECT dd.lang, tc.n_tokens, tc.n_pieces, tc.n_unk_words,
+        |    CAST(coalesce(length(dd.text), 0) AS BIGINT) AS nc
+        |  FROM tc JOIN documents dd ON dd.doc_id = tc.doc)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_words,
+        |  CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+        |  CAST(sum(n_unk_words) AS BIGINT) AS n_unk_words,
+        |  round(CAST(sum(n_pieces) AS DOUBLE) / nullif(sum(n_tokens), 0), 4) AS fertility,
+        |  round(100.0 * sum(n_pieces) / nullif(sum(nc), 0), 4) AS pieces_per_100_chars
+        |FROM f GROUP BY lang ORDER BY lang NULLS LAST""".stripMargin)
+
+  private def tokenizeSqlWith(n: Int, encodeSteps: Int,
+                              finalSelect: String): String = {
     val vocabUnion = (1 to n).map(i => s"SELECT m AS sym FROM b$i").mkString(" UNION ")
     val enc = (1 to encodeSteps).map { k =>
       val (gp, gk, mk) = (s"g${k - 1}", s"g$k", s"m$k")
@@ -91,7 +115,6 @@ object WordPieceOracle {
        |  coalesce(CAST(sum(wl.isunk) AS BIGINT), 0) AS n_unk_words
        |  FROM d0 LEFT JOIN (SELECT doc_id, unnest(ws) AS w FROM d0) t ON t.doc_id = d0.doc_id
        |  LEFT JOIN wl ON wl.w = t.w GROUP BY 1, 2)
-       |SELECT doc, n_tokens, n_pieces, n_unk_words, (SELECT ok FROM gw) AS guard_ok
-       |FROM tc ORDER BY doc""".stripMargin
+       |$finalSelect""".stripMargin
   }
 }

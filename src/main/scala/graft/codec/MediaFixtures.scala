@@ -1050,6 +1050,132 @@ object MediaFixtures {
     out.toByteArray
   }
 
+  // ── audio/video container fixtures (deterministic, seed-free) ───────
+
+  /** MPEG-1/2 Layer III stream: `nFrames` equal-length frames (padding
+    * bit clear) whose payload bytes derive from the frame index, behind
+    * an optional ID3v2 pad (synchsafe size) and before an optional
+    * ID3v1 trailer. `xing=true` plants a Xing tag (FRAMES flag) behind
+    * the correct side-info span of the first frame. mpeg1=false writes
+    * MPEG-2 (576 samples/frame, halved sample rates). */
+  def mp3(mpeg1: Boolean, brIdx: Int, srIdx: Int, mono: Boolean, nFrames: Int,
+          xing: Boolean, id3v2Pad: Int = -1, id3v1: Boolean = false): Array[Byte] = {
+    val kbps = (if (mpeg1) Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))(brIdx)
+    val rate = Array(44100, 48000, 32000)(srIdx) / (if (mpeg1) 1 else 2)
+    val spf = if (mpeg1) 1152 else 576
+    val frameLen = spf / 8 * (kbps * 1000) / rate
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3v2Pad >= 0) {
+      out.write("ID3".getBytes); out.write(4); out.write(0); out.write(0)
+      out.write((id3v2Pad >> 21) & 0x7F); out.write((id3v2Pad >> 14) & 0x7F)
+      out.write((id3v2Pad >> 7) & 0x7F); out.write(id3v2Pad & 0x7F)
+      out.write(new Array[Byte](id3v2Pad))
+    }
+    val verBits = if (mpeg1) 3 else 2
+    val h1 = 0xE0 | (verBits << 3) | (1 << 1) | 1 // sync low, layer III, no CRC
+    val h2 = (brIdx << 4) | (srIdx << 2) // padding 0, private 0
+    val h3 = (if (mono) 3 else 0) << 6
+    val sideInfo = if (mpeg1) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+    for (f <- 0 until nFrames) {
+      val body = new Array[Byte](frameLen - 4)
+      for (j <- body.indices) body(j) = ((f * 31 + j * 7) % 251).toByte
+      if (f == 0 && xing) {
+        java.util.Arrays.fill(body, 0, sideInfo, 0.toByte)
+        System.arraycopy("Xing".getBytes, 0, body, sideInfo, 4)
+        System.arraycopy(be32(1), 0, body, sideInfo + 4, 4) // FRAMES flag
+        System.arraycopy(be32(nFrames), 0, body, sideInfo + 8, 4)
+      }
+      out.write(0xFF); out.write(h1); out.write(h2); out.write(h3)
+      out.write(body)
+    }
+    if (id3v1) {
+      val tag = new Array[Byte](128)
+      tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+      out.write(tag)
+    }
+    out.toByteArray
+  }
+
+  /** `fLaC` + a last-flagged STREAMINFO block with the packed
+    * rate/channels/bps/total-samples fields (36-bit total). */
+  def flac(rate: Int, channels: Int, bps: Int, totalSamples: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes)
+    out.write(0x80); out.write(0); out.write(0); out.write(34) // last, type 0, len 34
+    out.write(be16(1024)); out.write(be16(1024)) // min/max blocksize
+    out.write(0); out.write(0); out.write(64) // min framesize u24
+    out.write(0); out.write(16); out.write(0) // max framesize u24
+    out.write((rate >> 12) & 0xFF)
+    out.write((rate >> 4) & 0xFF)
+    out.write(((rate & 0xF) << 4) | (((channels - 1) & 7) << 1) | (((bps - 1) >> 4) & 1))
+    out.write((((bps - 1) & 0xF) << 4) | ((totalSamples >> 32) & 0xF).toInt)
+    out.write(be32((totalSamples & 0xFFFFFFFFL).toInt))
+    out.write(new Array[Byte](16)) // md5
+    out.toByteArray
+  }
+
+  /** Ogg/Vorbis: a BOS page holding the identification packet, then
+    * `dataPages` audio pages with evenly spaced granule positions up to
+    * `granule` (EOS on the last). Page payloads are index-derived. */
+  def oggVorbis(rate: Int, channels: Int, granule: Long, dataPages: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def page(hdrType: Int, gran: Long, seq: Int, payload: Array[Byte]): Unit = {
+      out.write("OggS".getBytes); out.write(0); out.write(hdrType)
+      out.write(le32((gran & 0xFFFFFFFFL).toInt)); out.write(le32(((gran >> 32) & 0xFFFFFFFFL).toInt))
+      out.write(le32(0x5EED)); out.write(le32(seq)); out.write(le32(0)) // serial, seq, crc(unchecked)
+      // lacing: 255-runs + terminator
+      val full = payload.length / 255; val rem = payload.length % 255
+      out.write(full + 1)
+      for (_ <- 0 until full) out.write(255)
+      out.write(rem)
+      out.write(payload)
+    }
+    val id = new java.io.ByteArrayOutputStream()
+    id.write(1); id.write("vorbis".getBytes)
+    id.write(le32(0)) // vorbis version
+    id.write(channels); id.write(le32(rate))
+    id.write(le32(0)); id.write(le32(0)); id.write(le32(0)) // bitrates
+    id.write(0xB8); id.write(1) // blocksizes, framing
+    page(0x02, 0L, 0, id.toByteArray) // BOS, granule 0
+    for (p <- 1 to dataPages) {
+      val payload = Array.tabulate(40 + p % 7)(j => ((p * 53 + j * 11) % 247).toByte)
+      val gran = granule * p / dataPages
+      page(if (p == dataPages) 0x04 else 0x00, gran, p, payload)
+    }
+    out.toByteArray
+  }
+
+  /** ISO-BMFF skeleton: `ftyp` + `moov{mvhd, trak{tkhd}}` + `mdat`.
+    * `version` 0/1 selects the 32/64-bit mvhd+tkhd field layout. */
+  def mp4(timescale: Int, duration: Long, w: Int, h: Int, version: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes ++ payload
+    val mvhd =
+      if (version == 0)
+        box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+          be32(timescale) ++ be32(duration.toInt) ++ new Array[Byte](80))
+      else
+        box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+          be32(timescale) ++ be32((duration >> 32).toInt) ++ be32((duration & 0xFFFFFFFFL).toInt) ++
+          new Array[Byte](80))
+    val tkhd =
+      if (version == 0)
+        box("tkhd", Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++
+          be32(duration.toInt) ++ new Array[Byte](8) ++ new Array[Byte](8) ++
+          new Array[Byte](36 - 4) ++ be32(0x40000000) ++ // identity matrix tail
+          be32(w << 16) ++ be32(h << 16))
+      else
+        box("tkhd", Array[Byte](1, 0, 0, 7) ++ new Array[Byte](16) ++ be32(1) ++ be32(0) ++
+          be32((duration >> 32).toInt) ++ be32((duration & 0xFFFFFFFFL).toInt) ++
+          new Array[Byte](8) ++ new Array[Byte](8) ++
+          new Array[Byte](36 - 4) ++ be32(0x40000000) ++
+          be32(w << 16) ++ be32(h << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val mdat = box("mdat", Array.tabulate(24)(j => (j * 17 % 250).toByte))
+    box("ftyp", "isom".getBytes ++ be32(0x200) ++ "isomiso2".getBytes) ++ moov ++ mdat
+  }
+
   // ── byte writers ────────────────────────────────────────────────────
 
   private def be32(v: Int): Array[Byte] =

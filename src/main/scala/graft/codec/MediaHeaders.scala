@@ -37,7 +37,60 @@ object MediaHeaders {
     else if (isJpeg(b)) parseJpeg(b)
     else if (isGif(b)) parseGif(b)
     else if (isWav(b)) parseWav(b)
+    else if (isWebp(b)) parseWebp(b)
+    else if (isFlac(b)) parseFlac(b)
+    else if (isOgg(b)) parseOgg(b)
+    else if (isMp4(b)) parseMp4(b)
+    else if (isMp3(b)) parseMp3(b) // weakest magic (0xFF sync) — sniffed last
     else None
+
+  /** RIFF/WEBP magic. */
+  def isWebp(b: Array[Byte]): Boolean =
+    b != null && b.length >= 21 && b(0) == 'R' && b(1) == 'I' &&
+      b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'E' &&
+      b(10) == 'B' && b(11) == 'P'
+
+  /** WebP metadata across the container's three first-chunk forms
+    * (the published RIFF layouts — dimensions only, no VP8 entropy
+    * decode): `VP8 ` lossy keyframes (sync 9D 01 2A, 14-bit dims),
+    * `VP8L` lossless (0x2F, 14-bit dims-minus-1 packed, alpha bit →
+    * channels 4), `VP8X` extended (24-bit dims-minus-1; the ALPHA
+    * flag sets channels, the ANIMATION flag leaves nFrames unknown —
+    * counting means walking ANMF chunks, deliberately out of scope
+    * and observable as null, never a guessed 1). */
+  private def parseWebp(b: Array[Byte]): Option[MediaMeta] = {
+    val c = tag(b, 12)
+    c match {
+      case "VP8 " if b.length >= 30 =>
+        // 3-byte frame tag: bit 0 = 0 for keyframes (dims live there)
+        if ((u8(b, 20) & 1) != 0) return None
+        if (!(u8(b, 23) == 0x9D && u8(b, 24) == 0x01 && u8(b, 25) == 0x2A))
+          return None
+        val w = le16(b, 26) & 0x3FFF
+        val h = le16(b, 28) & 0x3FFF
+        if (w <= 0 || h <= 0) return None
+        Some(MediaMeta("webp", width = Some(w), height = Some(h),
+          nFrames = Some(1), bitDepth = Some(8), channels = Some(3)))
+      case "VP8L" if b.length >= 25 =>
+        if (u8(b, 20) != 0x2F) return None
+        val bits = le32(b, 21)
+        val w = (bits & 0x3FFF).toInt + 1
+        val h = ((bits >> 14) & 0x3FFF).toInt + 1
+        val alpha = ((bits >> 28) & 1L) == 1L
+        Some(MediaMeta("webp", width = Some(w), height = Some(h),
+          nFrames = Some(1), bitDepth = Some(8),
+          channels = Some(if (alpha) 4 else 3)))
+      case "VP8X" if b.length >= 30 =>
+        val flags = u8(b, 20)
+        val w = 1 + (u8(b, 24) | (u8(b, 25) << 8) | (u8(b, 26) << 16))
+        val h = 1 + (u8(b, 27) | (u8(b, 28) << 8) | (u8(b, 29) << 16))
+        val anim = (flags & 0x02) != 0
+        Some(MediaMeta("webp", width = Some(w), height = Some(h),
+          nFrames = if (anim) None else Some(1), bitDepth = Some(8),
+          channels = Some(if ((flags & 0x10) != 0) 4 else 3)))
+      case _ => None
+    }
+  }
 
   // ── byte readers (bounds-checked) ───────────────────────────────────
 
@@ -1599,6 +1652,254 @@ object MediaHeaders {
       j += 1
     }
     Some(WavPcm(channels, rate, out))
+  }
+
+  // ── MP3 ─────────────────────────────────────────────────────────────
+
+  /** An ID3v2 tag, or a raw MPEG-audio frame sync (11 set bits). The
+    * sync is the weakest magic in the family — `parse` dispatches it
+    * last, after every container with a real signature. */
+  def isMp3(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+        (u8(b, 0) == 0xFF && (u8(b, 1) & 0xE0) == 0xE0))
+
+  // kbps by [versionGroup 0=MPEG1 1=MPEG2/2.5][layer 1..3][index 1..14]
+  private val Mp3Bitrates: Array[Array[Array[Int]]] = Array(
+    Array(
+      Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+      Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)),
+    Array(
+      Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)))
+
+  /** MPEG audio metadata from the first frame header — version/layer/
+    * bitrate/samplerate tables per the public MPEG-1/2 audio spec — plus
+    * the two duration sources real archives carry: a Xing/Info VBR tag
+    * (frame count behind the layer-III side info → exact duration) or,
+    * absent one, the CBR estimate `audio_bytes × 8 / bitrate` where the
+    * audio span excludes a leading ID3v2 (synchsafe size) and a trailing
+    * 128-byte ID3v1 `TAG` block. `n_frames` is the Xing MPEG-frame count
+    * when declared (unlike WAV's PCM sample frames — documented here),
+    * otherwise the floor of the CBR estimate. Free-form (index 0) and
+    * reserved bitrates/samplerates reject: no guessed numbers. */
+  private def parseMp3(b: Array[Byte]): Option[MediaMeta] = {
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // synchsafe 28-bit size; a high bit set anywhere is corruption
+      if ((u8(b, 6) | u8(b, 7) | u8(b, 8) | u8(b, 9)) >= 0x80) return None
+      val sz = (u8(b, 6) << 21) | (u8(b, 7) << 14) | (u8(b, 8) << 7) | u8(b, 9)
+      off = 10 + sz
+    }
+    if (off < 0 || off + 4 > b.length) return None
+    if (!(u8(b, off) == 0xFF && (u8(b, off + 1) & 0xE0) == 0xE0)) return None
+    val verBits = (u8(b, off + 1) >> 3) & 3 // 0=MPEG2.5 2=MPEG2 3=MPEG1
+    val layerBits = (u8(b, off + 1) >> 1) & 3 // 1=III 2=II 3=I
+    if (verBits == 1 || layerBits == 0) return None
+    val layer = 4 - layerBits // 1..3
+    val vGroup = if (verBits == 3) 0 else 1
+    val brIdx = (u8(b, off + 2) >> 4) & 0xF
+    val srIdx = (u8(b, off + 2) >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val baseRate = Array(44100, 48000, 32000)(srIdx)
+    val rate = verBits match {
+      case 3 => baseRate
+      case 2 => baseRate / 2
+      case _ => baseRate / 4
+    }
+    val kbps = Mp3Bitrates(vGroup)(layer - 1)(brIdx)
+    val mono = ((u8(b, off + 3) >> 6) & 3) == 3
+    val channels = if (mono) 1 else 2
+    val samplesPerFrame =
+      if (layer == 1) 384
+      else if (layer == 2) 1152
+      else if (vGroup == 0) 1152
+      else 576
+    // Xing/Info: behind the layer-III side info of the first frame
+    val sideInfo =
+      if (vGroup == 0) { if (mono) 17 else 32 }
+      else { if (mono) 9 else 17 }
+    val xingOff = off + 4 + sideInfo
+    val xingFrames: Option[Int] =
+      if (layer == 3 && xingOff + 12 <= b.length &&
+        (tag(b, xingOff) == "Xing" || tag(b, xingOff) == "Info") &&
+        (be32(b, xingOff + 4) & 1L) == 1L) {
+        val f = be32(b, xingOff + 8)
+        if (f > 0 && f <= Int.MaxValue) Some(f.toInt) else None
+      } else None
+    val hasId3v1 = b.length >= off + 128 + 4 &&
+      b(b.length - 128) == 'T' && b(b.length - 127) == 'A' && b(b.length - 126) == 'G'
+    val audioBytes = (b.length - off - (if (hasId3v1) 128 else 0)).toLong
+    val durMs = xingFrames match {
+      case Some(f) => Some(f.toLong * samplesPerFrame * 1000L / rate)
+      case None if kbps > 0 && audioBytes > 0 => Some(audioBytes * 8L / kbps)
+      case None => None
+    }
+    val frameLen = samplesPerFrame / 8 * (kbps * 1000) / rate
+    val nFrames = xingFrames.orElse(
+      if (frameLen > 0) Some(math.min(audioBytes / frameLen, Int.MaxValue.toLong).toInt) else None)
+    Some(MediaMeta("mp3", nFrames = nFrames, channels = Some(channels),
+      sampleRate = Some(rate), durationMs = durMs))
+  }
+
+  // ── FLAC ────────────────────────────────────────────────────────────
+
+  def isFlac(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
+
+  /** STREAMINFO is mandatory-first after `fLaC`: the packed 8 bytes at
+    * block offset 10 carry sample rate (20 bits), channels−1 (3),
+    * bits-per-sample−1 (5) and total inter-channel samples (36).
+    * `n_frames` is total samples (the WAV convention); a zero total —
+    * legal for live streams — leaves frames and duration unknown. */
+  private def parseFlac(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 8 + 34) return None
+    if ((u8(b, 4) & 0x7F) != 0) return None // STREAMINFO must be first
+    val blen = (u8(b, 5) << 16) | (u8(b, 6) << 8) | u8(b, 7)
+    if (blen < 34) return None
+    val o = 8 + 10
+    val rate = (u8(b, o) << 12) | (u8(b, o + 1) << 4) | (u8(b, o + 2) >> 4)
+    val ch = ((u8(b, o + 2) >> 1) & 7) + 1
+    val bps = (((u8(b, o + 2) & 1) << 4) | (u8(b, o + 3) >> 4)) + 1
+    val total = ((u8(b, o + 3) & 0xF).toLong << 32) | be32(b, o + 4)
+    if (rate <= 0) return None
+    val frames = if (total > 0 && total <= Int.MaxValue) Some(total.toInt) else None
+    Some(MediaMeta("flac", nFrames = frames, bitDepth = Some(bps),
+      channels = Some(ch), sampleRate = Some(rate),
+      durationMs = if (total > 0) Some(total * 1000L / rate) else None))
+  }
+
+  // ── Ogg Vorbis ──────────────────────────────────────────────────────
+
+  def isOgg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S'
+
+  /** Vorbis identification header out of the first Ogg page (version-0
+    * pages, packet `\x01vorbis`: channels u8, rate u32le), then a
+    * forward page walk — 27-byte header + segment table + summed
+    * lacing values, never a byte-pattern search (payloads may contain
+    * `OggS`) — to the last page whose granule position is the total
+    * PCM sample count. A walk that derails (truncated page) keeps the
+    * deepest granule it reached; -1 granules (continuation pages)
+    * never count. */
+  private def parseOgg(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 28 || u8(b, 4) != 0) return None
+    val nseg0 = u8(b, 26)
+    val body0 = 27 + nseg0
+    if (body0 + 16 > b.length) return None
+    if (u8(b, body0) != 1) return None
+    var k = 0
+    val word = "vorbis"
+    while (k < 6) {
+      if (b(body0 + 1 + k) != word.charAt(k).toByte) return None
+      k += 1
+    }
+    val ch = u8(b, body0 + 11)
+    val rate = le32(b, body0 + 12)
+    if (ch <= 0 || rate <= 0 || rate > Int.MaxValue) return None
+    // page walk for the final granule position
+    var lastGranule = -1L
+    var i = 0
+    var pages = 0
+    while (i + 27 <= b.length && pages < (1 << 20) &&
+      b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' && b(i + 3) == 'S') {
+      val granule = le32(b, i + 6) | (le32(b, i + 10) << 32)
+      val nseg = u8(b, i + 26)
+      if (i + 27 + nseg > b.length) {
+        i = b.length // truncated segment table: stop
+      } else {
+        var bodyLen = 0
+        var s = 0
+        while (s < nseg) { bodyLen += u8(b, i + 27 + s); s += 1 }
+        if (granule >= 0) lastGranule = granule
+        i += 27 + nseg + bodyLen
+        pages += 1
+      }
+    }
+    Some(MediaMeta("ogg", channels = Some(ch), sampleRate = Some(rate.toInt),
+      nFrames = if (lastGranule > 0 && lastGranule <= Int.MaxValue) Some(lastGranule.toInt) else None,
+      durationMs = if (lastGranule > 0) Some(lastGranule * 1000L / rate) else None))
+  }
+
+  // ── MP4 / ISO BMFF ──────────────────────────────────────────────────
+
+  def isMp4(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && tag(b, 4) == "ftyp"
+
+  /** ISO base-media box walk: size-prefixed boxes (u32; 1 → u64
+    * largesize; 0 → to end-of-file) to `moov`, then `mvhd`
+    * (timescale + duration, version 0 u32 / version 1 u64 fields) and
+    * the first `trak`/`tkhd` with nonzero dimensions (16.16 fixed
+    * width/height). Presentation duration over the movie timescale
+    * gives milliseconds; a box walk that derails keeps what it has. */
+  private def parseMp4(b: Array[Byte]): Option[MediaMeta] = {
+    var timescale = 0L
+    var duration = -1L
+    var width = 0
+    var height = 0
+
+    // walks [start, end) one level deep; visit returns payload bounds
+    def walk(start: Long, end: Long, visit: (String, Long, Long) => Unit): Unit = {
+      var i = start
+      var n = 0
+      while (i + 8 <= end && n < 4096) {
+        val sz0 = be32(b, i.toInt)
+        val typ = tag(b, i.toInt + 4)
+        var payload = i + 8
+        var boxEnd =
+          if (sz0 == 1L) {
+            if (i + 16 > end) return
+            payload = i + 16
+            val hi = be32(b, i.toInt + 8); val lo = be32(b, i.toInt + 12)
+            i + ((hi << 32) | lo)
+          } else if (sz0 == 0L) end
+          else i + sz0
+        if (boxEnd < payload || boxEnd > end) boxEnd = end
+        visit(typ, payload, boxEnd)
+        if (boxEnd <= i) return // no forward progress: corrupt size
+        i = boxEnd
+        n += 1
+      }
+    }
+
+    walk(0L, b.length.toLong, { (typ, ps, pe) =>
+      if (typ == "moov") {
+        walk(ps, pe, { (t2, qs, qe) =>
+          if (t2 == "mvhd" && qs + 4 <= qe) {
+            val ver = u8(b, qs.toInt)
+            if (ver == 0 && qs + 20 <= qe) {
+              timescale = be32(b, qs.toInt + 12)
+              duration = be32(b, qs.toInt + 16)
+            } else if (ver == 1 && qs + 32 <= qe) {
+              timescale = be32(b, qs.toInt + 20)
+              duration = (be32(b, qs.toInt + 24) << 32) | be32(b, qs.toInt + 28)
+            }
+          } else if (t2 == "trak") {
+            walk(qs, qe, { (t3, rs, re) =>
+              if (t3 == "tkhd" && width == 0 && rs + 4 <= re) {
+                val ver = u8(b, rs.toInt)
+                val dimOff = if (ver == 1) rs + 88 else rs + 76
+                if (dimOff + 8 <= re) {
+                  val w = (be32(b, dimOff.toInt) >> 16).toInt
+                  val h = (be32(b, dimOff.toInt + 4) >> 16).toInt
+                  if (w > 0 && h > 0) { width = w; height = h }
+                }
+              }
+            })
+          }
+        })
+      }
+    })
+
+    if (timescale <= 0) return None
+    Some(MediaMeta("mp4",
+      width = if (width > 0) Some(width) else None,
+      height = if (height > 0) Some(height) else None,
+      durationMs = if (duration >= 0) Some(duration * 1000L / timescale) else None))
   }
 
   /** TIFF magic: `II*\0` (little-endian) or `MM\0*` (big-endian). */

@@ -2338,6 +2338,205 @@ object DedupSimilarityQueries {
           .orderBy("doc_id")
     },
 
+    // ── WEBP METADATA — the modern web image container, metadata
+    //    across its three first-chunk forms (dimensions only; VP8
+    //    entropy decode is deliberately out of scope): VP8 lossy
+    //    keyframes (sync-checked 14-bit dims), VP8L lossless (packed
+    //    dims-minus-1, the alpha bit → channels), VP8X extended
+    //    (24-bit dims; ANIMATION leaves n_frames NULL — counting
+    //    means walking ANMF chunks, and a guessed 1 would be a lie).
+    //    Routed through the same columnar MediaMetaExpr gate as every
+    //    other sniffed format. The oracle replays the header
+    //    arithmetic per variant. ──
+    QueryDef.sql(
+      "mm_webp_meta",
+      """SELECT doc_id, 'webp' AS format,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 5000
+        |    ELSE 1 + doc_id % 300 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 4000
+        |    ELSE 1 + doc_id % 200 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 AND doc_id % 2 = 0 THEN NULL
+        |    ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 3
+        |    WHEN 1 THEN CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 3 END
+        |    ELSE CASE WHEN doc_id % 4 < 2 THEN 4 ELSE 3 END
+        |  END AS INT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+            def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+              ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+            def riff(fourcc: String, payload: Array[Byte]) =
+              "RIFF".getBytes ++ le32(4 + 8 + payload.length) ++
+                "WEBP".getBytes ++ fourcc.getBytes ++ le32(payload.length) ++ payload
+            val blob = (id % 3) match {
+              case 0 =>
+                val w = (1 + id % 300).toInt; val h = (1 + id % 200).toInt
+                riff("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A) ++
+                  le16(w) ++ le16(h) ++ Array[Byte](7, 7))
+              case 1 =>
+                val w = (1 + id % 300).toInt; val h = (1 + id % 200).toInt
+                val alpha = if (id % 2 == 1) 1 else 0
+                val bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+                riff("VP8L", Array[Byte](0x2F) ++ le32(bits) ++ Array[Byte](3))
+              case _ =>
+                val w = (1 + id % 5000).toInt; val h = (1 + id % 4000).toInt
+                val flags = (if (id % 2 == 0) 0x02 else 0) |
+                  (if (id % 4 < 2) 0x10 else 0)
+                riff("VP8X", Array[Byte](flags.toByte, 0, 0, 0) ++
+                  Array(((w - 1) & 0xFF).toByte, (((w - 1) >> 8) & 0xFF).toByte,
+                    (((w - 1) >> 16) & 0xFF).toByte) ++
+                  Array(((h - 1) & 0xFF).toByte, (((h - 1) >> 8) & 0xFF).toByte,
+                    (((h - 1) >> 16) & 0xFF).toByte))
+            }
+            (id, blob)
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.decodeMeta(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("format"),
+            col("width"), col("height"), col("n_frames"), col("channels"))
+          .orderBy("doc_id")
+    },
+
+    // ── MP3 METADATA — MPEG audio frame-header tables (version/layer/
+    //    bitrate/samplerate) plus BOTH real-archive duration sources:
+    //    a Xing VBR tag (exact frame count behind the layer-III side
+    //    info) and the CBR byte estimate, with ID3v2 (synchsafe skip)
+    //    and ID3v1 (trailer subtraction) live in the variants. The
+    //    oracle replays the frame-length and duration arithmetic from
+    //    the fixture parameters, blind to the bytes. ──
+    QueryDef.sql(
+      "mm_mp3_meta",
+      """SELECT doc_id, 'mp3' AS format,
+        |  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS INT) AS channels,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 32000
+        |    WHEN 2 THEN 22050 ELSE 48000 END AS INT) AS sample_rate,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 40 + doc_id % 20
+        |    WHEN 1 THEN 30 + doc_id % 10 WHEN 2 THEN 25 + doc_id % 15
+        |    ELSE 20 + doc_id % 25 END AS INT) AS n_frames,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN ((40 + doc_id % 20) * 1152 * 1000) // 44100
+        |    WHEN 1 THEN (30 + doc_id % 10) * 36
+        |    WHEN 2 THEN (25 + doc_id % 15) * 26
+        |    ELSE (20 + doc_id % 25) * 24 END AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val blob = (id % 4) match {
+              case 0 => graft.codec.MediaFixtures.mp3(mpeg1 = true, brIdx = 9, srIdx = 0,
+                mono = false, nFrames = (40 + id % 20).toInt, xing = true)
+              case 1 => graft.codec.MediaFixtures.mp3(mpeg1 = true, brIdx = 5, srIdx = 2,
+                mono = true, nFrames = (30 + id % 10).toInt, xing = false,
+                id3v2Pad = (64 + id % 32).toInt)
+              case 2 => graft.codec.MediaFixtures.mp3(mpeg1 = false, brIdx = 8, srIdx = 0,
+                mono = false, nFrames = (25 + id % 15).toInt, xing = false,
+                id3v1 = true)
+              case _ => graft.codec.MediaFixtures.mp3(mpeg1 = true, brIdx = 11, srIdx = 1,
+                mono = false, nFrames = (20 + id % 25).toInt, xing = true,
+                id3v2Pad = (10 + id % 20).toInt, id3v1 = true)
+            }
+            (id, blob)
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.decodeMeta(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("format"), col("channels"),
+            col("sample_rate"), col("n_frames"), col("duration_ms"))
+          .orderBy("doc_id")
+    },
+
+    // ── FLAC + OGG VORBIS METADATA — the two open audio containers:
+    //    FLAC's packed STREAMINFO bitfields (20-bit rate, 36-bit total
+    //    samples) and Ogg's identification packet + the forward page
+    //    walk to the final granule position (total PCM samples — a
+    //    lacing-table walk, never a byte search). Oracle replays the
+    //    fixture arithmetic per container. ──
+    QueryDef.sql(
+      "mm_audio_containers",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'ogg' END AS format,
+        |  CAST(1 + (doc_id // 2) % 2 AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+        |    ELSE CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 44100
+        |      ELSE 48000 END END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + 8 * ((doc_id // 4) % 2)
+        |    ELSE NULL END AS INT) AS bit_depth,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 + doc_id % 9000
+        |    ELSE 500 + doc_id % 5000 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN ((1000 + doc_id % 9000) * 1000) //
+        |      (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |        WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END)
+        |    ELSE ((500 + doc_id % 5000) * 1000) //
+        |      (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 44100
+        |        ELSE 48000 END) END AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val ch = (1 + (id / 2) % 2).toInt
+            val blob =
+              if (id % 2 == 0) {
+                val rate = Array(8000, 16000, 22050, 44100, 48000)((id % 5).toInt)
+                graft.codec.MediaFixtures.flac(rate, ch, bps = (16 + 8 * ((id / 4) % 2)).toInt,
+                  totalSamples = 1000 + id % 9000)
+              } else {
+                val rate = Array(8000, 44100, 48000)((id % 3).toInt)
+                graft.codec.MediaFixtures.oggVorbis(rate, ch, granule = 500 + id % 5000,
+                  dataPages = (1 + id % 4).toInt)
+              }
+            (id, blob)
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.decodeMeta(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("format"), col("channels"),
+            col("sample_rate"), col("bit_depth"), col("n_frames"),
+            col("duration_ms"))
+          .orderBy("doc_id")
+    },
+
+    // ── MP4 METADATA — ISO-BMFF box walk (ftyp → moov{mvhd, trak/
+    //    tkhd}): presentation duration over the movie timescale in
+    //    both the version-0 u32 and version-1 u64 field layouts (the
+    //    v1 fixtures carry durations past 2^32 to keep the wide path
+    //    live), 16.16 fixed-point track dimensions. The single-floor
+    //    identity floor((k·ts + r)·1000/ts) = k·1000 + floor(r·1000/ts)
+    //    keeps the oracle exact. ──
+    QueryDef.sql(
+      "mm_mp4_meta",
+      """SELECT doc_id, 'mp4' AS format,
+        |  CAST(16 + doc_id % 640 AS INT) AS width,
+        |  CAST(16 + doc_id % 480 AS INT) AS height,
+        |  CAST((1 + doc_id % 30) * 1000 +
+        |    ((doc_id % 7 + CASE WHEN doc_id % 2 = 1 THEN 4294967296 ELSE 0 END) * 1000)
+        |      // (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END)
+        |    AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        import s.implicits._
+        val blobs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val ts = Array(600, 1000, 90000)((id % 3).toInt)
+            val base = (1 + id % 30) * ts + id % 7
+            val dur = if (id % 2 == 1) base + (1L << 32) else base
+            (id, graft.codec.MediaFixtures.mp4(ts, dur, (16 + id % 640).toInt,
+              (16 + id % 480).toInt, version = (id % 2).toInt))
+          })
+          .toDF("doc_id", "blob")
+        Multimodal.decodeMeta(blobs, "doc_id", "blob")
+          .select(col("media_id").as("doc_id"), col("format"), col("width"),
+            col("height"), col("duration_ms"))
+          .orderBy("doc_id")
+    },
+
     // ── DECODER PARITY — the same seed raster wrapped as a real PNG
     //    (zlib + filters), a real BMP (bottom-up BGR + padding) and a
     //    real TIFF (big-endian LZW + predictor strips) must decode to

@@ -411,7 +411,14 @@ class MediaHeadersSpec extends SparkSpec {
       MediaFixtures.jpegWithExif(MediaFixtures.jpegReal(10, 9, Seq(jq), jcoef),
         orientation = 3, littleEndian = false),
       MediaFixtures.gifRealPalette(5, 4, 2, (x, y, f) => (x + y + f) % 256,
-        (f, ci) => (ci << 16) | (f << 8) | 7, transparentIdx = Some(3)))
+        (f, ci) => (ci << 16) | (f << 8) | 7, transparentIdx = Some(3)),
+      webpVp8(12, 9), webpVp8l(12, 9, alpha = true),
+      webpVp8x(12, 9, alpha = false, anim = true),
+      MediaFixtures.mp3(mpeg1 = true, brIdx = 9, srIdx = 0, mono = false,
+        nFrames = 2, xing = true, id3v2Pad = 8, id3v1 = true),
+      MediaFixtures.flac(44100, 2, 16, 500L),
+      MediaFixtures.oggVorbis(48000, 2, 9000L, 2),
+      MediaFixtures.mp4(1000, 4321, 64, 48, version = 1))
     for (_ <- 0 until 2000) {
       val b = rnd.nextInt(4) match {
         case 0 => Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte) // pure noise
@@ -593,5 +600,137 @@ class MediaHeadersSpec extends SparkSpec {
     assert(MediaHeaders.tiffPixels(java.util.Arrays.copyOfRange(ok, 0, 20)).isEmpty)
     assert(MediaHeaders.tiffPixels(null).isEmpty)
     assert(MediaHeaders.tiffPixels("II*junkjunk".getBytes).isEmpty)
+  }
+
+  // ── WebP: all three first-chunk forms over hand-assembled RIFF bytes ──
+
+  private def webpLe16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def webpLe32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def webpRiff(fourcc: String, payload: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes ++ webpLe32(4 + 8 + payload.length) ++
+      "WEBP".getBytes ++ fourcc.getBytes ++ webpLe32(payload.length) ++ payload
+
+  private def webpVp8(w: Int, h: Int, keyframe: Boolean = true,
+                      sync: Array[Byte] = Array(0x9D.toByte, 0x01, 0x2A)): Array[Byte] =
+    webpRiff("VP8 ", Array[Byte]((if (keyframe) 0 else 1).toByte, 0, 0) ++ sync ++
+      webpLe16(w) ++ webpLe16(h) ++ Array[Byte](7, 7))
+
+  private def webpVp8l(w: Int, h: Int, alpha: Boolean, sig: Int = 0x2F): Array[Byte] = {
+    val bits = (w - 1) | ((h - 1) << 14) | ((if (alpha) 1 else 0) << 28)
+    webpRiff("VP8L", Array[Byte](sig.toByte) ++ webpLe32(bits) ++ Array[Byte](3))
+  }
+
+  private def webpVp8x(w: Int, h: Int, alpha: Boolean, anim: Boolean): Array[Byte] = {
+    val flags = (if (anim) 0x02 else 0) | (if (alpha) 0x10 else 0)
+    webpRiff("VP8X", Array[Byte](flags.toByte, 0, 0, 0) ++
+      Array(((w - 1) & 0xFF).toByte, (((w - 1) >> 8) & 0xFF).toByte, (((w - 1) >> 16) & 0xFF).toByte) ++
+      Array(((h - 1) & 0xFF).toByte, (((h - 1) >> 8) & 0xFF).toByte, (((h - 1) >> 16) & 0xFF).toByte))
+  }
+
+  test("webp: VP8 lossy keyframe dims behind the sync code; 14-bit mask live") {
+    val m = MediaHeaders.parse(webpVp8(320, 240)).get
+    assert(m.format == "webp" && m.width.contains(320) && m.height.contains(240))
+    assert(m.nFrames.contains(1) && m.channels.contains(3) && m.bitDepth.contains(8))
+    // the upper 2 bits of each 16-bit field are scaling hints, not size
+    val scaled = MediaHeaders.parse(webpVp8(320 | 0x4000, 240 | 0x8000)).get
+    assert(scaled.width.contains(320) && scaled.height.contains(240))
+  }
+
+  test("webp: VP8L packed dims-minus-1; alpha bit drives channels") {
+    val m = MediaHeaders.parse(webpVp8l(16384, 4000, alpha = false)).get
+    assert(m.width.contains(16384) && m.height.contains(4000) && m.channels.contains(3))
+    val a = MediaHeaders.parse(webpVp8l(1, 1, alpha = true)).get
+    assert(a.width.contains(1) && a.height.contains(1) && a.channels.contains(4))
+  }
+
+  test("webp: VP8X 24-bit dims; ANIMATION makes n_frames observably unknown") {
+    val still = MediaHeaders.parse(webpVp8x(70000, 5, alpha = true, anim = false)).get
+    assert(still.width.contains(70000) && still.height.contains(5))
+    assert(still.nFrames.contains(1) && still.channels.contains(4))
+    val anim = MediaHeaders.parse(webpVp8x(2, 3, alpha = false, anim = true)).get
+    assert(anim.nFrames.isEmpty && anim.channels.contains(3))
+  }
+
+  // ── MP3 / FLAC / OGG / MP4 container metadata ──
+
+  test("mp3: Xing frame count beats the CBR estimate; ID3v2 skip and ID3v1 subtraction live") {
+    // MPEG1 L3 stereo 128k@44100, 50 frames, Xing
+    val x = MediaHeaders.parse(MediaFixtures.mp3(mpeg1 = true, brIdx = 9, srIdx = 0,
+      mono = false, nFrames = 50, xing = true)).get
+    assert(x.format == "mp3" && x.channels.contains(2) && x.sampleRate.contains(44100))
+    assert(x.nFrames.contains(50) && x.durationMs.contains(50L * 1152 * 1000 / 44100))
+    // CBR mono 64k@32000 behind an ID3v2 pad: frameLen 288, exact division
+    val c = MediaHeaders.parse(MediaFixtures.mp3(mpeg1 = true, brIdx = 5, srIdx = 2,
+      mono = true, nFrames = 40, xing = false, id3v2Pad = 100)).get
+    assert(c.channels.contains(1) && c.sampleRate.contains(32000))
+    assert(c.nFrames.contains(40) && c.durationMs.contains(40L * 36))
+    // MPEG2 L3 with a trailing ID3v1: the 128-byte tag never counts as audio
+    val two = MediaHeaders.parse(MediaFixtures.mp3(mpeg1 = false, brIdx = 8, srIdx = 0,
+      mono = false, nFrames = 30, xing = false, id3v1 = true)).get
+    assert(two.sampleRate.contains(22050) && two.durationMs.contains(30L * 26))
+    assert(two.nFrames.contains(30))
+  }
+
+  test("mp3: rejections — free bitrate, reserved rate/version, corrupt synchsafe, short") {
+    val ok = MediaFixtures.mp3(mpeg1 = true, brIdx = 9, srIdx = 0, mono = false,
+      nFrames = 3, xing = false)
+    assert(MediaHeaders.parse(ok).nonEmpty)
+    val freeBr = ok.clone(); freeBr(2) = (freeBr(2) & 0x0F).toByte // bitrate idx 0
+    assert(MediaHeaders.parse(freeBr).isEmpty)
+    val badSr = ok.clone(); badSr(2) = (badSr(2) | 0x0C).toByte // samplerate idx 3
+    assert(MediaHeaders.parse(badSr).isEmpty)
+    val badVer = ok.clone(); badVer(1) = 0xEB.toByte // version bits 01 reserved
+    assert(MediaHeaders.parse(badVer).isEmpty)
+    val id3 = MediaFixtures.mp3(mpeg1 = true, brIdx = 9, srIdx = 0, mono = false,
+      nFrames = 3, xing = false, id3v2Pad = 30)
+    val badSynch = id3.clone(); badSynch(6) = 0x80.toByte
+    assert(MediaHeaders.parse(badSynch).isEmpty)
+    assert(MediaHeaders.parse(id3.take(9)).isEmpty)
+  }
+
+  test("flac: packed STREAMINFO bitfields; zero total samples is observably unknown") {
+    val m = MediaHeaders.parse(MediaFixtures.flac(44100, 2, 16, 123456L)).get
+    assert(m.format == "flac" && m.sampleRate.contains(44100) && m.channels.contains(2))
+    assert(m.bitDepth.contains(16) && m.nFrames.contains(123456))
+    assert(m.durationMs.contains(123456L * 1000 / 44100))
+    val odd = MediaHeaders.parse(MediaFixtures.flac(96000, 8, 24, 1L)).get
+    assert(odd.channels.contains(8) && odd.bitDepth.contains(24) && odd.durationMs.contains(0L))
+    val live = MediaHeaders.parse(MediaFixtures.flac(48000, 1, 16, 0L)).get
+    assert(live.nFrames.isEmpty && live.durationMs.isEmpty)
+    assert(MediaHeaders.parse(MediaFixtures.flac(44100, 2, 16, 9L).take(20)).isEmpty)
+  }
+
+  test("ogg: identification packet + page walk to the last granule, not a byte search") {
+    val m = MediaHeaders.parse(MediaFixtures.oggVorbis(48000, 2, 96000L, 3)).get
+    assert(m.format == "ogg" && m.sampleRate.contains(48000) && m.channels.contains(2))
+    assert(m.nFrames.contains(96000) && m.durationMs.contains(2000L))
+    // one data page; payload bytes may contain 'OggS' yet never derail the walk
+    val one = MediaHeaders.parse(MediaFixtures.oggVorbis(8000, 1, 4000L, 1)).get
+    assert(one.durationMs.contains(500L))
+    val noVorbis = MediaFixtures.oggVorbis(8000, 1, 100L, 1).clone()
+    noVorbis(28 + 1) = 'x'.toByte // break the 'vorbis' word in the id packet
+    assert(MediaHeaders.parse(noVorbis).isEmpty)
+    assert(MediaHeaders.parse(MediaFixtures.oggVorbis(8000, 1, 100L, 1).take(27)).isEmpty)
+  }
+
+  test("mp4: mvhd/tkhd in both versions; v1 keeps 64-bit durations exact") {
+    val v0 = MediaHeaders.parse(MediaFixtures.mp4(600, 1234, 640, 360, version = 0)).get
+    assert(v0.format == "mp4" && v0.width.contains(640) && v0.height.contains(360))
+    assert(v0.durationMs.contains(1234L * 1000 / 600))
+    val big = (1L << 32) + 90000L * 7 + 3
+    val v1 = MediaHeaders.parse(MediaFixtures.mp4(90000, big, 1920, 1080, version = 1)).get
+    assert(v1.width.contains(1920) && v1.height.contains(1080))
+    assert(v1.durationMs.contains(big * 1000 / 90000))
+    assert(MediaHeaders.parse(MediaFixtures.mp4(600, 5, 1, 1, 0).take(30)).isEmpty)
+  }
+
+  test("webp: rejections — interframe, bad sync, bad VP8L sig, unknown chunk, truncation") {
+    assert(MediaHeaders.parse(webpVp8(4, 4, keyframe = false)).isEmpty)
+    assert(MediaHeaders.parse(webpVp8(4, 4, sync = Array(0x9D.toByte, 0x01, 0x2B))).isEmpty)
+    assert(MediaHeaders.parse(webpVp8l(4, 4, alpha = false, sig = 0x30)).isEmpty)
+    assert(MediaHeaders.parse(webpRiff("ALPH", Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18))).isEmpty)
+    assert(MediaHeaders.parse(webpVp8(4, 4).take(25)).isEmpty)
+    assert(MediaHeaders.parse(webpVp8x(4, 4, alpha = false, anim = false).take(29)).isEmpty)
   }
 }

@@ -20,6 +20,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Generated-class cache (static conf, default 100 entries): the
+      // multi-plan queries (streaming verticals run ~20 distinct plans
+      // per micro-batch; iterative loops a handful per round) evict and
+      // recompile their own codegen output mid-query at the default
+      // size. 300 holds one query's plan set without measurable JIT
+      // code-cache pressure (5000 measurably degraded later queries).
+      // Scale-neutral: this is driver-side planning cost, identical on
+      // a cluster. Parameterized like the core count.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "300"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,15 +28,23 @@ object Profile {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
-    // warmup (JIT, codegen, parquet footers)
-    try fn(spark, sfDir).count()
-    catch { case e: Throwable => System.err.println(s"warmup failed: $e") }
-    if (doExplain) fn(spark, sfDir).explain("formatted")
-    for (i <- 1 to iters) {
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[profile] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    // comma-separated names profile several queries in ONE JVM (same
+    // warmup discipline per query; A/B within one sitting)
+    for (nm <- name.split(",")) {
+      val fn = graft.SparkEntry.queries(nm)
+      // warmup (JIT, codegen, parquet footers)
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"warmup failed: $e") }
+      if (doExplain) fn(spark, sfDir).explain("formatted")
+      for (i <- 1 to iters) {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[profile] $nm iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      }
+      try {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
     }
     spark.stop()
   }

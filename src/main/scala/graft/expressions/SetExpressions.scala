@@ -138,3 +138,72 @@ object JaccardDistinctImpl {
     inter.toDouble / (na.toLong + nb.toLong - inter).toDouble
   }
 }
+
+/** Per-position char k-gram hashes in ONE linear pass —
+  * `array<long>` where element i (0-based) equals
+  * `xxhash64(substr(text, i+1, k))`, null when the text has fewer than
+  * k characters. The column-expression form
+  * (`transform(sequence(...), p => substr(t, p, k))`) re-scans the
+  * string from byte 0 on EVERY substr call to find the code-point
+  * offset — O(|text|²) per document (measured 6.5 s warm for the sf0.1
+  * corpus's 1.4M grams; this expression does the same work in one
+  * offsets pass + one XXH64 per gram). Hash values are bit-identical
+  * to Spark's `xxhash64` over the same substrings (same XXH64, seed
+  * 42), so mixed producers keep one key space. */
+case class CharGramHashes(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(k >= 1, s"k must be >= 1 (got $k)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_char_gram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    CharGramHashImpl.eval(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val r = ctx.freshName("ghs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expressions.CharGramHashImpl.eval($t, $k);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+object CharGramHashImpl {
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def eval(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val offs = new Array[Int](bytes.length + 1)
+    var chars = 0
+    var b = 0
+    while (b < bytes.length) {
+      offs(chars) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      chars += 1
+    }
+    offs(chars) = bytes.length
+    if (chars < k) return null
+    val n = chars - k + 1
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, Platform.BYTE_ARRAY_OFFSET + offs(i), offs(i + k) - offs(i), 42L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

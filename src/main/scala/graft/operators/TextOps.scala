@@ -437,7 +437,8 @@ object TextOps {
   def crossDupCoverage(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                        n: Int): org.apache.spark.sql.DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
-      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("g"))
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gs"))
+      .select(col("doc"), xxhash64(col("gs")).as("g"))
     val stats = sh.groupBy("g").agg(min("doc").as("_mind"), max("doc").as("_maxd"))
     val statsGated =
       if (stats.queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20))
@@ -502,7 +503,11 @@ object TextOps {
       .select(col("doc"), size(col("ws")).cast("long").as("n_tokens"),
         shingles(col("ws"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
+    // shuffle the gram's xxhash64, never the string (guide §2.3 narrow
+    // keys — the scaladoc's "md5 trick", one better: 8 bytes, no alloc).
+    // Collision calculus in [[crossDocPositions]].
+    val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "gs")))
+      .select(col("doc"), col("pos"), xxhash64(col("gs")).as("g"))
     val stats = pos.groupBy("g")
       .agg(min("doc").as("_mind"), max("doc").as("_maxd"), count(lit(1)).as("_cnt"))
       .filter(col("_mind") =!= col("_maxd"))
@@ -560,7 +565,8 @@ object TextOps {
   def ngramNovelty(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                    n: Int): org.apache.spark.sql.DataFrame = {
     val sh = df.select(col(idCol).as("doc"),
-        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("g"))
+        explode(array_distinct(shingles(tokens(col(textCol)), n))).as("gs"))
+      .select(col("doc"), xxhash64(col("gs")).as("g"))
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("_df"))
     sh.join(dfreq, Seq("g"))
       .groupBy("doc")
@@ -599,11 +605,13 @@ object TextOps {
     val base = df.select(doc, tokens(col(textCol)).as("ws"))
       .select(col("doc"), col("ws"), shingles(col("ws"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
+    val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "gs")))
+      .select(col("doc"), col("pos"), xxhash64(col("gs")).as("g"))
     // min(doc) per gram via partial-agg groupBy (hot grams collapse
     // map-side; a per-gram window would serialize them into one task).
     // Single-occurrence grams can never satisfy min(doc) < doc — filter
-    // them off the build side before the join.
+    // them off the build side before the join. Keys are the gram's
+    // xxhash64 (collision calculus: [[crossDocPositions]]).
     val stats = pos.groupBy("g")
       .agg(min("doc").as("_mind"), count(lit(1)).as("_cnt"))
       .filter(col("_cnt") > 1)
@@ -658,7 +666,8 @@ object TextOps {
     val base = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
       .select(col("doc"), col("ws"), shingles(col("ws"), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "g")))
+    val pos = base.select(col("doc"), posexplode(col("sh")).as(Seq("pos", "gs")))
+      .select(col("doc"), col("pos"), xxhash64(col("gs")).as("g"))
     val firsts = pos.groupBy("doc", "g")
       .agg(min("pos").as("_first"), count(lit(1)).as("_cnt"))
       .filter(col("_cnt") > 1)
@@ -703,10 +712,21 @@ object TextOps {
   def charRunCoverage(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                       k: Int, hotDf: Long = 65536L): org.apache.spark.sql.DataFrame = {
     val base = charBase(df, idCol, textCol, k)
+    // one linear pass per row (offsets + XXH64 per gram): the column
+    // form's substr-per-position rescans the string per gram —
+    // O(|text|²)/doc, measured 6.5 s warm over the sf0.1 corpus vs
+    // ~1 s for this shape; keys are gram hashes, see
+    // [[crossDocPositions]] for the collision calculus
     val pos = base.select(col("doc"),
-      posexplode(transform(sequence(lit(1L), col("n_chars") - (k - 1)),
-        p => col("t").substr(p.cast("int"), lit(k)))).as(Seq("pos", "g")))
+      posexplode(charGramHashes(col("t"), k)).as(Seq("pos", "g")))
     charCoverageFold(base, crossDocPositions(pos, hotDf), k)
+  }
+
+  /** `array<long>`: element i = `xxhash64` of the k-char gram starting
+    * at 1-based char position i+1 ([[graft.expressions.CharGramHashes]]). */
+  private def charGramHashes(t: org.apache.spark.sql.Column, k: Int) = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.CharGramHashes(Bridge.expression(t), k))
   }
 
   /** [[charRunCoverage]]'s scale path: the per-position explode is
@@ -729,7 +749,8 @@ object TextOps {
     val mins = Bridge.column(graft.expressions.CharMinimizers(
       Bridge.expression(col("t")), k, w))
     val pos = base.select(col("doc"), explode(mins).as("m"))
-      .select(col("doc"), (col("m.pos") - 1).cast("int").as("pos"), col("m.g"))
+      .select(col("doc"), (col("m.pos") - 1).cast("int").as("pos"),
+        xxhash64(col("m.g")).as("g"))
     charCoverageFold(base, crossDocPositions(pos, hotDf), k)
   }
 
@@ -745,8 +766,7 @@ object TextOps {
                        k: Int, hotDf: Long = 65536L): org.apache.spark.sql.DataFrame = {
     val base = charBase(df, idCol, textCol, k)
     val pos = base.select(col("doc"),
-      posexplode(transform(sequence(lit(1L), col("n_chars") - (k - 1)),
-        p => col("t").substr(p.cast("int"), lit(k)))).as(Seq("pos", "g")))
+      posexplode(charGramHashes(col("t"), k)).as(Seq("pos", "g")))
     val stats = pos.groupBy("g")
       .agg(min("doc").as("_mind"), count(lit(1)).as("_cnt"))
       .filter(col("_cnt") > 1)
@@ -781,7 +801,20 @@ object TextOps {
   /** Positions whose gram occurs in ANOTHER document, via the shared
     * hot/cold df-threshold split (see [[exactRunCoverage]]). `pos` is
     * 0-based here (posexplode convention); the fold is
-    * translation-invariant. */
+    * translation-invariant.
+    *
+    * Since round 16 the gram family keys these shuffles on
+    * `xxhash64(gram)` instead of the gram string (guide §2.3: shuffle
+    * fewer/narrower bytes — 8-byte fixed keys vs 20+-char strings on
+    * BOTH the stats groupBy and the join-back, and long compares
+    * instead of string compares everywhere downstream). Equality on
+    * the hash admits false gram identities at rate ≈ G²/2^65 for G
+    * distinct grams: ~7·10⁻⁵ expected collisions at the sf0.1 corpus
+    * (none observed — the tri-scale oracles replay the raw-gram
+    * grouping and hash-match), and at a 10¹³-gram corpus ~10⁻⁷ of
+    * positions would be falsely marked covered — negligible for a
+    * coverage instrument; use the md5 128-bit form if a guarantee-
+    * grade key is ever needed. */
   private def crossDocPositions(pos: org.apache.spark.sql.DataFrame,
                                 hotDf: Long): org.apache.spark.sql.DataFrame = {
     val stats = pos.groupBy("g")

@@ -31,13 +31,34 @@ object Graph {
   val Scale: Double = 4294967296.0
 
   /** PageRank over a directed edge list (duplicate edges collapse —
-    * multiplicity is not weight here). Returns `(node, rank)`. */
+    * multiplicity is not weight here). Returns `(node, rank)`.
+    *
+    * Below `driverEdgeLimit` DISTINCT edges the sequential twin
+    * ([[pageRankLocal]] — spec-pinned bit-identical to the distributed
+    * loop) runs on the collected edge list instead: each distributed
+    * iteration pays three jobs plus fresh whole-stage-codegen compiles
+    * (the per-iteration dangling/base constants change the generated
+    * source), while the twin is linear scans — the
+    * [[Dedup.duplicateClusters]] driver-union-find doctrine applied to
+    * rank propagation. The limit is a driver-MEMORY guardrail (16
+    * bytes/edge collected); the distributed loop remains the
+    * arbitrarily-large-graph path and stays spec-covered through the
+    * explicit `driverEdgeLimit = 0` arm. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, damping: Double = 0.85): DataFrame = {
+               iters: Int, damping: Double = 0.85,
+               driverEdgeLimit: Long = 4_000_000L): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().cache()
+    val nEdges = e.count()
+    if (nEdges <= driverEdgeLimit) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      e.unpersist(blocking = false)
+      val spark = edges.sparkSession
+      return localResult(spark,
+        pageRankLocal(es, iters, damping).toSeq.sortBy(_._1), "rank")
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val nN = nodes.count()
@@ -84,11 +105,21 @@ object Graph {
     * score 0 by definition, and the oracle agrees by construction.
     * Returns `(role 'hub'|'auth', node, score)`. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int): DataFrame = {
+           iters: Int, driverEdgeLimit: Long = 4_000_000L): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().cache()
+    // same size-gated driver path as [[pageRank]] (hitsLocal is the
+    // spec-pinned bit-identical twin)
+    if (e.count() <= driverEdgeLimit) {
+      val es = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      e.unpersist(blocking = false)
+      val spark = edges.sparkSession
+      val (lh, la) = hitsLocal(es, iters)
+      return localResult(spark, lh.toSeq.sortBy(_._1), "score", Some("hub"))
+        .unionByName(localResult(spark, la.toSeq.sortBy(_._1), "score", Some("auth")))
+    }
     var hubs = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(1.0))
     // node-count gate for the per-iteration score broadcast: a
@@ -124,25 +155,120 @@ object Graph {
       .unionByName(auths.select(lit("auth").as("role"), col("node"), col("a").as("score")))
   }
 
-  /** Sequential HITS twin (see [[pageRankLocal]]). */
+  /** Driver-path result as a DISTRIBUTED frame (the duplicateClusters
+    * parallelize doctrine — a LocalRelation would serialize the whole
+    * result into one task of every downstream job). Emits
+    * `(node, <valueName>)`, or `(role, node, <valueName>)` when `role`
+    * is set. */
+  private def localResult(spark: org.apache.spark.sql.SparkSession,
+                          rows: Seq[(Long, Double)], valueName: String,
+                          role: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val slices = math.max(1, math.min(32, rows.size / 100000))
+    role match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            rows.map { case (n, v) => org.apache.spark.sql.Row(n, v) }, slices),
+          StructType(Seq(StructField("node", LongType, nullable = false),
+            StructField(valueName, DoubleType, nullable = false))))
+      case Some(r) =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            rows.map { case (n, v) => org.apache.spark.sql.Row(r, n, v) }, slices),
+          StructType(Seq(StructField("role", StringType, nullable = false),
+            StructField("node", LongType, nullable = false),
+            StructField(valueName, DoubleType, nullable = false))))
+    }
+  }
+
+  /** Sequential HITS twin (see [[pageRankLocal]]). Dense-index arrays
+    * since round 16 (the Seq#groupBy form allocated per-key vectors —
+    * ~1.4 s on the 587k-edge sf0.1 commerce graph, ~60 ms here); the
+    * arithmetic is unchanged: the same long messages summed per node
+    * (exact commutative sums, order-free), the same single divisions.
+    * A node is PRESENT on a side iff it has ≥ 1 qualifying edge — even
+    * when its message sum rounds to 0 — exactly the old groupBy-key
+    * semantics. */
   def hitsLocal(edges: Seq[(Long, Long)], iters: Int)
       : (Map[Long, Double], Map[Long, Double]) = {
-    val e = edges.distinct
-    var hubs: Map[Long, Double] = e.map(_._1).distinct.map(_ -> 1.0).toMap
-    var auths: Map[Long, Double] = Map.empty
+    val e = edges.distinct.toArray
+    val (ids, idx) = denseIndex(e)
+    val n = ids.length
+    val src = new Array[Int](e.length)
+    val dst = new Array[Int](e.length)
+    var k = 0
+    while (k < e.length) { src(k) = idx.get(e(k)._1); dst(k) = idx.get(e(k)._2); k += 1 }
+    val hub = new Array[Double](n)
+    val hasHub = new Array[Boolean](n)
+    k = 0
+    while (k < e.length) { hub(src(k)) = 1.0; hasHub(src(k)) = true; k += 1 }
+    val auth = new Array[Double](n)
+    val hasAuth = new Array[Boolean](n)
+    val msum = new Array[Long](n)
+    val touched = new Array[Boolean](n)
     for (_ <- 0 until iters) {
-      val am = e.filter(p => hubs.contains(p._1)).groupBy(_._2).map { case (d, es) =>
-        d -> es.map(p => StrictMath.round(hubs(p._1) * Scale)).sum
+      java.util.Arrays.fill(msum, 0L)
+      java.util.Arrays.fill(touched, false)
+      k = 0
+      while (k < e.length) {
+        if (hasHub(src(k))) {
+          msum(dst(k)) += StrictMath.round(hub(src(k)) * Scale)
+          touched(dst(k)) = true
+        }
+        k += 1
       }
-      val atot = am.values.sum
-      auths = am.map { case (n, ms) => n -> ms.toDouble / atot.toDouble }
-      val hm = e.filter(p => auths.contains(p._2)).groupBy(_._1).map { case (s, es) =>
-        s -> es.map(p => StrictMath.round(auths(p._2) * Scale)).sum
+      var atot = 0L
+      var i = 0
+      while (i < n) { if (touched(i)) atot += msum(i); i += 1 }
+      i = 0
+      while (i < n) {
+        hasAuth(i) = touched(i)
+        auth(i) = if (touched(i)) msum(i).toDouble / atot.toDouble else 0.0
+        i += 1
       }
-      val htot = hm.values.sum
-      hubs = hm.map { case (n, ms) => n -> ms.toDouble / htot.toDouble }
+      java.util.Arrays.fill(msum, 0L)
+      java.util.Arrays.fill(touched, false)
+      k = 0
+      while (k < e.length) {
+        if (hasAuth(dst(k))) {
+          msum(src(k)) += StrictMath.round(auth(dst(k)) * Scale)
+          touched(src(k)) = true
+        }
+        k += 1
+      }
+      var htot = 0L
+      i = 0
+      while (i < n) { if (touched(i)) htot += msum(i); i += 1 }
+      i = 0
+      while (i < n) {
+        hasHub(i) = touched(i)
+        hub(i) = if (touched(i)) msum(i).toDouble / htot.toDouble else 0.0
+        i += 1
+      }
     }
-    (hubs, auths)
+    val hm = Map.newBuilder[Long, Double]
+    val am = Map.newBuilder[Long, Double]
+    var i = 0
+    while (i < n) {
+      if (hasHub(i)) hm += ids(i) -> hub(i)
+      if (hasAuth(i)) am += ids(i) -> auth(i)
+      i += 1
+    }
+    (hm.result(), am.result())
+  }
+
+  /** Sorted node ids of an edge array + id → dense-index lookup. */
+  private def denseIndex(e: Array[(Long, Long)])
+      : (Array[Long], java.util.HashMap[Long, Integer]) = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    e.foreach { p => set.add(p._1); set.add(p._2) }
+    val ids = new Array[Long](set.size)
+    val idx = new java.util.HashMap[Long, Integer](set.size * 2)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { val v = it.next().longValue(); ids(i) = v; idx.put(v, i); i += 1 }
+    (ids, idx)
   }
 
   /** Sequential reference twin — same quantization, same expression
@@ -150,23 +276,42 @@ object Graph {
     * bit-for-bit. */
   def pageRankLocal(edges: Seq[(Long, Long)], iters: Int,
                     damping: Double = 0.85): Map[Long, Double] = {
-    val e = edges.distinct
-    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
-    val nN = nodes.size.toLong
-    val out = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
-    var ranks = nodes.map(_ -> 1.0 / nN).toMap
+    // dense-index arrays since round 16 (see [[hitsLocal]]): identical
+    // arithmetic — the same long messages summed per node (exact
+    // commutative sums), the same base/damping expression per rank
+    val e = edges.distinct.toArray
+    val (ids, idx) = denseIndex(e)
+    val n = ids.length
+    val nN = n.toLong
+    val src = new Array[Int](e.length)
+    val dst = new Array[Int](e.length)
+    var k = 0
+    while (k < e.length) { src(k) = idx.get(e(k)._1); dst(k) = idx.get(e(k)._2); k += 1 }
+    val out = new Array[Long](n)
+    k = 0
+    while (k < e.length) { out(src(k)) += 1L; k += 1 }
+    val ranks = Array.fill(n)(1.0 / nN)
+    val msum = new Array[Long](n)
     for (_ <- 0 until iters) {
-      val dangScaled = nodes.filterNot(out.contains)
-        .map(n => StrictMath.round(ranks(n) * Scale)).sum
-      val msums = e.groupBy(_._2).map { case (d, es) =>
-        d -> es.map { case (s, _) =>
-          StrictMath.round(ranks(s) / out(s) * Scale)
-        }.sum
+      var dangScaled = 0L
+      var i = 0
+      while (i < n) {
+        if (out(i) == 0L) dangScaled += StrictMath.round(ranks(i) * Scale)
+        i += 1
+      }
+      java.util.Arrays.fill(msum, 0L)
+      k = 0
+      while (k < e.length) {
+        msum(dst(k)) += StrictMath.round(ranks(src(k)) / out(src(k)) * Scale)
+        k += 1
       }
       val base = (1.0 - damping) / nN + damping * (dangScaled / Scale) / nN
-      ranks = nodes.map(n =>
-        n -> (base + damping * (msums.getOrElse(n, 0L) / Scale))).toMap
+      i = 0
+      while (i < n) { ranks(i) = base + damping * (msum(i) / Scale); i += 1 }
     }
-    ranks
+    val b = Map.newBuilder[Long, Double]
+    var i = 0
+    while (i < n) { b += ids(i) -> ranks(i); i += 1 }
+    b.result()
   }
 }

@@ -19,13 +19,21 @@ class GraphSpec extends SparkSpec {
   test("pageRank: distributed ≡ sequential twin bit-for-bit, any partitioning") {
     val edges = edgeFixture
     val df = edges.toDF("src", "dst")
-    val a = Graph.pageRank(df.repartition(1), "src", "dst", iters = 3)
+    // driverEdgeLimit = 0 forces the distributed loop (the default gate
+    // would route this fixture through the driver twin)
+    val a = Graph.pageRank(df.repartition(1), "src", "dst", iters = 3,
+        driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val b = Graph.pageRank(df.repartition(11), "src", "dst", iters = 3)
+    val b = Graph.pageRank(df.repartition(11), "src", "dst", iters = 3,
+        driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val local = Graph.pageRankLocal(edges, iters = 3)
     assert(a == b, "partitioning must not change a single bit")
     assert(a == local, "distributed must equal the sequential twin exactly")
+    // the size-gated driver path (the default) must agree bit-for-bit
+    val gated = Graph.pageRank(df, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gated == a, "driver-gated path must equal the distributed loop")
   }
 
   test("pageRank: mass conserves to quantization error and the hub outranks") {
@@ -40,11 +48,17 @@ class GraphSpec extends SparkSpec {
 
   test("hits: distributed ≡ sequential twin; both sides L1-normalize to ~1") {
     val edges = edgeFixture
-    val out = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 2)
+    val out = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 2,
+        driverEdgeLimit = 0L)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val outRep = Graph.hits(edges.toDF("src", "dst").repartition(9), "src", "dst", iters = 2)
+    val outRep = Graph.hits(edges.toDF("src", "dst").repartition(9), "src", "dst",
+        iters = 2, driverEdgeLimit = 0L)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(out == outRep, "partitioning must not change a bit")
+    // the size-gated driver path (the default) must agree bit-for-bit
+    val gated = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(gated == out, "driver-gated path must equal the distributed loop")
     val (lh, la) = Graph.hitsLocal(edges, iters = 2)
     assert(out.collect { case (("hub", n), s) => n -> s } == lh)
     assert(out.collect { case (("auth", n), s) => n -> s } == la)

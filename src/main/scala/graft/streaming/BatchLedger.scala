@@ -75,10 +75,36 @@ object BatchLedger {
     * swallowing it would silently serve empty ledger state (a crawl
     * seen-set that re-admits everything, a heavy-hitters fold that
     * undercounts), which is a correctness loss, not a robustness win. */
+  /** Inferred-schema cache keyed on the ledger path: the streaming
+    * verticals read the SAME ledger dirs once per micro-batch, and each
+    * uncached read pays a footer schema-inference job (~30-60 ms of
+    * driver+job time; several ledgers per batch across every
+    * `engine_stream_*` line). A ledger's schema never changes across
+    * batches (the writer contract), so the first successful inference
+    * is authoritative for the path's lifetime. The schema always comes
+    * from the actual files — never from a caller-declared twin, whose
+    * latent width mismatches (int vs long) would turn into read
+    * failures. Entries are path-keyed and tiny; ledger paths are
+    * per-invocation temp dirs, so the map stays small and never stale
+    * (the one same-path rebuild, prefixIndexBuild, recreates the same
+    * schema). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private[streaming] def cachedRead(spark: SparkSession, path: String): DataFrame = {
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.put(path, df.schema)
+      df
+    }
+  }
+
   private def tryRead(spark: SparkSession, path: String): Option[DataFrame] =
     if (!exists(spark, path)) None
     else
-      try Some(spark.read.parquet(path))
+      try Some(cachedRead(spark, path))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** base ∪ live partitions with `horizon ≤ batch < belowBatch`; `empty`

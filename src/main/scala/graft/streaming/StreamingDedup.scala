@@ -127,7 +127,10 @@ object StreamingDedup {
                                        empty: => DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-      belowBatch.foldLeft(spark.read.parquet(path))((df, b) => df.filter(col("batch") < b))
+      // BatchLedger.cachedRead: one schema-inference job per ledger
+      // path, not one per micro-batch read
+      belowBatch.foldLeft(BatchLedger.cachedRead(spark, path))(
+        (df, b) => df.filter(col("batch") < b))
     else empty
   }
 

@@ -125,6 +125,17 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"failed":${failedNames.size},"failed_names":$failedList,"slowest":$slow,"sf":"$sfDir"}""")
+    // The full per-query line above falls outside the harness's ~2000-char
+    // stdout tail at 350+ queries, so rounds could no longer diff per-query
+    // timings from the artifacts alone. Persist the same map to a file
+    // (stdout contract unchanged; additions-only).
+    try {
+      val perQueryPath = java.nio.file.Paths.get("plans/bench_last_per_query.json")
+      java.nio.file.Files.createDirectories(perQueryPath.getParent)
+      val json =
+        s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(perQueryPath, json.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] per-query dump failed: $e") }
     spark.stop()
   }
 }
